@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuning defaults.
+  *
+  * Local runs use `local[n]` with `shuffle.partitions == n`; on a real
+  * cluster the same builder is used with `shuffle.partitions ~= 2x total
+  * cores` and AQE coalescing enabled so the setting only bounds the
+  * pre-coalesce split count. Everything else (AQE, skew-join handling,
+  * broadcast threshold) is identical between local tests and cluster runs
+  * so the plans we verify locally are the plans that ship.
+  */
+object GraftSession {
+  /** Configs applied to every graft session (driver mains + tests). */
+  val tuning: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    // rejects natively; read it as long nanos (converted in Tables.events).
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // 10 MB default is fine locally; on a 100 TB cluster raise to ~64 MB so
+    // dimension tables (nation/region/supplier/part) always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+    "spark.sql.parquet.aggregatePushdown" -> "true",
+  )
+
+  def local(threads: Int = 4): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.ui.enabled", "false")
+    tuning.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply graft tuning to an externally created session (driver mains). */
+  def tune(spark: SparkSession): SparkSession = {
+    tuning.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
+}

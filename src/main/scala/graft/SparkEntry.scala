@@ -1,13 +1,235 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(GraftSession.tune(spark), "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 relational core
+    "q01_filter_project"        -> ((s, d) => Relational.filterProject(GraftSession.tune(s), d)),
+    "q02_pricing_summary"       -> ((s, d) => Relational.pricingSummary(GraftSession.tune(s), d)),
+    "q03_top_revenue_parts"     -> ((s, d) => Relational.topRevenueParts(GraftSession.tune(s), d)),
+    "q04_shipping_priority"     -> ((s, d) => Relational.shippingPriority(GraftSession.tune(s), d)),
+    "q05_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(GraftSession.tune(s), d)),
+    "q06_customer_order_gaps"   -> ((s, d) => Relational.customerOrderGaps(GraftSession.tune(s), d)),
+    "q07_waiting_orders"        -> ((s, d) => Relational.waitingOrders(GraftSession.tune(s), d)),
+    "q08_idle_customers"        -> ((s, d) => Relational.idleCustomers(GraftSession.tune(s), d)),
+    "q09_small_quantity_revenue" -> ((s, d) => Relational.smallQuantityRevenue(GraftSession.tune(s), d)),
+    "q10_rank_in_segment"       -> ((s, d) => Relational.rankInSegment(GraftSession.tune(s), d)),
+    "q11_order_value_delta"     -> ((s, d) => Relational.orderValueDelta(GraftSession.tune(s), d)),
+    "q12_running_revenue"       -> ((s, d) => Relational.runningRevenue(GraftSession.tune(s), d)),
+    "q13_distinct_parts_per_order" -> ((s, d) => Relational.distinctPartsPerOrder(GraftSession.tune(s), d)),
+    "q14_set_ops"               -> ((s, d) => Relational.setOps(GraftSession.tune(s), d)),
+    "q15_status_pivot"          -> ((s, d) => Relational.statusPivot(GraftSession.tune(s), d)),
+    "q16_rollup_revenue"        -> ((s, d) => Relational.rollupRevenue(GraftSession.tune(s), d)),
+    "q17_name_buckets"          -> ((s, d) => Relational.nameBuckets(GraftSession.tune(s), d)),
+    "q18_big_segments"          -> ((s, d) => Relational.bigSegments(GraftSession.tune(s), d)),
+    "q19_approx_sketches"       -> ((s, d) => Relational.approxSketches(GraftSession.tune(s), d)),
+    "q20_value_quantiles"       -> ((s, d) => Relational.valueQuantiles(GraftSession.tune(s), d)),
+    // §2.2 changefeed / temporal (batch-verifiable analogues)
+    "q21_cdc_latest_state"      -> ((s, d) => Temporal.cdcLatestState(GraftSession.tune(s), d)),
+    "q22_cdc_delta"             -> ((s, d) => Temporal.cdcDelta(GraftSession.tune(s), d)),
+    "q23_tumbling_hour"         -> ((s, d) => Temporal.tumblingHour(GraftSession.tune(s), d)),
+    "q24_sliding_window"        -> ((s, d) => Temporal.slidingWindow(GraftSession.tune(s), d)),
+    "q25_sessionize"            -> ((s, d) => Temporal.sessionize(GraftSession.tune(s), d)),
+    "q26_asof_join"             -> ((s, d) => Temporal.asofJoin(GraftSession.tune(s), d)),
+    "q27_feed_compaction"       -> ((s, d) => Temporal.feedCompaction(GraftSession.tune(s), d)),
+    "q28_funnel"                -> ((s, d) => Temporal.funnel(GraftSession.tune(s), d)),
+    "q29_json_props"            -> ((s, d) => Temporal.jsonProps(GraftSession.tune(s), d)),
+    "q30_hourly_top_users"      -> ((s, d) => Temporal.hourlyTopUsers(GraftSession.tune(s), d)),
+  )
+
+  /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
+    * match the Spark output exactly (the driver sorts columns by name and
+    * hashes values). Time crosses this boundary only as epoch-us bigints or
+    * formatted strings; doubles are rounded identically on both sides.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice * (1 - l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05""".stripMargin,
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_top_revenue_parts" ->
+      """SELECT p_partkey, p_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name
+        |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
+    "q04_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY o_orderkey, odate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q05_local_supplier_volume" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q06_customer_order_gaps" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q07_waiting_orders" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""".stripMargin,
+    "q08_idle_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q09_small_quantity_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q10_rank_in_segment" ->
+      """SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal, rn
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) t
+        |WHERE rn <= 3""".stripMargin,
+    "q11_order_value_delta" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(o_totalprice - lag(o_totalprice) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+        |FROM orders""".stripMargin,
+    "q12_running_revenue" ->
+      """WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |    sum(o_totalprice) AS rev FROM orders GROUP BY 1)
+        |SELECT odate, round(sum(rev) OVER (ORDER BY odate
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev
+        |FROM d""".stripMargin,
+    "q13_distinct_parts_per_order" ->
+      """SELECT l_orderkey, count(DISTINCT l_partkey) AS n_parts,
+        | count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q14_set_ops" ->
+      """SELECT k FROM (
+        | SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        | UNION
+        | SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000) u
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q15_status_pivot" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS rev_f
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q16_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q17_name_buckets" ->
+      """SELECT p_partkey, upper(substr(p_name, 1, 8)) AS prefix,
+        | CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_bucket,
+        | length(p_name) AS name_len
+        |FROM part""".stripMargin,
+    "q18_big_segments" ->
+      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer GROUP BY c_mktsegment HAVING count(*) > 20""".stripMargin,
+    "q20_value_quantiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q21_cdc_latest_state" ->
+      """SELECT user_id, event_type, round(value, 2) AS value, ts_us
+        |FROM (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    "q22_cdc_delta" ->
+      """SELECT event_id, user_id,
+        | round(value - lag(value) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id), 2) AS delta
+        |FROM events""".stripMargin,
+    "q23_tumbling_hour" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q24_sliding_window" ->
+      """SELECT strftime(date_trunc('hour', ts) - h * INTERVAL 1 HOUR,
+        |   '%Y-%m-%d %H:%M:%S') AS window_start,
+        | count(*) AS n, round(sum(value), 2) AS total
+        |FROM events, (VALUES (0), (1)) t(h) GROUP BY 1""".stripMargin,
+    "q25_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+        |m AS (SELECT user_id, tsu, event_id,
+        |  CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+        |         OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new FROM e),
+        |s AS (SELECT user_id, tsu,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(tsu) AS session_start, max(tsu) AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q26_asof_join" ->
+      """SELECT e.event_id,
+        | (SELECT max(o.o_orderkey) FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+        |     AND epoch_us(o.o_orderdate) = (SELECT max(epoch_us(o2.o_orderdate))
+        |       FROM orders o2 WHERE o2.o_custkey = e.user_id
+        |         AND epoch_us(o2.o_orderdate) <= epoch_us(e.ts))) AS asof_orderkey
+        |FROM events e WHERE e.event_type = 'purchase'""".stripMargin,
+    "q27_feed_compaction" ->
+      """WITH o AS (SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+        | FROM events)
+        |SELECT user_id, count(*) AS n_changes,
+        | round(sum(CASE WHEN rn_a = 1 THEN value END), 2) AS first_value,
+        | round(sum(CASE WHEN rn_d = 1 THEN value END), 2) AS last_value,
+        | round(sum(CASE WHEN rn_d = 1 THEN value END)
+        |     - sum(CASE WHEN rn_a = 1 THEN value END), 2) AS net_delta
+        |FROM o GROUP BY user_id""".stripMargin,
+    "q28_funnel" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT s.user_id, s.signup_ts, count(e.event_id) AS purchases_after
+        |FROM s LEFT JOIN events e ON e.user_id = s.user_id
+        |  AND e.event_type = 'purchase' AND epoch_us(e.ts) > s.signup_ts
+        |GROUP BY s.user_id, s.signup_ts""".stripMargin,
+    "q29_json_props" ->
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q30_hourly_top_users" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  user_id, round(sum(value), 2) AS total FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY hour_start
+        |  ORDER BY total DESC, user_id) AS rn FROM h)
+        |SELECT hour_start, user_id, total, rn FROM r WHERE rn <= 3""".stripMargin,
+  )
 }

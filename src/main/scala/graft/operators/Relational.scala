@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational query core (SURVEY.md §2.1, q01-q20).
+  *
+  * All operators are declarative DataFrame plans: filters/projections reach
+  * the parquet scan, dimension joins are explicitly broadcast, aggregates
+  * get map-side partial aggregation from Catalyst for free. Doubles that
+  * cross the DuckDB-oracle boundary are rounded on both sides so the
+  * hash-compare is immune to summation-order FP noise.
+  */
+object Relational {
+
+  /** q01: scan + filter + project; predicate and column pruning reach the scan. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") && col("l_discount") > 0.05)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        // price*(1-disc) has exactly 4 true decimals; rounding AT 4 is a
+        // representation fix-up both engines agree on, while rounding at 2
+        // would sit exactly on .xx5 ties where their modes differ.
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+      )
+
+  /** q02: grouped hash aggregate (TPC-H Q1 pricing summary). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("n_rows"),
+      )
+
+  /** q03: top-N by aggregate with a broadcast dimension join. */
+  def topRevenueParts(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+      .limit(10)
+
+  /** q04: multi-way fact join (TPC-H Q3 shipping priority). */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** q05: star join — all four dimensions broadcast (TPC-H Q5 shape). */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = broadcast(
+      Tables
+        .nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+    )
+    Tables
+      .lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** q06: left outer join with null-safe aggregation. */
+  def customerOrderGaps(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spend"),
+      )
+
+  /** q07: semi join (EXISTS) — orders having a returned line. */
+  def waitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    Tables
+      .orders(spark, dir)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderpriority")
+  }
+
+  /** q08: anti join (NOT EXISTS) — customers with no finalized ('F') order. */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** q09: per-group scalar subquery (TPC-H Q17 shape). The per-part average
+    * is exact (integer sums are order-independent), so the threshold compare
+    * is bit-identical to the oracle's correlated subquery.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li.groupBy(col("l_partkey").as("ap_partkey")).agg(avg("l_quantity").as("avg_qty"))
+    li.join(perPart, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** q10: window row_number per group (top-3 balances per segment). */
+  def rankInSegment(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables
+      .customer(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"), col("rn"))
+  }
+
+  /** q11: lag/lead delta per key. */
+  def orderValueDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        round(col("o_totalprice") - lag("o_totalprice", 1).over(w), 2).as("delta"),
+      )
+  }
+
+  /** q12: running/cumulative aggregate. Single unpartitioned window: fine on
+    * the ~2.4k distinct days here; at 100 TB this becomes a range-partitioned
+    * prefix-sum (partial sums per range + broadcast offsets).
+    */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .agg(sum("o_totalprice").as("rev"))
+    val w = Window.orderBy("odate").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("odate"), round(sum("rev").over(w), 2).as("cum_rev"))
+  }
+
+  /** q13: DISTINCT aggregation per key. */
+  def distinctPartsPerOrder(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(countDistinct("l_partkey").as("n_parts"), count(lit(1)).as("n_lines"))
+
+  /** q14: set operations — (A UNION B) EXCEPT C on customer keys. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir).filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    val b = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k"))
+    val c = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+    a.union(b).distinct().except(c)
+  }
+
+  /** q15: conditional aggregation (pivot-by-CASE). */
+  def statusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("rev_f"),
+      )
+
+  /** q16: ROLLUP grouping sets. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** q17: expression evaluation + string functions. */
+  def nameBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("prefix"),
+        when(col("p_size") < 10, "S").when(col("p_size") < 30, "M").otherwise("L").as("size_bucket"),
+        length(col("p_name")).cast("long").as("name_len"),
+      )
+
+  /** q18: HAVING — post-aggregation filter. */
+  def bigSegments(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 2).as("avg_bal"))
+      .filter(col("n") > 20)
+
+  /** q19: approximate sketches — HLL++ count-distinct and a quantile sketch.
+    * Sketch internals differ engine-to-engine, so this is checked rows-only.
+    */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id").as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_sketch"),
+      )
+
+  /** q20: exact interpolated quantiles (same linear-interpolation definition
+    * as DuckDB's quantile_cont, so this one IS oracle-checked).
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+      )
+}

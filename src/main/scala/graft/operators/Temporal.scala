@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Changefeed / temporal operators, batch-verifiable analogues
+  * (SURVEY.md §2.2, q21-q30). The `events` table plays the changefeed:
+  * `event_id` is the change LSN, `user_id` the key, `ts` the change time.
+  *
+  * Time is compared in epoch MICROSECONDS on both sides of the oracle
+  * boundary (`unix_micros` here, `epoch_us` in DuckDB) so Spark's ns->us
+  * truncation of the source timestamps can never flip an ordering.
+  */
+object Temporal {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("tsu", unix_micros(col("ts")))
+
+  /** q21: CDC materialization — last-writer-wins latest state per key.
+    * Batch analogue of the streaming upsert fold in
+    * [[graft.streaming.CdcMaterializer]].
+    */
+  def cdcLatestState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsu").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), round(col("value"), 2).as("value"), col("tsu").as("ts_us"))
+  }
+
+  /** q22: change detection — per-key delta versus the previous change. */
+  def cdcDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), round(col("value") - lag("value", 1).over(w), 2).as("delta"))
+  }
+
+  /** q23: tumbling window aggregate (1 hour). */
+  def tumblingHour(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+
+  /** q24: sliding window aggregate (2h window, 1h slide) via the native
+    * `window()` generator — each event lands in exactly two windows.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(window(col("ts"), "2 hours", "1 hour").as("w"), col("value"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"), col("n"), col("total"))
+
+  /** q25: gap-based sessionization (30 min inactivity gap), the classic
+    * new-session-flag + running-sum formulation — one shuffle on the key.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    events(spark, dir)
+      .withColumn("prev", lag("tsu", 1).over(order))
+      .withColumn("is_new", when(col("prev").isNull || col("tsu") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("tsu").as("session_start"), max("tsu").as("session_end"))
+  }
+
+  /** q26: as-of join — each purchase event matched to the customer's latest
+    * order at-or-before the event time (ties on date -> max orderkey).
+    *
+    * Spark-first formulation: ONE shuffle. Union both sides tagged with a
+    * kind bit, sort within key by (time, kind, orderkey), and carry the most
+    * recent order forward with `last(ignoreNulls)`. No per-row probe, no
+    * O(n*m) key blowup — this survives 100 TB because it is just a
+    * sort-merge pass per key.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey").as("k"),
+        // o_orderdate arrives as TIMESTAMP_NTZ; with a UTC session the cast
+        // to TIMESTAMP is an identity re-tag, matching DuckDB's naive epoch_us.
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(0).as("kind"),
+        col("o_orderkey").as("ord_key"),
+        lit(null).cast("long").as("event_id"),
+      )
+    val ev = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("tsu").as("t"), lit(1).as("kind"), lit(null).cast("long").as("ord_key"), col("event_id"))
+    val w = Window
+      .partitionBy("k")
+      .orderBy(col("t"), col("kind"), col("ord_key").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord
+      .unionByName(ev)
+      .withColumn("asof_orderkey", last("ord_key", ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("asof_orderkey"))
+  }
+
+  /** q27: changefeed compaction — net effect per key (first/last/delta). */
+  def feedCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val asc  = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    val desc = Window.partitionBy("user_id").orderBy(col("tsu").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_changes"),
+        round(sum(when(col("rn_a") === 1, col("value"))), 2).as("first_value"),
+        round(sum(when(col("rn_d") === 1, col("value"))), 2).as("last_value"),
+        round(
+          sum(when(col("rn_d") === 1, col("value"))) - sum(when(col("rn_a") === 1, col("value"))),
+          2).as("net_delta"),
+      )
+  }
+
+  /** q28: funnel — purchases strictly after the user's first signup. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min("tsu").as("signup_ts"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tsu").as("p_ts"), col("event_id").as("p_event"))
+    signups
+      .join(purchases, col("p_user") === col("user_id") && col("p_ts") > col("signup_ts"), "left")
+      .groupBy("user_id", "signup_ts")
+      .agg(count(col("p_event")).as("purchases_after"))
+  }
+
+  /** q29: JSON payload extraction from the change record. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** q30: time-bucketed top-K contributors (rank on the rounded total so the
+    * oracle ranks identically).
+    */
+  def hourlyTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("user_id"))
+      .agg(round(sum("value"), 2).as("total"))
+    val w = Window.partitionBy("hour_start").orderBy(col("total").desc, col("user_id"))
+    hourly.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+  }
+}
