@@ -45,6 +45,20 @@ object SparkEntry {
     "q28_funnel"                -> ((s, d) => Temporal.funnel(GraftSession.tune(s), d)),
     "q29_json_props"            -> ((s, d) => Temporal.jsonProps(GraftSession.tune(s), d)),
     "q30_hourly_top_users"      -> ((s, d) => Temporal.hourlyTopUsers(GraftSession.tune(s), d)),
+    // §2.4 LLM-data-pipeline operators
+    "d01_dedup_exact"           -> ((s, d) => Dedup.exact(GraftSession.tune(s), d)),
+    "d02_dedup_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(GraftSession.tune(s), d)),
+    "d03_dedup_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(GraftSession.tune(s), d)),
+    "d04_dedup_simhash"         -> ((s, d) => Dedup.simhash(GraftSession.tune(s), d)),
+    "d05_dedup_embedding"       -> ((s, d) => Dedup.embeddingNearDup(GraftSession.tune(s), d)),
+    "s01_ann_bruteforce"        -> ((s, d) => Similarity.annBruteForce(GraftSession.tune(s), d)),
+    "s02_ann_lsh"               -> ((s, d) => Similarity.annLsh(GraftSession.tune(s), d)),
+    "s03_embedding_stats"       -> ((s, d) => Similarity.embeddingStats(GraftSession.tune(s), d)),
+    "t01_langid"                -> ((s, d) => TextAnalysis.langId(GraftSession.tune(s), d)),
+    "t02_quality"               -> ((s, d) => TextAnalysis.quality(GraftSession.tune(s), d)),
+    "t03_tokens"                -> ((s, d) => TextAnalysis.tokens(GraftSession.tune(s), d)),
+    "t04_fingerprint"           -> ((s, d) => TextAnalysis.fingerprint(GraftSession.tune(s), d)),
+    "m01_multimodal_pipeline"   -> ((s, d) => Multimodal.pipeline(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -231,5 +245,39 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY hour_start
         |  ORDER BY total DESC, user_id) AS rn FROM h)
         |SELECT hour_start, user_id, total, rn FROM r WHERE rn <= 3""".stripMargin,
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        | min(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "s03_embedding_stats" ->
+      """SELECT label, count(*) AS n,
+        | round(avg(sqrt(list_aggregate(
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))), 4) AS avg_norm,
+        | round(avg(len(embedding)), 4) AS avg_dim
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "t02_quality" ->
+      """SELECT doc_id,
+        | round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |   / length(text), 4) AS alpha_ratio,
+        | round(CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |   / length(text), 4) AS space_ratio,
+        | round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_word_len,
+        | length(text) AS len_chars
+        |FROM documents""".stripMargin,
+    "t03_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "t04_fingerprint" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN len(words) >= 5 THEN list_aggregate(
+        |   list_transform(range(1, len(words) - 3),
+        |     i -> md5(array_to_string(words[i:i+4], ' '))), 'min')
+        | END AS fingerprint
+        |FROM w""".stripMargin,
   )
 }

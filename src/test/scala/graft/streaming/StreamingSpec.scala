@@ -1,0 +1,168 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** True-streaming specs (SURVEY.md §2.3) — MemoryStream in, memory/parquet
+  * sink out, processAllAvailable between asserts.
+  */
+class StreamingSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(new java.io.File("target/streaming-tmp").toPath.toAbsolutePath.tap(p =>
+      Files.createDirectories(p)), prefix).toString
+
+  implicit class Tap[A](a: A) { def tap(f: A => Unit): A = { f(a); a } }
+
+  test("#32 CDC materialization: upsert + stale-drop + delete tombstone") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val q = CdcMaterializer
+      .materialize(input.toDS())
+      .writeStream.format("memory").queryName("cdc_state").outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("cdc")).start()
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("v" -> "a")),
+        Change("update", 1L, ts(10), Map("v" -> "b")),
+        Change("insert", 2L, ts(5), Map("v" -> "x")),
+      )
+      q.processAllAvailable()
+      // out-of-order stale update for key 1 must be ignored; delete key 2
+      input.addData(
+        Change("update", 1L, ts(3), Map("v" -> "STALE")),
+        Change("delete", 2L, ts(20), Map.empty),
+      )
+      q.processAllAvailable()
+      val state = spark.table("cdc_state").collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Map[String, String]]("payload"), r.getAs[Boolean]("deleted")))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last }
+      assert(state(1L)._2 == Map("v" -> "b") && !state(1L)._3, "stale update must not win")
+      assert(state(2L)._3, "key 2 must be a tombstone")
+    } finally q.stop()
+  }
+
+  test("#33 watermarked tumbling aggregate finalizes closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = WindowedAggs.tumbling(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("tum")).start()
+    try {
+      // base ts is 22:13:20 UTC, so the first hour-aligned window is
+      // [22:00, 23:00): keep all three events inside it (offsets < 47 min)
+      input.addData((ts(0), "click", 1.0), (ts(30), "click", 2.0), (ts(45), "view", 3.0))
+      q.processAllAvailable()
+      // advance event time past window end + watermark -> that window closes
+      input.addData((ts(75), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+      assert(rows.exists(r => r.getAs[String]("event_type") == "click" && r.getAs[Long]("n") == 2
+        && r.getAs[Double]("total") == 3.0))
+      assert(rows.exists(r => r.getAs[String]("event_type") == "view" && r.getAs[Long]("n") == 1))
+    } finally q.stop()
+  }
+
+  test("#34 session windows merge activity within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val q = WindowedAggs.sessions(df, gap = "30 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("sess")).start()
+    try {
+      // user 7: events at 0,20,40 chain into one session; 120 starts another
+      input.addData((ts(0), 7L, 1.0), (ts(20), 7L, 1.0), (ts(40), 7L, 1.0), (ts(120), 7L, 1.0))
+      q.processAllAvailable()
+      input.addData((ts(300), 7L, 0.0)) // push watermark far ahead to close all
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").collect().filter(_.getAs[Long]("n_events") > 0)
+      val chained = sessions.find(_.getAs[Long]("n_events") == 3)
+      assert(chained.isDefined, s"expected a merged 3-event session, got ${sessions.mkString(";")}")
+    } finally q.stop()
+  }
+
+  test("#35 streaming dedup drops replayed ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val df = input.toDF().toDF("event_id", "ts")
+    val q = WindowedAggs.dedup(df)
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("dd")).start()
+    try {
+      input.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2)))
+      q.processAllAvailable()
+      input.addData((2L, ts(3)), (3L, ts(4)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("#36 stream-static dimension join enriches the feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((7L, "GOLD"), (8L, "SILVER")).toDF("user_id", "tier")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val q = df.join(broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("dim")).start()
+    try {
+      input.addData((ts(0), 7L, 1.0), (ts(1), 9L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 7L && r.getAs[String]("tier") == "GOLD"))
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 9L && r.getAs[String]("tier") == null))
+    } finally q.stop()
+  }
+
+  test("#37 foreachBatch changefeed sink emits upsert/delete deltas") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val feedDir = tmp("feedout")
+    val input = MemoryStream[Change]
+    val states = CdcMaterializer.materialize(input.toDS()).toDF()
+    val q = FeedSink.writeChangefeed(states, feedDir, tmp("feedck")).start()
+    try {
+      input.addData(Change("insert", 1L, ts(0), Map("v" -> "a")))
+      q.processAllAvailable()
+      input.addData(Change("delete", 1L, ts(10), Map.empty))
+      q.processAllAvailable()
+      val feed = spark.read.parquet(feedDir).orderBy("batch_id").collect()
+      assert(feed.map(_.getAs[String]("op")).toSeq == Seq("upsert", "delete"))
+    } finally q.stop()
+  }
+
+  test("#31 changefeed file source reads Change records as a stream") {
+    import spark.implicits._
+    val srcDir = tmp("feedsrc")
+    Seq(
+      """{"op":"insert","key":1,"ts":"2024-01-01T00:00:00.000Z","payload":{"v":"a"}}""",
+      """{"op":"update","key":1,"ts":"2024-01-01T00:01:00.000Z","payload":{"v":"b"}}""",
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(srcDir)
+    val q = ChangeFeed.readJsonDir(spark, srcDir)
+      .writeStream.format("memory").queryName("feedsrc").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("feedsrcck")).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("feedsrc").collect()
+      assert(rows.length == 2)
+      assert(rows.forall(_.getAs[Long]("key") == 1L))
+    } finally q.stop()
+  }
+}
