@@ -10,11 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    GraftSession.tune(spark)
+    // Warm up IO + codegen so the first timed query isn't charged for
+    // session bring-up. toRdd forces actual column decode — a bare count()
+    // reads only parquet metadata and warms nothing.
+    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+      try graft.sources.Tables.table(spark, sfDir, t).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      // toRdd forces full evaluation of every output column; a plain
+      // count() would let Catalyst prune projection-only work and
+      // under-report expression-heavy queries.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -20,7 +20,14 @@ object TextFunctions {
       array_distinct(transform(sequence(lit(0), length(text) - n), i => text.substr(i + 1, lit(n)))),
     ).otherwise(array().cast("array<string>"))
 
-  /** Space-joined word k-shingles; empty array when fewer than k words. */
+  /** Space-joined word k-shingles; empty array when fewer than k words.
+    *
+    * CAUTION: the inner lambda references `words` (a regex split of the
+    * whole document), which interpreted HOF eval re-computes once per
+    * shingle position — O(L^2) per row. Fine for short strings or one-off
+    * use; for corpus-scale shingling use
+    * [[graft.operators.Shingles.shingleRows]] instead.
+    */
   def wordShingles(text: Column, k: Int): Column = {
     val w = words(text)
     when(
@@ -29,7 +36,7 @@ object TextFunctions {
     ).otherwise(array().cast("array<string>"))
   }
 
-  /** Exact Jaccard similarity of two pre-deduplicated string arrays. */
+  /** Exact Jaccard similarity of two pre-deduplicated arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val common = size(array_intersect(a, b))
     common.cast("double") / (size(a) + size(b) - common)

@@ -29,17 +29,36 @@ object Dedup {
       .documents(spark, dir)
       .select(col("doc_id"), col("n_chars"), charNgrams(col("text"), n).as("grams"))
 
-  /** d02: exact character-3-gram Jaccard near-dup, candidates bounded to a
-    * length band (Jaccard >= t implies a bounded length ratio, so same-band
-    * comparison loses nothing at t=0.5 with 25-char bands).
+  /** d02: exact word-3-gram Jaccard near-dup with inverted-index candidate
+    * generation: a pair can only have J > 0 if it shares a shingle, so
+    * joining the gram -> doc posting lists is a LOSSLESS candidate filter.
+    * Posting lists longer than `maxDf` docs are dropped from candidate
+    * generation (not from the verify): a J >= 0.5 pair here shares ~45+
+    * shingles, so missing it would need every shared shingle to be corpus-
+    * common — vanishingly unlikely, and the cap is what bounds the join at
+    * 100 TB (sum of df^2 over rare grams, never n^2).
     */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = withGrams(spark, dir, 3).withColumn("band", (col("n_chars") / 25).cast("int"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"), col("band"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"), col("band"))
-    a.join(b, Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("grams_a"), col("grams_b")))
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    val docs  = Shingles.hashedShingleSets(Tables.documents(spark, dir), 3)
+    val sizes = docs.select(col("doc_id"), size(col("grams")).as("n"))
+    val postings = docs
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("df") <= maxDf)
+    // |A intersect B| falls straight out of the posting-list join: count the
+    // co-occurring grams per pair. Exact whenever maxDf >= the corpus max
+    // df (true here: max df 25); with a binding cap it undercounts by the
+    // capped grams only — the price of bounding the join at corpus scale.
+    val overlap = postings
+      .as("x")
+      .join(postings.as("y"), Seq("g"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    overlap
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -48,17 +67,20 @@ object Dedup {
   private def minhashSig(grams: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), j => array_min(transform(grams, g => hash(g, j))))
 
-  /** d03: MinHash + LSH — shingle -> 16-hash signature -> 4 bands of 4 ->
-    * band-bucket join for candidates -> exact Jaccard verification. The
-    * band-bucket join is the only shuffle that touches pairs, and its size
-    * is bounded by collisions, not by n^2.
+  /** d03: MinHash + LSH — word-5-shingle -> 16-hash signature -> 8 bands
+    * of 2 -> band-bucket join for candidates -> exact Jaccard verification.
+    * Word shingles (not char grams) keep the background similarity of this
+    * vocab-limited corpus near zero, so band buckets stay tiny; 8x2 banding
+    * catches a 0.5-Jaccard pair with ~90% probability and a 0.9 pair with
+    * ~1. The band-bucket join is the only shuffle that touches pairs — its
+    * size is bounded by collisions, not n^2.
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val numHashes = 16
-    val bands     = 4
+    val bands     = 8
     val rowsPer   = numHashes / bands
-    val docs = withGrams(spark, dir, 4)
-      .filter(size(col("grams")) > 0)
+    val docs = Shingles
+      .hashedShingleSets(Tables.documents(spark, dir), 5)
       .withColumn("sig", minhashSig(col("grams"), numHashes))
       .withColumn(
         "bands",
@@ -121,12 +143,17 @@ object Dedup {
     * ~0.1% most-similar pairs.
     */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.25): DataFrame = {
-    val bucketed = Similarity.withHyperplaneBucket(Tables.embeddings(spark, dir))
-    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
+    import graft.functions.VectorFunctions.{dot, l2Norm}
+    // Norms computed once per vector, not once per pair (a pairwise
+    // cosine() would evaluate three dot products per candidate).
+    val bucketed = Similarity
+      .withHyperplaneBucket(Tables.embeddings(spark, dir))
+      .withColumn("norm", l2Norm(col("embedding")))
+    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
   }

@@ -42,14 +42,15 @@ object Similarity {
     * everywhere.
     */
   def annBruteForce(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val q   = broadcast(queriesOf(emb).select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val w   = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
+    val emb = Tables.embeddings(spark, dir).withColumn("norm", l2Norm(col("embedding")))
+    val q = broadcast(
+      queriesOf(emb).select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
     emb
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("norm").as("n_norm"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim6", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("sim6", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("cosine"), col("rn"))
@@ -61,15 +62,15 @@ object Similarity {
     * union of neighboring buckets, documented not implemented).
     */
   def annLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val bucketed = withHyperplaneBucket(Tables.embeddings(spark, dir))
-    val q = broadcast(
-      queriesOf(bucketed).select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket")))
+    val bucketed = withHyperplaneBucket(Tables.embeddings(spark, dir)).withColumn("norm", l2Norm(col("embedding")))
+    val q = broadcast(queriesOf(bucketed)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"), col("bucket")))
     val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
     bucketed
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("bucket"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("norm").as("n_norm"), col("bucket"))
       .join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim6", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("sim6", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("cosine"), col("rn"))

@@ -72,15 +72,13 @@ object TextAnalysis {
 
   /** t04: document fingerprint — the lexicographic minimum of md5 over all
     * word 5-shingles (a 1-permutation MinHash; robust to reordering edits).
-    * Oracle-checked: md5 hex is engine-independent.
+    * Oracle-checked: md5 hex is engine-independent. Shingling goes through
+    * the explode-and-window path ([[Shingles]]); docs with fewer than 5
+    * words keep a null fingerprint via the left join.
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val shingles = wordShingles(col("text"), 5)
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
-      .select(
-        col("doc_id"),
-        when(size(shingles) > 0, array_min(transform(shingles, s => md5(s)))).as("fingerprint"),
-      )
-  }
+      .select(col("doc_id"))
+      .join(Shingles.md5MinFingerprint(Tables.documents(spark, dir), 5), Seq("doc_id"), "left")
 }

@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
 object Tables {
   private def path(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Generic loader (events routed through the ns-timestamp fix-up). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else spark.read.parquet(path(dir, name))
+
   def region(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(path(dir, "region"))
   def nation(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(path(dir, "nation"))
   def customer(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(path(dir, "customer"))
