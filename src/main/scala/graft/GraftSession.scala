@@ -36,12 +36,28 @@ object GraftSession {
     tuning.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
     spark
   }
 
   /** Apply graft tuning to an externally created session (driver mains). */
   def tune(spark: SparkSession): SparkSession = {
     tuning.foreach { case (k, v) => spark.conf.set(k, v) }
+    registerFunctions(spark)
     spark
+  }
+
+  /** Register graft's native Catalyst expressions (idempotent). Done at
+    * runtime rather than via SparkSessionExtensions so externally built
+    * sessions (the driver's Verify/Bench mains) get them too.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.plans.DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => graft.plans.DotProduct(children(0), children(1)),
+    )
   }
 }

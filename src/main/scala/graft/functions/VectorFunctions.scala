@@ -3,14 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector primitives over `array<float>` columns, built from
-  * `zip_with`/`aggregate` higher-order functions. Elements are widened to
-  * double BEFORE multiplication so the arithmetic is identical to any
-  * double-precision oracle.
+/** Embedding-vector primitives over `array<float>` columns.
+  *
+  * `dot` resolves to the native codegen'd [[graft.plans.DotProduct]]
+  * expression (registered by [[graft.GraftSession.registerFunctions]]);
+  * `hofDot` keeps the composable `zip_with`/`aggregate` formulation as the
+  * bit-identical reference (elements widened to double before multiplying,
+  * summed in index order — both match a double-precision SQL oracle).
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def hofDot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -63,40 +63,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signature: for seed j, min over grams of murmur3(gram, j). */
-  private def minhashSig(grams: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), j => array_min(transform(grams, g => hash(g, j))))
-
   /** d03: MinHash + LSH — word-5-shingle -> 16-hash signature -> 8 bands
     * of 2 -> band-bucket join for candidates -> exact Jaccard verification.
-    * Word shingles (not char grams) keep the background similarity of this
-    * vocab-limited corpus near zero, so band buckets stay tiny; 8x2 banding
-    * catches a 0.5-Jaccard pair with ~90% probability and a 0.9 pair with
-    * ~1. The band-bucket join is the only shuffle that touches pairs — its
-    * size is bounded by collisions, not n^2.
+    *
+    * Everything is flat codegen aggregates over the (doc_id, shingle-hash)
+    * rows: the 16 minhashes are 16 `min(hash(g, j))` columns (no arrays,
+    * no interpreted lambdas), band keys hash adjacent signature pairs, and
+    * the exact verify reuses the d02 posting-overlap count restricted to
+    * LSH candidates. Word shingles (not char grams) keep the background
+    * similarity of this vocab-limited corpus near zero so band buckets
+    * stay tiny; 8x2 banding catches a 0.5-Jaccard pair with ~90%
+    * probability and a 0.9 pair with ~1. At 100 TB the posting join is
+    * first semi-joined down to candidate docs.
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val numHashes = 16
-    val bands     = 8
-    val rowsPer   = numHashes / bands
-    val docs = Shingles
-      .hashedShingleSets(Tables.documents(spark, dir), 5)
-      .withColumn("sig", minhashSig(col("grams"), numHashes))
-      .withColumn(
-        "bands",
-        transform(sequence(lit(0), lit(bands - 1)), b => hash(slice(col("sig"), b * lit(rowsPer) + 1, lit(rowsPer)))))
-    val buckets = docs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val postings = Shingles
+      .shingleRows(Tables.documents(spark, dir), 5)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      .distinct()
+    val minAggs = (0 until numHashes).map(j => min(hash(col("g"), lit(j))).as(s"m$j"))
+    val sigs    = postings.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until numHashes / 2).map(b => hash(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+    val buckets = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
     val cands = buckets
       .as("x")
       .join(buckets.as("y"), Seq("band_idx", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val grams = docs.select(col("doc_id"), col("grams"))
+    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val overlap = postings
+      .as("x")
+      .join(postings.as("y"), Seq("g"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
     cands
-      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
-      .withColumn("jaccard", jaccard(col("grams_a"), col("grams_b")))
+      .join(overlap, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

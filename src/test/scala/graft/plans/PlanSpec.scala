@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import graft.operators.{Relational, Similarity}
+
+/** Plan-shape regression tests: the optimizations we rely on at 100 TB must
+  * be visible in the physical plan, not assumed.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: filter and projection reach the parquet scan") {
+    val p = plan(Relational.filterProject(spark, sf))
+    // pushdown list is truncated in toString; the shipdate bound is visible
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), s"no pushdown in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate filter not pushed:\n$p")
+    // column pruning: the scan must not read unused columns like l_tax
+    assert(!p.contains("l_tax"), s"scan reads pruned column:\n$p")
+  }
+
+  test("q05: all dimension joins broadcast — no shuffle join on the star") {
+    val p = plan(Relational.localSupplierVolume(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("s01: cross join executes as broadcast nested loop, queries on the small side") {
+    val p = plan(Similarity.annBruteForce(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"brute-force ANN not broadcasting the query side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian product:\n$p")
+  }
+
+  test("native graft_dot is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    val df = graft.sources.Tables
+      .embeddings(spark, sf)
+      .limit(100)
+      .select(
+        VectorFunctions.dot(col("embedding"), col("embedding")).as("native"),
+        VectorFunctions.hofDot(col("embedding"), col("embedding")).as("hof"),
+      )
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(
+        java.lang.Double.doubleToLongBits(r.getDouble(0)) == java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("graft_dot stays inside whole-stage codegen") {
+    val df = graft.sources.Tables
+      .embeddings(spark, sf)
+      .select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+    val p = plan(df)
+    // '*(n)' prefixes mark whole-stage-codegen stages in executedPlan.toString
+    assert(p.contains("*(1) Project [graft_dot"), s"graft_dot not in a codegen stage:\n$p")
+  }
+}
