@@ -45,6 +45,11 @@ object SparkEntry {
     "q28_funnel"                -> ((s, d) => Temporal.funnel(GraftSession.tune(s), d)),
     "q29_json_props"            -> ((s, d) => Temporal.jsonProps(GraftSession.tune(s), d)),
     "q30_hourly_top_users"      -> ((s, d) => Temporal.hourlyTopUsers(GraftSession.tune(s), d)),
+    "q31_cube_revenue"          -> ((s, d) => Relational.cubeRevenue(GraftSession.tune(s), d)),
+    "q32_ntile_percent_rank"    -> ((s, d) => Relational.ntilePercentRank(GraftSession.tune(s), d)),
+    "q33_trailing_revenue"      -> ((s, d) => Relational.trailingRevenue(GraftSession.tune(s), d)),
+    "q34_status_listagg"        -> ((s, d) => Relational.statusListAgg(GraftSession.tune(s), d)),
+    "q35_big_spenders"          -> ((s, d) => Relational.bigSpenders(GraftSession.tune(s), d)),
     // §2.4 LLM-data-pipeline operators
     "d01_dedup_exact"           -> ((s, d) => Dedup.exact(GraftSession.tune(s), d)),
     "d02_dedup_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(GraftSession.tune(s), d)),
@@ -245,6 +250,30 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY hour_start
         |  ORDER BY total DESC, user_id) AS rn FROM h)
         |SELECT hour_start, user_id, total, rn FROM r WHERE rn <= 3""".stripMargin,
+    "q31_cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS rev,
+        | count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q32_ntile_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pr
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "q33_trailing_revenue" ->
+      """SELECT o_orderkey, round(sum(o_totalprice) OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+        |FROM orders""".stripMargin,
+    "q34_status_listagg" ->
+      """SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q35_big_spenders" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal, round(t.total, 2) AS total
+        |FROM customer JOIN (SELECT o_custkey, sum(o_totalprice) AS total
+        |  FROM orders GROUP BY o_custkey) t ON t.o_custkey = c_custkey
+        |WHERE t.total > 10 * c_acctbal""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper

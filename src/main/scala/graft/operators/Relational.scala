@@ -244,4 +244,62 @@ object Relational {
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
       )
+
+  /** q31: CUBE grouping sets. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_extendedprice"), 2).as("rev"), count(lit(1)).as("n"))
+
+  /** q32: ntile + percent_rank window functions (rank fractions are exact
+    * rationals, identical across engines).
+    */
+  def ntilePercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+      )
+  }
+
+  /** q33: RANGE-frame window — trailing-30-day revenue per customer. The
+    * frame is keyed on integer day numbers so both engines bound it
+    * identically.
+    */
+  def trailingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, Window.currentRow)
+    Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), round(sum("o_totalprice").over(w), 2).as("rev_30d"))
+  }
+
+  /** q34: ordered string aggregation (listagg) — sorted so the
+    * nondeterministic collect order can't leak into the result.
+    */
+  def statusListAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(array_join(array_sort(collect_list("o_orderstatus")), ",").as("statuses"))
+
+  /** q35: join against a derived aggregate with a cross-table predicate —
+    * customers whose lifetime spend exceeds 10x their account balance.
+    */
+  def bigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum("o_totalprice").as("total"))
+    Tables
+      .customer(spark, dir)
+      .join(totals, col("o_custkey") === col("c_custkey"))
+      .filter(col("total") > col("c_acctbal") * 10)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"), round(col("total"), 2).as("total"))
+  }
 }

@@ -148,6 +148,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#38 stream-stream interval join attributes purchases to signups") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val signups   = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamJoins.purchaseAttribution(
+      signups.toDF().toDF("s_user", "s_ts"),
+      purchases.toDF().toDF("p_user", "p_ts", "p_value"),
+      horizon = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attrib").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ssj")).start()
+    try {
+      signups.addData((7L, ts(0)), (8L, ts(0)))
+      // user 7 purchases inside the horizon, user 8 outside it
+      purchases.addData((7L, ts(30), 9.99), (8L, ts(90), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.map(_.getAs[Long]("s_user")).toSeq == Seq(7L))
+      assert(rows.head.getAs[Double]("p_value") == 9.99)
+    } finally q.stop()
+  }
+
   test("#31 changefeed file source reads Change records as a stream") {
     import spark.implicits._
     val srcDir = tmp("feedsrc")
