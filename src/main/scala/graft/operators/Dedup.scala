@@ -108,28 +108,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** d04: SimHash — 64-bit signature from signed bit-votes of gram hashes;
-    * candidates share at least one of 4 16-bit chunks (exact for hamming
-    * distance <= 3 by pigeonhole), verified by true hamming distance.
-    * The bit-votes are 64 plain aggregate columns over the exploded grams,
-    * so the heavy part is one codegen'd partial-aggregated groupBy.
+  /** d04: SimHash — a packed 64-bit fingerprint from signed bit-votes of
+    * word-4-shingle hashes. Candidates must share one of the fingerprint's
+    * four 16-bit chunks — EXACT for hamming distance <= 3 by pigeonhole —
+    * and are verified with `bit_count(fp_a XOR fp_b)`. Every stage is flat
+    * codegen (64 vote aggregates, integer bit ops, no arrays); background
+    * chunk collisions are ~n^2/2^16 because word-shingle fingerprints of
+    * unrelated docs are near-random on this corpus.
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val gramRows = withGrams(spark, dir, 4)
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .withColumn("h", xxhash64(col("gram")))
+    val rows = Shingles
+      .shingleRows(Tables.documents(spark, dir), 4)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      .distinct()
     val votes: Seq[Column] =
-      (0 until 64).map(b => sum(when((shiftright(col("h"), b) % 2 =!= 0), 1).otherwise(-1)).as(s"b$b"))
-    val sigs = gramRows
-      .groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(
-        col("doc_id"),
-        array((0 until 64).map(b => when(col(s"b$b") > 0, 1).otherwise(0)): _*).as("sig"))
-      .withColumn(
-        "chunks",
-        transform(sequence(lit(0), lit(3)), c => hash(slice(col("sig"), c * lit(16) + 1, lit(16)))))
-    val buckets = sigs.select(col("doc_id"), col("sig"), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_key")))
+      (0 until 64).map(b => sum(when(shiftright(col("g"), b) % 2 =!= 0, 1).otherwise(-1)).as(s"b$b"))
+    val fp = (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val sigs = rows.groupBy("doc_id").agg(votes.head, votes.tail: _*).select(col("doc_id"), fp.as("fp"))
+    val chunkCols = (0 until 4).map(c => shiftright(col("fp"), 16 * c).bitwiseAND(lit(0xffffL)))
+    val buckets =
+      sigs.select(col("doc_id"), col("fp"), posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk_key")))
     buckets
       .as("x")
       .join(buckets.as("y"), Seq("chunk_idx", "chunk_key"))
@@ -137,7 +135,7 @@ object Dedup {
       .select(
         col("x.doc_id").as("doc_a"),
         col("y.doc_id").as("doc_b"),
-        size(filter(zip_with(col("x.sig"), col("y.sig"), (p, q) => p =!= q), v => v)).as("hamming"))
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
