@@ -278,6 +278,38 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "s01_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * e.embedding[i]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |  6) AS sim6
+        | FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim6, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
+        |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5""".stripMargin,
+    "t01_langid" ->
+      """WITH w AS (SELECT doc_id, lang AS declared_lang,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents),
+        |s AS (SELECT doc_id, declared_lang,
+        |  len(list_filter(words, x -> x IN ('der','die','und','das','ist','ein'))) AS score_de,
+        |  len(list_filter(words, x -> x IN ('the','a','of','and','to','is'))) AS score_en,
+        |  len(list_filter(words, x -> x IN ('el','la','de','que','y','los'))) AS score_es,
+        |  len(list_filter(words, x -> x IN ('le','la','de','et','les','un'))) AS score_fr
+        | FROM w)
+        |SELECT doc_id, declared_lang,
+        | CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr) AND score_de > 0 THEN 'de'
+        |      WHEN score_en = greatest(score_de, score_en, score_es, score_fr) AND score_en > 0 THEN 'en'
+        |      WHEN score_es = greatest(score_de, score_en, score_es, score_fr) AND score_es > 0 THEN 'es'
+        |      WHEN score_fr = greatest(score_de, score_en, score_es, score_fr) AND score_fr > 0 THEN 'fr'
+        |      ELSE 'und' END AS pred_lang,
+        | score_de, score_en, score_es, score_fr
+        |FROM s""".stripMargin,
     "s03_embedding_stats" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_aggregate(
