@@ -21,15 +21,19 @@ import org.apache.spark.sql.functions._
 object Shingles {
 
   /** One row per (doc_id, k-shingle). Docs with fewer than k words emit
-    * nothing.
+    * nothing. Shingles are assembled from k-1 `lead()` columns — scalar
+    * window reads, no per-row array allocation (a collect_list frame
+    * builds and copies an array per word).
     */
   def shingleRows(docs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, k - 1)
+    val w     = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until k).map(i => lead("word", i).over(w).as(s"w$i"))
+    val parts = col("word") +: (1 until k).map(i => col(s"w$i"))
     docs
       .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
-      .withColumn("sw", collect_list("word").over(w))
-      .filter(size(col("sw")) === k)
-      .select(col("doc_id"), concat_ws(" ", col("sw")).as("shingle"))
+      .select(col("doc_id") +: col("word") +: leads: _*)
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
   }
 
   /** Distinct 64-bit-hashed k-shingle set per doc: (doc_id, grams). */

@@ -21,6 +21,18 @@ class SourcesSpec extends SparkSpec {
     d.toString
   }
 
+  test("#58 SQL surface: views + native functions reachable from spark.sql") {
+    Catalog.registerAll(spark, sf)
+    val joined = spark
+      .sql("SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .collect()(0).getAs[Long]("n")
+    assert(joined > 0)
+    val d = spark
+      .sql("SELECT graft_dot(embedding, embedding) AS d FROM embeddings LIMIT 1")
+      .collect()(0).getAs[Double]("d")
+    assert(d > 0)
+  }
+
   test("#56 JSON round-trip preserves rows and schema") {
     val dir = tmp("json")
     val ev  = Tables.events(spark, sf).select("event_id", "ts", "user_id", "event_type", "value")
