@@ -12,19 +12,31 @@ import org.apache.spark.sql.functions._
 object Tables {
   private def path(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Analyzed-plan memo: every `spark.read.parquet` re-lists the path and
+    * rebuilds an InMemoryFileIndex; reusing the DataFrame (an immutable
+    * plan) across an engine session's queries amortizes that to once per
+    * table. Keyed by session so concurrent sessions don't share plans.
+    */
+  private val cache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+
+  private def cached(spark: SparkSession, dir: String, name: String)(load: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((spark, dir, name), load)
+
   /** Generic loader (events routed through the ns-timestamp fix-up). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir) else spark.read.parquet(path(dir, name))
+    if (name == "events") events(spark, dir)
+    else cached(spark, dir, name)(spark.read.parquet(path(dir, name)))
 
-  def region(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(path(dir, "region"))
-  def nation(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(path(dir, "nation"))
-  def customer(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(path(dir, "customer"))
-  def supplier(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(path(dir, "supplier"))
-  def part(spark: SparkSession, dir: String): DataFrame     = spark.read.parquet(path(dir, "part"))
-  def orders(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(path(dir, "orders"))
-  def lineitem(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(path(dir, "lineitem"))
-  def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(path(dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(path(dir, "embeddings"))
+  def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * refuses to read natively (PARQUET_TYPE_ILLEGAL). With
@@ -34,10 +46,11 @@ object Tables {
     * flip a comparison against a us-aligned (or coarser) timestamp, so all
     * joins/filters against the ms-granularity TPC-H dates stay exact.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(path(dir, "events"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 }

@@ -148,6 +148,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#39 incrementally maintained view emits only touched groups per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val q = IncrementalView
+      .liveTotals(input.toDF())
+      .writeStream.format("memory").queryName("liveview").outputMode(IncrementalView.outputMode)
+      .option("checkpointLocation", tmp("iv")).start()
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("event_type" -> "purchase", "value" -> "10.0")),
+        Change("update", 2L, ts(1), Map("event_type" -> "purchase", "value" -> "5.0")),
+        Change("update", 3L, ts(2), Map("event_type" -> "view", "value" -> "1.0")),
+      )
+      q.processAllAvailable()
+      val afterB1 = spark.table("liveview").collect().length
+      // second batch touches ONLY 'purchase' -> exactly one updated group row
+      input.addData(Change("update", 4L, ts(3), Map("event_type" -> "purchase", "value" -> "2.5")))
+      q.processAllAvailable()
+      val rows = spark.table("liveview").collect()
+      assert(rows.length == afterB1 + 1, s"expected one delta row, got ${rows.length - afterB1}")
+      val latestPurchase = rows.filter(_.getAs[String]("event_type") == "purchase")
+        .maxBy(_.getAs[Long]("n_changes"))
+      assert(latestPurchase.getAs[Long]("n_changes") == 3)
+      assert(latestPurchase.getAs[Double]("total_value") == 17.5)
+    } finally q.stop()
+  }
+
   test("#38 stream-stream interval join attributes purchases to signups") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
