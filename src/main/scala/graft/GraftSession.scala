@@ -59,5 +59,9 @@ object GraftSession {
       new ExpressionInfo(classOf[graft.plans.DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => graft.plans.DotProduct(children(0), children(1)),
     )
+    spark.udf.register(
+      "graft_wavg",
+      org.apache.spark.sql.functions.udaf(new graft.functions.WeightedAvg),
+    )
   }
 }

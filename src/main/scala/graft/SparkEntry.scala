@@ -50,6 +50,9 @@ object SparkEntry {
     "q33_trailing_revenue"      -> ((s, d) => Relational.trailingRevenue(GraftSession.tune(s), d)),
     "q34_status_listagg"        -> ((s, d) => Relational.statusListAgg(GraftSession.tune(s), d)),
     "q35_big_spenders"          -> ((s, d) => Relational.bigSpenders(GraftSession.tune(s), d)),
+    "q36_weighted_avg_discount" -> ((s, d) => Relational.weightedAvgDiscount(GraftSession.tune(s), d)),
+    "q37_price_quantity_corr"   -> ((s, d) => Relational.priceQuantityCorr(GraftSession.tune(s), d)),
+    "q38_decayed_sum"           -> ((s, d) => Temporal.decayedSum(GraftSession.tune(s), d)),
     // §2.4 LLM-data-pipeline operators
     "d01_dedup_exact"           -> ((s, d) => Dedup.exact(GraftSession.tune(s), d)),
     "d02_dedup_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(GraftSession.tune(s), d)),
@@ -274,6 +277,21 @@ object SparkEntry {
         |FROM customer JOIN (SELECT o_custkey, sum(o_totalprice) AS total
         |  FROM orders GROUP BY o_custkey) t ON t.o_custkey = c_custkey
         |WHERE t.total > 10 * c_acctbal""".stripMargin,
+    "q36_weighted_avg_discount" ->
+      """SELECT l_returnflag,
+        | round(sum(l_discount * l_extendedprice) / sum(l_extendedprice), 6) AS wavg_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q37_price_quantity_corr" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q38_decayed_sum" ->
+      """WITH t AS (SELECT user_id, value, epoch_us(ts) AS tsu,
+        |  max(epoch_us(ts)) OVER (PARTITION BY user_id) AS mx FROM events)
+        |SELECT user_id,
+        | round(sum(value * exp(-CAST(mx - tsu AS DOUBLE) / 604800000000.0)), 4) AS decayed
+        |FROM t GROUP BY user_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper

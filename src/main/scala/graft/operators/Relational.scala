@@ -288,6 +288,26 @@ object Relational {
       .groupBy("o_custkey")
       .agg(array_join(array_sort(collect_list("o_orderstatus")), ",").as("statuses"))
 
+  /** q36: typed custom aggregate — revenue-weighted average discount per
+    * return flag via the `graft_wavg` Aggregator (see
+    * [[graft.functions.WeightedAvg]]).
+    */
+  def weightedAvgDiscount(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(round(expr("graft_wavg(l_discount, l_extendedprice)"), 6).as("wavg_disc"))
+
+  /** q37: correlation / covariance aggregates. */
+  def priceQuantityCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("cov_qty_price"),
+      )
+
   /** q35: join against a derived aggregate with a cross-table predicate —
     * customers whose lifetime spend exceeds 10x their account balance.
     */

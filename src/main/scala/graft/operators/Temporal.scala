@@ -145,6 +145,21 @@ object Temporal {
       .events(spark, dir)
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
 
+  /** q38: time-decayed aggregate — per-user value sum with a 7-day
+    * exponential half-life anchored at the user's latest event. The decay
+    * argument is an exact integer ratio on both engines, so libm noise in
+    * exp() is the only divergence (~1 ulp, absorbed by the rounding).
+    */
+  def decayedSum(spark: SparkSession, dir: String): DataFrame = {
+    val tauUs = 7L * 24 * 3600 * 1000 * 1000
+    val mx    = max("tsu").over(Window.partitionBy("user_id"))
+    events(spark, dir)
+      .withColumn("mx", mx)
+      .groupBy("user_id")
+      .agg(round(sum(col("value") * exp(-(col("mx") - col("tsu")).cast("double") / tauUs.toDouble)), 4)
+        .as("decayed"))
+  }
+
   /** q30: time-bucketed top-K contributors (rank on the rounded total so the
     * oracle ranks identically).
     */
