@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Streaming throughput smoke: rate source -> Change records ->
+  * CdcMaterializer -> null sink, reporting rows/s. Not part of the driver
+  * bench contract — run manually:
+  * `sbt "runMain graft.streaming.StreamBench [rowsPerSec] [seconds]"`.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val rowsPerSec = args.headOption.map(_.toInt).getOrElse(200000)
+    val seconds    = args.drop(1).headOption.map(_.toInt).getOrElse(15)
+    val spark      = GraftSession.local(Runtime.getRuntime.availableProcessors())
+    import spark.implicits._
+
+    val changes = spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSec)
+      .load()
+      .select(
+        when(pmod(col("value"), lit(10)) === 0, "delete").otherwise("update").as("op"),
+        pmod(col("value"), lit(100000)).as("key"),
+        col("timestamp").as("ts"),
+        map(lit("value"), col("value").cast("string")).as("payload"),
+      )
+      .as[Change]
+
+    val counter = spark.sparkContext.longAccumulator("processed")
+    val q = CdcMaterializer
+      .materialize(changes)
+      .toDF()
+      .writeStream
+      .outputMode(CdcMaterializer.outputMode)
+      .option("checkpointLocation", s"target/streambench-ck-${System.nanoTime()}")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        counter.add(batch.count())
+      }
+      .start()
+
+    val t0 = System.nanoTime()
+    Thread.sleep(seconds * 1000L)
+    q.stop()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // rows ingested = rate * elapsed (approx); state rows emitted = counter
+    println(f"""{"metric":"cdc_materialize","input_rows_per_sec":$rowsPerSec,"elapsed_sec":$elapsed%.1f,"state_rows_emitted":${counter.value}}""")
+    spark.stop()
+  }
+}
