@@ -53,6 +53,8 @@ object SparkEntry {
     "q36_weighted_avg_discount" -> ((s, d) => Relational.weightedAvgDiscount(GraftSession.tune(s), d)),
     "q37_price_quantity_corr"   -> ((s, d) => Relational.priceQuantityCorr(GraftSession.tune(s), d)),
     "q38_decayed_sum"           -> ((s, d) => Temporal.decayedSum(GraftSession.tune(s), d)),
+    "q39_event_pattern"         -> ((s, d) => Temporal.eventPattern(GraftSession.tune(s), d)),
+    "t05_unigram_logprob"       -> ((s, d) => TextAnalysis.unigramLogprob(GraftSession.tune(s), d)),
     // §2.4 LLM-data-pipeline operators
     "d01_dedup_exact"           -> ((s, d) => Dedup.exact(GraftSession.tune(s), d)),
     "d02_dedup_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(GraftSession.tune(s), d)),
@@ -292,6 +294,21 @@ object SparkEntry {
         |SELECT user_id,
         | round(sum(value * exp(-CAST(mx - tsu AS DOUBLE) / 604800000000.0)), 4) AS decayed
         |FROM t GROUP BY user_id""".stripMargin,
+    "q39_event_pattern" ->
+      """SELECT user_id,
+        | string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS seq,
+        | regexp_matches(string_agg(substr(event_type, 1, 1), ''
+        |   ORDER BY epoch_us(ts), event_id), 's[vc]*p') AS has_funnel
+        |FROM events GROUP BY user_id""".stripMargin,
+    "t05_unigram_logprob" ->
+      """WITH dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, count(*) AS wc FROM dw GROUP BY w),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM dw)
+        |SELECT dw.doc_id, round(avg(log10(f.wc / t.total)), 4) AS avg_logprob,
+        | count(*) AS n_words
+        |FROM dw JOIN f ON dw.w = f.w CROSS JOIN t
+        |GROUP BY dw.doc_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper

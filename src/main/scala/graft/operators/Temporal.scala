@@ -160,6 +160,24 @@ object Temporal {
         .as("decayed"))
   }
 
+  /** q39: event-sequence pattern matching (MATCH_RECOGNIZE-class) — per
+    * user, the time-ordered string of event initials, matched against
+    * signup -> (view|click)* -> purchase. Sequences are assembled by
+    * sorting (ts, event_id, initial) structs so ordering is deterministic
+    * on both engines.
+    */
+  def eventPattern(spark: SparkSession, dir: String): DataFrame = {
+    val seq = concat_ws(
+      "",
+      transform(
+        array_sort(collect_list(struct(col("tsu"), col("event_id"), substring(col("event_type"), 1, 1).as("c")))),
+        x => x.getField("c")))
+    events(spark, dir)
+      .groupBy("user_id")
+      .agg(seq.as("seq"))
+      .select(col("user_id"), col("seq"), col("seq").rlike("s[vc]*p").as("has_funnel"))
+  }
+
   /** q30: time-bucketed top-K contributors (rank on the rounded total so the
     * oracle ranks identically).
     */

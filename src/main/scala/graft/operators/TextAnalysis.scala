@@ -70,6 +70,25 @@ object TextAnalysis {
           .as("bpe_tokens"),
       )
 
+  /** t05: unigram log-probability quality score — average log10 corpus
+    * frequency of the document's words (low = rare/garbled text). Two
+    * passes over the exploded words: corpus frequencies, then a broadcast
+    * join back. Counts are exact integers, so the only FP is the final
+    * log/divide — identical operands on both engines.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docWords = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("w"))
+    val totals = docWords.agg(count(lit(1)).cast("double").as("total"))
+    val freqs  = docWords.groupBy("w").agg(count(lit(1)).as("wc"))
+    docWords
+      .join(broadcast(freqs), Seq("w"))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(round(avg(log10(col("wc") / col("total"))), 4).as("avg_logprob"), count(lit(1)).as("n_words"))
+  }
+
   /** t04: document fingerprint — the lexicographic minimum of md5 over all
     * word 5-shingles (a 1-permutation MinHash; robust to reordering edits).
     * Oracle-checked: md5 hex is engine-independent. Shingling goes through
