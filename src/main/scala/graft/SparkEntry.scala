@@ -64,6 +64,7 @@ object SparkEntry {
     "s01_ann_bruteforce"        -> ((s, d) => Similarity.annBruteForce(GraftSession.tune(s), d)),
     "s02_ann_lsh"               -> ((s, d) => Similarity.annLsh(GraftSession.tune(s), d)),
     "s03_embedding_stats"       -> ((s, d) => Similarity.embeddingStats(GraftSession.tune(s), d)),
+    "s04_ann_ivf"               -> ((s, d) => Similarity.annIvf(GraftSession.tune(s), d)),
     "t01_langid"                -> ((s, d) => TextAnalysis.langId(GraftSession.tune(s), d)),
     "t02_quality"               -> ((s, d) => TextAnalysis.quality(GraftSession.tune(s), d)),
     "t03_tokens"                -> ((s, d) => TextAnalysis.tokens(GraftSession.tune(s), d)),

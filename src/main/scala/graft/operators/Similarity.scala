@@ -76,6 +76,60 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("cosine"), col("rn"))
   }
 
+  /** IVF coarse quantizer: deterministic seeds (the first k vec_ids), a
+    * fixed number of Lloyd iterations entirely in DataFrame ops (assign =
+    * broadcast-centroid argmax-cosine; update = per-dimension mean via
+    * posexplode + groupBy). Returns (vec_id, embedding, norm, cid).
+    */
+  def withIvfCell(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding")).withColumn("norm", l2Norm(col("embedding")))
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+      base
+        .crossJoin(broadcast(centroids))
+        .withColumn("sim", dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
+    }
+
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m").cast("float")).as("c_emb"))
+        .withColumn("c_norm", l2Norm(col("c_emb")))
+
+    val seeds = base
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val finalCentroids = (1 to iters).foldLeft(seeds)((c, _) => recompute(assign(c)))
+    assign(finalCentroids)
+  }
+
+  /** s04: IVF-bucketed ANN — probe only the query's cell. Same recall/cost
+    * trade as s02 but with data-adaptive cells instead of fixed
+    * hyperplanes; nprobe>1 extends it (documented, not implemented).
+    */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cells = withIvfCell(Tables.embeddings(spark, dir))
+    val q = broadcast(queriesOf(cells)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"), col("cid")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
+    cells
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("norm").as("n_norm"), col("cid"))
+      .join(q, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim6", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("cosine"), col("rn"))
+  }
+
   /** s03: embedding statistics per label (oracle-checked — the per-element
     * sum order matches DuckDB's list_aggregate exactly).
     */

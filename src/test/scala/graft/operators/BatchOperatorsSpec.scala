@@ -116,6 +116,13 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
   }
 
+  test("s04 IVF ANN: neighbors come from the query's cell, never self") {
+    val rows = Similarity.annIvf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    assert(rows.forall(r => r.getAs[Long]("rn") >= 1 && r.getAs[Long]("rn") <= 3))
+  }
+
   test("s03 embedding stats: norms are ~unit-order, all labels present") {
     val rows = Similarity.embeddingStats(spark, sf).collect()
     assert(rows.length == 10)
