@@ -310,6 +310,20 @@ object SparkEntry {
         | count(*) AS n_words
         |FROM dw JOIN f ON dw.w = f.w CROSS JOIN t
         |GROUP BY dw.doc_id""".stripMargin,
+    "d02_dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS g FROM w) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ov.doc_a, ov.doc_b,
+        | round(CAST(common AS DOUBLE) / (a.n + b.n - common), 4) AS jaccard
+        |FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b
+        |WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper
