@@ -324,6 +324,24 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (a.n + b.n - common), 4) AS jaccard
         |FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b
         |WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5""".stripMargin,
+    // d03's oracle is the EXACT J>=0.5 pair set: every qualifying pair in
+    // this corpus sits at J>=0.89, where 8x2 banding has miss probability
+    // (1-J^2)^8 < 3e-6 — and the minhash seeds are fixed, so the output is
+    // deterministic and verified equal before wiring this oracle.
+    "d03_dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |    i -> array_to_string(words[i:i+4], ' '))) AS g FROM w) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ov.doc_a, ov.doc_b,
+        | round(CAST(common AS DOUBLE) / (a.n + b.n - common), 4) AS jaccard
+        |FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b
+        |WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper
