@@ -35,6 +35,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian product:\n$p")
   }
 
+  test("#65 bucketed tables join without any shuffle exchange") {
+    val wh = new java.io.File("target/bucketed-wh").getAbsolutePath
+    graft.sources.Tables
+      .lineitem(spark, sf)
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").saveAsTable("li_b")
+    graft.sources.Tables
+      .orders(spark, sf)
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/ord_b").saveAsTable("ord_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b").join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("native graft_dot is bit-identical to the HOF formulation") {
     import spark.implicits._
     val df = graft.sources.Tables
