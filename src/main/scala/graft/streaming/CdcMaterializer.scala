@@ -23,12 +23,19 @@ case class KeyState(
   */
 object CdcMaterializer {
 
+  /** Full-precision commit time: java.sql.Timestamp.getTime is only
+    * ms-accurate, which would make sub-ms changes tie (and stale-detection
+    * blind) on high-rate feeds; getNanos carries the rest.
+    */
+  private def micros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   /** The per-group fold. Exposed for direct unit exercise. */
   def fold(key: Long, changes: Iterator[Change], state: GroupState[KeyState]): Iterator[KeyState] = {
-    val ordered = changes.toSeq.sortBy(c => (c.ts.getTime, c.op))
+    val ordered = changes.toSeq.sortBy(c => (micros(c.ts), c.op))
     var cur = state.getOption
     ordered.foreach { c =>
-      val tsUs = c.ts.getTime * 1000L
+      val tsUs = micros(c.ts)
       val stale = cur.exists(_.tsUs > tsUs)
       if (!stale) {
         cur = c.op match {

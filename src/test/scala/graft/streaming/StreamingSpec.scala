@@ -52,6 +52,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#32b CDC fold resolves sub-millisecond ordering (full-precision ts)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def tsNanos(ms: Long, nanos: Int): Timestamp = {
+      val t = new Timestamp(ms); t.setNanos(nanos); t
+    }
+    val state = TestGroupState.create[KeyState](
+      optionalState = org.apache.spark.api.java.Optional.empty[KeyState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // two changes in the SAME millisecond: 500us then 900us — last writer
+    // (900us) must win even though getTime collides
+    val out = CdcMaterializer.fold(
+      1L,
+      Iterator(
+        Change("update", 1L, tsNanos(1000, 900000), Map("v" -> "late")),
+        Change("update", 1L, tsNanos(1000, 500000), Map("v" -> "early")),
+      ),
+      state)
+    assert(out.toSeq.last.payload == Map("v" -> "late"))
+    // a sub-ms STALE change must not overwrite the newer state
+    val out2 = CdcMaterializer.fold(
+      1L, Iterator(Change("update", 1L, tsNanos(1000, 100000), Map("v" -> "stale"))), state)
+    assert(out2.toSeq.last.payload == Map("v" -> "late"))
+  }
+
   test("#33 watermarked tumbling aggregate finalizes closed windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
