@@ -26,20 +26,28 @@ object Bench {
     // of 38 s and 258 s were observed for identical code). toRdd forces
     // full evaluation of every output column; a plain count() would let
     // Catalyst prune projection-only work.
+    // A query that throws is reported as -1 (and counted in "failures"),
+    // never as its near-zero failure-path elapsed time — a broken query
+    // must make the benchmark look broken, not fast.
     def timeAll(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
-    val run1    = timeAll()
-    val run2    = timeAll()
-    val results = run1.map { case (k, v) => k -> math.min(v, run2(k)) }
+    val run1 = timeAll()
+    val run2 = timeAll()
+    val results = run1.map { case (k, v) =>
+      k -> (if (v < 0 || run2(k) < 0) -1.0 else math.min(v, run2(k)))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failures = results.values.count(_ < 0)
+    val total    = results.values.filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,6 +54,7 @@ object SparkEntry {
     "q37_price_quantity_corr"   -> ((s, d) => Relational.priceQuantityCorr(GraftSession.tune(s), d)),
     "q38_decayed_sum"           -> ((s, d) => Temporal.decayedSum(GraftSession.tune(s), d)),
     "q39_event_pattern"         -> ((s, d) => Temporal.eventPattern(GraftSession.tune(s), d)),
+    "q40_asof_state"            -> ((s, d) => Temporal.versionedState(GraftSession.tune(s), d)),
     "t05_unigram_logprob"       -> ((s, d) => TextAnalysis.unigramLogprob(GraftSession.tune(s), d)),
     // §2.4 LLM-data-pipeline operators
     "d01_dedup_exact"           -> ((s, d) => Dedup.exact(GraftSession.tune(s), d)),
@@ -301,6 +302,14 @@ object SparkEntry {
         | regexp_matches(string_agg(substr(event_type, 1, 1), ''
         |   ORDER BY epoch_us(ts), event_id), 's[vc]*p') AS has_funnel
         |FROM events GROUP BY user_id""".stripMargin,
+    "q40_asof_state" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu FROM events),
+        |v AS (SELECT user_id, event_type, value, tsu AS valid_from_us,
+        |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to_us FROM e),
+        |t AS (SELECT (min(tsu) + max(tsu)) // 2 AS as_of_us FROM e)
+        |SELECT user_id, event_type, round(value, 2) AS value, valid_from_us, valid_to_us, as_of_us
+        |FROM v, t
+        |WHERE valid_from_us <= as_of_us AND (valid_to_us IS NULL OR valid_to_us > as_of_us)""".stripMargin,
     "t05_unigram_logprob" ->
       """WITH dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
         |  FROM documents),
@@ -342,6 +351,51 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (a.n + b.n - common), 4) AS jaccard
         |FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b
         |WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5""".stripMargin,
+    // d04's oracle recomputes the md5-digit simhash fingerprint and cross-
+    // checks the EXACT hamming<=3 pair set — valid as a full equality
+    // check because 16-bit chunk bucketing finds every hamming<=3 pair by
+    // pigeonhole, so the Spark output IS that exact set.
+    "d04_dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 2),
+        |    i -> array_to_string(words[i:i+3], ' '))) AS g FROM w) t),
+        |hx AS (SELECT doc_id, md5(g) AS h FROM sh),
+        |bits AS (SELECT doc_id, (r.i - 1) AS di, strpos('0123456789abcdef', substr(h, r.i, 1)) - 1 AS dv
+        |         FROM hx CROSS JOIN range(1, 17) r(i)),
+        |votes AS (SELECT doc_id, di * 4 + c.c AS b, sum((dv >> c.c) & 1) AS ones, count(*) AS n
+        |          FROM bits CROSS JOIN range(0, 4) c(c) GROUP BY 1, 2),
+        |chunks AS (SELECT doc_id, b // 16 AS k,
+        |           CAST(sum(CASE WHEN ones * 2 > n THEN (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS cv
+        |           FROM votes GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |       sum(CASE WHEN k = 0 THEN cv END) AS c0, sum(CASE WHEN k = 1 THEN cv END) AS c1,
+        |       sum(CASE WHEN k = 2 THEN cv END) AS c2, sum(CASE WHEN k = 3 THEN cv END) AS c3
+        |       FROM chunks GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+        |     + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+        |    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3""".stripMargin,
+    // d05's oracle recomputes the deterministic sin-hyperplane bucket and
+    // the in-bucket exact cosine — same in-index-order double arithmetic
+    // as the Spark side (indexed transform + left-fold aggregate).
+    "d05_dedup_embedding" ->
+      ("""WITH b AS (SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+        |""".stripMargin
+        + (0 until 8).map { j =>
+          s"""  CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1),
+             |    k -> CAST(embedding[k] AS DOUBLE) * sin(${j * 131}.0 + (k - 1) * 0.7)), 'sum') > 0
+             |  THEN ${1 << j} ELSE 0 END""".stripMargin
+        }.mkString("", " +\n", " AS bucket\n")
+        + """  FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+        |  list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * c.embedding[i]), 'sum') / (a.norm * c.norm) AS cos
+        | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+        |SELECT vec_a, vec_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.25""".stripMargin),
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions._
 import graft.sources.Tables
 
 /** Deduplication family over `documents` (SURVEY.md §2.4, d01-d05).
@@ -24,31 +23,30 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
 
-  private def withGrams(spark: SparkSession, dir: String, n: Int): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"), charNgrams(col("text"), n).as("grams"))
-
   /** d02: exact word-3-gram Jaccard near-dup with inverted-index candidate
     * generation: a pair can only have J > 0 if it shares a shingle, so
     * joining the gram -> doc posting lists is a LOSSLESS candidate filter.
-    * Posting lists longer than `maxDf` docs are dropped from candidate
-    * generation (not from the verify): a J >= 0.5 pair here shares ~45+
-    * shingles, so missing it would need every shared shingle to be corpus-
-    * common — vanishingly unlikely, and the cap is what bounds the join at
-    * 100 TB (sum of df^2 over rare grams, never n^2).
+    * Posting lists longer than `maxDf` docs are dropped BEFORE the join —
+    * from candidate generation AND from the verify overlap count, so a
+    * binding cap undercounts |A∩B| for corpus-common grams. A J >= 0.5
+    * pair here shares ~45+ shingles, so dropping it would need every
+    * shared shingle to be corpus-common — vanishingly unlikely, and the
+    * cap is what bounds the join at 100 TB (sum of df^2 over rare grams,
+    * never n^2). Exact whenever maxDf >= the corpus max df (true here:
+    * max df 25 vs cap 100).
+    *
+    * Document frequency is a `groupBy(g).count` + semi-join (map-side
+    * combined partial aggregate, narrow shuffle) — NOT a window count,
+    * which would sort every posting row inside each gram partition.
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
     val docs  = Shingles.hashedShingleSets(Tables.documents(spark, dir), 3)
     val sizes = docs.select(col("doc_id"), size(col("grams")).as("n"))
-    val postings = docs
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .filter(col("df") <= maxDf)
+    val exploded = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+    val rareGrams = exploded.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val postings = exploded.join(rareGrams.select("g"), Seq("g"), "left_semi")
     // |A intersect B| falls straight out of the posting-list join: count the
-    // co-occurring grams per pair. Exact whenever maxDf >= the corpus max
-    // df (true here: max df 25); with a binding cap it undercounts by the
-    // capped grams only — the price of bounding the join at corpus scale.
+    // co-occurring grams per pair.
     val overlap = postings
       .as("x")
       .join(postings.as("y"), Seq("g"))
@@ -73,10 +71,17 @@ object Dedup {
     * LSH candidates. Word shingles (not char grams) keep the background
     * similarity of this vocab-limited corpus near zero so band buckets
     * stay tiny; 8x2 banding catches a 0.5-Jaccard pair with ~90%
-    * probability and a 0.9 pair with ~1. At 100 TB the posting join is
-    * first semi-joined down to candidate docs.
+    * probability and a 0.9 pair with ~1.
+    *
+    * The verify stage NEVER sees the full corpus: postings are left-semi-
+    * joined down to the docs that survived banding before the overlap
+    * join, so its cost is bounded by the candidate set (tiny relative to
+    * n at 100 TB), and a `maxDf` cap bounds the worst case where one
+    * corpus-common 5-shingle (boilerplate headers) would otherwise make
+    * the overlap join quadratic in its df. The cap is non-binding on this
+    * corpus (max df 25), keeping the verify exact.
     */
-  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val numHashes = 16
     val postings = Shingles
       .shingleRows(Tables.documents(spark, dir), 5)
@@ -92,10 +97,20 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val overlap = postings
+    val candDocs = cands
+      .select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val candPostings = postings.join(candDocs, Seq("doc_id"), "left_semi")
+    // Sizes use the UNCAPPED candidate postings (a doc's full shingle-set
+    // size), so the Jaccard denominator stays exact even if the df cap
+    // drops grams from the overlap numerator.
+    val sizes = candPostings.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rare = candPostings.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val capped = candPostings.join(rare.select("g"), Seq("g"), "left_semi")
+    val overlap = capped
       .as("x")
-      .join(postings.as("y"), Seq("g"))
+      .join(capped.as("y"), Seq("g"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -108,19 +123,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** d04: SimHash — a packed 64-bit fingerprint from signed bit-votes of
-    * word-4-shingle hashes. Candidates must share one of the fingerprint's
-    * four 16-bit chunks — EXACT for hamming distance <= 3 by pigeonhole —
-    * and are verified with `bit_count(fp_a XOR fp_b)`. Every stage is flat
-    * codegen (64 vote aggregates, integer bit ops, no arrays); background
-    * chunk collisions are ~n^2/2^16 because word-shingle fingerprints of
-    * unrelated docs are near-random on this corpus.
+  /** d04: SimHash — a 64-bit fingerprint from signed bit-votes of
+    * word-4-shingle hashes. The 64 bits come from the first 16 hex digits
+    * of `md5(shingle)` (4 bits per digit) — md5, not xxhash64, so the
+    * identical fingerprint is computable by the DuckDB oracle. Candidates
+    * must share one of the fingerprint's four 16-bit chunks — EXACT for
+    * hamming distance <= 3 by pigeonhole, so the bucketed output IS the
+    * exact hamming<=maxHamming pair set the oracle cross-checks — and are
+    * verified with bit_count over per-chunk XORs. Every stage is flat
+    * codegen (16 packed vote aggregates, integer bit ops, no arrays);
+    * background chunk collisions are ~n^2/2^16 because word-shingle
+    * fingerprints of unrelated docs are near-random on this corpus.
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val rows = Shingles
       .shingleRows(Tables.documents(spark, dir), 4)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
       .distinct()
+    // hex digit p (0..15) of the md5 carries fingerprint bits 4p..4p+3
+    val digits = (0 until 16).map(p => conv(substring(col("h"), p + 1, 1), 16, 10).cast("long").as(s"d$p"))
+    val withDigits = rows.select(col("doc_id") +: digits: _*)
     // Bit-vote counting packed 4-per-long in 16-bit lanes: 16 aggregate
     // columns instead of 64 keeps the generated aggregate class ~4x
     // smaller (the 64-column version took 10+ s of janino compilation on
@@ -128,28 +150,37 @@ object Dedup {
     // bounds docs at 65535 shingles; fine here, split docs above that.
     val packs: Seq[Column] = (0 until 16).map { p =>
       val lanes = (0 until 4).map { c =>
-        shiftright(col("g"), p * 4 + c).bitwiseAND(lit(1L)) * lit(1L << (16 * c))
+        shiftright(col(s"d$p"), c).bitwiseAND(lit(1L)) * lit(1L << (16 * c))
       }
       sum(lanes.reduce(_ + _)).as(s"p$p")
     }
     val n = count(lit(1)).as("n")
-    // bit b (= p*4 + c) is set iff ones(b) > n/2 (ties vote 0, bit clear)
-    val fp = (0 until 64).map { b =>
-      val ones = shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(lit(0xffffL))
-      when(ones * 2 > col("n"), lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    val sigs = rows.groupBy("doc_id").agg(packs.head, (packs.tail :+ n): _*).select(col("doc_id"), fp.as("fp"))
-    val chunkCols = (0 until 4).map(c => shiftright(col("fp"), 16 * c).bitwiseAND(lit(0xffffL)))
-    val buckets =
-      sigs.select(col("doc_id"), col("fp"), posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk_key")))
+    // bit b (= p*4 + c) is set iff ones(b) > n/2 (ties vote 0, bit clear).
+    // The fp is carried as four 16-bit chunks c0..c3 (chunk k = bits
+    // 16k..16k+15), keeping bucket keys and the hamming verify in small
+    // positive ints — no int64 sign-bit gymnastics on either engine.
+    def ones(b: Int): Column = shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(lit(0xffffL))
+    val chunks = (0 until 4).map { k =>
+      (0 until 16).map { j =>
+        val b = 16 * k + j
+        when(ones(b) * 2 > col("n"), lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _).as(s"c$k")
+    }
+    val sigs = withDigits
+      .groupBy("doc_id")
+      .agg(packs.head, (packs.tail :+ n): _*)
+      .select(col("doc_id") +: chunks: _*)
+    val buckets = sigs.select(
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("chunk_idx", "chunk_key")))
+    val hamming = (0 until 4)
+      .map(k => bit_count(col(s"x.c$k").bitwiseXOR(col(s"y.c$k"))))
+      .reduce(_ + _)
     buckets
       .as("x")
       .join(buckets.as("y"), Seq("chunk_idx", "chunk_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), hamming.cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -16,22 +16,24 @@ object Similarity {
 
   /** Deterministic random-hyperplane signature: 8 hyperplanes whose
     * components are sin(j*131 + k*0.7) — fixed, seedless, reproducible on
-    * any cluster. Bucket = 8 sign bits packed to an int (0..255).
+    * any cluster (and by the DuckDB oracle). Bucket = 8 sign bits packed
+    * to an int (0..255).
+    *
+    * Computed per row with indexed `transform` + `aggregate` (in-index-
+    * order summation, matching the oracle's `list_aggregate` exactly) —
+    * a narrow, shuffle-free map. The previous posexplode+groupBy+join
+    * formulation cost two shuffles for the same arithmetic.
     */
   def withHyperplaneBucket(embeddings: DataFrame, numPlanes: Int = 8): DataFrame = {
-    val contrib = embeddings.select(
-      col("vec_id"),
-      col("embedding"),
-      posexplode(col("embedding")).as(Seq("pos", "x")),
-    )
-    val sums = (0 until numPlanes).map { j =>
-      sum(col("x").cast("double") * sin(lit(j * 131.0) + col("pos") * 0.7)).as(s"p$j")
-    }
-    val planes = contrib.groupBy("vec_id").agg(sums.head, sums.tail: _*)
-    val bucket = (0 until numPlanes)
-      .map(j => when(col(s"p$j") > 0, 1 << j).otherwise(0))
-      .reduce(_ + _)
-    embeddings.join(planes.select(col("vec_id"), bucket.as("bucket")), Seq("vec_id"))
+    val bucket = (0 until numPlanes).map { j =>
+      val s = aggregate(
+        transform(col("embedding"), (x, k) => x.cast("double") * sin(lit(j * 131.0) + k.cast("double") * 0.7)),
+        lit(0.0),
+        (acc, v) => acc + v,
+      )
+      when(s > 0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+    embeddings.withColumn("bucket", bucket)
   }
 
   private def queriesOf(embeddings: DataFrame, n: Int = 10): DataFrame =
@@ -56,15 +58,25 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("cosine"), col("rn"))
   }
 
-  /** s02: LSH-bucketed ANN — probe only the query's hyperplane bucket.
-    * This is the 100 TB path: the candidate set per query is the bucket,
-    * not the corpus (recall traded for a 256x fan-in cut; multi-probe =
-    * union of neighboring buckets, documented not implemented).
+  /** s02: LSH-bucketed ANN — probe the query's hyperplane bucket plus,
+    * with `multiProbe`, every bucket at sign-bit hamming distance 1 (flip
+    * each of the 8 bits: 9 probes). This is the 100 TB path: the
+    * candidate set per query is the probed buckets, not the corpus —
+    * multi-probe lifts recall from the single-bucket baseline at 9x the
+    * per-query candidate cost, still a ~28x fan-in cut vs brute force.
+    * Probes live on the tiny broadcast query side (exploded BEFORE the
+    * broadcast), so the corpus is still scanned exactly once.
     */
-  def annLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val bucketed = withHyperplaneBucket(Tables.embeddings(spark, dir)).withColumn("norm", l2Norm(col("embedding")))
+  def annLsh(spark: SparkSession, dir: String, k: Int = 3, multiProbe: Boolean = true): DataFrame = {
+    val numPlanes = 8
+    val bucketed = withHyperplaneBucket(Tables.embeddings(spark, dir), numPlanes)
+      .withColumn("norm", l2Norm(col("embedding")))
+    val probes =
+      if (!multiProbe) array(col("bucket"))
+      else array(col("bucket") +: (0 until numPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)
     val q = broadcast(queriesOf(bucketed)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"), col("bucket")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"),
+        explode(probes).as("bucket")))
     val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
     bucketed
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("norm").as("n_norm"), col("bucket"))
@@ -79,20 +91,28 @@ object Similarity {
   /** IVF coarse quantizer: deterministic seeds (the first k vec_ids), a
     * fixed number of Lloyd iterations entirely in DataFrame ops (assign =
     * broadcast-centroid argmax-cosine; update = per-dimension mean via
-    * posexplode + groupBy). Returns (vec_id, embedding, norm, cid).
+    * posexplode + groupBy). Returns (assignments (vec_id, embedding, norm,
+    * cid), centroids (cid, c_emb, c_norm)).
+    *
+    * The assign argmax is a `max_by` aggregate over the 16 broadcast-
+    * expanded candidate rows per vector — partial aggregation collapses
+    * them map-side before the shuffle, where the previous `row_number`
+    * window had to shuffle AND sort all k*n rows per Lloyd iteration.
     */
-  def withIvfCell(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+  def ivfIndex(embeddings: DataFrame, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     val base = embeddings.select(col("vec_id"), col("embedding")).withColumn("norm", l2Norm(col("embedding")))
 
-    def assign(centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    def assign(centroids: DataFrame): DataFrame =
       base
         .crossJoin(broadcast(centroids))
         .withColumn("sim", dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
-    }
+        .groupBy("vec_id")
+        // ties on sim -> smallest cid, encoded as max of (sim, -cid)
+        .agg(max_by(
+          struct(col("embedding"), col("norm"), col("cid")),
+          struct(col("sim"), (-col("cid")).as("ncid"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"), col("best.norm").as("norm"),
+          col("best.cid").as("cid"))
 
     def recompute(assigned: DataFrame): DataFrame =
       assigned
@@ -108,17 +128,31 @@ object Similarity {
       .filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
     val finalCentroids = (1 to iters).foldLeft(seeds)((c, _) => recompute(assign(c)))
-    assign(finalCentroids)
+    (assign(finalCentroids), finalCentroids)
   }
 
-  /** s04: IVF-bucketed ANN — probe only the query's cell. Same recall/cost
-    * trade as s02 but with data-adaptive cells instead of fixed
-    * hyperplanes; nprobe>1 extends it (documented, not implemented).
+  /** Back-compat single-result form of [[ivfIndex]]. */
+  def withIvfCell(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame =
+    ivfIndex(embeddings, k, iters)._1
+
+  /** s04: IVF-bucketed ANN — probe the query's `nprobe` nearest cells.
+    * Same recall/cost trade as s02 but with data-adaptive cells instead
+    * of fixed hyperplanes; nprobe=2 doubles the probed fraction and the
+    * recall knob scales to any cluster (probe list lives on the tiny
+    * broadcast query side; the corpus is scanned once).
     */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val cells = withIvfCell(Tables.embeddings(spark, dir))
+  def annIvf(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val (cells, centroids) = ivfIndex(Tables.embeddings(spark, dir))
+    // top-nprobe cells per query: 10 queries x 16 centroids — the window
+    // sort is over a trivially small broadcast-side set
+    val pw = Window.partitionBy("query_id").orderBy(col("psim").desc, col("cid"))
     val q = broadcast(queriesOf(cells)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"), col("cid")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+      .crossJoin(centroids)
+      .withColumn("psim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cid")))
     val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
     cells
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("norm").as("n_norm"), col("cid"))

@@ -178,6 +178,30 @@ object Temporal {
       .select(col("user_id"), col("seq"), col("seq").rlike("s[vc]*p").as("has_funnel"))
   }
 
+  /** q40: versioned keyed state (SCD2) with an as-of lookup. Every change
+    * opens a version valid over `[valid_from_us, valid_to_us)` for its
+    * key; the next change (by the `(ts, event_id)` commit order) closes
+    * it via `lead()` — one shuffle, the per-key window sort. The lookup
+    * then reads the state of ALL keys as of the corpus-midpoint
+    * timestamp, computed inside the query so the oracle derives the
+    * identical instant at any scale. At 100 TB the version table is the
+    * thing you'd persist (partitioned by key range, min/max-pruned on
+    * the validity columns); the lookup itself is a scan-side filter.
+    */
+  def versionedState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from_us"), col("event_id"))
+    val versions = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("tsu").as("valid_from_us"))
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(w))
+    val asOf = events(spark, dir).agg(expr("(min(tsu) + max(tsu)) DIV 2").as("as_of_us"))
+    versions
+      .crossJoin(broadcast(asOf))
+      .filter(col("valid_from_us") <= col("as_of_us")
+        && (col("valid_to_us").isNull || col("valid_to_us") > col("as_of_us")))
+      .select(col("user_id"), col("event_type"), round(col("value"), 2).as("value"),
+        col("valid_from_us"), col("valid_to_us"), col("as_of_us"))
+  }
+
   /** q30: time-bucketed top-K contributors (rank on the rounded total so the
     * oracle ranks identically).
     */

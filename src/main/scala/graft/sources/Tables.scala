@@ -16,12 +16,20 @@ object Tables {
     * rebuilds an InMemoryFileIndex; reusing the DataFrame (an immutable
     * plan) across an engine session's queries amortizes that to once per
     * table. Keyed by session so concurrent sessions don't share plans.
+    *
+    * Entries of stopped sessions are purged on access, so repeated
+    * mains/test runs in one JVM don't pin dead sessions (and their plans)
+    * forever. Assumption baked into any memo like this: files under `dir`
+    * are immutable for the lifetime of the session reading them — a
+    * rewritten table needs a new session (or dir) to be re-listed.
     */
   private val cache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
 
-  private def cached(spark: SparkSession, dir: String, name: String)(load: => DataFrame): DataFrame =
+  private def cached(spark: SparkSession, dir: String, name: String)(load: => DataFrame): DataFrame = {
+    cache.keySet.foreach { k => if (k._1.sparkContext.isStopped) cache.remove(k) }
     cache.getOrElseUpdate((spark, dir, name), load)
+  }
 
   /** Generic loader (events routed through the ns-timestamp fix-up). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

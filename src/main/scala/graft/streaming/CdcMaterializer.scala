@@ -3,10 +3,14 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Current materialized row for a key (the fold of its changefeed). */
+/** Current materialized row for a key (the fold of its changefeed).
+  * `(tsUs, seq)` is the commit position of the winning change — kept in
+  * state so stale-detection orders ties exactly like the in-batch fold.
+  */
 case class KeyState(
     key: Long,
     tsUs: Long,
+    seq: Long,
     payload: Map[String, String],
     deleted: Boolean,
 )
@@ -17,7 +21,10 @@ case class KeyState(
   * State lives in Spark's keyed state store — one entry per live key,
   * partitioned by key hash, so state size scales with key cardinality and
   * executors, never with feed length. Out-of-order changes are resolved by
-  * commit timestamp: a stale change (older ts than the state) is ignored.
+  * commit position `(tsUs, seq)`: a stale change (older position than the
+  * state) is ignored. Because both the in-batch sort and the stale check
+  * use the same total order, the fold is batching-invariant — the same
+  * feed materializes identically however the changes are micro-batched.
   * Emitted rows are the post-batch state (Update output mode), i.e. the
   * materialized view's own changefeed.
   */
@@ -27,20 +34,24 @@ object CdcMaterializer {
     * ms-accurate, which would make sub-ms changes tie (and stale-detection
     * blind) on high-rate feeds; getNanos carries the rest.
     */
-  private def micros(ts: java.sql.Timestamp): Long =
+  private[streaming] def micros(ts: java.sql.Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** True iff state position `(sTs, sSeq)` is strictly after `(ts, seq)`. */
+  private[streaming] def isStale(sTs: Long, sSeq: Long, ts: Long, seq: Long): Boolean =
+    sTs > ts || (sTs == ts && sSeq > seq)
 
   /** The per-group fold. Exposed for direct unit exercise. */
   def fold(key: Long, changes: Iterator[Change], state: GroupState[KeyState]): Iterator[KeyState] = {
-    val ordered = changes.toSeq.sortBy(c => (micros(c.ts), c.op))
+    val ordered = changes.toSeq.sortBy(c => (micros(c.ts), c.seq))
     var cur = state.getOption
     ordered.foreach { c =>
       val tsUs = micros(c.ts)
-      val stale = cur.exists(_.tsUs > tsUs)
+      val stale = cur.exists(s => isStale(s.tsUs, s.seq, tsUs, c.seq))
       if (!stale) {
         cur = c.op match {
-          case "delete" => Some(KeyState(key, tsUs, Map.empty, deleted = true))
-          case _        => Some(KeyState(key, tsUs, c.payload, deleted = false))
+          case "delete" => Some(KeyState(key, tsUs, c.seq, Map.empty, deleted = true))
+          case _        => Some(KeyState(key, tsUs, c.seq, c.payload, deleted = false))
         }
       }
     }

@@ -8,13 +8,18 @@ import org.apache.spark.sql.types._
   *
   * `op` is one of insert/update/delete (upsert semantics: insert and update
   * are both last-writer-wins puts), `key` the primary key, `ts` the commit
-  * timestamp (event time), `payload` the after-image columns.
+  * timestamp (event time), `payload` the after-image columns, `seq` the
+  * source LSN: it totally orders changes that share a commit timestamp, so
+  * materialization is invariant to how the feed is micro-batched (without
+  * it, equal-ts ties would resolve differently depending on whether they
+  * arrive in one batch or across two).
   */
 case class Change(
     op: String,
     key: Long,
     ts: java.sql.Timestamp,
     payload: Map[String, String],
+    seq: Long = 0L,
 )
 
 /** Changefeed sources (SURVEY.md §2.3 #31).
@@ -31,11 +36,38 @@ object ChangeFeed {
     StructField("key", LongType),
     StructField("ts", TimestampType),
     StructField("payload", MapType(StringType, StringType)),
+    StructField("seq", LongType),
   ))
 
-  /** Stream change records from newline-JSON files appearing under `dir`. */
+  /** Stream change records from newline-JSON files appearing under `dir`.
+    * Feeds without an LSN get seq=0 (ties then resolve by ts alone).
+    */
   def readJsonDir(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema).json(dir)
+    spark.readStream.schema(schema).json(dir).withColumn("seq", coalesce(col("seq"), lit(0L)))
+
+  /** Kafka wire format: the Change as a JSON `value` blob keyed by the
+    * change key (per-key ordering rides the Kafka partition). The
+    * timestampFormat carries full microseconds so `ts` round-trips
+    * exactly; [[toWire]] and [[fromWire]] are inverses. On a real
+    * deployment `fromWire` is applied to
+    * `spark.readStream.format("kafka")`'s value column — downstream
+    * operators only ever see the Change columns, so the transport is
+    * swappable without touching them.
+    */
+  private val wireOpts = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  def toWire(changes: DataFrame): DataFrame =
+    changes.select(
+      col("key").cast("string").cast("binary").as("key"),
+      to_json(struct(col("op"), col("key"), col("ts"), col("payload"), col("seq")), wireOpts)
+        .cast("binary").as("value"),
+    )
+
+  def fromWire(wire: DataFrame): DataFrame =
+    wire
+      .select(from_json(col("value").cast("string"), schema, wireOpts).as("c"))
+      .select("c.*")
+      .withColumn("seq", coalesce(col("seq"), lit(0L)))
 
   /** Interpret the `events` snapshot table as a replayable changefeed
     * (signup -> insert, purchase/view/click -> update, error -> delete),
@@ -54,5 +86,6 @@ object ChangeFeed {
         lit("value"), col("value").cast("string"),
         lit("event_type"), col("event_type"),
       ).as("payload"),
+      col("event_id").as("seq"),
     )
 }

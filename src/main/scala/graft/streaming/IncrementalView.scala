@@ -1,35 +1,91 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Incrementally maintained derived views (SURVEY.md §2.3 #39) — the core
-  * changefeed-engine concept: a view defined over the feed whose groups
-  * are updated in place as changes arrive, and whose per-batch output IS
-  * the view's own changefeed (only the groups touched by the batch are
-  * re-emitted in Update mode).
+/** A key's last applied contribution to the derived view: which group it
+  * currently counts toward, with what value, at which commit position.
+  * `live=false` after a delete (the key contributes nothing).
+  */
+case class Contribution(group: String, value: Double, tsUs: Long, seq: Long, live: Boolean)
+
+/** Signed delta a micro-batch applies to one group of the derived view. */
+case class GroupDelta(group: String, d_keys: Long, d_value: Double)
+
+/** Incrementally maintained derived views (SURVEY.md §2.3 #39) with FULL
+  * retraction/delta semantics — the changefeed engine's defining concept:
+  * a grouped aggregate view over the feed where an update MOVES a key's
+  * contribution (retract from the old group, add to the new) and a delete
+  * RETRACTS it, and whose per-batch output is the view's own changefeed
+  * (only groups actually touched by the batch are re-emitted).
   *
-  * State is Spark's streaming-aggregation store: one row per group,
-  * updated by map-side-combined partial aggregates — the same incremental
-  * maintenance a native changefeed engine does, with the state sharded
-  * across executors.
+  * Two stages, both with state sharded across executors:
+  *  1. `flatMapGroupsWithState` keyed by change key holds each key's last
+  *     [[Contribution]] and emits SIGNED [[GroupDelta]]s (Append mode —
+  *     deltas are events, so a downstream aggregate is allowed);
+  *  2. a streaming aggregation folds the deltas into running per-group
+  *     totals (map-side-combined partials into the aggregation state
+  *     store) and, in Update output mode, re-emits only touched groups.
   */
 object IncrementalView {
 
-  /** Live per-attribute aggregate over a Change stream: deletes retract
-    * nothing here (append-only fold) but are excluded from the totals —
-    * full retraction lives in [[CdcMaterializer]] + [[FeedSink]].
-    * Input: a streaming DataFrame with the [[ChangeFeed.schema]] columns.
+  /** Stage-1 fold: apply the batch's changes to the key's contribution in
+    * `(tsUs, seq)` order (same batching-invariant total order as
+    * [[CdcMaterializer.fold]]), then emit the net signed delta between
+    * the pre-batch and post-batch contribution, per affected group.
     */
-  def liveTotals(changes: DataFrame, groupKey: String = "event_type"): DataFrame =
+  def deltas(groupKey: String)(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[Contribution]): Iterator[GroupDelta] = {
+    val before = state.getOption
+    var cur    = before
+    changes.toSeq.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq)).foreach { c =>
+      val tsUs  = CdcMaterializer.micros(c.ts)
+      val stale = cur.exists(s => CdcMaterializer.isStale(s.tsUs, s.seq, tsUs, c.seq))
+      if (!stale) {
+        cur = c.op match {
+          case "delete" =>
+            Some(Contribution(cur.map(_.group).getOrElse(""), 0.0, tsUs, c.seq, live = false))
+          case _ =>
+            Some(Contribution(
+              c.payload.getOrElse(groupKey, ""),
+              c.payload.get("value").map(_.toDouble).getOrElse(0.0),
+              tsUs, c.seq, live = true))
+        }
+      }
+    }
+    cur.foreach(state.update)
+    // net deltas: retract the pre-batch contribution, add the new one;
+    // groups whose net effect is zero emit nothing (untouched downstream)
+    val net = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
+    def add(g: String, dk: Long, dv: Double): Unit = {
+      val (k, v) = net.getOrElse(g, (0L, 0.0)); net(g) = (k + dk, v + dv)
+    }
+    before.filter(_.live).foreach(b => add(b.group, -1L, -b.value))
+    cur.filter(_.live).foreach(a => add(a.group, 1L, a.value))
+    net.iterator.collect { case (g, (dk, dv)) if dk != 0L || dv != 0.0 => GroupDelta(g, dk, dv) }
+  }
+
+  /** Live per-group aggregate over a Change stream, retraction-capable:
+    * `n_changes` is the number of live keys currently contributing to the
+    * group, `total_value` the sum of their last values. Deletes decrement
+    * both; group-moving updates shift the contribution between groups.
+    * Run with [[outputMode]] (Update): each micro-batch re-emits exactly
+    * the groups it touched.
+    */
+  def liveTotals(changes: Dataset[Change], groupKey: String = "event_type"): DataFrame = {
+    implicit val contribEnc = Encoders.product[Contribution]
+    implicit val deltaEnc   = Encoders.product[GroupDelta]
+    implicit val longEnc    = Encoders.scalaLong
     changes
-      .filter(col("op") =!= "delete")
-      .groupBy(col("payload").getItem(groupKey).as(groupKey))
-      .agg(
-        count(lit(1)).as("n_changes"),
-        sum(col("payload").getItem("value").cast("double")).as("total_value"),
-      )
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(deltas(groupKey))
+      .toDF()
+      .groupBy(col("group").as(groupKey))
+      .agg(sum("d_keys").as("n_changes"), sum("d_value").as("total_value"))
+  }
 
   val outputMode: OutputMode = OutputMode.Update()
 }

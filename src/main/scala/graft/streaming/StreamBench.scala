@@ -25,6 +25,7 @@ object StreamBench {
         pmod(col("value"), lit(100000)).as("key"),
         col("timestamp").as("ts"),
         map(lit("value"), col("value").cast("string")).as("payload"),
+        col("value").as("seq"), // the rate counter is a natural monotone LSN
       )
       .as[Change]
 

@@ -89,7 +89,7 @@ class DedupSpec extends SparkSpec {
 
   test("d04 simhash: hamming within threshold") {
     val rows = Dedup.simhash(spark, sf).collect()
-    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+    assert(rows.forall(_.getAs[Long]("hamming") <= 3))
   }
 
   test("d05 embedding near-dup: pairs exist, symmetric bound holds") {
@@ -121,6 +121,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
     assert(rows.forall(r => r.getAs[Long]("rn") >= 1 && r.getAs[Long]("rn") <= 3))
+  }
+
+  test("ANN recall@3 vs brute force: multi-probe lifts single-probe recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val truth = pairs(Similarity.annBruteForce(spark, sf, k = 3))
+    assert(truth.nonEmpty)
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      pairs(df).intersect(truth).size.toDouble / truth.size
+    val lsh1 = recall(Similarity.annLsh(spark, sf, multiProbe = false))
+    val lshM = recall(Similarity.annLsh(spark, sf))
+    val ivf1 = recall(Similarity.annIvf(spark, sf, nprobe = 1))
+    val ivf2 = recall(Similarity.annIvf(spark, sf))
+    info(f"recall@3  lsh probe-1: $lsh1%.2f  multi-probe: $lshM%.2f  ivf nprobe-1: $ivf1%.2f  nprobe-2: $ivf2%.2f")
+    assert(lshM >= lsh1, "multi-probe LSH must not lose recall")
+    assert(ivf2 >= ivf1, "nprobe=2 IVF must not lose recall")
+    // floors calibrated on this corpus (sf0.001: lsh1 0.10, lshM 0.27,
+    // ivf1 0.83, ivf2 0.87): near-isotropic embeddings are the worst case
+    // for sign-bit LSH — true neighbors sit at cosine ~0.3-0.5, where 8
+    // hyperplane bits agree rarely — which is exactly why multi-probe
+    // (~2.7x here) and the data-adaptive IVF cells exist.
+    assert(lshM >= 0.2, f"multi-probe LSH recall collapsed: $lshM%.2f")
+    assert(ivf2 >= 0.6, f"nprobe=2 IVF recall collapsed: $ivf2%.2f")
   }
 
   test("s03 embedding stats: norms are ~unit-order, all labels present") {

@@ -35,6 +35,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian product:\n$p")
   }
 
+  test("d03 verify stage is restricted to LSH candidates (semi-join in plan)") {
+    val p = plan(graft.operators.Dedup.minhashLsh(spark, sf))
+    assert(p.contains("LeftSemi"), s"verify postings not semi-joined to candidates:\n$p")
+  }
+
   test("#65 bucketed tables join without any shuffle exchange") {
     val wh = new java.io.File("target/bucketed-wh").getAbsolutePath
     graft.sources.Tables

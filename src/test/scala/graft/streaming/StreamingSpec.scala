@@ -79,6 +79,35 @@ class StreamingSpec extends SparkSpec {
     assert(out2.toSeq.last.payload == Map("v" -> "late"))
   }
 
+  test("#32c CDC fold is batching-invariant on equal-ts ties (seq totally orders)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val q = CdcMaterializer
+      .materialize(input.toDS())
+      .writeStream.format("memory").queryName("cdc_seq").outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("cdcseq")).start()
+    try {
+      // same commit ts; the higher-LSN change arrives FIRST and in an
+      // earlier batch — the lower-LSN straggler must lose either way
+      input.addData(Change("update", 1L, ts(0), Map("v" -> "winner"), seq = 2L))
+      q.processAllAvailable()
+      input.addData(Change("update", 1L, ts(0), Map("v" -> "loser"), seq = 1L))
+      q.processAllAvailable()
+      // and within ONE batch the same pair must resolve identically
+      input.addData(
+        Change("update", 2L, ts(0), Map("v" -> "loser"), seq = 1L),
+        Change("update", 2L, ts(0), Map("v" -> "winner"), seq = 2L),
+      )
+      q.processAllAvailable()
+      val state = spark.table("cdc_seq").collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Map[String, String]]("payload")))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(state(1L) == Map("v" -> "winner"), "cross-batch tie must resolve by seq")
+      assert(state(2L) == Map("v" -> "winner"), "in-batch tie must resolve by seq")
+    } finally q.stop()
+  }
+
   test("#33 watermarked tumbling aggregate finalizes closed windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -175,12 +204,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#37b FeedSink batch replay is idempotent (partition overwrite, no dupes)") {
+    import spark.implicits._
+    val feedDir = tmp("feedidem")
+    def states(rows: (Long, Long, Long, Map[String, String], Boolean)*) =
+      rows.toDF("key", "tsUs", "seq", "payload", "deleted")
+    val b0 = states((1L, 1000L, 1L, Map("v" -> "a"), false), (2L, 2000L, 2L, Map("v" -> "b"), false))
+    val b1 = states((1L, 3000L, 3L, Map.empty[String, String], true))
+    FeedSink.writeBatch(b0, 0L, feedDir)
+    FeedSink.writeBatch(b1, 1L, feedDir)
+    val before = spark.read.parquet(feedDir).count()
+    assert(before == 3L)
+    // a crash between sink write and checkpoint commit replays batch 0:
+    // the partition is overwritten, not appended
+    FeedSink.writeBatch(b0, 0L, feedDir)
+    val feed = spark.read.parquet(feedDir)
+    assert(feed.count() == before, "replayed batch must not duplicate rows")
+    assert(feed.filter(col("batch_id") === 0L).count() == 2L)
+    assert(feed.filter(col("op") === "delete").count() == 1L)
+  }
+
+  test("#31b Kafka wire format round-trips Change records exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val subMs = { val t = ts(1); t.setNanos(123456000); t } // 123456 us survives the wire
+    val input = MemoryStream[Change]
+    val q = ChangeFeed.fromWire(ChangeFeed.toWire(input.toDF()))
+      .writeStream.format("memory").queryName("wire").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("wire")).start()
+    try {
+      val sent = Seq(
+        Change("insert", 7L, subMs, Map("v" -> "a", "k" -> "x"), seq = 42L),
+        Change("delete", 8L, ts(2), Map.empty, seq = 43L),
+      )
+      input.addData(sent: _*)
+      q.processAllAvailable()
+      val got = spark.table("wire").as[Change].collect().sortBy(_.key)
+      assert(got.toSeq == sent, s"wire round-trip mismatch: $got")
+    } finally q.stop()
+  }
+
   test("#39 incrementally maintained view emits only touched groups per batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Change]
     val q = IncrementalView
-      .liveTotals(input.toDF())
+      .liveTotals(input.toDS())
       .writeStream.format("memory").queryName("liveview").outputMode(IncrementalView.outputMode)
       .option("checkpointLocation", tmp("iv")).start()
     try {
@@ -200,6 +269,58 @@ class StreamingSpec extends SparkSpec {
         .maxBy(_.getAs[Long]("n_changes"))
       assert(latestPurchase.getAs[Long]("n_changes") == 3)
       assert(latestPurchase.getAs[Double]("total_value") == 17.5)
+    } finally q.stop()
+  }
+
+  test("#39b derived view RETRACTS deleted contributions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val q = IncrementalView
+      .liveTotals(input.toDS())
+      .writeStream.format("memory").queryName("retract").outputMode(IncrementalView.outputMode)
+      .option("checkpointLocation", tmp("ret")).start()
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("event_type" -> "purchase", "value" -> "10.0"), seq = 1L),
+        Change("insert", 2L, ts(1), Map("event_type" -> "purchase", "value" -> "5.0"), seq = 2L),
+        Change("insert", 3L, ts(1), Map("event_type" -> "view", "value" -> "1.0"), seq = 3L),
+      )
+      q.processAllAvailable()
+      val afterB1 = spark.table("retract").collect().length
+      // delete key 1 -> its 10.0 must LEAVE the purchase aggregate, and
+      // only the purchase group may re-emit
+      input.addData(Change("delete", 1L, ts(2), Map.empty, seq = 4L))
+      q.processAllAvailable()
+      val rows = spark.table("retract").collect()
+      assert(rows.length == afterB1 + 1, "delete must re-emit exactly the touched group")
+      val p = rows.last
+      assert(p.getAs[String]("event_type") == "purchase")
+      assert(p.getAs[Long]("n_changes") == 1, "deleted key must stop counting")
+      assert(p.getAs[Double]("total_value") == 5.0, "deleted contribution must be retracted")
+    } finally q.stop()
+  }
+
+  test("#39c derived view MOVES a key's contribution when its group changes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val q = IncrementalView
+      .liveTotals(input.toDS())
+      .writeStream.format("memory").queryName("groupmove").outputMode(IncrementalView.outputMode)
+      .option("checkpointLocation", tmp("mv")).start()
+    try {
+      input.addData(Change("insert", 1L, ts(0), Map("event_type" -> "purchase", "value" -> "10.0"), seq = 1L))
+      q.processAllAvailable()
+      // key 1 re-classifies as a view: purchase loses 10, view gains 4
+      input.addData(Change("update", 1L, ts(1), Map("event_type" -> "view", "value" -> "4.0"), seq = 2L))
+      q.processAllAvailable()
+      val latest = spark.table("groupmove").collect()
+        .groupBy(_.getAs[String]("event_type")).map { case (g, vs) => g -> vs.last }
+      assert(latest("purchase").getAs[Long]("n_changes") == 0)
+      assert(latest("purchase").getAs[Double]("total_value") == 0.0)
+      assert(latest("view").getAs[Long]("n_changes") == 1)
+      assert(latest("view").getAs[Double]("total_value") == 4.0)
     } finally q.stop()
   }
 
