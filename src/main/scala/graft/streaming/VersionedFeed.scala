@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A closed SCD2 version of a key: the payload that was current over
+  * `[validFrom, validTo)` in `(tsUs, seq)` commit-position order. Closed
+  * versions are immutable facts, so the stream of them is append-only —
+  * the natural thing to persist partitioned by key range and min/max-
+  * pruned on the validity columns, which is exactly what the batch as-of
+  * lookup (q40, [[graft.operators.Temporal.versionedState]]) scans.
+  */
+case class Version(
+    key: Long,
+    payload: Map[String, String],
+    deleted: Boolean,
+    validFromUs: Long,
+    validFromSeq: Long,
+    validToUs: Long,
+    validToSeq: Long,
+)
+
+/** Streaming SCD2 history (SURVEY.md §2.3 #68): maintain per-key version
+  * history incrementally from the changefeed. Each arriving change closes
+  * the key's open version (emitting it, Append mode) and opens a new one;
+  * the open version lives in the keyed state store, so state is one row
+  * per live key regardless of feed length.
+  *
+  * Ordering is the same batching-invariant `(tsUs, seq)` total order as
+  * [[CdcMaterializer]]; a change older than the open version is dropped
+  * (last-writer-wins history, matching the materializer — a general
+  * out-of-order history rewrite would need retractions of already-closed
+  * versions, which append-only SCD2 deliberately does not do).
+  */
+object VersionedFeed {
+
+  /** The key's currently-open version. */
+  case class OpenVersion(key: Long, tsUs: Long, seq: Long, payload: Map[String, String], deleted: Boolean)
+
+  /** Per-group fold: emit a closed [[Version]] per superseded open
+    * version. Exposed for direct unit exercise.
+    */
+  def close(key: Long, changes: Iterator[Change], state: GroupState[OpenVersion]): Iterator[Version] = {
+    val ordered = changes.toSeq.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq))
+    var cur     = state.getOption
+    val out     = Seq.newBuilder[Version]
+    ordered.foreach { c =>
+      val tsUs = CdcMaterializer.micros(c.ts)
+      if (!cur.exists(s => CdcMaterializer.isStale(s.tsUs, s.seq, tsUs, c.seq))) {
+        cur.foreach { o =>
+          out += Version(key, o.payload, o.deleted, o.tsUs, o.seq, tsUs, c.seq)
+        }
+        cur = c.op match {
+          case "delete" => Some(OpenVersion(key, tsUs, c.seq, Map.empty, deleted = true))
+          case _        => Some(OpenVersion(key, tsUs, c.seq, c.payload, deleted = false))
+        }
+      }
+    }
+    cur.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Wire the fold over a streaming Dataset[Change]. Closed versions are
+    * append-only: run with `OutputMode.Append` and any downstream
+    * transform/sink composes (including another aggregation).
+    */
+  def history(changes: Dataset[Change]): Dataset[Version] = {
+    implicit val openEnc    = Encoders.product[OpenVersion]
+    implicit val versionEnc = Encoders.product[Version]
+    implicit val longEnc    = Encoders.scalaLong
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(close)
+  }
+
+  val outputMode: OutputMode = OutputMode.Append()
+}

@@ -324,6 +324,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#68 streaming SCD2 history: versions chain across batches, stale drops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val q = VersionedFeed
+      .history(input.toDS())
+      .writeStream.format("memory").queryName("scd2").outputMode(VersionedFeed.outputMode)
+      .option("checkpointLocation", tmp("scd2")).start()
+    try {
+      input.addData(Change("insert", 1L, ts(0), Map("v" -> "a"), seq = 1L))
+      q.processAllAvailable()
+      assert(spark.table("scd2").count() == 0, "an open version must not emit")
+      // second batch closes v=a and opens v=b
+      input.addData(Change("update", 1L, ts(10), Map("v" -> "b"), seq = 2L))
+      q.processAllAvailable()
+      // a change arriving AFTER its position was superseded is dropped
+      // (LWW history, no rewrite of already-closed versions) ...
+      input.addData(Change("update", 1L, ts(5), Map("v" -> "STALE"), seq = 0L))
+      q.processAllAvailable()
+      // ... and the delete closes v=b
+      input.addData(Change("delete", 1L, ts(20), Map.empty, seq = 3L))
+      q.processAllAvailable()
+      val versions = spark.table("scd2").as[Version].collect().sortBy(_.validFromUs)
+      assert(versions.length == 2, s"expected v=a and v=b closed, got ${versions.mkString(";")}")
+      assert(versions(0).payload == Map("v" -> "a") && versions(1).payload == Map("v" -> "b"))
+      // the validity intervals must chain exactly: [t0,t10) then [t10,t20)
+      assert(versions(0).validToUs == versions(1).validFromUs)
+      assert(versions(1).validToUs == CdcMaterializer.micros(ts(20)))
+      assert(!versions.exists(_.payload == Map("v" -> "STALE")), "stale change must not enter history")
+    } finally q.stop()
+  }
+
   test("#38 stream-stream interval join attributes purchases to signups") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
