@@ -73,15 +73,17 @@ object Dedup {
     * stay tiny; 8x2 banding catches a 0.5-Jaccard pair with ~90%
     * probability and a 0.9 pair with ~1.
     *
-    * The verify stage NEVER sees the full corpus: postings are left-semi-
-    * joined down to the docs that survived banding before the overlap
-    * join, so its cost is bounded by the candidate set (tiny relative to
-    * n at 100 TB), and a `maxDf` cap bounds the worst case where one
-    * corpus-common 5-shingle (boilerplate headers) would otherwise make
-    * the overlap join quadratic in its df. The cap is non-binding on this
-    * corpus (max df 25), keeping the verify exact.
+    * The verify stage NEVER sees the full corpus, and never joins
+    * postings against postings on a bare gram key: the overlap count is
+    * routed THROUGH the candidate pairs — join postings to `doc_a`, then
+    * to `(doc_b, gram)` — so a gram can only meet itself inside one
+    * pair's rows. A corpus-common 5-shingle (boilerplate headers at
+    * 100 TB) therefore cannot go quadratic in its document frequency;
+    * verify cost is sum over candidate pairs of their shingle counts,
+    * linear in what the verify must read anyway. Sizes (the Jaccard
+    * denominator) come from postings left-semi-joined to candidate docs.
     */
-  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val numHashes = 16
     val postings = Shingles
       .shingleRows(Tables.documents(spark, dir), 5)
@@ -101,21 +103,16 @@ object Dedup {
       .select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
       .distinct()
-    val candPostings = postings.join(candDocs, Seq("doc_id"), "left_semi")
-    // Sizes use the UNCAPPED candidate postings (a doc's full shingle-set
-    // size), so the Jaccard denominator stays exact even if the df cap
-    // drops grams from the overlap numerator.
-    val sizes = candPostings.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val rare = candPostings.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-    val capped = candPostings.join(rare.select("g"), Seq("g"), "left_semi")
-    val overlap = capped
-      .as("x")
-      .join(capped.as("y"), Seq("g"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val sizes = postings
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    val overlap = cands
+      .join(postings.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(postings.as("y"), col("doc_b") === col("y.doc_id") && col("x.g") === col("y.g"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
-    cands
-      .join(overlap, Seq("doc_a", "doc_b"))
+    overlap
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
