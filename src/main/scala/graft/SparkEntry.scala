@@ -62,6 +62,7 @@ object SparkEntry {
     "d03_dedup_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(GraftSession.tune(s), d)),
     "d04_dedup_simhash"         -> ((s, d) => Dedup.simhash(GraftSession.tune(s), d)),
     "d05_dedup_embedding"       -> ((s, d) => Dedup.embeddingNearDup(GraftSession.tune(s), d)),
+    "d06_dedup_clusters"        -> ((s, d) => Dedup.dedupClusters(GraftSession.tune(s), d)),
     "s01_ann_bruteforce"        -> ((s, d) => Similarity.annBruteForce(GraftSession.tune(s), d)),
     "s02_ann_lsh"               -> ((s, d) => Similarity.annLsh(GraftSession.tune(s), d)),
     "s03_embedding_stats"       -> ((s, d) => Similarity.embeddingStats(GraftSession.tune(s), d)),
@@ -351,6 +352,43 @@ object SparkEntry {
         | round(CAST(common AS DOUBLE) / (a.n + b.n - common), 4) AS jaccard
         |FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b
         |WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5""".stripMargin,
+    // d06's oracle reuses d03's exact pair set (proven equal to the LSH
+    // output on this corpus — see the d03 comment) and replays the SAME
+    // 4 rounds of min-label propagation, so cluster labels agree by
+    // construction rather than by assuming the propagation converged.
+    "d06_dedup_clusters" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |    i -> array_to_string(words[i:i+4], ' '))) AS g FROM w) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT ov.doc_a, ov.doc_b
+        |  FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b
+        |  WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5),
+        |e AS (SELECT doc_a, doc_b FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM e),
+        |l1 AS (SELECT doc_id, min(label) AS label FROM (
+        |  SELECT doc_id, label FROM l0
+        |  UNION ALL SELECT e.doc_a AS doc_id, l.label FROM e JOIN l0 l ON l.doc_id = e.doc_b
+        |  ) u GROUP BY doc_id),
+        |l2 AS (SELECT doc_id, min(label) AS label FROM (
+        |  SELECT doc_id, label FROM l1
+        |  UNION ALL SELECT e.doc_a AS doc_id, l.label FROM e JOIN l1 l ON l.doc_id = e.doc_b
+        |  ) u GROUP BY doc_id),
+        |l3 AS (SELECT doc_id, min(label) AS label FROM (
+        |  SELECT doc_id, label FROM l2
+        |  UNION ALL SELECT e.doc_a AS doc_id, l.label FROM e JOIN l2 l ON l.doc_id = e.doc_b
+        |  ) u GROUP BY doc_id),
+        |l4 AS (SELECT doc_id, min(label) AS label FROM (
+        |  SELECT doc_id, label FROM l3
+        |  UNION ALL SELECT e.doc_a AS doc_id, l.label FROM e JOIN l3 l ON l.doc_id = e.doc_b
+        |  ) u GROUP BY doc_id)
+        |SELECT doc_id, label AS cluster, doc_id = label AS is_keeper FROM l4""".stripMargin,
     // d04's oracle recomputes the md5-digit simhash fingerprint and cross-
     // checks the EXACT hamming<=3 pair set — valid as a full equality
     // check because 16-bit chunk bucketing finds every hamming<=3 pair by

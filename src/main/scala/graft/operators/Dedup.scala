@@ -182,6 +182,30 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** d06: near-dup cluster assignment — the dedup endgame: fold the
+    * verified pair graph (d03's output) into connected components and
+    * pick one keeper per component (the min doc_id). `iters` rounds of
+    * min-label propagation, each a join + map-side-combined min
+    * aggregate: after k rounds every doc holds the min doc_id within its
+    * k-hop neighborhood, so k bounds the traceable component diameter —
+    * near-dup components are short chains (diameter a few hops), and at
+    * 100 TB you run rounds to a fixpoint (count of changed labels = 0)
+    * instead of a constant. The oracle replays the SAME k rounds, so
+    * equality is by construction, not by assuming convergence.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val init  = edges.select(col("doc_a").as("doc_id")).distinct().withColumn("label", col("doc_id"))
+    val fin = (1 to iters).foldLeft(init) { (labels, _) =>
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label")), Seq("doc_b"))
+        .select(col("doc_a").as("doc_id"), col("label"))
+      labels.union(nbr).groupBy("doc_id").agg(min("label").as("label"))
+    }
+    fin.select(col("doc_id"), col("label").as("cluster"), (col("doc_id") === col("label")).as("is_keeper"))
+  }
+
   /** d05: embedding-cosine near-dup — random-hyperplane LSH buckets (8
     * deterministic hyperplanes), exact cosine verification inside buckets
     * only. Default threshold is calibrated to this corpus: the synthetic

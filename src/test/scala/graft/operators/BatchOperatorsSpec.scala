@@ -92,6 +92,16 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("hamming") <= 3))
   }
 
+  test("d06 clusters: one keeper per cluster, keeper is the min doc_id") {
+    val rows = Dedup.dedupClusters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    assert(byCluster.values.forall(_.count(_.getAs[Boolean]("is_keeper")) == 1),
+      "each cluster must elect exactly one keeper")
+    assert(byCluster.forall { case (c, ds) => ds.map(_.getAs[Long]("doc_id")).min == c },
+      "cluster label must be the component's min doc_id")
+  }
+
   test("d05 embedding near-dup: pairs exist, symmetric bound holds") {
     val rows = Dedup.embeddingNearDup(spark, sf).collect()
     assert(rows.nonEmpty)
