@@ -72,5 +72,49 @@ object CdcMaterializer {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  /** [[fold]] plus tombstone expiry: a deleted key's state is only needed
+    * to stale-drop stragglers, so once the event-time watermark passes
+    * `delete ts + ttl` the tombstone is removed from the store — state
+    * size is bounded by LIVE keys + recently-deleted ones, not by every
+    * key ever deleted (on an unbounded feed the difference is the engine
+    * staying up). The documented tradeoff of any tombstone GC: a change
+    * for an expired key that arrives later than watermark+ttl
+    * re-materializes the key as if new.
+    */
+  def foldExpiring(ttlMs: Long)(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[KeyState]): Iterator[KeyState] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = fold(key, changes, state)
+      state.getOption.foreach { s =>
+        // timeout must sit beyond the current watermark or Spark rejects it
+        if (s.deleted) state.setTimeoutTimestamp(
+          math.max(s.tsUs / 1000L + ttlMs, state.getCurrentWatermarkMs + 1L))
+      }
+      out
+    }
+  }
+
+  /** [[materialize]] with watermarked input and tombstone TTL (event-time
+    * timeout). `watermarkDelay` bounds how late a change may arrive;
+    * `tombstoneTtl` how long a delete keeps stale-dropping stragglers.
+    */
+  def materializeExpiring(
+      changes: Dataset[Change],
+      watermarkDelay: String = "10 minutes",
+      tombstoneTtlMs: Long = 10L * 60 * 1000): Dataset[KeyState] = {
+    implicit val stateEnc = Encoders.product[KeyState]
+    implicit val longEnc  = Encoders.scalaLong
+    changes
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        foldExpiring(tombstoneTtlMs))
+  }
+
   val outputMode: OutputMode = OutputMode.Update()
 }

@@ -108,6 +108,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#32d tombstone TTL: timed-out tombstone is removed; live keys set no timeout") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(initial: Option[KeyState], timedOut: Boolean) = TestGroupState.create[KeyState](
+      optionalState = initial.map(org.apache.spark.api.java.Optional.of[KeyState])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[KeyState]()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of[Long](1000L),
+      hasTimedOut = timedOut)
+    // a deleted key sets a timeout at delete-ts + ttl
+    val s1 = st(None, timedOut = false)
+    CdcMaterializer.foldExpiring(60000L)(1L,
+      Iterator(Change("delete", 1L, ts(0), Map.empty, seq = 1L)), s1).toSeq
+    assert(s1.exists && s1.get.deleted)
+    assert(s1.getTimeoutTimestampMs.isPresent, "tombstone must schedule its own expiry")
+    // when the watermark fires the timeout, the tombstone is removed
+    val tomb = KeyState(1L, 0L, 1L, Map.empty, deleted = true)
+    val s2 = st(Some(tomb), timedOut = true)
+    val out = CdcMaterializer.foldExpiring(60000L)(1L, Iterator.empty, s2).toSeq
+    assert(out.isEmpty && s2.isRemoved, "expired tombstone must leave the store")
+    // a live (non-deleted) key keeps NO timeout — only tombstones expire
+    val s3 = st(None, timedOut = false)
+    CdcMaterializer.foldExpiring(60000L)(2L,
+      Iterator(Change("insert", 2L, ts(0), Map("v" -> "a"), seq = 1L)), s3).toSeq
+    assert(s3.exists && !s3.getTimeoutTimestampMs.isPresent)
+  }
+
+  test("#32e materializeExpiring runs end-to-end with watermark + timeouts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val q = CdcMaterializer
+      .materializeExpiring(input.toDS(), watermarkDelay = "1 second", tombstoneTtlMs = 1000L)
+      .toDF()
+      .writeStream.format("memory").queryName("cdc_ttl").outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("ttl")).start()
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("v" -> "a"), seq = 1L),
+        Change("delete", 1L, ts(1), Map.empty, seq = 2L),
+      )
+      q.processAllAvailable()
+      // advance the watermark far past delete+ttl across two batches so
+      // the timeout path actually executes inside the running query
+      input.addData(Change("insert", 2L, ts(60), Map("v" -> "x"), seq = 3L))
+      q.processAllAvailable()
+      input.addData(Change("insert", 3L, ts(120), Map("v" -> "y"), seq = 4L))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_ttl").collect()
+      assert(rows.exists(r => r.getAs[Long]("key") == 1L && r.getAs[Boolean]("deleted")))
+      assert(rows.exists(r => r.getAs[Long]("key") == 3L))
+    } finally q.stop()
+  }
+
   test("#33 watermarked tumbling aggregate finalizes closed windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
