@@ -148,7 +148,7 @@ object Similarity {
     val pw = Window.partitionBy("query_id").orderBy(col("psim").desc, col("cid"))
     val q = broadcast(queriesOf(cells)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
-      .crossJoin(centroids)
+      .crossJoin(broadcast(centroids))
       .withColumn("psim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .withColumn("prn", row_number().over(pw))
       .filter(col("prn") <= nprobe)
