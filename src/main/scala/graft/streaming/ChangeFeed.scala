@@ -54,7 +54,8 @@ object ChangeFeed {
     * operators only ever see the Change columns, so the transport is
     * swappable without touching them.
     */
-  private val wireOpts = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+  val wireOptions: Map[String, String] = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+  private def wireOpts = wireOptions
 
   def toWire(changes: DataFrame): DataFrame =
     changes.select(

@@ -432,6 +432,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("coherence: streaming materializer == batch cdcLatestState on the same feed") {
+    import spark.implicits._
+    val sfDir = sf
+    // the events snapshot, replayed as a changefeed through the REAL file
+    // source -> materializer path
+    val feedDir = tmp("cohfeed")
+    ChangeFeed
+      .fromEvents(graft.sources.Tables.events(spark, sfDir))
+      .select(to_json(struct(col("op"), col("key"), col("ts"), col("payload"), col("seq")),
+        ChangeFeed.wireOptions).as("value"))
+      .coalesce(1).write.mode("overwrite").text(feedDir)
+    val q = CdcMaterializer
+      .materialize(ChangeFeed.readJsonDir(spark, feedDir).as[Change])
+      .toDF()
+      .writeStream.format("memory").queryName("coh").outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("cohck")).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("coh").collect()
+        .groupBy(_.getAs[Long]("key")).map { case (k, vs) => k -> vs.last }
+      val batch = graft.operators.Temporal.cdcLatestState(spark, sfDir).collect()
+      assert(batch.nonEmpty && streamed.nonEmpty)
+      batch.foreach { b =>
+        val key = b.getAs[Long]("user_id")
+        val s   = streamed(key)
+        assert(s.getAs[Long]("tsUs") == b.getAs[Long]("ts_us"),
+          s"key $key: streaming ts ${s.getAs[Long]("tsUs")} != batch ts ${b.getAs[Long]("ts_us")}")
+        if (b.getAs[String]("event_type") == "error")
+          assert(s.getAs[Boolean]("deleted"), s"key $key: last op is a delete, state must be a tombstone")
+        else {
+          assert(!s.getAs[Boolean]("deleted"))
+          val sv = BigDecimal(s.getAs[Map[String, String]]("payload")("value"))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          assert(sv == BigDecimal(b.getAs[Double]("value")).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+            s"key $key: value mismatch")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("#31 changefeed file source reads Change records as a stream") {
     import spark.implicits._
     val srcDir = tmp("feedsrc")
