@@ -49,10 +49,10 @@ object IncrementalView {
           case "delete" =>
             Some(Contribution(cur.map(_.group).getOrElse(""), 0.0, tsUs, c.seq, live = false))
           case _ =>
-            Some(Contribution(
-              c.payload.getOrElse(groupKey, ""),
-              c.payload.get("value").map(_.toDouble).getOrElse(0.0),
-              tsUs, c.seq, live = true))
+            // malformed numeric payloads contribute 0 instead of killing
+            // the task — a poison change must not stall the whole view
+            val v = c.payload.get("value").flatMap(s => scala.util.Try(s.toDouble).toOption)
+            Some(Contribution(c.payload.getOrElse(groupKey, ""), v.getOrElse(0.0), tsUs, c.seq, live = true))
         }
       }
     }
