@@ -55,6 +55,7 @@ object SparkEntry {
     "q38_decayed_sum"           -> ((s, d) => Temporal.decayedSum(GraftSession.tune(s), d)),
     "q39_event_pattern"         -> ((s, d) => Temporal.eventPattern(GraftSession.tune(s), d)),
     "q40_asof_state"            -> ((s, d) => Temporal.versionedState(GraftSession.tune(s), d)),
+    "q41_multiset_ops"          -> ((s, d) => Relational.multisetOps(GraftSession.tune(s), d)),
     "t05_unigram_logprob"       -> ((s, d) => TextAnalysis.unigramLogprob(GraftSession.tune(s), d)),
     // §2.4 LLM-data-pipeline operators
     "d01_dedup_exact"           -> ((s, d) => Dedup.exact(GraftSession.tune(s), d)),
@@ -311,6 +312,13 @@ object SparkEntry {
         |SELECT user_id, event_type, round(value, 2) AS value, valid_from_us, valid_to_us, as_of_us
         |FROM v, t
         |WHERE valid_from_us <= as_of_us AND (valid_to_us IS NULL OR valid_to_us > as_of_us)""".stripMargin,
+    "q41_multiset_ops" ->
+      """SELECT pk FROM (
+        | SELECT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'R'
+        | INTERSECT ALL
+        | SELECT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'A') t
+        |EXCEPT ALL
+        |SELECT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'N'""".stripMargin,
     "t05_unigram_logprob" ->
       """WITH dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
         |  FROM documents),

@@ -183,6 +183,20 @@ object Relational {
     a.union(b).distinct().except(c)
   }
 
+  /** q41: MULTISET set operations — `intersectAll`/`exceptAll` keep
+    * duplicate multiplicity (min / difference of per-value counts), the
+    * ALL variants q14's distinct-set forms don't exercise. Same
+    * shuffle-on-value plan class as q14; multiplicity is tracked by a
+    * count aggregate under the hood, not by materializing duplicates.
+    */
+  def multisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val r  = li.filter(col("l_returnflag") === "R").select(col("l_partkey").as("pk"))
+    val a  = li.filter(col("l_returnflag") === "A").select(col("l_partkey").as("pk"))
+    val n  = li.filter(col("l_returnflag") === "N").select(col("l_partkey").as("pk"))
+    r.intersectAll(a).exceptAll(n)
+  }
+
   /** q15: conditional aggregation (pivot-by-CASE). */
   def statusPivot(spark: SparkSession, dir: String): DataFrame =
     Tables

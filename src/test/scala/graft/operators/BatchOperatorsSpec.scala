@@ -33,6 +33,24 @@ class RelationalSpec extends SparkSpec {
     assert(rows.exists(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("q19 sketches bounded by exact answers: HLL within 5%, p50 sketch between exact p50/p90 bounds") {
+    val approx = Relational.approxSketches(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> (r.getAs[Long]("approx_users"), r.getAs[Double]("p50_sketch")))
+      .toMap
+    val exactUsers = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    val exactQ = Relational.valueQuantiles(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("p50")).toMap
+    exactUsers.foreach { case (et, exact) =>
+      val (a, p50s) = approx(et)
+      assert(math.abs(a - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"$et: HLL++ $a vs exact $exact drifts past 5%")
+      assert(math.abs(p50s - exactQ(et)) <= math.abs(exactQ(et)) * 0.05 + 1.0,
+        s"$et: p50 sketch $p50s vs exact ${exactQ(et)}")
+    }
+  }
+
   test("q20 exact quantiles: p50 <= p90") {
     val rows = Relational.valueQuantiles(spark, sf).collect()
     assert(rows.nonEmpty)
