@@ -13,6 +13,7 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val rowsPerSec = args.headOption.map(_.toInt).getOrElse(200000)
     val seconds    = args.drop(1).headOption.map(_.toInt).getOrElse(15)
+    val liveKeys   = args.drop(2).headOption.map(_.toInt).getOrElse(100000)
     val spark      = GraftSession.local(Runtime.getRuntime.availableProcessors())
     import spark.implicits._
 
@@ -22,7 +23,7 @@ object StreamBench {
       .load()
       .select(
         when(pmod(col("value"), lit(10)) === 0, "delete").otherwise("update").as("op"),
-        pmod(col("value"), lit(100000)).as("key"),
+        pmod(col("value"), lit(liveKeys)).as("key"),
         col("timestamp").as("ts"),
         map(lit("value"), col("value").cast("string")).as("payload"),
         col("value").as("seq"), // the rate counter is a natural monotone LSN
