@@ -12,6 +12,22 @@ import org.apache.spark.sql.SparkSession
   * so the plans we verify locally are the plans that ship.
   */
 object GraftSession {
+  /** Static SQL configs — must be set on the BUILDER (before the shared
+    * state exists); `spark.conf.set` would throw for these at runtime.
+    *
+    * codegen.cache.maxEntries: the default 100-entry janino class cache is
+    * sized for a handful of repeated queries; a suite of ~60 queries (x
+    * several whole-stage-codegen units each) cycles the cache completely,
+    * so every re-execution recompiles every stage — the dedup operators
+    * pay 5-10 s of janino per run instead of only on first execution. A
+    * long-running changefeed server keeps its compiled classes; 4096
+    * entries makes the bench (and any multi-query session) behave the
+    * same way.
+    */
+  val staticTuning: Map[String, String] = Map(
+    "spark.sql.codegen.cache.maxEntries" -> "4096",
+  )
+
   /** Configs applied to every graft session (driver mains + tests). */
   val tuning: Map[String, String] = Map(
     "spark.sql.adaptive.enabled" -> "true",
@@ -33,6 +49,7 @@ object GraftSession {
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.ui.enabled", "false")
+    staticTuning.foreach { case (k, v) => b.config(k, v) }
     tuning.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

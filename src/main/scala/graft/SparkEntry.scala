@@ -361,11 +361,12 @@ object SparkEntry {
         |FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b
         |WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5""".stripMargin,
     // d06's oracle reuses d03's exact pair set (proven equal to the LSH
-    // output on this corpus — see the d03 comment) and replays the SAME
-    // 4 rounds of min-label propagation, so cluster labels agree by
-    // construction rather than by assuming the propagation converged.
+    // output on this corpus — see the d03 comment) and computes TRUE
+    // connected-component min labels via a recursive CTE (reachability
+    // closure, then min per doc) — a fixpoint, matching the Spark side's
+    // run-to-fixpoint label propagation independent of round counts.
     "d06_dedup_clusters" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
         |  FROM documents),
         |sh AS (SELECT DISTINCT doc_id, g FROM (
         |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
@@ -379,24 +380,12 @@ object SparkEntry {
         |  WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5),
         |e AS (SELECT doc_a, doc_b FROM pairs
         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM e),
-        |l1 AS (SELECT doc_id, min(label) AS label FROM (
-        |  SELECT doc_id, label FROM l0
-        |  UNION ALL SELECT e.doc_a AS doc_id, l.label FROM e JOIN l0 l ON l.doc_id = e.doc_b
-        |  ) u GROUP BY doc_id),
-        |l2 AS (SELECT doc_id, min(label) AS label FROM (
-        |  SELECT doc_id, label FROM l1
-        |  UNION ALL SELECT e.doc_a AS doc_id, l.label FROM e JOIN l1 l ON l.doc_id = e.doc_b
-        |  ) u GROUP BY doc_id),
-        |l3 AS (SELECT doc_id, min(label) AS label FROM (
-        |  SELECT doc_id, label FROM l2
-        |  UNION ALL SELECT e.doc_a AS doc_id, l.label FROM e JOIN l2 l ON l.doc_id = e.doc_b
-        |  ) u GROUP BY doc_id),
-        |l4 AS (SELECT doc_id, min(label) AS label FROM (
-        |  SELECT doc_id, label FROM l3
-        |  UNION ALL SELECT e.doc_a AS doc_id, l.label FROM e JOIN l3 l ON l.doc_id = e.doc_b
-        |  ) u GROUP BY doc_id)
-        |SELECT doc_id, label AS cluster, doc_id = label AS is_keeper FROM l4""".stripMargin,
+        |reach(doc_id, label) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM e
+        |  UNION
+        |  SELECT e.doc_a, r.label FROM e JOIN reach r ON r.doc_id = e.doc_b)
+        |SELECT doc_id, min(label) AS cluster, doc_id = min(label) AS is_keeper
+        |FROM reach GROUP BY doc_id""".stripMargin,
     // d04's oracle recomputes the md5-digit simhash fingerprint and cross-
     // checks the EXACT hamming<=3 pair set — valid as a full equality
     // check because 16-bit chunk bucketing finds every hamming<=3 pair by

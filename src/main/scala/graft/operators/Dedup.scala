@@ -128,7 +128,7 @@ object Dedup {
     * hamming distance <= 3 by pigeonhole, so the bucketed output IS the
     * exact hamming<=maxHamming pair set the oracle cross-checks — and are
     * verified with bit_count over per-chunk XORs. Every stage is flat
-    * codegen (16 packed vote aggregates, integer bit ops, no arrays);
+    * codegen (22 packed vote aggregates, integer bit ops, no arrays);
     * background chunk collisions are ~n^2/2^16 because word-shingle
     * fingerprints of unrelated docs are near-random on this corpus.
     */
@@ -140,28 +140,49 @@ object Dedup {
     // hex digit p (0..15) of the md5 carries fingerprint bits 4p..4p+3
     val digits = (0 until 16).map(p => conv(substring(col("h"), p + 1, 1), 16, 10).cast("long").as(s"d$p"))
     val withDigits = rows.select(col("doc_id") +: digits: _*)
-    // Bit-vote counting packed 4-per-long in 16-bit lanes: 16 aggregate
-    // columns instead of 64 keeps the generated aggregate class ~4x
-    // smaller (the 64-column version took 10+ s of janino compilation on
-    // first execution — dominating a run-once benchmark). Lane width
-    // bounds docs at 65535 shingles; fine here, split docs above that.
-    val packs: Seq[Column] = (0 until 16).map { p =>
-      val lanes = (0 until 4).map { c =>
-        shiftright(col(s"d$p"), c).bitwiseAND(lit(1L)) * lit(1L << (16 * c))
+    // Bit-vote counting packed 3-per-long in 21-bit lanes: 22 aggregate
+    // columns instead of 64 keeps the generated aggregate class small
+    // (the 64-column version took 10+ s of janino compilation on first
+    // execution — dominating a run-once benchmark). Lane width matters
+    // under ANSI mode: with the obvious 4x16-bit packing a LEGAL large doc
+    // can overflow the packed long mid-aggregation (65535 shingles voting
+    // into the 2^48 lane exceeds Long.Max) and kill the query with an
+    // opaque ARITHMETIC_OVERFLOW. 21-bit lanes make the worst-case packed
+    // sum at n = 2^21-1 shingles EXACTLY Long.Max, so aggregation can
+    // never overflow below the guard bound and the per-doc guard (below)
+    // is the single loud failure path.
+    val packs: Seq[Column] = (0 until 22).map { q =>
+      val lanes = (0 until 3).filter(c => 3 * q + c < 64).map { c =>
+        val b = 3 * q + c // fingerprint bit: digit b/4, digit-bit b%4
+        shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1L)) * lit(1L << (21 * c))
       }
-      sum(lanes.reduce(_ + _)).as(s"p$p")
+      sum(lanes.reduce(_ + _)).as(s"p$q")
     }
     val n = count(lit(1)).as("n")
-    // bit b (= p*4 + c) is set iff ones(b) > n/2 (ties vote 0, bit clear).
-    // The fp is carried as four 16-bit chunks c0..c3 (chunk k = bits
-    // 16k..16k+15), keeping bucket keys and the hamming verify in small
-    // positive ints — no int64 sign-bit gymnastics on either engine.
-    def ones(b: Int): Column = shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(lit(0xffffL))
+    // bit b is set iff ones(b) > n/2 (ties vote 0, bit clear). The fp is
+    // carried as four 16-bit chunks c0..c3 (chunk k = bits 16k..16k+15),
+    // keeping bucket keys and the hamming verify in small positive ints —
+    // no int64 sign-bit gymnastics on either engine.
+    def ones(b: Int): Column = shiftright(col(s"p${b / 3}"), 21 * (b % 3)).bitwiseAND(lit(0x1fffffL))
+    // Lane-carry guard: a doc with more than 2^21-1 distinct shingles
+    // would carry across its 21-bit vote lanes and corrupt neighboring bit
+    // counts. Fail loudly instead (split oversize docs upstream). `n` is
+    // counted independently of the packed sums, so the guard fires even if
+    // lanes already carried. It rides the c0 expression (+0 when fine) so
+    // Catalyst cannot prune it, and costs one comparison per DOCUMENT,
+    // not per shingle.
+    val laneGuard = when(
+      col("n") > 0x1fffffL,
+      raise_error(concat(
+        lit("graft simhash: doc "), col("doc_id").cast("string"),
+        lit(" has >2097151 distinct shingles; split it before simhash"))).cast("long"),
+    ).otherwise(lit(0L))
     val chunks = (0 until 4).map { k =>
-      (0 until 16).map { j =>
+      val chunk = (0 until 16).map { j =>
         val b = 16 * k + j
         when(ones(b) * 2 > col("n"), lit(1L << j)).otherwise(0L)
-      }.reduce(_ + _).as(s"c$k")
+      }.reduce(_ + _)
+      (if (k == 0) chunk + laneGuard else chunk).as(s"c$k")
     }
     val sigs = withDigits
       .groupBy("doc_id")
@@ -184,16 +205,20 @@ object Dedup {
 
   /** d06: near-dup cluster assignment — the dedup endgame: fold the
     * verified pair graph (d03's output) into connected components and
-    * pick one keeper per component (the min doc_id). `iters` rounds of
-    * min-label propagation, each a join + map-side-combined min
-    * aggregate: after k rounds every doc holds the min doc_id within its
-    * k-hop neighborhood, so k bounds the traceable component diameter —
-    * near-dup components are short chains (diameter a few hops), and at
-    * 100 TB you run rounds to a fixpoint (count of changed labels = 0)
-    * instead of a constant. The oracle replays the SAME k rounds, so
-    * equality is by construction, not by assuming convergence.
+    * pick one keeper per component (the min doc_id). Min-label
+    * propagation run TO A FIXPOINT: each round is a join + map-side-
+    * combined min aggregate, and rounds repeat until no label changes,
+    * so components of any diameter converge (a fixed round count would
+    * silently mislabel a component whose diameter exceeds it). The
+    * convergence check is a count over the label table — tiny, since
+    * only docs that appear in some near-dup pair carry labels. The
+    * oracle computes the same component-min labels via a recursive CTE,
+    * so equality is fixpoint-vs-fixpoint, independent of round counts.
+    * `maxRounds` caps propagation at a 50-hop component diameter as a
+    * runaway bound: hitting it raises rather than returning unconverged
+    * labels.
     */
-  def dedupClusters(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String, maxRounds: Int = 50): DataFrame = {
     // Iterative algorithms must cut lineage before looping: without the
     // checkpoint every round re-plans (and without exchange reuse,
     // re-executes) the whole pair pipeline — measured 463 Exchange nodes
@@ -202,6 +227,16 @@ object Dedup {
     // materialized blocks — exactly how you'd persist the edge list
     // before iterating at 100 TB.
     val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val labels = connectedComponents(pairs, maxRounds)
+    labels.select(col("doc_id"), col("label").as("cluster"), (col("doc_id") === col("label")).as("is_keeper"))
+  }
+
+  /** Min-label propagation to a fixpoint over an undirected edge list
+    * `(doc_a, doc_b)` (already lineage-cut by the caller). Returns one
+    * `(doc_id, label)` row per node with label = min node id in its
+    * connected component.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val nodes = pairs
       .select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
@@ -213,14 +248,26 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .union(nodes.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")))
-    val init = nodes.withColumn("label", col("doc_id"))
-    val fin = (1 to iters).foldLeft(init) { (labels, _) =>
-      edges
+    var labels  = nodes.withColumn("label", col("doc_id")).localCheckpoint(false)
+    var changed = 1L
+    var rounds  = 0
+    while (changed > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxRounds rounds (pathological component?)")
+      val next = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("label")), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min("label").as("label"))
+        .localCheckpoint(false)
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels = next
+      rounds += 1
     }
-    fin.select(col("doc_id"), col("label").as("cluster"), (col("doc_id") === col("label")).as("is_keeper"))
+    labels
   }
 
   /** d05: embedding-cosine near-dup — random-hyperplane LSH buckets (8

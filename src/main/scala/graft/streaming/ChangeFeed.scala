@@ -64,11 +64,29 @@ object ChangeFeed {
         .cast("binary").as("value"),
     )
 
+  /** Parse wire records, DROPPING poison ones: a corrupt value makes
+    * `from_json` return a null struct (or a struct with null key/ts), and
+    * downstream `.as[Change]`/`groupByKey(_.key)` would then die on the
+    * null primitive — one bad Kafka record must not kill the query. Route
+    * the dropped records to a DLQ with [[deadLetters]].
+    */
   def fromWire(wire: DataFrame): DataFrame =
     wire
       .select(from_json(col("value").cast("string"), schema, wireOpts).as("c"))
+      .filter(col("c").isNotNull && col("c.key").isNotNull && col("c.ts").isNotNull)
       .select("c.*")
       .withColumn("seq", coalesce(col("seq"), lit(0L)))
+
+  /** The complement of [[fromWire]]'s filter: raw values that failed to
+    * parse as a Change, for dead-letter routing/alerting.
+    */
+  def deadLetters(wire: DataFrame): DataFrame = {
+    val c = from_json(col("value").cast("string"), schema, wireOpts)
+    wire
+      .withColumn("c", c)
+      .filter(col("c").isNull || col("c.key").isNull || col("c.ts").isNull)
+      .select(col("value").cast("string").as("raw"))
+  }
 
   /** Interpret the `events` snapshot table as a replayable changefeed
     * (signup -> insert, purchase/view/click -> update, error -> delete),

@@ -56,7 +56,12 @@ object IncrementalView {
         }
       }
     }
-    cur.foreach(state.update)
+    // A delete for a never-seen key has nothing to retract and would only
+    // park a dead Contribution in the store forever — skip the update (the
+    // documented tradeoff: an out-of-order insert OLDER than that delete,
+    // arriving later, re-adds the key; same class of tradeoff as tombstone
+    // TTL expiry in CdcMaterializer.foldExpiring).
+    cur.filter(c => c.live || before.nonEmpty).foreach(state.update)
     // net deltas: retract the pre-batch contribution, add the new one;
     // groups whose net effect is zero emit nothing (untouched downstream)
     val net = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
@@ -66,6 +71,30 @@ object IncrementalView {
     before.filter(_.live).foreach(b => add(b.group, -1L, -b.value))
     cur.filter(_.live).foreach(a => add(a.group, 1L, a.value))
     net.iterator.collect { case (g, (dk, dv)) if dk != 0L || dv != 0.0 => GroupDelta(g, dk, dv) }
+  }
+
+  /** [[deltas]] plus tombstone expiry (mirrors
+    * [[CdcMaterializer.foldExpiring]]): a dead (live=false) Contribution is
+    * only needed to stale-drop straggler re-inserts, so once the event-time
+    * watermark passes `delete ts + ttl` it leaves the store — state is
+    * bounded by live keys + recently-deleted ones on an unbounded feed.
+    */
+  def deltasExpiring(groupKey: String, ttlMs: Long)(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[Contribution]): Iterator[GroupDelta] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = deltas(groupKey)(key, changes, state)
+      state.getOption.foreach { s =>
+        // timeout must sit beyond the current watermark or Spark rejects it
+        if (!s.live) state.setTimeoutTimestamp(
+          math.max(s.tsUs / 1000L + ttlMs, state.getCurrentWatermarkMs + 1L))
+      }
+      out
+    }
   }
 
   /** Live per-group aggregate over a Change stream, retraction-capable:
@@ -82,6 +111,39 @@ object IncrementalView {
     changes
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(deltas(groupKey))
+      .toDF()
+      .groupBy(col("group").as(groupKey))
+      .agg(sum("d_keys").as("n_changes"), sum("d_value").as("total_value"))
+  }
+
+  /** [[liveTotals]] with watermarked input and tombstone TTL: deleted
+    * keys' contributions leave the state store once the watermark passes
+    * `delete ts + ttl`, so view state is bounded by live + recently-
+    * deleted keys on an unbounded feed (the retraction itself was already
+    * emitted when the delete was applied — expiry changes state size, not
+    * view contents).
+    */
+  def liveTotalsExpiring(
+      changes: Dataset[Change],
+      groupKey: String = "event_type",
+      watermarkDelay: String = "10 minutes",
+      tombstoneTtlMs: Long = 10L * 60 * 1000): DataFrame = {
+    implicit val contribEnc = Encoders.product[Contribution]
+    implicit val deltaEnc   = Encoders.product[GroupDelta]
+    implicit val longEnc    = Encoders.scalaLong
+    // The global-watermark checker conservatively rejects ANY watermarked
+    // flatMapGroupsWithState feeding a stateful aggregation, assuming the
+    // downstream op might discard its emissions as late. Here that cannot
+    // happen: GroupDeltas carry NO event-time column, so the downstream
+    // aggregate is a plain keyed running total with no late-row filter —
+    // signed deltas are applied whenever they arrive. Safe to opt out.
+    changes.sparkSession.conf
+      .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    changes
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        deltasExpiring(groupKey, tombstoneTtlMs))
       .toDF()
       .groupBy(col("group").as(groupKey))
       .agg(sum("d_keys").as("n_changes"), sum("d_value").as("total_value"))

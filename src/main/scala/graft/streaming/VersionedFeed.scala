@@ -73,5 +73,54 @@ object VersionedFeed {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(close)
   }
 
+  /** A version closed by tombstone expiry rather than by a successor
+    * change: validTo is this sentinel (no successor exists).
+    */
+  val ExpiredToUs: Long  = Long.MaxValue
+  val ExpiredToSeq: Long = Long.MaxValue
+
+  /** [[close]] plus tombstone expiry: a key whose open version is a
+    * tombstone (deleted=true) only keeps state to stale-drop stragglers,
+    * so once the event-time watermark passes `delete ts + ttl` the open
+    * tombstone is emitted as a final closed version (validTo =
+    * [[ExpiredToUs]]) and its state removed — history state is bounded by
+    * live keys + recently-deleted ones, not every key ever tombstoned.
+    */
+  def closeExpiring(ttlMs: Long)(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[OpenVersion]): Iterator[Version] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map { o =>
+        Version(key, o.payload, o.deleted, o.tsUs, o.seq, ExpiredToUs, ExpiredToSeq)
+      }
+      state.remove()
+      out.iterator
+    } else {
+      val out = close(key, changes, state)
+      state.getOption.foreach { o =>
+        // timeout must sit beyond the current watermark or Spark rejects it
+        if (o.deleted) state.setTimeoutTimestamp(
+          math.max(o.tsUs / 1000L + ttlMs, state.getCurrentWatermarkMs + 1L))
+      }
+      out
+    }
+  }
+
+  /** [[history]] with watermarked input and tombstone TTL. */
+  def historyExpiring(
+      changes: Dataset[Change],
+      watermarkDelay: String = "10 minutes",
+      tombstoneTtlMs: Long = 10L * 60 * 1000): Dataset[Version] = {
+    implicit val openEnc    = Encoders.product[OpenVersion]
+    implicit val versionEnc = Encoders.product[Version]
+    implicit val longEnc    = Encoders.scalaLong
+    changes
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        closeExpiring(tombstoneTtlMs))
+  }
+
   val outputMode: OutputMode = OutputMode.Append()
 }

@@ -120,6 +120,41 @@ class DedupSpec extends SparkSpec {
       "cluster label must be the component's min doc_id")
   }
 
+  test("d06 connectedComponents converges on a chain longer than any fixed round count") {
+    import spark.implicits._
+    // a 12-hop chain 100-101-...-112 plus an isolated pair: a fixed-4-round
+    // propagation would leave the chain's tail labeled mid-chain
+    val chain = (100L until 112L).map(i => (i, i + 1))
+    val pairs = (chain :+ (500L, 501L)).toDF("doc_a", "doc_b").localCheckpoint(false)
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+    assert((100L to 112L).forall(labels(_) == 100L), s"chain must collapse to min label: $labels")
+    assert(labels(500L) == 500L && labels(501L) == 500L)
+  }
+
+  test("d04 lane guard: 70k-shingle doc fingerprints fine, >2^21 fails loudly") {
+    import spark.implicits._
+    // 70k distinct shingles would have overflowed the old 4x16-bit vote
+    // packing under ANSI mode; with 21-bit lanes it must simply work
+    val okDir  = java.nio.file.Files.createTempDirectory("simhash-large").toString
+    val okText = (0 until 70000).map(i => s"w$i").mkString(" ")
+    Seq((1L, okText, "en", "synthetic", okText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$okDir/documents.parquet")
+    assert(Dedup.simhash(spark, okDir).collect().isEmpty, "one doc, no pairs — but no failure either")
+    // past the 2^21-1 lane capacity the raise_error guard must fire
+    val bigDir  = java.nio.file.Files.createTempDirectory("simhash-oversize").toString
+    val bigText = (0 until 2100000).map(i => s"w$i").mkString(" ")
+    Seq((1L, bigText, "en", "synthetic", bigText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    val e = intercept[Exception](Dedup.simhash(spark, bigDir).collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("2097151"))),
+      s"expected the lane guard to fire, got: $e")
+  }
+
   test("d05 embedding near-dup: pairs exist, symmetric bound holds") {
     val rows = Dedup.embeddingNearDup(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -472,6 +472,147 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#39d delete for a never-seen key parks no state in the view store") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val state = TestGroupState.create[Contribution](
+      optionalState = org.apache.spark.api.java.Optional.empty[Contribution](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out = IncrementalView.deltas("event_type")(
+      9L, Iterator(Change("delete", 9L, ts(0), Map.empty, seq = 1L)), state).toSeq
+    assert(out.isEmpty, "nothing to retract, nothing to emit")
+    assert(!state.exists, "a delete with no prior contribution must not create state")
+    // but a delete AFTER a live contribution must keep its tombstone (it
+    // stale-drops straggler re-inserts)
+    val s2 = TestGroupState.create[Contribution](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        Contribution("purchase", 10.0, CdcMaterializer.micros(ts(0)), 1L, live = true)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out2 = IncrementalView.deltas("event_type")(
+      9L, Iterator(Change("delete", 9L, ts(1), Map.empty, seq = 2L)), s2).toSeq
+    assert(out2 == Seq(GroupDelta("purchase", -1L, -10.0)))
+    assert(s2.exists && !s2.get.live, "retraction recorded, tombstone kept for stale-drop")
+  }
+
+  test("#39e view tombstone TTL: dead contributions expire, live ones never") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(initial: Option[Contribution], timedOut: Boolean) = TestGroupState.create[Contribution](
+      optionalState = initial.map(org.apache.spark.api.java.Optional.of[Contribution])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[Contribution]()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of[Long](1000L),
+      hasTimedOut = timedOut)
+    // live insert then delete: the dead contribution schedules its expiry
+    val s1 = st(Some(Contribution("purchase", 10.0, 0L, 1L, live = true)), timedOut = false)
+    val out = IncrementalView.deltasExpiring("event_type", 60000L)(
+      1L, Iterator(Change("delete", 1L, ts(0), Map.empty, seq = 2L)), s1).toSeq
+    assert(out == Seq(GroupDelta("purchase", -1L, -10.0)), "retraction still emitted")
+    assert(s1.getTimeoutTimestampMs.isPresent, "dead contribution must schedule expiry")
+    // the timeout fires -> state removed, nothing emitted (retraction
+    // already happened when the delete was applied)
+    val dead = Contribution("", 0.0, 0L, 2L, live = false)
+    val s2 = st(Some(dead), timedOut = true)
+    val out2 = IncrementalView.deltasExpiring("event_type", 60000L)(1L, Iterator.empty, s2).toSeq
+    assert(out2.isEmpty && s2.isRemoved, "expired dead contribution must leave the store")
+    // a live contribution sets NO timeout — it legitimately holds state
+    val s3 = st(None, timedOut = false)
+    IncrementalView.deltasExpiring("event_type", 60000L)(
+      2L, Iterator(Change("insert", 2L, ts(0), Map("event_type" -> "view", "value" -> "1.0"), seq = 1L)), s3).toSeq
+    assert(s3.exists && !s3.getTimeoutTimestampMs.isPresent)
+  }
+
+  test("#39f liveTotalsExpiring end-to-end: retraction survives expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val q = IncrementalView
+      .liveTotalsExpiring(input.toDS(), watermarkDelay = "1 second", tombstoneTtlMs = 1000L)
+      .writeStream.format("memory").queryName("liveview_ttl").outputMode(IncrementalView.outputMode)
+      .option("checkpointLocation", tmp("ivttl")).start()
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("event_type" -> "purchase", "value" -> "10.0"), seq = 1L),
+        Change("insert", 2L, ts(0), Map("event_type" -> "purchase", "value" -> "5.0"), seq = 2L),
+      )
+      q.processAllAvailable()
+      input.addData(Change("delete", 1L, ts(1), Map.empty, seq = 3L))
+      q.processAllAvailable()
+      // push the watermark far past delete+ttl so the tombstone expires
+      input.addData(Change("insert", 3L, ts(60), Map("event_type" -> "view", "value" -> "1.0"), seq = 4L))
+      q.processAllAvailable()
+      input.addData(Change("insert", 4L, ts(120), Map("event_type" -> "view", "value" -> "2.0"), seq = 5L))
+      q.processAllAvailable()
+      val latest = spark.table("liveview_ttl").collect()
+        .groupBy(_.getAs[String]("event_type")).map { case (g, vs) => g -> vs.last }
+      assert(latest("purchase").getAs[Long]("n_changes") == 1, "retraction must survive tombstone expiry")
+      assert(latest("purchase").getAs[Double]("total_value") == 5.0)
+      assert(latest("view").getAs[Long]("n_changes") == 2)
+    } finally q.stop()
+  }
+
+  test("#68b SCD2 tombstone TTL: expired tombstone emits its final closed version") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(initial: Option[VersionedFeed.OpenVersion], timedOut: Boolean) =
+      TestGroupState.create[VersionedFeed.OpenVersion](
+        optionalState = initial.map(org.apache.spark.api.java.Optional.of[VersionedFeed.OpenVersion])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[VersionedFeed.OpenVersion]()),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+        batchProcessingTimeMs = 0L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of[Long](1000L),
+        hasTimedOut = timedOut)
+    // a delete opens a tombstone version and schedules its expiry
+    val s1 = st(None, timedOut = false)
+    VersionedFeed.closeExpiring(60000L)(
+      1L, Iterator(Change("delete", 1L, ts(0), Map.empty, seq = 1L)), s1).toSeq
+    assert(s1.exists && s1.get.deleted && s1.getTimeoutTimestampMs.isPresent)
+    // expiry closes it with the sentinel validTo and removes the state
+    val tomb = VersionedFeed.OpenVersion(1L, 42L, 1L, Map.empty, deleted = true)
+    val s2 = st(Some(tomb), timedOut = true)
+    val out = VersionedFeed.closeExpiring(60000L)(1L, Iterator.empty, s2).toSeq
+    assert(out.length == 1 && out.head.deleted && out.head.validToUs == VersionedFeed.ExpiredToUs)
+    assert(s2.isRemoved, "expired tombstone must leave the store")
+    // live open versions set no timeout
+    val s3 = st(None, timedOut = false)
+    VersionedFeed.closeExpiring(60000L)(
+      2L, Iterator(Change("insert", 2L, ts(0), Map("v" -> "a"), seq = 1L)), s3).toSeq
+    assert(s3.exists && !s3.getTimeoutTimestampMs.isPresent)
+  }
+
+  test("#31c fromWire drops poison records; deadLetters captures them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val good   = Change("insert", 1L, ts(0), Map("v" -> "a"), seq = 1L)
+    val wire   = ChangeFeed.toWire(Seq(good).toDS().toDF())
+      .union(Seq("not json at all", """{"op":"update","ts":null,"payload":{}}""")
+        .toDF("raw").select(lit(null).cast("binary").as("key"), col("raw").cast("binary").as("value")))
+    // batch path: only the good record parses; both poison ones are DLQ'd
+    val parsed = ChangeFeed.fromWire(wire).collect()
+    assert(parsed.length == 1 && parsed.head.getAs[Long]("key") == 1L)
+    assert(ChangeFeed.deadLetters(wire).collect().map(_.getAs[String]("raw")).length == 2)
+    // streaming path: a poison record must not kill the materializer
+    val input = MemoryStream[String]
+    val q = CdcMaterializer
+      .materialize(ChangeFeed.fromWire(input.toDF().select(col("value").cast("binary").as("value"))).as[Change])
+      .toDF()
+      .writeStream.format("memory").queryName("poison").outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("poison")).start()
+    try {
+      val goodJson = ChangeFeed.toWire(Seq(good).toDS().toDF())
+        .select(col("value").cast("string")).as[String].collect().head
+      input.addData("garbage{{{", goodJson)
+      q.processAllAvailable()
+      val rows = spark.table("poison").collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("key") == 1L,
+        "good record must materialize, poison one must be dropped")
+    } finally q.stop()
+  }
+
   test("#31 changefeed file source reads Change records as a stream") {
     import spark.implicits._
     val srcDir = tmp("feedsrc")
