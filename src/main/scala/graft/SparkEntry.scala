@@ -73,6 +73,15 @@ object SparkEntry {
     "t03_tokens"                -> ((s, d) => TextAnalysis.tokens(GraftSession.tune(s), d)),
     "t04_fingerprint"           -> ((s, d) => TextAnalysis.fingerprint(GraftSession.tune(s), d)),
     "m01_multimodal_pipeline"   -> ((s, d) => Multimodal.pipeline(GraftSession.tune(s), d)),
+    // §2.4 training-data curation (q42+)
+    "q42_train_test_split"      -> ((s, d) => TrainingData.trainTestSplit(GraftSession.tune(s), d)),
+    "q43_sequence_packing"      -> ((s, d) => TrainingData.sequencePacking(GraftSession.tune(s), d)),
+    "q44_contamination"         -> ((s, d) => TrainingData.contamination(GraftSession.tune(s), d)),
+    "q45_normalize_text"        -> ((s, d) => TrainingData.normalizeText(GraftSession.tune(s), d)),
+    "q46_range_join"            -> ((s, d) => TrainingData.errorBlastRadius(GraftSession.tune(s), d)),
+    "q47_frequent_shingles"     -> ((s, d) => TrainingData.frequentShingles(GraftSession.tune(s), d)),
+    "q48_stratified_sample"     -> ((s, d) => TrainingData.stratifiedSample(GraftSession.tune(s), d)),
+    "q49_mixture_sample"        -> ((s, d) => TrainingData.mixtureSample(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -497,5 +506,77 @@ object SparkEntry {
         |     i -> md5(array_to_string(words[i:i+4], ' '))), 'min')
         | END AS fingerprint
         |FROM w""".stripMargin,
+    // q42+: training-data curation. Determinism contract: every split/
+    // sample decision derives from md5-hex prefixes of the stable key, so
+    // the oracle replays the identical draw.
+    "q42_train_test_split" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |      THEN 'train' ELSE 'eval' END AS split
+        |FROM documents""".stripMargin,
+    "q43_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        | (CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+        |   - n_tokens) // 2048 AS pack_id
+        |FROM t""".stripMargin,
+    "q44_contamination" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |    i -> array_to_string(words[i:i+4], ' '))) AS g FROM w) t),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50),
+        |train AS (SELECT doc_id, g FROM sh WHERE doc_id >= 50),
+        |sz AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+        |hit AS (SELECT t.doc_id, count(*) AS n_shared
+        |  FROM train t JOIN bench b ON t.g = b.g GROUP BY t.doc_id)
+        |SELECT h.doc_id, h.n_shared, s.n_grams,
+        | CAST(h.n_shared AS DOUBLE) / s.n_grams AS ratio
+        |FROM hit h JOIN sz s ON s.doc_id = h.doc_id""".stripMargin,
+    "q45_normalize_text" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS clean
+        |  FROM documents)
+        |SELECT doc_id, md5(clean) AS clean_hash,
+        | length(text) - length(clean) AS removed_chars,
+        | len(regexp_split_to_array(clean, ' ')) AS n_tokens
+        |FROM c""".stripMargin,
+    "q46_range_join" ->
+      """SELECT err.event_id,
+        | CAST(count(e.event_id) AS BIGINT) AS n_after
+        |FROM events err LEFT JOIN events e
+        |  ON epoch_us(e.ts) > epoch_us(err.ts)
+        | AND epoch_us(e.ts) <= epoch_us(err.ts) + 300000000
+        |WHERE err.event_type = 'error'
+        |GROUP BY err.event_id""".stripMargin,
+    "q47_frequent_shingles" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS g FROM w) t)
+        |SELECT g AS shingle, count(*) AS df
+        |FROM sh GROUP BY g ORDER BY df DESC, g LIMIT 20""".stripMargin,
+    "q48_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang, CAST(row_number() OVER (
+        |  PARTITION BY lang
+        |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS BIGINT) AS r
+        |  FROM documents)
+        |SELECT doc_id, lang, r FROM r WHERE r <= 25""".stripMargin,
+    "q49_mixture_sample" ->
+      """WITH s AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT sum(cnt) AS total FROM s),
+        |rate AS (SELECT lang, 0.2 / (CAST(cnt AS DOUBLE) / total) AS rate FROM s, t),
+        |hx AS (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |  FROM documents)
+        |SELECT hx.doc_id, hx.lang, round(rate.rate, 6) AS rate
+        |FROM hx JOIN rate ON hx.lang = rate.lang
+        |WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096.0
+        |     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256.0
+        |     + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16.0
+        |     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) / 65536.0 < rate.rate""".stripMargin,
   )
 }

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Training-data curation operators (SURVEY.md §2.4, q42+): the pipeline
+  * steps between a raw 100 TB crawl and a training mixture — split
+  * assignment, sequence packing, benchmark decontamination, text
+  * normalization, boilerplate detection, stratified sampling, and mixture
+  * reweighting.
+  *
+  * Everything is deterministic (hash-derived randomness, never `rand()`):
+  * a split/sample decision must be reproducible run-to-run and engine-to-
+  * engine, or downstream evals are contaminated by membership drift. All
+  * hashes are md5-hex-prefix based so the DuckDB oracle can replay them
+  * exactly.
+  */
+object TrainingData {
+
+  /** Deterministic salted hash fraction in 16 bins per hex digit: the
+    * first 4 md5 hex digits of the key, compared lexicographically —
+    * equivalent to a 16-bit uniform draw, portable to any engine with
+    * md5. 'e666' ≈ 0.9 of the space.
+    */
+  private def hexKey(key: Column): Column = substring(md5(key.cast("string")), 1, 4)
+
+  /** q42: train/eval split assignment — THE canonical "never random"
+    * operator: membership is a pure function of the stable doc_id, so a
+    * re-run (or another engine) assigns identically, and joins against
+    * yesterday's split are exact. Shuffle-free: one projection over the
+    * scan.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        when(hexKey(col("doc_id")) < "e666", "train").otherwise("eval").as("split"),
+      )
+
+  /** q43: sequence packing — assign docs to fixed token-budget packs
+    * (the "fill 2048-token context windows" step before tokenizer
+    * sharding). Sequential fill in doc_id order within each source: pack
+    * id = exclusive-prefix-sum(tokens) div budget. One shuffle
+    * (partitioned window per source); at 100 TB sources are the natural
+    * pack shards and each packs independently — no global coordination,
+    * which is exactly why the pack key includes the source.
+    */
+  def sequencePacking(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      )
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).as("pack_id"),
+      )
+  }
+
+  /** q44: benchmark contamination check — which training docs share
+    * 5-shingles with the held-out benchmark set (stand-in: doc_id < 50)?
+    * Inverted-index join, same lossless candidate structure as d02: a
+    * training doc can only be contaminated if it shares a shingle, and
+    * the join is training-postings × DISTINCT benchmark grams (the small
+    * side — broadcastable at any corpus scale, since the benchmark is
+    * fixed-size while training grows). Shingles are 64-bit-hashed before
+    * the shuffle; `n_shared` counts distinct shared grams, so one
+    * benchmark doc repeating a gram doesn't inflate the score.
+    */
+  def contamination(spark: SparkSession, dir: String, benchBelow: Long = 50L): DataFrame = {
+    val postings = Shingles
+      .shingleRows(Tables.documents(spark, dir), 5)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      .distinct()
+    val benchGrams = postings.filter(col("doc_id") < benchBelow).select("g").distinct()
+    val train      = postings.filter(col("doc_id") >= benchBelow)
+    val sizes      = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    train
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_shared"),
+        col("n_grams"),
+        (col("n_shared").cast("double") / col("n_grams")).as("ratio"),
+      )
+  }
+
+  /** q45: text normalization — collapse whitespace, lowercase, and report
+    * the cleaned fingerprint + size delta. Pure per-row column
+    * expressions: shuffle-free, fully codegen'd, the shape every
+    * map-style cleaning pass should have.
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val clean = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(clean).as("clean_hash"),
+        (length(col("text")) - length(clean)).cast("long").as("removed_chars"),
+        size(split(clean, " ")).cast("long").as("n_tokens"),
+      )
+  }
+
+  /** PII redaction patterns (library form; the synthetic corpus carries
+    * no PII, so this is spec-tested on controlled inputs rather than
+    * driver-verified). Same per-row shuffle-free shape as
+    * [[normalizeText]]; patterns are RE2-compatible (no backrefs) so the
+    * identical regexes run on engines with either regex dialect.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    // order matters: the most specific pattern first — a bare ssn is also
+    // a valid phone-shaped digit run, so ssn must claim it before the
+    // phone pass sees the text
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ssn"   -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone" -> "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]",
+  )
+
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // each pattern counts and redacts the text AFTER earlier passes, so a
+    // span claimed by one category is never also counted by a later one
+    val (redacted, counts) =
+      piiPatterns.foldLeft((col(textCol), Seq.empty[(String, Column)])) {
+        case ((c, acc), (name, pat)) =>
+          val n = regexp_count(c, lit(pat)).cast("long")
+          (regexp_replace(c, pat, s"<$name>"), acc :+ (s"n_$name" -> n))
+      }
+    df.withColumns((("redacted" -> redacted) +: counts).toMap)
+  }
+
+  /** q46: time-range join — for every error event, how many events (any
+    * type) land in the 5 minutes after it (the "blast radius" query).
+    * The scalable shape: both sides bucketed to the range width, probe
+    * side exploded to (bucket, bucket+1), equi-join on the bucket, exact
+    * range predicate after — candidate pairs are bounded by events per
+    * 2×width window, never the O(n²) of a raw inequality join, and the
+    * join parallelizes on the bucket key. Errors with an empty window
+    * are kept (count 0) via the final left join.
+    */
+  def errorBlastRadius(spark: SparkSession, dir: String, widthUs: Long = 300L * 1000 * 1000): DataFrame = {
+    val events = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val probes = events
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("us"))
+    val bucketed = events.select(col("us").as("e_us"), floor(col("us") / widthUs).as("bucket"))
+    val counts = probes
+      .select(col("event_id"), col("us"), explode(array(lit(0L), lit(1L))).as("off"))
+      .withColumn("bucket", floor(col("us") / widthUs) + col("off"))
+      .join(bucketed, Seq("bucket"))
+      .filter(col("e_us") > col("us") && col("e_us") <= col("us") + widthUs)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_after"))
+    probes
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
+  /** q47: boilerplate detection — the corpus's most document-frequent
+    * 3-shingles (the headers/footers that poison near-dup thresholds at
+    * crawl scale). Distinct (doc, gram) then one map-side-combined
+    * count; top-k with a total tiebreak order so the result is
+    * deterministic.
+    */
+  def frequentShingles(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Shingles
+      .shingleRows(Tables.documents(spark, dir), 3)
+      .distinct()
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(k)
+
+  /** q48: stratified deterministic sample — k docs per language, chosen
+    * by hash rank (not `rand()`), so the sample is stable across runs
+    * and engines. One shuffle on the stratum key; rank ties broken by
+    * doc_id for full determinism.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, perStratum: Int = 25): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(hexKey(col("doc_id")), col("doc_id"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"), row_number().over(w).cast("long").as("r"))
+      .filter(col("r") <= perStratum)
+  }
+
+  /** q49: mixture reweighting — downsample over-represented languages to
+    * a uniform target share via per-stratum acceptance rates applied to
+    * the doc's hash draw. The acceptance test is `hash_frac <
+    * target/actual`, so strata at or under target keep everything and
+    * over-represented strata thin deterministically. Two tiny aggregates
+    * (per-stratum counts) + a broadcast join against the fact scan: the
+    * 100 TB shape, since strata stats are KBs regardless of corpus size.
+    */
+  def mixtureSample(spark: SparkSession, dir: String, targetShare: Double = 0.2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = docs
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+      .select(col("lang"), (lit(targetShare) / (col("cnt").cast("double") / col("total"))).as("rate"))
+    // 16-bit hash draw in [0,1): same digits the oracle reconstructs
+    val frac = (conv(hexKey(col("doc_id")), 16, 10).cast("double") / 65536.0)
+    docs
+      .join(broadcast(stats), Seq("lang"))
+      .filter(frac < col("rate"))
+      .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainingDataSpec extends SparkSpec {
+
+  test("q42 split is a total, deterministic partition of the corpus") {
+    val rows  = TrainingData.trainTestSplit(spark, sf).collect()
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == total, "every doc gets a split")
+    val again = TrainingData.trainTestSplit(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toMap ==
+      again.map(r => (r.getLong(0), r.getString(2))).toMap, "membership must be stable across runs")
+    val evalFrac = rows.count(_.getString(2) == "eval").toDouble / rows.length
+    assert(evalFrac > 0.02 && evalFrac < 0.3, s"~10% eval expected, got $evalFrac")
+  }
+
+  test("q43 packs are contiguous per source and respect the budget boundary") {
+    val rows = TrainingData.sequencePacking(spark, sf, budget = 2048).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_id")))
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._2)
+      // pack ids never decrease in fill order, and each pack STARTS below
+      // the budget (a doc may straddle the boundary; the next one opens a
+      // new pack)
+      assert(ordered.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      var cum = 0L
+      ordered.foreach { case (_, _, tok, pack) =>
+        assert(pack == cum / 2048, "pack id must be exclusive-prefix-sum div budget")
+        cum += tok
+      }
+    }
+  }
+
+  test("q44 contamination flags the planted near-dup partners of benchmark docs") {
+    val hits = TrainingData.contamination(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ratio")).toMap
+    // every d03 near-dup pair with one side in the benchmark (doc_id < 50)
+    // must surface its training-side partner with substantial overlap
+    val planted = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .collect { case (a, b) if a < 50 && b >= 50 => b }
+    assert(planted.nonEmpty, "corpus should plant at least one cross-split near-dup")
+    planted.foreach { b =>
+      assert(hits.get(b).exists(_ > 0.3), s"near-dup of a benchmark doc must be flagged: $b -> ${hits.get(b)}")
+    }
+    assert(hits.values.forall(r => r > 0.0 && r <= 1.0))
+  }
+
+  test("pii redaction scrubs emails/phones/ssns and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at jane.doe+x@corp.example.com or +1 (555) 123-4567 ok"),
+      (2L, "ssn 123-45-6789 inline"),
+      (3L, "nothing sensitive here"),
+    ).toDF("doc_id", "text")
+    val out = TrainingData.redactPii(df).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("redacted").contains("<email>"))
+    assert(out(1L).getAs[String]("redacted").contains("<phone>"))
+    assert(!out(1L).getAs[String]("redacted").contains("jane.doe"))
+    assert(out(1L).getAs[Long]("n_email") == 1L && out(1L).getAs[Long]("n_phone") == 1L)
+    assert(out(2L).getAs[String]("redacted") == "ssn <ssn> inline" && out(2L).getAs[Long]("n_ssn") == 1L)
+    assert(out(3L).getAs[String]("redacted") == "nothing sensitive here")
+    assert(out(3L).getAs[Long]("n_email") + out(3L).getAs[Long]("n_phone") + out(3L).getAs[Long]("n_ssn") == 0L)
+  }
+
+  test("q46 bucketed range join matches a brute-force inequality join") {
+    val fast = TrainingData.errorBlastRadius(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_after")).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val slow = ev.filter(col("event_type") === "error").as("p")
+      .join(ev.as("e"),
+        col("e.us") > col("p.us") && col("e.us") <= col("p.us") + 300000000L, "left")
+      .groupBy(col("p.event_id")).agg(count(col("e.event_id")).as("n"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n")).toMap
+    assert(fast == slow, "bucketed candidate generation must be lossless")
+  }
+
+  test("q48/q49 sampling is stratified and deterministic") {
+    val strat = TrainingData.stratifiedSample(spark, sf).collect()
+    val perLang = strat.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ <= 25))
+    val mix = TrainingData.mixtureSample(spark, sf).collect()
+    val langs = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val kept = mix.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    // under-represented strata keep everything (rate >= 1)
+    langs.filter { case (_, c) => c.toDouble / langs.values.sum <= 0.2 }.keys.foreach { l =>
+      assert(kept.getOrElse(l, 0) == langs(l), s"stratum $l at/below target must keep all docs")
+    }
+    // over-represented strata thin toward target (within hash noise)
+    langs.filter { case (_, c) => c.toDouble / langs.values.sum > 0.25 }.keys.foreach { l =>
+      assert(kept.getOrElse(l, 0) < langs(l), s"over-represented stratum $l must thin")
+    }
+  }
+}

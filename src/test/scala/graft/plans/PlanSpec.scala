@@ -90,4 +90,26 @@ class PlanSpec extends SparkSpec {
     // '*(n)' prefixes mark whole-stage-codegen stages in executedPlan.toString
     assert(p.contains("*(1) Project [graft_dot"), s"graft_dot not in a codegen stage:\n$p")
   }
+
+  test("q44: benchmark gram set broadcasts; training postings never shuffle-join it") {
+    val p = plan(graft.operators.TrainingData.contamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark grams must reach the training side as a broadcast semi-join:\n$p")
+  }
+
+  test("q46: range join runs on bucket keys — no cartesian/nested-loop pair generation") {
+    val p = plan(graft.operators.TrainingData.errorBlastRadius(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to all-pairs:\n$p")
+  }
+
+  test("q42/q45 cleaning passes are shuffle-free single-stage scans") {
+    Seq(
+      graft.operators.TrainingData.trainTestSplit(spark, sf),
+      graft.operators.TrainingData.normalizeText(spark, sf),
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"per-row cleaning pass must not shuffle:\n$p")
+    }
+  }
 }
