@@ -76,6 +76,11 @@ object GraftSession {
       new ExpressionInfo(classOf[graft.plans.DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => graft.plans.DotProduct(children(0), children(1)),
     )
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.plans.ShingleArray].getName, "graft_shingles"),
+      (children: Seq[Expression]) => graft.plans.ShingleArray(children(0), children(1)),
+    )
     spark.udf.register(
       "graft_wavg",
       org.apache.spark.sql.functions.udaf(new graft.functions.WeightedAvg),

@@ -248,6 +248,10 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .union(nodes.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")))
+    def hop(labels: DataFrame): DataFrame = edges
+      .join(labels.select(col("doc_id").as("doc_b"), col("label")), Seq("doc_b"))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min("label").as("label"))
     var labels  = nodes.withColumn("label", col("doc_id")).localCheckpoint(false)
     var changed = 1L
     var rounds  = 0
@@ -255,17 +259,16 @@ object Dedup {
       if (rounds >= maxRounds)
         throw new IllegalStateException(
           s"connectedComponents: no fixpoint after $maxRounds rounds (pathological component?)")
-      val next = edges
-        .join(labels.select(col("doc_id").as("doc_b"), col("label")), Seq("doc_b"))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min("label").as("label"))
-        .localCheckpoint(false)
+      // two hops per materialization: propagation is monotone (labels only
+      // ever decrease), so next == labels across a DOUBLE hop still implies
+      // a single-hop fixpoint — and the driver pays half the actions
+      val next = hop(hop(labels)).localCheckpoint(false)
       changed = next
         .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
         .filter(col("label") =!= col("prev"))
         .count()
       labels = next
-      rounds += 1
+      rounds += 2
     }
     labels
   }

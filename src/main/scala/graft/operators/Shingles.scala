@@ -11,21 +11,33 @@ import org.apache.spark.sql.functions._
   * expression (a full regex split of the document) once per shingle
   * position inside an interpreted lambda: O(L^2) per document, on the one
   * core that owns the scan task. Measured here: a single task pinned for
-  * 1100+ s on 5k docs.
+  * 1100+ s on 5k docs. The first fix (r1) exploded words and assembled
+  * shingles with `lead()` windows — O(L) but at the price of shuffling
+  * EVERY WORD of the corpus on doc_id before the first shingle exists.
   *
-  * This version explodes each word exactly once and assembles shingles
-  * with a sliding window frame, so the heavy pass is vectorized,
-  * whole-stage-codegen'd up to the window, and parallel across the
-  * `doc_id` shuffle — the formulation that survives 100 TB.
+  * r3 removes the shuffle entirely: [[graft.plans.ShingleArray]]
+  * (`graft_shingles(text, k)`) is a native codegen'd expression that
+  * splits once and joins adjacent words in one O(L) pass per row, so
+  * shingling is now a map-side projection on the scan — the formulation
+  * that survives 100 TB. The windowed form is kept below as the
+  * composed-operator reference; a PlanSpec case asserts the two are
+  * row-identical.
   */
 object Shingles {
 
-  /** One row per (doc_id, k-shingle). Docs with fewer than k words emit
-    * nothing. Shingles are assembled from k-1 `lead()` columns — scalar
-    * window reads, no per-row array allocation (a collect_list frame
-    * builds and copies an array per word).
+  /** One row per (doc_id, k-shingle), shuffle-free. Docs with fewer than
+    * k words emit nothing.
     */
-  def shingleRows(docs: DataFrame, k: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, k: Int): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(call_function("graft_shingles", col("text"), lit(k))).as("shingle"))
+
+  /** The r1 windowed formulation (explode words, `lead()` over a doc_id
+    * window): same rows as [[shingleRows]], one corpus-wide shuffle more.
+    * Kept as the parity reference for the native kernel.
+    */
+  def windowedShingleRows(docs: DataFrame, k: Int): DataFrame = {
     val w     = Window.partitionBy("doc_id").orderBy("pos")
     val leads = (1 until k).map(i => lead("word", i).over(w).as(s"w$i"))
     val parts = col("word") +: (1 until k).map(i => col(s"w$i"))

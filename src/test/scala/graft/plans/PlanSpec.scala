@@ -91,6 +91,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project [graft_dot"), s"graft_dot not in a codegen stage:\n$p")
   }
 
+  test("graft_shingles is row-identical to the windowed formulation and shuffle-free") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    for (k <- Seq(3, 5)) {
+      val native   = graft.operators.Shingles.shingleRows(docs, k)
+      val windowed = graft.operators.Shingles.windowedShingleRows(docs, k)
+      assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty,
+        s"k=$k shingle sets differ between native kernel and windowed reference")
+      val p = plan(native)
+      assert(!p.contains("Exchange"), s"native shingling must not shuffle:\n$p")
+      assert(p.contains("graft_shingles"), s"native expression missing from plan:\n$p")
+    }
+  }
+
   test("q44: benchmark gram set broadcasts; training postings never shuffle-join it") {
     val p = plan(graft.operators.TrainingData.contamination(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
