@@ -82,6 +82,7 @@ object SparkEntry {
     "q47_frequent_shingles"     -> ((s, d) => TrainingData.frequentShingles(GraftSession.tune(s), d)),
     "q48_stratified_sample"     -> ((s, d) => TrainingData.stratifiedSample(GraftSession.tune(s), d)),
     "q49_mixture_sample"        -> ((s, d) => TrainingData.mixtureSample(GraftSession.tune(s), d)),
+    "q50_dedup_corpus"          -> ((s, d) => Dedup.dedupedCorpus(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -566,6 +567,35 @@ object SparkEntry {
         |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS BIGINT) AS r
         |  FROM documents)
         |SELECT doc_id, lang, r FROM r WHERE r <= 25""".stripMargin,
+    // q50 composes d01's exact-keeper set with d06's recursive-CTE
+    // component labels: the surviving corpus is exact keepers minus
+    // near-dup cluster losers.
+    "q50_dedup_corpus" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |    i -> array_to_string(words[i:i+4], ' '))) AS g FROM w) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT ov.doc_a, ov.doc_b
+        |  FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b
+        |  WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5),
+        |e AS (SELECT doc_a, doc_b FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, label) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM e
+        |  UNION
+        |  SELECT e.doc_a, r.label FROM e JOIN reach r ON r.doc_id = e.doc_b),
+        |losers AS (SELECT doc_id FROM reach GROUP BY doc_id
+        |  HAVING doc_id <> min(label)),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |JOIN keepers k ON k.doc_id = d.doc_id
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "q49_mixture_sample" ->
       """WITH s AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
         |t AS (SELECT sum(cnt) AS total FROM s),

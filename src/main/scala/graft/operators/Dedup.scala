@@ -273,6 +273,25 @@ object Dedup {
     labels
   }
 
+  /** q50: the dedup end-product — the corpus view a training run actually
+    * reads: documents surviving BOTH exact dedup (d01: only the min-doc_id
+    * copy of each content hash) and near-dup clustering (d06: only each
+    * cluster's keeper). Two key-joins against the tiny keeper/non-keeper
+    * sets — at 100 TB the non-keeper list is the dedup pipeline's output
+    * artifact, broadcast or bucket-joined against the corpus scan.
+    */
+  def dedupedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exactKeepers = exact(spark, dir).select(col("keeper").as("doc_id"))
+    val nearDupLosers = dedupClusters(spark, dir)
+      .filter(!col("is_keeper"))
+      .select("doc_id")
+    docs
+      .join(exactKeepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** d05: embedding-cosine near-dup — random-hyperplane LSH buckets (8
     * deterministic hyperplanes), exact cosine verification inside buckets
     * only. Default threshold is calibrated to this corpus: the synthetic

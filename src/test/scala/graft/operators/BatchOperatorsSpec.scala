@@ -155,6 +155,19 @@ class DedupSpec extends SparkSpec {
       s"expected the lane guard to fire, got: $e")
   }
 
+  test("q50 deduped corpus keeps exactly one doc per near-dup cluster") {
+    val total    = graft.sources.Tables.documents(spark, sf).count()
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+    val losers   = clusters.count(!_.getAs[Boolean]("is_keeper"))
+    val surviving = Dedup.dedupedCorpus(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(surviving.size == total - losers, "survivors = corpus minus near-dup losers (no exact dups planted)")
+    clusters.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(surviving.contains(id) == r.getAs[Boolean]("is_keeper"),
+        s"doc $id survival must equal keeper status")
+    }
+  }
+
   test("d05 embedding near-dup: pairs exist, symmetric bound holds") {
     val rows = Dedup.embeddingNearDup(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -613,6 +613,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#82 streaming curation: normalize + quality-gate + dedup a live doc feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = CurationStream
+      .cleanDocs(input.toDF().toDF("doc_id", "ts", "text"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("curated").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("cur")).start()
+    try {
+      input.addData(
+        (1L, ts(0), "The Quick   Brown fox jumps over the dog"),
+        (2L, ts(1), "tiny"), // under the 5-token quality gate
+        (3L, ts(2), "  the quick brown FOX jumps over the dog "), // dup of 1 modulo case/ws
+        (4L, ts(3), "a genuinely different document with enough tokens"),
+      )
+      q.processAllAvailable()
+      val ids = spark.table("curated").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 4L), s"expected junk + near-line dup dropped, got $ids")
+      // a late re-send of doc 1's content within the watermark is still a dup
+      input.addData((5L, ts(4), "the quick brown fox jumps over the dog"))
+      q.processAllAvailable()
+      assert(spark.table("curated").collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L))
+      val row = spark.table("curated").collect().find(_.getAs[Long]("doc_id") == 1L).get
+      assert(row.getAs[String]("clean") == "the quick brown fox jumps over the dog")
+      assert(row.getAs[Long]("n_tokens") == 8L)
+    } finally q.stop()
+  }
+
   test("#31 changefeed file source reads Change records as a stream") {
     import spark.implicits._
     val srcDir = tmp("feedsrc")
