@@ -445,6 +445,37 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // s02's oracle replays the ENTIRE approximate computation: the
+    // deterministic sin-hyperplane bucket (same emulation d05's oracle
+    // uses), the 9-probe flip-one-bit expansion, and the in-bucket exact
+    // cosine top-k. Valid as a full equality check because every stage is
+    // a pure function of the data — "approximate" here means approximate
+    // RECALL vs s01 (covered by the recall spec), not nondeterminism.
+    "s02_ann_lsh" ->
+      ("""WITH b AS (SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+        |""".stripMargin
+        + (0 until 8).map { j =>
+          s"""  CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1),
+             |    k -> CAST(embedding[k] AS DOUBLE) * sin(${j * 131}.0 + (k - 1) * 0.7)), 'sum') > 0
+             |  THEN ${1 << j} ELSE 0 END""".stripMargin
+        }.mkString("", " +\n", " AS bucket\n")
+        + """  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket AS qb
+        |  FROM b WHERE vec_id < 10),
+        |probes AS (SELECT query_id, q_emb, q_norm,
+        |  unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8),
+        |          xor(qb, 16), xor(qb, 32), xor(qb, 64), xor(qb, 128)]) AS bucket FROM q),
+        |p AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(pr.q_emb[i] AS DOUBLE) * e.embedding[i]), 'sum')
+        |    / (pr.q_norm * e.norm), 6) AS sim6
+        | FROM b e JOIN probes pr ON e.bucket = pr.bucket AND e.vec_id <> pr.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim6, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
+        |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin),
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
         |  FROM embeddings WHERE vec_id < 10),
