@@ -445,6 +445,21 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // m01's oracle replays the deterministic stub decode byte-for-byte
+    // (payload = md5(text) bytes; stats/resize/frame-sample are pure
+    // functions of them). What stays stubbed is the codec itself; the
+    // column plumbing the query exercises is now equality-checked.
+    "m01_multimodal_pipeline" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |    (strpos('0123456789abcdef', substr(h, 2 * i + 1, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(h, 2 * i + 2, 1)) - 1)) AS bytes FROM h)
+        |SELECT doc_id,
+        | CAST(16 AS INTEGER) AS n_bytes,
+        | round(CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / 16, 4) AS avg_byte,
+        | CAST(8 AS INTEGER) AS thumb_bytes,
+        | CAST(4 AS INTEGER) AS n_frames
+        |FROM b""".stripMargin,
     // s02's oracle replays the ENTIRE approximate computation: the
     // deterministic sin-hyperplane bucket (same emulation d05's oracle
     // uses), the 9-probe flip-one-bit expansion, and the in-bucket exact

@@ -641,6 +641,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#85 incremental join view: upserts on both-live, retracts on either delete, minimal re-emits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val left  = MemoryStream[Change]
+    val right = MemoryStream[Change]
+    val q = JoinView
+      .materializeJoin(left.toDS(), right.toDS())
+      .toDF()
+      .writeStream.format("memory").queryName("joinview").outputMode(JoinView.outputMode)
+      .option("checkpointLocation", tmp("jv")).start()
+    try {
+      // left-only: no joined row yet
+      left.addData(Change("insert", 1L, ts(0), Map("l" -> "a"), seq = 1L))
+      q.processAllAvailable()
+      assert(spark.table("joinview").count() == 0, "half a pair must not join")
+      // right arrives: the pair joins
+      right.addData(Change("insert", 1L, ts(1), Map("r" -> "x"), seq = 1L))
+      q.processAllAvailable()
+      var rows = spark.table("joinview").collect()
+      assert(rows.length == 1 && rows.last.getAs[String]("op") == "upsert")
+      assert(rows.last.getAs[Map[String, String]]("l_payload") == Map("l" -> "a"))
+      assert(rows.last.getAs[Map[String, String]]("r_payload") == Map("r" -> "x"))
+      // left update re-emits the joined row with the new payload
+      left.addData(Change("update", 1L, ts(2), Map("l" -> "b"), seq = 2L))
+      q.processAllAvailable()
+      rows = spark.table("joinview").collect()
+      assert(rows.length == 2 && rows.last.getAs[Map[String, String]]("l_payload") == Map("l" -> "b"))
+      // a STALE left change (older position) changes nothing — no emission
+      left.addData(Change("update", 1L, ts(1), Map("l" -> "STALE"), seq = 0L))
+      q.processAllAvailable()
+      assert(spark.table("joinview").count() == 2, "stale change must not re-emit")
+      // right delete retracts the joined row
+      right.addData(Change("delete", 1L, ts(3), Map.empty, seq = 2L))
+      q.processAllAvailable()
+      rows = spark.table("joinview").collect()
+      assert(rows.length == 3 && rows.last.getAs[String]("op") == "delete")
+      // right re-insert joins again with the surviving left row
+      right.addData(Change("insert", 1L, ts(4), Map("r" -> "y"), seq = 3L))
+      q.processAllAvailable()
+      rows = spark.table("joinview").collect()
+      assert(rows.length == 4 && rows.last.getAs[String]("op") == "upsert")
+      assert(rows.last.getAs[Map[String, String]]("l_payload") == Map("l" -> "b"))
+      assert(rows.last.getAs[Map[String, String]]("r_payload") == Map("r" -> "y"))
+      // an unmatched key on one side never appears
+      right.addData(Change("insert", 2L, ts(5), Map("r" -> "solo"), seq = 4L))
+      q.processAllAvailable()
+      assert(spark.table("joinview").collect().forall(_.getAs[Long]("key") == 1L))
+    } finally q.stop()
+  }
+
   test("#31 changefeed file source reads Change records as a stream") {
     import spark.implicits._
     val srcDir = tmp("feedsrc")
