@@ -26,6 +26,9 @@ object GraftSession {
     */
   val staticTuning: Map[String, String] = Map(
     "spark.sql.codegen.cache.maxEntries" -> "4096",
+    // declarative registration of the native expressions: every session
+    // derived from this context (incl. newSession()) resolves them
+    "spark.sql.extensions" -> classOf[GraftExtensions].getName,
   )
 
   /** Configs applied to every graft session (driver mains + tests). */

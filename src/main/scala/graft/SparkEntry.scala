@@ -83,6 +83,8 @@ object SparkEntry {
     "q48_stratified_sample"     -> ((s, d) => TrainingData.stratifiedSample(GraftSession.tune(s), d)),
     "q49_mixture_sample"        -> ((s, d) => TrainingData.mixtureSample(GraftSession.tune(s), d)),
     "q50_dedup_corpus"          -> ((s, d) => Dedup.dedupedCorpus(GraftSession.tune(s), d)),
+    "q51_anomalies"             -> ((s, d) => Temporal.anomalies(GraftSession.tune(s), d)),
+    "q52_cohort_retention"      -> ((s, d) => Temporal.cohortRetention(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -613,6 +615,20 @@ object SparkEntry {
         |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS BIGINT) AS r
         |  FROM documents)
         |SELECT doc_id, lang, r FROM r WHERE r <= 25""".stripMargin,
+    "q51_anomalies" ->
+      """WITH s AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd, count(*) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.event_id, round(e.value, 2) AS value,
+        | round((e.value - s.mu) / s.sd, 2) AS z
+        |FROM events e JOIN s ON e.user_id = s.user_id
+        |WHERE s.n >= 10 AND s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3.0""".stripMargin,
+    "q52_cohort_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+        | count(*) AS n_users
+        |FROM d JOIN c ON d.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     // q50 composes d01's exact-keeper set with d06's recursive-CTE
     // component labels: the surviving corpus is exact keepers minus
     // near-dup cluster losers.

@@ -214,4 +214,41 @@ object Temporal {
     val w = Window.partitionBy("hour_start").orderBy(col("total").desc, col("user_id"))
     hourly.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
   }
+
+  /** q51: per-key anomaly detection — events whose value sits more than
+    * `sigmas` standard deviations from the key's own mean (the alerting
+    * query a changefeed monitor runs). One map-side-combined aggregate
+    * per key joined back to the fact scan; z is rounded at 2 decimals so
+    * both engines agree despite their different (numerically stable)
+    * variance recurrences.
+    */
+  def anomalies(spark: SparkSession, dir: String, sigmas: Double = 3.0): DataFrame = {
+    val stats = events(spark, dir)
+      .groupBy("user_id")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sd"), count(lit(1)).as("n"))
+      .filter(col("n") >= 10 && col("sd") > 0)
+    events(spark, dir)
+      .join(stats, Seq("user_id"))
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .filter(abs(col("z")) > sigmas)
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"), round(col("z"), 2).as("z"))
+  }
+
+  /** q52: cohort retention — users bucketed by first-activity day, counted
+    * distinct per (cohort day, day offset): the canonical product-analytics
+    * matrix. Day arithmetic stays in integral epoch days end-to-end; two
+    * shuffles total (first-day per user, then the cohort-cell count).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    // integral `div`, not floor(double /): epoch-us values sit near 2^50,
+    // where a double quotient can misround exactly at day boundaries
+    val byDay = events(spark, dir)
+      .select(col("user_id"), expr("tsu div 86400000000").as("day"))
+      .distinct()
+    val cohort = byDay.groupBy("user_id").agg(min("day").as("cohort_day"))
+    byDay
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }
