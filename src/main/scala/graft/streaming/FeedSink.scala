@@ -40,4 +40,24 @@ object FeedSink {
       .outputMode(CdcMaterializer.outputMode)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) => writeBatch(batch, batchId, feedDir) }
+
+  /** Time travel over the sink's own output: materialize the view's state
+    * as of `asOfBatch` (inclusive) by folding the retained batch
+    * partitions with the engine's `(ts_us, seq)` last-writer-wins order.
+    * `batch_id` is a partition column, so the `<= asOfBatch` predicate is
+    * PARTITION PRUNING — replaying to batch N reads only N+1 directories,
+    * never the whole feed history; tombstoned keys fold away. This is the
+    * changefeed trifecta closing: the sink's output is itself a feed the
+    * engine can re-materialize at any past point.
+    */
+  def stateAsOf(spark: org.apache.spark.sql.SparkSession, feedDir: String, asOfBatch: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key")
+      .orderBy(col("ts_us").desc, col("seq").desc, col("batch_id").desc)
+    spark.read.parquet(feedDir)
+      .filter(col("batch_id") <= asOfBatch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(col("key"), col("ts_us"), col("seq"), col("payload"))
+  }
 }

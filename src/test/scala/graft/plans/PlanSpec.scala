@@ -104,6 +104,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB a selective dimension filter should reach the fact scan as
+    // a runtime bloom filter; locally the size thresholds gate it off, so
+    // pin them to force the same decision the large cluster would make.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li  = graft.sources.Tables.lineitem(spark, sf)
+      val ord = graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey")).groupBy("o_orderpriority").count()
+      val p = plan(j)
+      assert(p.toLowerCase.contains("bloom") || p.contains("might_contain"),
+        s"no runtime bloom filter on the probe side:\n$p")
+      assert(j.collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q44: benchmark gram set broadcasts; training postings never shuffle-join it") {
     val p = plan(graft.operators.TrainingData.contamination(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

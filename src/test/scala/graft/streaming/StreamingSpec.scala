@@ -278,6 +278,26 @@ class StreamingSpec extends SparkSpec {
     assert(feed.filter(col("op") === "delete").count() == 1L)
   }
 
+  test("#37c stateAsOf time-travels the sink feed with batch-partition pruning") {
+    import spark.implicits._
+    val feedDir = tmp("feedtt")
+    def states(rows: (Long, Long, Long, Map[String, String], Boolean)*) =
+      rows.toDF("key", "tsUs", "seq", "payload", "deleted")
+    // batch 0: keys 1,2 live; batch 1: key 1 updated; batch 2: key 2 deleted
+    FeedSink.writeBatch(states((1L, 1000L, 1L, Map("v" -> "a"), false), (2L, 1500L, 2L, Map("v" -> "b"), false)), 0L, feedDir)
+    FeedSink.writeBatch(states((1L, 2000L, 3L, Map("v" -> "a2"), false)), 1L, feedDir)
+    FeedSink.writeBatch(states((2L, 3000L, 4L, Map.empty[String, String], true)), 2L, feedDir)
+    def snap(b: Long) = FeedSink.stateAsOf(spark, feedDir, b).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Map[String, String]]("payload")).toMap
+    assert(snap(0L) == Map(1L -> Map("v" -> "a"), 2L -> Map("v" -> "b")))
+    assert(snap(1L) == Map(1L -> Map("v" -> "a2"), 2L -> Map("v" -> "b")))
+    assert(snap(2L) == Map(1L -> Map("v" -> "a2")), "tombstone must fold key 2 away")
+    // the as-of predicate must prune batch partitions, not scan the history
+    val p = FeedSink.stateAsOf(spark, feedDir, 0L).queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("batch_id"),
+      s"as-of filter not pruning batch partitions:\n$p")
+  }
+
   test("#31b Kafka wire format round-trips Change records exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
