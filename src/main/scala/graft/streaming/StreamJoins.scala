@@ -27,4 +27,25 @@ object StreamJoins {
         purchases.withWatermark("p_ts", watermark),
         expr(s"s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + interval $horizon"),
       )
+
+  /** LEFT OUTER variant: every signup eventually emits — joined rows as
+    * matches arrive, and an unmatched signup with NULL purchase columns
+    * once the watermark passes its horizon (Spark can only then prove no
+    * match can still arrive; outer results are inherently
+    * watermark-delayed). This is the "did the user ever convert?"
+    * changefeed, including the negatives.
+    */
+  def purchaseAttributionOuter(
+      signups: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour",
+      watermark: String = "10 minutes",
+  ): DataFrame =
+    signups
+      .withWatermark("s_ts", watermark)
+      .join(
+        purchases.withWatermark("p_ts", watermark),
+        expr(s"s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + interval $horizon"),
+        "leftOuter",
+      )
 }

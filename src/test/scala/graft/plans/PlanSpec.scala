@@ -104,6 +104,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no driver query ever plans a CartesianProduct") {
+    // the blanket regression net over the whole contract: any join that
+    // loses its keys (or a broadcast hint) degrades to an all-pairs plan,
+    // which at 100 TB is an outage, not a slowdown
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB a selective dimension filter should reach the fact scan as
     // a runtime bloom filter; locally the size thresholds gate it off, so

@@ -452,6 +452,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#38b left-outer interval join emits unmatched signups after the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val signups   = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamJoins.purchaseAttributionOuter(
+      signups.toDF().toDF("s_user", "s_ts"),
+      purchases.toDF().toDF("p_user", "p_ts", "p_value"),
+      horizon = "1 hour", watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("attrib_outer").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ssjo")).start()
+    try {
+      signups.addData((7L, ts(0)), (8L, ts(0)))
+      purchases.addData((7L, ts(30), 9.99)) // user 7 converts; user 8 never does
+      q.processAllAvailable()
+      // push both watermarks far past signup + horizon so the engine can
+      // prove user 8 has no match left to wait for
+      signups.addData((99L, ts(300)))
+      purchases.addData((98L, ts(300), 1.0))
+      q.processAllAvailable()
+      signups.addData((97L, ts(600)))
+      purchases.addData((96L, ts(600), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer").collect()
+        .map(r => r.getAs[Long]("s_user") -> Option(r.getAs[Any]("p_value"))).toMap
+      assert(rows(7L).contains(9.99), "converted signup joins its purchase")
+      assert(rows.contains(8L) && rows(8L).isEmpty,
+        s"unconverted signup must emit with NULL purchase once provably unmatched: $rows")
+    } finally q.stop()
+  }
+
   test("coherence: streaming materializer == batch cdcLatestState on the same feed") {
     import spark.implicits._
     val sfDir = sf
