@@ -72,6 +72,26 @@ object CdcMaterializer {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  /** [[materialize]] bootstrapped from a batch snapshot — the
+    * backfill/catch-up path: the batch engine materializes history (q21),
+    * the streaming query starts FROM that state and applies only live
+    * changes. Stale-drop works against the bootstrapped positions, so a
+    * replayed change older than the snapshot's `(tsUs, seq)` is ignored
+    * exactly as if the stream had been running all along — the kappa
+    * handoff without reprocessing the feed's history.
+    */
+  def materializeFrom(
+      initial: Dataset[KeyState],
+      changes: Dataset[Change]): Dataset[KeyState] = {
+    implicit val stateEnc = Encoders.product[KeyState]
+    implicit val longEnc  = Encoders.scalaLong
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout(),
+        initial.groupByKey(_.key))(fold)
+  }
+
   /** [[fold]] plus tombstone expiry: a deleted key's state is only needed
     * to stale-drop stragglers, so once the event-time watermark passes
     * `delete ts + ttl` the tombstone is removed from the store — state

@@ -162,6 +162,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#32f bootstrapped materialization: stream continues from a batch snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the "batch history" snapshot: key 1 at t10, key 2 at t5
+    val snapshot = Seq(
+      KeyState(1L, CdcMaterializer.micros(ts(10)), 5L, Map("v" -> "hist1"), deleted = false),
+      KeyState(2L, CdcMaterializer.micros(ts(5)), 3L, Map("v" -> "hist2"), deleted = false),
+    ).toDS()
+    val input = MemoryStream[Change]
+    val q = CdcMaterializer
+      .materializeFrom(snapshot, input.toDS())
+      .toDF()
+      .writeStream.format("memory").queryName("boot").outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("boot")).start()
+    try {
+      input.addData(
+        // newer than the snapshot -> applies
+        Change("update", 1L, ts(20), Map("v" -> "live1"), seq = 6L),
+        // OLDER than the snapshot position -> must be stale-dropped
+        Change("update", 2L, ts(3), Map("v" -> "REPLAYED"), seq = 1L),
+        // key never in the snapshot -> plain insert
+        Change("insert", 3L, ts(21), Map("v" -> "new3"), seq = 7L),
+      )
+      q.processAllAvailable()
+      val state = spark.table("boot").collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Map[String, String]]("payload")))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(state(1L) == Map("v" -> "live1"), "live change newer than snapshot must win")
+      assert(state.get(2L).forall(_ == Map("v" -> "hist2")),
+        s"replayed pre-snapshot change must lose to bootstrapped state, got ${state.get(2L)}")
+      assert(state(3L) == Map("v" -> "new3"))
+    } finally q.stop()
+  }
+
   test("#33 watermarked tumbling aggregate finalizes closed windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
