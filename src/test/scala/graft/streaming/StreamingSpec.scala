@@ -332,6 +332,44 @@ class StreamingSpec extends SparkSpec {
       s"as-of filter not pruning batch partitions:\n$p")
   }
 
+  test("#37d restart continuity: state store survives stop/start, stale-drop holds across runs") {
+    import spark.implicits._
+    val srcDir  = tmp("restartsrc")
+    val feedDir = tmp("restartfeed")
+    val ck      = tmp("restartck")
+    def writeFeedFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(srcDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def run(): Unit = {
+      val q = FeedSink.writeChangefeed(
+        CdcMaterializer.materialize(ChangeFeed.readJsonDir(spark, srcDir).as[Change]).toDF(),
+        feedDir, ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFeedFile("f1.json", Seq(
+      """{"op":"insert","key":1,"ts":"2024-01-01T00:10:00.000Z","payload":{"v":"a"},"seq":1}""",
+      """{"op":"insert","key":2,"ts":"2024-01-01T00:20:00.000Z","payload":{"v":"b"},"seq":2}""",
+    ))
+    run() // first deployment processes f1, then STOPS
+    writeFeedFile("f2.json", Seq(
+      """{"op":"update","key":1,"ts":"2024-01-01T00:30:00.000Z","payload":{"v":"a2"},"seq":3}""",
+      // STALE update for key 2 (older than its state from run 1): only a
+      // state store that survived the restart can know to drop it
+      """{"op":"update","key":2,"ts":"2024-01-01T00:05:00.000Z","payload":{"v":"STALE"},"seq":0}""",
+    ))
+    run() // second deployment resumes from the checkpoint
+    val feed = spark.read.parquet(feedDir).collect()
+    // batch_id comes back as int: partition-directory values are inferred
+    val latest = feed.groupBy(_.getAs[Long]("key"))
+      .map { case (k, rs) => k -> rs.maxBy(_.getAs[Number]("batch_id").longValue) }
+    assert(latest(1L).getAs[Map[String, String]]("payload") == Map("v" -> "a2"),
+      "newer change after restart must apply")
+    assert(latest(2L).getAs[Map[String, String]]("payload") == Map("v" -> "b"),
+      "stale change after restart must lose to pre-restart state")
+    assert(!feed.exists(_.getAs[Map[String, String]]("payload") == Map("v" -> "STALE")))
+  }
+
   test("#31b Kafka wire format round-trips Change records exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
