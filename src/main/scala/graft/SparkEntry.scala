@@ -85,6 +85,7 @@ object SparkEntry {
     "q50_dedup_corpus"          -> ((s, d) => Dedup.dedupedCorpus(GraftSession.tune(s), d)),
     "q51_anomalies"             -> ((s, d) => Temporal.anomalies(GraftSession.tune(s), d)),
     "q52_cohort_retention"      -> ((s, d) => Temporal.cohortRetention(GraftSession.tune(s), d)),
+    "q53_grouping_sets"         -> ((s, d) => Relational.groupingSets(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -615,6 +616,14 @@ object SparkEntry {
         |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS BIGINT) AS r
         |  FROM documents)
         |SELECT doc_id, lang, r FROM r WHERE r <= 25""".stripMargin,
+    // q53: DuckDB's GROUPING() takes explicit columns; Spark's bare
+    // grouping_id() is the same bitmap over the GROUP BY columns in order.
+    "q53_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        | round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
     "q51_anomalies" ->
       """WITH s AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd, count(*) AS n
         |  FROM events GROUP BY user_id)

@@ -197,6 +197,24 @@ object Relational {
     r.intersectAll(a).exceptAll(n)
   }
 
+  /** q53: explicit GROUPING SETS — the general form ROLLUP (q16) and CUBE
+    * (q31) are sugar for: exactly the requested grouping combinations,
+    * one Expand over the scan, with `grouping_id` disambiguating which
+    * set a row belongs to (NULL flag keys from NULL data would otherwise
+    * collide). Exercised through the SQL surface, the only place Spark
+    * exposes arbitrary sets.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q53_orders")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping_id() AS BIGINT) AS gid,
+        |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM graft_q53_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |""".stripMargin)
+  }
+
   /** q15: conditional aggregation (pivot-by-CASE). */
   def statusPivot(spark: SparkSession, dir: String): DataFrame =
     Tables
