@@ -86,6 +86,13 @@ object SparkEntry {
     "q51_anomalies"             -> ((s, d) => Temporal.anomalies(GraftSession.tune(s), d)),
     "q52_cohort_retention"      -> ((s, d) => Temporal.cohortRetention(GraftSession.tune(s), d)),
     "q53_grouping_sets"         -> ((s, d) => Relational.groupingSets(GraftSession.tune(s), d)),
+    "q54_part_cooccurrence"     -> ((s, d) => Relational.partCooccurrence(GraftSession.tune(s), d)),
+    "q55_unpivot_metrics"       -> ((s, d) => Relational.unpivotMetrics(GraftSession.tune(s), d)),
+    "q56_mode_median"           -> ((s, d) => Relational.modeMedian(GraftSession.tune(s), d)),
+    "q57_window_navigation"     -> ((s, d) => Relational.windowNavigation(GraftSession.tune(s), d)),
+    "t06_repetition"            -> ((s, d) => TextAnalysis.repetition(GraftSession.tune(s), d)),
+    "t07_bigram_logprob"        -> ((s, d) => TextAnalysis.bigramLogprob(GraftSession.tune(s), d)),
+    "d07_dedup_incremental"     -> ((s, d) => Dedup.incrementalDedup(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -679,5 +686,92 @@ object SparkEntry {
         |     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256.0
         |     + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16.0
         |     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) / 65536.0 < rate.rate""".stripMargin,
+    "q54_part_cooccurrence" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q55_unpivot_metrics" ->
+      """WITH m AS (SELECT o_orderpriority, round(sum(o_totalprice), 2) AS sum_price,
+        |  round(avg(o_totalprice), 2) AS avg_price, CAST(count(*) AS DOUBLE) AS n_orders
+        | FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS metric_value FROM m
+        |UNION ALL SELECT o_orderpriority, 'avg_price', avg_price FROM m
+        |UNION ALL SELECT o_orderpriority, 'n_orders', n_orders FROM m""".stripMargin,
+    // q56: mode/median are engine builtins on BOTH sides, but with
+    // arrival-order tie-breaks — so the portable contract is count+rank
+    // with an explicit tiebreak and the percentile_disc cume_dist form.
+    "q56_mode_median" ->
+      """WITH m AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY n DESC, user_id) AS rn FROM m),
+        |cd AS (SELECT event_type, value, cume_dist() OVER (PARTITION BY event_type
+        |  ORDER BY value) AS cd FROM events),
+        |med AS (SELECT event_type, round(min(value), 4) AS median_value
+        |  FROM cd WHERE cd >= 0.5 GROUP BY 1)
+        |SELECT r.event_type, r.user_id AS mode_user, r.n AS mode_n, med.median_value
+        |FROM r JOIN med ON med.event_type = r.event_type WHERE r.rn = 1""".stripMargin,
+    "q57_window_navigation" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(first_value(o_totalprice) OVER w, 2) AS first_price,
+        | round(last_value(o_totalprice) OVER w, 2) AS last_price,
+        | round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price,
+        | round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+        |   AS share_of_customer
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "t06_repetition" ->
+      """WITH dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, w, count(*) AS n FROM dw GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, count(*) AS n_distinct_words,
+        |  max(n) AS top_word_n FROM h GROUP BY 1)
+        |SELECT doc_id, n_words, n_distinct_words, top_word_n,
+        | round(CAST(top_word_n AS DOUBLE) / n_words, 4) AS top_word_ratio,
+        | round(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 4) AS dup_ratio
+        |FROM a""".stripMargin,
+    "t07_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+        |  FROM documents),
+        |db AS (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+        |  i -> array_to_string(words[i:i+1], ' '))) AS b FROM w),
+        |f AS (SELECT b, count(*) AS bc FROM db GROUP BY b),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM db)
+        |SELECT db.doc_id, round(avg(log10(f.bc / t.total)), 4) AS avg_logprob,
+        | count(*) AS n_bigrams
+        |FROM db JOIN f ON db.b = f.b CROSS JOIN t
+        |GROUP BY db.doc_id""".stripMargin,
+    // d07: the oracle replays both tiers — corpus hash index for exact,
+    // new-batch x corpus posting join for near — and the same best-match
+    // tiebreak (jaccard DESC, corpus_doc ASC; the ratio is exact-int
+    // arithmetic, so cross-engine ordering is deterministic).
+    "d07_dedup_incremental" ->
+      """WITH nd AS (SELECT doc_id, text FROM documents WHERE source IN ('src18', 'src19')),
+        |cp AS (SELECT doc_id, text FROM documents WHERE source NOT IN ('src18', 'src19')),
+        |eh AS (SELECT n.doc_id, min(c.doc_id) AS exact_match
+        |  FROM nd n JOIN cp c ON md5(n.text) = md5(c.text) GROUP BY n.doc_id),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |    i -> array_to_string(words[i:i+4], ' '))) AS g FROM w) t),
+        |np AS (SELECT sh.doc_id, g FROM sh JOIN nd ON nd.doc_id = sh.doc_id),
+        |cpp AS (SELECT sh.doc_id, g FROM sh JOIN cp ON cp.doc_id = sh.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT np.doc_id, cpp.doc_id AS corpus_doc, count(*) AS common
+        |  FROM np JOIN cpp ON np.g = cpp.g GROUP BY 1, 2),
+        |j AS (SELECT ov.doc_id, ov.corpus_doc,
+        |   CAST(common AS DOUBLE) / (a.n + b.n - common) AS jac
+        |  FROM ov JOIN sz a ON a.doc_id = ov.doc_id JOIN sz b ON b.doc_id = ov.corpus_doc
+        |  WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5),
+        |best AS (SELECT doc_id, corpus_doc, jac,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, corpus_doc) AS rn FROM j)
+        |SELECT nd.doc_id,
+        | CASE WHEN eh.doc_id IS NOT NULL THEN 'exact_dup'
+        |      WHEN b.doc_id IS NOT NULL THEN 'near_dup' ELSE 'novel' END AS verdict,
+        | coalesce(eh.exact_match, b.corpus_doc) AS match_doc,
+        | CASE WHEN eh.doc_id IS NULL THEN round(b.jac, 4) END AS jaccard
+        |FROM nd LEFT JOIN eh ON eh.doc_id = nd.doc_id
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = nd.doc_id""".stripMargin,
   )
 }

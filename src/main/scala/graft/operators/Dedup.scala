@@ -292,6 +292,86 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** d07: incremental dedup — the shape dedup actually takes at 100 TB:
+    * the corpus is deduped ONCE, and each new crawl batch is checked
+    * against the existing index, paying cost proportional to the BATCH,
+    * never re-shuffling the corpus. The stand-in batch boundary is the
+    * source column (`newSources` = today's crawl).
+    *
+    * Verdict ladder per new doc: `exact_dup` (content hash already in the
+    * corpus hash index) > `near_dup` (word-5-shingle Jaccard >= threshold
+    * against some corpus doc) > `novel`. The near-dup check joins the new
+    * batch's postings against corpus postings FIRST SEMI-JOINED to the
+    * batch's gram set — the corpus side shrinks to grams the batch
+    * actually mentions before any wide join, so corpus-side cost is an
+    * index lookup, not a scan-shuffle. Corpus doc sizes (the Jaccard
+    * denominator) are computed only for candidate docs, as in d03. Best
+    * match = highest Jaccard, ties to the lowest corpus doc_id.
+    */
+  def incrementalDedup(
+      spark: SparkSession,
+      dir: String,
+      newSources: Seq[String] = Seq("src18", "src19"),
+      threshold: Double = 0.5,
+  ): DataFrame = {
+    val docs    = Tables.documents(spark, dir)
+    val isNew   = col("source").isin(newSources: _*)
+    val newDocs = docs.filter(isNew)
+    val corpus  = docs.filter(!isNew)
+    // exact tier: at scale this hash index is the standing artifact of the
+    // corpus's own d01 pass — one row per distinct content hash
+    val corpusHashes = corpus
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("exact_match"))
+    val exactHits = newDocs
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(corpusHashes, Seq("content_hash"))
+      .select(col("doc_id"), col("exact_match"))
+    // near tier: batch postings vs corpus postings restricted to the
+    // batch's grams (left_semi BEFORE the join — the incremental bound)
+    def postingsOf(d: DataFrame) = Shingles
+      .shingleRows(d, 5)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      .distinct()
+    val newPost    = postingsOf(newDocs)
+    val corpusPost = postingsOf(corpus)
+    val touched    = corpusPost.join(newPost.select("g").distinct(), Seq("g"), "left_semi")
+    val overlap = newPost
+      .as("x")
+      .join(touched.as("y"), Seq("g"))
+      .groupBy(col("x.doc_id").as("doc_id"), col("y.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("common"))
+    val newSizes = newPost.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+    val corpusSizes = corpusPost
+      .join(overlap.select(col("corpus_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_b"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("jaccard").desc, col("corpus_doc"))
+    val nearHits = overlap
+      .join(newSizes, Seq("doc_id"))
+      .join(corpusSizes.withColumnRenamed("doc_id", "corpus_doc"), Seq("corpus_doc"))
+      .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("corpus_doc").as("near_match"), col("jaccard"))
+    newDocs
+      .select(col("doc_id"))
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("novel")
+          .as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_doc"),
+        when(col("exact_match").isNull, round(col("jaccard"), 4)).as("jaccard"),
+      )
+  }
+
   /** d05: embedding-cosine near-dup — random-hyperplane LSH buckets (8
     * deterministic hyperplanes), exact cosine verification inside buckets
     * only. Default threshold is calibrated to this corpus: the synthetic

@@ -354,4 +354,96 @@ object Relational {
       .filter(col("total") > col("c_acctbal") * 10)
       .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"), round(col("total"), 2).as("total"))
   }
+
+  /** q54: part-pair co-occurrence (market-basket) — pairs of parts bought
+    * together in at least `minSupport` orders. The self-join is WITHIN the
+    * order key, so candidate pairs per order are bounded by C(lines, 2)
+    * (TPC-H orders carry <= 7 lines) — the blowup is a small constant per
+    * order, never corpus-quadratic, and the join parallelizes on the order
+    * key. DISTINCT (order, part) first so a part appearing on two lines of
+    * one order doesn't self-pair or double-count.
+    */
+  def partCooccurrence(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+    val lp = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    lp.as("a")
+      .join(lp.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minSupport)
+  }
+
+  /** q55: unpivot (wide -> long melt) — per-priority order metrics turned
+    * into (priority, metric, metric_value) rows via the native `unpivot`
+    * operator (a zero-shuffle generate over the aggregate, not a UNION of
+    * re-scans: the base aggregate is computed once).
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        round(avg("o_totalprice"), 2).as("avg_price"),
+        count(lit(1)).cast("double").as("n_orders"),
+      )
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("sum_price"), col("avg_price"), col("n_orders")),
+        "metric",
+        "metric_value",
+      )
+
+  /** q56: deterministic mode + discrete median per group. Spark's `mode()`
+    * (and DuckDB's) break frequency ties by arrival order — nondeterminism
+    * an engine contract can't carry — so mode is computed as count +
+    * rank with an explicit (count DESC, value ASC) tiebreak, and the
+    * discrete median as the smallest value whose cume_dist reaches 0.5
+    * (percentile_disc semantics). Both are one narrow shuffle on the group
+    * key; the mode count is map-side combined before the rank.
+    */
+  def modeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val wMode  = Window.partitionBy("event_type").orderBy(col("n").desc, col("user_id"))
+    val mode = events
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wMode))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("user_id").as("mode_user"), col("n").as("mode_n"))
+    val wMed = Window.partitionBy("event_type").orderBy("value")
+    val median = events
+      .select(col("event_type"), col("value"), cume_dist().over(wMed).as("cd"))
+      .filter(col("cd") >= 0.5)
+      .groupBy("event_type")
+      .agg(round(min("value"), 4).as("median_value"))
+    mode.join(median, Seq("event_type"))
+  }
+
+  /** q57: window navigation — first/last/nth_value over the full partition
+    * frame plus share-of-total (ratio_to_report), per customer order
+    * history. One shuffle on the partition key serves all four windows
+    * (same partitioning + ordering, so Catalyst plans a single Window
+    * node over one sort).
+    */
+  def windowNavigation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wSum = Window.partitionBy("o_custkey")
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        round(first("o_totalprice").over(w), 2).as("first_price"),
+        round(last("o_totalprice").over(w), 2).as("last_price"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"),
+        round(col("o_totalprice") / sum("o_totalprice").over(wSum), 6).as("share_of_customer"),
+      )
+  }
 }

@@ -100,4 +100,54 @@ object TextAnalysis {
       .documents(spark, dir)
       .select(col("doc_id"))
       .join(Shingles.md5MinFingerprint(Tables.documents(spark, dir), 5), Seq("doc_id"), "left")
+
+  /** t06: repetition scoring — per-document word-histogram statistics
+    * (distinct-word fraction, top-word share). High top-word share or a
+    * collapsed distinct fraction is the classic signature of degenerate
+    * model-generated or template text, a standard pre-training filter.
+    * Shape: explode -> groupBy(doc, word) -> groupBy(doc) — both
+    * aggregates map-side combine, so what shuffles is the per-doc word
+    * HISTOGRAM (bounded by vocabulary), not the corpus's word instances.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max("n").as("top_word_n"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_distinct_words"),
+        col("top_word_n"),
+        round(col("top_word_n") / col("n_words").cast("double"), 4).as("top_word_ratio"),
+        round(lit(1.0) - col("n_distinct_words") / col("n_words").cast("double"), 4).as("dup_ratio"),
+      )
+
+  /** t07: bigram log-probability — [[unigramLogprob]] lifted to word
+    * bigrams (a sharper fluency score: scrambled text keeps its unigram
+    * distribution but loses its bigrams). Bigrams come from the native
+    * shingle kernel, so the corpus-frequency model is built from a
+    * shuffle-free scan projection; the frequency table is broadcast back
+    * (vocabulary-sized — at web scale swap for a shuffle join, same note
+    * as t05).
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docBigrams = Shingles
+      .shingleRows(Tables.documents(spark, dir).withColumn("text", lower(col("text"))), 2)
+      .select(col("doc_id"), col("shingle").as("b"))
+    val totals = docBigrams.agg(count(lit(1)).cast("double").as("total"))
+    val freqs  = docBigrams.groupBy("b").agg(count(lit(1)).as("bc"))
+    docBigrams
+      .join(broadcast(freqs), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(round(avg(log10(col("bc") / col("total"))), 4).as("avg_logprob"), count(lit(1)).as("n_bigrams"))
+  }
 }

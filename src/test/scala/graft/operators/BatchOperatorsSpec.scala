@@ -56,6 +56,47 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getAs[Double]("p50") <= r.getAs[Double]("p90")))
   }
+
+  test("q54 co-occurrence: ordered pairs, support bound holds") {
+    val rows = Relational.partCooccurrence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("part_a") < r.getAs[Long]("part_b")))
+    assert(rows.forall(_.getAs[Long]("n_orders") >= 2))
+  }
+
+  test("q55 unpivot: 3 metric rows per priority, count metric matches") {
+    val rows = Relational.unpivotMetrics(spark, sf).collect()
+    val byPriority = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    assert(byPriority.values.forall(_.map(_.getAs[String]("metric")).sorted.toSeq
+      == Seq("avg_price", "n_orders", "sum_price")))
+    val total = rows.filter(_.getAs[String]("metric") == "n_orders")
+      .map(_.getAs[Double]("metric_value")).sum
+    assert(total == graft.sources.Tables.orders(spark, sf).count().toDouble)
+  }
+
+  test("q56 mode/median: one row per event type, mode is the true max count") {
+    val rows = Relational.modeMedian(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.length == rows.map(_.getAs[String]("event_type")).distinct.length)
+    val maxCounts = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type", "user_id").count()
+      .groupBy("event_type").agg(max("count").as("mx")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("mx")).toMap
+    rows.foreach(r => assert(r.getAs[Long]("mode_n") == maxCounts(r.getAs[String]("event_type"))))
+  }
+
+  test("q57 window navigation: shares sum to 1 per customer, first from the earliest order") {
+    val rows = Relational.windowNavigation(spark, sf).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { rs =>
+      val s = rs.map(_.getAs[Double]("share_of_customer")).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"shares must sum to ~1, got $s")
+      assert(rs.map(_.getAs[Double]("first_price")).distinct.length == 1)
+      assert(rs.map(_.getAs[Double]("last_price")).distinct.length == 1)
+      // second_price is null only for single-order customers
+      assert((rs.length >= 2) == !rs.head.isNullAt(rs.head.fieldIndex("second_price")))
+    }
+  }
 }
 
 class TemporalSpec extends SparkSpec {
@@ -254,6 +295,74 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.forall { r =>
       val f = r.getAs[String]("fingerprint"); f == null || f.matches("[0-9a-f]{32}")
     })
+  }
+
+  test("t06 repetition: histogram invariants hold for every doc") {
+    val rows = TextAnalysis.repetition(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n  = r.getAs[Long]("n_words")
+      val d  = r.getAs[Long]("n_distinct_words")
+      val t  = r.getAs[Long]("top_word_n")
+      assert(d >= 1 && d <= n && t >= 1 && t <= n)
+      assert(r.getAs[Double]("top_word_ratio") <= 1.0)
+      val dup = r.getAs[Double]("dup_ratio")
+      assert(dup >= 0.0 && dup < 1.0)
+    }
+    // the synthetic corpus draws ~50 words from a ~30-word vocab: heavy
+    // within-doc repetition is guaranteed, so the signal must be non-zero
+    assert(rows.count(_.getAs[Double]("dup_ratio") > 0.3) > 400)
+  }
+
+  test("t07 bigram logprob: one row per doc, n_bigrams = words - 1, scores negative") {
+    val bigrams = TextAnalysis.bigramLogprob(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val words = TextAnalysis.tokens(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ws_tokens")).toMap
+    assert(bigrams.size == words.count(_._2 >= 2))
+    bigrams.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_bigrams") == words(id) - 1)
+      assert(r.getAs[Double]("avg_logprob") < 0)
+    }
+  }
+}
+
+class IncrementalDedupSpec extends SparkSpec {
+  test("d07: every new-batch doc gets a verdict; near-dups carry a qualifying match") {
+    val rows = Dedup.incrementalDedup(spark, sf).collect()
+    assert(rows.length == 50, "one verdict per new-batch doc")
+    rows.foreach { r =>
+      r.getAs[String]("verdict") match {
+        case "novel" =>
+          assert(r.isNullAt(r.fieldIndex("match_doc")) && r.isNullAt(r.fieldIndex("jaccard")))
+        case "near_dup" =>
+          assert(!r.isNullAt(r.fieldIndex("match_doc")))
+          assert(r.getAs[Double]("jaccard") >= 0.5)
+        case "exact_dup" =>
+          assert(!r.isNullAt(r.fieldIndex("match_doc")) && r.isNullAt(r.fieldIndex("jaccard")))
+        case v => fail(s"unknown verdict $v")
+      }
+    }
+    // the planted near-dup pairs cross the batch boundary on this corpus
+    assert(rows.exists(_.getAs[String]("verdict") == "near_dup"))
+  }
+
+  test("d07 agrees with the batch-global pair set restricted to the boundary") {
+    import org.apache.spark.sql.functions.col
+    val newIds = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source").isin("src18", "src19"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // d03's verified global pair set, restricted to (new x corpus) pairs
+    val crossPairs = Dedup.minhashLsh(spark, sf).collect().flatMap { r =>
+      val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+      (newIds.contains(a), newIds.contains(b)) match {
+        case (true, false) => Some(a); case (false, true) => Some(b); case _ => None
+      }
+    }.toSet
+    val nearDups = Dedup.incrementalDedup(spark, sf).collect()
+      .filter(_.getAs[String]("verdict") == "near_dup").map(_.getAs[Long]("doc_id")).toSet
+    assert(nearDups == crossPairs,
+      s"incremental near-dups must equal the global pair set at the boundary: $nearDups vs $crossPairs")
   }
 }
 
