@@ -34,4 +34,21 @@ object CurationStream {
       .dropDuplicatesWithinWatermark("content_hash")
       .select("doc_id", "ts", "content_hash", "n_tokens", "clean")
   }
+
+  /** [[cleanDocs]] plus decontamination against the STANDING corpus: a
+    * stream-static LEFT ANTI join drops any arriving doc whose content
+    * hash the batch dedup pipeline already admitted (d01's hash index is
+    * exactly the static side). The static table is re-resolved per
+    * micro-batch, so republishing the index after each batch dedup run is
+    * picked up without restarting the stream. Within-stream recurrence is
+    * still handled by the watermark-bounded dedup — the anti join guards
+    * against the corpus, the dedup against the feed itself.
+    */
+  def cleanDocsAgainstCorpus(
+      docs: DataFrame,
+      corpusHashes: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      minTokens: Int = 5): DataFrame =
+    cleanDocs(docs, watermarkDelay, minTokens)
+      .join(corpusHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
 }

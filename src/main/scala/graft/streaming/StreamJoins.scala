@@ -48,4 +48,24 @@ object StreamJoins {
         expr(s"s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + interval $horizon"),
         "leftOuter",
       )
+
+  /** FULL OUTER variant: the symmetric completion — unmatched rows from
+    * BOTH sides emit with NULLs once the watermark proves no partner can
+    * arrive. Signups that never converted AND purchases with no preceding
+    * signup (organic/attribution-lost traffic) both appear, so the join's
+    * output is a complete account of both feeds.
+    */
+  def purchaseAttributionFullOuter(
+      signups: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour",
+      watermark: String = "10 minutes",
+  ): DataFrame =
+    signups
+      .withWatermark("s_ts", watermark)
+      .join(
+        purchases.withWatermark("p_ts", watermark),
+        expr(s"s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + interval $horizon"),
+        "fullOuter",
+      )
 }

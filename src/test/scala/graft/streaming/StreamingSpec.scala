@@ -595,6 +595,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#95c engine coherence: v2 transformWithState == v1 flatMapGroupsWithState on the full sf feed") {
+    import spark.implicits._
+    // both materializer generations fold the same real changefeed (the
+    // events snapshot through the file source); final state must be
+    // row-identical — the property that lets a deployment migrate the
+    // view between engines
+    val feedDir = tmp("v2cohfeed")
+    ChangeFeed
+      .fromEvents(graft.sources.Tables.events(spark, sf))
+      .select(to_json(struct(col("op"), col("key"), col("ts"), col("payload"), col("seq")),
+        ChangeFeed.wireOptions).as("value"))
+      .coalesce(1).write.mode("overwrite").text(feedDir)
+    def run(name: String, mk: org.apache.spark.sql.Dataset[Change] => org.apache.spark.sql.Dataset[KeyState]) = {
+      val q = mk(ChangeFeed.readJsonDir(spark, feedDir).as[Change])
+        .toDF()
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Update())
+        .option("checkpointLocation", tmp(s"${name}ck")).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name).collect()
+        .groupBy(_.getAs[Long]("key")).map { case (k, vs) =>
+          val r = vs.last
+          k -> (r.getAs[Long]("tsUs"), r.getAs[Long]("seq"),
+            r.getAs[Map[String, String]]("payload"), r.getAs[Boolean]("deleted"))
+        }
+    }
+    val v1 = run("coh_v1", CdcMaterializer.materialize)
+    val v2 = withRocksDb(run("coh_v2", ds => StateMaterializer.materialize(ds)))
+    assert(v1.nonEmpty && v1 == v2,
+      s"engines diverged on ${v1.keySet.union(v2.keySet).count(k => v1.get(k) != v2.get(k))} keys")
+  }
+
   test("#39d delete for a never-seen key parks no state in the view store") {
     import org.apache.spark.sql.streaming.TestGroupState
     val state = TestGroupState.create[Contribution](
@@ -811,6 +843,143 @@ class StreamingSpec extends SparkSpec {
       right.addData(Change("insert", 2L, ts(5), Map("r" -> "solo"), seq = 4L))
       q.processAllAvailable()
       assert(spark.table("joinview").collect().forall(_.getAs[Long]("key") == 1L))
+    } finally q.stop()
+  }
+
+  /** Runs `body` with the RocksDB state store provider (required by
+    * transformWithState), restoring the previous provider after.
+    */
+  private def withRocksDb[A](body: => A): A = {
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("#95 transformWithState materializer: upsert + stale-drop + delete (v1 contract)") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val q = StateMaterializer
+      .materialize(input.toDS())
+      .writeStream.format("memory").queryName("tws_state").outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("tws")).start()
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("v" -> "a"), seq = 1L),
+        Change("update", 1L, ts(10), Map("v" -> "b"), seq = 2L),
+        Change("insert", 2L, ts(5), Map("v" -> "x"), seq = 3L),
+      )
+      q.processAllAvailable()
+      input.addData(
+        Change("update", 1L, ts(3), Map("v" -> "STALE"), seq = 0L),
+        Change("delete", 2L, ts(20), Map.empty, seq = 4L),
+      )
+      q.processAllAvailable()
+      val state = spark.table("tws_state").collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Map[String, String]]("payload"), r.getAs[Boolean]("deleted")))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last }
+      assert(state(1L)._2 == Map("v" -> "b") && !state(1L)._3, "stale update must not win on v2 either")
+      assert(state(2L)._3, "key 2 must be a tombstone")
+    } finally q.stop()
+  } }
+
+  test("#95b v2 tombstone timers: expiry drops state; a livening re-insert cancels the timer") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val q = StateMaterializer
+      .materialize(input.toDS(), watermarkDelay = "1 second", tombstoneTtlMs = 1000L)
+      .toDF()
+      .writeStream.format("memory").queryName("tws_ttl").outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("twsttl")).start()
+    try {
+      // key 1: delete, then let the timer fire. key 2: delete, then
+      // re-insert BEFORE expiry — the timer must be cancelled.
+      input.addData(
+        Change("insert", 1L, ts(0), Map("v" -> "a"), seq = 1L),
+        Change("delete", 1L, ts(1), Map.empty, seq = 2L),
+        Change("insert", 2L, ts(0), Map("v" -> "b"), seq = 3L),
+        Change("delete", 2L, ts(1), Map.empty, seq = 4L),
+      )
+      q.processAllAvailable()
+      input.addData(Change("insert", 2L, ts(2), Map("v" -> "b2"), seq = 5L))
+      q.processAllAvailable()
+      // advance the watermark far past delete+ttl across two batches so
+      // key 1's timer fires (event-time mode filters late rows on input,
+      // so the purge MARKER emission is the observable proof of GC)
+      input.addData(Change("insert", 9L, ts(60), Map("v" -> "wm"), seq = 6L))
+      q.processAllAvailable()
+      input.addData(Change("insert", 9L, ts(120), Map("v" -> "wm2"), seq = 7L))
+      q.processAllAvailable()
+      val rows = spark.table("tws_ttl").collect()
+      def tombstones(k: Long) =
+        rows.count(r => r.getAs[Long]("key") == k && r.getAs[Boolean]("deleted"))
+      assert(tombstones(1L) == 2,
+        s"key 1 must emit delete + purge marker, got ${tombstones(1L)} tombstone rows")
+      assert(tombstones(2L) == 1,
+        s"key 2's livening re-insert must cancel its GC timer, got ${tombstones(2L)} tombstone rows")
+      val last2 = rows.filter(_.getAs[Long]("key") == 2L).last
+      assert(last2.getAs[Map[String, String]]("payload") == Map("v" -> "b2") && !last2.getAs[Boolean]("deleted"))
+    } finally q.stop()
+  } }
+
+  test("#38c full-outer interval join emits unmatched rows from BOTH sides") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val signups   = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamJoins.purchaseAttributionFullOuter(
+      signups.toDF().toDF("s_user", "s_ts"),
+      purchases.toDF().toDF("p_user", "p_ts", "p_value"),
+      horizon = "1 hour", watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("attrib_full").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ssjf")).start()
+    try {
+      signups.addData((7L, ts(0)), (8L, ts(0)))   // 7 converts, 8 never
+      purchases.addData((7L, ts(30), 9.99), (66L, ts(30), 5.0)) // 66 has no signup
+      q.processAllAvailable()
+      signups.addData((99L, ts(300)))
+      purchases.addData((98L, ts(300), 1.0))
+      q.processAllAvailable()
+      signups.addData((97L, ts(600)))
+      purchases.addData((96L, ts(600), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_full").collect()
+        .map(r => (Option(r.getAs[Any]("s_user")), Option(r.getAs[Any]("p_user")), Option(r.getAs[Any]("p_value"))))
+      assert(rows.exists { case (s, _, v) => s.contains(7L) && v.contains(9.99) },
+        "matched pair emits joined")
+      assert(rows.exists { case (s, p, _) => s.contains(8L) && p.isEmpty },
+        s"unconverted signup emits with NULL purchase side: ${rows.mkString(",")}")
+      assert(rows.exists { case (s, p, _) => s.isEmpty && p.contains(66L) },
+        s"signup-less purchase emits with NULL signup side: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("#96 streaming decontamination: corpus-known content is dropped at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the standing corpus index: d01-style content hashes of CLEANED text
+    val corpus = Seq("a document the corpus already has with enough tokens")
+      .toDF("clean").select(md5(col("clean")).as("content_hash"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = CurationStream
+      .cleanDocsAgainstCorpus(input.toDF().toDF("doc_id", "ts", "text"), corpus)
+      .writeStream.format("memory").queryName("decontam").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("dctm")).start()
+    try {
+      input.addData(
+        (1L, ts(0), "A Document  the corpus ALREADY has with enough tokens"), // known, modulo case/ws
+        (2L, ts(1), "a fresh document the corpus has never seen before"),
+        (3L, ts(2), "a fresh DOCUMENT the corpus has  never seen before"),    // stream-dup of 2
+      )
+      q.processAllAvailable()
+      val ids = spark.table("decontam").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(2L), s"corpus hit and stream dup must both be dropped, got $ids")
     } finally q.stop()
   }
 
