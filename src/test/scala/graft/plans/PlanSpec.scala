@@ -153,6 +153,40 @@ class PlanSpec extends SparkSpec {
       s"range join fell back to all-pairs:\n$p")
   }
 
+  test("d07: corpus postings are semi-joined down to the batch's grams; all joins keyed") {
+    val p = plan(graft.operators.Dedup.incrementalDedup(spark, sf))
+    assert(p.contains("LeftSemi"),
+      s"corpus side must shrink to the batch's gram set before the wide join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must never go all-pairs:\n$p")
+  }
+
+  test("q54: within-order self-join stays an equi-join (pair blowup bounded per order)") {
+    val p = plan(Relational.partCooccurrence(spark, sf))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"co-occurrence must join on the order key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"part pairing fell back to all-pairs:\n$p")
+  }
+
+  test("q55: unpivot plans as Expand over ONE aggregate — no per-metric re-scan") {
+    val df = Relational.unpivotMetrics(spark, sf)
+    val p  = plan(df)
+    assert(p.contains("Expand"), s"unpivot should plan an Expand generate:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"unpivot must not re-scan the source per metric:\n$p")
+  }
+
+  test("t06: repetition histogram aggregates partially before the shuffle") {
+    val p = plan(graft.operators.TextAnalysis.repetition(spark, sf))
+    // both groupBys get a map-side partial HashAggregate; what crosses the
+    // wire is the per-doc histogram, never raw word instances
+    assert("partial_count".r.findAllIn(p).nonEmpty || p.contains("Partial"),
+      s"word histogram must map-side combine:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"repetition should shuffle at most twice (histogram + doc rollup):\n$p")
+  }
+
   test("q42/q45 cleaning passes are shuffle-free single-stage scans") {
     Seq(
       graft.operators.TrainingData.trainTestSplit(spark, sf),
