@@ -93,6 +93,7 @@ object SparkEntry {
     "t06_repetition"            -> ((s, d) => TextAnalysis.repetition(GraftSession.tune(s), d)),
     "t07_bigram_logprob"        -> ((s, d) => TextAnalysis.bigramLogprob(GraftSession.tune(s), d)),
     "d07_dedup_incremental"     -> ((s, d) => Dedup.incrementalDedup(GraftSession.tune(s), d)),
+    "q58_diversity_sample"      -> ((s, d) => Similarity.diversitySample(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -773,5 +774,21 @@ object SparkEntry {
         | CASE WHEN eh.doc_id IS NULL THEN round(b.jac, 4) END AS jaccard
         |FROM nd LEFT JOIN eh ON eh.doc_id = nd.doc_id
         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = nd.doc_id""".stripMargin,
+    // q58: same sin-hyperplane bucket emulation as d05/s02's oracles, then
+    // the q48-style deterministic hash-rank draw inside each bucket.
+    "q58_diversity_sample" ->
+      ("""WITH b AS (SELECT vec_id, label,
+        |""".stripMargin
+        + (0 until 8).map { j =>
+          s"""  CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1),
+             |    k -> CAST(embedding[k] AS DOUBLE) * sin(${j * 131}.0 + (k - 1) * 0.7)), 'sum') > 0
+             |  THEN ${1 << j} ELSE 0 END""".stripMargin
+        }.mkString("", " +\n", " AS bucket\n")
+        + """  FROM embeddings),
+        |r AS (SELECT vec_id, label, bucket, CAST(row_number() OVER (
+        |  PARTITION BY bucket
+        |  ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 4), vec_id) AS BIGINT) AS r
+        |  FROM b)
+        |SELECT vec_id, label, bucket, r FROM r WHERE r <= 4""".stripMargin),
   )
 }

@@ -164,6 +164,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("cosine"), col("rn"))
   }
 
+  /** q58: embedding-diversity sample — pick `perBucket` vectors from each
+    * hyperplane-LSH region, so the sample spans the embedding space
+    * instead of oversampling its dense cores (the diversity step of data
+    * curation: near-duplicate regions contribute the same budget as
+    * sparse frontier regions). Selection within a bucket is hash-rank
+    * (deterministic, engine-portable) like q48; the bucket assignment is
+    * the same shuffle-free projection d05/s02 use, so the whole operator
+    * is one narrow shuffle on the bucket key.
+    */
+  def diversitySample(spark: SparkSession, dir: String, perBucket: Int = 4): DataFrame = {
+    val w = Window
+      .partitionBy("bucket")
+      .orderBy(substring(md5(col("vec_id").cast("string")), 1, 4), col("vec_id"))
+    withHyperplaneBucket(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"), col("bucket"), row_number().over(w).cast("long").as("r"))
+      .filter(col("r") <= perBucket)
+  }
+
   /** s03: embedding statistics per label (oracle-checked — the per-element
     * sum order matches DuckDB's list_aggregate exactly).
     */
