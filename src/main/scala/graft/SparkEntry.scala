@@ -94,6 +94,7 @@ object SparkEntry {
     "t07_bigram_logprob"        -> ((s, d) => TextAnalysis.bigramLogprob(GraftSession.tune(s), d)),
     "d07_dedup_incremental"     -> ((s, d) => Dedup.incrementalDedup(GraftSession.tune(s), d)),
     "q58_diversity_sample"      -> ((s, d) => Similarity.diversitySample(GraftSession.tune(s), d)),
+    "q59_sketch_rollup"         -> ((s, d) => Sketches.sketchRollup(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must

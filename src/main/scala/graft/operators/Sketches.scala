@@ -51,6 +51,13 @@ object Sketches {
         kll_sketch_get_quantile_double(col("value_kll"), lit(0.9)).as("p90_sketch"),
       )
 
+  /** q59 driver entry (rows-only: Datasketches estimates have no DuckDB
+    * twin — the spec asserts union≈direct≈exact instead): the all-time
+    * rollup computed purely from stored daily sketches.
+    */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame =
+    rollupFromSketches(dailySketches(spark, dir)).orderBy("event_type")
+
   /** The same answers sketched directly over the whole corpus — the
     * reference for the union-equals-whole property.
     */

@@ -80,8 +80,10 @@ object TextAnalysis {
     val docWords = Tables
       .documents(spark, dir)
       .select(col("doc_id"), explode(words(lower(col("text")))).as("w"))
-    val totals = docWords.agg(count(lit(1)).cast("double").as("total"))
     val freqs  = docWords.groupBy("w").agg(count(lit(1)).as("wc"))
+    // Corpus total = sum of the word counts already in `freqs` — exact, and
+    // spares a third full scan+explode of the documents.
+    val totals = freqs.agg(sum("wc").cast("double").as("total"))
     docWords
       .join(broadcast(freqs), Seq("w"))
       .crossJoin(broadcast(totals))
@@ -142,8 +144,8 @@ object TextAnalysis {
     val docBigrams = Shingles
       .shingleRows(Tables.documents(spark, dir).withColumn("text", lower(col("text"))), 2)
       .select(col("doc_id"), col("shingle").as("b"))
-    val totals = docBigrams.agg(count(lit(1)).cast("double").as("total"))
     val freqs  = docBigrams.groupBy("b").agg(count(lit(1)).as("bc"))
+    val totals = freqs.agg(sum("bc").cast("double").as("total"))
     docBigrams
       .join(broadcast(freqs), Seq("b"))
       .crossJoin(broadcast(totals))

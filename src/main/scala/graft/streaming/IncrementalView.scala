@@ -131,14 +131,10 @@ object IncrementalView {
     implicit val contribEnc = Encoders.product[Contribution]
     implicit val deltaEnc   = Encoders.product[GroupDelta]
     implicit val longEnc    = Encoders.scalaLong
-    // The global-watermark checker conservatively rejects ANY watermarked
-    // flatMapGroupsWithState feeding a stateful aggregation, assuming the
-    // downstream op might discard its emissions as late. Here that cannot
-    // happen: GroupDeltas carry NO event-time column, so the downstream
-    // aggregate is a plain keyed running total with no late-row filter —
-    // signed deltas are applied whenever they arrive. Safe to opt out.
-    changes.sparkSession.conf
-      .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // NOTE: starting this view trips the global-watermark correctness
+    // checker — wrap the `.start()` call in [[withRelaxedWatermarkCheck]]
+    // (which scopes the opt-out and restores the session conf) instead of
+    // disabling the checker session-wide.
     changes
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
@@ -147,6 +143,31 @@ object IncrementalView {
       .toDF()
       .groupBy(col("group").as(groupKey))
       .agg(sum("d_keys").as("n_changes"), sum("d_value").as("total_value"))
+  }
+
+  /** Starts a streaming query with the global-watermark correctness
+    * checker disabled, then RESTORES the previous session setting — the
+    * opt-out applies only to queries started inside `startQuery` (a
+    * streaming query snapshots the session conf at start), never to other
+    * streams on the shared session.
+    *
+    * Why the opt-out is sound for [[liveTotalsExpiring]]: the checker
+    * conservatively rejects ANY watermarked flatMapGroupsWithState feeding
+    * a stateful aggregation, assuming the downstream op might discard its
+    * emissions as late. Here that cannot happen: GroupDeltas carry NO
+    * event-time column, so the downstream aggregate is a plain keyed
+    * running total with no late-row filter — signed deltas are applied
+    * whenever they arrive.
+    */
+  def withRelaxedWatermarkCheck[T](spark: org.apache.spark.sql.SparkSession)(startQuery: => T): T = {
+    val key  = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try startQuery
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   val outputMode: OutputMode = OutputMode.Update()

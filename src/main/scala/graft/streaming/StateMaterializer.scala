@@ -25,13 +25,21 @@ import org.apache.spark.sql.streaming._
 class CdcStateProcessor(tombstoneTtlMs: Long)
     extends StatefulProcessor[Long, Change, KeyState] {
 
-  @transient private var state: ValueState[KeyState] = _
+  @transient private var state: ValueState[KeyState]   = _
+  @transient private var timerAt: ValueState[Long]      = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     // TTLConfig.NONE deliberately: a blanket value-state TTL would expire
     // LIVE keys that simply stopped changing — the wrong semantic for a
     // materialized view. Expiry is tombstone-only, via timers below.
     state = getHandle.getValueState("materialized", Encoders.product[KeyState], TTLConfig.NONE)
+    // Second NAMED state variable: the expiry this key's tombstone timer
+    // was armed at. The registered instant includes a watermark clamp, so
+    // it is not recomputable from KeyState alone — remembering it lets a
+    // livening re-insert disarm exactly that timer instead of range-scanning
+    // the timer column family (`listTimers`) on every batch.
+    timerAt = getHandle.getValueState("timerAt", Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(
       key: Long,
@@ -52,13 +60,18 @@ class CdcStateProcessor(tombstoneTtlMs: Long)
     cur match {
       case Some(s) =>
         state.update(s)
-        if (tombstoneTtlMs > 0L) {
-          // reset this key's expiry schedule to match its new state: a
-          // delete arms the GC timer, a livening update disarms it
-          getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-          if (s.deleted)
-            getHandle.registerTimer(
-              math.max(s.tsUs / 1000L + tombstoneTtlMs, timers.getCurrentWatermarkInMs + 1L))
+        // Timer work ONLY on tombstone transitions — the upsert-dominated
+        // hot path (live key stays live) never touches the timer CF.
+        if (tombstoneTtlMs > 0L && (s.deleted || timerAt.exists)) {
+          if (timerAt.exists) { // an old tombstone timer is armed: disarm it
+            getHandle.deleteTimer(timerAt.get())
+            timerAt.clear()
+          }
+          if (s.deleted) { // (re-)arm the GC timer for the new tombstone
+            val at = math.max(s.tsUs / 1000L + tombstoneTtlMs, timers.getCurrentWatermarkInMs + 1L)
+            getHandle.registerTimer(at)
+            timerAt.update(at)
+          }
         }
         Iterator.single(s)
       case None => Iterator.empty
@@ -80,6 +93,7 @@ class CdcStateProcessor(tombstoneTtlMs: Long)
       info: ExpiredTimerInfo): Iterator[KeyState] = {
     val last = if (state.exists) Iterator.single(state.get()) else Iterator.empty
     state.clear()
+    timerAt.clear()
     last
   }
 }

@@ -361,8 +361,11 @@ class IncrementalDedupSpec extends SparkSpec {
     }.toSet
     val nearDups = Dedup.incrementalDedup(spark, sf).collect()
       .filter(_.getAs[String]("verdict") == "near_dup").map(_.getAs[Long]("doc_id")).toSet
-    assert(nearDups == crossPairs,
-      s"incremental near-dups must equal the global pair set at the boundary: $nearDups vs $crossPairs")
+    // d07 verifies with EXACT Jaccard, d03 with LSH banding — LSH can only
+    // under-report (a borderline >=0.5 pair may miss every band), so assert
+    // containment, not equality: everything LSH found, d07 must find too.
+    assert(crossPairs.subsetOf(nearDups),
+      s"d03's boundary pairs must be contained in d07's near-dups: ${crossPairs.diff(nearDups)} missing")
   }
 }
 

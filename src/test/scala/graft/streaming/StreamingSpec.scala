@@ -686,10 +686,17 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Change]
-    val q = IncrementalView
-      .liveTotalsExpiring(input.toDS(), watermarkDelay = "1 second", tombstoneTtlMs = 1000L)
-      .writeStream.format("memory").queryName("liveview_ttl").outputMode(IncrementalView.outputMode)
-      .option("checkpointLocation", tmp("ivttl")).start()
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val q = IncrementalView.withRelaxedWatermarkCheck(spark) {
+      IncrementalView
+        .liveTotalsExpiring(input.toDS(), watermarkDelay = "1 second", tombstoneTtlMs = 1000L)
+        .writeStream.format("memory").queryName("liveview_ttl").outputMode(IncrementalView.outputMode)
+        .option("checkpointLocation", tmp("ivttl")).start()
+    }
+    // the opt-out is SCOPED: once the query is started, the shared session
+    // has its checker back — other streaming queries still get it
+    assert(spark.conf.get(checkKey) != "false",
+      "watermark correctness checker must be restored on the shared session")
     try {
       input.addData(
         Change("insert", 1L, ts(0), Map("event_type" -> "purchase", "value" -> "10.0"), seq = 1L),
