@@ -62,10 +62,12 @@ object SparkEntry {
     "d02_dedup_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(GraftSession.tune(s), d)),
     "d03_dedup_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(GraftSession.tune(s), d)),
     "d04_dedup_simhash"         -> ((s, d) => Dedup.simhash(GraftSession.tune(s), d)),
-    "d05_dedup_embedding"       -> ((s, d) => Dedup.embeddingNearDup(GraftSession.tune(s), d)),
+    // numPlanes pinned to 8: the DuckDB oracle emulates exactly these 8
+    // sin-hyperplanes (auto-sizing would pick 8 here anyway, n=500)
+    "d05_dedup_embedding"       -> ((s, d) => Dedup.embeddingNearDup(GraftSession.tune(s), d, numPlanes0 = 8)),
     "d06_dedup_clusters"        -> ((s, d) => Dedup.dedupClusters(GraftSession.tune(s), d)),
     "s01_ann_bruteforce"        -> ((s, d) => Similarity.annBruteForce(GraftSession.tune(s), d)),
-    "s02_ann_lsh"               -> ((s, d) => Similarity.annLsh(GraftSession.tune(s), d)),
+    "s02_ann_lsh"               -> ((s, d) => Similarity.annLsh(GraftSession.tune(s), d, numPlanes0 = 8)),
     "s03_embedding_stats"       -> ((s, d) => Similarity.embeddingStats(GraftSession.tune(s), d)),
     "s04_ann_ivf"               -> ((s, d) => Similarity.annIvf(GraftSession.tune(s), d)),
     "t01_langid"                -> ((s, d) => TextAnalysis.langId(GraftSession.tune(s), d)),

@@ -372,21 +372,49 @@ object Dedup {
       )
   }
 
-  /** d05: embedding-cosine near-dup — random-hyperplane LSH buckets (8
-    * deterministic hyperplanes), exact cosine verification inside buckets
-    * only. Default threshold is calibrated to this corpus: the synthetic
-    * embeddings are near-isotropic (max pairwise cosine ~0.51), so a
-    * real-world 0.8+ threshold would select nothing; 0.25 marks the top
-    * ~0.1% most-similar pairs.
+  /** d05: embedding-cosine near-dup — random-hyperplane LSH buckets,
+    * exact cosine verification inside buckets only. Default threshold is
+    * calibrated to this corpus: the synthetic embeddings are
+    * near-isotropic (max pairwise cosine ~0.51), so a real-world 0.8+
+    * threshold would select nothing; 0.25 marks the top ~0.1%
+    * most-similar pairs.
+    *
+    * SCALE GUARDS (in-bucket verify is all-pairs, so bucket size is the
+    * whole cost model — see [[Similarity.autoPlanes]] for the rule):
+    *  - `numPlanes0 = 0` sizes the plane count from the corpus so the
+    *    EXPECTED bucket stays ~1k vectors at any n (callers needing
+    *    DuckDB-oracle parity pin 8, identical to auto for n <= 256k);
+    *  - `maxBucket` is a hard cap on the REALIZED bucket: a skewed bucket
+    *    (mass at one pole of the hyperplanes) larger than the cap kills
+    *    the job with a `raise_error` naming the bucket, instead of
+    *    silently going quadratic — resize planes or pre-split the bucket.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.25): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.25,
+      numPlanes0: Int = 0, maxBucket: Long = 100000L): DataFrame = {
     import graft.functions.VectorFunctions.{dot, l2Norm}
+    val numPlanes =
+      if (numPlanes0 > 0) numPlanes0 else Similarity.autoPlanes(Tables.embeddings(spark, dir).count())
     // Norms computed once per vector, not once per pair (a pairwise
     // cosine() would evaluate three dot products per candidate).
     val bucketed = Similarity
-      .withHyperplaneBucket(Tables.embeddings(spark, dir))
+      .withHyperplaneBucket(Tables.embeddings(spark, dir), numPlanes)
       .withColumn("norm", l2Norm(col("embedding")))
-    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"), col("bucket"))
+    // Realized-bucket-size guard: <= 2^planes count rows, map-side
+    // combined, broadcast back; the raise_error lives in a filter so
+    // column pruning can never drop it.
+    val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    val a = bucketed
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"), col("bucket"))
+      .join(broadcast(counts), Seq("bucket"))
+      .filter(
+        when(col("bucket_n") > maxBucket,
+          raise_error(concat(
+            lit(s"d05: LSH bucket "), col("bucket"),
+            lit(s" holds "), col("bucket_n"),
+            lit(s" vectors (cap $maxBucket) — in-bucket verify would go quadratic; " +
+              s"raise numPlanes (currently $numPlanes) or pre-split the bucket"))))
+          .otherwise(lit(true)))
+      .drop("bucket_n")
     val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))

@@ -24,6 +24,24 @@ object Similarity {
     * a narrow, shuffle-free map. The previous posexplode+groupBy+join
     * formulation cost two shuffles for the same arithmetic.
     */
+  /** SIZING RULE for hyperplane-LSH bucketing: pick enough planes that the
+    * expected bucket holds ~`targetBucket` vectors — `planes =
+    * ceil(log2(n / targetBucket))`, clamped to [8, 30]. In-bucket work is
+    * all-pairs for near-dup (d05) and per-probe linear for ANN (s02), so
+    * bucket size, not corpus size, is what must stay constant as the
+    * corpus grows: 10^9 vectors at targetBucket=1024 → 20 planes → ~10^6
+    * buckets of ~10^3, keeping the d05 verify at ~10^6 * 10^6/2 pair evals
+    * instead of the 10^18/2 a fixed 256-bucket split would give.
+    * (8-plane floor keeps the small-corpus behavior identical to the
+    * DuckDB oracle's 8-plane emulation; 30-plane cap bounds the bucket id
+    * in an int.)
+    */
+  def autoPlanes(corpusSize: Long, targetBucket: Long = 1024L): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(30, math.max(8, needed))
+  }
+
   def withHyperplaneBucket(embeddings: DataFrame, numPlanes: Int = 8): DataFrame = {
     val bucket = (0 until numPlanes).map { j =>
       val s = aggregate(
@@ -67,8 +85,13 @@ object Similarity {
     * Probes live on the tiny broadcast query side (exploded BEFORE the
     * broadcast), so the corpus is still scanned exactly once.
     */
-  def annLsh(spark: SparkSession, dir: String, k: Int = 3, multiProbe: Boolean = true): DataFrame = {
-    val numPlanes = 8
+  def annLsh(spark: SparkSession, dir: String, k: Int = 3, multiProbe: Boolean = true,
+      numPlanes0: Int = 0): DataFrame = {
+    // numPlanes0 = 0 → size from the corpus per [[autoPlanes]] (the probe
+    // count grows with it: planes+1 probes at hamming distance <= 1).
+    // Callers needing oracle parity pin numPlanes0 = 8 explicitly.
+    val numPlanes =
+      if (numPlanes0 > 0) numPlanes0 else autoPlanes(Tables.embeddings(spark, dir).count())
     val bucketed = withHyperplaneBucket(Tables.embeddings(spark, dir), numPlanes)
       .withColumn("norm", l2Norm(col("embedding")))
     val probes =
@@ -140,6 +163,12 @@ object Similarity {
     * of fixed hyperplanes; nprobe=2 doubles the probed fraction and the
     * recall knob scales to any cluster (probe list lives on the tiny
     * broadcast query side; the corpus is scanned once).
+    *
+    * SIZING RULE (classic IVF): cells k ≈ sqrt(n) balances the two linear
+    * terms — per-query coarse scan (k centroids) vs per-probe cell scan
+    * (n/k vectors): 10^9 vectors → ~32k cells of ~32k. k=16 here matches
+    * the 500-vector test corpus (sqrt(500) ≈ 22); pass k explicitly when
+    * indexing a real corpus.
     */
   def annIvf(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
     val (cells, centroids) = ivfIndex(Tables.embeddings(spark, dir))

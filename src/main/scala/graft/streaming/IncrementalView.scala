@@ -13,6 +13,31 @@ case class Contribution(group: String, value: Double, tsUs: Long, seq: Long, liv
 /** Signed delta a micro-batch applies to one group of the derived view. */
 case class GroupDelta(group: String, d_keys: Long, d_value: Double)
 
+/** A key's contribution to a group changed: `live=true` (re)sets the key's
+  * value in the group, `live=false` removes it. A group move is two of
+  * these (remove from old, set in new).
+  */
+case class ContribChange(group: String, key: Long, value: Double, live: Boolean)
+
+/** One emitted change of a non-invertible-aggregate view ([[IncrementalView.liveExtremes]]):
+  * the group's current key count, min/max/sum of live values, and distinct
+  * value count. `min_value`/`max_value` are None when the group emptied.
+  */
+case class GroupExtremes(
+    group: String,
+    n_keys: Long,
+    min_value: Option[Double],
+    max_value: Option[Double],
+    total_value: Double,
+    n_distinct_values: Long)
+
+/** Stage-2 state for [[IncrementalView.liveExtremes]]: the group's live
+  * contributions BY KEY — the per-group keyed state that makes min/max
+  * retraction possible (subtracting is meaningless for an extremum; the
+  * group re-aggregates from this map when touched).
+  */
+case class GroupExtremesState(contribs: Map[Long, Double])
+
 /** Incrementally maintained derived views (SURVEY.md §2.3 #39) with FULL
   * retraction/delta semantics — the changefeed engine's defining concept:
   * a grouped aggregate view over the feed where an update MOVES a key's
@@ -35,10 +60,13 @@ object IncrementalView {
     * [[CdcMaterializer.fold]]), then emit the net signed delta between
     * the pre-batch and post-batch contribution, per affected group.
     */
-  def deltas(groupKey: String)(
-      key: Long,
+  /** Shared stage-1 fold: apply the batch to the key's [[Contribution]] in
+    * `(tsUs, seq)` order, update the store, and return the (pre-batch,
+    * post-batch) contributions for the caller to diff.
+    */
+  private def applyBatch(groupKey: String)(
       changes: Iterator[Change],
-      state: GroupState[Contribution]): Iterator[GroupDelta] = {
+      state: GroupState[Contribution]): (Option[Contribution], Option[Contribution]) = {
     val before = state.getOption
     var cur    = before
     changes.toSeq.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq)).foreach { c =>
@@ -62,6 +90,14 @@ object IncrementalView {
     // arriving later, re-adds the key; same class of tradeoff as tombstone
     // TTL expiry in CdcMaterializer.foldExpiring).
     cur.filter(c => c.live || before.nonEmpty).foreach(state.update)
+    (before, cur)
+  }
+
+  def deltas(groupKey: String)(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[Contribution]): Iterator[GroupDelta] = {
+    val (before, cur) = applyBatch(groupKey)(changes, state)
     // net deltas: retract the pre-batch contribution, add the new one;
     // groups whose net effect is zero emit nothing (untouched downstream)
     val net = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
@@ -95,6 +131,82 @@ object IncrementalView {
       }
       out
     }
+  }
+
+  /** Stage-1 fold for NON-INVERTIBLE views: same LWW apply as [[deltas]],
+    * but the emission is the key-level contribution change (who, which
+    * group, what value) rather than a pre-summed signed delta — min/max
+    * downstream needs to know WHICH contribution left, not just by how
+    * much the sum moved.
+    */
+  def contribChanges(groupKey: String)(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[Contribution]): Iterator[ContribChange] = {
+    val (before, cur) = applyBatch(groupKey)(changes, state)
+    (before.filter(_.live), cur.filter(_.live)) match {
+      case (Some(b), Some(a)) if b.group == a.group && b.value == a.value => Iterator.empty
+      case (Some(b), Some(a)) if b.group == a.group =>
+        Iterator.single(ContribChange(a.group, key, a.value, live = true))
+      case (Some(b), Some(a)) => // group move: remove from old, set in new
+        Iterator(ContribChange(b.group, key, 0.0, live = false),
+          ContribChange(a.group, key, a.value, live = true))
+      case (Some(b), None) => Iterator.single(ContribChange(b.group, key, 0.0, live = false))
+      case (None, Some(a)) => Iterator.single(ContribChange(a.group, key, a.value, live = true))
+      case (None, None)    => Iterator.empty
+    }
+  }
+
+  /** Stage-2 fold: maintain the group's per-key contribution map and
+    * RE-AGGREGATE the group when touched — the retraction strategy for
+    * aggregates where subtraction doesn't exist (min/max/count-distinct).
+    * Cost is O(live keys in the touched group) per batch, paid only by
+    * groups the batch touched; at 100 TB the state is sharded by group
+    * across executors and a group's map lives on exactly one shard.
+    * (A sorted-multiset state would cut the rescan to O(log n) per change;
+    * the map keeps the store layout trivial and the scan is mapPartitions-
+    * local — measure before complicating.)
+    */
+  def foldGroupExtremes(
+      group: String,
+      changes: Iterator[ContribChange],
+      state: GroupState[GroupExtremesState]): Iterator[GroupExtremes] = {
+    val before = state.getOption.map(_.contribs).getOrElse(Map.empty[Long, Double])
+    val after  = changes.foldLeft(before) { (m, c) =>
+      if (c.live) m + (c.key -> c.value) else m - c.key
+    }
+    if (after == before) Iterator.empty // batch net-cancelled: don't re-emit
+    else if (after.isEmpty) {
+      state.remove() // emptied group leaves the store entirely
+      Iterator.single(GroupExtremes(group, 0L, None, None, 0.0, 0L))
+    } else {
+      state.update(GroupExtremesState(after))
+      val vs = after.values
+      Iterator.single(GroupExtremes(
+        group, after.size.toLong, Some(vs.min), Some(vs.max), vs.sum, vs.toSet.size.toLong))
+    }
+  }
+
+  /** Live per-group min/max/sum/count-distinct over a Change stream with
+    * FULL retraction (SURVEY.md §2.3 #107) — the view a signed-delta fold
+    * cannot maintain: deleting the group's current maximum re-emits the
+    * next-best from the group's keyed state. Two chained stateful stages,
+    * both Append-mode (emissions are the view's changefeed): per-key LWW
+    * fold → per-group re-aggregation. Only groups a batch touches re-emit;
+    * untouched groups' state is never read.
+    */
+  def liveExtremes(changes: Dataset[Change], groupKey: String = "event_type"): Dataset[GroupExtremes] = {
+    implicit val contribEnc   = Encoders.product[Contribution]
+    implicit val changeEnc    = Encoders.product[ContribChange]
+    implicit val stateEnc     = Encoders.product[GroupExtremesState]
+    implicit val extremesEnc  = Encoders.product[GroupExtremes]
+    implicit val longEnc      = Encoders.scalaLong
+    implicit val stringEnc    = Encoders.STRING
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(contribChanges(groupKey))
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(foldGroupExtremes)
   }
 
   /** Live per-group aggregate over a Change stream, retraction-capable:

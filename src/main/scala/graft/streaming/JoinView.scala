@@ -97,4 +97,160 @@ object JoinView {
   }
 
   val outputMode: OutputMode = OutputMode.Append()
+
+  // ---------------------------------------------------------------------
+  // #108: GENERAL-KEY (foreign-key) incremental join view — facts keyed by
+  // their own PK carrying an FK in the payload, dims keyed by the FK's key
+  // space. The N:1 "orders ⋈ customers" shape [[materializeJoin]] cannot
+  // express (it requires both feeds to share key VALUES). Two chained
+  // keyed folds, the classic two-hop FK-join dataflow:
+  //   hop 1 (by fact PK): LWW-fold each fact and emit SUBSCRIPTION changes
+  //     keyed by the fact's CURRENT fk — an FK move unsubscribes the old
+  //     dim key and subscribes the new one;
+  //   hop 2 (by dim PK): hold the dim row (LWW) plus the subscribed fact
+  //     set, and diff the group's VISIBLE set (dim live × subscribed
+  //     facts) before/after the batch — a dim update fans out to every
+  //     subscribed fact, a dim delete retracts them all.
+  // Move semantics (same resolution as Kafka Streams' FK-join
+  // no-propagate instruction): the old group suppresses its retraction —
+  // the NEW group emits the authoritative change for the fact, a joined
+  // upsert if its dim is live or a tombstone if not (the tombstone may be
+  // redundant when the fact wasn't previously visible; redundant
+  // tombstones are idempotent downstream, stale rows would not be).
+  // ---------------------------------------------------------------------
+
+  /** Hop-1 state: the fact's latest row. */
+  case class FactState(tsUs: Long, seq: Long, fk: Long, payload: Map[String, String], live: Boolean)
+
+  /** Event routed to a dim-key group: a dim change (`kind="dim"`) or a
+    * fact (un)subscription (`kind="sub"/"unsub"`, `moved` marking FK-move
+    * legs whose retraction hop 2 must suppress).
+    */
+  case class FkEvent(fk: Long, kind: String, factKey: Long, op: String,
+      ts: java.sql.Timestamp, payload: Map[String, String], seq: Long, moved: Boolean)
+
+  /** Hop-2 state: the dim row plus subscribed fact payloads. */
+  case class FkState(dim: Option[SideState], facts: Map[Long, Map[String, String]])
+
+  /** One change of the FK-joined view's changefeed, keyed by FACT. */
+  case class FkJoinedChange(op: String, fact_key: Long, fk: Long,
+      fact_payload: Map[String, String], dim_payload: Map[String, String])
+
+  /** Hop-1 fold (by fact PK): LWW-apply the batch, then emit the net
+    * subscription change. A fact whose payload lacks a parseable fk is
+    * treated as unsubscribed (poison tolerance, same stance as
+    * IncrementalView's value parse).
+    */
+  def factSubs(fkField: String)(
+      factKey: Long,
+      changes: Iterator[Change],
+      state: GroupState[FactState]): Iterator[FkEvent] = {
+    def parseFk(p: Map[String, String]): Option[Long] =
+      p.get(fkField).flatMap(s => scala.util.Try(s.toLong).toOption)
+    val before = state.getOption
+    var cur    = before
+    changes.toSeq.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq)).foreach { c =>
+      val tsUs = CdcMaterializer.micros(c.ts)
+      if (!cur.exists(s => CdcMaterializer.isStale(s.tsUs, s.seq, tsUs, c.seq))) {
+        cur = c.op match {
+          case "delete" => Some(FactState(tsUs, c.seq, cur.map(_.fk).getOrElse(0L), Map.empty, live = false))
+          case _ =>
+            parseFk(c.payload) match {
+              case Some(fk) => Some(FactState(tsUs, c.seq, fk, c.payload, live = true))
+              case None     => Some(FactState(tsUs, c.seq, 0L, Map.empty, live = false))
+            }
+        }
+      }
+    }
+    cur.filter(c => c.live || before.nonEmpty).foreach(state.update)
+    val ats = new java.sql.Timestamp(cur.map(_.tsUs).getOrElse(0L) / 1000L)
+    val seq = cur.map(_.seq).getOrElse(0L)
+    (before.filter(_.live), cur.filter(_.live)) match {
+      case (Some(b), Some(a)) if b.fk == a.fk && b.payload == a.payload => Iterator.empty
+      case (Some(b), Some(a)) if b.fk == a.fk =>
+        Iterator.single(FkEvent(a.fk, "sub", factKey, "upsert", ats, a.payload, seq, moved = false))
+      case (Some(b), Some(a)) => // FK move: old group suppresses, new group owns the change
+        Iterator(
+          FkEvent(b.fk, "unsub", factKey, "delete", ats, Map.empty, seq, moved = true),
+          FkEvent(a.fk, "sub", factKey, "upsert", ats, a.payload, seq, moved = true))
+      case (Some(b), None) =>
+        Iterator.single(FkEvent(b.fk, "unsub", factKey, "delete", ats, Map.empty, seq, moved = false))
+      case (None, Some(a)) =>
+        Iterator.single(FkEvent(a.fk, "sub", factKey, "upsert", ats, a.payload, seq, moved = false))
+      case (None, None) => Iterator.empty
+    }
+  }
+
+  /** Hop-2 fold (by dim PK): apply dim changes (LWW) and subscription
+    * changes, then emit the difference between the group's visible joined
+    * set before and after the batch. Per-batch cost is O(subscribed facts)
+    * only when the DIM side changed; a fact-only batch touches just the
+    * facts it changed.
+    */
+  def foldFkGroup(fk: Long, events: Iterator[FkEvent], state: GroupState[FkState]): Iterator[FkJoinedChange] = {
+    val s0       = state.getOption.getOrElse(FkState(None, Map.empty))
+    var dim      = s0.dim
+    var facts    = s0.facts
+    val movedIn  = scala.collection.mutable.Set.empty[Long]
+    val movedOut = scala.collection.mutable.Set.empty[Long]
+    val evs      = events.toSeq
+    evs.filter(_.kind == "dim").sortBy(e => (CdcMaterializer.micros(e.ts), e.seq)).foreach { e =>
+      val tsUs = CdcMaterializer.micros(e.ts)
+      if (!dim.exists(s => CdcMaterializer.isStale(s.tsUs, s.seq, tsUs, e.seq)))
+        dim = Some(SideState(tsUs, e.seq,
+          if (e.op == "delete") Map.empty else e.payload, e.op == "delete"))
+    }
+    evs.filter(_.kind != "dim").foreach { e =>
+      if (e.kind == "sub") {
+        facts += (e.factKey -> e.payload)
+        if (e.moved) movedIn += e.factKey
+      } else {
+        facts -= e.factKey
+        if (e.moved) movedOut += e.factKey
+      }
+    }
+    val prevVisible: Map[Long, (Map[String, String], Map[String, String])] =
+      s0.dim.filter(!_.deleted).map(d => s0.facts.map { case (k, p) => k -> (p, d.payload) }).getOrElse(Map.empty)
+    val nowVisible: Map[Long, (Map[String, String], Map[String, String])] =
+      dim.filter(!_.deleted).map(d => facts.map { case (k, p) => k -> (p, d.payload) }).getOrElse(Map.empty)
+    if (facts.isEmpty && dim.isEmpty) state.remove() else state.update(FkState(dim, facts))
+    val upserts = nowVisible.iterator.collect {
+      case (k, (fp, dp)) if !prevVisible.get(k).contains((fp, dp)) =>
+        FkJoinedChange("upsert", k, fk, fp, dp)
+    }
+    val deletes = prevVisible.keysIterator.collect {
+      case k if !nowVisible.contains(k) && !movedOut.contains(k) =>
+        FkJoinedChange("delete", k, fk, Map.empty, Map.empty)
+    }
+    // moved-in fact with a dead dim: the old group stayed silent, so this
+    // group must tombstone the fact to evict any previously-visible row
+    val moveTombstones = movedIn.iterator.collect {
+      case k if !nowVisible.contains(k) => FkJoinedChange("delete", k, fk, Map.empty, Map.empty)
+    }
+    (upserts ++ deletes ++ moveTombstones).toSeq.sortBy(_.fact_key).iterator
+  }
+
+  /** Wire the two hops over a fact changefeed (own PK, fk in
+    * `payload(fkField)`) and a dim changefeed (keyed by the fk key space).
+    * Emissions are the joined view's changefeed keyed by fact — Append
+    * mode, composable downstream like [[materializeJoin]]'s.
+    */
+  def materializeFkJoin(
+      facts: Dataset[Change],
+      dims: Dataset[Change],
+      fkField: String = "fk"): Dataset[FkJoinedChange] = {
+    implicit val factStateEnc = Encoders.product[FactState]
+    implicit val fkEventEnc   = Encoders.product[FkEvent]
+    implicit val fkStateEnc   = Encoders.product[FkState]
+    implicit val joinedEnc    = Encoders.product[FkJoinedChange]
+    implicit val longEnc      = Encoders.scalaLong
+    val subs = facts
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(factSubs(fkField))
+    val dimEvents = dims.map(c => FkEvent(c.key, "dim", 0L, c.op, c.ts, c.payload, c.seq, moved = false))
+    subs
+      .union(dimEvents)
+      .groupByKey(_.fk)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(foldFkGroup)
+  }
 }

@@ -214,6 +214,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall { r => val c = r.getAs[Double]("cosine"); c >= 0.25 && c <= 1.0 })
   }
+
+  test("d05 auto plane sizing follows the log2(n/target) rule; auto == pinned-8 on this corpus") {
+    assert(Similarity.autoPlanes(500) == 8, "small corpus floors at the oracle's 8 planes")
+    assert(Similarity.autoPlanes(256L * 1024) == 8)
+    assert(Similarity.autoPlanes(1000000000L) == 20, "10^9 vectors -> ~10^6 buckets of ~10^3")
+    assert(Similarity.autoPlanes(Long.MaxValue) == 30, "plane count bounded to keep bucket an int")
+    // with n=500 the auto path picks 8 planes, so results are identical to
+    // the oracle-pinned call — CORRECTNESS coverage extends to the default
+    val auto   = Dedup.embeddingNearDup(spark, sf).collect().toSet
+    val pinned = Dedup.embeddingNearDup(spark, sf, numPlanes0 = 8).collect().toSet
+    assert(auto == pinned)
+  }
+
+  test("d05 bucket cap fails loudly instead of going quadratic") {
+    val e = intercept[Exception] {
+      Dedup.embeddingNearDup(spark, sf, numPlanes0 = 8, maxBucket = 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("in-bucket verify would go quadratic")),
+      s"expected the bucket-cap raise_error, got: ${messages(e).mkString(" | ")}")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

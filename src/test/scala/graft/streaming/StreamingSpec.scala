@@ -718,6 +718,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#107 liveExtremes: deleting the max re-emits next-best; untouched groups stay silent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val q = IncrementalView.liveExtremes(input.toDS())
+      .writeStream.format("memory").queryName("live_extremes").outputMode("append")
+      .option("checkpointLocation", tmp("ivext")).start()
+    def latest(g: String) = spark.table("live_extremes").collect()
+      .filter(_.getAs[String]("group") == g).last
+    def emissions(g: String) = spark.table("live_extremes").collect()
+      .count(_.getAs[String]("group") == g)
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("event_type" -> "a", "value" -> "5.0"), seq = 1L),
+        Change("insert", 2L, ts(0), Map("event_type" -> "a", "value" -> "9.0"), seq = 2L),
+        Change("insert", 3L, ts(0), Map("event_type" -> "a", "value" -> "7.0"), seq = 3L),
+        Change("insert", 4L, ts(0), Map("event_type" -> "b", "value" -> "1.0"), seq = 4L),
+      )
+      q.processAllAvailable()
+      assert(latest("a").getAs[Double]("max_value") == 9.0)
+      assert(latest("a").getAs[Long]("n_keys") == 3)
+      // delete the group's current MAXIMUM — the non-invertible case: no
+      // signed delta can produce 7; the group re-aggregates from keyed state
+      input.addData(Change("delete", 2L, ts(1), Map.empty, seq = 5L))
+      q.processAllAvailable()
+      val a2 = latest("a")
+      assert(a2.getAs[Double]("max_value") == 7.0, "next-best max must be re-emitted")
+      assert(a2.getAs[Double]("min_value") == 5.0 && a2.getAs[Long]("n_keys") == 2)
+      assert(a2.getAs[Double]("total_value") == 12.0)
+      assert(emissions("b") == 1, "untouched group must not re-emit")
+      // group move: key 3 leaves a (max drops to 5) and joins b
+      input.addData(Change("update", 3L, ts(2), Map("event_type" -> "b", "value" -> "2.0"), seq = 6L))
+      q.processAllAvailable()
+      val a3 = latest("a"); val b3 = latest("b")
+      assert(a3.getAs[Long]("n_keys") == 1 && a3.getAs[Double]("max_value") == 5.0)
+      assert(b3.getAs[Long]("n_keys") == 2 && b3.getAs[Double]("max_value") == 2.0
+        && b3.getAs[Double]("min_value") == 1.0 && b3.getAs[Long]("n_distinct_values") == 2)
+      // empty the group entirely: the emptied emission carries null extremes
+      input.addData(Change("delete", 1L, ts(3), Map.empty, seq = 7L))
+      q.processAllAvailable()
+      val a4 = latest("a")
+      assert(a4.getAs[Long]("n_keys") == 0 && a4.isNullAt(a4.fieldIndex("max_value")))
+    } finally q.stop()
+  }
+
   test("#68b SCD2 tombstone TTL: expired tombstone emits its final closed version") {
     import org.apache.spark.sql.streaming.TestGroupState
     def st(initial: Option[VersionedFeed.OpenVersion], timedOut: Boolean) =
@@ -850,6 +895,63 @@ class StreamingSpec extends SparkSpec {
       right.addData(Change("insert", 2L, ts(5), Map("r" -> "solo"), seq = 4L))
       q.processAllAvailable()
       assert(spark.table("joinview").collect().forall(_.getAs[Long]("key") == 1L))
+    } finally q.stop()
+  }
+
+  test("#108 FK join view: N:1 fan-out, dim-delete retraction, late dim, FK move") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val facts = MemoryStream[Change]
+    val dims  = MemoryStream[Change]
+    val q = JoinView
+      .materializeFkJoin(facts.toDS(), dims.toDS(), fkField = "custkey")
+      .toDF()
+      .writeStream.format("memory").queryName("fkjoin").outputMode("append")
+      .option("checkpointLocation", tmp("fkj")).start()
+    def rows() = spark.table("fkjoin").collect()
+    def rowsFor(k: Long) = rows().filter(_.getAs[Long]("fact_key") == k)
+    try {
+      // distinct key spaces: facts keyed 100.., dims keyed 10/20
+      dims.addData(Change("insert", 10L, ts(0), Map("name" -> "X"), seq = 1L))
+      facts.addData(
+        Change("insert", 100L, ts(0), Map("custkey" -> "10", "v" -> "a"), seq = 1L),
+        Change("insert", 101L, ts(0), Map("custkey" -> "10", "v" -> "b"), seq = 2L),
+        Change("insert", 102L, ts(0), Map("custkey" -> "20", "v" -> "c"), seq = 3L),
+      )
+      q.processAllAvailable()
+      // N:1 — both facts referencing dim 10 join; fact 102 waits (dim 20 absent)
+      assert(rowsFor(100L).map(_.getAs[String]("op")).toSeq == Seq("upsert"))
+      assert(rowsFor(100L).last.getAs[Map[String, String]]("dim_payload") == Map("name" -> "X"))
+      assert(rowsFor(101L).length == 1 && rowsFor(102L).isEmpty)
+      // late dim: fact 102's join materializes when dim 20 arrives
+      dims.addData(Change("insert", 20L, ts(1), Map("name" -> "Z"), seq = 2L))
+      q.processAllAvailable()
+      assert(rowsFor(102L).map(_.getAs[String]("op")).toSeq == Seq("upsert"))
+      // dim UPDATE fans out to every subscribed fact, and only to them
+      dims.addData(Change("update", 10L, ts(2), Map("name" -> "Y"), seq = 3L))
+      q.processAllAvailable()
+      assert(rowsFor(100L).length == 2 && rowsFor(101L).length == 2, "dim update must fan out")
+      assert(rowsFor(100L).last.getAs[Map[String, String]]("dim_payload") == Map("name" -> "Y"))
+      assert(rowsFor(102L).length == 1, "facts of other dims must not re-emit")
+      // FK MOVE: fact 100 re-points from dim 10 to dim 20 — one authoritative
+      // upsert from the new group, no spurious delete from the old one
+      facts.addData(Change("update", 100L, ts(3), Map("custkey" -> "20", "v" -> "a"), seq = 4L))
+      q.processAllAvailable()
+      val f100 = rowsFor(100L)
+      assert(f100.last.getAs[String]("op") == "upsert")
+      assert(f100.last.getAs[Long]("fk") == 20L)
+      assert(f100.last.getAs[Map[String, String]]("dim_payload") == Map("name" -> "Z"))
+      assert(!f100.map(_.getAs[String]("op")).contains("delete"), "move must not emit a stale retraction")
+      // dim DELETE retracts ALL its joined facts
+      dims.addData(Change("delete", 20L, ts(4), Map.empty, seq = 4L))
+      q.processAllAvailable()
+      assert(rowsFor(100L).last.getAs[String]("op") == "delete")
+      assert(rowsFor(102L).last.getAs[String]("op") == "delete")
+      assert(rowsFor(101L).last.getAs[String]("op") == "upsert", "dim 10's fact survives")
+      // fact delete retracts just that fact
+      facts.addData(Change("delete", 101L, ts(5), Map.empty, seq = 5L))
+      q.processAllAvailable()
+      assert(rowsFor(101L).last.getAs[String]("op") == "delete")
     } finally q.stop()
   }
 
