@@ -218,16 +218,37 @@ object Dedup {
     * runaway bound: hitting it raises rather than returning unconverged
     * labels.
     */
-  def dedupClusters(spark: SparkSession, dir: String, maxRounds: Int = 50): DataFrame = {
-    // Iterative algorithms must cut lineage before looping: without the
-    // checkpoint every round re-plans (and without exchange reuse,
-    // re-executes) the whole pair pipeline — measured 463 Exchange nodes
-    // in the 4-round plan vs ~10 after. Lazy local checkpoint: the pair
-    // list materializes once on first execution, every round reads the
-    // materialized blocks — exactly how you'd persist the edge list
-    // before iterating at 100 TB.
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).localCheckpoint(false)
-    val labels = connectedComponents(pairs, maxRounds)
+  /** Strategy for cutting lineage between fixpoint rounds — iterative
+    * algorithms must materialize each round's result or every round
+    * re-plans (and re-executes) the whole upstream pipeline.
+    */
+  type LineageCut = DataFrame => DataFrame
+
+  /** Executor-local blocks (lazy `localCheckpoint`): no distributed
+    * filesystem round-trip, the right cut for local mode and short loops.
+    * Tradeoff: an executor lost mid-loop loses its blocks and the job
+    * restarts the loop from a truncated (unrecomputable) lineage — fine
+    * single-JVM, wrong on a 1000-executor cluster.
+    */
+  val localCut: LineageCut = _.localCheckpoint(false)
+
+  /** Reliable checkpoint to `SparkContext.setCheckpointDir`'s HDFS/S3
+    * path: each round's labels survive executor loss, so a 100 TB
+    * fixpoint resumes instead of restarting. This is the cluster-side
+    * cut; callers must have set a checkpoint dir.
+    */
+  val reliableCut: LineageCut = _.checkpoint(false)
+
+  def dedupClusters(spark: SparkSession, dir: String, maxRounds: Int = 50,
+      cut: LineageCut = localCut): DataFrame = {
+    // Cut lineage before looping: without the checkpoint every round
+    // re-plans (and without exchange reuse, re-executes) the whole pair
+    // pipeline — measured 463 Exchange nodes in the 4-round plan vs ~10
+    // after. The cut is lazy: the pair list materializes once on first
+    // execution, every round reads the materialized blocks — exactly how
+    // you'd persist the edge list before iterating at 100 TB.
+    val pairs = cut(minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+    val labels = connectedComponents(pairs, maxRounds, cut)
     labels.select(col("doc_id"), col("label").as("cluster"), (col("doc_id") === col("label")).as("is_keeper"))
   }
 
@@ -236,7 +257,8 @@ object Dedup {
     * `(doc_id, label)` row per node with label = min node id in its
     * connected component.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
+      cut: LineageCut = localCut): DataFrame = {
     val nodes = pairs
       .select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
@@ -252,7 +274,7 @@ object Dedup {
       .join(labels.select(col("doc_id").as("doc_b"), col("label")), Seq("doc_b"))
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min("label").as("label"))
-    var labels  = nodes.withColumn("label", col("doc_id")).localCheckpoint(false)
+    var labels  = cut(nodes.withColumn("label", col("doc_id")))
     var changed = 1L
     var rounds  = 0
     while (changed > 0) {
@@ -262,7 +284,7 @@ object Dedup {
       // two hops per materialization: propagation is monotone (labels only
       // ever decrease), so next == labels across a DOUBLE hop still implies
       // a single-hop fixpoint — and the driver pays half the actions
-      val next = hop(hop(labels)).localCheckpoint(false)
+      val next = cut(hop(hop(labels)))
       changed = next
         .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
         .filter(col("label") =!= col("prev"))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** SQL surface: register every snapshot table as a temp view so the whole
   * engine is reachable from `spark.sql(...)` — the way a user of the
@@ -15,4 +15,17 @@ object Catalog {
 
   def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** STREAMING SQL surface (SURVEY.md §2.3 #109): register a live
+    * changefeed — or any streaming DataFrame, e.g. a
+    * [[graft.streaming.CdcMaterializer]] view — as a temp view, making it
+    * queryable with plain `spark.sql(...)` the way a changefeed-DB user
+    * expects. The SQL text compiles onto the STREAMING logical plan: the
+    * result is itself a streaming DataFrame (Catalyst plans SQL-over-
+    * stream and DataFrame-over-stream identically), started with
+    * `writeStream` like any other; watermarks and stateful semantics
+    * carry through unchanged.
+    */
+  def registerStream(stream: DataFrame, name: String): Unit =
+    stream.createOrReplaceTempView(name)
 }

@@ -41,6 +41,32 @@ object FeedSink {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) => writeBatch(batch, batchId, feedDir) }
 
+  /** Wire-format changefeed sink (SURVEY.md §2.3 #110) — the WRITE side of
+    * [[ChangeFeed.toWire]] driven by a streaming query. Each micro-batch
+    * of Change rows is serialized to the Kafka wire schema (binary key,
+    * binary JSON value) and written to its own `batch_id=<id>` partition
+    * with the same dynamic-overwrite idempotency as [[writeBatch]]: a
+    * replayed batch OVERWRITES itself, so downstream consumers of the
+    * wire feed never see a change twice. On a real deployment the parquet
+    * write swaps for a transactional Kafka producer — the (key, value)
+    * binary schema IS the producer-record schema, and the batch_id plays
+    * the producer transaction id's role.
+    */
+  def writeWireBatch(changes: DataFrame, batchId: Long, wireDir: String): Unit =
+    ChangeFeed.toWire(changes)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(wireDir)
+
+  def writeWire(changes: DataFrame, wireDir: String, checkpointDir: String): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) => writeWireBatch(batch, batchId, wireDir) }
+
   /** Time travel over the sink's own output: materialize the view's state
     * as of `asOfBatch` (inclusive) by folding the retained batch
     * partitions with the engine's `(ts_us, seq)` last-writer-wins order.

@@ -209,6 +209,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d06 reliable lineage cut (cluster-side) yields identical clusters to the local cut") {
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val local    = Dedup.dedupClusters(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val reliable = Dedup.dedupClusters(spark, sf, cut = Dedup.reliableCut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(reliable == local, "the cut strategy must not change the fixpoint")
+  }
+
   test("d05 embedding near-dup: pairs exist, symmetric bound holds") {
     val rows = Dedup.embeddingNearDup(spark, sf).collect()
     assert(rows.nonEmpty)
