@@ -97,6 +97,10 @@ object SparkEntry {
     "d07_dedup_incremental"     -> ((s, d) => Dedup.incrementalDedup(GraftSession.tune(s), d)),
     "q58_diversity_sample"      -> ((s, d) => Similarity.diversitySample(GraftSession.tune(s), d)),
     "q59_sketch_rollup"         -> ((s, d) => Sketches.sketchRollup(GraftSession.tune(s), d)),
+    "q60_weighted_sample"       -> ((s, d) => TrainingData.weightedSample(GraftSession.tune(s), d)),
+    "q61_zscore_outliers"       -> ((s, d) => Relational.zscoreOutliers(GraftSession.tune(s), d)),
+    "q62_salted_join"           -> ((s, d) => Relational.saltedRevenueByBrand(GraftSession.tune(s), d)),
+    "t08_tfidf"                 -> ((s, d) => TextAnalysis.tfidf(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -793,5 +797,39 @@ object SparkEntry {
         |  ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 4), vec_id) AS BIGINT) AS r
         |  FROM b)
         |SELECT vec_id, label, bucket, r FROM r WHERE r <= 4""".stripMargin),
+    // q60: Efraimidis–Spirakis exponential keys from the same 32-bit md5
+    // uniform Spark derives via conv(substr(md5, 1, 8), 16, 10)
+    "q60_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars, round(ekey, 6) AS ekey FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1.0)
+        |        / 4294967297.0) / n_chars AS ekey
+        |  FROM documents)
+        |ORDER BY ekey, doc_id LIMIT 64""".stripMargin,
+    "q61_zscore_outliers" ->
+      """WITH s AS (SELECT c_mktsegment, avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sigma
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_custkey, c.c_mktsegment, c_acctbal,
+        | round((c_acctbal - mu) / sigma, 4) AS zscore
+        |FROM customer c JOIN s ON c.c_mktsegment = s.c_mktsegment
+        |WHERE abs((c_acctbal - mu) / sigma) > 2.0""".stripMargin,
+    // q62: the salt changes partitioning, never results — the oracle is
+    // the PLAIN join the salted plan must agree with
+    "q62_salted_join" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "t08_tfidf" ->
+      """WITH dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM dw GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / df.df) AS score,
+        |  CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.term) AS BIGINT) AS rn
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, round(score, 4) AS score, rn FROM r WHERE rn <= 3""".stripMargin,
   )
 }

@@ -446,4 +446,53 @@ object Relational {
         round(col("o_totalprice") / sum("o_totalprice").over(wSum), 6).as("share_of_customer"),
       )
   }
+
+  /** q61: per-group z-score outliers — customers whose account balance
+    * sits more than `z` sample-stddevs from their market segment's mean.
+    * Two passes, neither a window over the corpus: a tiny per-segment
+    * moment aggregate (map-side combined, 5 rows) broadcast back over the
+    * scan — the 100 TB anomaly-flagging shape (segment stats are KBs at
+    * any corpus size).
+    */
+  def zscoreOutliers(spark: SparkSession, dir: String, z: Double = 2.0): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val stats = cust
+      .groupBy("c_mktsegment")
+      .agg(avg("c_acctbal").as("mu"), stddev_samp("c_acctbal").as("sigma"))
+    cust
+      .join(broadcast(stats), Seq("c_mktsegment"))
+      .withColumn("zscore", (col("c_acctbal") - col("mu")) / col("sigma"))
+      .filter(abs(col("zscore")) > z)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(col("zscore"), 4).as("zscore"))
+  }
+
+  /** q62: skew-salted join — the survival pattern for a sort-merge join
+    * whose fact key is skewed: the dim side is replicated `salts` ways
+    * and each fact row routes to one replica by a deterministic hash, so
+    * a hot key's rows spread over `salts` tasks instead of one straggler
+    * executor. The salt changes the PARTITIONING, never the RESULT: the
+    * oracle is the plain unsalted join. AQE's skew-join split handles
+    * mid-size skew on its own; explicit salting is the tool once a
+    * single key outgrows what one task can sort. (`merge` hint pins the
+    * SMJ path — broadcasting the dim would bypass the skew entirely,
+    * which is the right fix when the dim fits, and beside the point
+    * here.)
+    */
+  def saltedRevenueByBrand(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val fact = Tables
+      .lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)).as("salt"))
+    val dim = Tables
+      .part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+      .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+    fact
+      .join(dim.hint("merge"),
+        fact("l_partkey") === dim("p_partkey") && fact("salt") === dim("salt"))
+      .groupBy("p_brand")
+      .agg(round(sum("rev"), 2).as("revenue"), count(lit(1)).as("n_items"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -131,6 +132,33 @@ object TextAnalysis {
         round(col("top_word_n") / col("n_words").cast("double"), 4).as("top_word_ratio"),
         round(lit(1.0) - col("n_distinct_words") / col("n_words").cast("double"), 4).as("dup_ratio"),
       )
+
+  /** t08: TF-IDF top-k terms per document — the classic keyword/topic
+    * signal for corpus curation (a doc whose top terms are boilerplate
+    * tokens is template text; distinctive top terms mark topical
+    * content). `score = tf * ln(N / df)`; ties break by term so
+    * selection is engine-deterministic. Shuffle shape: per-doc term
+    * counts and the document-frequency table both map-side combine; the
+    * df table is vocabulary-sized and broadcast back (same web-scale
+    * swap note as t05); the only window sorts each doc's own terms.
+    */
+  def tfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df")) // tf rows are distinct (doc, term)
+    val w  = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), round(col("score"), 4).as("score"), col("rn"))
+  }
 
   /** t07: bigram log-probability — [[unigramLogprob]] lifted to word
     * bigrams (a sharper fluency score: scrambled text keeps its unigram

@@ -208,6 +208,29 @@ object TrainingData {
     * (per-stratum counts) + a broadcast join against the fact scan: the
     * 100 TB shape, since strata stats are KBs regardless of corpus size.
     */
+  /** q60: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * exponential keys): each doc draws `e = -ln(u) / w` with `u` a
+    * deterministic md5 uniform in (0,1] and weight `w` = n_chars; the k
+    * SMALLEST keys are the sample — provably equivalent to sequential
+    * weighted draws without replacement, and the standard way to bias a
+    * training sample toward long/high-quality documents reproducibly.
+    * The selection is `orderBy.limit(k)`, which Spark executes as
+    * per-partition top-k + a k-row merge (TakeOrderedAndProject) — never
+    * a global sort: the 100 TB shape for "pick 10k docs by weight".
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    // 32-bit md5 uniform, +1 so u is never 0 (ln(0) = -inf)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("double") + 1.0) /
+      lit(4294967297.0)
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (-log(u) / col("n_chars").cast("double")).as("ekey"))
+      .orderBy(col("ekey"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_chars"), round(col("ekey"), 6).as("ekey"))
+  }
+
   def mixtureSample(spark: SparkSession, dir: String, targetShare: Double = 0.2): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val stats = docs

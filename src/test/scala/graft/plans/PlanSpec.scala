@@ -187,6 +187,22 @@ class PlanSpec extends SparkSpec {
       s"repetition should shuffle at most twice (histogram + doc rollup):\n$p")
   }
 
+  test("q62: salted join partitions on (key, salt) through a sort-merge join") {
+    val p = plan(graft.operators.Relational.saltedRevenueByBrand(spark, sf))
+    assert(p.contains("SortMergeJoin"),
+      s"salting targets the SMJ path; broadcast would bypass the skew:\n$p")
+    // both Exchanges must carry the salt alongside the key — that's what
+    // spreads a hot key over `salts` tasks
+    assert("hashpartitioning\\([^)]*salt".r.findAllIn(p).length >= 2,
+      s"shuffle must partition on (key, salt), not key alone:\n$p")
+  }
+
+  test("q60: weighted sample is a distributed top-k, never a global sort") {
+    val p = plan(graft.operators.TrainingData.weightedSample(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy.limit must plan per-partition top-k + k-row merge:\n$p")
+  }
+
   test("q42/q45 cleaning passes are shuffle-free single-stage scans") {
     Seq(
       graft.operators.TrainingData.trainTestSplit(spark, sf),
