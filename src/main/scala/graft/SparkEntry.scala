@@ -101,6 +101,9 @@ object SparkEntry {
     "q61_zscore_outliers"       -> ((s, d) => Relational.zscoreOutliers(GraftSession.tune(s), d)),
     "q62_salted_join"           -> ((s, d) => Relational.saltedRevenueByBrand(GraftSession.tune(s), d)),
     "t08_tfidf"                 -> ((s, d) => TextAnalysis.tfidf(GraftSession.tune(s), d)),
+    "q63_merge_upsert"          -> ((s, d) => Temporal.mergeUpsert(GraftSession.tune(s), d)),
+    "q64_activity_streaks"      -> ((s, d) => Temporal.activityStreaks(GraftSession.tune(s), d)),
+    "q65_interval_merge"        -> ((s, d) => Temporal.coalesceIntervals(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -831,5 +834,47 @@ object SparkEntry {
         |    ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.term) AS BIGINT) AS rn
         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
         |SELECT doc_id, term, round(score, 4) AS score, rn FROM r WHERE rn <= 3""".stripMargin,
+    // q63: delta whose latest op is 'error' deletes the key; everything
+    // else is a plain full-outer coalesce of two pre-folded sides
+    "q63_merge_upsert" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu FROM events),
+        |m AS (SELECT (min(tsu) + max(tsu)) // 2 AS mid_us FROM e),
+        |s AS (SELECT user_id, event_type AS s_type, value AS s_value, tsu AS s_ts FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY tsu DESC, event_id DESC) AS rn
+        |  FROM e, m WHERE tsu <= mid_us) WHERE rn = 1),
+        |d AS (SELECT user_id, event_type AS d_type, value AS d_value, tsu AS d_ts FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY tsu DESC, event_id DESC) AS rn
+        |  FROM e, m WHERE tsu > mid_us) WHERE rn = 1)
+        |SELECT coalesce(s.user_id, d.user_id) AS user_id,
+        | coalesce(d_type, s_type) AS event_type,
+        | round(coalesce(d_value, s_value), 2) AS value,
+        | coalesce(d_ts, s_ts) AS ts_us,
+        | CASE WHEN d_type IS NULL THEN 'keep'
+        |      WHEN s_type IS NULL THEN 'insert' ELSE 'update' END AS action
+        |FROM s FULL JOIN d ON s.user_id = d.user_id
+        |WHERE d_type IS NULL OR d_type <> 'error'""".stripMargin,
+    "q64_activity_streaks" ->
+      """WITH bd AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island FROM bd),
+        |r AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks,
+        | CAST(sum(len) AS BIGINT) AS active_days
+        |FROM r GROUP BY user_id""".stripMargin,
+    "q65_interval_merge" ->
+      """WITH sp AS (SELECT o_custkey AS k, epoch_us(o_orderdate) // 86400000000 AS s,
+        |  epoch_us(o_orderdate) // 86400000000 + 30 AS e, o_orderkey AS okey FROM orders),
+        |x AS (SELECT k, s, e, okey, max(e) OVER (PARTITION BY k ORDER BY s, e, okey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM sp),
+        |y AS (SELECT k, s, e, okey,
+        |  CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM x),
+        |z AS (SELECT k, s, e, sum(ni) OVER (PARTITION BY k ORDER BY s, e, okey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM y),
+        |isl AS (SELECT k, island, min(s) AS st, max(e) AS en, count(*) AS n_orders
+        |  FROM z GROUP BY 1, 2)
+        |SELECT k AS custkey, count(*) AS n_spans,
+        | CAST(sum(en - st) AS BIGINT) AS covered_days,
+        | CAST(sum(n_orders) AS BIGINT) AS n_orders
+        |FROM isl GROUP BY k""".stripMargin,
   )
 }

@@ -234,6 +234,100 @@ object Temporal {
       .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"), round(col("z"), 2).as("z"))
   }
 
+  /** q63: MERGE INTO — apply a changefeed delta batch onto a snapshot.
+    * The snapshot is the q21-style latest state per key at the corpus
+    * midpoint; the delta batch is everything after, folded to its own
+    * latest change per key. The merge is ONE full-outer join on the key:
+    * a key only in the snapshot keeps its row (`keep`), a key only in the
+    * delta inserts (`insert`), a key in both takes the delta (`update`),
+    * and a delta whose latest op is `error` acts as a DELETE — the key
+    * drops from the merged state entirely.
+    *
+    * At 100 TB this is the nightly-compaction shape: both sides are
+    * pre-folded to one row per key (map-side-combined latest-state
+    * windows), so the merge join moves state-sized data, never
+    * feed-sized; with the snapshot bucketed by key the join is
+    * shuffle-free on that side.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev  = events(spark, dir)
+    val mid = ev.agg(expr("(min(tsu) + max(tsu)) DIV 2").as("mid_us"))
+    val w   = Window.partitionBy("user_id").orderBy(col("tsu").desc, col("event_id").desc)
+    def latest(df: DataFrame) =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val tagged = ev.crossJoin(broadcast(mid))
+    val snap = latest(tagged.filter(col("tsu") <= col("mid_us")))
+      .select(col("user_id"), col("event_type").as("s_type"), col("value").as("s_value"), col("tsu").as("s_ts"))
+    val delta = latest(tagged.filter(col("tsu") > col("mid_us")))
+      .select(col("user_id"), col("event_type").as("d_type"), col("value").as("d_value"), col("tsu").as("d_ts"))
+    snap
+      .join(delta, Seq("user_id"), "full_outer")
+      .filter(col("d_type").isNull || col("d_type") =!= "error")
+      .select(
+        col("user_id"),
+        coalesce(col("d_type"), col("s_type")).as("event_type"),
+        round(coalesce(col("d_value"), col("s_value")), 2).as("value"),
+        coalesce(col("d_ts"), col("s_ts")).as("ts_us"),
+        when(col("d_type").isNull, "keep")
+          .when(col("s_type").isNull, "insert")
+          .otherwise("update")
+          .as("action"),
+      )
+  }
+
+  /** q64: gaps-and-islands — longest run of CONSECUTIVE active days per
+    * user. Classic island id: for distinct (user, day) rows ordered by
+    * day, `day - row_number()` is constant within a consecutive run.
+    * Two shuffles (distinct, then the per-user window); the window sorts
+    * one row per active day, never raw events.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    events(spark, dir)
+      .select(col("user_id"), expr("tsu div 86400000000").as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(
+        max("len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum("len").as("active_days"),
+      )
+  }
+
+  /** q65: interval coalescing — merge overlapping validity spans into
+    * maximal islands. Each order opens a 30-day span
+    * `[orderdate, orderdate + 30)`; per customer, a span starts a new
+    * island iff it begins strictly after the running max end of all
+    * earlier spans (the exclusive-preceding `max(e)` window). One shuffle
+    * (the per-key window); island membership then folds with an ordinary
+    * running sum, and the per-customer rollup reuses the same partitioning.
+    */
+  def coalesceIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("k").orderBy(col("s"), col("e"), col("okey"))
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey").as("k"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("s"),
+        col("o_orderkey").as("okey"),
+      )
+      .withColumn("e", col("s") + 30)
+      .withColumn("pm", max("e").over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island", when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg(min("s").as("st"), max("e").as("en"), count(lit(1)).as("n_orders"))
+      .groupBy(col("k").as("custkey"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st")).as("covered_days"),
+        sum("n_orders").as("n_orders"),
+      )
+  }
+
   /** q52: cohort retention — users bucketed by first-activity day, counted
     * distinct per (cohort day, day offset): the canonical product-analytics
     * matrix. Day arithmetic stays in integral epoch days end-to-end; two
