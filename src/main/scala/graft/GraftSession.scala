@@ -88,5 +88,9 @@ object GraftSession {
       "graft_wavg",
       org.apache.spark.sql.functions.udaf(new graft.functions.WeightedAvg),
     )
+    spark.udf.register(
+      "graft_top3",
+      org.apache.spark.sql.functions.udaf(new graft.functions.TopK(3)),
+    )
   }
 }

@@ -104,6 +104,9 @@ object SparkEntry {
     "q63_merge_upsert"          -> ((s, d) => Temporal.mergeUpsert(GraftSession.tune(s), d)),
     "q64_activity_streaks"      -> ((s, d) => Temporal.activityStreaks(GraftSession.tune(s), d)),
     "q65_interval_merge"        -> ((s, d) => Temporal.coalesceIntervals(GraftSession.tune(s), d)),
+    "q66_topk_per_group"        -> ((s, d) => Relational.topPerSegment(GraftSession.tune(s), d)),
+    "d08_passage_dedup"         -> ((s, d) => Dedup.passageDedup(GraftSession.tune(s), d)),
+    "t09_bpe_pairs"             -> ((s, d) => Bpe.pairStats(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -876,5 +879,36 @@ object SparkEntry {
         | CAST(sum(en - st) AS BIGINT) AS covered_days,
         | CAST(sum(n_orders) AS BIGINT) AS n_orders
         |FROM isl GROUP BY k""".stripMargin,
+    // q66: the oracle is the window form the bounded aggregate replaces
+    "q66_topk_per_group" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |  FROM customer) WHERE rn <= 3""".stripMargin,
+    // d08: zipped unnests emulate Spark's posexplode(transform(sequence));
+    // keeper = first (doc_id, idx) occurrence of each passage
+    "d08_passage_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |w2 AS (SELECT doc_id, words, (len(words) + 7) // 8 AS nch FROM w),
+        |c AS (SELECT doc_id, nch, unnest(range(0, nch)) AS idx,
+        |  unnest(list_transform(range(0, nch),
+        |    i -> array_to_string(words[i*8+1 : i*8+8], ' '))) AS passage
+        |  FROM w2),
+        |k AS (SELECT doc_id, idx, passage, nch,
+        |  row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) AS rn FROM c)
+        |SELECT doc_id, string_agg(passage, ' ' ORDER BY idx) AS clean_text,
+        | count(*) AS n_kept, CAST(any_value(nch) - count(*) AS BIGINT) AS n_dropped
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    "t09_bpe_pairs" ->
+      """WITH wd AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
+        |wc AS (SELECT word, count(*) AS wn FROM wd GROUP BY word),
+        |p AS (SELECT unnest(list_transform(range(1, length(word)),
+        |    i -> substr(word, i, 2))) AS pair, wn
+        |  FROM wc WHERE length(word) >= 2),
+        |g AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS cnt FROM p GROUP BY pair)
+        |SELECT pair, cnt, rn FROM (SELECT pair, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rn FROM g)
+        |WHERE rn <= 20""".stripMargin,
   )
 }

@@ -16,6 +16,46 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** d08: passage-level dedup — boilerplate removal BELOW document
+    * granularity (the CCNet/RefinedWeb step exact doc-dedup can't do:
+    * shared headers/footers/navigation recur across otherwise-distinct
+    * pages). Documents are chunked into fixed `passageWords`-word
+    * passages; a passage is kept only at its first corpus occurrence
+    * (min (doc_id, idx) — deterministic keeper), and each document is
+    * reassembled from its surviving passages in order.
+    *
+    * Scale shape: chunking is a scan-side projection (no shuffle); the
+    * corpus-wide passage table groups by passage hash with map-side
+    * combine (duplicates collapse before the shuffle); reassembly groups
+    * by doc_id. Two shuffles total, both on keys with bounded groups —
+    * no window over the corpus, no join wider than passage→keeper.
+    */
+  def passageDedup(spark: SparkSession, dir: String, passageWords: Int = 8): DataFrame = {
+    val w = passageWords
+    val chunks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"),
+        expr(s"(size(words) + ${w - 1}) div $w").as("nch"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(words) + ${w - 1}) div $w - 1)," +
+          s" i -> array_join(slice(words, i * $w + 1, $w), ' '))")).as(Seq("idx", "passage")))
+    val keeper = chunks
+      .groupBy("passage")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
+    chunks
+      .join(keeper, Seq("passage"))
+      .filter(col("doc_id") === col("keep.doc_id") && col("idx") === col("keep.idx"))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("idx"), col("passage")))),
+            x => x.getField("passage"))).as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        (first("nch") - count(lit(1))).as("n_dropped"),
+      )
+  }
+
   /** d01: exact dedup via content hash — one map-side-combined groupBy. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables

@@ -467,6 +467,28 @@ object Relational {
         round(col("zscore"), 4).as("zscore"))
   }
 
+  /** q66: per-group top-k via the bounded [[graft.functions.TopK]]
+    * aggregate — top-3 customers by account balance per market segment.
+    * Unlike the q10/q30 window formulation (which sorts every raw row of
+    * every group under the rank), this shuffles only k-sized partial
+    * buffers: state per group is O(k) and the aggregate map-side
+    * combines, so per-group top-k over billions of rows moves
+    * groups×k data, not the corpus. The plan has NO Window node
+    * (asserted in PlanSpec).
+    */
+  def topPerSegment(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(expr("graft_top3(c_acctbal, c_custkey)").as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(
+        col("c_mktsegment"),
+        col("e.key").as("c_custkey"),
+        col("e.score").as("c_acctbal"),
+        (col("i") + 1).cast("long").as("rn"),
+      )
+
   /** q62: skew-salted join — the survival pattern for a sort-merge join
     * whose fact key is skewed: the dim side is replicated `salts` ways
     * and each fact row routes to one replica by a deterministic hash, so

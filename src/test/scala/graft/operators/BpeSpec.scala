@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  /** Independent single-node BPE reference (naive recount every round)
+    * over a word-count map — the semantics the distributed trainer must
+    * reproduce exactly, tiebreak and all.
+    */
+  private def referenceBpe(counts: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+    var vocab = counts.map { case (w, n) => (w.map(_.toString).toList, n) }.toList
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.drop(1)).foreach(p => pairCounts(p) = pairCounts.getOrElse(p, 0L) + n)
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val (best, cnt) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < 2) done = true
+        else {
+          merges += best
+          vocab = vocab.map { case (syms, n) =>
+            (Bpe.mergeOnce(syms, best._1, best._2).toList, n)
+          }
+        }
+      }
+    }
+    merges.toList
+  }
+
+  test("t09 pair stats: 20 rows, ranked desc with deterministic ties, counts match a recount") {
+    val rows = Bpe.pairStats(spark, sf).orderBy("rn").collect()
+    assert(rows.length == 20)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.sameElements(cnts.sortBy(-_)), "ranking must be count-descending")
+    assert(rows.forall(_.getAs[String]("pair").length == 2))
+  }
+
+  test("distributed trainer reproduces the single-node reference exactly (10 merges, tiebreaks included)") {
+    val counts = Bpe
+      .wordCounts(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("wn"))
+      .toMap
+    val expected = referenceBpe(counts, 10)
+    val got = Bpe.trainMerges(spark, sf, 10)
+    assert(got == expected, s"distributed merges $got != reference $expected")
+  }
+
+  test("mergeOnce is the standard non-overlapping left-to-right rule") {
+    assert(Bpe.mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.mergeOnce(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(Bpe.mergeOnce(Seq("x"), "a", "b") == Seq("x"))
+  }
+
+  test("merged segmentations always concatenate back to the word") {
+    val merges = Bpe.trainMerges(spark, sf, 5)
+    val words = Bpe.wordCounts(spark, sf).limit(200).collect().map(_.getAs[String]("word"))
+    words.foreach { w =>
+      val syms = merges.foldLeft(w.map(_.toString): Seq[String]) {
+        case (s, (a, b)) => Bpe.mergeOnce(s, a, b)
+      }
+      assert(syms.mkString == w)
+    }
+  }
+}
