@@ -127,9 +127,54 @@ class TemporalSpec extends SparkSpec {
     val totalCounted = Temporal.slidingWindow(spark, sf).agg(sum("n")).collect()(0).getLong(0)
     assert(totalCounted == 2 * nEvents)
   }
+
+  test("q63 merge: one row per surviving key; error-latest keys are deleted; actions partition the keys") {
+    val rows = Temporal.mergeUpsert(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("user_id")).distinct.length == rows.length)
+    assert(rows.forall(_.getAs[String]("event_type") != "error"),
+      "a key whose latest delta op is 'error' must drop from the merged state")
+    val actions = rows.map(_.getAs[String]("action")).toSet
+    assert(actions.subsetOf(Set("keep", "insert", "update")))
+  }
+
+  test("q64 streaks: longest <= active days; single-streak users have longest == active") {
+    val rows = Temporal.activityStreaks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (longest, n, active) =
+        (r.getAs[Long]("longest_streak"), r.getAs[Long]("n_streaks"), r.getAs[Long]("active_days"))
+      assert(longest <= active && active <= n * longest)
+      if (n == 1) assert(longest == active)
+    }
+  }
+
+  test("q65 interval merge: covered days bounded by span count; spans never below 30 days each") {
+    val rows = Temporal.coalesceIntervals(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (spans, days) = (r.getAs[Long]("n_spans"), r.getAs[Long]("covered_days"))
+      assert(days >= spans * 30, "every maximal island spans at least one 30-day interval")
+    }
+  }
 }
 
 class DedupSpec extends SparkSpec {
+  test("d08 passage dedup: kept + dropped partition the corpus chunks; duplicates actually drop") {
+    val out     = Dedup.passageDedup(spark, sf)
+    val kept    = out.agg(sum("n_kept")).collect()(0).getLong(0)
+    val dropped = out.agg(sum("n_dropped")).collect()(0).getLong(0)
+    assert(dropped > 0, "the corpus plants duplicate docs; their passages must drop")
+    // docs that lose EVERY passage (exact duplicates of an earlier doc)
+    // vanish from the output — count chunks over surviving docs only
+    val totalChunks = graft.sources.Tables.documents(spark, sf)
+      .join(out.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(expr("(size(split(trim(text), '\\\\s+')) + 7) div 8").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(kept + dropped == totalChunks, s"kept $kept + dropped $dropped != total $totalChunks")
+    assert(out.count() < graft.sources.Tables.documents(spark, sf).count(),
+      "exact-duplicate docs must vanish entirely")
+  }
+
   test("d01 exact dedup: groups cover all docs") {
     val total = Dedup.exact(spark, sf).agg(sum("n_copies")).collect()(0).getLong(0)
     assert(total == graft.sources.Tables.documents(spark, sf).count())

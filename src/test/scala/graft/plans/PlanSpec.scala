@@ -203,6 +203,34 @@ class PlanSpec extends SparkSpec {
       s"orderBy.limit must plan per-partition top-k + k-row merge:\n$p")
   }
 
+  test("q66: bounded top-k plans as an aggregate, never a Window sort over the corpus") {
+    val p = plan(Relational.topPerSegment(spark, sf))
+    assert(!p.contains("Window"), s"graft_top3 must replace the window form:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed aggregate missing:\n$p")
+    assert(p.contains("partial_top3") || p.toLowerCase.contains("partial"),
+      s"top-k buffers must partially aggregate (map-side combine):\n$p")
+  }
+
+  test("d08: passage chunking is a scan projection; only passage + doc_id keys shuffle") {
+    val p = plan(graft.operators.Dedup.passageDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"passage dedup must stay aggregate/join-shaped:\n$p")
+    // keeper join is an equi-join on the passage; reassembly groups by doc
+    assert(p.contains("hashpartitioning(passage") || p.contains("hashpartitioning(doc_id"),
+      s"expected bounded key shuffles:\n$p")
+  }
+
+  test("t09: BPE pair counts partial-aggregate before the shuffle; global rank sorts the pair table only") {
+    val p = plan(graft.operators.Bpe.pairStats(spark, sf))
+    // the corpus-wide stage is the word count: partial aggregate on word
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"word/pair counts must map-side combine:\n$p")
+    // exactly one single-partition exchange — the alphabet²-bounded pair rank
+    val single = "SinglePartition".r.findAllIn(p).length
+    assert(single <= 2, s"global rank must be the only narrow stage:\n$p")
+  }
+
   test("q42/q45 cleaning passes are shuffle-free single-stage scans") {
     Seq(
       graft.operators.TrainingData.trainTestSplit(spark, sf),

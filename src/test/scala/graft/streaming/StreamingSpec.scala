@@ -1172,4 +1172,66 @@ class StreamingSpec extends SparkSpec {
       assert(rows.forall(_.getAs[Long]("key") == 1L))
     } finally q.stop()
   }
+
+  test("#115 streaming top-k store tracks the batch answer; eviction recovers on growth; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input    = MemoryStream[(Timestamp, Long, Double)]
+    val df       = input.toDF().toDF("ts", "user_id", "value")
+    val storeDir = tmp("topkstore")
+    val q = TopKView.topK(df, storeDir, tmp("topkck"), k = 2).start()
+    try {
+      // window [22:00,23:00): users 1,2,3 at totals 10,5,1 -> top2 = {1,2}
+      input.addData((ts(0), 1L, 10.0), (ts(5), 2L, 5.0), (ts(10), 3L, 1.0))
+      q.processAllAvailable()
+      val first = spark.read.parquet(storeDir).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("rn")).toMap
+      assert(first == Map(1L -> 1L, 2L -> 2L), s"got $first")
+      // user 3 (previously EVICTED) grows past both: update mode re-emits
+      // its full total, so it re-enters the bounded candidate set
+      input.addData((ts(20), 3L, 20.0))
+      q.processAllAvailable()
+      val second = spark.read.parquet(storeDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("rn"), r.getAs[Double]("total")))
+      assert(second.toSet == Set((3L, 1L, 21.0), (1L, 2L, 10.0)), s"got ${second.toSet}")
+      // replaying the same totals must leave the store unchanged
+      val replay = Seq((ts(20).toInstant.toString, 3L, 21.0)).toDF("t", "user_id", "total")
+        .select(expr("cast(date_trunc('hour', cast(t as timestamp)) as timestamp)").as("window_start"),
+          col("user_id"), col("total"))
+      TopKView.updateBatch(replay, storeDir, k = 2)
+      val third = spark.read.parquet(storeDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("rn"), r.getAs[Double]("total")))
+      assert(third.toSet == second.toSet, s"replay changed the store: ${third.toSet}")
+    } finally q.stop()
+  }
+
+  test("#116 streaming HLL sketch view: per-window estimates exact at this cardinality, union rolls up") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df    = input.toDF().toDF("ts", "user_id", "value")
+    val q = TopKView.windowedDistinctSketch(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hllwin").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("hllck")).start()
+    try {
+      // window A [22:00,23:00): users 1..5 across TWO micro-batches — the
+      // sketch buffer must merge across batches in the state store
+      input.addData((ts(0), 1L, 0.0), (ts(1), 2L, 0.0), (ts(2), 3L, 0.0))
+      q.processAllAvailable()
+      input.addData((ts(3), 4L, 0.0), (ts(4), 5L, 0.0), (ts(5), 1L, 0.0))
+      q.processAllAvailable()
+      // window B [23:00,24:00): users 5,6; then advance watermark to close both
+      input.addData((ts(65), 5L, 0.0), (ts(66), 6L, 0.0))
+      q.processAllAvailable()
+      input.addData((ts(300), 99L, 0.0))
+      q.processAllAvailable()
+      val wins = spark.table("hllwin")
+      val byWindow = wins.collect()
+        .map(r => r.getAs[Timestamp]("window_start") -> r.getAs[Long]("approx_users")).toMap
+      assert(byWindow.values.toList.sorted == List(2L, 5L),
+        s"HLL is exact in sparse mode at these cardinalities, got $byWindow")
+      val total = TopKView.unionSketches(wins).collect()(0).getAs[Long]("approx_total_users")
+      assert(total == 6L, s"union over windows must count distinct users across both, got $total")
+    } finally q.stop()
+  }
 }
