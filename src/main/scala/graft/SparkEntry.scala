@@ -107,6 +107,9 @@ object SparkEntry {
     "q66_topk_per_group"        -> ((s, d) => Relational.topPerSegment(GraftSession.tune(s), d)),
     "d08_passage_dedup"         -> ((s, d) => Dedup.passageDedup(GraftSession.tune(s), d)),
     "t09_bpe_pairs"             -> ((s, d) => Bpe.pairStats(GraftSession.tune(s), d)),
+    "q67_conversion_delay"      -> ((s, d) => Temporal.conversionDelay(GraftSession.tune(s), d)),
+    // rows-only like s04 (Lloyd float-mean order); recall pinned in spec
+    "s05_ann_pq"                -> ((s, d) => Similarity.annPq(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -910,5 +913,20 @@ object SparkEntry {
         |SELECT pair, cnt, rn FROM (SELECT pair, cnt,
         |  CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rn FROM g)
         |WHERE rn <= 20""".stripMargin,
+    "q67_conversion_delay" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |s AS (SELECT user_id, min(tsu) AS s_ts FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |f AS (SELECT s.user_id, s.s_ts, min(p.tsu) AS first_p
+        |  FROM s JOIN e p ON p.user_id = s.user_id
+        |  WHERE p.event_type = 'purchase' AND p.tsu > s.s_ts
+        |  GROUP BY s.user_id, s.s_ts),
+        |d AS (SELECT user_id, s_ts // 86400000000 AS cohort_day, first_p - s_ts AS delay_us FROM f),
+        |r AS (SELECT cohort_day, delay_us,
+        |  row_number() OVER (PARTITION BY cohort_day ORDER BY delay_us, user_id) AS rn,
+        |  count(*) OVER (PARTITION BY cohort_day) AS n FROM d)
+        |SELECT cohort_day, max(n) AS n_converted,
+        | max(CASE WHEN rn = (n + 1) // 2 THEN delay_us END) AS p50_delay_us,
+        | max(CASE WHEN rn = (9 * n + 9) // 10 THEN delay_us END) AS p90_delay_us
+        |FROM r GROUP BY cohort_day""".stripMargin,
   )
 }

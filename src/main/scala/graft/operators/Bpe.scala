@@ -65,6 +65,36 @@ object Bpe {
     out.toSeq
   }
 
+  /** Segment every document with a learned merge list — the inference
+    * side of the trainer. Merges apply in rank order per word (the BPE
+    * contract), via one typed map over the DISTINCT-word table, then a
+    * broadcast join back onto the corpus scan: segmentation work is
+    * O(vocab × merges), never O(corpus × merges), and the corpus pass
+    * stays a narrow join + aggregate.
+    */
+  def tokenize(spark: SparkSession, dir: String, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val segmented = wordCounts(spark, dir)
+      .select("word")
+      .as[String]
+      .map { w =>
+        val syms = merges.foldLeft(w.map(_.toString): Seq[String]) {
+          case (s, (a, b)) => mergeOnce(s, a, b)
+        }
+        (w, syms)
+      }
+      .toDF("word", "toks")
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .join(broadcast(segmented), Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        sum(size(col("toks"))).as("n_tokens"),
+        count(lit(1)).as("n_words"),
+      )
+  }
+
   /** Learn `numMerges` merges over the corpus. Ties break (count desc,
     * pair lexicographic) so the learned vocabulary is deterministic on
     * any cluster layout; merging stops early when no pair occurs twice.

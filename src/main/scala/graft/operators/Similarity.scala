@@ -193,6 +193,117 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("cosine"), col("rn"))
   }
 
+  /** Product-quantization index (Jégou et al. 2011): each embedding splits
+    * into `m` subvectors; each subspace gets its own k=16 codebook
+    * (per-subspace Lloyd, seeds = first k vec_ids, deterministic
+    * tiebreaks); a vector is stored as m small codes + its norm —
+    * 4 bytes + 4 per vector here vs 4·D for raw floats, the compression
+    * that keeps a 10^9-vector index in executor memory.
+    *
+    * Spark-first shape: ALL subspaces train in the same DataFrame with
+    * the subspace id `j` as an extra grouping key — one assign aggregate
+    * and one recompute aggregate per Lloyd round cover every subspace in
+    * parallel; nothing loops per subspace.
+    *
+    * Assignment minimizes true L2 distance via the expanded form:
+    * argmin |x−c|² = argmax 2·x·c − |c|² (|x|² is constant per (vec, j)),
+    * so the score is one fused dot against the broadcast codebook.
+    */
+  def pqIndex(embeddings: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
+    val subs = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, $m - 1)," +
+        s" j -> slice(embedding, j * (size(embedding) div $m) + 1, size(embedding) div $m))"))
+        .as(Seq("j", "sv")))
+
+    def assign(cb: DataFrame): DataFrame =
+      subs
+        .join(broadcast(cb), Seq("j"))
+        .withColumn("score", dot(col("sv"), col("cv")) * 2.0 - col("cv2"))
+        .groupBy("vec_id", "j")
+        .agg(max_by(struct(col("sv"), col("code")), struct(col("score"), (-col("code")).as("nc"))).as("best"))
+        .select(col("vec_id"), col("j"), col("best.sv").as("sv"), col("best.code").as("code"))
+
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("j", "code", "pos")
+        .agg(avg("x").as("mu"))
+        .groupBy("j", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("j"), col("code"),
+          transform(col("pm"), p => p.getField("mu").cast("float")).as("cv"))
+        .withColumn("cv2", dot(col("cv"), col("cv")))
+
+    val seeds = subs
+      .filter(col("vec_id") < k)
+      .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+      .withColumn("cv2", dot(col("cv"), col("cv")))
+    val codebook = (1 to iters).foldLeft(seeds)((cb, _) => recompute(assign(cb)))
+    (assign(codebook).select(col("vec_id"), col("j"), col("code")), codebook)
+  }
+
+  /** s05: PQ-compressed ANN via asymmetric distance computation — the
+    * query stays full-precision, the corpus is scanned as CODES: a
+    * broadcast lookup table (query subvector · every codebook centroid,
+    * m×k×queries rows) joins the code table on (j, code), and the
+    * approximate dot is the per-(query, vector) SUM of m table entries —
+    * a map-side-combined aggregate over the code scan. Stored norms turn
+    * the dot estimate into a cosine estimate. The raw embedding column is
+    * never touched after encoding, which is the entire point at 10^9
+    * vectors: the scan reads m bytes + one float per vector.
+    *
+    * With `rerank > 0` the classic second stage runs: the top `rerank`
+    * ADC candidates per query (a k-sized set, not the corpus) join back
+    * to their raw embeddings for EXACT cosine, and the final top-k ranks
+    * on that — quantization error only costs recall if a true neighbor
+    * falls outside the ADC candidate list, the standard PQ recall/cost
+    * dial.
+    *
+    * Rows-only driver entry (same inherent reason as s04: Lloyd means
+    * aggregate floats in nondeterministic order); the spec pins
+    * recall@3 against the exact s01 baseline for both stages.
+    */
+  def annPq(spark: SparkSession, dir: String, k: Int = 3, rerank: Int = 60): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (codes, codebook) = pqIndex(emb)
+    val norms = emb.select(col("vec_id"), l2Norm(col("embedding")).as("norm"))
+    val lut = broadcast(
+      queriesOf(emb)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .withColumn("q_norm", l2Norm(col("q_emb")))
+        .select(col("query_id"), col("q_norm"), posexplode(expr(
+          "transform(sequence(0, 3), j -> slice(q_emb, j * (size(q_emb) div 4) + 1, size(q_emb) div 4))"))
+          .as(Seq("j", "qsv")))
+        .join(broadcast(codebook), Seq("j"))
+        .select(col("query_id"), col("q_norm"), col("j"), col("code"),
+          dot(col("qsv"), col("cv")).as("pdot")))
+    val adcW = Window.partitionBy("query_id").orderBy(col("adot").desc, col("neighbor_id"))
+    val cand = codes
+      .join(lut, Seq("j", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("pdot").as("adot"), first("q_norm").as("q_norm"))
+      .join(norms.select(col("vec_id").as("neighbor_id"), col("norm").as("n_norm")), Seq("neighbor_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("arn", row_number().over(adcW))
+      .filter(col("arn") <= math.max(k, rerank))
+    val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
+    val scored =
+      if (rerank <= 0)
+        cand.withColumn("sim6", round(col("adot") / (col("q_norm") * col("n_norm")), 6))
+      else
+        cand
+          .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), Seq("neighbor_id"))
+          .join(broadcast(queriesOf(emb).select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+            Seq("query_id"))
+          .withColumn("sim6", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("approx_cosine"), col("rn"))
+  }
+
   /** q58: embedding-diversity sample — pick `perBucket` vectors from each
     * hyperplane-LSH region, so the sample spans the embedding space
     * instead of oversampling its dense cores (the diversity step of data

@@ -328,6 +328,46 @@ object Temporal {
       )
   }
 
+  /** q67: conversion-delay distribution — time from a user's first signup
+    * to their first subsequent purchase, quantiled per signup-day cohort
+    * (the time-to-convert curve product analytics reads daily). Delays
+    * stay in integral MICROSECONDS end-to-end and the quantiles are
+    * DISCRETE — value at rank ceil(p·n), pure integer rank arithmetic —
+    * because interpolating engines disagree in the low bits (the
+    * interpolation fraction 0.9·(n−1) accumulates float error
+    * differently per engine, visible at 1e11-µs magnitudes). Two keyed
+    * aggregates + one equi-join; the rank window sorts one row per
+    * converted user per cohort.
+    */
+  def conversionDelay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min("tsu").as("s_ts"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("p_ts"))
+    val delays = signups
+      .join(purchases, Seq("user_id"))
+      .filter(col("p_ts") > col("s_ts"))
+      .groupBy("user_id", "s_ts")
+      .agg(min("p_ts").as("first_p"))
+      .withColumn("cohort_day", expr("s_ts div 86400000000"))
+      .withColumn("delay_us", col("first_p") - col("s_ts"))
+    val w = Window.partitionBy("cohort_day").orderBy(col("delay_us"), col("user_id"))
+    delays
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cohort_day")))
+      .groupBy("cohort_day")
+      .agg(
+        max("n").as("n_converted"),
+        // ceil(n/2) and ceil(9n/10) in pure integer arithmetic
+        max(when(col("rn") === expr("(n + 1) div 2"), col("delay_us"))).as("p50_delay_us"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("delay_us"))).as("p90_delay_us"),
+      )
+  }
+
   /** q52: cohort retention — users bucketed by first-activity day, counted
     * distinct per (cohort day, day offset): the canonical product-analytics
     * matrix. Day arithmetic stays in integral epoch days end-to-end; two

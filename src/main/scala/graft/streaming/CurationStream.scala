@@ -38,9 +38,12 @@ object CurationStream {
   /** [[cleanDocs]] plus decontamination against the STANDING corpus: a
     * stream-static LEFT ANTI join drops any arriving doc whose content
     * hash the batch dedup pipeline already admitted (d01's hash index is
-    * exactly the static side). The static table is re-resolved per
-    * micro-batch, so republishing the index after each batch dedup run is
-    * picked up without restarting the stream. Within-stream recurrence is
+    * exactly the static side). The static side is RE-EXECUTED each
+    * micro-batch but its plan is frozen at query start — to pick up a
+    * REPUBLISHED index without restart, drive this join inside
+    * foreachBatch with the index view resolved per batch, the
+    * [[VersionedFeed.enrichStream]] (#124) mechanism. Within-stream
+    * recurrence is
     * still handled by the watermark-bounded dedup — the anti join guards
     * against the corpus, the dedup against the feed itself.
     */

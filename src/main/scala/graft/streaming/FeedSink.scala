@@ -76,6 +76,43 @@ object FeedSink {
     * changefeed trifecta closing: the sink's output is itself a feed the
     * engine can re-materialize at any past point.
     */
+  /** #125: compact the sink feed — fold every retained partition with
+    * `batch_id <= upTo` into ONE base partition at `batch_id = upTo`
+    * (the live state at that point: LWW-folded, tombstones dropped —
+    * a deleted key has nothing older left to resurrect it) and remove
+    * the superseded partitions. [[stateAsOf]] stays correct for every
+    * `asOfBatch >= upTo` because the base rows keep their original
+    * `(ts_us, seq)`, so the LWW fold against later deltas is unchanged;
+    * the time-travel floor rises to the compaction horizon (asking for a
+    * batch below `upTo` now yields the empty pre-history).
+    *
+    * This is the log-compaction bound on sink growth: feed size becomes
+    * live-keys + post-horizon deltas instead of the full change history.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, feedDir: String, upTo: Long): Unit = {
+    stateAsOf(spark, feedDir, upTo)
+      .select(lit(upTo).as("batch_id"), lit("upsert").as("op"),
+        col("key"), col("ts_us"), col("seq"), col("payload"))
+      // the feed is both source and sink of this job — cut the read path
+      .localCheckpoint(true)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(feedDir)
+    val root = new java.io.File(feedDir)
+    root.listFiles().filter { f =>
+      f.isDirectory && f.getName.startsWith("batch_id=") &&
+        f.getName.stripPrefix("batch_id=").toLong < upTo
+    }.foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   def stateAsOf(spark: org.apache.spark.sql.SparkSession, feedDir: String, asOfBatch: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("key")

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** A closed SCD2 version of a key: the payload that was current over
@@ -121,6 +122,64 @@ object VersionedFeed {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         closeExpiring(tombstoneTtlMs))
   }
+
+  /** #124: streaming temporal enrichment — each event on the live stream
+    * joins the dimension version that was valid AT ITS EVENT TIME (the
+    * streaming form of the q40 as-of lookup). The join is an equi-join on
+    * the key plus validity-range predicates — on a cluster the version
+    * table is partitioned by key range and min/max-pruned on the validity
+    * columns, so each micro-batch probes version files covering only its
+    * keys, never dim history.
+    *
+    * Late events enrich correctly BY CONSTRUCTION: an event with an old
+    * `ts` matches an already-closed version (open versions have
+    * validToUs = null).
+    */
+  def enrichAsOf(events: DataFrame, versions: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("event_id"), col("key").as("e_key"),
+      unix_micros(col("ts")).as("e_ts_us"), col("value"))
+    ev.join(
+      versions,
+      col("e_key") === col("key")
+        && col("valid_from_us") <= col("e_ts_us")
+        && (col("valid_to_us").isNull || col("valid_to_us") > col("e_ts_us")),
+      "left")
+      .select(col("event_id"), col("e_key").as("key"), col("e_ts_us"),
+        col("value"), col("dim_payload"))
+  }
+
+  /** [[enrichAsOf]] driven per micro-batch with the versions VIEW resolved
+    * fresh inside foreachBatch. This is what makes "republish the dim, no
+    * restart" actually true: a plain stream-static join freezes the static
+    * side's PLAN at query start (a replaced temp view or a re-listed
+    * parquet dir is never seen again) — re-planning per batch is the only
+    * mechanism that re-resolves the view name to its current definition.
+    *
+    * `versionsView` must be visible to the STREAM's execution session:
+    * micro-batches run on a cloned SparkSession whose session-local temp
+    * catalog is snapshotted at query start, so publish the versions as a
+    * GLOBAL temp view (`global_temp.<name>`, shared across sessions) or a
+    * catalog table. Output lands in `batch_id=<id>` partitions with the
+    * FeedSink dynamic-overwrite idempotency.
+    */
+  def enrichStream(
+      events: DataFrame,
+      versionsView: String,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        enrichAsOf(batch, batch.sparkSession.table(versionsView))
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
 
   val outputMode: OutputMode = OutputMode.Append()
 }

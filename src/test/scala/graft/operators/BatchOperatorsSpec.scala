@@ -339,6 +339,37 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf2 >= 0.6, f"nprobe=2 IVF recall collapsed: $ivf2%.2f")
   }
 
+  test("s05 PQ ANN: codes are compact, ADC recall beats chance, approx cosine tracks exact") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val (codes, codebook) = Similarity.pqIndex(emb)
+    val m = 4
+    // every vector encodes to exactly m codes in [0, 16)
+    assert(codes.count() == emb.count() * m)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+    assert(codebook.count() <= m * 16)
+    // PQ result quality vs the exact baseline
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val truth = pairs(Similarity.annBruteForce(spark, sf, k = 3))
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      pairs(df).intersect(truth).size.toDouble / truth.size
+    val adcOnly  = recall(Similarity.annPq(spark, sf, rerank = 0))
+    val reranked = recall(Similarity.annPq(spark, sf))
+    info(f"PQ recall@3  ADC-only: $adcOnly%.2f  reranked-60: $reranked%.2f")
+    // 16x-compressed codes on near-isotropic vectors: same regime as the
+    // LSH floor — far above the ~0.006 chance rate of random top-3. The
+    // ADC ordering is informative even where it's blurry: deepening the
+    // exact re-rank recovers recall fast (0.37@20, 0.53@40, 0.70@60,
+    // 0.87@100 on this corpus) at constant per-query cost.
+    assert(adcOnly >= 0.15, f"ADC recall collapsed: $adcOnly%.2f")
+    assert(reranked >= adcOnly, "exact re-rank must not lose recall")
+    assert(reranked >= 0.6, f"reranked recall collapsed: $reranked%.2f")
+    val rows = Similarity.annPq(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("approx_cosine")) <= 1.5),
+      "ADC estimates must stay in cosine range (quantization slack allowed)")
+  }
+
   test("s03 embedding stats: norms are ~unit-order, all labels present") {
     val rows = Similarity.embeddingStats(spark, sf).collect()
     assert(rows.length == 10)

@@ -58,6 +58,21 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.mergeOnce(Seq("x"), "a", "b") == Seq("x"))
   }
 
+  test("tokenize: learned merges compress token counts; totals bounded by chars and words") {
+    val merges = Bpe.trainMerges(spark, sf, 10)
+    val out = Bpe.tokenize(spark, sf, merges).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (toks, words) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_words"))
+      assert(toks >= words, "a word is at least one token")
+    }
+    // merges must actually compress: total tokens < total characters
+    val totalToks  = out.map(_.getAs[Long]("n_tokens")).sum
+    val totalChars = graft.sources.Tables.documents(spark, sf)
+      .select(expr("sum(length(replace(trim(text), ' ', '')))")).collect()(0).getLong(0)
+    assert(totalToks < totalChars, s"10 merges must compress below char-level: $totalToks vs $totalChars")
+  }
+
   test("merged segmentations always concatenate back to the word") {
     val merges = Bpe.trainMerges(spark, sf, 5)
     val words = Bpe.wordCounts(spark, sf).limit(200).collect().map(_.getAs[String]("word"))

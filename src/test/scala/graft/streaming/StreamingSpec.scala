@@ -332,6 +332,31 @@ class StreamingSpec extends SparkSpec {
       s"as-of filter not pruning batch partitions:\n$p")
   }
 
+  test("#125 feed compaction: post-horizon time travel intact, history below the horizon gone, size bounded") {
+    import spark.implicits._
+    val feedDir = tmp("feedcompact")
+    def states(rows: (Long, Long, Long, Map[String, String], Boolean)*) =
+      rows.toDF("key", "tsUs", "seq", "payload", "deleted")
+    FeedSink.writeBatch(states((1L, 1000L, 1L, Map("v" -> "a"), false), (2L, 1500L, 2L, Map("v" -> "b"), false)), 0L, feedDir)
+    FeedSink.writeBatch(states((1L, 2000L, 3L, Map("v" -> "a2"), false)), 1L, feedDir)
+    FeedSink.writeBatch(states((2L, 3000L, 4L, Map.empty[String, String], true)), 2L, feedDir)
+    FeedSink.writeBatch(states((3L, 4000L, 5L, Map("v" -> "c"), false)), 3L, feedDir)
+    def snap(b: Long) = FeedSink.stateAsOf(spark, feedDir, b).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Map[String, String]]("payload")).toMap
+    val at2Before = snap(2L)
+    val at3Before = snap(3L)
+    FeedSink.compact(spark, feedDir, upTo = 2L)
+    assert(snap(2L) == at2Before, "state at the horizon must survive compaction")
+    assert(snap(3L) == at3Before, "post-horizon time travel must fold base + later deltas")
+    assert(snap(2L) == Map(1L -> Map("v" -> "a2")), "tombstoned key 2 must stay gone after compaction")
+    val dirs = new java.io.File(feedDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSet
+    assert(dirs == Set("batch_id=2", "batch_id=3"),
+      s"partitions below the horizon must be deleted: $dirs")
+    assert(snap(0L).isEmpty && snap(1L).isEmpty, "pre-horizon history is intentionally gone")
+  }
+
   test("#37d restart continuity: state store survives stop/start, stale-drop holds across runs") {
     import spark.implicits._
     val srcDir  = tmp("restartsrc")
@@ -1202,6 +1227,44 @@ class StreamingSpec extends SparkSpec {
       val third = spark.read.parquet(storeDir).collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("rn"), r.getAs[Double]("total")))
       assert(third.toSet == second.toSet, s"replay changed the store: ${third.toSet}")
+    } finally q.stop()
+  }
+
+  test("#124 streaming as-of enrichment: events pick the dim version valid at their event time; republished versions picked up live") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def us(minutes: Int): Long = ts(minutes).getTime * 1000L
+    // dim key 7: payload "v1" over [0, 30), "v2" over [30, open)
+    Seq(
+      (7L, us(0), Option(us(30)), "v1"),
+      (7L, us(30), Option.empty[Long], "v2"),
+    ).toDF("key", "valid_from_us", "valid_to_us", "dim_payload").createOrReplaceGlobalTempView("dimv")
+    val input  = MemoryStream[(Long, Long, Timestamp, Double)]
+    val df     = input.toDF().toDF("event_id", "key", "ts", "value")
+    val outDir = tmp("asofout")
+    val q = VersionedFeed.enrichStream(df, "global_temp.dimv", outDir, tmp("asofck")).start()
+    try {
+      input.addData((1L, 7L, ts(10), 1.0), (2L, 7L, ts(45), 2.0), (3L, 8L, ts(10), 3.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("dim_payload")).toMap
+      assert(got == Map(1L -> "v1", 2L -> "v2", 3L -> null),
+        s"each event must enrich with the version valid at ITS ts: $got")
+      // dim key 7 gains a v3 version from minute 60; key 8 appears —
+      // republish the view, no restart
+      Seq(
+        (7L, us(0), Option(us(30)), "v1"),
+        (7L, us(30), Option(us(60)), "v2"),
+        (7L, us(60), Option.empty[Long], "v3"),
+        (8L, us(0), Option.empty[Long], "w1"),
+      ).toDF("key", "valid_from_us", "valid_to_us", "dim_payload").createOrReplaceGlobalTempView("dimv")
+      // a LATE event for the old window still gets v2; new events get v3/w1
+      input.addData((4L, 7L, ts(70), 4.0), (5L, 7L, ts(40), 5.0), (6L, 8L, ts(70), 6.0))
+      q.processAllAvailable()
+      val got2 = spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("dim_payload")).toMap
+      assert(got2(4L) == "v3" && got2(5L) == "v2" && got2(6L) == "w1",
+        s"republished versions must apply without restart, late events as-of correctly: $got2")
     } finally q.stop()
   }
 
