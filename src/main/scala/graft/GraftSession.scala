@@ -92,5 +92,9 @@ object GraftSession {
       "graft_top3",
       org.apache.spark.sql.functions.udaf(new graft.functions.TopK(3)),
     )
+    spark.udf.register(
+      "graft_mg8",
+      org.apache.spark.sql.functions.udaf(new graft.functions.HeavyHitters(8)),
+    )
   }
 }

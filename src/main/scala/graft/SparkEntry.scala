@@ -110,6 +110,8 @@ object SparkEntry {
     "q67_conversion_delay"      -> ((s, d) => Temporal.conversionDelay(GraftSession.tune(s), d)),
     // rows-only like s04 (Lloyd float-mean order); recall pinned in spec
     "s05_ann_pq"                -> ((s, d) => Similarity.annPq(GraftSession.tune(s), d)),
+    // rows-only (MG counts depend on merge order); bounds pinned in spec
+    "q68_heavy_hitters"         -> ((s, d) => Relational.heavyHitters(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must

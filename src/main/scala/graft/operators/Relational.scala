@@ -467,6 +467,24 @@ object Relational {
         round(col("zscore"), 4).as("zscore"))
   }
 
+  /** q68: approximate heavy hitters per return flag via the mergeable
+    * Misra–Gries summary ([[graft.functions.HeavyHitters]]). Unlike the
+    * exact q47/q54 frequency queries, per-group state is O(k) however
+    * many distinct part keys stream through — the summary the engine
+    * keeps when the distinct-item space itself is too large to aggregate
+    * exactly (e.g. per-minute heavy hitters over URL spaces). Rows-only
+    * driver entry: MG counts depend on the partition merge order; the
+    * spec asserts the order-independent bounds instead.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("graft_mg8(l_partkey)").as("hh"))
+      .select(col("l_returnflag"), posexplode(col("hh")).as(Seq("i", "e")))
+      .select(col("l_returnflag"), col("e.item").as("l_partkey"),
+        col("e.approx_count").as("approx_count"), (col("i") + 1).cast("long").as("rank"))
+
   /** q66: per-group top-k via the bounded [[graft.functions.TopK]]
     * aggregate — top-3 customers by account balance per market segment.
     * Unlike the q10/q30 window formulation (which sorts every raw row of

@@ -150,7 +150,13 @@ object Similarity {
     val seeds = base
       .filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    // same training-cut as pqIndex: cache the scan Lloyd re-reads, then
+    // materialize the k centroids so the two consumers (cell table, query
+    // probe list) don't each re-run training
+    base.persist()
     val finalCentroids = (1 to iters).foldLeft(seeds)((c, _) => recompute(assign(c)))
+      .localCheckpoint(true)
+    base.unpersist()
     (assign(finalCentroids), finalCentroids)
   }
 
@@ -240,7 +246,14 @@ object Similarity {
       .filter(col("vec_id") < k)
       .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
       .withColumn("cv2", dot(col("cv"), col("cv")))
+    // train against a cached subvector projection (each Lloyd round scans
+    // it twice), then MATERIALIZE the m×k codebook: downstream both the
+    // code table and the ADC lookup table consume it, and without the cut
+    // each consumer would re-run the whole training chain
+    subs.persist()
     val codebook = (1 to iters).foldLeft(seeds)((cb, _) => recompute(assign(cb)))
+      .localCheckpoint(true)
+    subs.unpersist()
     (assign(codebook).select(col("vec_id"), col("j"), col("code")), codebook)
   }
 

@@ -28,6 +28,32 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("rn") >= 1 && r.getAs[Long]("rn") <= 3))
   }
 
+  test("q68 Misra-Gries heavy hitters: counts undercount within n/(k+1); frequent items present") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val exact = li.groupBy("l_returnflag", "l_partkey").count().collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("l_partkey")) -> r.getAs[Long]("count"))
+      .toMap
+    val nPerFlag = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("count")).toMap
+    val rows = Relational.heavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag   = r.getAs[String]("l_returnflag")
+      val item   = r.getAs[Long]("l_partkey")
+      val approx = r.getAs[Long]("approx_count")
+      val bound  = nPerFlag(flag) / 9 // k = 8
+      val truth  = exact((flag, item))
+      assert(approx <= truth, s"MG must only undercount: $flag/$item approx $approx > true $truth")
+      assert(approx >= truth - bound, s"undercount beyond n/(k+1): $flag/$item $approx vs $truth (bound $bound)")
+    }
+    // presence guarantee: anything with true frequency > n/(k+1) survives
+    val reported = rows.map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("l_partkey"))).toSet
+    exact.foreach { case ((flag, item), c) =>
+      if (c > nPerFlag(flag) / 9)
+        assert(reported.contains((flag, item)), s"frequent item $flag/$item (true $c) missing")
+    }
+  }
+
   test("q16 rollup includes the grand-total row") {
     val rows = Relational.rollupRevenue(spark, sf).collect()
     assert(rows.exists(r => r.isNullAt(0) && r.isNullAt(1)))

@@ -33,6 +33,51 @@ class SourcesSpec extends SparkSpec {
     assert(d > 0)
   }
 
+  test("#130 CSV round-trip with schema; malformed rows dropped or dead-lettered by mode") {
+    val dir = tmp("csv")
+    val ev  = Tables.events(spark, sf).select("event_id", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(ev.schema).option("header", "true").csv(dir)
+    assert(back.count() == ev.count())
+    assert(back.agg(sum("event_id")).collect()(0).getLong(0)
+      == ev.agg(sum("event_id")).collect()(0).getLong(0))
+    // malformed handling: schema'd read over a corrupt file
+    val badDir = tmp("csvbad")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(badDir, "bad.csv"),
+      "event_id,user_id,event_type,value\n1,7,click,2.5\nnot_a_number,x,oops,zzz\n3,9,view,1.0\n"
+        .getBytes("UTF-8"))
+    val schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+    val dropped = spark.read.schema(schema).option("header", "true")
+      .option("mode", "DROPMALFORMED").csv(badDir)
+    // collect(), not count(): count() prunes every column, so the parser
+    // never attempts the type conversions that make the row malformed
+    assert(dropped.collect().length == 2, "DROPMALFORMED must drop exactly the corrupt row")
+    // PERMISSIVE + columnNameOfCorruptRecord = the dead-letter path
+    val withCorrupt = spark.read
+      .schema(schema + ", _corrupt_record STRING")
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(badDir).cache()
+    assert(withCorrupt.filter(col("_corrupt_record").isNotNull).count() == 1,
+      "PERMISSIVE must retain the corrupt row for dead-lettering")
+    withCorrupt.unpersist()
+  }
+
+  test("#131 batch observability: Observation metrics ride the action, no second scan") {
+    val obs = new org.apache.spark.sql.Observation("curation")
+    val out = Tables.documents(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("docs_in"),
+        sum(when(col("n_chars") < 50, 1L).otherwise(0L)).as("too_short"))
+      .filter(col("n_chars") >= 50)
+    val kept = out.count()
+    val m = obs.get
+    assert(m("docs_in").asInstanceOf[Long] == Tables.documents(spark, sf).count())
+    assert(m("docs_in").asInstanceOf[Long] - m("too_short").asInstanceOf[Long] == kept,
+      s"observed metrics must reconcile with the output: $m vs kept=$kept")
+  }
+
   test("#56 JSON round-trip preserves rows and schema") {
     val dir = tmp("json")
     val ev  = Tables.events(spark, sf).select("event_id", "ts", "user_id", "event_type", "value")

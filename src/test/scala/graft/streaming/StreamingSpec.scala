@@ -357,6 +357,76 @@ class StreamingSpec extends SparkSpec {
     assert(snap(0L).isEmpty && snap(1L).isEmpty, "pre-horizon history is intentionally gone")
   }
 
+  test("#128 online anomaly flags match the prior-only reference fold; batching-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // key 7: 12 calm values, then a spike, then calm again; key 8 all calm
+    val calm  = (0 until 12).map(i => MetricEvent(i.toLong, 7L, ts(i), 10.0 + (i % 3) * 0.5))
+    val spike = MetricEvent(50L, 7L, ts(50), 99.0)
+    val after = MetricEvent(51L, 7L, ts(51), 10.5)
+    val other = (0 until 12).map(i => MetricEvent(100L + i, 8L, ts(i), 5.0))
+    val all   = calm ++ Seq(spike, after) ++ other
+
+    // independent reference: same prior-only Welford semantics
+    def reference(evs: Seq[MetricEvent], sigmas: Double, minPrior: Long): Set[Long] = {
+      val flagged = Set.newBuilder[Long]
+      evs.groupBy(_.key).foreach { case (_, ks) =>
+        var (n, mean, m2) = (0L, 0.0, 0.0)
+        ks.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+          if (n >= minPrior) {
+            val sd = math.sqrt(m2 / (n - 1).toDouble)
+            if (sd > 0 && math.abs((e.value - mean) / sd) > sigmas) flagged += e.eventId
+          }
+          n += 1; val d = e.value - mean; mean += d / n; m2 += d * (e.value - mean)
+        }
+      }
+      flagged.result()
+    }
+    val expected = reference(all, 3.0, 10L)
+    assert(expected == Set(50L), s"the planted spike (and only it) must flag: $expected")
+
+    def run(batches: Seq[Seq[MetricEvent]]): Set[Long] = {
+      val input = MemoryStream[MetricEvent]
+      val name  = s"anom${batches.length}"
+      val q = AnomalyStream.flags(input.toDS(), sigmas = 3.0, minPrior = 10L)
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append())
+        .option("checkpointLocation", tmp(name)).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect().map(_.getAs[Long]("eventId")).toSet
+      } finally q.stop()
+    }
+    assert(run(Seq(all)) == expected, "single batch must match the reference")
+    assert(run(all.grouped(5).toSeq) == expected, "5-row micro-batches must not change flags")
+  }
+
+  test("#131b streaming observability: observed ingest metrics surface in query progress") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val observed = input.toDF().toDF("doc_id", "ts", "text")
+      .observe("ingest",
+        count(lit(1)).as("rows_in"),
+        sum(expr("size(split(trim(text), '\\\\s+'))")).as("words_in"))
+    val q = CurationStream.cleanDocs(observed)
+      .writeStream.format("memory").queryName("obsclean").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("obsck")).start()
+    try {
+      input.addData(
+        (1L, ts(0), "a perfectly reasonable document with enough tokens to pass"),
+        (2L, ts(1), "too short"),
+        (3L, ts(2), "another acceptable document that clears the token floor fine"),
+      )
+      q.processAllAvailable()
+      val rowsIn = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest")))
+        .map(_.getAs[Long]("rows_in")).sum
+      assert(rowsIn == 3, s"observed ingest count must ride the micro-batches: $rowsIn")
+      // the metric sees pre-gate traffic; the sink holds post-gate rows
+      assert(spark.table("obsclean").count() == 2)
+    } finally q.stop()
+  }
+
   test("#37d restart continuity: state store survives stop/start, stale-drop holds across runs") {
     import spark.implicits._
     val srcDir  = tmp("restartsrc")
