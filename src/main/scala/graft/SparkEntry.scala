@@ -112,6 +112,7 @@ object SparkEntry {
     "s05_ann_pq"                -> ((s, d) => Similarity.annPq(GraftSession.tune(s), d)),
     // rows-only (MG counts depend on merge order); bounds pinned in spec
     "q68_heavy_hitters"         -> ((s, d) => Relational.heavyHitters(GraftSession.tune(s), d)),
+    "t11_lang_agreement"        -> ((s, d) => TextAnalysis.langAgreement(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -930,5 +931,27 @@ object SparkEntry {
         | max(CASE WHEN rn = (n + 1) // 2 THEN delay_us END) AS p50_delay_us,
         | max(CASE WHEN rn = (9 * n + 9) // 10 THEN delay_us END) AS p90_delay_us
         |FROM r GROUP BY cohort_day""".stripMargin,
+    // t11: the t01 scorer aggregated to the (declared, predicted) matrix
+    "t11_lang_agreement" ->
+      """WITH w AS (SELECT doc_id, lang AS declared_lang,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents),
+        |s AS (SELECT doc_id, declared_lang,
+        |  len(list_filter(words, x -> x IN ('der','die','und','das','ist','ein'))) AS score_de,
+        |  len(list_filter(words, x -> x IN ('the','a','of','and','to','is'))) AS score_en,
+        |  len(list_filter(words, x -> x IN ('el','la','de','que','y','los'))) AS score_es,
+        |  len(list_filter(words, x -> x IN ('le','la','de','et','les','un'))) AS score_fr
+        | FROM w),
+        |p AS (SELECT declared_lang,
+        | CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr) AND score_de > 0 THEN 'de'
+        |      WHEN score_en = greatest(score_de, score_en, score_es, score_fr) AND score_en > 0 THEN 'en'
+        |      WHEN score_es = greatest(score_de, score_en, score_es, score_fr) AND score_es > 0 THEN 'es'
+        |      WHEN score_fr = greatest(score_de, score_en, score_es, score_fr) AND score_fr > 0 THEN 'fr'
+        |      ELSE 'und' END AS pred_lang
+        |FROM s),
+        |g AS (SELECT declared_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT declared_lang, sum(n) AS tot FROM g GROUP BY 1)
+        |SELECT g.declared_lang, pred_lang, n,
+        | round(CAST(n AS DOUBLE) / tot, 4) AS share
+        |FROM g JOIN t ON g.declared_lang = t.declared_lang""".stripMargin,
   )
 }

@@ -38,6 +38,23 @@ object TextAnalysis {
       langs.map(l => col(s"score_$l")): _*)
   }
 
+  /** t11: language-ID agreement matrix — predicted (t01 heuristic) versus
+    * declared language, with within-declared shares: the QC table that
+    * tells you whether a corpus's metadata can be trusted before routing
+    * per-language pipelines by it. The matrix is (langs+1)² rows at any
+    * corpus size; totals broadcast back over it.
+    */
+  def langAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy("declared_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("declared_lang").agg(sum("n").as("tot"))
+    cells
+      .join(broadcast(totals), Seq("declared_lang"))
+      .select(col("declared_lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("tot"), 4).as("share"))
+  }
+
   /** t02: quality scoring — alphabetic/space ratios and average word
     * length (oracle-checked; all ratios are exact-int / exact-int).
     */

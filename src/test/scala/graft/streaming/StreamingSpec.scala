@@ -427,6 +427,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#132 token-bucket rate limiting: event-time refill, burst rejection, batching-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def sec(s: Int): Timestamp = new Timestamp(1700000000000L + s * 1000L)
+    // key 7: capacity 2, refill 0.5/s. Burst of 4 at t=0 -> 2 admitted.
+    // t=10 (fully refilled, capped at 2): 3 more -> 2 admitted.
+    // key 8: slow steady 1 per 4 s -> all admitted.
+    val k7 = Seq(0, 0, 0, 0).zipWithIndex.map { case (_, i) => MetricEvent(i.toLong, 7L, sec(0), 1.0) } ++
+      Seq(MetricEvent(10L, 7L, sec(10), 1.0), MetricEvent(11L, 7L, sec(10), 1.0), MetricEvent(12L, 7L, sec(10), 1.0))
+    val k8 = (0 until 4).map(i => MetricEvent(100L + i, 8L, sec(i * 4), 1.0))
+    val all = k7 ++ k8
+
+    def run(batches: Seq[Seq[MetricEvent]]): Map[Long, Boolean] = {
+      val input = MemoryStream[MetricEvent]
+      val name  = s"rate${batches.length}"
+      val q = RateLimiter.admissions(input.toDS(), capacity = 2.0, perSec = 0.5)
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append())
+        .option("checkpointLocation", tmp(name)).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => r.getAs[Long]("eventId") -> r.getAs[Boolean]("admitted")).toMap
+      } finally q.stop()
+    }
+    val got = run(Seq(all))
+    assert(got(0L) && got(1L) && !got(2L) && !got(3L), s"burst must admit exactly capacity: $got")
+    assert(got(10L) && got(11L) && !got(12L), s"10 s refill caps at capacity 2: $got")
+    assert((100L until 104L).forall(got(_)), s"steady under-budget traffic always admits: $got")
+    assert(run(all.grouped(3).toSeq) == got, "3-row micro-batches must not change admissions")
+  }
+
+  test("#134 wire-format evolution: unknown top-level fields ignored, missing seq defaulted, payload carries new attrs") {
+    import spark.implicits._
+    // producer generations on one topic: v_old has no seq field; v_now is
+    // current; v_next adds an unknown top-level field AND a new payload
+    // attribute — a consumer on today's schema must read all three
+    val wire = Seq(
+      """{"op":"insert","key":1,"ts":"2024-01-01T00:00:00.000000Z","payload":{"v":"old"}}""",
+      """{"op":"update","key":1,"ts":"2024-01-01T00:01:00.000000Z","payload":{"v":"now"},"seq":5}""",
+      """{"op":"update","key":2,"ts":"2024-01-01T00:02:00.000000Z","payload":{"v":"next","new_attr":"x"},"seq":6,"producer_region":"eu"}""",
+    ).toDF("raw").select(lit(null).cast("binary").as("key"), col("raw").cast("binary").as("value"))
+    val changes = ChangeFeed.fromWire(wire).collect()
+    assert(changes.length == 3, "every generation must parse")
+    val bySeq = changes.map(r => r.getAs[Long]("seq")).sorted
+    assert(bySeq.sameElements(Array(0L, 5L, 6L)), s"missing seq defaults to 0: ${bySeq.toList}")
+    val next = changes.find(_.getAs[Long]("key") == 2L).get
+    assert(next.getAs[Map[String, String]]("payload") == Map("v" -> "next", "new_attr" -> "x"),
+      "schema-free payload map must carry new attributes through")
+    assert(ChangeFeed.deadLetters(wire).count() == 0,
+      "forward-compatible records must never dead-letter")
+  }
+
   test("#37d restart continuity: state store survives stop/start, stale-drop holds across runs") {
     import spark.implicits._
     val srcDir  = tmp("restartsrc")
