@@ -113,6 +113,7 @@ object SparkEntry {
     // rows-only (MG counts depend on merge order); bounds pinned in spec
     "q68_heavy_hitters"         -> ((s, d) => Relational.heavyHitters(GraftSession.tune(s), d)),
     "t11_lang_agreement"        -> ((s, d) => TextAnalysis.langAgreement(GraftSession.tune(s), d)),
+    "d09_fuzzy_match"           -> ((s, d) => Dedup.fuzzyMatch(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -953,5 +954,15 @@ object SparkEntry {
         |SELECT g.declared_lang, pred_lang, n,
         | round(CAST(n AS DOUBLE) / tot, 4) AS share
         |FROM g JOIN t ON g.declared_lang = t.declared_lang""".stripMargin,
+    // d09: blocked self-join + identical Levenshtein on both engines
+    "d09_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_type,
+        |  str_split(p_name, ' ')[1] AS blk FROM part)
+        |SELECT a.p_type, a.blk, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        | a.p_name AS name_a, b.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        |FROM p a JOIN p b ON a.p_type = b.p_type AND a.blk = b.blk
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
   )
 }

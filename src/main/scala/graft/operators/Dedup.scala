@@ -56,6 +56,45 @@ object Dedup {
       )
   }
 
+  /** d09: fuzzy entity matching — classic blocked entity resolution over
+    * the `part` catalog: candidate pairs are generated only WITHIN a
+    * blocking key (attribute + first name token — the standard
+    * prefix/attribute block), then verified with exact Levenshtein edit
+    * distance. The equi-join on the block key is what keeps this off the
+    * n² cliff: pair cost is Σ blockSize², bounded by the blocking choice,
+    * and the quadratic-ish work happens per block partition, never
+    * corpus-wide (same shape discipline as d02's posting cap). Tighten
+    * the block (more prefix tokens, size bands) as entity counts grow.
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String, maxEdit: Int = 2): DataFrame = {
+    val p = Tables
+      .part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_type"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+    // verify on the DISTINCT-name table: entity names repeat heavily, so
+    // the O(len²) edit-distance DP runs once per name pair (vocab²-bounded
+    // within a block), not once per key pair; |len diff| > maxEdit pairs
+    // are pruned before the DP ever runs (lossless: lev >= len diff)
+    val names = p.select("p_type", "blk", "p_name").distinct()
+    val nearNames = names
+      .select(col("p_type"), col("blk"), col("p_name").as("name_a"))
+      .join(names.select(col("p_type"), col("blk"), col("p_name").as("name_b")), Seq("p_type", "blk"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxEdit)
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("edit_dist") <= maxEdit)
+    // expand verified name pairs back to entity-key pairs; each unordered
+    // key pair surfaces exactly once (from the (name(key_a), name(key_b))
+    // direction that puts the smaller key first)
+    nearNames
+      .join(p.select(col("p_type"), col("blk"), col("p_name").as("name_a"), col("p_partkey").as("key_a")),
+        Seq("p_type", "blk", "name_a"))
+      .join(p.select(col("p_type"), col("blk"), col("p_name").as("name_b"), col("p_partkey").as("key_b")),
+        Seq("p_type", "blk", "name_b"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("p_type"), col("blk"), col("key_a"), col("key_b"),
+        col("name_a"), col("name_b"), col("edit_dist"))
+  }
+
   /** d01: exact dedup via content hash — one map-side-combined groupBy. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables
