@@ -114,6 +114,7 @@ object SparkEntry {
     "q68_heavy_hitters"         -> ((s, d) => Relational.heavyHitters(GraftSession.tune(s), d)),
     "t11_lang_agreement"        -> ((s, d) => TextAnalysis.langAgreement(GraftSession.tune(s), d)),
     "d09_fuzzy_match"           -> ((s, d) => Dedup.fuzzyMatch(GraftSession.tune(s), d)),
+    "q69_price_histogram"       -> ((s, d) => Relational.priceHistogram(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -964,5 +965,13 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.p_type = b.p_type AND a.blk = b.blk
         |  AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // q69: identical IEEE double bin arithmetic on both engines
+    "q69_price_histogram" ->
+      """WITH m AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+        |b AS (SELECT least(9, CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT)) AS bin
+        |  FROM orders, m),
+        |g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+        |SELECT bin, n, round(CAST(n AS DOUBLE) / tot, 4) AS share FROM g, t""".stripMargin,
   )
 }

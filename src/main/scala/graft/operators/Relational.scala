@@ -485,6 +485,25 @@ object Relational {
       .select(col("l_returnflag"), col("e.item").as("l_partkey"),
         col("e.approx_count").as("approx_count"), (col("i") + 1).cast("long").as("rank"))
 
+  /** q69: equi-width value histogram with shares — the distribution
+    * profile a query planner or data-quality monitor reads. Bin edges
+    * derive from the global min/max (one broadcast row computed
+    * in-query, so the histogram is well-defined at any scale without a
+    * prior pass); binning is then a scan-side projection and the
+    * histogram itself one map-side-combined aggregate over `nBins` keys.
+    */
+  def priceHistogram(spark: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val mm  = ord.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    val binned = ord
+      .crossJoin(broadcast(mm))
+      .withColumn("bin",
+        least(lit(nBins - 1L), floor((col("o_totalprice") - col("lo")) / ((col("hi") - col("lo")) / nBins.toDouble))))
+    val g = binned.groupBy("bin").agg(count(lit(1)).as("n"))
+    g.crossJoin(broadcast(g.agg(sum("n").as("tot"))))
+      .select(col("bin"), col("n"), round(col("n").cast("double") / col("tot"), 4).as("share"))
+  }
+
   /** q66: per-group top-k via the bounded [[graft.functions.TopK]]
     * aggregate — top-3 customers by account balance per market segment.
     * Unlike the q10/q30 window formulation (which sorts every raw row of

@@ -86,4 +86,43 @@ class PropertySpec extends AnyFunSuite {
     }
     check(prop, "fold batching invariance")
   }
+
+  test("TopK aggregator == sort-take reference under arbitrary partition splits and merge trees") {
+    import graft.functions.{ScoredKey, TopK, TopKBuf}
+    val agg   = new TopK(3)
+    val entry = for { s <- Gen.choose(-100, 100); k <- Gen.choose(0L, 20L) } yield (s.toDouble, k)
+    val prop = Prop.forAll(Gen.listOf(entry), Gen.choose(1, 7)) { (xs: List[(Double, Long)], nParts: Int) =>
+      val ref = xs
+        .map { case (s, k) => ScoredKey(s, k) }
+        .sortBy(e => (-e.score, e.key))
+        .take(3)
+      // fold each partition with reduce, then merge in a left fold — the
+      // shapes Spark's partial aggregation actually produces
+      val parts = xs.zipWithIndex.groupMap(_._2 % nParts)(_._1)
+      val merged = parts.values
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == ref
+    }
+    check(prop, "TopK == sorted take(3)")
+  }
+
+  test("Misra-Gries bounds hold under arbitrary partition splits (undercount <= n/(k+1); frequent present)") {
+    import graft.functions.HeavyHitters
+    val agg = new HeavyHitters(4)
+    val item = Gen.frequency((6, Gen.const(1L)), (3, Gen.const(2L)), (2, Gen.choose(3L, 12L)))
+    val prop = Prop.forAll(Gen.listOf(item), Gen.choose(1, 7)) { (xs: List[Long], nParts: Int) =>
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = xs.length.toLong / 5 // n/(k+1), k=4
+      val parts = xs.zipWithIndex.groupMap(_._2 % nParts)(_._1)
+      val merged = parts.values
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val result = agg.finish(merged).map(e => e.item -> e.approx_count).toMap
+      val under  = result.forall { case (i, c) => c <= truth(i) && c >= truth(i) - bound }
+      val present = truth.forall { case (i, c) => c <= bound || result.contains(i) }
+      under && present && result.size <= 4
+    }
+    check(prop, "MG bounds")
+  }
 }

@@ -33,6 +33,20 @@ class SourcesSpec extends SparkSpec {
     assert(d > 0)
   }
 
+  test("#58b custom aggregates (graft_top3, graft_mg8, graft_wavg) reachable from spark.sql") {
+    Catalog.registerAll(spark, sf)
+    val top = spark
+      .sql("""SELECT c_mktsegment, graft_top3(c_acctbal, c_custkey) AS top
+              FROM customer GROUP BY c_mktsegment""")
+      .collect()
+    assert(top.length == 5)
+    assert(top.forall(_.getSeq[org.apache.spark.sql.Row](1).length <= 3))
+    val mg = spark
+      .sql("SELECT graft_mg8(l_partkey) AS hh FROM lineitem")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.nonEmpty && mg.length <= 8)
+  }
+
   test("#130 CSV round-trip with schema; malformed rows dropped or dead-lettered by mode") {
     val dir = tmp("csv")
     val ev  = Tables.events(spark, sf).select("event_id", "user_id", "event_type", "value")

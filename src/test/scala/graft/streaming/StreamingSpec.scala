@@ -479,6 +479,34 @@ class StreamingSpec extends SparkSpec {
       "forward-compatible records must never dead-letter")
   }
 
+  test("#136 Trigger.AvailableNow drains the backlog and self-terminates (kappa backfill mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir  = tmp("anowsrc")
+    val feedDir = tmp("anowfeed")
+    Seq(
+      ("f1.json", Seq(
+        """{"op":"insert","key":1,"ts":"2024-01-01T00:10:00.000Z","payload":{"v":"a"},"seq":1}""",
+        """{"op":"insert","key":2,"ts":"2024-01-01T00:20:00.000Z","payload":{"v":"b"},"seq":2}""")),
+      ("f2.json", Seq(
+        """{"op":"update","key":1,"ts":"2024-01-01T00:30:00.000Z","payload":{"v":"a2"},"seq":3}""",
+        """{"op":"delete","key":2,"ts":"2024-01-01T00:40:00.000Z","payload":{},"seq":4}""")),
+    ).foreach { case (name, lines) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(srcDir, name), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val q = FeedSink.writeChangefeed(
+      CdcMaterializer.materialize(ChangeFeed.readJsonDir(spark, srcDir).as[Change]).toDF(),
+      feedDir, tmp("anowck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must stop by itself once the backlog drains")
+    assert(!q.isActive)
+    val state = FeedSink.stateAsOf(spark, feedDir, Long.MaxValue).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Map[String, String]]("payload")).toMap
+    assert(state == Map(1L -> Map("v" -> "a2")), s"drained state wrong: $state")
+  }
+
   test("#37d restart continuity: state store survives stop/start, stale-drop holds across runs") {
     import spark.implicits._
     val srcDir  = tmp("restartsrc")
