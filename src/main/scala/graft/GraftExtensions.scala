@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.ShingleArray].getName, "graft_shingles"),
       (children: Seq[Expression]) => graft.plans.ShingleArray(children(0), children(1)),
     ))
+    // Rule[LogicalPlan] tier: lossless O(1) length-difference guard in
+    // front of O(len²) levenshtein threshold predicates (see
+    // plans.LevenshteinPrefilter) — applies to hand-written SQL too
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }

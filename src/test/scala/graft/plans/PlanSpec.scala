@@ -231,6 +231,33 @@ class PlanSpec extends SparkSpec {
     assert(single <= 2, s"global rank must be the only narrow stage:\n$p")
   }
 
+  test("LevenshteinPrefilter: hand-written SQL gets the O(1) length guard; results identical; rule converges") {
+    graft.sources.Catalog.registerAll(spark, sf)
+    val sql =
+      """SELECT a.p_partkey, b.p_partkey
+        |FROM part a JOIN part b
+        |  ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 1""".stripMargin
+    val optimized = spark.sql(sql).queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs(") && optimized.contains("length("),
+      s"length-difference guard not injected:\n$optimized")
+    // lossless: identical rows with the rule excluded
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    val withRule = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set(key, "graft.plans.LevenshteinPrefilter")
+      val withoutPlan = spark.sql(sql).queryExecution.optimizedPlan.toString
+      assert(!withoutPlan.contains("abs("), s"exclusion must disable the rule:\n$withoutPlan")
+      val without = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(withRule == without, "the guard must be a lossless prune")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    assert(withRule.nonEmpty, "the probe query should find at least one near-identical name pair")
+  }
+
   test("q42/q45 cleaning passes are shuffle-free single-stage scans") {
     Seq(
       graft.operators.TrainingData.trainTestSplit(spark, sf),
