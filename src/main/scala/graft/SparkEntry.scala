@@ -819,7 +819,7 @@ object SparkEntry {
         |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1.0)
         |        / 4294967297.0) / n_chars AS ekey
         |  FROM documents)
-        |ORDER BY ekey, doc_id LIMIT 64""".stripMargin,
+        |ORDER BY round(ekey, 12), doc_id LIMIT 64""".stripMargin,
     "q61_zscore_outliers" ->
       """WITH s AS (SELECT c_mktsegment, avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sigma
         |  FROM customer GROUP BY c_mktsegment)

@@ -226,7 +226,14 @@ object TrainingData {
       .documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         (-log(u) / col("n_chars").cast("double")).as("ekey"))
-      .orderBy(col("ekey"), col("doc_id"))
+      // rank on the 12-decimal-QUANTIZED key with an id tiebreak: ln()
+      // differs between libms in the last ulp, and on a dense-enough
+      // corpus two raw keys land within that noise of each other, making
+      // the raw order engine-dependent (first seen at sf0.1). Quantizing
+      // keeps ~7 significant digits of the weight (sampling quality
+      // intact) while the comparison becomes noise-immune unless a key
+      // sits within 1e-16 relative of a quantization boundary.
+      .orderBy(round(col("ekey"), 12), col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("lang"), col("n_chars"), round(col("ekey"), 6).as("ekey"))
   }
