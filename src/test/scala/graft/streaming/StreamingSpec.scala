@@ -1418,6 +1418,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#115b top-k store restart continuity: totals and ranks survive stop/start from the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val storeDir = tmp("topkrestart")
+    val ck       = tmp("topkrestartck")
+    val srcDir   = tmp("topkrestartsrc")
+    def iso(minutes: Int): String =
+      java.time.Instant.ofEpochMilli(ts(minutes).getTime).toString
+    def writeFile(name: String, rows: Seq[(String, Long, Double)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(srcDir, name),
+        rows.map { case (t, u, v) => s"""{"ts":"$t","user_id":$u,"value":$v}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("ts TIMESTAMP, user_id LONG, value DOUBLE")
+        .json(srcDir)
+      val q = TopKView.topK(src, storeDir, ck, k = 2).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile("f1.json", Seq((iso(0), 1L, 10.0), (iso(5), 2L, 5.0)))
+    run() // first deployment, then STOP
+    // second deployment: the windowed-agg state must resume from the
+    // checkpoint, so user 2's new event ADDS to its prior total
+    writeFile("f2.json", Seq((iso(20), 2L, 7.0), (iso(25), 3L, 1.0)))
+    run()
+    val store = spark.read.parquet(storeDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("total"), r.getAs[Long]("rn"))).toSet
+    assert(store == Set((2L, 12.0, 1L), (1L, 10.0, 2L)),
+      s"restart must fold prior state into new totals: $store")
+  }
+
   test("#116 streaming HLL sketch view: per-window estimates exact at this cardinality, union rolls up") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
