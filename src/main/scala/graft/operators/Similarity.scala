@@ -317,6 +317,66 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("approx_cosine"), col("rn"))
   }
 
+  /** #139: persist the PQ index — codes co-bucketed with the stored norms
+    * (one table, the per-vector scan unit) plus the tiny codebook. This
+    * is what "the training cost is paid once" means operationally: the
+    * 10× probe showed inline codebook training dominating s05; a
+    * deployment builds the index per corpus snapshot and every query
+    * afterwards reads codes + codebook, never raw embeddings.
+    */
+  def savePqIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+    val (codes, codebook) = pqIndex(emb)
+    codes
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("jc"))
+      .join(emb.select(col("vec_id"), l2Norm(col("embedding")).as("norm")), Seq("vec_id"))
+      .select(col("vec_id"), transform(col("jc"), x => x.getField("code")).as("codes"), col("norm"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$indexDir/codes")
+    codebook.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$indexDir/codebook")
+  }
+
+  /** s05 served FROM a persisted index: identical ADC + re-rank dataflow,
+    * but codes/codebook come off disk — no Lloyd work on the query path.
+    * (Re-rank still touches raw embeddings for its top-R candidates only,
+    * exactly as a production PQ store keeps full vectors for refinement.)
+    */
+  def annPqFromIndex(spark: SparkSession, dir: String, indexDir: String,
+      k: Int = 3, rerank: Int = 60): DataFrame = {
+    val emb      = Tables.embeddings(spark, dir)
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val stored   = spark.read.parquet(s"$indexDir/codes")
+    val codes = stored.select(col("vec_id"), col("norm"),
+      posexplode(col("codes")).as(Seq("j", "code")))
+    val lut = broadcast(
+      queriesOf(emb)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .withColumn("q_norm", l2Norm(col("q_emb")))
+        .select(col("query_id"), col("q_norm"), posexplode(expr(
+          "transform(sequence(0, 3), j -> slice(q_emb, j * (size(q_emb) div 4) + 1, size(q_emb) div 4))"))
+          .as(Seq("j", "qsv")))
+        .join(broadcast(codebook), Seq("j"))
+        .select(col("query_id"), col("q_norm"), col("j"), col("code"),
+          dot(col("qsv"), col("cv")).as("pdot")))
+    val adcW = Window.partitionBy("query_id").orderBy(col("adot").desc, col("neighbor_id"))
+    val cand = codes
+      .join(lut, Seq("j", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("pdot").as("adot"), first("q_norm").as("q_norm"), first("norm").as("n_norm"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("arn", row_number().over(adcW))
+      .filter(col("arn") <= math.max(k, rerank))
+    val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
+    cand
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(queriesOf(emb).select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+        Seq("query_id"))
+      .withColumn("sim6", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("approx_cosine"), col("rn"))
+  }
+
   /** q58: embedding-diversity sample — pick `perBucket` vectors from each
     * hyperplane-LSH region, so the sample spans the embedding space
     * instead of oversampling its dense cores (the diversity step of data

@@ -396,6 +396,25 @@ class SimilaritySpec extends SparkSpec {
       "ADC estimates must stay in cosine range (quantization slack allowed)")
   }
 
+  test("#139 persisted PQ index serves identical results to the inline build") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Similarity.savePqIndex(spark, sf, indexDir)
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    assert(codes.count() == graft.sources.Tables.embeddings(spark, sf).count())
+    assert(codes.filter(size(col("codes")) =!= 4).count() == 0, "every vector stores exactly m codes")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rn"))).toSet
+    val inline = rows(Similarity.annPq(spark, sf))
+    val stored = rows(Similarity.annPqFromIndex(spark, sf, indexDir))
+    // the two sides train SEPARATE codebooks (Lloyd float-mean order is
+    // nondeterministic — the s04/s05 rows-only argument), so demand
+    // near-identical answers, not bitwise-equal candidate sets: the exact
+    // re-rank absorbs ulp-level codebook drift for all but boundary pairs
+    val overlap = stored.intersect(inline).size.toDouble / inline.size
+    assert(overlap >= 0.9, f"stored-index answers drifted from inline: $overlap%.2f")
+    assert(stored.map(_._1) == inline.map(_._1), "every query must be served from the stored index")
+  }
+
   test("s03 embedding stats: norms are ~unit-order, all labels present") {
     val rows = Similarity.embeddingStats(spark, sf).collect()
     assert(rows.length == 10)
