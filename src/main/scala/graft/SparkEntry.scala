@@ -115,6 +115,7 @@ object SparkEntry {
     "t11_lang_agreement"        -> ((s, d) => TextAnalysis.langAgreement(GraftSession.tune(s), d)),
     "d09_fuzzy_match"           -> ((s, d) => Dedup.fuzzyMatch(GraftSession.tune(s), d)),
     "q69_price_histogram"       -> ((s, d) => Relational.priceHistogram(GraftSession.tune(s), d)),
+    "q70_session_funnel"        -> ((s, d) => Temporal.sessionFunnel(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -973,5 +974,25 @@ object SparkEntry {
         |g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
         |SELECT bin, n, round(CAST(n AS DOUBLE) / tot, 4) AS share FROM g, t""".stripMargin,
+    // q70: q25's island sessionization + per-session funnel fold
+    "q70_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+        |m AS (SELECT user_id, event_type, tsu, event_id,
+        |  CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+        |         OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new FROM e),
+        |s AS (SELECT user_id, event_type, tsu,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m),
+        |g AS (SELECT user_id, session_id,
+        |  min(CASE WHEN event_type = 'view' THEN tsu END) AS first_view,
+        |  max(CASE WHEN event_type = 'purchase' THEN tsu END) AS last_purchase
+        | FROM s GROUP BY user_id, session_id),
+        |c AS (SELECT user_id,
+        |  CASE WHEN first_view IS NOT NULL AND last_purchase > first_view THEN 1 ELSE 0 END AS converted
+        | FROM g)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(converted) AS BIGINT) AS n_converting,
+        | round(CAST(sum(converted) AS DOUBLE) / count(*), 4) AS conv_share
+        |FROM c GROUP BY user_id""".stripMargin,
   )
 }

@@ -368,6 +368,37 @@ object Temporal {
       )
   }
 
+  /** q70: session-scoped funnel conversion — within each q25-style
+    * session (30-min gap), did a purchase land strictly after the
+    * session's first view? "Any purchase after the first view" folds to
+    * `max(purchase ts) > min(view ts)` — one aggregate per session, no
+    * per-event pattern state — and the per-user rollup reuses the same
+    * user partitioning. The session-conversion-rate table is how product
+    * analytics separates browse sessions from buying sessions.
+    */
+  def sessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sess = events(spark, dir)
+      .withColumn("prev", lag("tsu", 1).over(order))
+      .withColumn("is_new", when(col("prev").isNull || col("tsu") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(when(col("event_type") === "view", col("tsu"))).as("first_view"),
+        max(when(col("event_type") === "purchase", col("tsu"))).as("last_purchase"),
+      )
+      .withColumn("converted",
+        when(col("first_view").isNotNull && col("last_purchase") > col("first_view"), 1L).otherwise(0L))
+    sess
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("converted").as("n_converting"),
+        round(sum("converted").cast("double") / count(lit(1)), 4).as("conv_share"),
+      )
+  }
+
   /** q52: cohort retention — users bucketed by first-activity day, counted
     * distinct per (cohort day, day offset): the canonical product-analytics
     * matrix. Day arithmetic stays in integral epoch days end-to-end; two

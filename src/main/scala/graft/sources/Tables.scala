@@ -57,8 +57,17 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(path(dir, "events"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(path(dir, "events"))
+      // the driver's events.parquet carries TIMESTAMP(NANOS), read as a
+      // long under nanosAsLong; a user-supplied events table with a
+      // regular µs timestamp must work unchanged — sniff the schema
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // identity re-tag under the UTC session (same as TPC-H dates)
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     }
 }
