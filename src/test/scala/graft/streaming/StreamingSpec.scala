@@ -507,6 +507,35 @@ class StreamingSpec extends SparkSpec {
     assert(state == Map(1L -> Map("v" -> "a2")), s"drained state wrong: $state")
   }
 
+  test("#141 multi-source feed union: one materialization over two feeds, LWW coherent across sources") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two independent producers (e.g. two Kafka topics / two regions)
+    // merged into ONE materialized view: the (ts, seq) total order must
+    // resolve cross-feed races exactly as it does within a feed
+    val feedA = MemoryStream[Change]
+    val feedB = MemoryStream[Change]
+    val q = CdcMaterializer
+      .materialize(feedA.toDS().unionByName(feedB.toDS()))
+      .writeStream.format("memory").queryName("unionfeed").outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("unionck")).start()
+    try {
+      feedA.addData(Change("insert", 1L, ts(0), Map("v" -> "a0"), seq = 1L))
+      feedB.addData(Change("update", 1L, ts(10), Map("v" -> "b1"), seq = 3L))
+      q.processAllAvailable()
+      // feed A later delivers a change OLDER than B's winner -> stale-drop
+      // must hold across sources; key 2 lives only on feed B
+      feedA.addData(Change("update", 1L, ts(5), Map("v" -> "aSTALE"), seq = 2L))
+      feedB.addData(Change("insert", 2L, ts(20), Map("v" -> "b2"), seq = 4L))
+      q.processAllAvailable()
+      val state = spark.table("unionfeed").collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Map[String, String]]("payload")))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(state(1L) == Map("v" -> "b1"), s"cross-feed stale change must lose: $state")
+      assert(state(2L) == Map("v" -> "b2"))
+    } finally q.stop()
+  }
+
   test("#37d restart continuity: state store survives stop/start, stale-drop holds across runs") {
     import spark.implicits._
     val srcDir  = tmp("restartsrc")
