@@ -116,6 +116,7 @@ object SparkEntry {
     "d09_fuzzy_match"           -> ((s, d) => Dedup.fuzzyMatch(GraftSession.tune(s), d)),
     "q69_price_histogram"       -> ((s, d) => Relational.priceHistogram(GraftSession.tune(s), d)),
     "q70_session_funnel"        -> ((s, d) => Temporal.sessionFunnel(GraftSession.tune(s), d)),
+    "d10_containment"           -> ((s, d) => Dedup.containment(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -994,5 +995,20 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_sessions, CAST(sum(converted) AS BIGINT) AS n_converting,
         | round(CAST(sum(converted) AS DOUBLE) / count(*), 4) AS conv_share
         |FROM c GROUP BY user_id""".stripMargin,
+    // d10: one-sided coverage of the smaller doc's 3-word shingles
+    "d10_containment" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS g FROM w) t),
+        |df AS (SELECT g FROM (SELECT g, count(*) AS c FROM sh GROUP BY g) WHERE c <= 100),
+        |p AS (SELECT sh.doc_id, sh.g FROM sh JOIN df ON sh.g = df.g),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM p a JOIN p b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / x.n, 4) AS coverage,
+        | x.n AS n_a, y.n AS n_b
+        |FROM ov JOIN sz x ON x.doc_id = ov.doc_a JOIN sz y ON y.doc_id = ov.doc_b
+        |WHERE common >= 0.9 * x.n AND x.n < y.n""".stripMargin,
   )
 }

@@ -95,6 +95,36 @@ object Dedup {
         col("name_a"), col("name_b"), col("edit_dist"))
   }
 
+  /** d10: containment detection — the ASYMMETRIC near-dup case Jaccard
+    * misses: a short document swallowed by a longer one (quote pages,
+    * excerpt farms, boilerplate-wrapped reposts) scores low symmetric
+    * Jaccard but high one-sided coverage. A pair qualifies when ≥
+    * `coverage` of the SMALLER doc's 3-word shingles appear in the
+    * larger. Same lossless inverted-index candidate generation and df
+    * cap as d02 — candidate cost is Σ df² over rare grams, never n².
+    */
+  def containment(spark: SparkSession, dir: String, coverage: Double = 0.9, maxDf: Int = 100): DataFrame = {
+    val docs  = Shingles.hashedShingleSets(Tables.documents(spark, dir), 3)
+    val sizes = docs.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+    val exploded = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+    val rare = exploded
+      .groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("g")
+    val posts = exploded.join(rare, Seq("g"), "left_semi")
+    posts.as("a")
+      .join(posts.as("b"), col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .filter(col("common") >= lit(coverage) * col("n_a") && col("n_a") < col("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") / col("n_a"), 4).as("coverage"),
+        col("n_a"), col("n_b"))
+  }
+
   /** d01: exact dedup via content hash — one map-side-combined groupBy. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables

@@ -201,6 +201,15 @@ class DedupSpec extends SparkSpec {
       "exact-duplicate docs must vanish entirely")
   }
 
+  test("d10 containment is strictly asymmetric: smaller into larger, coverage >= 0.9, never exact-dup pairs") {
+    val rows = Dedup.containment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") < r.getAs[Long]("n_b"), "contained doc must be strictly smaller")
+      assert(r.getAs[Double]("coverage") >= 0.9)
+    }
+  }
+
   test("d01 exact dedup: groups cover all docs") {
     val total = Dedup.exact(spark, sf).agg(sum("n_copies")).collect()(0).getLong(0)
     assert(total == graft.sources.Tables.documents(spark, sf).count())
