@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.ShingleArray].getName, "graft_shingles"),
       (children: Seq[Expression]) => graft.plans.ShingleArray(children(0), children(1)),
     ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[graft.plans.NormalizeString].getName, "graft_normalize"),
+      (children: Seq[Expression]) => graft.plans.NormalizeString(children(0), children(1)),
+    ))
     // Rule[LogicalPlan] tier: lossless O(1) length-difference guard in
     // front of O(len²) levenshtein threshold predicates (see
     // plans.LevenshteinPrefilter) — applies to hand-written SQL too

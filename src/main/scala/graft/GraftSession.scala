@@ -84,6 +84,11 @@ object GraftSession {
       new ExpressionInfo(classOf[graft.plans.ShingleArray].getName, "graft_shingles"),
       (children: Seq[Expression]) => graft.plans.ShingleArray(children(0), children(1)),
     )
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[graft.plans.NormalizeString].getName, "graft_normalize"),
+      (children: Seq[Expression]) => graft.plans.NormalizeString(children(0), children(1)),
+    )
     spark.udf.register(
       "graft_wavg",
       org.apache.spark.sql.functions.udaf(new graft.functions.WeightedAvg),

@@ -117,6 +117,7 @@ object SparkEntry {
     "q69_price_histogram"       -> ((s, d) => Relational.priceHistogram(GraftSession.tune(s), d)),
     "q70_session_funnel"        -> ((s, d) => Temporal.sessionFunnel(GraftSession.tune(s), d)),
     "d10_containment"           -> ((s, d) => Dedup.containment(GraftSession.tune(s), d)),
+    "t12_unicode_tokens"        -> ((s, d) => TextAnalysis.unicodeTokens(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1010,5 +1011,31 @@ object SparkEntry {
         | x.n AS n_a, y.n AS n_b
         |FROM ov JOIN sz x ON x.doc_id = ov.doc_a JOIN sz y ON y.doc_id = ov.doc_b
         |WHERE common >= 0.9 * x.n AND x.n < y.n""".stripMargin,
+    // t12: the oracle replays the whole Unicode path in DuckDB — the
+    // variant list is THE SAME Scala value the Spark side plants (so the
+    // NFD row is decomposed by construction on both sides), nfc_normalize
+    // is utf8proc NFC vs the JVM's java.text.Normalizer NFC (both
+    // implement UAX#15 — byte-equal outputs or the hash column fails),
+    // and the CJK class is spelled as explicit codepoint ranges valid in
+    // both Java regex and RE2.
+    "t12_unicode_tokens" -> {
+      val lits = graft.operators.TextAnalysis.mixedScriptVariants
+        .map(v => "'" + v + "'").mkString("[", ", ", "]")
+      s"""WITH v AS (SELECT doc_id, text || ' ' || ($lits)[(doc_id % 6) + 1] AS t2
+        |  FROM documents),
+        |n AS (SELECT doc_id, t2, nfc_normalize(t2) AS nt FROM v),
+        |s AS (SELECT doc_id, t2, nt,
+        |  trim(regexp_replace(regexp_replace(nt, '\\p{Z}+', ' ', 'g'),
+        |    '([\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}])',
+        |    ' \\1 ', 'g')) AS seg
+        |  FROM n)
+        |SELECT doc_id,
+        | len(regexp_split_to_array(seg, '\\s+')) AS n_utokens,
+        | len(regexp_extract_all(nt,
+        |   '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}]')) AS n_cjk,
+        | md5(nt) AS norm_hash,
+        | len(regexp_split_to_array(trim(t2), '\\s+')) AS n_ws_tokens
+        |FROM s""".stripMargin
+    },
   )
 }

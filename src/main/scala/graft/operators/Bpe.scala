@@ -27,13 +27,21 @@ case class BpeWord(word: String, wn: Long, syms: Seq[String])
   */
 object Bpe {
 
-  /** Corpus word counts — the only corpus-wide pass. */
-  def wordCounts(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus word counts — the only corpus-wide pass. With `unicode = true`
+    * the text is NFC-normalized and CJK-segmented first
+    * ([[graft.functions.TextFunctions.uSegment]]): BPE then learns over
+    * per-codepoint CJK units and byte-stable accents instead of silently
+    * treating every NFC/NFD spelling as a distinct word.
+    */
+  def wordCounts(spark: SparkSession, dir: String, unicode: Boolean = false): DataFrame = {
+    val text =
+      if (unicode) graft.functions.TextFunctions.uSegment(col("text")) else col("text")
     Tables
       .documents(spark, dir)
-      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .select(explode(split(trim(text), "\\s+")).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("wn"))
+  }
 
   /** t09: round-one adjacent character-pair frequencies (the statistic
     * the first BPE merge maximizes), top `k` with deterministic ranking.

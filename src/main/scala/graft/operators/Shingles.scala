@@ -26,12 +26,19 @@ import org.apache.spark.sql.functions._
 object Shingles {
 
   /** One row per (doc_id, k-shingle), shuffle-free. Docs with fewer than
-    * k words emit nothing.
+    * k words emit nothing. With `unicode = true` the text first passes
+    * through [[graft.functions.TextFunctions.uSegment]] (NFC + Unicode
+    * space folding + per-codepoint CJK isolation), so shingles are stable
+    * across NFC/NFD inputs and CJK text shingles per codepoint instead of
+    * collapsing to one "word" per sentence — still a map-side projection.
     */
-  def shingleRows(docs: DataFrame, k: Int): DataFrame =
+  def shingleRows(docs: DataFrame, k: Int, unicode: Boolean = false): DataFrame = {
+    val text =
+      if (unicode) graft.functions.TextFunctions.uSegment(col("text")) else col("text")
     docs.select(
       col("doc_id"),
-      explode(call_function("graft_shingles", col("text"), lit(k))).as("shingle"))
+      explode(call_function("graft_shingles", text, lit(k))).as("shingle"))
+  }
 
   /** The r1 windowed formulation (explode words, `lead()` over a doc_id
     * window): same rows as [[shingleRows]], one corpus-wide shuffle more.

@@ -197,4 +197,48 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(round(avg(log10(col("bc") / col("total"))), 4).as("avg_logprob"), count(lit(1)).as("n_bigrams"))
   }
+
+  /** The six mixed-script suffixes t12 plants (deterministically by
+    * doc_id) to exercise the Unicode path on the ASCII test corpus: Han +
+    * Hiragana, composed accents, the SAME accents decomposed (NFD — rows
+    * 2 and 3 must hash identically after normalization), Hangul,
+    * Katakana/Hiragana, and fullwidth compatibility forms.
+    */
+  private[graft] val mixedScriptVariants: Seq[String] = Seq(
+    "漢字処理は難しい",
+    "café résumé",
+    "café résumé",
+    "한국어 텍스트 분석",
+    "カタカナとひらがな混在",
+    "ｆｕｌｌｗｉｄｔｈ１２３ test",
+  )
+
+  /** t12: Unicode/CJK-robust tokenization over a mixed-script corpus —
+    * the r4 verdict's top gap made measurable. Each document gets a
+    * deterministic mixed-script suffix (see [[mixedScriptVariants]]);
+    * the query reports codepoint-aware token counts (NFC + Unicode-space
+    * folding + per-codepoint CJK segmentation via
+    * [[graft.functions.TextFunctions.uwords]]), the CJK codepoint count,
+    * the md5 of the NFC-normalized text (NFD and NFC spellings of the
+    * same text MUST collide here — that is the dedup-stability property),
+    * and the naive whitespace count for contrast (CJK runs collapse to 1
+    * there). All per-row projections; oracle replays every stage in
+    * DuckDB (nfc_normalize + RE2).
+    */
+  def unicodeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{uwords, words, normalized, CjkClass}
+    val variants = array(mixedScriptVariants.map(lit): _*)
+    val t2 = concat(col("text"), lit(" "),
+      element_at(variants, (pmod(col("doc_id"), lit(6)) + 1).cast("int")))
+    val nt = normalized(t2)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(uwords(t2)).cast("long").as("n_utokens"),
+        size(regexp_extract_all(nt, lit(CjkClass), lit(0))).cast("long").as("n_cjk"),
+        md5(nt).as("norm_hash"),
+        size(words(t2)).cast("long").as("n_ws_tokens"),
+      )
+  }
 }
