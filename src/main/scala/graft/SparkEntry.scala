@@ -118,6 +118,8 @@ object SparkEntry {
     "q70_session_funnel"        -> ((s, d) => Temporal.sessionFunnel(GraftSession.tune(s), d)),
     "d10_containment"           -> ((s, d) => Dedup.containment(GraftSession.tune(s), d)),
     "t12_unicode_tokens"        -> ((s, d) => TextAnalysis.unicodeTokens(GraftSession.tune(s), d)),
+    "q71_correlated_exists"     -> ((s, d) => Relational.correlatedExists(GraftSession.tune(s), d)),
+    "q72_lateral_aggregate"     -> ((s, d) => Relational.lateralAggregate(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1037,5 +1039,22 @@ object SparkEntry {
         | len(regexp_split_to_array(trim(t2), '\\s+')) AS n_ws_tokens
         |FROM s""".stripMargin
     },
+    "q71_correlated_exists" ->
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS totalprice
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 8640000000000
+        |    AND l.l_extendedprice > o.o_totalprice * 0.3)""".stripMargin,
+    "q72_lateral_aggregate" ->
+      """SELECT c.c_custkey, t.n_big_orders, t.big_total,
+        |  CASE WHEN t.big_total > 50 * c.c_acctbal THEN 1 ELSE 0 END AS over_balance
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT count(*) AS n_big_orders,
+        |         round(coalesce(sum(o.o_totalprice), 0), 2) AS big_total
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) t""".stripMargin,
   )
 }

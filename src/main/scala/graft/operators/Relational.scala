@@ -554,4 +554,60 @@ object Relational {
       .groupBy("p_brand")
       .agg(round(sum("rev"), 2).as("revenue"), count(lit(1)).as("n_items"))
   }
+
+  /** q71: correlated EXISTS with a NON-EQUI outer-referencing predicate —
+    * the SQL-core surface q07's simple EXISTS doesn't cover: the inner
+    * predicate compares inner columns against TWO outer columns
+    * (ship lag vs the order's own date; line price vs a fraction of the
+    * order's own total). Written as SQL on purpose: Catalyst's
+    * RewritePredicateSubquery must DECORRELATE it into one left-semi
+    * hash join on the equi part (l_orderkey = o_orderkey) carrying the
+    * non-equi terms as the join's extra condition — per-outer-row
+    * subquery re-execution or a BroadcastNestedLoopJoin here would be
+    * O(orders × lineitem) and is asserted absent in PlanSpec. Timestamps
+    * cross engines as epoch-µs integers (house rule).
+    */
+  def correlatedExists(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS totalprice
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND unix_micros(CAST(l.l_shipdate AS TIMESTAMP))
+        |        > unix_micros(CAST(o.o_orderdate AS TIMESTAMP)) + 8640000000000
+        |    AND l.l_extendedprice > o.o_totalprice * 0.3)""".stripMargin)
+  }
+
+  /** q72: LATERAL correlated aggregate — for every customer, the inner
+    * table computes an aggregate over THAT customer's orders (equi
+    * correlation) under a constant inner filter that must still reach
+    * the orders scan as pushdown. The aggregate-without-GROUP-BY lateral
+    * always yields exactly one row per outer row, and the decorrelated
+    * shape is one aggregate grouped by the correlation key left-outer-
+    * joined back to the outer table — never per-row subquery execution.
+    *
+    * Deliberately NOT an outer-referencing non-equi lateral: Spark's
+    * DecorrelateInnerQuery handles that by materializing a DOMAIN of the
+    * referenced outer attribute and nested-loop-joining it against the
+    * inner table (measured here: distinct balances × orders BNLJ) —
+    * exactly the all-pairs shape the fleet bans. The outer-referencing
+    * non-equi case rides q71's EXISTS, where the rewrite keeps it as an
+    * extra condition on the semi join; the comparison against the
+    * customer's own balance happens on the one-row lateral OUTPUT
+    * instead, which is free.
+    */
+  def lateralAggregate(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c.c_custkey, t.n_big_orders, t.big_total,
+        |  CASE WHEN t.big_total > 50 * c.c_acctbal THEN 1 ELSE 0 END AS over_balance
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT count(*) AS n_big_orders,
+        |         round(coalesce(sum(o.o_totalprice), 0), 2) AS big_total
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) t""".stripMargin)
+  }
 }

@@ -258,6 +258,23 @@ class PlanSpec extends SparkSpec {
     assert(withRule.nonEmpty, "the probe query should find at least one near-identical name pair")
   }
 
+  test("q71/q72: correlated EXISTS and LATERAL decorrelate to keyed joins — no nested-loop fallback") {
+    val exists = plan(Relational.correlatedExists(spark, sf))
+    // RewritePredicateSubquery: one left-semi hash/SMJ join on the equi
+    // key carrying the non-equi terms; never a per-row subquery or BNLJ
+    assert(exists.contains("LeftSemi"), s"EXISTS must become a semi join:\n$exists")
+    assert(!exists.contains("BroadcastNestedLoopJoin") && !exists.contains("CartesianProduct"),
+      s"correlated EXISTS fell back to all-pairs:\n$exists")
+    val lateral = plan(Relational.lateralAggregate(spark, sf))
+    assert(!lateral.contains("BroadcastNestedLoopJoin") && !lateral.contains("CartesianProduct"),
+      s"LATERAL aggregate fell back to all-pairs:\n$lateral")
+    assert(lateral.contains("Aggregate") || lateral.contains("HashAggregate"),
+      s"decorrelated lateral should aggregate over the keyed join:\n$lateral")
+    // the lateral's constant inner filter must still reach the orders scan
+    assert(lateral.contains("GreaterThan(o_totalprice"),
+      s"inner filter not pushed through decorrelation:\n$lateral")
+  }
+
   test("q42/q45 cleaning passes are shuffle-free single-stage scans") {
     Seq(
       graft.operators.TrainingData.trainTestSplit(spark, sf),
