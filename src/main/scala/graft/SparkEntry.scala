@@ -482,21 +482,27 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)""".stripMargin,
-    // m01's oracle replays the deterministic stub decode byte-for-byte
-    // (payload = md5(text) bytes; stats/resize/frame-sample are pure
-    // functions of them). What stays stubbed is the codec itself; the
-    // column plumbing the query exercises is now equality-checked.
+    // m01's oracle never sees the PNG bytes: it predicts the DECODED
+    // stats arithmetically from the deterministic two-band layout
+    // (w/h/g1/g2 are pure functions of doc_id and n_chars). The Spark
+    // side really encodes (ImageIO.write) and really decodes
+    // (ImageIO.read) — a corrupted round trip fails this hash. The
+    // divides mirror the Spark arithmetic operand-for-operand
+    // (integer numerator * h over w*h; stride-2 grid for the thumb) so
+    // both engines round the identical IEEE double.
     "m01_multimodal_pipeline" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
-        |b AS (SELECT doc_id, list_transform(range(0, 16), i ->
-        |    (strpos('0123456789abcdef', substr(h, 2 * i + 1, 1)) - 1) * 16
-        |  + (strpos('0123456789abcdef', substr(h, 2 * i + 2, 1)) - 1)) AS bytes FROM h)
+      """WITH p AS (SELECT doc_id,
+        |  16 + (n_chars % 32) AS w, 16 + ((n_chars * 7) % 32) AS h,
+        |  doc_id % 256 AS g1, (doc_id * 7 + 31) % 256 AS g2 FROM documents),
+        |c AS (SELECT doc_id, w, h, g1, g2, w // 2 AS wl,
+        |  (w + 1) // 2 AS ct, (h + 1) // 2 AS rt,
+        |  ((w // 2) + 1) // 2 AS cl FROM p)
         |SELECT doc_id,
-        | CAST(16 AS INTEGER) AS n_bytes,
-        | round(CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / 16, 4) AS avg_byte,
-        | CAST(8 AS INTEGER) AS thumb_bytes,
-        | CAST(4 AS INTEGER) AS n_frames
-        |FROM b""".stripMargin,
+        | CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
+        | round(CAST((wl * g1 + (w - wl) * g2) * h AS DOUBLE) / (w * h), 4) AS avg_luma,
+        | round(CAST(rt * (cl * g1 + (ct - cl) * g2) AS DOUBLE) / (ct * rt), 4) AS thumb_avg,
+        | CAST((h + 3) // 4 AS INTEGER) AS n_frames
+        |FROM c""".stripMargin,
     // s02's oracle replays the ENTIRE approximate computation: the
     // deterministic sin-hyperplane bucket (same emulation d05's oracle
     // uses), the 9-probe flip-one-bit expansion, and the in-bucket exact

@@ -531,13 +531,27 @@ class IncrementalDedupSpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
-  test("m01 pipeline: 16-byte fake payloads decoded to features") {
+  test("m01 pipeline: real PNG payloads decode to the constructed pixel stats") {
     val rows = Multimodal.pipeline(spark, sf).collect()
     assert(rows.length == 500)
     assert(rows.forall { r =>
-      r.getAs[Int]("n_bytes") == 16 &&
-      r.getAs[Double]("avg_byte") >= 0 && r.getAs[Double]("avg_byte") <= 255 &&
-      r.getAs[Int]("thumb_bytes") == 8 && r.getAs[Int]("n_frames") == 4
+      val w = r.getAs[Int]("img_w"); val h = r.getAs[Int]("img_h")
+      w >= 16 && w <= 47 && h >= 16 && h <= 47 &&
+      r.getAs[Double]("avg_luma") >= 0 && r.getAs[Double]("avg_luma") <= 255 &&
+      r.getAs[Int]("n_frames") == (h + 3) / 4
     })
+  }
+
+  test("media payloads are genuine PNGs (magic bytes) decodable by a fresh reader") {
+    val recs = Multimodal.mediaTable(spark, sf).limit(5).collect()
+    assert(recs.nonEmpty)
+    recs.foreach { m =>
+      val magic = m.payload.take(8).map(_ & 0xff)
+      assert(magic.sameElements(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)),
+        s"doc ${m.doc_id}: payload is not a PNG")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      assert(img.getWidth == m.width && img.getHeight == m.height,
+        s"doc ${m.doc_id}: metadata disagrees with decoded dimensions")
+    }
   }
 }
