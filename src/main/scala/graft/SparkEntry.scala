@@ -118,6 +118,9 @@ object SparkEntry {
     "q70_session_funnel"        -> ((s, d) => Temporal.sessionFunnel(GraftSession.tune(s), d)),
     "d10_containment"           -> ((s, d) => Dedup.containment(GraftSession.tune(s), d)),
     "t12_unicode_tokens"        -> ((s, d) => TextAnalysis.unicodeTokens(GraftSession.tune(s), d)),
+    // rows-only like s05 (Lloyd float order); Lloyd runs only on the
+    // FIRST call per (session, corpus) — the query path reads the index
+    "s06_ann_pq_served"         -> ((s, d) => Similarity.annPqServed(GraftSession.tune(s), d)),
     "q71_correlated_exists"     -> ((s, d) => Relational.correlatedExists(GraftSession.tune(s), d)),
     "q72_lateral_aggregate"     -> ((s, d) => Relational.lateralAggregate(GraftSession.tune(s), d)),
   )

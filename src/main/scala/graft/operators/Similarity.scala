@@ -377,6 +377,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("approx_cosine"), col("rn"))
   }
 
+  /** Per-(session, corpus) index memo for the SERVED driver entry: the
+    * r4 verdict's perf item was s05 re-running Lloyd training inline on
+    * every call — the 10× probe measured training dominating at 3.9 s.
+    * A deployment builds the PQ index once per corpus snapshot; this
+    * memo is that lifecycle in miniature (build on first query, serve
+    * codes+codebook from parquet afterwards). Keyed by session so a new
+    * session re-indexes; dead sessions are purged like Tables' memo.
+    */
+  private val pqIndexDirs =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  /** s06: PQ ANN served from the persisted index — identical ADC +
+    * re-rank dataflow to s05, ZERO Lloyd work on the query path after
+    * the first call per corpus. Rows-only driver entry (same inherent
+    * Lloyd float-order reason as s04/s05); recall pinned by the #139
+    * spec and the served-vs-inline overlap spec.
+    */
+  def annPqServed(spark: SparkSession, dir: String, k: Int = 3, rerank: Int = 60): DataFrame = {
+    pqIndexDirs.keySet.foreach { key => if (key._1.sparkContext.isStopped) pqIndexDirs.remove(key) }
+    val indexDir = pqIndexDirs.getOrElseUpdate((spark, dir), {
+      val d = java.nio.file.Files.createTempDirectory("graft_pq_served").toString
+      savePqIndex(spark, dir, d)
+      d
+    })
+    annPqFromIndex(spark, dir, indexDir, k, rerank)
+  }
+
   /** q58: embedding-diversity sample — pick `perBucket` vectors from each
     * hyperplane-LSH region, so the sample spans the embedding space
     * instead of oversampling its dense cores (the diversity step of data

@@ -424,6 +424,20 @@ class SimilaritySpec extends SparkSpec {
     assert(stored.map(_._1) == inline.map(_._1), "every query must be served from the stored index")
   }
 
+  test("s06 served PQ entry: query path reads the persisted index, answers track inline s05") {
+    val first  = Similarity.annPqServed(spark, sf) // builds the index once
+    val second = Similarity.annPqServed(spark, sf) // must reuse it
+    val p = second.queryExecution.executedPlan.toString
+    assert(p.contains("graft_pq_served"),
+      s"served entry must scan the persisted index, not retrain:\n$p")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rn"))).toSet
+    val served = rows(second)
+    assert(rows(first) == served, "same session + corpus must serve from one index")
+    val overlap = served.intersect(rows(Similarity.annPq(spark, sf))).size.toDouble / served.size
+    assert(overlap >= 0.9, f"served answers drifted from inline build: $overlap%.2f")
+  }
+
   test("s03 embedding stats: norms are ~unit-order, all labels present") {
     val rows = Similarity.embeddingStats(spark, sf).collect()
     assert(rows.length == 10)
