@@ -203,11 +203,14 @@ object SparkEntry {
         | round(o_totalprice - lag(o_totalprice) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
         |FROM orders""".stripMargin,
+    // q12: money sums in DECIMAL(18,2) on BOTH engines — exact and
+    // associative, which is what lets the Spark side regroup the fold
+    // into bucket partials + offsets without ulp drift
     "q12_running_revenue" ->
       """WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS odate,
-        |    sum(o_totalprice) AS rev FROM orders GROUP BY 1)
-        |SELECT odate, round(sum(rev) OVER (ORDER BY odate
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1)
+        |SELECT odate, round(CAST(sum(rev) OVER (ORDER BY odate
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS cum_rev
         |FROM d""".stripMargin,
     "q13_distinct_parts_per_order" ->
       """SELECT l_orderkey, count(DISTINCT l_partkey) AS n_parts,

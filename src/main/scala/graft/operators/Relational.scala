@@ -155,17 +155,48 @@ object Relational {
       )
   }
 
-  /** q12: running/cumulative aggregate. Single unpartitioned window: fine on
-    * the ~2.4k distinct days here; at 100 TB this becomes a range-partitioned
-    * prefix-sum (partial sums per range + broadcast offsets).
+  /** q12: running/cumulative aggregate in its SCALE form (r5 — the r4
+    * verdict's last declared single-partition step, retired): a
+    * range-partitioned prefix sum instead of one unpartitioned Window.
+    *
+    *  1. daily totals (one combine over the scan);
+    *  2. bucket = month prefix of the date — a deterministic RANGE key,
+    *     so within-bucket state is bounded (≤31 days) and bucket count
+    *     grows with the calendar, not the data volume;
+    *  3. per-bucket totals + EXCLUSIVE bucket offsets via a triangular
+    *     self-join over the tiny month table (no Window node at all for
+    *     the offsets — a window here would reintroduce a
+    *     SinglePartition exchange, the thing being removed);
+    *  4. within-bucket running sum under a PARTITIONED window + broadcast
+    *     offset add.
+    *
+    * Correctness subtlety that makes the decomposition hash-safe: the
+    * money sums run in DECIMAL(18,2) — exact, therefore ASSOCIATIVE, so
+    * regrouping the additions (bucket partials + offsets vs one
+    * sequential fold) cannot drift an ulp the way double sums would;
+    * the final cast to double is of bit-identical decimals on both
+    * engines. PlanSpec asserts no SinglePartition exchange survives.
     */
   def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables
       .orders(spark, dir)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
-      .agg(sum("o_totalprice").as("rev"))
-    val w = Window.orderBy("odate").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.select(col("odate"), round(sum("rev").over(w), 2).as("cum_rev"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .withColumn("bucket", substring(col("odate"), 1, 7))
+    val bucketTotals = daily.groupBy("bucket").agg(sum("rev").as("btot"))
+    val offsets = bucketTotals
+      .as("a")
+      .join(broadcast(bucketTotals.as("b")), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.btot")).as("offset"))
+    val w = Window.partitionBy("bucket").orderBy("odate")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("within", sum("rev").over(w))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(
+        col("odate"),
+        round((coalesce(col("offset"), lit(0)) + col("within")).cast("double"), 2).as("cum_rev"))
   }
 
   /** q13: DISTINCT aggregation per key. */

@@ -258,6 +258,17 @@ class PlanSpec extends SparkSpec {
     assert(withRule.nonEmpty, "the probe query should find at least one near-identical name pair")
   }
 
+  test("q12: range-partitioned prefix sum — no single-partition exchange anywhere in the plan") {
+    val df = Relational.runningRevenue(spark, sf)
+    val p  = plan(df)
+    assert(!p.contains("SinglePartition"),
+      s"prefix sum must not funnel through one partition:\n$p")
+    // the day-level window is partitioned by the month bucket
+    assert("windowspecdefinition\\(bucket".r.findAllIn(p).nonEmpty,
+      s"running sum window must be partitioned by the range bucket:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("q71/q72: correlated EXISTS and LATERAL decorrelate to keyed joins — no nested-loop fallback") {
     val exists = plan(Relational.correlatedExists(spark, sf))
     // RewritePredicateSubquery: one left-semi hash/SMJ join on the equi
