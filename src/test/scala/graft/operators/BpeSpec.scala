@@ -52,6 +52,47 @@ class BpeSpec extends SparkSpec {
     assert(got == expected, s"distributed merges $got != reference $expected")
   }
 
+  test("batched trainer: B=8 cuts rounds >=4x and matches sequential quality (documented divergence window)") {
+    val counts = Bpe
+      .wordCounts(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("wn"))
+      .toMap
+    val expected = referenceBpe(counts, 20)
+    val (batched, rounds) = Bpe.trainMergesWithRounds(spark, sf, 20, batch = 8)
+    assert(rounds * 4 <= batched.size,
+      s"batching must cut driver rounds >=4x: $rounds rounds for ${batched.size} merges")
+    // the two schedules may bracket multi-step tokens differently and
+    // reorder tie-window merges (trainMergesWithRounds scaladoc); the
+    // invariants that define "same trainer, faster" are: the merge sets
+    // nearly coincide, almost every corpus word segments identically,
+    // and total compression is equal-or-better
+    def segment(ms: Seq[(String, String)]): Map[String, Seq[String]] =
+      counts.keys.map { w =>
+        w -> ms.foldLeft(w.map(_.toString): Seq[String]) { case (s, (a, b)) => Bpe.mergeOnce(s, a, b) }
+      }.toMap
+    val segSeq = segment(expected)
+    val segBat = segment(batched)
+    val nDiff = counts.keys.count(w => segSeq(w) != segBat(w))
+    assert(nDiff <= math.max(2, counts.size / 50),
+      s"batched segmentations diverge for $nDiff of ${counts.size} words")
+    // raw merge-PAIR overlap is bracketing-sensitive at a 20-merge
+    // horizon (colu+m vs lum/co+lum both spell "column"): expect rough
+    // agreement only; the segmentation/compression asserts above and
+    // below are the real quality contract
+    val overlap = batched.toSet.intersect(expected.toSet).size.toDouble / expected.size
+    assert(overlap >= 0.5, f"merge-set overlap collapsed: $overlap%.2f")
+    def totalTokens(seg: Map[String, Seq[String]]): Long =
+      counts.map { case (w, n) => seg(w).size * n }.sum
+    assert(totalTokens(segBat) <= totalTokens(segSeq) * 101 / 100,
+      s"batched compression worse than sequential: ${totalTokens(segBat)} vs ${totalTokens(segSeq)}")
+  }
+
+  test("batched trainer: B=1 is the sequential trainer verbatim") {
+    val (b1, rounds) = Bpe.trainMergesWithRounds(spark, sf, 6, batch = 1)
+    assert(b1 == Bpe.trainMerges(spark, sf, 6) && rounds == 6)
+  }
+
   test("mergeOnce is the standard non-overlapping left-to-right rule") {
     assert(Bpe.mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(Bpe.mergeOnce(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
