@@ -18,8 +18,29 @@ object FeedSink {
     * offset not yet committed) OVERWRITES its own partition instead of
     * appending a second copy of every row. foreachBatch + checkpoint +
     * this overwrite is the standard Spark exactly-once file-sink recipe.
+    *
+    * r5 adds the COMMIT PROTOCOL that turns the partition log into an
+    * isolated table (the open-table-format idea scoped to exactly what
+    * this sink needs): after the partition's files are fully written,
+    * ONE marker file lands under `_graft_commits/<batchId>` — a single
+    * atomic create, the batch's commit point. Readers ([[stateAsOf]])
+    * fold ONLY marker-committed partitions, so an in-flight or crashed
+    * batch write is invisible until its marker exists (no torn batch,
+    * ever), and a replayed batch re-commits over itself. The `_`-prefix
+    * keeps the marker dir out of every parquet listing.
+    *
+    * Concurrency contract (spec'd in FeedSinkIsolationSpec):
+    *  - one writer per batch_id at a time (foreachBatch guarantees this
+    *    per query; a crashed writer's replacement replays the same id):
+    *    the replay fully replaces the partition — last committer wins,
+    *    never a union;
+    *  - concurrent writers on DISTINCT batch ids (live query + zombie
+    *    replaying an old batch) touch disjoint partitions and disjoint
+    *    markers — both land, the LWW fold defines the merged state;
+    *  - readers see each batch atomically: all of it (marker present)
+    *    or none of it.
     */
-  def writeBatch(states: DataFrame, batchId: Long, feedDir: String): Unit =
+  def writeBatch(states: DataFrame, batchId: Long, feedDir: String): Unit = {
     states
       .select(
         lit(batchId).as("batch_id"),
@@ -34,6 +55,21 @@ object FeedSink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(feedDir)
+    commitMarker(feedDir, batchId)
+  }
+
+  /** The atomic commit point of batch `batchId` (see [[writeBatch]]). */
+  def commitMarker(feedDir: String, batchId: Long): Unit = {
+    val dir = java.nio.file.Paths.get(feedDir, "_graft_commits")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(batchId.toString), Array.empty[Byte]): Unit
+  }
+
+  /** Batch ids whose commit marker exists — the reader's visibility set. */
+  def committedBatches(feedDir: String): Set[Long] = {
+    val dir = new java.io.File(feedDir, "_graft_commits")
+    Option(dir.listFiles()).map(_.map(_.getName.toLong).toSet).getOrElse(Set.empty)
+  }
 
   def writeChangefeed(states: DataFrame, feedDir: String, checkpointDir: String): DataStreamWriter[Row] =
     states.writeStream
@@ -111,14 +147,27 @@ object FeedSink {
       }
       rm(dir)
     }
+    // retire the compacted-away markers; the base partition keeps upTo's.
+    // NB compaction rewrites the upTo partition IN PLACE while its marker
+    // stands — it is a maintenance operation to run without concurrent
+    // readers of that one batch (or pointed at a fresh upTo' id), the
+    // standard compaction/reader coordination caveat.
+    committedBatches(feedDir).filter(_ < upTo).foreach { b =>
+      new java.io.File(new java.io.File(feedDir, "_graft_commits"), b.toString).delete(): Unit
+    }
   }
 
   def stateAsOf(spark: org.apache.spark.sql.SparkSession, feedDir: String, asOfBatch: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("key")
       .orderBy(col("ts_us").desc, col("seq").desc, col("batch_id").desc)
+    // visibility = committed partitions only (reader isolation: a batch
+    // whose marker hasn't landed doesn't exist yet). The isin list is the
+    // RETAINED batch set — bounded by compaction, not feed lifetime — and
+    // on a partition column it prunes directories, same as the <= bound.
+    val visible = committedBatches(feedDir).filter(_ <= asOfBatch).toSeq
     spark.read.parquet(feedDir)
-      .filter(col("batch_id") <= asOfBatch)
+      .filter(col("batch_id").isin(visible: _*))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "delete")
       .select(col("key"), col("ts_us"), col("seq"), col("payload"))
