@@ -5,16 +5,23 @@ import org.apache.spark.sql.functions._
 import graft.GraftSession
 
 /** Streaming throughput smoke: rate source -> Change records ->
-  * CdcMaterializer -> null sink, reporting rows/s. Not part of the driver
+  * materializer -> null sink, reporting rows/s. Not part of the driver
   * bench contract — run manually:
-  * `sbt "runMain graft.streaming.StreamBench [rowsPerSec] [seconds]"`.
+  * `sbt "runMain graft.streaming.StreamBench [rowsPerSec] [seconds] [liveKeys] [engine]"`
+  * where engine is `v1` (flatMapGroupsWithState fold, HDFS-backed state)
+  * or `v2` ([[StateMaterializer]] transformWithState on the RocksDB
+  * provider — the 100 TB-cardinality configuration).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val rowsPerSec = args.headOption.map(_.toInt).getOrElse(200000)
     val seconds    = args.drop(1).headOption.map(_.toInt).getOrElse(15)
     val liveKeys   = args.drop(2).headOption.map(_.toInt).getOrElse(100000)
+    val engine     = args.drop(3).headOption.getOrElse("v1")
     val spark      = GraftSession.local(Runtime.getRuntime.availableProcessors())
+    if (engine == "v2")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
 
     val changes = spark.readStream
@@ -31,8 +38,10 @@ object StreamBench {
       .as[Change]
 
     val counter = spark.sparkContext.longAccumulator("processed")
-    val q = CdcMaterializer
-      .materialize(changes)
+    val materialized =
+      if (engine == "v2") StateMaterializer.materialize(changes)
+      else CdcMaterializer.materialize(changes)
+    val q = materialized
       .toDF()
       .writeStream
       .outputMode(CdcMaterializer.outputMode)
@@ -47,7 +56,7 @@ object StreamBench {
     q.stop()
     val elapsed = (System.nanoTime() - t0) / 1e9
     // rows ingested = rate * elapsed (approx); state rows emitted = counter
-    println(f"""{"metric":"cdc_materialize","input_rows_per_sec":$rowsPerSec,"elapsed_sec":$elapsed%.1f,"state_rows_emitted":${counter.value}}""")
+    println(f"""{"metric":"cdc_materialize","engine":"$engine","input_rows_per_sec":$rowsPerSec,"elapsed_sec":$elapsed%.1f,"state_rows_emitted":${counter.value}}""")
     spark.stop()
   }
 }
