@@ -123,6 +123,10 @@ object SparkEntry {
     "s06_ann_pq_served"         -> ((s, d) => Similarity.annPqServed(GraftSession.tune(s), d)),
     "q71_correlated_exists"     -> ((s, d) => Relational.correlatedExists(GraftSession.tune(s), d)),
     "q72_lateral_aggregate"     -> ((s, d) => Relational.lateralAggregate(GraftSession.tune(s), d)),
+    "q73_not_in_nullaware"      -> ((s, d) => Relational.notInSubquery(GraftSession.tune(s), d)),
+    // deterministic end-to-end (fixed hyperplanes, exact cosines,
+    // round+id tiebreaks) -> hash-exact oracle, unlike s04/s05
+    "s07_ann_graph"             -> ((s, d) => Similarity.annGraph(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1059,6 +1063,76 @@ object SparkEntry {
         |  WHERE l.l_orderkey = o.o_orderkey
         |    AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 8640000000000
         |    AND l.l_extendedprice > o.o_totalprice * 0.3)""".stripMargin,
+    // s07: the oracle replays the ENTIRE graph pipeline — LSH-seeded
+    // top-g graph, one NN-Descent 2-hop refinement, entry + 1-hop query
+    // expansion, exact-cosine top-k. Valid as a full equality check for
+    // the same reason as s02/d05: every stage is a pure deterministic
+    // function of the data (same in-index-order double sums, same
+    // round(·,6)+id tiebreaks).
+    "s07_ann_graph" -> {
+      def dotOf(x: String, y: String) =
+        s"list_aggregate(list_transform(range(1, len($x.embedding) + 1), " +
+          s"i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]), 'sum')"
+      ("""WITH b AS (SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+        |""".stripMargin
+        + (0 until 8).map { j =>
+          s"""  CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1),
+             |    k -> CAST(embedding[k] AS DOUBLE) * sin(${j * 131}.0 + (k - 1) * 0.7)), 'sum') > 0
+             |  THEN ${1 << j} ELSE 0 END""".stripMargin
+        }.mkString("", " +\n", " AS bucket\n")
+        + s"""  FROM embeddings),
+        |nv AS (SELECT count(*) AS n_vec FROM embeddings),
+        |cand0 AS (
+        |  SELECT a.vec_id AS src, c.vec_id AS dst
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+        |  UNION
+        |  SELECT vec_id AS src, (vec_id * 37 + j.j * 101) % n_vec AS dst
+        |  FROM b CROSS JOIN nv CROSS JOIN range(1, 5) j(j)
+        |  WHERE (vec_id * 37 + j.j * 101) % n_vec <> vec_id),
+        |seed0 AS (SELECT c.src, c.dst,
+        |   round(${dotOf("s", "d")} / (s.norm * d.norm), 6) AS sim6
+        |  FROM cand0 c JOIN b s ON s.vec_id = c.src JOIN b d ON d.vec_id = c.dst),
+        |seed AS (SELECT src, dst, sim6 FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY src ORDER BY sim6 DESC, dst) AS rn FROM seed0) WHERE rn <= 8),
+        |cand1 AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT e1.src AS src, e2.dst AS dst FROM seed e1
+        |    JOIN seed e2 ON e1.dst = e2.src WHERE e1.src <> e2.dst
+        |  UNION ALL SELECT src, dst FROM seed)),
+        |sc1 AS (SELECT c.src, c.dst,
+        |   round(${dotOf("s", "d")} / (s.norm * d.norm), 6) AS sim6
+        |  FROM cand1 c JOIN b s ON s.vec_id = c.src JOIN b d ON d.vec_id = c.dst),
+        |g1 AS (SELECT src, dst, sim6 FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY src ORDER BY sim6 DESC, dst) AS rn FROM sc1) WHERE rn <= 8),
+        |cand2 AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT e1.src AS src, e2.dst AS dst FROM g1 e1
+        |    JOIN g1 e2 ON e1.dst = e2.src WHERE e1.src <> e2.dst
+        |  UNION ALL SELECT src, dst FROM g1)),
+        |sc2 AS (SELECT c.src, c.dst,
+        |   round(${dotOf("s", "d")} / (s.norm * d.norm), 6) AS sim6
+        |  FROM cand2 c JOIN b s ON s.vec_id = c.src JOIN b d ON d.vec_id = c.dst),
+        |graph AS (SELECT src, dst, sim6 FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY src ORDER BY sim6 DESC, dst) AS rn FROM sc2) WHERE rn <= 8),
+        |entry AS (SELECT src AS query_id, dst AS cand FROM graph WHERE src < 10),
+        |hop2 AS (SELECT e.query_id, g.dst AS cand FROM entry e JOIN graph g ON g.src = e.cand),
+        |hop3 AS (SELECT h.query_id, g.dst AS cand FROM hop2 h JOIN graph g ON g.src = h.cand),
+        |allc AS (SELECT DISTINCT query_id, cand FROM
+        |  (SELECT query_id, cand FROM entry UNION ALL SELECT query_id, cand FROM hop2
+        |   UNION ALL SELECT query_id, cand FROM hop3)
+        |  WHERE cand <> query_id),
+        |fin AS (SELECT a.query_id, a.cand AS neighbor_id,
+        |   round(${dotOf("q", "n")} / (q.norm * n.norm), 6) AS sim6
+        |  FROM allc a JOIN b q ON q.vec_id = a.query_id JOIN b n ON n.vec_id = a.cand),
+        |r AS (SELECT query_id, neighbor_id, sim6, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM fin)
+        |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin)
+    },
+    "q73_not_in_nullaware" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
     "q72_lateral_aggregate" ->
       """SELECT c.c_custkey, t.n_big_orders, t.big_total,
         |  CASE WHEN t.big_total > 50 * c.c_acctbal THEN 1 ELSE 0 END AS over_balance

@@ -611,6 +611,26 @@ object Relational {
         |    AND l.l_extendedprice > o.o_totalprice * 0.3)""".stripMargin)
   }
 
+  /** q73: NOT IN over a NULLABLE subquery column — the third subquery
+    * surface (q71 EXISTS, q72 LATERAL): three-valued NOT IN is the
+    * famous SQL footgun (one NULL in the set empties the result) and
+    * plans as a NULL-AWARE anti join. The subquery column is nullable
+    * by type but never actually null here, so the result is the
+    * sensible "customers with no F order" — while Spark must still
+    * plan the null-aware path (it decides on the TYPE). The single-
+    * column null-aware anti join broadcasts and hashes
+    * (optimizeNullAwareAntiJoin); the actual-null semantics (empty
+    * result) are pinned in a spec, not the driver query.
+    */
+  def notInSubquery(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_orderstatus = 'F')""".stripMargin)
+  }
+
   /** q72: LATERAL correlated aggregate — for every customer, the inner
     * table computes an aggregate over THAT customer's orders (equi
     * correlation) under a constant inner filter that must still reach

@@ -404,6 +404,91 @@ object Similarity {
     annPqFromIndex(spark, dir, indexDir, k, rerank)
   }
 
+  /** Approximate k-NN GRAPH over the corpus (s07's index): seeded by
+    * hyperplane-LSH buckets (in-bucket exact top-`g` per vertex), then
+    * ONE NN-Descent refinement round — "my neighbor's neighbors are
+    * probably my neighbors" (Dong et al. 2011): candidate edges =
+    * 2-hop pairs through the seed graph, scored exactly, best `g` kept
+    * per vertex. Every stage is a bounded equi-join (bucket-bounded
+    * seed, g²-bounded expansion) and fully deterministic (fixed
+    * hyperplanes, round(·,6)+id tiebreaks) — so unlike IVF/PQ the whole
+    * index is DuckDB-oracle-replayable.
+    */
+  def knnGraph(embeddings: DataFrame, g: Int = 8, numPlanes: Int = 8,
+      randomEdges: Int = 4, rounds: Int = 2): DataFrame = {
+    val base = withHyperplaneBucket(embeddings, numPlanes)
+      .withColumn("norm", l2Norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
+    val w = Window.partitionBy("src").orderBy(col("sim6").desc, col("dst"))
+    // exact-score a candidate edge set and keep the best g per vertex
+    def topG(cands: DataFrame): DataFrame = cands
+      .join(base.select(col("vec_id").as("src"), col("embedding").as("s_emb"), col("norm").as("s_norm")), Seq("src"))
+      .join(base.select(col("vec_id").as("dst"), col("embedding").as("d_emb"), col("norm").as("d_norm")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(dot(col("s_emb"), col("d_emb")) / (col("s_norm") * col("d_norm")), 6).as("sim6"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= g)
+      .select("src", "dst", "sim6")
+    // seed = LSH in-bucket pairs (locality) ∪ deterministic pseudo-random
+    // edges (DIVERSITY — NN-Descent's convergence depends on long-range
+    // hops; with locality-only seeds the 2-hop closure never leaves its
+    // bucket's connected component, measured as zero recall lift)
+    val bucketPairs = base.as("a")
+      .join(base.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val nVec = broadcast(embeddings.agg(count(lit(1)).as("n_vec")))
+    val randPairs = base.select(col("vec_id").as("src"))
+      .crossJoin(nVec)
+      .select(col("src"), explode(array((1 to randomEdges).map(j =>
+        pmod(col("src") * 37 + lit(j * 101), col("n_vec"))): _*)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val seed = topG(bucketPairs.union(randPairs).distinct())
+    // NN-Descent rounds: 2-hop candidates ∪ current graph, rescored,
+    // re-selected — each round tightens edges toward true neighbors
+    (1 to rounds).foldLeft(seed) { (graph, _) =>
+      val twoHop = graph.as("e1")
+        .join(graph.as("e2"), col("e1.dst") === col("e2.src"))
+        .filter(col("e1.src") =!= col("e2.dst"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      topG(twoHop.union(graph.select("src", "dst")).distinct())
+    }
+  }
+
+  /** s07: graph-based ANN (the HNSW idea re-expressed batch-first —
+    * #7 in the r4 gap list): serve queries by walking the [[knnGraph]]
+    * instead of scanning buckets — the query's own graph edges are the
+    * entry set, expanded one hop through its neighbors' adjacency
+    * (beam search unrolled one level, which at g=6 already probes ≤
+    * g+g² candidates), scored exactly, top-k. Two hash joins on vertex
+    * ids per batch of queries; the corpus is never rescanned at query
+    * time. Deterministic end to end → hash-exact oracle, unlike
+    * s04/s05.
+    */
+  def annGraph(spark: SparkSession, dir: String, k: Int = 3, g: Int = 8): DataFrame = {
+    val graph = knnGraph(Tables.embeddings(spark, dir), g)
+    val entry = graph.filter(col("src") < 10)
+      .select(col("src").as("query_id"), col("dst").as("cand"))
+    val adj = graph.select(col("src").as("cand"), col("dst").as("cand2"))
+    val hop2 = entry.join(adj, Seq("cand")).select(col("query_id"), col("cand2").as("cand"))
+    // second hop: the unrolled greedy walk goes one level deeper —
+    // candidates g + g² + g³, still a constant per query vs the corpus
+    val hop3 = hop2.join(adj, Seq("cand")).select(col("query_id"), col("cand2").as("cand"))
+    val emb = Tables.embeddings(spark, dir).withColumn("norm", l2Norm(col("embedding")))
+    val q = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
+    entry.union(hop2).union(hop3).distinct()
+      .filter(col("cand") =!= col("query_id"))
+      .withColumnRenamed("cand", "neighbor_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("norm").as("n_norm")),
+        Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("sim6", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("cosine"), col("rn"))
+  }
+
   /** q58: embedding-diversity sample — pick `perBucket` vectors from each
     * hyperplane-LSH region, so the sample spans the embedding space
     * instead of oversampling its dense cores (the diversity step of data

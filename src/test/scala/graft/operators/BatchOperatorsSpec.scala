@@ -438,6 +438,23 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.9, f"served answers drifted from inline build: $overlap%.2f")
   }
 
+  test("s07 graph ANN: 1-hop expansion lifts recall over the raw seed buckets; graph degree bounded") {
+    val exact = Similarity.annBruteForce(spark, sf, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .count(exact.contains).toDouble / exact.size
+    val graphR  = recall(Similarity.annGraph(spark, sf))
+    val bucketR = recall(Similarity.annLsh(spark, sf, multiProbe = false, numPlanes0 = 8))
+    info(f"recall@3  graph: $graphR%.2f  single-probe LSH: $bucketR%.2f")
+    assert(graphR >= bucketR,
+      f"walking the refined graph must not lose to raw bucket scan: $graphR%.2f < $bucketR%.2f")
+    assert(graphR >= 0.3, f"graph ANN recall collapsed: $graphR%.2f")
+    val degrees = Similarity.knnGraph(graft.sources.Tables.embeddings(spark, sf))
+      .groupBy("src").count().agg(max("count")).collect()(0).getLong(0)
+    assert(degrees <= 8, s"graph degree must stay bounded at g: $degrees")
+  }
+
   test("s03 embedding stats: norms are ~unit-order, all labels present") {
     val rows = Similarity.embeddingStats(spark, sf).collect()
     assert(rows.length == 10)

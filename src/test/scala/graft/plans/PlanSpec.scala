@@ -286,6 +286,23 @@ class PlanSpec extends SparkSpec {
       s"inner filter not pushed through decorrelation:\n$lateral")
   }
 
+  test("q73: NOT IN plans as a hashed null-aware anti join; actual-null set empties the result") {
+    val df = Relational.notInSubquery(spark, sf)
+    val p  = plan(df)
+    assert(p.contains("LeftAnti"), s"NOT IN must become an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"single-column null-aware anti join must hash, not nested-loop:\n$p")
+    assert(df.count() > 0)
+    // three-valued semantics: one actual NULL in the set -> empty result
+    graft.sources.Catalog.registerAll(spark, sf)
+    val withNull = spark.sql(
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_totalprice > 0 THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_orderstatus = 'F')""".stripMargin)
+    assert(withNull.count() == 0, "a NULL in the NOT IN set must empty the result")
+  }
+
   test("q42/q45 cleaning passes are shuffle-free single-stage scans") {
     Seq(
       graft.operators.TrainingData.trainTestSplit(spark, sf),
