@@ -127,6 +127,7 @@ object SparkEntry {
     // deterministic end-to-end (fixed hyperplanes, exact cosines,
     // round+id tiebreaks) -> hash-exact oracle, unlike s04/s05
     "s07_ann_graph"             -> ((s, d) => Similarity.annGraph(GraftSession.tune(s), d)),
+    "d11_unicode_dedup"         -> ((s, d) => Dedup.unicodeDedup(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1127,6 +1128,17 @@ object SparkEntry {
         |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM fin)
         |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 3""".stripMargin)
+    },
+    // d11: the NFC/NFD pair of variants MUST collapse to one norm_hash
+    // with n_spellings = 2 — same shared variant list as t12
+    "d11_unicode_dedup" -> {
+      val lits = graft.operators.TextAnalysis.mixedScriptVariants
+        .map(v => "'" + v + "'").mkString("[", ", ", "]")
+      s"""WITH p AS (SELECT doc_id, ($lits)[(doc_id % 6) + 1] AS s FROM documents),
+        |h AS (SELECT doc_id, md5(nfc_normalize(s)) AS norm_hash, md5(s) AS raw_hash FROM p)
+        |SELECT norm_hash, count(*) AS n_copies,
+        | count(DISTINCT raw_hash) AS n_spellings, min(doc_id) AS keeper
+        |FROM h GROUP BY norm_hash""".stripMargin
     },
     "q73_not_in_nullaware" ->
       """SELECT c_custkey, c_name FROM customer

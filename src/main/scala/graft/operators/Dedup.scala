@@ -553,4 +553,31 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** d11: Unicode-robust exact dedup — d01's weakness made measurable
+    * and fixed. The same visible string in composed (NFC) and
+    * decomposed (NFD) spelling hashes to DIFFERENT raw md5s, so a
+    * byte-level deduper keeps both copies; keying on
+    * `md5(graft_normalize(text))` collapses them. The query plants the
+    * t12 mixed-script variants (two of which are the same accented
+    * string in NFC vs NFD spelling) and groups by normalized hash:
+    * the accent group shows `n_spellings = 2` collapsing into one
+    * keeper — `n_raw` distinct byte-hashes would have leaked a
+    * duplicate. Same shuffle shape as d01 (one combine on the hash);
+    * normalization is a scan projection.
+    */
+  def unicodeDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.normalized
+    val variants = array(TextAnalysis.mixedScriptVariants.map(lit): _*)
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(variants, (pmod(col("doc_id"), lit(6)) + 1).cast("int")).as("s"))
+      .select(col("doc_id"), md5(normalized(col("s"))).as("norm_hash"), md5(col("s")).as("raw_hash"))
+      .groupBy("norm_hash")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_hash")).as("n_spellings"),
+        min("doc_id").as("keeper"))
+  }
 }

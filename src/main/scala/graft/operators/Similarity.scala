@@ -464,8 +464,19 @@ object Similarity {
     * time. Deterministic end to end → hash-exact oracle, unlike
     * s04/s05.
     */
+  /** Graph memo — the kNN graph is an INDEX (build once per corpus
+    * snapshot, serve many queries), exactly the s06 lifecycle: the
+    * first call pays the NN-Descent build and materializes the edge
+    * list (localCheckpoint cuts the 2-round join lineage); every later
+    * call is the two-hash-join graph walk.
+    */
+  private val graphCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, Int), DataFrame]
+
   def annGraph(spark: SparkSession, dir: String, k: Int = 3, g: Int = 8): DataFrame = {
-    val graph = knnGraph(Tables.embeddings(spark, dir), g)
+    graphCache.keySet.foreach { key => if (key._1.sparkContext.isStopped) graphCache.remove(key) }
+    val graph = graphCache.getOrElseUpdate((spark, dir, g),
+      knnGraph(Tables.embeddings(spark, dir), g).localCheckpoint(true))
     val entry = graph.filter(col("src") < 10)
       .select(col("src").as("query_id"), col("dst").as("cand"))
     val adj = graph.select(col("src").as("cand"), col("dst").as("cand2"))
