@@ -104,13 +104,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("no driver query ever plans a CartesianProduct") {
+  test("no driver query ever plans a CartesianProduct; nested-loop joins only where declared") {
     // the blanket regression net over the whole contract: any join that
     // loses its keys (or a broadcast hint) degrades to an all-pairs plan,
-    // which at 100 TB is an outage, not a slowdown
+    // which at 100 TB is an outage, not a slowdown. BNLJ is audited by
+    // SHAPE: an unconditioned `Cross` BNLJ is the scalar/tiny-broadcast
+    // idiom (crossJoin(broadcast(one-row agg)) in t05/t08/q63/q69...,
+    // s01's deliberate baseline, s04's k=16 centroid expand) — O(n·k)
+    // with a constant k, fine. A BNLJ CARRYING A JOIN CONDITION is a
+    // theta-join/decorrelation fallback — the all-pairs class — and
+    // only q12's calendar-bounded triangular offset join may do it.
+    // "Conditioned" means a NON-Cross join type: every crossJoin in this
+    // fleet carries a broadcast() tiny side by convention (audited r4),
+    // and a pushed scalar filter on a Cross line (q63's tsu <= mid_us
+    // against the one-row midpoint) is still that idiom; the fallbacks
+    // that hurt (q72's rejected domain join, rewrite failures) plan as
+    // Inner/LeftAnti/LeftOuter/ExistenceJoin BNLJ.
+    val thetaBnljAllowed = Set(
+      // prefix-sum offsets: triangular (b.bucket < a.bucket) join over the
+      // MONTH table — bounded by the calendar (B² for B months), the
+      // price of removing the SinglePartition exchange a window would need
+      "q12_running_revenue",
+    )
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+      val thetaBnlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin"))
+        .filterNot(_.contains(", Cross")) // cross with broadcast tiny side = bounded idiom
+        .toList
+      if (!thetaBnljAllowed(name))
+        assert(thetaBnlj.isEmpty,
+          s"$name plans a conditioned BroadcastNestedLoopJoin (all-pairs class): $thetaBnlj")
     }
   }
 
