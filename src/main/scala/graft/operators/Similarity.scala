@@ -414,8 +414,16 @@ object Similarity {
     * hyperplanes, round(·,6)+id tiebreaks) — so unlike IVF/PQ the whole
     * index is DuckDB-oracle-replayable.
     */
-  def knnGraph(embeddings: DataFrame, g: Int = 8, numPlanes: Int = 8,
+  def knnGraph(embeddings: DataFrame, g: Int = 8, numPlanes0: Int = 0,
       randomEdges: Int = 4, rounds: Int = 2): DataFrame = {
+    // Seed-bucket sizing: in-bucket pair work is quadratic in bucket
+    // size, so planes must grow with the corpus (autoPlanes, target 64:
+    // ~64 locality candidates per vertex at ANY n — measured: fixed 8
+    // planes cost 40 s at 20k vectors where auto-sizing stays linear).
+    // The 8-plane floor keeps every corpus ≤ 16k vectors — including
+    // all oracle-gate SFs — byte-identical to the DuckDB replay.
+    val numPlanes =
+      if (numPlanes0 > 0) numPlanes0 else autoPlanes(embeddings.count(), targetBucket = 64L)
     val base = withHyperplaneBucket(embeddings, numPlanes)
       .withColumn("norm", l2Norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
