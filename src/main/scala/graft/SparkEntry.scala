@@ -128,6 +128,11 @@ object SparkEntry {
     // round+id tiebreaks) -> hash-exact oracle, unlike s04/s05
     "s07_ann_graph"             -> ((s, d) => Similarity.annGraph(GraftSession.tune(s), d)),
     "d11_unicode_dedup"         -> ((s, d) => Dedup.unicodeDedup(GraftSession.tune(s), d)),
+    // all-pairs top-k: deterministic bucketed self-join + bounded TopK
+    // aggregate (no Window over candidate pairs) -> hash-exact
+    "s08_knn_join"              -> ((s, d) => Similarity.knnJoin(GraftSession.tune(s), d)),
+    "q74_quality_deciles"       -> ((s, d) => TrainingData.qualityDeciles(GraftSession.tune(s), d)),
+    "q75_chunk_overlap"         -> ((s, d) => TrainingData.chunkOverlap(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1154,5 +1159,52 @@ object SparkEntry {
         |         round(coalesce(sum(o.o_totalprice), 0), 2) AS big_total
         |  FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) t""".stripMargin,
+    // s08: full bucketed self-join replay — every stage is a pure
+    // function of the data (fixed hyperplanes, exact cosines, id
+    // tiebreaks), so equality holds exactly, as in s02/s07. The 8-plane
+    // emulation matches autoPlanes' floor at every oracle-gate corpus.
+    "s08_knn_join" ->
+      ("""WITH b AS (SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+        |""".stripMargin
+        + (0 until 8).map { j =>
+          s"""  CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1),
+             |    k -> CAST(embedding[k] AS DOUBLE) * sin(${j * 131}.0 + (k - 1) * 0.7)), 'sum') > 0
+             |  THEN ${1 << j} ELSE 0 END""".stripMargin
+        }.mkString("", " +\n", " AS bucket\n")
+        + """  FROM embeddings),
+        |p AS (SELECT a.vec_id, e.vec_id AS neighbor_id,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * e.embedding[i]), 'sum')
+        |    / (a.norm * e.norm), 6) AS sim6
+        | FROM b a JOIN b e ON a.bucket = e.bucket AND e.vec_id <> a.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, sim6, row_number() OVER (
+        |  PARTITION BY vec_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
+        |SELECT vec_id, neighbor_id, sim6 AS cosine, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin),
+    // q74: the oracle states the SPEC (one global rank) directly; the
+    // Spark side decomposes it band-wise — the decile formula is spelled
+    // arithmetically (integer //) so both engines compute the same split
+    "q74_quality_deciles" ->
+      """WITH s AS (SELECT doc_id,
+        |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text), 4) AS score FROM documents),
+        |r AS (SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+        |  count(*) OVER () AS n FROM s)
+        |SELECT doc_id, score, CAST(((rn - 1) * 10) // n + 1 AS BIGINT) AS decile
+        |FROM r""".stripMargin,
+    "q75_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) <= 64 THEN 1
+        |       ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
+        |FROM e""".stripMargin,
   )
 }

@@ -508,6 +508,56 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("cosine"), col("rn"))
   }
 
+  /** s08: k-NN JOIN — top-k neighbors for EVERY corpus vector, the
+    * all-pairs form of ANN that training pipelines actually run at full
+    * corpus scale (semantic-dedup candidate mining, retrieval-pair
+    * mining, cluster seeding). s01-s07 answer a query SET; this answers
+    * the corpus against itself.
+    *
+    * Shape: one hyperplane-LSH bucket self-join (candidates only within
+    * a bucket — [[autoPlanes]] keeps expected bucket size constant as
+    * the corpus grows, so in-bucket all-pairs cost is buckets×B²/2,
+    * linear in n at fixed B), then per-vector top-k via the bounded
+    * [[graft.functions.TopK]] aggregate — O(k) state per vector,
+    * map-side combined, NO Window node over the candidate pairs
+    * (a row_number window here would sort every candidate pair of
+    * every vector under one rank; plan-asserted absent). Norms are
+    * computed once per vector before the join, not once per pair.
+    *
+    * Deterministic end to end (fixed hyperplanes, exact rescoring,
+    * ties broken by neighbor id) → HASH-EXACT oracle, with the
+    * 8-plane floor keeping every oracle-gate corpus identical to the
+    * DuckDB 8-plane replay.
+    */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val raw    = Tables.embeddings(spark, dir)
+    val planes = autoPlanes(raw.count(), 1024L)
+    val emb = withHyperplaneBucket(raw, planes)
+      .withColumn("norm", l2Norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
+    val cands = emb
+      .join(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+          col("norm").as("n_norm"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .withColumn("sim6", round(dot(col("embedding"), col("n_emb")) / (col("norm") * col("n_norm")), 6))
+    cands
+      .groupBy("vec_id")
+      .agg(expr("graft_top3(sim6, neighbor_id)").as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "e")))
+      // cosine stays at the ranking precision (6dp): re-rounding a
+      // rounded double to 4dp is where Spark (decimal-string HALF_UP)
+      // and DuckDB (binary round) can split on a .5 boundary — observed
+      // on the sf0.01 pair (23,141), sim6 = 0.26685
+      .select(
+        col("vec_id"),
+        col("e.key").as("neighbor_id"),
+        col("e.score").as("cosine"),
+        (col("i") + 1).cast("long").as("rn"),
+      )
+  }
+
   /** q58: embedding-diversity sample — pick `perBucket` vectors from each
     * hyperplane-LSH region, so the sample spans the embedding space
     * instead of oversampling its dense cores (the diversity step of data

@@ -252,4 +252,96 @@ object TrainingData {
       .filter(frac < col("rate"))
       .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
   }
+
+  /** q74: exact global quality-decile assignment — the "keep the top 30%
+    * by quality score" curation gate, computed EXACTLY (rank-based, not
+    * approx-percentile) without a single-partition window. Same
+    * decomposition as q12's prefix sum, applied to ranks:
+    *
+    *  1. score each doc (t02's alpha_ratio — a scan projection);
+    *  2. band = floor(score·50) — a deterministic, data-derived RANGE
+    *     key with ≤51 values, so the per-band offset table is tiny at
+    *     any corpus size and floor's monotonicity means band order IS
+    *     score order;
+    *  3. exclusive per-band offsets via a triangular broadcast
+    *     self-join over the band-count table (no window at all);
+    *  4. within-band row_number under a PARTITIONED window (bounded by
+    *     the band's population, spread across the cluster) + offset →
+    *     the exact global rank, rn;
+    *  5. decile = floor((rn−1)·10/n)+1 with the total broadcast — the
+    *     same fill-first-buckets-extra split SQL NTILE produces, but
+    *     spelled arithmetically so both engines compute the identical
+    *     integer.
+    *
+    * Band skew is the knob: a band holding p% of the corpus bounds one
+    * window partition at p% of rows. For a score with mass points
+    * (e.g. exact 0/1 ratios) widen the band key with a secondary column
+    * the way q62 salts — documented, not needed for this score shape.
+    */
+  def qualityDeciles(spark: SparkSession, dir: String, tiles: Int = 10): DataFrame = {
+    val scored = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        round(
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") / length(col("text")),
+          4).as("score"))
+      .withColumn("band", floor(col("score") * 50))
+    val counts = scored.groupBy("band").agg(count(lit(1)).as("cnt"))
+    // exclusive offset (rows in STRICTLY HIGHER bands — rank runs
+    // score-desc) AND the corpus total, both from one cross of the tiny
+    // band table with itself: a separate scalar count(*) would be the
+    // only SinglePartition exchange in the plan, and it isn't needed
+    val meta = counts
+      .as("a")
+      .crossJoin(broadcast(counts.as("b")))
+      .groupBy(col("a.band").as("band"))
+      .agg(
+        sum(when(col("b.band") > col("a.band"), col("b.cnt"))).as("offset"),
+        sum(col("b.cnt")).as("n"))
+    val w = Window.partitionBy("band").orderBy(col("score").desc, col("doc_id"))
+    scored
+      .join(broadcast(meta), Seq("band"))
+      .withColumn("rn", coalesce(col("offset"), lit(0L)) + row_number().over(w))
+      .select(
+        col("doc_id"),
+        col("score"),
+        (floor((col("rn") - 1) * tiles / col("n")) + 1).cast("long").as("decile"),
+      )
+  }
+
+  /** q75: sliding-window chunking with overlap — the RAG/context-window
+    * prep step that turns documents into fixed-token-budget chunks
+    * (width tokens, stride-token hop, so consecutive chunks share
+    * width−stride tokens of context). Chunk count per doc is
+    * 1 + ceil((n−width)/stride) so the final partial window is kept —
+    * a truncating chunker silently drops up to width−1 trailing tokens
+    * per doc.
+    *
+    * Pure scan projection + generator (split → sequence → explode →
+    * slice): no shuffle, no state, embarrassingly parallel — the right
+    * shape for a 100 TB corpus where chunking is a pass-through stage
+    * feeding tokenization. Output size is the only cost knob
+    * (width/stride = 64/48 inflates the corpus ≈ width/stride ≈ 1.33×).
+    */
+  def chunkOverlap(spark: SparkSession, dir: String, width: Int = 64, stride: Int = 48): DataFrame = {
+    val nChunks =
+      when(col("n") <= width, lit(1L))
+        .otherwise(floor((col("n") - width + stride - 1) / lit(stride.toDouble)) + 1L)
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        explode(sequence(lit(0), (nChunks - 1).cast("int"))).as("chunk_id"))
+      .withColumn("ctoks", slice(col("toks"), col("chunk_id") * stride + 1, lit(width)))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"),
+      )
+  }
 }

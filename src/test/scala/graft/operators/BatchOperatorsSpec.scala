@@ -455,6 +455,37 @@ class SimilaritySpec extends SparkSpec {
     assert(degrees <= 8, s"graph degree must stay bounded at g: $degrees")
   }
 
+  test("s08 knn join: TopK aggregate matches the window formulation exactly; no Window node") {
+    import graft.functions.VectorFunctions._
+    val got = Similarity.knnJoin(spark, sf)
+    // the whole point of the TopK form: candidate pairs are combined
+    // map-side into O(k) buffers, never sorted under a rank
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"knn join must not rank pairs under a window:\n$p")
+    val emb = Similarity
+      .withHyperplaneBucket(graft.sources.Tables.embeddings(spark, sf))
+      .withColumn("norm", l2Norm(col("embedding")))
+    val a = emb.select(col("vec_id"), col("embedding").as("a_emb"), col("norm").as("a_norm"), col("bucket"))
+    val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+      col("norm").as("n_norm"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val ref = a.join(b, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .withColumn("cosine", round(dot(col("a_emb"), col("n_emb")) / (col("a_norm") * col("n_norm")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("vec_id", "neighbor_id", "cosine", "rn")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rn"))).toSet
+    assert(rows(got) == rows(ref), "bounded-aggregate top-k diverged from the window reference")
+    // every vector that shares a bucket with at least one other appears
+    val bucketed = emb.groupBy("bucket").count().filter(col("count") > 1)
+      .join(emb, Seq("bucket")).select("vec_id").distinct().count()
+    assert(got.select("vec_id").distinct().count() == bucketed)
+  }
+
   test("s03 embedding stats: norms are ~unit-order, all labels present") {
     val rows = Similarity.embeddingStats(spark, sf).collect()
     assert(rows.length == 10)

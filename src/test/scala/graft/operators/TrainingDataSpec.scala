@@ -80,6 +80,64 @@ class TrainingDataSpec extends SparkSpec {
     assert(fast == slow, "bucketed candidate generation must be lossless")
   }
 
+  test("q74 deciles: band decomposition equals the single-window rank; sizes balanced; partitioned plan") {
+    val got = TrainingData.qualityDeciles(spark, sf)
+    val p   = got.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"decile assignment must not funnel through one partition:\n$p")
+    assert("windowspecdefinition\\(band".r.findAllIn(p).nonEmpty,
+      s"within-band rank window must be partitioned by the score band:\n$p")
+    val rows = got.collect()
+    val n    = rows.length
+    // exact-rank deciles split n as evenly as arithmetic allows
+    val sizes = rows.groupBy(_.getAs[Long]("decile")).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (1L to 10L).toSet, s"missing deciles: ${sizes.keySet}")
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced deciles: $sizes")
+    // the banded decomposition must equal ONE global rank: reference
+    // computed with the single window the operator refuses to plan
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val ref = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") / length(col("text")), 4)
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), (floor((col("rn") - 1) * 10 / lit(n)) + 1).cast("long").as("decile"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("decile")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("decile") == ref(id), s"doc $id decile diverged from global rank")
+    }
+  }
+
+  test("q75 chunking: full coverage with exact overlap — reassembly reproduces every token stream") {
+    val width = 64; val stride = 48
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    val byDoc = TrainingData.chunkOverlap(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc.keySet == toks.keySet, "every document must produce chunks")
+    byDoc.foreach { case (id, chunks) =>
+      val n = toks(id).length
+      val expected = if (n <= width) 1 else (n - width + stride - 1) / stride + 1
+      assert(chunks.length == expected, s"doc $id: ${chunks.length} chunks, expected $expected")
+      chunks.zipWithIndex.foreach { case ((_, cid, nt, _), i) =>
+        assert(cid == i, s"doc $id chunk ids must be dense")
+        assert(nt <= width && (i == chunks.length - 1 || nt == width),
+          s"doc $id chunk $i: only the final chunk may be partial ($nt tokens)")
+      }
+      // drop each successor's (width - stride)-token overlap: the splice
+      // must reproduce the original token stream exactly — nothing lost
+      // at chunk boundaries, nothing duplicated
+      val rebuilt = chunks.head._4.split(" ").toSeq ++
+        chunks.tail.flatMap(_._4.split(" ").toSeq.drop(width - stride))
+      assert(rebuilt == toks(id), s"doc $id: chunk reassembly diverged from the token stream")
+    }
+  }
+
   test("q48/q49 sampling is stratified and deterministic") {
     val strat = TrainingData.stratifiedSample(spark, sf).collect()
     val perLang = strat.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap

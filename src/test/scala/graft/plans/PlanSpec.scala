@@ -125,6 +125,9 @@ class PlanSpec extends SparkSpec {
       // MONTH table — bounded by the calendar (B² for B months), the
       // price of removing the SinglePartition exchange a window would need
       "q12_running_revenue",
+      // same decomposition on ranks: triangular offset join over the
+      // ≤51-row score-band table (floor(score·50) has a fixed key space)
+      "q74_quality_deciles",
     )
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
