@@ -133,6 +133,9 @@ object SparkEntry {
     "s08_knn_join"              -> ((s, d) => Similarity.knnJoin(GraftSession.tune(s), d)),
     "q74_quality_deciles"       -> ((s, d) => TrainingData.qualityDeciles(GraftSession.tune(s), d)),
     "q75_chunk_overlap"         -> ((s, d) => TrainingData.chunkOverlap(GraftSession.tune(s), d)),
+    "q76_windowed_distinct"     -> ((s, d) => Relational.windowedDistinct(GraftSession.tune(s), d)),
+    "q77_hierarchy_rollup"      -> ((s, d) => Relational.hierarchyRollup(GraftSession.tune(s), d)),
+    "q78_event_transitions"     -> ((s, d) => Temporal.eventTransitions(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1206,5 +1209,35 @@ object SparkEntry {
         |  CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS n_tokens,
         |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
         |FROM e""".stripMargin,
+    // q76: DuckDB supports DISTINCT window aggregates natively — the
+    // oracle states the semantics directly; Spark computes it via the
+    // max-dense_rank identity
+    "q76_windowed_distinct" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(count(DISTINCT o_orderpriority)
+        |    OVER (PARTITION BY o_custkey) AS BIGINT) AS n_priorities
+        |FROM orders""".stripMargin,
+    "q77_hierarchy_rollup" ->
+      """WITH RECURSIVE up (node, part, rev) AS (
+        |  SELECT p.p_partkey // 10, p.p_partkey, r.rev
+        |  FROM part p JOIN (
+        |    SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |    FROM lineitem GROUP BY l_partkey) r
+        |    ON r.l_partkey = p.p_partkey
+        |  UNION ALL
+        |  SELECT node // 10, part, rev FROM up WHERE node > 0
+        |)
+        |SELECT node, count(*) AS parts_below,
+        |  CAST(round(sum(rev), 2) AS DOUBLE) AS subtree_rev
+        |FROM up GROUP BY node""".stripMargin,
+    "q78_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS next_type FROM events),
+        |c AS (SELECT event_type AS src, next_type AS dst, count(*) AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+        |FROM c""".stripMargin,
   )
 }

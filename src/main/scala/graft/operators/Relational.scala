@@ -661,4 +661,55 @@ object Relational {
         |  FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) t""".stripMargin)
   }
+
+  /** q76: COUNT(DISTINCT …) OVER a partition — SQL surface Spark's
+    * window operator refuses outright (`DISTINCT_WINDOW_FUNCTION_
+    * UNSUPPORTED`), expressed with the dense_rank identity: the number
+    * of distinct values in a partition is the maximum dense_rank under
+    * ORDER BY that value. Both windows share one partition key, so the
+    * plan pays ONE hash exchange on o_custkey and sorts only within
+    * customer-sized groups — never a global window; per-partition state
+    * is the group, exactly what the semantics require.
+    */
+  def windowedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    val part  = Window.partitionBy("o_custkey")
+    Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), dense_rank().over(byVal).as("dr"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        max("dr").over(part).cast("long").as("n_priorities"))
+  }
+
+  /** q77: hierarchical rollup via Spark 4's native `WITH RECURSIVE`
+    * (UNION ALL) — the org-chart/BOM pattern: every part rolls its
+    * revenue up the implied decimal category tree (parent = key DIV 10,
+    * root 0), so each node reports its full subtree. Recursion depth is
+    * the tree height (≤7 for int keys — each step strictly shrinks the
+    * node id), and each iteration is one keyed self-step over rows that
+    * only shrink: parts×height rows total, exact DECIMAL sums, no
+    * fixpoint loop hand-rolled on the driver.
+    *
+    * Boundary, probed on this Spark: recursive CTEs accept UNION ALL
+    * only (`UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE`), so CYCLIC closure —
+    * connected components over an undirected dup graph — still needs
+    * d06's DataFrame fixpoint with localCheckpoint lineage control;
+    * this row covers the acyclic-hierarchy half of recursion.
+    */
+  def hierarchyRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE up (node, part, rev) AS (
+        |  SELECT p.p_partkey DIV 10, p.p_partkey, r.rev
+        |  FROM part p JOIN (
+        |    SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |    FROM lineitem GROUP BY l_partkey) r
+        |    ON r.l_partkey = p.p_partkey
+        |  UNION ALL
+        |  SELECT node DIV 10, part, rev FROM up WHERE node > 0
+        |)
+        |SELECT node, count(*) AS parts_below,
+        |  CAST(round(sum(rev), 2) AS DOUBLE) AS subtree_rev
+        |FROM up GROUP BY node""".stripMargin)
+  }
 }

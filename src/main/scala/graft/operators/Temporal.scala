@@ -416,4 +416,30 @@ object Temporal {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** q78: event-transition matrix — the Markov view of the feed: for
+    * every (event_type → next event_type) step within a user's stream,
+    * the count and the per-source transition probability (the table
+    * behind funnel discovery and next-action prediction, where q28/q39
+    * check KNOWN patterns). One lead() under the per-user window (the
+    * q22 shape — partitions bounded by a user's history), one
+    * map-side-combined pair count over a (types×types)-sized key space,
+    * and per-source totals re-aggregated from those counts — ~types²
+    * rows broadcast back, never a second pass over events.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    val steps = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lead("event_type", 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+    val counts = steps
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("src").agg(sum("n").as("tot"))
+    counts
+      .join(broadcast(totals), Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
+  }
 }

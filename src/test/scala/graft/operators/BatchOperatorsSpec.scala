@@ -182,6 +182,21 @@ class TemporalSpec extends SparkSpec {
       assert(days >= spans * 30, "every maximal island spans at least one 30-day interval")
     }
   }
+
+  test("q78 transition matrix: probabilities are a distribution per source; steps account for every event") {
+    val rows = Temporal.eventTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("src")).foreach { case (src, g) =>
+      val mass = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(mass - 1.0) < 1e-3, s"src $src transition mass $mass != 1")
+    }
+    // each user's n-event stream contributes exactly n-1 steps
+    val ev      = graft.sources.Tables.events(spark, sf)
+    val steps   = rows.map(_.getAs[Long]("n")).sum
+    val nEvents = ev.count()
+    val nUsers  = ev.select("user_id").distinct().count()
+    assert(steps == nEvents - nUsers, s"steps $steps != events $nEvents - users $nUsers")
+  }
 }
 
 class DedupSpec extends SparkSpec {

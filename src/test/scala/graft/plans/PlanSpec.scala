@@ -314,6 +314,44 @@ class PlanSpec extends SparkSpec {
       s"inner filter not pushed through decorrelation:\n$lateral")
   }
 
+  test("q76: windowed distinct-count pays one exchange; equals the groupBy-distinct reference") {
+    val df = Relational.windowedDistinct(spark, sf)
+    val p  = plan(df)
+    // both windows share the o_custkey partitioning: exactly one shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one shared exchange, got $exchanges:\n$p")
+    assert(!p.contains("SinglePartition"), s"no global window allowed:\n$p")
+    val ref = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(countDistinct("o_orderpriority").as("expected"))
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("expected")).toMap
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("n_priorities") == ref(r.getAs[Long]("o_custkey")),
+        s"distinct-over-window diverged for customer ${r.getAs[Long]("o_custkey")}")
+    }
+  }
+
+  test("q77: recursive hierarchy rollup equals the explicit ancestor-explode computation") {
+    val df = Relational.hierarchyRollup(spark, sf)
+    // independent reference: materialize every (ancestor, part) pair by
+    // exploding the bounded digit-chain instead of recursing
+    val partRev = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+    val ref = partRev
+      // level i is emitted iff level i-1 was nonzero (the recursion's
+      // `WHERE node > 0` guard) — so the terminating 0 appears exactly once
+      .withColumn("node", explode(expr(
+        "filter(transform(sequence(1, 7), i -> part div cast(pow(10, i) as bigint))," +
+          " (n, j) -> j = 0 OR part div cast(pow(10, j) as bigint) > 0)")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("parts_below"), round(sum("rev"), 2).cast("double").as("subtree_rev"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("parts_below"), r.getAs[Double]("subtree_rev")))
+      .toSet
+    assert(rows(df) == rows(ref), "recursive CTE rollup diverged from ancestor-explode reference")
+  }
+
   test("q73: NOT IN plans as a hashed null-aware anti join; actual-null set empties the result") {
     val df = Relational.notInSubquery(spark, sf)
     val p  = plan(df)
