@@ -136,6 +136,7 @@ object SparkEntry {
     "q76_windowed_distinct"     -> ((s, d) => Relational.windowedDistinct(GraftSession.tune(s), d)),
     "q77_hierarchy_rollup"      -> ((s, d) => Relational.hierarchyRollup(GraftSession.tune(s), d)),
     "q78_event_transitions"     -> ((s, d) => Temporal.eventTransitions(GraftSession.tune(s), d)),
+    "q79_curation_pipeline"     -> ((s, d) => TrainingData.curationPipeline(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1230,6 +1231,30 @@ object SparkEntry {
         |SELECT node, count(*) AS parts_below,
         |  CAST(round(sum(rev), 2) AS DOUBLE) AS subtree_rev
         |FROM up GROUP BY node""".stripMargin,
+    // q79: the stage compositions restated — d01 keepers, q44 overlap,
+    // t02 score — in one SQL pipeline, same thresholds
+    "q79_curation_pipeline" ->
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |    i -> array_to_string(words[i:i+4], ' '))) AS g FROM w) t),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50),
+        |bad AS (SELECT t.doc_id FROM (SELECT doc_id, g FROM sh WHERE doc_id >= 50) t
+        |  JOIN bench b ON t.g = b.g GROUP BY t.doc_id
+        |  HAVING CAST(count(*) AS DOUBLE) /
+        |    (SELECT count(*) FROM sh s2 WHERE s2.doc_id = t.doc_id) >= 0.5)
+        |SELECT d.doc_id, d.lang,
+        |  round(CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |    / length(d.text), 4) AS alpha_ratio,
+        |  d.n_chars
+        |FROM documents d
+        |JOIN k ON k.doc_id = d.doc_id
+        |WHERE d.doc_id >= 50
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |  AND round(CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |    / length(d.text), 4) >= 0.81""".stripMargin,
     "q78_event_transitions" ->
       """WITH s AS (SELECT user_id, event_type,
         |  lead(event_type) OVER (PARTITION BY user_id

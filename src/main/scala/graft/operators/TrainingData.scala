@@ -253,6 +253,45 @@ object TrainingData {
       .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
   }
 
+  /** q79: the END-TO-END curation pipeline — the single query a user
+    * runs to turn the raw crawl into the training corpus, composing the
+    * fleet's stages in their production order:
+    *
+    *  1. exact-dup keepers only (d01's min-id-per-content-hash rule);
+    *  2. the benchmark/eval set held out entirely (ids < benchBelow —
+    *     the q44 convention);
+    *  3. decontamination: drop any doc sharing ≥ maxContamination of
+    *     its 5-gram shingles with the benchmark set (q44's overlap,
+    *     broadcast inverted index);
+    *  4. quality gate: alpha_ratio ≥ minAlpha (t02's scorer).
+    *
+    * Shapes compose without re-reading the corpus per stage: one
+    * content-hash combine (2), one shingle pass (3 — bench grams
+    * broadcast), the quality score a scan projection on the final
+    * pass. Every stage is individually oracle-checked elsewhere
+    * (d01/q44/t02); this row pins their COMPOSITION hash-exact, the
+    * way the stages actually ship.
+    */
+  def curationPipeline(spark: SparkSession, dir: String, minAlpha: Double = 0.81,
+      maxContamination: Double = 0.5, benchBelow: Long = 50L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val contaminated = contamination(spark, dir, benchBelow)
+      .filter(col("ratio") >= maxContamination)
+      .select("doc_id")
+    docs
+      .filter(col("doc_id") >= benchBelow)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("alpha_ratio",
+        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") / length(col("text")), 4))
+      .filter(col("alpha_ratio") >= minAlpha)
+      .select(col("doc_id"), col("lang"), col("alpha_ratio"), col("n_chars"))
+  }
+
   /** q74: exact global quality-decile assignment — the "keep the top 30%
     * by quality score" curation gate, computed EXACTLY (rank-based, not
     * approx-percentile) without a single-partition window. Same

@@ -138,6 +138,30 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("q79 curation: kept and dropped partition the corpus — every drop has a provable gate reason") {
+    val kept = TrainingData.curationPipeline(spark, sf).collect()
+    assert(kept.nonEmpty)
+    assert(kept.forall(_.getAs[Double]("alpha_ratio") >= 0.81), "quality gate leaked")
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.forall(_ >= 50L), "benchmark holdout leaked into the corpus")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val losers = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keeper"))
+      .join(docs.select(md5(col("text")).as("h"), col("doc_id")), Seq("h"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val contaminated = TrainingData.contamination(spark, sf)
+      .filter(col("ratio") >= 0.5).collect().map(_.getAs[Long]("doc_id")).toSet
+    val lowQuality = docs
+      .select(col("doc_id"),
+        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") / length(col("text")), 4)
+          .as("a"))
+      .filter(col("a") < 0.81).collect().map(_.getAs[Long]("doc_id")).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = allIds.filter(id => id >= 50L && !losers(id) && !contaminated(id) && !lowQuality(id))
+    assert(keptIds == expected,
+      s"kept set diverged: missing=${(expected -- keptIds).take(5)} extra=${(keptIds -- expected).take(5)}")
+  }
+
   test("q48/q49 sampling is stratified and deterministic") {
     val strat = TrainingData.stratifiedSample(spark, sf).collect()
     val perLang = strat.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
