@@ -75,6 +75,7 @@ object SparkEntry {
     "t03_tokens"                -> ((s, d) => TextAnalysis.tokens(GraftSession.tune(s), d)),
     "t04_fingerprint"           -> ((s, d) => TextAnalysis.fingerprint(GraftSession.tune(s), d)),
     "m01_multimodal_pipeline"   -> ((s, d) => Multimodal.pipeline(GraftSession.tune(s), d)),
+    "m02_audio_pipeline"        -> ((s, d) => Multimodal.audioPipeline(GraftSession.tune(s), d)),
     // §2.4 training-data curation (q42+)
     "q42_train_test_split"      -> ((s, d) => TrainingData.trainTestSplit(GraftSession.tune(s), d)),
     "q43_sequence_packing"      -> ((s, d) => TrainingData.sequencePacking(GraftSession.tune(s), d)),
@@ -1231,6 +1232,25 @@ object SparkEntry {
         |SELECT node, count(*) AS parts_below,
         |  CAST(round(sum(rev), 2) AS DOUBLE) AS subtree_rev
         |FROM up GROUP BY node""".stripMargin,
+    // m02: like m01, the oracle predicts the DECODED stats arithmetically
+    // from the deterministic waveform layout — a corrupted WAV round trip
+    // (encode, container parse, sample decode) fails the hash
+    "m02_audio_pipeline" ->
+      """WITH p AS (SELECT doc_id,
+        |  2048 + (n_chars * 31) % 2048 AS n,
+        |  8000 + (doc_id % 4) * 4000 AS rate,
+        |  16 + doc_id % 48 AS hp,
+        |  1000 + (doc_id * 13) % 20000 AS a1,
+        |  1000 + (n_chars * 17) % 20000 AS a2 FROM documents)
+        |SELECT doc_id,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+        |  CAST(greatest(a1, a2) AS BIGINT) AS peak,
+        |  round(CAST((n // 2) * a1 + (n - n // 2) * a2 AS DOUBLE) / n, 4) AS mean_abs,
+        |  CAST((n - 1) // hp AS BIGINT) AS n_zero_cross,
+        |  CAST((n + 255) // 256 AS BIGINT) AS n_windows
+        |FROM p""".stripMargin,
     // q79: the stage compositions restated — d01 keepers, q44 overlap,
     // t02 score — in one SQL pipeline, same thresholds
     "q79_curation_pipeline" ->

@@ -28,6 +28,25 @@ case class MediaFeatures(
     n_frames: Int,
 )
 
+case class AudioRecord(
+    doc_id: Long,
+    payload: Array[Byte],
+    sample_rate: Int,
+    n_samples: Int,
+    format: String,
+)
+
+case class AudioFeatures(
+    doc_id: Long,
+    sample_rate: Long,
+    n_samples: Long,
+    duration_ms: Long,
+    peak: Long,
+    mean_abs: Double,
+    n_zero_cross: Long,
+    n_windows: Long,
+)
+
 /** Multimodal column plumbing with a REAL codec (SURVEY.md §2.4, m01).
   *
   * r4's decode was an honest stub (md5-byte statistics); r5 retires it:
@@ -135,5 +154,95 @@ object Multimodal {
     mediaTable(spark, dir)
       .mapPartitions { it => ImageIO.setUseCache(false); it.map(decode) }
       .toDF()
+  }
+
+  /** Audio waveform per document — all integer arithmetic shared
+    * verbatim with the oracle: a two-band square wave (amplitude a1 for
+    * the first half of the samples, a2 for the second; sign flips every
+    * `hp` samples), so every decoded statistic is a closed-form integer
+    * function of (doc_id, n_chars).
+    */
+  private def audioLayout(id: Long, nChars: Long): (Int, Int, Int, Int, Int) = (
+    (2048 + (nChars * 31) % 2048).toInt, // n samples
+    (8000 + (id % 4) * 4000).toInt,      // sample rate
+    (16 + id % 48).toInt,                // half-period in samples
+    (1000 + (id * 13) % 20000).toInt,    // first-band amplitude
+    (1000 + (nChars * 17) % 20000).toInt, // second-band amplitude
+  )
+
+  /** m02's media side: one genuine RIFF/PCM16 WAV per doc —
+    * `javax.sound.sampled` (in-JDK, headless-safe for file I/O) writes
+    * the container; payload bytes are a real parseable audio file, not
+    * a naked sample buffer.
+    */
+  def audioTable(spark: SparkSession, dir: String): Dataset[AudioRecord] = {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    graft.sources.Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val (n, rate, hp, a1, a2) = audioLayout(id, nChars)
+          val fmt  = new AudioFormat(rate.toFloat, 16, 1, true, false) // PCM16 mono LE
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val amp = if (i < n / 2) a1 else a2
+            val v   = if ((i / hp) % 2 == 0) amp else -amp
+            data(2 * i) = (v & 0xff).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val out = new ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong),
+            AudioFileFormat.Type.WAVE, out)
+          AudioRecord(id, out.toByteArray, rate, n, "audio/wav")
+        }
+      }
+  }
+
+  /** The real audio decoder: WAV bytes in through the actual
+    * `AudioSystem` parser (header + format negotiated by the codec, not
+    * assumed), sample statistics out — all integer-derived so the
+    * oracle can predict them arithmetically:
+    *  - duration_ms: integral n·1000/rate
+    *  - peak / mean_abs over the decoded samples
+    *  - n_zero_cross: strict sign flips between consecutive samples
+    *  - n_windows: "frame-sample" analogue — ceil(n/256) fixed windows
+    */
+  private def decodeAudio(r: AudioRecord): AudioFeatures = {
+    import javax.sound.sampled.AudioSystem
+    val ain   = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+    val rate  = ain.getFormat.getSampleRate.toLong
+    val bytes = ain.readAllBytes()
+    val n     = bytes.length / 2
+    var i = 0; var sumAbs = 0L; var peak = 0L; var zc = 0L; var prev = 0
+    while (i < n) {
+      val v = (((bytes(2 * i + 1): Int) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      val a = math.abs(v)
+      sumAbs += a
+      if (a > peak) peak = a
+      if (i > 0 && ((v > 0) != (prev > 0))) zc += 1
+      prev = v
+      i += 1
+    }
+    AudioFeatures(
+      r.doc_id, rate, n.toLong, n.toLong * 1000L / rate, peak,
+      math.round(sumAbs.toDouble / n * 10000).toDouble / 10000,
+      zc, (n.toLong + 255L) / 256L,
+    )
+  }
+
+  /** m02: the audio pipeline — same contract as m01 with a REAL audio
+    * codec: encode genuine WAVs, decode them with `AudioSystem`, emit
+    * typed features; corrupting one sample in the container round trip
+    * fails the hash compare.
+    */
+  def audioPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir).mapPartitions(_.map(decodeAudio)).toDF()
   }
 }

@@ -619,6 +619,28 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("m02 audio payloads are genuine RIFF/WAVE files; fresh parser agrees with metadata") {
+    val recs = Multimodal.audioTable(spark, sf).limit(5).collect()
+    assert(recs.nonEmpty)
+    recs.foreach { a =>
+      assert(new String(a.payload.take(4), "US-ASCII") == "RIFF" &&
+        new String(a.payload.slice(8, 12), "US-ASCII") == "WAVE",
+        s"doc ${a.doc_id}: payload is not a WAV container")
+      val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      assert(ain.getFormat.getSampleRate.toInt == a.sample_rate &&
+        ain.getFrameLength == a.n_samples.toLong,
+        s"doc ${a.doc_id}: container metadata disagrees with the record")
+    }
+    val rows = Multimodal.audioPipeline(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("peak") >= 1000L && r.getAs[Long]("peak") < 21000L)
+      assert(r.getAs[Double]("mean_abs") <= r.getAs[Long]("peak").toDouble)
+      assert(r.getAs[Long]("n_windows") == (r.getAs[Long]("n_samples") + 255) / 256)
+    }
+  }
+
   test("media payloads are genuine PNGs (magic bytes) decodable by a fresh reader") {
     val recs = Multimodal.mediaTable(spark, sf).limit(5).collect()
     assert(recs.nonEmpty)
