@@ -7,9 +7,13 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end curation pipeline (q79) — dedup keepers, benchmark
+    * holdout, shingle decontamination, quality gate in one query — is
+    * the single best picture of what this engine is for.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.pricingSummary(GraftSession.tune(spark), "/root/testdata/sf0.001")
+    TrainingData.curationPipeline(GraftSession.tune(spark), "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
