@@ -44,6 +44,13 @@ object GraftSession {
     // dimension tables (nation/region/supplier/part) always broadcast.
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
     "spark.sql.parquet.aggregatePushdown" -> "true",
+    // recursive CTEs (q77) carry a 1M-row safety budget by default
+    // (RECURSION_ROW_LIMIT_EXCEEDED) counted over the whole recursion —
+    // the 10x probe's 20k-part hierarchy already exceeds it. Size it
+    // like shuffle.partitions: deliberately, for the deployment. 100M
+    // keeps a runaway recursion bounded while clearing any
+    // depth-bounded hierarchy walk this engine ships.
+    "spark.sql.cteRecursionRowLimit" -> "100000000",
   )
 
   def local(threads: Int = 4): SparkSession = {

@@ -21,17 +21,38 @@ object Make10x {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
+      // driver events.parquet is TIMESTAMP(NANOS): read as long; the
+      // replica keeps the long column and Tables.events' schema sniff
+      // handles it on the probe-read side
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def rep(table: String, idCol: String): Unit = {
+    def rep(table: String, idCols: String*): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       (0 until copies)
-        .map(i => base.withColumn(idCol, col(idCol) + lit(i.toLong * 1000000L)))
+        .map(i => idCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * 10000000L))))
         .reduce(_ union _)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
     rep("documents", "doc_id")
     rep("embeddings", "vec_id")
+    // relational/temporal probes, each replica adversarial for a family:
+    //  - orders: new order ids, SAME customers -> per-customer windows
+    //    (q76, q06) and derived aggregates grow 10x deep
+    //  - lineitem: order ids follow orders; part ids follow part, so the
+    //    q77 hierarchy gets 10x the parts and q54 10x the orders
+    //  - events: new event ids, SAME users -> per-user streams (q78,
+    //    q21-q25) grow 10x long
+    rep("orders", "o_orderkey")
+    rep("lineitem", "l_orderkey", "l_partkey")
+    rep("part", "p_partkey")
+    rep("events", "event_id")
+    // dims pass through unchanged so Catalog.registerAll works on the
+    // probe dir (events rides graft.sources.Tables for the ns-ts sniff)
+    Seq("region", "nation", "customer", "supplier").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     spark.stop()
   }
 }
