@@ -80,6 +80,7 @@ object SparkEntry {
     "t04_fingerprint"           -> ((s, d) => TextAnalysis.fingerprint(GraftSession.tune(s), d)),
     "m01_multimodal_pipeline"   -> ((s, d) => Multimodal.pipeline(GraftSession.tune(s), d)),
     "m02_audio_pipeline"        -> ((s, d) => Multimodal.audioPipeline(GraftSession.tune(s), d)),
+    "m03_video_pipeline"        -> ((s, d) => Multimodal.videoPipeline(GraftSession.tune(s), d)),
     // §2.4 training-data curation (q42+)
     "q42_train_test_split"      -> ((s, d) => TrainingData.trainTestSplit(GraftSession.tune(s), d)),
     "q43_sequence_packing"      -> ((s, d) => TrainingData.sequencePacking(GraftSession.tune(s), d)),
@@ -1236,6 +1237,22 @@ object SparkEntry {
         |SELECT node, count(*) AS parts_below,
         |  CAST(round(sum(rev), 2) AS DOUBLE) AS subtree_rev
         |FROM up GROUP BY node""".stripMargin,
+    // m03: oracle predicts the luma mean over the SAMPLED (every-2nd)
+    // frames arithmetically from the animated two-band layout
+    "m03_video_pipeline" ->
+      """WITH p AS (SELECT doc_id,
+        |  16 + (n_chars % 32) AS w, 16 + ((n_chars * 7) % 32) AS h,
+        |  doc_id % 256 AS g1, (doc_id * 7 + 31) % 256 AS g2,
+        |  4 + doc_id % 5 AS nf FROM documents),
+        |c AS (SELECT doc_id, w, h, nf, (nf + 1) // 2 AS ns,
+        |  list_aggregate(list_transform(list_filter(range(0, nf), f -> f % 2 = 0),
+        |    f -> h * ((w // 2) * ((g1 + 5 * f) % 256)
+        |            + (w - w // 2) * ((g2 + 11 * f) % 256))), 'sum') AS lsum
+        |  FROM p)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, CAST(ns AS BIGINT) AS n_sampled,
+        |  CAST(w AS BIGINT) AS vid_w, CAST(h AS BIGINT) AS vid_h,
+        |  round(CAST(lsum AS DOUBLE) / (ns * w * h), 4) AS avg_luma
+        |FROM c""".stripMargin,
     // m02: like m01, the oracle predicts the DECODED stats arithmetically
     // from the deterministic waveform layout — a corrupted WAV round trip
     // (encode, container parse, sample decode) fails the hash

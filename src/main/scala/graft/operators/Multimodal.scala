@@ -28,6 +28,24 @@ case class MediaFeatures(
     n_frames: Int,
 )
 
+case class VideoRecord(
+    doc_id: Long,
+    payload: Array[Byte],
+    n_frames: Int,
+    width: Int,
+    height: Int,
+    format: String,
+)
+
+case class VideoFeatures(
+    doc_id: Long,
+    n_frames: Long,
+    n_sampled: Long,
+    vid_w: Long,
+    vid_h: Long,
+    avg_luma: Double,
+)
+
 case class AudioRecord(
     doc_id: Long,
     payload: Array[Byte],
@@ -234,6 +252,117 @@ object Multimodal {
       math.round(sumAbs.toDouble / n * 10000).toDouble / 10000,
       zc, (n.toLong + 255L) / 256L,
     )
+  }
+
+  /** Video layout per document: m01's two-band frame animated — frame f
+    * carries grays (g1+5f)%256 / (g2+11f)%256 at the doc's (w, h);
+    * `4 + id%5` frames per doc. Same oracle principle: every pixel of
+    * every frame is a closed-form integer function of (doc_id, n_chars,
+    * f).
+    */
+  private def videoLayout(id: Long, nChars: Long): (Int, Int, Int, Int, Int) = {
+    val (w, h, g1, g2) = layout(id, nChars)
+    (w, h, g1, g2, (4 + id % 5).toInt)
+  }
+
+  /** m03's media side: a per-doc VIDEO as real PNG frames in a
+    * length-prefixed container (`GVID` magic, frame count, then
+    * int-length + PNG bytes per frame). The JDK ships no video
+    * container, so the container is hand-rolled AND DOCUMENTED — but
+    * every frame is a genuine codec artifact, which is where the
+    * decode work actually lives.
+    */
+  def videoTable(spark: SparkSession, dir: String): Dataset[VideoRecord] = {
+    import spark.implicits._
+    graft.sources.Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, nChars) =>
+          val (w, h, g1, g2, nf) = videoLayout(id, nChars)
+          val out = new ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(out)
+          dos.writeBytes("GVID")
+          dos.writeInt(nf)
+          var f = 0
+          while (f < nf) {
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val wl  = w / 2
+            val fg1 = ((g1 + 5 * f) % 256); val fg2 = ((g2 + 11 * f) % 256)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = if (x < wl) fg1 else fg2
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val frame = new ByteArrayOutputStream()
+            ImageIO.write(img, "png", frame)
+            val bytes = frame.toByteArray
+            dos.writeInt(bytes.length)
+            dos.write(bytes)
+            f += 1
+          }
+          VideoRecord(id, out.toByteArray, nf, w, h, "video/x-graft-png")
+        }
+      }
+  }
+
+  /** The video decoder: container parse + REAL PNG decode of every
+    * SAMPLED frame (every 2nd — the frame-sample step a feature
+    * extractor runs instead of decoding all frames), pixel-exact luma
+    * mean over the sampled frames.
+    */
+  private def decodeVideo(r: VideoRecord): VideoFeatures = {
+    val in    = new java.io.DataInputStream(new ByteArrayInputStream(r.payload))
+    val magic = new Array[Byte](4); in.readFully(magic)
+    require(new String(magic, "US-ASCII") == "GVID", s"doc ${r.doc_id}: bad container")
+    val nf  = in.readInt()
+    var sum = 0L; var pixels = 0L; var sampled = 0L
+    var w = 0; var h = 0
+    var f = 0
+    while (f < nf) {
+      val len   = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      if (f % 2 == 0) { // frame-sample: decode every 2nd frame only
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        w = img.getWidth; h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        pixels += w.toLong * h
+        sampled += 1
+      }
+      f += 1
+    }
+    VideoFeatures(
+      r.doc_id, nf.toLong, sampled, w.toLong, h.toLong,
+      math.round(sum.toDouble / pixels * 10000).toDouble / 10000,
+    )
+  }
+
+  /** m03: the video pipeline — container parse, every-2nd-frame REAL
+    * PNG decode, luma statistics; completes the image/audio/video
+    * triad with the oracle predicting decoded stats arithmetically.
+    */
+  def videoPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, dir)
+      .mapPartitions { it => ImageIO.setUseCache(false); it.map(decodeVideo) }
+      .toDF()
   }
 
   /** m02: the audio pipeline — same contract as m01 with a REAL audio

@@ -641,6 +641,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m03 video containers hold genuine PNG frames; sampled-decode stats stay in range") {
+    val recs = Multimodal.videoTable(spark, sf).limit(3).collect()
+    assert(recs.nonEmpty)
+    recs.foreach { v =>
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v.payload))
+      val magic = new Array[Byte](4); in.readFully(magic)
+      assert(new String(magic, "US-ASCII") == "GVID", s"doc ${v.doc_id}: bad container magic")
+      val nf = in.readInt()
+      assert(nf == v.n_frames)
+      // every frame, not just the sampled ones, must be a real decodable PNG
+      (0 until nf).foreach { f =>
+        val len = in.readInt(); val bytes = new Array[Byte](len); in.readFully(bytes)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        assert(img != null && img.getWidth == v.width && img.getHeight == v.height,
+          s"doc ${v.doc_id} frame $f: not a decodable PNG of the declared size")
+      }
+      assert(in.available() == 0, s"doc ${v.doc_id}: trailing garbage in container")
+    }
+    val rows = Multimodal.videoPipeline(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") == (r.getAs[Long]("n_frames") + 1) / 2)
+      val l = r.getAs[Double]("avg_luma")
+      assert(l >= 0 && l <= 255)
+    }
+  }
+
   test("media payloads are genuine PNGs (magic bytes) decodable by a fresh reader") {
     val recs = Multimodal.mediaTable(spark, sf).limit(5).collect()
     assert(recs.nonEmpty)
