@@ -1508,4 +1508,41 @@ class StreamingSpec extends SparkSpec {
       assert(total == 6L, s"union over windows must count distinct users across both, got $total")
     } finally q.stop()
   }
+
+  test("#163 live transition matrix equals the batch matrix; micro-batching never changes counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two users with interleaved journeys; one single-event user (no steps)
+    val evs = Seq(
+      TypedEvent(1, 7, ts(1), "view"), TypedEvent(2, 8, ts(1), "view"),
+      TypedEvent(3, 7, ts(2), "cart"), TypedEvent(4, 8, ts(3), "view"),
+      TypedEvent(5, 7, ts(4), "purchase"), TypedEvent(6, 8, ts(5), "cart"),
+      TypedEvent(7, 7, ts(6), "view"), TypedEvent(8, 9, ts(6), "view"),
+      TypedEvent(9, 8, ts(7), "purchase"), TypedEvent(10, 7, ts(8), "cart"),
+    )
+    // independent batch reference: per-key ordered consecutive pairs
+    val expected = evs.groupBy(_.key).values.flatMap { ks =>
+      ks.sortBy(e => (e.ts.getTime, e.eventId)).sliding(2).collect {
+        case Seq(a, b) => (a.eventType, b.eventType)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(expected.values.sum == evs.size - 3, "n-1 steps per key")
+
+    def run(batches: Seq[Seq[TypedEvent]]): Map[(String, String), Long] = {
+      val input = MemoryStream[TypedEvent]
+      val name  = s"trans${batches.length}"
+      val q = TransitionView.matrix(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Complete())
+        .option("checkpointLocation", tmp(name)).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) -> r.getAs[Long]("count"))
+          .toMap
+      } finally q.stop()
+    }
+    assert(run(Seq(evs)) == expected, "single batch must equal the batch-computed matrix")
+    assert(run(evs.grouped(3).toSeq) == expected,
+      "3-row micro-batches must produce the identical matrix (cross-batch steps stitched by state)")
+  }
 }
