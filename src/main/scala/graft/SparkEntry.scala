@@ -143,6 +143,7 @@ object SparkEntry {
     "q77_hierarchy_rollup"      -> ((s, d) => Relational.hierarchyRollup(GraftSession.tune(s), d)),
     "q78_event_transitions"     -> ((s, d) => Temporal.eventTransitions(GraftSession.tune(s), d)),
     "q79_curation_pipeline"     -> ((s, d) => TrainingData.curationPipeline(GraftSession.tune(s), d)),
+    "q80_part_pagerank"         -> ((s, d) => Relational.pageRank(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1237,6 +1238,30 @@ object SparkEntry {
         |SELECT node, count(*) AS parts_below,
         |  CAST(round(sum(rev), 2) AS DOUBLE) AS subtree_rev
         |FROM up GROUP BY node""".stripMargin,
+    // q80: the three iterations unrolled as CTE levels; fixed-point
+    // integer arithmetic makes every level engine-exact (// == div on
+    // the all-positive scores)
+    "q80_part_pagerank" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS (SELECT s AS node, count(*) AS deg FROM edges GROUP BY s),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (SELECT dd.node, CAST(150000 + coalesce(i.c, 0) * 85 // 100 AS BIGINT) AS r
+        |  FROM deg dd LEFT JOIN (SELECT e.d AS node, sum(r0.r // g.deg) AS c
+        |    FROM edges e JOIN r0 ON r0.node = e.s JOIN deg g ON g.node = e.s
+        |    GROUP BY e.d) i USING (node)),
+        |r2 AS (SELECT dd.node, CAST(150000 + coalesce(i.c, 0) * 85 // 100 AS BIGINT) AS r
+        |  FROM deg dd LEFT JOIN (SELECT e.d AS node, sum(r1.r // g.deg) AS c
+        |    FROM edges e JOIN r1 ON r1.node = e.s JOIN deg g ON g.node = e.s
+        |    GROUP BY e.d) i USING (node)),
+        |r3 AS (SELECT dd.node, CAST(150000 + coalesce(i.c, 0) * 85 // 100 AS BIGINT) AS r
+        |  FROM deg dd LEFT JOIN (SELECT e.d AS node, sum(r2.r // g.deg) AS c
+        |    FROM edges e JOIN r2 ON r2.node = e.s JOIN deg g ON g.node = e.s
+        |    GROUP BY e.d) i USING (node))
+        |SELECT node AS part, r AS rank_micro FROM r3""".stripMargin,
     // m03: oracle predicts the luma mean over the SAMPLED (every-2nd)
     // frames arithmetically from the animated two-band layout
     "m03_video_pipeline" ->

@@ -662,6 +662,47 @@ object Relational {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) t""".stripMargin)
   }
 
+  /** q80: graph analytics over a derived graph — PageRank on the q54
+    * part-co-occurrence graph (undirected: both directions of each
+    * pair), `iters` synchronous iterations, in FIXED-POINT INTEGER
+    * arithmetic (scores in micro-units; per-edge contribution is
+    * integral `div` by out-degree, damping is `×85 div 100`): every
+    * operation is exact and associative, so the result is identical on
+    * any engine and any partitioning — float PageRank can't promise
+    * either (per-node sums are order-sensitive), which is why this is
+    * the portable formulation. The dropped division remainders are the
+    * standard fixed-point quantization, bounded by deg(v) micro-units
+    * per node per round.
+    *
+    * Scale shape: each iteration is one keyed join (edges × ranks, both
+    * partitioned on the source node) + one map-side-combined sum — the
+    * d06 loop pattern; at real depth the loop body would
+    * localCheckpoint every few rounds to cut lineage (documented in
+    * d06; 3 rounds here doesn't need it).
+    */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3, minSupport: Long = 2L): DataFrame = {
+    val pairs = partCooccurrence(spark, dir, minSupport).select("part_a", "part_b")
+    val edges = pairs
+      .union(pairs.select(col("part_b").as("part_a"), col("part_a").as("part_b")))
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+    val deg  = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("node"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contribs = edges
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("in_sum"))
+      rank = deg
+        .select(col("node"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("coalesce(in_sum, 0L) * 85 div 100")).as("r"))
+    }
+    rank.select(col("node").as("part"), col("r").as("rank_micro"))
+  }
+
   /** q76: COUNT(DISTINCT …) OVER a partition — SQL surface Spark's
     * window operator refuses outright (`DISTINCT_WINDOW_FUNCTION_
     * UNSUPPORTED`), expressed with the dense_rank identity: the number

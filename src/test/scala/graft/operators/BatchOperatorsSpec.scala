@@ -125,6 +125,28 @@ class RelationalSpec extends SparkSpec {
   }
 }
 
+class PageRankSpec extends SparkSpec {
+  test("q80: distributed fixed-point PageRank equals a single-threaded integer reference") {
+    val got = Relational.pageRank(spark, sf).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("rank_micro")).toMap
+    // independent reference: same integer semantics, plain Scala maps
+    val pairs = Relational.partCooccurrence(spark, sf).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")))
+    val edges = pairs ++ pairs.map(_.swap)
+    val deg   = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank  = deg.keys.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+      rank = deg.keys.map(n => n -> (150000L + in.getOrElse(n, 0L) * 85L / 100L)).toMap
+    }
+    assert(got == rank, "distributed fixed-point iterations diverged from the reference")
+    // fixed-point mass bounds: damping base below, quantization-lossy total above
+    assert(got.values.forall(_ >= 150000L))
+    assert(got.values.sum <= got.size * 1000000L)
+  }
+}
+
 class TemporalSpec extends SparkSpec {
   test("q21 latest state: exactly one row per user") {
     val df = Temporal.cdcLatestState(spark, sf)
