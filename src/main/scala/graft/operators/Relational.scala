@@ -682,10 +682,14 @@ object Relational {
     */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3, minSupport: Long = 2L): DataFrame = {
     val pairs = partCooccurrence(spark, dir, minSupport).select("part_a", "part_b")
+    // materialize the derived graph ONCE (d06's pattern): without this
+    // the q54 self-join sits in every iteration's lineage and the
+    // 3-round loop re-derives it several times over
     val edges = pairs
       .union(pairs.select(col("part_b").as("part_a"), col("part_a").as("part_b")))
       .select(col("part_a").as("src"), col("part_b").as("dst"))
-    val deg  = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
     var rank = deg.select(col("node"), lit(1000000L).as("r"))
     (1 to iters).foreach { _ =>
       val contribs = edges
