@@ -1544,5 +1544,28 @@ class StreamingSpec extends SparkSpec {
     assert(run(Seq(evs)) == expected, "single batch must equal the batch-computed matrix")
     assert(run(evs.grouped(3).toSeq) == expected,
       "3-row micro-batches must produce the identical matrix (cross-batch steps stitched by state)")
+
+    // restart continuity: stop after half the feed, resume from the
+    // checkpoint with a NEW query — per-key state reloads, the step at
+    // the stop/resume seam is still emitted, the matrix completes
+    val ckpt = tmp("transRestart")
+    val (h1, h2) = evs.splitAt(5)
+    val in1 = MemoryStream[TypedEvent]
+    val q1 = TransitionView.matrix(in1.toDS())
+      .writeStream.format("memory").queryName("transA").outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt).start()
+    try { in1.addData(h1: _*); q1.processAllAvailable() } finally q1.stop()
+    val in2 = MemoryStream[TypedEvent]
+    in2.addData(h1: _*) // replayed source; checkpointed offsets skip it
+    val q2 = TransitionView.matrix(in2.toDS())
+      .writeStream.format("memory").queryName("transB").outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in2.addData(h2: _*); q2.processAllAvailable()
+      val resumed = spark.table("transB").collect()
+        .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) -> r.getAs[Long]("count")).toMap
+      assert(resumed == expected,
+        s"restarted matrix must equal the uninterrupted one: $resumed vs $expected")
+    } finally q2.stop()
   }
 }
