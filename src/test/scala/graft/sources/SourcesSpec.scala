@@ -101,6 +101,24 @@ class SourcesSpec extends SparkSpec {
     assert(back.agg(sum("event_id")).collect()(0).getLong(0) == ev.agg(sum("event_id")).collect()(0).getLong(0))
   }
 
+  test("#165 ORC round-trip preserves rows; filters push down to the ORC scan") {
+    val dir = tmp("orc")
+    val ev  = Tables.events(spark, sf).select("event_id", "ts", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == ev.count())
+    assert(back.agg(sum("event_id")).collect()(0).getLong(0) ==
+      ev.agg(sum("event_id")).collect()(0).getLong(0))
+    // the columnar contract holds for ORC exactly as for parquet:
+    // predicate reaches the scan, projection prunes the read schema
+    val q = back.filter(col("user_id") === 7L).select("event_id", "user_id")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)"),
+      s"filter not pushed to ORC scan:\n$p")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"),
+      s"projection not pruned at the ORC scan:\n$p")
+  }
+
   test("#57 date-partitioned parquet sink prunes partitions on read") {
     val dir = tmp("part")
     Tables
