@@ -387,25 +387,30 @@ object Relational {
   }
 
   /** q54: part-pair co-occurrence (market-basket) — pairs of parts bought
-    * together in at least `minSupport` orders. The self-join is WITHIN the
-    * order key, so candidate pairs per order are bounded by C(lines, 2)
-    * (TPC-H orders carry <= 7 lines) — the blowup is a small constant per
-    * order, never corpus-quadratic, and the join parallelizes on the order
-    * key. DISTINCT (order, part) first so a part appearing on two lines of
-    * one order doesn't self-pair or double-count.
+    * together in at least `minSupport` orders. Pairs are generated
+    * WITHIN each order's collected part set (`collect_set` map-side
+    * combines; `sort_array` makes the set order deterministic and gives
+    * `part_a < part_b` for free), so candidate pairs per order are
+    * bounded by C(lines, 2) (TPC-H orders carry <= 7 lines) and the
+    * whole operator is TWO keyed exchanges: the per-order set build and
+    * the pair count. (The r1-r4 self-join form spent a third exchange
+    * on DISTINCT before joining; the set form dedups inside the first
+    * aggregate.) The nested-transform pair expansion is a scan-side
+    * projection of each tiny array — order-quadratic only in the
+    * bounded per-order line count, like the join it replaces.
     */
-  def partCooccurrence(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
-    val lp = Tables
+  def partCooccurrence(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame =
+    Tables
       .lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
-    lp.as("a")
-      .join(lp.as("b"), Seq("l_orderkey"))
-      .filter(col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS part_a, y AS part_b))))")).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minSupport)
-  }
 
   /** q55: unpivot (wide -> long melt) — per-priority order metrics turned
     * into (priority, metric, metric_value) rows via the native `unpivot`

@@ -189,10 +189,13 @@ class PlanSpec extends SparkSpec {
       s"incremental dedup must never go all-pairs:\n$p")
   }
 
-  test("q54: within-order self-join stays an equi-join (pair blowup bounded per order)") {
+  test("q54: set-form co-occurrence pays exactly two keyed exchanges, no join at all") {
     val p = plan(Relational.partCooccurrence(spark, sf))
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
-      s"co-occurrence must join on the order key:\n$p")
+    // r5 rewrite: per-order collect_set + scan-side pair expansion —
+    // the r1-r4 self-join form spent a third exchange on DISTINCT
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges (order set, pair count), got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"the set form needs no join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"part pairing fell back to all-pairs:\n$p")
   }
