@@ -144,6 +144,7 @@ object SparkEntry {
     "q78_event_transitions"     -> ((s, d) => Temporal.eventTransitions(GraftSession.tune(s), d)),
     "q79_curation_pipeline"     -> ((s, d) => TrainingData.curationPipeline(GraftSession.tune(s), d)),
     "q80_part_pagerank"         -> ((s, d) => Relational.pageRank(GraftSession.tune(s), d)),
+    "q81_sliding_distinct"      -> ((s, d) => Temporal.slidingDistinct(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1238,6 +1239,11 @@ object SparkEntry {
         |SELECT node, count(*) AS parts_below,
         |  CAST(round(sum(rev), 2) AS DOUBLE) AS subtree_rev
         |FROM up GROUP BY node""".stripMargin,
+    "q81_sliding_distinct" ->
+      """SELECT strftime(date_trunc('hour', ts) - h * INTERVAL 1 HOUR,
+        |   '%Y-%m-%d %H:%M:%S') AS window_start,
+        | count(DISTINCT user_id) AS distinct_users
+        |FROM events, (SELECT unnest(range(0, 6)) AS h) t GROUP BY 1""".stripMargin,
     // q80: the three iterations unrolled as CTE levels; fixed-point
     // integer arithmetic makes every level engine-exact (// == div on
     // the all-positive scores)

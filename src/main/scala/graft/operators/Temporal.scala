@@ -56,6 +56,26 @@ object Temporal {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"), col("n"), col("total"))
 
+  /** q81: EXACT distinct users per SLIDING window (6h window, 1h slide)
+    * — the pattern approximate live views (#116's HLL) trade away:
+    * sliding windows overlap, so per-window distincts can't be derived
+    * from per-hour distincts (users spanning hours would double-count).
+    * The `window()` generator replicates each event into its
+    * window/slide = 6 covering windows — a bounded, declared
+    * amplification — and ONE distinct aggregate per window does the
+    * rest (Spark plans count-distinct two-phase: partial (window, user)
+    * dedup map-side, then the count). The exact form is the oracle
+    * anchor for #116's sketches; at 100 TB you run this for daily
+    * reconciliation and the HLL view for the live dashboard.
+    */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours", "1 hour").as("w"))
+      .agg(countDistinct("user_id").as("distinct_users"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("distinct_users"))
+
   /** q25: gap-based sessionization (30 min inactivity gap), the classic
     * new-session-flag + running-sum formulation — one shuffle on the key.
     */

@@ -205,6 +205,33 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("q81 sliding distinct: every window bounded by its hourly components; dedup is real") {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    def parse(s: String) = java.time.LocalDateTime.parse(s, fmt)
+    val windows = Temporal.slidingDistinct(spark, sf).collect()
+      .map(r => parse(r.getAs[String]("window_start")) -> r.getAs[Long]("distinct_users")).toMap
+    val hourly = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("h").toLocalDateTime -> r.getAs[Long]("n")).toMap
+    assert(windows.nonEmpty)
+    windows.foreach { case (start, n) =>
+      val parts = (0 until 6).flatMap(i => hourly.get(start.plusHours(i.toLong)))
+      assert(parts.nonEmpty, s"window $start covers no populated hour")
+      // max component <= exact distinct <= sum of components; the strict
+      // upper gap is the double-counting a naive per-hour sum commits
+      assert(n >= parts.max && n <= parts.sum,
+        s"window $start: $n outside [${parts.max}, ${parts.sum}]")
+    }
+    // the dedup matters on this data: at least one window is strictly
+    // below the sum of its hourly distincts (users span hours)
+    assert(windows.exists { case (start, n) =>
+      val parts = (0 until 6).flatMap(i => hourly.get(start.plusHours(i.toLong)))
+      parts.size > 1 && n < parts.sum
+    }, "no window exercised cross-hour dedup — data degenerate?")
+  }
+
   test("q78 transition matrix: probabilities are a distribution per source; steps account for every event") {
     val rows = Temporal.eventTransitions(spark, sf).collect()
     assert(rows.nonEmpty)
