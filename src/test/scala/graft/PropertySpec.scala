@@ -125,4 +125,22 @@ class PropertySpec extends AnyFunSuite {
     }
     check(prop, "MG bounds")
   }
+
+  test("chunk arithmetic: reassembly reproduces any token stream for any (n, width, stride<=width)") {
+    // the pure form of q75's column expressions: nChunks formula + slice;
+    // the operator spec pins the 64/48 instance on real docs, this pins
+    // every parameterization (incl. stride == width, the no-overlap edge)
+    val prop = Prop.forAll(Gen.choose(1, 400), Gen.choose(1, 60), Gen.choose(1, 60)) {
+      (n: Int, width: Int, s0: Int) =>
+        val stride  = math.min(s0, width)
+        val toks    = (0 until n).map(_.toString)
+        val nChunks = if (n <= width) 1 else (n - width + stride - 1) / stride + 1
+        val chunks  = (0 until nChunks).map(i => toks.slice(i * stride, i * stride + width))
+        val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(width - stride))
+        rebuilt == toks &&
+        chunks.forall(c => c.nonEmpty && c.size <= width) &&
+        chunks.init.forall(_.size == width)
+    }
+    check(prop, "chunk reassembly")
+  }
 }
