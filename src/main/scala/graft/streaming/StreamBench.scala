@@ -38,13 +38,26 @@ object StreamBench {
       .as[Change]
 
     val counter = spark.sparkContext.longAccumulator("processed")
+    // `transitions` engine: rate source -> TypedEvents -> #163's step
+    // extractor (per-key last-event state over `liveKeys` keys) — the
+    // live Markov view's hot path, measured on the same harness
     val materialized =
-      if (engine == "v2") StateMaterializer.materialize(changes)
-      else CdcMaterializer.materialize(changes)
+      if (engine == "transitions")
+        TransitionView.steps(
+          spark.readStream.format("rate").option("rowsPerSecond", rowsPerSec).load()
+            .select(
+              col("value").as("eventId"),
+              pmod(col("value"), lit(liveKeys)).as("key"),
+              col("timestamp").as("ts"),
+              concat(lit("t"), pmod(col("value"), lit(7))).as("eventType"))
+            .as[TypedEvent]).toDF()
+      else if (engine == "v2") StateMaterializer.materialize(changes).toDF()
+      else CdcMaterializer.materialize(changes).toDF()
     val q = materialized
-      .toDF()
       .writeStream
-      .outputMode(CdcMaterializer.outputMode)
+      .outputMode(
+        if (engine == "transitions") org.apache.spark.sql.streaming.OutputMode.Append()
+        else CdcMaterializer.outputMode)
       .option("checkpointLocation", s"target/streambench-ck-${System.nanoTime()}")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         counter.add(batch.count())
