@@ -145,6 +145,7 @@ object SparkEntry {
     "q79_curation_pipeline"     -> ((s, d) => TrainingData.curationPipeline(GraftSession.tune(s), d)),
     "q80_part_pagerank"         -> ((s, d) => Relational.pageRank(GraftSession.tune(s), d)),
     "q81_sliding_distinct"      -> ((s, d) => Temporal.slidingDistinct(GraftSession.tune(s), d)),
+    "q82_twap"                  -> ((s, d) => Temporal.twap(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1239,6 +1240,16 @@ object SparkEntry {
         |SELECT node, count(*) AS parts_below,
         |  CAST(round(sum(rev), 2) AS DOUBLE) AS subtree_rev
         |FROM up GROUP BY node""".stripMargin,
+    "q82_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
+        |d AS (SELECT user_id, value,
+        |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - tsu AS dt_us
+        |  FROM e)
+        |SELECT user_id,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6)) * dt_us) AS DOUBLE)
+        |    / CAST(sum(dt_us) AS DOUBLE), 4) AS twap,
+        |  CAST(sum(dt_us) AS BIGINT) AS span_us, count(*) AS n_intervals
+        |FROM d WHERE dt_us IS NOT NULL GROUP BY user_id""".stripMargin,
     "q81_sliding_distinct" ->
       """SELECT strftime(date_trunc('hour', ts) - h * INTERVAL 1 HOUR,
         |   '%Y-%m-%d %H:%M:%S') AS window_start,

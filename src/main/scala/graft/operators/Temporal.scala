@@ -56,6 +56,37 @@ object Temporal {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"), col("n"), col("total"))
 
+  /** q82: time-weighted average (TWAP) per key over IRREGULAR samples —
+    * the changefeed-native mean: each observation holds until the next
+    * one, so the average integrates value·holding-time instead of
+    * counting rows (a price that sat unchanged for an hour weighs 60×
+    * one that lasted a minute — row-mean q02-style aggregates get this
+    * wrong on any irregular feed). One lead() under the per-key window
+    * (bounded partitions, the q22 shape), then a map-side-combined
+    * sum(value·dt)/sum(dt); dt stays integral µs and value is rounded
+    * once at emission, so both engines integrate identical operands.
+    * Keys whose feed has a single sample carry no holding interval and
+    * drop out (their TWAP is undefined) — on both sides.
+    */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("tsu"), col("value"))
+      .withColumn("dt_us", lead("tsu", 1).over(w) - col("tsu"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      // value·dt in DECIMAL (q12's lesson): exact, associative sums that
+      // no partitioning can drift; the one double op is the final divide
+      // of bit-identical operands
+      .agg(
+        round(
+          sum(col("value").cast("decimal(18,6)") * col("dt_us")).cast("double")
+            / sum(col("dt_us")).cast("double"),
+          4).as("twap"),
+        sum("dt_us").as("span_us"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   /** q81: EXACT distinct users per SLIDING window (6h window, 1h slide)
     * — the pattern approximate live views (#116's HLL) trade away:
     * sliding windows overlap, so per-window distincts can't be derived

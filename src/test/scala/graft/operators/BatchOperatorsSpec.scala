@@ -205,6 +205,32 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("q82 TWAP: matches a driver-side integration; bounded by the key's value range") {
+    val got = Temporal.twap(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("twap"), r.getAs[Long]("span_us"), r.getAs[Long]("n_intervals")))).toMap
+    assert(got.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), r.getAs[Long]("tsu"), r.getAs[Double]("value")))
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      if (ordered.length < 2) assert(!got.contains(uid), s"single-sample key $uid must drop")
+      else {
+        val steps = ordered.sliding(2).map { case Array(a, b) => (a._4, b._3 - a._3) }.toSeq
+        val span  = steps.map(_._2).sum
+        val ref   = steps.map { case (v, dt) => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(dt) }.sum
+        val (twap, spanUs, n) = got(uid)
+        assert(spanUs == span && n == ordered.length - 1, s"key $uid interval accounting off")
+        val expected = math.round((ref.toDouble / span) * 10000).toDouble / 10000
+        assert(math.abs(twap - expected) < 5e-4, s"key $uid: twap $twap vs reference $expected")
+        val vals = ordered.init.map(_._4)
+        assert(twap >= vals.min - 1e-4 && twap <= vals.max + 1e-4, s"key $uid twap outside value range")
+      }
+    }
+  }
+
   test("q81 sliding distinct: every window bounded by its hourly components; dedup is real") {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     def parse(s: String) = java.time.LocalDateTime.parse(s, fmt)
