@@ -146,6 +146,7 @@ object SparkEntry {
     "q80_part_pagerank"         -> ((s, d) => Relational.pageRank(GraftSession.tune(s), d)),
     "q81_sliding_distinct"      -> ((s, d) => Temporal.slidingDistinct(GraftSession.tune(s), d)),
     "q82_twap"                  -> ((s, d) => Temporal.twap(GraftSession.tune(s), d)),
+    "q83_ohlc_hourly"           -> ((s, d) => Temporal.ohlc(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1240,6 +1241,22 @@ object SparkEntry {
         |SELECT node, count(*) AS parts_below,
         |  CAST(round(sum(rev), 2) AS DOUBLE) AS subtree_rev
         |FROM up GROUP BY node""".stripMargin,
+    "q83_ohlc_hourly" ->
+      """WITH e AS (SELECT user_id,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  epoch_us(ts) AS tsu, event_id, value FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY user_id, hour_start
+        |    ORDER BY tsu, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY user_id, hour_start
+        |    ORDER BY tsu DESC, event_id DESC) AS rn_d FROM e)
+        |SELECT user_id, hour_start,
+        |  round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+        |  count(*) AS n_ticks
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q82_twap" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
         |d AS (SELECT user_id, value,

@@ -56,6 +56,36 @@ object Temporal {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"), col("n"), col("total"))
 
+  /** q83: OHLC candlesticks — open/high/low/close per (key, hour), the
+    * canonical tick-feed downsample every time-series store demos.
+    * High/low are plain min/max; open/close take the first/last tick
+    * under the deterministic (tsu, event_id) order via two row_number
+    * windows that SHARE the aggregate's partitioning — the plan pays
+    * one exchange on (user_id, hour), two within-group sorts ride it,
+    * and the final aggregate reuses the same partitioning. No sums at
+    * all, so there is no float-order question — min/max/first/last are
+    * order-insensitive or pinned by the explicit tick order.
+    */
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val withHour = events(spark, dir)
+      .select(
+        col("user_id"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("tsu"), col("event_id"), col("value"))
+    val wAsc  = Window.partitionBy("user_id", "hour_start").orderBy(col("tsu"), col("event_id"))
+    val wDesc = Window.partitionBy("user_id", "hour_start").orderBy(col("tsu").desc, col("event_id").desc)
+    withHour
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("user_id", "hour_start")
+      .agg(
+        round(max(when(col("rn_a") === 1, col("value"))), 2).as("open"),
+        round(max("value"), 2).as("high"),
+        round(min("value"), 2).as("low"),
+        round(max(when(col("rn_d") === 1, col("value"))), 2).as("close"),
+        count(lit(1)).as("n_ticks"))
+  }
+
   /** q82: time-weighted average (TWAP) per key over IRREGULAR samples —
     * the changefeed-native mean: each observation holds until the next
     * one, so the average integrates value·holding-time instead of

@@ -205,6 +205,24 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("q83 OHLC: bars are internally consistent, account for every tick, one exchange") {
+    val df = Temporal.ohlc(spark, sf)
+    val p  = df.queryExecution.executedPlan.toString
+    // both rank windows and the aggregate share (user_id, hour) partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"OHLC should pay exactly one exchange:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h && l <= h,
+        s"inconsistent bar for ${r.getAs[Long]("user_id")}@${r.getAs[String]("hour_start")}: o=$o h=$h l=$l c=$c")
+    }
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_ticks")).sum == total, "bars must account for every tick")
+  }
+
   test("q82 TWAP: matches a driver-side integration; bounded by the key's value range") {
     val got = Temporal.twap(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
