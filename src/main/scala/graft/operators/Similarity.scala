@@ -529,9 +529,15 @@ object Similarity {
     * 8-plane floor keeping every oracle-gate corpus identical to the
     * DuckDB 8-plane replay.
     */
+  private val planeMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Int]
+
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
-    val raw    = Tables.embeddings(spark, dir)
-    val planes = autoPlanes(raw.count(), 1024L)
+    val raw = Tables.embeddings(spark, dir)
+    // the sizing count is per (session, corpus), not per call — the one
+    // driver action stays off the repeated query path (s06/s07 pattern)
+    planeMemo.keySet.foreach { k => if (k._1.sparkContext.isStopped) planeMemo.remove(k) }
+    val planes = planeMemo.getOrElseUpdate((spark, dir), autoPlanes(raw.count(), 1024L))
     val emb = withHyperplaneBucket(raw, planes)
       .withColumn("norm", l2Norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))

@@ -29,6 +29,13 @@ case class Step(key: Long, src: String, dst: String, tsUs: Long, eventId: Long)
   * At 100 TB-feed scale this is the only viable shape: the matrix is
   * maintained incrementally from O(keys) + O(types²) state; nothing
   * ever re-reads history.
+  *
+  * Idle-key state: one LastType record per key, forever — correct for a
+  * changefeed whose keys stay live. A deployment with unbounded key
+  * churn bounds it the way [[StateMaterializer.materializeExpiring]]
+  * does: an event-time timer per key (last ts + TTL) evicting the
+  * record, at the cost of missing a transition that spans longer than
+  * the TTL — a documented trade, not a default.
   */
 object TransitionView {
 
