@@ -147,6 +147,7 @@ object SparkEntry {
     "q81_sliding_distinct"      -> ((s, d) => Temporal.slidingDistinct(GraftSession.tune(s), d)),
     "q82_twap"                  -> ((s, d) => Temporal.twap(GraftSession.tune(s), d)),
     "q83_ohlc_hourly"           -> ((s, d) => Temporal.ohlc(GraftSession.tune(s), d)),
+    "t13_gopher_quality"        -> ((s, d) => TextAnalysis.gopherQuality(GraftSession.tune(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
@@ -1241,6 +1242,28 @@ object SparkEntry {
         |SELECT node, count(*) AS parts_below,
         |  CAST(round(sum(rev), 2) AS DOUBLE) AS subtree_rev
         |FROM up GROUP BY node""".stripMargin,
+    "t13_gopher_quality" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(ws) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(ws) AS mean_len,
+        |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(ws) AS sym_r,
+        |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |    / len(ws) AS alpha_f,
+        |  len(list_filter(ws, x ->
+        |    regexp_matches(x, '^(the|be|to|of|and|that|have|with)$'))) AS n_stop
+        |  FROM w)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(mean_len, 4) AS mean_word_len,
+        |  round(sym_r, 6) AS symbol_ratio,
+        |  round(alpha_f, 6) AS alpha_word_frac,
+        |  CAST(n_stop AS BIGINT) AS n_stopwords,
+        |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND mean_len >= 3.0 AND mean_len <= 10.0
+        |    AND sym_r <= 0.1 AND alpha_f >= 0.8 AND n_stop >= 2
+        |    THEN 1 ELSE 0 END AS INT) AS passes_gopher
+        |FROM m""".stripMargin,
     "q83_ohlc_hourly" ->
       """WITH e AS (SELECT user_id,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

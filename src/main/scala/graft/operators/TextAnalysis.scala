@@ -20,6 +20,45 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "un"),
   )
 
+  /** t13: the Gopher word-level quality rules (Rae et al. 2021 —
+    * "Scaling Language Models", appendix A1.1; the public filter set
+    * most production corpora start from), applied with the published
+    * thresholds: 50 ≤ words ≤ 100 000; mean word length in [3, 10];
+    * symbol-to-word ratio (# and …) ≤ 0.1; ≥ 80% of words contain an
+    * alphabetic character; ≥ 2 hits from the canonical stopword set.
+    * (The line-shape rules — bullet/ellipsis line fractions — need
+    * multi-line documents and are omitted for this corpus.)
+    *
+    * Pure scan projection (higher-order `filter` over the word array,
+    * no explode, no shuffle); ratio comparisons happen on identical
+    * integer-derived doubles on both engines, so the verdict column is
+    * engine-exact, not approximately so.
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val ws      = words(col("text"))
+    val nWords  = size(ws)
+    val meanLen = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords
+    val symbols = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+    val alphaW  = size(filter(ws, w => w.rlike("[a-zA-Z]")))
+    val stops   = size(filter(ws, w => w.rlike("^(the|be|to|of|and|that|have|with)$")))
+    val symR    = symbols.cast("double") / nWords
+    val alphaF  = alphaW.cast("double") / nWords
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(symR, 6).as("symbol_ratio"),
+        round(alphaF, 6).as("alpha_word_frac"),
+        stops.cast("long").as("n_stopwords"),
+        (nWords.geq(50) && nWords.leq(100000) &&
+          meanLen.geq(3.0) && meanLen.leq(10.0) &&
+          symR.leq(0.1) && alphaF.geq(0.8) && stops.geq(2))
+          .cast("int").as("passes_gopher"),
+      )
+  }
+
   /** t01: language ID via stopword-hit counts with a deterministic
     * priority order; 'und' when no list scores a hit. Checked rows-only
     * (the heuristic is ours, not SQL-standard).

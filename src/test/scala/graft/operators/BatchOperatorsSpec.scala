@@ -602,6 +602,24 @@ class SimilaritySpec extends SparkSpec {
 }
 
 class TextAnalysisSpec extends SparkSpec {
+  test("t13 gopher rules: verdict agrees with its own reported metrics; both classes occur") {
+    val rows = TextAnalysis.gopherQuality(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val pass = r.getAs[Int]("passes_gopher") == 1
+      val recomputed = r.getAs[Long]("n_words") >= 50 && r.getAs[Long]("n_words") <= 100000 &&
+        r.getAs[Double]("mean_word_len") >= 3.0 && r.getAs[Double]("mean_word_len") <= 10.0 &&
+        r.getAs[Double]("symbol_ratio") <= 0.1 && r.getAs[Double]("alpha_word_frac") >= 0.8 &&
+        r.getAs[Long]("n_stopwords") >= 2
+      // rounded metrics can only disagree with the raw verdict within
+      // rounding distance of a threshold; on this corpus they don't
+      assert(pass == recomputed, s"doc ${r.getAs[Long]("doc_id")}: verdict/metrics mismatch")
+    }
+    val passes = rows.count(_.getAs[Int]("passes_gopher") == 1)
+    assert(passes > 0 && passes < rows.length,
+      s"gopher gate must discriminate on this corpus: $passes/${rows.length} pass")
+  }
+
   test("t01 langid: a prediction for every doc") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     assert(rows.length == 500)
