@@ -12,8 +12,13 @@ object SparkEntry {
     * holdout, shingle decontamination, quality gate in one query — is
     * the single best picture of what this engine is for.
     */
-  def entry(spark: SparkSession): DataFrame =
-    TrainingData.curationPipeline(GraftSession.tune(spark), "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = entry(spark, "/root/testdata/sf0.001")
+
+  /** Same flagship query over an arbitrary data dir (the driver's smoke
+    * check uses the sf0.001 default above; real callers pass their own).
+    */
+  def entry(spark: SparkSession, dir: String): DataFrame =
+    TrainingData.curationPipeline(GraftSession.tune(spark), dir)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -114,7 +119,8 @@ object SparkEntry {
     "d08_passage_dedup"         -> ((s, d) => Dedup.passageDedup(GraftSession.tune(s), d)),
     "t09_bpe_pairs"             -> ((s, d) => Bpe.pairStats(GraftSession.tune(s), d)),
     "q67_conversion_delay"      -> ((s, d) => Temporal.conversionDelay(GraftSession.tune(s), d)),
-    // rows-only like s04 (Lloyd float-mean order); recall pinned in spec
+    // hash-exact since the fixed-point Lloyd rewrite (integer codebooks
+    // replayed round-for-round by the oracle); recall pinned in spec
     "s05_ann_pq"                -> ((s, d) => Similarity.annPq(GraftSession.tune(s), d)),
     // rows-only (MG counts depend on merge order); bounds pinned in spec
     "q68_heavy_hitters"         -> ((s, d) => Relational.heavyHitters(GraftSession.tune(s), d)),
@@ -124,14 +130,16 @@ object SparkEntry {
     "q70_session_funnel"        -> ((s, d) => Temporal.sessionFunnel(GraftSession.tune(s), d)),
     "d10_containment"           -> ((s, d) => Dedup.containment(GraftSession.tune(s), d)),
     "t12_unicode_tokens"        -> ((s, d) => TextAnalysis.unicodeTokens(GraftSession.tune(s), d)),
-    // rows-only like s05 (Lloyd float order); Lloyd runs only on the
-    // FIRST call per (session, corpus) — the query path reads the index
+    // hash-exact (deterministic integer Lloyd ⇒ persisted index is
+    // bit-identical to inline s05; same oracle SQL). Lloyd runs only on
+    // the FIRST call per (session, corpus) — the query path reads the
+    // index
     "s06_ann_pq_served"         -> ((s, d) => Similarity.annPqServed(GraftSession.tune(s), d)),
     "q71_correlated_exists"     -> ((s, d) => Relational.correlatedExists(GraftSession.tune(s), d)),
     "q72_lateral_aggregate"     -> ((s, d) => Relational.lateralAggregate(GraftSession.tune(s), d)),
     "q73_not_in_nullaware"      -> ((s, d) => Relational.notInSubquery(GraftSession.tune(s), d)),
     // deterministic end-to-end (fixed hyperplanes, exact cosines,
-    // round+id tiebreaks) -> hash-exact oracle, unlike s04/s05
+    // round+id tiebreaks) -> hash-exact oracle
     "s07_ann_graph"             -> ((s, d) => Similarity.annGraph(GraftSession.tune(s), d)),
     "d11_unicode_dedup"         -> ((s, d) => Dedup.unicodeDedup(GraftSession.tune(s), d)),
     // all-pairs top-k: deterministic bucketed self-join + bounded TopK
@@ -150,12 +158,117 @@ object SparkEntry {
     "t13_gopher_quality"        -> ((s, d) => TextAnalysis.gopherQuality(GraftSession.tune(s), d)),
   )
 
+  // ---- fixed-point Lloyd oracle scaffolding (s04/s05/s06) ----------
+  // Similarity.ivfIndex/pqIndex train k-means entirely in micro-unit
+  // integer arithmetic (quantize once, integer argmin-L2 assignment,
+  // floored-mean update), so the oracle replays training ROUND FOR
+  // ROUND: these templates unroll the two Lloyd iterations as CTE
+  // levels, exactly like the q80 fixed-point PageRank oracle.
+  private def sqlDotF(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]), 'sum')"
+  private def sqlDotI(a: String, b: String): String =
+    s"CAST(list_aggregate(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), 'sum') AS BIGINT)"
+  private def sqlMicro(a: String): String =
+    s"list_transform($a, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+
+  private def ivfAssignSql(cents: String, out: String): String =
+    s"""${out}_s AS (SELECT e.vec_id, e.embedding, e.norm, e.xi, c.cid,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY 2 * ${sqlDotI("e.xi", "c.ci")} - c.c2 DESC, c.cid) AS arn
+       |  FROM e, $cents c),
+       |$out AS (SELECT vec_id, embedding, norm, xi, cid FROM ${out}_s WHERE arn = 1)""".stripMargin
+  private def ivfRecomputeSql(assigned: String, out: String): String =
+    s"""${out}_x AS (SELECT cid, generate_subscripts(xi, 1) AS pos, unnest(xi) AS x FROM $assigned),
+       |${out}_m AS (SELECT cid, pos, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
+       |  FROM ${out}_x GROUP BY cid, pos),
+       |${out}_l AS (SELECT cid, list(m ORDER BY pos) AS ci FROM ${out}_m GROUP BY cid),
+       |$out AS (SELECT cid, ci, ${sqlDotI("ci", "ci")} AS c2 FROM ${out}_l)""".stripMargin
+
+  private lazy val s04OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+       |  ${sqlMicro("embedding")} AS xi
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, xi AS ci, ${sqlDotI("xi", "xi")} AS c2
+       |  FROM e WHERE vec_id < 16),
+       |${ivfAssignSql("c0", "a1")},
+       |${ivfRecomputeSql("a1", "c1")},
+       |${ivfAssignSql("c1", "a2")},
+       |${ivfRecomputeSql("a2", "c2t")},
+       |${ivfAssignSql("c2t", "cells")},
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, xi AS q_xi
+       |  FROM cells WHERE vec_id < 10),
+       |pr_s AS (SELECT q.query_id, q.q_emb, q.q_norm, c.cid,
+       |  row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY 2 * ${sqlDotI("q.q_xi", "c.ci")} - c.c2 DESC, c.cid) AS prn
+       |  FROM q, c2t c),
+       |pr AS (SELECT query_id, q_emb, q_norm, cid FROM pr_s WHERE prn <= 2),
+       |p AS (SELECT pr.query_id, e2.vec_id AS neighbor_id,
+       |  round(${sqlDotF("pr.q_emb", "e2.embedding")} / (pr.q_norm * e2.norm), 6) AS sim6
+       |  FROM cells e2 JOIN pr ON e2.cid = pr.cid AND e2.vec_id <> pr.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim6, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
+       |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+       |FROM r WHERE rn <= 3""".stripMargin
+
+  private def pqAssignSql(cb: String, out: String): String =
+    s"""${out}_s AS (SELECT s.vec_id, s.j, s.svi, c.code,
+       |  row_number() OVER (PARTITION BY s.vec_id, s.j
+       |    ORDER BY 2 * ${sqlDotI("s.svi", "c.cvi")} - c.c2 DESC, c.code) AS arn
+       |  FROM subs s JOIN $cb c ON s.j = c.j),
+       |$out AS (SELECT vec_id, j, svi, code FROM ${out}_s WHERE arn = 1)""".stripMargin
+  private def pqRecomputeSql(assigned: String, out: String): String =
+    s"""${out}_x AS (SELECT j, code, generate_subscripts(svi, 1) AS pos, unnest(svi) AS x FROM $assigned),
+       |${out}_m AS (SELECT j, code, pos, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+       |  FROM ${out}_x GROUP BY j, code, pos),
+       |${out}_l AS (SELECT j, code, list(mu ORDER BY pos) AS cvi FROM ${out}_m GROUP BY j, code),
+       |$out AS (SELECT j, code, cvi, ${sqlDotI("cvi", "cvi")} AS c2 FROM ${out}_l)""".stripMargin
+
+  // s06 serves bit-identical answers from the persisted index (the #139
+  // spec asserts it), so it shares this oracle verbatim.
+  private lazy val s05OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+       |  len(embedding) // 4 AS d FROM embeddings),
+       |subs AS (SELECT vec_id, j,
+       |  ${sqlMicro("embedding[j * d + 1 : (j + 1) * d]")} AS svi
+       |  FROM e, (SELECT unnest(range(0, 4)) AS j) t),
+       |cb0 AS (SELECT j, CAST(vec_id AS INT) AS code, svi AS cvi, ${sqlDotI("svi", "svi")} AS c2
+       |  FROM subs WHERE vec_id < 16),
+       |${pqAssignSql("cb0", "a1")},
+       |${pqRecomputeSql("a1", "cb1")},
+       |${pqAssignSql("cb1", "a2")},
+       |${pqRecomputeSql("a2", "cb2")},
+       |${pqAssignSql("cb2", "codes")},
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, d FROM e WHERE vec_id < 10),
+       |lut AS (SELECT q.query_id, q.q_norm, c.j, c.code,
+       |  ${sqlDotI(sqlMicro("q.q_emb[c.j * q.d + 1 : (c.j + 1) * q.d]"), "c.cvi")} AS pdot
+       |  FROM q, cb2 c),
+       |cand_s AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+       |  sum(l.pdot) AS adot, any_value(l.q_norm) AS q_norm
+       |  FROM codes co JOIN lut l ON co.j = l.j AND co.code = l.code
+       |  WHERE co.vec_id <> l.query_id
+       |  GROUP BY l.query_id, co.vec_id),
+       |cand AS (SELECT c.*, e2.norm AS n_norm, e2.embedding AS n_emb,
+       |  row_number() OVER (PARTITION BY c.query_id ORDER BY c.adot DESC, c.neighbor_id) AS arn
+       |  FROM cand_s c JOIN e e2 ON c.neighbor_id = e2.vec_id),
+       |rr AS (SELECT c.query_id, c.neighbor_id,
+       |  round(${sqlDotF("q.q_emb", "c.n_emb")} / (c.q_norm * c.n_norm), 6) AS sim6
+       |  FROM cand c JOIN q ON c.query_id = q.query_id WHERE c.arn <= 60),
+       |r AS (SELECT query_id, neighbor_id, sim6, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM rr)
+       |SELECT query_id, neighbor_id, round(sim6, 4) AS approx_cosine, CAST(rn AS BIGINT) AS rn
+       |FROM r WHERE rn <= 3""".stripMargin
+
   /** DuckDB-runnable oracle SQL per query key. Column names/aliases must
     * match the Spark output exactly (the driver sorts columns by name and
     * hashes values). Time crosses this boundary only as epoch-us bigints or
     * formatted strings; doubles are rounded identically on both sides.
     */
   def oracleSql: Map[String, String] = Map(
+    "s04_ann_ivf" -> s04OracleSql,
+    "s05_ann_pq" -> s05OracleSql,
+    "s06_ann_pq_served" -> s05OracleSql,
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_extendedprice * (1 - l_discount), 4) AS revenue
@@ -1289,7 +1402,8 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6)) * dt_us) AS DOUBLE)
         |    / CAST(sum(dt_us) AS DOUBLE), 4) AS twap,
         |  CAST(sum(dt_us) AS BIGINT) AS span_us, count(*) AS n_intervals
-        |FROM d WHERE dt_us IS NOT NULL GROUP BY user_id""".stripMargin,
+        |FROM d WHERE dt_us IS NOT NULL GROUP BY user_id
+        |HAVING sum(dt_us) > 0""".stripMargin,
     "q81_sliding_distinct" ->
       """SELECT strftime(date_trunc('hour', ts) - h * INTERVAL 1 HOUR,
         |   '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -25,4 +25,22 @@ object VectorFunctions {
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Fixed-point micro-unit quantization: component → ⌊x·10⁶ + 0.5⌋ as
+    * BIGINT. `floor` (not `round`) so half-way ties resolve identically
+    * in every engine — Spark rounds doubles HALF_UP via BigDecimal,
+    * DuckDB half-away-from-zero, but ⌊·⌋ of the same double is the same
+    * everywhere. This is what makes iterative float algorithms (Lloyd
+    * k-means) hash-exact across engines: all arithmetic after this
+    * projection is exact integer math, immune to aggregation order.
+    */
+  def toMicro(a: Column): Column =
+    transform(a, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** Exact integer dot product over micro-unit vectors. Sums are
+    * order-independent (integer associativity), so any partitioning of
+    * the aggregate yields the identical BIGINT.
+    */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 }

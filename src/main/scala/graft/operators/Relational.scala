@@ -689,12 +689,15 @@ object Relational {
     val pairs = partCooccurrence(spark, dir, minSupport).select("part_a", "part_b")
     // materialize the derived graph ONCE (d06's pattern): without this
     // the q54 self-join sits in every iteration's lineage and the
-    // 3-round loop re-derives it several times over
+    // 3-round loop re-derives it several times over. LAZY checkpoints
+    // (eager=false): merely constructing the DataFrame must run zero
+    // jobs (PlanAudit plans every query without executing it), and the
+    // cut still happens on first action before any iteration re-reads.
     val edges = pairs
       .union(pairs.select(col("part_b").as("part_a"), col("part_a").as("part_b")))
       .select(col("part_a").as("src"), col("part_b").as("dst"))
-      .localCheckpoint(true)
-    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).localCheckpoint(false)
     var rank = deg.select(col("node"), lit(1000000L).as("r"))
     (1 to iters).foreach { _ =>
       val contribs = edges

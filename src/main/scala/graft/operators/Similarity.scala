@@ -113,9 +113,23 @@ object Similarity {
 
   /** IVF coarse quantizer: deterministic seeds (the first k vec_ids), a
     * fixed number of Lloyd iterations entirely in DataFrame ops (assign =
-    * broadcast-centroid argmax-cosine; update = per-dimension mean via
-    * posexplode + groupBy). Returns (assignments (vec_id, embedding, norm,
-    * cid), centroids (cid, c_emb, c_norm)).
+    * broadcast-centroid integer argmin-L2; update = per-dimension
+    * floored mean via posexplode + groupBy). Returns (assignments
+    * (vec_id, embedding, norm, xi, cid), centroids (cid, ci, c2)).
+    *
+    * FIXED-POINT LLOYD (q80's integer trick applied to k-means): every
+    * vector is quantized once to micro-units (`toMicro`), and from
+    * there the entire training is exact integer arithmetic —
+    *  - assign: argmin |x−c|² = argmax 2·x·c − |c|², both terms BIGINT
+    *    (classic expanded form; |x|² is constant per vector);
+    *  - update: per-dimension mean ⌊Σxᵢ / n⌋ where the division is a
+    *    `floor` over a DOUBLE quotient of EXACT integers < 2⁵³ — the
+    *    same bits in any engine, unlike avg(float) whose partial-sum
+    *    order varies per run.
+    * Result: the index is bit-deterministic and a DuckDB oracle can
+    * replay training round by round → s04 is HASH-EXACT, not rows-only.
+    * Micro-unit quantization moves centroids by ≤0.5e-6 per component —
+    * noise relative to Lloyd's own convergence tolerance.
     *
     * The assign argmax is a `max_by` aggregate over the 16 broadcast-
     * expanded candidate rows per vector — partial aggregation collapses
@@ -123,33 +137,36 @@ object Similarity {
     * window had to shuffle AND sort all k*n rows per Lloyd iteration.
     */
   def ivfIndex(embeddings: DataFrame, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
-    val base = embeddings.select(col("vec_id"), col("embedding")).withColumn("norm", l2Norm(col("embedding")))
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2Norm(col("embedding")))
+      .withColumn("xi", toMicro(col("embedding")))
 
     def assign(centroids: DataFrame): DataFrame =
       base
         .crossJoin(broadcast(centroids))
-        .withColumn("sim", dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+        .withColumn("score", lit(2L) * dotLong(col("xi"), col("ci")) - col("c2"))
         .groupBy("vec_id")
-        // ties on sim -> smallest cid, encoded as max of (sim, -cid)
+        // ties on score -> smallest cid, encoded as max of (score, -cid)
         .agg(max_by(
-          struct(col("embedding"), col("norm"), col("cid")),
-          struct(col("sim"), (-col("cid")).as("ncid"))).as("best"))
+          struct(col("embedding"), col("norm"), col("xi"), col("cid")),
+          struct(col("score"), (-col("cid")).as("ncid"))).as("best"))
         .select(col("vec_id"), col("best.embedding").as("embedding"), col("best.norm").as("norm"),
-          col("best.cid").as("cid"))
+          col("best.xi").as("xi"), col("best.cid").as("cid"))
 
     def recompute(assigned: DataFrame): DataFrame =
       assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("cid"), posexplode(col("xi")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
-        .agg(avg("x").as("m"))
+        .agg(floor(sum("x").cast("double") / count(lit(1))).cast("long").as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), p => p.getField("m").cast("float")).as("c_emb"))
-        .withColumn("c_norm", l2Norm(col("c_emb")))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("ci"))
+        .withColumn("c2", dotLong(col("ci"), col("ci")))
 
     val seeds = base
       .filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
+      .select(col("vec_id").cast("int").as("cid"), col("xi").as("ci"))
+      .withColumn("c2", dotLong(col("ci"), col("ci")))
     // same training-cut as pqIndex: cache the scan Lloyd re-reads, then
     // materialize the k centroids so the two consumers (cell table, query
     // probe list) don't each re-run training
@@ -179,12 +196,16 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
     val (cells, centroids) = ivfIndex(Tables.embeddings(spark, dir))
     // top-nprobe cells per query: 10 queries x 16 centroids — the window
-    // sort is over a trivially small broadcast-side set
-    val pw = Window.partitionBy("query_id").orderBy(col("psim").desc, col("cid"))
+    // sort is over a trivially small broadcast-side set. Probe ranking
+    // is the same integer argmin-L2 key training used (2·q·c − |c|²),
+    // so the probe list is deterministic too — with the integer Lloyd
+    // index this makes the entire s04 dataflow hash-exact.
+    val pw = Window.partitionBy("query_id").orderBy(col("pscore").desc, col("cid"))
     val q = broadcast(queriesOf(cells)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"),
+        col("xi").as("q_xi"))
       .crossJoin(broadcast(centroids))
-      .withColumn("psim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("pscore", lit(2L) * dotLong(col("q_xi"), col("ci")) - col("c2"))
       .withColumn("prn", row_number().over(pw))
       .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("q_norm"), col("cid")))
@@ -214,6 +235,13 @@ object Similarity {
     * Assignment minimizes true L2 distance via the expanded form:
     * argmin |x−c|² = argmax 2·x·c − |c|² (|x|² is constant per (vec, j)),
     * so the score is one fused dot against the broadcast codebook.
+    *
+    * FIXED-POINT LLOYD (the ivfIndex treatment, per subspace): the
+    * subvector quantizes once to micro-units, and assignment scores,
+    * codebook means (⌊Σ/n⌋ over exact-integer doubles), and ADC lookup
+    * dots are all exact BIGINT arithmetic — bit-deterministic under any
+    * aggregation order, so s05/s06 replay round-for-round in DuckDB and
+    * grade HASH-EXACT instead of rows-only.
     */
   def pqIndex(embeddings: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     val subs = embeddings
@@ -222,30 +250,30 @@ object Similarity {
         s"transform(sequence(0, $m - 1)," +
         s" j -> slice(embedding, j * (size(embedding) div $m) + 1, size(embedding) div $m))"))
         .as(Seq("j", "sv")))
+      .select(col("vec_id"), col("j"), toMicro(col("sv")).as("svi"))
 
     def assign(cb: DataFrame): DataFrame =
       subs
         .join(broadcast(cb), Seq("j"))
-        .withColumn("score", dot(col("sv"), col("cv")) * 2.0 - col("cv2"))
+        .withColumn("score", lit(2L) * dotLong(col("svi"), col("cvi")) - col("c2"))
         .groupBy("vec_id", "j")
-        .agg(max_by(struct(col("sv"), col("code")), struct(col("score"), (-col("code")).as("nc"))).as("best"))
-        .select(col("vec_id"), col("j"), col("best.sv").as("sv"), col("best.code").as("code"))
+        .agg(max_by(struct(col("svi"), col("code")), struct(col("score"), (-col("code")).as("nc"))).as("best"))
+        .select(col("vec_id"), col("j"), col("best.svi").as("svi"), col("best.code").as("code"))
 
     def recompute(assigned: DataFrame): DataFrame =
       assigned
-        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .select(col("j"), col("code"), posexplode(col("svi")).as(Seq("pos", "x")))
         .groupBy("j", "code", "pos")
-        .agg(avg("x").as("mu"))
+        .agg(floor(sum("x").cast("double") / count(lit(1))).cast("long").as("mu"))
         .groupBy("j", "code")
         .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
-        .select(col("j"), col("code"),
-          transform(col("pm"), p => p.getField("mu").cast("float")).as("cv"))
-        .withColumn("cv2", dot(col("cv"), col("cv")))
+        .select(col("j"), col("code"), transform(col("pm"), p => p.getField("mu")).as("cvi"))
+        .withColumn("c2", dotLong(col("cvi"), col("cvi")))
 
     val seeds = subs
       .filter(col("vec_id") < k)
-      .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
-      .withColumn("cv2", dot(col("cv"), col("cv")))
+      .select(col("j"), col("vec_id").cast("int").as("code"), col("svi").as("cvi"))
+      .withColumn("c2", dotLong(col("cvi"), col("cvi")))
     // train against a cached subvector projection (each Lloyd round scans
     // it twice), then MATERIALIZE the m×k codebook: downstream both the
     // code table and the ADC lookup table consume it, and without the cut
@@ -274,9 +302,11 @@ object Similarity {
     * falls outside the ADC candidate list, the standard PQ recall/cost
     * dial.
     *
-    * Rows-only driver entry (same inherent reason as s04: Lloyd means
-    * aggregate floats in nondeterministic order); the spec pins
-    * recall@3 against the exact s01 baseline for both stages.
+    * HASH-EXACT driver entry since the fixed-point Lloyd rewrite: the
+    * codebook is integer-deterministic, the per-(query,vector) ADC sum
+    * adds m exact BIGINTs (order-free), and the re-rank cosine is the
+    * same per-row float pipeline the s01 oracle already replays. The
+    * spec additionally pins recall@3 against the exact s01 baseline.
     */
   def annPq(spark: SparkSession, dir: String, k: Int = 3, rerank: Int = 60): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -291,7 +321,7 @@ object Similarity {
           .as(Seq("j", "qsv")))
         .join(broadcast(codebook), Seq("j"))
         .select(col("query_id"), col("q_norm"), col("j"), col("code"),
-          dot(col("qsv"), col("cv")).as("pdot")))
+          dotLong(toMicro(col("qsv")), col("cvi")).as("pdot")))
     val adcW = Window.partitionBy("query_id").orderBy(col("adot").desc, col("neighbor_id"))
     val cand = codes
       .join(lut, Seq("j", "code"))
@@ -304,7 +334,10 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
     val scored =
       if (rerank <= 0)
-        cand.withColumn("sim6", round(col("adot") / (col("q_norm") * col("n_norm")), 6))
+        // adot is micro²-scaled (10⁻¹² per unit): rescale before the
+        // cosine estimate
+        cand.withColumn("sim6",
+          round(col("adot").cast("double") / 1e12 / (col("q_norm") * col("n_norm")), 6))
       else
         cand
           .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), Seq("neighbor_id"))
@@ -357,7 +390,7 @@ object Similarity {
           .as(Seq("j", "qsv")))
         .join(broadcast(codebook), Seq("j"))
         .select(col("query_id"), col("q_norm"), col("j"), col("code"),
-          dot(col("qsv"), col("cv")).as("pdot")))
+          dotLong(toMicro(col("qsv")), col("cvi")).as("pdot")))
     val adcW = Window.partitionBy("query_id").orderBy(col("adot").desc, col("neighbor_id"))
     val cand = codes
       .join(lut, Seq("j", "code"))
@@ -390,9 +423,10 @@ object Similarity {
 
   /** s06: PQ ANN served from the persisted index — identical ADC +
     * re-rank dataflow to s05, ZERO Lloyd work on the query path after
-    * the first call per corpus. Rows-only driver entry (same inherent
-    * Lloyd float-order reason as s04/s05); recall pinned by the #139
-    * spec and the served-vs-inline overlap spec.
+    * the first call per corpus. HASH-EXACT since the fixed-point Lloyd
+    * rewrite: the persisted codebook is bit-identical to the inline
+    * build, so s06 answers replay the same DuckDB oracle as s05; the
+    * #139 spec additionally asserts served == inline exactly.
     */
   def annPqServed(spark: SparkSession, dir: String, k: Int = 3, rerank: Int = 60): DataFrame = {
     pqIndexDirs.keySet.foreach { key => if (key._1.sparkContext.isStopped) pqIndexDirs.remove(key) }
@@ -530,14 +564,40 @@ object Similarity {
     * DuckDB 8-plane replay.
     */
   private val planeMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), Int]
+    new scala.collection.concurrent.TrieMap[(String, String, Long), Int]
+
+  /** Fingerprint of the corpus BEHIND a dir: a hash of every file's
+    * (name, length, mtime) under the embeddings table path. Keying the
+    * plane memo on this — instead of the dir string alone — means a
+    * rewritten corpus (probe dirs regenerated in-session, compaction,
+    * new partitions) gets fresh plane sizing rather than a silently
+    * stale bucket count. One namenode listing, no data read.
+    */
+  private def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var h = 1125899906842597L // large prime seed, FNV-ish rolling hash
+    while (it.hasNext) {
+      val st = it.next()
+      val s = s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      h = s.foldLeft(h * 31 + 7)((a, c) => a * 131 + c)
+    }
+    h
+  }
 
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.embeddings(spark, dir)
-    // the sizing count is per (session, corpus), not per call — the one
-    // driver action stays off the repeated query path (s06/s07 pattern)
-    planeMemo.keySet.foreach { k => if (k._1.sparkContext.isStopped) planeMemo.remove(k) }
-    val planes = planeMemo.getOrElseUpdate((spark, dir), autoPlanes(raw.count(), 1024L))
+    // the sizing count is per (app, corpus-fingerprint), not per call —
+    // the one driver action stays off the repeated query path (s06/s07
+    // pattern). Keying on the applicationId string (not the
+    // SparkSession itself) pins no session references, and the
+    // fingerprint invalidates automatically when the corpus is
+    // rewritten; the plane count is a pure function of corpus size, so
+    // sharing across sessions of one app is sound.
+    val planes = planeMemo.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, corpusFingerprint(spark, dir)),
+      autoPlanes(raw.count(), 1024L))
     val emb = withHyperplaneBucket(raw, planes)
       .withColumn("norm", l2Norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))

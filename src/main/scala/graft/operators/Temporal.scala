@@ -96,7 +96,12 @@ object Temporal {
     * sum(value·dt)/sum(dt); dt stays integral µs and value is rounded
     * once at emission, so both engines integrate identical operands.
     * Keys whose feed has a single sample carry no holding interval and
-    * drop out (their TWAP is undefined) — on both sides.
+    * drop out (their TWAP is undefined) — on both sides. Likewise keys
+    * whose every interval is zero-width (all ticks share one
+    * microsecond): span 0 makes the integral undefined, and the two
+    * engines disagree on 0/0 (Spark non-ANSI divide → NULL, DuckDB
+    * double divide → NaN), so such keys are filtered on BOTH sides
+    * (`HAVING sum(dt_us) > 0` in the oracle).
     */
   def twap(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
@@ -115,6 +120,7 @@ object Temporal {
           4).as("twap"),
         sum("dt_us").as("span_us"),
         count(lit(1)).as("n_intervals"))
+      .filter(col("span_us") > 0)
   }
 
   /** q81: EXACT distinct users per SLIDING window (6h window, 1h slide)

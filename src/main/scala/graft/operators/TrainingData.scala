@@ -316,8 +316,19 @@ object TrainingData {
     * window partition at p% of rows. For a score with mass points
     * (e.g. exact 0/1 ratios) widen the band key with a secondary column
     * the way q62 salts — documented, not needed for this score shape.
+    *
+    * The band key assumes score ∈ [0,1] (true of the alpha-ratio it
+    * computes). Rather than silently mis-band a future unbounded score,
+    * the key raises at runtime on any out-of-range value — a scan-side
+    * check, no extra exchange, so the zero-SinglePartition plan shape
+    * is preserved (a min/max-derived band like q69's would need a
+    * scalar aggregate).
     */
   def qualityDeciles(spark: SparkSession, dir: String, tiles: Int = 10): DataFrame = {
+    val checkedScore = when(col("score").between(0, 1), col("score"))
+      .otherwise(raise_error(concat(
+        lit("qualityDeciles: score outside [0,1] breaks the band key: "),
+        col("score").cast("string"))))
     val scored = Tables
       .documents(spark, dir)
       .select(
@@ -325,7 +336,7 @@ object TrainingData {
         round(
           length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") / length(col("text")),
           4).as("score"))
-      .withColumn("band", floor(col("score") * 50))
+      .withColumn("band", floor(checkedScore * 50))
     val counts = scored.groupBy("band").agg(count(lit(1)).as("cnt"))
     // exclusive offset (rows in STRICTLY HIGHER bands — rank runs
     // score-desc) AND the corpus total, both from one cross of the tiny

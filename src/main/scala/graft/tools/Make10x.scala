@@ -27,10 +27,28 @@ object Make10x {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ONE offset shared by every replicated id column: a fixed 1e7
+    // collides once a source key passes it (TPC-H o_orderkey does
+    // around sf2), silently MERGING rows across replicas instead of
+    // duplicating them — and a per-table offset would break the
+    // lineitem→orders/part FK alignment between replicas. Global
+    // max(id)+1 keeps replicas disjoint AND FK-consistent at any SF.
+    val repSpec = Seq(
+      "documents"  -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"),
+      "orders"     -> Seq("o_orderkey"),
+      "lineitem"   -> Seq("l_orderkey", "l_partkey"),
+      "part"       -> Seq("p_partkey"),
+      "events"     -> Seq("event_id"))
+    val offset = repSpec.flatMap { case (t, cols) =>
+      val aggs = cols.map(c => max(col(c)).as(c))
+      val m = spark.read.parquet(s"$src/$t.parquet").agg(aggs.head, aggs.tail: _*).head()
+      cols.indices.map(i => m.getLong(i))
+    }.max + 1L
     def rep(table: String, idCols: String*): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       (0 until copies)
-        .map(i => idCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * 10000000L))))
+        .map(i => idCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * offset))))
         .reduce(_ union _)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
     }

@@ -523,13 +523,10 @@ class SimilaritySpec extends SparkSpec {
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rn"))).toSet
     val inline = rows(Similarity.annPq(spark, sf))
     val stored = rows(Similarity.annPqFromIndex(spark, sf, indexDir))
-    // the two sides train SEPARATE codebooks (Lloyd float-mean order is
-    // nondeterministic — the s04/s05 rows-only argument), so demand
-    // near-identical answers, not bitwise-equal candidate sets: the exact
-    // re-rank absorbs ulp-level codebook drift for all but boundary pairs
-    val overlap = stored.intersect(inline).size.toDouble / inline.size
-    assert(overlap >= 0.9, f"stored-index answers drifted from inline: $overlap%.2f")
-    assert(stored.map(_._1) == inline.map(_._1), "every query must be served from the stored index")
+    // fixed-point Lloyd: the two sides train BIT-IDENTICAL codebooks
+    // (integer arithmetic is aggregation-order-free), so the served
+    // answers must equal the inline build exactly — no drift tolerance
+    assert(stored == inline, "stored-index answers must be identical to the inline build")
   }
 
   test("s06 served PQ entry: query path reads the persisted index, answers track inline s05") {
@@ -542,8 +539,9 @@ class SimilaritySpec extends SparkSpec {
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rn"))).toSet
     val served = rows(second)
     assert(rows(first) == served, "same session + corpus must serve from one index")
-    val overlap = served.intersect(rows(Similarity.annPq(spark, sf))).size.toDouble / served.size
-    assert(overlap >= 0.9, f"served answers drifted from inline build: $overlap%.2f")
+    // deterministic integer Lloyd: served answers equal inline exactly
+    assert(served == rows(Similarity.annPq(spark, sf)),
+      "served answers must be identical to the inline build")
   }
 
   test("s07 graph ANN: 1-hop expansion lifts recall over the raw seed buckets; graph degree bounded") {
