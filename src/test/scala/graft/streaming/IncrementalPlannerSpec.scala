@@ -1,0 +1,204 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** SURVEY.md §2.3 #171 — the generic incremental-view planner: SQL in,
+  * continuously maintained view out, proven equal to BATCH recompute of
+  * the same SQL over the feed's final state, with retraction semantics
+  * and batching invariance intact (the #39b contract, now reached
+  * through one `materialize(sql)` API instead of hand-built folds).
+  */
+class IncrementalPlannerSpec extends SparkSpec {
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
+
+  private def tmp(prefix: String): String = {
+    val root = new java.io.File("target/streaming-tmp").toPath.toAbsolutePath
+    Files.createDirectories(root)
+    Files.createTempDirectory(root, prefix).toString
+  }
+
+  /** Batch LWW fold of a change list → final live payloads by key. */
+  private def finalState(changes: Seq[Change]): Map[Long, Map[String, String]] =
+    changes
+      .groupBy(_.key)
+      .view.mapValues { cs =>
+        val last = cs.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq)).last
+        if (last.op == "delete") None else Some(last.payload)
+      }
+      .collect { case (k, Some(p)) => k -> p }
+      .toMap
+
+  // one shared scenario: users (key space 1-4) and orders (same key
+  // space for the #85 join semantic), with group moves, predicate
+  // moves, out-of-order stale changes, and deletes on both feeds
+  private val userChanges = Seq(
+    Change("insert", 1L, ts(0), Map("name" -> "ann", "city" -> "ber"), 1L),
+    Change("insert", 2L, ts(1), Map("name" -> "bob", "city" -> "ber"), 2L),
+    Change("insert", 3L, ts(2), Map("name" -> "cat", "city" -> "par"), 3L),
+    Change("insert", 4L, ts(3), Map("name" -> "dan", "city" -> "par"), 4L),
+    Change("update", 2L, ts(10), Map("name" -> "bob", "city" -> "par"), 5L), // group move ber→par
+    Change("update", 3L, ts(4), Map("name" -> "STALE", "city" -> "xxx"), 1L), // loses to seq-3 tie rules? ts(4)>ts(2) wins... keep ordered
+    Change("delete", 4L, ts(12), Map.empty, 6L),
+    Change("update", 3L, ts(3), Map("name" -> "late-stale", "city" -> "old"), 0L), // older than ts(4): stale-dropped
+  )
+  private val orderChanges = Seq(
+    Change("insert", 1L, ts(0), Map("amount" -> "10"), 1L),
+    Change("insert", 2L, ts(1), Map("amount" -> "5"), 2L),
+    Change("insert", 3L, ts(2), Map("amount" -> "50"), 3L),
+    Change("insert", 4L, ts(3), Map("amount" -> "7"), 4L),
+    Change("update", 1L, ts(9), Map("amount" -> "25"), 5L),  // moves across the >20 predicate
+    Change("delete", 3L, ts(11), Map.empty, 6L),             // retracts the biggest contributor
+  )
+
+  /** Run a planned view over `batches` of changes per feed, return the
+    * memory-sink table name.
+    */
+  private def runView(
+      sql: String,
+      name: String,
+      batches: Seq[Map[String, Seq[Change]]]): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val feedNames = batches.flatMap(_.keys).distinct
+    val inputs    = feedNames.map(n => n -> MemoryStream[Change]).toMap
+    val planned   = IncrementalPlanner.materialize(
+      spark, sql, inputs.map { case (n, s) => n -> s.toDS() })
+    val q = planned.df.writeStream.format("memory").queryName(name)
+      .outputMode(planned.outputMode)
+      .option("checkpointLocation", tmp(name)).start()
+    try {
+      batches.foreach { batch =>
+        batch.foreach { case (feed, cs) => if (cs.nonEmpty) inputs(feed).addData(cs: _*) }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
+  /** Latest emission per group of an Update-mode aggregate view, dropping
+    * groups whose live-row count hit zero (the view's tombstone).
+    */
+  private def aggState(table: String, groupCols: Seq[String]): Map[Seq[Any], Seq[Any]] =
+    spark.table(table).collect().toSeq
+      .groupBy(r => groupCols.map(c => r.getAs[Any](c)))
+      .view.mapValues(_.last)
+      .collect {
+        case (g, r) if r.getAs[Long]("_live_rows") > 0L =>
+          g -> r.toSeq.dropRight(1).drop(groupCols.size)
+      }
+      .toMap
+
+  /** Fold an Append-mode row-changefeed into the view's final state. */
+  private def rowState(table: String, cols: Seq[String]): Map[Long, Seq[Any]] =
+    spark.table(table).collect().toSeq
+      .sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("seq")))
+      .foldLeft(Map.empty[Long, Seq[Any]]) { (m, r) =>
+        if (r.getAs[String]("op") == "delete") m - r.getAs[Long]("key")
+        else m + (r.getAs[Long]("key") -> cols.map(c => r.getAs[Any](c)))
+      }
+
+  test("#171a planned filtered aggregate == batch recompute; retraction + group moves") {
+    val sql = "SELECT city, count(*) AS n, sum(amount) AS total FROM activity WHERE amount > 4 GROUP BY city"
+    // one feed carrying city+amount per key (join case comes later)
+    val feed = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "5"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "par", "amount" -> "50"), 3L),
+      Change("insert", 4L, ts(3), Map("city" -> "par", "amount" -> "3"), 4L), // filtered out (amount <= 4)
+      Change("update", 2L, ts(10), Map("city" -> "par", "amount" -> "6"), 5L), // group move
+      Change("update", 4L, ts(11), Map("city" -> "par", "amount" -> "9"), 6L), // moves INTO the predicate
+      Change("update", 1L, ts(4), Map("city" -> "xxx", "amount" -> "999"), 0L), // stale: older than nothing? ts(4)>ts(0) applies
+      Change("update", 1L, ts(12), Map("city" -> "ber", "amount" -> "11"), 7L),
+      Change("delete", 3L, ts(13), Map.empty, 8L), // retracts par's biggest row
+    )
+    runView(sql, "pv_agg", Seq(Map("activity" -> feed)))
+    val got = aggState("pv_agg", Seq("city"))
+    // batch recompute over the feed's final LWW state
+    val fs = finalState(feed)
+    // (toSeq first: collecting tuples straight from a Map would collapse
+    // same-city rows into one entry)
+    val live = fs.toSeq.collect { case (_, p) if p("amount").toDouble > 4 => (p("city"), p("amount").toDouble) }
+    val want = live.groupBy(_._1).map { case (c, vs) =>
+      Seq[Any](c) -> Seq[Any](vs.size.toLong, vs.map(_._2).sum)
+    }
+    assert(got == want, s"view $got != batch $want")
+    // the retraction visibly happened: par's total excludes the deleted 50
+    assert(got(Seq("par"))(1) == 6.0 + 9.0)
+  }
+
+  test("#171b planned two-feed join == batch join; delete on either side retracts") {
+    val sql = "SELECT l.name, r.amount FROM users l JOIN orders r ON l.key = r.key WHERE r.amount > 4"
+    runView(sql, "pv_join", Seq(Map("users" -> userChanges, "orders" -> orderChanges)))
+    val got = rowState("pv_join", Seq("name", "amount"))
+    val (us, os) = (finalState(userChanges), finalState(orderChanges))
+    val want = us.keySet.intersect(os.keySet).toSeq
+      .filter(k => os(k)("amount").toDouble > 4)
+      .map(k => k -> Seq[Any](us(k)("name"), os(k)("amount")))
+      .toMap
+    assert(got == want, s"view $got != batch $want")
+    // order 3 (deleted) and user 4 (deleted) are gone from the view
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
+
+  test("#171c planned join+aggregate == batch recompute over final states") {
+    val sql = "SELECT l.city, count(*) AS n, sum(r.amount) AS total, avg(r.amount) AS mean " +
+      "FROM users l JOIN orders r ON l.key = r.key GROUP BY l.city"
+    runView(sql, "pv_joinagg", Seq(Map("users" -> userChanges, "orders" -> orderChanges)))
+    val got = aggState("pv_joinagg", Seq("city"))
+    val (us, os) = (finalState(userChanges), finalState(orderChanges))
+    val want = us.keySet.intersect(os.keySet).toSeq
+      .map(k => (us(k)("city"), os(k)("amount").toDouble))
+      .groupBy(_._1)
+      .map { case (c, vs) =>
+        Seq[Any](c) -> Seq[Any](vs.size.toLong, vs.map(_._2).sum, vs.map(_._2).sum / vs.size)
+      }
+    assert(got == want, s"view $got != batch $want")
+  }
+
+  test("#171d batching invariance: one batch vs change-by-change yields the same view") {
+    val sql = "SELECT city, count(*) AS n, sum(amount) AS total FROM activity GROUP BY city"
+    val feed = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "a", "amount" -> "1"), 1L),
+      Change("update", 1L, ts(5), Map("city" -> "b", "amount" -> "2"), 2L),
+      Change("insert", 2L, ts(1), Map("city" -> "a", "amount" -> "3"), 3L),
+      Change("delete", 2L, ts(6), Map.empty, 4L),
+      Change("insert", 3L, ts(2), Map("city" -> "b", "amount" -> "4"), 5L),
+    )
+    runView(sql, "pv_all", Seq(Map("activity" -> feed)))
+    runView(sql, "pv_split", feed.map(c => Map("activity" -> Seq(c))))
+    assert(aggState("pv_all", Seq("city")) == aggState("pv_split", Seq("city")))
+    assert(aggState("pv_all", Seq("city")) ==
+      Map(Seq[Any]("b") -> Seq[Any](2L, 6.0)), "a emptied (tombstoned), b holds keys 1+3")
+  }
+
+  test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
+    val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
+    // insert and delete in SEPARATE batches: stage 1 nets within a
+    // batch, so a same-batch insert+delete correctly emits nothing
+    runView(sql, "pv_tomb", Seq(
+      Map("activity" -> Seq(Change("insert", 1L, ts(0), Map("city" -> "solo", "amount" -> "5"), 1L))),
+      Map("activity" -> Seq(Change("delete", 1L, ts(5), Map.empty, 2L)))))
+    val rows = spark.table("pv_tomb").collect().toSeq.filter(_.getAs[String]("city") == "solo")
+    assert(rows.nonEmpty && rows.last.getAs[Long]("_live_rows") == 0L,
+      "emptied group must re-emit its tombstone")
+    // fail-fast contract on SQL outside the subset
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feeds = Map("activity" -> MemoryStream[Change].toDS())
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark, "SELECT city, max(amount) AS m FROM activity GROUP BY city", feeds)
+    }
+    assert(e1.getMessage.contains("max"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(
+        spark, "SELECT l.name FROM users l JOIN activity r ON l.name = r.city", feeds + ("users" -> feeds("activity")))
+    }
+    assert(e2.getMessage.contains("join condition"))
+  }
+}
