@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Per-key NFA state of a CEP pattern: active NFA positions (bitmask)
+  * plus the sticky match flag and its trigger position.
+  */
+case class CepState(mask: Long, matched: Boolean, matchedAtUs: Long, matchedAtEvent: Long, nEvents: Long)
+
+/** One emitted status change of the live pattern view. */
+case class CepStatus(key: Long, matched: Boolean, matched_at_us: Long, matched_at_event: Long, n_events: Long)
+
+/** Streaming CEP — the LIVE form of batch q39's MATCH_RECOGNIZE-class
+  * event-pattern query (SURVEY.md §2.3 #173): a per-key NFA over the
+  * stream of event initials, maintained in `transformWithState`
+  * (the #163 one-step-transition shape generalized to k-step patterns
+  * with Kleene closures).
+  *
+  * Pattern grammar (the q39 subset of regex, compiled to token NFA):
+  * a SEQUENCE of single-char tokens — literal `s` or class `[vc]` —
+  * each optionally starred. `s[vc]*p` is batch q39's funnel verbatim.
+  * Matching is unanchored containment (rlike semantics): position 0 is
+  * re-injected before every consumed event, and the match flag is
+  * sticky once any accept state is reached — so the live answer equals
+  * `full_history_string rlike pattern` at every point in time, which
+  * is exactly what the equality-with-batch spec asserts.
+  *
+  * NFA mechanics: token i is a bit; ε-edges skip starred tokens
+  * (`closure`), consuming a char advances non-starred tokens and loops
+  * starred ones. State per key is ONE bitmask long — O(1) memory per
+  * key regardless of history length, the whole point of running CEP as
+  * an NFA instead of re-matching collected history (which is what the
+  * batch query does, and what a 100 TB key space cannot afford).
+  *
+  * Ordering: within a batch events sort by `(ts, event_id)`; across
+  * batches arrival order is trusted (the per-key Kafka-partition
+  * ordering contract, same as [[TransitionView]]). Emission is one
+  * status row per touched key per batch (Update-mode view of the
+  * pattern state).
+  */
+object CepStream {
+
+  /** One NFA token: the set of chars it consumes, and whether it loops. */
+  case class Tok(chars: Set[Char], star: Boolean)
+
+  /** Compile `s[vc]*p`-style patterns into the token vector. */
+  def compile(pattern: String): Vector[Tok] = {
+    val toks = Vector.newBuilder[Tok]
+    var i    = 0
+    while (i < pattern.length) {
+      val (chars, next) = pattern.charAt(i) match {
+        case '[' =>
+          val close = pattern.indexOf(']', i)
+          require(close > i, s"unterminated class in CEP pattern '$pattern'")
+          (pattern.substring(i + 1, close).toSet, close + 1)
+        case c => (Set(c), i + 1)
+      }
+      val star = next < pattern.length && pattern.charAt(next) == '*'
+      toks += Tok(chars, star)
+      i = if (star) next + 1 else next
+    }
+    val out = toks.result()
+    require(out.length < 63, s"CEP pattern too long (${out.length} tokens)")
+    out
+  }
+
+  /** ε-closure: from a starred token's position you may already be at
+    * the next one without consuming.
+    */
+  def closure(mask: Long, toks: Vector[Tok]): Long = {
+    var m       = mask
+    var changed = true
+    while (changed) {
+      changed = false
+      var p = 0
+      while (p < toks.length) {
+        if ((m & (1L << p)) != 0L && toks(p).star && (m & (1L << (p + 1))) == 0L) {
+          m |= 1L << (p + 1)
+          changed = true
+        }
+        p += 1
+      }
+    }
+    m
+  }
+
+  /** Consume one char: re-inject start (unanchored), advance matching
+    * tokens (starred ones loop), close.
+    */
+  def step(mask: Long, c: Char, toks: Vector[Tok]): Long = {
+    val from = closure(mask | 1L, toks)
+    var out  = 0L
+    var p    = 0
+    while (p < toks.length) {
+      if ((from & (1L << p)) != 0L && toks(p).chars(c))
+        out |= 1L << (if (toks(p).star) p else p + 1)
+      p += 1
+    }
+    closure(out | 1L, toks)
+  }
+
+  def accepts(mask: Long, toks: Vector[Tok]): Boolean =
+    (closure(mask, toks) & (1L << toks.length)) != 0L
+
+  /** The live pattern view: one status row per touched key per batch. */
+  def matches(events: Dataset[TypedEvent], pattern: String): Dataset[CepStatus] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[CepStatus]
+    events
+      .groupByKey(_.key)
+      .transformWithState(new CepProcessor(pattern), TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** The per-key NFA fold (see [[CepStream]]). The pattern ships as its
+  * source string and compiles once per executor instance — tokens are
+  * derived state, not serialized.
+  */
+class CepProcessor(pattern: String) extends StatefulProcessor[Long, TypedEvent, CepStatus] {
+  import CepStream._
+
+  @transient private var state: ValueState[CepState] = _
+  @transient private lazy val toks: Vector[Tok]      = compile(pattern)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState("cep", Encoders.product[CepState], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[CepStatus] = {
+    val ordered = rows.toSeq.sortBy(e => (CdcMaterializer.micros(e.ts), e.eventId))
+    var s = if (state.exists) state.get()
+            else CepState(closure(1L, toks), matched = false, -1L, -1L, 0L)
+    ordered.foreach { e =>
+      e.eventType.headOption.foreach { c =>
+        val next    = step(s.mask, c, toks)
+        val nowAcc  = accepts(next, toks)
+        val tsu     = CdcMaterializer.micros(e.ts)
+        s =
+          if (nowAcc && !s.matched) CepState(next, matched = true, tsu, e.eventId, s.nEvents + 1)
+          else s.copy(mask = next, nEvents = s.nEvents + 1)
+      }
+    }
+    if (ordered.isEmpty) Iterator.empty
+    else {
+      state.update(s)
+      Iterator.single(CepStatus(key, s.matched, s.matchedAtUs, s.matchedAtEvent, s.nEvents))
+    }
+  }
+}
