@@ -1,0 +1,167 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transactional JDBC egress (SURVEY.md §2.3 #174) — the terminal most
+  * changefeeds actually end in: a relational table kept equal to the
+  * materialized view, EXACTLY ONCE. Spark's foreachBatch gives
+  * at-least-once (a crashed batch replays), so exactly-once is built
+  * the standard way: idempotent transactional apply —
+  *
+  *  - each task applies its partition's rows AND inserts a
+  *    `(table, batch_id, partition_id)` commit marker in ONE JDBC
+  *    transaction: the data write and the "this work happened" record
+  *    are atomic, so a crash between them is impossible by
+  *    construction (rollback reverts both);
+  *  - a replayed partition sees its marker inside the same transaction
+  *    scope (SELECT first) and skips — the same batch applied twice
+  *    leaves the table bit-identical;
+  *  - application is keyed upsert/delete (live row → DELETE+INSERT,
+  *    tombstone → DELETE), so even across different batches the table
+  *    state is a pure function of the latest view rows.
+  *
+  * The spec runs against embedded Derby (`jdbc:derby:...;create=true`,
+  * already on the classpath as the metastore's engine, in-JVM like
+  * everything else under local[32]); in deployment the URL points at
+  * any JDBC store — per-partition connections are exactly how 1000
+  * executors write, with the commit-marker table carrying the
+  * idempotence across them. `markerProbe` / `beforeCommit` are
+  * fault-injection seams the crash specs use; they default to no-ops.
+  *
+  * Input contract: the [[KeyState]] view shape — `key`, `payload`
+  * (map), `deleted` — i.e. `CdcMaterializer.materialize(...)` output in
+  * Update mode: every emitted row is the key's current state, which is
+  * what makes DELETE+INSERT idempotent per key.
+  */
+object JdbcSink {
+
+  /** DDL bootstrap: the target table and the commit-marker table. */
+  def ensureTables(url: String, table: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      def exists(name: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, name.toUpperCase, null)
+        try rs.next() finally rs.close()
+      }
+      val st = conn.createStatement()
+      try {
+        if (!exists(table))
+          st.executeUpdate(
+            s"CREATE TABLE $table (k BIGINT PRIMARY KEY, payload VARCHAR(4096), ts_us BIGINT, seq BIGINT)")
+        if (!exists("graft_sink_commits"))
+          st.executeUpdate(
+            "CREATE TABLE graft_sink_commits (table_name VARCHAR(128), batch_id BIGINT, partition_id INT, " +
+              "PRIMARY KEY (table_name, batch_id, partition_id))")
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Canonical payload serialization (sorted keys) so replays compare
+    * bit-identical at the SQL layer.
+    */
+  private def encodePayload(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+
+  /** The foreachBatch handler: `.foreachBatch(JdbcSink.egress(url, t) _)`.
+    * `beforeCommit` runs after the rows are applied but before the
+    * transaction commits — the crash-injection seam.
+    *
+    * The batch applies in ONE transaction (coalesce to a single task):
+    * all-or-nothing visibility for the whole micro-batch, and no lock
+    * contention against embedded single-writer stores like Derby (whose
+    * lock manager deadlocks under concurrent writers — a property of
+    * the store, not the protocol). Against a server-grade store,
+    * partition-parallel egress is the same [[applyPartition]] protocol
+    * with the partition id in the marker key: each partition is then
+    * its own atomic exactly-once unit, which is how 1000 executors
+    * write — at the cost of cross-partition batch atomicity.
+    */
+  def egress(url: String, table: String, beforeCommit: () => Unit = () => ())(
+      df: DataFrame, batchId: Long): Unit = {
+    val rows = df.select(
+      col("key"),
+      col("payload"),
+      col("deleted"),
+      col("tsUs"),
+      col("seq"))
+    rows.coalesce(1).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = TaskContext.getPartitionId()
+      if (it.hasNext) applyPartition(url, table, batchId, pid, it, beforeCommit)
+    }
+  }
+
+  /** One partition's transactional apply. Public for the crash specs. */
+  def applyPartition(url: String, table: String, batchId: Long, partitionId: Int,
+      rows: Iterator[org.apache.spark.sql.Row], beforeCommit: () => Unit = () => ()): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      // serializable marker read: a replayed task either sees the marker
+      // (work already committed → skip) or will conflict on the marker's
+      // primary key at commit — either way the rows apply exactly once
+      conn.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
+      if (!markerExists(conn, table, batchId, partitionId)) {
+        val del = conn.prepareStatement(s"DELETE FROM $table WHERE k = ?")
+        val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?)")
+        try {
+          rows.foreach { r =>
+            val key = r.getAs[Long]("key")
+            del.setLong(1, key)
+            del.executeUpdate()
+            if (!r.getAs[Boolean]("deleted")) {
+              ins.setLong(1, key)
+              ins.setString(2, encodePayload(r.getAs[Map[String, String]]("payload")))
+              ins.setLong(3, r.getAs[Long]("tsUs"))
+              ins.setLong(4, r.getAs[Long]("seq"))
+              ins.executeUpdate()
+            }
+          }
+        } finally { del.close(); ins.close() }
+        val mk = conn.prepareStatement("INSERT INTO graft_sink_commits VALUES (?, ?, ?)")
+        try {
+          mk.setString(1, table)
+          mk.setLong(2, batchId)
+          mk.setInt(3, partitionId)
+          mk.executeUpdate()
+        } finally mk.close()
+        beforeCommit()
+        conn.commit()
+      } else {
+        // replay: the marker SELECT opened a transaction too — end it
+        // before close (Derby refuses to close mid-transaction)
+        conn.rollback()
+      }
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => () }
+        throw e
+    } finally conn.close()
+  }
+
+  private def markerExists(conn: Connection, table: String, batchId: Long, partitionId: Int): Boolean = {
+    val st = conn.prepareStatement(
+      "SELECT 1 FROM graft_sink_commits WHERE table_name = ? AND batch_id = ? AND partition_id = ?")
+    try {
+      st.setString(1, table)
+      st.setLong(2, batchId)
+      st.setInt(3, partitionId)
+      val rs = st.executeQuery()
+      try rs.next() finally rs.close()
+    } finally st.close()
+  }
+
+  /** Read the egressed table back (spec convenience). */
+  def readTable(url: String, table: String): Seq[(Long, String, Long, Long)] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(s"SELECT k, payload, ts_us, seq FROM $table ORDER BY k")
+      val out = Seq.newBuilder[(Long, String, Long, Long)]
+      while (rs.next()) out += ((rs.getLong(1), rs.getString(2), rs.getLong(3), rs.getLong(4)))
+      out.result()
+    } finally conn.close()
+  }
+}

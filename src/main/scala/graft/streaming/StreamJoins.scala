@@ -68,4 +68,48 @@ object StreamJoins {
         expr(s"s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + interval $horizon"),
         "fullOuter",
       )
+
+  /** THREE-way stream-stream interval join (SURVEY.md §2.3 #175): the
+    * view→click→purchase attribution chain, as two CHAINED watermarked
+    * interval joins — Spark plans exactly two StreamingSymmetricHashJoin
+    * operators, the first's output feeding the second as a derived
+    * stream (no intermediate materialization, one continuous query).
+    *
+    * State bounds, per the interval-join eviction rule (each side keeps
+    * rows until the watermark passes their last possible partner):
+    *  - join 1 buffers views for `horizon1` + clicks for watermark lag;
+    *  - join 2 buffers view⋈click pairs for `horizon2` past c_ts, and
+    *    purchases for the watermark lag —
+    * so total state ≈ rate × (horizon1 + horizon2 + 2·watermark) rows
+    * per side, CONSTANT in stream length: the 3-way chain runs forever
+    * in bounded memory exactly like each pairwise join. Event-time
+    * bounds on every pair (c in [v, v+h1], p in [c, c+h2]) are what
+    * make that eviction provable for both hops; a key-only 3-way join
+    * would buffer forever.
+    *
+    * Inputs: views(v_user, v_ts), clicks(c_user, c_ts),
+    * purchases(p_user, p_ts, p_value).
+    */
+  def funnelAttribution3(
+      views: DataFrame,
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizon1: String = "1 hour",
+      horizon2: String = "1 hour",
+      watermark: String = "10 minutes",
+  ): DataFrame =
+    views
+      .withWatermark("v_ts", watermark)
+      .join(
+        clicks.withWatermark("c_ts", watermark),
+        expr(s"v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval $horizon1"),
+      )
+      // a stream may carry at most ONE event-time column into the next
+      // stateful op: c_ts stays the watermark carrier (it bounds hop 2),
+      // v_ts demotes to a plain micros value for the output
+      .select(col("v_user"), unix_micros(col("v_ts")).as("v_ts_us"), col("c_ts"))
+      .join(
+        purchases.withWatermark("p_ts", watermark),
+        expr(s"v_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval $horizon2"),
+      )
 }

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** SURVEY.md §2.3 #174 — exactly-once JDBC egress: replay idempotence
+  * (same batch applied twice → bit-identical table) and atomicity of a
+  * crash between the row writes and the commit (rollback reverts both
+  * the rows and the marker).
+  */
+class JdbcSinkSpec extends SparkSpec {
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
+
+  private def freshUrl(): String = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target").toAbsolutePath, "derby_sink")
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  private def stateDf(rows: (Long, Map[String, String], Boolean)*) = {
+    import spark.implicits._
+    rows.map { case (k, p, d) => KeyState(k, 1000L + k, k, p, d) }.toDF()
+  }
+
+  test("#174a streaming changefeed egresses to Derby; deletes remove rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val url   = freshUrl()
+    val table = "view_a"
+    JdbcSink.ensureTables(url, table)
+    val input = MemoryStream[Change]
+    val q = CdcMaterializer.materialize(input.toDS())
+      .toDF()
+      .writeStream
+      .foreachBatch(JdbcSink.egress(url, table) _)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("jdbc_ck").toString)
+      .start()
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("v" -> "a"), 1L),
+        Change("insert", 2L, ts(1), Map("v" -> "x", "w" -> "y"), 2L))
+      q.processAllAvailable()
+      input.addData(
+        Change("update", 1L, ts(10), Map("v" -> "b"), 3L),
+        Change("delete", 2L, ts(11), Map.empty, 4L))
+      q.processAllAvailable()
+      val got = JdbcSink.readTable(url, table)
+      assert(got.map(r => (r._1, r._2)) == Seq((1L, "v=b")),
+        s"table must hold the view's final live state: $got")
+    } finally q.stop()
+  }
+
+  test("#174b replay idempotence: the same batch applied twice leaves the table identical") {
+    val url   = freshUrl()
+    val table = "view_b"
+    JdbcSink.ensureTables(url, table)
+    val df = stateDf(
+      (1L, Map("v" -> "a"), false),
+      (2L, Map("v" -> "b", "u" -> "c"), false),
+      (3L, Map.empty[String, String], true))
+    JdbcSink.egress(url, table)(df, batchId = 7L)
+    val once = JdbcSink.readTable(url, table)
+    assert(once.map(_._1) == Seq(1L, 2L), "tombstone key 3 must not materialize")
+    // crash-after-commit replay: foreachBatch re-runs the whole batch
+    JdbcSink.egress(url, table)(df, batchId = 7L)
+    assert(JdbcSink.readTable(url, table) == once, "replayed batch must be a no-op")
+    // and a LATER batch still applies (markers are per batch, not global)
+    JdbcSink.egress(url, table)(stateDf((1L, Map("v" -> "z"), false)), batchId = 8L)
+    assert(JdbcSink.readTable(url, table).find(_._1 == 1L).get._2 == "v=z")
+  }
+
+  test("#174c crash between row writes and commit: transaction reverts rows AND marker") {
+    val url   = freshUrl()
+    val table = "view_c"
+    JdbcSink.ensureTables(url, table)
+    val good = stateDf((1L, Map("v" -> "a"), false), (2L, Map("v" -> "b"), false))
+    // first deployment crashes after applying rows, before commit
+    val boom = intercept[Exception] {
+      JdbcSink.egress(url, table,
+        beforeCommit = () => throw new RuntimeException("crash before commit"))(good, batchId = 0L)
+    }
+    assert(boom.getMessage != null)
+    assert(JdbcSink.readTable(url, table).isEmpty,
+      "rollback must revert the partial rows — no torn batch visible")
+    // the marker rolled back too: the recovered run re-applies cleanly
+    JdbcSink.egress(url, table)(good, batchId = 0L)
+    assert(JdbcSink.readTable(url, table).map(_._1) == Seq(1L, 2L),
+      "recovery must apply the batch exactly once")
+  }
+}

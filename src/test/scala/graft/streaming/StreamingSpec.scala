@@ -1336,6 +1336,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#175 3-way stream-stream interval join: chained joins, late arrivals on all three sides") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views     = MemoryStream[(Long, Timestamp)]
+    val clicks    = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamJoins.funnelAttribution3(
+      views.toDF().toDF("v_user", "v_ts"),
+      clicks.toDF().toDF("c_user", "c_ts"),
+      purchases.toDF().toDF("p_user", "p_ts", "p_value"),
+      horizon1 = "1 hour", horizon2 = "1 hour", watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("funnel3").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ssj3")).start()
+    try {
+      // user 1: full in-horizon chain; user 2: click misses horizon1;
+      // user 3: purchase misses horizon2
+      views.addData((1L, ts(0)), (2L, ts(0)), (3L, ts(0)))
+      clicks.addData((1L, ts(20)), (2L, ts(80)), (3L, ts(10)))
+      purchases.addData((1L, ts(40), 9.99), (2L, ts(90), 1.0), (3L, ts(85), 2.0))
+      q.processAllAvailable()
+      // LATE rows on all three sides, still inside the 30-minute
+      // watermark lag (max event time so far = ts(90)): a late view for
+      // user 4 whose click+purchase already arrived, a late click for
+      // user 5, a late purchase for user 1's second conversion
+      views.addData((4L, ts(70)))
+      clicks.addData((4L, ts(75)), (5L, ts(72)))
+      views.addData((5L, ts(71)))
+      purchases.addData((4L, ts(78), 3.0), (5L, ts(74), 4.0), (1L, ts(65), 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel3").collect()
+        .map(r => (r.getAs[Long]("v_user"), r.getAs[Double]("p_value"))).toSet
+      assert(rows == Set((1L, 9.99), (1L, 7.0), (4L, 3.0), (5L, 4.0)),
+        s"in-horizon chains (incl. all late arrivals) and nothing else: $rows")
+      // physical plan: exactly two StreamingSymmetricHashJoin operators
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      val nJoins = "StreamingSymmetricHashJoin".r.findAllIn(plan).size
+      assert(nJoins == 2, s"expected 2 chained stream-stream joins in the plan, got $nJoins:\n$plan")
+    } finally q.stop()
+  }
+
   test("#96 streaming decontamination: corpus-known content is dropped at ingest") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
