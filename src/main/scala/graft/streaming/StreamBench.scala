@@ -53,6 +53,14 @@ object StreamBench {
             .as[TypedEvent]).toDF()
       else if (engine == "v2") StateMaterializer.materialize(changes).toDF()
       else CdcMaterializer.materialize(changes).toDF()
+    // Ingest→emit latency, per record: every emitted row carries its
+    // change's event time (tsUs, stamped by the rate source at ingest);
+    // at batch END (results available = emitted) the wall clock minus
+    // the row's event time IS its end-to-end latency. Aggregated as a
+    // 10 ms-bucket histogram of event times per batch (one small
+    // collect), converted to latencies with the batch-end clock —
+    // exact per-record accounting at ±10 ms resolution, no sampling.
+    val latHist = scala.collection.mutable.Map.empty[Long, Long] // lat_ms/10 -> rows
     val q = materialized
       .writeStream
       .outputMode(
@@ -60,7 +68,13 @@ object StreamBench {
         else CdcMaterializer.outputMode)
       .option("checkpointLocation", s"target/streambench-ck-${System.nanoTime()}")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        counter.add(batch.count())
+        val h = batch.select(expr("tsUs div 10000").as("b")).groupBy("b").count().collect()
+        val tEnd = System.currentTimeMillis()
+        counter.add(h.map(_.getAs[Long]("count")).sum)
+        h.foreach { r => // foreachBatch is driver-serial per query
+          val latMs = math.max(0L, tEnd - r.getAs[Long]("b") * 10L)
+          latHist(latMs / 10) = latHist.getOrElse(latMs / 10, 0L) + r.getAs[Long]("count")
+        }
       }
       .start()
 
@@ -68,8 +82,17 @@ object StreamBench {
     Thread.sleep(seconds * 1000L)
     q.stop()
     val elapsed = (System.nanoTime() - t0) / 1e9
+    def pct(q: Double): Long = {
+      val total = latHist.values.sum
+      var acc   = 0L
+      latHist.toSeq.sortBy(_._1).foreach { case (b, n) =>
+        acc += n
+        if (acc >= total * q) return b * 10
+      }
+      latHist.keys.maxOption.getOrElse(0L) * 10
+    }
     // rows ingested = rate * elapsed (approx); state rows emitted = counter
-    println(f"""{"metric":"cdc_materialize","engine":"$engine","input_rows_per_sec":$rowsPerSec,"elapsed_sec":$elapsed%.1f,"state_rows_emitted":${counter.value}}""")
+    println(f"""{"metric":"cdc_materialize","engine":"$engine","input_rows_per_sec":$rowsPerSec,"elapsed_sec":$elapsed%.1f,"state_rows_emitted":${counter.value},"lat_p50_ms":${pct(0.5)},"lat_p99_ms":${pct(0.99)}}""")
     spark.stop()
   }
 }

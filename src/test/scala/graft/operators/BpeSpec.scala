@@ -88,6 +88,41 @@ class BpeSpec extends SparkSpec {
       s"batched compression worse than sequential: ${totalTokens(segBat)} vs ${totalTokens(segSeq)}")
   }
 
+  test("adaptive trainer: rounds collapse vs the B=8 path; quality tracks sequential") {
+    val counts = Bpe
+      .wordCounts(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("wn"))
+      .toMap
+    // train to EXHAUSTION (the sf0.001 vocab runs out of count>=2 pairs
+    // around 90 merges) so the round comparison covers the whole curve
+    val horizon = 1000
+    val (b8, rounds8)      = Bpe.trainMergesWithRounds(spark, sf, horizon, batch = 8)
+    val (adapt, roundsAd)  = Bpe.trainMergesAdaptive(spark, sf, horizon)
+    info(s"rounds to exhaustion  B=8: $rounds8  adaptive: $roundsAd" +
+      s"  (merges: ${b8.size} vs ${adapt.size})")
+    assert(math.abs(adapt.size - b8.size) <= 2 && adapt.size >= 80,
+      s"both schedules must learn essentially the full vocabulary: ${adapt.size} vs ${b8.size}")
+    // >=2x on this exhaustion-limited corpus (5 vs 12 measured); the
+    // ratio RISES with corpus size because the admitted batch grows with
+    // the flattening pair distribution while B stays pinned — the 10x
+    // probe measurement (SURVEY §13) is where the verdict's 4x bar binds
+    assert(roundsAd * 2 <= rounds8,
+      s"adaptive batching must cut driver rounds >=2x vs B=8 even at exhaustion scale: $roundsAd vs $rounds8")
+    // quality contract vs the sequential reference, same invariant as
+    // the B=8 spec: equal-or-near compression over the corpus
+    val expected = referenceBpe(counts, horizon)
+    def segment(ms: Seq[(String, String)]): Map[String, Seq[String]] =
+      counts.keys.map { w =>
+        w -> ms.foldLeft(w.map(_.toString): Seq[String]) { case (s, (a, b)) => Bpe.mergeOnce(s, a, b) }
+      }.toMap
+    def totalTokens(seg: Map[String, Seq[String]]): Long =
+      counts.map { case (w, n) => seg(w).size * n }.sum
+    val (tSeq, tAd) = (totalTokens(segment(expected)), totalTokens(segment(adapt)))
+    assert(tAd <= tSeq * 102 / 100,
+      s"adaptive compression must track sequential: $tAd vs $tSeq tokens")
+  }
+
   test("batched trainer: B=1 is the sequential trainer verbatim") {
     val (b1, rounds) = Bpe.trainMergesWithRounds(spark, sf, 6, batch = 1)
     assert(b1 == Bpe.trainMerges(spark, sf, 6) && rounds == 6)
