@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => graft.plans.DotProduct(children(0), children(1)),
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_dotl"),
+      new ExpressionInfo(classOf[graft.plans.LongDotProduct].getName, "graft_dotl"),
+      (children: Seq[Expression]) => graft.plans.LongDotProduct(children(0), children(1)),
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[graft.plans.ShingleArray].getName, "graft_shingles"),
       (children: Seq[Expression]) => graft.plans.ShingleArray(children(0), children(1)),

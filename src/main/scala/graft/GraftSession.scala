@@ -87,6 +87,11 @@ object GraftSession {
       (children: Seq[Expression]) => graft.plans.DotProduct(children(0), children(1)),
     )
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dotl"),
+      new ExpressionInfo(classOf[graft.plans.LongDotProduct].getName, "graft_dotl"),
+      (children: Seq[Expression]) => graft.plans.LongDotProduct(children(0), children(1)),
+    )
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[graft.plans.ShingleArray].getName, "graft_shingles"),
       (children: Seq[Expression]) => graft.plans.ShingleArray(children(0), children(1)),

@@ -37,10 +37,16 @@ object VectorFunctions {
   def toMicro(a: Column): Column =
     transform(a, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
 
-  /** Exact integer dot product over micro-unit vectors. Sums are
+  /** Exact integer dot product over micro-unit vectors — the native
+    * codegen'd [[graft.plans.LongDotProduct]]. Sums are
     * order-independent (integer associativity), so any partitioning of
     * the aggregate yields the identical BIGINT.
     */
-  def dotLong(a: Column, b: Column): Column =
+  def dotLong(a: Column, b: Column): Column = call_function("graft_dotl", a, b)
+
+  /** The composable HOF reference formulation of [[dotLong]] (kept as
+    * the bit-identical cross-check, like [[hofDot]] for floats).
+    */
+  def hofDotLong(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 }

@@ -82,6 +82,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("native graft_dotl equals the HOF formulation and stays in codegen") {
+    val micro = graft.sources.Tables
+      .embeddings(spark, sf)
+      .limit(100)
+      .select(VectorFunctions.toMicro(col("embedding")).as("xi"))
+    val rows = micro.select(
+      VectorFunctions.dotLong(col("xi"), col("xi")).as("native"),
+      VectorFunctions.hofDotLong(col("xi"), col("xi")).as("hof"),
+    ).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"${r.getLong(0)} != ${r.getLong(1)}"))
+    val p = plan(micro.select(VectorFunctions.dotLong(col("xi"), col("xi")).as("d")))
+    assert(p.contains("graft_dotl") && "\\*\\(\\d+\\) Project \\[graft_dotl".r.findFirstIn(p).isDefined,
+      s"graft_dotl not in a codegen stage:\n$p")
+  }
+
   test("graft_dot stays inside whole-stage codegen") {
     val df = graft.sources.Tables
       .embeddings(spark, sf)
