@@ -41,32 +41,47 @@ case class CepStatus(key: Long, matched: Boolean, matched_at_us: Long, matched_a
   */
 object CepStream {
 
-  /** One NFA token: the set of chars it consumes, and whether it loops. */
-  case class Tok(chars: Set[Char], star: Boolean)
+  /** One NFA token: the chars it consumes (`any` = `.` wildcard),
+    * whether it loops (`*`), and whether it may be skipped (`?`).
+    */
+  case class Tok(chars: Set[Char], star: Boolean, opt: Boolean = false, any: Boolean = false) {
+    def matches(c: Char): Boolean = any || chars(c)
+  }
 
-  /** Compile `s[vc]*p`-style patterns into the token vector. */
+  /** Compile `s[vc]*p`-style patterns into the token vector: literal
+    * chars, `[abc]` classes, `.` wildcard; postfix `*` (zero-or-more),
+    * `+` (one-or-more, desugared to `X X*`), `?` (zero-or-one).
+    */
   def compile(pattern: String): Vector[Tok] = {
     val toks = Vector.newBuilder[Tok]
     var i    = 0
     while (i < pattern.length) {
-      val (chars, next) = pattern.charAt(i) match {
+      val (chars, any, next) = pattern.charAt(i) match {
         case '[' =>
           val close = pattern.indexOf(']', i)
           require(close > i, s"unterminated class in CEP pattern '$pattern'")
-          (pattern.substring(i + 1, close).toSet, close + 1)
-        case c => (Set(c), i + 1)
+          (pattern.substring(i + 1, close).toSet, false, close + 1)
+        case '.' => (Set.empty[Char], true, i + 1)
+        case c => (Set(c), false, i + 1)
       }
-      val star = next < pattern.length && pattern.charAt(next) == '*'
-      toks += Tok(chars, star)
-      i = if (star) next + 1 else next
+      val quant = if (next < pattern.length) pattern.charAt(next) else ' '
+      quant match {
+        case '*' => toks += Tok(chars, star = true, any = any); i = next + 1
+        case '+' => // X+ = X X*
+          toks += Tok(chars, star = false, any = any)
+          toks += Tok(chars, star = true, any = any)
+          i = next + 1
+        case '?' => toks += Tok(chars, star = false, opt = true, any = any); i = next + 1
+        case _   => toks += Tok(chars, star = false, any = any); i = next
+      }
     }
     val out = toks.result()
     require(out.length < 63, s"CEP pattern too long (${out.length} tokens)")
     out
   }
 
-  /** ε-closure: from a starred token's position you may already be at
-    * the next one without consuming.
+  /** ε-closure: from a starred or optional token's position you may
+    * already be at the next one without consuming.
     */
   def closure(mask: Long, toks: Vector[Tok]): Long = {
     var m       = mask
@@ -75,7 +90,7 @@ object CepStream {
       changed = false
       var p = 0
       while (p < toks.length) {
-        if ((m & (1L << p)) != 0L && toks(p).star && (m & (1L << (p + 1))) == 0L) {
+        if ((m & (1L << p)) != 0L && (toks(p).star || toks(p).opt) && (m & (1L << (p + 1))) == 0L) {
           m |= 1L << (p + 1)
           changed = true
         }
@@ -93,7 +108,7 @@ object CepStream {
     var out  = 0L
     var p    = 0
     while (p < toks.length) {
-      if ((from & (1L << p)) != 0L && toks(p).chars(c))
+      if ((from & (1L << p)) != 0L && toks(p).matches(c))
         out |= 1L << (if (toks(p).star) p else p + 1)
       p += 1
     }

@@ -23,6 +23,19 @@ case class PlannedDelta(group: String, d_keys: Long, d_slots: Seq[Double])
 /** Running totals of one group of a planned aggregate view. */
 case class PlannedGroupState(n: Long, sums: Seq[Double])
 
+/** One key-level contribution change of a planned MIN/MAX view (the
+  * non-invertible path): which group, which key, the key's slot values,
+  * live=false when the key leaves the group.
+  */
+case class PlannedKeyChange(group: String, key: Long, slots: Seq[Double], live: Boolean)
+
+/** Per-group keyed state of a planned MIN/MAX view: every live key's
+  * slot values — what re-aggregation needs when the extremum retracts
+  * (subtracting is meaningless for min/max; the [[IncrementalView]]
+  * liveExtremes strategy).
+  */
+case class PlannedGroupContribs(contribs: Map[Long, Seq[Double]])
+
 /** One emitted change of a planned aggregate view: the group's current
   * live-row count and aggregate slot totals (`live_rows = 0` is the
   * group's tombstone — it left the view).
@@ -38,7 +51,7 @@ case class PlannedRowChange(op: String, key: Long, proj: Map[String, String], ts
 /** The generic changefeed-of-a-query planner (the r5 verdict's #1 gap):
   * `materialize(sql)` compiles the SPJA subset of SQL — filter, project,
   * two-feed equi-join on the change key, grouped aggregation with
-  * count/sum/avg — into the retraction-capable incremental dataflows
+  * count/sum/avg/min/max — into the retraction-capable incremental dataflows
   * this package already maintains by hand ([[IncrementalView]] for
   * grouped aggregates, [[JoinView]] for table⋈table), so a user writes
   * the VIEW as SQL and gets its continuously-maintained changefeed
@@ -167,7 +180,7 @@ object IncrementalPlanner {
 
   private def unsupported(what: String): IllegalArgumentException =
     new IllegalArgumentException(
-      s"IncrementalPlanner supports the SPJA subset (filter/project/key-equi-join/count·sum·avg); got $what")
+      s"IncrementalPlanner supports the SPJA subset (filter/project/key-equi-join/count·sum·avg·min·max); got $what")
 
   // ------------------------------------------------------------------
   // Source compiler: the FROM/WHERE part of the plan → a Change stream
@@ -250,6 +263,8 @@ object IncrementalPlanner {
   private final case class CountOut(slot: Int, name: String) extends OutCol
   private final case class SumOut(slot: Int, name: String) extends OutCol
   private final case class AvgOut(sumSlot: Int, cntSlot: Int, name: String) extends OutCol
+  private final case class MinOut(slot: Int, name: String) extends OutCol
+  private final case class MaxOut(slot: Int, name: String) extends OutCol
 
   private def outName(ne: Expression, fallback: String): String = ne match {
     case a: Alias               => a.name
@@ -289,9 +304,17 @@ object IncrementalPlanner {
               val s  = addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0)))
               val c  = addSlot(env => Some(if (ca(env).flatMap(asNum).isDefined) 1.0 else 0.0))
               AvgOut(s, c, name)
+            // min/max slots carry NaN for SQL NULL (excluded from the
+            // extremum, distinguishable from a real 0)
+            case ("min", Seq(a)) =>
+              val ca = compileExpr(a)
+              MinOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(Double.NaN))), name)
+            case ("max", Seq(a)) =>
+              val ca = compileExpr(a)
+              MaxOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(Double.NaN))), name)
             case other => throw unsupported(s"aggregate $fn(${args.map(_.sql).mkString(",")})")
           }
-        case other => throw unsupported(s"select item ${other.sql} (neither grouping expr nor count/sum/avg)")
+        case other => throw unsupported(s"select item ${other.sql} (neither grouping expr nor count/sum/avg/min/max)")
       }
     }
 
@@ -310,7 +333,9 @@ object IncrementalPlanner {
 
     implicit val contribEnc = Encoders.product[PlannedContrib]
     implicit val deltaEnc   = Encoders.product[PlannedDelta]
+    implicit val keyChEnc   = Encoders.product[PlannedKeyChange]
     implicit val groupEnc   = Encoders.product[PlannedGroupState]
+    implicit val keyedEnc   = Encoders.product[PlannedGroupContribs]
     implicit val rowEnc     = Encoders.product[PlannedGroupRow]
     implicit val longEnc    = Encoders.scalaLong
     implicit val stringEnc  = Encoders.STRING
@@ -318,24 +343,52 @@ object IncrementalPlanner {
     // chained flatMapGroupsWithState stages only when every stage (and
     // the sink) is Append — the liveExtremes precedent — and Append is
     // also the right semantic: each emission is one change of the view's
-    // changefeed (touched groups only)
-    val groupRows = src.changes
-      .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(aggFold(extract))
-      .groupByKey(_.group)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(groupFold)
-      .toDF()
+    // changefeed (touched groups only).
+    //
+    // Two stage-2 strategies, picked by what the SELECT list needs:
+    //  - count/sum/avg only → signed-delta running totals (O(1) state
+    //    per group);
+    //  - any min/max → per-group keyed contributions + re-aggregation
+    //    on touch (subtracting an extremum is meaningless; deleting the
+    //    group's max must re-emit the next best — the liveExtremes
+    //    strategy, O(live keys in touched groups) per batch).
+    val needsKeyed = outCols.exists { case _: MinOut | _: MaxOut => true; case _ => false }
+    val slotOps: Seq[String] = {
+      val ops = Array.fill(slots.length)("sum")
+      outCols.foreach {
+        case MinOut(s, _) => ops(s) = "min"
+        case MaxOut(s, _) => ops(s) = "max"
+        case _            => ()
+      }
+      ops.toIndexedSeq
+    }
+    val keyStage = src.changes.groupByKey(_.key)
+    val groupRows =
+      (if (needsKeyed)
+        keyStage
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(keyFold(extract))
+          .groupByKey(_.group)
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(groupFoldKeyed(slotOps))
+      else
+        keyStage
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(aggFold(extract))
+          .groupByKey(_.group)
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(groupFold))
+        .toDF()
 
     val parts = split(col("group"), Sep)
+    def slotCol(slot: Int) = element_at(col("sums"), slot + 1)
     val outExprs = outCols.map {
       case GroupOut(idx, name) =>
         val p = element_at(parts, idx + 1)
         when(p === NullMark, lit(null)).otherwise(p).as(name)
-      case CountOut(slot, name) => element_at(col("sums"), slot + 1).cast("long").as(name)
-      case SumOut(slot, name)   => element_at(col("sums"), slot + 1).as(name)
+      case CountOut(slot, name) => slotCol(slot).cast("long").as(name)
+      case SumOut(slot, name)   => slotCol(slot).as(name)
       case AvgOut(sumSlot, cntSlot, name) =>
-        (element_at(col("sums"), sumSlot + 1) /
-          when(element_at(col("sums"), cntSlot + 1) =!= 0.0, element_at(col("sums"), cntSlot + 1))).as(name)
+        (slotCol(sumSlot) / when(slotCol(cntSlot) =!= 0.0, slotCol(cntSlot))).as(name)
+      // NaN marks "no non-null value in the group" → SQL NULL
+      case MinOut(slot, name) => when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
+      case MaxOut(slot, name) => when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
     }
     // _live_rows rides along as the view's tombstone signal: a group
     // whose live-row count reaches 0 re-emits once with _live_rows = 0,
@@ -380,10 +433,13 @@ object IncrementalPlanner {
     * [[CdcMaterializer.fold]]), then emit the net signed delta between
     * pre- and post-batch contributions, per touched group.
     */
-  private def aggFold(extract: Change => Option[(String, Seq[Double])])(
-      key: Long,
+  /** Shared stage-1 LWW apply: fold the batch into the key's
+    * contribution in `(tsUs, seq)` order, update the store, return
+    * (pre-batch, post-batch) for the caller to diff.
+    */
+  private def applyLww(extract: Change => Option[(String, Seq[Double])])(
       changes: Iterator[Change],
-      state: GroupState[PlannedContrib]): Iterator[PlannedDelta] = {
+      state: GroupState[PlannedContrib]): (Option[PlannedContrib], Option[PlannedContrib]) = {
     val before = state.getOption
     var cur    = before
     changes.toSeq.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq)).foreach { c =>
@@ -399,6 +455,14 @@ object IncrementalPlanner {
       }
     }
     cur.filter(c => c.live || before.nonEmpty).foreach(state.update)
+    (before, cur)
+  }
+
+  private def aggFold(extract: Change => Option[(String, Seq[Double])])(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[PlannedContrib]): Iterator[PlannedDelta] = {
+    val (before, cur) = applyLww(extract)(changes, state)
     val net = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Array[Double])]
     def add(g: String, dk: Long, vs: Seq[Double], sign: Double): Unit = {
       val n = vs.length
@@ -412,6 +476,66 @@ object IncrementalPlanner {
     net.iterator.collect {
       case (g, (dk, ds)) if dk != 0L || ds.exists(_ != 0.0) =>
         PlannedDelta(g, dk, ds.toIndexedSeq)
+    }
+  }
+
+  /** Stage-1 fold of the MIN/MAX path: same LWW apply as [[aggFold]],
+    * but emitting the KEY-level contribution change (which key, which
+    * group, what slot values) — the downstream re-aggregation needs to
+    * know WHICH contribution left, not by how much a sum moved.
+    */
+  private def keyFold(extract: Change => Option[(String, Seq[Double])])(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[PlannedContrib]): Iterator[PlannedKeyChange] = {
+    val (before, cur) = applyLww(extract)(changes, state)
+    (before.filter(_.live), cur.filter(_.live)) match {
+      case (Some(b), Some(a)) if b.group == a.group && b.slots == a.slots => Iterator.empty
+      case (Some(b), Some(a)) if b.group == a.group =>
+        Iterator.single(PlannedKeyChange(a.group, key, a.slots, live = true))
+      case (Some(b), Some(a)) => // group move: leave the old, enter the new
+        Iterator(PlannedKeyChange(b.group, key, Nil, live = false),
+          PlannedKeyChange(a.group, key, a.slots, live = true))
+      case (Some(b), None) => Iterator.single(PlannedKeyChange(b.group, key, Nil, live = false))
+      case (None, Some(a)) => Iterator.single(PlannedKeyChange(a.group, key, a.slots, live = true))
+      case (None, None)    => Iterator.empty
+    }
+  }
+
+  /** Stage-2 fold of the MIN/MAX path: maintain the group's per-key
+    * contribution map and RE-AGGREGATE every slot on touch (`slotOps`
+    * says how: sum for count/sum/avg slots, min/max with NaN-as-NULL
+    * skipping for extremum slots). Cost O(live keys in the touched
+    * group) per batch, paid only by touched groups — at scale each
+    * group's map lives on exactly one state shard.
+    */
+  private def groupFoldKeyed(slotOps: Seq[String])(
+      group: String,
+      changes: Iterator[PlannedKeyChange],
+      state: GroupState[PlannedGroupContribs]): Iterator[PlannedGroupRow] = {
+    val before = state.getOption.map(_.contribs).getOrElse(Map.empty[Long, Seq[Double]])
+    val after = changes.foldLeft(before) { (m, c) =>
+      if (c.live) m + (c.key -> c.slots) else m - c.key
+    }
+    if (after == before) Iterator.empty // batch net-cancelled
+    else if (after.isEmpty) {
+      state.remove()
+      Iterator.single(PlannedGroupRow(group, 0L, Seq.fill(slotOps.length)(0.0)))
+    } else {
+      state.update(PlannedGroupContribs(after))
+      val sums = slotOps.zipWithIndex.map { case (op, i) =>
+        val vs = after.values.iterator.map(s => if (i < s.length) s(i) else Double.NaN)
+        op match {
+          case "sum" => vs.filterNot(_.isNaN).sum
+          case "min" =>
+            val xs = vs.filterNot(_.isNaN).toSeq
+            if (xs.isEmpty) Double.NaN else xs.min
+          case "max" =>
+            val xs = vs.filterNot(_.isNaN).toSeq
+            if (xs.isEmpty) Double.NaN else xs.max
+        }
+      }
+      Iterator.single(PlannedGroupRow(group, after.size.toLong, sums))
     }
   }
 

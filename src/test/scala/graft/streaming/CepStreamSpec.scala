@@ -94,6 +94,23 @@ class CepStreamSpec extends SparkSpec {
     }
   }
 
+  test("#173e grammar extensions: + ? . agree with Java regex containment") {
+    val rnd = new scala.util.Random(7)
+    for (pat <- Seq("sv+p", "s.?p", "s.p", "[sv]+e", "sv?c*p", "p.+p")) {
+      val toks = compile(pat)
+      def matchStr(s: String): Boolean = {
+        var m   = closure(1L, toks)
+        var acc = accepts(m, toks)
+        s.foreach { c => m = step(m, c, toks); acc ||= accepts(m, toks) }
+        acc
+      }
+      (1 to 300).foreach { _ =>
+        val s = (1 to rnd.nextInt(10)).map(_ => "svcpe".charAt(rnd.nextInt(5))).mkString
+        assert(matchStr(s) == pat.r.findFirstIn(s).isDefined, s"'$pat' diverges on '$s'")
+      }
+    }
+  }
+
   test("#173b live CEP equals batch q39 over the full sf0.001 feed") {
     val live = runCep("cep_full", Seq(feed))
     assert(live.keySet == batchTruth.keySet, "every user with events must have a status")

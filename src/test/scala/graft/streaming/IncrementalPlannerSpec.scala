@@ -177,6 +177,28 @@ class IncrementalPlannerSpec extends SparkSpec {
       Map(Seq[Any]("b") -> Seq[Any](2L, 6.0)), "a emptied (tombstoned), b holds keys 1+3")
   }
 
+  test("#171f min/max views: deleting the extremum re-emits the next best (keyed re-aggregation)") {
+    val sql = "SELECT city, min(amount) AS lo, max(amount) AS hi, count(*) AS n " +
+      "FROM activity GROUP BY city"
+    val feed1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "50"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "ber", "amount" -> "30"), 3L))
+    val feed2 = Seq(Change("delete", 2L, ts(10), Map.empty, 4L)) // kills the max
+    val feed3 = Seq(Change("update", 1L, ts(11), Map("city" -> "ber", "amount" -> "35"), 5L)) // kills the min
+    runView(sql, "pv_minmax",
+      Seq(Map("activity" -> feed1), Map("activity" -> feed2), Map("activity" -> feed3)))
+    val rows = spark.table("pv_minmax").collect().toSeq
+      .map(r => (r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("n")))
+    // three emissions: initial, max-retracted (next-best 30), min-moved
+    assert(rows == Seq((10.0, 50.0, 3L), (10.0, 30.0, 2L), (30.0, 35.0, 2L)),
+      s"extremum retraction must re-emit from the group's keyed state: $rows")
+    // and equality with batch recompute at the end
+    val fs = finalState(feed1 ++ feed2 ++ feed3)
+    val amounts = fs.values.map(_("amount").toDouble)
+    assert(rows.last == ((amounts.min, amounts.max, amounts.size.toLong)))
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a
@@ -192,9 +214,9 @@ class IncrementalPlannerSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val feeds = Map("activity" -> MemoryStream[Change].toDS())
     val e1 = intercept[IllegalArgumentException] {
-      IncrementalPlanner.materialize(spark, "SELECT city, max(amount) AS m FROM activity GROUP BY city", feeds)
+      IncrementalPlanner.materialize(spark, "SELECT city, stddev(amount) AS s FROM activity GROUP BY city", feeds)
     }
-    assert(e1.getMessage.contains("max"))
+    assert(e1.getMessage.contains("stddev"))
     val e2 = intercept[IllegalArgumentException] {
       IncrementalPlanner.materialize(
         spark, "SELECT l.name FROM users l JOIN activity r ON l.name = r.city", feeds + ("users" -> feeds("activity")))
