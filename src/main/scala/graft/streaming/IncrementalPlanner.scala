@@ -623,4 +623,44 @@ object IncrementalPlanner {
       case other        => throw unsupported(s"top-level ${other.getClass.getSimpleName}")
     }
   }
+
+  /** A NON-AGGREGATE view as a [[Change]] stream — the composition
+    * primitive: the view's upsert/delete changefeed is itself a feed,
+    * so planner views LAYER (`materialize` over `materializeChanges`
+    * over a raw feed — Materialize-class view-over-view), and every
+    * downstream operator in this package (CdcMaterializer, JoinView,
+    * the planner itself) consumes it unchanged. Emitted changes carry
+    * the source change's commit position (`ts`, `seq`), so the LWW /
+    * stale-drop contract survives the hop.
+    */
+  def materializeChanges(spark: SparkSession, sql: String,
+      feeds: Map[String, Dataset[Change]]): Dataset[Change] = {
+    val proj = spark.sessionState.sqlParser.parsePlan(sql) match {
+      case p: Project => p
+      case other => throw unsupported(
+        s"materializeChanges needs a non-aggregate SELECT (got ${other.getClass.getSimpleName}); " +
+          "aggregate views emit group rows, not keyed changes")
+    }
+    val src   = compileSource(spark, proj.child, feeds)
+    val preds = src.filters.map(compileExpr)
+    val cols: Seq[(String, Eval)] = proj.projectList.zipWithIndex.map { case (ne, i) =>
+      if (ne.isInstanceOf[UnresolvedStar]) throw unsupported("SELECT * (name the projected fields)")
+      (outName(ne, s"col$i"), compileExpr(ne))
+    }
+    val names = cols.map(_._1)
+    val fns   = cols.map(_._2)
+    val extract: Change => Option[Map[String, String]] = { c =>
+      val env = envOf(c)
+      if (!preds.forall(p => p(env).contains(true))) None
+      else Some(names.zip(fns).flatMap { case (n, f) => f(env).map(v => n -> String.valueOf(v)) }.toMap)
+    }
+    implicit val rowEnc    = Encoders.product[PlannedRow]
+    implicit val rcEnc     = Encoders.product[PlannedRowChange]
+    implicit val changeEnc = Encoders.product[Change]
+    implicit val longEnc   = Encoders.scalaLong
+    src.changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(rowFold(extract))
+      .map(rc => Change(rc.op, rc.key, tsOfMicros(rc.ts_us), rc.proj, rc.seq))
+  }
 }

@@ -199,6 +199,44 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(rows.last == ((amounts.min, amounts.max, amounts.size.toLong)))
   }
 
+  test("#171g view-over-view: a planner row view feeds a planner aggregate view") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val feed = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "3"), 2L),  // filtered at layer 1
+      Change("insert", 3L, ts(2), Map("city" -> "par", "amount" -> "50"), 3L),
+      Change("update", 1L, ts(10), Map("city" -> "ber", "amount" -> "2"), 4L), // leaves the layer-1 view
+      Change("insert", 4L, ts(11), Map("city" -> "par", "amount" -> "7"), 5L),
+      Change("delete", 3L, ts(12), Map.empty, 6L),
+    )
+    val input = MemoryStream[Change]
+    // layer 1: cleaned = filtered projection, AS A CHANGE STREAM
+    val cleaned = IncrementalPlanner.materializeChanges(
+      spark, "SELECT city, amount FROM activity WHERE amount > 4",
+      Map("activity" -> input.toDS()))
+    // layer 2: aggregate OVER the derived feed
+    val layered = IncrementalPlanner.materialize(
+      spark, "SELECT city, count(*) AS n, sum(amount) AS total FROM cleaned GROUP BY city",
+      Map("cleaned" -> cleaned))
+    val q = layered.df.writeStream.format("memory").queryName("pv_layered")
+      .outputMode(layered.outputMode)
+      .option("checkpointLocation", tmp("pvlay")).start()
+    try {
+      feed.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = aggState("pv_layered", Seq("city"))
+    // batch truth: final states surviving the layer-1 predicate
+    val want = finalState(feed).toSeq
+      .collect { case (_, p) if p("amount").toDouble > 4 => (p("city"), p("amount").toDouble) }
+      .groupBy(_._1)
+      .map { case (c, vs) => Seq[Any](c) -> Seq[Any](vs.size.toLong, vs.map(_._2).sum) }
+    // ber emptied (key 1 left the view, key 2 never entered) -> tombstoned;
+    // par holds only key 4 after key 3's delete propagated through both layers
+    assert(got == want && got == Map(Seq[Any]("par") -> Seq[Any](1L, 7.0)),
+      s"layered view must equal batch recompute: $got vs $want")
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a
