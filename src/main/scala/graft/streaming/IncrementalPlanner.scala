@@ -273,7 +273,8 @@ object IncrementalPlanner {
   }
 
   private def compileAggregate(spark: SparkSession, agg: Aggregate,
-      feeds: Map[String, Dataset[Change]]): PlannedView = {
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)] = None): PlannedView = {
     val src       = compileSource(spark, agg.child, feeds)
     val preds     = src.filters.map(compileExpr)
     val groupFns  = agg.groupingExpressions.map(compileExpr)
@@ -362,16 +363,29 @@ object IncrementalPlanner {
       }
       ops.toIndexedSeq
     }
-    val keyStage = src.changes.groupByKey(_.key)
+    // with a TTL the input carries a watermark and stage 1 runs under
+    // EventTimeTimeout: DEAD contributions (deletes, filtered-out rows)
+    // leave the store once the watermark passes their ts + ttl — state
+    // bounded by live + recently-dead keys on an unbounded feed (the
+    // deltasExpiring contract; retractions were already emitted when
+    // the death was applied, so expiry changes state size, not view
+    // contents — at the documented cost that a straggler older than an
+    // expired tombstone re-materializes)
+    val inChanges = ttl match {
+      case Some((delay, _)) => src.changes.withWatermark("ts", delay)
+      case None             => src.changes
+    }
+    val keyStage = inChanges.groupByKey(_.key)
+    val timeoutConf = if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     val groupRows =
       (if (needsKeyed)
         keyStage
-          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(keyFold(extract))
+          .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(expiring(ttl, keyFold(extract)))
           .groupByKey(_.group)
           .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(groupFoldKeyed(slotOps))
       else
         keyStage
-          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(aggFold(extract))
+          .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(expiring(ttl, aggFold(extract)))
           .groupByKey(_.group)
           .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(groupFold))
         .toDF()
@@ -433,6 +447,33 @@ object IncrementalPlanner {
     * [[CdcMaterializer.fold]]), then emit the net signed delta between
     * pre- and post-batch contributions, per touched group.
     */
+  /** Wrap a stage-1 fold with tombstone-TTL expiry (the
+    * [[IncrementalView.deltasExpiring]] mechanics): a DEAD contribution
+    * schedules its own event-time timeout at `death ts + ttl` (clamped
+    * past the watermark), the firing timeout removes it silently, and a
+    * livening change before expiry implicitly rescinds (the new state
+    * is live → no re-arm). No-op without a ttl.
+    */
+  private[streaming] def expiring[O](
+      ttl: Option[(String, Long)],
+      inner: (Long, Iterator[Change], GroupState[PlannedContrib]) => Iterator[O])
+      : (Long, Iterator[Change], GroupState[PlannedContrib]) => Iterator[O] =
+    ttl match {
+      case None => inner
+      case Some((_, ttlMs)) => (key, changes, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = inner(key, changes, state)
+          state.getOption.foreach { s =>
+            if (!s.live) state.setTimeoutTimestamp(
+              math.max(s.tsUs / 1000L + ttlMs, state.getCurrentWatermarkMs + 1L))
+          }
+          out
+        }
+    }
+
   /** Shared stage-1 LWW apply: fold the batch into the key's
     * contribution in `(tsUs, seq)` order, update the store, return
     * (pre-batch, post-batch) for the caller to diff.
@@ -623,6 +664,29 @@ object IncrementalPlanner {
       case other        => throw unsupported(s"top-level ${other.getClass.getSimpleName}")
     }
   }
+
+  /** [[materialize]] with BOUNDED state on an unbounded feed: the input
+    * is watermarked and dead stage-1 contributions (deletes, rows that
+    * left the WHERE predicate) expire once the watermark passes their
+    * death + `tombstoneTtlMs` — the [[IncrementalView.liveTotalsExpiring]]
+    * contract behind the one-call SQL API. Retractions are emitted when
+    * the death applies, so expiry changes state size, not view
+    * contents; a straggler older than an expired tombstone
+    * re-materializes (the documented TTL trade). Aggregate views only —
+    * start the query inside
+    * [[IncrementalView.withRelaxedWatermarkCheck]] (same soundness
+    * argument: the emitted deltas carry no event-time column, so
+    * nothing downstream drops them as late).
+    */
+  def materializeExpiring(spark: SparkSession, sql: String,
+      feeds: Map[String, Dataset[Change]],
+      watermarkDelay: String = "10 minutes",
+      tombstoneTtlMs: Long = 10L * 60 * 1000): PlannedView =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case a: Aggregate => compileAggregate(spark, a, feeds, Some((watermarkDelay, tombstoneTtlMs)))
+      case other => throw unsupported(
+        s"materializeExpiring covers aggregate views (got ${other.getClass.getSimpleName})")
+    }
 
   /** A NON-AGGREGATE view as a [[Change]] stream — the composition
     * primitive: the view's upsert/delete changefeed is itself a feed,

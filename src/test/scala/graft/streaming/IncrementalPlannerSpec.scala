@@ -237,6 +237,63 @@ class IncrementalPlannerSpec extends SparkSpec {
       s"layered view must equal batch recompute: $got vs $want")
   }
 
+  test("#171h expiring views: tombstones leave the store after ttl; retraction survives expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val planned = IncrementalPlanner.materializeExpiring(
+      spark, "SELECT city, count(*) AS n, sum(amount) AS total FROM activity GROUP BY city",
+      Map("activity" -> input.toDS()),
+      watermarkDelay = "1 second", tombstoneTtlMs = 1000L)
+    val q = IncrementalView.withRelaxedWatermarkCheck(spark) {
+      planned.df.writeStream.format("memory").queryName("pv_ttl")
+        .outputMode(planned.outputMode)
+        .option("checkpointLocation", tmp("pvttl")).start()
+    }
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "10"), 1L),
+        Change("insert", 2L, ts(0), Map("city" -> "ber", "amount" -> "5"), 2L))
+      q.processAllAvailable()
+      input.addData(Change("delete", 1L, ts(1), Map.empty, 3L))
+      q.processAllAvailable()
+      // advance the watermark far past delete + ttl → tombstone expires
+      input.addData(Change("insert", 3L, ts(60), Map("city" -> "par", "amount" -> "1"), 4L))
+      q.processAllAvailable()
+      input.addData(Change("insert", 4L, ts(120), Map("city" -> "par", "amount" -> "2"), 5L))
+      q.processAllAvailable()
+      def berState = aggState("pv_ttl", Seq("city")).get(Seq[Any]("ber"))
+      assert(berState.contains(Seq[Any](1L, 5.0)), s"retraction must survive tombstone expiry: $berState")
+    } finally q.stop()
+    // store-removal proof at the fold level (#39e pattern; the watermark
+    // filter blocks any end-to-end straggler from reaching the state):
+    // a dead contribution schedules its expiry, the firing timeout
+    // removes it silently, a live one never arms a timer
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(initial: Option[PlannedContrib], timedOut: Boolean) = TestGroupState.create[PlannedContrib](
+      optionalState = initial.map(org.apache.spark.api.java.Optional.of[PlannedContrib])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[PlannedContrib]()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of[Long](1000L),
+      hasTimedOut = timedOut)
+    // the wrapper's contract is orthogonal to the inner fold, so a
+    // no-op inner isolates exactly the arming/removal behavior
+    val fold = IncrementalPlanner.expiring(Some(("1 second", 60000L)),
+      (k: Long, cs: Iterator[Change], s: org.apache.spark.sql.streaming.GroupState[PlannedContrib]) =>
+        Iterator.empty)
+    val live = PlannedContrib("ber", Seq(10.0), 0L, 1L, live = true)
+    val s1b = st(Some(PlannedContrib("", Nil, 0L, 2L, live = false)), timedOut = false)
+    fold(1L, Iterator.empty, s1b)
+    assert(s1b.getTimeoutTimestampMs.isPresent, "dead contribution must schedule its expiry")
+    val s2 = st(Some(PlannedContrib("", Nil, 0L, 2L, live = false)), timedOut = true)
+    assert(fold(1L, Iterator.empty, s2).isEmpty && s2.isRemoved,
+      "fired timeout must remove the dead contribution silently")
+    val s3 = st(Some(live), timedOut = false)
+    fold(2L, Iterator.empty, s3)
+    assert(!s3.getTimeoutTimestampMs.isPresent, "live contributions never arm timers")
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a
