@@ -274,7 +274,8 @@ object IncrementalPlanner {
 
   private def compileAggregate(spark: SparkSession, agg: Aggregate,
       feeds: Map[String, Dataset[Change]],
-      ttl: Option[(String, Long)] = None): PlannedView = {
+      ttl: Option[(String, Long)] = None,
+      having: Option[Expression] = None): PlannedView = {
     val src       = compileSource(spark, agg.child, feeds)
     val preds     = src.filters.map(compileExpr)
     val groupFns  = agg.groupingExpressions.map(compileExpr)
@@ -407,7 +408,20 @@ object IncrementalPlanner {
     // _live_rows rides along as the view's tombstone signal: a group
     // whose live-row count reaches 0 re-emits once with _live_rows = 0,
     // which IS the "group left the view" change of the view's changefeed
-    PlannedView(groupRows.select(outExprs :+ col("live_rows").as("_live_rows"): _*), OutputMode.Append())
+    val selected = groupRows.select(outExprs :+ col("live_rows").as("_live_rows"): _*)
+    // HAVING: evaluated over the emitted output columns — a group that
+    // stops satisfying it re-emits AS ITS TOMBSTONE (the view-exit
+    // change), while its state stays (it must: the group can re-enter).
+    // The predicate must reference selected output columns/aliases
+    // (standard for a view definition); anything else fails resolution
+    // with Spark's own error.
+    val withHaving = having match {
+      case Some(cond) =>
+        selected.withColumn("_live_rows",
+          when(coalesce(expr(cond.sql), lit(false)), col("_live_rows")).otherwise(lit(0L)))
+      case None => selected
+    }
+    PlannedView(withHaving, OutputMode.Append())
   }
 
   /** Stage-2 fold: apply the batch's signed deltas to the group's
@@ -660,6 +674,10 @@ object IncrementalPlanner {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     plan match {
       case a: Aggregate => compileAggregate(spark, a, feeds)
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => h.child match {
+        case a: Aggregate => compileAggregate(spark, a, feeds, having = Some(h.havingCondition))
+        case other        => throw unsupported(s"HAVING over ${other.getClass.getSimpleName}")
+      }
       case p: Project   => compileProject(spark, p, feeds)
       case other        => throw unsupported(s"top-level ${other.getClass.getSimpleName}")
     }
@@ -684,6 +702,11 @@ object IncrementalPlanner {
       tombstoneTtlMs: Long = 10L * 60 * 1000): PlannedView =
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case a: Aggregate => compileAggregate(spark, a, feeds, Some((watermarkDelay, tombstoneTtlMs)))
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => h.child match {
+        case a: Aggregate =>
+          compileAggregate(spark, a, feeds, Some((watermarkDelay, tombstoneTtlMs)), Some(h.havingCondition))
+        case other => throw unsupported(s"HAVING over ${other.getClass.getSimpleName}")
+      }
       case other => throw unsupported(
         s"materializeExpiring covers aggregate views (got ${other.getClass.getSimpleName})")
     }

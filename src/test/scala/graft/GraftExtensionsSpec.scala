@@ -17,5 +17,9 @@ class GraftExtensionsSpec extends SparkSpec {
       .sql("SELECT graft_shingles('a b c d', 3) AS s")
       .collect()(0).getSeq[String](0)
     assert(sh == Seq("a b c", "b c d"))
+    val dotl = ns
+      .sql("SELECT graft_dotl(array(2L, 3L), array(4L, 5L)) AS d")
+      .collect()(0).getLong(0)
+    assert(dotl == 23L)
   }
 }

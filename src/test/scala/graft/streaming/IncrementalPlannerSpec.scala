@@ -294,6 +294,24 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(!s3.getTimeoutTimestampMs.isPresent, "live contributions never arm timers")
   }
 
+  test("#171i HAVING: a group crossing the threshold emits its view-exit and re-entry") {
+    val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city HAVING total > 20"
+    val batches = Seq(
+      Seq(Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "15"), 1L),
+        Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "10"), 2L)), // total 25: in
+      Seq(Change("delete", 2L, ts(10), Map.empty, 3L)),                           // total 15: EXITS the view
+      Seq(Change("insert", 3L, ts(11), Map("city" -> "ber", "amount" -> "30"), 4L)), // total 45: re-enters
+    )
+    runView(sql, "pv_having", batches.map(b => Map("activity" -> b)))
+    val rows = spark.table("pv_having").collect().toSeq
+      .map(r => (r.getAs[Double]("total"), r.getAs[Long]("_live_rows")))
+    // emission 2 is the HAVING tombstone: the group still has a live row
+    // in the STORE but left the VIEW (_live_rows forced to 0)
+    assert(rows == Seq((25.0, 2L), (15.0, 0L), (45.0, 2L)),
+      s"threshold crossing must emit exit then re-entry: $rows")
+    assert(aggState("pv_having", Seq("city")) == Map(Seq[Any]("ber") -> Seq[Any](45.0)))
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a
