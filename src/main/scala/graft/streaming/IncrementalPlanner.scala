@@ -206,23 +206,55 @@ object IncrementalPlanner {
       if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
         throw unsupported(s"join type ${j.joinType}")
       val cond = j.condition.getOrElse(throw unsupported("join without ON"))
-      cond match {
-        case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
-            if l.nameParts.last == "key" && r.nameParts.last == "key" => ()
-        case other => throw unsupported(
-          s"join condition ${other.sql} (only <alias>.key = <alias>.key — the change-key equi-join JoinView materializes)")
-      }
       val (lsrc, rsrc) = (leaf(spark, j.left, feeds), leaf(spark, j.right, feeds))
       implicit val changeEnc = Encoders.product[Change]
-      val joined = JoinView.materializeJoin(lsrc._1, rsrc._1).map { jc =>
-        val payload =
-          jc.l_payload ++ jc.r_payload ++
-            jc.l_payload.map { case (k, v) => s"${lsrc._2}.$k" -> v } ++
-            jc.r_payload.map { case (k, v) => s"${rsrc._2}.$k" -> v }
-        Change(if (jc.op == "delete") "delete" else "upsert", jc.key, tsOfMicros(jc.tsUs), payload, jc.seq)
+      def merged(lp: Map[String, String], rp: Map[String, String]): Map[String, String] =
+        lp ++ rp ++
+          lp.map { case (k, v) => s"${lsrc._2}.$k" -> v } ++
+          rp.map { case (k, v) => s"${rsrc._2}.$k" -> v }
+      val joined = cond match {
+        // table ⋈ table on the shared change key — the #85 dataflow
+        case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+            if l.nameParts.last == "key" && r.nameParts.last == "key" =>
+          JoinView.materializeJoin(lsrc._1, rsrc._1).map { jc =>
+            Change(if (jc.op == "delete") "delete" else "upsert", jc.key,
+              tsOfMicros(jc.tsUs), merged(jc.l_payload, jc.r_payload), jc.seq)
+          }
+        // fact.fkField = dim.key (either way round) — the #108 two-hop
+        // FK-join dataflow: facts keyed by own PK, dim fan-out on update,
+        // FK moves re-subscribe. Output keyed by FACT.
+        case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+            if l.nameParts.last != "key" && r.nameParts.last == "key" =>
+          fkJoin(lsrc, rsrc, l.nameParts.last, factIsLeft = true)
+        case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+            if l.nameParts.last == "key" && r.nameParts.last != "key" =>
+          fkJoin(rsrc, lsrc, r.nameParts.last, factIsLeft = false)
+        case other => throw unsupported(
+          s"join condition ${other.sql} (supported: <a>.key = <b>.key, or <fact>.<fkField> = <dim>.key)")
       }
       Source(joined, Nil)
     case other => throw unsupported(s"plan node ${other.getClass.getSimpleName}")
+  }
+
+  /** Wire [[JoinView.materializeFkJoin]] for the planner: facts carry
+    * `fkField` in the payload, dims are keyed by the FK space; the
+    * joined changefeed is keyed by fact. `factIsLeft` preserves the
+    * SQL's left/right order for the unqualified field merge (right
+    * wins collisions, like the key-equi-join path).
+    */
+  private def fkJoin(fact: (Dataset[Change], String), dim: (Dataset[Change], String),
+      fkField: String, factIsLeft: Boolean): Dataset[Change] = {
+    implicit val changeEnc = Encoders.product[Change]
+    JoinView.materializeFkJoin(fact._1, dim._1, fkField).map { jc =>
+      val (lp, la, rp, ra) =
+        if (factIsLeft) (jc.fact_payload, fact._2, jc.dim_payload, dim._2)
+        else (jc.dim_payload, dim._2, jc.fact_payload, fact._2)
+      val payload = lp ++ rp ++
+        lp.map { case (k, v) => s"$la.$k" -> v } ++
+        rp.map { case (k, v) => s"$ra.$k" -> v }
+      Change(if (jc.op == "delete") "delete" else "upsert", jc.fact_key,
+        tsOfMicros(jc.tsUs), payload, jc.seq)
+    }
   }
 
   /** A join side must be a bare (possibly aliased) feed — nested

@@ -132,9 +132,14 @@ object JoinView {
   /** Hop-2 state: the dim row plus subscribed fact payloads. */
   case class FkState(dim: Option[SideState], facts: Map[Long, Map[String, String]])
 
-  /** One change of the FK-joined view's changefeed, keyed by FACT. */
+  /** One change of the FK-joined view's changefeed, keyed by FACT.
+    * `tsUs`/`seq` carry the triggering batch's max commit position so
+    * downstream LWW consumers (the planner layering this feed) keep
+    * their ordering contract.
+    */
   case class FkJoinedChange(op: String, fact_key: Long, fk: Long,
-      fact_payload: Map[String, String], dim_payload: Map[String, String])
+      fact_payload: Map[String, String], dim_payload: Map[String, String],
+      tsUs: Long = 0L, seq: Long = 0L)
 
   /** Hop-1 fold (by fact PK): LWW-apply the batch, then emit the net
     * subscription change. A fact whose payload lacks a parseable fk is
@@ -214,18 +219,20 @@ object JoinView {
     val nowVisible: Map[Long, (Map[String, String], Map[String, String])] =
       dim.filter(!_.deleted).map(d => facts.map { case (k, p) => k -> (p, d.payload) }).getOrElse(Map.empty)
     if (facts.isEmpty && dim.isEmpty) state.remove() else state.update(FkState(dim, facts))
+    // the triggering commit position: max across the batch's events
+    val (posTs, posSeq) = evs.map(e => (CdcMaterializer.micros(e.ts), e.seq)).maxOption.getOrElse((0L, 0L))
     val upserts = nowVisible.iterator.collect {
       case (k, (fp, dp)) if !prevVisible.get(k).contains((fp, dp)) =>
-        FkJoinedChange("upsert", k, fk, fp, dp)
+        FkJoinedChange("upsert", k, fk, fp, dp, posTs, posSeq)
     }
     val deletes = prevVisible.keysIterator.collect {
       case k if !nowVisible.contains(k) && !movedOut.contains(k) =>
-        FkJoinedChange("delete", k, fk, Map.empty, Map.empty)
+        FkJoinedChange("delete", k, fk, Map.empty, Map.empty, posTs, posSeq)
     }
     // moved-in fact with a dead dim: the old group stayed silent, so this
     // group must tombstone the fact to evict any previously-visible row
     val moveTombstones = movedIn.iterator.collect {
-      case k if !nowVisible.contains(k) => FkJoinedChange("delete", k, fk, Map.empty, Map.empty)
+      case k if !nowVisible.contains(k) => FkJoinedChange("delete", k, fk, Map.empty, Map.empty, posTs, posSeq)
     }
     (upserts ++ deletes ++ moveTombstones).toSeq.sortBy(_.fact_key).iterator
   }

@@ -312,6 +312,40 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(aggState("pv_having", Seq("city")) == Map(Seq[Any]("ber") -> Seq[Any](45.0)))
   }
 
+  test("#171j FK join (fact.fk = dim.key): dim updates fan out, FK moves re-group, dim delete retracts") {
+    val sql = "SELECT c.city, count(*) AS n, sum(o.amount) AS total " +
+      "FROM orders o JOIN customers c ON o.cust_id = c.key GROUP BY c.city"
+    val customers = Seq(
+      Change("insert", 10L, ts(0), Map("city" -> "ber"), 1L),
+      Change("insert", 20L, ts(0), Map("city" -> "par"), 2L))
+    val orders1 = Seq(
+      Change("insert", 1L, ts(1), Map("cust_id" -> "10", "amount" -> "5"), 3L),
+      Change("insert", 2L, ts(1), Map("cust_id" -> "10", "amount" -> "7"), 4L),
+      Change("insert", 3L, ts(1), Map("cust_id" -> "20", "amount" -> "11"), 5L))
+    val moves = Seq(
+      Change("update", 2L, ts(10), Map("cust_id" -> "20", "amount" -> "7"), 6L), // FK move 10→20
+      Change("delete", 3L, ts(11), Map.empty, 7L))
+    val dimChange = Seq(
+      Change("update", 10L, ts(20), Map("city" -> "muc"), 8L)) // dim update fans out to order 1
+    runView(sql, "pv_fk", Seq(
+      Map("customers" -> customers, "orders" -> orders1),
+      Map("orders" -> moves),
+      Map("customers" -> dimChange)))
+    val got = aggState("pv_fk", Seq("city"))
+    // batch truth: order 1 → cust 10 (muc, 5); order 2 → cust 20 (par, 7)
+    assert(got == Map(
+      Seq[Any]("muc") -> Seq[Any](1L, 5.0),
+      Seq[Any]("par") -> Seq[Any](1L, 7.0)),
+      s"FK-joined aggregate must track moves, deletes, and dim fan-out: $got")
+    // and a dim DELETE retracts every subscribed fact
+    runView(sql, "pv_fk2", Seq(
+      Map("customers" -> customers, "orders" -> orders1),
+      Map("customers" -> Seq(Change("delete", 10L, ts(30), Map.empty, 9L)))))
+    val got2 = aggState("pv_fk2", Seq("city"))
+    assert(got2 == Map(Seq[Any]("par") -> Seq[Any](1L, 11.0)),
+      s"dim delete must retract all subscribed facts: $got2")
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a
