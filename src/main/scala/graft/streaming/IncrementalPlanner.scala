@@ -18,7 +18,7 @@ case class PlannedContrib(group: String, slots: Seq[Double], tsUs: Long, seq: Lo
 /** Signed per-group delta of a planned aggregate view (one slot per
   * aggregate in the SELECT list; `d_keys` tracks live-row count).
   */
-case class PlannedDelta(group: String, d_keys: Long, d_slots: Seq[Double])
+case class PlannedDelta(group: String, d_keys: Long, d_slots: Seq[Double], tsUs: Long = 0L, seq: Long = 0L)
 
 /** Running totals of one group of a planned aggregate view. */
 case class PlannedGroupState(n: Long, sums: Seq[Double])
@@ -27,7 +27,7 @@ case class PlannedGroupState(n: Long, sums: Seq[Double])
   * non-invertible path): which group, which key, the key's slot values,
   * live=false when the key leaves the group.
   */
-case class PlannedKeyChange(group: String, key: Long, slots: Seq[Double], live: Boolean)
+case class PlannedKeyChange(group: String, key: Long, slots: Seq[Double], live: Boolean, tsUs: Long = 0L, seq: Long = 0L)
 
 /** Per-group keyed state of a planned MIN/MAX view: every live key's
   * slot values — what re-aggregation needs when the extremum retracts
@@ -40,7 +40,7 @@ case class PlannedGroupContribs(contribs: Map[Long, Seq[Double]])
   * live-row count and aggregate slot totals (`live_rows = 0` is the
   * group's tombstone — it left the view).
   */
-case class PlannedGroupRow(group: String, live_rows: Long, sums: Seq[Double])
+case class PlannedGroupRow(group: String, live_rows: Long, sums: Seq[Double], tsUs: Long = 0L, seq: Long = 0L)
 
 /** A key's current projected row in a PLANNED select-where view. */
 case class PlannedRow(proj: Map[String, String], tsUs: Long, seq: Long, live: Boolean)
@@ -307,7 +307,8 @@ object IncrementalPlanner {
   private def compileAggregate(spark: SparkSession, agg: Aggregate,
       feeds: Map[String, Dataset[Change]],
       ttl: Option[(String, Long)] = None,
-      having: Option[Expression] = None): PlannedView = {
+      having: Option[Expression] = None,
+      keepMeta: Boolean = false): PlannedView = {
     val src       = compileSource(spark, agg.child, feeds)
     val preds     = src.filters.map(compileExpr)
     val groupFns  = agg.groupingExpressions.map(compileExpr)
@@ -439,8 +440,13 @@ object IncrementalPlanner {
     }
     // _live_rows rides along as the view's tombstone signal: a group
     // whose live-row count reaches 0 re-emits once with _live_rows = 0,
-    // which IS the "group left the view" change of the view's changefeed
-    val selected = groupRows.select(outExprs :+ col("live_rows").as("_live_rows"): _*)
+    // which IS the "group left the view" change of the view's changefeed.
+    // `keepMeta` additionally carries the group string + commit position
+    // for the changefeed conversion (materializeAggChanges).
+    val metaCols =
+      if (keepMeta) Seq(col("group").as("_group"), col("tsUs").as("_ts_us"), col("seq").as("_seq"))
+      else Nil
+    val selected = groupRows.select(outExprs ++ (col("live_rows").as("_live_rows") +: metaCols): _*)
     // HAVING: evaluated over the emitted output columns — a group that
     // stops satisfying it re-emits AS ITS TOMBSTONE (the view-exit
     // change), while its state stays (it must: the group can re-enter).
@@ -470,21 +476,24 @@ object IncrementalPlanner {
     var n    = s0.n
     val sums = scala.collection.mutable.ArrayBuffer(s0.sums: _*)
     var touched = false
+    var posTs   = 0L
+    var posSeq  = 0L
     deltas.foreach { d =>
       touched = true
       n += d.d_keys
       while (sums.length < d.d_slots.length) sums += 0.0
       d.d_slots.zipWithIndex.foreach { case (v, i) => sums(i) += v }
+      if (d.tsUs > posTs || (d.tsUs == posTs && d.seq > posSeq)) { posTs = d.tsUs; posSeq = d.seq }
     }
     if (!touched) Iterator.empty
     else if (n <= 0L) {
       state.remove()
       // zero the slots explicitly: float residue from retraction
       // arithmetic must not leak into the tombstone
-      Iterator.single(PlannedGroupRow(group, 0L, Seq.fill(sums.length)(0.0)))
+      Iterator.single(PlannedGroupRow(group, 0L, Seq.fill(sums.length)(0.0), posTs, posSeq))
     } else {
       state.update(PlannedGroupState(n, sums.toSeq))
-      Iterator.single(PlannedGroupRow(group, n, sums.toSeq))
+      Iterator.single(PlannedGroupRow(group, n, sums.toSeq, posTs, posSeq))
     }
   }
 
@@ -560,9 +569,10 @@ object IncrementalPlanner {
     }
     before.filter(_.live).foreach(b => add(b.group, -1L, b.slots, -1.0))
     cur.filter(_.live).foreach(a => add(a.group, 1L, a.slots, 1.0))
+    val (posTs, posSeq) = cur.map(c => (c.tsUs, c.seq)).getOrElse((0L, 0L))
     net.iterator.collect {
       case (g, (dk, ds)) if dk != 0L || ds.exists(_ != 0.0) =>
-        PlannedDelta(g, dk, ds.toIndexedSeq)
+        PlannedDelta(g, dk, ds.toIndexedSeq, posTs, posSeq)
     }
   }
 
@@ -576,15 +586,16 @@ object IncrementalPlanner {
       changes: Iterator[Change],
       state: GroupState[PlannedContrib]): Iterator[PlannedKeyChange] = {
     val (before, cur) = applyLww(extract)(changes, state)
+    val (posTs, posSeq) = cur.map(c => (c.tsUs, c.seq)).getOrElse((0L, 0L))
     (before.filter(_.live), cur.filter(_.live)) match {
       case (Some(b), Some(a)) if b.group == a.group && b.slots == a.slots => Iterator.empty
       case (Some(b), Some(a)) if b.group == a.group =>
-        Iterator.single(PlannedKeyChange(a.group, key, a.slots, live = true))
+        Iterator.single(PlannedKeyChange(a.group, key, a.slots, live = true, posTs, posSeq))
       case (Some(b), Some(a)) => // group move: leave the old, enter the new
-        Iterator(PlannedKeyChange(b.group, key, Nil, live = false),
-          PlannedKeyChange(a.group, key, a.slots, live = true))
-      case (Some(b), None) => Iterator.single(PlannedKeyChange(b.group, key, Nil, live = false))
-      case (None, Some(a)) => Iterator.single(PlannedKeyChange(a.group, key, a.slots, live = true))
+        Iterator(PlannedKeyChange(b.group, key, Nil, live = false, posTs, posSeq),
+          PlannedKeyChange(a.group, key, a.slots, live = true, posTs, posSeq))
+      case (Some(b), None) => Iterator.single(PlannedKeyChange(b.group, key, Nil, live = false, posTs, posSeq))
+      case (None, Some(a)) => Iterator.single(PlannedKeyChange(a.group, key, a.slots, live = true, posTs, posSeq))
       case (None, None)    => Iterator.empty
     }
   }
@@ -601,13 +612,16 @@ object IncrementalPlanner {
       changes: Iterator[PlannedKeyChange],
       state: GroupState[PlannedGroupContribs]): Iterator[PlannedGroupRow] = {
     val before = state.getOption.map(_.contribs).getOrElse(Map.empty[Long, Seq[Double]])
+    var posTs  = 0L
+    var posSeq = 0L
     val after = changes.foldLeft(before) { (m, c) =>
+      if (c.tsUs > posTs || (c.tsUs == posTs && c.seq > posSeq)) { posTs = c.tsUs; posSeq = c.seq }
       if (c.live) m + (c.key -> c.slots) else m - c.key
     }
     if (after == before) Iterator.empty // batch net-cancelled
     else if (after.isEmpty) {
       state.remove()
-      Iterator.single(PlannedGroupRow(group, 0L, Seq.fill(slotOps.length)(0.0)))
+      Iterator.single(PlannedGroupRow(group, 0L, Seq.fill(slotOps.length)(0.0), posTs, posSeq))
     } else {
       state.update(PlannedGroupContribs(after))
       val sums = slotOps.zipWithIndex.map { case (op, i) =>
@@ -622,7 +636,7 @@ object IncrementalPlanner {
             if (xs.isEmpty) Double.NaN else xs.max
         }
       }
-      Iterator.single(PlannedGroupRow(group, after.size.toLong, sums))
+      Iterator.single(PlannedGroupRow(group, after.size.toLong, sums, posTs, posSeq))
     }
   }
 
@@ -742,6 +756,54 @@ object IncrementalPlanner {
       case other => throw unsupported(
         s"materializeExpiring covers aggregate views (got ${other.getClass.getSimpleName})")
     }
+
+  /** Stable 64-bit FNV-1a hash of the group string — the change key of
+    * an aggregate view's changefeed (group identity as a Long key).
+    */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** An AGGREGATE view as a [[Change]] stream — the other half of the
+    * composition story (see [[materializeChanges]] for row views): each
+    * emitted group row becomes an upsert keyed by the group's stable
+    * hash with the output columns as the payload, and a `_live_rows=0`
+    * (or HAVING-exit) emission becomes the group's delete. Commit
+    * positions propagate from the underlying contributions (max across
+    * the batch), so downstream LWW consumers — including the planner
+    * itself — keep their ordering contract. This enables AGG-OVER-AGG
+    * layering: a per-city totals view feeding a totals-distribution
+    * view, retractions crossing both layers.
+    */
+  def materializeAggChanges(spark: SparkSession, sql: String,
+      feeds: Map[String, Dataset[Change]]): Dataset[Change] = {
+    val view = spark.sessionState.sqlParser.parsePlan(sql) match {
+      case a: Aggregate => compileAggregate(spark, a, feeds, keepMeta = true)
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => h.child match {
+        case a: Aggregate => compileAggregate(spark, a, feeds, having = Some(h.havingCondition), keepMeta = true)
+        case other        => throw unsupported(s"HAVING over ${other.getClass.getSimpleName}")
+      }
+      case other => throw unsupported(
+        s"materializeAggChanges needs an aggregate SELECT (got ${other.getClass.getSimpleName})")
+    }
+    val outNames = view.df.columns.filterNot(Set("_live_rows", "_group", "_ts_us", "_seq")).toSeq
+    implicit val changeEnc = Encoders.product[Change]
+    view.df.map { r =>
+      val live = r.getAs[Long]("_live_rows") > 0L
+      val payload =
+        if (!live) Map.empty[String, String]
+        else outNames.flatMap(n => Option(r.getAs[Any](n)).map(v => n -> String.valueOf(v))).toMap
+      Change(
+        if (live) "upsert" else "delete",
+        fnv64(r.getAs[String]("_group")),
+        tsOfMicros(r.getAs[Long]("_ts_us")),
+        payload,
+        r.getAs[Long]("_seq"))
+    }
+  }
 
   /** A NON-AGGREGATE view as a [[Change]] stream — the composition
     * primitive: the view's upsert/delete changefeed is itself a feed,

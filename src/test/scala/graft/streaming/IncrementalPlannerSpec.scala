@@ -346,6 +346,48 @@ class IncrementalPlannerSpec extends SparkSpec {
       s"dim delete must retract all subscribed facts: $got2")
   }
 
+  test("#171k agg-over-agg: per-city totals feed a totals-distribution view, retractions cross layers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    // layer 1: city -> total (as a changefeed keyed by group hash)
+    val cityTotals = IncrementalPlanner.materializeAggChanges(
+      spark, "SELECT city, sum(amount) AS total FROM activity GROUP BY city",
+      Map("activity" -> input.toDS()))
+    // layer 2: how many cities sit at each total
+    val dist = IncrementalPlanner.materialize(
+      spark, "SELECT total, count(*) AS n_cities FROM city_totals GROUP BY total",
+      Map("city_totals" -> cityTotals))
+    val q = dist.df.writeStream.format("memory").queryName("pv_dist")
+      .outputMode(dist.outputMode)
+      .option("checkpointLocation", tmp("pvdist")).start()
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "10"), 1L),
+        Change("insert", 2L, ts(1), Map("city" -> "par", "amount" -> "10"), 2L),
+        Change("insert", 3L, ts(2), Map("city" -> "muc", "amount" -> "5"), 3L))
+      q.processAllAvailable()
+      assert(aggState("pv_dist", Seq("total")) == Map(
+        Seq[Any]("10.0") -> Seq[Any](2L), Seq[Any]("5.0") -> Seq[Any](1L)),
+        "initial distribution: two cities at 10, one at 5")
+      // ber's total moves 10 -> 15: layer 2 must retract ber from the
+      // 10-bucket and add it to 15 — a retraction CROSSING both layers
+      input.addData(Change("insert", 4L, ts(10), Map("city" -> "ber", "amount" -> "5"), 4L))
+      q.processAllAvailable()
+      assert(aggState("pv_dist", Seq("total")) == Map(
+        Seq[Any]("10.0") -> Seq[Any](1L), Seq[Any]("5.0") -> Seq[Any](1L),
+        Seq[Any]("15.0") -> Seq[Any](1L)),
+        s"total move must re-bucket the city: ${aggState("pv_dist", Seq("total"))}")
+      // muc empties entirely: its layer-1 tombstone must remove it from
+      // the distribution
+      input.addData(Change("delete", 3L, ts(11), Map.empty, 5L))
+      q.processAllAvailable()
+      assert(aggState("pv_dist", Seq("total")) == Map(
+        Seq[Any]("10.0") -> Seq[Any](1L), Seq[Any]("15.0") -> Seq[Any](1L)),
+        s"emptied city must leave the distribution: ${aggState("pv_dist", Seq("total"))}")
+    } finally q.stop()
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a
