@@ -410,16 +410,18 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("approx_cosine"), col("rn"))
   }
 
-  /** Per-(session, corpus) index memo for the SERVED driver entry: the
-    * r4 verdict's perf item was s05 re-running Lloyd training inline on
-    * every call — the 10× probe measured training dominating at 3.9 s.
-    * A deployment builds the PQ index once per corpus snapshot; this
-    * memo is that lifecycle in miniature (build on first query, serve
-    * codes+codebook from parquet afterwards). Keyed by session so a new
-    * session re-indexes; dead sessions are purged like Tables' memo.
+  /** Per-(app, corpus-snapshot) index memo for the SERVED driver entry:
+    * the r4 verdict's perf item was s05 re-running Lloyd training
+    * inline on every call — the 10× probe measured training dominating
+    * at 3.9 s. A deployment builds the PQ index once per corpus
+    * snapshot; this memo is that lifecycle in miniature (build on first
+    * query, serve codes+codebook from parquet afterwards). Keyed like
+    * [[planeMemo]]: applicationId string (no pinned SparkSession
+    * references) + the corpus FILE FINGERPRINT, so a rewritten corpus
+    * re-indexes automatically instead of serving stale codes.
     */
   private val pqIndexDirs =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+    new scala.collection.concurrent.TrieMap[(String, String, Long), String]
 
   /** s06: PQ ANN served from the persisted index — identical ADC +
     * re-rank dataflow to s05, ZERO Lloyd work on the query path after
@@ -429,12 +431,12 @@ object Similarity {
     * #139 spec additionally asserts served == inline exactly.
     */
   def annPqServed(spark: SparkSession, dir: String, k: Int = 3, rerank: Int = 60): DataFrame = {
-    pqIndexDirs.keySet.foreach { key => if (key._1.sparkContext.isStopped) pqIndexDirs.remove(key) }
-    val indexDir = pqIndexDirs.getOrElseUpdate((spark, dir), {
-      val d = java.nio.file.Files.createTempDirectory("graft_pq_served").toString
-      savePqIndex(spark, dir, d)
-      d
-    })
+    val indexDir = pqIndexDirs.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, corpusFingerprint(spark, dir)), {
+        val d = java.nio.file.Files.createTempDirectory("graft_pq_served").toString
+        savePqIndex(spark, dir, d)
+        d
+      })
     annPqFromIndex(spark, dir, indexDir, k, rerank)
   }
 
