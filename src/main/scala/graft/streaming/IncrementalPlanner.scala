@@ -42,6 +42,17 @@ case class PlannedGroupContribs(contribs: Map[Long, Seq[Double]])
   */
 case class PlannedGroupRow(group: String, live_rows: Long, sums: Seq[Double], tsUs: Long = 0L, seq: Long = 0L)
 
+/** State of a planned ORDER BY…LIMIT view: every live group's current
+  * output row, plus the emission counter (consumers take the max-`_emit`
+  * rows as the current list) — full-group state, because exact top-k
+  * under retraction must PROMOTE a group from below the cut when a
+  * leader drops, which k-bounded state cannot do.
+  */
+case class PlannedTopKState(entries: Map[Long, Map[String, String]], emit: Long)
+
+/** One row of a planned top-k view's refreshed list. */
+case class PlannedTopKRow(_emit: Long, rank: Long, row: Map[String, String])
+
 /** A key's current projected row in a PLANNED select-where view. */
 case class PlannedRow(proj: Map[String, String], tsUs: Long, seq: Long, live: Boolean)
 
@@ -757,6 +768,73 @@ object IncrementalPlanner {
         s"materializeExpiring covers aggregate views (got ${other.getClass.getSimpleName})")
     }
 
+  /** `SELECT … GROUP BY … ORDER BY <col> [ASC|DESC] LIMIT k` as a LIVE
+    * top-k view (the Materialize TOP K shape): the aggregate compiles
+    * to its changefeed ([[aggChangesOf]]) and a final fold holds EVERY
+    * live group's current row, re-emitting the refreshed k-list (rank
+    * column + output columns; consumers keep the max-`_emit` rows)
+    * whenever the batch changed any group. Full-group state is the
+    * correctness requirement, not an accident: deleting a leader must
+    * PROMOTE the best group below the cut, which k-bounded state cannot
+    * see — so state is O(live groups × row width) on ONE shard. That is
+    * the honest cost of exact global top-k under retraction; group
+    * cardinality (not feed size) bounds it, and a deployment needing
+    * bigger group spaces pre-filters with HAVING or runs the
+    * monotone-total [[TopKView]] instead. Sort values coerce
+    * numerically when they parse as numbers, else lexicographic; ties
+    * break by group hash for determinism.
+    */
+  def materializeTopK(spark: SparkSession, sql: String,
+      feeds: Map[String, Dataset[Change]]): PlannedView = {
+    val (k, sortCol, asc, inner) = spark.sessionState.sqlParser.parsePlan(sql) match {
+      case GlobalLimit(Literal(n: Int, _), LocalLimit(_, Sort(Seq(so), true, child, _))) =>
+        val colName = so.child match {
+          case a: UnresolvedAttribute => a.nameParts.last
+          case other                  => throw unsupported(s"ORDER BY over ${other.sql} (name an output column)")
+        }
+        (n, colName, so.direction == Ascending, child)
+      case other => throw unsupported(
+        s"materializeTopK needs SELECT … ORDER BY <col> LIMIT k (got ${other.getClass.getSimpleName})")
+    }
+    val (changes, outNames) = aggChangesOf(spark, inner, feeds)
+    require(outNames.contains(sortCol),
+      s"ORDER BY column '$sortCol' must be one of the view's output columns ${outNames.mkString(", ")}")
+    implicit val stateEnc = Encoders.product[PlannedTopKState]
+    implicit val rowEnc   = Encoders.product[PlannedTopKRow]
+    implicit val longEnc  = Encoders.scalaLong
+    val topRows = changes
+      .groupByKey(_ => 0L) // the one global fold — state ∝ live groups
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(topKFold(k, sortCol, asc))
+      .toDF()
+    val outExprs = col("_emit") +: col("rank") +:
+      outNames.map(n => element_at(col("row"), n).as(n))
+    PlannedView(topRows.select(outExprs: _*), OutputMode.Append())
+  }
+
+  private def topKFold(k: Int, sortCol: String, asc: Boolean)(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[PlannedTopKState]): Iterator[PlannedTopKRow] = {
+    val s0 = state.getOption.getOrElse(PlannedTopKState(Map.empty, 0L))
+    val after = changes.toSeq.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq))
+      .foldLeft(s0.entries) { (m, c) =>
+        if (c.op == "delete") m - c.key else m + (c.key -> c.payload)
+      }
+    if (after == s0.entries) Iterator.empty
+    else {
+      val emit = s0.emit + 1
+      state.update(PlannedTopKState(after, emit))
+      def sortKey(gh: Long, row: Map[String, String]): (Double, Long) = {
+        val v = row.get(sortCol).flatMap(_.toDoubleOption).getOrElse(
+          if (asc) Double.PositiveInfinity else Double.NegativeInfinity)
+        (if (asc) v else -v, gh)
+      }
+      after.toSeq.sortBy { case (gh, row) => sortKey(gh, row) }.take(k)
+        .zipWithIndex.iterator
+        .map { case ((_, row), i) => PlannedTopKRow(emit, i + 1L, row) }
+    }
+  }
+
   /** Stable 64-bit FNV-1a hash of the group string — the change key of
     * an aggregate view's changefeed (group identity as a Long key).
     */
@@ -779,8 +857,12 @@ object IncrementalPlanner {
     * view, retractions crossing both layers.
     */
   def materializeAggChanges(spark: SparkSession, sql: String,
-      feeds: Map[String, Dataset[Change]]): Dataset[Change] = {
-    val view = spark.sessionState.sqlParser.parsePlan(sql) match {
+      feeds: Map[String, Dataset[Change]]): Dataset[Change] =
+    aggChangesOf(spark, spark.sessionState.sqlParser.parsePlan(sql), feeds)._1
+
+  private def aggChangesOf(spark: SparkSession, plan: LogicalPlan,
+      feeds: Map[String, Dataset[Change]]): (Dataset[Change], Seq[String]) = {
+    val view = plan match {
       case a: Aggregate => compileAggregate(spark, a, feeds, keepMeta = true)
       case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => h.child match {
         case a: Aggregate => compileAggregate(spark, a, feeds, having = Some(h.havingCondition), keepMeta = true)
@@ -791,7 +873,7 @@ object IncrementalPlanner {
     }
     val outNames = view.df.columns.filterNot(Set("_live_rows", "_group", "_ts_us", "_seq")).toSeq
     implicit val changeEnc = Encoders.product[Change]
-    view.df.map { r =>
+    val changes = view.df.map { r =>
       val live = r.getAs[Long]("_live_rows") > 0L
       val payload =
         if (!live) Map.empty[String, String]
@@ -803,6 +885,7 @@ object IncrementalPlanner {
         payload,
         r.getAs[Long]("_seq"))
     }
+    (changes, outNames)
   }
 
   /** A NON-AGGREGATE view as a [[Change]] stream — the composition

@@ -388,6 +388,45 @@ class IncrementalPlannerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#171l ORDER BY..LIMIT: live top-k; a retracted leader PROMOTES the group below the cut") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val planned = IncrementalPlanner.materializeTopK(
+      spark, "SELECT city, sum(amount) AS total FROM activity GROUP BY city ORDER BY total DESC LIMIT 2",
+      Map("activity" -> input.toDS()))
+    val q = planned.df.writeStream.format("memory").queryName("pv_topk")
+      .outputMode(planned.outputMode)
+      .option("checkpointLocation", tmp("pvtopk")).start()
+    def current(): Seq[(Long, String, Double)] = {
+      val rows = spark.table("pv_topk").collect().toSeq
+      val last = rows.map(_.getAs[Long]("_emit")).max
+      rows.filter(_.getAs[Long]("_emit") == last)
+        .map(r => (r.getAs[Long]("rank"), r.getAs[String]("city"), r.getAs[String]("total").toDouble))
+        .sortBy(_._1)
+    }
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L),
+        Change("insert", 2L, ts(1), Map("city" -> "par", "amount" -> "30"), 2L),
+        Change("insert", 3L, ts(2), Map("city" -> "muc", "amount" -> "20"), 3L))
+      q.processAllAvailable()
+      assert(current() == Seq((1L, "ber", 50.0), (2L, "par", 30.0)), s"initial top-2: ${current()}")
+      // the leader's only contribution is deleted: muc — previously
+      // BELOW the cut — must be promoted into the list (full-group
+      // state's whole reason to exist)
+      input.addData(Change("delete", 1L, ts(10), Map.empty, 4L))
+      q.processAllAvailable()
+      assert(current() == Seq((1L, "par", 30.0), (2L, "muc", 20.0)),
+        s"retraction must promote from below the cut: ${current()}")
+      // a growing group overtakes: rank order refreshes
+      input.addData(Change("insert", 4L, ts(11), Map("city" -> "muc", "amount" -> "25"), 5L))
+      q.processAllAvailable()
+      assert(current() == Seq((1L, "muc", 45.0), (2L, "par", 30.0)),
+        s"overtake must re-rank: ${current()}")
+    } finally q.stop()
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a
