@@ -124,6 +124,17 @@ object IncrementalPlanner {
     case _          => None
   }
 
+  /** Boolean coercion for logical operators: true booleans pass, the
+    * strings "true"/"false" parse (stringly payloads), anything else is
+    * NULL — a malformed predicate operand filters the row instead of
+    * throwing a ClassCastException in the executor.
+    */
+  private def asBool(v: Any): Option[Boolean] = v match {
+    case b: Boolean => Some(b)
+    case s: String  => s.toBooleanOption
+    case _          => None
+  }
+
   private def cmpVals(a: Any, b: Any): Int = (asNum(a), asNum(b)) match {
     case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
     case _                  => a.toString.compareTo(b.toString)
@@ -153,15 +164,13 @@ object IncrementalPlanner {
       env => child(env).flatMap(v => if (numeric) asNum(v) else Some(v.toString))
     case And(l, r) =>
       val (cl, cr) = (compileExpr(l), compileExpr(r))
-      env => for (a <- cl(env); b <- cr(env)) yield
-        a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+      env => for (a <- cl(env).flatMap(asBool); b <- cr(env).flatMap(asBool)) yield a && b
     case Or(l, r) =>
       val (cl, cr) = (compileExpr(l), compileExpr(r))
-      env => for (a <- cl(env); b <- cr(env)) yield
-        a.asInstanceOf[Boolean] || b.asInstanceOf[Boolean]
+      env => for (a <- cl(env).flatMap(asBool); b <- cr(env).flatMap(asBool)) yield a || b
     case Not(c) =>
       val cc = compileExpr(c)
-      env => cc(env).map(v => !v.asInstanceOf[Boolean])
+      env => cc(env).flatMap(asBool).map(!_)
     case cmp: BinaryComparison =>
       val (cl, cr) = (compileExpr(cmp.left), compileExpr(cmp.right))
       val test: Int => Boolean = cmp match {
