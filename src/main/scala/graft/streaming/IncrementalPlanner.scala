@@ -744,6 +744,11 @@ object IncrementalPlanner {
         case a: Aggregate => compileAggregate(spark, a, feeds, having = Some(h.havingCondition))
         case other        => throw unsupported(s"HAVING over ${other.getClass.getSimpleName}")
       }
+      // SELECT DISTINCT a, b ≡ GROUP BY a, b with no aggregates: the
+      // maintained distinct-values view, tombstoning a value when its
+      // last contributing row leaves
+      case Distinct(p: Project) =>
+        compileAggregate(spark, Aggregate(p.projectList, p.projectList, p.child), feeds)
       case p: Project   => compileProject(spark, p, feeds)
       case other        => throw unsupported(s"top-level ${other.getClass.getSimpleName}")
     }

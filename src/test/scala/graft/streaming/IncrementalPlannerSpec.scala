@@ -427,6 +427,24 @@ class IncrementalPlannerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#171m SELECT DISTINCT maintains the distinct-values view with retraction") {
+    val sql = "SELECT DISTINCT city FROM activity WHERE amount > 4"
+    val feed = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "6"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "par", "amount" -> "9"), 3L),
+      Change("insert", 4L, ts(3), Map("city" -> "muc", "amount" -> "3"), 4L), // filtered out
+      Change("delete", 3L, ts(10), Map.empty, 5L),                            // par's only row
+      Change("delete", 1L, ts(11), Map.empty, 6L),                            // ber keeps key 2
+    )
+    runView(sql, "pv_distinct", feed.map(c => Map("activity" -> Seq(c))))
+    val got = aggState("pv_distinct", Seq("city")).keySet.map(_.head)
+    assert(got == Set("ber"), s"par retracted with its last row, muc never qualified: $got")
+    val parRows = spark.table("pv_distinct").collect()
+      .filter(_.getAs[String]("city") == "par").map(_.getAs[Long]("_live_rows"))
+    assert(parRows.toSeq == Seq(1L, 0L), "par must have entered then tombstoned")
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a
