@@ -325,19 +325,31 @@ object TrainingData {
     * scalar aggregate).
     */
   def qualityDeciles(spark: SparkSession, dir: String, tiles: Int = 10): DataFrame = {
-    val checkedScore = when(col("score").between(0, 1), col("score"))
+    // NULL score (empty/NULL text → 0/0 → NULL) is not an out-of-range
+    // value: it flows through as a NULL band (and drops at the band
+    // join), it must not trip the raise. The error message coalesces so
+    // it can never itself be NULL (a NULL-message raise_error kills the
+    // query with a useless error).
+    val checkedScore = when(col("score").isNull, lit(null))
+      .when(col("score").between(0, 1), col("score"))
       .otherwise(raise_error(concat(
         lit("qualityDeciles: score outside [0,1] breaks the band key: "),
-        col("score").cast("string"))))
+        coalesce(col("score").cast("string"), lit("NULL")))))
     val scored = Tables
       .documents(spark, dir)
       .select(
         col("doc_id"),
+        // try_divide: a zero-length text is NULL score under ANSI and
+        // non-ANSI alike (plain `/` throws DIVIDE_BY_ZERO when ANSI is on)
         round(
-          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") / length(col("text")),
+          try_divide(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double"),
+            length(col("text"))),
           4).as("score"))
       .withColumn("band", floor(checkedScore * 50))
-    val counts = scored.groupBy("band").agg(count(lit(1)).as("cnt"))
+    // NULL bands never survive the equi-join below, so they must not
+    // count toward the corpus total n either — otherwise unscorable
+    // docs would skew every decile boundary
+    val counts = scored.filter(col("band").isNotNull).groupBy("band").agg(count(lit(1)).as("cnt"))
     // exclusive offset (rows in STRICTLY HIGHER bands — rank runs
     // score-desc) AND the corpus total, both from one cross of the tiny
     // band table with itself: a separate scalar count(*) would be the

@@ -48,9 +48,33 @@ object CepStream {
     def matches(c: Char): Boolean = any || chars(c)
   }
 
+  /** Expand a character-class body with rlike semantics: `a-z` ranges
+    * expand inclusively; `-` as the FIRST or LAST char is a literal
+    * (the regex convention). A descending range like `z-a` is rejected
+    * rather than silently matching nothing — fail-fast like the
+    * planner's unsupported-SQL contract.
+    */
+  private[streaming] def classChars(body: String, pattern: String): Set[Char] = {
+    val out = Set.newBuilder[Char]
+    var i   = 0
+    while (i < body.length) {
+      if (i + 2 < body.length && body.charAt(i + 1) == '-') {
+        val (lo, hi) = (body.charAt(i), body.charAt(i + 2))
+        require(lo <= hi, s"descending range '$lo-$hi' in CEP pattern '$pattern'")
+        (lo to hi).foreach(out += _)
+        i += 3
+      } else {
+        out += body.charAt(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
   /** Compile `s[vc]*p`-style patterns into the token vector: literal
-    * chars, `[abc]` classes, `.` wildcard; postfix `*` (zero-or-more),
-    * `+` (one-or-more, desugared to `X X*`), `?` (zero-or-one).
+    * chars, `[abc]` / `[a-z]` classes (ranges expand, `-` first/last is
+    * literal), `.` wildcard; postfix `*` (zero-or-more), `+`
+    * (one-or-more, desugared to `X X*`), `?` (zero-or-one).
     */
   def compile(pattern: String): Vector[Tok] = {
     val toks = Vector.newBuilder[Tok]
@@ -60,7 +84,7 @@ object CepStream {
         case '[' =>
           val close = pattern.indexOf(']', i)
           require(close > i, s"unterminated class in CEP pattern '$pattern'")
-          (pattern.substring(i + 1, close).toSet, false, close + 1)
+          (classChars(pattern.substring(i + 1, close), pattern), false, close + 1)
         case '.' => (Set.empty[Char], true, i + 1)
         case c => (Set(c), false, i + 1)
       }

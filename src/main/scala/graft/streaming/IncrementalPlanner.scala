@@ -115,14 +115,21 @@ object IncrementalPlanner {
   private type Env  = Map[String, String]
   private type Eval = Env => Option[Any]
 
-  private def asNum(v: Any): Option[Double] = v match {
+  /** Numeric coercion for stringly payloads. Non-finite values (a "NaN"
+    * or "Infinity" string, a NaN upstream) are rejected as NULL: a
+    * non-finite value entering signed-delta aggregate state could never
+    * be retracted (Inf − Inf = NaN), so one malformed row would poison
+    * its group's running totals permanently — the same
+    * malformed-operand-filters-the-row stance as [[asBool]].
+    */
+  private def asNum(v: Any): Option[Double] = (v match {
     case d: Double  => Some(d)
     case l: Long    => Some(l.toDouble)
     case i: Int     => Some(i.toDouble)
     case f: Float   => Some(f.toDouble)
     case s: String  => s.toDoubleOption
     case _          => None
-  }
+  }).filter(d => !d.isNaN && !d.isInfinite)
 
   /** Boolean coercion for logical operators: true booleans pass, the
     * strings "true"/"false" parse (stringly payloads), anything else is
@@ -191,10 +198,13 @@ object IncrementalPlanner {
         case _: Divide   => _ / _
         case other => throw unsupported(s"arithmetic ${other.getClass.getSimpleName}")
       }
-      env => for {
+      // non-finite results (x/0 → Infinity, Inf−Inf → NaN) become NULL,
+      // matching Spark's non-ANSI divide-by-zero → NULL and keeping
+      // non-retractable values out of the aggregate state
+      env => (for {
         a <- cl(env); b <- cr(env)
         x <- asNum(a); y <- asNum(b)
-      } yield op(x, y)
+      } yield op(x, y)).filter(r => !r.isNaN && !r.isInfinite)
     case other => throw unsupported(s"expression ${other.getClass.getSimpleName} in ${other.sql}")
   }
 
@@ -583,7 +593,10 @@ object IncrementalPlanner {
     def add(g: String, dk: Long, vs: Seq[Double], sign: Double): Unit = {
       val n = vs.length
       val (k0, a0) = net.getOrElse(g, (0L, Array.fill(n)(0.0)))
-      val a = if (a0.length >= n) a0 else Array.fill(n)(0.0)
+      // widening must PRESERVE already-accumulated deltas (slot arity is
+      // constant per query today, but a silent zero-fill here would be
+      // state corruption if stored arity ever differed)
+      val a = if (a0.length >= n) a0 else java.util.Arrays.copyOf(a0, n)
       vs.zipWithIndex.foreach { case (v, i) => a(i) += sign * v }
       net(g) = (k0 + dk, a)
     }

@@ -39,8 +39,25 @@ import org.apache.spark.sql.functions._
   */
 object JdbcSink {
 
-  /** DDL bootstrap: the target table and the commit-marker table. */
+  /** The table name is interpolated into DDL/DML (JDBC can't
+    * parameterize identifiers), so it must be a plain SQL identifier —
+    * anything else (quotes, spaces, semicolons) is rejected up front
+    * rather than spliced into a statement.
+    */
+  private def checkedIdent(table: String): String = {
+    require(table.matches("[A-Za-z][A-Za-z0-9_]{0,127}"),
+      s"egress table name must be a plain SQL identifier, got '$table'")
+    table
+  }
+
+  /** DDL bootstrap: the target table and the commit-marker table. The
+    * payload column is CLOB, not a sized VARCHAR: encodePayload output
+    * is unbounded (it carries the view's whole map), and a too-long
+    * payload failing the INSERT would abort every retry of its batch —
+    * a poison row permanently wedging the query.
+    */
   def ensureTables(url: String, table: String): Unit = {
+    checkedIdent(table)
     val conn = DriverManager.getConnection(url)
     try {
       def exists(name: String): Boolean = {
@@ -51,7 +68,7 @@ object JdbcSink {
       try {
         if (!exists(table))
           st.executeUpdate(
-            s"CREATE TABLE $table (k BIGINT PRIMARY KEY, payload VARCHAR(4096), ts_us BIGINT, seq BIGINT)")
+            s"CREATE TABLE $table (k BIGINT PRIMARY KEY, payload CLOB, ts_us BIGINT, seq BIGINT)")
         if (!exists("graft_sink_commits"))
           st.executeUpdate(
             "CREATE TABLE graft_sink_commits (table_name VARCHAR(128), batch_id BIGINT, partition_id INT, " +
@@ -70,25 +87,41 @@ object JdbcSink {
     * `beforeCommit` runs after the rows are applied but before the
     * transaction commits — the crash-injection seam.
     *
-    * The batch applies in ONE transaction (coalesce to a single task):
-    * all-or-nothing visibility for the whole micro-batch, and no lock
-    * contention against embedded single-writer stores like Derby (whose
-    * lock manager deadlocks under concurrent writers — a property of
-    * the store, not the protocol). Against a server-grade store,
-    * partition-parallel egress is the same [[applyPartition]] protocol
-    * with the partition id in the marker key: each partition is then
-    * its own atomic exactly-once unit, which is how 1000 executors
-    * write — at the cost of cross-partition batch atomicity.
+    * `parallelism` picks the write topology:
+    *
+    *  - `1` (default): the batch coalesces to one task and applies in
+    *    ONE transaction — all-or-nothing visibility for the whole
+    *    micro-batch, and no lock contention against embedded
+    *    single-writer stores like Derby (whose lock manager deadlocks
+    *    under concurrent writers — a property of the store, not the
+    *    protocol).
+    *  - `> 1` (server-grade MVCC stores): rows hash-repartition by
+    *    `key` into `parallelism` tasks and each runs the SAME
+    *    [[applyPartition]] protocol with its partition id in the
+    *    marker key. Each partition is its own atomic exactly-once
+    *    unit — a replay after a partial failure skips the committed
+    *    partitions via their markers and re-applies only the crashed
+    *    ones (key-hash routing is deterministic at fixed parallelism,
+    *    so a replayed key lands in the same partition). This is how
+    *    1000 executors write, at the cost of cross-partition batch
+    *    atomicity; key-hash routing also keeps any single key's
+    *    DELETE+INSERT serialized within one task.
     */
-  def egress(url: String, table: String, beforeCommit: () => Unit = () => ())(
+  def egress(url: String, table: String, parallelism: Int = 1,
+      beforeCommit: () => Unit = () => ())(
       df: DataFrame, batchId: Long): Unit = {
+    checkedIdent(table)
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val rows = df.select(
       col("key"),
       col("payload"),
       col("deleted"),
       col("tsUs"),
       col("seq"))
-    rows.coalesce(1).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+    val routed =
+      if (parallelism == 1) rows.coalesce(1)
+      else rows.repartition(parallelism, col("key"))
+    routed.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = TaskContext.getPartitionId()
       if (it.hasNext) applyPartition(url, table, batchId, pid, it, beforeCommit)
     }
@@ -97,6 +130,7 @@ object JdbcSink {
   /** One partition's transactional apply. Public for the crash specs. */
   def applyPartition(url: String, table: String, batchId: Long, partitionId: Int,
       rows: Iterator[org.apache.spark.sql.Row], beforeCommit: () => Unit = () => ()): Unit = {
+    checkedIdent(table)
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
@@ -156,6 +190,7 @@ object JdbcSink {
 
   /** Read the egressed table back (spec convenience). */
   def readTable(url: String, table: String): Seq[(Long, String, Long, Long)] = {
+    checkedIdent(table)
     val conn = DriverManager.getConnection(url)
     try {
       val rs = conn.createStatement().executeQuery(s"SELECT k, payload, ts_us, seq FROM $table ORDER BY k")

@@ -110,6 +110,28 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("q74 deciles: NULL scores (empty/NULL text) band as NULL and drop; range raise still fires") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target").toAbsolutePath, "docs_nullscore").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "web", 16L),
+      (2L, "", "en", "web", 0L),                    // len 0 → x/0 → NULL score
+      (3L, null.asInstanceOf[String], "en", "web", 0L), // NULL text → NULL score
+      (4L, "delta!! 123", "en", "web", 11L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // NULL is not out-of-range: the query must complete, NULL-score docs
+    // dropping at the band join rather than killing the query with a
+    // NULL-message raise_error
+    val got = TrainingData.qualityDeciles(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("decile"))).toMap
+    assert(got.keySet == Set(1L, 4L), s"NULL-score docs must drop, scored docs must rank: $got")
+    // decile arithmetic runs over the LIVE count (n=2), not the raw
+    // corpus count (n=4): ranks 1,2 of 2 → deciles 1 and 6
+    assert(got.values.toSet == Set(1L, 6L), s"n must exclude unscorable docs: $got")
+  }
+
   test("q75 chunking: full coverage with exact overlap — reassembly reproduces every token stream") {
     val width = 64; val stride = 48
     val toks = graft.sources.Tables.documents(spark, sf)

@@ -111,6 +111,32 @@ class CepStreamSpec extends SparkSpec {
     }
   }
 
+  test("#173f character-class ranges expand with rlike semantics; descending ranges fail fast") {
+    assert(compile("[a-d]") == Vector(Tok(Set('a', 'b', 'c', 'd'), false)))
+    // '-' first or last in the body is a literal (regex convention)
+    assert(compile("[-ab]") == Vector(Tok(Set('-', 'a', 'b'), false)))
+    assert(compile("[ab-]") == Vector(Tok(Set('a', 'b', '-'), false)))
+    // mixed literals and ranges
+    assert(compile("[xa-cz]") == Vector(Tok(Set('x', 'a', 'b', 'c', 'z'), false)))
+    // descending range: rejected at compile, not silently empty
+    intercept[IllegalArgumentException](compile("[z-a]"))
+    // agreement with Java regex containment on random strings
+    val rnd = new scala.util.Random(11)
+    for (pat <- Seq("[a-c]+d", "x[p-s]?y", "[su-w]*e")) {
+      val toks = compile(pat)
+      def matchStr(s: String): Boolean = {
+        var m   = closure(1L, toks)
+        var acc = accepts(m, toks)
+        s.foreach { c => m = step(m, c, toks); acc ||= accepts(m, toks) }
+        acc
+      }
+      (1 to 300).foreach { _ =>
+        val s = (1 to rnd.nextInt(10)).map(_ => "abcdpqrsuvwxye".charAt(rnd.nextInt(14))).mkString
+        assert(matchStr(s) == pat.r.findFirstIn(s).isDefined, s"'$pat' diverges on '$s'")
+      }
+    }
+  }
+
   test("#173b live CEP equals batch q39 over the full sf0.001 feed") {
     val live = runCep("cep_full", Seq(feed))
     assert(live.keySet == batchTruth.keySet, "every user with events must have a status")

@@ -445,6 +445,33 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(parRows.toSeq == Seq(1L, 0L), "par must have entered then tombstoned")
   }
 
+  test("#171n non-finite arithmetic is SQL NULL: x/0 and 'NaN' payloads drop, retraction stays exact") {
+    // the poisoning condition the fix closes: before, amt/0 put Infinity
+    // into the signed-delta state, and deleting that row later computed
+    // Inf − Inf = NaN — permanently corrupting the group's totals
+    val sql = "SELECT city, count(*) AS rows, count(amt / d) AS n, sum(amt / d) AS s, max(amt / d) AS mx " +
+      "FROM f GROUP BY city"
+    val inserts = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amt" -> "10", "d" -> "2"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amt" -> "8", "d" -> "0"), 2L),   // div-by-zero → NULL
+      Change("insert", 3L, ts(2), Map("city" -> "ber", "amt" -> "NaN", "d" -> "1"), 3L), // NaN string → NULL
+      Change("insert", 4L, ts(3), Map("city" -> "ber", "amt" -> "6", "d" -> "3"), 4L),
+    )
+    // bad rows skip the NULL-respecting aggregates but count toward count(*)
+    runView(sql, "pv_nonfinite_a", Seq(Map("f" -> inserts)))
+    assert(aggState("pv_nonfinite_a", Seq("city")) ==
+      Map(Seq[Any]("ber") -> Seq[Any](4L, 2L, 5.0 + 2.0, 5.0)))
+    // deleting the malformed rows must leave finite, exact totals
+    val deletes = Seq(
+      Change("delete", 2L, ts(10), Map.empty, 5L),
+      Change("delete", 3L, ts(11), Map.empty, 6L),
+    )
+    runView(sql, "pv_nonfinite_b", Seq(Map("f" -> inserts), Map("f" -> deletes)))
+    assert(aggState("pv_nonfinite_b", Seq("city")) ==
+      Map(Seq[Any]("ber") -> Seq[Any](2L, 2L, 7.0, 5.0)),
+      "retracting a once-malformed row must not leave NaN residue")
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a

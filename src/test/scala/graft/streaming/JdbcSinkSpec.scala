@@ -94,4 +94,50 @@ class JdbcSinkSpec extends SparkSpec {
     assert(JdbcSink.readTable(url, table).map(_._1) == Seq(1L, 2L),
       "recovery must apply the batch exactly once")
   }
+
+  test("#174d parallel egress: per-partition markers give partial-failure recovery") {
+    // Derby's embedded lock manager can't host CONCURRENT writers, so
+    // the parallel protocol is spec'd at its seam: each partition of a
+    // parallelism>1 egress runs applyPartition with its own partition
+    // id — here injected directly, as two tasks of the same batch.
+    val url   = freshUrl()
+    val table = "view_d"
+    JdbcSink.ensureTables(url, table)
+    // schema-ful rows (applyPartition reads fields by name)
+    def rowsOf(ks: Long*): Seq[org.apache.spark.sql.Row] =
+      stateDf(ks.map(k => (k, Map("v" -> s"p$k"), false)): _*).collect().toSeq
+    // partition 0 commits; partition 1 crashes before its commit
+    JdbcSink.applyPartition(url, table, batchId = 0L, partitionId = 0, rowsOf(1L, 2L).iterator)
+    intercept[Exception] {
+      JdbcSink.applyPartition(url, table, batchId = 0L, partitionId = 1, rowsOf(3L, 4L).iterator,
+        beforeCommit = () => throw new RuntimeException("crash partition 1"))
+    }
+    assert(JdbcSink.readTable(url, table).map(_._1) == Seq(1L, 2L),
+      "partition 1's rows must have rolled back with its marker")
+    // the batch replays WHOLE (foreachBatch semantics): partition 0
+    // skips via its marker, partition 1 applies — exactly once overall
+    JdbcSink.applyPartition(url, table, batchId = 0L, partitionId = 0, rowsOf(1L, 2L).iterator)
+    JdbcSink.applyPartition(url, table, batchId = 0L, partitionId = 1, rowsOf(3L, 4L).iterator)
+    assert(JdbcSink.readTable(url, table).map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // and a second full replay is a global no-op
+    JdbcSink.applyPartition(url, table, batchId = 0L, partitionId = 0, rowsOf(1L, 2L).iterator)
+    JdbcSink.applyPartition(url, table, batchId = 0L, partitionId = 1, rowsOf(3L, 4L).iterator)
+    assert(JdbcSink.readTable(url, table).map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("#174e unbounded payloads round-trip (CLOB column); hostile table names are rejected") {
+    val url   = freshUrl()
+    val table = "view_e"
+    JdbcSink.ensureTables(url, table)
+    val big = Map("blob" -> ("x" * 100000)) // far past any VARCHAR(4096)
+    JdbcSink.egress(url, table)(stateDf((1L, big, false)), batchId = 0L)
+    val got = JdbcSink.readTable(url, table)
+    assert(got.head._2 == s"blob=${"x" * 100000}", "oversized payload must not poison the batch")
+    intercept[IllegalArgumentException] {
+      JdbcSink.ensureTables(url, "t; DROP TABLE view_e --")
+    }
+    intercept[IllegalArgumentException] {
+      JdbcSink.egress(url, "bad name")(stateDf((1L, Map.empty[String, String], true)), 1L)
+    }
+  }
 }
