@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** A key's current contribution to a PLANNED aggregate view: which group
-  * it counts toward and its value for every aggregate slot.
+/** A key's current contribution to a PLANNED aggregate view: which
+  * group(s) it counts toward and its value for every aggregate slot.
+  * Plural groups because a SLIDING `window(ts, dur, slide)` grouping
+  * places one row in dur/slide windows at once; scalar groupings always
+  * yield exactly one.
   */
-case class PlannedContrib(group: String, slots: Seq[Double], tsUs: Long, seq: Long, live: Boolean)
+case class PlannedContrib(groups: Seq[String], slots: Seq[Double], tsUs: Long, seq: Long, live: Boolean)
 
 /** Signed per-group delta of a planned aggregate view (one slot per
   * aggregate in the SELECT list; `d_keys` tracks live-row count).
@@ -86,6 +89,15 @@ case class PlannedRowChange(op: String, key: Long, proj: Map[String, String], ts
   * wire contract), so the compiled expressions coerce: comparisons and
   * arithmetic go numeric when both operands parse as numbers, else
   * lexicographic — the documented semantic of a schema-on-read feed.
+  *
+  * Temporal views: `GROUP BY window(<ts>, '<dur>'[, '<slide>'])` groups
+  * by the containing time window(s) — the window start (epoch micros)
+  * is a derived group-key column, so windows inherit the full
+  * retraction contract (a late update MOVES the key across windows, an
+  * emptied window tombstones). `<ts>` may be a payload field (epoch
+  * micros or `yyyy-mm-dd hh:mm:ss`) or the reserved `ts_us` (the
+  * change's own commit position). Bounded state on unbounded feeds
+  * comes from [[materializeExpiring]], exactly as for scalar groups.
   *
   * Scale shape: identical to the hand-built views — stage-1 state is
   * sharded by change key, stage-2 by group / join key; nothing here
@@ -210,7 +222,7 @@ object IncrementalPlanner {
 
   private def unsupported(what: String): IllegalArgumentException =
     new IllegalArgumentException(
-      s"IncrementalPlanner supports the SPJA subset (filter/project/key-equi-join/count·sum·avg·min·max); got $what")
+      s"IncrementalPlanner supports the SPJA subset (filter/project/key-equi-join/count·sum·avg·min·max/window grouping); got $what")
 
   // ------------------------------------------------------------------
   // Source compiler: the FROM/WHERE part of the plan → a Change stream
@@ -315,7 +327,113 @@ object IncrementalPlanner {
     t
   }
 
-  private def envOf(c: Change): Env = c.payload + ("key" -> c.key.toString)
+  /** The change's field environment: payload fields plus the reserved
+    * names `key` (the change key) and `ts_us` (the change's commit /
+    * event position as epoch micros) — the latter is what a
+    * `GROUP BY window(ts_us, '1 hour')` grouping reads when the feed's
+    * event time IS its commit time.
+    */
+  private def envOf(c: Change): Env =
+    c.payload + ("key" -> c.key.toString) + ("ts_us" -> CdcMaterializer.micros(c.ts).toString)
+
+  // ------------------------------------------------------------------
+  // Time-window grouping: `window(<tsExpr>, '<dur>'[, '<slide>'])` as a
+  // GROUP BY expression. The window is a DERIVED GROUP KEY (its start
+  // micros), so the whole retraction machinery applies unchanged: a
+  // late UPDATE moves the key's contribution from the wrong window to
+  // the right one (retract + add), a delete retracts, an emptied window
+  // emits its _live_rows=0 tombstone. Semantics: each KEY counts toward
+  // the window(s) of its CURRENT version — the changefeed-native
+  // reading of a windowed view (Materialize's temporal GROUP BY), not
+  // the append-only-event reading (that is [[WindowedAggs]]).
+  // ------------------------------------------------------------------
+  private final case class WindowGrouping(tsF: Eval, durUs: Long, slideUs: Long)
+
+  /** One grouping slot: a scalar expression (one key part) or a window
+    * (one part per containing window — several when sliding).
+    */
+  private sealed trait GroupSlot extends Serializable
+  private final case class ScalarSlot(f: Eval) extends GroupSlot
+  private final case class WindowSlot(w: WindowGrouping) extends GroupSlot
+
+  private def durationUs(s: String): Long = {
+    val pat = "(?i)\\s*(\\d+)\\s*(day|hour|minute|min|second|sec|millisecond|ms|microsecond)s?\\s*".r
+    s match {
+      case pat(n, unit) =>
+        val scale = unit.toLowerCase match {
+          case "day"                => 86400000000L
+          case "hour"               => 3600000000L
+          case "minute" | "min"     => 60000000L
+          case "second" | "sec"     => 1000000L
+          case "millisecond" | "ms" => 1000L
+          case "microsecond"        => 1L
+        }
+        n.toLong * scale
+      case _ => throw unsupported(s"window duration '$s' (use '<n> <unit>', e.g. '1 hour')")
+    }
+  }
+
+  /** Event-time coercion for the window's ts argument: Timestamp
+    * payloads convert, numeric values are taken as epoch MICROS, and
+    * strings try micros-then-`Timestamp.valueOf`. NULL (or unparseable)
+    * event time places the row in NO window — Spark's own windowed
+    * aggregation drops null-timestamp rows the same way.
+    */
+  private def tsMicrosOf(v: Any): Option[Long] = v match {
+    case t: Timestamp => Some(CdcMaterializer.micros(t))
+    case s: String =>
+      s.toLongOption.orElse(
+        scala.util.Try(Timestamp.valueOf(s)).toOption.map(CdcMaterializer.micros))
+    case other => asNum(other).map(_.toLong)
+  }
+
+  /** Start micros of every window containing `t`: the floor-aligned
+    * latest start, walking back by slide while the window still covers
+    * t. Tumbling (slide == dur) yields exactly one.
+    */
+  private def windowStartsOf(w: WindowGrouping, env: Env): Seq[String] =
+    w.tsF(env).flatMap(tsMicrosOf) match {
+      case None => Nil
+      case Some(t) =>
+        val last = Math.floorDiv(t, w.slideUs) * w.slideUs
+        Iterator.iterate(last)(_ - w.slideUs)
+          .takeWhile(s => s > t - w.durUs)
+          .map(_.toString)
+          .toSeq
+    }
+
+  private def compileGroupSlot(e: Expression): GroupSlot = e match {
+    case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("window") =>
+      f.arguments match {
+        case Seq(tsE, Literal(d, _)) =>
+          val dur = durationUs(String.valueOf(litValue(d).getOrElse("")))
+          WindowSlot(WindowGrouping(compileExpr(tsE), dur, dur))
+        case Seq(tsE, Literal(d, _), Literal(sl, _)) =>
+          val dur   = durationUs(String.valueOf(litValue(d).getOrElse("")))
+          val slide = durationUs(String.valueOf(litValue(sl).getOrElse("")))
+          require(slide > 0 && dur > 0, "window duration and slide must be positive")
+          WindowSlot(WindowGrouping(compileExpr(tsE), dur, slide))
+        case other => throw unsupported(
+          s"window(${other.map(_.sql).mkString(",")}) (need window(<ts>, '<dur>'[, '<slide>']))")
+      }
+    case other => ScalarSlot(compileExpr(other))
+  }
+
+  /** Every group key a row belongs to: the cartesian of the slots' part
+    * values — only a window slot can yield ≠1 part, so this is 1 key
+    * for scalar groupings, dur/slide keys under a sliding window, and
+    * NO keys (a dead contribution) when the event time is NULL.
+    */
+  private def groupKeysOf(slots: Seq[GroupSlot], env: Env): Seq[String] =
+    slots
+      .map {
+        case ScalarSlot(f)  => Seq(f(env).map(String.valueOf(_)).getOrElse(NullMark))
+        case WindowSlot(w)  => windowStartsOf(w, env)
+      }
+      .foldLeft(Seq(Vector.empty[String])) { (acc, parts) =>
+        for (a <- acc; p <- parts) yield a :+ p
+      }
+      .map(_.mkString(Sep))
 
   // ------------------------------------------------------------------
   // Aggregate view compilation
@@ -341,7 +459,9 @@ object IncrementalPlanner {
       keepMeta: Boolean = false): PlannedView = {
     val src       = compileSource(spark, agg.child, feeds)
     val preds     = src.filters.map(compileExpr)
-    val groupFns  = agg.groupingExpressions.map(compileExpr)
+    val groupSlots = agg.groupingExpressions.map(compileGroupSlot)
+    require(groupSlots.count(_.isInstanceOf[WindowSlot]) <= 1,
+      "at most one window(...) grouping per view (Spark's own windowed-aggregation rule)")
     val groupSql  = agg.groupingExpressions.map(_.sql)
 
     val slotFns   = scala.collection.mutable.ArrayBuffer.empty[Eval]
@@ -384,16 +504,14 @@ object IncrementalPlanner {
     }
 
     val slots = slotFns.toIndexedSeq
-    // serializable extractor: Change → Option[(groupKey, slot values)];
-    // None = the row does not contribute (filtered out / delete)
-    val extract: Change => Option[(String, Seq[Double])] = { c =>
+    // serializable extractor: Change → Option[(group keys, slot values)];
+    // None = the row does not contribute (filtered out / delete); an
+    // empty key list (NULL window time) is likewise a dead contribution
+    val extract: Change => Option[(Seq[String], Seq[Double])] = { c =>
       val env = envOf(c)
       val pass = preds.forall(p => p(env).contains(true))
       if (!pass) None
-      else {
-        val gk = groupFns.map(g => g(env).map(String.valueOf(_)).getOrElse(NullMark)).mkString(Sep)
-        Some((gk, slots.map(s => s(env).flatMap(asNum).getOrElse(0.0))))
-      }
+      else Some((groupKeysOf(groupSlots, env), slots.map(s => s(env).flatMap(asNum).getOrElse(0.0))))
     }
 
     implicit val contribEnc = Encoders.product[PlannedContrib]
@@ -563,7 +681,7 @@ object IncrementalPlanner {
     * contribution in `(tsUs, seq)` order, update the store, return
     * (pre-batch, post-batch) for the caller to diff.
     */
-  private def applyLww(extract: Change => Option[(String, Seq[Double])])(
+  private def applyLww(extract: Change => Option[(Seq[String], Seq[Double])])(
       changes: Iterator[Change],
       state: GroupState[PlannedContrib]): (Option[PlannedContrib], Option[PlannedContrib]) = {
     val before = state.getOption
@@ -573,10 +691,11 @@ object IncrementalPlanner {
       val stale = cur.exists(s => CdcMaterializer.isStale(s.tsUs, s.seq, tsUs, c.seq))
       if (!stale) {
         cur =
-          if (c.op == "delete") Some(PlannedContrib("", Nil, tsUs, c.seq, live = false))
+          if (c.op == "delete") Some(PlannedContrib(Nil, Nil, tsUs, c.seq, live = false))
           else extract(c) match {
-            case Some((g, vs)) => Some(PlannedContrib(g, vs, tsUs, c.seq, live = true))
-            case None          => Some(PlannedContrib("", Nil, tsUs, c.seq, live = false))
+            // empty group list (NULL window time) = contributes nowhere
+            case Some((gs, vs)) => Some(PlannedContrib(gs, vs, tsUs, c.seq, live = gs.nonEmpty))
+            case None           => Some(PlannedContrib(Nil, Nil, tsUs, c.seq, live = false))
           }
       }
     }
@@ -584,7 +703,7 @@ object IncrementalPlanner {
     (before, cur)
   }
 
-  private def aggFold(extract: Change => Option[(String, Seq[Double])])(
+  private def aggFold(extract: Change => Option[(Seq[String], Seq[Double])])(
       key: Long,
       changes: Iterator[Change],
       state: GroupState[PlannedContrib]): Iterator[PlannedDelta] = {
@@ -600,8 +719,10 @@ object IncrementalPlanner {
       vs.zipWithIndex.foreach { case (v, i) => a(i) += sign * v }
       net(g) = (k0 + dk, a)
     }
-    before.filter(_.live).foreach(b => add(b.group, -1L, b.slots, -1.0))
-    cur.filter(_.live).foreach(a => add(a.group, 1L, a.slots, 1.0))
+    // a sliding-window contribution nets per WINDOW: deltas for windows
+    // the key stays in cancel to zero below and never emit
+    before.filter(_.live).foreach(b => b.groups.foreach(g => add(g, -1L, b.slots, -1.0)))
+    cur.filter(_.live).foreach(a => a.groups.foreach(g => add(g, 1L, a.slots, 1.0)))
     val (posTs, posSeq) = cur.map(c => (c.tsUs, c.seq)).getOrElse((0L, 0L))
     net.iterator.collect {
       case (g, (dk, ds)) if dk != 0L || ds.exists(_ != 0.0) =>
@@ -614,23 +735,27 @@ object IncrementalPlanner {
     * group, what slot values) — the downstream re-aggregation needs to
     * know WHICH contribution left, not by how much a sum moved.
     */
-  private def keyFold(extract: Change => Option[(String, Seq[Double])])(
+  private def keyFold(extract: Change => Option[(Seq[String], Seq[Double])])(
       key: Long,
       changes: Iterator[Change],
       state: GroupState[PlannedContrib]): Iterator[PlannedKeyChange] = {
     val (before, cur) = applyLww(extract)(changes, state)
     val (posTs, posSeq) = cur.map(c => (c.tsUs, c.seq)).getOrElse((0L, 0L))
-    (before.filter(_.live), cur.filter(_.live)) match {
-      case (Some(b), Some(a)) if b.group == a.group && b.slots == a.slots => Iterator.empty
-      case (Some(b), Some(a)) if b.group == a.group =>
-        Iterator.single(PlannedKeyChange(a.group, key, a.slots, live = true, posTs, posSeq))
-      case (Some(b), Some(a)) => // group move: leave the old, enter the new
-        Iterator(PlannedKeyChange(b.group, key, Nil, live = false, posTs, posSeq),
-          PlannedKeyChange(a.group, key, a.slots, live = true, posTs, posSeq))
-      case (Some(b), None) => Iterator.single(PlannedKeyChange(b.group, key, Nil, live = false, posTs, posSeq))
-      case (None, Some(a)) => Iterator.single(PlannedKeyChange(a.group, key, a.slots, live = true, posTs, posSeq))
-      case (None, None)    => Iterator.empty
-    }
+    // per-group set diff (a sliding-window key lives in several groups):
+    // leave groups it left, enter groups it entered, re-emit groups it
+    // stays in only when the slot values changed
+    val bOpt = before.filter(_.live)
+    val aOpt = cur.filter(_.live)
+    val bg = bOpt.map(_.groups.toSet).getOrElse(Set.empty[String])
+    val ag = aOpt.map(_.groups.toSet).getOrElse(Set.empty[String])
+    val slotsChanged = bOpt.map(_.slots) != aOpt.map(_.slots)
+    val exits  = (bg -- ag).iterator.map(g => PlannedKeyChange(g, key, Nil, live = false, posTs, posSeq))
+    val enters = (ag -- bg).iterator.map(g => PlannedKeyChange(g, key, aOpt.get.slots, live = true, posTs, posSeq))
+    val stays  =
+      if (slotsChanged) (ag intersect bg).iterator.map(g =>
+        PlannedKeyChange(g, key, aOpt.get.slots, live = true, posTs, posSeq))
+      else Iterator.empty
+    exits ++ enters ++ stays
   }
 
   /** Stage-2 fold of the MIN/MAX path: maintain the group's per-key

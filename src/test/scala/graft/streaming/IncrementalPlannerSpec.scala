@@ -282,11 +282,11 @@ class IncrementalPlannerSpec extends SparkSpec {
     val fold = IncrementalPlanner.expiring(Some(("1 second", 60000L)),
       (k: Long, cs: Iterator[Change], s: org.apache.spark.sql.streaming.GroupState[PlannedContrib]) =>
         Iterator.empty)
-    val live = PlannedContrib("ber", Seq(10.0), 0L, 1L, live = true)
-    val s1b = st(Some(PlannedContrib("", Nil, 0L, 2L, live = false)), timedOut = false)
+    val live = PlannedContrib(Seq("ber"), Seq(10.0), 0L, 1L, live = true)
+    val s1b = st(Some(PlannedContrib(Nil, Nil, 0L, 2L, live = false)), timedOut = false)
     fold(1L, Iterator.empty, s1b)
     assert(s1b.getTimeoutTimestampMs.isPresent, "dead contribution must schedule its expiry")
-    val s2 = st(Some(PlannedContrib("", Nil, 0L, 2L, live = false)), timedOut = true)
+    val s2 = st(Some(PlannedContrib(Nil, Nil, 0L, 2L, live = false)), timedOut = true)
     assert(fold(1L, Iterator.empty, s2).isEmpty && s2.isRemoved,
       "fired timeout must remove the dead contribution silently")
     val s3 = st(Some(live), timedOut = false)
@@ -443,6 +443,122 @@ class IncrementalPlannerSpec extends SparkSpec {
     val parRows = spark.table("pv_distinct").collect()
       .filter(_.getAs[String]("city") == "par").map(_.getAs[Long]("_live_rows"))
     assert(parRows.toSeq == Seq(1L, 0L), "par must have entered then tombstoned")
+  }
+
+  /** The full sf0.001 events table as a change feed: each event is a
+    * key, commit position = event time (the append-only reading).
+    */
+  private lazy val eventFeed: Seq[Change] = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.events(spark, sf).collect().toSeq
+      .map { r =>
+        Change("insert", r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts"),
+          Map("event_type" -> r.getAs[String]("event_type"),
+            "value" -> r.getAs[Double]("value").toString),
+          r.getAs[Long]("event_id"))
+      }
+      .sortBy(c => (CdcMaterializer.micros(c.ts), c.seq))
+  }
+
+  /** Batch recompute of the q23-shaped windowed aggregate over a feed's
+    * final LWW state: (hour-start micros, event_type) → (n, total).
+    */
+  private def windowTruth(changes: Seq[Change], durUs: Long, slideUs: Long,
+      byType: Boolean): Map[Seq[Any], (Long, Double)] =
+    finalState(changes).toSeq
+      .flatMap { case (k, p) =>
+        val t = changes.filter(_.key == k)
+          .maxBy(c => (CdcMaterializer.micros(c.ts), c.seq))
+        val tUs = CdcMaterializer.micros(t.ts)
+        val last = Math.floorDiv(tUs, slideUs) * slideUs
+        Iterator.iterate(last)(_ - slideUs).takeWhile(_ > tUs - durUs)
+          .map(w => (w, p("event_type"), p("value").toDouble)).toSeq
+      }
+      .groupBy { case (w, et, _) =>
+        if (byType) Seq[Any](w.toString, et) else Seq[Any](w.toString)
+      }
+      .map { case (g, vs) => g -> (vs.size.toLong, vs.map(_._3).sum) }
+
+  test("#171o planned TUMBLING window view == batch recompute over sf0.001 events; late moves retract") {
+    val sql = "SELECT window(ts_us, '1 hour') AS w, event_type, count(*) AS n, sum(value) AS total " +
+      "FROM events GROUP BY window(ts_us, '1 hour'), event_type"
+    val hourUs = 3600L * 1000000
+    def check(table: String, changes: Seq[Change]): Unit = {
+      val got  = aggState(table, Seq("w", "event_type"))
+      val want = windowTruth(changes, hourUs, hourUs, byType = true)
+      assert(got.keySet == want.keySet,
+        s"window-group sets diverge: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+      got.foreach { case (g, vs) =>
+        val (n, total) = want(g)
+        assert(vs.head == n, s"group $g count: ${vs.head} != $n")
+        assert(math.abs(vs(1).asInstanceOf[Double] - total) < 1e-6, s"group $g total: ${vs(1)} != $total")
+      }
+    }
+    runView(sql, "pv_win_a", Seq(Map("events" -> eventFeed)))
+    check("pv_win_a", eventFeed)
+    // cross-check against the BATCH q23 operator itself (hour buckets agree)
+    import org.apache.spark.sql.functions._
+    val q23 = graft.operators.Temporal.tumblingHour(spark, sf)
+      .withColumn("w_us", unix_micros(to_timestamp(col("hour_start"))))
+      .collect()
+      .map(r => Seq[Any](r.getAs[Long]("w_us").toString, r.getAs[String]("event_type")) -> r.getAs[Long]("n"))
+      .toMap
+    val live = aggState("pv_win_a", Seq("w", "event_type"))
+    assert(live.view.mapValues(_.head).toMap == q23, "planned view must agree with the batch q23 operator")
+    // LATE-EVENT RETRACTION: updates move 40 keys ~90 minutes forward
+    // (window move), 20 keys get deleted — the moved keys must leave
+    // their old hour (tombstoning it when emptied) and enter the new one
+    val moved = eventFeed.take(40).map { c =>
+      Change("update", c.key, new java.sql.Timestamp(c.ts.getTime + 90L * 60000),
+        c.payload, c.seq + 1000000L)
+    }
+    val gone = eventFeed.slice(40, 60).map(c =>
+      Change("delete", c.key, new java.sql.Timestamp(c.ts.getTime + 1), Map.empty, c.seq + 1000000L))
+    val all = eventFeed ++ moved ++ gone
+    runView(sql, "pv_win_b", Seq(Map("events" -> eventFeed), Map("events" -> (moved ++ gone))))
+    check("pv_win_b", all)
+  }
+
+  test("#171p planned SLIDING window view == batch recompute (2h window, 1h slide)") {
+    val sql = "SELECT window(ts_us, '2 hours', '1 hour') AS w, count(*) AS n, sum(value) AS total " +
+      "FROM events GROUP BY window(ts_us, '2 hours', '1 hour')"
+    runView(sql, "pv_win_c", Seq(Map("events" -> eventFeed)))
+    val got  = aggState("pv_win_c", Seq("w"))
+    val want = windowTruth(eventFeed, 2 * 3600L * 1000000, 3600L * 1000000, byType = false)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, vs) =>
+      val (n, total) = want(g)
+      assert(vs.head == n, s"group $g count: ${vs.head} != $n")
+      assert(math.abs(vs(1).asInstanceOf[Double] - total) < 1e-6, s"group $g total: ${vs(1)} != $total")
+    }
+    // every event lands in exactly two sliding windows
+    assert(got.values.map(_.head.asInstanceOf[Long]).sum == 2L * eventFeed.size)
+  }
+
+  test("#171q windowed MIN/MAX: extremum leaving a window re-emits the next best per window") {
+    val hourUs = 3600L * 1000000
+    def at(h: Int, m: Int) = new Timestamp(3600000L * h + 60000L * m) // epoch-aligned hours
+    val sql = "SELECT window(ts_us, '1 hour') AS w, max(v) AS mx, min(v) AS mn FROM f " +
+      "GROUP BY window(ts_us, '1 hour')"
+    val base = Seq(
+      Change("insert", 1L, at(0, 5), Map("v" -> "10"), 1L),
+      Change("insert", 2L, at(0, 20), Map("v" -> "50"), 2L), // hour-0 max
+      Change("insert", 3L, at(0, 40), Map("v" -> "7"), 3L),  // hour-0 min
+      Change("insert", 4L, at(1, 10), Map("v" -> "30"), 4L),
+    )
+    // key 2 MOVES to hour 1 (its new version's time): hour 0 must
+    // re-emit max=10, hour 1 must re-emit max=50; deleting key 3
+    // re-emits hour-0 min=10
+    val moves = Seq(
+      Change("update", 2L, at(1, 30), Map("v" -> "50"), 5L),
+      Change("delete", 3L, at(1, 45), Map.empty, 6L),
+    )
+    runView(sql, "pv_win_mm", Seq(Map("f" -> base), Map("f" -> moves)))
+    val got = aggState("pv_win_mm", Seq("w"))
+    assert(got == Map(
+      Seq[Any]((0L * hourUs).toString) -> Seq[Any](10.0, 10.0),
+      Seq[Any]((1L * hourUs).toString) -> Seq[Any](50.0, 30.0)),
+      s"windowed extrema after move+delete: $got")
   }
 
   test("#171n non-finite arithmetic is SQL NULL: x/0 and 'NaN' payloads drop, retraction stays exact") {
