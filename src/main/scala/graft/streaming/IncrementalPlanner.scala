@@ -217,7 +217,75 @@ object IncrementalPlanner {
         a <- cl(env); b <- cr(env)
         x <- asNum(a); y <- asNum(b)
       } yield op(x, y)).filter(r => !r.isNaN && !r.isInfinite)
+    case CaseWhen(branches, elseValue) =>
+      val cbs  = branches.map { case (c, v) => (compileExpr(c), compileExpr(v)) }
+      val cels = elseValue.map(compileExpr)
+      env => cbs.collectFirst { case (c, v) if c(env).flatMap(asBool).contains(true) => v(env) }
+        .getOrElse(cels.flatMap(_(env)))
+    case IsNull(c) =>
+      val cc = compileExpr(c)
+      env => Some(cc(env).isEmpty)
+    case IsNotNull(c) =>
+      val cc = compileExpr(c)
+      env => Some(cc(env).isDefined)
+    case In(value, list) =>
+      val cv = compileExpr(value)
+      val cs = list.map(compileExpr)
+      // three-valued IN: match → true; no match but a NULL candidate →
+      // NULL (it COULD have matched); all non-NULL misses → false
+      env => cv(env).flatMap { v =>
+        val cands = cs.map(_(env))
+        if (cands.exists(_.exists(c => cmpVals(v, c) == 0))) Some(true)
+        else if (cands.exists(_.isEmpty)) None
+        else Some(false)
+      }
+    case f: UnresolvedFunction => compileFunction(f)
     case other => throw unsupported(s"expression ${other.getClass.getSimpleName} in ${other.sql}")
+  }
+
+  /** Scalar functions over the stringly env: the common WHERE/projection
+    * vocabulary (upper/lower/trim/length/substring/concat/coalesce),
+    * each with SQL NULL propagation (concat is NULL if ANY argument is,
+    * per ANSI; coalesce takes the first non-NULL).
+    */
+  private def compileFunction(f: UnresolvedFunction): Eval = {
+    val args = f.arguments.map(compileExpr)
+    def one(g: String => Any): Eval = {
+      require(args.length == 1, s"${f.nameParts.last} takes one argument")
+      env => args.head(env).map(v => g(String.valueOf(v)))
+    }
+    f.nameParts.last.toLowerCase match {
+      case "upper"  => one(_.toUpperCase)
+      case "lower"  => one(_.toLowerCase)
+      case "trim"   => one(_.trim)
+      case "length" => one(_.length.toDouble)
+      case "concat" =>
+        env => {
+          val vs = args.map(_(env))
+          if (vs.exists(_.isEmpty)) None
+          else Some(vs.flatten.map(String.valueOf(_)).mkString)
+        }
+      case "coalesce" =>
+        env => args.iterator.map(_(env)).collectFirst { case Some(v) => v }
+      case "substring" | "substr" =>
+        require(args.length == 2 || args.length == 3,
+          "substring takes (str, pos[, len])")
+        env => for {
+          s   <- args.head(env).map(String.valueOf(_))
+          pos <- args(1)(env).flatMap(asNum).map(_.toInt)
+          len <- if (args.length == 3) args(2)(env).flatMap(asNum).map(_.toInt)
+                 else Some(Int.MaxValue)
+        } yield {
+          // SQL 1-based positions; negative counts from the end; pos 0
+          // behaves as 1 (Spark's substring semantics)
+          val from = if (pos > 0) pos - 1 else if (pos < 0) s.length + pos else 0
+          val lo   = math.max(0, from)
+          // clamp in Long: from + len can exceed Int range
+          val hi   = math.min(s.length.toLong, math.max(lo.toLong, from.toLong + math.max(0, len))).toInt
+          if (lo >= s.length) "" else s.substring(lo, hi)
+        }
+      case other => throw unsupported(s"function $other(...)")
+    }
   }
 
   private def unsupported(what: String): IllegalArgumentException =
@@ -245,32 +313,45 @@ object IncrementalPlanner {
         throw new IllegalArgumentException(s"IncrementalPlanner: unknown feed '$name'; have ${feeds.keys.mkString(", ")}"))
       Source(qualify(feed, name), Nil)
     case j: Join =>
-      if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
-        throw unsupported(s"join type ${j.joinType}")
+      val leftOuter = j.joinType match {
+        case org.apache.spark.sql.catalyst.plans.Inner     => false
+        case org.apache.spark.sql.catalyst.plans.LeftOuter => true
+        case other => throw unsupported(
+          s"join type $other (Inner and LEFT OUTER supported; rewrite RIGHT JOIN as LEFT JOIN)")
+      }
       val cond = j.condition.getOrElse(throw unsupported("join without ON"))
       val (lsrc, rsrc) = (leaf(spark, j.left, feeds), leaf(spark, j.right, feeds))
       implicit val changeEnc = Encoders.product[Change]
+      // a nested-join side has no alias of its own (its fields are
+      // already qualified by the inner sides) — don't re-qualify with ""
+      def qual(alias: String, p: Map[String, String]): Map[String, String] =
+        if (alias.isEmpty) Map.empty else p.map { case (k, v) => s"$alias.$k" -> v }
       def merged(lp: Map[String, String], rp: Map[String, String]): Map[String, String] =
-        lp ++ rp ++
-          lp.map { case (k, v) => s"${lsrc._2}.$k" -> v } ++
-          rp.map { case (k, v) => s"${rsrc._2}.$k" -> v }
+        lp ++ rp ++ qual(lsrc._2, lp) ++ qual(rsrc._2, rp)
       val joined = cond match {
-        // table ⋈ table on the shared change key — the #85 dataflow
+        // table ⋈ table on the shared change key — the #85 dataflow;
+        // LEFT OUTER preserves the left feed (unmatched keys carry no
+        // right fields → their env lookups are SQL NULL)
         case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
             if l.nameParts.last == "key" && r.nameParts.last == "key" =>
-          JoinView.materializeJoin(lsrc._1, rsrc._1).map { jc =>
+          JoinView.materializeJoin(lsrc._1, rsrc._1, leftOuter).map { jc =>
             Change(if (jc.op == "delete") "delete" else "upsert", jc.key,
               tsOfMicros(jc.tsUs), merged(jc.l_payload, jc.r_payload), jc.seq)
           }
         // fact.fkField = dim.key (either way round) — the #108 two-hop
         // FK-join dataflow: facts keyed by own PK, dim fan-out on update,
-        // FK moves re-subscribe. Output keyed by FACT.
+        // FK moves re-subscribe. Output keyed by FACT. LEFT OUTER is the
+        // fact-preserving form, so it requires the FACT on the left.
         case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
             if l.nameParts.last != "key" && r.nameParts.last == "key" =>
-          fkJoin(lsrc, rsrc, l.nameParts.last, factIsLeft = true)
+          // qualified fkField (o.custkey): a nested-join fact side may
+          // carry the same bare field from both inner feeds
+          fkJoin(lsrc, rsrc, l.nameParts.mkString("."), factIsLeft = true, leftOuter)
         case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
             if l.nameParts.last == "key" && r.nameParts.last != "key" =>
-          fkJoin(rsrc, lsrc, r.nameParts.last, factIsLeft = false)
+          if (leftOuter) throw unsupported(
+            "LEFT JOIN preserves the left side; put the fact on the left (<fact>.<fk> = <dim>.key)")
+          fkJoin(rsrc, lsrc, r.nameParts.mkString("."), factIsLeft = false)
         case other => throw unsupported(
           s"join condition ${other.sql} (supported: <a>.key = <b>.key, or <fact>.<fkField> = <dim>.key)")
       }
@@ -285,22 +366,28 @@ object IncrementalPlanner {
     * wins collisions, like the key-equi-join path).
     */
   private def fkJoin(fact: (Dataset[Change], String), dim: (Dataset[Change], String),
-      fkField: String, factIsLeft: Boolean): Dataset[Change] = {
+      fkField: String, factIsLeft: Boolean, leftOuter: Boolean = false): Dataset[Change] = {
     implicit val changeEnc = Encoders.product[Change]
-    JoinView.materializeFkJoin(fact._1, dim._1, fkField).map { jc =>
+    JoinView.materializeFkJoin(fact._1, dim._1, fkField, leftOuter).map { jc =>
       val (lp, la, rp, ra) =
         if (factIsLeft) (jc.fact_payload, fact._2, jc.dim_payload, dim._2)
         else (jc.dim_payload, dim._2, jc.fact_payload, fact._2)
-      val payload = lp ++ rp ++
-        lp.map { case (k, v) => s"$la.$k" -> v } ++
-        rp.map { case (k, v) => s"$ra.$k" -> v }
+      def qual(alias: String, p: Map[String, String]): Map[String, String] =
+        if (alias.isEmpty) Map.empty else p.map { case (k, v) => s"$alias.$k" -> v }
+      val payload = lp ++ rp ++ qual(la, lp) ++ qual(ra, rp)
       Change(if (jc.op == "delete") "delete" else "upsert", jc.fact_key,
         tsOfMicros(jc.tsUs), payload, jc.seq)
     }
   }
 
-  /** A join side must be a bare (possibly aliased) feed — nested
-    * subqueries under a join are outside the SPJA subset.
+  /** A join side: a bare (possibly aliased) feed, or ANOTHER JOIN —
+    * `a JOIN b ... JOIN c ...` parses left-deep, so compiling the inner
+    * join to its changefeed and feeding it to the outer hop layers
+    * 3+-feed views out of the same two-feed dataflows (the planner's
+    * own materializeChanges composition, done internally). The inner
+    * join's payload already carries both sides' qualified fields, so
+    * outer conditions like `f.fk2 = d2.key` resolve through it.
+    * Subqueries (a SELECT under a join) stay outside the subset.
     */
   private def leaf(spark: SparkSession, plan: LogicalPlan,
       feeds: Map[String, Dataset[Change]]): (Dataset[Change], String) = plan match {
@@ -310,6 +397,7 @@ object IncrementalPlanner {
     case r: UnresolvedRelation =>
       val name = r.multipartIdentifier.last
       (feeds.getOrElse(name, throw new IllegalArgumentException(s"unknown feed '$name'")), name)
+    case j: Join => (compileSource(spark, j, feeds).changes, "")
     case other => throw unsupported(s"join input ${other.getClass.getSimpleName}")
   }
 
@@ -936,8 +1024,14 @@ object IncrementalPlanner {
     * numerically when they parse as numbers, else lexicographic; ties
     * break by group hash for determinism.
     */
+  /** `maxGroups` bounds the global fold's state: the fold RAISES when
+    * the live-group count would exceed it, naming the HAVING-prefilter /
+    * TopKView alternatives — an unbounded group space must fail loudly
+    * at the state boundary, not OOM one shard silently at scale.
+    */
   def materializeTopK(spark: SparkSession, sql: String,
-      feeds: Map[String, Dataset[Change]]): PlannedView = {
+      feeds: Map[String, Dataset[Change]],
+      maxGroups: Int = 1000000): PlannedView = {
     val (k, sortCol, asc, inner) = spark.sessionState.sqlParser.parsePlan(sql) match {
       case GlobalLimit(Literal(n: Int, _), LocalLimit(_, Sort(Seq(so), true, child, _))) =>
         val colName = so.child match {
@@ -956,14 +1050,15 @@ object IncrementalPlanner {
     implicit val longEnc  = Encoders.scalaLong
     val topRows = changes
       .groupByKey(_ => 0L) // the one global fold — state ∝ live groups
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(topKFold(k, sortCol, asc))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        topKFold(k, sortCol, asc, maxGroups))
       .toDF()
     val outExprs = col("_emit") +: col("rank") +:
       outNames.map(n => element_at(col("row"), n).as(n))
     PlannedView(topRows.select(outExprs: _*), OutputMode.Append())
   }
 
-  private def topKFold(k: Int, sortCol: String, asc: Boolean)(
+  private def topKFold(k: Int, sortCol: String, asc: Boolean, maxGroups: Int)(
       key: Long,
       changes: Iterator[Change],
       state: GroupState[PlannedTopKState]): Iterator[PlannedTopKRow] = {
@@ -972,6 +1067,10 @@ object IncrementalPlanner {
       .foldLeft(s0.entries) { (m, c) =>
         if (c.op == "delete") m - c.key else m + (c.key -> c.payload)
       }
+    if (after.size > maxGroups) throw new IllegalStateException(
+      s"materializeTopK: ${after.size} live groups exceed maxGroups=$maxGroups — exact top-k under " +
+        "retraction holds EVERY live group on one state shard; prefilter the group space with HAVING, " +
+        "raise maxGroups deliberately, or use the monotone-total TopKView")
     if (after == s0.entries) Iterator.empty
     else {
       val emit = s0.emit + 1

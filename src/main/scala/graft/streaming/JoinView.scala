@@ -42,8 +42,16 @@ object JoinView {
       seq: Long,
   )
 
-  /** Per-key fold. Exposed for direct unit exercise. */
-  def fold(key: Long, changes: Iterator[Sided], state: GroupState[JoinPairState]): Iterator[JoinedChange] = {
+  /** Per-key fold. Exposed for direct unit exercise.
+    *
+    * `leftOuter = true` gives the LEFT-preserving semantic: the key is
+    * visible whenever the LEFT side is live, with the right payload
+    * empty (SQL NULL downstream) while unmatched. The right side
+    * arriving, changing, or dying is then just an UPSERT with the new
+    * pair — in a keyed changefeed, "retract the NULL row and emit the
+    * joined one" collapses to a single upsert of the key.
+    */
+  def fold(leftOuter: Boolean)(key: Long, changes: Iterator[Sided], state: GroupState[JoinPairState]): Iterator[JoinedChange] = {
     val s0 = state.getOption.getOrElse(JoinPairState(None, None, joined = false))
     var l  = s0.left
     var r  = s0.right
@@ -67,10 +75,11 @@ object JoinView {
       .getOrElse((0L, 0L))
     val prevPair = (s0.left.filter(!_.deleted).map(_.payload), s0.right.filter(!_.deleted).map(_.payload))
     val nowPair  = (liveL.map(_.payload), liveR.map(_.payload))
-    val joined   = liveL.nonEmpty && liveR.nonEmpty
+    val joined   = liveL.nonEmpty && (leftOuter || liveR.nonEmpty)
     val out =
       if (joined && (!s0.joined || prevPair != nowPair))
-        Iterator.single(JoinedChange("upsert", key, liveL.get.payload, liveR.get.payload, posTs, posSeq))
+        Iterator.single(JoinedChange("upsert", key, liveL.get.payload,
+          liveR.map(_.payload).getOrElse(Map.empty), posTs, posSeq))
       else if (!joined && s0.joined)
         Iterator.single(JoinedChange("delete", key, Map.empty, Map.empty, posTs, posSeq))
       else Iterator.empty
@@ -83,7 +92,8 @@ object JoinView {
     * any downstream transform — including [[CdcMaterializer]]-style
     * re-materialization or a streaming aggregate — composes.
     */
-  def materializeJoin(left: Dataset[Change], right: Dataset[Change]): Dataset[JoinedChange] = {
+  def materializeJoin(left: Dataset[Change], right: Dataset[Change],
+      leftOuter: Boolean = false): Dataset[JoinedChange] = {
     implicit val sidedEnc  = Encoders.product[Sided]
     implicit val stateEnc  = Encoders.product[JoinPairState]
     implicit val joinedEnc = Encoders.product[JoinedChange]
@@ -93,7 +103,7 @@ object JoinView {
       .union(right.map(c => Sided("R", c.op, c.key, c.ts, c.payload, c.seq)))
     tagged
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold(leftOuter))
   }
 
   val outputMode: OutputMode = OutputMode.Append()
@@ -144,14 +154,18 @@ object JoinView {
   /** Hop-1 fold (by fact PK): LWW-apply the batch, then emit the net
     * subscription change. A fact whose payload lacks a parseable fk is
     * treated as unsubscribed (poison tolerance, same stance as
-    * IncrementalView's value parse).
+    * IncrementalView's value parse). A QUALIFIED `fkField` (`o.custkey`)
+    * resolves qualified-first then bare — the planner passes qualified
+    * names so a nested-join fact carrying the same bare field from two
+    * inner feeds stays unambiguous.
     */
   def factSubs(fkField: String)(
       factKey: Long,
       changes: Iterator[Change],
       state: GroupState[FactState]): Iterator[FkEvent] = {
+    val bareField = fkField.substring(fkField.lastIndexOf('.') + 1)
     def parseFk(p: Map[String, String]): Option[Long] =
-      p.get(fkField).flatMap(s => scala.util.Try(s.toLong).toOption)
+      p.get(fkField).orElse(p.get(bareField)).flatMap(s => scala.util.Try(s.toLong).toOption)
     val before = state.getOption
     var cur    = before
     changes.toSeq.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq)).foreach { c =>
@@ -191,8 +205,14 @@ object JoinView {
     * set before and after the batch. Per-batch cost is O(subscribed facts)
     * only when the DIM side changed; a fact-only batch touches just the
     * facts it changed.
+    *
+    * `leftOuter = true` is the FACT-preserving semantic: every live
+    * subscribed fact is visible with the dim payload empty (SQL NULL)
+    * while the dim is absent or dead — the dim arriving/dying fans an
+    * upsert (joined ↔ NULL row) out to the subscribed facts instead of
+    * inserting/retracting them.
     */
-  def foldFkGroup(fk: Long, events: Iterator[FkEvent], state: GroupState[FkState]): Iterator[FkJoinedChange] = {
+  def foldFkGroup(leftOuter: Boolean)(fk: Long, events: Iterator[FkEvent], state: GroupState[FkState]): Iterator[FkJoinedChange] = {
     val s0       = state.getOption.getOrElse(FkState(None, Map.empty))
     var dim      = s0.dim
     var facts    = s0.facts
@@ -214,10 +234,13 @@ object JoinView {
         if (e.moved) movedOut += e.factKey
       }
     }
-    val prevVisible: Map[Long, (Map[String, String], Map[String, String])] =
-      s0.dim.filter(!_.deleted).map(d => s0.facts.map { case (k, p) => k -> (p, d.payload) }).getOrElse(Map.empty)
-    val nowVisible: Map[Long, (Map[String, String], Map[String, String])] =
-      dim.filter(!_.deleted).map(d => facts.map { case (k, p) => k -> (p, d.payload) }).getOrElse(Map.empty)
+    def visibleSet(d: Option[SideState], fs: Map[Long, Map[String, String]]) = {
+      val dimPayload = d.filter(!_.deleted).map(_.payload)
+      if (leftOuter) fs.map { case (k, p) => k -> (p, dimPayload.getOrElse(Map.empty[String, String])) }
+      else dimPayload.map(dp => fs.map { case (k, p) => k -> (p, dp) }).getOrElse(Map.empty)
+    }
+    val prevVisible: Map[Long, (Map[String, String], Map[String, String])] = visibleSet(s0.dim, s0.facts)
+    val nowVisible: Map[Long, (Map[String, String], Map[String, String])]  = visibleSet(dim, facts)
     if (facts.isEmpty && dim.isEmpty) state.remove() else state.update(FkState(dim, facts))
     // the triggering commit position: max across the batch's events
     val (posTs, posSeq) = evs.map(e => (CdcMaterializer.micros(e.ts), e.seq)).maxOption.getOrElse((0L, 0L))
@@ -245,7 +268,8 @@ object JoinView {
   def materializeFkJoin(
       facts: Dataset[Change],
       dims: Dataset[Change],
-      fkField: String = "fk"): Dataset[FkJoinedChange] = {
+      fkField: String = "fk",
+      leftOuter: Boolean = false): Dataset[FkJoinedChange] = {
     implicit val factStateEnc = Encoders.product[FactState]
     implicit val fkEventEnc   = Encoders.product[FkEvent]
     implicit val fkStateEnc   = Encoders.product[FkState]
@@ -258,6 +282,6 @@ object JoinView {
     subs
       .union(dimEvents)
       .groupByKey(_.fk)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(foldFkGroup)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(foldFkGroup(leftOuter))
   }
 }

@@ -561,6 +561,170 @@ class IncrementalPlannerSpec extends SparkSpec {
       s"windowed extrema after move+delete: $got")
   }
 
+  test("#171r expression breadth: CASE/IN/IS NULL/string functions through a planned view == batch SQL") {
+    // every added expression node in one view, verified against Spark's
+    // OWN batch evaluation of the identical SQL over the final state
+    val body = "upper(city) AS u, substring(name, 2, 3) AS mid, " +
+      "concat(city, '-', name) AS cn, " +
+      "CASE WHEN amount > 20 THEN 'big' WHEN amount > 5 THEN 'mid' ELSE 'small' END AS band, " +
+      "coalesce(nick, name, 'anon') AS alias " +
+      "FROM f WHERE city IN ('ber', 'par') AND nick IS NULL AND length(trim(name)) >= 3"
+    val sql = s"SELECT $body" // the view's changefeed carries the key itself
+    val feed = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "name" -> "annette", "amount" -> "25"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "par", "name" -> "bo ", "amount" -> "10"), 2L),   // length(trim) 2: out
+      Change("insert", 3L, ts(2), Map("city" -> "ber", "name" -> "cate", "amount" -> "3"), 3L),
+      Change("insert", 4L, ts(3), Map("city" -> "rom", "name" -> "dante", "amount" -> "9"), 4L),  // city out
+      Change("insert", 5L, ts(4), Map("city" -> "par", "name" -> "eva", "amount" -> "8", "nick" -> "e"), 5L), // nick set: out
+      Change("update", 3L, ts(10), Map("city" -> "par", "name" -> "cate", "amount" -> "21"), 6L), // band move
+    )
+    runView(sql, "pv_exprs", Seq(Map("f" -> feed)))
+    val got = rowState("pv_exprs", Seq("u", "mid", "cn", "band", "alias"))
+    // batch truth from Spark SQL itself over the final LWW state
+    import spark.implicits._
+    val fs = finalState(feed)
+    val batch = fs.toSeq.map { case (k, p) =>
+      (k, p.getOrElse("city", null), p.getOrElse("name", null), p.getOrElse("amount", null), p.getOrElse("nick", null))
+    }.toDF("key", "city", "name", "amount", "nick")
+    batch.createOrReplaceTempView("f_batch")
+    val want = spark.sql(s"SELECT key, $body".replace("FROM f ", "FROM f_batch ")).collect()
+      .map(r => r.getAs[Long]("key") ->
+        Seq[Any](r.getAs[String]("u"), r.getAs[String]("mid"), r.getAs[String]("cn"),
+          r.getAs[String]("band"), r.getAs[String]("alias")))
+      .toMap
+    assert(got == want, s"view $got != batch $want")
+    assert(got.keySet == Set(1L, 3L), s"WHERE must keep exactly keys 1,3: ${got.keySet}")
+    assert(got(3L)(3) == "big", "key 3's update must move its CASE band")
+  }
+
+  test("#171s LEFT OUTER key-equi join view: NULL row while unmatched, dim arrival upgrades, dim death downgrades") {
+    val sql = "SELECT l.name, r.amount FROM users l LEFT JOIN orders r ON l.key = r.key"
+    val batches = Seq(
+      // user 1 arrives with NO order: visible with NULL amount
+      Map("users" -> Seq(Change("insert", 1L, ts(0), Map("name" -> "ann"), 1L)),
+        "orders" -> Seq(Change("insert", 2L, ts(0), Map("amount" -> "5"), 1L))), // order for absent user 2
+      // order for user 1 arrives: the NULL row upgrades to the joined row
+      Map("orders" -> Seq(Change("insert", 1L, ts(5), Map("amount" -> "10"), 2L)),
+        "users" -> Seq(Change("insert", 2L, ts(5), Map("name" -> "bob"), 2L))),
+      // order 1 deleted: user 1 DOWNGRADES back to the NULL row;
+      // user 2 deleted: row 2 leaves the view entirely
+      Map("orders" -> Seq(Change("delete", 1L, ts(10), Map.empty, 3L)),
+        "users" -> Seq(Change("delete", 2L, ts(10), Map.empty, 3L))),
+    )
+    // after batch 2: both users joined
+    runView(sql, "pv_lj_mid", batches.take(2))
+    assert(rowState("pv_lj_mid", Seq("name", "amount")) ==
+      Map(1L -> Seq[Any]("ann", "10"), 2L -> Seq[Any]("bob", "5")))
+    // full run: user 1 back to NULL amount, user 2 gone — equal to the
+    // batch LEFT JOIN over final states
+    runView(sql, "pv_lj", batches)
+    val got = rowState("pv_lj", Seq("name", "amount"))
+    assert(got == Map(1L -> Seq[Any]("ann", null)),
+      s"left join final state must keep the unmatched left row with NULL right: $got")
+  }
+
+  test("#171t LEFT OUTER FK join view: facts visible with NULL dim; dim lifecycle fans upserts, not deletes") {
+    val sql = "SELECT f.item, d.city FROM facts f LEFT JOIN dims d ON f.custkey = d.key"
+    val batches = Seq(
+      // two facts subscribe to customer 7 before the dim exists
+      Map("facts" -> Seq(
+        Change("insert", 1L, ts(0), Map("item" -> "a", "custkey" -> "7"), 1L),
+        Change("insert", 2L, ts(1), Map("item" -> "b", "custkey" -> "7"), 2L)),
+        "dims" -> Nil),
+      // the dim arrives: both facts upgrade from NULL city
+      Map("dims" -> Seq(Change("insert", 7L, ts(5), Map("city" -> "ber"), 1L))),
+      // the dim dies: both facts DOWNGRADE to NULL city (not deleted)
+      Map("dims" -> Seq(Change("delete", 7L, ts(10), Map.empty, 2L))),
+    )
+    runView(sql, "pv_fklj_a", batches.take(1))
+    assert(rowState("pv_fklj_a", Seq("item", "city")) ==
+      Map(1L -> Seq[Any]("a", null), 2L -> Seq[Any]("b", null)),
+      "unmatched facts must be visible with NULL dim columns")
+    runView(sql, "pv_fklj_b", batches.take(2))
+    assert(rowState("pv_fklj_b", Seq("item", "city")) ==
+      Map(1L -> Seq[Any]("a", "ber"), 2L -> Seq[Any]("b", "ber")))
+    runView(sql, "pv_fklj_c", batches)
+    assert(rowState("pv_fklj_c", Seq("item", "city")) ==
+      Map(1L -> Seq[Any]("a", null), 2L -> Seq[Any]("b", null)),
+      "dim delete must retract the joined rows back to NULL rows, not remove the facts")
+    // the dim-preserving direction is rejected fast
+    intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT d.city FROM dims d LEFT JOIN facts f ON d.key = f.custkey",
+        Map.empty)
+    }
+  }
+
+  test("#171u 3-table star view: fact JOIN dim1 JOIN dim2 layers through nested join compilation") {
+    // fact orders carry custkey + partkey; the left-deep parse compiles
+    // (orders ⋈ cust) as an inner FK join whose changefeed feeds the
+    // outer FK hop — dim updates/deletes on EITHER dim propagate
+    val sql = "SELECT o.item, c.city, p.color FROM orders o " +
+      "JOIN cust c ON o.custkey = c.key JOIN parts p ON o.partkey = p.key"
+    val batches = Seq(
+      Map(
+        "orders" -> Seq(
+          Change("insert", 1L, ts(0), Map("item" -> "x", "custkey" -> "7", "partkey" -> "3"), 1L),
+          Change("insert", 2L, ts(1), Map("item" -> "y", "custkey" -> "7", "partkey" -> "4"), 2L)),
+        "cust"  -> Seq(Change("insert", 7L, ts(0), Map("city" -> "ber"), 1L)),
+        "parts" -> Seq(Change("insert", 3L, ts(0), Map("color" -> "red"), 1L))),
+      // part 4 arrives late: order 2 becomes visible only now
+      Map("parts" -> Seq(Change("insert", 4L, ts(5), Map("color" -> "blue"), 2L))),
+      // dim updates fan out through BOTH hops; deleting part 3 retracts order 1
+      Map("cust"  -> Seq(Change("update", 7L, ts(10), Map("city" -> "par"), 3L)),
+        "parts"  -> Seq(Change("delete", 3L, ts(10), Map.empty, 3L))),
+    )
+    runView(sql, "pv_star_a", batches.take(1))
+    assert(rowState("pv_star_a", Seq("item", "city", "color")) ==
+      Map(1L -> Seq[Any]("x", "ber", "red")),
+      "only the order whose BOTH dims exist is visible")
+    runView(sql, "pv_star_b", batches.take(2))
+    assert(rowState("pv_star_b", Seq("item", "city", "color")) ==
+      Map(1L -> Seq[Any]("x", "ber", "red"), 2L -> Seq[Any]("y", "ber", "blue")))
+    runView(sql, "pv_star_c", batches)
+    assert(rowState("pv_star_c", Seq("item", "city", "color")) ==
+      Map(2L -> Seq[Any]("y", "par", "blue")),
+      "cust update must fan out; part-3 delete must retract order 1")
+    // aggregates compose over the same nested source
+    val aggSql = "SELECT c.city, count(*) AS n FROM orders o " +
+      "JOIN cust c ON o.custkey = c.key JOIN parts p ON o.partkey = p.key GROUP BY c.city"
+    runView(aggSql, "pv_star_agg", batches)
+    assert(aggState("pv_star_agg", Seq("city")) == Map(Seq[Any]("par") -> Seq[Any](1L)))
+  }
+
+  test("#171v materializeTopK maxGroups guard: state past the bound fails loudly, within it stays green") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sql = "SELECT city, sum(amount) AS total FROM f GROUP BY city ORDER BY total DESC LIMIT 2"
+    def feedOf(n: Int): Seq[Change] = (1 to n).map(i =>
+      Change("insert", i.toLong, ts(i), Map("city" -> s"c$i", "amount" -> i.toString), i.toLong))
+    def run(maxGroups: Int, n: Int, name: String): Unit = {
+      val input   = MemoryStream[Change]
+      val planned = IncrementalPlanner.materializeTopK(spark, sql, Map("f" -> input.toDS()), maxGroups)
+      val q = planned.df.writeStream.format("memory").queryName(name)
+        .outputMode(planned.outputMode)
+        .option("checkpointLocation", tmp(name)).start()
+      try {
+        input.addData(feedOf(n): _*)
+        q.processAllAvailable()
+        // surface a state-shard failure as the query's own exception
+        if (q.exception.isDefined) throw q.exception.get
+      } finally q.stop()
+    }
+    // within the bound: the view works
+    run(maxGroups = 10, n = 5, "pv_topk_ok")
+    val emit = spark.table("pv_topk_ok").collect().map(_.getAs[Long]("_emit")).max
+    val top = spark.table("pv_topk_ok").collect().filter(_.getAs[Long]("_emit") == emit)
+      .map(r => r.getAs[Long]("rank") -> r.getAs[String]("total")).toMap
+    assert(top == Map(1L -> "5.0", 2L -> "4.0"))
+    // past the bound: loud failure naming the alternatives
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(maxGroups = 10, n = 11, "pv_topk_boom")
+    }
+    assert(boom.getCause.getMessage.contains("maxGroups"),
+      s"must name the guard: ${boom.getCause.getMessage}")
+  }
+
   test("#171n non-finite arithmetic is SQL NULL: x/0 and 'NaN' payloads drop, retraction stays exact") {
     // the poisoning condition the fix closes: before, amt/0 put Infinity
     // into the signed-delta state, and deleting that row later computed
