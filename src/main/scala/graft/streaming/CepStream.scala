@@ -150,6 +150,28 @@ object CepStream {
       .groupByKey(_.key)
       .transformWithState(new CepProcessor(pattern), TimeMode.None(), OutputMode.Update())
   }
+
+  /** The WATERMARK-ORDERED variant (the interval-join discipline applied
+    * to CEP): events buffer per key until the watermark passes their
+    * event time, then fold into the NFA in `(ts, event_id)` order — so
+    * the live answer equals batch q39's full-history sort even on feeds
+    * where arrival order and event-time order diverge across
+    * micro-batches, the one divergence [[matches]]' arrival-order
+    * contract admits. The trade: emissions wait out the watermark delay
+    * (confirmation latency = slack), buffered state is
+    * O(events within slack) per key, and an event later than the slack
+    * is dropped by Spark's own stateful-operator late-row filter — the
+    * standard watermark contract, not a new one.
+    */
+  def matchesOrdered(events: Dataset[TypedEvent], pattern: String,
+      watermarkDelay: String = "10 minutes"): Dataset[CepStatus] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[CepStatus]
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(new CepOrderedProcessor(pattern), TimeMode.EventTime(), OutputMode.Update())
+  }
 }
 
 /** The per-key NFA fold (see [[CepStream]]). The pattern ships as its
@@ -188,4 +210,71 @@ class CepProcessor(pattern: String) extends StatefulProcessor[Long, TypedEvent, 
       Iterator.single(CepStatus(key, s.matched, s.matchedAtUs, s.matchedAtEvent, s.nEvents))
     }
   }
+}
+
+/** The watermark-ordered per-key fold (see [[CepStream.matchesOrdered]]):
+  * arrivals buffer in a ListState; the CONFIRMED prefix — events whose
+  * time the watermark has passed — folds into the NFA in `(ts, event_id)`
+  * order, on arrival batches and on event-time timers (a key with
+  * buffered events but no new arrivals still finalizes when the
+  * watermark advances). Spark's stateful late-row filter drops events
+  * older than the watermark before they reach this operator, so the
+  * buffer never sees an event older than anything already folded.
+  */
+class CepOrderedProcessor(pattern: String) extends StatefulProcessor[Long, TypedEvent, CepStatus] {
+  import CepStream._
+
+  @transient private var state: ValueState[CepState]  = _
+  @transient private var buf: ListState[TypedEvent]   = _
+  @transient private lazy val toks: Vector[Tok]       = compile(pattern)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    state = getHandle.getValueState("cep", Encoders.product[CepState], TTLConfig.NONE)
+    buf   = getHandle.getListState("buf", Encoders.product[TypedEvent], TTLConfig.NONE)
+  }
+
+  /** Fold every buffered event with ts ≤ watermark; re-arm a timer for
+    * the earliest still-pending event. Emits one status row when
+    * anything was confirmed.
+    */
+  private def finalizeUpTo(key: Long, wmMs: Long): Iterator[CepStatus] = {
+    val pending      = buf.get().toSeq
+    val (ripe, rest) = pending.partition(e => CdcMaterializer.micros(e.ts) <= wmMs * 1000L)
+    if (rest.nonEmpty)
+      getHandle.registerTimer(rest.map(e => CdcMaterializer.micros(e.ts) / 1000L).min)
+    if (ripe.isEmpty) Iterator.empty
+    else {
+      var s = if (state.exists) state.get()
+              else CepState(closure(1L, toks), matched = false, -1L, -1L, 0L)
+      ripe.sortBy(e => (CdcMaterializer.micros(e.ts), e.eventId)).foreach { e =>
+        e.eventType.headOption.foreach { c =>
+          val next   = step(s.mask, c, toks)
+          val nowAcc = accepts(next, toks)
+          val tsu    = CdcMaterializer.micros(e.ts)
+          s =
+            if (nowAcc && !s.matched) CepState(next, matched = true, tsu, e.eventId, s.nEvents + 1)
+            else s.copy(mask = next, nEvents = s.nEvents + 1)
+        }
+      }
+      state.update(s)
+      buf.clear()
+      if (rest.nonEmpty) buf.put(rest.toArray)
+      Iterator.single(CepStatus(key, s.matched, s.matchedAtUs, s.matchedAtEvent, s.nEvents))
+    }
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[CepStatus] = {
+    val arrivals = rows.toArray
+    if (arrivals.nonEmpty) buf.appendList(arrivals)
+    finalizeUpTo(key, timers.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[CepStatus] =
+    finalizeUpTo(key, timers.getCurrentWatermarkInMs())
 }

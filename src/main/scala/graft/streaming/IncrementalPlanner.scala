@@ -112,6 +112,12 @@ object IncrementalPlanner {
   private val NullMark = "\u0000"
   private val Sep      = "\u0001"
 
+  /** Fixed-point scale of the signed-delta aggregate path: slot values
+    * fold as micro-unit integers (exact in a Double to 2^53, i.e.
+    * totals to ~9.0e9), so add/retract cycles cancel bit-exactly.
+    */
+  private val SlotScale = 1e6
+
   /** A compiled streaming view: the DataFrame to start, and the output
     * mode it needs ([[OutputMode.Update]] for aggregate views,
     * [[OutputMode.Append]] for changefeed views).
@@ -661,7 +667,12 @@ object IncrementalPlanner {
         .toDF()
 
     val parts = split(col("group"), Sep)
-    def slotCol(slot: Int) = element_at(col("sums"), slot + 1)
+    // the signed-delta path folds micro-unit integers ([[SlotScale]] in
+    // aggFold) — descale on emission; the keyed path re-aggregates raw
+    // values and emits them unscaled
+    def slotCol(slot: Int) =
+      if (needsKeyed) element_at(col("sums"), slot + 1)
+      else element_at(col("sums"), slot + 1) / lit(SlotScale)
     val outExprs = outCols.map {
       case GroupOut(idx, name) =>
         val p = element_at(parts, idx + 1)
@@ -808,9 +819,17 @@ object IncrementalPlanner {
       net(g) = (k0 + dk, a)
     }
     // a sliding-window contribution nets per WINDOW: deltas for windows
-    // the key stays in cancel to zero below and never emit
-    before.filter(_.live).foreach(b => b.groups.foreach(g => add(g, -1L, b.slots, -1.0)))
-    cur.filter(_.live).foreach(a => a.groups.foreach(g => add(g, 1L, a.slots, 1.0)))
+    // the key stays in cancel to zero below and never emit.
+    // FIXED-POINT: slot values enter the signed-delta stream as
+    // micro-unit INTEGERS (rint(v·1e6), exact in a Double up to 2^53 ≈
+    // totals of 9e9) so a later retraction subtracts the identical
+    // integer and running totals carry ZERO float residue under churn —
+    // the q12/q80/Lloyd discipline. The trade is micro-unit resolution
+    // on aggregate inputs, documented on [[materialize]]; the min/max
+    // (keyed) path re-aggregates raw values per touch and is exempt.
+    val scaled = (vs: Seq[Double]) => vs.map(v => math.rint(v * SlotScale))
+    before.filter(_.live).foreach(b => b.groups.foreach(g => add(g, -1L, scaled(b.slots), -1.0)))
+    cur.filter(_.live).foreach(a => a.groups.foreach(g => add(g, 1L, scaled(a.slots), 1.0)))
     val (posTs, posSeq) = cur.map(c => (c.tsUs, c.seq)).getOrElse((0L, 0L))
     net.iterator.collect {
       case (g, (dk, ds)) if dk != 0L || ds.exists(_ != 0.0) =>

@@ -137,6 +137,61 @@ class CepStreamSpec extends SparkSpec {
     }
   }
 
+  private def runCepOrdered(name: String, batches: Seq[Seq[TypedEvent]],
+      pattern: String = "s[vc]*p", delay: String = "10 minutes"): Map[Long, Boolean] = withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TypedEvent]
+    val q = CepStream.matchesOrdered(input.toDS(), pattern, delay)
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp(name)).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+        .groupBy(_.getAs[Long]("key"))
+        .map { case (k, rs) => k -> rs.last.getAs[Boolean]("matched") }
+    } finally q.stop()
+  }
+
+  test("#173g watermark-ordered CEP: a cross-batch late event folds in event-time order, matching batch") {
+    def at(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // key 1 receives 'p' FIRST (arrival), then 's' arrives late in a
+    // later micro-batch with an EARLIER event time. Event-time order is
+    // s,p → "sp" matches the pattern; arrival order p,s does not.
+    val batches = Seq(
+      Seq(TypedEvent(2L, 1L, at(5), "p"), TypedEvent(10L, 99L, at(6), "x")),
+      Seq(TypedEvent(1L, 1L, at(0), "s"), TypedEvent(11L, 99L, at(20), "x")), // wm after: min(20)-10 = 10
+      Seq(TypedEvent(12L, 99L, at(40), "x")), // wm 30 → key 1's buffer finalizes via timers
+    )
+    val ordered = runCepOrdered("cep_ord", batches, pattern = "sp")
+    assert(ordered(1L), "event-time order s,p must match 'sp'")
+    // the arrival-order variant provably diverges on the same feed —
+    // this IS the documented contract difference the variant closes
+    val arrival = runCep("cep_arr_div", batches, pattern = "sp")
+    assert(!arrival(1L), "arrival order p,s must NOT match 'sp'")
+    // batch truth over the full history agrees with the ordered variant
+    val history = batches.flatten.filter(_.key == 1L)
+      .sortBy(e => (e.ts.getTime, e.eventId)).map(_.eventType).mkString
+    assert("sp".r.findFirstIn(history).isDefined)
+  }
+
+  test("#173h watermark-ordered CEP == batch truth on a slack-bounded SHUFFLED arrival of the sf0.001 feed") {
+    // perturb arrival order within the watermark slack: sort by
+    // (ts + deterministic jitter < slack) — the ordered variant must
+    // still equal the batch q39 truth; split across 5 micro-batches
+    val rnd = new scala.util.Random(31)
+    val jittered = feed.map(e => (e, CdcMaterializer.micros(e.ts) + rnd.nextInt(8 * 60 * 1000) * 1000L))
+      .sortBy(_._2).map(_._1)
+    val n = (jittered.size + 4) / 5
+    // closing tick far past the end so every buffered event finalizes
+    val closer = TypedEvent(-1L, -1L, new Timestamp(feed.map(_.ts.getTime).max + 3600L * 1000), "x")
+    val batches = jittered.grouped(n).toSeq :+ Seq(closer)
+    val live = runCepOrdered("cep_ord_full", batches, delay = "10 minutes")
+    val diverging = batchTruth.collect { case (k, m) if live.get(k).exists(_ != m) => k }
+    assert(diverging.isEmpty, s"ordered CEP diverges from batch truth for users: ${diverging.take(10)}")
+    assert(batchTruth.keySet.forall(live.contains), "every user must reach a finalized status")
+  }
+
   test("#173b live CEP equals batch q39 over the full sf0.001 feed") {
     val live = runCep("cep_full", Seq(feed))
     assert(live.keySet == batchTruth.keySet, "every user with events must have a status")

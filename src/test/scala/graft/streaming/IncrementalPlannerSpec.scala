@@ -477,7 +477,9 @@ class IncrementalPlannerSpec extends SparkSpec {
       .groupBy { case (w, et, _) =>
         if (byType) Seq[Any](w.toString, et) else Seq[Any](w.toString)
       }
-      .map { case (g, vs) => g -> (vs.size.toLong, vs.map(_._3).sum) }
+      // aggregate totals in MICRO-UNIT integers, the engine's documented
+      // fixed-point semantic — making the equality below BIT-exact
+      .map { case (g, vs) => g -> (vs.size.toLong, vs.map(v => math.rint(v._3 * 1e6)).sum / 1e6) }
 
   test("#171o planned TUMBLING window view == batch recompute over sf0.001 events; late moves retract") {
     val sql = "SELECT window(ts_us, '1 hour') AS w, event_type, count(*) AS n, sum(value) AS total " +
@@ -491,7 +493,7 @@ class IncrementalPlannerSpec extends SparkSpec {
       got.foreach { case (g, vs) =>
         val (n, total) = want(g)
         assert(vs.head == n, s"group $g count: ${vs.head} != $n")
-        assert(math.abs(vs(1).asInstanceOf[Double] - total) < 1e-6, s"group $g total: ${vs(1)} != $total")
+        assert(vs(1) == total, s"group $g total: ${vs(1)} != $total (must be BIT-equal, fixed-point)")
       }
     }
     runView(sql, "pv_win_a", Seq(Map("events" -> eventFeed)))
@@ -529,7 +531,7 @@ class IncrementalPlannerSpec extends SparkSpec {
     got.foreach { case (g, vs) =>
       val (n, total) = want(g)
       assert(vs.head == n, s"group $g count: ${vs.head} != $n")
-      assert(math.abs(vs(1).asInstanceOf[Double] - total) < 1e-6, s"group $g total: ${vs(1)} != $total")
+      assert(vs(1) == total, s"group $g total: ${vs(1)} != $total (must be BIT-equal, fixed-point)")
     }
     // every event lands in exactly two sliding windows
     assert(got.values.map(_.head.asInstanceOf[Long]).sum == 2L * eventFeed.size)
@@ -750,6 +752,34 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(aggState("pv_nonfinite_b", Seq("city")) ==
       Map(Seq[Any]("ber") -> Seq[Any](2L, 2L, 7.0, 5.0)),
       "retracting a once-malformed row must not leave NaN residue")
+  }
+
+  test("#171w fixed-point slots: 1k +x/−x churn cycles end BIT-equal to batch recompute") {
+    // the engine-exactness bar (q12/q80/Lloyd discipline): a group that
+    // survives heavy add/retract churn of a float-unfriendly value
+    // (0.1 has no finite binary expansion) must end with its total
+    // BIT-equal to the batch recompute — Double running totals leave
+    // ~1e-16 residue after ONE cycle; micro-unit integer folds leave none
+    val sql = "SELECT city, sum(amount) AS total, count(*) AS n FROM f GROUP BY city"
+    val stable = Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "0.3"), 1L)
+    // 960 cycles inside batches (netted by stage-1 LWW) + 40 cycles
+    // crossing batch boundaries (each hitting stage-2 retraction
+    // arithmetic) = 1000 +0.1/−0.1 cycles on key 9
+    val inBatchChurn = (1 to 960).flatMap { i =>
+      Seq(
+        Change("insert", 9L, ts(i), Map("city" -> "ber", "amount" -> "0.1"), 2L * i),
+        Change("delete", 9L, ts(i), Map.empty, 2L * i + 1))
+    }
+    val crossBatch = (1 to 40).flatMap { i =>
+      Seq(
+        Map("f" -> Seq(Change("insert", 9L, ts(2000 + 2 * i), Map("city" -> "ber", "amount" -> "0.1"), 4000L + 2 * i))),
+        Map("f" -> Seq(Change("delete", 9L, ts(2001 + 2 * i), Map.empty, 4001L + 2 * i))))
+    }
+    val batches = Seq(Map("f" -> (stable +: inBatchChurn))) ++ crossBatch
+    runView(sql, "pv_churn", batches)
+    val got = aggState("pv_churn", Seq("city"))
+    assert(got == Map(Seq[Any]("ber") -> Seq[Any](0.3, 1L)),
+      s"churned total must be BIT-equal to 0.3 with zero residue: $got")
   }
 
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
