@@ -19,14 +19,15 @@ object Bench {
       try graft.sources.Tables.table(spark, sfDir, t).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
     }
-    // Each query executes twice and the reported time is the per-query
-    // minimum: run 1 additionally pays janino/JIT compilation (5-13 s for
-    // the codegen-heavy dedup operators, measured) that a long-running
-    // changefeed server has always already paid, and taking the min also
-    // rides out this host's bursty CPU-steal noise (back-to-back totals
-    // of 38 s and 258 s were observed for identical code). toRdd forces
-    // full evaluation of every output column; a plain count() would let
-    // Catalyst prune projection-only work.
+    // Each query executes THREE times and the reported time is the
+    // per-query minimum: run 1 additionally pays janino/JIT compilation
+    // (5-13 s for the codegen-heavy dedup operators, measured) that a
+    // long-running changefeed server has always already paid, and
+    // min-of-3 rides out this host\'s bursty CPU-steal noise
+    // (back-to-back totals of 38 s and 258 s were observed for
+    // identical code; r5→r6 drifted ~20% uniformly from steal alone).
+    // toRdd forces full evaluation of every output column; a plain
+    // count() would let Catalyst prune projection-only work.
     // A query that throws is reported as -1 (and counted in "failures"),
     // never as its near-zero failure-path elapsed time — a broken query
     // must make the benchmark look broken, not fast.
@@ -38,17 +39,42 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
-    val run1 = timeAll()
-    val run2 = timeAll()
-    val results = run1.map { case (k, v) =>
-      k -> (if (v < 0 || run2(k) < 0) -1.0 else math.min(v, run2(k)))
+    val runs = Seq(timeAll(), timeAll(), timeAll())
+    val results = runs.head.map { case (k, _) =>
+      val vs = runs.map(_(k))
+      k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmtQs(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failures = results.values.count(_ < 0)
     val total    = results.values.filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    // q01 (scan+filter+project, code pinned since r1) is the DRIFT
+    // NORMALIZER: round-over-round regressions are attributable only
+    // relative to it — queries_norm carries each query / q01, so a
+    // uniform host-steal drift shows as q01 moving with everything else
+    // while a real per-query regression moves its normalized value.
+    val normT = results.getOrElse("q01_filter_project", -1.0)
+    val normed =
+      if (normT > 0) results.map { case (k, v) => k -> (if (v < 0) -1.0 else v / normT) }
+      else Map.empty[String, Double]
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":3,""" +
+        s""""normalizer":"q01_filter_project","normalizer_sec":$normT,""" +
+        s""""queries":${fmtQs(results)},"sf":"$sfDir"}"""
+    println(line)
+    // the driver records only a stdout tail, so the COMPLETE per-query
+    // artifact (all runs + min + normalized) goes to a committed file —
+    // every timing diffable round-over-round
+    val sfName = new java.io.File(sfDir).getName
+    val fullJson =
+      s"""{"sf":"$sfName","cpus":$cpus,"failures":$failures,"total_sec":$total,""" +
+        s""""normalizer":"q01_filter_project","normalizer_sec":$normT,""" +
+        s""""runs":[${runs.map(fmtQs).mkString(",")}],""" +
+        s""""min":${fmtQs(results)},"normalized":${fmtQs(normed)}}"""
+    val outDir = java.nio.file.Paths.get("bench")
+    java.nio.file.Files.createDirectories(outDir)
+    java.nio.file.Files.write(outDir.resolve(s"full_$sfName.json"),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
