@@ -192,6 +192,53 @@ class CepStreamSpec extends SparkSpec {
     assert(batchTruth.keySet.forall(live.contains), "every user must reach a finalized status")
   }
 
+  test("#173i ordered-CEP restart continuity: buffered events and timers survive the checkpoint") { withRocksDb {
+    implicit val enc = Encoders.product[TypedEvent]
+    val srcDir = tmp("ceposrc")
+    val ck     = tmp("cepock")
+    val outDir = tmp("cepoout")
+    val schema = StructType(Seq(
+      StructField("eventId", LongType), StructField("key", LongType),
+      StructField("ts", TimestampType), StructField("eventType", StringType)))
+    def writeFile(name: String, rows: Seq[TypedEvent]): Unit =
+      Files.write(
+        java.nio.file.Paths.get(srcDir, name),
+        rows.map { e =>
+          val iso = java.time.Instant.ofEpochSecond(0, CdcMaterializer.micros(e.ts) * 1000L).toString
+          s"""{"eventId":${e.eventId},"key":${e.key},"ts":"$iso","eventType":"${e.eventType}"}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    def run(): Unit = {
+      val q = CepStream
+        .matchesOrdered(spark.readStream.schema(schema).json(srcDir).as[TypedEvent], "sp", "10 minutes")
+        .toDF()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ck)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def at(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // deployment 1: key 1's 'p' arrives FIRST and buffers (watermark
+    // still behind it when the deployment stops)
+    writeFile("f1.json", Seq(TypedEvent(2L, 1L, at(5), "p"), TypedEvent(10L, 99L, at(6), "x")))
+    run()
+    // deployment 2: the late 's' (earlier event time) joins the
+    // CHECKPOINTED buffer; later traffic advances the watermark so the
+    // pair finalizes in event-time order s,p → match
+    writeFile("f2.json", Seq(TypedEvent(1L, 1L, at(0), "s"), TypedEvent(11L, 99L, at(30), "x")))
+    run()
+    writeFile("f3.json", Seq(TypedEvent(12L, 99L, at(60), "x")))
+    run()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Boolean]("matched"), r.getAs[Long]("n_events")))
+    val key1 = rows.filter(_._1 == 1L).maxBy(_._3)
+    assert(key1._2, s"buffered 'p' must survive the restart and fold AFTER the late 's': $rows")
+    assert(key1._3 == 2L, "both events must fold exactly once across deployments")
+  }}
+
   test("#173b live CEP equals batch q39 over the full sf0.001 feed") {
     val live = runCep("cep_full", Seq(feed))
     assert(live.keySet == batchTruth.keySet, "every user with events must have a status")

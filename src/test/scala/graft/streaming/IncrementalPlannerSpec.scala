@@ -782,6 +782,48 @@ class IncrementalPlannerSpec extends SparkSpec {
       s"churned total must be BIT-equal to 0.3 with zero residue: $got")
   }
 
+  test("#171x windowed view through materializeExpiring: window retraction works, dead state expires") {
+    // the documented composition: the windowed grouping rides the SAME
+    // TTL-bounded dataflow as scalar groups — a delete retracts from its
+    // hour, then the dead stage-1 contribution expires from the store
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Change]
+    val planned = IncrementalPlanner.materializeExpiring(
+      spark,
+      "SELECT window(ts_us, '1 hour') AS w, count(*) AS n, sum(amount) AS total FROM f GROUP BY window(ts_us, '1 hour')",
+      Map("f" -> input.toDS()),
+      watermarkDelay = "1 second", tombstoneTtlMs = 1000L)
+    val q = IncrementalView.withRelaxedWatermarkCheck(spark) {
+      planned.df.writeStream.format("memory").queryName("pv_win_ttl")
+        .outputMode(planned.outputMode)
+        .option("checkpointLocation", tmp("pvwinttl")).start()
+    }
+    try {
+      def at(h: Int, m: Int) = new Timestamp(3600000L * h + 60000L * m)
+      input.addData(
+        Change("insert", 1L, at(0, 5), Map("amount" -> "10"), 1L),
+        Change("insert", 2L, at(0, 20), Map("amount" -> "5"), 2L),
+        Change("insert", 3L, at(1, 10), Map("amount" -> "7"), 3L))
+      q.processAllAvailable()
+      val hourUs = 3600L * 1000000
+      assert(aggState("pv_win_ttl", Seq("w")) == Map(
+        Seq[Any]("0") -> Seq[Any](2L, 15.0),
+        Seq[Any](hourUs.toString) -> Seq[Any](1L, 7.0)))
+      // delete key 2: hour 0 retracts to (1, 10); watermark advances far
+      // past delete+ttl via later traffic so the tombstone expires
+      input.addData(Change("delete", 2L, at(1, 30), Map.empty, 4L))
+      q.processAllAvailable()
+      input.addData(Change("insert", 4L, at(3, 0), Map("amount" -> "1"), 5L))
+      q.processAllAvailable()
+      input.addData(Change("insert", 5L, at(5, 0), Map("amount" -> "2"), 6L))
+      q.processAllAvailable()
+      val hour0 = aggState("pv_win_ttl", Seq("w")).get(Seq[Any]("0"))
+      assert(hour0.contains(Seq[Any](1L, 10.0)),
+        s"hour-0 retraction must survive tombstone expiry: $hour0")
+    } finally q.stop()
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a
