@@ -155,6 +155,8 @@ object SparkEntry {
     "q81_sliding_distinct"      -> ((s, d) => Temporal.slidingDistinct(GraftSession.tune(s), d)),
     "q82_twap"                  -> ((s, d) => Temporal.twap(GraftSession.tune(s), d)),
     "q83_ohlc_hourly"           -> ((s, d) => Temporal.ohlc(GraftSession.tune(s), d)),
+    "q84_triangle_stats"        -> ((s, d) => Relational.triangleStats(GraftSession.tune(s), d)),
+    "q85_skew_diagnostics"      -> ((s, d) => Relational.skewDiagnostics(GraftSession.tune(s), d)),
     "t13_gopher_quality"        -> ((s, d) => TextAnalysis.gopherQuality(GraftSession.tune(s), d)),
   )
 
@@ -1433,6 +1435,31 @@ object SparkEntry {
         |    FROM edges e JOIN r2 ON r2.node = e.s JOIN deg g ON g.node = e.s
         |    GROUP BY e.d) i USING (node))
         |SELECT node AS part, r AS rank_micro FROM r3""".stripMargin,
+    // q84: forward-edge (a<b) triangle enumeration — every triangle
+    // produced once; wedge counts exact (deg·(deg−1) is even)
+    "q84_triangle_stats" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tpn AS (SELECT part, count(*) AS n_triangles FROM (
+        |    SELECT x AS part FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) t
+        |  GROUP BY 1),
+        |deg AS (SELECT part, count(*) AS degree FROM (
+        |    SELECT a AS part FROM e UNION ALL SELECT b FROM e) d GROUP BY 1)
+        |SELECT deg.part, deg.degree, coalesce(tpn.n_triangles, 0) AS n_triangles,
+        |  CAST(deg.degree * (deg.degree - 1) / 2 AS BIGINT) AS n_wedges
+        |FROM deg LEFT JOIN tpn ON deg.part = tpn.part""".stripMargin,
+    // q85: integer-permille skew factors; deterministic top-N via the
+    // (n DESC, key) tiebreak on both engines
+    "q85_skew_diagnostics" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |s AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+        |SELECT c.l_suppkey, c.n,
+        |  CAST(c.n * s.n_keys * 1000 // CAST(s.total AS BIGINT) AS BIGINT) AS skew_permille
+        |FROM c, s ORDER BY c.n DESC, c.l_suppkey LIMIT 20""".stripMargin,
     // m03: oracle predicts the luma mean over the SAMPLED (every-2nd)
     // frames arithmetically from the animated two-band layout
     "m03_video_pipeline" ->

@@ -715,6 +715,75 @@ object Relational {
     rank.select(col("node").as("part"), col("r").as("rank_micro"))
   }
 
+  /** q84: graph analytics over the derived part co-occurrence graph —
+    * per-node triangle participation and wedge counts (the local
+    * clustering coefficient's exact numerator/denominator, kept as
+    * LONGS so the contract is hash-exact; the coefficient itself is
+    * their ratio, a presentation detail).
+    *
+    * Triangle enumeration uses the forward-edge ordering trick (every
+    * edge stored a<b, triangles joined as (a,b)⋈(b,c)⋈(a,c)): each
+    * triangle is produced exactly once, and the join fan-out is bounded
+    * by FORWARD degree — the standard distributed triangle-count shape
+    * (node-iterator++), which at 100 TB keeps the quadratic step on the
+    * ordered half of each adjacency list instead of full degree. The
+    * edge list derives once and localCheckpoints (lazy) because three
+    * self-joins would otherwise re-derive the q54 aggregate three
+    * times. Wedges = deg·(deg−1)/2 — exact (the product is even).
+    */
+  def triangleStats(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+    val edges = partCooccurrence(spark, dir, minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+      .localCheckpoint(false)
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"), col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val triPerNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(col("a").as("part"))
+      .union(edges.select(col("b").as("part")))
+      .groupBy("part")
+      .agg(count(lit(1)).as("degree"))
+    deg
+      .join(triPerNode, Seq("part"), "left")
+      .select(
+        col("part"),
+        col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("CAST(degree * (degree - 1) / 2 AS BIGINT)").as("n_wedges"))
+  }
+
+  /** q85: key-skew diagnostics — the operability primitive that decides
+    * WHETHER a join needs q62's salting or an AQE skew hint before it
+    * burns a cluster: per-key frequency of a join key with each heavy
+    * key's skew factor as an exact integer permille of the uniform
+    * share (n·n_keys·1000 DIV total — longs end-to-end, hash-exact).
+    * One map-side-combined count, a broadcast of the 3-number global
+    * stats row, and a global top-N (TakeOrdered — no full sort) over
+    * the heaviest keys: nothing here grows with table size except the
+    * first aggregate's key space.
+    */
+  def skewDiagnostics(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val counts = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      sum("n").as("total"),
+      count(lit(1)).as("n_keys"))
+    counts
+      .crossJoin(broadcast(stats))
+      .select(
+        col("l_suppkey"),
+        col("n"),
+        expr("CAST(n * n_keys * 1000 DIV total AS BIGINT)").as("skew_permille"))
+      .orderBy(col("n").desc, col("l_suppkey"))
+      .limit(topN)
+  }
+
   /** q76: COUNT(DISTINCT …) OVER a partition — SQL surface Spark's
     * window operator refuses outright (`DISTINCT_WINDOW_FUNCTION_
     * UNSUPPORTED`), expressed with the dense_rank identity: the number
