@@ -142,6 +142,7 @@ object SparkEntry {
     // round+id tiebreaks) -> hash-exact oracle
     "s07_ann_graph"             -> ((s, d) => Similarity.annGraph(GraftSession.tune(s), d)),
     "d11_unicode_dedup"         -> ((s, d) => Dedup.unicodeDedup(GraftSession.tune(s), d)),
+    "d12_semdedup"              -> ((s, d) => Similarity.semDedup(GraftSession.tune(s), d)),
     // all-pairs top-k: deterministic bucketed self-join + bounded TopK
     // aggregate (no Window over candidate pairs) -> hash-exact
     "s08_knn_join"              -> ((s, d) => Similarity.knnJoin(GraftSession.tune(s), d)),
@@ -213,6 +214,30 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
        |FROM r WHERE rn <= 3""".stripMargin
 
+  // d12: replay the s04 cluster assignment, then the in-cluster integer
+  // cosine-threshold test in HUGEINT (Spark side: DECIMAL(38)) — the
+  // survivor set is exact integer arithmetic end-to-end.
+  private lazy val d12OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+       |  ${sqlMicro("embedding")} AS xi
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, xi AS ci, ${sqlDotI("xi", "xi")} AS c2
+       |  FROM e WHERE vec_id < 16),
+       |${ivfAssignSql("c0", "a1")},
+       |${ivfRecomputeSql("a1", "c1")},
+       |${ivfAssignSql("c1", "a2")},
+       |${ivfRecomputeSql("a2", "c2t")},
+       |${ivfAssignSql("c2t", "cells")},
+       |a AS (SELECT vec_id, cid, xi, ${sqlDotI("xi", "xi")} AS x2 FROM cells),
+       |dup AS (SELECT DISTINCT r.vec_id
+       |  FROM a l JOIN a r ON l.cid = r.cid AND l.vec_id < r.vec_id
+       |  WHERE ${sqlDotI("l.xi", "r.xi")} >= 0
+       |    AND CAST(${sqlDotI("l.xi", "r.xi")} AS HUGEINT) * ${sqlDotI("l.xi", "r.xi")} * 1000000
+       |        >= 62500 * CAST(l.x2 AS HUGEINT) * r.x2)
+       |SELECT vec_id, CAST(cid AS INT) AS cid FROM a
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin
+
   private def pqAssignSql(cb: String, out: String): String =
     s"""${out}_s AS (SELECT s.vec_id, s.j, s.svi, c.code,
        |  row_number() OVER (PARTITION BY s.vec_id, s.j
@@ -269,6 +294,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "s04_ann_ivf" -> s04OracleSql,
+    "d12_semdedup" -> d12OracleSql,
     "s05_ann_pq" -> s05OracleSql,
     "s06_ann_pq_served" -> s05OracleSql,
     "q01_filter_project" ->

@@ -656,4 +656,46 @@ object Similarity {
         round(avg(l2Norm(col("embedding"))), 4).as("avg_norm"),
         round(avg(size(col("embedding"))), 4).as("avg_dim"),
       )
+
+  /** d12: SemDeDup-style cluster-level semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space with the s04
+    * fixed-point Lloyd quantizer (bit-deterministic training), then
+    * inside each cluster drop every vector that has a LOWER-id neighbor
+    * above the cosine threshold — survivors are the canonical semantic
+    * representatives, one per tight semantic neighborhood, without any
+    * corpus-wide pair enumeration.
+    *
+    * Exactness: the threshold test never touches floats. With micro-unit
+    * integer vectors, `cos(x,y) >= τ` (τ = tauPermille/1000) is decided
+    * as `x·y >= 0 AND 1e6·(x·y)² >= τ²_permille·|x|²·|y|²` — all terms
+    * exact integers (≤ ~3e32 for 64-dim unit-scale inputs, inside
+    * DECIMAL(38) / DuckDB HUGEINT), so the survivor set is
+    * engine-identical and the DuckDB oracle replays it hash-exact.
+    *
+    * Scale shape: Lloyd cost is the s04 index (built once per corpus
+    * snapshot); in-cluster verify is all-pairs ONLY within a cell, so
+    * the cost model is cell size, exactly like d05's buckets — size
+    * k ≈ n/targetCell (SemDeDup's own regime: tens of thousands of
+    * clusters for billions of docs) and the quadratic term stays
+    * constant as the corpus grows. Default τ=0.25 is calibrated to the
+    * near-isotropic synthetic corpus (max pairwise cosine ~0.51, same
+    * reasoning as d05); real text embeddings would use 0.9+.
+    */
+  def semDedup(spark: SparkSession, dir: String, tauPermille: Long = 250L): DataFrame = {
+    val a = ivfIndex(Tables.embeddings(spark, dir))._1
+      .select(col("vec_id"), col("cid"), col("xi"))
+      .withColumn("x2", dotLong(col("xi"), col("xi")))
+      .localCheckpoint(false) // three consumers below; never re-run Lloyd
+    val tau2 = tauPermille * tauPermille
+    val dup = a.as("l")
+      .join(a.as("r"), col("l.cid") === col("r.cid") && col("l.vec_id") < col("r.vec_id"))
+      .withColumn("d", dotLong(col("l.xi"), col("r.xi")))
+      .filter(col("d") >= 0L &&
+        col("d").cast("decimal(20,0)") * col("d").cast("decimal(20,0)") * lit(1000000L) >=
+          lit(tau2) * col("l.x2").cast("decimal(20,0)") * col("r.x2").cast("decimal(20,0)"))
+      .select(col("r.vec_id").as("vec_id"))
+      .distinct()
+    a.join(dup, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid").cast("int").as("cid"))
+  }
 }

@@ -147,6 +147,49 @@ class PageRankSpec extends SparkSpec {
   }
 }
 
+class GraphStatsSpec extends SparkSpec {
+  test("q84: triangle/wedge counts equal a single-threaded adjacency-set reference") {
+    val got = Relational.triangleStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("part") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"), r.getAs[Long]("n_wedges")))).toMap
+    val edges = Relational.partCooccurrence(spark, sf).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))).toSet
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val triRef = adj.keys.map { v =>
+      val nbrs = adj(v).toSeq
+      // count unordered neighbor pairs that close the triangle
+      v -> nbrs.combinations(2).count { case Seq(x, y) =>
+        edges.contains((x min y, x max y))
+      }.toLong
+    }.toMap
+    assert(got.keySet == adj.keySet)
+    got.foreach { case (v, (deg, tri, wed)) =>
+      assert(deg == adj(v).size.toLong, s"degree of $v")
+      assert(tri == triRef(v), s"triangles of $v")
+      assert(wed == deg * (deg - 1) / 2, s"wedges of $v")
+    }
+    // global invariant: each triangle contributes 3 participations, divisible by 3
+    assert(got.values.map(_._2).sum % 3 == 0)
+  }
+
+  test("q85: skew permille is exact integer arithmetic and ordering is deterministic") {
+    val rows = Relational.skewDiagnostics(spark, sf, topN = 10).collect()
+    assert(rows.length == 10)
+    val counts = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_suppkey").count().collect()
+      .map(r => r.getAs[Long]("l_suppkey") -> r.getAs[Long]("count")).toMap
+    val total = counts.values.sum
+    val nKeys = counts.size.toLong
+    // rows are the true top-10 by (n desc, key asc)
+    val expTop = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+    assert(rows.map(r => (r.getAs[Long]("l_suppkey"), r.getAs[Long]("n"))).toSeq == expTop)
+    rows.foreach { r =>
+      val exp = r.getAs[Long]("n") * nKeys * 1000L / total
+      assert(r.getAs[Long]("skew_permille") == exp)
+    }
+  }
+}
+
 class TemporalSpec extends SparkSpec {
   test("q21 latest state: exactly one row per user") {
     val df = Temporal.cdcLatestState(spark, sf)
@@ -596,6 +639,42 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.embeddingStats(spark, sf).collect()
     assert(rows.length == 10)
     assert(rows.forall { r => val n = r.getAs[Double]("avg_norm"); n > 0.1 && n < 10 })
+  }
+
+  test("d12 semdedup: survivors are the greedy by-id independent set per cluster") {
+    val tau = 250L
+    val survivors = Similarity.semDedup(spark, sf, tau).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+    // reference geometry: same micro quantization as the operator
+    val xi = graft.sources.Tables.embeddings(spark, sf).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+    }.toMap
+    def passesTau(a: Array[Long], b: Array[Long]): Boolean = {
+      val d  = a.zip(b).map { case (x, y) => x * y }.sum
+      val x2 = a.map(x => x * x).sum
+      val y2 = b.map(y => y * y).sum
+      d >= 0 && BigInt(d) * BigInt(d) * 1000000 >= BigInt(tau * tau) * BigInt(x2) * BigInt(y2)
+    }
+    val cid = Similarity.ivfIndex(graft.sources.Tables.embeddings(spark, sf))._1
+      .select("vec_id", "cid").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+    assert(survivors.nonEmpty && survivors.size < cid.size, "some but not all must survive")
+    survivors.foreach { case (v, c) => assert(cid(v) == c, s"cluster of survivor $v") }
+    // (1) survivors are pairwise below tau within a cluster
+    val byCluster = survivors.keys.toSeq.groupBy(cid)
+    byCluster.values.foreach { vs =>
+      vs.combinations(2).foreach { case Seq(x, y) =>
+        assert(!passesTau(xi(x), xi(y)), s"surviving pair ($x,$y) is above tau")
+      }
+    }
+    // (2) every dropped vector has a lower-id in-cluster neighbor above tau
+    (cid.keySet -- survivors.keySet).foreach { v =>
+      val hit = cid.keys.exists(u => u < v && cid(u) == cid(v) && passesTau(xi(u), xi(v)))
+      assert(hit, s"dropped $v has no lower-id above-tau neighbor")
+    }
+    // (3) the smallest vec_id of each cluster always survives
+    cid.keys.toSeq.groupBy(cid).values.foreach(vs => assert(survivors.contains(vs.min)))
   }
 }
 
