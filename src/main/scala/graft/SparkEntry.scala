@@ -148,6 +148,7 @@ object SparkEntry {
     "s08_knn_join"              -> ((s, d) => Similarity.knnJoin(GraftSession.tune(s), d)),
     "q74_quality_deciles"       -> ((s, d) => TrainingData.qualityDeciles(GraftSession.tune(s), d)),
     "q75_chunk_overlap"         -> ((s, d) => TrainingData.chunkOverlap(GraftSession.tune(s), d)),
+    "q86_global_shard_ids"      -> ((s, d) => TrainingData.globalShardIds(GraftSession.tune(s), d)),
     "q76_windowed_distinct"     -> ((s, d) => Relational.windowedDistinct(GraftSession.tune(s), d)),
     "q77_hierarchy_rollup"      -> ((s, d) => Relational.hierarchyRollup(GraftSession.tune(s), d)),
     "q78_event_transitions"     -> ((s, d) => Temporal.eventTransitions(GraftSession.tune(s), d)),
@@ -1362,6 +1363,13 @@ object SparkEntry {
         |  CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS n_tokens,
         |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
         |FROM e""".stripMargin,
+    // q86: the oracle states the global order directly; Spark computes
+    // the identical rank via the band prefix-sum (no SinglePartition)
+    "q86_global_shard_ids" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS seq,
+        |  (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8 AS shard
+        |FROM documents""".stripMargin,
     // q76: DuckDB supports DISTINCT window aggregates natively — the
     // oracle states the semantics directly; Spark computes it via the
     // max-dense_rank identity

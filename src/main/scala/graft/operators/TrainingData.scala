@@ -372,6 +372,49 @@ object TrainingData {
       )
   }
 
+  /** q86: stable global example IDs + deterministic shard assignment —
+    * the step that turns a curated corpus into numbered training shards
+    * a data loader can address (`shard i, example j`), reproducibly on
+    * any cluster. Every doc gets the exact global row number under the
+    * curriculum order (n_chars DESC, doc_id — longest-first), and
+    * shard = seq mod nShards (round-robin: shard sizes differ by ≤1 and
+    * every shard samples the whole length distribution — a contiguous
+    * split would put all long docs in shard 0).
+    *
+    * Exact global ranks WITHOUT a single-partition window — the
+    * q12/q74 prefix-sum decomposition applied to the length key:
+    * band = n_chars div 64 (monotone in the sort key, so band order IS
+    * length order; band count is bounded by max doc length/64, not
+    * corpus size), exclusive offsets from the triangular broadcast
+    * self-join over the tiny band-count table, within-band row_number
+    * under a PARTITIONED window. Band skew note: a pathological corpus
+    * with every doc the same length puts one band on one window
+    * partition — widen the band with a doc_id salt exactly like q62 if
+    * that ever describes real data.
+    */
+  def globalShardIds(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val banded = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("band", (col("n_chars") / 64).cast("long"))
+    val counts = banded.groupBy("band").agg(count(lit(1)).as("cnt"))
+    // offset = rows in STRICTLY LONGER bands (order runs n_chars desc)
+    val offsets = counts
+      .as("a")
+      .join(broadcast(counts.as("b")), col("b.band") > col("a.band"), "left")
+      .groupBy(col("a.band").as("band"))
+      .agg(sum(col("b.cnt")).as("offset"))
+    val w = Window.partitionBy("band").orderBy(col("n_chars").desc, col("doc_id"))
+    banded
+      .join(broadcast(offsets), Seq("band"))
+      .withColumn("seq", coalesce(col("offset"), lit(0L)) + row_number().over(w) - 1L)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("seq"),
+        (col("seq") % nShards).as("shard"))
+  }
+
   /** q75: sliding-window chunking with overlap — the RAG/context-window
     * prep step that turns documents into fixed-token-budget chunks
     * (width tokens, stride-token hop, so consecutive chunks share

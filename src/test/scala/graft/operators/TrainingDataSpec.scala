@@ -110,6 +110,28 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("q86 shard ids: seq is the exact global curriculum rank; shards balanced; partitioned plan") {
+    val got = TrainingData.globalShardIds(spark, sf)
+    val p   = got.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"global id assignment must not funnel through one partition:\n$p")
+    assert("windowspecdefinition\\(band".r.findAllIn(p).nonEmpty,
+      s"within-band rank window must be partitioned by the length band:\n$p")
+    val rows = got.collect()
+    val n    = rows.length.toLong
+    // seq is a permutation of 0..n-1
+    assert(rows.map(_.getAs[Long]("seq")).sorted.toSeq == (0L until n), "seq must be a permutation")
+    // seq order IS (n_chars desc, doc_id) order
+    val bySeq = rows.sortBy(_.getAs[Long]("seq"))
+      .map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+    assert(bySeq.sameElements(bySeq.sortBy { case (c, id) => (-c, id) }),
+      "seq must follow the longest-first curriculum order")
+    // round-robin shards: sizes differ by at most 1, every shard present
+    val sizes = rows.groupBy(_.getAs[Long]("shard")).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L until 8L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced shards: $sizes")
+  }
+
   test("q74 deciles: NULL scores (empty/NULL text) band as NULL and drop; range raise still fires") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(

@@ -144,6 +144,9 @@ class PlanSpec extends SparkSpec {
       // same decomposition on ranks: triangular offset join over the
       // ≤51-row score-band table (floor(score·50) has a fixed key space)
       "q74_quality_deciles",
+      // same again on the length key: triangular offset join over the
+      // band table bounded by max-doc-length/64, not corpus size
+      "q86_global_shard_ids",
     )
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
