@@ -149,6 +149,7 @@ object SparkEntry {
     "q74_quality_deciles"       -> ((s, d) => TrainingData.qualityDeciles(GraftSession.tune(s), d)),
     "q75_chunk_overlap"         -> ((s, d) => TrainingData.chunkOverlap(GraftSession.tune(s), d)),
     "q86_global_shard_ids"      -> ((s, d) => TrainingData.globalShardIds(GraftSession.tune(s), d)),
+    "q87_semantic_contamination" -> ((s, d) => Similarity.semanticContamination(GraftSession.tune(s), d)),
     "q76_windowed_distinct"     -> ((s, d) => Relational.windowedDistinct(GraftSession.tune(s), d)),
     "q77_hierarchy_rollup"      -> ((s, d) => Relational.hierarchyRollup(GraftSession.tune(s), d)),
     "q78_event_transitions"     -> ((s, d) => Temporal.eventTransitions(GraftSession.tune(s), d)),
@@ -1370,6 +1371,20 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS seq,
         |  (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8 AS shard
         |FROM documents""".stripMargin,
+    // q87: nearest benchmark item per corpus vector + threshold verdict;
+    // max_by tiebreak (sim desc, bench_id asc) restated as rn = 1
+    "q87_semantic_contamination" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id AS bench_id, embedding AS b_emb, norm AS b_norm FROM e WHERE vec_id < 10),
+         |p AS (SELECT c.vec_id, b.bench_id,
+         |  round(${sqlDotF("c.embedding", "b.b_emb")} / (c.norm * b.b_norm), 6) AS sim6
+         |  FROM e c, b WHERE c.vec_id >= 10),
+         |r AS (SELECT vec_id, bench_id, sim6,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim6 DESC, bench_id) AS rn FROM p)
+         |SELECT vec_id, bench_id, round(sim6, 4) AS cosine, sim6 >= 0.25 AS contaminated
+         |FROM r WHERE rn = 1""".stripMargin,
     // q76: DuckDB supports DISTINCT window aggregates natively — the
     // oracle states the semantics directly; Spark computes it via the
     // max-dense_rank identity

@@ -657,6 +657,44 @@ object Similarity {
         round(avg(size(col("embedding"))), 4).as("avg_dim"),
       )
 
+  /** q87: semantic decontamination — the embedding-space complement of
+    * q44's n-gram containment check: a corpus document is contaminated
+    * when it is too close IN EMBEDDING SPACE to any held-out benchmark
+    * item (the paraphrase leak n-gram overlap can't see). Benchmark =
+    * vec_id < nBench (the s01/s04 query convention); every corpus
+    * vector reports its nearest benchmark item (max_by with the
+    * deterministic (sim, -bench_id) tiebreak — no window, combines
+    * map-side) and a contaminated verdict at the threshold.
+    *
+    * Scale shape: the benchmark side is SMALL by construction (a test
+    * set, not a corpus) and broadcasts; the corpus scans ONCE with no
+    * shuffle wider than the final per-vector max_by combine — the same
+    * O(n·|bench|) brute-force kernel as s01, which is the RIGHT
+    * algorithm here because |bench| is a constant (for benchmark sets
+    * beyond ~10⁵ items, route through the d05/d12 bucketed candidates
+    * instead). τ default matches d05's calibration to the
+    * near-isotropic synthetic corpus; real text embeddings use 0.9+.
+    */
+  def semanticContamination(spark: SparkSession, dir: String, nBench: Int = 10,
+      tau: Double = 0.25): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).withColumn("norm", l2Norm(col("embedding")))
+    val bench = broadcast(emb.filter(col("vec_id") < nBench)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"), col("norm").as("b_norm")))
+    emb
+      .filter(col("vec_id") >= nBench)
+      .crossJoin(bench)
+      .withColumn("sim6", round(dot(col("embedding"), col("b_emb")) / (col("norm") * col("b_norm")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("bench_id"), col("sim6")),
+        struct(col("sim6"), (-col("bench_id")).as("nb"))).as("best"))
+      .select(
+        col("vec_id"),
+        col("best.bench_id").as("bench_id"),
+        round(col("best.sim6"), 4).as("cosine"),
+        (col("best.sim6") >= tau).as("contaminated"))
+  }
+
   /** d12: SemDeDup-style cluster-level semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space with the s04
     * fixed-point Lloyd quantizer (bit-deterministic training), then

@@ -134,4 +134,23 @@ class SourcesSpec extends SparkSpec {
     val allParts = new java.io.File(dir).listFiles().count(_.getName.startsWith("edate="))
     assert(allParts > 1, "test table ended up with a single partition")
   }
+
+  test("#185b training-shard sink: q86 output partitioned by shard, one-shard read prunes") {
+    // the write side of q86: a data loader asks for `shard i` and the
+    // scan must touch only that directory — shard is the partition key
+    val dir = tmp("shards")
+    graft.operators.TrainingData.globalShardIds(spark, sf)
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val shardDirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("shard="))
+    assert(shardDirs == 8, s"expected 8 shard partitions, found $shardDirs")
+    val one  = spark.read.parquet(dir).filter(col("shard") === 3)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filter in:\n$plan")
+    assert(plan.contains("(shard"), s"shard not in partition filters:\n$plan")
+    // round trip: the shard holds exactly the seq ≡ 3 (mod 8) examples
+    val got = one.select("seq").collect().map(_.getLong(0)).sorted
+    val exp = graft.operators.TrainingData.globalShardIds(spark, sf)
+      .filter(col("seq") % 8 === 3).select("seq").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(exp), "shard content must be the seq mod 8 residue class")
+  }
 }
