@@ -824,6 +824,43 @@ class IncrementalPlannerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("#171y windowed aggregate OVER A JOIN: window groups compose with the join dataflow") {
+    // the last cell of the planner matrix: a temporal GROUP BY over a
+    // two-feed join — window moves, group moves, and deletes all
+    // retract THROUGH the join into the right (window, city) group
+    val hourUs = 3600L * 1000000
+    val base   = 1700000000000L * 1000 // ts(0) as epoch micros
+    def order(op: String, k: Long, m: Int, amt: String, whenUs: Long, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty else Map("amount" -> amt, "when_us" -> whenUs.toString), seq)
+    val users = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "par"), 3L),
+      Change("insert", 4L, ts(3), Map("city" -> "par"), 4L))
+    val orders0 = Seq(
+      order("insert", 1L, 0, "10", base, 1L),
+      order("insert", 2L, 1, "5", base + hourUs / 2, 2L), // same hour as key 1
+      order("insert", 3L, 2, "50", base + hourUs, 3L),
+      order("insert", 4L, 3, "7", base + hourUs, 4L))
+    val late = Map(
+      "orders" -> Seq(
+        order("update", 2L, 10, "5", base + 2 * hourUs, 5L), // window move: hour 0 → hour 2
+        order("delete", 4L, 11, "", 0L, 6L)),                // retracts from (hour 1, par)
+      "users" -> Seq(
+        Change("update", 3L, ts(12), Map("city" -> "ber"), 5L))) // group move par→ber through the join
+    val sql = "SELECT window(r.when_us, '1 hour') AS w, l.city, count(*) AS n, sum(r.amount) AS total " +
+      "FROM users l JOIN orders r ON l.key = r.key GROUP BY window(r.when_us, '1 hour'), l.city"
+    runView(sql, "pv_winjoin",
+      Seq(Map("users" -> users, "orders" -> orders0), late))
+    val h0 = Math.floorDiv(base, hourUs) * hourUs // windows are floor-ALIGNED to the duration
+    assert(aggState("pv_winjoin", Seq("w", "city")) == Map(
+      Seq[Any](h0.toString, "ber") -> Seq[Any](1L, 10.0),                // key 1
+      Seq[Any]((h0 + 2 * hourUs).toString, "ber") -> Seq[Any](1L, 5.0),  // key 2 after the window move
+      Seq[Any]((h0 + hourUs).toString, "ber") -> Seq[Any](1L, 50.0)),    // key 3 after the city move
+      "hour-0 half (key 2) must leave, (hour 1, par) must tombstone, key 3 must land in ber")
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a
