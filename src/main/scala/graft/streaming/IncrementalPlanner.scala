@@ -546,7 +546,92 @@ object IncrementalPlanner {
     case _                      => fallback
   }
 
+  /** Aggregate-view dispatcher: DISTINCT aggregation routes to the
+    * two-level composition (the planner's own view-over-view machinery);
+    * everything else compiles flat. Before r7 `count(DISTINCT x)`
+    * silently compiled as plain `count(x)` — a wrong-answer class, now
+    * structurally impossible.
+    */
   private def compileAggregate(spark: SparkSession, agg: Aggregate,
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)] = None,
+      having: Option[Expression] = None,
+      keepMeta: Boolean = false): PlannedView = {
+    val hasDistinct = agg.aggregateExpressions.exists(_.exists {
+      case f: UnresolvedFunction => f.isDistinct
+      case _                     => false
+    })
+    if (!hasDistinct) compileAggregateFlat(spark, agg, feeds, ttl, having, keepMeta)
+    else {
+      require(ttl.isEmpty,
+        "count(DISTINCT) views do not compose with materializeExpiring: the internal " +
+          "distinct view holds exact per-value state that a tombstone TTL would corrupt; " +
+          "bound the value space upstream (WHERE / HAVING) instead")
+      compileCountDistinct(spark, agg, feeds, having, keepMeta)
+    }
+  }
+
+  /** COUNT(DISTINCT x) views, compiled as the planner's OWN composition:
+    * an internal maintained DISTINCT view over (group keys, x) — the
+    * #171m dataflow exposed as a changefeed — feeding a count aggregate.
+    * A value's LAST contributing row leaving the source tombstones its
+    * (group, value) row in the inner view, which retracts exactly one
+    * count downstream: distinct counts fall as rows delete, which no
+    * single-level signed-delta fold can do (you cannot know a value is
+    * gone without per-value state — this is the standard two-level
+    * materialization, per-value state sharded by (group, value) across
+    * the cluster rather than one heavy per-group blob). NULL x
+    * contributes no inner payload field and therefore no count,
+    * matching SQL count-distinct. Supported shape: any group keys
+    * (window included), EXACTLY ONE count(DISTINCT <expr>) and no other
+    * aggregate functions — mixing plain aggregates would need the two
+    * levels to share one group emission, rejected fast instead of
+    * answered wrong.
+    */
+  private def compileCountDistinct(spark: SparkSession, agg: Aggregate,
+      feeds: Map[String, Dataset[Change]],
+      having: Option[Expression],
+      keepMeta: Boolean): PlannedView = {
+    val groupSql = agg.groupingExpressions.map(_.sql)
+    val dArgs = agg.aggregateExpressions.flatMap { ne =>
+      val core = ne match { case al: Alias => al.child; case e => e }
+      core match {
+        case e if groupSql.contains(e.sql) => Nil
+        case f: UnresolvedFunction =>
+          require(f.isDistinct && f.nameParts.last.equalsIgnoreCase("count") && f.arguments.length == 1,
+            s"with DISTINCT aggregation every aggregate must be count(DISTINCT <one expr>); got ${f.sql}")
+          Seq(f.arguments.head)
+        case other => throw unsupported(s"select item ${other.sql} in a DISTINCT aggregate view")
+      }
+    }
+    require(dArgs.map(_.sql).distinct.length == 1,
+      s"one DISTINCT argument per view (got ${dArgs.map(_.sql).distinct.mkString(", ")}); " +
+        "define one view per distinct argument and join them")
+    val dArg = dArgs.head
+    val n    = agg.groupingExpressions.length
+    val innerOut: Seq[NamedExpression] =
+      agg.groupingExpressions.zipWithIndex.map { case (e, i) => Alias(e, s"_dg$i")() } :+
+        Alias(dArg, "_dx")()
+    val inner = Aggregate(agg.groupingExpressions :+ dArg, innerOut, agg.child)
+    val (innerFeed, _) = aggChangesOf(spark, inner, feeds)
+    val outerGroups: Seq[Expression] = (0 until n).map(i => UnresolvedAttribute(Seq(s"_dg$i")))
+    val outerOut: Seq[NamedExpression] = agg.aggregateExpressions.zipWithIndex.map { case (ne, i) =>
+      val core = ne match { case al: Alias => al.child; case e => e }
+      val name = outName(ne, s"col$i")
+      core match {
+        case e if groupSql.indexOf(e.sql) >= 0 =>
+          Alias(UnresolvedAttribute(Seq(s"_dg${groupSql.indexOf(e.sql)}")), name)()
+        case _ => // validated above: count(DISTINCT dArg); count the live _dx values
+          Alias(UnresolvedFunction(Seq("count"),
+            Seq(UnresolvedAttribute(Seq("_dx"))), isDistinct = false), name)()
+      }
+    }
+    val outer = Aggregate(outerGroups, outerOut, UnresolvedRelation(Seq("__distinct")))
+    compileAggregateFlat(spark, outer, Map("__distinct" -> innerFeed),
+      ttl = None, having = having, keepMeta = keepMeta)
+  }
+
+  private def compileAggregateFlat(spark: SparkSession, agg: Aggregate,
       feeds: Map[String, Dataset[Change]],
       ttl: Option[(String, Long)] = None,
       having: Option[Expression] = None,

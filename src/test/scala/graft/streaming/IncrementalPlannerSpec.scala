@@ -861,6 +861,44 @@ class IncrementalPlannerSpec extends SparkSpec {
       "hour-0 half (key 2) must leave, (hour 1, par) must tombstone, key 3 must land in ber")
   }
 
+  test("#171z COUNT(DISTINCT x): counts FALL when a value's last row leaves; NULLs never count") {
+    val sql = "SELECT city, count(DISTINCT color) AS n FROM t GROUP BY city"
+    def c(op: String, k: Long, m: Int, city: String, color: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty
+        else if (color == null) Map("city" -> city) else Map("city" -> city, "color" -> color), seq)
+    val batches = Seq(
+      Map("t" -> Seq(
+        c("insert", 1L, 0, "ber", "red", 1L),
+        c("insert", 2L, 1, "ber", "red", 2L),   // duplicate value: n stays 1
+        c("insert", 3L, 2, "ber", "blue", 3L),
+        c("insert", 4L, 3, "par", null, 4L),    // NULL never counts
+        c("insert", 5L, 4, "par", "green", 5L))),
+      Map("t" -> Seq(
+        c("delete", 3L, 10, "", "", 6L),        // blue's LAST row leaves: ber falls 2 → 1
+        c("delete", 2L, 11, "", "", 7L))),      // red keeps key 1: ber stays 1
+      Map("t" -> Seq(
+        c("update", 1L, 12, "par", "red", 8L))) // red moves city: ber empties, par rises
+    )
+    runView(sql, "pv_cd", batches)
+    val got = aggState("pv_cd", Seq("city"))
+    assert(got == Map(Seq[Any]("par") -> Seq[Any](2L)),
+      s"ber must tombstone (its last distinct value moved), par = {green, red}: $got")
+
+    // batching invariance for the two-level dataflow
+    val flat = batches.flatMap(_("t"))
+    runView(sql, "pv_cd_split", flat.map(ch => Map("t" -> Seq(ch))))
+    assert(aggState("pv_cd_split", Seq("city")) == got)
+
+    // mixed plain + distinct aggregates answer wrong in ONE level — they
+    // must fail fast, not silently compile count(DISTINCT) as count()
+    val ex = intercept[IllegalArgumentException] {
+      runView("SELECT city, count(DISTINCT color) AS n, sum(amount) AS s FROM t GROUP BY city",
+        "pv_cd_bad", Seq(Map("t" -> Seq(c("insert", 1L, 0, "ber", "red", 1L)))))
+    }
+    assert(ex.getMessage.contains("count(DISTINCT"), s"wrong failure: ${ex.getMessage}")
+  }
+
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
     val sql = "SELECT city, sum(amount) AS total FROM activity GROUP BY city"
     // insert and delete in SEPARATE batches: stage 1 nets within a
