@@ -557,75 +557,117 @@ object IncrementalPlanner {
       ttl: Option[(String, Long)] = None,
       having: Option[Expression] = None,
       keepMeta: Boolean = false): PlannedView = {
-    val hasDistinct = agg.aggregateExpressions.exists(_.exists {
+    // min/max(DISTINCT x) ≡ min/max(x): normalize before dispatch so the
+    // extremum forms never force the two-level rewrite on their own
+    val norm = agg.copy(aggregateExpressions = agg.aggregateExpressions.map(ne =>
+      ne.transform {
+        case f: UnresolvedFunction
+            if f.isDistinct && Set("min", "max")(f.nameParts.last.toLowerCase) =>
+          f.copy(isDistinct = false)
+      }.asInstanceOf[NamedExpression]))
+    val hasDistinct = norm.aggregateExpressions.exists(_.exists {
       case f: UnresolvedFunction => f.isDistinct
       case _                     => false
     })
-    if (!hasDistinct) compileAggregateFlat(spark, agg, feeds, ttl, having, keepMeta)
+    if (!hasDistinct) compileAggregateFlat(spark, norm, feeds, ttl, having, keepMeta)
     else {
       require(ttl.isEmpty,
-        "count(DISTINCT) views do not compose with materializeExpiring: the internal " +
+        "DISTINCT views do not compose with materializeExpiring: the internal " +
           "distinct view holds exact per-value state that a tombstone TTL would corrupt; " +
           "bound the value space upstream (WHERE / HAVING) instead")
-      compileCountDistinct(spark, agg, feeds, having, keepMeta)
+      compileDistinctAgg(spark, norm, feeds, having, keepMeta)
     }
   }
 
-  /** COUNT(DISTINCT x) views, compiled as the planner's OWN composition:
-    * an internal maintained DISTINCT view over (group keys, x) — the
-    * #171m dataflow exposed as a changefeed — feeding a count aggregate.
-    * A value's LAST contributing row leaving the source tombstones its
-    * (group, value) row in the inner view, which retracts exactly one
-    * count downstream: distinct counts fall as rows delete, which no
-    * single-level signed-delta fold can do (you cannot know a value is
-    * gone without per-value state — this is the standard two-level
-    * materialization, per-value state sharded by (group, value) across
-    * the cluster rather than one heavy per-group blob). NULL x
-    * contributes no inner payload field and therefore no count,
-    * matching SQL count-distinct. Supported shape: any group keys
-    * (window included), EXACTLY ONE count(DISTINCT <expr>) and no other
-    * aggregate functions — mixing plain aggregates would need the two
-    * levels to share one group emission, rejected fast instead of
-    * answered wrong.
+  /** DISTINCT-aggregate views, compiled as the planner's OWN composition:
+    * an internal maintained view over (group keys, x) — the #171m
+    * DISTINCT dataflow exposed as a changefeed — feeding an outer
+    * aggregate. A value's LAST contributing row leaving the source
+    * tombstones its (group, value) row in the inner view, which retracts
+    * exactly one contribution downstream: distinct counts/sums FALL as
+    * rows delete, which no single-level signed-delta fold can do (you
+    * cannot know a value is gone without per-value state — this is the
+    * standard two-level materialization, per-value state sharded by
+    * (group, value) across the cluster rather than one heavy per-group
+    * blob). NULL x contributes no inner payload field and therefore no
+    * contribution, matching SQL DISTINCT-aggregate NULL exclusion.
+    *
+    * Supported shape: any group keys (window included), any number of
+    * `count/sum/avg(DISTINCT <expr>)` over ONE shared argument
+    * (`min/max(DISTINCT)` is the plain extremum, normalized upstream),
+    * MIXED freely with plain count(*)/count/sum/avg/min/max — each plain
+    * aggregate decomposes through the inner level as a partial:
+    * count → sum of per-value counts, sum → sum of per-value sums,
+    * avg → ratio of the two, min/max → extremum of per-value extrema
+    * (the classic two-level reaggregation; every decomposition is exact,
+    * not approximate). Distinct aggregates over DIFFERENT arguments
+    * would need one inner view per argument sharing a single group
+    * emission — rejected fast with the join-of-views rewrite hint.
     */
-  private def compileCountDistinct(spark: SparkSession, agg: Aggregate,
+  private def compileDistinctAgg(spark: SparkSession, agg: Aggregate,
       feeds: Map[String, Dataset[Change]],
       having: Option[Expression],
       keepMeta: Boolean): PlannedView = {
     val groupSql = agg.groupingExpressions.map(_.sql)
-    val dArgs = agg.aggregateExpressions.flatMap { ne =>
-      val core = ne match { case al: Alias => al.child; case e => e }
-      core match {
-        case e if groupSql.contains(e.sql) => Nil
-        case f: UnresolvedFunction =>
-          require(f.isDistinct && f.nameParts.last.equalsIgnoreCase("count") && f.arguments.length == 1,
-            s"with DISTINCT aggregation every aggregate must be count(DISTINCT <one expr>); got ${f.sql}")
-          Seq(f.arguments.head)
-        case other => throw unsupported(s"select item ${other.sql} in a DISTINCT aggregate view")
-      }
+    val cores: Seq[(Expression, String)] = agg.aggregateExpressions.zipWithIndex.map {
+      case (ne, i) =>
+        (ne match { case al: Alias => al.child; case e => e }, outName(ne, s"col$i"))
+    }
+    val dArgs = cores.collect {
+      case (f: UnresolvedFunction, _) if f.isDistinct =>
+        require(Set("count", "sum", "avg")(f.nameParts.last.toLowerCase) && f.arguments.length == 1,
+          s"DISTINCT aggregation supports count/sum/avg(DISTINCT <one expr>); got ${f.sql}")
+        f.arguments.head
     }
     require(dArgs.map(_.sql).distinct.length == 1,
       s"one DISTINCT argument per view (got ${dArgs.map(_.sql).distinct.mkString(", ")}); " +
         "define one view per distinct argument and join them")
     val dArg = dArgs.head
     val n    = agg.groupingExpressions.length
-    val innerOut: Seq[NamedExpression] =
-      agg.groupingExpressions.zipWithIndex.map { case (e, i) => Alias(e, s"_dg$i")() } :+
-        Alias(dArg, "_dx")()
-    val inner = Aggregate(agg.groupingExpressions :+ dArg, innerOut, agg.child)
-    val (innerFeed, _) = aggChangesOf(spark, inner, feeds)
-    val outerGroups: Seq[Expression] = (0 until n).map(i => UnresolvedAttribute(Seq(s"_dg$i")))
-    val outerOut: Seq[NamedExpression] = agg.aggregateExpressions.zipWithIndex.map { case (ne, i) =>
-      val core = ne match { case al: Alias => al.child; case e => e }
-      val name = outName(ne, s"col$i")
+
+    // inner partials for the plain aggregates, one column per need
+    val innerExtra = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+    def partial(fn: String, args: Seq[Expression]): UnresolvedAttribute = {
+      val nm = s"_p${innerExtra.size}"
+      innerExtra += Alias(UnresolvedFunction(Seq(fn), args, isDistinct = false), nm)()
+      UnresolvedAttribute(Seq(nm))
+    }
+    def call(fn: String, args: Expression*): UnresolvedFunction =
+      UnresolvedFunction(Seq(fn), args.toSeq, isDistinct = false)
+
+    val outerOut: Seq[NamedExpression] = cores.map { case (core, name) =>
       core match {
         case e if groupSql.indexOf(e.sql) >= 0 =>
           Alias(UnresolvedAttribute(Seq(s"_dg${groupSql.indexOf(e.sql)}")), name)()
-        case _ => // validated above: count(DISTINCT dArg); count the live _dx values
-          Alias(UnresolvedFunction(Seq("count"),
-            Seq(UnresolvedAttribute(Seq("_dx"))), isDistinct = false), name)()
+        case f: UnresolvedFunction if f.isDistinct =>
+          // count/sum/avg over the maintained distinct values themselves
+          Alias(call(f.nameParts.last.toLowerCase, UnresolvedAttribute(Seq("_dx"))), name)()
+        case f: UnresolvedFunction =>
+          (f.nameParts.last.toLowerCase, f.arguments) match {
+            case ("count", args @ Seq(_: UnresolvedStar)) =>
+              Alias(call("graft_sumlong", partial("count", args)), name)()
+            case ("count", Seq(a)) =>
+              Alias(call("graft_sumlong", partial("count", Seq(a))), name)()
+            case ("sum", Seq(a)) =>
+              Alias(call("sum", partial("sum", Seq(a))), name)()
+            case ("avg", Seq(a)) =>
+              Alias(call("graft_ratio", partial("sum", Seq(a)), partial("count", Seq(a))), name)()
+            case ("min", Seq(a)) =>
+              Alias(call("min", partial("min", Seq(a))), name)()
+            case ("max", Seq(a)) =>
+              Alias(call("max", partial("max", Seq(a))), name)()
+            case (fn, args) => throw unsupported(
+              s"aggregate $fn(${args.map(_.sql).mkString(",")}) alongside DISTINCT aggregation")
+          }
+        case other => throw unsupported(s"select item ${other.sql} in a DISTINCT aggregate view")
       }
     }
+    val innerOut: Seq[NamedExpression] =
+      (agg.groupingExpressions.zipWithIndex.map { case (e, i) => Alias(e, s"_dg$i")() } :+
+        Alias(dArg, "_dx")()) ++ innerExtra
+    val inner = Aggregate(agg.groupingExpressions :+ dArg, innerOut, agg.child)
+    val (innerFeed, _) = aggChangesOf(spark, inner, feeds)
+    val outerGroups: Seq[Expression] = (0 until n).map(i => UnresolvedAttribute(Seq(s"_dg$i")))
     val outer = Aggregate(outerGroups, outerOut, UnresolvedRelation(Seq("__distinct")))
     compileAggregateFlat(spark, outer, Map("__distinct" -> innerFeed),
       ttl = None, having = having, keepMeta = keepMeta)
@@ -676,6 +718,17 @@ object IncrementalPlanner {
             case ("max", Seq(a)) =>
               val ca = compileExpr(a)
               MaxOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(Double.NaN))), name)
+            // internal (DISTINCT rewrite only): reaggregation of inner
+            // partials — sum of per-value counts emitted as LONG, and
+            // sum(a)/sum(b) for plain avg decomposed through the levels
+            case ("graft_sumlong", Seq(a)) =>
+              val ca = compileExpr(a)
+              CountOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0))), name)
+            case ("graft_ratio", Seq(a, b)) =>
+              val (ca, cb) = (compileExpr(a), compileExpr(b))
+              AvgOut(
+                addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0))),
+                addSlot(env => Some(cb(env).flatMap(asNum).getOrElse(0.0))), name)
             case other => throw unsupported(s"aggregate $fn(${args.map(_.sql).mkString(",")})")
           }
         case other => throw unsupported(s"select item ${other.sql} (neither grouping expr nor count/sum/avg/min/max)")
@@ -689,8 +742,13 @@ object IncrementalPlanner {
     val extract: Change => Option[(Seq[String], Seq[Double])] = { c =>
       val env = envOf(c)
       val pass = preds.forall(p => p(env).contains(true))
+      // slot closures coerce their own operands (asNum inside addSlot,
+      // which rejects NaN/Inf parses); do NOT re-coerce here — a min/max
+      // slot's NaN is the deliberate "SQL NULL, excluded" marker, and
+      // asNum would flatten it into a real 0.0 contribution
       if (!pass) None
-      else Some((groupKeysOf(groupSlots, env), slots.map(s => s(env).flatMap(asNum).getOrElse(0.0))))
+      else Some((groupKeysOf(groupSlots, env),
+        slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 })))
     }
 
     implicit val contribEnc = Encoders.product[PlannedContrib]

@@ -890,13 +890,72 @@ class IncrementalPlannerSpec extends SparkSpec {
     runView(sql, "pv_cd_split", flat.map(ch => Map("t" -> Seq(ch))))
     assert(aggState("pv_cd_split", Seq("city")) == got)
 
-    // mixed plain + distinct aggregates answer wrong in ONE level — they
-    // must fail fast, not silently compile count(DISTINCT) as count()
+    // distinct aggregates over DIFFERENT arguments need one inner view
+    // each — rejected fast with the join-of-views rewrite hint
     val ex = intercept[IllegalArgumentException] {
-      runView("SELECT city, count(DISTINCT color) AS n, sum(amount) AS s FROM t GROUP BY city",
+      runView("SELECT city, count(DISTINCT color) AS n, sum(DISTINCT amount) AS s FROM t GROUP BY city",
         "pv_cd_bad", Seq(Map("t" -> Seq(c("insert", 1L, 0, "ber", "red", 1L)))))
     }
-    assert(ex.getMessage.contains("count(DISTINCT"), s"wrong failure: ${ex.getMessage}")
+    assert(ex.getMessage.contains("one DISTINCT argument"), s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("#171aa mixed plain + DISTINCT aggregates: exact two-level decomposition under churn") {
+    // count/sum/avg(DISTINCT amount) mixed with count(*)/sum/avg/min/max —
+    // the plain aggregates decompose through the inner (group, value)
+    // level as partials (count → sum of counts, avg → ratio of partial
+    // sums, extremum of extrema); min(DISTINCT) normalizes to plain min
+    val sql = "SELECT city, count(DISTINCT amount) AS nd, sum(DISTINCT amount) AS sd, " +
+      "avg(DISTINCT amount) AS ad, count(*) AS n, sum(amount) AS s, avg(amount) AS a, " +
+      "min(DISTINCT amount) AS mn, max(amount) AS mx FROM t GROUP BY city"
+    def e(op: String, k: Long, m: Int, city: String, amount: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String]
+        else Map("city" -> city) ++ Option(amount).map("amount" -> _), seq)
+    val batches = Seq(
+      Map("t" -> Seq(
+        e("insert", 1L, 0, "ber", "10", 1L),
+        e("insert", 2L, 1, "ber", "10", 2L),  // duplicate value: nd/sd unchanged, n/s see it
+        e("insert", 3L, 2, "ber", "20", 3L),
+        e("insert", 4L, 3, "par", "5", 4L),
+        e("insert", 5L, 4, "par", null, 5L))), // NULL: counts in n only
+      Map("t" -> Seq(
+        e("delete", 3L, 10, "", "", 6L),       // value 20's last row leaves: nd 2→1, sd 30→10, mx 20→10
+        e("update", 2L, 11, "par", "7", 7L))), // row moves city AND value
+      Map("t" -> Seq(
+        e("update", 4L, 12, "par", "7", 8L)))  // par collapses to one distinct value {7}
+    )
+    runView(sql, "pv_mix", batches)
+    val got = aggState("pv_mix", Seq("city"))
+    val want = Map(
+      Seq[Any]("ber") -> Seq[Any](1L, 10.0, 10.0, 1L, 10.0, 10.0, 10.0, 10.0),
+      Seq[Any]("par") -> Seq[Any](1L, 7.0, 7.0, 3L, 14.0, 7.0, 7.0, 7.0))
+    assert(got == want, s"mixed distinct decomposition diverged: $got")
+
+    // batching invariance for the decomposed dataflow
+    val flat = batches.flatMap(_("t"))
+    runView(sql, "pv_mix_split", flat.map(ch => Map("t" -> Seq(ch))))
+    assert(aggState("pv_mix_split", Seq("city")) == want)
+  }
+
+  test("#171ab min/max NULL exclusion: a NULL-valued row never contributes 0 to the extremum") {
+    // regression: the NaN "excluded" marker for NULL min/max operands
+    // must survive the extract layer — asNum rejects NaN (the malformed-
+    // data guard), so re-coercing slot outputs there flattened NULL rows
+    // into real 0.0 contributions, silently corrupting every extremum
+    // over a NULL-bearing column
+    val sql = "SELECT city, min(amount) AS mn, max(amount) AS mx FROM t GROUP BY city"
+    def e(op: String, k: Long, m: Int, city: String, amount: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String]
+        else Map("city" -> city) ++ Option(amount).map("amount" -> _), seq)
+    runView(sql, "pv_nullext", Seq(
+      Map("t" -> Seq(
+        e("insert", 1L, 0, "ber", "5", 1L),
+        e("insert", 2L, 1, "ber", null, 2L))),   // NULL row: excluded, NOT a 0
+      Map("t" -> Seq(e("delete", 1L, 2, "", "", 3L))))) // only the NULL row remains
+    val got = aggState("pv_nullext", Seq("city"))
+    assert(got == Map(Seq[Any]("ber") -> Seq[Any](null, null)),
+      s"a group holding only NULL-valued rows must report NULL extrema (live, not tombstoned): $got")
   }
 
   test("#171e group emptied emits _live_rows=0 tombstone; unsupported SQL fails fast") {
