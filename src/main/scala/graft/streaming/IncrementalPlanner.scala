@@ -319,11 +319,14 @@ object IncrementalPlanner {
         throw new IllegalArgumentException(s"IncrementalPlanner: unknown feed '$name'; have ${feeds.keys.mkString(", ")}"))
       Source(qualify(feed, name), Nil)
     case j: Join =>
-      val leftOuter = j.joinType match {
-        case org.apache.spark.sql.catalyst.plans.Inner     => false
-        case org.apache.spark.sql.catalyst.plans.LeftOuter => true
-        case other => throw unsupported(
-          s"join type $other (Inner and LEFT OUTER supported; rewrite RIGHT JOIN as LEFT JOIN)")
+      // preserve flags: which side stays visible while unmatched — the
+      // one-axis encoding of all four ANSI join types
+      val (pLeft, pRight) = j.joinType match {
+        case org.apache.spark.sql.catalyst.plans.Inner      => (false, false)
+        case org.apache.spark.sql.catalyst.plans.LeftOuter  => (true, false)
+        case org.apache.spark.sql.catalyst.plans.RightOuter => (false, true)
+        case org.apache.spark.sql.catalyst.plans.FullOuter  => (true, true)
+        case other => throw unsupported(s"join type $other")
       }
       val cond = j.condition.getOrElse(throw unsupported("join without ON"))
       val (lsrc, rsrc) = (leaf(spark, j.left, feeds), leaf(spark, j.right, feeds))
@@ -335,29 +338,39 @@ object IncrementalPlanner {
       def merged(lp: Map[String, String], rp: Map[String, String]): Map[String, String] =
         lp ++ rp ++ qual(lsrc._2, lp) ++ qual(rsrc._2, rp)
       val joined = cond match {
-        // table ⋈ table on the shared change key — the #85 dataflow;
-        // LEFT OUTER preserves the left feed (unmatched keys carry no
-        // right fields → their env lookups are SQL NULL)
+        // table ⋈ table on the shared change key — the #85 dataflow; an
+        // outer join preserves its flagged side(s) (unmatched keys carry
+        // no partner fields → their env lookups are SQL NULL)
         case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
             if l.nameParts.last == "key" && r.nameParts.last == "key" =>
-          JoinView.materializeJoin(lsrc._1, rsrc._1, leftOuter).map { jc =>
+          JoinView.materializeJoinType(lsrc._1, rsrc._1, pLeft, pRight).map { jc =>
             Change(if (jc.op == "delete") "delete" else "upsert", jc.key,
               tsOfMicros(jc.tsUs), merged(jc.l_payload, jc.r_payload), jc.seq)
           }
         // fact.fkField = dim.key (either way round) — the #108 two-hop
         // FK-join dataflow: facts keyed by own PK, dim fan-out on update,
-        // FK moves re-subscribe. Output keyed by FACT. LEFT OUTER is the
-        // fact-preserving form, so it requires the FACT on the left.
+        // FK moves re-subscribe. Output keyed by FACT, so only the
+        // FACT-preserving outer form is expressible (LEFT with the fact
+        // on the left, RIGHT with the fact on the right); a preserved
+        // DIM side would need rows keyed by a dim with zero facts, which
+        // a fact-keyed changefeed cannot carry — rejected with the
+        // rewrite hint instead of answered wrong.
         case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
             if l.nameParts.last != "key" && r.nameParts.last == "key" =>
+          if (pRight) throw unsupported(
+            s"${j.joinType} would preserve the dim side of <fact>.<fk> = <dim>.key; " +
+              "the FK view is keyed by fact — for dims without facts, define a separate " +
+              "anti-join view (dim WHERE key NOT IN fact fks) and union downstream")
           // qualified fkField (o.custkey): a nested-join fact side may
           // carry the same bare field from both inner feeds
-          fkJoin(lsrc, rsrc, l.nameParts.mkString("."), factIsLeft = true, leftOuter)
+          fkJoin(lsrc, rsrc, l.nameParts.mkString("."), factIsLeft = true, pLeft)
         case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
             if l.nameParts.last == "key" && r.nameParts.last != "key" =>
-          if (leftOuter) throw unsupported(
-            "LEFT JOIN preserves the left side; put the fact on the left (<fact>.<fk> = <dim>.key)")
-          fkJoin(rsrc, lsrc, r.nameParts.mkString("."), factIsLeft = false)
+          if (pLeft) throw unsupported(
+            s"${j.joinType} would preserve the dim side of <dim>.key = <fact>.<fk>; " +
+              "the FK view is keyed by fact — put the fact on the preserved side " +
+              "(<fact>.<fk> = <dim>.key LEFT JOIN, or keep RIGHT JOIN with the fact right)")
+          fkJoin(rsrc, lsrc, r.nameParts.mkString("."), factIsLeft = false, pRight)
         case other => throw unsupported(
           s"join condition ${other.sql} (supported: <a>.key = <b>.key, or <fact>.<fkField> = <dim>.key)")
       }
@@ -372,9 +385,9 @@ object IncrementalPlanner {
     * wins collisions, like the key-equi-join path).
     */
   private def fkJoin(fact: (Dataset[Change], String), dim: (Dataset[Change], String),
-      fkField: String, factIsLeft: Boolean, leftOuter: Boolean = false): Dataset[Change] = {
+      fkField: String, factIsLeft: Boolean, factPreserving: Boolean = false): Dataset[Change] = {
     implicit val changeEnc = Encoders.product[Change]
-    JoinView.materializeFkJoin(fact._1, dim._1, fkField, leftOuter).map { jc =>
+    JoinView.materializeFkJoin(fact._1, dim._1, fkField, factPreserving).map { jc =>
       val (lp, la, rp, ra) =
         if (factIsLeft) (jc.fact_payload, fact._2, jc.dim_payload, dim._2)
         else (jc.dim_payload, dim._2, jc.fact_payload, fact._2)
@@ -1118,6 +1131,24 @@ object IncrementalPlanner {
   // Entry point
   // ------------------------------------------------------------------
 
+  /** A GROUP-BY-less SELECT whose list contains an aggregate function is
+    * a GLOBAL aggregate — the parser leaves it a [[Project]] (aggregates
+    * are a resolution-time concept), so the dispatcher rewrites it to an
+    * empty-grouping [[Aggregate]]: one global group (empty group key),
+    * full retraction contract included. An all-rows-deleted view emits
+    * its `_live_rows = 0` tombstone — the changefeed's "the view is
+    * empty" change (batch SQL's global `count` answers 0 over an empty
+    * table; a CHANGEFEED says it by tombstoning the one group).
+    */
+  private val AggFnNames = Set("count", "sum", "avg", "min", "max")
+  private def globalAgg(p: Project): Option[Aggregate] = {
+    val hasAgg = p.projectList.exists(_.exists {
+      case f: UnresolvedFunction => AggFnNames(f.nameParts.last.toLowerCase)
+      case _                     => false
+    })
+    if (hasAgg) Some(Aggregate(Nil, p.projectList, p.child)) else None
+  }
+
   /** Compile `sql` over the named change feeds into a continuously
     * maintained streaming view. See the object doc for the supported
     * subset and semantics; unsupported SQL fails fast with a message
@@ -1137,7 +1168,11 @@ object IncrementalPlanner {
       // last contributing row leaves
       case Distinct(p: Project) =>
         compileAggregate(spark, Aggregate(p.projectList, p.projectList, p.child), feeds)
-      case p: Project   => compileProject(spark, p, feeds)
+      case p: Project =>
+        globalAgg(p) match {
+          case Some(a) => compileAggregate(spark, a, feeds)
+          case None    => compileProject(spark, p, feeds)
+        }
       case other        => throw unsupported(s"top-level ${other.getClass.getSimpleName}")
     }
   }
@@ -1166,6 +1201,8 @@ object IncrementalPlanner {
           compileAggregate(spark, a, feeds, Some((watermarkDelay, tombstoneTtlMs)), Some(h.havingCondition))
         case other => throw unsupported(s"HAVING over ${other.getClass.getSimpleName}")
       }
+      case p: Project if globalAgg(p).isDefined =>
+        compileAggregate(spark, globalAgg(p).get, feeds, Some((watermarkDelay, tombstoneTtlMs)))
       case other => throw unsupported(
         s"materializeExpiring covers aggregate views (got ${other.getClass.getSimpleName})")
     }
@@ -1281,6 +1318,8 @@ object IncrementalPlanner {
         case a: Aggregate => compileAggregate(spark, a, feeds, having = Some(h.havingCondition), keepMeta = true)
         case other        => throw unsupported(s"HAVING over ${other.getClass.getSimpleName}")
       }
+      case p: Project if globalAgg(p).isDefined =>
+        compileAggregate(spark, globalAgg(p).get, feeds, keepMeta = true)
       case other => throw unsupported(
         s"materializeAggChanges needs an aggregate SELECT (got ${other.getClass.getSimpleName})")
     }

@@ -44,14 +44,18 @@ object JoinView {
 
   /** Per-key fold. Exposed for direct unit exercise.
     *
-    * `leftOuter = true` gives the LEFT-preserving semantic: the key is
-    * visible whenever the LEFT side is live, with the right payload
-    * empty (SQL NULL downstream) while unmatched. The right side
-    * arriving, changing, or dying is then just an UPSERT with the new
-    * pair — in a keyed changefeed, "retract the NULL row and emit the
-    * joined one" collapses to a single upsert of the key.
+    * The preserve flags pick the outer-join semantic — one fold covers
+    * all four ANSI join types of the key-equi shape:
+    * `(false, false)` inner, `(true, false)` LEFT (the key is visible
+    * whenever the LEFT side is live, right payload empty → SQL NULL
+    * downstream while unmatched), `(false, true)` RIGHT (mirror),
+    * `(true, true)` FULL (visible while EITHER side is live). A
+    * preserved side's partner arriving, changing, or dying is then just
+    * an UPSERT with the new pair — in a keyed changefeed, "retract the
+    * NULL row and emit the joined one" collapses to a single upsert of
+    * the key.
     */
-  def fold(leftOuter: Boolean)(key: Long, changes: Iterator[Sided], state: GroupState[JoinPairState]): Iterator[JoinedChange] = {
+  def fold(preserveLeft: Boolean, preserveRight: Boolean)(key: Long, changes: Iterator[Sided], state: GroupState[JoinPairState]): Iterator[JoinedChange] = {
     val s0 = state.getOption.getOrElse(JoinPairState(None, None, joined = false))
     var l  = s0.left
     var r  = s0.right
@@ -75,10 +79,12 @@ object JoinView {
       .getOrElse((0L, 0L))
     val prevPair = (s0.left.filter(!_.deleted).map(_.payload), s0.right.filter(!_.deleted).map(_.payload))
     val nowPair  = (liveL.map(_.payload), liveR.map(_.payload))
-    val joined   = liveL.nonEmpty && (leftOuter || liveR.nonEmpty)
+    val joined   = (liveL.nonEmpty && liveR.nonEmpty) ||
+      (preserveLeft && liveL.nonEmpty) || (preserveRight && liveR.nonEmpty)
     val out =
       if (joined && (!s0.joined || prevPair != nowPair))
-        Iterator.single(JoinedChange("upsert", key, liveL.get.payload,
+        Iterator.single(JoinedChange("upsert", key,
+          liveL.map(_.payload).getOrElse(Map.empty),
           liveR.map(_.payload).getOrElse(Map.empty), posTs, posSeq))
       else if (!joined && s0.joined)
         Iterator.single(JoinedChange("delete", key, Map.empty, Map.empty, posTs, posSeq))
@@ -93,7 +99,14 @@ object JoinView {
     * re-materialization or a streaming aggregate — composes.
     */
   def materializeJoin(left: Dataset[Change], right: Dataset[Change],
-      leftOuter: Boolean = false): Dataset[JoinedChange] = {
+      leftOuter: Boolean = false): Dataset[JoinedChange] =
+    materializeJoinType(left, right, preserveLeft = leftOuter, preserveRight = false)
+
+  /** [[materializeJoin]] generalized to all four ANSI join types of the
+    * key-equi shape via the preserve flags (see [[fold]]).
+    */
+  def materializeJoinType(left: Dataset[Change], right: Dataset[Change],
+      preserveLeft: Boolean, preserveRight: Boolean): Dataset[JoinedChange] = {
     implicit val sidedEnc  = Encoders.product[Sided]
     implicit val stateEnc  = Encoders.product[JoinPairState]
     implicit val joinedEnc = Encoders.product[JoinedChange]
@@ -103,7 +116,8 @@ object JoinView {
       .union(right.map(c => Sided("R", c.op, c.key, c.ts, c.payload, c.seq)))
     tagged
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold(leftOuter))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        fold(preserveLeft, preserveRight))
   }
 
   val outputMode: OutputMode = OutputMode.Append()

@@ -657,6 +657,126 @@ class IncrementalPlannerSpec extends SparkSpec {
     }
   }
 
+  test("#171ac RIGHT OUTER join views: the mirrored preserve axis, key-equi and FK") {
+    // key-equi: mirror of #171s — the RIGHT side stays visible while
+    // its partner is absent or dead
+    val rsql = "SELECT l.name, r.amount FROM users l RIGHT JOIN orders r ON l.key = r.key"
+    val batches = Seq(
+      // order 1 arrives with NO user: visible with NULL name; user 2
+      // arrives with no order: NOT visible (left side is not preserved)
+      Map("orders" -> Seq(Change("insert", 1L, ts(0), Map("amount" -> "5"), 1L)),
+        "users" -> Seq(Change("insert", 2L, ts(0), Map("name" -> "bob"), 1L))),
+      // user 1 arrives: NULL row upgrades; order 2 arrives: key 2 joins
+      Map("users" -> Seq(Change("insert", 1L, ts(5), Map("name" -> "ann"), 2L)),
+        "orders" -> Seq(Change("insert", 2L, ts(5), Map("amount" -> "9"), 2L))),
+      // user 1 deleted: order 1 DOWNGRADES back to the NULL row;
+      // order 2 deleted: key 2 leaves the view (preserved side died)
+      Map("users" -> Seq(Change("delete", 1L, ts(10), Map.empty, 3L)),
+        "orders" -> Seq(Change("delete", 2L, ts(10), Map.empty, 3L))),
+    )
+    runView(rsql, "pv_rj_mid", batches.take(2))
+    assert(rowState("pv_rj_mid", Seq("name", "amount")) ==
+      Map(1L -> Seq[Any]("ann", "5"), 2L -> Seq[Any]("bob", "9")))
+    runView(rsql, "pv_rj", batches)
+    assert(rowState("pv_rj", Seq("name", "amount")) == Map(1L -> Seq[Any](null, "5")),
+      "right join must keep the unmatched RIGHT row with NULL left fields")
+
+    // FK shape with the fact on the RIGHT: fact-preserving, so supported
+    val fkSql = "SELECT f.item, d.city FROM dims d RIGHT JOIN facts f ON d.key = f.custkey"
+    val fkBatches = Seq(
+      Map("facts" -> Seq(
+        Change("insert", 1L, ts(0), Map("item" -> "a", "custkey" -> "7"), 1L)),
+        "dims" -> Nil),
+      Map("dims" -> Seq(Change("insert", 7L, ts(5), Map("city" -> "ber"), 1L))),
+      Map("dims" -> Seq(Change("delete", 7L, ts(10), Map.empty, 2L))),
+    )
+    runView(fkSql, "pv_fkrj_a", fkBatches.take(1))
+    assert(rowState("pv_fkrj_a", Seq("item", "city")) == Map(1L -> Seq[Any]("a", null)))
+    runView(fkSql, "pv_fkrj_b", fkBatches.take(2))
+    assert(rowState("pv_fkrj_b", Seq("item", "city")) == Map(1L -> Seq[Any]("a", "ber")))
+    runView(fkSql, "pv_fkrj_c", fkBatches)
+    assert(rowState("pv_fkrj_c", Seq("item", "city")) == Map(1L -> Seq[Any]("a", null)),
+      "dim death under RIGHT JOIN must downgrade facts to NULL dim columns, not delete them")
+
+    // dim-preserving FK forms are rejected fast, both directions
+    intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT f.item FROM facts f RIGHT JOIN dims d ON f.custkey = d.key", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT f.item FROM facts f FULL JOIN dims d ON f.custkey = d.key", Map.empty)
+    }
+  }
+
+  test("#171ad FULL OUTER key-equi join view: either side alone is visible; both dead leaves") {
+    val sql = "SELECT l.name, r.amount FROM users l FULL JOIN orders r ON l.key = r.key"
+    val batches = Seq(
+      // key 1: left only; key 2: right only; key 3: both
+      Map("users" -> Seq(
+        Change("insert", 1L, ts(0), Map("name" -> "ann"), 1L),
+        Change("insert", 3L, ts(1), Map("name" -> "cat"), 2L)),
+        "orders" -> Seq(
+          Change("insert", 2L, ts(0), Map("amount" -> "7"), 1L),
+          Change("insert", 3L, ts(1), Map("amount" -> "50"), 2L))),
+      // user 3 dies: key 3 degrades to right-only; order 2 dies: key 2
+      // leaves (its only live side died)
+      Map("users" -> Seq(Change("delete", 3L, ts(5), Map.empty, 3L)),
+        "orders" -> Seq(Change("delete", 2L, ts(5), Map.empty, 3L))),
+      // order 3 dies too: key 3 leaves entirely; order 1 arrives: key 1
+      // upgrades from left-only to joined
+      Map("orders" -> Seq(
+        Change("delete", 3L, ts(10), Map.empty, 4L),
+        Change("insert", 1L, ts(10), Map("amount" -> "10"), 5L))),
+    )
+    runView(sql, "pv_fj_a", batches.take(1))
+    assert(rowState("pv_fj_a", Seq("name", "amount")) == Map(
+      1L -> Seq[Any]("ann", null),
+      2L -> Seq[Any](null, "7"),
+      3L -> Seq[Any]("cat", "50")),
+      "full join must show left-only, right-only, and joined keys at once")
+    runView(sql, "pv_fj_b", batches.take(2))
+    assert(rowState("pv_fj_b", Seq("name", "amount")) == Map(
+      1L -> Seq[Any]("ann", null),
+      3L -> Seq[Any](null, "50")))
+    runView(sql, "pv_fj", batches)
+    assert(rowState("pv_fj", Seq("name", "amount")) == Map(1L -> Seq[Any]("ann", "10")),
+      "both sides dead must tombstone the key; a late partner must upgrade a preserved row")
+
+    // a GLOBAL aggregate composes over the FULL JOIN source (the
+    // Project→empty-grouping-Aggregate dispatch)
+    val aggSql = "SELECT count(*) AS n FROM users l FULL JOIN orders r ON l.key = r.key"
+    runView(aggSql, "pv_fj_agg", batches)
+    assert(aggState("pv_fj_agg", Nil) == Map(Seq.empty[Any] -> Seq[Any](1L)))
+  }
+
+  test("#171ae global aggregates (no GROUP BY): one group, full retraction, empty-view tombstone") {
+    val sql = "SELECT count(*) AS n, sum(amount) AS s, min(amount) AS mn, " +
+      "count(DISTINCT city) AS nc FROM t"
+    def e(op: String, k: Long, m: Int, city: String, amount: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String]
+        else Map("city" -> city, "amount" -> amount), seq)
+    val batches = Seq(
+      Map("t" -> Seq(
+        e("insert", 1L, 0, "ber", "10", 1L),
+        e("insert", 2L, 1, "ber", "5", 2L),
+        e("insert", 3L, 2, "par", "20", 3L))),
+      Map("t" -> Seq(e("delete", 3L, 5, "", "", 4L))),  // par's only row: nc 2→1, mn stays 5
+      Map("t" -> Seq(
+        e("delete", 1L, 10, "", "", 5L),
+        e("delete", 2L, 10, "", "", 6L))),               // view empties
+    )
+    runView(sql, "pv_glob_a", batches.take(1))
+    assert(aggState("pv_glob_a", Nil) == Map(Seq.empty[Any] -> Seq[Any](3L, 35.0, 5.0, 2L)))
+    runView(sql, "pv_glob_b", batches.take(2))
+    assert(aggState("pv_glob_b", Nil) == Map(Seq.empty[Any] -> Seq[Any](2L, 15.0, 5.0, 1L)),
+      "retraction must cross the global group: count, sum, extremum re-agg, distinct city count")
+    runView(sql, "pv_glob", batches)
+    assert(aggState("pv_glob", Nil).isEmpty,
+      "deleting every row must tombstone the global group (_live_rows=0)")
+  }
+
   test("#171u 3-table star view: fact JOIN dim1 JOIN dim2 layers through nested join compilation") {
     // fact orders carry custkey + partkey; the left-deep parse compiles
     // (orders ⋈ cust) as an inner FK join whose changefeed feeds the
