@@ -249,16 +249,54 @@ object IncrementalPlanner {
     case other => throw unsupported(s"expression ${other.getClass.getSimpleName} in ${other.sql}")
   }
 
+  /** Wall-clock reading of an event-time value for the date FIELD
+    * functions: numeric strings are epoch MICROS read in UTC (the
+    * session timezone this library pins everywhere), `yyyy-mm-dd
+    * hh:mm:ss[.f]` and `yyyy-mm-dd` parse as the naive local datetime —
+    * exactly the fields Spark's own year()/month()/… return under a UTC
+    * session, so planned views agree with batch recompute of the same
+    * SQL. Unparseable → None → SQL NULL propagation.
+    */
+  private def localDtOf(v: Any): Option[java.time.LocalDateTime] = {
+    def ofMicros(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    v match {
+      case t: Timestamp => Some(ofMicros(CdcMaterializer.micros(t)))
+      case s: String =>
+        s.toLongOption.map(ofMicros)
+          .orElse(scala.util.Try(java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))).toOption)
+          .orElse(scala.util.Try(java.time.LocalDate.parse(s.trim)).toOption.map(_.atStartOfDay))
+      case other => asNum(other).map(d => ofMicros(d.toLong))
+    }
+  }
+
+  /** `yyyy-MM-dd HH:mm:ss` (Spark's timestamp string form) without a
+    * captured DateTimeFormatter — formatters are not serializable, and
+    * this formats inside executor-side closures.
+    */
+  private def fmtDt(dt: java.time.LocalDateTime): String =
+    f"${dt.getYear}%04d-${dt.getMonthValue}%02d-${dt.getDayOfMonth}%02d " +
+      f"${dt.getHour}%02d:${dt.getMinute}%02d:${dt.getSecond}%02d"
+
   /** Scalar functions over the stringly env: the common WHERE/projection
-    * vocabulary (upper/lower/trim/length/substring/concat/coalesce),
-    * each with SQL NULL propagation (concat is NULL if ANY argument is,
-    * per ANSI; coalesce takes the first non-NULL).
+    * vocabulary (upper/lower/trim/length/substring/concat/coalesce) plus
+    * the date/time field functions (year/month/day/hour/minute/second/
+    * dayofweek/to_date/date_trunc/datediff — see [[localDtOf]] for the
+    * event-time coercion), each with SQL NULL propagation (concat is
+    * NULL if ANY argument is, per ANSI; coalesce takes the first
+    * non-NULL). Field functions return integral Longs so group keys
+    * stringify clean (`month=3`, not `3.0`).
     */
   private def compileFunction(f: UnresolvedFunction): Eval = {
     val args = f.arguments.map(compileExpr)
     def one(g: String => Any): Eval = {
       require(args.length == 1, s"${f.nameParts.last} takes one argument")
       env => args.head(env).map(v => g(String.valueOf(v)))
+    }
+    def dtField(g: java.time.LocalDateTime => Any): Eval = {
+      require(args.length == 1, s"${f.nameParts.last} takes one argument")
+      env => args.head(env).flatMap(localDtOf).map(g)
     }
     f.nameParts.last.toLowerCase match {
       case "upper"  => one(_.toUpperCase)
@@ -290,6 +328,37 @@ object IncrementalPlanner {
           val hi   = math.min(s.length.toLong, math.max(lo.toLong, from.toLong + math.max(0, len))).toInt
           if (lo >= s.length) "" else s.substring(lo, hi)
         }
+      case "year"               => dtField(_.getYear.toLong)
+      case "month"              => dtField(_.getMonthValue.toLong)
+      case "day" | "dayofmonth" => dtField(_.getDayOfMonth.toLong)
+      case "hour"               => dtField(_.getHour.toLong)
+      case "minute"             => dtField(_.getMinute.toLong)
+      case "second"             => dtField(_.getSecond.toLong)
+      // Spark's dayofweek: 1 = Sunday … 7 = Saturday
+      case "dayofweek"          => dtField(dt => (dt.getDayOfWeek.getValue % 7 + 1).toLong)
+      case "to_date"            => dtField(_.toLocalDate.toString)
+      case "date_trunc" =>
+        require(args.length == 2, "date_trunc takes ('unit', ts)")
+        // unit is a literal: compile it once against the empty env
+        val unit = args.head(Map.empty).map(String.valueOf(_).toLowerCase).getOrElse(
+          throw unsupported("date_trunc with a non-literal unit"))
+        val trunc: java.time.LocalDateTime => java.time.LocalDateTime = unit match {
+          case "year"   => dt => dt.toLocalDate.withDayOfYear(1).atStartOfDay
+          case "month"  => dt => dt.toLocalDate.withDayOfMonth(1).atStartOfDay
+          case "week"   => dt => dt.toLocalDate.`with`(java.time.DayOfWeek.MONDAY).atStartOfDay
+          case "day"    => _.toLocalDate.atStartOfDay
+          case "hour"   => _.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+          case "minute" => _.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+          case "second" => _.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+          case u        => throw unsupported(s"date_trunc unit '$u'")
+        }
+        env => args(1)(env).flatMap(localDtOf).map(dt => fmtDt(trunc(dt)))
+      case "datediff" =>
+        require(args.length == 2, "datediff takes (end, start)")
+        env => for {
+          e <- args.head(env).flatMap(localDtOf)
+          s <- args(1)(env).flatMap(localDtOf)
+        } yield java.time.temporal.ChronoUnit.DAYS.between(s.toLocalDate, e.toLocalDate)
       case other => throw unsupported(s"function $other(...)")
     }
   }

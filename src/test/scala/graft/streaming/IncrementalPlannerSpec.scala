@@ -777,6 +777,50 @@ class IncrementalPlannerSpec extends SparkSpec {
       "deleting every row must tombstone the global group (_live_rows=0)")
   }
 
+  test("#171af date/time functions: field filters, date_trunc grouping, datediff — retraction included") {
+    def e(op: String, k: Long, m: Int, evTs: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String] else Map("ev_ts" -> evTs), seq)
+    val batches = Seq(
+      Map("t" -> Seq(
+        e("insert", 1L, 0, "2024-03-15 10:30:00", 1L),
+        e("insert", 2L, 1, "2024-03-15 23:59:59", 2L),
+        e("insert", 3L, 2, "2024-04-01 00:00:00", 3L),
+        e("insert", 4L, 3, "2023-12-31 10:00:00", 4L),      // year-filtered out of the agg
+        e("insert", 5L, 4, "2024-05-01 10:00:00", 5L),      // month-filtered out of the agg
+        e("insert", 6L, 5, "1710500000000000", 6L))),        // epoch micros = 2024-03-15 10:53:20 UTC
+      Map("t" -> Seq(e("update", 2L, 10, "2024-03-16 00:00:01", 7L))), // moves a day AND exits hour>=10
+      Map("t" -> Seq(e("delete", 3L, 11, "", 8L))),                    // April's only row: day tombstones
+    )
+
+    // aggregate: daily counts via date_trunc grouping; the update MOVES
+    // key 2 across day buckets, the delete empties April 1
+    val aggSql = "SELECT date_trunc('day', ev_ts) AS d, count(*) AS n FROM t " +
+      "WHERE year(ev_ts) = 2024 AND month(ev_ts) IN (3, 4) GROUP BY date_trunc('day', ev_ts)"
+    runView(aggSql, "pv_dt_agg_a", batches.take(1))
+    assert(aggState("pv_dt_agg_a", Seq("d")) == Map(
+      Seq[Any]("2024-03-15 00:00:00") -> Seq[Any](3L),
+      Seq[Any]("2024-04-01 00:00:00") -> Seq[Any](1L)))
+    runView(aggSql, "pv_dt_agg", batches)
+    assert(aggState("pv_dt_agg", Seq("d")) == Map(
+      Seq[Any]("2024-03-15 00:00:00") -> Seq[Any](2L),
+      Seq[Any]("2024-03-16 00:00:00") -> Seq[Any](1L)),
+      "day move must retract+add across trunc buckets; emptied day must tombstone")
+
+    // row view: field extraction + datediff, hour() predicate exit on
+    // key 2's midnight update; hand-computed truth (2024-03-15 = Friday
+    // → Spark dayofweek 6; 2024 is a leap year)
+    val rowSql = "SELECT to_date(ev_ts) AS d, dayofweek(ev_ts) AS dow, " +
+      "datediff(ev_ts, '2024-01-01') AS age FROM t WHERE hour(ev_ts) >= 10"
+    runView(rowSql, "pv_dt_row", batches)
+    assert(rowState("pv_dt_row", Seq("d", "dow", "age")) == Map(
+      1L -> Seq[Any]("2024-03-15", "6", "74"),
+      4L -> Seq[Any]("2023-12-31", "1", "-1"),
+      5L -> Seq[Any]("2024-05-01", "4", "121"),
+      6L -> Seq[Any]("2024-03-15", "6", "74")),
+      "field functions must read wall-clock UTC for both timestamp strings and epoch micros")
+  }
+
   test("#171u 3-table star view: fact JOIN dim1 JOIN dim2 layers through nested join compilation") {
     // fact orders carry custkey + partkey; the left-deep parse compiles
     // (orders ⋈ cust) as an inner FK join whose changefeed feeds the
