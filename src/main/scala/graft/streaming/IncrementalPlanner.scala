@@ -387,6 +387,7 @@ object IncrementalPlanner {
       val feed = feeds.getOrElse(name,
         throw new IllegalArgumentException(s"IncrementalPlanner: unknown feed '$name'; have ${feeds.keys.mkString(", ")}"))
       Source(qualify(feed, name), Nil)
+    case u: Union => Source(unionChanges(spark, u, feeds)._1, Nil)
     case j: Join =>
       // preserve flags: which side stays visible while unmatched — the
       // one-axis encoding of all four ANSI join types
@@ -445,6 +446,41 @@ object IncrementalPlanner {
       }
       Source(joined, Nil)
     case other => throw unsupported(s"plan node ${other.getClass.getSimpleName}")
+  }
+
+  /** UNION ALL of SELECT branches as ONE changefeed: each branch
+    * compiles to its own row view ([[rowChangesOf]] — per-branch
+    * projection and WHERE applied, per-branch keyed state sharded like
+    * any row view), then branches re-key into DISJOINT key spaces (FNV
+    * of the branch ordinal + source key) so same-valued keys from
+    * different feeds stay distinct rows and a delete routes to ITS
+    * branch's row — multiset semantics, which is what UNION ALL means.
+    * Branch column lists must match by NAME: positional alignment over
+    * a schema-on-read payload would silently mis-wire fields, so it is
+    * rejected instead. Nested unions (`a UNION ALL b UNION ALL c`)
+    * flatten, ordinals following the SQL's branch order.
+    */
+  private def unionChanges(spark: SparkSession, u: Union,
+      feeds: Map[String, Dataset[Change]]): (Dataset[Change], Seq[String]) = {
+    def flatten(p: LogicalPlan): Seq[LogicalPlan] = p match {
+      case un: Union => un.children.flatMap(flatten)
+      case other     => Seq(other)
+    }
+    val branches = flatten(u).map {
+      case p: Project => rowChangesOf(spark, p, feeds)
+      case other => throw unsupported(
+        s"UNION branch ${other.getClass.getSimpleName} (each branch must be a plain SELECT; " +
+          "for UNION DISTINCT write SELECT DISTINCT over the UNION ALL)")
+    }
+    val nameLists = branches.map(_._2)
+    require(nameLists.distinct.length == 1,
+      s"UNION branches must project the same column names; got " +
+        nameLists.distinct.map(_.mkString("(", ",", ")")).mkString(" vs "))
+    implicit val changeEnc = Encoders.product[Change]
+    val rekeyed = branches.zipWithIndex.map { case ((ds, _), i) =>
+      ds.map(c => c.copy(key = fnv64("u" + i + Sep + c.key)))
+    }
+    (rekeyed.reduce(_ union _), nameLists.head)
   }
 
   /** Wire [[JoinView.materializeFkJoin]] for the planner: facts carry
@@ -1237,6 +1273,22 @@ object IncrementalPlanner {
       // last contributing row leaves
       case Distinct(p: Project) =>
         compileAggregate(spark, Aggregate(p.projectList, p.projectList, p.child), feeds)
+      // UNION DISTINCT ≡ the maintained distinct view over the UNION ALL
+      // changefeed: a value present in BOTH branches appears once and
+      // survives one branch's delete (its other contributor holds it)
+      case Distinct(u: Union) =>
+        val (changes, names) = unionChanges(spark, u, feeds)
+        val attrs: Seq[NamedExpression] = names.map(n => UnresolvedAttribute(Seq(n)))
+        compileAggregate(spark, Aggregate(attrs, attrs, UnresolvedRelation(Seq("__union"))),
+          Map("__union" -> changes))
+      // top-level UNION ALL: the combined row-view changefeed
+      case u: Union =>
+        val (changes, names) = unionChanges(spark, u, feeds)
+        val df = changes.toDF().select(
+          col("op") +: col("key") +:
+            names.map(n => element_at(col("payload"), n).as(n)) :+
+            expr("unix_micros(ts)").as("ts_us") :+ col("seq"): _*)
+        PlannedView(df, OutputMode.Append())
       case p: Project =>
         globalAgg(p) match {
           case Some(a) => compileAggregate(spark, a, feeds)
@@ -1420,12 +1472,21 @@ object IncrementalPlanner {
     */
   def materializeChanges(spark: SparkSession, sql: String,
       feeds: Map[String, Dataset[Change]]): Dataset[Change] = {
-    val proj = spark.sessionState.sqlParser.parsePlan(sql) match {
-      case p: Project => p
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case p: Project => rowChangesOf(spark, p, feeds)._1
+      case u: Union   => unionChanges(spark, u, feeds)._1
       case other => throw unsupported(
         s"materializeChanges needs a non-aggregate SELECT (got ${other.getClass.getSimpleName}); " +
           "aggregate views emit group rows, not keyed changes")
     }
+  }
+
+  /** A projected row view as a keyed changefeed, plan-level: the shared
+    * engine of [[materializeChanges]] and UNION branch compilation.
+    * Returns the changefeed plus the projected column names.
+    */
+  private def rowChangesOf(spark: SparkSession, proj: Project,
+      feeds: Map[String, Dataset[Change]]): (Dataset[Change], Seq[String]) = {
     val src   = compileSource(spark, proj.child, feeds)
     val preds = src.filters.map(compileExpr)
     val cols: Seq[(String, Eval)] = proj.projectList.zipWithIndex.map { case (ne, i) =>
@@ -1443,9 +1504,10 @@ object IncrementalPlanner {
     implicit val rcEnc     = Encoders.product[PlannedRowChange]
     implicit val changeEnc = Encoders.product[Change]
     implicit val longEnc   = Encoders.scalaLong
-    src.changes
+    val changes = src.changes
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(rowFold(extract))
       .map(rc => Change(rc.op, rc.key, tsOfMicros(rc.ts_us), rc.proj, rc.seq))
+    (changes, names)
   }
 }

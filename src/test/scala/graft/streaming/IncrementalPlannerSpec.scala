@@ -821,6 +821,71 @@ class IncrementalPlannerSpec extends SparkSpec {
       "field functions must read wall-clock UTC for both timestamp strings and epoch micros")
   }
 
+  test("#171ag UNION ALL / UNION DISTINCT sources: disjoint key spaces, per-branch lifecycle") {
+    def e(feedTsOff: Int)(op: String, k: Long, m: Int, city: String, amount: String, seq: Long) =
+      Change(op, k, ts(m + feedTsOff),
+        if (op == "delete") Map.empty[String, String]
+        else Map("city" -> city, "amount" -> amount), seq)
+    val ea = e(0) _; val eb = e(0) _
+    val batches = Seq(
+      // key 1 exists in BOTH feeds — UNION ALL must keep both rows
+      Map("a" -> Seq(ea("insert", 1L, 0, "ber", "10", 1L), ea("insert", 2L, 1, "par", "5", 2L)),
+        "b" -> Seq(eb("insert", 1L, 0, "ber", "7", 1L))),
+      // feed-b's key 1 dies: only ITS row retracts, feed-a's key 1 stays
+      Map("b" -> Seq(eb("delete", 1L, 5, "", "", 2L))),
+      // feed-a's key 1 moves city: retract+add across groups
+      Map("a" -> Seq(ea("update", 1L, 6, "par", "10", 3L))),
+    )
+
+    val aggSql = "SELECT city, count(*) AS n, sum(amount) AS s FROM " +
+      "(SELECT city, amount FROM a UNION ALL SELECT city, amount FROM b) t GROUP BY city"
+    runView(aggSql, "pv_un_agg_a", batches.take(1))
+    assert(aggState("pv_un_agg_a", Seq("city")) == Map(
+      Seq[Any]("ber") -> Seq[Any](2L, 17.0),
+      Seq[Any]("par") -> Seq[Any](1L, 5.0)),
+      "same key value in two branches must count twice (disjoint key spaces)")
+    runView(aggSql, "pv_un_agg_b", batches.take(2))
+    assert(aggState("pv_un_agg_b", Seq("city")) == Map(
+      Seq[Any]("ber") -> Seq[Any](1L, 10.0),
+      Seq[Any]("par") -> Seq[Any](1L, 5.0)),
+      "a branch's delete must retract only its own row")
+    runView(aggSql, "pv_un_agg", batches)
+    assert(aggState("pv_un_agg", Seq("city")) == Map(
+      Seq[Any]("par") -> Seq[Any](2L, 15.0)),
+      "group move through a union branch must tombstone the emptied group")
+
+    // top-level UNION ALL row view: per-branch WHERE applies, the
+    // combined changefeed's final multiset matches
+    val rowSql = "SELECT city, amount FROM a WHERE amount > 5 UNION ALL SELECT city, amount FROM b"
+    runView(rowSql, "pv_un_rows", batches)
+    assert(rowState("pv_un_rows", Seq("city", "amount")).values.toSeq.sortBy(_.toString) ==
+      Seq(Seq[Any]("par", "10")),
+      "final multiset: a's key1 (10, par) passes WHERE; a's key2 (5) filtered; b's key1 deleted")
+
+    // UNION DISTINCT: a value in both branches appears once and
+    // SURVIVES one branch's delete; leaves only when the last
+    // contributor across ALL branches is gone
+    val dSql = "SELECT city FROM a UNION SELECT city FROM b"
+    runView(dSql, "pv_un_d_a", batches.take(1))
+    assert(aggState("pv_un_d_a", Seq("city")).keySet == Set(Seq[Any]("ber"), Seq[Any]("par")))
+    runView(dSql, "pv_un_d_b", batches.take(2))
+    assert(aggState("pv_un_d_b", Seq("city")).keySet == Set(Seq[Any]("ber"), Seq[Any]("par")),
+      "ber must survive feed-b's delete: feed-a still contributes it")
+    runView(dSql, "pv_un_d", batches)
+    assert(aggState("pv_un_d", Seq("city")).keySet == Set(Seq[Any]("par")),
+      "ber's last contributor moved to par: the distinct value must leave")
+
+    // mismatched branch column lists are rejected fast
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT city FROM a UNION ALL SELECT amount FROM b",
+        Map("a" -> MemoryStream[Change].toDS(), "b" -> MemoryStream[Change].toDS()))
+    }
+    assert(ex.getMessage.contains("same column names"), s"wrong failure: ${ex.getMessage}")
+  }
+
   test("#171u 3-table star view: fact JOIN dim1 JOIN dim2 layers through nested join compilation") {
     // fact orders carry custkey + partkey; the left-deep parse compiles
     // (orders ⋈ cust) as an inner FK join whose changefeed feeds the
