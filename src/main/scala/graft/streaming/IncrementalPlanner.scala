@@ -388,6 +388,27 @@ object IncrementalPlanner {
         throw new IllegalArgumentException(s"IncrementalPlanner: unknown feed '$name'; have ${feeds.keys.mkString(", ")}"))
       Source(qualify(feed, name), Nil)
     case u: Union => Source(unionChanges(spark, u, feeds)._1, Nil)
+    // a DERIVED TABLE — `FROM (SELECT …) x`: the subquery compiles to
+    // its OWN maintained changefeed (row view, aggregate view, or
+    // distinct view) which then serves as this query's source —
+    // view-over-view composition INSIDE one SQL string, the same
+    // layering materializeChanges/materializeAggChanges expose across
+    // statements. An aggregate subquery's changefeed carries its output
+    // columns as the payload and tombstones exiting groups, so an outer
+    // `WHERE n > 5` behaves exactly like HAVING (threshold exits emit
+    // deletes downstream).
+    case p: Project =>
+      globalAgg(p) match {
+        case Some(_) => Source(aggChangesOf(spark, p, feeds)._1, Nil)
+        case None    => Source(rowChangesOf(spark, p, feeds)._1, Nil)
+      }
+    case a: Aggregate => Source(aggChangesOf(spark, a, feeds)._1, Nil)
+    case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+      Source(aggChangesOf(spark, h, feeds)._1, Nil)
+    case Distinct(p: Project) =>
+      Source(aggChangesOf(spark, Aggregate(p.projectList, p.projectList, p.child), feeds)._1, Nil)
+    case e: Except    => Source(aggChangesOf(spark, e, feeds)._1, Nil)
+    case i: Intersect => Source(aggChangesOf(spark, i, feeds)._1, Nil)
     case j: Join =>
       // preserve flags: which side stays visible while unmatched — the
       // one-axis encoding of all four ANSI join types
@@ -522,7 +543,15 @@ object IncrementalPlanner {
       val name = r.multipartIdentifier.last
       (feeds.getOrElse(name, throw new IllegalArgumentException(s"unknown feed '$name'")), name)
     case j: Join => (compileSource(spark, j, feeds).changes, "")
-    case other => throw unsupported(s"join input ${other.getClass.getSimpleName}")
+    // a derived ROW view as a join side — `JOIN (SELECT … WHERE …) d ON
+    // …`: keeps its source keys, so both join shapes apply unchanged.
+    // An AGGREGATE subquery is rejected here: its changefeed is keyed
+    // by the group-identity hash, which no other feed's key or fk field
+    // meaningfully equals — materialize it as its own view and join on
+    // a re-keyed copy instead of silently joining hash garbage.
+    case p: Project if globalAgg(p).isEmpty => (rowChangesOf(spark, p, feeds)._1, "")
+    case other => throw unsupported(
+      s"join input ${other.getClass.getSimpleName} (feeds, nested joins, and non-aggregate derived tables join)")
   }
 
   /** Merge qualified copies of every payload field into the payload so
@@ -1281,6 +1310,11 @@ object IncrementalPlanner {
         val attrs: Seq[NamedExpression] = names.map(n => UnresolvedAttribute(Seq(n)))
         compileAggregate(spark, Aggregate(attrs, attrs, UnresolvedRelation(Seq("__union"))),
           Map("__union" -> changes))
+      // EXCEPT / INTERSECT [ALL]: the maintained set-operation view
+      case e: Except =>
+        compileSetOp(spark, e.left, e.right, e.isAll, isExcept = true, feeds, keepMeta = false)
+      case i: Intersect =>
+        compileSetOp(spark, i.left, i.right, i.isAll, isExcept = false, feeds, keepMeta = false)
       // top-level UNION ALL: the combined row-view changefeed
       case u: Union =>
         val (changes, names) = unionChanges(spark, u, feeds)
@@ -1441,12 +1475,23 @@ object IncrementalPlanner {
       }
       case p: Project if globalAgg(p).isDefined =>
         compileAggregate(spark, globalAgg(p).get, feeds, keepMeta = true)
+      case e: Except    => compileSetOp(spark, e.left, e.right, e.isAll, isExcept = true, feeds, keepMeta = true)
+      case i: Intersect => compileSetOp(spark, i.left, i.right, i.isAll, isExcept = false, feeds, keepMeta = true)
       case other => throw unsupported(
         s"materializeAggChanges needs an aggregate SELECT (got ${other.getClass.getSimpleName})")
     }
-    val outNames = view.df.columns.filterNot(Set("_live_rows", "_group", "_ts_us", "_seq")).toSeq
+    viewChanges(view.df)
+  }
+
+  /** The keepMeta form of an aggregate-class view as its changefeed:
+    * live group rows become upserts keyed by the stable group hash,
+    * `_live_rows = 0` emissions become deletes, commit positions
+    * propagate. Shared by [[aggChangesOf]] and set-operation views.
+    */
+  private def viewChanges(df: DataFrame): (Dataset[Change], Seq[String]) = {
+    val outNames = df.columns.filterNot(Set("_live_rows", "_group", "_ts_us", "_seq")).toSeq
     implicit val changeEnc = Encoders.product[Change]
-    val changes = view.df.map { r =>
+    val changes = df.map { r =>
       val live = r.getAs[Long]("_live_rows") > 0L
       val payload =
         if (!live) Map.empty[String, String]
@@ -1459,6 +1504,76 @@ object IncrementalPlanner {
         r.getAs[Long]("_seq"))
     }
     (changes, outNames)
+  }
+
+  /** EXCEPT / INTERSECT [ALL] as a maintained view — the set-operation
+    * tier of the Materialize surface, compiled entirely onto the
+    * planner's own aggregate machinery: each branch becomes its own row
+    * view re-keyed into a disjoint space (the UNION discipline) with a
+    * side marker injected into the payload, and one aggregate over the
+    * combined feed counts per-side live contributions per value tuple
+    * (`_na`/`_nb`). The variant's liveness rule rides the HAVING gate —
+    * EXCEPT: `_na > 0 AND _nb = 0`; INTERSECT: both positive; EXCEPT
+    * ALL: `_na − _nb > 0`; INTERSECT ALL: both positive — so threshold
+    * crossings emit the view-exit tombstone exactly like any HAVING
+    * view. ALL variants carry the multiset `multiplicity` column
+    * (`_na − _nb` / `least(_na, _nb)`) — the changefeed rendering of
+    * duplicate rows (k identical rows ARE one group row with
+    * multiplicity k); helper counters are dropped from the output.
+    * NULL-bearing tuples group as values (NullMark group parts), which
+    * matches SQL set-operation semantics: set ops treat NULLs as equal,
+    * unlike ordinary comparisons.
+    */
+  private def compileSetOp(spark: SparkSession, l: LogicalPlan, r: LogicalPlan,
+      isAll: Boolean, isExcept: Boolean,
+      feeds: Map[String, Dataset[Change]], keepMeta: Boolean): PlannedView = {
+    implicit val changeEnc = Encoders.product[Change]
+    def branch(p: LogicalPlan, i: Int): (Dataset[Change], Seq[String]) = p match {
+      case proj: Project =>
+        val (ds, names) = rowChangesOf(spark, proj, feeds)
+        (ds.map(c => c.copy(
+          key = fnv64("s" + i + Sep + c.key),
+          payload = if (c.op == "delete") c.payload else c.payload + ("_side" -> i.toString))),
+          names)
+      case other => throw unsupported(
+        s"set-operation branch ${other.getClass.getSimpleName} (each side must be a plain SELECT)")
+    }
+    val (lc, ln) = branch(l, 0)
+    val (rc, rn) = branch(r, 1)
+    require(ln == rn,
+      s"EXCEPT/INTERSECT sides must project the same column names; got " +
+        s"${ln.mkString("(", ",", ")")} vs ${rn.mkString("(", ",", ")")}")
+    require(!ln.contains("_side"), "column name _side is reserved in set-operation views")
+    val attrs: Seq[NamedExpression] = ln.map(n => UnresolvedAttribute(Seq(n)))
+    def sideCount(side: Int, nm: String): NamedExpression =
+      Alias(UnresolvedFunction(Seq("count"),
+        Seq(CaseWhen(Seq((EqualTo(UnresolvedAttribute(Seq("_side")), Literal(side.toString)),
+          Literal(1))), None)), isDistinct = false), nm)()
+    val agg = Aggregate(attrs, attrs ++ Seq(sideCount(0, "_na"), sideCount(1, "_nb")),
+      UnresolvedRelation(Seq("__setop")))
+    val na = UnresolvedAttribute(Seq("_na"))
+    val nb = UnresolvedAttribute(Seq("_nb"))
+    val liveness: Expression =
+      if (isExcept && isAll) GreaterThan(Subtract(na, nb), Literal(0))
+      else if (isExcept)     And(GreaterThan(na, Literal(0)), EqualTo(nb, Literal(0)))
+      else                   And(GreaterThan(na, Literal(0)), GreaterThan(nb, Literal(0)))
+    val view = compileAggregateFlat(spark, agg, Map("__setop" -> (lc union rc)),
+      ttl = None, having = Some(liveness), keepMeta = keepMeta)
+    // re-select to keep the standard layout: tuple cols [, multiplicity],
+    // _live_rows [, meta] — a bare withColumn would append after
+    // _live_rows and break every consumer's column contract
+    val metaCols = if (keepMeta) Seq(col("_group"), col("_ts_us"), col("_seq")) else Nil
+    val out =
+      if (!isAll)
+        view.df.select(ln.map(col) ++ (col("_live_rows") +: metaCols): _*)
+      else {
+        val mult =
+          if (isExcept) col("_na") - col("_nb")
+          else least(col("_na"), col("_nb"))
+        view.df.select(
+          ln.map(col) ++ (mult.cast("long").as("multiplicity") +: col("_live_rows") +: metaCols): _*)
+      }
+    PlannedView(out, view.outputMode)
   }
 
   /** A NON-AGGREGATE view as a [[Change]] stream — the composition

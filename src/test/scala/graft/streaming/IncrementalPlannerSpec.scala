@@ -886,6 +886,137 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(ex.getMessage.contains("same column names"), s"wrong failure: ${ex.getMessage}")
   }
 
+  test("#171ah derived-table sources: subquery row views, aggregate subqueries, agg-over-agg in one statement") {
+    def e(op: String, k: Long, m: Int, city: String, amount: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String]
+        else Map("city" -> city, "amount" -> amount), seq)
+    val batches = Seq(
+      Map("t" -> Seq(
+        e("insert", 1L, 0, "ber", "10", 1L),
+        e("insert", 2L, 1, "ber", "5", 2L),
+        e("insert", 3L, 2, "par", "20", 3L),
+        e("insert", 4L, 3, "par", "1", 4L))),   // filtered out inside the subquery
+      Map("t" -> Seq(e("update", 1L, 5, "par", "10", 5L))), // ber 2→1 rows, par 2→3
+      Map("t" -> Seq(e("delete", 2L, 6, "", "", 6L))),      // ber's last row: group exits
+    )
+
+    // aggregate OVER a derived row view (projection + WHERE inside)
+    val sql1 = "SELECT u, count(*) AS c FROM " +
+      "(SELECT upper(city) AS u FROM t WHERE amount > 2) x GROUP BY u"
+    runView(sql1, "pv_sub_a", batches.take(1))
+    assert(aggState("pv_sub_a", Seq("u")) == Map(
+      Seq[Any]("BER") -> Seq[Any](2L), Seq[Any]("PAR") -> Seq[Any](1L)))
+    runView(sql1, "pv_sub", batches)
+    assert(aggState("pv_sub", Seq("u")) == Map(Seq[Any]("PAR") -> Seq[Any](2L)),
+      "moves and deletes must retract through the derived table; BER's exit tombstones")
+
+    // an aggregate SUBQUERY with an outer threshold filter — behaves as
+    // HAVING: the group's changefeed row deletes when n falls below
+    val sql2 = "SELECT city, n FROM " +
+      "(SELECT city, count(*) AS n FROM t GROUP BY city) x WHERE n >= 2"
+    runView(sql2, "pv_subagg_a", batches.take(1))
+    assert(rowState("pv_subagg_a", Seq("city", "n")).values.toSet ==
+      Set(Seq[Any]("ber", "2"), Seq[Any]("par", "2")))
+    runView(sql2, "pv_subagg", batches.take(2))
+    assert(rowState("pv_subagg", Seq("city", "n")).values.toSet ==
+      Set(Seq[Any]("par", "3")),
+      "ber dropping to 1 row must EXIT the n>=2 view (tombstone through the derived feed)")
+
+    // agg-over-agg INSIDE one statement: the distribution-of-counts
+    // view; key 1's move shifts ber/par between n-buckets
+    val sql3 = "SELECT n, count(*) AS cities FROM " +
+      "(SELECT city, count(*) AS n FROM t GROUP BY city) x GROUP BY n"
+    runView(sql3, "pv_dist_a", batches.take(1))
+    assert(aggState("pv_dist_a", Seq("n")) == Map(Seq[Any]("2") -> Seq[Any](2L)))
+    runView(sql3, "pv_dist", batches)
+    assert(aggState("pv_dist", Seq("n")) == Map(Seq[Any]("3") -> Seq[Any](1L)),
+      "bucket moves must retract: ber 2→1→gone, par 2→3")
+
+    // a derived ROW view as an FK-join dim: filtered dims drop their
+    // facts; the derived table keeps source keys so both shapes work
+    val sql4 = "SELECT f.item, d.cu FROM facts f JOIN " +
+      "(SELECT upper(city) AS cu FROM dims WHERE active = 1) d ON f.custkey = d.key"
+    val joinBatches = Seq(
+      Map("facts" -> Seq(
+        Change("insert", 1L, ts(0), Map("item" -> "a", "custkey" -> "7"), 1L),
+        Change("insert", 2L, ts(1), Map("item" -> "b", "custkey" -> "8"), 2L)),
+        "dims" -> Seq(
+          Change("insert", 7L, ts(0), Map("city" -> "ber", "active" -> "1"), 1L),
+          Change("insert", 8L, ts(0), Map("city" -> "par", "active" -> "0"), 2L))),
+      // dim 8 becomes active: fact b joins; dim 7 deactivates: fact a drops
+      Map("dims" -> Seq(
+        Change("update", 8L, ts(5), Map("city" -> "par", "active" -> "1"), 3L),
+        Change("update", 7L, ts(5), Map("city" -> "ber", "active" -> "0"), 4L))),
+    )
+    runView(sql4, "pv_subdim_a", joinBatches.take(1))
+    assert(rowState("pv_subdim_a", Seq("item", "cu")) == Map(1L -> Seq[Any]("a", "BER")))
+    runView(sql4, "pv_subdim", joinBatches)
+    assert(rowState("pv_subdim", Seq("item", "cu")) == Map(2L -> Seq[Any]("b", "PAR")),
+      "the derived dim's WHERE lifecycle must join/retract subscribed facts")
+  }
+
+  test("#171ai EXCEPT/INTERSECT [ALL] views: per-side lifecycle, multiplicity, threshold tombstones") {
+    def e(op: String, k: Long, m: Int, v: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String] else Map("v" -> v), seq)
+    // a: v,v,w   b: v   — value identity crosses feeds, keys don't
+    val batches = Seq(
+      Map("a" -> Seq(
+        e("insert", 1L, 0, "v", 1L), e("insert", 2L, 1, "v", 2L), e("insert", 3L, 2, "w", 3L)),
+        "b" -> Seq(e("insert", 4L, 0, "v", 1L))),
+      // b gains w: EXCEPT loses w; INTERSECT gains it
+      Map("b" -> Seq(e("insert", 5L, 5, "w", 2L))),
+      // a loses one v: EXCEPT ALL's v multiplicity 1→0 (leaves);
+      // b loses w again: EXCEPT regains w, INTERSECT drops it
+      Map("a" -> Seq(e("delete", 2L, 6, "", 4L)),
+        "b" -> Seq(e("delete", 5L, 7, "", 3L))),
+    )
+
+    val exSql = "SELECT v FROM a EXCEPT SELECT v FROM b"
+    runView(exSql, "pv_ex_a", batches.take(1))
+    assert(aggState("pv_ex_a", Seq("v")).keySet == Set(Seq[Any]("w")),
+      "EXCEPT: v is in both sides, only w survives")
+    runView(exSql, "pv_ex_b", batches.take(2))
+    assert(aggState("pv_ex_b", Seq("v")).keySet == Set.empty[Seq[Any]],
+      "b gaining w empties the EXCEPT view (tombstone, not absence of emission)")
+    runView(exSql, "pv_ex", batches)
+    assert(aggState("pv_ex", Seq("v")).keySet == Set(Seq[Any]("w")),
+      "b losing w re-enters it into the EXCEPT view")
+
+    val inSql = "SELECT v FROM a INTERSECT SELECT v FROM b"
+    runView(inSql, "pv_in_a", batches.take(1))
+    assert(aggState("pv_in_a", Seq("v")).keySet == Set(Seq[Any]("v")))
+    runView(inSql, "pv_in_b", batches.take(2))
+    assert(aggState("pv_in_b", Seq("v")).keySet == Set(Seq[Any]("v"), Seq[Any]("w")))
+    runView(inSql, "pv_in", batches)
+    assert(aggState("pv_in", Seq("v")).keySet == Set(Seq[Any]("v")),
+      "INTERSECT drops w when b's copy leaves; v stays (a still holds one)")
+
+    val exAllSql = "SELECT v FROM a EXCEPT ALL SELECT v FROM b"
+    runView(exAllSql, "pv_exall_a", batches.take(1))
+    assert(aggState("pv_exall_a", Seq("v")) == Map(
+      Seq[Any]("v") -> Seq[Any](1L), Seq[Any]("w") -> Seq[Any](1L)),
+      "EXCEPT ALL: v has multiplicity 2-1=1")
+    runView(exAllSql, "pv_exall", batches)
+    assert(aggState("pv_exall", Seq("v")) == Map(Seq[Any]("w") -> Seq[Any](1L)),
+      "EXCEPT ALL: a's delete drops v to multiplicity 0 → view exit (tombstone); w is back")
+
+    val inAllSql = "SELECT v FROM a INTERSECT ALL SELECT v FROM b"
+    runView(inAllSql, "pv_inall_a", batches.take(1))
+    assert(aggState("pv_inall_a", Seq("v")) == Map(Seq[Any]("v") -> Seq[Any](1L)),
+      "INTERSECT ALL: min(2,1) = 1")
+    runView(inAllSql, "pv_inall", batches)
+    assert(aggState("pv_inall", Seq("v")) == Map(Seq[Any]("v") -> Seq[Any](1L)),
+      "INTERSECT ALL: min(1,1) after the churn")
+
+    // set-operation views compose as derived tables
+    val subSql = "SELECT count(*) AS n FROM (SELECT v FROM a EXCEPT SELECT v FROM b) x"
+    runView(subSql, "pv_ex_sub", batches)
+    assert(aggState("pv_ex_sub", Nil) == Map(Seq.empty[Any] -> Seq[Any](1L)),
+      "counting the EXCEPT view through a derived table")
+  }
+
   test("#171u 3-table star view: fact JOIN dim1 JOIN dim2 layers through nested join compilation") {
     // fact orders carry custkey + partkey; the left-deep parse compiles
     // (orders ⋈ cust) as an inner FK join whose changefeed feeds the
