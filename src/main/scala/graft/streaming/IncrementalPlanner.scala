@@ -686,6 +686,13 @@ object IncrementalPlanner {
   private final case class AvgOut(sumSlot: Int, cntSlot: Int, name: String) extends OutCol
   private final case class MinOut(slot: Int, name: String) extends OutCol
   private final case class MaxOut(slot: Int, name: String) extends OutCol
+  /** Variance-family output: (Σx, Σx², n) slots — the second moment is
+    * INVERTIBLE, so stddev/variance ride the same signed-delta fold as
+    * sum (retraction subtracts the identical scaled integers).
+    * `sample` applies Bessel's correction; `sqrt` emits stddev.
+    */
+  private final case class VarOut(sumSlot: Int, sqSlot: Int, cntSlot: Int,
+      name: String, sample: Boolean, root: Boolean) extends OutCol
 
   private def outName(ne: Expression, fallback: String): String = ne match {
     case a: Alias               => a.name
@@ -865,6 +872,14 @@ object IncrementalPlanner {
             case ("max", Seq(a)) =>
               val ca = compileExpr(a)
               MaxOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(Double.NaN))), name)
+            case ("stddev" | "stddev_samp" | "stddev_pop" | "variance" | "var_samp" | "var_pop", Seq(a)) =>
+              val ca = compileExpr(a)
+              val s  = addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0)))
+              val sq = addSlot(env => Some(ca(env).flatMap(asNum).map(x => x * x).getOrElse(0.0)))
+              val c  = addSlot(env => Some(if (ca(env).flatMap(asNum).isDefined) 1.0 else 0.0))
+              VarOut(s, sq, c, name,
+                sample = fn != "stddev_pop" && fn != "var_pop",
+                root = fn.startsWith("stddev"))
             // internal (DISTINCT rewrite only): reaggregation of inner
             // partials — sum of per-value counts emitted as LONG, and
             // sum(a)/sum(b) for plain avg decomposed through the levels
@@ -974,6 +989,15 @@ object IncrementalPlanner {
       // NaN marks "no non-null value in the group" → SQL NULL
       case MinOut(slot, name) => when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
       case MaxOut(slot, name) => when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
+      case VarOut(s, sq, c, name, sample, root) =>
+        val n = slotCol(c)
+        // var = (Σx² − (Σx)²/n) / denom; SQL NULLs: n=0 → NULL, sample
+        // n=1 → NULL (division by a NULL-guarded denominator). Tiny
+        // negative residue from micro-unit quantization clamps to 0.
+        val denom = if (sample) when(n > 1.0, n - 1.0) else when(n > 0.0, n)
+        val raw   = (slotCol(sq) - slotCol(s) * slotCol(s) / when(n > 0.0, n)) / denom
+        val v     = when(raw < 0.0, lit(0.0)).otherwise(raw)
+        (if (root) sqrt(v) else v).as(name)
     }
     // _live_rows rides along as the view's tombstone signal: a group
     // whose live-row count reaches 0 re-emits once with _live_rows = 0,

@@ -1017,6 +1017,43 @@ class IncrementalPlannerSpec extends SparkSpec {
       "counting the EXCEPT view through a derived table")
   }
 
+  test("#171aj stddev/variance: invertible second-moment fold, exact under retraction") {
+    val sql = "SELECT city, var_pop(amount) AS vp, var_samp(amount) AS vs, " +
+      "stddev_pop(amount) AS sp, stddev(amount) AS ss, count(*) AS n FROM t GROUP BY city"
+    def e(op: String, k: Long, m: Int, city: String, amount: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String]
+        else Map("city" -> city) ++ Option(amount).map("amount" -> _), seq)
+    // ber: the classic 2,4,4,4,5,5,7,9 (var_pop exactly 4); lon: one
+    // row (sample forms NULL); nul: only a NULL value (all NULL)
+    val vals = Seq("2", "4", "4", "4", "5", "5", "7", "9")
+    val batches = Seq(
+      Map("t" -> (vals.zipWithIndex.map { case (v, i) =>
+        e("insert", i + 1L, i, "ber", v, i + 1L) } ++ Seq(
+        e("insert", 100L, 20, "lon", "3", 100L),
+        e("insert", 101L, 21, "nul", null, 101L)))),
+      // retraction: drop the 9, move a 4 to 6 — ber becomes 2,4,4,6,5,5,7
+      Map("t" -> Seq(
+        e("delete", 8L, 30, "", "", 102L),
+        e("update", 2L, 31, "ber", "6", 103L))),
+    )
+    runView(sql, "pv_var_a", batches.take(1))
+    val a = aggState("pv_var_a", Seq("city"))
+    assert(a(Seq[Any]("ber")) == Seq[Any](4.0, 32.0 / 7.0, 2.0, math.sqrt(32.0 / 7.0), 8L),
+      s"initial moments: ${a(Seq[Any]("ber"))}")
+    assert(a(Seq[Any]("lon")) == Seq[Any](0.0, null, 0.0, null, 1L),
+      "single row: population forms 0, sample forms NULL (Bessel)")
+    assert(a(Seq[Any]("nul")) == Seq[Any](null, null, null, null, 1L),
+      "an all-NULL group reports NULL variance but counts its row")
+    runView(sql, "pv_var", batches)
+    val b = aggState("pv_var", Seq("city"))
+    // 2,4,4,6,5,5,7: n=7 Σx=33 Σx²=171 — same double ops as the fold
+    val vp = (171.0 - 33.0 * 33.0 / 7.0) / 7.0
+    val vs = (171.0 - 33.0 * 33.0 / 7.0) / 6.0
+    assert(b(Seq[Any]("ber")) == Seq[Any](vp, vs, math.sqrt(vp), math.sqrt(vs), 7L),
+      s"post-retraction moments must match exact recompute: ${b(Seq[Any]("ber"))}")
+  }
+
   test("#171u 3-table star view: fact JOIN dim1 JOIN dim2 layers through nested join compilation") {
     // fact orders carry custkey + partkey; the left-deep parse compiles
     // (orders ⋈ cust) as an inner FK join whose changefeed feeds the
@@ -1333,9 +1370,9 @@ class IncrementalPlannerSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val feeds = Map("activity" -> MemoryStream[Change].toDS())
     val e1 = intercept[IllegalArgumentException] {
-      IncrementalPlanner.materialize(spark, "SELECT city, stddev(amount) AS s FROM activity GROUP BY city", feeds)
+      IncrementalPlanner.materialize(spark, "SELECT city, median(amount) AS s FROM activity GROUP BY city", feeds)
     }
-    assert(e1.getMessage.contains("stddev"))
+    assert(e1.getMessage.contains("median"))
     val e2 = intercept[IllegalArgumentException] {
       IncrementalPlanner.materialize(
         spark, "SELECT l.name FROM users l JOIN activity r ON l.name = r.city", feeds + ("users" -> feeds("activity")))
