@@ -378,7 +378,7 @@ object IncrementalPlanner {
       feeds: Map[String, Dataset[Change]]): Source = plan match {
     case f: Filter =>
       val s = compileSource(spark, f.child, feeds)
-      s.copy(filters = s.filters :+ f.condition)
+      hoistScalars(spark, f.condition, s, feeds)
     case sa: SubqueryAlias =>
       val inner = compileSource(spark, sa.child, feeds)
       Source(qualify(inner.changes, sa.alias), inner.filters)
@@ -467,6 +467,87 @@ object IncrementalPlanner {
       }
       Source(joined, Nil)
     case other => throw unsupported(s"plan node ${other.getClass.getSimpleName}")
+  }
+
+  /** Scalar subqueries in WHERE — `amount > (SELECT avg(x) FROM s)`,
+    * the DYNAMIC-THRESHOLD view class (a filter whose cut moves as the
+    * data moves): each uncorrelated global-aggregate subquery compiles
+    * to its one-group changefeed ([[aggChangesOf]]) re-keyed to a
+    * constant, the outer source gets a synthetic constant FK, and the
+    * existing fact-preserving FK-join dataflow pairs every row with the
+    * CURRENT scalar — a scalar change fans out to the subscribed rows,
+    * whose downstream row/aggregate state then emits only the rows that
+    * actually crossed the threshold (the rowFold/aggFold no-change
+    * suppression). The rewritten predicate reads the scalar as an
+    * injected field; while the subquery's table is empty (or emptied),
+    * the scalar is SQL NULL and the comparison filters every row —
+    * exactly batch SQL's `x > NULL`.
+    *
+    * Scale shape: hop 2 of the constant-FK join holds every subscribed
+    * row on ONE state shard (all facts share fk=0) — the honest cost of
+    * a total predicate over a moving global scalar, same class as
+    * Materialize's cross-join lowering; bound the row space with
+    * additional WHERE conjuncts (they filter before the join only if
+    * written as an inner derived table — document the trade) or keep
+    * scalar predicates to views whose row count one shard holds.
+    * Correlated subqueries (outer references) are rejected.
+    */
+  private def hoistScalars(spark: SparkSession, cond: Expression, src: Source,
+      feeds: Map[String, Dataset[Change]]): Source = {
+    val subs = scala.collection.mutable.ArrayBuffer.empty[(ScalarSubquery, String)]
+    val rewritten = cond.transform {
+      case sq: ScalarSubquery =>
+        val nm = s"_sq${subs.size}"
+        subs += ((sq, nm))
+        UnresolvedAttribute(Seq(nm))
+    }
+    if (subs.isEmpty) src.copy(filters = src.filters :+ cond)
+    else {
+      implicit val changeEnc = Encoders.product[Change]
+      val joined = subs.foldLeft(src.changes) { case (facts, (sq, nm)) =>
+        // correlation detection must happen HERE: outerAttrs is an
+        // analysis-time artifact (empty in a parsed-only tree), and an
+        // undetected outer reference would silently resolve against the
+        // INNER feed's bare field — a tautology, not the user's filter.
+        // Qualified refs whose qualifier is no relation/alias inside the
+        // subquery are outer references; bare names bind innermost-first
+        // (standard SQL scoping), so they are legitimately the inner
+        // feed's.
+        val innerRels = sq.plan.collect {
+          case r: UnresolvedRelation => r.multipartIdentifier.last
+          case sa: SubqueryAlias     => sa.alias
+        }.toSet
+        val outerRefs = sq.plan.collect { case n => n.expressions }.flatten
+          .flatMap(_.collect {
+            case a: UnresolvedAttribute
+                if a.nameParts.length > 1 && !innerRels.contains(a.nameParts.head) => a
+          })
+        require(sq.outerAttrs.isEmpty && outerRefs.isEmpty,
+          s"correlated scalar subquery${outerRefs.headOption.map(a => s" (outer reference ${a.sql})").getOrElse("")} " +
+            "is outside the planner subset; rewrite as a join")
+        sq.plan match {
+          case p: Project if globalAgg(p).isDefined           => ()
+          case a: Aggregate if a.groupingExpressions.isEmpty  => ()
+          case _ => throw unsupported(
+            "scalar subquery (must be an uncorrelated GLOBAL aggregate, e.g. (SELECT avg(x) FROM s); " +
+              "a grouped subquery has many rows and is not a scalar)")
+        }
+        val (aggFeed, outNames) = aggChangesOf(spark, sq.plan, feeds)
+        require(outNames.length == 1,
+          s"scalar subquery must select exactly one column; got ${outNames.mkString(", ")}")
+        val scalarName = outNames.head
+        val fkField    = nm + "_fk"
+        val dim = aggFeed.map(c => c.copy(key = 0L,
+          payload = c.payload.get(scalarName).map(v => Map(nm -> v)).getOrElse(Map.empty[String, String])))
+        val subscribed = facts.map(c => c.copy(payload =
+          if (c.op == "delete") c.payload else c.payload + (fkField -> "0")))
+        JoinView.materializeFkJoin(subscribed, dim, fkField, leftOuter = true).map { jc =>
+          Change(if (jc.op == "delete") "delete" else "upsert", jc.fact_key,
+            tsOfMicros(jc.tsUs), (jc.fact_payload - fkField) ++ jc.dim_payload, jc.seq)
+        }
+      }
+      Source(joined, src.filters :+ rewritten)
+    }
   }
 
   /** UNION ALL of SELECT branches as ONE changefeed: each branch
@@ -697,7 +778,18 @@ object IncrementalPlanner {
   private def outName(ne: Expression, fallback: String): String = ne match {
     case a: Alias               => a.name
     case a: UnresolvedAttribute => a.nameParts.last
+    case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAlias => outName(ua.child, fallback)
     case _                      => fallback
+  }
+
+  /** Unwrap a select item to its core expression: explicit aliases AND
+    * the parser's UnresolvedAlias (a bare `avg(x)` with no AS — what a
+    * scalar subquery's select list carries).
+    */
+  private def coreOf(ne: Expression): Expression = ne match {
+    case a: Alias => a.child
+    case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAlias => ua.child
+    case e => e
   }
 
   /** Aggregate-view dispatcher: DISTINCT aggregation routes to the
@@ -765,7 +857,7 @@ object IncrementalPlanner {
     val groupSql = agg.groupingExpressions.map(_.sql)
     val cores: Seq[(Expression, String)] = agg.aggregateExpressions.zipWithIndex.map {
       case (ne, i) =>
-        (ne match { case al: Alias => al.child; case e => e }, outName(ne, s"col$i"))
+        (coreOf(ne), outName(ne, s"col$i"))
     }
     val dArgs = cores.collect {
       case (f: UnresolvedFunction, _) if f.isDistinct =>
@@ -843,7 +935,7 @@ object IncrementalPlanner {
     def addSlot(f: Eval): Int = { slotFns += f; slotFns.size - 1 }
 
     val outCols: Seq[OutCol] = agg.aggregateExpressions.zipWithIndex.map { case (ne, i) =>
-      val core = ne match { case a: Alias => a.child; case e => e }
+      val core = coreOf(ne)
       val name = outName(ne, s"col$i")
       core match {
         case e if groupSql.indexOf(e.sql) >= 0 => GroupOut(groupSql.indexOf(e.sql), name)

@@ -1054,6 +1054,68 @@ class IncrementalPlannerSpec extends SparkSpec {
       s"post-retraction moments must match exact recompute: ${b(Seq[Any]("ber"))}")
   }
 
+  test("#171ak scalar subqueries in WHERE: the dynamic-threshold view") {
+    def e(op: String, k: Long, m: Int, name: String, amount: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String]
+        else Map("name" -> name, "amount" -> amount), seq)
+    // SELF-REFERENTIAL: above-average rows of the same feed — the
+    // canonical moving-cut view; a scalar move must retract rows that
+    // fell below AND admit rows that rose above
+    val sql = "SELECT name FROM t WHERE amount > (SELECT avg(amount) FROM t)"
+    val batches = Seq(
+      Map("t" -> Seq(
+        e("insert", 1L, 0, "ann", "10", 1L),
+        e("insert", 2L, 1, "bob", "20", 2L),
+        e("insert", 3L, 2, "cat", "30", 3L))),            // avg 20: only cat (bob is not >)
+      Map("t" -> Seq(e("update", 1L, 5, "ann", "40", 4L))), // avg 30: ann enters, cat EXITS
+      Map("t" -> Seq(e("delete", 2L, 6, "", "", 5L))),      // avg 35: still just ann
+    )
+    runView(sql, "pv_sq_a", batches.take(1))
+    assert(rowState("pv_sq_a", Seq("name")) == Map(3L -> Seq[Any]("cat")))
+    runView(sql, "pv_sq_b", batches.take(2))
+    assert(rowState("pv_sq_b", Seq("name")) == Map(1L -> Seq[Any]("ann")),
+      "the avg moving 20→30 must retract cat (30 !> 30) and admit ann (40 > 30)")
+    runView(sql, "pv_sq", batches)
+    assert(rowState("pv_sq", Seq("name")) == Map(1L -> Seq[Any]("ann")))
+
+    // an AGGREGATE over a scalar-filtered source: count of max-tied rows
+    val tieSql = "SELECT count(*) AS n FROM t WHERE amount >= (SELECT max(amount) FROM t)"
+    runView(tieSql, "pv_sq_tie_a", batches.take(1))
+    assert(aggState("pv_sq_tie_a", Nil) == Map(Seq.empty[Any] -> Seq[Any](1L)))
+    runView(tieSql, "pv_sq_tie", batches)
+    assert(aggState("pv_sq_tie", Nil) == Map(Seq.empty[Any] -> Seq[Any](1L)))
+
+    // cross-feed threshold with the subquery's table EMPTY: the scalar
+    // is SQL NULL, the comparison fails for every row (batch x > NULL
+    // semantics); the threshold feed arriving admits rows
+    val xSql = "SELECT name FROM t WHERE amount > (SELECT min(amount) FROM u)"
+    val xBatches = Seq(
+      Map("t" -> Seq(e("insert", 1L, 0, "ann", "10", 1L)), "u" -> Nil),
+      Map("u" -> Seq(e("insert", 50L, 5, "thr", "5", 1L))),
+      Map("u" -> Seq(e("delete", 50L, 6, "", "", 2L))),   // threshold table EMPTIES again
+    )
+    runView(xSql, "pv_sq_x_a", xBatches.take(1))
+    assert(rowState("pv_sq_x_a", Seq("name")).isEmpty,
+      "an empty subquery table is a NULL scalar: every comparison filters")
+    runView(xSql, "pv_sq_x_b", xBatches.take(2))
+    assert(rowState("pv_sq_x_b", Seq("name")) == Map(1L -> Seq[Any]("ann")))
+    runView(xSql, "pv_sq_x", xBatches)
+    assert(rowState("pv_sq_x", Seq("name")).isEmpty,
+      "the subquery table emptying must tombstone the scalar and retract every row")
+
+    // correlated subqueries are rejected fast
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name FROM t WHERE amount > (SELECT avg(amount) FROM u WHERE u.g = t.g)",
+        Map("t" -> MemoryStream[Change].toDS(), "u" -> MemoryStream[Change].toDS()))
+    }
+    assert(ex.getMessage.toLowerCase.contains("correlated") ||
+      ex.getMessage.contains("subset"), s"wrong failure: ${ex.getMessage}")
+  }
+
   test("#171u 3-table star view: fact JOIN dim1 JOIN dim2 layers through nested join compilation") {
     // fact orders carry custkey + partkey; the left-deep parse compiles
     // (orders ⋈ cust) as an inner FK join whose changefeed feeds the
