@@ -187,12 +187,25 @@ object IncrementalPlanner {
       val child   = compileExpr(c.child)
       val numeric = c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
       env => child(env).flatMap(v => if (numeric) asNum(v) else Some(v.toString))
+    // Kleene three-valued AND/OR (SQL semantics): FALSE AND NULL is
+    // FALSE, TRUE OR NULL is TRUE — a NULL operand only yields NULL
+    // when the other side cannot decide alone. The strict pre-r7 form
+    // (any NULL → NULL) silently filtered `p OR q` rows where p was
+    // TRUE but q involved a NULL field.
     case And(l, r) =>
       val (cl, cr) = (compileExpr(l), compileExpr(r))
-      env => for (a <- cl(env).flatMap(asBool); b <- cr(env).flatMap(asBool)) yield a && b
+      env => (cl(env).flatMap(asBool), cr(env).flatMap(asBool)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
     case Or(l, r) =>
       val (cl, cr) = (compileExpr(l), compileExpr(r))
-      env => for (a <- cl(env).flatMap(asBool); b <- cr(env).flatMap(asBool)) yield a || b
+      env => (cl(env).flatMap(asBool), cr(env).flatMap(asBool)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
     case Not(c) =>
       val cc = compileExpr(c)
       env => cc(env).flatMap(asBool).map(!_)
@@ -378,7 +391,7 @@ object IncrementalPlanner {
       feeds: Map[String, Dataset[Change]]): Source = plan match {
     case f: Filter =>
       val s = compileSource(spark, f.child, feeds)
-      hoistScalars(spark, f.condition, s, feeds)
+      hoistSubqueries(spark, f.condition, s, feeds)
     case sa: SubqueryAlias =>
       val inner = compileSource(spark, sa.child, feeds)
       Source(qualify(inner.changes, sa.alias), inner.filters)
@@ -469,85 +482,293 @@ object IncrementalPlanner {
     case other => throw unsupported(s"plan node ${other.getClass.getSimpleName}")
   }
 
-  /** Scalar subqueries in WHERE — `amount > (SELECT avg(x) FROM s)`,
-    * the DYNAMIC-THRESHOLD view class (a filter whose cut moves as the
-    * data moves): each uncorrelated global-aggregate subquery compiles
-    * to its one-group changefeed ([[aggChangesOf]]) re-keyed to a
-    * constant, the outer source gets a synthetic constant FK, and the
-    * existing fact-preserving FK-join dataflow pairs every row with the
-    * CURRENT scalar — a scalar change fans out to the subscribed rows,
-    * whose downstream row/aggregate state then emits only the rows that
-    * actually crossed the threshold (the rowFold/aggFold no-change
-    * suppression). The rewritten predicate reads the scalar as an
-    * injected field; while the subquery's table is empty (or emptied),
-    * the scalar is SQL NULL and the comparison filters every row —
-    * exactly batch SQL's `x > NULL`.
+  /** Subqueries in WHERE predicates and SELECT lists, hoisted onto the
+    * planner's own join dataflows. Each subquery becomes one dim-join
+    * LAYER over the fact feed (layers chain when an expression carries
+    * several), and the expression is rewritten to read the layer's
+    * injected fields — absence is SQL NULL, so three-valued logic falls
+    * out of [[compileExpr]] unchanged. Three classes:
     *
-    * Scale shape: hop 2 of the constant-FK join holds every subscribed
-    * row on ONE state shard (all facts share fk=0) — the honest cost of
-    * a total predicate over a moving global scalar, same class as
-    * Materialize's cross-join lowering; bound the row space with
-    * additional WHERE conjuncts (they filter before the join only if
-    * written as an inner derived table — document the trade) or keep
-    * scalar predicates to views whose row count one shard holds.
-    * Correlated subqueries (outer references) are rejected.
+    *  - '''Scalar''' — `amount > (SELECT avg(x) FROM s)`, the
+    *    DYNAMIC-THRESHOLD view class (a filter whose cut moves as the
+    *    data moves): the uncorrelated global-aggregate subquery
+    *    compiles to its one-group changefeed ([[aggChangesOf]]), every
+    *    fact subscribes with a constant FK, and the fact-preserving
+    *    FK-join dataflow pairs each row with the CURRENT scalar; the
+    *    downstream no-change suppression emits only rows that actually
+    *    crossed the threshold. Empty (or emptied) subquery table = the
+    *    scalar is SQL NULL and the comparison filters every row —
+    *    batch `x > NULL` semantics. The EQUI-CORRELATED form
+    *    (`SELECT …, (SELECT count(*) FROM ord WHERE ord.cid = c.id)`)
+    *    groups the subquery by its correlation exprs and probes by the
+    *    outer attrs — the classic decorrelation, with the COUNT BUG
+    *    handled: a `count` item coalesces the absent group to 0 (batch
+    *    count over zero rows), while sum/avg/min/max stay NULL.
+    *  - '''Membership''' — `x [NOT] IN (SELECT y FROM u [WHERE …])`:
+    *    the subquery compiles to a maintained per-VALUE count view
+    *    (`GROUP BY y`, NULL values excluded); each fact subscribes with
+    *    fk = hash of its probe value and the join injects a presence
+    *    marker — an incremental SEMI join whose state shards by VALUE
+    *    (unlike the scalar's single shard). NOT IN additionally joins
+    *    the subquery's (total, non-null) counts to apply SQL's
+    *    null-aware rule exactly: any NULL in the subquery → no row
+    *    passes; empty subquery → EVERY row passes (even NULL probes);
+    *    else non-null probes without a match pass. Equi-correlated IN
+    *    adds the correlation exprs to the grouping (probe = outer attrs
+    *    + value); correlated NOT IN keys the counter view by the
+    *    correlation exprs, so the null-aware rule applies PER GROUP —
+    *    an absent group is an empty subquery for that row (passes).
+    *  - '''Existential''' — `[NOT] EXISTS (SELECT … FROM u WHERE
+    *    u.f = t.g [AND inner-only …])`: each outer-referencing conjunct
+    *    must be `<inner expr> = <outer attr>`; the inner exprs become
+    *    the membership grouping (multi-key correlation supported, probe
+    *    = the outer attrs), inner-only conjuncts stay the subquery's
+    *    WHERE. Uncorrelated EXISTS degenerates to a constant-keyed
+    *    global count ("is the subquery non-empty"). NULL correlation
+    *    values never match (equi semantics), so NOT EXISTS passes them
+    *    — batch SQL agreement.
+    *
+    * Correlation detection happens HERE on the parsed tree (outerAttrs
+    * is an analysis-time artifact, empty in a parsed-only plan):
+    * qualified refs whose qualifier is no relation/alias inside the
+    * subquery are outer references; bare names bind innermost-first
+    * (standard SQL scoping), so they are the inner feed's. Outer refs
+    * anywhere but a WHERE equi-conjunct — select items, FROM, non-equi
+    * predicates — are rejected with a rewrite hint.
+    *
+    * Equality discipline: membership and correlation compare the
+    * planner's group-key STRING form of both sides (the GROUP BY
+    * discipline of this engine), and dim keys are the fnv64 group
+    * hash — the same collision caveat as every keyed view here.
+    *
+    * Scale shape: membership/existential/correlated layers shard their
+    * join state by probe VALUE — they distribute. The uncorrelated
+    * scalar and NOT-IN-counter layers are constant-FK: hop 2 holds
+    * every subscribed row on ONE state shard, the honest cost of a
+    * total predicate over a moving global scalar (Materialize's
+    * cross-join lowering class); bound the row space via an inner
+    * derived table, or keep such predicates to views whose row count
+    * one shard holds.
     */
-  private def hoistScalars(spark: SparkSession, cond: Expression, src: Source,
-      feeds: Map[String, Dataset[Change]]): Source = {
-    val subs = scala.collection.mutable.ArrayBuffer.empty[(ScalarSubquery, String)]
-    val rewritten = cond.transform {
-      case sq: ScalarSubquery =>
-        val nm = s"_sq${subs.size}"
-        subs += ((sq, nm))
-        UnresolvedAttribute(Seq(nm))
+  private final class SubqueryHoister(spark: SparkSession, feeds: Map[String, Dataset[Change]]) {
+    private implicit val changeEnc: org.apache.spark.sql.Encoder[Change] = Encoders.product[Change]
+    private val layers = scala.collection.mutable.ArrayBuffer.empty[Dataset[Change] => Dataset[Change]]
+    private var n = 0
+
+    def isEmpty: Boolean = layers.isEmpty
+    def wire(changes: Dataset[Change]): Dataset[Change] =
+      layers.foldLeft(changes)((f, l) => l(f))
+
+    def rewrite(e: Expression): Expression = e.transform {
+      case sq: ScalarSubquery  => scalarLayer(sq)
+      case Not(in: InSubquery) => inLayers(in, negated = true)
+      case in: InSubquery      => inLayers(in, negated = false)
+      case Not(ex: Exists)     => existsLayer(ex, negated = true)
+      case ex: Exists          => existsLayer(ex, negated = false)
     }
-    if (subs.isEmpty) src.copy(filters = src.filters :+ cond)
-    else {
-      implicit val changeEnc = Encoders.product[Change]
-      val joined = subs.foldLeft(src.changes) { case (facts, (sq, nm)) =>
-        // correlation detection must happen HERE: outerAttrs is an
-        // analysis-time artifact (empty in a parsed-only tree), and an
-        // undetected outer reference would silently resolve against the
-        // INNER feed's bare field — a tautology, not the user's filter.
-        // Qualified refs whose qualifier is no relation/alias inside the
-        // subquery are outer references; bare names bind innermost-first
-        // (standard SQL scoping), so they are legitimately the inner
-        // feed's.
-        val innerRels = sq.plan.collect {
-          case r: UnresolvedRelation => r.multipartIdentifier.last
-          case sa: SubqueryAlias     => sa.alias
-        }.toSet
-        val outerRefs = sq.plan.collect { case n => n.expressions }.flatten
-          .flatMap(_.collect {
-            case a: UnresolvedAttribute
-                if a.nameParts.length > 1 && !innerRels.contains(a.nameParts.head) => a
-          })
-        require(sq.outerAttrs.isEmpty && outerRefs.isEmpty,
-          s"correlated scalar subquery${outerRefs.headOption.map(a => s" (outer reference ${a.sql})").getOrElse("")} " +
-            "is outside the planner subset; rewrite as a join")
-        sq.plan match {
-          case p: Project if globalAgg(p).isDefined           => ()
-          case a: Aggregate if a.groupingExpressions.isEmpty  => ()
-          case _ => throw unsupported(
-            "scalar subquery (must be an uncorrelated GLOBAL aggregate, e.g. (SELECT avg(x) FROM s); " +
-              "a grouped subquery has many rows and is not a scalar)")
-        }
-        val (aggFeed, outNames) = aggChangesOf(spark, sq.plan, feeds)
-        require(outNames.length == 1,
-          s"scalar subquery must select exactly one column; got ${outNames.mkString(", ")}")
-        val scalarName = outNames.head
-        val fkField    = nm + "_fk"
-        val dim = aggFeed.map(c => c.copy(key = 0L,
-          payload = c.payload.get(scalarName).map(v => Map(nm -> v)).getOrElse(Map.empty[String, String])))
-        val subscribed = facts.map(c => c.copy(payload =
-          if (c.op == "delete") c.payload else c.payload + (fkField -> "0")))
+
+    private def attr(nm: String) = UnresolvedAttribute(Seq(nm))
+    private def cnt(arg: Expression, nm: String): NamedExpression =
+      Alias(UnresolvedFunction(Seq("count"), Seq(arg), isDistinct = false), nm)()
+    private def probeEnc(probes: Seq[Eval]): Env => String =
+      env => probes.map(f => f(env).map(String.valueOf(_)).getOrElse(NullMark)).mkString(Sep)
+
+    // one dim-join layer: every live fact subscribes with fk =
+    // fnv64(probe encoding); the dim side arrives keyed by fnv64(_group)
+    // from viewChanges, so the probe encoding IS the group-key encoding
+    // (String.valueOf / NullMark / Sep). The dim's injected fields merge
+    // into the fact payload; a missing dim row = absent fields = SQL
+    // NULL downstream.
+    private def layer(dimFeed: Dataset[Change],
+        inject: Map[String, String] => Map[String, String], probe: Env => String): Unit = {
+      val fkField = s"_h${n}_fk"
+      val dim = dimFeed.map(c => if (c.op == "delete") c else c.copy(payload = inject(c.payload)))
+      layers += { facts =>
+        val subscribed = facts.map(c =>
+          if (c.op == "delete") c
+          else c.copy(payload = c.payload + (fkField -> fnv64(probe(envOf(c))).toString)))
         JoinView.materializeFkJoin(subscribed, dim, fkField, leftOuter = true).map { jc =>
           Change(if (jc.op == "delete") "delete" else "upsert", jc.fact_key,
             tsOfMicros(jc.tsUs), (jc.fact_payload - fkField) ++ jc.dim_payload, jc.seq)
         }
       }
-      Source(joined, src.filters :+ rewritten)
     }
+
+    private def innerRelsOf(plan: LogicalPlan): Set[String] = plan.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.last
+      case sa: SubqueryAlias     => sa.alias
+    }.toSet
+    private def outerRefsIn(plan: LogicalPlan, e: Expression): Seq[UnresolvedAttribute] = {
+      val inner = innerRelsOf(plan)
+      e.collect {
+        case a: UnresolvedAttribute
+            if a.nameParts.length > 1 && !inner.contains(a.nameParts.head) => a
+      }
+    }
+    private def outerRefsOf(plan: LogicalPlan): Seq[UnresolvedAttribute] =
+      plan.collect { case node => node.expressions }.flatten.flatMap(outerRefsIn(plan, _))
+
+    /** Split a subquery plan into (equi-correlation pairs, inner-only
+      * WHERE conjuncts, select items, FROM child). Every outer
+      * reference must live in a WHERE conjunct of the exact shape
+      * `<inner expr> = <outer attr>`; outer refs in the select list or
+      * below the WHERE are rejected (`what` names the construct in the
+      * error). The Nil-pairs result is the uncorrelated case.
+      */
+    private def decorrelate(plan: LogicalPlan, what: String)
+        : (Seq[(Expression, Expression)], Seq[Expression], Seq[NamedExpression], LogicalPlan) = {
+      val (items, condOpt, subChild) = plan match {
+        case Project(is, f: Filter) => (is, Some(f.condition), f.child)
+        case Project(is, c)         => (is, None, c)
+        case other => throw unsupported(
+          s"$what shape ${other.getClass.getSimpleName} (need SELECT … FROM … [WHERE …])")
+      }
+      val strays = outerRefsOf(subChild) ++ items.flatMap(outerRefsIn(plan, _))
+      require(strays.isEmpty,
+        s"$what outer reference ${strays.headOption.map(_.sql).getOrElse("")} outside the WHERE clause is unsupported")
+      val inner = innerRelsOf(plan)
+      def isOuter(a: UnresolvedAttribute) =
+        a.nameParts.length > 1 && !inner.contains(a.nameParts.head)
+      def refsOuter(e: Expression) =
+        e.collect { case a: UnresolvedAttribute if isOuter(a) => a }.nonEmpty
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x         => Seq(x)
+      }
+      val (outerCs, innerCs) = condOpt.map(conjuncts).getOrElse(Nil).partition(refsOuter)
+      // (inner expr, outer attr) per equi-correlated conjunct
+      val pairs: Seq[(Expression, Expression)] = outerCs.map {
+        case EqualTo(l, r: UnresolvedAttribute) if !refsOuter(l) && isOuter(r) => (l, r)
+        case EqualTo(l: UnresolvedAttribute, r) if !refsOuter(r) && isOuter(l) => (r, l)
+        case other => throw unsupported(
+          s"$what correlation ${other.sql} (each outer-referencing conjunct must be " +
+            "<inner expr> = <outer attr> — equi-correlation only)")
+      }
+      (pairs, innerCs, items, subChild)
+    }
+
+    /** The per-correlation-group dim plan: GROUP BY the correlation
+      * exprs (NULL keys excluded — equi semantics, a NULL never
+      * matches), re-applying the subquery's inner-only WHERE, with
+      * `extra` as the aggregated output columns.
+      */
+    private def groupedDim(corrExprs: Seq[Expression], innerCs: Seq[Expression],
+        extra: Seq[NamedExpression], subChild: LogicalPlan): LogicalPlan = {
+      val aliases: Seq[NamedExpression] =
+        corrExprs.zipWithIndex.map { case (e, i) => Alias(e, s"_v$i")() }
+      val filterCond = (innerCs ++ corrExprs.map(IsNotNull(_))).reduceOption(And)
+      Aggregate(corrExprs, aliases ++ extra,
+        filterCond.map(Filter(_, subChild)).getOrElse(subChild))
+    }
+
+    private def scalarLayer(sq: ScalarSubquery): Expression = {
+      val nm = s"_sq$n"
+      if ((sq.outerAttrs ++ outerRefsOf(sq.plan)).isEmpty) {
+        sq.plan match {
+          case p: Project if globalAgg(p).isDefined          => ()
+          case a: Aggregate if a.groupingExpressions.isEmpty => ()
+          case _ => throw unsupported(
+            "scalar subquery (must be a GLOBAL aggregate, e.g. (SELECT avg(x) FROM s), or an " +
+              "equi-correlated one; a grouped subquery has many rows and is not a scalar)")
+        }
+        val (aggFeed, outNames) = aggChangesOf(spark, sq.plan, feeds)
+        require(outNames.length == 1,
+          s"scalar subquery must select exactly one column; got ${outNames.mkString(", ")}")
+        val scalarName = outNames.head
+        layer(aggFeed, p => p.get(scalarName).map(v => Map(nm -> v)).getOrElse(Map.empty), _ => "")
+        n += 1
+        attr(nm)
+      } else {
+        val (pairs, innerCs, items, subChild) = decorrelate(sq.plan, "correlated scalar subquery")
+        require(items.length == 1,
+          s"scalar subquery must select exactly one column; got ${items.length}")
+        val core = coreOf(items.head)
+        val isCount = core match {
+          case f: UnresolvedFunction => f.nameParts.last.toLowerCase == "count"
+          case _ => throw unsupported(
+            "correlated scalar subquery item (must be one aggregate call, e.g. count(*) or avg(x))")
+        }
+        layer(aggChangesOf(spark, groupedDim(pairs.map(_._1), innerCs,
+            Seq(Alias(core, "_s")()), subChild), feeds)._1,
+          p => p.get("_s").map(v => Map(nm -> v)).getOrElse(Map.empty),
+          probeEnc(pairs.map(p => compileExpr(p._2))))
+        n += 1
+        // the COUNT bug: an absent correlation group is count = 0 in
+        // batch SQL (every other aggregate over zero rows is NULL)
+        if (isCount) UnresolvedFunction(Seq("coalesce"), Seq(attr(nm), Literal("0")), isDistinct = false)
+        else attr(nm)
+      }
+    }
+
+    private def inLayers(in: InSubquery, negated: Boolean): Expression = {
+      val probeExpr = in.values match {
+        case Seq(v) => v
+        case vs     => throw unsupported(s"${vs.length}-column IN tuple (single-value IN only)")
+      }
+      val (pairs, innerCs, items, subChild) = in.query.plan match {
+        case Distinct(p: Project) => decorrelate(p, "IN subquery")
+        case p                    => decorrelate(p, "IN subquery")
+      }
+      val vExpr = items match {
+        case Seq(item) => coreOf(item)
+        case is => throw unsupported(s"IN subquery selects ${is.length} columns (need exactly one)")
+      }
+      val corrExprs = pairs.map(_._1)
+      val mk = s"_h${n}_m"
+      layer(aggChangesOf(spark, groupedDim(corrExprs :+ vExpr, innerCs,
+          Seq(cnt(Literal(1), "_n")), subChild), feeds)._1,
+        _ => Map(mk -> "1"),
+        probeEnc((pairs.map(_._2) :+ probeExpr).map(compileExpr)))
+      n += 1
+      if (!negated) IsNotNull(attr(mk))
+      else {
+        // null-aware NOT IN needs the subquery's shape too: _t = total
+        // live rows (IsNull ⟺ subquery empty FOR THIS ROW'S GROUP, via
+        // the aggregate's tombstone / absent group), _nn = non-null
+        // rows (_t = _nn ⟺ no NULL candidate could make every
+        // comparison unknown). Uncorrelated = one constant-keyed
+        // global counter; correlated = a counter per correlation group.
+        val (tN, nnN) = (s"_h${n}_t", s"_h${n}_nn")
+        val counts = Seq(cnt(Literal(1), "_t"), cnt(vExpr, "_nn"))
+        val cntPlan =
+          if (corrExprs.isEmpty)
+            Aggregate(Nil, counts, innerCs.reduceOption(And).map(Filter(_, subChild)).getOrElse(subChild))
+          else groupedDim(corrExprs, innerCs, counts, subChild)
+        layer(aggChangesOf(spark, cntPlan, feeds)._1,
+          p => Seq("_t" -> tN, "_nn" -> nnN).flatMap { case (f, o) => p.get(f).map(o -> _) }.toMap,
+          probeEnc(pairs.map(p => compileExpr(p._2))))
+        n += 1
+        Or(IsNull(attr(tN)),
+          And(And(IsNotNull(probeExpr), IsNull(attr(mk))), EqualTo(attr(tN), attr(nnN))))
+      }
+    }
+
+    private def existsLayer(ex: Exists, negated: Boolean): Expression = {
+      val (pairs, innerCs, _, subChild) = decorrelate(ex.plan, "EXISTS subquery")
+      val mk = s"_h${n}_m"
+      if (pairs.isEmpty) {
+        // uncorrelated EXISTS: "is the (filtered) subquery non-empty" —
+        // one global count, constant-keyed like a scalar
+        val filtered = innerCs.reduceOption(And).map(Filter(_, subChild)).getOrElse(subChild)
+        layer(aggChangesOf(spark, Aggregate(Nil, Seq(cnt(Literal(1), "_n")), filtered), feeds)._1,
+          _ => Map(mk -> "1"), _ => "")
+      } else {
+        layer(aggChangesOf(spark, groupedDim(pairs.map(_._1), innerCs,
+            Seq(cnt(Literal(1), "_n")), subChild), feeds)._1,
+          _ => Map(mk -> "1"),
+          probeEnc(pairs.map(p => compileExpr(p._2))))
+      }
+      n += 1
+      if (negated) IsNull(attr(mk)) else IsNotNull(attr(mk))
+    }
+  }
+
+  private def hoistSubqueries(spark: SparkSession, cond: Expression, src: Source,
+      feeds: Map[String, Dataset[Change]]): Source = {
+    val h = new SubqueryHoister(spark, feeds)
+    val rewritten = h.rewrite(cond)
+    if (h.isEmpty) src.copy(filters = src.filters :+ cond)
+    else Source(h.wire(src.changes), src.filters :+ rewritten)
   }
 
   /** UNION ALL of SELECT branches as ONE changefeed: each branch
@@ -1316,11 +1537,22 @@ object IncrementalPlanner {
   // ------------------------------------------------------------------
   private def compileProject(spark: SparkSession, proj: Project,
       feeds: Map[String, Dataset[Change]]): PlannedView = {
-    val src   = compileSource(spark, proj.child, feeds)
-    val preds = src.filters.map(compileExpr)
-    val cols: Seq[(String, Eval)] = proj.projectList.zipWithIndex.map { case (ne, i) =>
+    val src0  = compileSource(spark, proj.child, feeds)
+    // SELECT-list subqueries hoist exactly like WHERE-clause ones: each
+    // becomes a dim-join layer and the item reads the injected field —
+    // `SELECT c.name, (SELECT count(*) FROM ord WHERE ord.cid = c.id)`
+    // is a live per-parent child count (0 included, the COUNT bug
+    // handled in the hoister). Layers compose with any WHERE layers
+    // already wired by compileSource.
+    val h = new SubqueryHoister(spark, feeds)
+    val items = proj.projectList.map { ne =>
       if (ne.isInstanceOf[UnresolvedStar]) throw unsupported("SELECT * (name the projected fields)")
-      (outName(ne, s"col$i"), compileExpr(ne))
+      (ne, h.rewrite(ne))
+    }
+    val src   = if (h.isEmpty) src0 else src0.copy(changes = h.wire(src0.changes))
+    val preds = src.filters.map(compileExpr)
+    val cols: Seq[(String, Eval)] = items.zipWithIndex.map { case ((ne, rw), i) =>
+      (outName(ne, s"col$i"), compileExpr(coreOf(rw)))
     }
     val names = cols.map(_._1)
     val fns   = cols.map(_._2)

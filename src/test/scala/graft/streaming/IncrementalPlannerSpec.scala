@@ -1104,16 +1104,254 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(rowState("pv_sq_x", Seq("name")).isEmpty,
       "the subquery table emptying must tombstone the scalar and retract every row")
 
-    // correlated subqueries are rejected fast
+    // non-equi correlation is rejected fast (equi-correlated scalars
+    // compile — spec #171am)
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val ex = intercept[IllegalArgumentException] {
       IncrementalPlanner.materialize(spark,
-        "SELECT name FROM t WHERE amount > (SELECT avg(amount) FROM u WHERE u.g = t.g)",
+        "SELECT name FROM t WHERE amount > (SELECT avg(amount) FROM u WHERE u.g < t.g)",
         Map("t" -> MemoryStream[Change].toDS(), "u" -> MemoryStream[Change].toDS()))
     }
-    assert(ex.getMessage.toLowerCase.contains("correlated") ||
-      ex.getMessage.contains("subset"), s"wrong failure: ${ex.getMessage}")
+    assert(ex.getMessage.contains("equi-correlation"), s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("#171al [NOT] IN and [NOT] EXISTS subqueries: incremental semi/anti-join views") {
+    def t(op: String, k: Long, m: Int, p: Map[String, String], seq: Long) =
+      Change(op, k, ts(m), p, seq)
+
+    // ---- IN: an allow-list feed gating a row view; membership is a
+    // live MULTISET (duplicate values survive one copy's delete) ------
+    val inSql = "SELECT name FROM t WHERE city IN (SELECT city FROM allow)"
+    val inBatches = Seq(
+      Map("t" -> Seq(
+        t("insert", 1L, 0, Map("name" -> "ann", "city" -> "par"), 1L),
+        t("insert", 2L, 1, Map("name" -> "bob", "city" -> "rom"), 2L)),
+        "allow" -> Seq.empty[Change]),
+      Map("allow" -> Seq(t("insert", 10L, 2, Map("city" -> "par"), 1L))),
+      Map("t" -> Seq(t("update", 2L, 3, Map("name" -> "bob", "city" -> "par"), 3L))),
+      Map("allow" -> Seq(t("insert", 11L, 4, Map("city" -> "par"), 2L))),   // duplicate value
+      Map("allow" -> Seq(t("delete", 10L, 5, Map.empty, 3L))),              // one copy dies
+      Map("allow" -> Seq(t("delete", 11L, 6, Map.empty, 4L))),              // value leaves
+    )
+    runView(inSql, "pv_in_a", inBatches.take(1))
+    assert(rowState("pv_in_a", Seq("name")).isEmpty, "empty allow-list admits nothing")
+    runView(inSql, "pv_in_b", inBatches.take(2))
+    assert(rowState("pv_in_b", Seq("name")) == Map(1L -> Seq[Any]("ann")))
+    runView(inSql, "pv_in_c", inBatches.take(3))
+    assert(rowState("pv_in_c", Seq("name")) == Map(1L -> Seq[Any]("ann"), 2L -> Seq[Any]("bob")),
+      "a fact moving INTO the membership admits it")
+    runView(inSql, "pv_in_d", inBatches.take(5))
+    assert(rowState("pv_in_d", Seq("name")).keySet == Set(1L, 2L),
+      "deleting ONE of two copies of a membership value must not retract subscribers")
+    runView(inSql, "pv_in", inBatches)
+    assert(rowState("pv_in", Seq("name")).isEmpty,
+      "the last copy of the value dying must retract every subscribed row")
+
+    // ---- NOT IN: the null-aware three-valued gate -------------------
+    // key 3 has NO city (NULL probe); deny key 21 has NO city (NULL
+    // candidate)
+    val niSql = "SELECT name FROM t WHERE city NOT IN (SELECT city FROM deny)"
+    val niBatches = Seq(
+      Map("t" -> Seq(
+        t("insert", 1L, 0, Map("name" -> "ann", "city" -> "par"), 1L),
+        t("insert", 2L, 1, Map("name" -> "bob", "city" -> "rom"), 2L),
+        t("insert", 3L, 2, Map("name" -> "nul"), 3L)),
+        "deny" -> Seq.empty[Change]),
+      Map("deny" -> Seq(t("insert", 20L, 3, Map("city" -> "rom"), 1L))),
+      Map("deny" -> Seq(t("insert", 21L, 4, Map("x" -> "1"), 2L))),   // NULL candidate
+      Map("deny" -> Seq(t("delete", 21L, 5, Map.empty, 3L))),
+    )
+    runView(niSql, "pv_ni_a", niBatches.take(1))
+    assert(rowState("pv_ni_a", Seq("name")).keySet == Set(1L, 2L, 3L),
+      "NOT IN over an EMPTY subquery is TRUE for every row, null probes included")
+    runView(niSql, "pv_ni_b", niBatches.take(2))
+    assert(rowState("pv_ni_b", Seq("name")) == Map(1L -> Seq[Any]("ann")),
+      "a non-empty deny list retracts matches AND null-probe rows (x NOT IN … is unknown for NULL x)")
+    runView(niSql, "pv_ni_c", niBatches.take(3))
+    assert(rowState("pv_ni_c", Seq("name")).isEmpty,
+      "one NULL candidate in the subquery makes NOT IN pass NOTHING (SQL three-valued rule)")
+    runView(niSql, "pv_ni", niBatches)
+    assert(rowState("pv_ni", Seq("name")) == Map(1L -> Seq[Any]("ann")),
+      "deleting the NULL candidate re-admits the non-matching rows")
+
+    // ---- correlated EXISTS, multi-key equi-correlation + inner-only
+    // conjunct; one conjunct written outer-first to exercise both
+    // EqualTo orientations ---------------------------------------------
+    val exSql = "SELECT name FROM cust WHERE EXISTS (SELECT 1 FROM ord " +
+      "WHERE ord.cust_id = cust.ckey AND cust.reg = ord.reg AND ord.amount > 10)"
+    val exBatches = Seq(
+      Map("cust" -> Seq(
+        t("insert", 1L, 0, Map("name" -> "ann", "ckey" -> "1", "reg" -> "eu"), 1L),
+        t("insert", 2L, 1, Map("name" -> "bob", "ckey" -> "2", "reg" -> "eu"), 2L),
+        t("insert", 3L, 2, Map("name" -> "carl", "reg" -> "eu"), 3L)),      // NULL correlation key
+        "ord" -> Seq(
+          t("insert", 101L, 0, Map("cust_id" -> "1", "reg" -> "eu", "amount" -> "5"), 1L),   // fails amount
+          t("insert", 102L, 1, Map("cust_id" -> "2", "reg" -> "us", "amount" -> "50"), 2L))), // wrong reg
+      Map("ord" -> Seq(t("update", 101L, 5, Map("cust_id" -> "1", "reg" -> "eu", "amount" -> "20"), 3L))),
+      Map("ord" -> Seq(t("update", 102L, 6, Map("cust_id" -> "2", "reg" -> "eu", "amount" -> "50"), 4L))),
+      Map("ord" -> Seq(t("delete", 101L, 7, Map.empty, 5L))),
+    )
+    runView(exSql, "pv_ex_a", exBatches.take(1))
+    assert(rowState("pv_ex_a", Seq("name")).isEmpty,
+      "amount-filtered and wrong-region orders must not witness EXISTS")
+    runView(exSql, "pv_ex_b", exBatches.take(2))
+    assert(rowState("pv_ex_b", Seq("name")) == Map(1L -> Seq[Any]("ann")))
+    runView(exSql, "pv_ex_c", exBatches.take(3))
+    assert(rowState("pv_ex_c", Seq("name")) == Map(1L -> Seq[Any]("ann"), 2L -> Seq[Any]("bob")))
+    runView(exSql, "pv_ex", exBatches)
+    assert(rowState("pv_ex", Seq("name")) == Map(2L -> Seq[Any]("bob")),
+      "the witnessing order's delete must retract the customer")
+
+    // NOT EXISTS is the complement; NULL correlation keys never match,
+    // so they PASS (batch SQL agreement)
+    val nexSql = exSql.replace("WHERE EXISTS", "WHERE NOT EXISTS")
+    runView(nexSql, "pv_nex_a", exBatches.take(1))
+    assert(rowState("pv_nex_a", Seq("name")).keySet == Set(1L, 2L, 3L))
+    runView(nexSql, "pv_nex", exBatches)
+    assert(rowState("pv_nex", Seq("name")) == Map(1L -> Seq[Any]("ann"), 3L -> Seq[Any]("carl")))
+
+    // ---- uncorrelated EXISTS: a feed-driven on/off gate -------------
+    val gSql = "SELECT name FROM t WHERE EXISTS (SELECT 1 FROM flag WHERE active = '1')"
+    val gBatches = Seq(
+      Map("t" -> Seq(t("insert", 1L, 0, Map("name" -> "ann"), 1L)), "flag" -> Seq.empty[Change]),
+      Map("flag" -> Seq(t("insert", 50L, 1, Map("active" -> "1"), 1L))),
+      Map("flag" -> Seq(t("update", 50L, 2, Map("active" -> "0"), 2L))),
+    )
+    runView(gSql, "pv_g_a", gBatches.take(1))
+    assert(rowState("pv_g_a", Seq("name")).isEmpty)
+    runView(gSql, "pv_g_b", gBatches.take(2))
+    assert(rowState("pv_g_b", Seq("name")) == Map(1L -> Seq[Any]("ann")))
+    runView(gSql, "pv_g", gBatches)
+    assert(rowState("pv_g", Seq("name")).isEmpty,
+      "the gate row moving out of the subquery's WHERE closes the gate")
+
+    // ---- rejections fail fast ---------------------------------------
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def feeds2 = Map("t" -> MemoryStream[Change].toDS(), "u" -> MemoryStream[Change].toDS())
+    val exIn = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name FROM t WHERE city IN (SELECT city FROM u WHERE u.pop > t.lim)", feeds2)
+    }
+    assert(exIn.getMessage.contains("equi-correlation"), s"wrong failure: ${exIn.getMessage}")
+    val exNe = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.amount > t.lim)", feeds2)
+    }
+    assert(exNe.getMessage.contains("equi-correlation"), s"wrong failure: ${exNe.getMessage}")
+  }
+
+  test("#171am correlated scalar/IN subqueries + SELECT-list scalars: decorrelated per-group views") {
+    def t(op: String, k: Long, m: Int, p: Map[String, String], seq: Long) =
+      Change(op, k, ts(m), p, seq)
+
+    // ---- SELECT-list correlated count: the COUNT-bug case -----------
+    // a live per-parent child count; a customer with zero orders must
+    // show 0 (batch count over zero rows), not disappear or go NULL
+    val clSql = "SELECT name, (SELECT count(*) FROM ord WHERE ord.cid = cust.ckey) AS n_ord FROM cust"
+    val clBatches = Seq(
+      Map("cust" -> Seq(
+        t("insert", 1L, 0, Map("name" -> "ann", "ckey" -> "1"), 1L),
+        t("insert", 2L, 1, Map("name" -> "bob", "ckey" -> "2"), 2L)),
+        "ord" -> Seq.empty[Change]),
+      Map("ord" -> Seq(
+        t("insert", 101L, 2, Map("cid" -> "1"), 1L),
+        t("insert", 102L, 3, Map("cid" -> "1"), 2L))),
+      Map("ord" -> Seq(t("delete", 102L, 4, Map.empty, 3L))),
+      Map("cust" -> Seq(t("delete", 2L, 5, Map.empty, 3L))),
+    )
+    runView(clSql, "pv_cl_a", clBatches.take(1))
+    assert(rowState("pv_cl_a", Seq("name", "n_ord")) ==
+      Map(1L -> Seq[Any]("ann", "0"), 2L -> Seq[Any]("bob", "0")),
+      "zero-orders customers must project count 0, not NULL (the COUNT bug)")
+    runView(clSql, "pv_cl_b", clBatches.take(2))
+    assert(rowState("pv_cl_b", Seq("name", "n_ord")) ==
+      Map(1L -> Seq[Any]("ann", "2"), 2L -> Seq[Any]("bob", "0")))
+    runView(clSql, "pv_cl_c", clBatches.take(3))
+    assert(rowState("pv_cl_c", Seq("name", "n_ord")) ==
+      Map(1L -> Seq[Any]("ann", "1"), 2L -> Seq[Any]("bob", "0")),
+      "an order's delete must decrement its parent's projected count")
+    runView(clSql, "pv_cl", clBatches)
+    assert(rowState("pv_cl", Seq("name", "n_ord")) == Map(1L -> Seq[Any]("ann", "1")))
+
+    // ---- WHERE correlated scalar: per-group dynamic threshold -------
+    // rows above their own group's live average; the avg MOVES as group
+    // members arrive/leave, re-deciding every subscribed row
+    val thSql = "SELECT name FROM t WHERE amount > (SELECT avg(u.amount) FROM u WHERE u.grp = t.grp)"
+    val thBatches = Seq(
+      Map("t" -> Seq(
+        t("insert", 1L, 0, Map("name" -> "a1", "grp" -> "g1", "amount" -> "10"), 1L),
+        t("insert", 2L, 1, Map("name" -> "a2", "grp" -> "g1", "amount" -> "30"), 2L),
+        t("insert", 3L, 2, Map("name" -> "b1", "grp" -> "g2", "amount" -> "5"), 3L)),
+        "u" -> Seq(
+          t("insert", 11L, 0, Map("grp" -> "g1", "amount" -> "10"), 1L),
+          t("insert", 12L, 1, Map("grp" -> "g1", "amount" -> "30"), 2L))),
+      // g1 avg 20 → only a2 passes; g2 has no u-rows → NULL avg filters b1
+      Map("u" -> Seq(t("insert", 13L, 3, Map("grp" -> "g1", "amount" -> "110"), 3L))),
+      // g1 avg 50 → nobody passes
+      Map("u" -> Seq(t("insert", 14L, 4, Map("grp" -> "g2", "amount" -> "1"), 4L))),
+      // g2 avg 1 → b1 (5) passes
+    )
+    runView(thSql, "pv_th_a", thBatches.take(1))
+    assert(rowState("pv_th_a", Seq("name")) == Map(2L -> Seq[Any]("a2")),
+      "per-group avg must gate each row by ITS group (absent group = NULL = filtered)")
+    runView(thSql, "pv_th_b", thBatches.take(2))
+    assert(rowState("pv_th_b", Seq("name")).isEmpty,
+      "the group's moving average rising past every member must retract them all")
+    runView(thSql, "pv_th", thBatches)
+    assert(rowState("pv_th", Seq("name")) == Map(3L -> Seq[Any]("b1")))
+
+    // ---- correlated NOT IN: the null-aware rule applies PER GROUP ---
+    val cnSql = "SELECT name FROM t WHERE city NOT IN (SELECT city FROM deny WHERE deny.reg = t.reg)"
+    val cnBatches = Seq(
+      Map("t" -> Seq(
+        t("insert", 1L, 0, Map("name" -> "ann", "reg" -> "eu", "city" -> "par"), 1L),
+        t("insert", 2L, 1, Map("name" -> "bob", "reg" -> "us", "city" -> "par"), 2L)),
+        "deny" -> Seq(t("insert", 20L, 0, Map("reg" -> "eu", "city" -> "par"), 1L))),
+      // a NULL candidate lands in region "us" ONLY: it must poison us
+      // rows (unknown) while leaving eu rows decided by their own group
+      Map("deny" -> Seq(
+        t("delete", 20L, 2, Map.empty, 2L),
+        t("insert", 21L, 3, Map("reg" -> "us"), 3L))),
+    )
+    runView(cnSql, "pv_cn_a", cnBatches.take(1))
+    assert(rowState("pv_cn_a", Seq("name")) == Map(2L -> Seq[Any]("bob")),
+      "eu's deny list blocks ann; us's group is EMPTY so bob passes (per-group empty-subquery rule)")
+    runView(cnSql, "pv_cn", cnBatches)
+    assert(rowState("pv_cn", Seq("name")) == Map(1L -> Seq[Any]("ann")),
+      "the NULL candidate must poison ONLY its own group's rows; eu re-admits on its delete")
+
+    // ---- correlated IN over a projected expression ------------------
+    val ciSql = "SELECT name FROM t WHERE city IN (SELECT city FROM allow WHERE allow.reg = t.reg)"
+    val ciBatches = Seq(
+      Map("t" -> Seq(
+        t("insert", 1L, 0, Map("name" -> "ann", "reg" -> "eu", "city" -> "par"), 1L),
+        t("insert", 2L, 1, Map("name" -> "bob", "reg" -> "us", "city" -> "par"), 2L)),
+        "allow" -> Seq(t("insert", 30L, 0, Map("reg" -> "eu", "city" -> "par"), 1L))),
+      Map("allow" -> Seq(t("update", 30L, 2, Map("reg" -> "us", "city" -> "par"), 2L))),
+    )
+    runView(ciSql, "pv_ci_a", ciBatches.take(1))
+    assert(rowState("pv_ci_a", Seq("name")) == Map(1L -> Seq[Any]("ann")),
+      "membership is (region, city)-scoped: par is allowed in eu, not us")
+    runView(ciSql, "pv_ci", ciBatches)
+    assert(rowState("pv_ci", Seq("name")) == Map(2L -> Seq[Any]("bob")),
+      "the allow row MOVING region must retract eu's subscriber and admit us's")
+
+    // ---- rejections: outer refs outside WHERE equi-conjuncts --------
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def feeds2 = Map("t" -> MemoryStream[Change].toDS(), "u" -> MemoryStream[Change].toDS())
+    val exSel = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name FROM t WHERE amount > (SELECT max(u.x + t.y) FROM u WHERE u.k = t.k)", feeds2)
+    }
+    assert(exSel.getMessage.contains("outside the WHERE clause"), s"wrong failure: ${exSel.getMessage}")
+    val exItem = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name FROM t WHERE amount > (SELECT u.x FROM u WHERE u.k = t.k)", feeds2)
+    }
+    assert(exItem.getMessage.contains("aggregate call"), s"wrong failure: ${exItem.getMessage}")
   }
 
   test("#171u 3-table star view: fact JOIN dim1 JOIN dim2 layers through nested join compilation") {
