@@ -62,6 +62,74 @@ case class PlannedRow(proj: Map[String, String], tsUs: Long, seq: Long, live: Bo
 /** One change of a planned non-aggregate view's changefeed. */
 case class PlannedRowChange(op: String, key: Long, proj: Map[String, String], ts_us: Long, seq: Long)
 
+/** One live contribution inside a planned SESSION-window view's group
+  * state: the row's event time and its aggregate slot values.
+  */
+case class SessionContrib(evUs: Long, slots: Seq[Double])
+
+/** One session row as last emitted (keyed by session start micros):
+  * what the diff against the recomputed session set compares to.
+  */
+case class SessionEmitted(endUs: Long, n: Long, sums: Seq[Double])
+
+/** Per-scalar-group state of a planned session-window view: every live
+  * key's contribution (sessions merge and split on ANY membership
+  * change, so the exact view needs the full per-group timestamp set —
+  * the same honest full-state class as exact top-k under retraction),
+  * plus the session rows last emitted, for diff-only re-emission.
+  */
+case class SessionGroupState(contribs: Map[Long, SessionContrib], emitted: Map[Long, SessionEmitted])
+
+/** One emitted change of a planned session-window view: the session's
+  * identity is `(group, startUs)`; `live_rows = 0` is its tombstone
+  * (the session merged away, split, or lost its last row).
+  */
+case class SessionRow(group: String, startUs: Long, endUs: Long, live_rows: Long,
+    sums: Seq[Double], tsUs: Long, seq: Long)
+
+/** Stage-1 state of a planned RANKED view (one per change key): the
+  * row's partition key, its ORDER BY values, and its projected payload.
+  */
+case class RankedContrib(group: String, sortVals: Seq[String], proj: Map[String, String],
+    tsUs: Long, seq: Long, live: Boolean)
+
+/** Stage-1 → stage-2 wire of a planned ranked view: one key's
+  * entry/exit/change within one partition.
+  */
+case class RankedKeyChange(group: String, key: Long, sortVals: Seq[String],
+    proj: Map[String, String], live: Boolean, tsUs: Long, seq: Long)
+
+/** One live member of a ranked partition's state. */
+case class RankedEntry(sortVals: Seq[String], proj: Map[String, String])
+
+/** A ranked row as last emitted for one key: rank + payload, the diff
+  * target (a key re-emits only when either changed).
+  */
+case class RankedEmit(rn: Long, proj: Map[String, String])
+
+/** Per-partition state of a planned ranked view: every live member
+  * (a retraction can promote ANY member, so exact ranks need the full
+  * partition — the same honest full-state class as exact top-k), plus
+  * the rows last emitted for diff-only re-emission. `posTs`/`posSeq`
+  * are the partition's emission high-water mark: re-emissions caused by
+  * OTHER keys' changes carry no own-change position, so the partition's
+  * changefeed stamps them monotonically (a straggler batch must not
+  * emit "older" view changes than an earlier batch did).
+  */
+case class RankedGroupState(contribs: Map[Long, RankedEntry], emitted: Map[Long, RankedEmit],
+    posTs: Long = 0L, posSeq: Long = 0L)
+
+/** One change of a planned ranked view's changefeed: `op` upsert/delete
+  * identified by `(key, group)` — the partition is part of the change
+  * identity (multiset-diff semantics), because a partition MOVE emits a
+  * delete from the old partition and an upsert in the new one from two
+  * independent shards whose emission positions are not mutually
+  * ordered; keyed by `key` alone, a consumer could fold them in the
+  * wrong order and lose the row. `rn` is the window function's value.
+  */
+case class RankedRowChange(op: String, key: Long, group: String, rn: Long,
+    proj: Map[String, String], ts_us: Long, seq: Long)
+
 /** The generic changefeed-of-a-query planner (the r5 verdict's #1 gap):
   * `materialize(sql)` compiles the SPJA subset of SQL — filter, project,
   * two-feed equi-join on the change key, grouped aggregation with
@@ -98,6 +166,10 @@ case class PlannedRowChange(op: String, key: Long, proj: Map[String, String], ts
   * micros or `yyyy-mm-dd hh:mm:ss`) or the reserved `ts_us` (the
   * change's own commit position). Bounded state on unbounded feeds
   * comes from [[materializeExpiring]], exactly as for scalar groups.
+  * `GROUP BY session_window(<ts>, '<gap>')` compiles too — sessions
+  * merge and split under retraction via a dedicated full-group-state
+  * dataflow (see [[compileSessionAggregate]]); the session select item
+  * emits `<name>_start_us` / `<name>_end_us` epoch-micros columns.
   *
   * Scale shape: identical to the hand-built views — stage-1 state is
   * sharded by change key, stage-2 by group / join key; nothing here
@@ -996,6 +1068,100 @@ object IncrementalPlanner {
   private final case class VarOut(sumSlot: Int, sqSlot: Int, cntSlot: Int,
       name: String, sample: Boolean, root: Boolean) extends OutCol
 
+  /** Session-window select item: expands to TWO output columns,
+    * `<name>_start_us` / `<name>_end_us` (epoch micros — the planner's
+    * stringly-feed convention, mirroring how `window(...)` groupings
+    * emit their start micros).
+    */
+  private final case class SessionOut(name: String) extends OutCol
+
+  /** Compile one aggregate-function select item to its [[OutCol]],
+    * registering value slots via `addSlot` — shared by the flat
+    * (signed-delta / keyed) and session-window paths, which differ only
+    * in HOW the slots fold downstream, not in what a select item means.
+    * `nullSumAsNaN`: re-aggregating paths (session) mark a NULL sum
+    * operand with NaN — filtered per session, so an all-NULL session
+    * yields SQL NULL, not 0 — where the signed-delta fold must encode
+    * it as 0 (NaN cannot be retracted; its all-NULL case is instead
+    * indistinguishable from sum=0, the documented flat-path trade).
+    */
+  private def compileAggFnOut(fn: String, args: Seq[Expression], name: String,
+      addSlot: Eval => Int, nullSumAsNaN: Boolean = false): OutCol =
+    (fn, args) match {
+      case ("count", Seq(_: UnresolvedStar)) =>
+        CountOut(addSlot(_ => Some(1.0)), name)
+      case ("count", Seq(a)) =>
+        val ca = compileExpr(a)
+        CountOut(addSlot(env => Some(if (ca(env).isDefined) 1.0 else 0.0)), name)
+      case ("sum", Seq(a)) =>
+        val ca = compileExpr(a)
+        val nullMark = if (nullSumAsNaN) Double.NaN else 0.0
+        SumOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(nullMark))), name)
+      case ("avg", Seq(a)) =>
+        val ca = compileExpr(a)
+        val s  = addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0)))
+        val c  = addSlot(env => Some(if (ca(env).flatMap(asNum).isDefined) 1.0 else 0.0))
+        AvgOut(s, c, name)
+      // min/max slots carry NaN for SQL NULL (excluded from the
+      // extremum, distinguishable from a real 0)
+      case ("min", Seq(a)) =>
+        val ca = compileExpr(a)
+        MinOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(Double.NaN))), name)
+      case ("max", Seq(a)) =>
+        val ca = compileExpr(a)
+        MaxOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(Double.NaN))), name)
+      case ("stddev" | "stddev_samp" | "stddev_pop" | "variance" | "var_samp" | "var_pop", Seq(a)) =>
+        val ca = compileExpr(a)
+        val s  = addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0)))
+        val sq = addSlot(env => Some(ca(env).flatMap(asNum).map(x => x * x).getOrElse(0.0)))
+        val c  = addSlot(env => Some(if (ca(env).flatMap(asNum).isDefined) 1.0 else 0.0))
+        VarOut(s, sq, c, name,
+          sample = fn != "stddev_pop" && fn != "var_pop",
+          root = fn.startsWith("stddev"))
+      // internal (DISTINCT rewrite only): reaggregation of inner
+      // partials — sum of per-value counts emitted as LONG, and
+      // sum(a)/sum(b) for plain avg decomposed through the levels
+      case ("graft_sumlong", Seq(a)) =>
+        val ca = compileExpr(a)
+        CountOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0))), name)
+      case ("graft_ratio", Seq(a, b)) =>
+        val (ca, cb) = (compileExpr(a), compileExpr(b))
+        AvgOut(
+          addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0))),
+          addSlot(env => Some(cb(env).flatMap(asNum).getOrElse(0.0))), name)
+      case other => throw unsupported(s"aggregate $fn(${args.map(_.sql).mkString(",")})")
+    }
+
+  /** One OutCol → its output Column, shared by every aggregate path;
+    * `slotCol` supplies the path's slot access (descaled for the
+    * signed-delta fold, raw for the keyed and session folds).
+    * [[SessionOut]] expands to two columns in the session path only.
+    */
+  private def outColExpr(oc: OutCol, slotCol: Int => org.apache.spark.sql.Column,
+      groupParts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = oc match {
+    case GroupOut(idx, name) =>
+      val p = element_at(groupParts, idx + 1)
+      when(p === NullMark, lit(null)).otherwise(p).as(name)
+    case CountOut(slot, name) => slotCol(slot).cast("long").as(name)
+    case SumOut(slot, name)   => slotCol(slot).as(name)
+    case AvgOut(sumSlot, cntSlot, name) =>
+      (slotCol(sumSlot) / when(slotCol(cntSlot) =!= 0.0, slotCol(cntSlot))).as(name)
+    // NaN marks "no non-null value in the group" → SQL NULL
+    case MinOut(slot, name) => when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
+    case MaxOut(slot, name) => when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
+    case VarOut(s, sq, c, name, sample, root) =>
+      val n = slotCol(c)
+      // var = (Σx² − (Σx)²/n) / denom; SQL NULLs: n=0 → NULL, sample
+      // n=1 → NULL (division by a NULL-guarded denominator). Tiny
+      // negative residue from micro-unit quantization clamps to 0.
+      val denom = if (sample) when(n > 1.0, n - 1.0) else when(n > 0.0, n)
+      val raw   = (slotCol(sq) - slotCol(s) * slotCol(s) / when(n > 0.0, n)) / denom
+      val v     = when(raw < 0.0, lit(0.0)).otherwise(raw)
+      (if (root) sqrt(v) else v).as(name)
+    case SessionOut(_) =>
+      throw new IllegalStateException("SessionOut expands to start/end columns in the session path")
+  }
+
   private def outName(ne: Expression, fallback: String): String = ne match {
     case a: Alias               => a.name
     case a: UnresolvedAttribute => a.nameParts.last
@@ -1036,7 +1202,21 @@ object IncrementalPlanner {
       case f: UnresolvedFunction => f.isDistinct
       case _                     => false
     })
-    if (!hasDistinct) compileAggregateFlat(spark, norm, feeds, ttl, having, keepMeta)
+    val hasSession = norm.groupingExpressions.exists(_.exists {
+      case f: UnresolvedFunction => f.nameParts.last.equalsIgnoreCase("session_window")
+      case _                     => false
+    })
+    if (hasSession) {
+      require(!hasDistinct,
+        "DISTINCT aggregates in a session-window view are unsupported (the two-level " +
+          "DISTINCT rewrite regroups by value, which a session membership cannot survive); " +
+          "sessionize first and aggregate the session view")
+      require(!keepMeta, "session-window views do not compose with " +
+        "materializeAggChanges/materializeTopK — consume the view's own changefeed " +
+        "(its key is the group keys + <name>_start_us)")
+      compileSessionAggregate(spark, norm, feeds, ttl, having)
+    }
+    else if (!hasDistinct) compileAggregateFlat(spark, norm, feeds, ttl, having, keepMeta)
     else {
       require(ttl.isEmpty,
         "DISTINCT views do not compose with materializeExpiring: the internal " +
@@ -1161,51 +1341,7 @@ object IncrementalPlanner {
       core match {
         case e if groupSql.indexOf(e.sql) >= 0 => GroupOut(groupSql.indexOf(e.sql), name)
         case f: UnresolvedFunction =>
-          val fn   = f.nameParts.last.toLowerCase
-          val args = f.arguments
-          (fn, args) match {
-            case ("count", Seq(_: UnresolvedStar)) =>
-              CountOut(addSlot(_ => Some(1.0)), name)
-            case ("count", Seq(a)) =>
-              val ca = compileExpr(a)
-              CountOut(addSlot(env => Some(if (ca(env).isDefined) 1.0 else 0.0)), name)
-            case ("sum", Seq(a)) =>
-              val ca = compileExpr(a)
-              SumOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0))), name)
-            case ("avg", Seq(a)) =>
-              val ca = compileExpr(a)
-              val s  = addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0)))
-              val c  = addSlot(env => Some(if (ca(env).flatMap(asNum).isDefined) 1.0 else 0.0))
-              AvgOut(s, c, name)
-            // min/max slots carry NaN for SQL NULL (excluded from the
-            // extremum, distinguishable from a real 0)
-            case ("min", Seq(a)) =>
-              val ca = compileExpr(a)
-              MinOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(Double.NaN))), name)
-            case ("max", Seq(a)) =>
-              val ca = compileExpr(a)
-              MaxOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(Double.NaN))), name)
-            case ("stddev" | "stddev_samp" | "stddev_pop" | "variance" | "var_samp" | "var_pop", Seq(a)) =>
-              val ca = compileExpr(a)
-              val s  = addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0)))
-              val sq = addSlot(env => Some(ca(env).flatMap(asNum).map(x => x * x).getOrElse(0.0)))
-              val c  = addSlot(env => Some(if (ca(env).flatMap(asNum).isDefined) 1.0 else 0.0))
-              VarOut(s, sq, c, name,
-                sample = fn != "stddev_pop" && fn != "var_pop",
-                root = fn.startsWith("stddev"))
-            // internal (DISTINCT rewrite only): reaggregation of inner
-            // partials — sum of per-value counts emitted as LONG, and
-            // sum(a)/sum(b) for plain avg decomposed through the levels
-            case ("graft_sumlong", Seq(a)) =>
-              val ca = compileExpr(a)
-              CountOut(addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0))), name)
-            case ("graft_ratio", Seq(a, b)) =>
-              val (ca, cb) = (compileExpr(a), compileExpr(b))
-              AvgOut(
-                addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(0.0))),
-                addSlot(env => Some(cb(env).flatMap(asNum).getOrElse(0.0))), name)
-            case other => throw unsupported(s"aggregate $fn(${args.map(_.sql).mkString(",")})")
-          }
+          compileAggFnOut(f.nameParts.last.toLowerCase, f.arguments, name, addSlot)
         case other => throw unsupported(s"select item ${other.sql} (neither grouping expr nor count/sum/avg/min/max)")
       }
     }
@@ -1291,27 +1427,7 @@ object IncrementalPlanner {
     def slotCol(slot: Int) =
       if (needsKeyed) element_at(col("sums"), slot + 1)
       else element_at(col("sums"), slot + 1) / lit(SlotScale)
-    val outExprs = outCols.map {
-      case GroupOut(idx, name) =>
-        val p = element_at(parts, idx + 1)
-        when(p === NullMark, lit(null)).otherwise(p).as(name)
-      case CountOut(slot, name) => slotCol(slot).cast("long").as(name)
-      case SumOut(slot, name)   => slotCol(slot).as(name)
-      case AvgOut(sumSlot, cntSlot, name) =>
-        (slotCol(sumSlot) / when(slotCol(cntSlot) =!= 0.0, slotCol(cntSlot))).as(name)
-      // NaN marks "no non-null value in the group" → SQL NULL
-      case MinOut(slot, name) => when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
-      case MaxOut(slot, name) => when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
-      case VarOut(s, sq, c, name, sample, root) =>
-        val n = slotCol(c)
-        // var = (Σx² − (Σx)²/n) / denom; SQL NULLs: n=0 → NULL, sample
-        // n=1 → NULL (division by a NULL-guarded denominator). Tiny
-        // negative residue from micro-unit quantization clamps to 0.
-        val denom = if (sample) when(n > 1.0, n - 1.0) else when(n > 0.0, n)
-        val raw   = (slotCol(sq) - slotCol(s) * slotCol(s) / when(n > 0.0, n)) / denom
-        val v     = when(raw < 0.0, lit(0.0)).otherwise(raw)
-        (if (root) sqrt(v) else v).as(name)
-    }
+    val outExprs = outCols.map(outColExpr(_, slotCol, parts))
     // _live_rows rides along as the view's tombstone signal: a group
     // whose live-row count reaches 0 re-emits once with _live_rows = 0,
     // which IS the "group left the view" change of the view's changefeed.
@@ -1334,6 +1450,207 @@ object IncrementalPlanner {
       case None => selected
     }
     PlannedView(withHaving, OutputMode.Append())
+  }
+
+  /** SESSION-window views: `GROUP BY session_window(<ts>, '<gap>')`
+    * (plus any scalar keys) — the window class a per-row derived group
+    * key CANNOT express, because a row's session depends on the whole
+    * per-group timestamp set: an arriving row can MERGE two sessions
+    * into one, and a deleted row can SPLIT one into two. Compiled as:
+    *
+    *  - stage 1: the shared per-change-key LWW fold ([[keyFold]] — the
+    *    min/max path's key-level diff), with the row's event time
+    *    riding as slot 0 (epoch micros are exact in a Double to 2^53 ≈
+    *    year 2255);
+    *  - stage 2: per scalar group, maintain every live contribution,
+    *    re-derive the session partition (ascending event time; two
+    *    adjacent rows share a session iff `next < prevMax + gap`,
+    *    Spark's own [start, ev+gap) overlap rule), re-aggregate each
+    *    session from raw values (so min/max/stddev are exact with no
+    *    invertibility requirement), and emit ONLY the diff against the
+    *    sessions last emitted: changed/new sessions upsert, vanished
+    *    session starts tombstone with `_live_rows = 0`. A session's
+    *    changefeed identity is `(group keys, <name>_start_us)`.
+    *
+    * State is O(live rows per scalar group) — the honest cost of exact
+    * sessionization under retraction (same class as exact top-k), and
+    * the reason this is a separate dataflow rather than a [[GroupSlot]].
+    * `spark.graft.session.maxRowsPerGroup` (default 1e6) bounds it: the
+    * fold RAISES past the bound, naming the mitigations, instead of
+    * silently OOMing one state shard at 100 TB. Append-only feeds that
+    * need no retraction should use [[WindowedAggs.sessionize]] (Spark's
+    * native watermark-evicting session_window) instead.
+    */
+  private def compileSessionAggregate(spark: SparkSession, agg: Aggregate,
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)],
+      having: Option[Expression]): PlannedView = {
+    val src   = compileSource(spark, agg.child, feeds)
+    val preds = src.filters.map(compileExpr)
+    val (sessionExprs, scalarExprs) = agg.groupingExpressions.partition {
+      case f: UnresolvedFunction => f.nameParts.last.equalsIgnoreCase("session_window")
+      case _                     => false
+    }
+    require(sessionExprs.length == 1,
+      "exactly one session_window(...) grouping per view (Spark's own rule)")
+    val (tsF, gapUs) = sessionExprs.head match {
+      case f: UnresolvedFunction => f.arguments match {
+        case Seq(tsE, Literal(g, _)) =>
+          (compileExpr(tsE), durationUs(String.valueOf(litValue(g).getOrElse(""))))
+        case other => throw unsupported(
+          s"session_window(${other.map(_.sql).mkString(",")}) (need session_window(<ts>, '<gap>'))")
+      }
+      case _ => throw new IllegalStateException("unreachable: partitioned on UnresolvedFunction")
+    }
+    val scalarSlots = scalarExprs.map(compileGroupSlot)
+    require(scalarSlots.forall(_.isInstanceOf[ScalarSlot]),
+      "session_window does not combine with window(...) groupings")
+    val sessionSql = sessionExprs.head.sql
+    val scalarSql  = scalarExprs.map(_.sql)
+
+    val slotFns = scala.collection.mutable.ArrayBuffer.empty[Eval]
+    def addSlot(f: Eval): Int = { slotFns += f; slotFns.size - 1 }
+    val outCols: Seq[OutCol] = agg.aggregateExpressions.zipWithIndex.map { case (ne, i) =>
+      val core = coreOf(ne)
+      val name = outName(ne, s"col$i")
+      core match {
+        case e if e.sql == sessionSql              => SessionOut(name)
+        case e if scalarSql.indexOf(e.sql) >= 0    => GroupOut(scalarSql.indexOf(e.sql), name)
+        case f: UnresolvedFunction =>
+          compileAggFnOut(f.nameParts.last.toLowerCase, f.arguments, name, addSlot,
+            nullSumAsNaN = true)
+        case other => throw unsupported(
+          s"select item ${other.sql} (neither grouping expr nor count/sum/avg/min/max)")
+      }
+    }
+    val slots = slotFns.toIndexedSeq
+    // Change → (one scalar group key, evUs-prefixed slot values); a NULL
+    // or unparseable event time is a dead contribution (Spark's windowed
+    // aggregation drops null-timestamp rows the same way)
+    val extract: Change => Option[(Seq[String], Seq[Double])] = { c =>
+      val env  = envOf(c)
+      val pass = preds.forall(p => p(env).contains(true))
+      if (!pass) None
+      else tsF(env).flatMap(tsMicrosOf).map { ev =>
+        (Seq(groupKeysOf(scalarSlots, env).head),
+          ev.toDouble +: slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 }))
+      }
+    }
+    val slotOps: Seq[String] = {
+      val ops = Array.fill(slots.length)("sum")
+      outCols.foreach {
+        case MinOut(s, _) => ops(s) = "min"
+        case MaxOut(s, _) => ops(s) = "max"
+        case _            => ()
+      }
+      ops.toIndexedSeq
+    }
+    val maxRows = spark.conf.get("spark.graft.session.maxRowsPerGroup", "1000000").toInt
+
+    implicit val contribEnc = Encoders.product[PlannedContrib]
+    implicit val keyChEnc   = Encoders.product[PlannedKeyChange]
+    implicit val stateEnc   = Encoders.product[SessionGroupState]
+    implicit val rowEnc     = Encoders.product[SessionRow]
+    implicit val longEnc    = Encoders.scalaLong
+    implicit val stringEnc  = Encoders.STRING
+    val inChanges = ttl match {
+      case Some((delay, _)) => src.changes.withWatermark("ts", delay)
+      case None             => src.changes
+    }
+    val timeoutConf = if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    val sessionRows = inChanges
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(expiring(ttl, keyFold(extract)))
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        sessionFold(gapUs, slotOps, maxRows))
+      .toDF()
+
+    val parts = split(col("group"), Sep)
+    def slotCol(i: Int) = element_at(col("sums"), i + 1)
+    val outExprs = outCols.flatMap {
+      case SessionOut(name) =>
+        Seq(col("startUs").as(s"${name}_start_us"), col("endUs").as(s"${name}_end_us"))
+      // NaN marks an all-NULL-operand session's sum (see compileAggFnOut) → SQL NULL
+      case SumOut(slot, name) =>
+        Seq(when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name))
+      case oc => Seq(outColExpr(oc, slotCol, parts))
+    }
+    val selected = sessionRows.select(outExprs :+ col("live_rows").as("_live_rows"): _*)
+    val withHaving = having match {
+      case Some(cond) =>
+        selected.withColumn("_live_rows",
+          when(coalesce(expr(cond.sql), lit(false)), col("_live_rows")).otherwise(lit(0L)))
+      case None => selected
+    }
+    PlannedView(withHaving, OutputMode.Append())
+  }
+
+  /** Stage-2 fold of a session-window view: maintain the group's live
+    * contributions, re-derive + re-aggregate its sessions, and emit the
+    * diff against the sessions last emitted. Cost O(live rows in the
+    * touched group) per batch, paid only by touched groups; at scale
+    * each group's state lives on exactly one shard, guarded by
+    * `maxRows`. (A NaN slot value — min/max's NULL marker — defeats the
+    * equality short-circuits below because NaN ≠ NaN; the cost is a
+    * redundant idempotent re-emission, never a wrong row.)
+    */
+  private def sessionFold(gapUs: Long, slotOps: Seq[String], maxRows: Int)(
+      group: String,
+      changes: Iterator[PlannedKeyChange],
+      state: GroupState[SessionGroupState]): Iterator[SessionRow] = {
+    val s0     = state.getOption.getOrElse(SessionGroupState(Map.empty, Map.empty))
+    var posTs  = 0L
+    var posSeq = 0L
+    val after = changes.foldLeft(s0.contribs) { (m, c) =>
+      if (c.tsUs > posTs || (c.tsUs == posTs && c.seq > posSeq)) { posTs = c.tsUs; posSeq = c.seq }
+      if (c.live) m + (c.key -> SessionContrib(c.slots.head.toLong, c.slots.tail))
+      else m - c.key
+    }
+    if (after == s0.contribs) Iterator.empty // batch net-cancelled
+    else {
+      require(after.size <= maxRows,
+        s"session view group has ${after.size} live rows, over spark.graft.session.maxRowsPerGroup=" +
+          s"$maxRows — exact sessionization under retraction holds the full per-group row set; " +
+          "prefilter with WHERE, raise the bound deliberately, or use WindowedAggs.sessionize " +
+          "(append-only, watermark-evicting) if retraction is not needed")
+      // ascending event time; a row joins the open session iff its event
+      // time falls strictly inside [start, lastEv + gap) — Spark's own
+      // session-merge rule — else it opens a new one
+      var sessions = Vector.empty[(Long, Long, Vector[Seq[Double]])] // (startUs, maxEvUs, member slot rows)
+      after.toSeq.sortBy { case (k, c) => (c.evUs, k) }.foreach { case (_, c) =>
+        sessions match {
+          case init :+ ((start, maxEv, members)) if c.evUs < maxEv + gapUs =>
+            sessions = init :+ ((start, c.evUs, members :+ c.slots))
+          case _ =>
+            sessions = sessions :+ ((c.evUs, c.evUs, Vector(c.slots)))
+        }
+      }
+      val newEmitted: Map[Long, SessionEmitted] = sessions.map { case (start, maxEv, members) =>
+        val sums = slotOps.zipWithIndex.map { case (op, i) =>
+          val vs = members.iterator.map(s => if (i < s.length) s(i) else Double.NaN)
+          // NaN is the NULL marker in min/max and sum slots alike: an
+          // all-NULL session stays NaN → emitted as SQL NULL
+          val xs = vs.filterNot(_.isNaN).toSeq
+          op match {
+            case "sum" => if (xs.isEmpty) Double.NaN else xs.sum
+            case "min" => if (xs.isEmpty) Double.NaN else xs.min
+            case "max" => if (xs.isEmpty) Double.NaN else xs.max
+          }
+        }
+        start -> SessionEmitted(maxEv + gapUs, members.size.toLong, sums)
+      }.toMap
+      val dead = (s0.emitted.keySet -- newEmitted.keySet).iterator.map { st =>
+        SessionRow(group, st, s0.emitted(st).endUs, 0L, Seq.fill(slotOps.length)(0.0), posTs, posSeq)
+      }
+      val lived = newEmitted.iterator.collect {
+        case (st, e) if !s0.emitted.get(st).contains(e) =>
+          SessionRow(group, st, e.endUs, e.n, e.sums, posTs, posSeq)
+      }
+      if (after.isEmpty) state.remove()
+      else state.update(SessionGroupState(after, newEmitted))
+      dead ++ lived
+    }
   }
 
   /** Stage-2 fold: apply the batch's signed deltas to the group's
@@ -1610,6 +1927,288 @@ object IncrementalPlanner {
   }
 
   // ------------------------------------------------------------------
+  // Ranked (window-function) view compilation
+  // ------------------------------------------------------------------
+
+  /** Does a select item carry a window function (`... OVER (...)`)? */
+  private def hasWindowItem(p: Project): Boolean =
+    p.projectList.exists(_.exists {
+      case _: WindowExpression => true
+      case _                   => false
+    })
+
+  private val RankFns = Set("row_number", "rank", "dense_rank")
+
+  /** RANKED views — `row_number()/rank()/dense_rank() OVER (PARTITION BY
+    * … ORDER BY …)` in the select list, optionally bounded by an outer
+    * `WHERE <rn> <= k` around the subquery (the TOP-K PER GROUP idiom —
+    * the per-partition form of [[materializeTopK]], and the better scale
+    * story: state shards BY PARTITION instead of one global fold).
+    * Compiled as:
+    *
+    *  - stage 1 ([[rankedKeyFold]]): per-change-key LWW with the row's
+    *    partition key, ORDER BY values, and projected payload; emits
+    *    entry/exit/change (a partition move exits the old partition and
+    *    enters the new);
+    *  - stage 2 ([[rankFold]]): per partition, maintain every live
+    *    member, re-sort, re-rank, and emit ONLY the diff against the
+    *    rows last emitted — `op=upsert` with the new rank, `op=delete`
+    *    when a row leaves the view (deleted, out of the bound, or out
+    *    of the partition). Deleting a bounded view's leader PROMOTES
+    *    the first row below the cut (it upserts with its new rank).
+    *
+    * The changefeed identity is `(key, _partition)` — multiset-diff
+    * semantics (see [[RankedRowChange]]): a partition move's delete and
+    * upsert come from two shards whose positions are not mutually
+    * ordered, so the old-partition delete must not be foldable over the
+    * new-partition upsert. Within one partition, emission positions are
+    * monotone (the state keeps a high-water mark), so per-identity
+    * `(ts_us, seq)` folding is safe.
+    *
+    * Ranks are exact under retraction, which requires the full live
+    * partition in state (a retraction can promote ANY member) — the
+    * same honest cost as exact top-k, but paid PER PARTITION on that
+    * partition's shard, so the view scales with the largest partition,
+    * not the table. `spark.graft.ranked.maxRowsPerGroup` (default 1e6)
+    * raises past the bound. Ordering: numeric when both values parse as
+    * numbers else lexicographic (the stringly-feed contract), SQL
+    * null-ordering defaults (ASC→NULLS FIRST, DESC→NULLS LAST), ties
+    * broken by change key for a deterministic `row_number`; `rank`/
+    * `dense_rank` tie on equal ORDER BY values, and a bound keeps
+    * ties (`rank() <= k` is top-k WITH ties, the SQL meaning).
+    */
+  private def compileRankedView(spark: SparkSession, inner: Project,
+      feeds: Map[String, Dataset[Change]],
+      bound: Option[Long],
+      outerNames: Option[Seq[String]]): PlannedView = {
+    val src   = compileSource(spark, inner.child, feeds)
+    val preds = src.filters.map(compileExpr)
+
+    val (winItems, plainItems) = inner.projectList.partition(_.exists {
+      case _: WindowExpression => true
+      case _                   => false
+    })
+    require(winItems.length == 1,
+      s"exactly one window-function select item per ranked view (got ${winItems.length})")
+    plainItems.foreach(ne => if (ne.isInstanceOf[UnresolvedStar])
+      throw unsupported("SELECT * alongside a window function (name the projected fields)"))
+    val (fn, spec) = coreOf(winItems.head) match {
+      case WindowExpression(f: UnresolvedFunction, s: WindowSpecDefinition) =>
+        val nm = f.nameParts.last.toLowerCase
+        require(RankFns(nm), s"window function $nm (row_number/rank/dense_rank only)")
+        require(f.arguments.isEmpty, s"$nm takes no arguments")
+        (nm, s)
+      case other => throw unsupported(s"window item ${other.sql}")
+    }
+    require(spec.orderSpec.nonEmpty, "ORDER BY is required in the window spec")
+    spec.frameSpecification match {
+      case UnspecifiedFrame => ()
+      case other            => throw unsupported(s"window frame ${other.sql} (ranking functions only)")
+    }
+    val rnName   = outName(winItems.head, "rn")
+    val partFs   = spec.partitionSpec.map { e =>
+      compileGroupSlot(e) match {
+        case ScalarSlot(f) => f
+        case _             => throw unsupported(s"PARTITION BY ${e.sql} (scalar expressions only)")
+      }
+    }
+    val sortFs       = spec.orderSpec.map(so => compileExpr(so.child))
+    val sortAsc      = spec.orderSpec.map(_.direction == Ascending)
+    val sortNullsFst = spec.orderSpec.map(_.nullOrdering == NullsFirst)
+    val cols: Seq[(String, Eval)] = plainItems.zipWithIndex.map { case (ne, i) =>
+      (outName(ne, s"col$i"), compileExpr(coreOf(ne)))
+    }
+    val names = cols.map(_._1)
+    require(!names.contains(rnName), s"duplicate output column $rnName")
+    outerNames.foreach(_.foreach(n => require((names :+ rnName).contains(n),
+      s"outer select column $n is not an output of the subquery")))
+
+    val extract: Change => Option[(String, Seq[String], Map[String, String])] = { c =>
+      val env = envOf(c)
+      if (!preds.forall(p => p(env).contains(true))) None
+      else Some((
+        partFs.map(f => f(env).map(String.valueOf(_)).getOrElse(NullMark)).mkString(Sep),
+        sortFs.map(f => f(env).map(String.valueOf(_)).getOrElse(NullMark)),
+        cols.flatMap { case (n, f) => f(env).map(v => n -> String.valueOf(v)) }.toMap))
+    }
+    val maxRows = spark.conf.get("spark.graft.ranked.maxRowsPerGroup", "1000000").toInt
+
+    implicit val contribEnc = Encoders.product[RankedContrib]
+    implicit val keyChEnc   = Encoders.product[RankedKeyChange]
+    implicit val stateEnc   = Encoders.product[RankedGroupState]
+    implicit val rowChEnc   = Encoders.product[RankedRowChange]
+    implicit val longEnc    = Encoders.scalaLong
+    implicit val stringEnc  = Encoders.STRING
+    val changes = src.changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(rankedKeyFold(extract))
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        rankFold(fn, sortAsc, sortNullsFst, bound, maxRows))
+      .toDF()
+
+    val projected: Seq[(String, org.apache.spark.sql.Column)] =
+      names.map(n => n -> element_at(col("proj"), n).as(n)) :+
+        (rnName -> when(col("op") === "delete", lit(null)).otherwise(col("rn")).as(rnName))
+    val keep = outerNames match {
+      case Some(ns) => ns.map(n => projected.find(_._1 == n).get._2)
+      case None     => projected.map(_._2)
+    }
+    // _partition rides along as part of the change identity: a partition
+    // move emits delete(old partition) + upsert(new partition) from two
+    // independent shards — consumers fold per (key, _partition)
+    val outExprs = col("op") +: col("key") +: col("group").as("_partition") +:
+      keep :+ col("ts_us") :+ col("seq")
+    PlannedView(changes.select(outExprs: _*), OutputMode.Append())
+  }
+
+  /** Stage-1 fold of a ranked view: LWW apply, then emit the key's net
+    * partition entry/exit/change — the [[rowFold]] contract extended
+    * with the partition key and ORDER BY values.
+    */
+  private def rankedKeyFold(extract: Change => Option[(String, Seq[String], Map[String, String])])(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[RankedContrib]): Iterator[RankedKeyChange] = {
+    val before = state.getOption
+    var cur    = before
+    changes.toSeq.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq)).foreach { c =>
+      val tsUs  = CdcMaterializer.micros(c.ts)
+      val stale = cur.exists(s => CdcMaterializer.isStale(s.tsUs, s.seq, tsUs, c.seq))
+      if (!stale) {
+        cur =
+          if (c.op == "delete") Some(RankedContrib("", Nil, Map.empty, tsUs, c.seq, live = false))
+          else extract(c) match {
+            case Some((g, sv, m)) => Some(RankedContrib(g, sv, m, tsUs, c.seq, live = true))
+            case None             => Some(RankedContrib("", Nil, Map.empty, tsUs, c.seq, live = false))
+          }
+      }
+    }
+    cur.filter(r => r.live || before.nonEmpty).foreach(state.update)
+    val (posTs, posSeq) = cur.map(r => (r.tsUs, r.seq)).getOrElse((0L, 0L))
+    val b = before.filter(_.live)
+    val a = cur.filter(_.live)
+    (b, a) match {
+      case (Some(x), Some(y)) if x.group == y.group && x.sortVals == y.sortVals && x.proj == y.proj =>
+        Iterator.empty
+      case (Some(x), Some(y)) if x.group == y.group =>
+        Iterator.single(RankedKeyChange(y.group, key, y.sortVals, y.proj, live = true, posTs, posSeq))
+      case (bo, ao) => // partition move, entry, or exit
+        bo.iterator.map(x => RankedKeyChange(x.group, key, Nil, Map.empty, live = false, posTs, posSeq)) ++
+          ao.iterator.map(y => RankedKeyChange(y.group, key, y.sortVals, y.proj, live = true, posTs, posSeq))
+    }
+  }
+
+  /** One ORDER BY column comparison in FINAL order: direction applied to
+    * values, null ordering NOT direction-flipped (SQL: NULLS FIRST means
+    * first, whatever the direction).
+    */
+  private def cmpSort(a: String, b: String, asc: Boolean, nullsFirst: Boolean): Int = {
+    val an = a == NullMark
+    val bn = b == NullMark
+    if (an && bn) 0
+    else if (an) { if (nullsFirst) -1 else 1 }
+    else if (bn) { if (nullsFirst) 1 else -1 }
+    else { val c = cmpVals(a, b); if (asc) c else -c }
+  }
+
+  /** Stage-2 fold of a ranked view: maintain the partition's live
+    * members, re-sort, re-rank, and emit the diff vs the rows last
+    * emitted. Cost O(live rows in the touched partition · log) per
+    * batch, paid only by touched partitions; each partition's state
+    * lives on exactly one shard, guarded by `maxRows`.
+    */
+  private def rankFold(fn: String, asc: Seq[Boolean], nullsFirst: Seq[Boolean],
+      bound: Option[Long], maxRows: Int)(
+      group: String,
+      changes: Iterator[RankedKeyChange],
+      state: GroupState[RankedGroupState]): Iterator[RankedRowChange] = {
+    val s0     = state.getOption.getOrElse(RankedGroupState(Map.empty, Map.empty))
+    // monotone per-partition position: max of the stored high-water mark
+    // and this batch's changes, so derived re-emissions never time-travel
+    var posTs  = s0.posTs
+    var posSeq = s0.posSeq
+    val after = changes.foldLeft(s0.contribs) { (m, c) =>
+      if (c.tsUs > posTs || (c.tsUs == posTs && c.seq > posSeq)) { posTs = c.tsUs; posSeq = c.seq }
+      if (c.live) m + (c.key -> RankedEntry(c.sortVals, c.proj)) else m - c.key
+    }
+    if (after == s0.contribs) Iterator.empty // batch net-cancelled
+    else {
+      require(after.size <= maxRows,
+        s"ranked view partition has ${after.size} live rows, over spark.graft.ranked.maxRowsPerGroup=" +
+          s"$maxRows — exact ranks under retraction hold the full live partition; prefilter with " +
+          "WHERE, partition finer, or raise the bound deliberately")
+      val ord: Ordering[(Long, RankedEntry)] = (x, y) => {
+        var i = 0
+        var c = 0
+        while (c == 0 && i < asc.length) {
+          val xv = if (i < x._2.sortVals.length) x._2.sortVals(i) else NullMark
+          val yv = if (i < y._2.sortVals.length) y._2.sortVals(i) else NullMark
+          c = cmpSort(xv, yv, asc(i), nullsFirst(i))
+          i += 1
+        }
+        if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+      }
+      val sorted = after.toSeq.sorted(ord)
+      val ranks  = new Array[Long](sorted.length)
+      var i = 0
+      while (i < sorted.length) {
+        val tied = i > 0 && sorted(i)._2.sortVals == sorted(i - 1)._2.sortVals
+        ranks(i) = fn match {
+          case "row_number"    => i + 1L
+          case "rank"          => if (tied) ranks(i - 1) else i + 1L
+          case "dense_rank"    => if (i == 0) 1L else if (tied) ranks(i - 1) else ranks(i - 1) + 1L
+        }
+        i += 1
+      }
+      val newEmit: Map[Long, RankedEmit] = sorted.iterator.zipWithIndex.collect {
+        case ((k, e), idx) if bound.forall(ranks(idx) <= _) => k -> RankedEmit(ranks(idx), e.proj)
+      }.toMap
+      val dead = (s0.emitted.keySet -- newEmit.keySet).iterator.map(k =>
+        RankedRowChange("delete", k, group, 0L, Map.empty, posTs, posSeq))
+      val lived = newEmit.iterator.collect {
+        case (k, e) if !s0.emitted.get(k).contains(e) =>
+          RankedRowChange("upsert", k, group, e.rn, e.proj, posTs, posSeq)
+      }
+      if (after.isEmpty && s0.emitted.isEmpty && newEmit.isEmpty) state.remove()
+      else state.update(RankedGroupState(after, newEmit, posTs, posSeq))
+      dead ++ lived
+    }
+  }
+
+  /** The outer `WHERE <rn> <= k` of a bounded ranked view: every
+    * conjunct must bound the window column (both orientations of
+    * `<=`/`<`); the tightest bound wins. Payload predicates belong in
+    * the subquery's own WHERE (where they prefilter stage-1 state too).
+    */
+  private def rankBoundOf(cond: Expression, rnName: String): Long = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    def litLong(e: Expression): Option[Long] = e match {
+      case l: Literal => litValue(l.value).flatMap(asNum).map(_.toLong)
+      case _          => None
+    }
+    val bounds = conjuncts(cond).map {
+      case LessThanOrEqual(l, r) if attrName(l).contains(rnName) && litLong(r).isDefined => litLong(r).get
+      case LessThan(l, r) if attrName(l).contains(rnName) && litLong(r).isDefined        => litLong(r).get - 1
+      case GreaterThanOrEqual(l, r) if attrName(r).contains(rnName) && litLong(l).isDefined => litLong(l).get
+      case GreaterThan(l, r) if attrName(r).contains(rnName) && litLong(l).isDefined     => litLong(l).get - 1
+      case other => throw unsupported(
+        s"outer predicate ${other.sql} over a ranked subquery ($rnName <= k bounds only; " +
+          "payload predicates belong in the subquery's WHERE)")
+    }
+    val k = bounds.min
+    require(k >= 1, s"rank bound $k must be >= 1")
+    k
+  }
+
+  // ------------------------------------------------------------------
   // Entry point
   // ------------------------------------------------------------------
 
@@ -1671,6 +2270,25 @@ object IncrementalPlanner {
             names.map(n => element_at(col("payload"), n).as(n)) :+
             expr("unix_micros(ts)").as("ts_us") :+ col("seq"): _*)
         PlannedView(df, OutputMode.Append())
+      // ranked views: a window function in the select list, optionally
+      // bounded by an outer WHERE rn <= k around the subquery (top-k
+      // per partition)
+      case p: Project if hasWindowItem(p) =>
+        compileRankedView(spark, p, feeds, bound = None, outerNames = None)
+      case Project(outer, Filter(cond, SubqueryAlias(_, inner: Project))) if hasWindowItem(inner) =>
+        val rnName = inner.projectList.collectFirst {
+          case ne if ne.exists { case _: WindowExpression => true; case _ => false } =>
+            outName(ne, "rn")
+        }.get
+        val names = outer match {
+          case Seq(_: UnresolvedStar) => None
+          case items => Some(items.map {
+            case a: UnresolvedAttribute => a.nameParts.last
+            case other => throw unsupported(
+              s"outer select item ${other.sql} over a ranked subquery (plain column names or *)")
+          })
+        }
+        compileRankedView(spark, inner, feeds, Some(rankBoundOf(cond, rnName)), names)
       case p: Project =>
         globalAgg(p) match {
           case Some(a) => compileAggregate(spark, a, feeds)

@@ -1679,4 +1679,213 @@ class IncrementalPlannerSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("join condition"))
   }
+
+  // ----------------------------------------------------------------
+  // #171an–ap: session-window views — the window class a per-row
+  // derived group key cannot express (sessions merge and split on any
+  // membership change)
+  // ----------------------------------------------------------------
+
+  private def minUs(m: Int): Long = m * 60000000L
+
+  /** Latest live emission per (group cols, session start) of a planned
+    * session view.
+    */
+  private def sessionState(table: String, groupCols: Seq[String], valCols: Seq[String]): Map[Seq[Any], Seq[Any]] =
+    spark.table(table).collect().toSeq
+      .groupBy(r => groupCols.map(c => r.getAs[Any](c)) :+ r.getAs[Any]("sw_start_us"))
+      .view.mapValues(_.last)
+      .collect { case (g, r) if r.getAs[Long]("_live_rows") > 0L => g -> valCols.map(c => r.getAs[Any](c)) }
+      .toMap
+
+  test("#171an planned SESSION-window view == Spark's own batch session_window; moves/deletes/NULLs retract") {
+    val sql = "SELECT user, session_window(ev, '10 minutes') AS sw, count(*) AS n, " +
+      "sum(v) AS total, min(v) AS mn, max(v) AS mx FROM f GROUP BY user, session_window(ev, '10 minutes')"
+    def ins(k: Long, user: String, evMin: Int, v: Option[String], seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("user" -> user, "ev" -> minUs(evMin).toString) ++ v.map("v" -> _), seq)
+    val b1 = Seq(
+      ins(1L, "a", 0, Some("3"), 1L),
+      ins(2L, "a", 4, Some("9"), 2L),
+      ins(3L, "a", 8, Some("1"), 3L),
+      ins(4L, "a", 30, Some("5"), 4L),
+      ins(5L, "a", 36, Some("2"), 5L),
+      ins(6L, "b", 5, Some("7"), 6L),
+      ins(7L, "b", 14, None, 7L), // NULL v: counts in n, excluded from sum/min/max
+    )
+    val b2 = Seq(
+      // key 2 moves 4→32 min (leaves session 1, lands inside [30,46)) and changes value
+      Change("update", 2L, ts(20), Map("user" -> "a", "ev" -> minUs(32).toString, "v" -> "11"), 8L),
+      // key 6 changes USER b→a (scalar group move; b's session shrinks to the NULL row)
+      Change("update", 6L, ts(21), Map("user" -> "a", "ev" -> minUs(5).toString, "v" -> "7"), 9L),
+      Change("delete", 5L, ts(22), Map.empty, 10L),
+    )
+    runView(sql, "pv_sess", Seq(Map("f" -> b1), Map("f" -> b2)))
+    val got = sessionState("pv_sess", Seq("user"), Seq("sw_end_us", "n", "total", "mn", "mx"))
+    // batch truth: Spark's OWN session_window over the final LWW state
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fs = finalState(b1 ++ b2)
+    val batch = fs.toSeq.map { case (k, p) =>
+      (k, p("user"), p("ev").toLong, p.get("v").map(_.toDouble))
+    }.toDF("key", "user", "ev_us", "v").withColumn("ev", timestamp_micros(col("ev_us")))
+    val want = batch.groupBy(col("user"), session_window(col("ev"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum("v").as("total"), min("v").as("mn"), max("v").as("mx"))
+      .collect().map { r =>
+        Seq[Any](r.getAs[String]("user"),
+          r.getAs[Row]("session_window").getAs[Timestamp]("start").getTime * 1000L) ->
+          Seq[Any](r.getAs[Row]("session_window").getAs[Timestamp]("end").getTime * 1000L,
+            r.getAs[Long]("n"), r.getAs[Any]("total"), r.getAs[Any]("mn"), r.getAs[Any]("mx"))
+      }.toMap
+    assert(got == want, s"session view\n  $got\n  != batch\n  $want")
+    // the group move is visible: b's surviving session is the lone NULL row
+    assert(got(Seq[Any]("b", minUs(14))) == Seq[Any](minUs(24), 1L, null, null, null))
+  }
+
+  test("#171ao sessions MERGE when a bridging row arrives and SPLIT when it deletes, with tombstones") {
+    val sql = "SELECT session_window(ev, '10 minutes') AS sw, count(*) AS n, sum(v) AS total " +
+      "FROM f GROUP BY session_window(ev, '10 minutes')"
+    def ins(k: Long, evMin: Int, v: Int, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("ev" -> minUs(evMin).toString, "v" -> v.toString), seq)
+    val b1 = Seq(ins(1L, 0, 1, 1L), ins(2L, 5, 2, 2L), ins(3L, 20, 4, 3L), ins(4L, 25, 8, 4L))
+    val b2 = Seq(ins(5L, 12, 16, 5L)) // bridges [0,15) and [20,35) into one [0,35)
+    val b3 = Seq(Change("delete", 5L, ts(9), Map.empty, 6L)) // split back
+    runView(sql, "pv_sess_ms", Seq(Map("f" -> b1), Map("f" -> b2), Map("f" -> b3)))
+    // final state: the two original sessions, bit-identical to before the bridge
+    val fin = sessionState("pv_sess_ms", Nil, Seq("sw_end_us", "n", "total"))
+    assert(fin == Map(
+      Seq[Any](minUs(0))  -> Seq[Any](minUs(15), 2L, 3.0),
+      Seq[Any](minUs(20)) -> Seq[Any](minUs(35), 2L, 12.0)), s"post-split state: $fin")
+    // emission history proves merge + split happened through tombstones:
+    // session 20min: live(n=2) → tombstone (merged away) → live(n=2)
+    val hist20 = spark.table("pv_sess_ms").collect().toSeq
+      .filter(_.getAs[Long]("sw_start_us") == minUs(20))
+      .map(r => (r.getAs[Long]("_live_rows"), r.getAs[Long]("n")))
+    assert(hist20 == Seq((2L, 2L), (0L, 0L), (2L, 2L)), s"session-20 history: $hist20")
+    // session 0min: [0,15) n=2 → merged [0,35) n=5 → [0,15) n=2
+    val hist0 = spark.table("pv_sess_ms").collect().toSeq
+      .filter(_.getAs[Long]("sw_start_us") == minUs(0))
+      .map(r => (r.getAs[Long]("sw_end_us"), r.getAs[Long]("n"), r.getAs[Double]("total")))
+    assert(hist0 == Seq((minUs(15), 2L, 3.0), (minUs(35), 5L, 31.0), (minUs(15), 2L, 3.0)),
+      s"session-0 history: $hist0")
+  }
+
+  // ----------------------------------------------------------------
+  // #171aq–as: ranked views — row_number()/rank()/dense_rank() OVER
+  // (PARTITION BY … ORDER BY …), optionally bounded by an outer
+  // WHERE rn <= k (top-k per partition, state sharded by partition)
+  // ----------------------------------------------------------------
+
+  /** Fold a ranked view's changefeed into final state: identity is
+    * (key, _partition) — the view's documented multiset-diff contract.
+    */
+  private def rankedState(table: String, cols: Seq[String]): Map[(Long, String), Seq[Any]] =
+    spark.table(table).collect().toSeq
+      .sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("seq")))
+      .foldLeft(Map.empty[(Long, String), Seq[Any]]) { (m, r) =>
+        val id = (r.getAs[Long]("key"), r.getAs[String]("_partition"))
+        if (r.getAs[String]("op") == "delete") m - id
+        else m + (id -> cols.map(c => r.getAs[Any](c)))
+      }
+
+  test("#171aq ranked view row_number() == batch recompute; sort moves, partition moves, deletes") {
+    val sql = "SELECT city, name, amount, row_number() OVER (PARTITION BY city ORDER BY amount DESC) AS rn " +
+      "FROM t WHERE amount > 1"
+    val b1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "name" -> "a", "amount" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "name" -> "b", "amount" -> "5"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "ber", "name" -> "c", "amount" -> "20"), 3L),
+      Change("insert", 4L, ts(3), Map("city" -> "par", "name" -> "d", "amount" -> "7"), 4L),
+      Change("insert", 5L, ts(4), Map("city" -> "par", "name" -> "e", "amount" -> "7"), 5L), // tie → key order
+      Change("insert", 6L, ts(5), Map("city" -> "par", "name" -> "f", "amount" -> "1"), 6L), // out of WHERE
+    )
+    val b2 = Seq(
+      Change("update", 2L, ts(10), Map("city" -> "ber", "name" -> "b", "amount" -> "30"), 7L), // climbs to #1
+      Change("update", 3L, ts(11), Map("city" -> "par", "name" -> "c", "amount" -> "20"), 8L), // partition move
+      Change("delete", 1L, ts(12), Map.empty, 9L),
+      Change("update", 2L, ts(9), Map("city" -> "ber", "name" -> "STALE", "amount" -> "0"), 0L), // stale-dropped
+    )
+    runView(sql, "pv_rank", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val byId = rankedState("pv_rank", Seq("city", "name", "amount", "rn"))
+    assert(byId.keySet.map(_._1).size == byId.size, s"a key is live in two partitions: ${byId.keySet}")
+    val got = byId.map { case ((k, _), v) => k -> v }
+    // batch truth: Spark's own window function over the final LWW state,
+    // with the view's documented deterministic tiebreak (change key asc)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fs = finalState(b1 ++ b2).filter { case (_, p) => p("amount").toDouble > 1 }
+    val df = fs.toSeq.map { case (k, p) => (k, p("city"), p("name"), p("amount")) }
+      .toDF("key", "city", "name", "amount")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("city").orderBy(col("amount").cast("double").desc, col("key").asc)
+    val want = df.withColumn("rn", row_number().over(w)).collect().map { r =>
+      r.getAs[Long]("key") -> Seq[Any](r.getAs[String]("city"), r.getAs[String]("name"),
+        r.getAs[String]("amount"), r.getAs[Int]("rn").toLong)
+    }.toMap
+    assert(got == want, s"ranked view\n  $got\n  != batch\n  $want")
+    // the par tie (d=7, e=7) resolved by change key: k4 before k5
+    assert(want(4L).last == 2L && want(5L).last == 3L)
+  }
+
+  test("#171ar bounded ranked views: deleting a leader PROMOTES past the cut; rank() keeps ties") {
+    val sql = "SELECT name, rn FROM (SELECT city, name, " +
+      "row_number() OVER (PARTITION BY city ORDER BY score DESC) AS rn FROM t) x WHERE rn <= 2"
+    def ins(k: Long, city: String, name: String, score: Int, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> city, "name" -> name, "score" -> score.toString), seq)
+    val b1 = Seq(ins(1L, "ber", "a", 50, 1L), ins(2L, "ber", "b", 40, 2L), ins(3L, "ber", "c", 30, 3L))
+    val b2 = Seq(Change("delete", 1L, ts(10), Map.empty, 4L))
+    runView(sql, "pv_rank_k", Seq(Map("t" -> b1), Map("t" -> b2)))
+    // before the delete, key 3 is OUTSIDE the cut (no emission); after,
+    // it promotes in at rn=2 and key 1 tombstones
+    assert(rankedState("pv_rank_k", Seq("name", "rn")) ==
+      Map((2L, "ber") -> Seq[Any]("b", 1L), (3L, "ber") -> Seq[Any]("c", 2L)))
+    val key3Ops = spark.table("pv_rank_k").collect().toSeq
+      .filter(_.getAs[Long]("key") == 3L).map(r => (r.getAs[String]("op"), r.getAs[Any]("rn")))
+    assert(key3Ops == Seq(("upsert", 2L)), s"key-3 history: $key3Ops")
+    assert(spark.table("pv_rank_k").collect().toSeq
+      .exists(r => r.getAs[String]("op") == "delete" && r.getAs[Long]("key") == 1L))
+
+    // rank(): equal sort values share a rank, and the bound keeps ties
+    val sql2 = "SELECT * FROM (SELECT name, rank() OVER (ORDER BY score DESC) AS r FROM t) x WHERE r <= 1"
+    val c1 = Seq(ins(1L, "x", "a", 50, 1L), ins(2L, "x", "b", 50, 2L), ins(3L, "x", "c", 40, 3L))
+    val c2 = Seq(Change("delete", 1L, ts(10), Map.empty, 4L))
+    runView(sql2, "pv_rank_ties", Seq(Map("t" -> c1), Map("t" -> c2)))
+    // final: b alone at rank 1 (c stays rank 2, outside the bound)
+    assert(rankedState("pv_rank_ties", Seq("name", "r")) == Map((2L, "") -> Seq[Any]("b", 1L)))
+    // while tied, BOTH a and b were live at rank 1
+    val live1 = spark.table("pv_rank_ties").collect().toSeq
+      .filter(r => r.getAs[String]("op") == "upsert" && r.getAs[Long]("r") == 1L)
+      .map(_.getAs[Long]("key")).toSet
+    assert(live1 == Set(1L, 2L), s"rank-1 upserts: $live1")
+  }
+
+  test("#171as dense_rank + ranked-view state guard raises past spark.graft.ranked.maxRowsPerGroup") {
+    val sql = "SELECT name, dense_rank() OVER (ORDER BY score DESC) AS dr FROM t"
+    def ins(k: Long, name: String, score: Int, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("name" -> name, "score" -> score.toString), seq)
+    val b1 = Seq(ins(1L, "a", 50, 1L), ins(2L, "b", 50, 2L), ins(3L, "c", 40, 3L))
+    runView(sql, "pv_dense", Seq(Map("t" -> b1)))
+    assert(rankedState("pv_dense", Seq("name", "dr")) ==
+      Map((1L, "") -> Seq[Any]("a", 1L), (2L, "") -> Seq[Any]("b", 1L), (3L, "") -> Seq[Any]("c", 2L)))
+
+    spark.conf.set("spark.graft.ranked.maxRowsPerGroup", "2")
+    try {
+      val e = intercept[Exception] { runView(sql, "pv_rank_guard", Seq(Map("t" -> b1))) }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("maxRowsPerGroup"), s"expected the guard's raise, got: $msgs")
+    } finally spark.conf.unset("spark.graft.ranked.maxRowsPerGroup")
+  }
+
+  test("#171ap session state guard raises past spark.graft.session.maxRowsPerGroup") {
+    spark.conf.set("spark.graft.session.maxRowsPerGroup", "3")
+    try {
+      val sql = "SELECT session_window(ev, '1 minute') AS sw, count(*) AS n FROM f GROUP BY session_window(ev, '1 minute')"
+      val feed = (1L to 4L).map(k =>
+        Change("insert", k, ts(k.toInt), Map("ev" -> minUs(k.toInt * 5).toString), k))
+      val e = intercept[Exception] { runView(sql, "pv_sess_guard", Seq(Map("f" -> feed))) }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("maxRowsPerGroup"), s"expected the guard's raise, got: $msgs")
+    } finally spark.conf.unset("spark.graft.session.maxRowsPerGroup")
+  }
 }
