@@ -513,12 +513,17 @@ object IncrementalPlanner {
         if (alias.isEmpty) Map.empty else p.map { case (k, v) => s"$alias.$k" -> v }
       def merged(lp: Map[String, String], rp: Map[String, String]): Map[String, String] =
         lp ++ rp ++ qual(lsrc._2, lp) ++ qual(rsrc._2, rp)
+      def rejectAggSide(shape: String): Unit =
+        if (isAggPlan(j.left) || isAggPlan(j.right)) throw unsupported(
+          s"$shape join of an aggregate subquery (its keys are group-identity hashes); " +
+            "join on the subquery's group columns instead (a.city = b.city)")
       val joined = cond match {
         // table ⋈ table on the shared change key — the #85 dataflow; an
         // outer join preserves its flagged side(s) (unmatched keys carry
         // no partner fields → their env lookups are SQL NULL)
         case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
             if l.nameParts.last == "key" && r.nameParts.last == "key" =>
+          rejectAggSide("key-equi")
           JoinView.materializeJoinType(lsrc._1, rsrc._1, pLeft, pRight).map { jc =>
             Change(if (jc.op == "delete") "delete" else "upsert", jc.key,
               tsOfMicros(jc.tsUs), merged(jc.l_payload, jc.r_payload), jc.seq)
@@ -533,6 +538,7 @@ object IncrementalPlanner {
         // rewrite hint instead of answered wrong.
         case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
             if l.nameParts.last != "key" && r.nameParts.last == "key" =>
+          rejectAggSide("FK")
           if (pRight) throw unsupported(
             s"${j.joinType} would preserve the dim side of <fact>.<fk> = <dim>.key; " +
               "the FK view is keyed by fact — for dims without facts, define a separate " +
@@ -542,13 +548,29 @@ object IncrementalPlanner {
           fkJoin(lsrc, rsrc, l.nameParts.mkString("."), factIsLeft = true, pLeft)
         case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
             if l.nameParts.last == "key" && r.nameParts.last != "key" =>
+          rejectAggSide("FK")
           if (pLeft) throw unsupported(
             s"${j.joinType} would preserve the dim side of <dim>.key = <fact>.<fk>; " +
               "the FK view is keyed by fact — put the fact on the preserved side " +
               "(<fact>.<fk> = <dim>.key LEFT JOIN, or keep RIGHT JOIN with the fact right)")
           fkJoin(rsrc, lsrc, r.nameParts.mkString("."), factIsLeft = false, pRight)
+        // the general VALUE-equi join — `<expr over a> = <expr over b>`
+        // where neither side is the change key: both feeds re-shard BY
+        // JOIN VALUE (the arrangement-class N:M join), all four ANSI
+        // types via the preserve flags. Also the ONLY join shape an
+        // aggregate subquery side supports (join on its group columns).
+        case EqualTo(e1, e2) =>
+          val (lExpr, rExpr) = assignJoinSides(e1, e2, lsrc._2, rsrc._2)
+          val maxRows = spark.conf.get("spark.graft.equijoin.maxRowsPerValue", "1000000").toInt
+          JoinView.materializeValueJoin(lsrc._1, rsrc._1,
+            joinValExtract(lExpr, lsrc._2), joinValExtract(rExpr, rsrc._2),
+            pLeft, pRight, maxRows).map { jc =>
+            Change(if (jc.op == "delete") "delete" else "upsert", jc.key,
+              tsOfMicros(jc.tsUs), merged(jc.l_payload, jc.r_payload), jc.seq)
+          }
         case other => throw unsupported(
-          s"join condition ${other.sql} (supported: <a>.key = <b>.key, or <fact>.<fkField> = <dim>.key)")
+          s"join condition ${other.sql} (supported: <a>.key = <b>.key, <fact>.<fkField> = <dim>.key, " +
+            "or <expr over a> = <expr over b> value-equi)")
       }
       Source(joined, Nil)
     case other => throw unsupported(s"plan node ${other.getClass.getSimpleName}")
@@ -899,6 +921,45 @@ object IncrementalPlanner {
     }
   }
 
+  /** Decide which side of `e1 = e2` reads which feed of a VALUE-equi
+    * join, by the alias qualifiers the expressions carry: an expression
+    * qualifying any attribute with the left feed's alias is the left
+    * expression (and symmetrically), either orientation. Unqualified
+    * (or cross-qualified) conditions are rejected with the fix — this
+    * is a parse-time planner with no schema to resolve bare names
+    * against, so the qualification IS the binding.
+    */
+  private def assignJoinSides(e1: Expression, e2: Expression,
+      lAlias: String, rAlias: String): (Expression, Expression) = {
+    def quals(e: Expression): Set[String] = e.collect {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 => a.nameParts.head
+    }.toSet
+    val (q1, q2) = (quals(e1), quals(e2))
+    require(lAlias.nonEmpty && rAlias.nonEmpty,
+      "value-equi join sides must be named feeds or aliased subqueries " +
+        "(qualify the join columns: a.city = b.city)")
+    if (q1.contains(lAlias) && !q1.contains(rAlias) && q2.contains(rAlias) && !q2.contains(lAlias))
+      (e1, e2)
+    else if (q1.contains(rAlias) && !q1.contains(lAlias) && q2.contains(lAlias) && !q2.contains(rAlias))
+      (e2, e1)
+    else throw unsupported(
+      s"value-equi join condition ${e1.sql} = ${e2.sql}: each side must qualify its own feed's " +
+        s"columns (one side $lAlias.*, the other $rAlias.*)")
+  }
+
+  /** Compile one side's join-value expression to a `Change => value`
+    * closure over that feed's alias-qualified environment (None = SQL
+    * NULL, which never matches).
+    */
+  private def joinValExtract(e: Expression, alias: String): Change => Option[String] = {
+    val f = compileExpr(e)
+    (c: Change) => {
+      val env0 = envOf(c)
+      val env  = env0 ++ env0.map { case (k, v) => (s"$alias.$k", v) }
+      f(env).map(String.valueOf)
+    }
+  }
+
   /** A join side: a bare (possibly aliased) feed, or ANOTHER JOIN —
     * `a JOIN b ... JOIN c ...` parses left-deep, so compiling the inner
     * join to its changefeed and feeding it to the outer hop layers
@@ -919,13 +980,32 @@ object IncrementalPlanner {
     case j: Join => (compileSource(spark, j, feeds).changes, "")
     // a derived ROW view as a join side — `JOIN (SELECT … WHERE …) d ON
     // …`: keeps its source keys, so both join shapes apply unchanged.
-    // An AGGREGATE subquery is rejected here: its changefeed is keyed
-    // by the group-identity hash, which no other feed's key or fk field
-    // meaningfully equals — materialize it as its own view and join on
-    // a re-keyed copy instead of silently joining hash garbage.
     case p: Project if globalAgg(p).isEmpty => (rowChangesOf(spark, p, feeds)._1, "")
+    // an AGGREGATE-class subquery as a join side: its changefeed is
+    // keyed by the group-identity hash, so it only joins through the
+    // VALUE-equi shape (join on its GROUP COLUMNS — `a.city = b.city`);
+    // the key/fk-shaped conditions reject it (see [[isAggPlan]] guards)
+    // instead of silently joining hash garbage.
+    case a: Aggregate => (aggChangesOf(spark, a, feeds)._1, "")
+    case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+      (aggChangesOf(spark, h, feeds)._1, "")
+    case Distinct(p: Project) =>
+      (aggChangesOf(spark, Aggregate(p.projectList, p.projectList, p.child), feeds)._1, "")
     case other => throw unsupported(
-      s"join input ${other.getClass.getSimpleName} (feeds, nested joins, and non-aggregate derived tables join)")
+      s"join input ${other.getClass.getSimpleName} (feeds, nested joins, and derived tables join)")
+  }
+
+  /** Is this join side an aggregate-class subquery (changefeed keyed by
+    * the group-identity hash rather than a source row key)? Such sides
+    * join only through the value-equi shape.
+    */
+  private def isAggPlan(plan: LogicalPlan): Boolean = plan match {
+    case sa: SubqueryAlias => isAggPlan(sa.child)
+    case _: Aggregate      => true
+    case _: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => true
+    case _: Distinct       => true
+    case p: Project        => globalAgg(p).isDefined
+    case _                 => false
   }
 
   /** Merge qualified copies of every payload field into the payload so

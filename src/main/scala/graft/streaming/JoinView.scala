@@ -298,4 +298,213 @@ object JoinView {
       .groupByKey(_.fk)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(foldFkGroup(leftOuter))
   }
+
+  // ---------------------------------------------------------------------
+  // VALUE-equi incremental join (SURVEY.md §2.3 #200) — `a.x = b.y` where
+  // NEITHER side is keyed by the join expression: the general N:M shape
+  // [[materializeJoin]] (shared key values) and [[materializeFkJoin]]
+  // (fk → unique dim key) cannot express. This is the arrangement-class
+  // join of the Materialize/differential-dataflow engines: both feeds are
+  // re-sharded ("arranged") BY JOIN VALUE, and each value's bucket holds
+  // the live rows of both sides and maintains their cross product
+  // incrementally.
+  //
+  //   stage 1 (per change key, per side): LWW-fold the side's row,
+  //     compute its CURRENT join value, and emit bucket entry/exit/change
+  //     events — a value move exits the old bucket and enters the new;
+  //   stage 2 (per join value): apply both sides' events in (ts, seq)
+  //     order and emit the joined changefeed's diff directly from the
+  //     transition: a row arriving against k partners emits k pair
+  //     upserts, its delete emits k pair deletes, a payload change
+  //     re-emits its pairs; under a preserve flag (outer joins) an
+  //     UNMATCHED row is visible as a SOLO row (partner payload empty →
+  //     SQL NULL downstream), the first partner's arrival deletes the
+  //     solos, and the last partner's exit resurrects them.
+  //
+  // Change identity is content-addressed — fnv64 of (side, keys, bucket)
+  // — so a value move's delete (old bucket's shard) and upsert (new
+  // bucket's shard) target DIFFERENT identities and commute; within one
+  // bucket emissions are stamped with a monotone high-water position, so
+  // per-identity (ts, seq) folding is safe. SQL NULL join values never
+  // match: non-preserved NULL rows die in stage 1 (no state, no
+  // shuffle); preserved ones route to key-salted null buckets (solos
+  // are embarrassingly parallel — no single NULL hot shard).
+  //
+  // Scale: state shards by join value; the honest cost is a HOT VALUE
+  // (one bucket holds every row carrying that value, and its cross
+  // product is quadratic) — `maxRowsPerValue` raises past the bound
+  // instead of letting one shard OOM at 100 TB. Join values with
+  // bounded multiplicity (the common FK-like case) cost O(Δ × partners)
+  // per batch, paid only by touched buckets.
+  // ---------------------------------------------------------------------
+
+  /** Stage-1 state of one side of a value-equi join (one per change
+    * key): the row's current bucket (join value), payload, LWW position.
+    */
+  case class ValSideState(bucket: String, payload: Map[String, String],
+      tsUs: Long, seq: Long, live: Boolean)
+
+  /** Stage-1 → stage-2 wire: one key entering/leaving/changing within
+    * one join-value bucket.
+    */
+  case class ValEvent(bucket: String, leftSide: Boolean, key: Long,
+      payload: Map[String, String], live: Boolean, tsUs: Long, seq: Long)
+
+  /** Per-bucket state: live rows of both sides + the bucket's emission
+    * high-water mark (derived re-emissions must never time-travel).
+    */
+  case class ValBucketState(lrows: Map[Long, Map[String, String]],
+      rrows: Map[Long, Map[String, String]], posTs: Long, posSeq: Long)
+
+  /** Reserved bucket prefix for preserved rows whose join value is SQL
+    * NULL (never matches; salted by key so solos spread across shards).
+    */
+  private val NullBucket = " N "
+  private val NullSalt   = 64L
+
+  /** FNV-1a 64-bit (public-domain spec), the content address of pair and
+    * solo identities.
+    */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def valSide(leftSide: Boolean, joinValOf: Change => Option[String], preserved: Boolean)(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[ValSideState]): Iterator[ValEvent] = {
+    val before = state.getOption
+    var cur    = before
+    changes.toSeq.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq)).foreach { c =>
+      val tsUs  = CdcMaterializer.micros(c.ts)
+      val stale = cur.exists(s => CdcMaterializer.isStale(s.tsUs, s.seq, tsUs, c.seq))
+      if (!stale) {
+        cur =
+          if (c.op == "delete") Some(ValSideState("", Map.empty, tsUs, c.seq, live = false))
+          else joinValOf(c) match {
+            case Some(v)            => Some(ValSideState(v, c.payload, tsUs, c.seq, live = true))
+            case None if preserved  => // NULL join value, outer-preserved: solo-only salted bucket
+              Some(ValSideState(NullBucket + (key % NullSalt), c.payload, tsUs, c.seq, live = true))
+            case None               => Some(ValSideState("", Map.empty, tsUs, c.seq, live = false))
+          }
+      }
+    }
+    cur.filter(r => r.live || before.nonEmpty).foreach(state.update)
+    val (posTs, posSeq) = cur.map(r => (r.tsUs, r.seq)).getOrElse((0L, 0L))
+    val b = before.filter(_.live)
+    val a = cur.filter(_.live)
+    (b, a) match {
+      case (Some(x), Some(y)) if x.bucket == y.bucket && x.payload == y.payload => Iterator.empty
+      case (Some(x), Some(y)) if x.bucket == y.bucket =>
+        Iterator.single(ValEvent(y.bucket, leftSide, key, y.payload, live = true, posTs, posSeq))
+      case (bo, ao) => // bucket move, entry, or exit
+        bo.iterator.map(x => ValEvent(x.bucket, leftSide, key, Map.empty, live = false, posTs, posSeq)) ++
+          ao.iterator.map(y => ValEvent(y.bucket, leftSide, key, y.payload, live = true, posTs, posSeq))
+    }
+  }
+
+  private def valBucket(preserveLeft: Boolean, preserveRight: Boolean, maxRows: Int)(
+      bucket: String,
+      changes: Iterator[ValEvent],
+      state: GroupState[ValBucketState]): Iterator[JoinedChange] = {
+    val isNull = bucket.startsWith(NullBucket)
+    val s0     = state.getOption.getOrElse(ValBucketState(Map.empty, Map.empty, 0L, 0L))
+    var lrows  = s0.lrows
+    var rrows  = s0.rrows
+    var posTs  = s0.posTs
+    var posSeq = s0.posSeq
+    val out    = scala.collection.mutable.ArrayBuffer.empty[JoinedChange]
+    val S = "\u0001" // identity separator (cannot appear in a Long's decimal form)
+    def pairKey(lk: Long, rk: Long) = fnv64("P" + S + lk + S + rk + S + bucket)
+    def soloKey(left: Boolean, k: Long) = fnv64((if (left) "L" else "R") + S + k + S + bucket)
+    def solo(op: String, left: Boolean, k: Long, p: Map[String, String]): JoinedChange =
+      JoinedChange(op, soloKey(left, k),
+        if (left) p else Map.empty, if (left) Map.empty else p, posTs, posSeq)
+    def pair(op: String, meLeft: Boolean, myK: Long, myP: Map[String, String],
+        otherK: Long, otherP: Map[String, String]): JoinedChange =
+      if (meLeft) JoinedChange(op, pairKey(myK, otherK), myP, otherP, posTs, posSeq)
+      else JoinedChange(op, pairKey(otherK, myK), otherP, myP, posTs, posSeq)
+
+    changes.toSeq.sortBy(c => (c.tsUs, c.seq)).foreach { c =>
+      if (c.tsUs > posTs || (c.tsUs == posTs && c.seq > posSeq)) { posTs = c.tsUs; posSeq = c.seq }
+      val meLeft        = c.leftSide
+      val mine          = if (meLeft) lrows else rrows
+      val other         = if (meLeft) rrows else lrows
+      val preserveMine  = if (meLeft) preserveLeft else preserveRight
+      val preserveOther = if (meLeft) preserveRight else preserveLeft
+      val before        = mine.get(c.key)
+      if (c.live) {
+        if (!before.contains(c.payload)) { // identical re-send is a no-op
+          val firstOfMine = mine.isEmpty
+          val updated     = mine + (c.key -> c.payload)
+          if (meLeft) lrows = updated else rrows = updated
+          if (isNull || other.isEmpty) {
+            if (preserveMine) out += solo("upsert", meLeft, c.key, c.payload)
+          } else {
+            // my side's first arrival unmatches nobody of mine, but it
+            // MATCHES the other side: their solos (if preserved) die now
+            if (firstOfMine && preserveOther)
+              other.foreach { case (ok, op) => out += solo("delete", !meLeft, ok, op) }
+            other.foreach { case (ok, op) => out += pair("upsert", meLeft, c.key, c.payload, ok, op) }
+          }
+        }
+      } else {
+        before.foreach { _ =>
+          val updated = mine - c.key
+          if (meLeft) lrows = updated else rrows = updated
+          if (isNull || other.isEmpty) {
+            if (preserveMine) out += solo("delete", meLeft, c.key, Map.empty)
+          } else {
+            other.foreach { case (ok, _) => out += pair("delete", meLeft, c.key, Map.empty, ok, Map.empty) }
+            // last of my side gone: the other side is unmatched again
+            if (updated.isEmpty && preserveOther)
+              other.foreach { case (ok, op) => out += solo("upsert", !meLeft, ok, op) }
+          }
+        }
+      }
+    }
+    require(lrows.size + rrows.size <= maxRows,
+      s"value-join bucket holds ${lrows.size + rrows.size} live rows, over maxRowsPerValue=$maxRows — " +
+        "a hot join value arranges every row carrying it on one shard with a quadratic cross " +
+        "product; prefilter the hot value, join on a higher-cardinality expression, or raise " +
+        "the bound deliberately")
+    // state persists even when emptied: the high-water mark must survive
+    // so a repopulated bucket cannot emit positions older than its own
+    // past deletes
+    state.update(ValBucketState(lrows, rrows, posTs, posSeq))
+    out.iterator
+  }
+
+  /** The value-equi join of two changefeeds (see the section comment):
+    * emits the joined view's changefeed with content-addressed change
+    * identities. `leftVal`/`rightVal` compute a side's join value from
+    * its change (None = SQL NULL, never matches). Preserve flags give
+    * the four ANSI join types, as in [[materializeJoinType]].
+    */
+  def materializeValueJoin(left: Dataset[Change], right: Dataset[Change],
+      leftVal: Change => Option[String], rightVal: Change => Option[String],
+      preserveLeft: Boolean = false, preserveRight: Boolean = false,
+      maxRowsPerValue: Int = 1000000): Dataset[JoinedChange] = {
+    implicit val sideStateEnc = Encoders.product[ValSideState]
+    implicit val eventEnc     = Encoders.product[ValEvent]
+    implicit val bucketEnc    = Encoders.product[ValBucketState]
+    implicit val joinedEnc    = Encoders.product[JoinedChange]
+    implicit val longEnc      = Encoders.scalaLong
+    implicit val stringEnc    = Encoders.STRING
+    val lEvents = left
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        valSide(leftSide = true, leftVal, preserveLeft))
+    val rEvents = right
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        valSide(leftSide = false, rightVal, preserveRight))
+    lEvents.union(rEvents)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        valBucket(preserveLeft, preserveRight, maxRowsPerValue))
+  }
 }

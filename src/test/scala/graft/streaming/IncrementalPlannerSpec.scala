@@ -1673,9 +1673,11 @@ class IncrementalPlannerSpec extends SparkSpec {
       IncrementalPlanner.materialize(spark, "SELECT city, median(amount) AS s FROM activity GROUP BY city", feeds)
     }
     assert(e1.getMessage.contains("median"))
+    // non-equi join predicates stay outside the subset (value-EQUI
+    // `l.name = r.city` compiles since r7 — see #171at)
     val e2 = intercept[IllegalArgumentException] {
       IncrementalPlanner.materialize(
-        spark, "SELECT l.name FROM users l JOIN activity r ON l.name = r.city", feeds + ("users" -> feeds("activity")))
+        spark, "SELECT l.name FROM users l JOIN activity r ON l.name < r.city", feeds + ("users" -> feeds("activity")))
     }
     assert(e2.getMessage.contains("join condition"))
   }
@@ -1874,6 +1876,102 @@ class IncrementalPlannerSpec extends SparkSpec {
         .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
       assert(msgs.contains("maxRowsPerGroup"), s"expected the guard's raise, got: $msgs")
     } finally spark.conf.unset("spark.graft.ranked.maxRowsPerGroup")
+  }
+
+  // ----------------------------------------------------------------
+  // #171at–av: VALUE-equi joins — a.x = b.y where neither side is the
+  // change key (the arrangement-class N:M join, sharded by join value)
+  // ----------------------------------------------------------------
+
+  /** Live row multiset of a planned view's changefeed (opaque keys). */
+  private def rowBag(table: String, cols: Seq[String]): Seq[Seq[Any]] =
+    rowState(table, cols).values.toSeq.sortBy(_.mkString("|"))
+
+  test("#171at inner VALUE-equi join == batch recompute: N:M pairs, value moves, payload fan-out, deletes") {
+    val sql = "SELECT l.name AS name, r.tag AS tag FROM t1 l JOIN t2 r ON l.city = r.city"
+    val b1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "name" -> "a"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "name" -> "b"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "par", "name" -> "c"), 3L))
+    val c1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "tag" -> "x"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "tag" -> "y"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "rom", "tag" -> "z"), 3L))
+    val b2 = Seq(
+      Change("update", 3L, ts(10), Map("city" -> "ber", "name" -> "c2"), 4L), // value move par→ber
+      Change("delete", 1L, ts(11), Map.empty, 5L))
+    val c2 = Seq(
+      Change("update", 2L, ts(12), Map("city" -> "ber", "tag" -> "y2"), 4L)) // payload fan-out to all partners
+    runView(sql, "pv_vjoin",
+      Seq(Map("t1" -> b1, "t2" -> c1), Map("t1" -> b2, "t2" -> c2)))
+    val got = rowBag("pv_vjoin", Seq("name", "tag"))
+    // batch truth: SQL inner join over the final LWW states
+    import spark.implicits._
+    val lDf = finalState(b1 ++ b2).toSeq.map { case (_, p) => (p("city"), p("name")) }.toDF("city", "name")
+    val rDf = finalState(c1 ++ c2).toSeq.map { case (_, p) => (p("city"), p("tag")) }.toDF("city", "tag")
+    val want = lDf.join(rDf, "city").select("name", "tag").collect()
+      .map(r => Seq[Any](r.getString(0), r.getString(1))).toSeq.sortBy(_.mkString("|"))
+    assert(got == want, s"value join\n  $got\n  != batch\n  $want")
+    assert(got.size == 4) // {b,c2} × {x,y2}
+  }
+
+  test("#171au LEFT value-equi join: solos while unmatched, partner arrival kills them, partner loss resurrects; NULL never matches") {
+    val sql = "SELECT l.name AS name, r.tag AS tag FROM t1 l LEFT JOIN t2 r ON l.city = r.city"
+    val b1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "name" -> "a"), 1L),
+      Change("insert", 2L, ts(1), Map("name" -> "nocity"), 2L)) // NULL join value: preserved, never matches
+    val c1 = Seq.empty[Change]
+    val c2 = Seq(Change("insert", 1L, ts(10), Map("city" -> "ber", "tag" -> "x"), 1L))
+    val c3 = Seq(Change("delete", 1L, ts(20), Map.empty, 2L))
+    runView(sql, "pv_vleft", Seq(Map("t1" -> b1, "t2" -> c1), Map("t2" -> c2), Map("t2" -> c3)))
+    // final: partner deleted again → both rows are solos (tag NULL)
+    assert(rowBag("pv_vleft", Seq("name", "tag")) ==
+      Seq(Seq[Any]("a", null), Seq[Any]("nocity", null)))
+    // a's history: solo → paired (solo deleted) → solo again
+    val aOps = spark.table("pv_vleft").collect().toSeq
+      .sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("seq")))
+      .filter(r => r.getAs[String]("op") == "upsert" && r.getAs[String]("name") == "a")
+      .map(r => Option(r.getAs[String]("tag")))
+    assert(aOps == Seq(None, Some("x"), None), s"a's visible history: $aOps")
+    // nocity never paired
+    val noc = spark.table("pv_vleft").collect().toSeq
+      .filter(r => r.getAs[String]("name") == "nocity").map(r => Option(r.getAs[String]("tag"))).distinct
+    assert(noc == Seq(None))
+  }
+
+  test("#171av joining AGGREGATE subqueries on group columns; key-join of one rejected; guards") {
+    val sql = "SELECT a.city AS city, a.total AS total, b.n AS n FROM " +
+      "(SELECT city, sum(amount) AS total FROM t1 GROUP BY city) a JOIN " +
+      "(SELECT city, count(*) AS n FROM t2 GROUP BY city) b ON a.city = b.city"
+    val b1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "5"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "par", "amount" -> "7"), 3L))
+    val c1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber"), 2L))
+    val b2 = Seq(Change("delete", 2L, ts(10), Map.empty, 4L)) // ber total 15→10
+    runView(sql, "pv_vagg", Seq(Map("t1" -> b1, "t2" -> c1), Map("t1" -> b2)))
+    // par has no t2 partner (inner join drops it); ber re-emitted at total=10
+    assert(rowBag("pv_vagg", Seq("city", "total", "n")) ==
+      Seq(Seq[Any]("ber", "10.0", "2")))
+
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feeds = Map("t1" -> MemoryStream[Change].toDS(), "t2" -> MemoryStream[Change].toDS())
+    // key-shaped join of an aggregate subquery rejected (group-hash keys)
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT a.city AS city FROM (SELECT city, count(*) AS n FROM t1 GROUP BY city) a " +
+          "JOIN t2 b ON a.key = b.key", feeds)
+    }
+    assert(e1.getMessage.contains("group-identity hashes"), e1.getMessage)
+    // unqualified value-join condition rejected with the fix
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT l.name AS name FROM t1 l JOIN t2 r ON city = r.city", feeds)
+    }
+    assert(e2.getMessage.contains("qualify"), e2.getMessage)
   }
 
   test("#171ap session state guard raises past spark.graft.session.maxRowsPerGroup") {
