@@ -131,13 +131,18 @@ case class RankedRowChange(op: String, key: Long, group: String, rn: Long,
     proj: Map[String, String], ts_us: Long, seq: Long)
 
 /** The generic changefeed-of-a-query planner (the r5 verdict's #1 gap):
-  * `materialize(sql)` compiles the SPJA subset of SQL — filter, project,
-  * two-feed equi-join on the change key, grouped aggregation with
-  * count/sum/avg/min/max — into the retraction-capable incremental dataflows
-  * this package already maintains by hand ([[IncrementalView]] for
-  * grouped aggregates, [[JoinView]] for table⋈table), so a user writes
-  * the VIEW as SQL and gets its continuously-maintained changefeed
-  * without hand-assembling folds. This is the `query.changes()`
+  * `materialize(sql)` compiles a broad SQL subset — filter, project,
+  * joins (key-equi, FK-shaped, and general VALUE-equi incl. composite
+  * `AND` conditions with inner-join non-equi residuals; all four ANSI
+  * types), grouped aggregation (count/sum/avg/min/max/stddev/variance,
+  * DISTINCT forms, tumbling/sliding/session windows), set operations,
+  * derived tables, scalar/IN/EXISTS subqueries (correlated equi forms
+  * included), ranked window functions, HAVING, and ORDER BY..LIMIT —
+  * into the retraction-capable incremental dataflows this package
+  * already maintains by hand ([[IncrementalView]] for grouped
+  * aggregates, [[JoinView]] for the join shapes), so a user writes the
+  * VIEW as SQL and gets its continuously-maintained changefeed without
+  * hand-assembling folds. This is the `query.changes()`
   * abstraction of the RethinkDB/Materialize engine class, built
   * Spark-first: the SQL is parsed by Spark's own Catalyst parser and
   * the plan pattern-matched into `flatMapGroupsWithState` stages.
@@ -517,7 +522,19 @@ object IncrementalPlanner {
         if (isAggPlan(j.left) || isAggPlan(j.right)) throw unsupported(
           s"$shape join of an aggregate subquery (its keys are group-identity hashes); " +
             "join on the subquery's group columns instead (a.city = b.city)")
-      val joined = cond match {
+      // the composite VALUE-equi dataflow: one arrangement on the
+      // Sep-joined tuple of equality values (SQL semantics fall out: a
+      // NULL in ANY equality operand → no tuple → never matches)
+      def valueJoin(pairs: Seq[(Expression, Expression)]): Dataset[Change] = {
+        val maxRows = spark.conf.get("spark.graft.equijoin.maxRowsPerValue", "1000000").toInt
+        JoinView.materializeValueJoin(lsrc._1, rsrc._1,
+          joinValExtract(pairs.map(_._1), lsrc._2), joinValExtract(pairs.map(_._2), rsrc._2),
+          pLeft, pRight, maxRows).map { jc =>
+          Change(if (jc.op == "delete") "delete" else "upsert", jc.key,
+            tsOfMicros(jc.tsUs), merged(jc.l_payload, jc.r_payload), jc.seq)
+        }
+      }
+      def singleCond(c0: Expression): Dataset[Change] = c0 match {
         // table ⋈ table on the shared change key — the #85 dataflow; an
         // outer join preserves its flagged side(s) (unmatched keys carry
         // no partner fields → their env lookups are SQL NULL)
@@ -560,17 +577,56 @@ object IncrementalPlanner {
         // types via the preserve flags. Also the ONLY join shape an
         // aggregate subquery side supports (join on its group columns).
         case EqualTo(e1, e2) =>
-          val (lExpr, rExpr) = assignJoinSides(e1, e2, lsrc._2, rsrc._2)
-          val maxRows = spark.conf.get("spark.graft.equijoin.maxRowsPerValue", "1000000").toInt
-          JoinView.materializeValueJoin(lsrc._1, rsrc._1,
-            joinValExtract(lExpr, lsrc._2), joinValExtract(rExpr, rsrc._2),
-            pLeft, pRight, maxRows).map { jc =>
-            Change(if (jc.op == "delete") "delete" else "upsert", jc.key,
-              tsOfMicros(jc.tsUs), merged(jc.l_payload, jc.r_payload), jc.seq)
-          }
+          valueJoin(Seq(assignJoinSides(e1, e2, lsrc._2, rsrc._2)))
         case other => throw unsupported(
           s"join condition ${other.sql} (supported: <a>.key = <b>.key, <fact>.<fkField> = <dim>.key, " +
             "or <expr over a> = <expr over b> value-equi)")
+      }
+      def splitAnd(e: Expression): Seq[Expression] = e match {
+        case And(a, b) => splitAnd(a) ++ splitAnd(b)
+        case o         => Seq(o)
+      }
+      val joined = splitAnd(cond) match {
+        case Seq(single) => singleCond(single)
+        // multi-conjunct ON: all equalities arrange ONE composite value
+        // (a.x = b.x AND a.y = b.y shards by the (x, y) tuple); non-equi
+        // conjuncts post-filter pairs — INNER joins only, because an
+        // outer join's residual decides MATCH STATUS (a residual-failed
+        // pair must resurrect the preserved side's solo, which a
+        // post-filter cannot see)
+        case conj =>
+          val (equis, residual) = conj.partition(_.isInstanceOf[EqualTo])
+          val keyish = equis.exists {
+            case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+              l.nameParts.last == "key" || r.nameParts.last == "key"
+            case _ => false
+          }
+          if (keyish) throw unsupported(
+            "multi-conjunct ON with a key/fk-shaped equality — join on the key/fk condition " +
+              "alone and move the remaining predicates to WHERE")
+          if (equis.isEmpty) throw unsupported(
+            s"join condition ${cond.sql} has no equality conjunct (pure non-equi joins are " +
+              "outside the subset)")
+          if (residual.nonEmpty && (pLeft || pRight)) throw unsupported(
+            "non-equi ON residual with an OUTER join (the residual decides match status, not " +
+              "row visibility; rewrite as an inner join plus WHERE, or prefilter the other side)")
+          val base = valueJoin(equis.map { case EqualTo(a, b) => assignJoinSides(a, b, lsrc._2, rsrc._2) })
+          if (residual.isEmpty) base
+          else {
+            // a pair failing the residual is NOT in the view: its upsert
+            // becomes a (possibly redundant, idempotent) delete of the
+            // same pair identity
+            val resPreds = residual.map(compileExpr)
+            implicit val changeEnc = Encoders.product[Change]
+            base.map { ch =>
+              if (ch.op == "delete") ch
+              else {
+                val env = envOf(ch)
+                if (resPreds.forall(p => p(env).contains(true))) ch
+                else ch.copy(op = "delete", payload = Map.empty)
+              }
+            }
+          }
       }
       Source(joined, Nil)
     case other => throw unsupported(s"plan node ${other.getClass.getSimpleName}")
@@ -947,16 +1003,19 @@ object IncrementalPlanner {
         s"columns (one side $lAlias.*, the other $rAlias.*)")
   }
 
-  /** Compile one side's join-value expression to a `Change => value`
-    * closure over that feed's alias-qualified environment (None = SQL
-    * NULL, which never matches).
+  /** Compile one side's join-value expression tuple to a
+    * `Change => value` closure over that feed's alias-qualified
+    * environment. None = SQL NULL in ANY component, which never matches
+    * (composite equality is an AND of equalities).
     */
-  private def joinValExtract(e: Expression, alias: String): Change => Option[String] = {
-    val f = compileExpr(e)
+  private def joinValExtract(es: Seq[Expression], alias: String): Change => Option[String] = {
+    val fs = es.map(compileExpr)
     (c: Change) => {
       val env0 = envOf(c)
       val env  = env0 ++ env0.map { case (k, v) => (s"$alias.$k", v) }
-      f(env).map(String.valueOf)
+      val vs   = fs.map(f => f(env))
+      if (vs.exists(_.isEmpty)) None
+      else Some(vs.map(v => String.valueOf(v.get)).mkString(Sep))
     }
   }
 

@@ -1974,6 +1974,41 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(e2.getMessage.contains("qualify"), e2.getMessage)
   }
 
+  test("#171aw composite ON (two equalities) + non-equi residual: tuple arrangement, NULL component never matches") {
+    val sql = "SELECT l.name AS name, r.tag AS tag FROM t1 l JOIN t2 r " +
+      "ON l.city = r.city AND l.grp = r.grp AND l.v < r.w"
+    val b1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "grp" -> "g1", "name" -> "a", "v" -> "5"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "grp" -> "g2", "name" -> "b", "v" -> "5"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "ber", "name" -> "nogrp", "v" -> "5"), 3L)) // NULL grp: never matches
+    val c1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "grp" -> "g1", "tag" -> "hi", "w" -> "9"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "grp" -> "g1", "tag" -> "lo", "w" -> "3"), 2L), // residual fails (5 < 3 false)
+      Change("insert", 3L, ts(2), Map("city" -> "ber", "grp" -> "g2", "tag" -> "mid", "w" -> "6"), 3L))
+    runView(sql, "pv_vcomp", Seq(Map("t1" -> b1, "t2" -> c1)))
+    assert(rowBag("pv_vcomp", Seq("name", "tag")) ==
+      Seq(Seq[Any]("a", "hi"), Seq[Any]("b", "mid")))
+    // the residual is LIVE: w moving under the cut retracts the pair
+    runView(sql, "pv_vcomp2", Seq(
+      Map("t1" -> b1, "t2" -> c1),
+      Map("t2" -> Seq(Change("update", 1L, ts(10), Map("city" -> "ber", "grp" -> "g1", "tag" -> "hi", "w" -> "4"), 4L)))))
+    assert(rowBag("pv_vcomp2", Seq("name", "tag")) == Seq(Seq[Any]("b", "mid")))
+    // guards: outer + residual rejected; key-equi inside a multi-ON rejected
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feeds = Map("t1" -> MemoryStream[Change].toDS(), "t2" -> MemoryStream[Change].toDS())
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT l.name AS name FROM t1 l LEFT JOIN t2 r ON l.city = r.city AND l.v < r.w", feeds)
+    }
+    assert(e1.getMessage.contains("match status"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT l.name AS name FROM t1 l JOIN t2 r ON l.key = r.key AND l.v < r.w", feeds)
+    }
+    assert(e2.getMessage.contains("WHERE"), e2.getMessage)
+  }
+
   test("#171ap session state guard raises past spark.graft.session.maxRowsPerGroup") {
     spark.conf.set("spark.graft.session.maxRowsPerGroup", "3")
     try {
