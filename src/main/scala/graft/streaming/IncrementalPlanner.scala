@@ -2078,11 +2078,33 @@ object IncrementalPlanner {
 
   private val RankFns = Set("row_number", "rank", "dense_rank")
 
-  /** RANKED views — `row_number()/rank()/dense_rank() OVER (PARTITION BY
-    * … ORDER BY …)` in the select list, optionally bounded by an outer
+  /** One compiled window-function select item of a ranked view. `WRank`
+    * reads the rank arrays; `WNav` (lag/lead) reads a neighbor row's
+    * operand (`valIdx` into the shipped operand vector); `WAgg` is an
+    * aggregate over the partition — whole-partition when the shared
+    * OVER clause has no ORDER BY, else RUNNING with SQL's default
+    * RANGE-peers frame (ties share the value).
+    */
+  private sealed trait WinOut extends Serializable { def name: String }
+  private final case class WRank(fn: String, name: String) extends WinOut
+  private final case class WNav(valIdx: Int, offset: Int, dflt: Option[String],
+      lead: Boolean, name: String) extends WinOut
+  private final case class WAgg(op: String, valIdx: Int, running: Boolean, name: String) extends WinOut
+
+  /** WINDOW-FUNCTION views — ranking (`row_number/rank/dense_rank`),
+    * navigation (`lag/lead`), and aggregates (`count/sum/avg/min/max
+    * OVER`) over one shared `OVER (PARTITION BY … [ORDER BY …])`
+    * clause in the select list, optionally bounded by an outer
     * `WHERE <rn> <= k` around the subquery (the TOP-K PER GROUP idiom —
     * the per-partition form of [[materializeTopK]], and the better scale
     * story: state shards BY PARTITION instead of one global fold).
+    * Aggregates without ORDER BY are whole-partition (every row carries
+    * the partition's current total — a total moving re-emits every row,
+    * the honest SQL semantic); with ORDER BY they are RUNNING under
+    * SQL's default RANGE frame (sort-value ties share the running
+    * value). `lag/lead` are row-based over the deterministic total
+    * order (change-key tiebreak), so a neighbor arriving, moving, or
+    * dying re-emits exactly the rows whose neighbor values changed.
     * Compiled as:
     *
     *  - stage 1 ([[rankedKeyFold]]): per-change-key LWW with the row's
@@ -2118,7 +2140,7 @@ object IncrementalPlanner {
     */
   private def compileRankedView(spark: SparkSession, inner: Project,
       feeds: Map[String, Dataset[Change]],
-      bound: Option[Long],
+      outerCond: Option[Expression],
       outerNames: Option[Seq[String]]): PlannedView = {
     val src   = compileSource(spark, inner.child, feeds)
     val preds = src.filters.map(compileExpr)
@@ -2127,47 +2149,85 @@ object IncrementalPlanner {
       case _: WindowExpression => true
       case _                   => false
     })
-    require(winItems.length == 1,
-      s"exactly one window-function select item per ranked view (got ${winItems.length})")
     plainItems.foreach(ne => if (ne.isInstanceOf[UnresolvedStar])
       throw unsupported("SELECT * alongside a window function (name the projected fields)"))
-    val (fn, spec) = coreOf(winItems.head) match {
-      case WindowExpression(f: UnresolvedFunction, s: WindowSpecDefinition) =>
-        val nm = f.nameParts.last.toLowerCase
-        require(RankFns(nm), s"window function $nm (row_number/rank/dense_rank only)")
-        require(f.arguments.isEmpty, s"$nm takes no arguments")
-        (nm, s)
-      case other => throw unsupported(s"window item ${other.sql}")
+    val parsed: Seq[(String, UnresolvedFunction, WindowSpecDefinition)] = winItems.map { ne =>
+      coreOf(ne) match {
+        case WindowExpression(f: UnresolvedFunction, s: WindowSpecDefinition) =>
+          (outName(ne, "win"), f, s)
+        case other => throw unsupported(s"window item ${other.sql}")
+      }
     }
-    require(spec.orderSpec.nonEmpty, "ORDER BY is required in the window spec")
+    val spec = parsed.head._3
+    require(parsed.forall(_._3 == spec),
+      "all window functions in one view must share a single OVER clause")
     spec.frameSpecification match {
       case UnspecifiedFrame => ()
-      case other            => throw unsupported(s"window frame ${other.sql} (ranking functions only)")
+      case other            => throw unsupported(s"window frame ${other.sql} (default frames only)")
     }
-    val rnName   = outName(winItems.head, "rn")
-    val partFs   = spec.partitionSpec.map { e =>
+    val valFns = scala.collection.mutable.ArrayBuffer.empty[Eval]
+    def addVal(f: Eval): Int = { valFns += f; valFns.size - 1 }
+    def intLit(e: Any, what: String): Int =
+      litValue(e).flatMap(asNum).map(_.toInt).getOrElse(throw unsupported(what))
+    val wins: Seq[WinOut] = parsed.map { case (name, f, _) =>
+      val fn = f.nameParts.last.toLowerCase
+      (fn, f.arguments) match {
+        case (rk, Seq()) if RankFns(rk) => WRank(rk, name)
+        case ("lag" | "lead", args) =>
+          val (e, off, dflt) = args match {
+            case Seq(e0)                             => (e0, 1, None)
+            case Seq(e0, o: Literal)                 => (e0, intLit(o.value, s"$fn offset"), None)
+            case Seq(e0, o: Literal, d: Literal)     =>
+              (e0, intLit(o.value, s"$fn offset"), litValue(d.value).map(String.valueOf))
+            case other => throw unsupported(s"$fn(${other.map(_.sql).mkString(",")})")
+          }
+          require(off >= 0, s"$fn offset must be >= 0")
+          WNav(addVal(compileExpr(e)), off, dflt, lead = fn == "lead", name)
+        case ("count", Seq(_: UnresolvedStar)) =>
+          WAgg("count", addVal(_ => Some(1)), running = spec.orderSpec.nonEmpty, name)
+        case ("count" | "sum" | "avg" | "min" | "max", Seq(e)) =>
+          WAgg(fn, addVal(compileExpr(e)), running = spec.orderSpec.nonEmpty, name)
+        case _ => throw unsupported(
+          s"window function $fn (row_number/rank/dense_rank/lag/lead/count/sum/avg/min/max)")
+      }
+    }
+    if (wins.exists(w => w.isInstanceOf[WRank] || w.isInstanceOf[WNav]))
+      require(spec.orderSpec.nonEmpty, "ORDER BY is required for ranking/navigation window functions")
+    val partFs = spec.partitionSpec.map { e =>
       compileGroupSlot(e) match {
         case ScalarSlot(f) => f
         case _             => throw unsupported(s"PARTITION BY ${e.sql} (scalar expressions only)")
       }
     }
     val sortFs       = spec.orderSpec.map(so => compileExpr(so.child))
+    val sortN        = sortFs.length
     val sortAsc      = spec.orderSpec.map(_.direction == Ascending)
     val sortNullsFst = spec.orderSpec.map(_.nullOrdering == NullsFirst)
     val cols: Seq[(String, Eval)] = plainItems.zipWithIndex.map { case (ne, i) =>
       (outName(ne, s"col$i"), compileExpr(coreOf(ne)))
     }
-    val names = cols.map(_._1)
-    require(!names.contains(rnName), s"duplicate output column $rnName")
-    outerNames.foreach(_.foreach(n => require((names :+ rnName).contains(n),
+    val names    = cols.map(_._1)
+    val winNames = wins.map(_.name)
+    require((names ++ winNames).distinct.length == names.length + winNames.length,
+      s"duplicate output columns among ${(names ++ winNames).mkString(", ")}")
+    outerNames.foreach(_.foreach(n => require((names ++ winNames).contains(n),
       s"outer select column $n is not an output of the subquery")))
+    // the outer WHERE bound applies to ONE ranking item (top-k per
+    // partition; rank() <= k keeps ties, the SQL meaning)
+    val bound: Option[(String, Long)] = outerCond.map { cond =>
+      val rankAliases = wins.collect { case WRank(rk, nm) => nm -> rk }.toMap
+      val (alias, k)  = rankBoundOf(cond, rankAliases.keySet)
+      (rankAliases(alias), k)
+    }
 
+    val valFnsSeq = valFns.toIndexedSeq
     val extract: Change => Option[(String, Seq[String], Map[String, String])] = { c =>
       val env = envOf(c)
       if (!preds.forall(p => p(env).contains(true))) None
       else Some((
         partFs.map(f => f(env).map(String.valueOf(_)).getOrElse(NullMark)).mkString(Sep),
-        sortFs.map(f => f(env).map(String.valueOf(_)).getOrElse(NullMark)),
+        sortFs.map(f => f(env).map(String.valueOf(_)).getOrElse(NullMark)) ++
+          valFnsSeq.map(f => f(env).map(String.valueOf(_)).getOrElse(NullMark)),
         cols.flatMap { case (n, f) => f(env).map(v => n -> String.valueOf(v)) }.toMap))
     }
     val maxRows = spark.conf.get("spark.graft.ranked.maxRowsPerGroup", "1000000").toInt
@@ -2183,12 +2243,17 @@ object IncrementalPlanner {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(rankedKeyFold(extract))
       .groupByKey(_.group)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        rankFold(fn, sortAsc, sortNullsFst, bound, maxRows))
+        rankFold(wins, sortN, sortAsc, sortNullsFst, bound, maxRows))
       .toDF()
 
+    // ranking columns come back typed LONG; navigation/aggregate values
+    // keep the stringly payload convention (operands are payload strings)
     val projected: Seq[(String, org.apache.spark.sql.Column)] =
-      names.map(n => n -> element_at(col("proj"), n).as(n)) :+
-        (rnName -> when(col("op") === "delete", lit(null)).otherwise(col("rn")).as(rnName))
+      names.map(n => n -> element_at(col("proj"), n).as(n)) ++
+        wins.map {
+          case WRank(_, nm) => nm -> element_at(col("proj"), nm).cast("long").as(nm)
+          case w            => w.name -> element_at(col("proj"), w.name).as(w.name)
+        }
     val keep = outerNames match {
       case Some(ns) => ns.map(n => projected.find(_._1 == n).get._2)
       case None     => projected.map(_._2)
@@ -2257,8 +2322,8 @@ object IncrementalPlanner {
     * batch, paid only by touched partitions; each partition's state
     * lives on exactly one shard, guarded by `maxRows`.
     */
-  private def rankFold(fn: String, asc: Seq[Boolean], nullsFirst: Seq[Boolean],
-      bound: Option[Long], maxRows: Int)(
+  private def rankFold(wins: Seq[WinOut], nSort: Int, asc: Seq[Boolean], nullsFirst: Seq[Boolean],
+      bound: Option[(String, Long)], maxRows: Int)(
       group: String,
       changes: Iterator[RankedKeyChange],
       state: GroupState[RankedGroupState]): Iterator[RankedRowChange] = {
@@ -2289,19 +2354,85 @@ object IncrementalPlanner {
         if (c != 0) c else java.lang.Long.compare(x._1, y._1)
       }
       val sorted = after.toSeq.sorted(ord)
-      val ranks  = new Array[Long](sorted.length)
+      val n      = sorted.length
+      // ties are on the SORT PREFIX only (operand values ride behind it)
+      val tiedWithPrev = Array.tabulate(n)(i =>
+        i > 0 && sorted(i)._2.sortVals.take(nSort) == sorted(i - 1)._2.sortVals.take(nSort))
+      val rankArr  = new Array[Long](n)
+      val denseArr = new Array[Long](n)
       var i = 0
-      while (i < sorted.length) {
-        val tied = i > 0 && sorted(i)._2.sortVals == sorted(i - 1)._2.sortVals
-        ranks(i) = fn match {
-          case "row_number"    => i + 1L
-          case "rank"          => if (tied) ranks(i - 1) else i + 1L
-          case "dense_rank"    => if (i == 0) 1L else if (tied) ranks(i - 1) else ranks(i - 1) + 1L
-        }
+      while (i < n) {
+        rankArr(i)  = if (i == 0) 1L else if (tiedWithPrev(i)) rankArr(i - 1) else i + 1L
+        denseArr(i) = if (i == 0) 1L else if (tiedWithPrev(i)) denseArr(i - 1) else denseArr(i - 1) + 1L
         i += 1
       }
+      def rankOf(fn: String)(idx: Int): Long = fn match {
+        case "row_number" => idx + 1L
+        case "rank"       => rankArr(idx)
+        case _            => denseArr(idx)
+      }
+      def opRaw(valIdx: Int)(idx: Int): String = {
+        val vs = sorted(idx)._2.sortVals
+        val j  = nSort + valIdx
+        if (j < vs.length) vs(j) else NullMark
+      }
+      // aggregate window values: whole-partition = one value for every
+      // row; running = SQL's default RANGE frame (tie groups share)
+      def aggArray(w: WAgg): Array[String] = {
+        val res  = new Array[String](n)
+        var cnt  = 0L
+        var sum  = 0.0
+        var sumN = 0L
+        var mn: String = null
+        var mx: String = null
+        def add(v: String): Unit = if (v != NullMark) {
+          cnt += 1
+          v.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite).foreach { d => sum += d; sumN += 1 }
+          if (mn == null || cmpVals(v, mn) < 0) mn = v
+          if (mx == null || cmpVals(v, mx) > 0) mx = v
+        }
+        def value: String = w.op match {
+          case "count" => cnt.toString
+          case "sum"   => if (sumN == 0) null else sum.toString
+          case "avg"   => if (sumN == 0) null else (sum / sumN).toString
+          case "min"   => mn
+          case "max"   => mx
+        }
+        if (!w.running) {
+          var j = 0
+          while (j < n) { add(opRaw(w.valIdx)(j)); j += 1 }
+          val v = value
+          java.util.Arrays.fill(res.asInstanceOf[Array[AnyRef]], v)
+        } else {
+          var lo = 0
+          while (lo < n) {
+            var hi = lo + 1
+            while (hi < n && tiedWithPrev(hi)) hi += 1 // [lo, hi) is one tie group
+            var j = lo
+            while (j < hi) { add(opRaw(w.valIdx)(j)); j += 1 }
+            val v = value
+            j = lo
+            while (j < hi) { res(j) = v; j += 1 }
+            lo = hi
+          }
+        }
+        res
+      }
+      val aggVals: Map[String, Array[String]] =
+        wins.collect { case w: WAgg => w.name -> aggArray(w) }.toMap
+      def navVal(w: WNav)(idx: Int): String = {
+        val j = if (w.lead) idx + w.offset else idx - w.offset
+        if (j >= 0 && j < n) { val v = opRaw(w.valIdx)(j); if (v == NullMark) null else v }
+        else w.dflt.orNull
+      }
       val newEmit: Map[Long, RankedEmit] = sorted.iterator.zipWithIndex.collect {
-        case ((k, e), idx) if bound.forall(ranks(idx) <= _) => k -> RankedEmit(ranks(idx), e.proj)
+        case ((k, e), idx) if bound.forall { case (bfn, bk) => rankOf(bfn)(idx) <= bk } =>
+          val winPairs = wins.flatMap {
+            case WRank(fn, nm) => Seq(nm -> rankOf(fn)(idx).toString)
+            case w: WNav       => Option(navVal(w)(idx)).map(w.name -> _)
+            case w: WAgg       => Option(aggVals(w.name)(idx)).map(w.name -> _)
+          }
+          k -> RankedEmit(idx + 1L, e.proj ++ winPairs)
       }.toMap
       val dead = (s0.emitted.keySet -- newEmit.keySet).iterator.map(k =>
         RankedRowChange("delete", k, group, 0L, Map.empty, posTs, posSeq))
@@ -2316,17 +2447,17 @@ object IncrementalPlanner {
   }
 
   /** The outer `WHERE <rn> <= k` of a bounded ranked view: every
-    * conjunct must bound the window column (both orientations of
+    * conjunct must bound ONE ranking column (both orientations of
     * `<=`/`<`); the tightest bound wins. Payload predicates belong in
     * the subquery's own WHERE (where they prefilter stage-1 state too).
     */
-  private def rankBoundOf(cond: Expression, rnName: String): Long = {
+  private def rankBoundOf(cond: Expression, rankNames: Set[String]): (String, Long) = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
     }
     def attrName(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: UnresolvedAttribute => Some(a.nameParts.last).filter(rankNames)
       case _                      => None
     }
     def litLong(e: Expression): Option[Long] = e match {
@@ -2334,17 +2465,23 @@ object IncrementalPlanner {
       case _          => None
     }
     val bounds = conjuncts(cond).map {
-      case LessThanOrEqual(l, r) if attrName(l).contains(rnName) && litLong(r).isDefined => litLong(r).get
-      case LessThan(l, r) if attrName(l).contains(rnName) && litLong(r).isDefined        => litLong(r).get - 1
-      case GreaterThanOrEqual(l, r) if attrName(r).contains(rnName) && litLong(l).isDefined => litLong(l).get
-      case GreaterThan(l, r) if attrName(r).contains(rnName) && litLong(l).isDefined     => litLong(l).get - 1
+      case LessThanOrEqual(l, r) if attrName(l).isDefined && litLong(r).isDefined =>
+        (attrName(l).get, litLong(r).get)
+      case LessThan(l, r) if attrName(l).isDefined && litLong(r).isDefined =>
+        (attrName(l).get, litLong(r).get - 1)
+      case GreaterThanOrEqual(l, r) if attrName(r).isDefined && litLong(l).isDefined =>
+        (attrName(r).get, litLong(l).get)
+      case GreaterThan(l, r) if attrName(r).isDefined && litLong(l).isDefined =>
+        (attrName(r).get, litLong(l).get - 1)
       case other => throw unsupported(
-        s"outer predicate ${other.sql} over a ranked subquery ($rnName <= k bounds only; " +
+        s"outer predicate ${other.sql} over a ranked subquery (<ranking column> <= k bounds only; " +
           "payload predicates belong in the subquery's WHERE)")
     }
-    val k = bounds.min
+    require(bounds.map(_._1).distinct.length == 1,
+      s"outer bounds must target one ranking column (got ${bounds.map(_._1).distinct.mkString(", ")})")
+    val k = bounds.map(_._2).min
     require(k >= 1, s"rank bound $k must be >= 1")
-    k
+    (bounds.head._1, k)
   }
 
   // ------------------------------------------------------------------
@@ -2413,12 +2550,8 @@ object IncrementalPlanner {
       // bounded by an outer WHERE rn <= k around the subquery (top-k
       // per partition)
       case p: Project if hasWindowItem(p) =>
-        compileRankedView(spark, p, feeds, bound = None, outerNames = None)
+        compileRankedView(spark, p, feeds, outerCond = None, outerNames = None)
       case Project(outer, Filter(cond, SubqueryAlias(_, inner: Project))) if hasWindowItem(inner) =>
-        val rnName = inner.projectList.collectFirst {
-          case ne if ne.exists { case _: WindowExpression => true; case _ => false } =>
-            outName(ne, "rn")
-        }.get
         val names = outer match {
           case Seq(_: UnresolvedStar) => None
           case items => Some(items.map {
@@ -2427,7 +2560,7 @@ object IncrementalPlanner {
               s"outer select item ${other.sql} over a ranked subquery (plain column names or *)")
           })
         }
-        compileRankedView(spark, inner, feeds, Some(rankBoundOf(cond, rnName)), names)
+        compileRankedView(spark, inner, feeds, Some(cond), names)
       case p: Project =>
         globalAgg(p) match {
           case Some(a) => compileAggregate(spark, a, feeds)

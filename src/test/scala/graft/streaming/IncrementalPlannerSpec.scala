@@ -2009,6 +2009,53 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(e2.getMessage.contains("WHERE"), e2.getMessage)
   }
 
+  test("#171ax navigation (lag/lead) and aggregate window functions: live neighbor/total maintenance") {
+    def ins(k: Long, g: String, name: String, ev: Int, v: Int, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("g" -> g, "name" -> name, "ev" -> ev.toString, "v" -> v.toString), seq)
+    val b1 = Seq(ins(1L, "a", "n1", 1, 10, 1L), ins(2L, "a", "n2", 2, 20, 2L),
+      ins(3L, "a", "n3", 3, 30, 3L), ins(4L, "b", "n4", 1, 5, 4L))
+    val b2 = Seq(
+      Change("update", 2L, ts(10), Map("g" -> "a", "name" -> "n2", "ev" -> "5", "v" -> "25"), 5L), // reorder + value change
+      Change("delete", 1L, ts(11), Map.empty, 6L))
+
+    // navigation + RUNNING aggregates, one shared OVER clause
+    val sql1 = "SELECT name, lag(v) OVER (PARTITION BY g ORDER BY ev) AS prev, " +
+      "lead(v, 1, '-1') OVER (PARTITION BY g ORDER BY ev) AS nxt, " +
+      "sum(v) OVER (PARTITION BY g ORDER BY ev) AS rsum, " +
+      "count(*) OVER (PARTITION BY g ORDER BY ev) AS cnt FROM t"
+    runView(sql1, "pv_nav", Seq(Map("t" -> b1), Map("t" -> b2)))
+    // final a order by ev: n3(ev3) then n2(ev5); b: n4 alone
+    assert(rankedState("pv_nav", Seq("name", "prev", "nxt", "rsum", "cnt")) == Map(
+      (3L, "a") -> Seq[Any]("n3", null, "25", "30.0", "1"),
+      (2L, "a") -> Seq[Any]("n2", "30", "-1", "55.0", "2"),
+      (4L, "b") -> Seq[Any]("n4", null, "-1", "5.0", "1")))
+
+    // WHOLE-partition aggregates (no ORDER BY): every row carries the
+    // current total, and a total moving re-emits every member
+    val sql2 = "SELECT name, sum(v) OVER (PARTITION BY g) AS total, " +
+      "count(*) OVER (PARTITION BY g) AS n FROM t"
+    runView(sql2, "pv_wagg", Seq(Map("t" -> b1), Map("t" -> b2)))
+    assert(rankedState("pv_wagg", Seq("name", "total", "n")) == Map(
+      (2L, "a") -> Seq[Any]("n2", "55.0", "2"),
+      (3L, "a") -> Seq[Any]("n3", "55.0", "2"),
+      (4L, "b") -> Seq[Any]("n4", "5.0", "1")))
+    val k3Hist = spark.table("pv_wagg").collect().toSeq
+      .filter(r => r.getAs[Long]("key") == 3L && r.getAs[String]("op") == "upsert")
+      .map(r => (r.getAs[String]("total"), r.getAs[String]("n")))
+    assert(k3Hist == Seq(("60.0", "3"), ("55.0", "2")), s"k3 history: $k3Hist")
+
+    // mixing specs is rejected fast
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feeds = Map("t" -> MemoryStream[Change].toDS())
+    val e = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT lag(v) OVER (PARTITION BY g ORDER BY ev) AS a1, " +
+          "sum(v) OVER (PARTITION BY g) AS a2 FROM t", feeds)
+    }
+    assert(e.getMessage.contains("single OVER clause"), e.getMessage)
+  }
+
   test("#171ap session state guard raises past spark.graft.session.maxRowsPerGroup") {
     spark.conf.set("spark.graft.session.maxRowsPerGroup", "3")
     try {
