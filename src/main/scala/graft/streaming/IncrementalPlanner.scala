@@ -2090,6 +2090,16 @@ object IncrementalPlanner {
   private final case class WNav(valIdx: Int, offset: Int, dflt: Option[String],
       lead: Boolean, name: String) extends WinOut
   private final case class WAgg(op: String, valIdx: Int, running: Boolean, name: String) extends WinOut
+  /** ntile(buckets): SQL's as-even-as-possible distribution (the first
+    * `n mod buckets` buckets take one extra row).
+    */
+  private final case class WNtile(buckets: Int, name: String) extends WinOut
+  /** first/last/nth_value under the default frame: `first` reads the
+    * frame start (partition row 0), `last` the current PEER GROUP's
+    * last row (the famous default-frame semantic), `nth` the frame's
+    * k-th row if already inside it.
+    */
+  private final case class WPos(kind: String, valIdx: Int, nth: Int, name: String) extends WinOut
 
   /** WINDOW-FUNCTION views — ranking (`row_number/rank/dense_rank`),
     * navigation (`lag/lead`), and aggregates (`count/sum/avg/min/max
@@ -2187,11 +2197,22 @@ object IncrementalPlanner {
           WAgg("count", addVal(_ => Some(1)), running = spec.orderSpec.nonEmpty, name)
         case ("count" | "sum" | "avg" | "min" | "max", Seq(e)) =>
           WAgg(fn, addVal(compileExpr(e)), running = spec.orderSpec.nonEmpty, name)
+        case ("ntile", Seq(b: Literal)) =>
+          val n = intLit(b.value, "ntile buckets")
+          require(n >= 1, "ntile buckets must be >= 1")
+          WNtile(n, name)
+        case ("first_value" | "last_value", Seq(e)) =>
+          WPos(fn.stripSuffix("_value"), addVal(compileExpr(e)), 1, name)
+        case ("nth_value", Seq(e, k: Literal)) =>
+          val nth = intLit(k.value, "nth_value position")
+          require(nth >= 1, "nth_value position must be >= 1")
+          WPos("nth", addVal(compileExpr(e)), nth, name)
         case _ => throw unsupported(
-          s"window function $fn (row_number/rank/dense_rank/lag/lead/count/sum/avg/min/max)")
+          s"window function $fn (row_number/rank/dense_rank/ntile/lag/lead/first_value/" +
+            "last_value/nth_value/count/sum/avg/min/max)")
       }
     }
-    if (wins.exists(w => w.isInstanceOf[WRank] || w.isInstanceOf[WNav]))
+    if (wins.exists(w => w.isInstanceOf[WRank] || w.isInstanceOf[WNav] || w.isInstanceOf[WNtile]))
       require(spec.orderSpec.nonEmpty, "ORDER BY is required for ranking/navigation window functions")
     val partFs = spec.partitionSpec.map { e =>
       compileGroupSlot(e) match {
@@ -2251,8 +2272,9 @@ object IncrementalPlanner {
     val projected: Seq[(String, org.apache.spark.sql.Column)] =
       names.map(n => n -> element_at(col("proj"), n).as(n)) ++
         wins.map {
-          case WRank(_, nm) => nm -> element_at(col("proj"), nm).cast("long").as(nm)
-          case w            => w.name -> element_at(col("proj"), w.name).as(w.name)
+          case WRank(_, nm)  => nm -> element_at(col("proj"), nm).cast("long").as(nm)
+          case WNtile(_, nm) => nm -> element_at(col("proj"), nm).cast("long").as(nm)
+          case w             => w.name -> element_at(col("proj"), w.name).as(w.name)
         }
     val keep = outerNames match {
       case Some(ns) => ns.map(n => projected.find(_._1 == n).get._2)
@@ -2425,12 +2447,44 @@ object IncrementalPlanner {
         if (j >= 0 && j < n) { val v = opRaw(w.valIdx)(j); if (v == NullMark) null else v }
         else w.dflt.orNull
       }
+      // the current row's peer-group end (exclusive) — the default
+      // frame's end for last_value/nth_value; with no ORDER BY all rows
+      // are peers, so the frame is the whole partition
+      lazy val groupEnd: Array[Int] = {
+        val res = new Array[Int](n)
+        var hi = n
+        var j  = n - 1
+        while (j >= 0) {
+          res(j) = hi
+          if (!tiedWithPrev(j)) hi = j
+          j -= 1
+        }
+        res
+      }
+      def posVal(w: WPos)(idx: Int): String = {
+        val j = w.kind match {
+          case "first" => 0
+          case "last"  => groupEnd(idx) - 1
+          case _       => w.nth - 1 // nth: inside the frame [0, groupEnd) or absent
+        }
+        if (j >= 0 && j < groupEnd(idx)) { val v = opRaw(w.valIdx)(j); if (v == NullMark) null else v }
+        else null
+      }
+      def ntileOf(b: Int)(idx: Int): Long = {
+        val q = n / b
+        val r = n % b
+        val boundary = r * (q + 1)
+        if (idx < boundary) idx / (q + 1) + 1L
+        else r + (idx - boundary) / q + 1L
+      }
       val newEmit: Map[Long, RankedEmit] = sorted.iterator.zipWithIndex.collect {
         case ((k, e), idx) if bound.forall { case (bfn, bk) => rankOf(bfn)(idx) <= bk } =>
           val winPairs = wins.flatMap {
-            case WRank(fn, nm) => Seq(nm -> rankOf(fn)(idx).toString)
-            case w: WNav       => Option(navVal(w)(idx)).map(w.name -> _)
-            case w: WAgg       => Option(aggVals(w.name)(idx)).map(w.name -> _)
+            case WRank(fn, nm)  => Seq(nm -> rankOf(fn)(idx).toString)
+            case WNtile(b, nm)  => Seq(nm -> ntileOf(b)(idx).toString)
+            case w: WNav        => Option(navVal(w)(idx)).map(w.name -> _)
+            case w: WPos        => Option(posVal(w)(idx)).map(w.name -> _)
+            case w: WAgg        => Option(aggVals(w.name)(idx)).map(w.name -> _)
           }
           k -> RankedEmit(idx + 1L, e.proj ++ winPairs)
       }.toMap

@@ -2056,6 +2056,46 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(e.getMessage.contains("single OVER clause"), e.getMessage)
   }
 
+  test("#171ay ntile / first_value / last_value / nth_value: default-frame semantics incl. peer groups") {
+    def ins(k: Long, name: String, ev: Int, v: Int, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("name" -> name, "ev" -> ev.toString, "v" -> v.toString), seq)
+    val sql = "SELECT name, ntile(3) OVER (ORDER BY ev) AS nt, " +
+      "first_value(v) OVER (ORDER BY ev) AS fv, last_value(v) OVER (ORDER BY ev) AS lv, " +
+      "nth_value(v, 2) OVER (ORDER BY ev) AS nv FROM t"
+    val b1 = Seq(ins(1L, "n1", 1, 10, 1L), ins(2L, "n2", 2, 20, 2L), ins(3L, "n3", 3, 30, 3L),
+      ins(4L, "n4", 4, 40, 4L), ins(5L, "n5", 4, 50, 5L)) // k4/k5 tie on ev
+    val b2 = Seq(Change("delete", 1L, ts(10), Map.empty, 6L))
+    runView(sql, "pv_pos", Seq(Map("t" -> b1), Map("t" -> b2)))
+    // rows k2(ev2) k3(ev3) k4(ev4) k5(ev4): last_value reads the PEER
+    // GROUP's last row (k4's lv = k5's v, the default-frame semantic)
+    assert(rankedState("pv_pos", Seq("name", "nt", "fv", "lv", "nv")) == Map(
+      (2L, "") -> Seq[Any]("n2", 1L, "20", "20", null),
+      (3L, "") -> Seq[Any]("n3", 1L, "20", "30", "30"),
+      (4L, "") -> Seq[Any]("n4", 2L, "20", "50", "30"),
+      (5L, "") -> Seq[Any]("n5", 3L, "20", "50", "30")))
+  }
+
+  test("#171az ranked view OVER an aggregate subquery: live top-k groups by their aggregate") {
+    // the inner shape: Project-with-window over a derived AGGREGATE
+    // table — the aggregate's changefeed feeds the ranked dataflow
+    val sql2 = "SELECT * FROM (SELECT city, total, " +
+      "row_number() OVER (ORDER BY total DESC) AS rn FROM " +
+      "(SELECT city, sum(amount) AS total FROM t GROUP BY city) a) x WHERE rn <= 2"
+    def ins(k: Long, city: String, amount: Int, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> city, "amount" -> amount.toString), seq)
+    val b1 = Seq(ins(1L, "ber", 10, 1L), ins(2L, "ber", 5, 2L), ins(3L, "par", 7, 3L), ins(4L, "rom", 20, 4L))
+    val b2 = Seq(ins(5L, "par", 30, 5L)) // par 7→37: overtakes, ber drops out of top-2
+    runView(sql2, "pv_rankagg", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val fin = rankedState("pv_rankagg", Seq("city", "total", "rn"))
+      .map { case (_, v) => v }.toSeq.sortBy(_.mkString("|"))
+    assert(fin == Seq(Seq[Any]("par", "37.0", 1L), Seq[Any]("rom", "20.0", 2L)), s"got $fin")
+    // ber was live in top-2 after b1 and tombstoned after b2
+    val berOps = spark.table("pv_rankagg").collect().toSeq
+      .filter(r => r.getAs[String]("city") == "ber" || r.getAs[String]("op") == "delete")
+      .map(_.getAs[String]("op"))
+    assert(berOps.contains("upsert") && berOps.contains("delete"), s"ber ops: $berOps")
+  }
+
   test("#171ap session state guard raises past spark.graft.session.maxRowsPerGroup") {
     spark.conf.set("spark.graft.session.maxRowsPerGroup", "3")
     try {
