@@ -1331,12 +1331,35 @@ object IncrementalPlanner {
       keepMeta: Boolean = false): PlannedView = {
     // min/max(DISTINCT x) ≡ min/max(x): normalize before dispatch so the
     // extremum forms never force the two-level rewrite on their own
-    val norm = agg.copy(aggregateExpressions = agg.aggregateExpressions.map(ne =>
+    val norm0 = agg.copy(aggregateExpressions = agg.aggregateExpressions.map(ne =>
       ne.transform {
         case f: UnresolvedFunction
             if f.isDistinct && Set("min", "max")(f.nameParts.last.toLowerCase) =>
           f.copy(isDistinct = false)
       }.asInstanceOf[NamedExpression]))
+    // HAVING may aggregate columns the SELECT list doesn't (`HAVING
+    // sum(x) > 5` with no `sum(x)` item): hoist each such call into a
+    // HIDDEN select item (`__h<i>`) and rewrite the condition to read
+    // it — the hidden columns are dropped from the view after the
+    // HAVING filter applies
+    val havingAggFns = Set("count", "sum", "avg", "min", "max",
+      "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop")
+    val (norm, having1, hidden) = having match {
+      case Some(cond) if cond.exists {
+          case f: UnresolvedFunction => havingAggFns(f.nameParts.last.toLowerCase)
+          case _                     => false
+        } =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+        val rewritten = cond.transform {
+          case f: UnresolvedFunction if havingAggFns(f.nameParts.last.toLowerCase) =>
+            val nm = s"__h${buf.size}"
+            buf += Alias(f, nm)()
+            UnresolvedAttribute(Seq(nm))
+        }
+        (norm0.copy(aggregateExpressions = norm0.aggregateExpressions ++ buf),
+          Some(rewritten), buf.map(_.name).toSeq)
+      case other => (norm0, other, Nil)
+    }
     val hasDistinct = norm.aggregateExpressions.exists(_.exists {
       case f: UnresolvedFunction => f.isDistinct
       case _                     => false
@@ -1353,17 +1376,24 @@ object IncrementalPlanner {
       require(!keepMeta, "session-window views do not compose with " +
         "materializeAggChanges/materializeTopK — consume the view's own changefeed " +
         "(its key is the group keys + <name>_start_us)")
-      compileSessionAggregate(spark, norm, feeds, ttl, having)
+      dropHidden(compileSessionAggregate(spark, norm, feeds, ttl, having1), hidden)
     }
-    else if (!hasDistinct) compileAggregateFlat(spark, norm, feeds, ttl, having, keepMeta)
+    else if (!hasDistinct)
+      dropHidden(compileAggregateFlat(spark, norm, feeds, ttl, having1, keepMeta), hidden)
     else {
       require(ttl.isEmpty,
         "DISTINCT views do not compose with materializeExpiring: the internal " +
           "distinct view holds exact per-value state that a tombstone TTL would corrupt; " +
           "bound the value space upstream (WHERE / HAVING) instead")
-      compileDistinctAgg(spark, norm, feeds, having, keepMeta)
+      dropHidden(compileDistinctAgg(spark, norm, feeds, having1, keepMeta), hidden)
     }
   }
+
+  /** Drop the HAVING hoist's hidden `__h<i>` columns once the filter has
+    * applied — they are implementation detail, not view output.
+    */
+  private def dropHidden(pv: PlannedView, hidden: Seq[String]): PlannedView =
+    if (hidden.isEmpty) pv else pv.copy(df = pv.df.drop(hidden: _*))
 
   /** DISTINCT-aggregate views, compiled as the planner's OWN composition:
     * an internal maintained view over (group keys, x) — the #171m

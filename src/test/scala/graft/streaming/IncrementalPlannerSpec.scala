@@ -2096,6 +2096,25 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(berOps.contains("upsert") && berOps.contains("delete"), s"ber ops: $berOps")
   }
 
+  test("#171ba HAVING over aggregates the SELECT list does not project (hidden-slot hoist)") {
+    val sql = "SELECT city, count(*) AS n FROM t GROUP BY city " +
+      "HAVING sum(amount) > 20 AND avg(amount) >= 5"
+    def ins(k: Long, city: String, amount: Int, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> city, "amount" -> amount.toString), seq)
+    val b1 = Seq(ins(1L, "ber", 15, 1L), ins(2L, "ber", 10, 2L), // ber: sum 25 ✓ avg 12.5 ✓
+      ins(3L, "par", 30, 3L), ins(4L, "par", 1, 4L), ins(5L, "par", 1, 5L), ins(6L, "par", 1, 6L),
+      ins(7L, "par", 1, 7L), ins(8L, "par", 1, 8L), ins(9L, "par", 1, 9L)) // par: sum 36 ✓ avg ~5.14 ✓
+    val b2 = Seq(Change("delete", 3L, ts(10), Map.empty, 11L)) // par: sum 6 ✗ → leaves the view
+    runView(sql, "pv_hidden", Seq(Map("t" -> b1), Map("t" -> b2)))
+    // hidden __h columns are dropped from the output schema
+    assert(spark.table("pv_hidden").columns.toSeq.sorted == Seq("_live_rows", "city", "n"))
+    assert(aggState("pv_hidden", Seq("city")) == Map(Seq[Any]("ber") -> Seq[Any](2L)))
+    // par WAS visible before the retraction pushed it under the cut
+    val parHist = spark.table("pv_hidden").collect().toSeq
+      .filter(_.getAs[String]("city") == "par").map(_.getAs[Long]("_live_rows"))
+    assert(parHist.headOption.contains(7L) && parHist.lastOption.contains(0L), s"par history: $parHist")
+  }
+
   test("#171ap session state guard raises past spark.graft.session.maxRowsPerGroup") {
     spark.conf.set("spark.graft.session.maxRowsPerGroup", "3")
     try {
