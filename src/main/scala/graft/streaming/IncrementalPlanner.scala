@@ -189,6 +189,13 @@ object IncrementalPlanner {
   private val NullMark = "\u0000"
   private val Sep      = "\u0001"
 
+  /** Internal ROLLED-UP marker inside group-key strings: a grouping
+    * column inactive at this ROLLUP/CUBE/GROUPING SETS level. Distinct
+    * from [[NullMark]] -- both display as SQL NULL, but `grouping()`
+    * answers 1 only for this one (the standard's disambiguation).
+    */
+  private val RollMark = "\u0002"
+
   /** Fixed-point scale of the signed-delta aggregate path: slot values
     * fold as micro-unit integers (exact in a Double to 2^53, i.e.
     * totals to ~9.0e9), so add/retract cycles cancel bit-exactly.
@@ -1194,6 +1201,11 @@ object IncrementalPlanner {
   // ------------------------------------------------------------------
   private sealed trait OutCol { def name: String }
   private final case class GroupOut(idx: Int, name: String) extends OutCol
+  /** `grouping(e)` / `grouping_id(...)`: bits answering "is this base
+    * grouping column ROLLED UP at this output row's level?" — arg order
+    * gives bit order, first argument most significant (the standard).
+    */
+  private final case class GroupingOut(idxs: Seq[Int], name: String) extends OutCol
   private final case class CountOut(slot: Int, name: String) extends OutCol
   private final case class SumOut(slot: Int, name: String) extends OutCol
   private final case class AvgOut(sumSlot: Int, cntSlot: Int, name: String) extends OutCol
@@ -1280,7 +1292,13 @@ object IncrementalPlanner {
       groupParts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = oc match {
     case GroupOut(idx, name) =>
       val p = element_at(groupParts, idx + 1)
-      when(p === NullMark, lit(null)).otherwise(p).as(name)
+      // NullMark = the value was SQL NULL; RollMark = the column is
+      // rolled up at this level — both display NULL (grouping() tells)
+      when(p === NullMark || p === RollMark, lit(null)).otherwise(p).as(name)
+    case GroupingOut(idxs, name) =>
+      idxs.foldLeft(lit(0L)) { (acc, i) =>
+        acc * 2 + when(element_at(groupParts, i + 1) === RollMark, lit(1L)).otherwise(lit(0L))
+      }.as(name)
     case CountOut(slot, name) => slotCol(slot).cast("long").as(name)
     case SumOut(slot, name)   => slotCol(slot).as(name)
     case AvgOut(sumSlot, cntSlot, name) =>
@@ -1368,6 +1386,11 @@ object IncrementalPlanner {
       case f: UnresolvedFunction => f.nameParts.last.equalsIgnoreCase("session_window")
       case _                     => false
     })
+    if (norm.groupingExpressions.exists(_.isInstanceOf[BaseGroupingSets])) {
+      require(!hasDistinct, "DISTINCT aggregates do not combine with ROLLUP/CUBE/GROUPING SETS " +
+        "(the two-level DISTINCT rewrite regroups by value; roll up the distinct view instead)")
+      require(!hasSession, "session_window does not combine with ROLLUP/CUBE/GROUPING SETS")
+    }
     if (hasSession) {
       require(!hasDistinct,
         "DISTINCT aggregates in a session-window view are unsupported (the two-level " +
@@ -1496,10 +1519,32 @@ object IncrementalPlanner {
       keepMeta: Boolean = false): PlannedView = {
     val src       = compileSource(spark, agg.child, feeds)
     val preds     = src.filters.map(compileExpr)
-    val groupSlots = agg.groupingExpressions.map(compileGroupSlot)
+    // ROLLUP/CUBE/GROUPING SETS: one BaseGroupingSets grouping expands
+    // to its levels — each row contributes to EVERY level's group (the
+    // plural-groups contract the sliding window already uses), with
+    // RollMark in a level's inactive key positions. A plain GROUP BY is
+    // the one-level special case of the same machinery.
+    val (baseExprs, levels): (Seq[Expression], Seq[Seq[Int]]) = agg.groupingExpressions match {
+      case Seq(b: BaseGroupingSets) =>
+        // NOT b.groupByExprs — that asserts resolved children, and this
+        // is a parse-only plan; dedup the sets' exprs by sql instead
+        val sets    = b.selectedGroupByExprs
+        val base    = sets.flatten.foldLeft(Vector.empty[Expression]) { (acc, e) =>
+          if (acc.exists(_.sql == e.sql)) acc else acc :+ e
+        }
+        val baseSql = base.map(_.sql)
+        (base, sets.map(_.map(e => baseSql.indexOf(e.sql)).filter(_ >= 0)))
+      case Seq(one, rest @ _*) if (one +: rest).exists(_.isInstanceOf[BaseGroupingSets]) =>
+        throw unsupported("mixing plain GROUP BY expressions with ROLLUP/CUBE/GROUPING SETS " +
+          "(put every grouping column inside the GROUPING SETS clause)")
+      case ges => (ges, Seq(ges.indices))
+    }
+    val groupSlots = baseExprs.map(compileGroupSlot)
     require(groupSlots.count(_.isInstanceOf[WindowSlot]) <= 1,
       "at most one window(...) grouping per view (Spark's own windowed-aggregation rule)")
-    val groupSql  = agg.groupingExpressions.map(_.sql)
+    require(levels.length == 1 || groupSlots.forall(_.isInstanceOf[ScalarSlot]),
+      "window(...) groupings do not combine with ROLLUP/CUBE/GROUPING SETS")
+    val groupSql  = baseExprs.map(_.sql)
 
     val slotFns   = scala.collection.mutable.ArrayBuffer.empty[Eval]
     def addSlot(f: Eval): Int = { slotFns += f; slotFns.size - 1 }
@@ -1509,6 +1554,21 @@ object IncrementalPlanner {
       val name = outName(ne, s"col$i")
       core match {
         case e if groupSql.indexOf(e.sql) >= 0 => GroupOut(groupSql.indexOf(e.sql), name)
+        case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("grouping") =>
+          f.arguments match {
+            case Seq(e) if groupSql.indexOf(e.sql) >= 0 => GroupingOut(Seq(groupSql.indexOf(e.sql)), name)
+            case other => throw unsupported(
+              s"grouping(${other.map(_.sql).mkString(",")}) (argument must be a grouping column)")
+          }
+        case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("grouping_id") =>
+          val idxs =
+            if (f.arguments.isEmpty) groupSql.indices
+            else f.arguments.map { e =>
+              val i = groupSql.indexOf(e.sql)
+              if (i < 0) throw unsupported(s"grouping_id argument ${e.sql} is not a grouping column")
+              i
+            }
+          GroupingOut(idxs, name)
         case f: UnresolvedFunction =>
           compileAggFnOut(f.nameParts.last.toLowerCase, f.arguments, name, addSlot)
         case other => throw unsupported(s"select item ${other.sql} (neither grouping expr nor count/sum/avg/min/max)")
@@ -1527,8 +1587,24 @@ object IncrementalPlanner {
       // slot's NaN is the deliberate "SQL NULL, excluded" marker, and
       // asNum would flatten it into a real 0.0 contribution
       if (!pass) None
-      else Some((groupKeysOf(groupSlots, env),
-        slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 })))
+      else {
+        // per base expr, its part value(s); then one key per LEVEL with
+        // RollMark in the level's inactive positions (one level + all
+        // active = the plain GROUP BY case, byte-identical keys)
+        val parts: Seq[Seq[String]] = groupSlots.map {
+          case ScalarSlot(f) => Seq(f(env).map(String.valueOf(_)).getOrElse(NullMark))
+          case WindowSlot(w) => windowStartsOf(w, env)
+        }
+        val keys = levels.flatMap { active =>
+          parts.zipWithIndex
+            .map { case (ps, i) => if (active.contains(i)) ps else Seq(RollMark) }
+            .foldLeft(Seq(Vector.empty[String])) { (acc, p) =>
+              for (a <- acc; x <- p) yield a :+ x
+            }
+            .map(_.mkString(Sep))
+        }
+        Some((keys, slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 })))
+      }
     }
 
     implicit val contribEnc = Encoders.product[PlannedContrib]

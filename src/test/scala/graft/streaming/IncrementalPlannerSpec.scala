@@ -2115,6 +2115,38 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(parHist.headOption.contains(7L) && parHist.lastOption.contains(0L), s"par history: $parHist")
   }
 
+  test("#171bb ROLLUP/CUBE views: every level maintained live, grouping() disambiguates real NULLs") {
+    val sql = "SELECT region, city, count(*) AS n, sum(amount) AS total, " +
+      "grouping(city) AS gc, grouping_id() AS gid FROM t GROUP BY ROLLUP(region, city)"
+    def ins(k: Long, region: String, city: Option[String], amount: Int, seq: Long) =
+      Change("insert", k, ts(seq.toInt),
+        Map("region" -> region, "amount" -> amount.toString) ++ city.map("city" -> _), seq)
+    val b1 = Seq(
+      ins(1L, "eu", Some("ber"), 10, 1L), ins(2L, "eu", Some("ber"), 5, 2L),
+      ins(3L, "eu", Some("par"), 7, 3L), ins(4L, "us", Some("nyc"), 20, 4L),
+      ins(5L, "eu", None, 3, 5L)) // REAL NULL city — distinct from the rolled-up level
+    val b2 = Seq(Change("delete", 4L, ts(10), Map.empty, 6L)) // us leaves EVERY level it touched
+    runView(sql, "pv_rollup", Seq(Map("t" -> b1), Map("t" -> b2)))
+    // latest emission per (region, city, gid); drop tombstoned groups
+    val fin = spark.table("pv_rollup").collect().toSeq
+      .groupBy(r => (r.getAs[String]("region"), r.getAs[String]("city"), r.getAs[Long]("gid")))
+      .view.mapValues(_.last)
+      .collect { case (g, r) if r.getAs[Long]("_live_rows") > 0L =>
+        g -> (r.getAs[Long]("n"), r.getAs[Double]("total"), r.getAs[Long]("gc")) }
+      .toMap
+    assert(fin == Map(
+      ("eu", "ber", 0L) -> ((2L, 15.0, 0L)),
+      ("eu", "par", 0L) -> ((1L, 7.0, 0L)),
+      ("eu", null,  0L) -> ((1L, 3.0, 0L)),  // real NULL city: gc = 0
+      ("eu", null,  1L) -> ((4L, 25.0, 1L)), // eu subtotal: gc = 1 — grouping() disambiguates
+      (null, null,  3L) -> ((4L, 25.0, 1L))), s"rollup state: $fin")
+    // the us branch was live at every level after b1 and tombstoned after b2
+    val usRows = spark.table("pv_rollup").collect().toSeq.filter(r =>
+      r.getAs[String]("region") == "us" || (r.getAs[String]("region") == null && r.getAs[Long]("gid") == 3L))
+    assert(usRows.exists(r => r.getAs[String]("region") == "us" && r.getAs[Long]("_live_rows") == 0L),
+      "us groups must tombstone after their last row deletes")
+  }
+
   test("#171ap session state guard raises past spark.graft.session.maxRowsPerGroup") {
     spark.conf.set("spark.graft.session.maxRowsPerGroup", "3")
     try {
