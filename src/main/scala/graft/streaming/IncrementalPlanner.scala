@@ -2206,6 +2206,8 @@ object IncrementalPlanner {
     * k-th row if already inside it.
     */
   private final case class WPos(kind: String, valIdx: Int, nth: Int, name: String) extends WinOut
+  /** percent_rank = (rank−1)/(n−1) (0 when n=1); cume_dist = peers-through-me / n. */
+  private final case class WRel(fn: String, name: String) extends WinOut
 
   /** WINDOW-FUNCTION views — ranking (`row_number/rank/dense_rank`),
     * navigation (`lag/lead`), and aggregates (`count/sum/avg/min/max
@@ -2307,6 +2309,8 @@ object IncrementalPlanner {
           val n = intLit(b.value, "ntile buckets")
           require(n >= 1, "ntile buckets must be >= 1")
           WNtile(n, name)
+        // relative-rank family: values in [0,1], emitted as doubles
+        case ("percent_rank" | "cume_dist", Seq()) => WRel(fn, name)
         case ("first_value" | "last_value", Seq(e)) =>
           WPos(fn.stripSuffix("_value"), addVal(compileExpr(e)), 1, name)
         case ("nth_value", Seq(e, k: Literal)) =>
@@ -2314,11 +2318,12 @@ object IncrementalPlanner {
           require(nth >= 1, "nth_value position must be >= 1")
           WPos("nth", addVal(compileExpr(e)), nth, name)
         case _ => throw unsupported(
-          s"window function $fn (row_number/rank/dense_rank/ntile/lag/lead/first_value/" +
-            "last_value/nth_value/count/sum/avg/min/max)")
+          s"window function $fn (row_number/rank/dense_rank/ntile/percent_rank/cume_dist/" +
+            "lag/lead/first_value/last_value/nth_value/count/sum/avg/min/max)")
       }
     }
-    if (wins.exists(w => w.isInstanceOf[WRank] || w.isInstanceOf[WNav] || w.isInstanceOf[WNtile]))
+    if (wins.exists(w => w.isInstanceOf[WRank] || w.isInstanceOf[WNav] ||
+        w.isInstanceOf[WNtile] || w.isInstanceOf[WRel]))
       require(spec.orderSpec.nonEmpty, "ORDER BY is required for ranking/navigation window functions")
     val partFs = spec.partitionSpec.map { e =>
       compileGroupSlot(e) match {
@@ -2380,6 +2385,7 @@ object IncrementalPlanner {
         wins.map {
           case WRank(_, nm)  => nm -> element_at(col("proj"), nm).cast("long").as(nm)
           case WNtile(_, nm) => nm -> element_at(col("proj"), nm).cast("long").as(nm)
+          case WRel(_, nm)   => nm -> element_at(col("proj"), nm).cast("double").as(nm)
           case w             => w.name -> element_at(col("proj"), w.name).as(w.name)
         }
     val keep = outerNames match {
@@ -2588,6 +2594,12 @@ object IncrementalPlanner {
           val winPairs = wins.flatMap {
             case WRank(fn, nm)  => Seq(nm -> rankOf(fn)(idx).toString)
             case WNtile(b, nm)  => Seq(nm -> ntileOf(b)(idx).toString)
+            case WRel(fn, nm)   =>
+              val v =
+                if (fn == "percent_rank")
+                  if (n == 1) 0.0 else (rankArr(idx) - 1).toDouble / (n - 1)
+                else groupEnd(idx).toDouble / n // cume_dist: peers through me / n
+              Seq(nm -> v.toString)
             case w: WNav        => Option(navVal(w)(idx)).map(w.name -> _)
             case w: WPos        => Option(posVal(w)(idx)).map(w.name -> _)
             case w: WAgg        => Option(aggVals(w.name)(idx)).map(w.name -> _)

@@ -2061,18 +2061,20 @@ class IncrementalPlannerSpec extends SparkSpec {
       Change("insert", k, ts(seq.toInt), Map("name" -> name, "ev" -> ev.toString, "v" -> v.toString), seq)
     val sql = "SELECT name, ntile(3) OVER (ORDER BY ev) AS nt, " +
       "first_value(v) OVER (ORDER BY ev) AS fv, last_value(v) OVER (ORDER BY ev) AS lv, " +
-      "nth_value(v, 2) OVER (ORDER BY ev) AS nv FROM t"
+      "nth_value(v, 2) OVER (ORDER BY ev) AS nv, " +
+      "percent_rank() OVER (ORDER BY ev) AS pr, cume_dist() OVER (ORDER BY ev) AS cd FROM t"
     val b1 = Seq(ins(1L, "n1", 1, 10, 1L), ins(2L, "n2", 2, 20, 2L), ins(3L, "n3", 3, 30, 3L),
       ins(4L, "n4", 4, 40, 4L), ins(5L, "n5", 4, 50, 5L)) // k4/k5 tie on ev
     val b2 = Seq(Change("delete", 1L, ts(10), Map.empty, 6L))
     runView(sql, "pv_pos", Seq(Map("t" -> b1), Map("t" -> b2)))
     // rows k2(ev2) k3(ev3) k4(ev4) k5(ev4): last_value reads the PEER
-    // GROUP's last row (k4's lv = k5's v, the default-frame semantic)
-    assert(rankedState("pv_pos", Seq("name", "nt", "fv", "lv", "nv")) == Map(
-      (2L, "") -> Seq[Any]("n2", 1L, "20", "20", null),
-      (3L, "") -> Seq[Any]("n3", 1L, "20", "30", "30"),
-      (4L, "") -> Seq[Any]("n4", 2L, "20", "50", "30"),
-      (5L, "") -> Seq[Any]("n5", 3L, "20", "50", "30")))
+    // GROUP's last row (k4's lv = k5's v, the default-frame semantic);
+    // cume_dist counts peers-through-me (k4's cd = 4/4 WITH its peer)
+    assert(rankedState("pv_pos", Seq("name", "nt", "fv", "lv", "nv", "pr", "cd")) == Map(
+      (2L, "") -> Seq[Any]("n2", 1L, "20", "20", null, 0.0, 0.25),
+      (3L, "") -> Seq[Any]("n3", 1L, "20", "30", "30", 1.0 / 3, 0.5),
+      (4L, "") -> Seq[Any]("n4", 2L, "20", "50", "30", 2.0 / 3, 1.0),
+      (5L, "") -> Seq[Any]("n5", 3L, "20", "50", "30", 2.0 / 3, 1.0)))
   }
 
   test("#171az ranked view OVER an aggregate subquery: live top-k groups by their aggregate") {
