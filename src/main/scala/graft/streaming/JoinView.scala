@@ -335,7 +335,12 @@ object JoinView {
   // product is quadratic) — `maxRowsPerValue` raises past the bound
   // instead of letting one shard OOM at 100 TB. Join values with
   // bounded multiplicity (the common FK-like case) cost O(Δ × partners)
-  // per batch, paid only by touched buckets.
+  // per batch, paid only by touched buckets. Stage-1 keeps one
+  // ValSideState per EVER-SEEN key (dead rows included, for LWW
+  // staleness) — the same retention trade as every stage-1 fold here;
+  // on an unbounded feed, bound it the way materializeExpiring does
+  // for aggregate views (watermark + EventTimeTimeout on dead rows) —
+  // not yet wired for joins, documented rather than silent.
   // ---------------------------------------------------------------------
 
   /** Stage-1 state of one side of a value-equi join (one per change

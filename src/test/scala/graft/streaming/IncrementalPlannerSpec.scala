@@ -2149,6 +2149,30 @@ class IncrementalPlannerSpec extends SparkSpec {
       "us groups must tombstone after their last row deletes")
   }
 
+  test("#171bc ranked view OVER a value-equi join: the two new dataflows chain") {
+    // top spender per city, where city names come from a dimension feed
+    // joined by VALUE (not key): rank rows of the join's changefeed
+    val sql = "SELECT * FROM (SELECT r.cityname AS cityname, l.name AS name, " +
+      "row_number() OVER (PARTITION BY r.cityname ORDER BY l.amount DESC) AS rn " +
+      "FROM t1 l JOIN t2 r ON l.city = r.code) x WHERE rn <= 1"
+    def person(k: Long, city: String, name: String, amount: Int, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> city, "name" -> name, "amount" -> amount.toString), seq)
+    def dim(k: Long, code: String, cityname: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("code" -> code, "cityname" -> cityname), seq)
+    val b1 = Seq(person(1L, "b", "ann", 10, 1L), person(2L, "b", "bob", 30, 2L), person(3L, "p", "cat", 7, 3L))
+    val c1 = Seq(dim(1L, "b", "Berlin", 1L), dim(2L, "p", "Paris", 2L))
+    val b2 = Seq(Change("delete", 2L, ts(10), Map.empty, 4L)) // leader dies → ann promotes
+    runView(sql, "pv_rankjoin", Seq(Map("t1" -> b1, "t2" -> c1), Map("t1" -> b2)))
+    val fin = rankedState("pv_rankjoin", Seq("cityname", "name", "rn"))
+      .map { case (_, v) => v }.toSeq.sortBy(_.mkString("|"))
+    assert(fin == Seq(Seq[Any]("Berlin", "ann", 1L), Seq[Any]("Paris", "cat", 1L)), s"got $fin")
+    // bob led Berlin before the delete
+    val berlinNames = spark.table("pv_rankjoin").collect().toSeq
+      .filter(r => r.getAs[String]("op") == "upsert" && r.getAs[String]("cityname") == "Berlin")
+      .map(_.getAs[String]("name"))
+    assert(berlinNames.contains("bob") && berlinNames.lastOption.contains("ann"), s"berlin: $berlinNames")
+  }
+
   test("#171ap session state guard raises past spark.graft.session.maxRowsPerGroup") {
     spark.conf.set("spark.graft.session.maxRowsPerGroup", "3")
     try {
