@@ -78,7 +78,8 @@ case class SessionEmitted(endUs: Long, n: Long, sums: Seq[Double])
   * the same honest full-state class as exact top-k under retraction),
   * plus the session rows last emitted, for diff-only re-emission.
   */
-case class SessionGroupState(contribs: Map[Long, SessionContrib], emitted: Map[Long, SessionEmitted])
+case class SessionGroupState(contribs: Map[Long, SessionContrib], emitted: Map[Long, SessionEmitted],
+    posTs: Long = 0L, posSeq: Long = 0L)
 
 /** One emitted change of a planned session-window view: the session's
   * identity is `(group, startUs)`; `live_rows = 0` is its tombstone
@@ -102,8 +103,11 @@ case class RankedKeyChange(group: String, key: Long, sortVals: Seq[String],
 /** One live member of a ranked partition's state. */
 case class RankedEntry(sortVals: Seq[String], proj: Map[String, String])
 
-/** A ranked row as last emitted for one key: rank + payload, the diff
-  * target (a key re-emits only when either changed).
+/** A ranked row as last emitted for one key — the diff target (a key
+  * re-emits only when its visible output changed). `proj` carries the
+  * window columns too; `rn` is vestigial (kept 0 — the absolute sort
+  * position must NOT join the identity, or tie-group-internal shifts
+  * re-emit byte-identical rows).
   */
 case class RankedEmit(rn: Long, proj: Map[String, String])
 
@@ -1049,9 +1053,11 @@ object IncrementalPlanner {
     case p: Project if globalAgg(p).isEmpty => (rowChangesOf(spark, p, feeds)._1, "")
     // an AGGREGATE-class subquery as a join side: its changefeed is
     // keyed by the group-identity hash, so it only joins through the
-    // VALUE-equi shape (join on its GROUP COLUMNS — `a.city = b.city`);
-    // the key/fk-shaped conditions reject it (see [[isAggPlan]] guards)
+    // VALUE-equi shape (join on its GROUP COLUMNS — `a.city = b.city`,
+    // or an output column of a GROUP-BY-less global aggregate); the
+    // key/fk-shaped conditions reject it (see [[isAggPlan]] guards)
     // instead of silently joining hash garbage.
+    case p: Project if globalAgg(p).isDefined => (aggChangesOf(spark, p, feeds)._1, "")
     case a: Aggregate => (aggChangesOf(spark, a, feeds)._1, "")
     case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
       (aggChangesOf(spark, h, feeds)._1, "")
@@ -1533,7 +1539,16 @@ object IncrementalPlanner {
           if (acc.exists(_.sql == e.sql)) acc else acc :+ e
         }
         val baseSql = base.map(_.sql)
-        (base, sets.map(_.map(e => baseSql.indexOf(e.sql)).filter(_ >= 0)))
+        val lvls    = sets.map(_.map(e => baseSql.indexOf(e.sql)).filter(_ >= 0))
+        // duplicate levels (GROUPING SETS ((a),(a)), ROLLUP(a,a), or
+        // order-permuted sets) would double-count into ONE group key,
+        // where batch SQL emits duplicate ROWS — a shape a keyed
+        // changefeed cannot represent; reject instead of answer wrong
+        require(lvls.map(_.toSet).distinct.length == lvls.length,
+          "duplicate grouping sets (two levels grouping the same columns) are unsupported: " +
+            "a keyed changefeed has one row per group, where batch SQL emits duplicates — " +
+            "drop the repeated set")
+        (base, lvls)
       case Seq(one, rest @ _*) if (one +: rest).exists(_.isInstanceOf[BaseGroupingSets]) =>
         throw unsupported("mixing plain GROUP BY expressions with ROLLUP/CUBE/GROUPING SETS " +
           "(put every grouping column inside the GROUPING SETS clause)")
@@ -1747,6 +1762,7 @@ object IncrementalPlanner {
       }
       case _ => throw new IllegalStateException("unreachable: partitioned on UnresolvedFunction")
     }
+    require(gapUs > 0, "session_window gap must be positive")
     val scalarSlots = scalarExprs.map(compileGroupSlot)
     require(scalarSlots.forall(_.isInstanceOf[ScalarSlot]),
       "session_window does not combine with window(...) groupings")
@@ -1845,8 +1861,12 @@ object IncrementalPlanner {
       changes: Iterator[PlannedKeyChange],
       state: GroupState[SessionGroupState]): Iterator[SessionRow] = {
     val s0     = state.getOption.getOrElse(SessionGroupState(Map.empty, Map.empty))
-    var posTs  = 0L
-    var posSeq = 0L
+    // monotone per-group position (the rankFold/valBucket discipline):
+    // a straggler batch must not stamp session re-emissions older than
+    // the group's past emissions, or a per-identity LWW consumer drops
+    // the newer row
+    var posTs  = s0.posTs
+    var posSeq = s0.posSeq
     val after = changes.foldLeft(s0.contribs) { (m, c) =>
       if (c.tsUs > posTs || (c.tsUs == posTs && c.seq > posSeq)) { posTs = c.tsUs; posSeq = c.seq }
       if (c.live) m + (c.key -> SessionContrib(c.slots.head.toLong, c.slots.tail))
@@ -1892,8 +1912,10 @@ object IncrementalPlanner {
         case (st, e) if !s0.emitted.get(st).contains(e) =>
           SessionRow(group, st, e.endUs, e.n, e.sums, posTs, posSeq)
       }
-      if (after.isEmpty) state.remove()
-      else state.update(SessionGroupState(after, newEmitted))
+      // keep the high-water mark even when the group empties: a
+      // repopulated group must not emit "older" changes than its own
+      // past tombstones
+      state.update(SessionGroupState(after, newEmitted, posTs, posSeq))
       dead ++ lived
     }
   }
@@ -2604,7 +2626,11 @@ object IncrementalPlanner {
             case w: WPos        => Option(posVal(w)(idx)).map(w.name -> _)
             case w: WAgg        => Option(aggVals(w.name)(idx)).map(w.name -> _)
           }
-          k -> RankedEmit(idx + 1L, e.proj ++ winPairs)
+          // rn is NOT part of the diff identity: a selected ranking
+          // column already lives in the map, and storing the absolute
+          // position would re-emit byte-identical rows whenever a
+          // tie-group's internal order shifts
+          k -> RankedEmit(0L, e.proj ++ winPairs)
       }.toMap
       val dead = (s0.emitted.keySet -- newEmit.keySet).iterator.map(k =>
         RankedRowChange("delete", k, group, 0L, Map.empty, posTs, posSeq))
@@ -2853,12 +2879,11 @@ object IncrementalPlanner {
   /** Stable 64-bit FNV-1a hash of the group string — the change key of
     * an aggregate view's changefeed (group identity as a Long key).
     */
-  private def fnv64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  /** FNV-1a 64 content addresses — the one shared implementation
+    * ([[JoinView.fnv64]]); two copies would let a future tweak silently
+    * diverge sibling dataflows' addresses.
+    */
+  private def fnv64(s: String): Long = JoinView.fnv64(s)
 
   /** An AGGREGATE view as a [[Change]] stream — the other half of the
     * composition story (see [[materializeChanges]] for row views): each

@@ -368,9 +368,10 @@ object JoinView {
   private val NullSalt   = 64L
 
   /** FNV-1a 64-bit (public-domain spec), the content address of pair and
-    * solo identities.
+    * solo identities. Package-shared — [[IncrementalPlanner]] uses the
+    * same addresses for group hashes and branch re-keying.
     */
-  private def fnv64(s: String): Long = {
+  private[streaming] def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }

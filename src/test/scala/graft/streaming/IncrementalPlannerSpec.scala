@@ -2173,6 +2173,40 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(berlinNames.contains("bob") && berlinNames.lastOption.contains("ann"), s"berlin: $berlinNames")
   }
 
+  test("#171bd review fixes: global-agg join sides, duplicate grouping sets + zero gap reject") {
+    // a GROUP-BY-less aggregate subquery joins through the value shape:
+    // rows matching the CURRENT global max — the dynamic-threshold join
+    val sql = "SELECT l.name AS name FROM t1 l JOIN (SELECT max(code) AS code FROM t2) m " +
+      "ON l.city = m.code"
+    val b1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "1.0", "name" -> "x"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "2.0", "name" -> "y"), 2L))
+    val c1 = Seq(
+      Change("insert", 1L, ts(0), Map("code" -> "1"), 1L),
+      Change("insert", 2L, ts(1), Map("code" -> "2"), 2L))
+    val c2 = Seq(Change("delete", 2L, ts(10), Map.empty, 3L)) // max falls 2.0 → 1.0
+    runView(sql, "pv_gagg_join", Seq(Map("t1" -> b1, "t2" -> c1), Map("t2" -> c2)))
+    assert(rowBag("pv_gagg_join", Seq("name")) == Seq(Seq[Any]("x")))
+    val names = spark.table("pv_gagg_join").collect().toSeq
+      .filter(_.getAs[String]("op") == "upsert").map(_.getAs[String]("name"))
+    assert(names.contains("y"), "y matched the old max before the retraction")
+
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feeds = Map("t" -> MemoryStream[Change].toDS())
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT city, count(*) AS n FROM t GROUP BY GROUPING SETS ((city), (city))", feeds)
+    }
+    assert(e1.getMessage.contains("duplicate grouping sets"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT session_window(ev, '0 seconds') AS sw, count(*) AS n FROM t " +
+          "GROUP BY session_window(ev, '0 seconds')", feeds)
+    }
+    assert(e2.getMessage.contains("positive"), e2.getMessage)
+  }
+
   test("#171ap session state guard raises past spark.graft.session.maxRowsPerGroup") {
     spark.conf.set("spark.graft.session.maxRowsPerGroup", "3")
     try {
