@@ -160,6 +160,7 @@ object SparkEntry {
     "q83_ohlc_hourly"           -> ((s, d) => Temporal.ohlc(GraftSession.tune(s), d)),
     "q84_triangle_stats"        -> ((s, d) => Relational.triangleStats(GraftSession.tune(s), d)),
     "q85_skew_diagnostics"      -> ((s, d) => Relational.skewDiagnostics(GraftSession.tune(s), d)),
+    "q88_gapfill_locf"          -> ((s, d) => Temporal.gapFill(GraftSession.tune(s), d)),
     "t13_gopher_quality"        -> ((s, d) => TextAnalysis.gopherQuality(GraftSession.tune(s), d)),
   )
 
@@ -1428,6 +1429,23 @@ object SparkEntry {
         |    AND sym_r <= 0.1 AND alpha_f >= 0.8 AND n_stop >= 2
         |    THEN 1 ELSE 0 END AS INT) AS passes_gopher
         |FROM m""".stripMargin,
+    // q88: LOCF gap-fill — per-hour last tick (row_number desc), lead()
+    // to the next observed hour, generate_series over the half-open
+    // span; the value is carried verbatim so the hash is bit-exact.
+    "q88_gapfill_locf" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |  epoch_us(ts) AS tsu, event_id, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, h
+        |    ORDER BY tsu DESC, event_id DESC) AS rn FROM e),
+        |s AS (SELECT user_id, h, value,
+        |  lead(h) OVER (PARTITION BY user_id ORDER BY h) AS nh
+        |  FROM r WHERE rn = 1)
+        |SELECT user_id,
+        |  strftime(unnest(generate_series(h,
+        |    coalesce(nh - INTERVAL 1 HOUR, h), INTERVAL 1 HOUR)),
+        |    '%Y-%m-%d %H:%M:%S') AS grid_hour,
+        |  value AS value_locf
+        |FROM s""".stripMargin,
     "q83_ohlc_hourly" ->
       """WITH e AS (SELECT user_id,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -529,4 +529,45 @@ object Temporal {
       .select(col("src"), col("dst"), col("n"),
         round(col("n").cast("double") / col("tot"), 6).as("p"))
   }
+
+  /** q88: time-grid gap-fill — resample each key's irregular feed onto a
+    * dense hourly grid with last-observation-carried-forward (LOCF), the
+    * canonical "as-of state at every tick of the clock" view a changefeed
+    * store serves to dashboards and joins feature pipelines against.
+    *
+    * Shape: per (user, hour) keep the LAST tick under the deterministic
+    * (tsu, event_id) order; one per-user lead() finds the next observed
+    * hour; each observed hour then EXPANDS to the half-open span
+    * [hour, next_hour) via sequence+explode, every grid hour carrying the
+    * observed value verbatim (no arithmetic — bit-exact across engines).
+    * The last observed hour emits only itself (nothing to carry beyond
+    * the feed's horizon; grid ends at the key's own last observation).
+    *
+    * Scale: the dense grid is NEVER joined or shuffled — both windows
+    * ride partitions keyed by user over the SPARSE observed-hour rows
+    * (bounded by distinct hours with data, not grid size), and the dense
+    * rows exist only as generator output on the scan side. Contrast the
+    * textbook form (calendar table LEFT JOIN feed, then a window over the
+    * dense grid): that shuffles #keys x #grid-hours rows; this shuffles
+    * only observed hours. Span expansion is embarrassingly parallel.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val wDesc = Window.partitionBy("user_id", "h")
+      .orderBy(col("tsu").desc, col("event_id").desc)
+    val lastPerHour = events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("tsu"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+    val wUser = Window.partitionBy("user_id").orderBy(col("h"))
+    lastPerHour
+      .withColumn("nh", lead("h", 1).over(wUser))
+      .select(col("user_id"), col("value"),
+        explode(expr(
+          "sequence(h, coalesce(nh - interval 1 hour, h), interval 1 hour)"))
+          .as("gh"))
+      .select(col("user_id"),
+        date_format(col("gh"), "yyyy-MM-dd HH:mm:ss").as("grid_hour"),
+        col("value").as("value_locf"))
+  }
 }

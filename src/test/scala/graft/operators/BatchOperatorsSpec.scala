@@ -266,6 +266,33 @@ class TemporalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_ticks")).sum == total, "bars must account for every tick")
   }
 
+  test("q88 gap-fill: dense hourly grid per user, every hour carries the latest at-or-before value") {
+    val got = Temporal.gapFill(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("grid_hour")) -> r.getAs[Double]("value_locf"))
+      .toMap
+    // single-threaded reference: per-hour last tick under (tsu, event_id), then LOCF
+    val HourUs = 3600L * 1000000L
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = evs.groupBy(_._1).flatMap { case (uid, es) =>
+      val byHour = es.groupBy(e => Math.floorDiv(e._2, HourUs))
+        .map { case (h, g) => h -> g.maxBy(x => (x._2, x._3))._4 }
+      var cur = 0.0
+      (byHour.keys.min to byHour.keys.max).map { h =>
+        byHour.get(h).foreach(v => cur = v)
+        val label = java.time.LocalDateTime
+          .ofEpochSecond(h * 3600L, 0, java.time.ZoneOffset.UTC).format(fmt)
+        (uid, label) -> cur
+      }
+    }
+    assert(got.size == expected.size, s"grid size ${got.size} vs reference ${expected.size}")
+    expected.foreach { case (k, v) =>
+      assert(got.get(k).contains(v), s"grid cell $k: got ${got.get(k)} expected $v")
+    }
+  }
+
   test("q82 TWAP: matches a driver-side integration; bounded by the key's value range") {
     val got = Temporal.twap(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
