@@ -536,14 +536,54 @@ object IncrementalPlanner {
       // the composite VALUE-equi dataflow: one arrangement on the
       // Sep-joined tuple of equality values (SQL semantics fall out: a
       // NULL in ANY equality operand → no tuple → never matches)
-      def valueJoin(pairs: Seq[(Expression, Expression)]): Dataset[Change] = {
-        val maxRows = spark.conf.get("spark.graft.equijoin.maxRowsPerValue", "1000000").toInt
+      def valueJoin(pairs: Seq[(Expression, Expression)],
+          maxRowsOverride: Option[Int] = None): Dataset[Change] = {
+        val maxRows = maxRowsOverride.getOrElse(
+          spark.conf.get("spark.graft.equijoin.maxRowsPerValue", "1000000").toInt)
         JoinView.materializeValueJoin(lsrc._1, rsrc._1,
           joinValExtract(pairs.map(_._1), lsrc._2), joinValExtract(pairs.map(_._2), rsrc._2),
           pLeft, pRight, maxRows).map { jc =>
           Change(if (jc.op == "delete") "delete" else "upsert", jc.key,
             tsOfMicros(jc.tsUs), merged(jc.l_payload, jc.r_payload), jc.seq)
         }
+      }
+      // a pair failing the ON residual is NOT in the view: its upsert
+      // becomes a (possibly redundant, idempotent) delete of the same
+      // pair identity
+      def applyResidual(base: Dataset[Change], residual: Seq[Expression]): Dataset[Change] = {
+        val resPreds = residual.map(compileExpr)
+        implicit val changeEnc = Encoders.product[Change]
+        base.map { ch =>
+          if (ch.op == "delete") ch
+          else {
+            val env = envOf(ch)
+            if (resPreds.forall(p => p(env).contains(true))) ch
+            else ch.copy(op = "delete", payload = Map.empty)
+          }
+        }
+      }
+      // a PURE non-equi ON (`e.v BETWEEN b.lo AND b.hi`, `a.x < b.y`)
+      // has no value to shard by: both feeds arrange under ONE constant
+      // join value — the incrementally maintained N:M cross product —
+      // and the entire ON condition decides pair survival as a live
+      // residual (either side moving across the cut retracts/admits the
+      // pair). INNER only: match status IS the residual, which a
+      // post-filter cannot resurrect for a preserved side. The
+      // arrangement guard now counts EVERY live row of both feeds, so
+      // `spark.graft.crossjoin.maxRows` (default 100k, deliberately
+      // tighter than the per-value equi bound) is the explicit scale
+      // contract: past it the state RAISES, pointing at banding — add a
+      // derived equi conjunct (e.g. a shared coarse bucket of the range
+      // column) to shard the arrangement — instead of OOMing one shard
+      // at 100 TB. Aggregate subquery sides join fine (a cross pair
+      // never reads keys): `JOIN (SELECT avg(x) AS cut FROM t) s ON
+      // e.v > s.cut` is the dynamic-threshold view in join form.
+      def crossResidual(conj: Seq[Expression]): Dataset[Change] = {
+        if (pLeft || pRight) throw unsupported(
+          "pure non-equi OUTER join (match status IS the residual; rewrite as INNER " +
+            "plus a downstream anti-join view for the unmatched side)")
+        val maxRows = spark.conf.get("spark.graft.crossjoin.maxRows", "100000").toInt
+        applyResidual(valueJoin(Seq((Literal(0), Literal(0))), Some(maxRows)), conj)
       }
       def singleCond(c0: Expression): Dataset[Change] = c0 match {
         // table ⋈ table on the shared change key — the #85 dataflow; an
@@ -589,9 +629,10 @@ object IncrementalPlanner {
         // aggregate subquery side supports (join on its group columns).
         case EqualTo(e1, e2) =>
           valueJoin(Seq(assignJoinSides(e1, e2, lsrc._2, rsrc._2)))
-        case other => throw unsupported(
-          s"join condition ${other.sql} (supported: <a>.key = <b>.key, <fact>.<fkField> = <dim>.key, " +
-            "or <expr over a> = <expr over b> value-equi)")
+        // anything else is a pure non-equi condition — the guarded
+        // cross arrangement (compileExpr rejects genuinely unsupported
+        // vocabulary inside it with its own message)
+        case other => crossResidual(Seq(other))
       }
       def splitAnd(e: Expression): Seq[Expression] = e match {
         case And(a, b) => splitAnd(a) ++ splitAnd(b)
@@ -615,28 +656,13 @@ object IncrementalPlanner {
           if (keyish) throw unsupported(
             "multi-conjunct ON with a key/fk-shaped equality — join on the key/fk condition " +
               "alone and move the remaining predicates to WHERE")
-          if (equis.isEmpty) throw unsupported(
-            s"join condition ${cond.sql} has no equality conjunct (pure non-equi joins are " +
-              "outside the subset)")
-          if (residual.nonEmpty && (pLeft || pRight)) throw unsupported(
-            "non-equi ON residual with an OUTER join (the residual decides match status, not " +
-              "row visibility; rewrite as an inner join plus WHERE, or prefilter the other side)")
-          val base = valueJoin(equis.map { case EqualTo(a, b) => assignJoinSides(a, b, lsrc._2, rsrc._2) })
-          if (residual.isEmpty) base
+          if (equis.isEmpty) crossResidual(conj)
           else {
-            // a pair failing the residual is NOT in the view: its upsert
-            // becomes a (possibly redundant, idempotent) delete of the
-            // same pair identity
-            val resPreds = residual.map(compileExpr)
-            implicit val changeEnc = Encoders.product[Change]
-            base.map { ch =>
-              if (ch.op == "delete") ch
-              else {
-                val env = envOf(ch)
-                if (resPreds.forall(p => p(env).contains(true))) ch
-                else ch.copy(op = "delete", payload = Map.empty)
-              }
-            }
+            if (residual.nonEmpty && (pLeft || pRight)) throw unsupported(
+              "non-equi ON residual with an OUTER join (the residual decides match status, not " +
+                "row visibility; rewrite as an inner join plus WHERE, or prefilter the other side)")
+            val base = valueJoin(equis.map { case EqualTo(a, b) => assignJoinSides(a, b, lsrc._2, rsrc._2) })
+            if (residual.isEmpty) base else applyResidual(base, residual)
           }
       }
       Source(joined, Nil)

@@ -1673,13 +1673,15 @@ class IncrementalPlannerSpec extends SparkSpec {
       IncrementalPlanner.materialize(spark, "SELECT city, median(amount) AS s FROM activity GROUP BY city", feeds)
     }
     assert(e1.getMessage.contains("median"))
-    // non-equi join predicates stay outside the subset (value-EQUI
-    // `l.name = r.city` compiles since r7 — see #171at)
+    // unsupported expression vocabulary inside an ON still fails fast
+    // (pure non-equi COMPARISONS compile to the guarded cross
+    // arrangement since r7 — see #171be)
     val e2 = intercept[IllegalArgumentException] {
       IncrementalPlanner.materialize(
-        spark, "SELECT l.name FROM users l JOIN activity r ON l.name < r.city", feeds + ("users" -> feeds("activity")))
+        spark, "SELECT l.name FROM users l JOIN activity r ON levenshtein(l.name, r.city) < 2",
+        feeds + ("users" -> feeds("activity")))
     }
-    assert(e2.getMessage.contains("join condition"))
+    assert(e2.getMessage.contains("levenshtein"))
   }
 
   // ----------------------------------------------------------------
@@ -2218,5 +2220,55 @@ class IncrementalPlannerSpec extends SparkSpec {
         .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
       assert(msgs.contains("maxRowsPerGroup"), s"expected the guard's raise, got: $msgs")
     } finally spark.conf.unset("spark.graft.session.maxRowsPerGroup")
+  }
+
+  test("#171be pure non-equi join: cross arrangement, live residual, outer rejected, guard raises") {
+    // range-band enrichment — the classic ON BETWEEN shape
+    val sql = "SELECT l.name AS name, r.band AS band FROM t1 l JOIN t2 r " +
+      "ON l.v >= r.lo AND l.v < r.hi"
+    val b1 = Seq(
+      Change("insert", 1L, ts(0), Map("name" -> "a", "v" -> "5"), 1L),
+      Change("insert", 2L, ts(1), Map("name" -> "b", "v" -> "15"), 2L))
+    val c1 = Seq(
+      Change("insert", 1L, ts(0), Map("band" -> "low", "lo" -> "0", "hi" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("band" -> "high", "lo" -> "10", "hi" -> "20"), 2L))
+    runView(sql, "pv_nonequi", Seq(Map("t1" -> b1, "t2" -> c1)))
+    assert(rowBag("pv_nonequi", Seq("name", "band")) ==
+      Seq(Seq[Any]("a", "low"), Seq[Any]("b", "high")))
+    // the residual is LIVE: v crossing the band boundary retracts low, admits high
+    runView(sql, "pv_nonequi2", Seq(
+      Map("t1" -> b1, "t2" -> c1),
+      Map("t1" -> Seq(Change("update", 1L, ts(10), Map("name" -> "a", "v" -> "12"), 3L)))))
+    assert(rowBag("pv_nonequi2", Seq("name", "band")) ==
+      Seq(Seq[Any]("a", "high"), Seq[Any]("b", "high")))
+    // a band RESIZING retracts/admits pairs from the other side too
+    runView(sql, "pv_nonequi3", Seq(
+      Map("t1" -> b1, "t2" -> c1),
+      Map("t2" -> Seq(Change("update", 2L, ts(10),
+        Map("band" -> "high", "lo" -> "16", "hi" -> "20"), 3L)))))
+    assert(rowBag("pv_nonequi3", Seq("name", "band")) == Seq(Seq[Any]("a", "low")))
+    // single-conjunct non-equi routes the same way
+    runView("SELECT l.name AS name, r.band AS band FROM t1 l JOIN t2 r ON l.v < r.lo",
+      "pv_nonequi4", Seq(Map("t1" -> b1, "t2" -> c1)))
+    assert(rowBag("pv_nonequi4", Seq("name", "band")) == Seq(Seq[Any]("a", "high")))
+
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feeds = Map("t1" -> MemoryStream[Change].toDS(), "t2" -> MemoryStream[Change].toDS())
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT l.name AS name FROM t1 l LEFT JOIN t2 r ON l.v < r.lo", feeds)
+    }
+    assert(e1.getMessage.contains("pure non-equi OUTER"), e1.getMessage)
+    // the cross arrangement's own (tighter) guard raises past maxRows
+    spark.conf.set("spark.graft.crossjoin.maxRows", "2")
+    try {
+      val e2 = intercept[Exception] {
+        runView(sql, "pv_nonequi_guard", Seq(Map("t1" -> b1, "t2" -> c1)))
+      }
+      val msgs = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("maxRows"), s"expected the arrangement guard's raise, got: $msgs")
+    } finally spark.conf.unset("spark.graft.crossjoin.maxRows")
   }
 }
