@@ -518,9 +518,9 @@ object IncrementalPlanner {
         case org.apache.spark.sql.catalyst.plans.LeftOuter  => (true, false)
         case org.apache.spark.sql.catalyst.plans.RightOuter => (false, true)
         case org.apache.spark.sql.catalyst.plans.FullOuter  => (true, true)
+        case org.apache.spark.sql.catalyst.plans.Cross      => (false, false)
         case other => throw unsupported(s"join type $other")
       }
-      val cond = j.condition.getOrElse(throw unsupported("join without ON"))
       val (lsrc, rsrc) = (leaf(spark, j.left, feeds), leaf(spark, j.right, feeds))
       implicit val changeEnc = Encoders.product[Change]
       // a nested-join side has no alias of its own (its fields are
@@ -583,7 +583,8 @@ object IncrementalPlanner {
           "pure non-equi OUTER join (match status IS the residual; rewrite as INNER " +
             "plus a downstream anti-join view for the unmatched side)")
         val maxRows = spark.conf.get("spark.graft.crossjoin.maxRows", "100000").toInt
-        applyResidual(valueJoin(Seq((Literal(0), Literal(0))), Some(maxRows)), conj)
+        val base = valueJoin(Seq((Literal(0), Literal(0))), Some(maxRows))
+        if (conj.isEmpty) base else applyResidual(base, conj)
       }
       def singleCond(c0: Expression): Dataset[Change] = c0 match {
         // table ⋈ table on the shared change key — the #85 dataflow; an
@@ -638,7 +639,10 @@ object IncrementalPlanner {
         case And(a, b) => splitAnd(a) ++ splitAnd(b)
         case o         => Seq(o)
       }
-      val joined = splitAnd(cond) match {
+      // an explicit CROSS JOIN (no ON at all) is the unfiltered cross
+      // arrangement — same dataflow, same maxRows guard
+      val joined = j.condition.map(splitAnd).getOrElse(Seq.empty) match {
+        case s if s.isEmpty => crossResidual(Nil)
         case Seq(single) => singleCond(single)
         // multi-conjunct ON: all equalities arrange ONE composite value
         // (a.x = b.x AND a.y = b.y shards by the (x, y) tuple); non-equi

@@ -2251,6 +2251,13 @@ class IncrementalPlannerSpec extends SparkSpec {
     runView("SELECT l.name AS name, r.band AS band FROM t1 l JOIN t2 r ON l.v < r.lo",
       "pv_nonequi4", Seq(Map("t1" -> b1, "t2" -> c1)))
     assert(rowBag("pv_nonequi4", Seq("name", "band")) == Seq(Seq[Any]("a", "high")))
+    // explicit CROSS JOIN: all pairs, a delete retracts its row's pairs
+    runView("SELECT l.name AS name, r.band AS band FROM t1 l CROSS JOIN t2 r",
+      "pv_cross", Seq(
+        Map("t1" -> b1, "t2" -> c1),
+        Map("t2" -> Seq(Change("delete", 1L, ts(10), Map.empty, 3L)))))
+    assert(rowBag("pv_cross", Seq("name", "band")) ==
+      Seq(Seq[Any]("a", "high"), Seq[Any]("b", "high")))
 
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
