@@ -737,13 +737,17 @@ object IncrementalPlanner {
     * scalar and NOT-IN-counter layers are constant-FK: hop 2 holds
     * every subscribed row on ONE state shard, the honest cost of a
     * total predicate over a moving global scalar (Materialize's
-    * cross-join lowering class); bound the row space via an inner
-    * derived table, or keep such predicates to views whose row count
-    * one shard holds.
+    * cross-join lowering class). `spark.graft.subquery.maxRowsPerShard`
+    * (default 1e6) bounds every layer's per-shard subscription state —
+    * past the bound the fold RAISES (naming the derived-table-prefilter
+    * rewrite) instead of letting one shard OOM silently, the same
+    * discipline as the session/ranked/value-join/cross guards.
     */
   private final class SubqueryHoister(spark: SparkSession, feeds: Map[String, Dataset[Change]]) {
     private implicit val changeEnc: org.apache.spark.sql.Encoder[Change] = Encoders.product[Change]
     private val layers = scala.collection.mutable.ArrayBuffer.empty[Dataset[Change] => Dataset[Change]]
+    private val maxShardRows =
+      spark.conf.get("spark.graft.subquery.maxRowsPerShard", "1000000").toInt
     private var n = 0
 
     def isEmpty: Boolean = layers.isEmpty
@@ -778,7 +782,8 @@ object IncrementalPlanner {
         val subscribed = facts.map(c =>
           if (c.op == "delete") c
           else c.copy(payload = c.payload + (fkField -> fnv64(probe(envOf(c))).toString)))
-        JoinView.materializeFkJoin(subscribed, dim, fkField, leftOuter = true).map { jc =>
+        JoinView.materializeFkJoin(subscribed, dim, fkField, leftOuter = true,
+            maxFactsPerKey = maxShardRows).map { jc =>
           Change(if (jc.op == "delete") "delete" else "upsert", jc.fact_key,
             tsOfMicros(jc.tsUs), (jc.fact_payload - fkField) ++ jc.dim_payload, jc.seq)
         }
@@ -2738,6 +2743,15 @@ object IncrementalPlanner {
     * maintained streaming view. See the object doc for the supported
     * subset and semantics; unsupported SQL fails fast with a message
     * naming the offending construct.
+    *
+    * Reserved characters: the engine encodes group keys as strings with
+    * the control characters U+0000 (SQL NULL value), U+0001 (part
+    * separator), and U+0002 (rolled-up grouping column) as in-band
+    * markers. A GROUPING VALUE that itself contains one of these three
+    * control characters can collide with the markers (a value equal to
+    * U+0002 renders as a rolled-up NULL level, for example). Real data
+    * virtually never carries C0 controls — but if yours can, strip or
+    * escape them upstream; this contract line is the honest boundary.
     */
   def materialize(spark: SparkSession, sql: String,
       feeds: Map[String, Dataset[Change]]): PlannedView = {

@@ -226,7 +226,7 @@ object JoinView {
     * upsert (joined ↔ NULL row) out to the subscribed facts instead of
     * inserting/retracting them.
     */
-  def foldFkGroup(leftOuter: Boolean)(fk: Long, events: Iterator[FkEvent], state: GroupState[FkState]): Iterator[FkJoinedChange] = {
+  def foldFkGroup(leftOuter: Boolean, maxFacts: Int = Int.MaxValue)(fk: Long, events: Iterator[FkEvent], state: GroupState[FkState]): Iterator[FkJoinedChange] = {
     val s0       = state.getOption.getOrElse(FkState(None, Map.empty))
     var dim      = s0.dim
     var facts    = s0.facts
@@ -253,6 +253,13 @@ object JoinView {
       if (leftOuter) fs.map { case (k, p) => k -> (p, dimPayload.getOrElse(Map.empty[String, String])) }
       else dimPayload.map(dp => fs.map { case (k, p) => k -> (p, dp) }).getOrElse(Map.empty)
     }
+    require(facts.size <= maxFacts,
+      s"fk-join group holds ${facts.size} subscribed rows, over the maxRowsPerShard bound " +
+        s"$maxFacts — a constant- or hot-FK subscription arranges every subscribed row on ONE " +
+        "state shard (the total-predicate cost of an uncorrelated scalar / NOT-IN counter " +
+        "layer); bound the row space with an inner derived-table prefilter " +
+        "(FROM (SELECT ... WHERE <selective>)), or raise spark.graft.subquery.maxRowsPerShard " +
+        "deliberately")
     val prevVisible: Map[Long, (Map[String, String], Map[String, String])] = visibleSet(s0.dim, s0.facts)
     val nowVisible: Map[Long, (Map[String, String], Map[String, String])]  = visibleSet(dim, facts)
     if (facts.isEmpty && dim.isEmpty) state.remove() else state.update(FkState(dim, facts))
@@ -283,7 +290,8 @@ object JoinView {
       facts: Dataset[Change],
       dims: Dataset[Change],
       fkField: String = "fk",
-      leftOuter: Boolean = false): Dataset[FkJoinedChange] = {
+      leftOuter: Boolean = false,
+      maxFactsPerKey: Int = Int.MaxValue): Dataset[FkJoinedChange] = {
     implicit val factStateEnc = Encoders.product[FactState]
     implicit val fkEventEnc   = Encoders.product[FkEvent]
     implicit val fkStateEnc   = Encoders.product[FkState]
@@ -296,7 +304,7 @@ object JoinView {
     subs
       .union(dimEvents)
       .groupByKey(_.fk)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(foldFkGroup(leftOuter))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(foldFkGroup(leftOuter, maxFactsPerKey))
   }
 
   // ---------------------------------------------------------------------
@@ -361,11 +369,15 @@ object JoinView {
   case class ValBucketState(lrows: Map[Long, Map[String, String]],
       rrows: Map[Long, Map[String, String]], posTs: Long, posSeq: Long)
 
-  /** Reserved bucket prefix for preserved rows whose join value is SQL
-    * NULL (never matches; salted by key so solos spread across shards).
+  /** Bucket namespace: every real join value arranges under "V"+value,
+    * preserved-NULL rows under "N"+salt — disjoint prefixes, so NULL
+    * classification can never collide with a genuine join value (a
+    * free-text value starting with any sentinel is still "V"-prefixed).
+    * Salting by key spreads NULL solos across shards.
     */
-  private val NullBucket = " N "
-  private val NullSalt   = 64L
+  private val ValueBucketPrefix = "V"
+  private val NullBucketPrefix  = "N"
+  private val NullSalt          = 64L
 
   /** FNV-1a 64-bit (public-domain spec), the content address of pair and
     * solo identities. Package-shared — [[IncrementalPlanner]] uses the
@@ -391,9 +403,9 @@ object JoinView {
         cur =
           if (c.op == "delete") Some(ValSideState("", Map.empty, tsUs, c.seq, live = false))
           else joinValOf(c) match {
-            case Some(v)            => Some(ValSideState(v, c.payload, tsUs, c.seq, live = true))
+            case Some(v)            => Some(ValSideState(ValueBucketPrefix + v, c.payload, tsUs, c.seq, live = true))
             case None if preserved  => // NULL join value, outer-preserved: solo-only salted bucket
-              Some(ValSideState(NullBucket + (key % NullSalt), c.payload, tsUs, c.seq, live = true))
+              Some(ValSideState(NullBucketPrefix + (key % NullSalt), c.payload, tsUs, c.seq, live = true))
             case None               => Some(ValSideState("", Map.empty, tsUs, c.seq, live = false))
           }
       }
@@ -416,7 +428,7 @@ object JoinView {
       bucket: String,
       changes: Iterator[ValEvent],
       state: GroupState[ValBucketState]): Iterator[JoinedChange] = {
-    val isNull = bucket.startsWith(NullBucket)
+    val isNull = bucket.startsWith(NullBucketPrefix)
     val s0     = state.getOption.getOrElse(ValBucketState(Map.empty, Map.empty, 0L, 0L))
     var lrows  = s0.lrows
     var rrows  = s0.rrows

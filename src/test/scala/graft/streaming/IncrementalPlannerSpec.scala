@@ -2278,4 +2278,41 @@ class IncrementalPlannerSpec extends SparkSpec {
       assert(msgs.contains("maxRows"), s"expected the arrangement guard's raise, got: $msgs")
     } finally spark.conf.unset("spark.graft.crossjoin.maxRows")
   }
+
+  test("#171bf subquery-layer shard guard: constant-FK state past maxRowsPerShard fails loudly") {
+    // the dynamic-threshold view holds EVERY subscribed row on one
+    // constant-FK shard (the honest total-predicate cost) — the guard
+    // converts a silent 100 TB shard OOM into a raise naming the
+    // derived-table-prefilter rewrite
+    def e(k: Long, m: Int, amount: String, seq: Long) =
+      Change("insert", k, ts(m), Map("name" -> s"n$k", "amount" -> amount), seq)
+    val sql  = "SELECT name FROM t WHERE amount > (SELECT avg(amount) FROM t)"
+    val rows = (1L to 5L).map(k => e(k, k.toInt, (k * 10).toString, k))
+    // within the bound: green, same answer as #171ak's class
+    spark.conf.set("spark.graft.subquery.maxRowsPerShard", "5")
+    try {
+      runView(sql, "pv_sqguard_ok", Seq(Map("t" -> rows)))
+      assert(rowState("pv_sqguard_ok", Seq("name")).values.toSeq.map(_.head).toSet ==
+        Set("n4", "n5"), "avg 30: only rows above pass")
+      // past the bound: the fk-join fold raises through the query
+      spark.conf.set("spark.graft.subquery.maxRowsPerShard", "4")
+      val boom = intercept[Exception] {
+        runView(sql, "pv_sqguard_boom", Seq(Map("t" -> rows)))
+      }
+      val msgs = Iterator.iterate(boom: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("maxRowsPerShard"), s"expected the shard guard's raise, got: $msgs")
+      assert(msgs.contains("derived-table prefilter"), s"raise must name the rewrite: $msgs")
+      // the NOT-IN counter layer (the other constant-FK class) trips the
+      // same guard: 5 probe rows all subscribe the one global counter
+      val notInSql = "SELECT name FROM t WHERE amount NOT IN (SELECT amount FROM u WHERE amount < 0)"
+      val boom2 = intercept[Exception] {
+        runView(notInSql, "pv_sqguard_boom2",
+          Seq(Map("t" -> rows, "u" -> Seq(e(90L, 0, "-5", 1L)))))
+      }
+      val msgs2 = Iterator.iterate(boom2: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs2.contains("maxRowsPerShard"), s"expected the NOT-IN guard raise, got: $msgs2")
+    } finally spark.conf.unset("spark.graft.subquery.maxRowsPerShard")
+  }
 }
