@@ -1428,8 +1428,6 @@ object IncrementalPlanner {
       case _                     => false
     })
     if (norm.groupingExpressions.exists(_.isInstanceOf[BaseGroupingSets])) {
-      require(!hasDistinct, "DISTINCT aggregates do not combine with ROLLUP/CUBE/GROUPING SETS " +
-        "(the two-level DISTINCT rewrite regroups by value; roll up the distinct view instead)")
       require(!hasSession, "session_window does not combine with ROLLUP/CUBE/GROUPING SETS")
     }
     if (hasSession) {
@@ -1483,12 +1481,34 @@ object IncrementalPlanner {
     * not approximate). Distinct aggregates over DIFFERENT arguments
     * would need one inner view per argument sharing a single group
     * emission — rejected fast with the join-of-views rewrite hint.
+    *
+    * ROLLUP/CUBE/GROUPING SETS compose (since r8): the two-level
+    * decomposition runs PER GROUPING LEVEL — each level gets its own
+    * inner (active groups, value) view (per-value distinctness cannot
+    * be reaggregated across levels: a value under two sub-groups is ONE
+    * distinct value of the rolled-up group, which only per-level
+    * per-value state can know), the level feeds are re-keyed into
+    * disjoint spaces (the UNION discipline) with [[RollMark]] tagged
+    * into inactive `_dg` positions, and ONE flat outer aggregate over
+    * the union regroups all levels — its key parts then carry RollMark
+    * exactly like the flat grouping-sets path, so NULL-vs-rolled
+    * disambiguation and grouping()/grouping_id() rendering are the
+    * same code. Honest cost: L levels = L inner dataflows over the
+    * source feed (ROLLUP(a,b) = 3), each sharded by (level groups,
+    * value) — the distributed shape, not a per-group blob.
     */
   private def compileDistinctAgg(spark: SparkSession, agg: Aggregate,
       feeds: Map[String, Dataset[Change]],
       having: Option[Expression],
       keepMeta: Boolean): PlannedView = {
-    val groupSql = agg.groupingExpressions.map(_.sql)
+    val (baseExprs, levels) = expandGroupingSets(agg.groupingExpressions)
+    require(levels.length == 1 || !baseExprs.exists(_.exists {
+        case f: UnresolvedFunction =>
+          Set("window", "session_window")(f.nameParts.last.toLowerCase)
+        case _ => false
+      }),
+      "window(...) groupings do not combine with ROLLUP/CUBE/GROUPING SETS")
+    val groupSql = baseExprs.map(_.sql)
     val cores: Seq[(Expression, String)] = agg.aggregateExpressions.zipWithIndex.map {
       case (ne, i) =>
         (coreOf(ne), outName(ne, s"col$i"))
@@ -1503,7 +1523,7 @@ object IncrementalPlanner {
       s"one DISTINCT argument per view (got ${dArgs.map(_.sql).distinct.mkString(", ")}); " +
         "define one view per distinct argument and join them")
     val dArg = dArgs.head
-    val n    = agg.groupingExpressions.length
+    val n    = baseExprs.length
 
     // inner partials for the plain aggregates, one column per need
     val innerExtra = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
@@ -1519,6 +1539,18 @@ object IncrementalPlanner {
       core match {
         case e if groupSql.indexOf(e.sql) >= 0 =>
           Alias(UnresolvedAttribute(Seq(s"_dg${groupSql.indexOf(e.sql)}")), name)()
+        case f: UnresolvedFunction
+            if Set("grouping", "grouping_id")(f.nameParts.last.toLowerCase) =>
+          // rewrite args onto the outer's _dg columns: the flat outer
+          // computes grouping()/grouping_id() from its own key parts
+          // (RollMark-tagged by the level feeds below)
+          val args = f.arguments.map { a =>
+            val i = groupSql.indexOf(a.sql)
+            if (i < 0) throw unsupported(
+              s"${f.nameParts.last}(${a.sql}) (argument must be a grouping column)")
+            UnresolvedAttribute(Seq(s"_dg$i"))
+          }
+          Alias(f.copy(arguments = args), name)()
         case f: UnresolvedFunction if f.isDistinct =>
           // count/sum/avg over the maintained distinct values themselves
           Alias(call(f.nameParts.last.toLowerCase, UnresolvedAttribute(Seq("_dx"))), name)()
@@ -1542,30 +1574,37 @@ object IncrementalPlanner {
         case other => throw unsupported(s"select item ${other.sql} in a DISTINCT aggregate view")
       }
     }
-    val innerOut: Seq[NamedExpression] =
-      (agg.groupingExpressions.zipWithIndex.map { case (e, i) => Alias(e, s"_dg$i")() } :+
-        Alias(dArg, "_dx")()) ++ innerExtra
-    val inner = Aggregate(agg.groupingExpressions :+ dArg, innerOut, agg.child)
-    val (innerFeed, _) = aggChangesOf(spark, inner, feeds)
+    // one inner (active groups, value) view per level; the level feeds
+    // are re-keyed into disjoint spaces and tagged with RollMark at
+    // inactive positions so the outer's key parts carry the level
+    implicit val changeEnc: org.apache.spark.sql.Encoder[Change] = Encoders.product[Change]
+    val innerFeed: Dataset[Change] = levels.zipWithIndex.map { case (active, li) =>
+      val innerOut: Seq[NamedExpression] =
+        (active.map(i => Alias(baseExprs(i), s"_dg$i")()) :+
+          Alias(dArg, "_dx")()) ++ innerExtra
+      val inner = Aggregate(active.map(baseExprs(_)) :+ dArg, innerOut, agg.child)
+      val (feed, _) = aggChangesOf(spark, inner, feeds)
+      val inactive = (0 until n).filterNot(active.contains)
+      val tag      = inactive.map(i => s"_dg$i" -> RollMark)
+      feed.map { c =>
+        val keyed = c.copy(key = fnv64(s"D$li$Sep${c.key}"))
+        if (c.op == "delete" || tag.isEmpty) keyed
+        else keyed.copy(payload = keyed.payload ++ tag)
+      }
+    }.reduce(_ union _)
     val outerGroups: Seq[Expression] = (0 until n).map(i => UnresolvedAttribute(Seq(s"_dg$i")))
     val outer = Aggregate(outerGroups, outerOut, UnresolvedRelation(Seq("__distinct")))
     compileAggregateFlat(spark, outer, Map("__distinct" -> innerFeed),
       ttl = None, having = having, keepMeta = keepMeta)
   }
 
-  private def compileAggregateFlat(spark: SparkSession, agg: Aggregate,
-      feeds: Map[String, Dataset[Change]],
-      ttl: Option[(String, Long)] = None,
-      having: Option[Expression] = None,
-      keepMeta: Boolean = false): PlannedView = {
-    val src       = compileSource(spark, agg.child, feeds)
-    val preds     = src.filters.map(compileExpr)
-    // ROLLUP/CUBE/GROUPING SETS: one BaseGroupingSets grouping expands
-    // to its levels — each row contributes to EVERY level's group (the
-    // plural-groups contract the sliding window already uses), with
-    // RollMark in a level's inactive key positions. A plain GROUP BY is
-    // the one-level special case of the same machinery.
-    val (baseExprs, levels): (Seq[Expression], Seq[Seq[Int]]) = agg.groupingExpressions match {
+  /** ROLLUP/CUBE/GROUPING SETS expansion, shared by the flat and the
+    * DISTINCT aggregate paths: one [[BaseGroupingSets]] grouping expands
+    * to (deduped base exprs, per-level active base indices); a plain
+    * GROUP BY is the one-level special case.
+    */
+  private def expandGroupingSets(ges: Seq[Expression]): (Seq[Expression], Seq[Seq[Int]]) =
+    ges match {
       case Seq(b: BaseGroupingSets) =>
         // NOT b.groupByExprs — that asserts resolved children, and this
         // is a parse-only plan; dedup the sets' exprs by sql instead
@@ -1587,8 +1626,22 @@ object IncrementalPlanner {
       case Seq(one, rest @ _*) if (one +: rest).exists(_.isInstanceOf[BaseGroupingSets]) =>
         throw unsupported("mixing plain GROUP BY expressions with ROLLUP/CUBE/GROUPING SETS " +
           "(put every grouping column inside the GROUPING SETS clause)")
-      case ges => (ges, Seq(ges.indices))
+      case _ => (ges, Seq(ges.indices))
     }
+
+  private def compileAggregateFlat(spark: SparkSession, agg: Aggregate,
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)] = None,
+      having: Option[Expression] = None,
+      keepMeta: Boolean = false): PlannedView = {
+    val src       = compileSource(spark, agg.child, feeds)
+    val preds     = src.filters.map(compileExpr)
+    // ROLLUP/CUBE/GROUPING SETS: one BaseGroupingSets grouping expands
+    // to its levels — each row contributes to EVERY level's group (the
+    // plural-groups contract the sliding window already uses), with
+    // RollMark in a level's inactive key positions. A plain GROUP BY is
+    // the one-level special case of the same machinery.
+    val (baseExprs, levels) = expandGroupingSets(agg.groupingExpressions)
     val groupSlots = baseExprs.map(compileGroupSlot)
     require(groupSlots.count(_.isInstanceOf[WindowSlot]) <= 1,
       "at most one window(...) grouping per view (Spark's own windowed-aggregation rule)")

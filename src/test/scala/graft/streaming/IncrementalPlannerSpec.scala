@@ -2151,6 +2151,58 @@ class IncrementalPlannerSpec extends SparkSpec {
       "us groups must tombstone after their last row deletes")
   }
 
+  test("#171bg DISTINCT aggregates compose with ROLLUP/CUBE: per-level decomposition, levels tombstone independently") {
+    val sql = "SELECT region, city, count(DISTINCT u) AS du, count(*) AS n, " +
+      "grouping_id() AS gid FROM t GROUP BY ROLLUP(region, city)"
+    def ins(k: Long, region: String, city: Option[String], u: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt),
+        Map("region" -> region, "u" -> u) ++ city.map("city" -> _), seq)
+    val b1 = Seq(
+      ins(1L, "eu", Some("ber"), "a", 1L), ins(2L, "eu", Some("ber"), "b", 2L),
+      ins(3L, "eu", Some("par"), "a", 3L), ins(4L, "us", Some("nyc"), "a", 4L),
+      ins(5L, "eu", None, "a", 5L)) // REAL NULL city — distinct from the rolled-up level
+    val b2 = Seq(Change("delete", 2L, ts(10), Map.empty, 6L))  // u=b leaves: du FALLS at 3 levels
+    val b3 = Seq(ins(4L, "us", Some("nyc"), "c", 7L))          // value move a→c: total du stays 2
+    def fin(view: String) = spark.table(view).collect().toSeq
+      .groupBy(r => (r.getAs[String]("region"), r.getAs[String]("city"), r.getAs[Long]("gid")))
+      .view.mapValues(_.last)
+      .collect { case (g, r) if r.getAs[Long]("_live_rows") > 0L =>
+        g -> ((r.getAs[Long]("du"), r.getAs[Long]("n"))) }
+      .toMap
+    runView(sql, "pv_drollup_a", Seq(Map("t" -> b1)))
+    assert(fin("pv_drollup_a") == Map(
+      ("eu", "ber", 0L) -> ((2L, 2L)),
+      ("eu", "par", 0L) -> ((1L, 1L)),
+      ("eu", null,  0L) -> ((1L, 1L)),  // real NULL city: its own finest-level group
+      ("us", "nyc", 0L) -> ((1L, 1L)),
+      ("eu", null,  1L) -> ((2L, 4L)),  // eu subtotal: distinct {a,b}
+      ("us", null,  1L) -> ((1L, 1L)),
+      (null, null,  3L) -> ((2L, 5L))), s"state: ${fin("pv_drollup_a")}")
+    // churn: a distinct value's last row leaving makes du FALL at every
+    // level it touched; a value move re-counts exactly — both equal the
+    // batch recompute
+    runView(sql, "pv_drollup", Seq(Map("t" -> b1), Map("t" -> b2), Map("t" -> b3)))
+    assert(fin("pv_drollup") == Map(
+      ("eu", "ber", 0L) -> ((1L, 1L)),
+      ("eu", "par", 0L) -> ((1L, 1L)),
+      ("eu", null,  0L) -> ((1L, 1L)),
+      ("us", "nyc", 0L) -> ((1L, 1L)),
+      ("eu", null,  1L) -> ((1L, 3L)),  // {a}: b's exit retracted the subtotal's value
+      ("us", null,  1L) -> ((1L, 1L)),
+      (null, null,  3L) -> ((2L, 4L))), s"state: ${fin("pv_drollup")}")
+    // CUBE adds the (city)-only level; plain aggs + grouping() ride along
+    val cubeSql = "SELECT region, city, count(DISTINCT u) AS du, grouping(region) AS gr " +
+      "FROM t GROUP BY CUBE(region, city)"
+    runView(cubeSql, "pv_dcube", Seq(Map("t" -> b1.take(4))))
+    val cube = spark.table("pv_dcube").collect().toSeq
+      .groupBy(r => (r.getAs[String]("region"), r.getAs[String]("city"), r.getAs[Long]("gr")))
+      .view.mapValues(_.last)
+      .collect { case (g, r) if r.getAs[Long]("_live_rows") > 0L => g -> r.getAs[Long]("du") }
+      .toMap
+    assert(cube(("eu", "ber", 0L)) == 2L && cube((null, "ber", 1L)) == 2L &&
+      cube((null, null, 1L)) == 2L, s"cube state: $cube")
+  }
+
   test("#171bc ranked view OVER a value-equi join: the two new dataflows chain") {
     // top spender per city, where city names come from a dimension feed
     // joined by VALUE (not key): rank rows of the join's changefeed
