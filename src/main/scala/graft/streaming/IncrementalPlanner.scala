@@ -2097,7 +2097,9 @@ object IncrementalPlanner {
           }
       }
     }
-    cur.filter(c => c.live || before.nonEmpty).foreach(state.update)
+    // first-seen dead state persists too (JoinView.factSubs discipline):
+    // the tombstone's position stale-drops later out-of-order older upserts.
+    cur.foreach(state.update)
     (before, cur)
   }
 
@@ -2271,7 +2273,8 @@ object IncrementalPlanner {
           }
       }
     }
-    cur.filter(r => r.live || before.nonEmpty).foreach(state.update)
+    // first-seen dead state persists too (JoinView.factSubs discipline).
+    cur.foreach(state.update)
     val (posTs, posSeq) = cur.map(r => (r.tsUs, r.seq)).getOrElse((0L, 0L))
     (before.filter(_.live), cur.filter(_.live)) match {
       case (Some(b), Some(a)) if b.proj == a.proj => Iterator.empty
@@ -2532,7 +2535,8 @@ object IncrementalPlanner {
           }
       }
     }
-    cur.filter(r => r.live || before.nonEmpty).foreach(state.update)
+    // first-seen dead state persists too (JoinView.factSubs discipline).
+    cur.foreach(state.update)
     val (posTs, posSeq) = cur.map(r => (r.tsUs, r.seq)).getOrElse((0L, 0L))
     val b = before.filter(_.live)
     val a = cur.filter(_.live)

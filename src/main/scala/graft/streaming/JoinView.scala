@@ -195,7 +195,12 @@ object JoinView {
         }
       }
     }
-    cur.filter(c => c.live || before.nonEmpty).foreach(state.update)
+    // persist even a first-seen DEAD state (delete/poison before any live
+    // row): the tombstone's (ts, seq) is what stale-drops an out-of-order
+    // OLDER upsert arriving later — without it the row would resurrect.
+    // Unlike IncrementalView.deltas (whose skip is spec'd as a TTL-bounded
+    // trade), join feeds see shuffled cross-partition delivery routinely.
+    cur.foreach(state.update)
     val ats = new java.sql.Timestamp(cur.map(_.tsUs).getOrElse(0L) / 1000L)
     val seq = cur.map(_.seq).getOrElse(0L)
     (before.filter(_.live), cur.filter(_.live)) match {
@@ -410,7 +415,9 @@ object JoinView {
           }
       }
     }
-    cur.filter(r => r.live || before.nonEmpty).foreach(state.update)
+    // first-seen dead state persists too — see factSubs: the tombstone's
+    // position stale-drops later out-of-order older upserts.
+    cur.foreach(state.update)
     val (posTs, posSeq) = cur.map(r => (r.tsUs, r.seq)).getOrElse((0L, 0L))
     val b = before.filter(_.live)
     val a = cur.filter(_.live)

@@ -2367,4 +2367,46 @@ class IncrementalPlannerSpec extends SparkSpec {
       assert(msgs2.contains("maxRowsPerShard"), s"expected the NOT-IN guard raise, got: $msgs2")
     } finally spark.conf.unset("spark.graft.subquery.maxRowsPerShard")
   }
+
+  test("#171bh first-seen DELETE persists a tombstone: out-of-order older upserts cannot resurrect") {
+    // value-equi join: t1's first-ever change for key 1 is a DELETE; the
+    // out-of-order OLDER insert arriving in the next batch must be
+    // stale-dropped (previously stage-1 kept no state for a first-seen
+    // dead row, so the older insert was applied as fresh and the pair
+    // resurrected — silent wrong join result under shuffled delivery)
+    val sql = "SELECT l.name AS name, r.tag AS tag FROM t1 l JOIN t2 r ON l.city = r.city"
+    runView(sql, "pv_vtomb", Seq(
+      Map("t2" -> Seq(Change("insert", 1L, ts(0), Map("city" -> "ber", "tag" -> "x"), 1L)),
+        "t1" -> Seq(Change("delete", 1L, ts(10), Map.empty, 2L))),
+      Map("t1" -> Seq(Change("insert", 1L, ts(0), Map("city" -> "ber", "name" -> "a"), 1L)))))
+    assert(rowBag("pv_vtomb", Seq("name", "tag")).isEmpty,
+      "the deleted-then-older-upserted row must not join")
+
+    // ranked view: same ordering contract through rankedKeyFold
+    val rsql = "SELECT city, name, row_number() OVER (PARTITION BY city ORDER BY amount DESC) AS rn FROM t"
+    runView(rsql, "pv_rtomb", Seq(
+      Map("t" -> Seq(
+        Change("insert", 2L, ts(1), Map("city" -> "ber", "name" -> "b", "amount" -> "5"), 1L),
+        Change("delete", 1L, ts(10), Map.empty, 2L))),
+      Map("t" -> Seq(Change("insert", 1L, ts(0), Map("city" -> "ber", "name" -> "a", "amount" -> "10"), 1L)))))
+    val ranked = rankedState("pv_rtomb", Seq("name", "rn")).values.toSeq
+    assert(ranked == Seq(Seq[Any]("b", 1L)), s"only the live row ranks: $ranked")
+
+    // fk-join hop 1 (factSubs) unit: the tombstone is PERSISTED state
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[JoinView.FactState](
+      optionalState = org.apache.spark.api.java.Optional.empty[JoinView.FactState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out1 = JoinView.factSubs("fk")(7L,
+      Iterator(Change("delete", 7L, ts(10), Map.empty, 2L)), st).toSeq
+    assert(out1.isEmpty && st.exists && !st.get.live,
+      "first-seen delete emits nothing but parks its tombstone")
+    val out2 = JoinView.factSubs("fk")(7L,
+      Iterator(Change("insert", 7L, ts(0), Map("fk" -> "3"), 1L)), st).toSeq
+    assert(out2.isEmpty, s"older upsert is stale-dropped, not a fresh subscription: $out2")
+    assert(!st.get.live, "tombstone survives the stale delivery")
+  }
 }
