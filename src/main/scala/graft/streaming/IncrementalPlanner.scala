@@ -537,12 +537,25 @@ object IncrementalPlanner {
       // Sep-joined tuple of equality values (SQL semantics fall out: a
       // NULL in ANY equality operand → no tuple → never matches)
       def valueJoin(pairs: Seq[(Expression, Expression)],
-          maxRowsOverride: Option[Int] = None): Dataset[Change] = {
+          maxRowsOverride: Option[Int] = None,
+          residual: Seq[Expression] = Nil): Dataset[Change] = {
         val maxRows = maxRowsOverride.getOrElse(
           spark.conf.get("spark.graft.equijoin.maxRowsPerValue", "1000000").toInt)
+        // a non-empty residual routes the buckets through the visible-set
+        // diff fold (the residual decides MATCH STATUS, required for
+        // preserved sides) — evaluated over the merged pair environment,
+        // same field resolution as a post-filter would see
+        val resFn = if (residual.isEmpty) None else {
+          val resPreds = residual.map(compileExpr)
+          val mergeFn  = merged _
+          Some((lp: Map[String, String], rp: Map[String, String]) => {
+            val env = mergeFn(lp, rp)
+            resPreds.forall(p => p(env).contains(true))
+          })
+        }
         JoinView.materializeValueJoin(lsrc._1, rsrc._1,
           joinValExtract(pairs.map(_._1), lsrc._2), joinValExtract(pairs.map(_._2), rsrc._2),
-          pLeft, pRight, maxRows).map { jc =>
+          pLeft, pRight, maxRows, resFn).map { jc =>
           Change(if (jc.op == "delete") "delete" else "upsert", jc.key,
             tsOfMicros(jc.tsUs), merged(jc.l_payload, jc.r_payload), jc.seq)
         }
@@ -567,9 +580,11 @@ object IncrementalPlanner {
       // join value — the incrementally maintained N:M cross product —
       // and the entire ON condition decides pair survival as a live
       // residual (either side moving across the cut retracts/admits the
-      // pair). INNER only: match status IS the residual, which a
-      // post-filter cannot resurrect for a preserved side. The
-      // arrangement guard now counts EVERY live row of both feeds, so
+      // pair). INNER runs the cheap transition fold + post-filter;
+      // OUTER routes the residual into the bucket's visible-set diff
+      // fold, where a residual-failed pair leaves the preserved row
+      // visible as a solo (match status IS the residual there). The
+      // arrangement guard counts EVERY live row of both feeds, so
       // `spark.graft.crossjoin.maxRows` (default 100k, deliberately
       // tighter than the per-value equi bound) is the explicit scale
       // contract: past it the state RAISES, pointing at banding — add a
@@ -579,12 +594,13 @@ object IncrementalPlanner {
       // never reads keys): `JOIN (SELECT avg(x) AS cut FROM t) s ON
       // e.v > s.cut` is the dynamic-threshold view in join form.
       def crossResidual(conj: Seq[Expression]): Dataset[Change] = {
-        if (pLeft || pRight) throw unsupported(
-          "pure non-equi OUTER join (match status IS the residual; rewrite as INNER " +
-            "plus a downstream anti-join view for the unmatched side)")
         val maxRows = spark.conf.get("spark.graft.crossjoin.maxRows", "100000").toInt
-        val base = valueJoin(Seq((Literal(0), Literal(0))), Some(maxRows))
-        if (conj.isEmpty) base else applyResidual(base, conj)
+        if ((pLeft || pRight) && conj.nonEmpty)
+          valueJoin(Seq((Literal(0), Literal(0))), Some(maxRows), residual = conj)
+        else {
+          val base = valueJoin(Seq((Literal(0), Literal(0))), Some(maxRows))
+          if (conj.isEmpty) base else applyResidual(base, conj)
+        }
       }
       def singleCond(c0: Expression): Dataset[Change] = c0 match {
         // table ⋈ table on the shared change key — the #85 dataflow; an
@@ -646,10 +662,12 @@ object IncrementalPlanner {
         case Seq(single) => singleCond(single)
         // multi-conjunct ON: all equalities arrange ONE composite value
         // (a.x = b.x AND a.y = b.y shards by the (x, y) tuple); non-equi
-        // conjuncts post-filter pairs — INNER joins only, because an
-        // outer join's residual decides MATCH STATUS (a residual-failed
-        // pair must resurrect the preserved side's solo, which a
-        // post-filter cannot see)
+        // conjuncts post-filter pairs on INNER joins, and route into the
+        // bucket's visible-set diff fold on OUTER joins — there the
+        // residual decides MATCH STATUS (a residual-failed pair leaves
+        // the preserved row visible as a solo, which a post-filter
+        // cannot see: it would have to resurrect a row it already
+        // mapped to a delete)
         case conj =>
           val (equis, residual) = conj.partition(_.isInstanceOf[EqualTo])
           val keyish = equis.exists {
@@ -662,11 +680,12 @@ object IncrementalPlanner {
               "alone and move the remaining predicates to WHERE")
           if (equis.isEmpty) crossResidual(conj)
           else {
-            if (residual.nonEmpty && (pLeft || pRight)) throw unsupported(
-              "non-equi ON residual with an OUTER join (the residual decides match status, not " +
-                "row visibility; rewrite as an inner join plus WHERE, or prefilter the other side)")
-            val base = valueJoin(equis.map { case EqualTo(a, b) => assignJoinSides(a, b, lsrc._2, rsrc._2) })
-            if (residual.isEmpty) base else applyResidual(base, residual)
+            val equiPairs = equis.map { case EqualTo(a, b) => assignJoinSides(a, b, lsrc._2, rsrc._2) }
+            if (residual.nonEmpty && (pLeft || pRight)) valueJoin(equiPairs, residual = residual)
+            else {
+              val base = valueJoin(equiPairs)
+              if (residual.isEmpty) base else applyResidual(base, residual)
+            }
           }
       }
       Source(joined, Nil)

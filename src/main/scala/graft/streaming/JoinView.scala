@@ -503,16 +503,96 @@ object JoinView {
     out.iterator
   }
 
+  /** Residual-aware variant of [[valBucket]] for OUTER joins whose ON
+    * carries a non-equi residual (`… LEFT JOIN … ON a.x = b.x AND
+    * a.v < b.w`): there the residual decides MATCH STATUS — a pair
+    * failing it must resurrect the preserved side's solo, which the
+    * transition fold's post-filter cannot see. This fold instead diffs
+    * the bucket's VISIBLE SET (residual-surviving pairs, plus solos for
+    * preserved rows whose surviving-partner count is zero) before and
+    * after the batch, under the same content-addressed identities as
+    * [[valBucket]] — so a row's payload crossing the residual retracts
+    * its pairs and resurrects its partner's solos in one batch.
+    *
+    * Honest cost: the diff evaluates the residual over the touched
+    * bucket's cross product (O(|L|·|R|) per batch that touches it, vs
+    * the transition fold's O(Δ·partners)) — inherent, because EITHER
+    * side's payload change can flip any pair's match status. Bounded by
+    * the same `maxRows` guard; untouched buckets cost nothing.
+    */
+  private def valBucketDiff(preserveLeft: Boolean, preserveRight: Boolean, maxRows: Int,
+      residual: (Map[String, String], Map[String, String]) => Boolean)(
+      bucket: String,
+      changes: Iterator[ValEvent],
+      state: GroupState[ValBucketState]): Iterator[JoinedChange] = {
+    val isNull = bucket.startsWith(NullBucketPrefix)
+    val s0     = state.getOption.getOrElse(ValBucketState(Map.empty, Map.empty, 0L, 0L))
+    var lrows  = s0.lrows
+    var rrows  = s0.rrows
+    var posTs  = s0.posTs
+    var posSeq = s0.posSeq
+    changes.toSeq.sortBy(c => (c.tsUs, c.seq)).foreach { c =>
+      if (c.tsUs > posTs || (c.tsUs == posTs && c.seq > posSeq)) { posTs = c.tsUs; posSeq = c.seq }
+      if (c.live) { if (c.leftSide) lrows += (c.key -> c.payload) else rrows += (c.key -> c.payload) }
+      else { if (c.leftSide) lrows -= c.key else rrows -= c.key }
+    }
+    require(lrows.size + rrows.size <= maxRows,
+      s"value-join bucket holds ${lrows.size + rrows.size} live rows, over maxRows=$maxRows — " +
+        "a hot join value arranges every row carrying it on one shard with a quadratic cross " +
+        "product; prefilter the hot value, add a selective equi conjunct, or raise the bound " +
+        "deliberately")
+    val S = "\u0001" // identity separator, same addresses as valBucket's
+    def pairKey(lk: Long, rk: Long)     = fnv64("P" + S + lk + S + rk + S + bucket)
+    def soloKey(left: Boolean, k: Long) = fnv64((if (left) "L" else "R") + S + k + S + bucket)
+    def visible(ls: Map[Long, Map[String, String]], rs: Map[Long, Map[String, String]])
+        : Map[Long, (Map[String, String], Map[String, String])] =
+      if (isNull) // NULL join values never match: every row here is a preserved solo
+        ls.map { case (k, p) => soloKey(left = true, k) -> (p, Map.empty[String, String]) } ++
+          rs.map { case (k, p) => soloKey(left = false, k) -> (Map.empty[String, String], p) }
+      else {
+        val pairs = for { (lk, lp) <- ls; (rk, rp) <- rs if residual(lp, rp) }
+          yield pairKey(lk, rk) -> (lp, rp)
+        val lSolos =
+          if (!preserveLeft) Map.empty
+          else ls.collect { case (lk, lp) if !rs.exists { case (_, rp) => residual(lp, rp) } =>
+            soloKey(left = true, lk) -> (lp, Map.empty[String, String]) }
+        val rSolos =
+          if (!preserveRight) Map.empty
+          else rs.collect { case (rk, rp) if !ls.exists { case (_, lp) => residual(lp, rp) } =>
+            soloKey(left = false, rk) -> (Map.empty[String, String], rp) }
+        pairs ++ lSolos ++ rSolos
+      }
+    val prev = visible(s0.lrows, s0.rrows)
+    val now  = visible(lrows, rrows)
+    state.update(ValBucketState(lrows, rrows, posTs, posSeq))
+    val ups = now.iterator.collect {
+      case (id, (lp, rp)) if !prev.get(id).contains((lp, rp)) =>
+        JoinedChange("upsert", id, lp, rp, posTs, posSeq)
+    }
+    val dels = prev.keysIterator.collect {
+      case id if !now.contains(id) => JoinedChange("delete", id, Map.empty, Map.empty, posTs, posSeq)
+    }
+    (ups ++ dels).toSeq.sortBy(_.key).iterator
+  }
+
   /** The value-equi join of two changefeeds (see the section comment):
     * emits the joined view's changefeed with content-addressed change
     * identities. `leftVal`/`rightVal` compute a side's join value from
     * its change (None = SQL NULL, never matches). Preserve flags give
     * the four ANSI join types, as in [[materializeJoinType]].
+    *
+    * `residual`: an extra live match predicate over the (left, right)
+    * payload pair — the ON clause's non-equi conjuncts. When present,
+    * buckets run the [[valBucketDiff]] fold, where the residual decides
+    * match status (pairs failing it are unmatched: preserved rows with
+    * zero surviving partners are visible as solos). When absent, the
+    * cheaper transition fold runs.
     */
   def materializeValueJoin(left: Dataset[Change], right: Dataset[Change],
       leftVal: Change => Option[String], rightVal: Change => Option[String],
       preserveLeft: Boolean = false, preserveRight: Boolean = false,
-      maxRowsPerValue: Int = 1000000): Dataset[JoinedChange] = {
+      maxRowsPerValue: Int = 1000000,
+      residual: Option[(Map[String, String], Map[String, String]) => Boolean] = None): Dataset[JoinedChange] = {
     implicit val sideStateEnc = Encoders.product[ValSideState]
     implicit val eventEnc     = Encoders.product[ValEvent]
     implicit val bucketEnc    = Encoders.product[ValBucketState]
@@ -530,6 +610,9 @@ object JoinView {
     lEvents.union(rEvents)
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        valBucket(preserveLeft, preserveRight, maxRowsPerValue))
+        residual match {
+          case Some(res) => valBucketDiff(preserveLeft, preserveRight, maxRowsPerValue, res)
+          case None      => valBucket(preserveLeft, preserveRight, maxRowsPerValue)
+        })
   }
 }

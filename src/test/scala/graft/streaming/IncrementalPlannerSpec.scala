@@ -1995,15 +1995,11 @@ class IncrementalPlannerSpec extends SparkSpec {
       Map("t1" -> b1, "t2" -> c1),
       Map("t2" -> Seq(Change("update", 1L, ts(10), Map("city" -> "ber", "grp" -> "g1", "tag" -> "hi", "w" -> "4"), 4L)))))
     assert(rowBag("pv_vcomp2", Seq("name", "tag")) == Seq(Seq[Any]("b", "mid")))
-    // guards: outer + residual rejected; key-equi inside a multi-ON rejected
+    // guard: key-equi inside a multi-ON rejected (outer + residual now
+    // compiles onto the visible-set diff fold — spec #171bi)
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val feeds = Map("t1" -> MemoryStream[Change].toDS(), "t2" -> MemoryStream[Change].toDS())
-    val e1 = intercept[IllegalArgumentException] {
-      IncrementalPlanner.materialize(spark,
-        "SELECT l.name AS name FROM t1 l LEFT JOIN t2 r ON l.city = r.city AND l.v < r.w", feeds)
-    }
-    assert(e1.getMessage.contains("match status"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       IncrementalPlanner.materialize(spark,
         "SELECT l.name AS name FROM t1 l JOIN t2 r ON l.key = r.key AND l.v < r.w", feeds)
@@ -2311,14 +2307,6 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(rowBag("pv_cross", Seq("name", "band")) ==
       Seq(Seq[Any]("a", "high"), Seq[Any]("b", "high")))
 
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val feeds = Map("t1" -> MemoryStream[Change].toDS(), "t2" -> MemoryStream[Change].toDS())
-    val e1 = intercept[IllegalArgumentException] {
-      IncrementalPlanner.materialize(spark,
-        "SELECT l.name AS name FROM t1 l LEFT JOIN t2 r ON l.v < r.lo", feeds)
-    }
-    assert(e1.getMessage.contains("pure non-equi OUTER"), e1.getMessage)
     // the cross arrangement's own (tighter) guard raises past maxRows
     spark.conf.set("spark.graft.crossjoin.maxRows", "2")
     try {
@@ -2408,5 +2396,65 @@ class IncrementalPlannerSpec extends SparkSpec {
       Iterator(Change("insert", 7L, ts(0), Map("fk" -> "3"), 1L)), st).toSeq
     assert(out2.isEmpty, s"older upsert is stale-dropped, not a fresh subscription: $out2")
     assert(!st.get.live, "tombstone survives the stale delivery")
+  }
+
+  test("#171bi OUTER joins with non-equi residuals: residual decides match status, crossings retract pairs and resurrect solos") {
+    // LEFT JOIN ON equi AND non-equi: the residual's truth value is LIVE —
+    // either side moving across it flips pairs <-> solos
+    val sql = "SELECT l.name AS name, l.v AS v, r.tag AS tag " +
+      "FROM t1 l LEFT JOIN t2 r ON l.city = r.city AND l.v < r.w"
+    val b1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "name" -> "a", "v" -> "5"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "name" -> "b", "v" -> "20"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "par", "name" -> "c", "v" -> "1"), 3L),
+      Change("insert", 4L, ts(3), Map("city" -> "ber", "name" -> "d"), 4L)) // v NULL: residual fails, stays solo
+    val c1 = Seq(Change("insert", 1L, ts(0), Map("city" -> "ber", "tag" -> "x", "w" -> "10"), 1L))
+    runView(sql, "pv_resleft", Seq(
+      Map("t1" -> b1, "t2" -> c1),
+      // a crosses the residual (5 -> 15 vs w=10): pair retracts, solo resurrects
+      Map("t1" -> Seq(Change("update", 1L, ts(10), Map("city" -> "ber", "name" -> "a", "v" -> "15"), 5L))),
+      // a wide partner arrives: a and b both pair, their solos die
+      Map("t2" -> Seq(Change("insert", 2L, ts(20), Map("city" -> "ber", "tag" -> "y", "w" -> "100"), 2L))),
+      // ... and dies again: solos resurrect
+      Map("t2" -> Seq(Change("delete", 2L, ts(30), Map.empty, 3L)))))
+    val got = rowBag("pv_resleft", Seq("name", "tag"))
+    assert(got == Seq(Seq[Any]("a", null), Seq[Any]("b", null), Seq[Any]("c", null), Seq[Any]("d", null)),
+      s"final: all rows solo (x's w=10 admits nobody at v=15/20, NULL v never matches): $got")
+    // a's upsert history: paired x -> solo -> paired y -> solo
+    val aTags = spark.table("pv_resleft").collect().toSeq
+      .sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("seq")))
+      .filter(r => r.getAs[String]("op") == "upsert" && r.getAs[String]("name") == "a")
+      .map(r => Option(r.getAs[String]("tag")))
+    // (a may be briefly solo before x's first micro-batch lands — drop it)
+    assert(aTags.dropWhile(_.isEmpty) == Seq(Some("x"), None, Some("y"), None),
+      s"a's visible history: $aTags")
+
+    // batch recompute of the final state over the same condition
+    import spark.implicits._
+    val lDf = Seq(("ber", "a", Some(15)), ("ber", "b", Some(20)), ("par", "c", Some(1)),
+      ("ber", "d", None: Option[Int])).toDF("city", "name", "v")
+    val rDf = Seq(("ber", "x", 10)).toDF("city", "tag", "w")
+    val want = lDf.join(rDf, lDf("city") === rDf("city") && lDf("v") < rDf("w"), "left")
+      .select(lDf("name"), rDf("tag")).collect()
+      .map(r => Seq[Any](r.getString(0), r.getString(1))).toSeq.sortBy(_.mkString("|"))
+    assert(got == want, s"streaming\n  $got\n  != batch\n  $want")
+
+    // pure non-equi LEFT (previously rejected): solos for residual-failed rows
+    val b2 = Seq(
+      Change("insert", 1L, ts(0), Map("name" -> "a", "v" -> "5"), 1L),
+      Change("insert", 2L, ts(1), Map("name" -> "b", "v" -> "20"), 2L))
+    val c2 = Seq(Change("insert", 1L, ts(0), Map("band" -> "high", "lo" -> "10"), 1L))
+    runView("SELECT l.name AS name, r.band AS band FROM t1 l LEFT JOIN t2 r ON l.v < r.lo",
+      "pv_resleft2", Seq(Map("t1" -> b2, "t2" -> c2)))
+    assert(rowBag("pv_resleft2", Seq("name", "band")) ==
+      Seq(Seq[Any]("a", "high"), Seq[Any]("b", null)))
+
+    // pure non-equi FULL: unmatched rows of BOTH sides are solos
+    runView("SELECT l.name AS name, r.band AS band FROM t1 l FULL JOIN t2 r ON l.v < r.lo",
+      "pv_resfull", Seq(Map(
+        "t1" -> b2,
+        "t2" -> (c2 :+ Change("insert", 2L, ts(2), Map("band" -> "low", "lo" -> "1"), 2L)))))
+    assert(rowBag("pv_resfull", Seq("name", "band")) ==
+      Seq(Seq[Any]("a", "high"), Seq[Any]("b", null), Seq[Any](null, "low")))
   }
 }
