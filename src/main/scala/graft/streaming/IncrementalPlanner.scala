@@ -134,6 +134,21 @@ case class RankedGroupState(contribs: Map[Long, RankedEntry], emitted: Map[Long,
 case class RankedRowChange(op: String, key: Long, group: String, rn: Long,
     proj: Map[String, String], ts_us: Long, seq: Long)
 
+/** Stage-2 → merge wire of a mixed-OVER view (see
+  * IncrementalPlanner.compileMixedWinView): one spec's ranked dataflow
+  * reporting the row's current (partition, outputs) under
+  * `entry` = "<specIdx>\u0001<partition>".
+  */
+case class MixedWinEvent(key: Long, entry: String,
+    proj: Map[String, String], live: Boolean, tsUs: Long, seq: Long)
+
+/** Merge state of one row across a mixed-OVER view's spec dataflows:
+  * its live entries plus the last emitted merged projection (and a
+  * monotone emission high-water mark).
+  */
+case class MixedWinState(entries: Map[String, Map[String, String]],
+    emitted: Map[String, String], live: Boolean, posTs: Long, posSeq: Long)
+
 /** The generic changefeed-of-a-query planner (the r5 verdict's #1 gap):
   * `materialize(sql)` compiles a broad SQL subset — filter, project,
   * joins (key-equi, FK-shaped, and general VALUE-equi incl. composite
@@ -475,6 +490,14 @@ object IncrementalPlanner {
   // ------------------------------------------------------------------
   private final case class Source(changes: Dataset[Change], filters: Seq[Expression])
 
+  /** `ASOF [LEFT] JOIN` surface syntax: Spark's parser has no ASOF rule,
+    * so [[materialize]] strips the keyword pre-parse and flags the
+    * statement — the (single) JOIN then compiles through the as-of
+    * dataflow. One ASOF JOIN per statement.
+    */
+  private val AsofRe = "(?i)\\bASOF\\s+(LEFT\\s+)?JOIN\\b".r
+  private val asofStatement = new scala.util.DynamicVariable[Boolean](false)
+
   private def compileSource(spark: SparkSession, plan: LogicalPlan,
       feeds: Map[String, Dataset[Change]]): Source = plan match {
     case f: Filter =>
@@ -538,7 +561,8 @@ object IncrementalPlanner {
       // NULL in ANY equality operand → no tuple → never matches)
       def valueJoin(pairs: Seq[(Expression, Expression)],
           maxRowsOverride: Option[Int] = None,
-          residual: Seq[Expression] = Nil): Dataset[Change] = {
+          residual: Seq[Expression] = Nil,
+          asof: Option[JoinView.AsofSpec] = None): Dataset[Change] = {
         val maxRows = maxRowsOverride.getOrElse(
           spark.conf.get("spark.graft.equijoin.maxRowsPerValue", "1000000").toInt)
         // a non-empty residual routes the buckets through the visible-set
@@ -555,7 +579,7 @@ object IncrementalPlanner {
         }
         JoinView.materializeValueJoin(lsrc._1, rsrc._1,
           joinValExtract(pairs.map(_._1), lsrc._2), joinValExtract(pairs.map(_._2), rsrc._2),
-          pLeft, pRight, maxRows, resFn).map { jc =>
+          pLeft, pRight, maxRows, resFn, asof).map { jc =>
           Change(if (jc.op == "delete") "delete" else "upsert", jc.key,
             tsOfMicros(jc.tsUs), merged(jc.l_payload, jc.r_payload), jc.seq)
         }
@@ -655,6 +679,64 @@ object IncrementalPlanner {
         case And(a, b) => splitAnd(a) ++ splitAnd(b)
         case o         => Seq(o)
       }
+      // AS-OF join (statement pre-marked by [[materialize]]): the ON
+      // clause carries equality match keys plus ONE ordering inequality
+      // `<event>.ts >= <version>.ts` — each event row pairs with the
+      // LATEST admissible version row (the "version valid at event
+      // time" semantic, the planner-SQL surface of
+      // [[VersionedFeed.enrichAsOf]]). The right feed is a VERSION feed:
+      // every change key is one immutable version row — republishing a
+      // version (an update to its key) re-enriches the events it backs,
+      // and a late event joins the version valid at ITS time by
+      // construction (the bucket holds the version history). `ASOF LEFT
+      // JOIN` preserves unmatched events (version side NULL); the
+      // version side is never preserved (output is event-keyed pairs).
+      def asofJoin(cond: Expression): Dataset[Change] = {
+        if (pRight) throw unsupported(
+          "ASOF JOIN preserving the version side (the output is keyed by event-version " +
+            "pairs; put the event feed on the left — ASOF [LEFT] JOIN only)")
+        val conj             = splitAnd(cond)
+        val (equis, nonEqui) = conj.partition(_.isInstanceOf[EqualTo])
+        if (equis.isEmpty) throw unsupported(
+          "ASOF JOIN needs at least one equality in ON (the match key: e.sym = v.sym)")
+        val isOrd: Expression => Boolean = {
+          case _: GreaterThanOrEqual | _: GreaterThan | _: LessThanOrEqual | _: LessThan => true
+          case _ => false
+        }
+        val (ords, residual) = nonEqui.partition(isOrd)
+        if (ords.length != 1) throw unsupported(
+          "ASOF JOIN needs exactly ONE ordering inequality in ON (e.ts >= v.ts); " +
+            s"found ${ords.length}")
+        // orient: the GREATER operand is the event (left) side
+        val (geExpr, leExpr, inclusive) = ords.head match {
+          case GreaterThanOrEqual(a, b) => (a, b, true)
+          case GreaterThan(a, b)        => (a, b, false)
+          case LessThanOrEqual(a, b)    => (b, a, true)
+          case LessThan(a, b)           => (b, a, false)
+          case other                    => throw unsupported(s"ASOF ordering ${other.sql}")
+        }
+        val (evTs, dimTs) = assignJoinSides(geExpr, leExpr, lsrc._2, rsrc._2)
+        if (!(evTs eq geExpr)) throw unsupported(
+          "ASOF JOIN with the version feed on the greater side of the inequality — the " +
+            "event feed must be the LEFT side and the greater operand (e.ts >= v.ts)")
+        val evF     = compileExpr(evTs)
+        val dimF    = compileExpr(dimTs)
+        val mergeFn = merged _
+        val sel = (lp: Map[String, String], rp: Map[String, String]) => {
+          val env = mergeFn(lp, rp)
+          for {
+            e <- evF(env); d <- dimF(env)
+            c = cmpVals(d, e)
+            if c < 0 || (inclusive && c == 0)
+          } yield String.valueOf(d)
+        }
+        val spec = JoinView.AsofSpec(sel, (a: String, b: String) => cmpVals(a, b))
+        valueJoin(equis.map { case EqualTo(a, b) => assignJoinSides(a, b, lsrc._2, rsrc._2) },
+          residual = residual, asof = Some(spec))
+      }
+      if (asofStatement.value)
+        return Source(asofJoin(j.condition.getOrElse(
+          throw unsupported("ASOF JOIN requires an ON clause"))), Nil)
       // an explicit CROSS JOIN (no ON at all) is the unfiltered cross
       // arrangement — same dataflow, same maxRows guard
       val joined = j.condition.map(splitAnd).getOrElse(Seq.empty) match {
@@ -2408,55 +2490,15 @@ object IncrementalPlanner {
         case other => throw unsupported(s"window item ${other.sql}")
       }
     }
+    // two or more DISTINCT OVER clauses route to the mixed-spec merge
+    // dataflow (each spec its own ranked pipeline, joined on change key)
+    if (parsed.map(_._3).distinct.length > 1)
+      return compileMixedWinView(spark, src, parsed, plainItems, outerCond, outerNames)
     val spec = parsed.head._3
-    require(parsed.forall(_._3 == spec),
-      "all window functions in one view must share a single OVER clause")
-    spec.frameSpecification match {
-      case UnspecifiedFrame => ()
-      case other            => throw unsupported(s"window frame ${other.sql} (default frames only)")
-    }
     val valFns = scala.collection.mutable.ArrayBuffer.empty[Eval]
     def addVal(f: Eval): Int = { valFns += f; valFns.size - 1 }
-    def intLit(e: Any, what: String): Int =
-      litValue(e).flatMap(asNum).map(_.toInt).getOrElse(throw unsupported(what))
-    val wins: Seq[WinOut] = parsed.map { case (name, f, _) =>
-      val fn = f.nameParts.last.toLowerCase
-      (fn, f.arguments) match {
-        case (rk, Seq()) if RankFns(rk) => WRank(rk, name)
-        case ("lag" | "lead", args) =>
-          val (e, off, dflt) = args match {
-            case Seq(e0)                             => (e0, 1, None)
-            case Seq(e0, o: Literal)                 => (e0, intLit(o.value, s"$fn offset"), None)
-            case Seq(e0, o: Literal, d: Literal)     =>
-              (e0, intLit(o.value, s"$fn offset"), litValue(d.value).map(String.valueOf))
-            case other => throw unsupported(s"$fn(${other.map(_.sql).mkString(",")})")
-          }
-          require(off >= 0, s"$fn offset must be >= 0")
-          WNav(addVal(compileExpr(e)), off, dflt, lead = fn == "lead", name)
-        case ("count", Seq(_: UnresolvedStar)) =>
-          WAgg("count", addVal(_ => Some(1)), running = spec.orderSpec.nonEmpty, name)
-        case ("count" | "sum" | "avg" | "min" | "max", Seq(e)) =>
-          WAgg(fn, addVal(compileExpr(e)), running = spec.orderSpec.nonEmpty, name)
-        case ("ntile", Seq(b: Literal)) =>
-          val n = intLit(b.value, "ntile buckets")
-          require(n >= 1, "ntile buckets must be >= 1")
-          WNtile(n, name)
-        // relative-rank family: values in [0,1], emitted as doubles
-        case ("percent_rank" | "cume_dist", Seq()) => WRel(fn, name)
-        case ("first_value" | "last_value", Seq(e)) =>
-          WPos(fn.stripSuffix("_value"), addVal(compileExpr(e)), 1, name)
-        case ("nth_value", Seq(e, k: Literal)) =>
-          val nth = intLit(k.value, "nth_value position")
-          require(nth >= 1, "nth_value position must be >= 1")
-          WPos("nth", addVal(compileExpr(e)), nth, name)
-        case _ => throw unsupported(
-          s"window function $fn (row_number/rank/dense_rank/ntile/percent_rank/cume_dist/" +
-            "lag/lead/first_value/last_value/nth_value/count/sum/avg/min/max)")
-      }
-    }
-    if (wins.exists(w => w.isInstanceOf[WRank] || w.isInstanceOf[WNav] ||
-        w.isInstanceOf[WNtile] || w.isInstanceOf[WRel]))
-      require(spec.orderSpec.nonEmpty, "ORDER BY is required for ranking/navigation window functions")
+    val wins: Seq[WinOut] = parseWinFns(parsed.map(p => (p._1, p._2)), spec, addVal)
+
     val partFs = spec.partitionSpec.map { e =>
       compileGroupSlot(e) match {
         case ScalarSlot(f) => f
@@ -2530,6 +2572,205 @@ object IncrementalPlanner {
     val outExprs = col("op") +: col("key") +: col("group").as("_partition") +:
       keep :+ col("ts_us") :+ col("seq")
     PlannedView(changes.select(outExprs: _*), OutputMode.Append())
+  }
+
+  /** Parse one OVER clause's window items into [[WinOut]] descriptors;
+    * `addVal` registers operand evaluators into the caller's operand
+    * vector (shipped to stage 2 alongside the ORDER BY values).
+    */
+  private def parseWinFns(items: Seq[(String, UnresolvedFunction)], spec: WindowSpecDefinition,
+      addVal: Eval => Int): Seq[WinOut] = {
+    spec.frameSpecification match {
+      case UnspecifiedFrame => ()
+      case other            => throw unsupported(s"window frame ${other.sql} (default frames only)")
+    }
+    def intLit(e: Any, what: String): Int =
+      litValue(e).flatMap(asNum).map(_.toInt).getOrElse(throw unsupported(what))
+    val wins: Seq[WinOut] = items.map { case (name, f) =>
+      val fn = f.nameParts.last.toLowerCase
+      (fn, f.arguments) match {
+        case (rk, Seq()) if RankFns(rk) => WRank(rk, name)
+        case ("lag" | "lead", args) =>
+          val (e, off, dflt) = args match {
+            case Seq(e0)                             => (e0, 1, None)
+            case Seq(e0, o: Literal)                 => (e0, intLit(o.value, s"$fn offset"), None)
+            case Seq(e0, o: Literal, d: Literal)     =>
+              (e0, intLit(o.value, s"$fn offset"), litValue(d.value).map(String.valueOf))
+            case other => throw unsupported(s"$fn(${other.map(_.sql).mkString(",")})")
+          }
+          require(off >= 0, s"$fn offset must be >= 0")
+          WNav(addVal(compileExpr(e)), off, dflt, lead = fn == "lead", name)
+        case ("count", Seq(_: UnresolvedStar)) =>
+          WAgg("count", addVal(_ => Some(1)), running = spec.orderSpec.nonEmpty, name)
+        case ("count" | "sum" | "avg" | "min" | "max", Seq(e)) =>
+          WAgg(fn, addVal(compileExpr(e)), running = spec.orderSpec.nonEmpty, name)
+        case ("ntile", Seq(b: Literal)) =>
+          val n = intLit(b.value, "ntile buckets")
+          require(n >= 1, "ntile buckets must be >= 1")
+          WNtile(n, name)
+        // relative-rank family: values in [0,1], emitted as doubles
+        case ("percent_rank" | "cume_dist", Seq()) => WRel(fn, name)
+        case ("first_value" | "last_value", Seq(e)) =>
+          WPos(fn.stripSuffix("_value"), addVal(compileExpr(e)), 1, name)
+        case ("nth_value", Seq(e, k: Literal)) =>
+          val nth = intLit(k.value, "nth_value position")
+          require(nth >= 1, "nth_value position must be >= 1")
+          WPos("nth", addVal(compileExpr(e)), nth, name)
+        case _ => throw unsupported(
+          s"window function $fn (row_number/rank/dense_rank/ntile/percent_rank/cume_dist/" +
+            "lag/lead/first_value/last_value/nth_value/count/sum/avg/min/max)")
+      }
+    }
+    if (wins.exists(w => w.isInstanceOf[WRank] || w.isInstanceOf[WNav] ||
+        w.isInstanceOf[WNtile] || w.isInstanceOf[WRel]))
+      require(spec.orderSpec.nonEmpty, "ORDER BY is required for ranking/navigation window functions")
+    wins
+  }
+
+  /** Per-ROW-KEY merge fold of a mixed-OVER view (see
+    * [[compileMixedWinView]]): apply each spec dataflow's entry
+    * changes, then emit the row's merged output diff. Entry identities
+    * are (spec, partition), so a partition move's delete (old
+    * partition's shard) and upsert (new partition's shard) target
+    * DIFFERENT entries and commute — the cross-shard position skew
+    * that forces the single-spec view's (key, _partition) identity
+    * cannot misfold here. The row is visible while EVERY spec holds a
+    * live entry for it; all spec dataflows process the same
+    * micro-batch, so visibility converges within the batch.
+    */
+  private def mixedWinFold(nSpecs: Int)(key: Long, events: Iterator[MixedWinEvent],
+      state: GroupState[MixedWinState]): Iterator[PlannedRowChange] = {
+    val s0      = state.getOption.getOrElse(MixedWinState(Map.empty, Map.empty, live = false, 0L, 0L))
+    var entries = s0.entries
+    var posTs   = s0.posTs
+    var posSeq  = s0.posSeq
+    events.toSeq.sortBy(e => (e.tsUs, e.seq)).foreach { e =>
+      if (e.tsUs > posTs || (e.tsUs == posTs && e.seq > posSeq)) { posTs = e.tsUs; posSeq = e.seq }
+      if (e.live) entries += (e.entry -> e.proj) else entries -= e.entry
+    }
+    def specOf(id: String) = id.substring(0, id.indexOf('\u0001')).toInt
+    val bySpec  = entries.groupBy { case (id, _) => specOf(id) }
+    val nowLive = (0 until nSpecs).forall(bySpec.contains)
+    // deterministic pick if a spec transiently holds two partitions
+    // (move legs straddling an application order): max partition wins
+    val nowProj: Map[String, String] =
+      if (!nowLive) Map.empty
+      else (0 until nSpecs).iterator.flatMap(sp => bySpec(sp).toSeq.maxBy(_._1)._2).toMap
+    val out =
+      if (nowLive && (!s0.live || s0.emitted != nowProj))
+        Iterator.single(PlannedRowChange("upsert", key, nowProj, posTs, posSeq))
+      else if (!nowLive && s0.live)
+        Iterator.single(PlannedRowChange("delete", key, Map.empty, posTs, posSeq))
+      else Iterator.empty
+    // state persists even when emptied: the high-water mark must survive
+    // so a repopulated row cannot emit positions older than its own past
+    state.update(MixedWinState(entries, nowProj, nowLive, posTs, posSeq))
+    out
+  }
+
+  /** MIXED OVER clauses — a select list whose window functions use two
+    * or more DISTINCT `(PARTITION BY, ORDER BY)` specs: each distinct
+    * spec compiles to its OWN two-stage ranked dataflow (the same
+    * [[rankedKeyFold]]/[[rankFold]] pair, unbounded), and a final
+    * per-row-key [[mixedWinFold]] joins the spec outputs on the change
+    * key. The merged view is keyed by the row's change key — there is
+    * no `_partition` column (whole-row identity), because entry
+    * identities inside the merge already carry the partition.
+    *
+    * Cost: each spec pays the single-spec price (full live partition
+    * in its shard's state, `spark.graft.ranked.maxRowsPerGroup`
+    * guarded), plus one extra keyed shuffle for the merge — the
+    * dataflow a user would otherwise hand-build as N single-spec views
+    * joined on key, in one statement. A top-k bound (`WHERE rn <= k`)
+    * reads ONE spec's rank and is rejected here — bound the
+    * single-spec subquery, then join.
+    */
+  private def compileMixedWinView(spark: SparkSession, src: Source,
+      parsed: Seq[(String, UnresolvedFunction, WindowSpecDefinition)],
+      plainItems: Seq[NamedExpression],
+      outerCond: Option[Expression],
+      outerNames: Option[Seq[String]]): PlannedView = {
+    if (outerCond.nonEmpty) throw unsupported(
+      "top-k bound over mixed OVER clauses (the bound reads one spec's rank) — bound a " +
+        "single-spec subquery and join the views on key")
+    val preds   = src.filters.map(compileExpr)
+    val specs   = parsed.map(_._3).distinct
+    val cols: Seq[(String, Eval)] = plainItems.zipWithIndex.map { case (ne, i) =>
+      (outName(ne, s"col$i"), compileExpr(coreOf(ne)))
+    }
+    val names    = cols.map(_._1)
+    val winNames = parsed.map(_._1)
+    require((names ++ winNames).distinct.length == names.length + winNames.length,
+      s"duplicate output columns among ${(names ++ winNames).mkString(", ")}")
+    outerNames.foreach(_.foreach(n => require((names ++ winNames).contains(n),
+      s"outer select column $n is not an output of the subquery")))
+    val maxRows = spark.conf.get("spark.graft.ranked.maxRowsPerGroup", "1000000").toInt
+
+    implicit val contribEnc = Encoders.product[RankedContrib]
+    implicit val keyChEnc   = Encoders.product[RankedKeyChange]
+    implicit val stateEnc   = Encoders.product[RankedGroupState]
+    implicit val rowChEnc   = Encoders.product[RankedRowChange]
+    implicit val eventEnc   = Encoders.product[MixedWinEvent]
+    implicit val mergeEnc   = Encoders.product[MixedWinState]
+    implicit val plannedEnc = Encoders.product[PlannedRowChange]
+    implicit val longEnc    = Encoders.scalaLong
+    implicit val stringEnc  = Encoders.STRING
+
+    val allWins = scala.collection.mutable.ArrayBuffer.empty[WinOut]
+    val eventFeeds: Seq[Dataset[MixedWinEvent]] = specs.zipWithIndex.map { case (spec, i) =>
+      val valFns = scala.collection.mutable.ArrayBuffer.empty[Eval]
+      def addVal(f: Eval): Int = { valFns += f; valFns.size - 1 }
+      val wins = parseWinFns(
+        parsed.collect { case (n, f, sp) if sp == spec => (n, f) }, spec, addVal)
+      allWins ++= wins
+      val partFs = spec.partitionSpec.map { e =>
+        compileGroupSlot(e) match {
+          case ScalarSlot(f) => f
+          case _             => throw unsupported(s"PARTITION BY ${e.sql} (scalar expressions only)")
+        }
+      }
+      val sortFs       = spec.orderSpec.map(so => compileExpr(so.child))
+      val sortAsc      = spec.orderSpec.map(_.direction == Ascending)
+      val sortNullsFst = spec.orderSpec.map(_.nullOrdering == NullsFirst)
+      val valFnsSeq    = valFns.toIndexedSeq
+      val extract: Change => Option[(String, Seq[String], Map[String, String])] = { c =>
+        val env = envOf(c)
+        if (!preds.forall(p => p(env).contains(true))) None
+        else Some((
+          partFs.map(f => f(env).map(String.valueOf(_)).getOrElse(NullMark)).mkString(Sep),
+          sortFs.map(f => f(env).map(String.valueOf(_)).getOrElse(NullMark)) ++
+            valFnsSeq.map(f => f(env).map(String.valueOf(_)).getOrElse(NullMark)),
+          cols.flatMap { case (n, f) => f(env).map(v => n -> String.valueOf(v)) }.toMap))
+      }
+      val prefix = i + "\u0001"
+      src.changes
+        .groupByKey(_.key)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(rankedKeyFold(extract))
+        .groupByKey(_.group)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          rankFold(wins, sortFs.length, sortAsc, sortNullsFst, None, maxRows))
+        .map(rc => MixedWinEvent(rc.key, prefix + rc.group,
+          if (rc.op == "delete") Map.empty else rc.proj, rc.op != "delete", rc.ts_us, rc.seq))
+    }
+    val merged = eventFeeds.reduce(_ union _)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        mixedWinFold(specs.length))
+      .toDF()
+    val projected: Seq[(String, org.apache.spark.sql.Column)] =
+      names.map(n => n -> element_at(col("proj"), n).as(n)) ++
+        allWins.toSeq.map {
+          case WRank(_, nm)  => nm -> element_at(col("proj"), nm).cast("long").as(nm)
+          case WNtile(_, nm) => nm -> element_at(col("proj"), nm).cast("long").as(nm)
+          case WRel(_, nm)   => nm -> element_at(col("proj"), nm).cast("double").as(nm)
+          case w             => w.name -> element_at(col("proj"), w.name).as(w.name)
+        }
+    val keep = outerNames match {
+      case Some(ns) => ns.map(n => projected.find(_._1 == n).get._2)
+      case None     => projected.map(_._2)
+    }
+    val outExprs = col("op") +: col("key") +: keep :+ col("ts_us") :+ col("seq")
+    PlannedView(merged.select(outExprs: _*), OutputMode.Append())
   }
 
   /** Stage-1 fold of a ranked view: LWW apply, then emit the key's net
@@ -2831,8 +3072,14 @@ object IncrementalPlanner {
     */
   def materialize(spark: SparkSession, sql: String,
       feeds: Map[String, Dataset[Change]]): PlannedView = {
-    val plan = spark.sessionState.sqlParser.parsePlan(sql)
-    plan match {
+    val isAsof  = AsofRe.findFirstIn(sql).nonEmpty
+    val cleaned =
+      if (!isAsof) sql
+      else AsofRe.replaceAllIn(sql, m => if (m.group(1) != null) "LEFT JOIN" else "JOIN")
+    val plan = spark.sessionState.sqlParser.parsePlan(cleaned)
+    if (isAsof) require(plan.collect { case j: Join => j }.length == 1,
+      "one ASOF JOIN per statement (layer further joins as a second view over this one)")
+    asofStatement.withValue(isAsof) { plan match {
       case a: Aggregate => compileAggregate(spark, a, feeds)
       case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => h.child match {
         case a: Aggregate => compileAggregate(spark, a, feeds, having = Some(h.havingCondition))
@@ -2885,7 +3132,7 @@ object IncrementalPlanner {
           case None    => compileProject(spark, p, feeds)
         }
       case other        => throw unsupported(s"top-level ${other.getClass.getSimpleName}")
-    }
+    } }
   }
 
   /** [[materialize]] with BOUNDED state on an unbounded feed: the input

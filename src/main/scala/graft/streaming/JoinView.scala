@@ -520,8 +520,21 @@ object JoinView {
     * side's payload change can flip any pair's match status. Bounded by
     * the same `maxRows` guard; untouched buckets cost nothing.
     */
+  /** AS-OF pair selection inside [[valBucketDiff]]: `select` returns the
+    * ORDERING KEY of a (left, right) pair when the right row is an
+    * admissible version for the left row (None = inadmissible), and
+    * each left row pairs with AT MOST the admissible partner whose key
+    * is LARGEST under `cmp` (ties broken by partner change key) — the
+    * "version valid at event time" semantic. Admissibility composes
+    * with the residual (both must hold).
+    */
+  final case class AsofSpec(
+      select: (Map[String, String], Map[String, String]) => Option[String],
+      cmp: (String, String) => Int)
+
   private def valBucketDiff(preserveLeft: Boolean, preserveRight: Boolean, maxRows: Int,
-      residual: (Map[String, String], Map[String, String]) => Boolean)(
+      residual: (Map[String, String], Map[String, String]) => Boolean,
+      asof: Option[AsofSpec])(
       bucket: String,
       changes: Iterator[ValEvent],
       state: GroupState[ValBucketState]): Iterator[JoinedChange] = {
@@ -550,15 +563,35 @@ object JoinView {
         ls.map { case (k, p) => soloKey(left = true, k) -> (p, Map.empty[String, String]) } ++
           rs.map { case (k, p) => soloKey(left = false, k) -> (Map.empty[String, String], p) }
       else {
-        val pairs = for { (lk, lp) <- ls; (rk, rp) <- rs if residual(lp, rp) }
-          yield pairKey(lk, rk) -> (lp, rp)
+        val pairSeq: Seq[(Long, Long, Map[String, String], Map[String, String])] = asof match {
+          case Some(a) => // one partner per left row: the max admissible
+            ls.toSeq.flatMap { case (lk, lp) =>
+              val cands = rs.toSeq.flatMap { case (rk, rp) =>
+                if (residual(lp, rp)) a.select(lp, rp).map(k => (k, rk, rp)) else None
+              }
+              if (cands.isEmpty) None
+              else {
+                val (_, rk, rp) = cands.reduceLeft { (x, y) =>
+                  val c = a.cmp(x._1, y._1)
+                  if (c > 0 || (c == 0 && x._2 > y._2)) x else y
+                }
+                Some((lk, rk, lp, rp))
+              }
+            }
+          case None =>
+            for { (lk, lp) <- ls.toSeq; (rk, rp) <- rs.toSeq if residual(lp, rp) }
+              yield (lk, rk, lp, rp)
+        }
+        val pairs   = pairSeq.map { case (lk, rk, lp, rp) => pairKey(lk, rk) -> (lp, rp) }.toMap
+        val pairedL = pairSeq.map(_._1).toSet
+        val pairedR = pairSeq.map(_._2).toSet
         val lSolos =
           if (!preserveLeft) Map.empty
-          else ls.collect { case (lk, lp) if !rs.exists { case (_, rp) => residual(lp, rp) } =>
+          else ls.collect { case (lk, lp) if !pairedL(lk) =>
             soloKey(left = true, lk) -> (lp, Map.empty[String, String]) }
         val rSolos =
           if (!preserveRight) Map.empty
-          else rs.collect { case (rk, rp) if !ls.exists { case (_, lp) => residual(lp, rp) } =>
+          else rs.collect { case (rk, rp) if !pairedR(rk) =>
             soloKey(left = false, rk) -> (Map.empty[String, String], rp) }
         pairs ++ lSolos ++ rSolos
       }
@@ -592,7 +625,8 @@ object JoinView {
       leftVal: Change => Option[String], rightVal: Change => Option[String],
       preserveLeft: Boolean = false, preserveRight: Boolean = false,
       maxRowsPerValue: Int = 1000000,
-      residual: Option[(Map[String, String], Map[String, String]) => Boolean] = None): Dataset[JoinedChange] = {
+      residual: Option[(Map[String, String], Map[String, String]) => Boolean] = None,
+      asof: Option[AsofSpec] = None): Dataset[JoinedChange] = {
     implicit val sideStateEnc = Encoders.product[ValSideState]
     implicit val eventEnc     = Encoders.product[ValEvent]
     implicit val bucketEnc    = Encoders.product[ValBucketState]
@@ -610,9 +644,11 @@ object JoinView {
     lEvents.union(rEvents)
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        residual match {
-          case Some(res) => valBucketDiff(preserveLeft, preserveRight, maxRowsPerValue, res)
-          case None      => valBucket(preserveLeft, preserveRight, maxRowsPerValue)
+        (residual, asof) match {
+          case (None, None) => valBucket(preserveLeft, preserveRight, maxRowsPerValue)
+          case (res, a)     =>
+            valBucketDiff(preserveLeft, preserveRight, maxRowsPerValue,
+              res.getOrElse((_: Map[String, String], _: Map[String, String]) => true), a)
         })
   }
 }

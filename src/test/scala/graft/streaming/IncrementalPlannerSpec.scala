@@ -2042,16 +2042,7 @@ class IncrementalPlannerSpec extends SparkSpec {
       .map(r => (r.getAs[String]("total"), r.getAs[String]("n")))
     assert(k3Hist == Seq(("60.0", "3"), ("55.0", "2")), s"k3 history: $k3Hist")
 
-    // mixing specs is rejected fast
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val feeds = Map("t" -> MemoryStream[Change].toDS())
-    val e = intercept[IllegalArgumentException] {
-      IncrementalPlanner.materialize(spark,
-        "SELECT lag(v) OVER (PARTITION BY g ORDER BY ev) AS a1, " +
-          "sum(v) OVER (PARTITION BY g) AS a2 FROM t", feeds)
-    }
-    assert(e.getMessage.contains("single OVER clause"), e.getMessage)
+    // mixing specs compiles through the mixed-OVER merge dataflow (#171bj)
   }
 
   test("#171ay ntile / first_value / last_value / nth_value: default-frame semantics incl. peer groups") {
@@ -2456,5 +2447,110 @@ class IncrementalPlannerSpec extends SparkSpec {
         "t2" -> (c2 :+ Change("insert", 2L, ts(2), Map("band" -> "low", "lo" -> "1"), 2L)))))
     assert(rowBag("pv_resfull", Seq("name", "band")) ==
       Seq(Seq[Any]("a", "high"), Seq[Any]("b", null), Seq[Any](null, "low")))
+  }
+
+  test("#171bj mixed OVER clauses: two distinct specs in one select list, merged on change key") {
+    val sql = "SELECT name, city, " +
+      "row_number() OVER (PARTITION BY city ORDER BY amount DESC) AS rn, " +
+      "count(*) OVER (PARTITION BY grp) AS cnt FROM t"
+    val b1 = Seq(
+      Change("insert", 1L, ts(0), Map("name" -> "a", "city" -> "ber", "grp" -> "g1", "amount" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("name" -> "b", "city" -> "ber", "grp" -> "g1", "amount" -> "5"), 2L),
+      Change("insert", 3L, ts(2), Map("name" -> "c", "city" -> "par", "grp" -> "g2", "amount" -> "50"), 3L))
+    runView(sql, "pv_mixed", Seq(
+      Map("t" -> b1),
+      // rank flip in ber (5 -> 20) AND c moves g2 -> g1 (counts fan to 3)
+      Map("t" -> Seq(
+        Change("update", 2L, ts(10), Map("name" -> "b", "city" -> "ber", "grp" -> "g1", "amount" -> "20"), 4L),
+        Change("update", 3L, ts(11), Map("name" -> "c", "city" -> "par", "grp" -> "g1", "amount" -> "50"), 5L))),
+      // a dies: ber re-ranks, g1 count drops to 2
+      Map("t" -> Seq(Change("delete", 1L, ts(20), Map.empty, 6L)))))
+    val got = rowState("pv_mixed", Seq("name", "city", "rn", "cnt"))
+    assert(got == Map(
+      2L -> Seq[Any]("b", "ber", 1L, "2"),
+      3L -> Seq[Any]("c", "par", 1L, "2")), s"final mixed state: $got")
+
+    // intermediate consistency: after batch 2, every g1 member carried cnt=3
+    val afterB2 = spark.table("pv_mixed").collect().toSeq
+      .filter(r => r.getAs[String]("op") == "upsert" && r.getAs[Long]("ts_us") <= CdcMaterializer.micros(ts(11)))
+      .sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("seq")))
+      .foldLeft(Map.empty[Long, (Long, String)]) { (m, r) =>
+        m + (r.getAs[Long]("key") -> (r.getAs[Long]("rn"), r.getAs[String]("cnt")))
+      }
+    assert(afterB2 == Map(1L -> (2L, "3"), 2L -> (1L, "3"), 3L -> (1L, "3")),
+      s"post-batch-2 folded state: $afterB2")
+
+    // a top-k bound over mixed specs is rejected with the rewrite hint
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feeds = Map("t" -> MemoryStream[Change].toDS())
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name, rn FROM (" + sql + ") WHERE rn <= 2", feeds)
+    }
+    assert(e1.getMessage.contains("mixed OVER"), e1.getMessage)
+  }
+
+  test("#171bk ASOF JOIN: events pair with the latest version at-or-before their time; republish and late versions re-enrich") {
+    val sql = "SELECT e.val AS val, v.price AS price FROM e ASOF JOIN v ON e.sym = v.sym AND e.ets >= v.vts"
+    val events = Seq(
+      Change("insert", 1L, ts(0), Map("sym" -> "A", "ets" -> "15", "val" -> "x1"), 1L),
+      Change("insert", 2L, ts(1), Map("sym" -> "A", "ets" -> "25", "val" -> "x2"), 2L),
+      Change("insert", 3L, ts(2), Map("sym" -> "A", "ets" -> "5", "val" -> "x3"), 3L), // before any version
+      Change("insert", 4L, ts(3), Map("sym" -> "B", "ets" -> "50", "val" -> "x4"), 4L)) // no versions at all
+    val versions = Seq(
+      Change("insert", 1L, ts(0), Map("sym" -> "A", "vts" -> "10", "price" -> "100"), 1L),
+      Change("insert", 2L, ts(1), Map("sym" -> "A", "vts" -> "20", "price" -> "200"), 2L))
+    runView(sql, "pv_asof", Seq(
+      Map("e" -> events, "v" -> versions),
+      // a LATE version lands between v1 and e1: e1 re-pairs to it
+      Map("v" -> Seq(Change("insert", 3L, ts(10), Map("sym" -> "A", "vts" -> "12", "price" -> "120"), 3L))),
+      // version REPUBLISH: e2's version updates in place, e2 re-emits
+      Map("v" -> Seq(Change("update", 2L, ts(20), Map("sym" -> "A", "vts" -> "20", "price" -> "210"), 4L)))))
+    assert(rowBag("pv_asof", Seq("val", "price")) ==
+      Seq(Seq[Any]("x1", "120"), Seq[Any]("x2", "210")),
+      "inner ASOF: e1 -> late v3 (12 <= 15), e2 -> republished v2; e3/e4 unmatched invisible")
+    // e1's enrichment history: 100 (v1) then 120 (late v3)
+    val e1Prices = spark.table("pv_asof").collect().toSeq
+      .sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("seq")))
+      .filter(r => r.getAs[String]("op") == "upsert" && r.getAs[String]("val") == "x1")
+      .map(_.getAs[String]("price"))
+    assert(e1Prices == Seq("100", "120"), s"e1 history: $e1Prices")
+
+    // deleting the late version FALLS BACK to the previous one
+    runView(sql, "pv_asof2", Seq(
+      Map("e" -> events.take(1), "v" -> (versions :+
+        Change("insert", 3L, ts(2), Map("sym" -> "A", "vts" -> "12", "price" -> "120"), 3L))),
+      Map("v" -> Seq(Change("delete", 3L, ts(10), Map.empty, 4L)))))
+    assert(rowBag("pv_asof2", Seq("val", "price")) == Seq(Seq[Any]("x1", "100")))
+
+    // ASOF LEFT JOIN preserves unmatched events with NULL version fields
+    runView("SELECT e.val AS val, v.price AS price FROM e ASOF LEFT JOIN v " +
+      "ON e.sym = v.sym AND e.ets >= v.vts",
+      "pv_asofl", Seq(Map("e" -> events, "v" -> versions)))
+    assert(rowBag("pv_asofl", Seq("val", "price")) ==
+      Seq(Seq[Any]("x1", "100"), Seq[Any]("x2", "200"), Seq[Any]("x3", null), Seq[Any]("x4", null)))
+
+    // guards: orientation, inequality count, one-asof-per-statement
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def feeds2 = Map("e" -> MemoryStream[Change].toDS(), "v" -> MemoryStream[Change].toDS(),
+      "w" -> MemoryStream[Change].toDS())
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT e.val AS val FROM e ASOF JOIN v ON e.sym = v.sym AND v.vts >= e.ets", feeds2)
+    }
+    assert(e1.getMessage.contains("greater side"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT e.val AS val FROM e ASOF JOIN v ON e.sym = v.sym", feeds2)
+    }
+    assert(e2.getMessage.contains("exactly ONE ordering"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT e.val AS val FROM e ASOF JOIN v ON e.sym = v.sym AND e.ets >= v.vts " +
+          "JOIN w ON w.sym = v.sym", feeds2)
+    }
+    assert(e3.getMessage.contains("one ASOF JOIN per statement"), e3.getMessage)
   }
 }
