@@ -5,12 +5,32 @@ import org.apache.spark.sql.functions._
 import graft.GraftSession
 
 /** Streaming throughput smoke: rate source -> Change records ->
-  * materializer -> null sink, reporting rows/s. Not part of the driver
-  * bench contract — run manually:
+  * materializer -> null sink, reporting rows/s and latency. Not part of
+  * the driver bench contract — run manually:
   * `sbt "runMain graft.streaming.StreamBench [rowsPerSec] [seconds] [liveKeys] [engine]"`
-  * where engine is `v1` (flatMapGroupsWithState fold, HDFS-backed state)
-  * or `v2` ([[StateMaterializer]] transformWithState on the RocksDB
-  * provider — the 100 TB-cardinality configuration).
+  * where engine is:
+  *
+  *  - `v1` — CdcMaterializer (flatMapGroupsWithState fold, HDFS-backed
+  *    state);
+  *  - `v2` — [[StateMaterializer]] transformWithState on the RocksDB
+  *    provider (the 100 TB-cardinality configuration);
+  *  - `transitions` — the #163 live Markov view's step extractor;
+  *  - `planner-agg` — an [[IncrementalPlanner]] filtered grouped
+  *    aggregate view (`WHERE … GROUP BY city`), the chained two-stage
+  *    fold that is the planner's flagship dataflow;
+  *  - `planner-join` — an [[IncrementalPlanner]] VALUE-equi join view
+  *    (two rate feeds arranged by join value), the arrangement-class
+  *    dataflow.
+  *
+  * Latency: when the emitted rows carry their change's event time
+  * (`tsUs`/`ts_us`, stamped at ingest by the rate source), the wall
+  * clock at batch end minus the row's event time IS its end-to-end
+  * ingest→emit latency — aggregated as a 10 ms-bucket histogram (exact
+  * per-record accounting at ±10 ms resolution, no sampling). Aggregate
+  * views suppress no-change groups and emit deltas without an event
+  * column, so for them the published latency is the micro-batch
+  * duration percentiles (processing latency; ingest→emit adds at most
+  * one trigger interval on top).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -24,7 +44,12 @@ object StreamBench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
 
-    val changes = spark.readStream
+    /** A rate-derived changefeed: 10% deletes, keys recycled over
+      * `liveKeys`, the rate counter as a monotone LSN, and payload
+      * fields for the planner views (city ~500 groups, amount 0–999,
+      * grp `liveKeys/4` join values ≈ 4×4 bucket cross products).
+      */
+    def rateChanges(tag: String): org.apache.spark.sql.Dataset[Change] = spark.readStream
       .format("rate")
       .option("rowsPerSecond", rowsPerSec)
       .load()
@@ -32,18 +57,23 @@ object StreamBench {
         when(pmod(col("value"), lit(10)) === 0, "delete").otherwise("update").as("op"),
         pmod(col("value"), lit(liveKeys)).as("key"),
         col("timestamp").as("ts"),
-        map(lit("value"), col("value").cast("string")).as("payload"),
-        col("value").as("seq"), // the rate counter is a natural monotone LSN
+        map(
+          lit("value"), col("value").cast("string"),
+          lit("city"), concat(lit("c"), pmod(col("value"), lit(500))),
+          // 997 is coprime to the key space, so a key's amount CHANGES
+          // on every update (with % 1000 it would be constant per key
+          // and stage-1 suppression would zero the downstream load)
+          lit("amount"), pmod(col("value"), lit(997)).cast("string"),
+          lit("grp"), pmod(col("value"), lit(math.max(1, liveKeys / 4))).cast("string"),
+          lit(tag), concat(lit(tag), col("value"))).as("payload"),
+        col("value").as("seq"),
       )
       .as[Change]
 
     val counter = spark.sparkContext.longAccumulator("processed")
-    // `transitions` engine: rate source -> TypedEvents -> #163's step
-    // extractor (per-key last-event state over `liveKeys` keys) — the
-    // live Markov view's hot path, measured on the same harness
-    val materialized =
-      if (engine == "transitions")
-        TransitionView.steps(
+    val (materialized, outMode) = engine match {
+      case "transitions" =>
+        val df = TransitionView.steps(
           spark.readStream.format("rate").option("rowsPerSecond", rowsPerSec).load()
             .select(
               col("value").as("eventId"),
@@ -51,48 +81,62 @@ object StreamBench {
               col("timestamp").as("ts"),
               concat(lit("t"), pmod(col("value"), lit(7))).as("eventType"))
             .as[TypedEvent]).toDF()
-      else if (engine == "v2") StateMaterializer.materialize(changes).toDF()
-      else CdcMaterializer.materialize(changes).toDF()
-    // Ingest→emit latency, per record: every emitted row carries its
-    // change's event time (tsUs, stamped by the rate source at ingest);
-    // at batch END (results available = emitted) the wall clock minus
-    // the row's event time IS its end-to-end latency. Aggregated as a
-    // 10 ms-bucket histogram of event times per batch (one small
-    // collect), converted to latencies with the batch-end clock —
-    // exact per-record accounting at ±10 ms resolution, no sampling.
+        (df, org.apache.spark.sql.streaming.OutputMode.Append())
+      case "planner-agg" =>
+        val planned = IncrementalPlanner.materialize(spark,
+          "SELECT city, count(*) AS n, sum(amount) AS total FROM t WHERE amount > 100 GROUP BY city",
+          Map("t" -> rateChanges("name")))
+        (planned.df, planned.outputMode)
+      case "planner-join" =>
+        val planned = IncrementalPlanner.materialize(spark,
+          "SELECT l.name AS name, r.tag AS tag FROM a l JOIN b r ON l.grp = r.grp",
+          Map("a" -> rateChanges("name"), "b" -> rateChanges("tag")))
+        (planned.df, planned.outputMode)
+      case "v2" => (StateMaterializer.materialize(rateChanges("name")).toDF(), CdcMaterializer.outputMode)
+      case _    => (CdcMaterializer.materialize(rateChanges("name")).toDF(), CdcMaterializer.outputMode)
+    }
     val latHist = scala.collection.mutable.Map.empty[Long, Long] // lat_ms/10 -> rows
     val q = materialized
       .writeStream
-      .outputMode(
-        if (engine == "transitions") org.apache.spark.sql.streaming.OutputMode.Append()
-        else CdcMaterializer.outputMode)
+      .outputMode(outMode)
       .option("checkpointLocation", s"target/streambench-ck-${System.nanoTime()}")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val h = batch.select(expr("tsUs div 10000").as("b")).groupBy("b").count().collect()
-        val tEnd = System.currentTimeMillis()
-        counter.add(h.map(_.getAs[Long]("count")).sum)
-        h.foreach { r => // foreachBatch is driver-serial per query
-          val latMs = math.max(0L, tEnd - r.getAs[Long]("b") * 10L)
-          latHist(latMs / 10) = latHist.getOrElse(latMs / 10, 0L) + r.getAs[Long]("count")
+        val tsCol = Seq("tsUs", "ts_us").find(batch.columns.contains)
+        tsCol match {
+          case Some(c) =>
+            val h = batch.select(expr(s"$c div 10000").as("b")).groupBy("b").count().collect()
+            val tEnd = System.currentTimeMillis()
+            counter.add(h.map(_.getAs[Long]("count")).sum)
+            h.foreach { r => // foreachBatch is driver-serial per query
+              val latMs = math.max(0L, tEnd - r.getAs[Long]("b") * 10L)
+              latHist(latMs / 10) = latHist.getOrElse(latMs / 10, 0L) + r.getAs[Long]("count")
+            }
+          case None => counter.add(batch.count())
         }
       }
       .start()
 
     val t0 = System.nanoTime()
     Thread.sleep(seconds * 1000L)
+    val progress = q.recentProgress.toSeq // snapshot before stop
     q.stop()
     val elapsed = (System.nanoTime() - t0) / 1e9
-    def pct(q: Double): Long = {
-      val total = latHist.values.sum
+    def pct(hist: Map[Long, Long], q: Double): Long = {
+      val total = hist.values.sum
       var acc   = 0L
-      latHist.toSeq.sortBy(_._1).foreach { case (b, n) =>
+      hist.toSeq.sortBy(_._1).foreach { case (b, n) =>
         acc += n
         if (acc >= total * q) return b * 10
       }
-      latHist.keys.maxOption.getOrElse(0L) * 10
+      hist.keys.maxOption.getOrElse(0L) * 10
     }
-    // rows ingested = rate * elapsed (approx); state rows emitted = counter
-    println(f"""{"metric":"cdc_materialize","engine":"$engine","input_rows_per_sec":$rowsPerSec,"elapsed_sec":$elapsed%.1f,"state_rows_emitted":${counter.value},"lat_p50_ms":${pct(0.5)},"lat_p99_ms":${pct(0.99)}}""")
+    // achieved ingest rate + micro-batch durations from query progress
+    val inputRows = progress.map(_.numInputRows).sum
+    val batchMs   = progress.map(_.batchDuration).sorted
+    def bPct(q: Double): Long =
+      if (batchMs.isEmpty) 0L else batchMs(math.min(batchMs.length - 1, (batchMs.length * q).toInt))
+    val lat = latHist.toMap
+    println(f"""{"metric":"stream_bench","engine":"$engine","input_rows_per_sec":$rowsPerSec,"achieved_rows_per_sec":${(inputRows / math.max(elapsed, 0.001)).toLong},"elapsed_sec":$elapsed%.1f,"rows_emitted":${counter.value},"lat_p50_ms":${pct(lat, 0.5)},"lat_p99_ms":${pct(lat, 0.99)},"batch_p50_ms":${bPct(0.5)},"batch_p99_ms":${bPct(0.99)}}""")
     spark.stop()
   }
 }
