@@ -83,16 +83,44 @@ object KafkaFeed {
     fromKafkaWire(reader(spark, cfg).load())
 
   /** Publish a changefeed to a Kafka topic in the wire format. The
-    * returned writer still needs `.start()` (and its checkpoint dir
-    * carries the exactly-once source offsets; Kafka's producer gives
-    * at-least-once delivery — consumers dedup by (key, ts, seq), which
-    * [[CdcMaterializer]]'s stale-drop already does).
+    * returned writer still needs `.start()`.
+    *
+    * ==Delivery contract (the exactly-once story, spelled out)==
+    *
+    *  - SOURCE side: exactly-once — the checkpoint dir carries the
+    *    committed Kafka offsets; a restart re-reads from the last
+    *    committed batch, never skips.
+    *  - SINK side: AT-LEAST-ONCE. Spark's Kafka sink has no cross-batch
+    *    transactions (a replayed micro-batch re-sends its records), and
+    *    a transactional.id would only scope one producer instance — so
+    *    this library does not pretend EOS at the broker.
+    *    `idempotentProducer = true` passes the broker-level options
+    *    (`kafka.enable.idempotence`, `kafka.acks=all`) through, which
+    *    removes duplicates from producer RETRIES within a session but
+    *    NOT from batch replays.
+    *  - END-TO-END exactly-once is the CONSUMER's dedup contract: every
+    *    wire record carries its change identity `(key, ts µs, seq)`,
+    *    and folding per key in `(ts, seq)` order makes redelivery
+    *    idempotent — [[CdcMaterializer]]'s stale-drop, the planner's
+    *    stage-1 folds, and FeedSink/JdbcSink's batch markers all
+    *    already do this. A non-graft consumer must either dedup on that
+    *    identity or be a naturally idempotent upsert keyed by it.
     */
-  def toKafka(changes: DataFrame, cfg: KafkaFeedConfig, checkpointDir: String): DataStreamWriter[Row] =
+  def toKafka(changes: DataFrame, cfg: KafkaFeedConfig, checkpointDir: String,
+      idempotentProducer: Boolean = false): DataStreamWriter[Row] =
     ChangeFeed
       .toWire(changes)
       .writeStream
       .format("kafka")
-      .options(sinkOptions(cfg))
+      .options(sinkOptions(cfg) ++ (if (idempotentProducer) idempotentProducerOptions else Map.empty))
       .option("checkpointLocation", checkpointDir)
+
+  /** Broker-level producer idempotence pass-through (see the [[toKafka]]
+    * delivery contract: dedups producer retries within a session, NOT
+    * batch replays — consumer dedup stays required for exactly-once).
+    */
+  val idempotentProducerOptions: Map[String, String] = Map(
+    "kafka.enable.idempotence" -> "true",
+    "kafka.acks"               -> "all",
+  )
 }

@@ -79,6 +79,21 @@ class KafkaFeedSpec extends SparkSpec {
       s"writer lost the sink options: $wmaps")
   }
 
+  test("#148e idempotent-producer options land on the writer; delivery contract documented") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input  = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Change]
+    val writer = KafkaFeed.toKafka(input.toDF(), cfg, tmp("kwr2"), idempotentProducer = true)
+    val wmaps  = mapsOf(writer)
+    assert(wmaps.exists(m => m.get("kafka.enable.idempotence").contains("true")
+        && m.get("kafka.acks").contains("all")
+        && m.get("topic").contains("graft_changes")),
+      s"writer lost the idempotent-producer options: $wmaps")
+    // default stays plain at-least-once (no surprise producer configs)
+    val plain = mapsOf(KafkaFeed.toKafka(input.toDF(), cfg, tmp("kwr3")))
+    assert(!plain.exists(_.contains("kafka.enable.idempotence")))
+  }
+
   test("#148c full load path with the transport swapped to files: wire records -> µs-exact Changes") {
     import spark.implicits._
     val subMs = { val t = ts(1); t.setNanos(123456000); t } // µs precision must survive
