@@ -24,7 +24,9 @@ object PlanAudit {
     GraftSession.staticTuning.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val thetaBnljAllowed = Set("q12_running_revenue", "q74_quality_deciles")
+    // keep in sync with PlanSpec's allowlist (same bounded triangular
+    // offset-join idiom: months / score bands / length bands)
+    val thetaBnljAllowed = Set("q12_running_revenue", "q74_quality_deciles", "q86_global_shard_ids")
     var bad = 0; var ok = 0; var skipped = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
