@@ -240,10 +240,12 @@ object TrainingData {
 
   def mixtureSample(spark: SparkSession, dir: String, targetShare: Double = 0.2): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val stats = docs
-      .groupBy("lang")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    // corpus total via a broadcast one-row join — an empty-partition
+    // window would funnel the (tiny) counts table through one partition
+    // AND log the WindowExec warning the fleet treats as a red flag
+    val stats = counts
+      .crossJoin(broadcast(counts.agg(sum("cnt").as("total"))))
       .select(col("lang"), (lit(targetShare) / (col("cnt").cast("double") / col("total"))).as("rate"))
     // 16-bit hash draw in [0,1): same digits the oracle reconstructs
     val frac = (conv(hexKey(col("doc_id")), 16, 10).cast("double") / 65536.0)

@@ -94,16 +94,17 @@ class TrainingDataSpec extends SparkSpec {
     assert(sizes.keySet == (1L to 10L).toSet, s"missing deciles: ${sizes.keySet}")
     assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced deciles: $sizes")
     // the banded decomposition must equal ONE global rank: reference
-    // computed with the single window the operator refuses to plan
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id"))
+    // ranked driver-side (sf0.001 fits trivially) — a global Window here
+    // would log the WindowExec no-partition warning the driver queries
+    // are asserted never to produce, masking a real one
     val ref = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"),
         round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") / length(col("text")), 4)
           .as("score"))
-      .withColumn("rn", row_number().over(w))
-      .select(col("doc_id"), (floor((col("rn") - 1) * 10 / lit(n)) + 1).cast("long").as("decile"))
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("decile")).toMap
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex
+      .map { case ((id, _), i) => id -> (i.toLong * 10 / n + 1) }.toMap
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       assert(r.getAs[Long]("decile") == ref(id), s"doc $id decile diverged from global rank")
