@@ -912,8 +912,8 @@ object IncrementalPlanner {
       * below the WHERE are rejected (`what` names the construct in the
       * error). The Nil-pairs result is the uncorrelated case.
       */
-    private def decorrelate(plan: LogicalPlan, what: String)
-        : (Seq[(Expression, Expression)], Seq[Expression], Seq[NamedExpression], LogicalPlan) = {
+    private def decorrelate(plan: LogicalPlan, what: String, allowNonEqui: Boolean = false)
+        : (Seq[(Expression, Expression)], Seq[Expression], Seq[Expression], Seq[NamedExpression], LogicalPlan) = {
       val (items, condOpt, subChild) = plan match {
         case Project(is, f: Filter) => (is, Some(f.condition), f.child)
         case Project(is, c)         => (is, None, c)
@@ -933,15 +933,21 @@ object IncrementalPlanner {
         case x         => Seq(x)
       }
       val (outerCs, innerCs) = condOpt.map(conjuncts).getOrElse(Nil).partition(refsOuter)
-      // (inner expr, outer attr) per equi-correlated conjunct
-      val pairs: Seq[(Expression, Expression)] = outerCs.map {
-        case EqualTo(l, r: UnresolvedAttribute) if !refsOuter(l) && isOuter(r) => (l, r)
-        case EqualTo(l: UnresolvedAttribute, r) if !refsOuter(r) && isOuter(l) => (r, l)
-        case other => throw unsupported(
-          s"$what correlation ${other.sql} (each outer-referencing conjunct must be " +
-            "<inner expr> = <outer attr> — equi-correlation only)")
+      // (inner expr, outer attr) per equi-correlated conjunct; anything
+      // else outer-referencing is a NON-EQUI correlation conjunct
+      val (equiCs, nonEquiCs) = outerCs.partition {
+        case EqualTo(l, r: UnresolvedAttribute) if !refsOuter(l) && isOuter(r) => true
+        case EqualTo(l: UnresolvedAttribute, r) if !refsOuter(r) && isOuter(l) => true
+        case _ => false
       }
-      (pairs, innerCs, items, subChild)
+      val pairs: Seq[(Expression, Expression)] = equiCs.map {
+        case EqualTo(l, r: UnresolvedAttribute) if !refsOuter(l) && isOuter(r) => (l, r)
+        case EqualTo(l: UnresolvedAttribute, r) => (r, l)
+      }
+      if (!allowNonEqui && nonEquiCs.nonEmpty) throw unsupported(
+        s"$what correlation ${nonEquiCs.head.sql} (each outer-referencing conjunct must be " +
+          "<inner expr> = <outer attr> — equi-correlation only here)")
+      (pairs, nonEquiCs, innerCs, items, subChild)
     }
 
     /** The per-correlation-group dim plan: GROUP BY the correlation
@@ -976,7 +982,8 @@ object IncrementalPlanner {
         n += 1
         attr(nm)
       } else {
-        val (pairs, innerCs, items, subChild) = decorrelate(sq.plan, "correlated scalar subquery")
+        val (pairs, nonEquis, innerCs, items, subChild) =
+          decorrelate(sq.plan, "correlated scalar subquery", allowNonEqui = true)
         require(items.length == 1,
           s"scalar subquery must select exactly one column; got ${items.length}")
         val core = coreOf(items.head)
@@ -985,10 +992,12 @@ object IncrementalPlanner {
           case _ => throw unsupported(
             "correlated scalar subquery item (must be one aggregate call, e.g. count(*) or avg(x))")
         }
-        layer(aggChangesOf(spark, groupedDim(pairs.map(_._1), innerCs,
-            Seq(Alias(core, "_s")()), subChild), feeds)._1,
-          p => p.get("_s").map(v => Map(nm -> v)).getOrElse(Map.empty),
-          probeEnc(pairs.map(p => compileExpr(p._2))))
+        if (nonEquis.isEmpty)
+          layer(aggChangesOf(spark, groupedDim(pairs.map(_._1), innerCs,
+              Seq(Alias(core, "_s")()), subChild), feeds)._1,
+            p => p.get("_s").map(v => Map(nm -> v)).getOrElse(Map.empty),
+            probeEnc(pairs.map(p => compileExpr(p._2))))
+        else nonEquiScalarLayer(nm, pairs, nonEquis, innerCs, core, subChild)
         n += 1
         // the COUNT bug: an absent correlation group is count = 0 in
         // batch SQL (every other aggregate over zero rows is NULL)
@@ -997,12 +1006,117 @@ object IncrementalPlanner {
       }
     }
 
+    /** NON-EQUI correlated scalar aggregate — `(SELECT agg(x) FROM s
+      * WHERE s.k = o.k AND s.v < o.cut)`: the classic decorrelation is a
+      * LEFT JOIN with the non-equi conjuncts as the ON residual, then an
+      * aggregate per outer row — and both pieces already exist here. The
+      * layer pairs the fact feed with the subquery's row feed through the
+      * residual-aware value-join (equi-correlation values arrange the
+      * buckets; non-equi + inner-only conjuncts are the live residual;
+      * facts are PRESERVED so a fact with zero admissible rows still
+      * groups — count 0, sum/avg/min/max NULL, batch semantics), then an
+      * internal aggregate view grouped by the fact's change key computes
+      * the scalar, which the standard fk-hop injects back onto the fact.
+      *
+      * `count(*)` counts a dim-side marker (`_dm`) so preserved solos
+      * count 0, not 1. Scale: with no equi conjunct every row shares ONE
+      * bucket (the cross-arrangement class) — `maxRowsPerShard` raises
+      * past the bound, same discipline as the other layers; with equi
+      * conjuncts the buckets shard by correlation value.
+      */
+    private def nonEquiScalarLayer(nm: String, pairs: Seq[(Expression, Expression)],
+        nonEquis: Seq[Expression], innerCs: Seq[Expression],
+        core: Expression, subChild: LogicalPlan): Unit = {
+      val (dimFeed0, dimAlias) = subChild match {
+        case sa: SubqueryAlias => (feeds.getOrElse(relNameOf(sa.child),
+          throw new IllegalArgumentException(s"unknown feed '${relNameOf(sa.child)}'")), sa.alias)
+        case r: UnresolvedRelation =>
+          val name = r.multipartIdentifier.last
+          (feeds.getOrElse(name, throw new IllegalArgumentException(s"unknown feed '$name'")), name)
+        case other => throw unsupported(
+          s"non-equi correlated subquery FROM ${other.getClass.getSimpleName} (named feed only)")
+      }
+      // dim marker: lets count(*) count PAIRS (a preserved solo's dim
+      // side is empty, so its marker is NULL and counts 0)
+      val dimFeed = dimFeed0.map(c =>
+        if (c.op == "delete") c else c.copy(payload = c.payload + ("_dm" -> "1")))
+      def qualDim(rp: Map[String, String]): Map[String, String] =
+        rp ++ rp.map { case (k, v) => s"$dimAlias.$k" -> v }
+      // join values: outer attrs on the fact side, inner exprs on the dim
+      val lVal = joinValExtract(pairs.map(_._2), "")
+      val rVal = joinValExtract(pairs.map(_._1), dimAlias)
+      // residual = non-equi correlation + the subquery's inner-only WHERE
+      // (a row failing either pairs with nobody → contributes nothing)
+      val resPreds = (nonEquis ++ innerCs).map(compileExpr)
+      val resFn = (lp: Map[String, String], rp: Map[String, String]) => {
+        val env = lp ++ qualDim(rp)
+        resPreds.forall(p => p(env).contains(true))
+      }
+      // count(*) → count(_dm) so preserved solos count 0, not 1; the
+      // parser renders a subquery's count(*) as count(1), so literal
+      // arguments rewrite too. Other aggregates read dim fields, which
+      // are NULL on solos and drop out naturally.
+      val aggCore = core match {
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("count") &&
+              f.arguments.forall(a => a.isInstanceOf[UnresolvedStar] || a.isInstanceOf[Literal]) =>
+          f.copy(arguments = Seq(attr("_dm")))
+        case other => other
+      }
+      val fkField = s"_h${n}_fk"
+      layers += { facts =>
+        // the fact's change key rides the pair payload so the internal
+        // aggregate can group by it
+        val factsCk = facts.map(c =>
+          if (c.op == "delete") c else c.copy(payload = c.payload + ("_ck" -> c.key.toString)))
+        val pairFeed: Dataset[Change] = JoinView.materializeValueJoin(
+            factsCk, dimFeed, lVal, rVal,
+            preserveLeft = true, preserveRight = false,
+            maxRowsPerValue = maxShardRows, residual = Some(resFn))
+          .map(jc => Change(if (jc.op == "delete") "delete" else "upsert", jc.key,
+            tsOfMicros(jc.tsUs), jc.l_payload ++ qualDim(jc.r_payload), jc.seq))
+        // SQL sum over ZERO matching rows is NULL, but the flat fold's
+        // sum slot reads 0.0 for an all-solo group — a hidden count of
+        // the sum's own operand distinguishes "no contributions" from a
+        // real zero, and the inject withholds the field (= SQL NULL)
+        val sumOperand: Option[Expression] = aggCore match {
+          case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("sum") =>
+            f.arguments.headOption
+          case _ => None
+        }
+        val aggItems = Seq(Alias(attr("_ck"), "_ck")(), Alias(aggCore, "_s")()) ++
+          sumOperand.map(op =>
+            Alias(UnresolvedFunction(Seq("count"), Seq(op), isDistinct = false), "_n")())
+        val aggDim = aggChangesOf(spark,
+          Aggregate(Seq(attr("_ck")), aggItems, UnresolvedRelation(Seq("__corr"))),
+          Map("__corr" -> pairFeed))._1
+          .map(c => if (c.op == "delete") c
+            else if (sumOperand.nonEmpty && c.payload.get("_n").contains("0"))
+              c.copy(payload = Map.empty)
+            else c.copy(payload = c.payload.get("_s").map(v => Map(nm -> v)).getOrElse(Map.empty)))
+        val subscribed = facts.map(c =>
+          if (c.op == "delete") c
+          else c.copy(payload = c.payload + (fkField -> fnv64(c.key.toString).toString)))
+        JoinView.materializeFkJoin(subscribed, aggDim, fkField, leftOuter = true,
+            maxFactsPerKey = maxShardRows).map { jc =>
+          Change(if (jc.op == "delete") "delete" else "upsert", jc.fact_key,
+            tsOfMicros(jc.tsUs), (jc.fact_payload - fkField) ++ jc.dim_payload, jc.seq)
+        }
+      }
+    }
+
+    private def relNameOf(plan: LogicalPlan): String = plan match {
+      case r: UnresolvedRelation => r.multipartIdentifier.last
+      case other                 => throw unsupported(
+        s"non-equi correlated subquery FROM ${other.getClass.getSimpleName} (named feed only)")
+    }
+
     private def inLayers(in: InSubquery, negated: Boolean): Expression = {
       val probeExpr = in.values match {
         case Seq(v) => v
         case vs     => throw unsupported(s"${vs.length}-column IN tuple (single-value IN only)")
       }
-      val (pairs, innerCs, items, subChild) = in.query.plan match {
+      val (pairs, _, innerCs, items, subChild) = in.query.plan match {
         case Distinct(p: Project) => decorrelate(p, "IN subquery")
         case p                    => decorrelate(p, "IN subquery")
       }
@@ -1041,7 +1155,7 @@ object IncrementalPlanner {
     }
 
     private def existsLayer(ex: Exists, negated: Boolean): Expression = {
-      val (pairs, innerCs, _, subChild) = decorrelate(ex.plan, "EXISTS subquery")
+      val (pairs, _, innerCs, _, subChild) = decorrelate(ex.plan, "EXISTS subquery")
       val mk = s"_h${n}_m"
       if (pairs.isEmpty) {
         // uncorrelated EXISTS: "is the (filtered) subquery non-empty" —

@@ -1104,16 +1104,8 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(rowState("pv_sq_x", Seq("name")).isEmpty,
       "the subquery table emptying must tombstone the scalar and retract every row")
 
-    // non-equi correlation is rejected fast (equi-correlated scalars
-    // compile — spec #171am)
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val ex = intercept[IllegalArgumentException] {
-      IncrementalPlanner.materialize(spark,
-        "SELECT name FROM t WHERE amount > (SELECT avg(amount) FROM u WHERE u.g < t.g)",
-        Map("t" -> MemoryStream[Change].toDS(), "u" -> MemoryStream[Change].toDS()))
-    }
-    assert(ex.getMessage.contains("equi-correlation"), s"wrong failure: ${ex.getMessage}")
+    // non-equi correlated scalars compile through the pair-aggregate
+    // dataflow since r8 — spec #171bl
   }
 
   test("#171al [NOT] IN and [NOT] EXISTS subqueries: incremental semi/anti-join views") {
@@ -2552,5 +2544,49 @@ class IncrementalPlannerSpec extends SparkSpec {
           "JOIN w ON w.sym = v.sym", feeds2)
     }
     assert(e3.getMessage.contains("one ASOF JOIN per statement"), e3.getMessage)
+  }
+
+  test("#171bl NON-EQUI correlated scalar subqueries: count/sum per outer row under churn on both sides") {
+    val sql = "SELECT name, " +
+      "(SELECT count(*) FROM u WHERE u.grp = t.grp AND u.v < t.cut) AS below, " +
+      "(SELECT sum(u.v) FROM u WHERE u.grp = t.grp AND u.v < t.cut) AS ssum FROM t"
+    val tRows = Seq(
+      Change("insert", 1L, ts(0), Map("name" -> "a", "grp" -> "g1", "cut" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("name" -> "b", "grp" -> "g1", "cut" -> "3"), 2L),
+      Change("insert", 3L, ts(2), Map("name" -> "c", "grp" -> "g2", "cut" -> "5"), 3L))
+    val uRows = Seq(
+      Change("insert", 1L, ts(0), Map("grp" -> "g1", "v" -> "5"), 1L),
+      Change("insert", 2L, ts(1), Map("grp" -> "g1", "v" -> "8"), 2L),
+      Change("insert", 3L, ts(2), Map("grp" -> "g2", "v" -> "9"), 3L))
+    runView(sql, "pv_nescalar", Seq(
+      Map("t" -> tRows, "u" -> uRows),
+      // inner row crosses b's cut (8 -> 1): b recounts 0 -> 1; a's sum 13 -> 6
+      Map("u" -> Seq(Change("update", 2L, ts(10), Map("grp" -> "g1", "v" -> "1"), 4L))),
+      // OUTER row's cut moves (10 -> 4): a recounts 2 -> 1
+      Map("t" -> Seq(Change("update", 1L, ts(20), Map("name" -> "a", "grp" -> "g1", "cut" -> "4"), 4L))),
+      // inner delete of a non-matching row changes nothing visible
+      Map("u" -> Seq(Change("delete", 3L, ts(30), Map.empty, 5L)))))
+    val got = rowState("pv_nescalar", Seq("name", "below", "ssum"))
+    assert(got == Map(
+      1L -> Seq[Any]("a", "1", "1.0"),
+      2L -> Seq[Any]("b", "1", "1.0"),
+      3L -> Seq[Any]("c", "0", null)), s"final: $got")
+
+    // a's count history: 2 (5,8 < 10) -> stays 2 after the u-move (5,1) -> 1 after cut=4
+    val aHist = spark.table("pv_nescalar").collect().toSeq
+      .sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("seq")))
+      .filter(r => r.getAs[String]("op") == "upsert" && r.getAs[String]("name") == "a")
+      .map(r => (r.getAs[String]("below"), r.getAs[String]("ssum"))).distinct
+    // (a may briefly see zero matches before u's first micro-batch lands)
+    assert(aHist.dropWhile(_._1 == "0") == Seq(("2", "13.0"), ("2", "6.0"), ("1", "1.0")),
+      s"a's history: $aHist")
+
+    // PURE non-equi correlation (no equi conjunct): one guarded bucket
+    runView("SELECT name, (SELECT count(*) FROM u WHERE u.v >= t.cut) AS atleast FROM t",
+      "pv_nescalar2", Seq(Map("t" -> tRows, "u" -> uRows)))
+    assert(rowState("pv_nescalar2", Seq("name", "atleast")) == Map(
+      1L -> Seq[Any]("a", "0"),   // none of 5,8,9 >= 10
+      2L -> Seq[Any]("b", "3"),
+      3L -> Seq[Any]("c", "3")), s"pure non-equi: ${rowState("pv_nescalar2", Seq("name", "atleast"))}")
   }
 }
