@@ -1642,9 +1642,6 @@ object IncrementalPlanner {
       case f: UnresolvedFunction => f.nameParts.last.equalsIgnoreCase("session_window")
       case _                     => false
     })
-    if (norm.groupingExpressions.exists(_.isInstanceOf[BaseGroupingSets])) {
-      require(!hasSession, "session_window does not combine with ROLLUP/CUBE/GROUPING SETS")
-    }
     if (hasSession) {
       require(!hasDistinct,
         "DISTINCT aggregates in a session-window view are unsupported (the two-level " +
@@ -2050,12 +2047,21 @@ object IncrementalPlanner {
       having: Option[Expression]): PlannedView = {
     val src   = compileSource(spark, agg.child, feeds)
     val preds = src.filters.map(compileExpr)
-    val (sessionExprs, scalarExprs) = agg.groupingExpressions.partition {
+    val (sessionExprs, restExprs) = agg.groupingExpressions.partition {
       case f: UnresolvedFunction => f.nameParts.last.equalsIgnoreCase("session_window")
       case _                     => false
     }
     require(sessionExprs.length == 1,
       "exactly one session_window(...) grouping per view (Spark's own rule)")
+    // ROLLUP/CUBE/GROUPING SETS over the scalar keys compose (since r8):
+    // each LEVEL is its own session space — sessions are derived per
+    // (level, level-key) group, so the rolled-up level sessionizes the
+    // UNION of its sub-groups' rows (an adjacent pair from two cities
+    // can share a rolled-up session that neither city-level session
+    // has — the batch GROUP BY session_window, ROLLUP semantic).
+    // Honest cost: L levels hold L copies of the live rows, each on its
+    // level-group's shard (same maxRowsPerGroup guard per shard).
+    val (scalarExprs, levels) = expandGroupingSets(restExprs)
     val (tsF, gapUs) = sessionExprs.head match {
       case f: UnresolvedFunction => f.arguments match {
         case Seq(tsE, Literal(g, _)) =>
@@ -2080,6 +2086,22 @@ object IncrementalPlanner {
       core match {
         case e if e.sql == sessionSql              => SessionOut(name)
         case e if scalarSql.indexOf(e.sql) >= 0    => GroupOut(scalarSql.indexOf(e.sql), name)
+        case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("grouping") =>
+          f.arguments match {
+            case Seq(e) if scalarSql.indexOf(e.sql) >= 0 =>
+              GroupingOut(Seq(scalarSql.indexOf(e.sql)), name)
+            case other => throw unsupported(
+              s"grouping(${other.map(_.sql).mkString(",")}) (argument must be a grouping column)")
+          }
+        case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("grouping_id") =>
+          val idxs =
+            if (f.arguments.isEmpty) scalarSql.indices
+            else f.arguments.map { e =>
+              val i = scalarSql.indexOf(e.sql)
+              if (i < 0) throw unsupported(s"grouping_id argument ${e.sql} is not a grouping column")
+              i
+            }
+          GroupingOut(idxs, name)
         case f: UnresolvedFunction =>
           compileAggFnOut(f.nameParts.last.toLowerCase, f.arguments, name, addSlot,
             nullSumAsNaN = true)
@@ -2096,7 +2118,19 @@ object IncrementalPlanner {
       val pass = preds.forall(p => p(env).contains(true))
       if (!pass) None
       else tsF(env).flatMap(tsMicrosOf).map { ev =>
-        (Seq(groupKeysOf(scalarSlots, env).head),
+        val parts = scalarSlots.map { case ScalarSlot(f) =>
+          f(env).map(String.valueOf(_)).getOrElse(NullMark)
+        case _ => throw new IllegalStateException("unreachable: scalar slots asserted above")
+        }
+        // one group key per LEVEL, RollMark in inactive positions (the
+        // flat grouping-sets encoding; plain GROUP BY = the one-level
+        // special case, byte-identical keys)
+        val keys = levels.map { active =>
+          parts.zipWithIndex
+            .map { case (x, i) => if (active.contains(i)) x else RollMark }
+            .mkString(Sep)
+        }
+        (keys,
           ev.toDouble +: slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 }))
       }
     }

@@ -2589,4 +2589,32 @@ class IncrementalPlannerSpec extends SparkSpec {
       2L -> Seq[Any]("b", "3"),
       3L -> Seq[Any]("c", "3")), s"pure non-equi: ${rowState("pv_nescalar2", Seq("name", "atleast"))}")
   }
+
+  test("#171bm session_window composes with ROLLUP: each level sessionizes its own row set, levels retract independently") {
+    val sql = "SELECT city, session_window(ev, '10 minutes') AS sw, count(*) AS n, grouping(city) AS g " +
+      "FROM f GROUP BY ROLLUP(city), session_window(ev, '10 minutes')"
+    def ins(k: Long, city: String, evMin: Int, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> city, "ev" -> minUs(evMin).toString), seq)
+    val b1 = Seq(
+      ins(1L, "ber", 0, 1L), ins(2L, "ber", 5, 2L),
+      ins(3L, "par", 12, 3L), ins(4L, "par", 40, 4L))
+    runView(sql, "pv_sessroll", Seq(
+      Map("f" -> b1),
+      // deleting the 12-min bridge SPLITS the rolled-up mega-session
+      // [0,22) back to [0,15) and retracts par's [12,22) session
+      Map("f" -> Seq(Change("delete", 3L, ts(10), Map.empty, 5L)))))
+    val got = sessionState("pv_sessroll", Seq("city", "g"), Seq("sw_end_us", "n"))
+    assert(got == Map(
+      Seq[Any]("ber", 0L, minUs(0))  -> Seq[Any](minUs(15), 2L),
+      Seq[Any]("par", 0L, minUs(40)) -> Seq[Any](minUs(50), 1L),
+      Seq[Any](null, 1L, minUs(0))   -> Seq[Any](minUs(15), 2L),
+      Seq[Any](null, 1L, minUs(40))  -> Seq[Any](minUs(50), 1L)), s"final: $got")
+    // BEFORE the delete, the rolled-up level held the cross-city
+    // mega-session [0,22) n=3 that no city-level session has — the
+    // union-of-rows semantic
+    val sawMega = spark.table("pv_sessroll").collect().toSeq
+      .exists(r => r.getAs[Long]("g") == 1L && r.getAs[Long]("sw_start_us") == minUs(0)
+        && r.getAs[Long]("sw_end_us") == minUs(22) && r.getAs[Long]("n") == 3L)
+    assert(sawMega, "the rolled-up level must have emitted the [0,22) n=3 cross-city session")
+  }
 }
