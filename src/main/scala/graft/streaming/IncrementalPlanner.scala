@@ -1116,14 +1116,15 @@ object IncrementalPlanner {
         case Seq(v) => v
         case vs     => throw unsupported(s"${vs.length}-column IN tuple (single-value IN only)")
       }
-      val (pairs, _, innerCs, items, subChild) = in.query.plan match {
-        case Distinct(p: Project) => decorrelate(p, "IN subquery")
-        case p                    => decorrelate(p, "IN subquery")
+      val (pairs, nonEquis, innerCs, items, subChild) = in.query.plan match {
+        case Distinct(p: Project) => decorrelate(p, "IN subquery", allowNonEqui = true)
+        case p                    => decorrelate(p, "IN subquery", allowNonEqui = true)
       }
       val vExpr = items match {
         case Seq(item) => coreOf(item)
         case is => throw unsupported(s"IN subquery selects ${is.length} columns (need exactly one)")
       }
+      if (nonEquis.nonEmpty) return nonEquiInExpr(probeExpr, vExpr, pairs, nonEquis, innerCs, subChild, negated)
       val corrExprs = pairs.map(_._1)
       val mk = s"_h${n}_m"
       layer(aggChangesOf(spark, groupedDim(corrExprs :+ vExpr, innerCs,
@@ -1155,7 +1156,18 @@ object IncrementalPlanner {
     }
 
     private def existsLayer(ex: Exists, negated: Boolean): Expression = {
-      val (pairs, _, innerCs, _, subChild) = decorrelate(ex.plan, "EXISTS subquery")
+      val (pairs, nonEquis, innerCs, _, subChild) =
+        decorrelate(ex.plan, "EXISTS subquery", allowNonEqui = true)
+      if (nonEquis.nonEmpty) {
+        // EXISTS with a non-equi correlation ⟺ the #212 correlated
+        // count > 0 (no three-valued subtlety: EXISTS is never UNKNOWN)
+        val nm = s"_sq$n"
+        nonEquiScalarLayer(nm, pairs, nonEquis, innerCs,
+          UnresolvedFunction(Seq("count"), Seq(Literal(1)), isDistinct = false), subChild)
+        n += 1
+        val cnt = UnresolvedFunction(Seq("coalesce"), Seq(attr(nm), Literal("0")), isDistinct = false)
+        return if (negated) LessThanOrEqual(cnt, Literal("0")) else GreaterThan(cnt, Literal("0"))
+      }
       val mk = s"_h${n}_m"
       if (pairs.isEmpty) {
         // uncorrelated EXISTS: "is the (filtered) subquery non-empty" —
@@ -1171,6 +1183,47 @@ object IncrementalPlanner {
       }
       n += 1
       if (negated) IsNull(attr(mk)) else IsNotNull(attr(mk))
+    }
+
+    /** `x [NOT] IN (SELECT y FROM s WHERE … AND s.v < o.cut)` — IN with
+      * a NON-EQUI correlation, with EXACT SQL three-valued logic. The
+      * candidate set depends on the outer row (its non-equi cut), so
+      * membership decomposes into THREE #212 correlated counts per
+      * outer row, each its own layer:
+      *
+      *  - `cMatch` — candidates with y = x (the probe joins the
+      *    equality tuple): > 0 ⟹ TRUE;
+      *  - `cNull`  — candidates whose y IS NULL: > 0 ⟹ UNKNOWN when
+      *    no match (a NULL candidate could equal x);
+      *  - `cAny`   — all candidates: decides NULL-probe rows (x NULL
+      *    vs a non-empty set is UNKNOWN, vs an empty set FALSE).
+      *
+      * NOT IN is the Kleene negation of the same expression. Honest
+      * cost: three pair dataflows over the subquery feed — the price
+      * of exact 3VL when the membership set is per-outer-row.
+      */
+    private def nonEquiInExpr(probeExpr: Expression, vExpr: Expression,
+        pairs: Seq[(Expression, Expression)], nonEquis: Seq[Expression],
+        innerCs: Seq[Expression], subChild: LogicalPlan, negated: Boolean): Expression = {
+      val count1 = UnresolvedFunction(Seq("count"), Seq(Literal(1)), isDistinct = false)
+      def layerCnt(extraPairs: Seq[(Expression, Expression)], extraInner: Seq[Expression]): Expression = {
+        val nm = s"_sq$n"
+        nonEquiScalarLayer(nm, pairs ++ extraPairs, nonEquis, innerCs ++ extraInner, count1, subChild)
+        n += 1
+        GreaterThan(
+          UnresolvedFunction(Seq("coalesce"), Seq(attr(nm), Literal("0")), isDistinct = false),
+          Literal("0"))
+      }
+      val hasMatch = layerCnt(Seq((vExpr, probeExpr)), Nil)
+      val hasNull  = layerCnt(Nil, Seq(IsNull(vExpr)))
+      val hasAny   = layerCnt(Nil, Nil)
+      val nullLit  = Literal(null, org.apache.spark.sql.types.NullType)
+      val inExpr = CaseWhen(Seq(
+        (IsNull(probeExpr), CaseWhen(Seq((hasAny, nullLit)), Literal(false))),
+        (hasMatch, Literal(true)),
+        (hasNull, nullLit)),
+        Literal(false))
+      if (negated) Not(inExpr) else inExpr
     }
   }
 

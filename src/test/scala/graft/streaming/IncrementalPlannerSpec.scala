@@ -2617,4 +2617,44 @@ class IncrementalPlannerSpec extends SparkSpec {
         && r.getAs[Long]("sw_end_us") == minUs(22) && r.getAs[Long]("n") == 3L)
     assert(sawMega, "the rolled-up level must have emitted the [0,22) n=3 cross-city session")
   }
+
+  test("#171bn NON-EQUI correlated IN/EXISTS: exact three-valued logic, retraction moves membership") {
+    val tRows = Seq(
+      Change("insert", 1L, ts(0), Map("name" -> "a", "x" -> "5", "cut" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("name" -> "b", "x" -> "99", "cut" -> "10"), 2L),
+      Change("insert", 3L, ts(2), Map("name" -> "c", "cut" -> "10"), 3L), // x NULL
+      Change("insert", 4L, ts(3), Map("name" -> "d", "x" -> "5", "cut" -> "3"), 4L))
+    val uRows = Seq(
+      Change("insert", 1L, ts(0), Map("y" -> "5", "v" -> "5"), 1L),
+      Change("insert", 2L, ts(1), Map("v" -> "7"), 2L), // y NULL candidate
+      Change("insert", 3L, ts(2), Map("y" -> "8", "v" -> "20"), 3L))
+    // candidates are PER OUTER ROW (v < cut): cut=10 -> {5, NULL}; cut=3 -> {}
+    //  a: 5  IN {5,NULL} = TRUE; b: 99 IN {5,NULL} = UNKNOWN (null candidate);
+    //  c: NULL IN nonempty = UNKNOWN; d: 5 IN {} = FALSE
+    val inSql = "SELECT name FROM t WHERE x IN (SELECT y FROM u WHERE u.v < t.cut)"
+    runView(inSql, "pv_nein", Seq(
+      Map("t" -> tRows, "u" -> uRows),
+      // deleting the y=5 candidate: a's membership flips TRUE -> UNKNOWN, a retracts
+      Map("u" -> Seq(Change("delete", 1L, ts(10), Map.empty, 4L)))))
+    val inHist = spark.table("pv_nein").collect().toSeq
+      .sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("seq")))
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("key")))
+    assert(rowState("pv_nein", Seq("name")).isEmpty,
+      s"after the delete no row satisfies IN: $inHist")
+    assert(inHist.contains(("upsert", 1L)) && inHist.last == (("delete", 1L)),
+      s"a was IN then retracted: $inHist")
+
+    // NOT IN: only d (5 NOT IN {} = TRUE); UNKNOWNs stay filtered
+    runView("SELECT name FROM t WHERE x NOT IN (SELECT y FROM u WHERE u.v < t.cut)",
+      "pv_nenotin", Seq(Map("t" -> tRows, "u" -> uRows)))
+    assert(rowState("pv_nenotin", Seq("name")).values.toSeq.map(_.head.toString) == Seq("d"))
+
+    // EXISTS / NOT EXISTS: no 3VL — cut=10 rows pass, cut=3 fails
+    runView("SELECT name FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.v < t.cut)",
+      "pv_neex", Seq(Map("t" -> tRows, "u" -> uRows)))
+    assert(rowState("pv_neex", Seq("name")).values.toSeq.map(_.head.toString).sorted == Seq("a", "b", "c"))
+    runView("SELECT name FROM t WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.v < t.cut)",
+      "pv_nenex", Seq(Map("t" -> tRows, "u" -> uRows)))
+    assert(rowState("pv_nenex", Seq("name")).values.toSeq.map(_.head.toString) == Seq("d"))
+  }
 }
