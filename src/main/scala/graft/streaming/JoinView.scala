@@ -351,9 +351,9 @@ object JoinView {
   // per batch, paid only by touched buckets. Stage-1 keeps one
   // ValSideState per EVER-SEEN key (dead rows included, for LWW
   // staleness) — the same retention trade as every stage-1 fold here;
-  // on an unbounded feed, bound it the way materializeExpiring does
-  // for aggregate views (watermark + EventTimeTimeout on dead rows) —
-  // not yet wired for joins, documented rather than silent.
+  // on an unbounded feed, bound it with [[materializeValueJoinExpiring]]
+  // (watermark + EventTimeTimeout on dead stage-1 rows, live rows never
+  // expire — the same foldExpiring contract as aggregate views).
   // ---------------------------------------------------------------------
 
   /** Stage-1 state of one side of a value-equi join (one per change
@@ -641,6 +641,80 @@ object JoinView {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         valSide(leftSide = false, rightVal, preserveRight))
+    lEvents.union(rEvents)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (residual, asof) match {
+          case (None, None) => valBucket(preserveLeft, preserveRight, maxRowsPerValue)
+          case (res, a)     =>
+            valBucketDiff(preserveLeft, preserveRight, maxRowsPerValue,
+              res.getOrElse((_: Map[String, String], _: Map[String, String]) => true), a)
+        })
+  }
+
+  /** [[valSide]] with DEAD-STATE TTL (event-time timeout): stage 1 keeps
+    * one state per EVER-SEEN key for LWW staleness, which on an
+    * unbounded feed with key churn grows without bound in dead
+    * tombstones. Once the watermark passes a dead row's `death + ttl`
+    * the state is removed — the bucket retraction was already emitted
+    * when the death applied, so expiry changes state SIZE, not view
+    * contents, at the documented trade that a straggler OLDER than an
+    * expired tombstone re-enters (the foldExpiring/closeExpiring
+    * contract). Live rows never expire.
+    */
+  private[streaming] def valSideExpiring(ttlMs: Long, leftSide: Boolean,
+      joinValOf: Change => Option[String], preserved: Boolean)(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[ValSideState]): Iterator[ValEvent] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = valSide(leftSide, joinValOf, preserved)(key, changes, state)
+      state.getOption.foreach { st =>
+        // timeout must sit beyond the current watermark or Spark rejects it
+        if (!st.live) state.setTimeoutTimestamp(
+          math.max(st.tsUs / 1000L + ttlMs, state.getCurrentWatermarkMs + 1L))
+      }
+      out
+    }
+  }
+
+  /** [[materializeValueJoin]] with BOUNDED stage-1 state on unbounded
+    * feeds: both inputs are watermarked and dead per-key states (deleted
+    * rows, NULL-join-value rows) expire once the watermark passes their
+    * death + `tombstoneTtlMs`. Bucket state stays bounded by LIVE rows
+    * by construction (dead rows exit their bucket when the death
+    * applies); an emptied bucket keeps only its two-long emission
+    * high-water mark. Start the query inside
+    * IncrementalView.withRelaxedWatermarkCheck: the chained stateful
+    * stages trip Spark's global-watermark check, and the usual
+    * soundness argument applies (stage 2 consumes stage-1 EVENTS and
+    * never drops rows by event time).
+    */
+  def materializeValueJoinExpiring(left: Dataset[Change], right: Dataset[Change],
+      leftVal: Change => Option[String], rightVal: Change => Option[String],
+      preserveLeft: Boolean = false, preserveRight: Boolean = false,
+      maxRowsPerValue: Int = 1000000,
+      residual: Option[(Map[String, String], Map[String, String]) => Boolean] = None,
+      asof: Option[AsofSpec] = None,
+      watermarkDelay: String = "10 minutes",
+      tombstoneTtlMs: Long = 10L * 60 * 1000): Dataset[JoinedChange] = {
+    implicit val sideStateEnc = Encoders.product[ValSideState]
+    implicit val eventEnc     = Encoders.product[ValEvent]
+    implicit val bucketEnc    = Encoders.product[ValBucketState]
+    implicit val joinedEnc    = Encoders.product[JoinedChange]
+    implicit val longEnc      = Encoders.scalaLong
+    implicit val stringEnc    = Encoders.STRING
+    val lEvents = left.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        valSideExpiring(tombstoneTtlMs, leftSide = true, leftVal, preserveLeft))
+    val rEvents = right.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        valSideExpiring(tombstoneTtlMs, leftSide = false, rightVal, preserveRight))
     lEvents.union(rEvents)
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(

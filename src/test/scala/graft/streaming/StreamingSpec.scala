@@ -1609,4 +1609,71 @@ class StreamingSpec extends SparkSpec {
         s"restarted matrix must equal the uninterrupted one: $resumed vs $expected")
     } finally q2.stop()
   }
+
+  test("#200b value-join stage-1 TTL: dead keys expire after watermark + ttl, live keys never; query healthy through the timeout path") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(initial: Option[JoinView.ValSideState], timedOut: Boolean) =
+      TestGroupState.create[JoinView.ValSideState](
+        optionalState = initial.map(org.apache.spark.api.java.Optional.of[JoinView.ValSideState])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[JoinView.ValSideState]()),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+        batchProcessingTimeMs = 0L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of[Long](1000L),
+        hasTimedOut = timedOut)
+    val joinVal: Change => Option[String] = c => c.payload.get("g")
+    // a delete leaves dead state that schedules its own expiry
+    val s1 = st(Some(JoinView.ValSideState("Vg1", Map("g" -> "g1"), 0L, 1L, live = true)), timedOut = false)
+    val out1 = JoinView.valSideExpiring(60000L, leftSide = true, joinVal, preserved = false)(
+      1L, Iterator(Change("delete", 1L, ts(0), Map.empty, seq = 2L)), s1).toSeq
+    assert(out1.map(e => (e.bucket, e.live)) == Seq(("Vg1", false)), "bucket exit still emitted")
+    assert(s1.exists && !s1.get.live && s1.getTimeoutTimestampMs.isPresent,
+      "dead state kept for stale-drop, expiry scheduled")
+    // a live row schedules NO timeout
+    val s2 = st(None, timedOut = false)
+    JoinView.valSideExpiring(60000L, leftSide = true, joinVal, preserved = false)(
+      2L, Iterator(Change("insert", 2L, ts(0), Map("g" -> "g1"), seq = 1L)), s2).toSeq
+    assert(s2.exists && s2.get.live && !s2.getTimeoutTimestampMs.isPresent,
+      "live rows never expire")
+    // the timeout fires: state removed, nothing emitted (retraction
+    // already went out with the death)
+    val s3 = st(Some(JoinView.ValSideState("", Map.empty, 0L, 2L, live = false)), timedOut = true)
+    val out3 = JoinView.valSideExpiring(60000L, leftSide = true, joinVal, preserved = false)(
+      1L, Iterator.empty, s3).toSeq
+    assert(out3.isEmpty && !s3.exists, "expiry drops the tombstone silently")
+
+    // end-to-end: the expiring variant joins, retracts, and keeps
+    // processing through watermark advances that execute the timeout path
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val l = MemoryStream[Change]; val r = MemoryStream[Change]
+    val q = IncrementalView.withRelaxedWatermarkCheck(spark) {
+      JoinView.materializeValueJoinExpiring(
+          l.toDS(), r.toDS(),
+          c => c.payload.get("g"), c => c.payload.get("g"),
+          watermarkDelay = "1 second", tombstoneTtlMs = 1000L)
+        .toDF()
+        .writeStream.format("memory").queryName("vj_ttl").outputMode(OutputMode.Append())
+        .option("checkpointLocation", tmp("vjttl")).start()
+    }
+    try {
+      l.addData(Change("insert", 1L, ts(0), Map("g" -> "g1", "n" -> "a"), 1L))
+      r.addData(Change("insert", 1L, ts(0), Map("g" -> "g1", "t" -> "x"), 1L))
+      q.processAllAvailable()
+      l.addData(Change("delete", 1L, ts(1), Map.empty, 2L))
+      q.processAllAvailable()
+      // advance the watermark far past delete+ttl across two batches
+      l.addData(Change("insert", 2L, ts(60), Map("g" -> "g2", "n" -> "b"), 3L))
+      r.addData(Change("insert", 2L, ts(60), Map("g" -> "g2", "t" -> "y"), 3L))
+      q.processAllAvailable()
+      l.addData(Change("insert", 3L, ts(120), Map("g" -> "g2", "n" -> "c"), 4L))
+      q.processAllAvailable()
+      val rows = spark.table("vj_ttl").collect().toSeq
+      assert(rows.exists(r0 => r0.getAs[String]("op") == "upsert"
+        && r0.getAs[Map[String, String]]("l_payload").get("n").contains("a")), "pair joined")
+      assert(rows.exists(_.getAs[String]("op") == "delete"), "pair retracted on delete")
+      assert(rows.exists(r0 => r0.getAs[String]("op") == "upsert"
+        && r0.getAs[Map[String, String]]("l_payload").get("n").contains("c")),
+        "rows after the expiry horizon still join")
+    } finally q.stop()
+  }
 }
