@@ -752,14 +752,26 @@ object IncrementalPlanner {
         // mapped to a delete)
         case conj =>
           val (equis, residual) = conj.partition(_.isInstanceOf[EqualTo])
-          val keyish = equis.exists {
+          def isKeyEq(e: Expression) = e match {
             case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
               l.nameParts.last == "key" || r.nameParts.last == "key"
             case _ => false
           }
-          if (keyish) throw unsupported(
-            "multi-conjunct ON with a key/fk-shaped equality — join on the key/fk condition " +
-              "alone and move the remaining predicates to WHERE")
+          val keyEqs = equis.filter(isKeyEq)
+          if (keyEqs.nonEmpty) {
+            // key/fk-shaped equality + extra conjuncts: compile the
+            // key/fk dataflow and post-filter the rest — EXACT for
+            // INNER (ON residual ≡ WHERE there); an OUTER's residual
+            // decides match status, which these fact/dim-keyed folds
+            // do not carry — rejected with the rewrite
+            if (pLeft || pRight) throw unsupported(
+              "key/fk-shaped OUTER join with extra ON conjuncts (the residual decides match " +
+                "status; rewrite as INNER plus WHERE, or use a value-equi join on the column)")
+            if (keyEqs.length > 1) throw unsupported(
+              "two key-shaped equalities in one ON (join on one key/fk condition)")
+            return Source(applyResidual(singleCond(keyEqs.head),
+              conj.filterNot(_ eq keyEqs.head)), Nil)
+          }
           if (equis.isEmpty) crossResidual(conj)
           else {
             val equiPairs = equis.map { case EqualTo(a, b) => assignJoinSides(a, b, lsrc._2, rsrc._2) }

@@ -1992,11 +1992,13 @@ class IncrementalPlannerSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val feeds = Map("t1" -> MemoryStream[Change].toDS(), "t2" -> MemoryStream[Change].toDS())
+    // key-shaped ON + residual compiles for INNER since r8 (#171bo);
+    // the OUTER form still rejects (residual decides match status)
     val e2 = intercept[IllegalArgumentException] {
       IncrementalPlanner.materialize(spark,
-        "SELECT l.name AS name FROM t1 l JOIN t2 r ON l.key = r.key AND l.v < r.w", feeds)
+        "SELECT l.name AS name FROM t1 l LEFT JOIN t2 r ON l.key = r.key AND l.v < r.w", feeds)
     }
-    assert(e2.getMessage.contains("WHERE"), e2.getMessage)
+    assert(e2.getMessage.contains("match status"), e2.getMessage)
   }
 
   test("#171ax navigation (lag/lead) and aggregate window functions: live neighbor/total maintenance") {
@@ -2656,5 +2658,39 @@ class IncrementalPlannerSpec extends SparkSpec {
     runView("SELECT name FROM t WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.v < t.cut)",
       "pv_nenex", Seq(Map("t" -> tRows, "u" -> uRows)))
     assert(rowState("pv_nenex", Seq("name")).values.toSeq.map(_.head.toString) == Seq("d"))
+  }
+
+  test("#171bo key/fk-shaped INNER joins with extra ON conjuncts: residual post-filters live") {
+    // key-equi + residual: pairs survive only while v < w holds
+    val sql = "SELECT l.name AS name, r.tag AS tag FROM t1 l JOIN t2 r ON l.key = r.key AND l.v < r.w"
+    val b1 = Seq(
+      Change("insert", 1L, ts(0), Map("name" -> "a", "v" -> "5"), 1L),
+      Change("insert", 2L, ts(1), Map("name" -> "b", "v" -> "50"), 2L))
+    val c1 = Seq(
+      Change("insert", 1L, ts(0), Map("tag" -> "x", "w" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("tag" -> "y", "w" -> "10"), 2L))
+    runView(sql, "pv_keyres", Seq(
+      Map("t1" -> b1, "t2" -> c1),
+      // b's v drops under w: the pair ADMITS
+      Map("t1" -> Seq(Change("update", 2L, ts(10), Map("name" -> "b", "v" -> "3"), 3L))),
+      // a's partner tightens w under v: the pair RETRACTS
+      Map("t2" -> Seq(Change("update", 1L, ts(20), Map("tag" -> "x", "w" -> "2"), 3L)))))
+    assert(rowState("pv_keyres", Seq("name", "tag")) == Map(2L -> Seq[Any]("b", "y")),
+      s"final: ${rowState("pv_keyres", Seq("name", "tag"))}")
+
+    // fk-shaped + residual: orders join their customer while the amount
+    // is under the customer's limit
+    val fkSql = "SELECT o.name AS name, c.tag AS tag FROM o JOIN c ON o.cid = c.key AND o.amt < c.lim"
+    val oRows = Seq(
+      Change("insert", 10L, ts(0), Map("name" -> "o1", "cid" -> "1", "amt" -> "5"), 1L),
+      Change("insert", 11L, ts(1), Map("name" -> "o2", "cid" -> "1", "amt" -> "50"), 2L))
+    val cRows = Seq(Change("insert", 1L, ts(0), Map("tag" -> "c1", "lim" -> "10"), 1L))
+    runView(fkSql, "pv_fkres", Seq(
+      Map("o" -> oRows, "c" -> cRows),
+      // limit rises: o2 admits
+      Map("c" -> Seq(Change("update", 1L, ts(10), Map("tag" -> "c1", "lim" -> "100"), 2L)))))
+    assert(rowState("pv_fkres", Seq("name", "tag")) ==
+      Map(10L -> Seq[Any]("o1", "c1"), 11L -> Seq[Any]("o2", "c1")),
+      s"fk final: ${rowState("pv_fkres", Seq("name", "tag"))}")
   }
 }
