@@ -50,6 +50,7 @@ object SparkEntry {
     "q24_sliding_window"        -> ((s, d) => Temporal.slidingWindow(GraftSession.tune(s), d)),
     "q25_sessionize"            -> ((s, d) => Temporal.sessionize(GraftSession.tune(s), d)),
     "q26_asof_join"             -> ((s, d) => Temporal.asofJoin(GraftSession.tune(s), d)),
+    "q89_asof_enrich"           -> ((s, d) => Temporal.asofEnrich(GraftSession.tune(s), d)),
     "q27_feed_compaction"       -> ((s, d) => Temporal.feedCompaction(GraftSession.tune(s), d)),
     "q28_funnel"                -> ((s, d) => Temporal.funnel(GraftSession.tune(s), d)),
     "q29_json_props"            -> ((s, d) => Temporal.jsonProps(GraftSession.tune(s), d)),
@@ -454,6 +455,12 @@ object SparkEntry {
         |       FROM orders o2 WHERE o2.o_custkey = e.user_id
         |         AND epoch_us(o2.o_orderdate) <= epoch_us(e.ts))) AS asof_orderkey
         |FROM events e WHERE e.event_type = 'purchase'""".stripMargin,
+    "q89_asof_enrich" ->
+      """SELECT e.event_id AS event_id, epoch_us(v.vd) AS v_ts_us, v.price AS v_price
+        |FROM events e ASOF JOIN (
+        |  SELECT o_custkey AS k, o_orderdate AS vd, max(o_totalprice) AS price
+        |  FROM orders GROUP BY 1, 2) v
+        |ON e.user_id = v.k AND e.ts >= v.vd""".stripMargin,
     "q27_feed_compaction" ->
       """WITH o AS (SELECT user_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn_a,

@@ -192,6 +192,40 @@ object Temporal {
       .select(col("event_id"), col("asof_orderkey"))
   }
 
+  /** q89: versioned as-of ENRICHMENT — each event carries the payload of
+    * the customer's latest order VERSION at-or-before its time (version
+    * table = orders deduped to one row per (customer, date), so the
+    * match is fully deterministic — the batch twin of the planner's
+    * ASOF JOIN #211, and the oracle is DuckDB's native ASOF JOIN).
+    * Same one-shuffle union form as q26: versions and events interleave
+    * per key in (time, kind) order and `last(ignoreNulls)` carries the
+    * current version forward — a sort-merge pass per key, no per-row
+    * probe, which is why it survives 100 TB.
+    */
+  def asofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val versions = Tables
+      .orders(spark, dir)
+      .groupBy(
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .agg(max("o_totalprice").as("price"))
+      .select(col("k"), col("t"), lit(0).as("kind"), col("price"),
+        lit(null).cast("long").as("event_id"))
+    val ev = events(spark, dir)
+      .select(col("user_id").as("k"), col("tsu").as("t"), lit(1).as("kind"),
+        lit(null).cast("double").as("price"), col("event_id"))
+    val w = Window
+      .partitionBy("k")
+      .orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions
+      .unionByName(ev)
+      .withColumn("v_ts_us", last(when(col("kind") === 0, col("t")), ignoreNulls = true).over(w))
+      .withColumn("v_price", last(when(col("kind") === 0, col("price")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("v_ts_us").isNotNull)
+      .select(col("event_id"), col("v_ts_us"), col("v_price"))
+  }
+
   /** q27: changefeed compaction — net effect per key (first/last/delta). */
   def feedCompaction(spark: SparkSession, dir: String): DataFrame = {
     val asc  = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
