@@ -51,6 +51,7 @@ object SparkEntry {
     "q25_sessionize"            -> ((s, d) => Temporal.sessionize(GraftSession.tune(s), d)),
     "q26_asof_join"             -> ((s, d) => Temporal.asofJoin(GraftSession.tune(s), d)),
     "q89_asof_enrich"           -> ((s, d) => Temporal.asofEnrich(GraftSession.tune(s), d)),
+    "q90_mad_robust"            -> ((s, d) => TrainingData.madRobust(GraftSession.tune(s), d)),
     "q27_feed_compaction"       -> ((s, d) => Temporal.feedCompaction(GraftSession.tune(s), d)),
     "q28_funnel"                -> ((s, d) => Temporal.funnel(GraftSession.tune(s), d)),
     "q29_json_props"            -> ((s, d) => Temporal.jsonProps(GraftSession.tune(s), d)),
@@ -461,6 +462,11 @@ object SparkEntry {
         |  SELECT o_custkey AS k, o_orderdate AS vd, max(o_totalprice) AS price
         |  FROM orders GROUP BY 1, 2) v
         |ON e.user_id = v.k AND e.ts >= v.vd""".stripMargin,
+    "q90_mad_robust" ->
+      """WITH m AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang)
+        |SELECT d.lang AS lang, any_value(m.med) AS med,
+        |  median(abs(d.n_chars - m.med)) AS mad, count(*) AS n
+        |FROM documents d JOIN m ON d.lang = m.lang GROUP BY d.lang""".stripMargin,
     "q27_feed_compaction" ->
       """WITH o AS (SELECT user_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn_a,

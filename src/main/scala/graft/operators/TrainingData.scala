@@ -417,6 +417,29 @@ object TrainingData {
         (col("seq") % nShards).as("shard"))
   }
 
+  /** q90: per-language MEDIAN ABSOLUTE DEVIATION of document length —
+    * the robust outlier statistic quality filters cut on (mean/stddev
+    * move with the outliers they are supposed to catch; median/MAD do
+    * not). Two exact-percentile aggregations: per-group median, then
+    * the median of absolute deviations from it — the per-group medians
+    * are a tiny table, broadcast back onto the scan (no second
+    * shuffle of the corpus beyond the group-by). Exact percentiles hold
+    * per-group value buffers on the reducer — the q20/q56 class; at
+    * 100 TB per-group state is bounded by the largest language, sharded
+    * across the cluster by group.
+    */
+  def madRobust(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("n_chars"))
+    val med = docs.groupBy("lang").agg(expr("percentile(n_chars, 0.5D)").as("med"))
+    docs
+      .join(broadcast(med), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        first("med").as("med"),
+        expr("percentile(abs(n_chars - med), 0.5D)").as("mad"),
+        count(lit(1)).as("n"))
+  }
+
   /** q75: sliding-window chunking with overlap — the RAG/context-window
     * prep step that turns documents into fixed-token-budget chunks
     * (width tokens, stride-token hop, so consecutive chunks share
