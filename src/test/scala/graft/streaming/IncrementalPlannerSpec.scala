@@ -1218,20 +1218,8 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(rowState("pv_g", Seq("name")).isEmpty,
       "the gate row moving out of the subquery's WHERE closes the gate")
 
-    // ---- rejections fail fast ---------------------------------------
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    def feeds2 = Map("t" -> MemoryStream[Change].toDS(), "u" -> MemoryStream[Change].toDS())
-    val exIn = intercept[IllegalArgumentException] {
-      IncrementalPlanner.materialize(spark,
-        "SELECT name FROM t WHERE city IN (SELECT city FROM u WHERE u.pop > t.lim)", feeds2)
-    }
-    assert(exIn.getMessage.contains("equi-correlation"), s"wrong failure: ${exIn.getMessage}")
-    val exNe = intercept[IllegalArgumentException] {
-      IncrementalPlanner.materialize(spark,
-        "SELECT name FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.amount > t.lim)", feeds2)
-    }
-    assert(exNe.getMessage.contains("equi-correlation"), s"wrong failure: ${exNe.getMessage}")
+    // non-equi correlated IN/EXISTS compile through the pair-count
+    // dataflows since r8 — spec #171bn
   }
 
   test("#171am correlated scalar/IN subqueries + SELECT-list scalars: decorrelated per-group views") {
