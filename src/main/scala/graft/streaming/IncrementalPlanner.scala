@@ -2373,6 +2373,18 @@ object IncrementalPlanner {
       ttl: Option[(String, Long)],
       inner: (Long, Iterator[Change], GroupState[PlannedContrib]) => Iterator[O])
       : (Long, Iterator[Change], GroupState[PlannedContrib]) => Iterator[O] =
+    expiringState[PlannedContrib, O](ttl, !_.live, _.tsUs)(inner)
+
+  /** Generic stage-1 dead-state expiry (the foldExpiring contract over
+    * any state type): once the watermark passes a dead state's
+    * `ts + ttl` it is removed -- retractions were already emitted when
+    * the death applied, so expiry changes state size, not view
+    * contents. Live states never expire.
+    */
+  private[streaming] def expiringState[S, O](
+      ttl: Option[(String, Long)], deadOf: S => Boolean, tsOf: S => Long)(
+      inner: (Long, Iterator[Change], GroupState[S]) => Iterator[O])
+      : (Long, Iterator[Change], GroupState[S]) => Iterator[O] =
     ttl match {
       case None => inner
       case Some((_, ttlMs)) => (key, changes, state) =>
@@ -2382,8 +2394,8 @@ object IncrementalPlanner {
         } else {
           val out = inner(key, changes, state)
           state.getOption.foreach { s =>
-            if (!s.live) state.setTimeoutTimestamp(
-              math.max(s.tsUs / 1000L + ttlMs, state.getCurrentWatermarkMs + 1L))
+            if (deadOf(s)) state.setTimeoutTimestamp(
+              math.max(tsOf(s) / 1000L + ttlMs, state.getCurrentWatermarkMs + 1L))
           }
           out
         }
@@ -2524,7 +2536,8 @@ object IncrementalPlanner {
   // Non-aggregate (select-where / join) view compilation
   // ------------------------------------------------------------------
   private def compileProject(spark: SparkSession, proj: Project,
-      feeds: Map[String, Dataset[Change]]): PlannedView = {
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)] = None): PlannedView = {
     val src0  = compileSource(spark, proj.child, feeds)
     // SELECT-list subqueries hoist exactly like WHERE-clause ones: each
     // becomes a dim-join layer and the item reads the injected field —
@@ -2553,9 +2566,16 @@ object IncrementalPlanner {
     implicit val rowEnc    = Encoders.product[PlannedRow]
     implicit val changeEnc = Encoders.product[PlannedRowChange]
     implicit val longEnc   = Encoders.scalaLong
-    val feedChanges = src.changes
+    val inChanges = ttl match {
+      case Some((delay, _)) => src.changes.withWatermark("ts", delay)
+      case None             => src.changes
+    }
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    val feedChanges = inChanges
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(rowFold(extract))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        expiringState[PlannedRow, PlannedRowChange](ttl, !_.live, _.tsUs)(rowFold(extract)))
       .toDF()
 
     val outExprs =
@@ -3374,8 +3394,19 @@ object IncrementalPlanner {
       }
       case p: Project if globalAgg(p).isDefined =>
         compileAggregate(spark, globalAgg(p).get, feeds, Some((watermarkDelay, tombstoneTtlMs)))
+      // ROW views (filter+project over one feed): the stage-1 LWW fold's
+      // dead states (deletes, rows filtered out of the WHERE) expire.
+      // Join children are rejected -- their internal arrangements keep
+      // their own state story (materializeValueJoinExpiring / guards),
+      // and expiring only the outer fold would misadvertise boundedness.
+      case p: Project if !hasWindowItem(p) =>
+        if (p.exists { case _: Join => true; case _ => false }) throw unsupported(
+          "materializeExpiring over a JOIN (the join arrangements hold their own state; " +
+            "use JoinView.materializeValueJoinExpiring for the value-join form, or bound " +
+            "the feeds upstream)")
+        compileProject(spark, p, feeds, Some((watermarkDelay, tombstoneTtlMs)))
       case other => throw unsupported(
-        s"materializeExpiring covers aggregate views (got ${other.getClass.getSimpleName})")
+        s"materializeExpiring covers aggregate and row views (got ${other.getClass.getSimpleName})")
     }
 
   /** `SELECT … GROUP BY … ORDER BY <col> [ASC|DESC] LIMIT k` as a LIVE

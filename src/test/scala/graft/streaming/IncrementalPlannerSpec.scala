@@ -2681,4 +2681,47 @@ class IncrementalPlannerSpec extends SparkSpec {
       Map(10L -> Seq[Any]("o1", "c1"), 11L -> Seq[Any]("o2", "c1")),
       s"fk final: ${rowState("pv_fkres", Seq("name", "tag"))}")
   }
+
+  test("#171bp ROW views through materializeExpiring: dead states expire, retractions survive; joins reject") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input   = MemoryStream[Change]
+    val planned = IncrementalPlanner.materializeExpiring(spark,
+      "SELECT name FROM t WHERE amount > 5",
+      Map("t" -> input.toDS()), watermarkDelay = "1 second", tombstoneTtlMs = 1000L)
+    val q = IncrementalView.withRelaxedWatermarkCheck(spark) {
+      planned.df.writeStream.format("memory").queryName("pv_row_ttl")
+        .outputMode(planned.outputMode)
+        .option("checkpointLocation", tmp("pvrowttl")).start()
+    }
+    try {
+      input.addData(
+        Change("insert", 1L, ts(0), Map("name" -> "a", "amount" -> "10"), 1L),
+        Change("insert", 2L, ts(1), Map("name" -> "b", "amount" -> "3"), 2L)) // filtered: dead state
+      q.processAllAvailable()
+      // a moves OUT of the predicate: its row retracts, state goes dead
+      input.addData(Change("update", 1L, ts(2), Map("name" -> "a", "amount" -> "1"), 3L))
+      q.processAllAvailable()
+      // advance the watermark far past death+ttl across two batches so
+      // both dead states expire inside the running query
+      input.addData(Change("insert", 3L, ts(60), Map("name" -> "c", "amount" -> "9"), 4L))
+      q.processAllAvailable()
+      input.addData(Change("insert", 4L, ts(120), Map("name" -> "d", "amount" -> "8"), 5L))
+      q.processAllAvailable()
+      val st = rowState("pv_row_ttl", Seq("name"))
+      assert(st == Map(3L -> Seq[Any]("c"), 4L -> Seq[Any]("d")),
+        s"a's retraction survives its tombstone's expiry: $st")
+      val ops = spark.table("pv_row_ttl").collect().toSeq
+        .filter(_.getAs[Long]("key") == 1L).map(_.getAs[String]("op"))
+      assert(ops == Seq("upsert", "delete"), s"a appeared then retracted: $ops")
+    } finally q.stop()
+
+    // join children reject with the rewrite (their arrangements keep state)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materializeExpiring(spark,
+        "SELECT l.name AS name FROM t1 l JOIN t2 r ON l.city = r.city",
+        Map("t1" -> MemoryStream[Change].toDS(), "t2" -> MemoryStream[Change].toDS()))
+    }
+    assert(e.getMessage.contains("materializeValueJoinExpiring"), e.getMessage)
+  }
 }
