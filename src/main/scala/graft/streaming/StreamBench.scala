@@ -20,7 +20,9 @@ import graft.GraftSession
   *    fold that is the planner's flagship dataflow;
   *  - `planner-join` — an [[IncrementalPlanner]] VALUE-equi join view
   *    (two rate feeds arranged by join value), the arrangement-class
-  *    dataflow.
+  *    dataflow;
+  *  - `planner-asof` — an ASOF JOIN view (events re-enriched against a
+  *    churning version feed through the as-of bucket fold).
   *
   * Latency: when the emitted rows carry their change's event time
   * (`tsUs`/`ts_us`, stamped at ingest by the rate source), the wall
@@ -90,6 +92,14 @@ object StreamBench {
       case "planner-join" =>
         val planned = IncrementalPlanner.materialize(spark,
           "SELECT l.name AS name, r.tag AS tag FROM a l JOIN b r ON l.grp = r.grp",
+          Map("a" -> rateChanges("name"), "b" -> rateChanges("tag")))
+        (planned.df, planned.outputMode)
+      case "planner-asof" =>
+        // events enrich against a churning version feed: the as-of
+        // bucket fold re-selects each event's latest admissible version
+        val planned = IncrementalPlanner.materialize(spark,
+          "SELECT e.name AS name, v.tag AS tag FROM a e ASOF JOIN b v " +
+            "ON e.grp = v.grp AND e.amount >= v.amount",
           Map("a" -> rateChanges("name"), "b" -> rateChanges("tag")))
         (planned.df, planned.outputMode)
       case "v2" => (StateMaterializer.materialize(rateChanges("name")).toDF(), CdcMaterializer.outputMode)
