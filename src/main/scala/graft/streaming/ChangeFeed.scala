@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -87,6 +87,55 @@ object ChangeFeed {
       .filter(col("c").isNull || col("c.key").isNull || col("c.ts").isNull)
       .select(col("value").cast("string").as("raw"))
   }
+
+  /** Render a batch snapshot as its equivalent COMPACTED changefeed: one
+    * upsert per row, keyed by `keyCol`, positioned at `(tsCol, seqCol)`
+    * — the snapshot's commit position, so stale-drop works against the
+    * bootstrapped state exactly as if the stream had been running all
+    * along. Every non-key column lands in the payload (stringly, the
+    * Change wire contract); NULL columns are omitted, matching a feed
+    * that never carried them.
+    *
+    * This is the planner-view bootstrap story (the kappa handoff for
+    * `IncrementalPlanner.materialize`): where
+    * [[CdcMaterializer.materializeFrom]] seeds a SINGLE-stage fold's
+    * state directly, a planner view is a multi-stage dataflow whose
+    * stage-2 (aggregate / arrangement / session) state is DERIVED from
+    * stage-1 emissions — seeding stage 1 alone would leave every
+    * downstream stage empty. So the snapshot flows through the dataflow
+    * ONCE as the feed's first micro-batch(es): O(current keys) work —
+    * the compacted table, NOT the feed's full change history — which is
+    * exactly the cost of building the derived state at all. Use
+    * [[writeBootstrap]] to lay the rendering down as the feed
+    * directory's prefix before starting the view; live changes append
+    * after it.
+    */
+  def snapshotChanges(snapshot: DataFrame, keyCol: String,
+      tsCol: String, seqCol: Option[String] = None): DataFrame = {
+    val payloadCols = snapshot.columns.filterNot(c => c == keyCol || c == tsCol || seqCol.contains(c))
+    val payload = map_filter(
+      map(payloadCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*),
+      (_, v) => v.isNotNull)
+    snapshot.select(
+      lit("insert").as("op"),
+      col(keyCol).cast("long").as("key"),
+      col(tsCol).cast("timestamp").as("ts"),
+      payload.as("payload"),
+      seqCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("seq"))
+  }
+
+  /** Write [[snapshotChanges]]' rendering into `dir` as newline-JSON —
+    * the [[readJsonDir]] wire with full-microsecond timestamps — so a
+    * planner view started over `dir` bootstraps from the snapshot and
+    * then follows the live changes appended to the same directory.
+    * Append-mode: safe to call on a dir that will receive live files.
+    */
+  def writeBootstrap(snapshot: DataFrame, keyCol: String, tsCol: String,
+      seqCol: Option[String], dir: String): Unit =
+    snapshotChanges(snapshot, keyCol, tsCol, seqCol)
+      .write.mode(SaveMode.Append)
+      .option("timestampFormat", wireOptions("timestampFormat"))
+      .json(dir)
 
   /** Interpret the `events` snapshot table as a replayable changefeed
     * (signup -> insert, purchase/view/click -> update, error -> delete),
