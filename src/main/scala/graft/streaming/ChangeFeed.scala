@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -87,6 +87,79 @@ object ChangeFeed {
       .filter(col("c").isNull || col("c.key").isNull || col("c.ts").isNull)
       .select(col("value").cast("string").as("raw"))
   }
+
+  // ------------------------------------------------------------------
+  // Debezium envelope adapter (#222): consume an actual Postgres/MySQL
+  // CDC topic unchanged. The envelope is public Debezium wire format:
+  // value = {"before":…|null, "after":…|null, "op":"c|u|d|r",
+  // "source":{"ts_ms":…, "lsn"|"pos":…, …}, "ts_ms":…}, optionally
+  // wrapped as {"schema":…, "payload":<envelope>} when the JSON
+  // converter runs with schemas.enable=true. All parsing is Column
+  // expressions (get_json_object / from_json) — codegen'd, no UDFs.
+  // ------------------------------------------------------------------
+
+  /** The unwrapped envelope string: the `payload` member when the
+    * schema wrapper is present, else the value itself.
+    */
+  private def dbzEnvelope(value: Column): Column = {
+    val s = value.cast("string")
+    when(get_json_object(s, "$.payload.op").isNotNull, get_json_object(s, "$.payload"))
+      .otherwise(s)
+  }
+
+  private def dbzParsed(value: Column, keyField: String): Column = {
+    val env    = dbzEnvelope(value)
+    val op     = get_json_object(env, "$.op")
+    val after  = from_json(get_json_object(env, "$.after"), MapType(StringType, StringType))
+    val before = from_json(get_json_object(env, "$.before"), MapType(StringType, StringType))
+    val image  = when(op === "d", before).otherwise(after)
+    // commit position: source.ts_ms is the DB commit time (the envelope
+    // ts_ms is Debezium's processing time — only a fallback); the LSN
+    // rides Postgres `source.lsn` / MySQL `source.pos`
+    val tsMs = coalesce(
+      get_json_object(env, "$.source.ts_ms"), get_json_object(env, "$.ts_ms")).cast("long")
+    val seq = coalesce(
+      get_json_object(env, "$.source.lsn"), get_json_object(env, "$.source.pos")).cast("long")
+    struct(
+      when(op === "d", "delete").when(op.isin("c", "u", "r"), "upsert").as("op"),
+      element_at(image, keyField).cast("long").as("key"),
+      timestamp_millis(tsMs).as("ts"),
+      when(op === "d", map().cast(MapType(StringType, StringType))).otherwise(after).as("payload"),
+      coalesce(seq, lit(0L)).as("seq"))
+  }
+
+  /** Parse a Debezium CDC topic (`value` column: the public envelope,
+    * with or without the schema wrapper) into the [[Change]] columns:
+    * op c/u upsert the after-image, r (snapshot read) upserts too — the
+    * [[writeBootstrap]] semantics arriving over the wire — and d
+    * deletes, keyed by the before-image. `keyField` names the table's
+    * primary-key column inside the row images.
+    *
+    * Kafka compaction tombstones (NULL value) are DROPPED, not mapped:
+    * Debezium always emits the `d` envelope first and the tombstone is
+    * a topic-compaction artifact (the standard `drop.tombstones`
+    * consumer stance), so mapping it again would fabricate a second
+    * delete at an unknowable commit position. Envelopes that fail to
+    * parse (no op, no key, no commit time) are dropped here and
+    * surfaced by [[debeziumDeadLetters]] — one poison record must not
+    * kill the query (the #31c discipline).
+    */
+  def fromDebezium(wire: DataFrame, keyField: String): DataFrame =
+    wire
+      .filter(col("value").isNotNull)
+      .select(dbzParsed(col("value"), keyField).as("c"))
+      .filter(col("c.op").isNotNull && col("c.key").isNotNull && col("c.ts").isNotNull)
+      .select("c.*")
+
+  /** The complement of [[fromDebezium]]'s validity filter: non-tombstone
+    * records whose envelope did not yield a keyed, positioned change.
+    */
+  def debeziumDeadLetters(wire: DataFrame, keyField: String): DataFrame =
+    wire
+      .filter(col("value").isNotNull)
+      .withColumn("c", dbzParsed(col("value"), keyField))
+      .filter(col("c.op").isNull || col("c.key").isNull || col("c.ts").isNull)
+      .select(col("value").cast("string").as("raw"))
 
   /** Render a batch snapshot as its equivalent COMPACTED changefeed: one
     * upsert per row, keyed by `keyCol`, positioned at `(tsCol, seqCol)`
