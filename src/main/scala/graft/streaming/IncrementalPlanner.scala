@@ -2642,7 +2642,14 @@ object IncrementalPlanner {
   private final case class WRank(fn: String, name: String) extends WinOut
   private final case class WNav(valIdx: Int, offset: Int, dflt: Option[String],
       lead: Boolean, name: String) extends WinOut
-  private final case class WAgg(op: String, valIdx: Int, running: Boolean, name: String) extends WinOut
+  /** `frame`: an explicit `ROWS BETWEEN … AND …` as signed row offsets
+    * relative to the current row — `(Some(-2), Some(0))` is `2
+    * PRECEDING AND CURRENT ROW` (the moving-average idiom); `None` on
+    * a side is UNBOUNDED. Absent = the default frame (whole partition,
+    * or RANGE-peers running when the clause has ORDER BY).
+    */
+  private final case class WAgg(op: String, valIdx: Int, running: Boolean, name: String,
+      frame: Option[(Option[Int], Option[Int])] = None) extends WinOut
   /** ntile(buckets): SQL's as-even-as-possible distribution (the first
     * `n mod buckets` buckets take one extra row).
     */
@@ -2650,9 +2657,11 @@ object IncrementalPlanner {
   /** first/last/nth_value under the default frame: `first` reads the
     * frame start (partition row 0), `last` the current PEER GROUP's
     * last row (the famous default-frame semantic), `nth` the frame's
-    * k-th row if already inside it.
+    * k-th row if already inside it. An explicit ROWS `frame` (same
+    * encoding as [[WAgg]]) repoints all three at the frame's rows.
     */
-  private final case class WPos(kind: String, valIdx: Int, nth: Int, name: String) extends WinOut
+  private final case class WPos(kind: String, valIdx: Int, nth: Int, name: String,
+      frame: Option[(Option[Int], Option[Int])] = None) extends WinOut
   /** percent_rank = (rank−1)/(n−1) (0 when n=1); cume_dist = peers-through-me / n. */
   private final case class WRel(fn: String, name: String) extends WinOut
 
@@ -2813,9 +2822,39 @@ object IncrementalPlanner {
     */
   private def parseWinFns(items: Seq[(String, UnresolvedFunction)], spec: WindowSpecDefinition,
       addVal: Eval => Int): Seq[WinOut] = {
-    spec.frameSpecification match {
-      case UnspecifiedFrame => ()
-      case other            => throw unsupported(s"window frame ${other.sql} (default frames only)")
+    // explicit frames: `ROWS BETWEEN a AND b` becomes signed row
+    // offsets; `RANGE UNBOUNDED PRECEDING .. CURRENT ROW` IS the
+    // default running frame (tie-peers share), so it maps to None.
+    // Other RANGE forms would need value-distance frame resolution —
+    // rejected with the rewrite hint.
+    def rowBound(e: Expression, lower: Boolean): Option[Int] = e match {
+      case UnboundedPreceding if lower  => None
+      case UnboundedFollowing if !lower => None
+      case CurrentRow                   => Some(0)
+      case UnaryMinus(l: Literal, _)    =>
+        Some(-litValue(l.value).flatMap(asNum).map(_.toInt).getOrElse(
+          throw unsupported(s"frame bound ${e.sql}")))
+      case l: Literal                   =>
+        Some(litValue(l.value).flatMap(asNum).map(_.toInt).getOrElse(
+          throw unsupported(s"frame bound ${e.sql}")))
+      case other => throw unsupported(s"frame bound ${other.sql}")
+    }
+    val frame: Option[(Option[Int], Option[Int])] = spec.frameSpecification match {
+      case UnspecifiedFrame => None
+      case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => None
+      case SpecifiedWindowFrame(RowFrame, lo, hi) =>
+        val f = (rowBound(lo, lower = true), rowBound(hi, lower = false))
+        f match {
+          case (Some(a), Some(b)) => require(a <= b, s"empty-by-construction frame ROWS BETWEEN $a AND $b")
+          case _                  => ()
+        }
+        // ROWS UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING is the whole
+        // partition — the default no-ORDER-BY frame, cheaper unframed
+        if (f == ((None, None))) None else Some(f)
+      case other => throw unsupported(
+        s"window frame ${other.sql} (supported: default frames, ROWS BETWEEN …, and " +
+          "RANGE UNBOUNDED PRECEDING AND CURRENT ROW; value-distance RANGE frames don't " +
+          "compile — bucket the ORDER BY value into a column and ROWS-frame over it)")
     }
     def intLit(e: Any, what: String): Int =
       litValue(e).flatMap(asNum).map(_.toInt).getOrElse(throw unsupported(what))
@@ -2834,9 +2873,9 @@ object IncrementalPlanner {
           require(off >= 0, s"$fn offset must be >= 0")
           WNav(addVal(compileExpr(e)), off, dflt, lead = fn == "lead", name)
         case ("count", Seq(_: UnresolvedStar)) =>
-          WAgg("count", addVal(_ => Some(1)), running = spec.orderSpec.nonEmpty, name)
+          WAgg("count", addVal(_ => Some(1)), running = spec.orderSpec.nonEmpty, name, frame)
         case ("count" | "sum" | "avg" | "min" | "max", Seq(e)) =>
-          WAgg(fn, addVal(compileExpr(e)), running = spec.orderSpec.nonEmpty, name)
+          WAgg(fn, addVal(compileExpr(e)), running = spec.orderSpec.nonEmpty, name, frame)
         case ("ntile", Seq(b: Literal)) =>
           val n = intLit(b.value, "ntile buckets")
           require(n >= 1, "ntile buckets must be >= 1")
@@ -2844,11 +2883,11 @@ object IncrementalPlanner {
         // relative-rank family: values in [0,1], emitted as doubles
         case ("percent_rank" | "cume_dist", Seq()) => WRel(fn, name)
         case ("first_value" | "last_value", Seq(e)) =>
-          WPos(fn.stripSuffix("_value"), addVal(compileExpr(e)), 1, name)
+          WPos(fn.stripSuffix("_value"), addVal(compileExpr(e)), 1, name, frame)
         case ("nth_value", Seq(e, k: Literal)) =>
           val nth = intLit(k.value, "nth_value position")
           require(nth >= 1, "nth_value position must be >= 1")
-          WPos("nth", addVal(compileExpr(e)), nth, name)
+          WPos("nth", addVal(compileExpr(e)), nth, name, frame)
         case _ => throw unsupported(
           s"window function $fn (row_number/rank/dense_rank/ntile/percent_rank/cume_dist/" +
             "lag/lead/first_value/last_value/nth_value/count/sum/avg/min/max)")
@@ -2857,6 +2896,8 @@ object IncrementalPlanner {
     if (wins.exists(w => w.isInstanceOf[WRank] || w.isInstanceOf[WNav] ||
         w.isInstanceOf[WNtile] || w.isInstanceOf[WRel]))
       require(spec.orderSpec.nonEmpty, "ORDER BY is required for ranking/navigation window functions")
+    if (frame.isDefined)
+      require(spec.orderSpec.nonEmpty, "an explicit ROWS frame requires ORDER BY in its OVER clause")
     wins
   }
 
@@ -3117,6 +3158,53 @@ object IncrementalPlanner {
         val j  = nSort + valIdx
         if (j < vs.length) vs(j) else NullMark
       }
+      // the [lo, hi] row range of an explicit ROWS frame at `idx`
+      // (clamped; lo > hi = empty frame)
+      def frameRange(fr: (Option[Int], Option[Int]))(idx: Int): (Int, Int) = (
+        math.max(0, fr._1.map(idx + _).getOrElse(0)),
+        math.min(n - 1, fr._2.map(idx + _).getOrElse(n - 1)))
+      // explicit ROWS-framed aggregate: count/sum/avg in O(1) per row
+      // off prefix arrays; min/max scan the frame (k-bounded). Diff-only
+      // emission upstream means a neighbor's arrival/death re-emits
+      // exactly the rows whose frame value changed.
+      def framedAggArray(w: WAgg, fr: (Option[Int], Option[Int])): Array[String] = {
+        val pCnt  = new Array[Long](n + 1)   // non-null operands
+        val pSum  = new Array[Double](n + 1) // numeric operands
+        val pSumN = new Array[Long](n + 1)
+        var j = 0
+        while (j < n) {
+          val v = opRaw(w.valIdx)(j)
+          val num = if (v == NullMark) None
+            else v.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite)
+          pCnt(j + 1)  = pCnt(j) + (if (v == NullMark) 0 else 1)
+          pSum(j + 1)  = pSum(j) + num.getOrElse(0.0)
+          pSumN(j + 1) = pSumN(j) + (if (num.isDefined) 1 else 0)
+          j += 1
+        }
+        Array.tabulate(n) { idx =>
+          val (lo, hi) = frameRange(fr)(idx)
+          if (lo > hi) { if (w.op == "count") "0" else null }
+          else w.op match {
+            case "count" => (pCnt(hi + 1) - pCnt(lo)).toString
+            case "sum"   =>
+              val k = pSumN(hi + 1) - pSumN(lo)
+              if (k == 0) null else (pSum(hi + 1) - pSum(lo)).toString
+            case "avg"   =>
+              val k = pSumN(hi + 1) - pSumN(lo)
+              if (k == 0) null else ((pSum(hi + 1) - pSum(lo)) / k).toString
+            case _ => // min | max
+              var best: String = null
+              var m = lo
+              while (m <= hi) {
+                val v = opRaw(w.valIdx)(m)
+                if (v != NullMark && (best == null ||
+                    (if (w.op == "min") cmpVals(v, best) < 0 else cmpVals(v, best) > 0))) best = v
+                m += 1
+              }
+              best
+          }
+        }
+      }
       // aggregate window values: whole-partition = one value for every
       // row; running = SQL's default RANGE frame (tie groups share)
       def aggArray(w: WAgg): Array[String] = {
@@ -3160,7 +3248,10 @@ object IncrementalPlanner {
         res
       }
       val aggVals: Map[String, Array[String]] =
-        wins.collect { case w: WAgg => w.name -> aggArray(w) }.toMap
+        wins.collect { case w: WAgg => w.name -> (w.frame match {
+          case Some(fr) => framedAggArray(w, fr)
+          case None     => aggArray(w)
+        }) }.toMap
       def navVal(w: WNav)(idx: Int): String = {
         val j = if (w.lead) idx + w.offset else idx - w.offset
         if (j >= 0 && j < n) { val v = opRaw(w.valIdx)(j); if (v == NullMark) null else v }
@@ -3181,12 +3272,18 @@ object IncrementalPlanner {
         res
       }
       def posVal(w: WPos)(idx: Int): String = {
-        val j = w.kind match {
-          case "first" => 0
-          case "last"  => groupEnd(idx) - 1
-          case _       => w.nth - 1 // nth: inside the frame [0, groupEnd) or absent
+        // frame rows: explicit ROWS frame if given, else the default
+        // frame [0, peer-group end)
+        val (flo, fhi) = w.frame match {
+          case Some(fr) => frameRange(fr)(idx)
+          case None     => (0, groupEnd(idx) - 1)
         }
-        if (j >= 0 && j < groupEnd(idx)) { val v = opRaw(w.valIdx)(j); if (v == NullMark) null else v }
+        val j = w.kind match {
+          case "first" => flo
+          case "last"  => fhi
+          case _       => flo + w.nth - 1 // nth: the frame's k-th row or absent
+        }
+        if (j >= flo && j <= fhi) { val v = opRaw(w.valIdx)(j); if (v == NullMark) null else v }
         else null
       }
       def ntileOf(b: Int)(idx: Int): Long = {

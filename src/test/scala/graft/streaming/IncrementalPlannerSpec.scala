@@ -2724,4 +2724,90 @@ class IncrementalPlannerSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("materializeValueJoinExpiring"), e.getMessage)
   }
+
+  // ----------------------------------------------------------------
+  // #171bq/br: explicit ROWS frames in OVER clauses — the moving-
+  // average idiom, live under churn
+  // ----------------------------------------------------------------
+
+  test("#171bq ROWS BETWEEN k PRECEDING AND CURRENT ROW == batch recompute; neighbor churn re-frames exactly the affected rows") {
+    val sql = "SELECT city, name, avg(amount) OVER (PARTITION BY city ORDER BY seqno " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma FROM t"
+    def ins(k: Long, city: String, name: String, seqno: Int, amount: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt),
+        Map("city" -> city, "name" -> name, "seqno" -> seqno.toString, "amount" -> amount), seq)
+    val b1 = Seq(
+      ins(1L, "ber", "a", 1, "10", 1L),
+      ins(2L, "ber", "b", 2, "20", 2L),
+      ins(3L, "ber", "c", 3, "30", 3L),
+      ins(4L, "ber", "d", 4, "40", 4L),
+      ins(5L, "par", "e", 1, "7", 5L))
+    val b2 = Seq(
+      // a NEIGHBOR dies: rows b,c,d re-frame (b loses a from its frame;
+      // d's trailing window shifts) — rows in par are untouched
+      Change("delete", 2L, ts(10), Map.empty, 6L),
+      // and one lands mid-sequence, re-framing its followers
+      ins(6L, "ber", "x", 2, "100", 7L))
+    runView(sql, "pv_frame", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val got = rankedState("pv_frame", Seq("city", "name", "ma")).map { case ((k, _), v) => k -> v }
+    // batch truth: Spark's own framed window over the final LWW state
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fs = finalState(b1 ++ b2)
+    val df = fs.toSeq.map { case (k, p) => (k, p("city"), p("name"), p("seqno").toInt, p("amount").toDouble) }
+      .toDF("key", "city", "name", "seqno", "amount")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("city").orderBy(col("seqno").cast("double").asc, col("key").asc)
+      .rowsBetween(-2, 0)
+    val want = df.withColumn("ma", avg("amount").over(w)).collect().map { r =>
+      r.getAs[Long]("key") -> Seq[Any](r.getAs[String]("city"), r.getAs[String]("name"),
+        r.getAs[Double]("ma").toString)
+    }.toMap
+    assert(got == want, s"framed view\n  $got\n  != batch\n  $want")
+    // par never re-emitted in batch 2 (its frames were untouched)
+    val parB2 = spark.table("pv_frame").collect().toSeq
+      .filter(r => r.getAs[String]("_partition") == "par")
+    assert(parB2.size == 1, s"par must emit once, not re-emit under ber churn: ${parB2.size}")
+  }
+
+  test("#171br framed sum/min/first/last under both-sided frames; RANGE running maps to the default; bad frames reject with hints") {
+    val sql = "SELECT name, sum(v) OVER (ORDER BY seqno ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s, " +
+      "min(v) OVER (ORDER BY seqno ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mn, " +
+      "first_value(name) OVER (ORDER BY seqno ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv, " +
+      "last_value(name) OVER (ORDER BY seqno ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS lv FROM t"
+    def ins(k: Long, name: String, seqno: Int, v: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("name" -> name, "seqno" -> seqno.toString, "v" -> v), seq)
+    val b1 = Seq(ins(1L, "a", 1, "10", 1L), ins(2L, "b", 2, "5", 2L), ins(3L, "c", 3, "30", 3L))
+    runView(sql, "pv_frame2", Seq(Map("t" -> b1)))
+    val got = rankedState("pv_frame2", Seq("name", "s", "mn", "fv", "lv")).map { case ((k, _), v) => k -> v }
+    assert(got == Map(
+      1L -> Seq[Any]("a", "15.0", "5", "a", "b"),   // frame [a,b]
+      2L -> Seq[Any]("b", "45.0", "5", "a", "c"),   // frame [a,b,c]
+      3L -> Seq[Any]("c", "35.0", "5", "b", "c")),  // frame [b,c]
+      s"both-sided frames: $got")
+
+    // RANGE UNBOUNDED PRECEDING .. CURRENT ROW is the default running
+    // frame: identical to the unframed running sum (tie-peers share)
+    val sqlRange = "SELECT name, sum(v) OVER (ORDER BY seqno " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM t"
+    runView(sqlRange, "pv_frame3", Seq(Map("t" -> b1)))
+    val gotR = rankedState("pv_frame3", Seq("name", "rs")).map { case ((k, _), v) => k -> v }
+    assert(gotR == Map(1L -> Seq[Any]("a", "10.0"), 2L -> Seq[Any]("b", "15.0"), 3L -> Seq[Any]("c", "45.0")),
+      s"running RANGE frame: $gotR")
+
+    // rejections: value-distance RANGE, and ROWS without ORDER BY
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def feeds = Map("t" -> MemoryStream[Change].toDS())
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name, sum(v) OVER (ORDER BY seqno RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS s FROM t", feeds)
+    }
+    assert(e1.getMessage.contains("ROWS-frame over it"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name, sum(v) OVER (ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM t", feeds)
+    }
+    assert(e2.getMessage.contains("requires ORDER BY"), e2.getMessage)
+  }
 }
