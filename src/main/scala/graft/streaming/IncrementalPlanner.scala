@@ -16,7 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * places one row in dur/slide windows at once; scalar groupings always
   * yield exactly one.
   */
-case class PlannedContrib(groups: Seq[String], slots: Seq[Double], tsUs: Long, seq: Long, live: Boolean)
+case class PlannedContrib(groups: Seq[String], slots: Seq[Double], tsUs: Long, seq: Long, live: Boolean,
+    svals: Seq[String] = Nil)
 
 /** Signed per-group delta of a planned aggregate view (one slot per
   * aggregate in the SELECT list; `d_keys` tracks live-row count).
@@ -30,7 +31,8 @@ case class PlannedGroupState(n: Long, sums: Seq[Double])
   * non-invertible path): which group, which key, the key's slot values,
   * live=false when the key leaves the group.
   */
-case class PlannedKeyChange(group: String, key: Long, slots: Seq[Double], live: Boolean, tsUs: Long = 0L, seq: Long = 0L)
+case class PlannedKeyChange(group: String, key: Long, slots: Seq[Double], live: Boolean, tsUs: Long = 0L, seq: Long = 0L,
+    svals: Seq[String] = Nil)
 
 /** Per-group keyed state of a planned MIN/MAX view: every live key's
   * slot values — what re-aggregation needs when the extremum retracts
@@ -65,7 +67,7 @@ case class PlannedRowChange(op: String, key: Long, proj: Map[String, String], ts
 /** One live contribution inside a planned SESSION-window view's group
   * state: the row's event time and its aggregate slot values.
   */
-case class SessionContrib(evUs: Long, slots: Seq[Double])
+case class SessionContrib(evUs: Long, slots: Seq[Double], svals: Seq[String] = Nil)
 
 /** One session row as last emitted (keyed by session start micros):
   * what the diff against the recomputed session set compares to.
@@ -1547,6 +1549,12 @@ object IncrementalPlanner {
     */
   private final case class SessionOut(name: String) extends OutCol
 
+  /** `count/sum/avg(DISTINCT x)` in a SESSION view (session path only):
+    * `sIdx` indexes the per-member distinct-value vector; the result
+    * rides the session's sums vector AFTER the value slots.
+    */
+  private final case class DistinctOut(op: String, sIdx: Int, name: String) extends OutCol
+
   /** Compile one aggregate-function select item to its [[OutCol]],
     * registering value slots via `addSlot` — shared by the flat
     * (signed-delta / keyed) and session-window paths, which differ only
@@ -1708,10 +1716,11 @@ object IncrementalPlanner {
       case _                     => false
     })
     if (hasSession) {
-      require(!hasDistinct,
-        "DISTINCT aggregates in a session-window view are unsupported (the two-level " +
-          "DISTINCT rewrite regroups by value, which a session membership cannot survive); " +
-          "sessionize first and aggregate the session view")
+      // DISTINCT aggregates compose here WITHOUT the two-level rewrite:
+      // the session stage-2 already holds every member's raw values, so
+      // count/sum/avg(DISTINCT x) is a distinct-multiset aggregation
+      // over the session's members — recomputed exactly on every merge/
+      // split (lifted r9; the value rides stage 1 as `svals`)
       require(!keepMeta, "session-window views do not compose with " +
         "materializeAggChanges/materializeTopK — consume the view's own changefeed " +
         "(its key is the group keys + <name>_start_us)")
@@ -1959,7 +1968,7 @@ object IncrementalPlanner {
     // serializable extractor: Change → Option[(group keys, slot values)];
     // None = the row does not contribute (filtered out / delete); an
     // empty key list (NULL window time) is likewise a dead contribution
-    val extract: Change => Option[(Seq[String], Seq[Double])] = { c =>
+    val extract: Change => Option[(Seq[String], Seq[Double], Seq[String])] = { c =>
       val env = envOf(c)
       val pass = preds.forall(p => p(env).contains(true))
       // slot closures coerce their own operands (asNum inside addSlot,
@@ -1983,7 +1992,7 @@ object IncrementalPlanner {
             }
             .map(_.mkString(Sep))
         }
-        Some((keys, slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 })))
+        Some((keys, slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 }), Nil))
       }
     }
 
@@ -2145,12 +2154,25 @@ object IncrementalPlanner {
 
     val slotFns = scala.collection.mutable.ArrayBuffer.empty[Eval]
     def addSlot(f: Eval): Int = { slotFns += f; slotFns.size - 1 }
+    val sFns = scala.collection.mutable.ArrayBuffer.empty[Eval]
+    def addSval(f: Eval): Int = { sFns += f; sFns.size - 1 }
     val outCols: Seq[OutCol] = agg.aggregateExpressions.zipWithIndex.map { case (ne, i) =>
       val core = coreOf(ne)
       val name = outName(ne, s"col$i")
       core match {
         case e if e.sql == sessionSql              => SessionOut(name)
         case e if scalarSql.indexOf(e.sql) >= 0    => GroupOut(scalarSql.indexOf(e.sql), name)
+        // DISTINCT aggregates: the member's value string rides stage 1;
+        // stage 2 aggregates the session's distinct multiset exactly
+        // (min/max(DISTINCT) were normalized to plain upstream)
+        case f: UnresolvedFunction if f.isDistinct =>
+          val fn = f.nameParts.last.toLowerCase
+          (fn, f.arguments) match {
+            case ("count" | "sum" | "avg", Seq(e)) =>
+              DistinctOut(fn, addSval(compileExpr(e)), name)
+            case _ => throw unsupported(
+              s"session DISTINCT aggregate ${f.sql} (count/sum/avg(DISTINCT <one expr>))")
+          }
         case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("grouping") =>
           f.arguments match {
             case Seq(e) if scalarSql.indexOf(e.sql) >= 0 =>
@@ -2174,11 +2196,13 @@ object IncrementalPlanner {
           s"select item ${other.sql} (neither grouping expr nor count/sum/avg/min/max)")
       }
     }
-    val slots = slotFns.toIndexedSeq
-    // Change → (one scalar group key, evUs-prefixed slot values); a NULL
-    // or unparseable event time is a dead contribution (Spark's windowed
-    // aggregation drops null-timestamp rows the same way)
-    val extract: Change => Option[(Seq[String], Seq[Double])] = { c =>
+    val slots  = slotFns.toIndexedSeq
+    val sSlots = sFns.toIndexedSeq
+    // Change → (one scalar group key, evUs-prefixed slot values, distinct
+    // arg values); a NULL or unparseable event time is a dead
+    // contribution (Spark's windowed aggregation drops null-timestamp
+    // rows the same way)
+    val extract: Change => Option[(Seq[String], Seq[Double], Seq[String])] = { c =>
       val env  = envOf(c)
       val pass = preds.forall(p => p(env).contains(true))
       if (!pass) None
@@ -2196,7 +2220,8 @@ object IncrementalPlanner {
             .mkString(Sep)
         }
         (keys,
-          ev.toDouble +: slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 }))
+          ev.toDouble +: slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 }),
+          sSlots.map(s => s(env).map(String.valueOf(_)).getOrElse(NullMark)))
       }
     }
     val slotOps: Seq[String] = {
@@ -2208,6 +2233,9 @@ object IncrementalPlanner {
       }
       ops.toIndexedSeq
     }
+    // distinct aggregations, in OUTPUT-COLUMN order: their results land
+    // in the sums vector after the value slots, one per dOps entry
+    val dOps: Seq[(String, Int)] = outCols.collect { case DistinctOut(op, sIdx, _) => (op, sIdx) }
     val maxRows = spark.conf.get("spark.graft.session.maxRowsPerGroup", "1000000").toInt
 
     implicit val contribEnc = Encoders.product[PlannedContrib]
@@ -2226,17 +2254,26 @@ object IncrementalPlanner {
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(expiring(ttl, keyFold(extract)))
       .groupByKey(_.group)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        sessionFold(gapUs, slotOps, maxRows))
+        sessionFold(gapUs, slotOps, dOps, maxRows))
       .toDF()
 
     val parts = split(col("group"), Sep)
     def slotCol(i: Int) = element_at(col("sums"), i + 1)
+    var dSeen = -1
     val outExprs = outCols.flatMap {
       case SessionOut(name) =>
         Seq(col("startUs").as(s"${name}_start_us"), col("endUs").as(s"${name}_end_us"))
       // NaN marks an all-NULL-operand session's sum (see compileAggFnOut) → SQL NULL
       case SumOut(slot, name) =>
         Seq(when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name))
+      // distinct results ride after the value slots, in outCols order
+      case DistinctOut(op, _, name) =>
+        dSeen += 1
+        val c = slotCol(slots.length + dSeen)
+        Seq(op match {
+          case "count" => c.cast("long").as(name)
+          case _       => when(isnan(c), lit(null)).otherwise(c).as(name)
+        })
       case oc => Seq(outColExpr(oc, slotCol, parts))
     }
     val selected = sessionRows.select(outExprs :+ col("live_rows").as("_live_rows"): _*)
@@ -2258,7 +2295,7 @@ object IncrementalPlanner {
     * equality short-circuits below because NaN ≠ NaN; the cost is a
     * redundant idempotent re-emission, never a wrong row.)
     */
-  private def sessionFold(gapUs: Long, slotOps: Seq[String], maxRows: Int)(
+  private def sessionFold(gapUs: Long, slotOps: Seq[String], dOps: Seq[(String, Int)], maxRows: Int)(
       group: String,
       changes: Iterator[PlannedKeyChange],
       state: GroupState[SessionGroupState]): Iterator[SessionRow] = {
@@ -2271,7 +2308,7 @@ object IncrementalPlanner {
     var posSeq = s0.posSeq
     val after = changes.foldLeft(s0.contribs) { (m, c) =>
       if (c.tsUs > posTs || (c.tsUs == posTs && c.seq > posSeq)) { posTs = c.tsUs; posSeq = c.seq }
-      if (c.live) m + (c.key -> SessionContrib(c.slots.head.toLong, c.slots.tail))
+      if (c.live) m + (c.key -> SessionContrib(c.slots.head.toLong, c.slots.tail, c.svals))
       else m - c.key
     }
     if (after == s0.contribs) Iterator.empty // batch net-cancelled
@@ -2284,18 +2321,18 @@ object IncrementalPlanner {
       // ascending event time; a row joins the open session iff its event
       // time falls strictly inside [start, lastEv + gap) — Spark's own
       // session-merge rule — else it opens a new one
-      var sessions = Vector.empty[(Long, Long, Vector[Seq[Double]])] // (startUs, maxEvUs, member slot rows)
+      var sessions = Vector.empty[(Long, Long, Vector[SessionContrib])] // (startUs, maxEvUs, members)
       after.toSeq.sortBy { case (k, c) => (c.evUs, k) }.foreach { case (_, c) =>
         sessions match {
           case init :+ ((start, maxEv, members)) if c.evUs < maxEv + gapUs =>
-            sessions = init :+ ((start, c.evUs, members :+ c.slots))
+            sessions = init :+ ((start, c.evUs, members :+ c))
           case _ =>
-            sessions = sessions :+ ((c.evUs, c.evUs, Vector(c.slots)))
+            sessions = sessions :+ ((c.evUs, c.evUs, Vector(c)))
         }
       }
       val newEmitted: Map[Long, SessionEmitted] = sessions.map { case (start, maxEv, members) =>
         val sums = slotOps.zipWithIndex.map { case (op, i) =>
-          val vs = members.iterator.map(s => if (i < s.length) s(i) else Double.NaN)
+          val vs = members.iterator.map(m => if (i < m.slots.length) m.slots(i) else Double.NaN)
           // NaN is the NULL marker in min/max and sum slots alike: an
           // all-NULL session stays NaN → emitted as SQL NULL
           val xs = vs.filterNot(_.isNaN).toSeq
@@ -2305,10 +2342,29 @@ object IncrementalPlanner {
             case "max" => if (xs.isEmpty) Double.NaN else xs.max
           }
         }
-        start -> SessionEmitted(maxEv + gapUs, members.size.toLong, sums)
+        // distinct-multiset aggregations over the session's members
+        // (NullMark excluded — SQL DISTINCT-aggregate NULL exclusion);
+        // sum/avg read each distinct VALUE numerically, non-numeric
+        // distinct values are the engine's NULL stance (excluded)
+        val dsums = dOps.map { case (op, sIdx) =>
+          val distinct = members.iterator
+            .map(m => if (sIdx < m.svals.length) m.svals(sIdx) else NullMark)
+            .filter(_ != NullMark).toSet
+          op match {
+            case "count" => distinct.size.toDouble
+            case _ =>
+              val nums = distinct.iterator.flatMap(_.toDoubleOption)
+                .filterNot(d => d.isNaN || d.isInfinite).toSeq
+              if (nums.isEmpty) Double.NaN
+              else if (op == "sum") nums.sum
+              else nums.sum / nums.size
+          }
+        }
+        start -> SessionEmitted(maxEv + gapUs, members.size.toLong, sums ++ dsums)
       }.toMap
       val dead = (s0.emitted.keySet -- newEmitted.keySet).iterator.map { st =>
-        SessionRow(group, st, s0.emitted(st).endUs, 0L, Seq.fill(slotOps.length)(0.0), posTs, posSeq)
+        SessionRow(group, st, s0.emitted(st).endUs, 0L,
+          Seq.fill(slotOps.length + dOps.length)(0.0), posTs, posSeq)
       }
       val lived = newEmitted.iterator.collect {
         case (st, e) if !s0.emitted.get(st).contains(e) =>
@@ -2405,7 +2461,7 @@ object IncrementalPlanner {
     * contribution in `(tsUs, seq)` order, update the store, return
     * (pre-batch, post-batch) for the caller to diff.
     */
-  private def applyLww(extract: Change => Option[(Seq[String], Seq[Double])])(
+  private def applyLww(extract: Change => Option[(Seq[String], Seq[Double], Seq[String])])(
       changes: Iterator[Change],
       state: GroupState[PlannedContrib]): (Option[PlannedContrib], Option[PlannedContrib]) = {
     val before = state.getOption
@@ -2418,8 +2474,8 @@ object IncrementalPlanner {
           if (c.op == "delete") Some(PlannedContrib(Nil, Nil, tsUs, c.seq, live = false))
           else extract(c) match {
             // empty group list (NULL window time) = contributes nowhere
-            case Some((gs, vs)) => Some(PlannedContrib(gs, vs, tsUs, c.seq, live = gs.nonEmpty))
-            case None           => Some(PlannedContrib(Nil, Nil, tsUs, c.seq, live = false))
+            case Some((gs, vs, sv)) => Some(PlannedContrib(gs, vs, tsUs, c.seq, live = gs.nonEmpty, sv))
+            case None               => Some(PlannedContrib(Nil, Nil, tsUs, c.seq, live = false))
           }
       }
     }
@@ -2429,7 +2485,7 @@ object IncrementalPlanner {
     (before, cur)
   }
 
-  private def aggFold(extract: Change => Option[(Seq[String], Seq[Double])])(
+  private def aggFold(extract: Change => Option[(Seq[String], Seq[Double], Seq[String])])(
       key: Long,
       changes: Iterator[Change],
       state: GroupState[PlannedContrib]): Iterator[PlannedDelta] = {
@@ -2469,7 +2525,7 @@ object IncrementalPlanner {
     * group, what slot values) — the downstream re-aggregation needs to
     * know WHICH contribution left, not by how much a sum moved.
     */
-  private def keyFold(extract: Change => Option[(Seq[String], Seq[Double])])(
+  private def keyFold(extract: Change => Option[(Seq[String], Seq[Double], Seq[String])])(
       key: Long,
       changes: Iterator[Change],
       state: GroupState[PlannedContrib]): Iterator[PlannedKeyChange] = {
@@ -2477,17 +2533,19 @@ object IncrementalPlanner {
     val (posTs, posSeq) = cur.map(c => (c.tsUs, c.seq)).getOrElse((0L, 0L))
     // per-group set diff (a sliding-window key lives in several groups):
     // leave groups it left, enter groups it entered, re-emit groups it
-    // stays in only when the slot values changed
+    // stays in only when the slot (or distinct-arg) values changed
     val bOpt = before.filter(_.live)
     val aOpt = cur.filter(_.live)
     val bg = bOpt.map(_.groups.toSet).getOrElse(Set.empty[String])
     val ag = aOpt.map(_.groups.toSet).getOrElse(Set.empty[String])
-    val slotsChanged = bOpt.map(_.slots) != aOpt.map(_.slots)
+    val slotsChanged = bOpt.map(_.slots) != aOpt.map(_.slots) ||
+      bOpt.map(_.svals) != aOpt.map(_.svals)
     val exits  = (bg -- ag).iterator.map(g => PlannedKeyChange(g, key, Nil, live = false, posTs, posSeq))
-    val enters = (ag -- bg).iterator.map(g => PlannedKeyChange(g, key, aOpt.get.slots, live = true, posTs, posSeq))
+    val enters = (ag -- bg).iterator.map(g =>
+      PlannedKeyChange(g, key, aOpt.get.slots, live = true, posTs, posSeq, aOpt.get.svals))
     val stays  =
       if (slotsChanged) (ag intersect bg).iterator.map(g =>
-        PlannedKeyChange(g, key, aOpt.get.slots, live = true, posTs, posSeq))
+        PlannedKeyChange(g, key, aOpt.get.slots, live = true, posTs, posSeq, aOpt.get.svals))
       else Iterator.empty
     exits ++ enters ++ stays
   }

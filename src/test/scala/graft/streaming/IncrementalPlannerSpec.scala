@@ -2810,4 +2810,58 @@ class IncrementalPlannerSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("requires ORDER BY"), e2.getMessage)
   }
+
+  test("#171bs DISTINCT aggregates in SESSION views == batch session_window recompute through merge and split") {
+    val sql = "SELECT session_window(ev, '10 minutes') AS sw, count(*) AS n, " +
+      "count(DISTINCT dev) AS nd, sum(DISTINCT v) AS sd, avg(DISTINCT v) AS ad " +
+      "FROM f GROUP BY session_window(ev, '10 minutes')"
+    def minUs(m: Int): Long = m * 60000000L
+    def ins(k: Long, evMin: Int, dev: String, v: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("ev" -> minUs(evMin).toString, "dev" -> dev, "v" -> v), seq)
+    // session A [0,15): devs {ph,pc,ph}, vs {10,10,20} → nd=2, sd=30, ad=15
+    // session B [20,35): devs {tv}, vs {5} → nd=1, sd=5, ad=5
+    val b1 = Seq(
+      ins(1L, 0, "ph", "10", 1L), ins(2L, 4, "pc", "10", 2L), ins(3L, 5, "ph", "20", 3L),
+      ins(4L, 20, "tv", "5", 4L), ins(5L, 25, "tv", "5", 5L))
+    // the bridge MERGES A+B: devs {ph,pc,ph,tv,tv,ph}, vs {10,10,20,5,5,30}
+    val b2 = Seq(ins(6L, 12, "ph", "30", 6L))
+    // split back, then a distinct-arg-only update (same session, same n)
+    val b3 = Seq(Change("delete", 6L, ts(10), Map.empty, 7L))
+    val b4 = Seq(Change("update", 2L, ts(11),
+      Map("ev" -> minUs(4).toString, "dev" -> "ph", "v" -> "10"), 8L)) // pc→ph: nd 2→1, sums unchanged
+    runView(sql, "pv_sess_dist", Seq(Map("f" -> b1), Map("f" -> b2), Map("f" -> b3), Map("f" -> b4)))
+    def liveSessions: Map[Long, Seq[Any]] =
+      spark.table("pv_sess_dist").collect().toSeq
+        .groupBy(_.getAs[Long]("sw_start_us")).view.mapValues(_.last)
+        .collect { case (s, r) if r.getAs[Long]("_live_rows") > 0L =>
+          s -> Seq[Any](r.getAs[Long]("n"), r.getAs[Long]("nd"), r.getAs[Any]("sd"), r.getAs[Any]("ad")) }
+        .toMap
+    val fin = liveSessions
+    assert(fin == Map(
+      minUs(0)  -> Seq[Any](3L, 1L, 30.0, 15.0),  // after pc→ph: nd=1; distinct vs {10,20}
+      minUs(20) -> Seq[Any](2L, 1L, 5.0, 5.0)),
+      s"final sessions: $fin")
+    // the merged emission existed mid-history with the union's distincts
+    val mergedRows = spark.table("pv_sess_dist").collect().toSeq
+      .filter(r => r.getAs[Long]("sw_start_us") == minUs(0) && r.getAs[Long]("n") == 6L)
+    assert(mergedRows.nonEmpty, "the bridge batch must emit the merged session")
+    val m = mergedRows.last
+    assert(m.getAs[Long]("nd") == 3L && m.getAs[Any]("sd") == 65.0, // distinct vs {10,20,5,30}
+      s"merged distincts: nd=${m.getAs[Long]("nd")} sd=${m.getAs[Any]("sd")}")
+    // batch truth for the final state: Spark's own session_window + count distinct
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fs = finalState(b1 ++ b2 ++ b3 ++ b4)
+    val df = fs.toSeq.map { case (k, p) => (k, p("ev").toLong, p("dev"), p("v").toDouble) }
+      .toDF("key", "ev_us", "dev", "v").withColumn("ev", timestamp_micros(col("ev_us")))
+    val want = df.groupBy(session_window(col("ev"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("dev")).as("nd"),
+        sum_distinct(col("v")).as("sd"), avg(col("v")).as("_ignore"))
+      .collect().map { r =>
+        r.getAs[Row]("session_window").getAs[Timestamp]("start").getTime * 1000L ->
+          (r.getAs[Long]("n"), r.getAs[Long]("nd"), r.getAs[Double]("sd"))
+      }.toMap
+    assert(fin.view.mapValues(v => (v(0), v(1), v(2))).toMap == want,
+      s"view vs Spark batch session_window: $fin vs $want")
+  }
 }
