@@ -127,17 +127,52 @@ object JdbcSink {
     }
   }
 
-  /** One partition's transactional apply. Public for the crash specs. */
+  /** One partition's transactional apply. Public for the crash specs.
+    *
+    * Concurrency: READ COMMITTED, not SERIALIZABLE — exactly-once rests
+    * on the marker table's PRIMARY KEY, not on isolation. A zombie task
+    * and its replacement applying the same partition concurrently both
+    * probe (no marker), both apply rows, and serialize at the marker
+    * INSERT: the loser's duplicate-key failure rolls back its ENTIRE
+    * transaction, rows included. SERIALIZABLE would add nothing to that
+    * guarantee while its range locks make CONCURRENT partitions of the
+    * same batch (disjoint keys, adjacent index entries) deadlock on
+    * gap locks — measured against embedded Derby, and the same
+    * throughput poison against any server store at 1000 executors.
+    * Rows need only row-level X locks: partitions write disjoint keys
+    * (hash-routed), so they conflict at worst transiently on index
+    * pages. A deadlock-victim rollback (the store's transient abort,
+    * e.g. Derby 40001) retries the whole idempotent transaction — safe
+    * by construction, bounded to 5 attempts.
+    */
   def applyPartition(url: String, table: String, batchId: Long, partitionId: Int,
       rows: Iterator[org.apache.spark.sql.Row], beforeCommit: () => Unit = () => ()): Unit = {
+    // the row iterator is single-pass: materialize once so a transient
+    // retry can re-apply the identical rows
+    val rowSeq = rows.toVector
+    var attempt = 0
+    var done    = false
+    while (!done) {
+      attempt += 1
+      try {
+        applyPartitionOnce(url, table, batchId, partitionId, rowSeq, beforeCommit)
+        done = true
+      } catch {
+        case e: java.sql.SQLTransactionRollbackException if attempt < 5 =>
+          // deadlock/timeout victim: the store rolled us back whole —
+          // re-applying is idempotent (marker probe + keyed upserts)
+          Thread.sleep(50L * attempt)
+      }
+    }
+  }
+
+  private def applyPartitionOnce(url: String, table: String, batchId: Long, partitionId: Int,
+      rows: Seq[org.apache.spark.sql.Row], beforeCommit: () => Unit): Unit = {
     checkedIdent(table)
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
-      // serializable marker read: a replayed task either sees the marker
-      // (work already committed → skip) or will conflict on the marker's
-      // primary key at commit — either way the rows apply exactly once
-      conn.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
+      conn.setTransactionIsolation(Connection.TRANSACTION_READ_COMMITTED)
       if (!markerExists(conn, table, batchId, partitionId)) {
         val del = conn.prepareStatement(s"DELETE FROM $table WHERE k = ?")
         val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?)")

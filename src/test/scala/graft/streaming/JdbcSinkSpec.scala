@@ -7,6 +7,12 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
 
+/** Crash-injection flag for #174f — an object field is shared across
+  * "executors" under local mode (one JVM), which is exactly the seam the
+  * spec needs: arm, run the real parallel egress, one task dies.
+  */
+object JdbcCrashFlag { @volatile var armed = false }
+
 /** SURVEY.md §2.3 #174 — exactly-once JDBC egress: replay idempotence
   * (same batch applied twice → bit-identical table) and atomicity of a
   * crash between the row writes and the commit (rollback reverts both
@@ -123,6 +129,43 @@ class JdbcSinkSpec extends SparkSpec {
     JdbcSink.applyPartition(url, table, batchId = 0L, partitionId = 0, rowsOf(1L, 2L).iterator)
     JdbcSink.applyPartition(url, table, batchId = 0L, partitionId = 1, rowsOf(3L, 4L).iterator)
     assert(JdbcSink.readTable(url, table).map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("#174f REAL egress(parallelism=4) crash/replay: one partition dies mid-batch, the resumed replay converges bit-identical") {
+    val url   = freshUrl()
+    val table = "view_f"
+    JdbcSink.ensureTables(url, table)
+    val df = stateDf((1L to 40L).map(k => (k, Map("v" -> s"p$k"), false)): _*)
+    // the victim partition id under parallelism-4 key-hash routing for
+    // SOME key in 1..40 — every partition is populated, pick 2
+    JdbcCrashFlag.armed = true
+    val crashingEgress = JdbcSink.egress(url, table, parallelism = 4,
+      beforeCommit = () => {
+        if (JdbcCrashFlag.armed && org.apache.spark.TaskContext.getPartitionId() == 2)
+          throw new RuntimeException("crash partition 2 before its commit")
+      }) _
+    val boom = intercept[Exception] { crashingEgress(df, 0L) }
+    assert(boom != null)
+    val partial = JdbcSink.readTable(url, table)
+    // partition 2's keys are all absent (its transaction rolled back);
+    // whatever other partitions committed before the job died are fine
+    import org.apache.spark.sql.functions._
+    val p2Keys = df.select(col("key")).repartition(4, col("key"))
+      .withColumn("pid", spark_partition_id())
+      .collect().collect { case r if r.getAs[Int]("pid") == 2 => r.getAs[Long]("key") }.toSet
+    assert(p2Keys.nonEmpty, "sanity: partition 2 must own some keys")
+    assert(partial.map(_._1).toSet.intersect(p2Keys).isEmpty,
+      s"crashed partition's rows must not be visible: ${partial.map(_._1)}")
+    // the resumed deployment replays the SAME batch whole: committed
+    // partitions skip via markers, the crashed one applies
+    JdbcCrashFlag.armed = false
+    crashingEgress(df, 0L)
+    val full = JdbcSink.readTable(url, table)
+    assert(full.map(_._1) == (1L to 40L) && full.forall(r => r._2 == s"v=p${r._1}"),
+      s"resumed table must hold all 40 rows: ${full.map(_._1)}")
+    // and one more full replay is a global no-op — bit-identical
+    crashingEgress(df, 0L)
+    assert(JdbcSink.readTable(url, table) == full, "second replay must change nothing")
   }
 
   test("#174e unbounded payloads round-trip (CLOB column); hostile table names are rejected") {
