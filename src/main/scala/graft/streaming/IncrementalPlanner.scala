@@ -58,6 +58,14 @@ case class PlannedTopKState(entries: Map[Long, Map[String, String]], emit: Long)
 /** One row of a planned top-k view's refreshed list. */
 case class PlannedTopKRow(_emit: Long, rank: Long, row: Map[String, String])
 
+/** Per-group state of a planned APPROX aggregate view (append-only):
+  * live-row count, append-only aggregate slots, and one HLL register
+  * array per approx_count_distinct item. Sketch state is O(4 KiB) per
+  * group regardless of value cardinality — the reason this path exists.
+  */
+case class ApproxGroupState(n: Long, sums: Seq[Double], hlls: Seq[Array[Byte]],
+    posTs: Long = 0L, posSeq: Long = 0L)
+
 /** A key's current projected row in a PLANNED select-where view. */
 case class PlannedRow(proj: Map[String, String], tsUs: Long, seq: Long, live: Boolean)
 
@@ -1711,6 +1719,19 @@ object IncrementalPlanner {
       case f: UnresolvedFunction => f.isDistinct
       case _                     => false
     })
+    val hasApprox = norm.aggregateExpressions.exists(_.exists {
+      case f: UnresolvedFunction => f.nameParts.last.equalsIgnoreCase("approx_count_distinct")
+      case _                     => false
+    })
+    if (hasApprox) {
+      require(!hasDistinct, "approx_count_distinct does not mix with exact DISTINCT " +
+        "aggregates in one view — split into two views over the same feed")
+      require(ttl.isEmpty, "approx_count_distinct views are append-only; they do not " +
+        "compose with materializeExpiring (there is no dead state to expire)")
+      require(!keepMeta, "approx views do not compose with materializeAggChanges/" +
+        "materializeTopK — sketches cannot retract, so the layered view could not either")
+      return dropHidden(compileApproxAgg(spark, norm, feeds, having1), hidden)
+    }
     val hasSession = norm.groupingExpressions.exists(_.exists {
       case f: UnresolvedFunction => f.nameParts.last.equalsIgnoreCase("session_window")
       case _                     => false
@@ -2284,6 +2305,229 @@ object IncrementalPlanner {
       case None => selected
     }
     PlannedView(withHaving, OutputMode.Append())
+  }
+
+  /** `approx_count_distinct(x)` in a SESSION-less aggregate view:
+    * compiled onto an HLL register array living in per-group state —
+    * O(4 KiB) per group at ANY value cardinality, where exact
+    * `count(DISTINCT x)` holds the per-(group, value) multiset. The
+    * honest trade is the APPEND-ONLY contract: sketches cannot retract,
+    * so the stage-1 fold RAISES on the first delete, value-changing
+    * update, or group move (naming exact DISTINCT as the alternative)
+    * instead of silently over-counting forever after. Idempotent
+    * re-inserts (a snapshot `r` record replayed, a byte-identical
+    * update) are tolerated — HLL inserts are naturally idempotent.
+    * Plain count/sum/avg/min/max/stddev ride along (append-only makes
+    * the extremum slots monotone). Estimate error is the standard
+    * 1.04/√m ≈ 1.6% at m = 4096 registers (p = 12), spec-bounded.
+    */
+  private def compileApproxAgg(spark: SparkSession, agg: Aggregate,
+      feeds: Map[String, Dataset[Change]],
+      having: Option[Expression]): PlannedView = {
+    require(!agg.groupingExpressions.exists(_.exists {
+      case f: UnresolvedFunction => f.nameParts.last.equalsIgnoreCase("session_window")
+      case _                     => false
+    }), "approx_count_distinct does not combine with session_window groupings")
+    val src   = compileSource(spark, agg.child, feeds)
+    val preds = src.filters.map(compileExpr)
+    val (groupExprs, levels) = expandGroupingSets(agg.groupingExpressions)
+    val groupSlots = groupExprs.map(compileGroupSlot)
+    val groupSql   = groupExprs.map(_.sql)
+
+    val slotFns = scala.collection.mutable.ArrayBuffer.empty[Eval]
+    def addSlot(f: Eval): Int = { slotFns += f; slotFns.size - 1 }
+    val sFns = scala.collection.mutable.ArrayBuffer.empty[Eval]
+    def addSval(f: Eval): Int = { sFns += f; sFns.size - 1 }
+    val outCols: Seq[OutCol] = agg.aggregateExpressions.zipWithIndex.map { case (ne, i) =>
+      val core = coreOf(ne)
+      val name = outName(ne, s"col$i")
+      core match {
+        case e if groupSql.indexOf(e.sql) >= 0 => GroupOut(groupSql.indexOf(e.sql), name)
+        case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("approx_count_distinct") =>
+          f.arguments match {
+            case Seq(e) => DistinctOut("approx", addSval(compileExpr(e)), name)
+            case other  => throw unsupported(
+              s"approx_count_distinct(${other.map(_.sql).mkString(",")}) (one argument)")
+          }
+        case f: UnresolvedFunction =>
+          compileAggFnOut(f.nameParts.last.toLowerCase, f.arguments, name, addSlot,
+            nullSumAsNaN = false)
+        case other => throw unsupported(
+          s"select item ${other.sql} in an approx aggregate view")
+      }
+    }
+    val slots  = slotFns.toIndexedSeq
+    val sSlots = sFns.toIndexedSeq
+    val extract: Change => Option[(Seq[String], Seq[Double], Seq[String])] = { c =>
+      val env  = envOf(c)
+      val pass = preds.forall(p => p(env).contains(true))
+      if (!pass) None
+      else {
+        val parts: Seq[Seq[String]] = groupSlots.map {
+          case ScalarSlot(f) => Seq(f(env).map(String.valueOf(_)).getOrElse(NullMark))
+          case WindowSlot(w) => windowStartsOf(w, env)
+        }
+        val keys = levels.flatMap { active =>
+          parts.zipWithIndex
+            .map { case (ps, i) => if (active.contains(i)) ps else Seq(RollMark) }
+            .foldLeft(Seq(Vector.empty[String])) { (acc, p) => for (a <- acc; x <- p) yield a :+ x }
+            .map(_.mkString(Sep))
+        }
+        Some((keys, slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 }),
+          sSlots.map(s => s(env).map(String.valueOf(_)).getOrElse(NullMark))))
+      }
+    }
+    val slotOps: Seq[String] = {
+      val ops = Array.fill(slots.length)("sum")
+      outCols.foreach {
+        case MinOut(s, _) => ops(s) = "min"
+        case MaxOut(s, _) => ops(s) = "max"
+        case _            => ()
+      }
+      ops.toIndexedSeq
+    }
+    val nSketch = sSlots.length
+
+    implicit val contribEnc = Encoders.product[PlannedContrib]
+    implicit val keyChEnc   = Encoders.product[PlannedKeyChange]
+    implicit val stateEnc   = Encoders.product[ApproxGroupState]
+    implicit val rowEnc     = Encoders.product[PlannedGroupRow]
+    implicit val longEnc    = Encoders.scalaLong
+    implicit val stringEnc  = Encoders.STRING
+    val groupRows = src.changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        appendOnlyKeyFold(extract))
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        approxFold(slotOps, nSketch))
+      .toDF()
+
+    val parts = split(col("group"), Sep)
+    def slotCol(i: Int) = element_at(col("sums"), i + 1)
+    var aSeen = -1
+    val outExprs = outCols.map {
+      case DistinctOut(_, _, name) =>
+        aSeen += 1
+        slotCol(slots.length + aSeen).cast("long").as(name)
+      case oc => outColExpr(oc, slotCol, parts)
+    }
+    val selected = groupRows.select(outExprs :+ col("live_rows").as("_live_rows"): _*)
+    val withHaving = having match {
+      case Some(cond) =>
+        selected.withColumn("_live_rows",
+          when(coalesce(expr(cond.sql), lit(false)), col("_live_rows")).otherwise(lit(0L)))
+      case None => selected
+    }
+    PlannedView(withHaving, OutputMode.Append())
+  }
+
+  /** Stage-1 fold of the approx path: LWW apply, but RAISE on any
+    * retraction — delete, predicate/group exit, or contribution-changing
+    * update — because downstream sketch state cannot un-see a value.
+    * Byte-identical re-application is a no-op (allowed).
+    */
+  private def appendOnlyKeyFold(extract: Change => Option[(Seq[String], Seq[Double], Seq[String])])(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[PlannedContrib]): Iterator[PlannedKeyChange] = {
+    val (before, cur) = applyLww(extract)(changes, state)
+    val bOpt = before.filter(_.live)
+    val aOpt = cur.filter(_.live)
+    def same(x: PlannedContrib, y: PlannedContrib) =
+      x.groups == y.groups && x.slots == y.slots && x.svals == y.svals
+    (bOpt, aOpt) match {
+      case (None, None)                     => Iterator.empty
+      case (None, Some(a))                  =>
+        a.groups.iterator.map(g =>
+          PlannedKeyChange(g, key, a.slots, live = true, a.tsUs, a.seq, a.svals))
+      case (Some(b), Some(a)) if same(b, a) => Iterator.empty
+      case _ => throw new IllegalStateException(
+        "approx_count_distinct view received a RETRACTION (delete, group move, or " +
+          "value-changing update) — sketches cannot retract. This view requires an " +
+          "append-only feed; for retraction-bearing sources use exact count(DISTINCT x).")
+    }
+  }
+
+  /** Stage-2 fold of the approx path: bump the group's append-only
+    * totals and HLL registers, re-emit the group's current row. The
+    * sketch is plain HLL (Flajolet et al.): register j keeps the max
+    * leading-zero rank of hashes routed to it; the estimate applies the
+    * harmonic mean with small-range linear counting. p = 12 → 4096
+    * registers → σ ≈ 1.6%.
+    */
+  private val HllP = 12
+  private val HllM = 1 << HllP
+
+  /** splitmix64 finalizer over the shared fnv64 — HLL needs avalanched
+    * high bits, which raw FNV-1a lacks (SplitMix64's public mixing
+    * constants).
+    */
+  private def hllHash(s: String): Long = {
+    var z = JoinView.fnv64(s) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def hllEstimate(regs: Array[Byte]): Double = {
+    val m = regs.length
+    var invSum = 0.0
+    var zeros  = 0
+    var i = 0
+    while (i < m) {
+      invSum += java.lang.Math.scalb(1.0, -regs(i))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val e = alpha * m * m / invSum
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+
+  private def approxFold(slotOps: Seq[String], nSketch: Int)(
+      group: String,
+      changes: Iterator[PlannedKeyChange],
+      state: GroupState[ApproxGroupState]): Iterator[PlannedGroupRow] = {
+    val s0 = state.getOption.getOrElse(
+      ApproxGroupState(0L, Seq.fill(slotOps.length)(Double.NaN), Seq.fill(nSketch)(new Array[Byte](HllM))))
+    var n      = s0.n
+    val sums   = s0.sums.toArray
+    val hlls   = s0.hlls.map(_.clone())
+    var posTs  = s0.posTs
+    var posSeq = s0.posSeq
+    var touched = false
+    changes.foreach { c =>
+      touched = true
+      if (c.tsUs > posTs || (c.tsUs == posTs && c.seq > posSeq)) { posTs = c.tsUs; posSeq = c.seq }
+      n += 1
+      slotOps.indices.foreach { i =>
+        val v = if (i < c.slots.length) c.slots(i) else Double.NaN
+        if (!v.isNaN) sums(i) = slotOps(i) match {
+          case _ if sums(i).isNaN => v
+          case "sum"              => sums(i) + v
+          case "min"              => math.min(sums(i), v)
+          case "max"              => math.max(sums(i), v)
+        }
+      }
+      (0 until nSketch).foreach { j =>
+        val sv = if (j < c.svals.length) c.svals(j) else NullMark
+        if (sv != NullMark) { // SQL NULLs never count toward DISTINCT
+          val h   = hllHash(sv)
+          val idx = (h >>> (64 - HllP)).toInt
+          val rho = (java.lang.Long.numberOfLeadingZeros(h << HllP) + 1).min(64 - HllP + 1).toByte
+          if (rho > hlls(j)(idx)) hlls(j)(idx) = rho
+        }
+      }
+    }
+    if (!touched) Iterator.empty
+    else {
+      state.update(ApproxGroupState(n, sums.toSeq, hlls, posTs, posSeq))
+      // NaN slots (no non-null min/max operand yet) ride through — the
+      // output layer's isnan→NULL handles them, the keyed convention
+      val out = sums.toSeq ++ hlls.map(r => math.rint(hllEstimate(r)))
+      Iterator.single(PlannedGroupRow(group, n, out, posTs, posSeq))
+    }
   }
 
   /** Stage-2 fold of a session-window view: maintain the group's live
@@ -3435,7 +3679,7 @@ object IncrementalPlanner {
     * empty" change (batch SQL's global `count` answers 0 over an empty
     * table; a CHANGEFEED says it by tombstoning the one group).
     */
-  private val AggFnNames = Set("count", "sum", "avg", "min", "max")
+  private val AggFnNames = Set("count", "sum", "avg", "min", "max", "approx_count_distinct")
   private def globalAgg(p: Project): Option[Aggregate] = {
     val hasAgg = p.projectList.exists(_.exists {
       case f: UnresolvedFunction => AggFnNames(f.nameParts.last.toLowerCase)

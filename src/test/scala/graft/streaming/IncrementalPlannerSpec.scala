@@ -2864,4 +2864,75 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(fin.view.mapValues(v => (v(0), v(1), v(2))).toMap == want,
       s"view vs Spark batch session_window: $fin vs $want")
   }
+
+  test("#171bt approx_count_distinct views: HLL within 3% of exact on an append-only feed; retractions RAISE; bad combos reject") {
+    val sql = "SELECT cat, count(*) AS n, approx_count_distinct(uid) AS au, max(v) AS hi " +
+      "FROM t GROUP BY cat"
+    // 3000 distinct uids in cat a (each appearing twice), 500 in cat b
+    val rnd = new scala.util.Random(42)
+    val aUids = Seq.fill(3000)(rnd.nextLong())
+    val bUids = Seq.fill(500)(rnd.nextLong())
+    val feed = (aUids ++ aUids).zipWithIndex.map { case (u, i) =>
+      Change("insert", 100000L + i, ts(0), Map("cat" -> "a", "uid" -> u.toString, "v" -> (i % 97).toString), i + 1L)
+    } ++ bUids.zipWithIndex.map { case (u, i) =>
+      Change("insert", 900000L + i, ts(1), Map("cat" -> "b", "uid" -> u.toString, "v" -> "7"), 10000L + i)
+    }
+    runView(sql, "pv_approx", Seq(Map("t" -> feed)))
+    val got = aggState("pv_approx", Seq("cat"))
+    val estA = got(Seq[Any]("a"))(1).asInstanceOf[Long].toDouble
+    val estB = got(Seq[Any]("b"))(1).asInstanceOf[Long].toDouble
+    val exactA = aUids.distinct.size.toDouble
+    val exactB = bUids.distinct.size.toDouble
+    assert(math.abs(estA - exactA) / exactA < 0.03, s"cat a: est $estA vs exact $exactA")
+    assert(math.abs(estB - exactB) / exactB < 0.03, s"cat b: est $estB vs exact $exactB")
+    assert(got(Seq[Any]("a"))(0) == 6000L && got(Seq[Any]("b"))(0) == 500L, s"plain count rides along: $got")
+    assert(got(Seq[Any]("a"))(2) == 96.0, s"append-only max rides along: $got")
+
+    // idempotent re-application (a replayed snapshot record) is tolerated
+    val idem = Seq(
+      Change("insert", 1L, ts(0), Map("cat" -> "a", "uid" -> "7", "v" -> "1"), 1L),
+      Change("insert", 1L, ts(0), Map("cat" -> "a", "uid" -> "7", "v" -> "1"), 1L))
+    runView(sql, "pv_approx_idem", Seq(Map("t" -> idem.take(1)), Map("t" -> idem.drop(1))))
+    assert(aggState("pv_approx_idem", Seq("cat")) == Map(Seq[Any]("a") -> Seq[Any](1L, 1L, 1.0)))
+
+    // a DELETE raises loudly, naming the exact alternative (delivered in
+    // a LATER batch — an in-batch insert+delete nets to "never entered
+    // the sketch", which is correct and allowed)
+    val boom = intercept[Exception] {
+      runView(sql, "pv_approx_del", Seq(
+        Map("t" -> Seq(Change("insert", 1L, ts(0), Map("cat" -> "a", "uid" -> "7", "v" -> "1"), 1L))),
+        Map("t" -> Seq(Change("delete", 1L, ts(1), Map.empty, 2L)))))
+    }
+    val msgs = Iterator.iterate(boom: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("append-only") && msgs.contains("count(DISTINCT"), msgs.take(500))
+
+    // a value-changing update raises too
+    val boom2 = intercept[Exception] {
+      runView(sql, "pv_approx_upd", Seq(
+        Map("t" -> Seq(Change("insert", 1L, ts(0), Map("cat" -> "a", "uid" -> "7", "v" -> "1"), 1L))),
+        Map("t" -> Seq(Change("update", 1L, ts(1), Map("cat" -> "a", "uid" -> "8", "v" -> "1"), 2L)))))
+    }
+    val msgs2 = Iterator.iterate(boom2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs2.contains("append-only"), msgs2.take(500))
+
+    // global form; rejects: × exact DISTINCT, × materializeExpiring
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    runView("SELECT approx_count_distinct(uid) AS au FROM t", "pv_approx_g",
+      Seq(Map("t" -> idem.take(1))))
+    assert(aggState("pv_approx_g", Nil) == Map(Seq.empty[Any] -> Seq[Any](1L)))
+    def feeds = Map("t" -> MemoryStream[Change].toDS())
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT cat, approx_count_distinct(uid) AS a, count(DISTINCT v) AS d FROM t GROUP BY cat", feeds)
+    }
+    assert(e1.getMessage.contains("does not mix"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materializeExpiring(spark,
+        "SELECT cat, approx_count_distinct(uid) AS a FROM t GROUP BY cat", feeds)
+    }
+    assert(e2.getMessage.contains("append-only"), e2.getMessage)
+  }
 }
