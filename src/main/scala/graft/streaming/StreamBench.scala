@@ -146,7 +146,14 @@ object StreamBench {
     def bPct(q: Double): Long =
       if (batchMs.isEmpty) 0L else batchMs(math.min(batchMs.length - 1, (batchMs.length * q).toInt))
     val lat = latHist.toMap
-    println(f"""{"metric":"stream_bench","engine":"$engine","input_rows_per_sec":$rowsPerSec,"achieved_rows_per_sec":${(inputRows / math.max(elapsed, 0.001)).toLong},"elapsed_sec":$elapsed%.1f,"rows_emitted":${counter.value},"lat_p50_ms":${pct(lat, 0.5)},"lat_p99_ms":${pct(lat, 0.99)},"batch_p50_ms":${bPct(0.5)},"batch_p99_ms":${bPct(0.99)}}""")
+    // state-store footprint at the last progress tick: total live state
+    // rows across every stateful operator and their in-memory bytes —
+    // the number that decides whether the dataflow's arrangement math
+    // holds at the probed key cardinality
+    val lastState  = progress.lastOption.map(_.stateOperators.toSeq).getOrElse(Nil)
+    val stateRows  = lastState.map(_.numRowsTotal).sum
+    val stateBytes = lastState.map(_.memoryUsedBytes).sum
+    println(f"""{"metric":"stream_bench","engine":"$engine","input_rows_per_sec":$rowsPerSec,"achieved_rows_per_sec":${(inputRows / math.max(elapsed, 0.001)).toLong},"elapsed_sec":$elapsed%.1f,"rows_emitted":${counter.value},"lat_p50_ms":${pct(lat, 0.5)},"lat_p99_ms":${pct(lat, 0.99)},"batch_p50_ms":${bPct(0.5)},"batch_p99_ms":${bPct(0.99)},"state_rows":$stateRows,"state_bytes":$stateBytes}""")
     spark.stop()
   }
 }
