@@ -2935,4 +2935,23 @@ class IncrementalPlannerSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("append-only"), e2.getMessage)
   }
+
+  test("#171bu two OVER clauses differing only in FRAME route through the mixed merge and both frame correctly") {
+    val sql = "SELECT name, " +
+      "sum(v) OVER (ORDER BY seqno ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s2, " +
+      "sum(v) OVER (ORDER BY seqno ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3 FROM t"
+    def ins(k: Long, name: String, seqno: Int, v: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("name" -> name, "seqno" -> seqno.toString, "v" -> v), seq)
+    val b1 = Seq(ins(1L, "a", 1, "10", 1L), ins(2L, "b", 2, "20", 2L),
+      ins(3L, "c", 3, "40", 3L), ins(4L, "d", 4, "80", 4L))
+    val b2 = Seq(Change("delete", 2L, ts(10), Map.empty, 5L)) // neighbors re-frame in BOTH specs
+    runView(sql, "pv_mixed_frames", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val got = rowState("pv_mixed_frames", Seq("name", "s2", "s3"))
+    // final rows a(10), c(40), d(80): s2 = self+1 prev, s3 = self+2 prev
+    assert(got == Map(
+      1L -> Seq[Any]("a", "10.0", "10.0"),
+      3L -> Seq[Any]("c", "50.0", "50.0"),
+      4L -> Seq[Any]("d", "120.0", "130.0")),
+      s"mixed framed sums after neighbor death: $got")
+  }
 }

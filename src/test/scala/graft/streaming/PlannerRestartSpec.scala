@@ -244,6 +244,54 @@ class PlannerRestartSpec extends SparkSpec {
     assert(tombs == Set(minUs(20)), s"merged-away session must tombstone: $tombs")
   }
 
+  test("#220g approx view restart: HLL registers survive the checkpoint — the estimate counts BOTH halves' distincts") {
+    val sql = "SELECT cat, count(*) AS n, approx_count_distinct(uid) AS au FROM t GROUP BY cat"
+    val (src, ck, out) = (tmp("rsapxsrc"), tmp("rsapxck"), tmp("rsapxout"))
+    val rnd = new scala.util.Random(7)
+    val uids = Seq.fill(1500)(rnd.nextLong()).distinct
+    require(uids.length >= 1400)
+    // half 1 carries the first 1000 uids, half 2 the last 1000 — the
+    // middle 500-ish only exist in checkpointed registers at the merge
+    val half1 = uids.take(1000).zipWithIndex.map { case (u, i) =>
+      Change("insert", 10000L + i, ts(0), Map("cat" -> "a", "uid" -> u.toString), i + 1L) }
+    val half2 = uids.takeRight(1000).zipWithIndex.map { case (u, i) =>
+      Change("insert", 20000L + i, ts(1), Map("cat" -> "a", "uid" -> u.toString), 5000L + i) }
+    writeChanges(src, "f1.json", half1)
+    deploy(sql, Map("t" -> src), ck, out)
+    writeChanges(src, "f2.json", half2)
+    deploy(sql, Map("t" -> src), ck, out)
+    val last = spark.read.parquet(out).orderBy(col("batch_id").desc).head()
+    assert(last.getAs[Long]("n") == 2000L, s"count must span both deployments: $last")
+    val est   = last.getAs[Long]("au").toDouble
+    val exact = uids.length.toDouble
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"estimate $est must cover BOTH halves' ${exact.toInt} distincts (registers reloaded, not reset)")
+  }
+
+  test("#220h restart continuity holds on the RocksDB state-store provider (the 100TB-cardinality config)") {
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sql = "SELECT city, count(*) AS n, max(amount) AS hi FROM t GROUP BY city"
+      val (src, ck, out) = (tmp("rsrdbsrc"), tmp("rsrdbck"), tmp("rsrdbout"))
+      val half1 = Seq(
+        Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L),
+        Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "30"), 2L))
+      val half2 = Seq(Change("delete", 1L, ts(10), Map.empty, 3L)) // max falls back to 30
+      writeChanges(src, "f1.json", half1)
+      deploy(sql, Map("t" -> src), ck, out)
+      writeChanges(src, "f2.json", half2)
+      deploy(sql, Map("t" -> src), ck, out)
+      val got = aggFinal(out, Seq("city"), Seq("n", "hi"))
+      assert(got == Map(Seq[Any]("ber") -> Seq[Any](1L, 30.0)),
+        s"RocksDB-backed restart must fall back to the checkpointed next-best: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("#220f materializeTopK restart: leader deletion promotes from full-group state; the emission counter continues") {
     val sql = "SELECT city, sum(amount) AS total FROM t GROUP BY city ORDER BY total DESC LIMIT 2"
     val (src, ck, out) = (tmp("rstopksrc"), tmp("rstopkck"), tmp("rstopkout"))
