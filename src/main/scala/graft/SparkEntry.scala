@@ -145,6 +145,8 @@ object SparkEntry {
     "s07_ann_graph"             -> ((s, d) => Similarity.annGraph(GraftSession.tune(s), d)),
     "d11_unicode_dedup"         -> ((s, d) => Dedup.unicodeDedup(GraftSession.tune(s), d)),
     "d12_semdedup"              -> ((s, d) => Similarity.semDedup(GraftSession.tune(s), d)),
+    "d13_canonical_selection"   -> ((s, d) => Dedup.canonicalSelection(GraftSession.tune(s), d)),
+    "d14_cross_source_leakage"  -> ((s, d) => Dedup.crossSourceLeakage(GraftSession.tune(s), d)),
     // all-pairs top-k: deterministic bucketed self-join + bounded TopK
     // aggregate (no Window over candidate pairs) -> hash-exact
     "s08_knn_join"              -> ((s, d) => Similarity.knnJoin(GraftSession.tune(s), d)),
@@ -164,6 +166,7 @@ object SparkEntry {
     "q85_skew_diagnostics"      -> ((s, d) => Relational.skewDiagnostics(GraftSession.tune(s), d)),
     "q88_gapfill_locf"          -> ((s, d) => Temporal.gapFill(GraftSession.tune(s), d)),
     "t13_gopher_quality"        -> ((s, d) => TextAnalysis.gopherQuality(GraftSession.tune(s), d)),
+    "t14_length_histogram"      -> ((s, d) => TextAnalysis.lengthHistogram(GraftSession.tune(s), d)),
   )
 
   // ---- fixed-point Lloyd oracle scaffolding (s04/s05/s06) ----------
@@ -621,6 +624,65 @@ object SparkEntry {
         |  SELECT e.doc_a, r.label FROM e JOIN reach r ON r.doc_id = e.doc_b)
         |SELECT doc_id, min(label) AS cluster, doc_id = min(label) AS is_keeper
         |FROM reach GROUP BY doc_id""".stripMargin,
+    // d13's oracle re-derives the exact d06 clusters (5-word-shingle
+    // Jaccard >= 0.5 pairs -> recursive-CTE connected components), then
+    // applies the keep rule: max n_chars, ties to the lowest doc_id
+    "d13_canonical_selection" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |    i -> array_to_string(words[i:i+4], ' '))) AS g FROM w) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT ov.doc_a, ov.doc_b
+        |  FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b
+        |  WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5),
+        |e AS (SELECT doc_a, doc_b FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, label) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM e
+        |  UNION
+        |  SELECT e.doc_a, r.label FROM e JOIN reach r ON r.doc_id = e.doc_b),
+        |lab AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id),
+        |sized AS (SELECT lab.cluster, lab.doc_id, d.n_chars
+        |  FROM lab JOIN documents d USING (doc_id)),
+        |st AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars FROM sized GROUP BY 1)
+        |SELECT st.cluster, min(s.doc_id) AS keeper, st.n_docs, st.max_chars
+        |FROM st JOIN sized s ON s.cluster = st.cluster AND s.n_chars = st.max_chars
+        |GROUP BY 1, 3, 4""".stripMargin,
+    // d14's oracle re-derives the exact verified J >= 0.5 pair set and
+    // counts pairs per unordered source pair
+    "d14_cross_source_leakage" ->
+      """WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |    i -> array_to_string(words[i:i+4], ' '))) AS g FROM w) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT ov.doc_a, ov.doc_b
+        |  FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b
+        |  WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5)
+        |SELECT least(wa.source, wb.source) AS source_a,
+        |  greatest(wa.source, wb.source) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs
+        |JOIN w wa ON wa.doc_id = pairs.doc_a
+        |JOIN w wb ON wb.doc_id = pairs.doc_b
+        |GROUP BY 1, 2""".stripMargin,
+    "t14_length_histogram" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT lang, least(n // 64, 15) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY 1, 2""".stripMargin,
     // d04's oracle recomputes the md5-digit simhash fingerprint and cross-
     // checks the EXACT hamming<=3 pair set — valid as a full equality
     // check because 16-bit chunk bucketing finds every hamming<=3 pair by

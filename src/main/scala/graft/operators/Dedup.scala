@@ -404,6 +404,50 @@ object Dedup {
     labels
   }
 
+  /** d13: QUALITY-canonical selection per near-dup cluster — the keep
+    * rule that follows clustering in a real pipeline: within each d06
+    * cluster keep the best document (here: most characters, ties to the
+    * lowest doc_id), not blindly the lowest id. Expressed as two
+    * aggregations instead of a window: per-cluster (count, max chars),
+    * then the argmax re-join filtered to the max — both shuffles are
+    * keyed by cluster, no per-cluster sort, no SinglePartition anywhere,
+    * so the shape survives 100 TB clusters-of-millions unchanged.
+    */
+  def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    val sized = dedupClusters(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val stats = sized.groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n_docs"), max("n_chars").cast("long").as("max_chars"))
+    sized
+      .join(stats, Seq("cluster"))
+      .filter(col("n_chars").cast("long") === col("max_chars"))
+      .groupBy(col("cluster"), col("n_docs"), col("max_chars"))
+      .agg(min("doc_id").as("keeper"))
+      .select(col("cluster"), col("keeper"), col("n_docs"), col("max_chars"))
+  }
+
+  /** d14: cross-source duplicate LEAKAGE matrix — which sources copy
+    * from which: the verified near-dup pairs (d03's exact J >= 0.5 set)
+    * joined to each side's source and counted per unordered source
+    * pair. The diagnostic every multi-crawl corpus needs before
+    * deciding source mixing weights (a source pair with heavy leakage
+    * double-counts its content in the mixture). Two key-joins against
+    * the tiny pair list + one grouped count — at 100 TB the pair list
+    * is the dedup pipeline's existing artifact, so this is one cheap
+    * derived aggregation.
+    */
+  def crossSourceLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashLsh(spark, dir)
+      .select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** q50: the dedup end-product — the corpus view a training run actually
     * reads: documents surviving BOTH exact dedup (d01: only the min-doc_id
     * copy of each content hash) and near-dup clustering (d06: only each

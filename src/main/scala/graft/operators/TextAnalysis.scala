@@ -280,4 +280,20 @@ object TextAnalysis {
         size(words(t2)).cast("long").as("n_ws_tokens"),
       )
   }
+
+  /** t14: per-language SEQUENCE-LENGTH histogram — the token-count
+    * distribution every training-data report opens with (and what
+    * packing/truncation decisions read): whitespace tokens bucketed in
+    * 64-token bands, capped at band 15, counted and summed per
+    * (lang, band). One scan projection + one map-side-combined groupBy;
+    * output cardinality is langs × 16 at any corpus size.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = size(words(col("text"))).cast("long")
+    Tables
+      .documents(spark, dir)
+      .select(col("lang"), least(floor(t / 64L), lit(15L)).cast("long").as("band"), t.as("t"))
+      .groupBy("lang", "band")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("total_tokens"))
+  }
 }

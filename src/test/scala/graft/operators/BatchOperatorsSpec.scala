@@ -503,6 +503,31 @@ class DedupSpec extends SparkSpec {
     assert(messages(e).exists(m => m.contains("in-bucket verify would go quadratic")),
       s"expected the bucket-cap raise_error, got: ${messages(e).mkString(" | ")}")
   }
+
+  test("d13 canonical selection: keepers obey the max-chars/min-id rule against a driver-side recompute") {
+    import org.apache.spark.sql.functions.col
+    val labels = Dedup.dedupClusters(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .collect().map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("doc_id"), r.getAs[Number]("n_chars").longValue))
+    val want = labels.groupBy(_._1).map { case (c, ms) =>
+      val mx = ms.map(_._3).max
+      c -> (ms.filter(_._3 == mx).map(_._2).min, ms.size.toLong, mx)
+    }
+    val got = Dedup.canonicalSelection(spark, sf).collect().map(r =>
+      r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("keeper"), r.getAs[Long]("n_docs"), r.getAs[Long]("max_chars"))).toMap
+    assert(got == want, s"canonical keepers\n  $got\n  != reference\n  $want")
+    assert(got.nonEmpty, "sf0.001 must contain near-dup clusters")
+  }
+
+  test("d14 cross-source leakage: pair totals match the verified pair set; sources are unordered-normalized") {
+    val rows = Dedup.crossSourceLeakage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b")))
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val nPairs = Dedup.minhashLsh(spark, sf).count()
+    assert(total == nPairs, s"leakage matrix must account for every verified pair: $total vs $nPairs")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -778,6 +803,17 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_logprob") < 0)
     }
   }
+
+  test("t14 length histogram: bands cover 0..15, doc counts sum to the corpus, tokens conserve") {
+    import org.apache.spark.sql.functions.{col, size => ssize, split, trim}
+    val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("band") >= 0 && r.getAs[Long]("band") <= 15))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val totalTokens = docs.select(ssize(split(trim(col("text")), "\\s+")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum == totalTokens)
+  }
 }
 
 class IncrementalDedupSpec extends SparkSpec {
@@ -895,4 +931,5 @@ class MultimodalSpec extends SparkSpec {
         s"doc ${m.doc_id}: metadata disagrees with decoded dimensions")
     }
   }
+
 }
