@@ -292,6 +292,54 @@ class PlannerRestartSpec extends SparkSpec {
     }
   }
 
+  test("#220i DISTINCT-aggregate view restart: the two-level composition's per-value state survives the checkpoint") {
+    val sql = "SELECT city, count(DISTINCT dev) AS nd FROM t GROUP BY city"
+    val (src, ck, out) = (tmp("rsdistsrc"), tmp("rsdistck"), tmp("rsdistout"))
+    val half1 = Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "dev" -> "ph"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "dev" -> "ph"), 2L), // second holder of ph
+      Change("insert", 3L, ts(2), Map("city" -> "ber", "dev" -> "pc"), 3L))
+    // after the redeploy: deleting ONE ph holder must NOT drop the
+    // count (the other holder is known only to checkpointed per-value
+    // state); deleting pc (last holder) must
+    val half2 = Seq(
+      Change("delete", 1L, ts(10), Map.empty, 4L),
+      Change("delete", 3L, ts(11), Map.empty, 5L))
+    writeChanges(src, "f1.json", half1)
+    deploy(sql, Map("t" -> src), ck, out)
+    writeChanges(src, "f2.json", half2)
+    deploy(sql, Map("t" -> src), ck, out)
+    val got = aggFinal(out, Seq("city"), Seq("nd"))
+    assert(got == Map(Seq[Any]("ber") -> Seq[Any](1L)),
+      s"ph must survive its first holder's death via checkpointed per-value counts: $got")
+  }
+
+  test("#220j mixed-OVER view restart: both spec dataflows and the merge fold resume coherently") {
+    val sql = "SELECT name, row_number() OVER (PARTITION BY city ORDER BY score DESC) AS rn, " +
+      "sum(score) OVER (PARTITION BY team ORDER BY score DESC) AS ts FROM t"
+    val (src, ck, out) = (tmp("rsmixsrc"), tmp("rsmixck"), tmp("rsmixout"))
+    def ins(k: Long, city: String, team: String, name: String, score: Int, seq: Long) =
+      Change("insert", k, ts(seq.toInt),
+        Map("city" -> city, "team" -> team, "name" -> name, "score" -> score.toString), seq)
+    val half1 = Seq(
+      ins(1L, "ber", "red", "a", 50, 1L), ins(2L, "ber", "red", "b", 40, 2L),
+      ins(3L, "par", "red", "c", 30, 3L))
+    val half2 = Seq(Change("delete", 1L, ts(10), Map.empty, 4L)) // re-ranks ber AND re-sums red
+    writeChanges(src, "f1.json", half1)
+    deploy(sql, Map("t" -> src), ck, out)
+    writeChanges(src, "f2.json", half2)
+    deploy(sql, Map("t" -> src), ck, out)
+    val fin = rowFinal(out, Seq("name", "rn", "ts"))
+    // survivors: b (ber/red, 40) and c (par/red, 30). b promotes to
+    // rn=1 in ber (spec-1 partition state reloaded); team-red DESC
+    // running sums re-derive over {40, 30}: b=40, c=70 (spec-2 state
+    // reloaded). Both legs flow through the resumed merge fold.
+    assert(fin == Map(
+      2L -> Seq[Any]("b", 1L, "40.0"),
+      3L -> Seq[Any]("c", 1L, "70.0")),
+      s"mixed view after restart: $fin")
+  }
+
   test("#220f materializeTopK restart: leader deletion promotes from full-group state; the emission counter continues") {
     val sql = "SELECT city, sum(amount) AS total FROM t GROUP BY city ORDER BY total DESC LIMIT 2"
     val (src, ck, out) = (tmp("rstopksrc"), tmp("rstopkck"), tmp("rstopkout"))
