@@ -40,8 +40,11 @@ object StreamBench {
     val seconds    = args.drop(1).headOption.map(_.toInt).getOrElse(15)
     val liveKeys   = args.drop(2).headOption.map(_.toInt).getOrElse(100000)
     val engine     = args.drop(3).headOption.getOrElse("v1")
+    // 5th arg `rocksdb` pins the RocksDB provider for ANY engine — the
+    // 100 TB-cardinality state configuration, probeable per dataflow
+    val provider   = args.drop(4).headOption.getOrElse("")
     val spark      = GraftSession.local(Runtime.getRuntime.availableProcessors())
-    if (engine == "v2")
+    if (engine == "v2" || provider == "rocksdb")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
