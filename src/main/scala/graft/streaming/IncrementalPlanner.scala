@@ -2944,14 +2944,22 @@ object IncrementalPlanner {
   private final case class WRank(fn: String, name: String) extends WinOut
   private final case class WNav(valIdx: Int, offset: Int, dflt: Option[String],
       lead: Boolean, name: String) extends WinOut
-  /** `frame`: an explicit `ROWS BETWEEN … AND …` as signed row offsets
-    * relative to the current row — `(Some(-2), Some(0))` is `2
-    * PRECEDING AND CURRENT ROW` (the moving-average idiom); `None` on
-    * a side is UNBOUNDED. Absent = the default frame (whole partition,
-    * or RANGE-peers running when the clause has ORDER BY).
+  /** An explicit window frame: `RowsF` is `ROWS BETWEEN … AND …` as
+    * signed row offsets relative to the current row — `(Some(-2),
+    * Some(0))` is `2 PRECEDING AND CURRENT ROW`; `RangeF` is a
+    * VALUE-distance `RANGE BETWEEN x PRECEDING AND y FOLLOWING` over
+    * the (single, numeric) ORDER BY key — the time-based moving-window
+    * idiom. `None` on a side is UNBOUNDED.
+    */
+  private sealed trait WFrame extends Serializable
+  private final case class RowsF(lo: Option[Int], hi: Option[Int]) extends WFrame
+  private final case class RangeF(lo: Option[Double], hi: Option[Double]) extends WFrame
+
+  /** `frame` absent = the default frame (whole partition, or
+    * RANGE-peers running when the clause has ORDER BY).
     */
   private final case class WAgg(op: String, valIdx: Int, running: Boolean, name: String,
-      frame: Option[(Option[Int], Option[Int])] = None) extends WinOut
+      frame: Option[WFrame] = None) extends WinOut
   /** ntile(buckets): SQL's as-even-as-possible distribution (the first
     * `n mod buckets` buckets take one extra row).
     */
@@ -2963,7 +2971,7 @@ object IncrementalPlanner {
     * encoding as [[WAgg]]) repoints all three at the frame's rows.
     */
   private final case class WPos(kind: String, valIdx: Int, nth: Int, name: String,
-      frame: Option[(Option[Int], Option[Int])] = None) extends WinOut
+      frame: Option[RowsF] = None) extends WinOut
   /** percent_rank = (rank−1)/(n−1) (0 when n=1); cume_dist = peers-through-me / n. */
   private final case class WRel(fn: String, name: String) extends WinOut
 
@@ -3126,38 +3134,47 @@ object IncrementalPlanner {
       addVal: Eval => Int): Seq[WinOut] = {
     // explicit frames: `ROWS BETWEEN a AND b` becomes signed row
     // offsets; `RANGE UNBOUNDED PRECEDING .. CURRENT ROW` IS the
-    // default running frame (tie-peers share), so it maps to None.
-    // Other RANGE forms would need value-distance frame resolution —
-    // rejected with the rewrite hint.
-    def rowBound(e: Expression, lower: Boolean): Option[Int] = e match {
+    // default running frame (tie-peers share), so it maps to None;
+    // `RANGE BETWEEN x PRECEDING AND y FOLLOWING` with numeric offsets
+    // becomes a VALUE-distance frame over the single ORDER BY key
+    // (the time-based moving-window idiom).
+    def numBound(e: Expression, lower: Boolean): Option[Double] = e match {
       case UnboundedPreceding if lower  => None
       case UnboundedFollowing if !lower => None
-      case CurrentRow                   => Some(0)
+      case CurrentRow                   => Some(0.0)
       case UnaryMinus(l: Literal, _)    =>
-        Some(-litValue(l.value).flatMap(asNum).map(_.toInt).getOrElse(
+        Some(-litValue(l.value).flatMap(asNum).getOrElse(
           throw unsupported(s"frame bound ${e.sql}")))
       case l: Literal                   =>
-        Some(litValue(l.value).flatMap(asNum).map(_.toInt).getOrElse(
+        Some(litValue(l.value).flatMap(asNum).getOrElse(
           throw unsupported(s"frame bound ${e.sql}")))
       case other => throw unsupported(s"frame bound ${other.sql}")
     }
-    val frame: Option[(Option[Int], Option[Int])] = spec.frameSpecification match {
+    def rowBound(e: Expression, lower: Boolean): Option[Int] = numBound(e, lower).map(_.toInt)
+    val frame: Option[WFrame] = spec.frameSpecification match {
       case UnspecifiedFrame => None
       case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => None
       case SpecifiedWindowFrame(RowFrame, lo, hi) =>
-        val f = (rowBound(lo, lower = true), rowBound(hi, lower = false))
-        f match {
+        val f = RowsF(rowBound(lo, lower = true), rowBound(hi, lower = false))
+        (f.lo, f.hi) match {
           case (Some(a), Some(b)) => require(a <= b, s"empty-by-construction frame ROWS BETWEEN $a AND $b")
           case _                  => ()
         }
         // ROWS UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING is the whole
         // partition — the default no-ORDER-BY frame, cheaper unframed
-        if (f == ((None, None))) None else Some(f)
-      case other => throw unsupported(
-        s"window frame ${other.sql} (supported: default frames, ROWS BETWEEN …, and " +
-          "RANGE UNBOUNDED PRECEDING AND CURRENT ROW; value-distance RANGE frames don't " +
-          "compile — bucket the ORDER BY value into a column and ROWS-frame over it)")
+        if (f == RowsF(None, None)) None else Some(f)
+      case SpecifiedWindowFrame(RangeFrame, lo, hi) =>
+        require(spec.orderSpec.length == 1,
+          "a value-distance RANGE frame needs exactly ONE ORDER BY key (its numeric axis)")
+        val f = RangeF(numBound(lo, lower = true), numBound(hi, lower = false))
+        (f.lo, f.hi) match {
+          case (Some(a), Some(b)) => require(a <= b, s"empty-by-construction frame RANGE BETWEEN $a AND $b")
+          case _                  => ()
+        }
+        if (f == RangeF(None, None)) None else Some(f)
+      case other => throw unsupported(s"window frame ${other.sql}")
     }
+    val rowsFrame: Option[RowsF] = frame.collect { case r: RowsF => r }
     def intLit(e: Any, what: String): Int =
       litValue(e).flatMap(asNum).map(_.toInt).getOrElse(throw unsupported(what))
     val wins: Seq[WinOut] = items.map { case (name, f) =>
@@ -3185,11 +3202,15 @@ object IncrementalPlanner {
         // relative-rank family: values in [0,1], emitted as doubles
         case ("percent_rank" | "cume_dist", Seq()) => WRel(fn, name)
         case ("first_value" | "last_value", Seq(e)) =>
-          WPos(fn.stripSuffix("_value"), addVal(compileExpr(e)), 1, name, frame)
+          require(frame.isEmpty || rowsFrame.isDefined,
+            s"$fn with a value-distance RANGE frame (use a ROWS frame, or the default)")
+          WPos(fn.stripSuffix("_value"), addVal(compileExpr(e)), 1, name, rowsFrame)
         case ("nth_value", Seq(e, k: Literal)) =>
           val nth = intLit(k.value, "nth_value position")
           require(nth >= 1, "nth_value position must be >= 1")
-          WPos("nth", addVal(compileExpr(e)), nth, name, frame)
+          require(frame.isEmpty || rowsFrame.isDefined,
+            s"nth_value with a value-distance RANGE frame (use a ROWS frame, or the default)")
+          WPos("nth", addVal(compileExpr(e)), nth, name, rowsFrame)
         case _ => throw unsupported(
           s"window function $fn (row_number/rank/dense_rank/ntile/percent_rank/cume_dist/" +
             "lag/lead/first_value/last_value/nth_value/count/sum/avg/min/max)")
@@ -3462,14 +3483,63 @@ object IncrementalPlanner {
       }
       // the [lo, hi] row range of an explicit ROWS frame at `idx`
       // (clamped; lo > hi = empty frame)
-      def frameRange(fr: (Option[Int], Option[Int]))(idx: Int): (Int, Int) = (
-        math.max(0, fr._1.map(idx + _).getOrElse(0)),
-        math.min(n - 1, fr._2.map(idx + _).getOrElse(n - 1)))
-      // explicit ROWS-framed aggregate: count/sum/avg in O(1) per row
-      // off prefix arrays; min/max scan the frame (k-bounded). Diff-only
-      // emission upstream means a neighbor's arrival/death re-emits
-      // exactly the rows whose frame value changed.
-      def framedAggArray(w: WAgg, fr: (Option[Int], Option[Int])): Array[String] = {
+      def frameRange(fr: RowsF)(idx: Int): (Int, Int) = (
+        math.max(0, fr.lo.map(idx + _).getOrElse(0)),
+        math.min(n - 1, fr.hi.map(idx + _).getOrElse(n - 1)))
+      // a VALUE-distance RANGE frame's [lo, hi] row ranges, all rows at
+      // once: key(j) = ±num(order value j) is monotone nondecreasing
+      // along the sort (the sign folds the direction in, so "x
+      // PRECEDING" is key − x whatever the direction), and two
+      // monotone pointers sweep the bounds in O(n) total. NULL order
+      // keys frame with their fellow NULLs (the SQL RANGE rule: the
+      // NULL peer group is its own frame).
+      lazy val rangeKeys: Array[Double] = Array.tabulate(n) { j =>
+        val v = sorted(j)._2.sortVals.headOption.getOrElse(NullMark)
+        if (v == NullMark) Double.NaN
+        else v.toDoubleOption.map(d => if (asc.head) d else -d).getOrElse(Double.NaN)
+      }
+      def rangeRanges(fr: RangeF): Array[(Int, Int)] = {
+        val res = new Array[(Int, Int)](n)
+        // the non-NULL region is contiguous (nulls sort entirely first
+        // or last under cmpSort)
+        val firstNum = rangeKeys.indexWhere(!_.isNaN)
+        val lastNum  = rangeKeys.lastIndexWhere(!_.isNaN)
+        var loPtr  = math.max(firstNum, 0) // first index with key >= k+lo
+        var endPtr = math.max(firstNum, 0) // first index with key >  k+hi
+        var j = 0
+        while (j < n) {
+          if (rangeKeys(j).isNaN) {
+            // NULL peer-group frame: every NULL row, nothing else
+            res(j) = (rangeKeys.indexWhere(_.isNaN), rangeKeys.lastIndexWhere(_.isNaN))
+          } else {
+            val k = rangeKeys(j)
+            val lo = fr.lo match {
+              case None    => firstNum
+              case Some(d) =>
+                while (loPtr <= lastNum && rangeKeys(loPtr) < k + d) loPtr += 1
+                loPtr
+            }
+            val hi = fr.hi match {
+              case None    => lastNum
+              case Some(d) =>
+                while (endPtr <= lastNum && rangeKeys(endPtr) <= k + d) endPtr += 1
+                endPtr - 1 // may fall below lo: an empty frame
+            }
+            res(j) = (lo, hi)
+          }
+          j += 1
+        }
+        res
+      }
+      // explicit framed aggregate: count/sum/avg in O(1) per row off
+      // prefix arrays; min/max scan the frame. Diff-only emission
+      // upstream means a neighbor's arrival/death re-emits exactly the
+      // rows whose frame value changed.
+      def framedAggArray(w: WAgg, fr: WFrame): Array[String] = {
+        val ranges: Int => (Int, Int) = fr match {
+          case r: RowsF  => frameRange(r)
+          case r: RangeF => val a = rangeRanges(r); a(_)
+        }
         val pCnt  = new Array[Long](n + 1)   // non-null operands
         val pSum  = new Array[Double](n + 1) // numeric operands
         val pSumN = new Array[Long](n + 1)
@@ -3484,7 +3554,7 @@ object IncrementalPlanner {
           j += 1
         }
         Array.tabulate(n) { idx =>
-          val (lo, hi) = frameRange(fr)(idx)
+          val (lo, hi) = ranges(idx)
           if (lo > hi) { if (w.op == "count") "0" else null }
           else w.op match {
             case "count" => (pCnt(hi + 1) - pCnt(lo)).toString

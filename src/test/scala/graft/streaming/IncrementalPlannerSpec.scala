@@ -2795,15 +2795,11 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(gotR == Map(1L -> Seq[Any]("a", "10.0"), 2L -> Seq[Any]("b", "15.0"), 3L -> Seq[Any]("c", "45.0")),
       s"running RANGE frame: $gotR")
 
-    // rejections: value-distance RANGE, and ROWS without ORDER BY
+    // rejection: ROWS without ORDER BY (value-distance RANGE compiles
+    // since r9 — spec #171bv)
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     def feeds = Map("t" -> MemoryStream[Change].toDS())
-    val e1 = intercept[IllegalArgumentException] {
-      IncrementalPlanner.materialize(spark,
-        "SELECT name, sum(v) OVER (ORDER BY seqno RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS s FROM t", feeds)
-    }
-    assert(e1.getMessage.contains("ROWS-frame over it"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       IncrementalPlanner.materialize(spark,
         "SELECT name, sum(v) OVER (ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM t", feeds)
@@ -2934,6 +2930,59 @@ class IncrementalPlannerSpec extends SparkSpec {
         "SELECT cat, approx_count_distinct(uid) AS a FROM t GROUP BY cat", feeds)
     }
     assert(e2.getMessage.contains("append-only"), e2.getMessage)
+  }
+
+  test("#171bv value-distance RANGE frames == Spark's own rangeBetween; DESC folds the direction; NULL keys frame together") {
+    val sql = "SELECT name, sum(v) OVER (ORDER BY ets RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS rs FROM t"
+    def ins(k: Long, name: String, ets: String, v: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("name" -> name, "ets" -> ets, "v" -> v), seq)
+    val b1 = Seq(
+      ins(1L, "a", "0", "1", 1L), ins(2L, "b", "5", "2", 2L), ins(3L, "c", "12", "4", 3L),
+      ins(4L, "d", "14", "8", 4L), ins(5L, "e", "40", "16", 5L))
+    val b2 = Seq(Change("delete", 2L, ts(10), Map.empty, 6L)) // c/d's trailing windows lose b
+    runView(sql, "pv_vrange", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val got = rankedState("pv_vrange", Seq("name", "rs")).map { case ((k, _), v) => k -> v }
+    // batch truth: Spark's own rangeBetween over the final LWW state
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fs = finalState(b1 ++ b2)
+    val df = fs.toSeq.map { case (k, p) => (k, p("name"), p("ets").toDouble, p("v").toDouble) }
+      .toDF("key", "name", "ets", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ets")).rangeBetween(-10, 0)
+    val want = df.withColumn("rs", sum("v").over(w)).collect()
+      .map(r => r.getAs[Long]("key") -> Seq[Any](r.getAs[String]("name"), r.getAs[Double]("rs").toString))
+      .toMap
+    assert(got == want, s"value-RANGE view\n  $got\n  != batch\n  $want")
+    // a(0):1, c(12):4 (2..12 holds only c after b's death), d(14):12, e(40):16
+    assert(got(4L) == Seq[Any]("d", "12.0"), s"d's trailing 10 must hold c+d: $got")
+
+    // DESC: "10 PRECEDING" walks toward LARGER values
+    val sqlD = "SELECT name, count(*) OVER (ORDER BY ets DESC RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS c FROM t"
+    runView(sqlD, "pv_vrange_d", Seq(Map("t" -> b1)))
+    val gotD = rankedState("pv_vrange_d", Seq("name", "c")).map { case ((k, _), v) => v(0) -> v(1) }
+    // DESC order e(40) d(14) c(12) b(5) a(0): frames within +10 above:
+    // e:{e}=1, d:{d}=1 (40>24), c:{c,d}=2, b:{b,c,d}=3, a:{a,b}=2
+    assert(gotD == Map("e" -> "1", "d" -> "1", "c" -> "2", "b" -> "3", "a" -> "2"),
+      s"DESC value-RANGE: $gotD")
+
+    // NULL order keys frame with their fellow NULLs only
+    val b3 = Seq(ins(1L, "a", "0", "1", 1L), ins(2L, "b", "5", "2", 2L),
+      Change("insert", 3L, ts(2), Map("name" -> "n1", "v" -> "64"), 3L),
+      Change("insert", 4L, ts(3), Map("name" -> "n2", "v" -> "32"), 4L))
+    runView(sql, "pv_vrange_n", Seq(Map("t" -> b3)))
+    val gotN = rankedState("pv_vrange_n", Seq("name", "rs")).map { case ((k, _), v) => v(0) -> v(1) }
+    assert(gotN("n1") == "96.0" && gotN("n2") == "96.0" && gotN("a") == "1.0" && gotN("b") == "3.0",
+      s"NULL-key rows must frame together and never leak into numeric frames: $gotN")
+
+    // rejection: value-RANGE with a composite ORDER BY
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name, sum(v) OVER (ORDER BY ets, name RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS s FROM t",
+        Map("t" -> MemoryStream[Change].toDS()))
+    }
+    assert(e1.getMessage.contains("exactly ONE ORDER BY"), e1.getMessage)
   }
 
   test("#171bu two OVER clauses differing only in FRAME route through the mixed merge and both frame correctly") {
