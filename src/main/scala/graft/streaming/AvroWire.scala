@@ -129,4 +129,85 @@ object AvroWire {
       it.filter(bytes => decodeOne(reader, bytes).isEmpty)
     }.toDF("raw")
   }
+
+  // ------------------------------------------------------------------
+  // Debezium envelope over Avro (#222's binary flavor): the envelope
+  // record (before/after/source/op/ts_ms) rides the topic as Avro with
+  // its writer schema distributed out of band — the production
+  // Debezium + registry deployment. `confluentHeader` strips the
+  // Confluent wire framing (magic byte 0x0 + 4-byte schema id) the
+  // registry serializer prepends; the id itself is not interpreted
+  // (the schema is the out-of-band parameter, as everywhere in #172).
+  // ------------------------------------------------------------------
+
+  private def dbzDecodeOne(reader: GenericDatumReader[GenericRecord], keyField: String,
+      confluentHeader: Boolean)(bytes: Array[Byte]): Option[Change] =
+    Try {
+      val body =
+        if (!confluentHeader) bytes
+        else {
+          require(bytes.length > 5 && bytes(0) == 0, "missing Confluent magic/framing")
+          java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
+        }
+      val d   = DecoderFactory.get().binaryDecoder(body, null)
+      val rec = reader.read(null, d)
+      val op  = rec.get("op").toString
+      require(Set("c", "u", "d", "r")(op), s"unknown Debezium op '$op'")
+      def recToMap(r: Any): Map[String, String] = r match {
+        case g: GenericRecord =>
+          g.getSchema.getFields.asScala.flatMap(f =>
+            Option(g.get(f.name)).map(v => f.name -> v.toString)).toMap
+        case _ => Map.empty
+      }
+      val image = recToMap(if (op == "d") rec.get("before") else rec.get("after"))
+      val key   = image.getOrElse(keyField, sys.error(s"image lacks key field $keyField")).toLong
+      val source = rec.get("source") match { case g: GenericRecord => Some(g); case _ => None }
+      def srcLong(n: String): Option[Long] = source.flatMap(s =>
+        Try(Option(s.get(n))).toOption.flatten.flatMap(v => v.toString.toLongOption))
+      val tsMs = srcLong("ts_ms")
+        .orElse(Try(Option(rec.get("ts_ms"))).toOption.flatten.flatMap(_.toString.toLongOption))
+        .getOrElse(sys.error("no commit time in envelope"))
+      val seq = srcLong("lsn").orElse(srcLong("pos")).getOrElse(0L)
+      Change(
+        if (op == "d") "delete" else "upsert",
+        key,
+        new java.sql.Timestamp(tsMs),
+        if (op == "d") Map.empty else recToMap(rec.get("after")),
+        seq)
+    }.toOption
+
+  /** Parse a Debezium-Avro CDC topic into [[Change]]s: op c/u/r upsert
+    * the after-image, d deletes keyed by the before-image; commit
+    * position is `source.ts_ms` (envelope `ts_ms` fallback) +
+    * Postgres `source.lsn` / MySQL `source.pos`. NULL values
+    * (compaction tombstones) and undecodable/unmappable envelopes are
+    * dropped — the latter surface via [[debeziumDeadLetters]], exactly
+    * the [[ChangeFeed.fromDebezium]] JSON contract in binary.
+    */
+  def fromDebezium(wire: DataFrame, envelopeWriterSchemaJson: String, keyField: String,
+      confluentHeader: Boolean = false): Dataset[Change] = {
+    implicit val changeEnc = Encoders.product[Change]
+    wire.filter(col("value").isNotNull)
+      .select(col("value")).as(Encoders.BINARY).mapPartitions { it =>
+        val schema = new Schema.Parser().parse(envelopeWriterSchemaJson)
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        val f      = dbzDecodeOne(reader, keyField, confluentHeader) _
+        it.flatMap(f(_))
+      }
+  }
+
+  /** Non-tombstone records whose envelope did not yield a keyed,
+    * positioned change under the writer schema.
+    */
+  def debeziumDeadLetters(wire: DataFrame, envelopeWriterSchemaJson: String, keyField: String,
+      confluentHeader: Boolean = false): DataFrame = {
+    implicit val enc = Encoders.BINARY
+    wire.filter(col("value").isNotNull)
+      .select(col("value")).as(Encoders.BINARY).mapPartitions { it =>
+        val schema = new Schema.Parser().parse(envelopeWriterSchemaJson)
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        val f      = dbzDecodeOne(reader, keyField, confluentHeader) _
+        it.filter(bytes => f(bytes).isEmpty)
+      }.toDF("raw")
+  }
 }

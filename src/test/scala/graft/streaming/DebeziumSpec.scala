@@ -122,6 +122,75 @@ class DebeziumSpec extends SparkSpec {
       s"dead letters must be the 4 poison envelopes, never the tombstone: $dead")
   }
 
+  test("#222f Debezium over AVRO (registry wire): the same capture decodes identically; Confluent framing strips; poison dead-letters") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    val envSchemaJson =
+      """{"type":"record","name":"Envelope","namespace":"pg.public.customers","fields":[
+        |{"name":"before","type":["null",{"type":"record","name":"Value","fields":[
+        |  {"name":"id","type":"long"},{"name":"name","type":["null","string"],"default":null},
+        |  {"name":"city","type":["null","string"],"default":null}]}],"default":null},
+        |{"name":"after","type":["null","Value"],"default":null},
+        |{"name":"source","type":{"type":"record","name":"Source","fields":[
+        |  {"name":"ts_ms","type":"long"},{"name":"lsn","type":["null","long"],"default":null}]}},
+        |{"name":"op","type":"string"},
+        |{"name":"ts_ms","type":["null","long"],"default":null}
+        |]}""".stripMargin
+    val schema = new Schema.Parser().parse(envSchemaJson)
+    val valueSchema = schema.getField("before").schema().getTypes.get(1)
+    def row(id: Long, name: String, city: String): GenericRecord = {
+      val r = new GenericData.Record(valueSchema)
+      r.put("id", id); r.put("name", name); r.put("city", city); r
+    }
+    def envelope(op: String, before: GenericRecord, after: GenericRecord,
+        tsMs: Long, lsn: Long): Array[Byte] = {
+      val src = new GenericData.Record(schema.getField("source").schema())
+      src.put("ts_ms", tsMs); src.put("lsn", lsn)
+      val e = new GenericData.Record(schema)
+      e.put("before", before); e.put("after", after); e.put("source", src)
+      e.put("op", op); e.put("ts_ms", tsMs + 250L)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](schema).write(e, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    // the #222a capture, re-authored over the Avro envelope
+    val wireBytes: Seq[Array[Byte]] = Seq(
+      envelope("c", null, row(1L, "ann", "ber"), 1700000000000L, 101L),
+      envelope("r", null, row(3L, "cat", "par"), 1700000000000L, 90L),
+      envelope("u", row(1L, "ann", "ber"), row(1L, "ann2", "par"), 1700000060000L, 105L),
+      envelope("c", null, row(2L, "bob", "ber"), 1700000030000L, 103L),
+      envelope("d", row(2L, "bob", "ber"), null, 1700000120000L, 110L),
+      envelope("u", row(1L, "x", "x"), row(1L, "STALE", "xxx"), 1700000010000L, 102L))
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(wireBytes.map(b => org.apache.spark.sql.Row("k".getBytes, b)) :+
+        org.apache.spark.sql.Row("k".getBytes, null) :+                    // tombstone: dropped
+        org.apache.spark.sql.Row("k".getBytes, "garbage".getBytes), 2),    // poison: dead-letters
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType))))
+    val got = AvroWire.fromDebezium(wire, envSchemaJson, "id").collect().toSeq
+      .sortBy(c => (CdcMaterializer.micros(c.ts), c.seq))
+    val want = graftEquivalent.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq))
+    assert(got == want, s"avro capture:\n  ${got.mkString("\n  ")}\nwant:\n  ${want.mkString("\n  ")}")
+    val dead = AvroWire.debeziumDeadLetters(wire, envSchemaJson, "id").count()
+    assert(dead == 1L, s"exactly the poison record dead-letters (never the tombstone): $dead")
+
+    // Confluent framing: magic 0x0 + 4-byte schema id before the body
+    val framed = wireBytes.map(b => Array[Byte](0, 0, 0, 0, 7) ++ b)
+    val wireF = spark.createDataFrame(
+      spark.sparkContext.parallelize(framed.map(b => org.apache.spark.sql.Row("k".getBytes, b)), 2),
+      wire.schema)
+    val gotF = AvroWire.fromDebezium(wireF, envSchemaJson, "id", confluentHeader = true)
+      .collect().toSeq.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq))
+    assert(gotF == want, "Confluent-framed bodies must decode identically")
+    // and unframed bytes under confluentHeader=true are poison, not misreads
+    assert(AvroWire.fromDebezium(wire, envSchemaJson, "id", confluentHeader = true).count()
+      < wireBytes.length, "raw bodies must not silently parse as framed")
+  }
+
   test("#222e end-to-end: a planner view maintains over a Debezium topic unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
