@@ -159,8 +159,16 @@ object AvroWire {
             Option(g.get(f.name)).map(v => f.name -> v.toString)).toMap
         case _ => Map.empty
       }
-      val image = recToMap(if (op == "d") rec.get("before") else rec.get("after"))
-      val key   = image.getOrElse(keyField, sys.error(s"image lacks key field $keyField")).toLong
+      val image  = recToMap(if (op == "d") rec.get("before") else rec.get("after"))
+      val rawKey = image.getOrElse(keyField, sys.error(s"image lacks key field $keyField"))
+      // string PKs hash-key exactly like ChangeFeed.fromDebezium's
+      // xxhash64 column (same seed-42 XXH64 over the UTF-8 bytes, same
+      // ≤18-digit numeric rule so both adapters key identically)
+      val key =
+        if (rawKey.matches("^-?\\d{1,18}$")) rawKey.toLong
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(rawKey),
+          org.apache.spark.sql.types.StringType, 42L)
       val source = rec.get("source") match { case g: GenericRecord => Some(g); case _ => None }
       def srcLong(n: String): Option[Long] = source.flatMap(s =>
         Try(Option(s.get(n))).toOption.flatten.flatMap(v => v.toString.toLongOption))

@@ -120,9 +120,19 @@ object ChangeFeed {
       get_json_object(env, "$.source.ts_ms"), get_json_object(env, "$.ts_ms")).cast("long")
     val seq = coalesce(
       get_json_object(env, "$.source.lsn"), get_json_object(env, "$.source.pos")).cast("long")
+    // numeric PKs keep their value; a string PK (uuid, natural key)
+    // hash-keys via xxhash64 — deterministic, so every change of the
+    // same row lands on the same Change key (AvroWire.fromDebezium
+    // computes the identical hash for wire-format parity). The regexp
+    // guard keeps ANSI cast from throwing on non-numeric keys, and the
+    // isNotNull gate keeps a MISSING key NULL (xxhash64(NULL) would
+    // return the seed and silently key every keyless row together).
+    val rawKey = element_at(image, keyField)
+    val keyCol = when(rawKey.isNotNull,
+      coalesce(when(rawKey.rlike("^-?\\d{1,18}$"), rawKey.cast("long")), xxhash64(rawKey)))
     struct(
       when(op === "d", "delete").when(op.isin("c", "u", "r"), "upsert").as("op"),
-      element_at(image, keyField).cast("long").as("key"),
+      keyCol.as("key"),
       timestamp_millis(tsMs).as("ts"),
       when(op === "d", map().cast(MapType(StringType, StringType))).otherwise(after).as("payload"),
       coalesce(seq, lit(0L)).as("seq"))

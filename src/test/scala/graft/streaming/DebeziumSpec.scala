@@ -191,6 +191,27 @@ class DebeziumSpec extends SparkSpec {
       < wireBytes.length, "raw bodies must not silently parse as framed")
   }
 
+  test("#222g string primary keys hash-key deterministically, identically on the JSON and Avro adapters") {
+    import org.apache.spark.sql.functions.{col, xxhash64, lit}
+    val json = """{"payload":{"op":"c","after":{"uid":"u-42","v":"1"},""" +
+      """"source":{"ts_ms":1700000000000,"lsn":9}}}"""
+    implicit val enc = Encoders.product[Change]
+    val c1 = ChangeFeed.fromDebezium(Seq(("k", json)).toDF("key", "value"), "uid").as[Change].head()
+    val expectHash = spark.range(1).select(xxhash64(lit("u-42"))).head().getLong(0)
+    assert(c1.key == expectHash, s"json adapter key ${c1.key} != xxhash64 $expectHash")
+    assert(c1.payload("uid") == "u-42", "the natural key survives in the payload")
+    // same row's delete (before-image) folds onto the same key
+    val del = """{"payload":{"op":"d","before":{"uid":"u-42","v":"1"},""" +
+      """"source":{"ts_ms":1700000060000,"lsn":10}}}"""
+    val c2 = ChangeFeed.fromDebezium(Seq(("k", del)).toDF("key", "value"), "uid").as[Change].head()
+    assert(c2.key == c1.key && c2.op == "delete")
+    // the Avro adapter's executor-side hash is the same function
+    val avroSide = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("u-42"),
+      org.apache.spark.sql.types.StringType, 42L)
+    assert(avroSide == expectHash, "JSON and Avro adapters must hash string PKs identically")
+  }
+
   test("#222e end-to-end: a planner view maintains over a Debezium topic unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
