@@ -135,6 +135,36 @@ class PlannerBootstrapSpec extends SparkSpec {
     assert(got == Seq(Seq[Any]("a", "x")), s"bootstrapped join: $got")
   }
 
+  test("#221d bootstrap THEN restart: a view bootstrapped from a snapshot redeploys from its checkpoint mid-tail") {
+    val sql = "SELECT city, count(*) AS n, max(amount) AS hi FROM t GROUP BY city"
+    val (src, out) = (tmp("bootrssrc"), tmp("bootrsout"))
+    val ck = tmp("bootrsck")
+    def deployCk(): Unit = {
+      val feeds = Map("t" -> ChangeFeed.readJsonDir(spark, src).as[Change])
+      val pv = IncrementalPlanner.materialize(spark, sql, feeds)
+      val q = pv.df.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+        }
+        .outputMode(pv.outputMode)
+        .option("checkpointLocation", ck)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    ChangeFeed.writeBootstrap(snapshotDf, "key", "ts", Some("seq"), src)
+    writeChanges(src, "t1.json", tail.take(2)) // update + the stale change
+    deployCk()
+    writeChanges(src, "t2.json", tail.drop(2)) // delete + new key, post-restart
+    deployCk()
+    val got = aggFinal(out, Seq("city"), Seq("n", "hi"))
+    // the delete of key 1 (a BOOTSTRAPPED contribution) retracts across
+    // the restart; stale change never applied
+    assert(got == Map(
+      Seq[Any]("ber") -> Seq[Any](1L, 50.0),
+      Seq[Any]("par") -> Seq[Any](2L, 35.0)),
+      s"bootstrapped+restarted view: $got")
+  }
+
   test("#221c snapshotChanges drops NULL columns and casts positions; payload carries every non-key column") {
     val snap = Seq((7L, ts(2), 3L, "ber", null: String)).toDF("key", "ts", "seq", "city", "note")
     val c = ChangeFeed.snapshotChanges(snap, "key", "ts", Some("seq")).as[Change].head()

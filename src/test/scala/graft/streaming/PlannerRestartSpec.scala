@@ -340,6 +340,61 @@ class PlannerRestartSpec extends SparkSpec {
       s"mixed view after restart: $fin")
   }
 
+  test("#220k materializeExpiring restart: tombstone positions AND expiry timers survive the checkpoint") {
+    val sql = "SELECT name FROM t WHERE amount > 5"
+    val (src, ck, out) = (tmp("rsexpsrc"), tmp("rsexpck"), tmp("rsexpout"))
+    def deployExpiring(): Unit = {
+      val feeds = Map("t" -> ChangeFeed.readJsonDir(spark, src).as[Change])
+      val pv = IncrementalPlanner.materializeExpiring(spark, sql, feeds,
+        watermarkDelay = "1 second", tombstoneTtlMs = 1000L)
+      val q = IncrementalView.withRelaxedWatermarkCheck(spark) {
+        pv.df.writeStream
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+          }
+          .outputMode(pv.outputMode)
+          .option("checkpointLocation", ck)
+          .start()
+      }
+      try q.processAllAvailable() finally q.stop()
+    }
+    // run 1: a lives; b enters then deletes (tombstone armed with a
+    // 1 s TTL against the watermark)
+    writeChanges(src, "f1.json", Seq(
+      Change("insert", 1L, ts(0), Map("name" -> "a", "amount" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("name" -> "b", "amount" -> "9"), 2L),
+      Change("delete", 2L, ts(2), Map.empty, 3L)))
+    deployExpiring()
+    // run 2a: a STALE straggler for b (older than its delete) must
+    // still drop — the tombstone's position survived the restart
+    writeChanges(src, "f2.json", Seq(
+      Change("update", 2L, ts(1), Map("name" -> "b-stale", "amount" -> "9"), 1L)))
+    deployExpiring()
+    val afterStale = rowFinal(out, Seq("name"))
+    assert(afterStale == Map(1L -> Seq[Any]("a")),
+      s"stale straggler must lose to the checkpointed tombstone: $afterStale")
+    // the tombstone is IN the checkpointed store before expiry (#187's
+    // offline reader — the operational "what does the view hold" view)
+    def liveStateKeys(): Set[Long] =
+      StateInspect.store(spark, ck).select("key.value").collect().map(_.getLong(0)).toSet
+    assert(liveStateKeys() == Set(1L, 2L), s"pre-expiry state: ${liveStateKeys()}")
+    // run 2b: late traffic advances the watermark far past death+ttl —
+    // the timer ARMED IN RUN 1 fires in a later deployment (timeout
+    // state checkpointed with the store), removing b's tombstone while
+    // live rows stay
+    writeChanges(src, "f3.json", Seq(
+      Change("insert", 3L, ts(60), Map("name" -> "c", "amount" -> "8"), 4L),
+      Change("insert", 4L, ts(120), Map("name" -> "d", "amount" -> "7"), 5L)))
+    deployExpiring()
+    assert(liveStateKeys() == Set(1L, 3L, 4L),
+      s"b's tombstone must expire via the run-1-armed timer; live rows must stay: ${liveStateKeys()}")
+    // the view CONTENTS never changed from the expiry (retractions were
+    // emitted at death — expiry changes state size, not results)
+    val fin = rowFinal(out, Seq("name"))
+    assert(fin == Map(1L -> Seq[Any]("a"), 3L -> Seq[Any]("c"), 4L -> Seq[Any]("d")),
+      s"post-expiry view: $fin")
+  }
+
   test("#220f materializeTopK restart: leader deletion promotes from full-group state; the emission counter continues") {
     val sql = "SELECT city, sum(amount) AS total FROM t GROUP BY city ORDER BY total DESC LIMIT 2"
     val (src, ck, out) = (tmp("rstopksrc"), tmp("rstopkck"), tmp("rstopkout"))
