@@ -2456,21 +2456,21 @@ object IncrementalPlanner {
     * harmonic mean with small-range linear counting. p = 12 → 4096
     * registers → σ ≈ 1.6%.
     */
-  private val HllP = 12
-  private val HllM = 1 << HllP
+  private[streaming] val HllP = 12
+  private[streaming] val HllM = 1 << HllP
 
   /** splitmix64 finalizer over the shared fnv64 — HLL needs avalanched
     * high bits, which raw FNV-1a lacks (SplitMix64's public mixing
     * constants).
     */
-  private def hllHash(s: String): Long = {
+  private[streaming] def hllHash(s: String): Long = {
     var z = JoinView.fnv64(s) + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
 
-  private def hllEstimate(regs: Array[Byte]): Double = {
+  private[streaming] def hllEstimate(regs: Array[Byte]): Double = {
     val m = regs.length
     var invSum = 0.0
     var zeros  = 0

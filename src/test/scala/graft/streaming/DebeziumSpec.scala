@@ -212,6 +212,52 @@ class DebeziumSpec extends SparkSpec {
     assert(avroSide == expectHash, "JSON and Avro adapters must hash string PKs identically")
   }
 
+  test("#222h CAPSTONE: snapshot bootstrap UNION live Debezium feed drives one planner view to the batch answer") {
+    // the full production shape in one query: an existing table's
+    // snapshot (compacted changefeed prefix via writeBootstrap) unioned
+    // with the live CDC topic (the Debezium JSON adapter), one
+    // materialize() over the combined feed — convergence over
+    // O(current keys) + the tail, stale tail changes dropped against
+    // bootstrapped positions
+    implicit val sqlCtx = spark.sqlContext
+    val bootDir = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target/streaming-tmp").toPath, "dbzboot").toString
+    // snapshot: customers 1 (ber, pos ts=1700000050000/lsn=104) and 3 (par, 1700000000000/90)
+    import spark.implicits._
+    val snap = Seq(
+      (1L, new java.sql.Timestamp(1700000050000L), 104L, "ann", "ber"),
+      (3L, new java.sql.Timestamp(1700000000000L), 90L, "cat", "par"))
+      .toDF("id", "ts", "seq", "name", "city")
+    ChangeFeed.writeBootstrap(snap, "id", "ts", Some("seq"), bootDir)
+    val bootFeed = ChangeFeed.readJsonDir(spark, bootDir).as[Change]
+    val topic = MemoryStream[(String, String)]
+    val liveFeed = ChangeFeed.fromDebezium(topic.toDF().toDF("key", "value"), "id").as[Change]
+    val pv = IncrementalPlanner.materialize(spark,
+      "SELECT city, count(*) AS n FROM customers GROUP BY city",
+      Map("customers" -> bootFeed.union(liveFeed)))
+    val q = pv.df.writeStream.format("memory").queryName("dbz_capstone")
+      .outputMode(pv.outputMode)
+      .option("checkpointLocation", tmp("dbzcapck")).start()
+    try {
+      // live tail: customer 1 moves ber→par (newer than snapshot), a
+      // STALE pre-snapshot change for 1 (lsn 102 < 104: must drop), and
+      // customer 2 arrives new
+      topic.addData(
+        ("k", pgEnvelope("u", """{"id":1,"name":"ann","city":"ber"}""",
+          """{"id":1,"name":"ann","city":"par"}""", 1700000060000L, 105L)),
+        ("k", pgEnvelope("u", """{"id":1,"name":"x","city":"x"}""",
+          """{"id":1,"name":"STALE","city":"xxx"}""", 1700000010000L, 102L)),
+        ("k", pgEnvelope("c", "null", """{"id":2,"name":"bob","city":"ber"}""", 1700000120000L, 110L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dbz_capstone").collect().toSeq
+      .groupBy(_.getAs[String]("city")).view.mapValues(_.last)
+      .collect { case (city, r) if r.getAs[Long]("_live_rows") > 0L => city -> r.getAs[Long]("n") }
+      .toMap
+    // batch truth: {1: par (moved), 2: ber (new), 3: par (snapshot-only)}
+    assert(got == Map("par" -> 2L, "ber" -> 1L), s"capstone view: $got")
+  }
+
   test("#222e end-to-end: a planner view maintains over a Debezium topic unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]

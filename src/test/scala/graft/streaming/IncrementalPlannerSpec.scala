@@ -2932,6 +2932,25 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(e2.getMessage.contains("append-only"), e2.getMessage)
   }
 
+  test("#171bw HLL register math: relative error under 5% across cardinalities 100..100k (seeded)") {
+    val rnd = new scala.util.Random(1234)
+    Seq(100, 1000, 5000, 20000, 100000).foreach { n =>
+      val regs = new Array[Byte](IncrementalPlanner.HllM)
+      val seen = new scala.collection.mutable.HashSet[String]
+      while (seen.size < n) seen += rnd.nextLong().toString
+      seen.foreach { s =>
+        val h   = IncrementalPlanner.hllHash(s)
+        val idx = (h >>> (64 - IncrementalPlanner.HllP)).toInt
+        val rho = (java.lang.Long.numberOfLeadingZeros(h << IncrementalPlanner.HllP) + 1)
+          .min(64 - IncrementalPlanner.HllP + 1).toByte
+        if (rho > regs(idx)) regs(idx) = rho
+      }
+      val est = IncrementalPlanner.hllEstimate(regs)
+      val err = math.abs(est - n) / n
+      assert(err < 0.05, s"n=$n est=$est relative error $err breaches the 3-sigma bound")
+    }
+  }
+
   test("#171bv value-distance RANGE frames == Spark's own rangeBetween; DESC folds the direction; NULL keys frame together") {
     val sql = "SELECT name, sum(v) OVER (ORDER BY ets RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS rs FROM t"
     def ins(k: Long, name: String, ets: String, v: String, seq: Long) =
