@@ -145,29 +145,43 @@ object JdbcSink {
     * e.g. Derby 40001) retries the whole idempotent transaction — safe
     * by construction, bounded to 5 attempts.
     */
+  /** In-JVM transient-retry buffer bound: a partition at most this many
+    * rows replays inside the task on a deadlock-victim rollback; a
+    * BIGGER partition streams straight through (never buffered — the
+    * row iterator at 100 TB must not live on the task heap) and relies
+    * on Spark's own task retry for transient-rollback recovery, which
+    * the commit markers make idempotent. Both paths are exactly-once;
+    * the buffer only saves small-partition tasks a full re-run.
+    */
+  private val RetryBufferRows = 100000
+
   def applyPartition(url: String, table: String, batchId: Long, partitionId: Int,
       rows: Iterator[org.apache.spark.sql.Row], beforeCommit: () => Unit = () => ()): Unit = {
-    // the row iterator is single-pass: materialize once so a transient
-    // retry can re-apply the identical rows
-    val rowSeq = rows.toVector
-    var attempt = 0
-    var done    = false
-    while (!done) {
-      attempt += 1
-      try {
-        applyPartitionOnce(url, table, batchId, partitionId, rowSeq, beforeCommit)
-        done = true
-      } catch {
-        case e: java.sql.SQLTransactionRollbackException if attempt < 5 =>
-          // deadlock/timeout victim: the store rolled us back whole —
-          // re-applying is idempotent (marker probe + keyed upserts)
-          Thread.sleep(50L * attempt)
+    val head = rows.take(RetryBufferRows).toVector
+    if (rows.hasNext) {
+      // large partition: stream it (no buffering); transient rollbacks
+      // surface to Spark's task retry, idempotent via the markers
+      applyPartitionOnce(url, table, batchId, partitionId, head.iterator ++ rows, beforeCommit)
+    } else {
+      var attempt = 0
+      var done    = false
+      while (!done) {
+        attempt += 1
+        try {
+          applyPartitionOnce(url, table, batchId, partitionId, head.iterator, beforeCommit)
+          done = true
+        } catch {
+          case _: java.sql.SQLTransactionRollbackException if attempt < 5 =>
+            // deadlock/timeout victim: the store rolled us back whole —
+            // re-applying is idempotent (marker probe + keyed upserts)
+            Thread.sleep(50L * attempt)
+        }
       }
     }
   }
 
   private def applyPartitionOnce(url: String, table: String, batchId: Long, partitionId: Int,
-      rows: Seq[org.apache.spark.sql.Row], beforeCommit: () => Unit): Unit = {
+      rows: Iterator[org.apache.spark.sql.Row], beforeCommit: () => Unit): Unit = {
     checkedIdent(table)
     val conn = DriverManager.getConnection(url)
     try {
