@@ -1778,16 +1778,17 @@ object IncrementalPlanner {
     * contribution, matching SQL DISTINCT-aggregate NULL exclusion.
     *
     * Supported shape: any group keys (window included), any number of
-    * `count/sum/avg(DISTINCT <expr>)` over ONE shared argument
+    * `count/sum/avg(DISTINCT <expr>)` over ANY arguments
     * (`min/max(DISTINCT)` is the plain extremum, normalized upstream),
     * MIXED freely with plain count(*)/count/sum/avg/min/max — each plain
     * aggregate decomposes through the inner level as a partial:
     * count → sum of per-value counts, sum → sum of per-value sums,
     * avg → ratio of the two, min/max → extremum of per-value extrema
     * (the classic two-level reaggregation; every decomposition is exact,
-    * not approximate). Distinct aggregates over DIFFERENT arguments
-    * would need one inner view per argument sharing a single group
-    * emission — rejected fast with the join-of-views rewrite hint.
+    * not approximate). DIFFERENT distinct arguments (lifted r9) get one
+    * inner per-value view each, `_arg`-tagged into one union feed; the
+    * outer's distinct items read their own rows through a CASE gate and
+    * plain partials ride argument 0's inner only.
     *
     * ROLLUP/CUBE/GROUPING SETS compose (since r8): the two-level
     * decomposition runs PER GROUPING LEVEL — each level gets its own
@@ -1820,17 +1821,24 @@ object IncrementalPlanner {
       case (ne, i) =>
         (coreOf(ne), outName(ne, s"col$i"))
     }
-    val dArgs = cores.collect {
+    val dArgs0 = cores.collect {
       case (f: UnresolvedFunction, _) if f.isDistinct =>
         require(Set("count", "sum", "avg")(f.nameParts.last.toLowerCase) && f.arguments.length == 1,
           s"DISTINCT aggregation supports count/sum/avg(DISTINCT <one expr>); got ${f.sql}")
         f.arguments.head
     }
-    require(dArgs.map(_.sql).distinct.length == 1,
-      s"one DISTINCT argument per view (got ${dArgs.map(_.sql).distinct.mkString(", ")}); " +
-        "define one view per distinct argument and join them")
-    val dArg = dArgs.head
-    val n    = baseExprs.length
+    // DIFFERENT distinct arguments compose (lifted r9): one inner
+    // per-value view PER ARGUMENT, re-keyed into disjoint spaces and
+    // `_arg`-tagged; the one flat outer regroups them all, each
+    // distinct item reading only its argument's rows via a CASE gate
+    // (plain partials ride argument 0's inner only). Honest cost:
+    // levels × arguments inner dataflows over the source feed.
+    val dArgList: Seq[Expression] = dArgs0.foldLeft(Vector.empty[Expression]) { (acc, e) =>
+      if (acc.exists(_.sql == e.sql)) acc else acc :+ e
+    }
+    val dArgIdx: Map[String, Int] = dArgList.map(_.sql).zipWithIndex.toMap
+    val multiArg = dArgList.length > 1
+    val n        = baseExprs.length
 
     // inner partials for the plain aggregates, one column per need
     val innerExtra = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
@@ -1859,8 +1867,15 @@ object IncrementalPlanner {
           }
           Alias(f.copy(arguments = args), name)()
         case f: UnresolvedFunction if f.isDistinct =>
-          // count/sum/avg over the maintained distinct values themselves
-          Alias(call(f.nameParts.last.toLowerCase, UnresolvedAttribute(Seq("_dx"))), name)()
+          // count/sum/avg over the maintained distinct values themselves;
+          // with several distinct arguments, gate on the row's `_arg` tag
+          val dx: Expression =
+            if (!multiArg) UnresolvedAttribute(Seq("_dx"))
+            else CaseWhen(Seq((
+              EqualTo(UnresolvedAttribute(Seq("_arg")),
+                Literal(dArgIdx(f.arguments.head.sql).toString)),
+              UnresolvedAttribute(Seq("_dx")))), None)
+          Alias(call(f.nameParts.last.toLowerCase, dx), name)()
         case f: UnresolvedFunction =>
           (f.nameParts.last.toLowerCase, f.arguments) match {
             case ("count", args @ Seq(_: UnresolvedStar)) =>
@@ -1881,24 +1896,32 @@ object IncrementalPlanner {
         case other => throw unsupported(s"select item ${other.sql} in a DISTINCT aggregate view")
       }
     }
-    // one inner (active groups, value) view per level; the level feeds
-    // are re-keyed into disjoint spaces and tagged with RollMark at
-    // inactive positions so the outer's key parts carry the level
+    // one inner (active groups, value) view per (level, distinct
+    // argument); the feeds are re-keyed into disjoint spaces and tagged
+    // with RollMark at inactive positions (so the outer's key parts
+    // carry the level) and with `_arg` (so each distinct item reads
+    // only its argument's per-value rows). Plain partials ride
+    // argument 0's inner only — on other arguments' rows the partial
+    // fields are absent and the outer's null-skipping folds ignore them.
     implicit val changeEnc: org.apache.spark.sql.Encoder[Change] = Encoders.product[Change]
-    val innerFeed: Dataset[Change] = levels.zipWithIndex.map { case (active, li) =>
+    val innerFeed: Dataset[Change] = (for {
+      (active, li)  <- levels.zipWithIndex
+      (dArg, ai)    <- dArgList.zipWithIndex
+    } yield {
       val innerOut: Seq[NamedExpression] =
         (active.map(i => Alias(baseExprs(i), s"_dg$i")()) :+
-          Alias(dArg, "_dx")()) ++ innerExtra
+          Alias(dArg, "_dx")()) ++ (if (ai == 0) innerExtra.toSeq else Nil)
       val inner = Aggregate(active.map(baseExprs(_)) :+ dArg, innerOut, agg.child)
       val (feed, _) = aggChangesOf(spark, inner, feeds)
       val inactive = (0 until n).filterNot(active.contains)
-      val tag      = inactive.map(i => s"_dg$i" -> RollMark)
+      val tag      = inactive.map(i => s"_dg$i" -> RollMark) ++
+        (if (multiArg) Seq("_arg" -> ai.toString) else Nil)
       feed.map { c =>
-        val keyed = c.copy(key = fnv64(s"D$li$Sep${c.key}"))
+        val keyed = c.copy(key = fnv64(s"D$li$Sep$ai$Sep${c.key}"))
         if (c.op == "delete" || tag.isEmpty) keyed
         else keyed.copy(payload = keyed.payload ++ tag)
       }
-    }.reduce(_ union _)
+    }).reduce(_ union _)
     val outerGroups: Seq[Expression] = (0 until n).map(i => UnresolvedAttribute(Seq(s"_dg$i")))
     val outer = Aggregate(outerGroups, outerOut, UnresolvedRelation(Seq("__distinct")))
     compileAggregateFlat(spark, outer, Map("__distinct" -> innerFeed),

@@ -1567,13 +1567,42 @@ class IncrementalPlannerSpec extends SparkSpec {
     runView(sql, "pv_cd_split", flat.map(ch => Map("t" -> Seq(ch))))
     assert(aggState("pv_cd_split", Seq("city")) == got)
 
-    // distinct aggregates over DIFFERENT arguments need one inner view
-    // each — rejected fast with the join-of-views rewrite hint
-    val ex = intercept[IllegalArgumentException] {
-      runView("SELECT city, count(DISTINCT color) AS n, sum(DISTINCT amount) AS s FROM t GROUP BY city",
-        "pv_cd_bad", Seq(Map("t" -> Seq(c("insert", 1L, 0, "ber", "red", 1L)))))
-    }
-    assert(ex.getMessage.contains("one DISTINCT argument"), s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("#171bx DISTINCT aggregates over DIFFERENT arguments: per-argument inner views under churn; ROLLUP composes") {
+    val sql = "SELECT city, count(DISTINCT color) AS nc, count(DISTINCT dev) AS ndv, " +
+      "sum(DISTINCT amount) AS sa, count(*) AS n, max(amount) AS mx FROM t GROUP BY city"
+    def r(op: String, k: Long, m: Int, city: String, color: String, dev: String, amount: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String]
+        else Map("city" -> city, "color" -> color, "dev" -> dev, "amount" -> amount), seq)
+    val b1 = Seq(
+      r("insert", 1L, 0, "ber", "red", "ph", "10", 1L),
+      r("insert", 2L, 1, "ber", "red", "pc", "10", 2L),   // dup color AND dup amount
+      r("insert", 3L, 2, "ber", "green", "ph", "20", 3L),
+      r("insert", 4L, 3, "par", "blue", "tv", "5", 4L))
+    val b2 = Seq(
+      r("delete", 2L, 10, null, null, null, null, 5L),    // red survives (key 1), pc dies, 10 survives
+      r("update", 3L, 11, "ber", "red", "ph", "30", 6L))  // green dies, 20 -> 30
+    runView(sql, "pv_multi_dist", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val got = aggState("pv_multi_dist", Seq("city"))
+    // ber final rows: {1:(red,ph,10), 3:(red,ph,30)} → nc=1, ndv=1, sa=40, n=2, mx=30
+    assert(got == Map(
+      Seq[Any]("ber") -> Seq[Any](1L, 1L, 40.0, 2L, 30.0),
+      Seq[Any]("par") -> Seq[Any](1L, 1L, 5.0, 1L, 5.0)),
+      s"multi-distinct view: $got")
+
+    // ROLLUP × multiple distinct arguments: the grand-total level sees
+    // cross-city distinctness exactly once
+    val sqlR = "SELECT city, count(DISTINCT color) AS nc, count(DISTINCT dev) AS ndv " +
+      "FROM t GROUP BY ROLLUP(city)"
+    runView(sqlR, "pv_multi_dist_r", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val gotR = aggState("pv_multi_dist_r", Seq("city"))
+    assert(gotR == Map(
+      Seq[Any]("ber") -> Seq[Any](1L, 1L),
+      Seq[Any]("par") -> Seq[Any](1L, 1L),
+      Seq[Any](null)  -> Seq[Any](2L, 2L)), // {red, blue}, {ph, tv}
+      s"rollup multi-distinct: $gotR")
   }
 
   test("#171aa mixed plain + DISTINCT aggregates: exact two-level decomposition under churn") {
