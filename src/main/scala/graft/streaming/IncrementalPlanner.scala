@@ -322,6 +322,16 @@ object IncrementalPlanner {
     case Not(c) =>
       val cc = compileExpr(c)
       env => cc(env).flatMap(asBool).map(!_)
+    // null-safe equality (BEFORE the generic BinaryComparison case —
+    // EqualNullSafe extends it but must not null-propagate):
+    // NULL <=> NULL is TRUE, NULL <=> x is FALSE, never NULL
+    case EqualNullSafe(l, r) =>
+      val (cl, cr) = (compileExpr(l), compileExpr(r))
+      env => (cl(env), cr(env)) match {
+        case (None, None)       => Some(true)
+        case (Some(a), Some(b)) => Some(cmpVals(a, b) == 0)
+        case _                  => Some(false)
+      }
     case cmp: BinaryComparison =>
       val (cl, cr) = (compileExpr(cmp.left), compileExpr(cmp.right))
       val test: Int => Boolean = cmp match {
@@ -333,13 +343,33 @@ object IncrementalPlanner {
         case other => throw unsupported(s"comparison ${other.getClass.getSimpleName}")
       }
       env => for (a <- cl(env); b <- cr(env)) yield test(cmpVals(a, b))
+    // LIKE with a LITERAL pattern (the WHERE vocabulary): % → .*, _ → .,
+    // escape char honored, everything else regex-quoted
+    case Like(l, p: Literal, escapeChar) =>
+      val cl  = compileExpr(l)
+      val pat = String.valueOf(litValue(p.value).getOrElse(
+        throw unsupported("LIKE with a NULL pattern")))
+      val sb  = new StringBuilder
+      var i = 0
+      while (i < pat.length) {
+        val ch = pat.charAt(i)
+        if (ch == escapeChar && i + 1 < pat.length) { sb.append(java.util.regex.Pattern.quote(pat.charAt(i + 1).toString)); i += 1 }
+        else if (ch == '%') sb.append("(?s).*")
+        else if (ch == '_') sb.append("(?s).")
+        else sb.append(java.util.regex.Pattern.quote(ch.toString))
+        i += 1
+      }
+      val rx = sb.toString
+      env => cl(env).map(v => String.valueOf(v).matches(rx))
     case ar: BinaryArithmetic =>
       val (cl, cr) = (compileExpr(ar.left), compileExpr(ar.right))
       val op: (Double, Double) => Double = ar match {
-        case _: Add      => _ + _
-        case _: Subtract => _ - _
-        case _: Multiply => _ * _
-        case _: Divide   => _ / _
+        case _: Add       => _ + _
+        case _: Subtract  => _ - _
+        case _: Multiply  => _ * _
+        case _: Divide    => _ / _
+        case _: Remainder => _ % _ // Spark's % (sign follows the dividend)
+        case _: Pmod      => (a, b) => { val m = a % b; if (m < 0 != b < 0 && m != 0) m + b else m }
         case other => throw unsupported(s"arithmetic ${other.getClass.getSimpleName}")
       }
       // non-finite results (x/0 → Infinity, Inf−Inf → NaN) become NULL,
@@ -454,6 +484,51 @@ object IncrementalPlanner {
           val hi   = math.min(s.length.toLong, math.max(lo.toLong, from.toLong + math.max(0, len))).toInt
           if (lo >= s.length) "" else s.substring(lo, hi)
         }
+      case "abs" =>
+        require(args.length == 1, "abs takes one argument")
+        env => args.head(env).flatMap(asNum).map(math.abs)
+      case "pmod" =>
+        require(args.length == 2, "pmod takes two arguments")
+        env => (for {
+          a <- args.head(env).flatMap(asNum)
+          b <- args(1)(env).flatMap(asNum)
+        } yield { val m = a % b; if (m < 0 != b < 0 && m != 0) m + b else m })
+          .filter(r => !r.isNaN && !r.isInfinite)
+      case "floor" =>
+        require(args.length == 1, "floor takes one argument")
+        env => args.head(env).flatMap(asNum).map(d => math.floor(d).toLong)
+      case "ceil" | "ceiling" =>
+        require(args.length == 1, "ceil takes one argument")
+        env => args.head(env).flatMap(asNum).map(d => math.ceil(d).toLong)
+      case "round" =>
+        // HALF_UP at scale d (Spark's round semantics)
+        require(args.length == 1 || args.length == 2, "round takes (x[, d])")
+        env => for {
+          x <- args.head(env).flatMap(asNum)
+          d <- if (args.length == 2) args(1)(env).flatMap(asNum).map(_.toInt) else Some(0)
+        } yield BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // greatest/least skip NULL operands (Spark's semantics); all-NULL → NULL
+      case "greatest" | "least" =>
+        val wantMax = f.nameParts.last.equalsIgnoreCase("greatest")
+        env => {
+          val vs = args.flatMap(_(env))
+          if (vs.isEmpty) None
+          else Some(vs.reduce((a, b) => if ((cmpVals(a, b) > 0) == wantMax) a else b))
+        }
+      case "nullif" =>
+        require(args.length == 2, "nullif takes two arguments")
+        env => args.head(env).filterNot(a => args(1)(env).exists(b => cmpVals(a, b) == 0))
+      // if(c, a, b): a NULL condition takes the else branch (SQL IF)
+      case "if" =>
+        require(args.length == 3, "if takes (cond, then, else)")
+        env => if (args.head(env).flatMap(asBool).contains(true)) args(1)(env) else args(2)(env)
+      case "replace" =>
+        require(args.length == 2 || args.length == 3, "replace takes (str, search[, repl])")
+        env => for {
+          s  <- args.head(env).map(String.valueOf(_))
+          q  <- args(1)(env).map(String.valueOf(_))
+          r  <- if (args.length == 3) args(2)(env).map(String.valueOf(_)) else Some("")
+        } yield s.replace(q, r)
       case "year"               => dtField(_.getYear.toLong)
       case "month"              => dtField(_.getMonthValue.toLong)
       case "day" | "dayofmonth" => dtField(_.getDayOfMonth.toLong)

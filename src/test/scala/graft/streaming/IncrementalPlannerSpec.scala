@@ -2961,6 +2961,26 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(e2.getMessage.contains("append-only"), e2.getMessage)
   }
 
+  test("#171ca expression vocabulary: %, pmod, <=>, LIKE, abs/round/floor/ceil/greatest/least/nullif/if/replace") {
+    val sql = "SELECT name, amount % 3 AS m, pmod(0 - amount, 3) AS pm, abs(0 - amount) AS ab, " +
+      "round(amount / 8, 2) AS rd, floor(amount / 8) AS fl, ceil(amount / 8) AS ce, " +
+      "greatest(amount, bonus) AS g, least(amount, bonus) AS l, " +
+      "nullif(city, 'ber') AS nf, if(amount > 10, 'big', 'small') AS sz, " +
+      "replace(name, 'a', 'o') AS rp " +
+      "FROM t WHERE name LIKE 'a%t_' AND NOT (city <=> 'rom')"
+    val feed = Seq(
+      Change("insert", 1L, ts(0), Map("name" -> "agentx", "city" -> "ber", "amount" -> "14", "bonus" -> "20"), 1L),
+      Change("insert", 2L, ts(1), Map("name" -> "agenty", "city" -> "rom", "amount" -> "5"), 2L),   // <=> rom: out
+      Change("insert", 3L, ts(2), Map("name" -> "atx", "city" -> "par", "amount" -> "5"), 3L),      // bonus NULL
+      Change("insert", 4L, ts(3), Map("name" -> "other", "city" -> "ber", "amount" -> "7"), 4L))    // LIKE miss
+    runView(sql, "pv_exprs", Seq(Map("t" -> feed)))
+    val got = rowState("pv_exprs", Seq("name", "m", "pm", "ab", "rd", "fl", "ce", "g", "l", "nf", "sz", "rp"))
+    assert(got == Map(
+      1L -> Seq[Any]("agentx", "2.0", "1.0", "14.0", "1.75", "1", "2", "20", "14", null, "big", "ogentx"),
+      3L -> Seq[Any]("atx", "2.0", "1.0", "5.0", "0.63", "0", "1", "5", "5", "par", "small", "otx")),
+      s"expression vocabulary: $got")
+  }
+
   test("#171bz approx_count_distinct composes with window groupings and HAVING on an append-only feed") {
     def minUs(m: Int): Long = m * 60000000L
     val sql = "SELECT window(ev, '10 minutes') AS w, approx_count_distinct(uid) AS au, count(*) AS n " +
