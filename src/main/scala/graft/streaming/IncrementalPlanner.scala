@@ -3041,7 +3041,7 @@ object IncrementalPlanner {
   private sealed trait WinOut extends Serializable { def name: String }
   private final case class WRank(fn: String, name: String) extends WinOut
   private final case class WNav(valIdx: Int, offset: Int, dflt: Option[String],
-      lead: Boolean, name: String) extends WinOut
+      lead: Boolean, name: String, ignoreNulls: Boolean = false) extends WinOut
   /** An explicit window frame: `RowsF` is `ROWS BETWEEN … AND …` as
     * signed row offsets relative to the current row — `(Some(-2),
     * Some(0))` is `2 PRECEDING AND CURRENT ROW`; `RangeF` is a
@@ -3069,7 +3069,7 @@ object IncrementalPlanner {
     * encoding as [[WAgg]]) repoints all three at the frame's rows.
     */
   private final case class WPos(kind: String, valIdx: Int, nth: Int, name: String,
-      frame: Option[RowsF] = None) extends WinOut
+      frame: Option[RowsF] = None, ignoreNulls: Boolean = false) extends WinOut
   /** percent_rank = (rank−1)/(n−1) (0 when n=1); cume_dist = peers-through-me / n. */
   private final case class WRel(fn: String, name: String) extends WinOut
 
@@ -3258,9 +3258,11 @@ object IncrementalPlanner {
           case (Some(a), Some(b)) => require(a <= b, s"empty-by-construction frame ROWS BETWEEN $a AND $b")
           case _                  => ()
         }
-        // ROWS UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING is the whole
-        // partition — the default no-ORDER-BY frame, cheaper unframed
-        if (f == RowsF(None, None)) None else Some(f)
+        // ROWS UNBOUNDED..UNBOUNDED only equals the DEFAULT frame when
+        // the clause has no ORDER BY (the default then is the whole
+        // partition); under ORDER BY the default is running/peer-group,
+        // so the explicit whole-partition frame must stay explicit
+        if (f == RowsF(None, None) && spec.orderSpec.isEmpty) None else Some(f)
       case SpecifiedWindowFrame(RangeFrame, lo, hi) =>
         require(spec.orderSpec.length == 1,
           "a value-distance RANGE frame needs exactly ONE ORDER BY key (its numeric axis)")
@@ -3277,6 +3279,9 @@ object IncrementalPlanner {
       litValue(e).flatMap(asNum).map(_.toInt).getOrElse(throw unsupported(what))
     val wins: Seq[WinOut] = items.map { case (name, f) =>
       val fn = f.nameParts.last.toLowerCase
+      if (f.ignoreNulls) require(
+        Set("lag", "lead", "first_value", "last_value", "nth_value")(fn),
+        s"IGNORE NULLS applies to navigation/positional window functions, not $fn")
       (fn, f.arguments) match {
         case (rk, Seq()) if RankFns(rk) => WRank(rk, name)
         case ("lag" | "lead", args) =>
@@ -3288,7 +3293,7 @@ object IncrementalPlanner {
             case other => throw unsupported(s"$fn(${other.map(_.sql).mkString(",")})")
           }
           require(off >= 0, s"$fn offset must be >= 0")
-          WNav(addVal(compileExpr(e)), off, dflt, lead = fn == "lead", name)
+          WNav(addVal(compileExpr(e)), off, dflt, lead = fn == "lead", name, f.ignoreNulls)
         case ("count", Seq(_: UnresolvedStar)) =>
           WAgg("count", addVal(_ => Some(1)), running = spec.orderSpec.nonEmpty, name, frame)
         case ("count" | "sum" | "avg" | "min" | "max", Seq(e)) =>
@@ -3302,13 +3307,13 @@ object IncrementalPlanner {
         case ("first_value" | "last_value", Seq(e)) =>
           require(frame.isEmpty || rowsFrame.isDefined,
             s"$fn with a value-distance RANGE frame (use a ROWS frame, or the default)")
-          WPos(fn.stripSuffix("_value"), addVal(compileExpr(e)), 1, name, rowsFrame)
+          WPos(fn.stripSuffix("_value"), addVal(compileExpr(e)), 1, name, rowsFrame, f.ignoreNulls)
         case ("nth_value", Seq(e, k: Literal)) =>
           val nth = intLit(k.value, "nth_value position")
           require(nth >= 1, "nth_value position must be >= 1")
           require(frame.isEmpty || rowsFrame.isDefined,
             s"nth_value with a value-distance RANGE frame (use a ROWS frame, or the default)")
-          WPos("nth", addVal(compileExpr(e)), nth, name, rowsFrame)
+          WPos("nth", addVal(compileExpr(e)), nth, name, rowsFrame, f.ignoreNulls)
         case _ => throw unsupported(
           s"window function $fn (row_number/rank/dense_rank/ntile/percent_rank/cume_dist/" +
             "lag/lead/first_value/last_value/nth_value/count/sum/avg/min/max)")
@@ -3722,11 +3727,26 @@ object IncrementalPlanner {
           case Some(fr) => framedAggArray(w, fr)
           case None     => aggArray(w)
         }) }.toMap
-      def navVal(w: WNav)(idx: Int): String = {
-        val j = if (w.lead) idx + w.offset else idx - w.offset
-        if (j >= 0 && j < n) { val v = opRaw(w.valIdx)(j); if (v == NullMark) null else v }
-        else w.dflt.orNull
-      }
+      def navVal(w: WNav)(idx: Int): String =
+        if (!w.ignoreNulls) {
+          val j = if (w.lead) idx + w.offset else idx - w.offset
+          if (j >= 0 && j < n) { val v = opRaw(w.valIdx)(j); if (v == NullMark) null else v }
+          else w.dflt.orNull
+        } else if (w.offset == 0) { // lag/lead(x, 0) IGNORE NULLS reads the row itself
+          val v = opRaw(w.valIdx)(idx); if (v == NullMark) w.dflt.orNull else v
+        } else {
+          // the offset-th NON-NULL value scanning away from the row
+          val step = if (w.lead) 1 else -1
+          var j      = idx + step
+          var remain = w.offset
+          var res: String = null
+          while (remain > 0 && j >= 0 && j < n) {
+            val v = opRaw(w.valIdx)(j)
+            if (v != NullMark) { remain -= 1; if (remain == 0) res = v }
+            j += step
+          }
+          if (res == null) w.dflt.orNull else res
+        }
       // the current row's peer-group end (exclusive) — the default
       // frame's end for last_value/nth_value; with no ORDER BY all rows
       // are peers, so the frame is the whole partition
@@ -3748,13 +3768,31 @@ object IncrementalPlanner {
           case Some(fr) => frameRange(fr)(idx)
           case None     => (0, groupEnd(idx) - 1)
         }
-        val j = w.kind match {
-          case "first" => flo
-          case "last"  => fhi
-          case _       => flo + w.nth - 1 // nth: the frame's k-th row or absent
+        if (!w.ignoreNulls) {
+          val j = w.kind match {
+            case "first" => flo
+            case "last"  => fhi
+            case _       => flo + w.nth - 1 // nth: the frame's k-th row or absent
+          }
+          if (j >= flo && j <= fhi) { val v = opRaw(w.valIdx)(j); if (v == NullMark) null else v }
+          else null
+        } else {
+          // IGNORE NULLS: the first/last/nth NON-NULL value inside the frame
+          val (from, step, remain0) = w.kind match {
+            case "first" => (flo, 1, 1)
+            case "last"  => (fhi, -1, 1)
+            case _       => (flo, 1, w.nth)
+          }
+          var j      = from
+          var remain = remain0
+          var res: String = null
+          while (remain > 0 && j >= flo && j <= fhi) {
+            val v = opRaw(w.valIdx)(j)
+            if (v != NullMark) { remain -= 1; if (remain == 0) res = v }
+            j += step
+          }
+          res
         }
-        if (j >= flo && j <= fhi) { val v = opRaw(w.valIdx)(j); if (v == NullMark) null else v }
-        else null
       }
       def ntileOf(b: Int)(idx: Int): Long = {
         val q = n / b

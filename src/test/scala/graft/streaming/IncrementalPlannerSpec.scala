@@ -2961,6 +2961,53 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(e2.getMessage.contains("append-only"), e2.getMessage)
   }
 
+  test("#171cb IGNORE NULLS on lag/lead/first/last/nth_value == Spark's own batch windows; misuse rejects") {
+    val sql = "SELECT name, lag(v, 1) IGNORE NULLS OVER (ORDER BY seqno) AS lg, " +
+      "last_value(v) IGNORE NULLS OVER (ORDER BY seqno) AS lv, " +
+      "first_value(v) IGNORE NULLS OVER (ORDER BY seqno) AS fv, " +
+      "nth_value(v, 2) IGNORE NULLS OVER (ORDER BY seqno ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv " +
+      "FROM t"
+    def ins(k: Long, name: String, seqno: Int, v: Option[String], seq: Long) =
+      Change("insert", k, ts(seq.toInt),
+        Map("name" -> name, "seqno" -> seqno.toString) ++ v.map("v" -> _), seq)
+    val b1 = Seq(
+      ins(1L, "a", 1, None, 1L),
+      ins(2L, "b", 2, Some("x"), 2L),
+      ins(3L, "c", 3, None, 3L),
+      ins(4L, "d", 4, Some("y"), 4L),
+      ins(5L, "e", 5, None, 5L))
+    runView(sql, "pv_ignore_nulls", Seq(Map("t" -> b1)))
+    val got = rowState("pv_ignore_nulls", Seq("name", "lg", "lv", "fv", "nv"))
+    // batch truth: Spark's own ignore-nulls windows over the same rows
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = b1.map(c => (c.key, c.payload("name"), c.payload("seqno").toInt, c.payload.get("v")))
+      .toDF("key", "name", "seqno", "v")
+    val w  = org.apache.spark.sql.expressions.Window.orderBy(col("seqno").cast("double").asc, col("key").asc)
+    val wf = w.rowsBetween(Long.MinValue, Long.MaxValue)
+    val want = df.select(col("key"), col("name"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("lg"),
+        last(col("v"), ignoreNulls = true).over(w).as("lv"),
+        first(col("v"), ignoreNulls = true).over(w).as("fv"),
+        nth_value(col("v"), 2, ignoreNulls = true).over(wf).as("nv"))
+      .collect().map(r => r.getAs[Long]("key") -> Seq[Any](r.getAs[String]("name"),
+        r.getAs[String]("lg"), r.getAs[String]("lv"), r.getAs[String]("fv"), r.getAs[String]("nv")))
+      .toMap
+    assert(got == want, s"ignore-nulls view\n  $got\n  != Spark batch\n  $want")
+    // sanity on the semantics: c's lag skips the NULL at a, landing on x
+    assert(got(3L) == Seq[Any]("c", "x", "x", "x", "y"), s"row c: ${got(3L)}")
+
+    // misuse rejects
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name, count(v) IGNORE NULLS OVER (ORDER BY seqno) AS c FROM t",
+        Map("t" -> MemoryStream[Change].toDS()))
+    }
+    assert(e1.getMessage.contains("IGNORE NULLS applies"), e1.getMessage)
+  }
+
   test("#171ca expression vocabulary: %, pmod, <=>, LIKE, abs/round/floor/ceil/greatest/least/nullif/if/replace") {
     val sql = "SELECT name, amount % 3 AS m, pmod(0 - amount, 3) AS pm, abs(0 - amount) AS ab, " +
       "round(amount / 8, 2) AS rd, floor(amount / 8) AS fl, ceil(amount / 8) AS ce, " +
