@@ -3264,14 +3264,23 @@ object IncrementalPlanner {
         // so the explicit whole-partition frame must stay explicit
         if (f == RowsF(None, None) && spec.orderSpec.isEmpty) None else Some(f)
       case SpecifiedWindowFrame(RangeFrame, lo, hi) =>
-        require(spec.orderSpec.length == 1,
-          "a value-distance RANGE frame needs exactly ONE ORDER BY key (its numeric axis)")
         val f = RangeF(numBound(lo, lower = true), numBound(hi, lower = false))
         (f.lo, f.hi) match {
           case (Some(a), Some(b)) => require(a <= b, s"empty-by-construction frame RANGE BETWEEN $a AND $b")
           case _                  => ()
         }
-        if (f == RangeF(None, None)) None else Some(f)
+        // RANGE UNBOUNDED..UNBOUNDED has no value-distance left in it —
+        // it IS the whole partition (nulls included), which the ROWS
+        // unbounded frame expresses exactly; collapsing to the default
+        // would wrongly yield the running/peer frame under ORDER BY.
+        // Only value-bounded RANGE frames need the single numeric axis.
+        if (f == RangeF(None, None))
+          (if (spec.orderSpec.isEmpty) None else Some(RowsF(None, None)))
+        else {
+          require(spec.orderSpec.length == 1,
+            "a value-distance RANGE frame needs exactly ONE ORDER BY key (its numeric axis)")
+          Some(f)
+        }
       case other => throw unsupported(s"window frame ${other.sql}")
     }
     val rowsFrame: Option[RowsF] = frame.collect { case r: RowsF => r }

@@ -3171,6 +3171,15 @@ class IncrementalPlannerSpec extends SparkSpec {
         Map("t" -> MemoryStream[Change].toDS()))
     }
     assert(e1.getMessage.contains("exactly ONE ORDER BY"), e1.getMessage)
+
+    // RANGE UNBOUNDED..UNBOUNDED under ORDER BY is the WHOLE partition
+    // (nulls included) — not the running default (regression pin for
+    // the frame-collapse bug)
+    val sqlWhole = "SELECT name, sum(v) OVER (ORDER BY ets " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s FROM t"
+    runView(sqlWhole, "pv_vrange_whole", Seq(Map("t" -> b1)))
+    val gotW = rankedState("pv_vrange_whole", Seq("name", "s")).map { case ((k, _), v) => v(0) -> v(1) }
+    assert(gotW.values.toSet == Set("31.0"), s"whole-partition RANGE frame: $gotW")
   }
 
   test("#171bu two OVER clauses differing only in FRAME route through the mixed merge and both frame correctly") {
