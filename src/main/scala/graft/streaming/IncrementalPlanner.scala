@@ -484,6 +484,74 @@ object IncrementalPlanner {
           val hi   = math.min(s.length.toLong, math.max(lo.toLong, from.toLong + math.max(0, len))).toInt
           if (lo >= s.length) "" else s.substring(lo, hi)
         }
+      case "ltrim" if args.length == 1   => one(s => s.dropWhile(_ == ' '))
+      case "rtrim" if args.length == 1   => one(s => s.reverse.dropWhile(_ == ' ').reverse)
+      case "reverse"                     => one(_.reverse)
+      case "initcap" =>
+        one(_.toLowerCase.split(" ", -1).map(w =>
+          if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1)).mkString(" "))
+      case "repeat" =>
+        require(args.length == 2, "repeat takes (str, n)")
+        env => for {
+          s <- args.head(env).map(String.valueOf(_))
+          k <- args(1)(env).flatMap(asNum).map(_.toInt)
+        } yield s * math.max(0, k)
+      case "left" | "right" =>
+        val fromLeft = f.nameParts.last.equalsIgnoreCase("left")
+        require(args.length == 2, "left/right take (str, n)")
+        env => for {
+          s <- args.head(env).map(String.valueOf(_))
+          k <- args(1)(env).flatMap(asNum).map(_.toInt)
+        } yield {
+          val m = math.min(math.max(0, k), s.length)
+          if (fromLeft) s.substring(0, m) else s.substring(s.length - m)
+        }
+      case "lpad" | "rpad" =>
+        val isL = f.nameParts.last.equalsIgnoreCase("lpad")
+        require(args.length == 2 || args.length == 3, "lpad/rpad take (str, len[, pad])")
+        env => for {
+          s   <- args.head(env).map(String.valueOf(_))
+          len <- args(1)(env).flatMap(asNum).map(_.toInt)
+          pad <- if (args.length == 3) args(2)(env).map(String.valueOf(_)) else Some(" ")
+        } yield {
+          if (len <= s.length) s.substring(0, math.max(0, len))
+          else if (pad.isEmpty) s
+          else {
+            val fill = (pad * ((len - s.length) / pad.length + 1)).substring(0, len - s.length)
+            if (isL) fill + s else s + fill
+          }
+        }
+      // 1-based position of the first match, 0 when absent (SQL instr)
+      case "instr" | "position" =>
+        require(args.length == 2, s"${f.nameParts.last} takes two arguments")
+        val flip = f.nameParts.last.equalsIgnoreCase("position") // position(sub IN str)
+        env => for {
+          a <- args.head(env).map(String.valueOf(_))
+          b <- args(1)(env).map(String.valueOf(_))
+        } yield { val (str, sub) = if (flip) (b, a) else (a, b); (str.indexOf(sub) + 1).toLong }
+      case "startswith" | "endswith" | "contains" =>
+        val kind = f.nameParts.last.toLowerCase
+        require(args.length == 2, s"$kind takes two arguments")
+        env => for {
+          s <- args.head(env).map(String.valueOf(_))
+          p <- args(1)(env).map(String.valueOf(_))
+        } yield kind match {
+          case "startswith" => s.startsWith(p)
+          case "endswith"   => s.endsWith(p)
+          case _            => s.contains(p)
+        }
+      // 1-based field split; out-of-range → empty string (Spark's split_part)
+      case "split_part" =>
+        require(args.length == 3, "split_part takes (str, delim, n)")
+        env => for {
+          s <- args.head(env).map(String.valueOf(_))
+          d <- args(1)(env).map(String.valueOf(_))
+          k <- args(2)(env).flatMap(asNum).map(_.toInt)
+        } yield {
+          val parts = if (d.isEmpty) Array(s) else s.split(java.util.regex.Pattern.quote(d), -1)
+          val idx   = if (k < 0) parts.length + k else k - 1
+          if (k == 0 || idx < 0 || idx >= parts.length) "" else parts(idx)
+        }
       case "abs" =>
         require(args.length == 1, "abs takes one argument")
         env => args.head(env).flatMap(asNum).map(math.abs)

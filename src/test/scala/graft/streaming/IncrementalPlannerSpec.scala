@@ -3008,6 +3008,43 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(e1.getMessage.contains("IGNORE NULLS applies"), e1.getMessage)
   }
 
+  test("#171cc string vocabulary: pads/trims/slices/search vs Spark's own batch evaluation") {
+    val sql = "SELECT name, lpad(name, 6, '*') AS lp, rpad(name, 6, 'xy') AS rp2, " +
+      "left(name, 2) AS lf, right(name, 2) AS rt, repeat(name, 2) AS rpt, reverse(name) AS rv, " +
+      "initcap(name) AS ic, ltrim(pad) AS lt, rtrim(pad) AS rtr, " +
+      "instr(name, 'b') AS ix, split_part(csv, ',', 2) AS sp, split_part(csv, ',', -1) AS spl, " +
+      "startswith(name, 'ab') AS sw, endswith(name, 'c') AS ew, contains(name, 'bc') AS ct " +
+      "FROM t"
+    val feed = Seq(
+      Change("insert", 1L, ts(0), Map("name" -> "abc", "pad" -> "  m  ", "csv" -> "p,q,r"), 1L),
+      Change("insert", 2L, ts(1), Map("name" -> "zed duo", "pad" -> "n", "csv" -> "only"), 2L))
+    runView(sql, "pv_strfns", Seq(Map("t" -> feed)))
+    val got = rowState("pv_strfns",
+      Seq("name", "lp", "rp2", "lf", "rt", "rpt", "rv", "ic", "lt", "rtr", "ix", "sp", "spl", "sw", "ew", "ct"))
+    // batch truth: Spark SQL evaluating the same expressions
+    import spark.implicits._
+    val df = feed.map(c => (c.key, c.payload("name"), c.payload("pad"), c.payload("csv")))
+      .toDF("key", "name", "pad", "csv")
+    df.createOrReplaceTempView("strfns_batch")
+    val want = spark.sql(
+      "SELECT key, name, lpad(name, 6, '*') AS lp, rpad(name, 6, 'xy') AS rp2, " +
+        "left(name, 2) AS lf, right(name, 2) AS rt, repeat(name, 2) AS rpt, reverse(name) AS rv, " +
+        "initcap(name) AS ic, ltrim(pad) AS lt, rtrim(pad) AS rtr, " +
+        "instr(name, 'b') AS ix, split_part(csv, ',', 2) AS sp, split_part(csv, ',', -1) AS spl, " +
+        "startswith(name, 'ab') AS sw, endswith(name, 'c') AS ew, contains(name, 'bc') AS ct " +
+        "FROM strfns_batch")
+      .collect().map { r =>
+        r.getAs[Long]("key") -> Seq[Any](r.getAs[String]("name"), r.getAs[String]("lp"),
+          r.getAs[String]("rp2"), r.getAs[String]("lf"), r.getAs[String]("rt"),
+          r.getAs[String]("rpt"), r.getAs[String]("rv"), r.getAs[String]("ic"),
+          r.getAs[String]("lt"), r.getAs[String]("rtr"),
+          String.valueOf(r.getAs[Any]("ix")), r.getAs[String]("sp"), r.getAs[String]("spl"),
+          String.valueOf(r.getAs[Boolean]("sw")), String.valueOf(r.getAs[Boolean]("ew")),
+          String.valueOf(r.getAs[Boolean]("ct")))
+      }.toMap
+    assert(got == want, s"string vocabulary\n  $got\n  != Spark batch\n  $want")
+  }
+
   test("#171ca expression vocabulary: %, pmod, <=>, LIKE, abs/round/floor/ceil/greatest/least/nullif/if/replace") {
     val sql = "SELECT name, amount % 3 AS m, pmod(0 - amount, 3) AS pm, abs(0 - amount) AS ab, " +
       "round(amount / 8, 2) AS rd, floor(amount / 8) AS fl, ceil(amount / 8) AS ce, " +
