@@ -175,9 +175,20 @@ object ChangeFeed {
     * upsert per row, keyed by `keyCol`, positioned at `(tsCol, seqCol)`
     * — the snapshot's commit position, so stale-drop works against the
     * bootstrapped state exactly as if the stream had been running all
-    * along. Every non-key column lands in the payload (stringly, the
+    * along. Every non-LSN column lands in the payload (stringly, the
     * Change wire contract); NULL columns are omitted, matching a feed
     * that never carried them.
+    *
+    * Keying parity with the CDC adapters: a numeric key keeps its value,
+    * any other key (uuid, natural string PK) hashes via xxhash64 — the
+    * SAME rule [[fromDebezium]] / `AvroWire.fromDebezium` apply — so a
+    * bootstrap prefix folds with a live string-PK CDC tail onto identical
+    * Change keys (the #222g/h production shape). Payload parity too: the
+    * key and event-time columns ride the payload under their own names (a
+    * Debezium after-image carries every table column, PK included), so a
+    * view referencing them by name (e.g. GROUP BY id) sees bootstrapped
+    * and live rows identically; only the LSN column stays out (it is the
+    * commit position, not a table attribute).
     *
     * This is the planner-view bootstrap story (the kappa handoff for
     * `IncrementalPlanner.materialize`): where
@@ -195,13 +206,19 @@ object ChangeFeed {
     */
   def snapshotChanges(snapshot: DataFrame, keyCol: String,
       tsCol: String, seqCol: Option[String] = None): DataFrame = {
-    val payloadCols = snapshot.columns.filterNot(c => c == keyCol || c == tsCol || seqCol.contains(c))
+    val payloadCols = snapshot.columns.filterNot(c => seqCol.contains(c))
     val payload = map_filter(
       map(payloadCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*),
       (_, v) => v.isNotNull)
+    // same keying rule as dbzParsed / AvroWire.fromDebezium: numeric keys
+    // keep their value, string PKs hash via xxhash64 (seed 42), a NULL
+    // key stays NULL rather than hashing to the seed
+    val rawKey = col(keyCol).cast("string")
+    val keyExpr = when(rawKey.isNotNull,
+      coalesce(when(rawKey.rlike("^-?\\d{1,18}$"), rawKey.cast("long")), xxhash64(rawKey)))
     snapshot.select(
       lit("insert").as("op"),
-      col(keyCol).cast("long").as("key"),
+      keyExpr.as("key"),
       col(tsCol).cast("timestamp").as("ts"),
       payload.as("payload"),
       seqCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("seq"))

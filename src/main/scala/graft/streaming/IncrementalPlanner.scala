@@ -2060,7 +2060,15 @@ object IncrementalPlanner {
       val tag      = inactive.map(i => s"_dg$i" -> RollMark) ++
         (if (multiArg) Seq("_arg" -> ai.toString) else Nil)
       feed.map { c =>
-        val keyed = c.copy(key = fnv64(s"D$li$Sep$ai$Sep${c.key}"))
+        // single-argument views keep the pre-multi-arg key shape (no
+        // `ai` segment): a checkpoint taken before multi-argument
+        // DISTINCT support restarts onto the SAME state-store keys —
+        // including the segment unconditionally would orphan that state
+        // and double-count. Multi-arg views postdate the change, so
+        // their keys carry the argument index from birth.
+        val keyed =
+          if (multiArg) c.copy(key = fnv64(s"D$li$Sep$ai$Sep${c.key}"))
+          else c.copy(key = fnv64(s"D$li$Sep${c.key}"))
         if (c.op == "delete" || tag.isEmpty) keyed
         else keyed.copy(payload = keyed.payload ++ tag)
       }
@@ -3689,18 +3697,24 @@ object IncrementalPlanner {
         var j = 0
         while (j < n) {
           if (rangeKeys(j).isNaN) {
-            // NULL peer-group frame: every NULL row, nothing else
-            res(j) = (rangeKeys.indexWhere(_.isNaN), rangeKeys.lastIndexWhere(_.isNaN))
+            // value-bounded sides frame the NULL peer group (the SQL
+            // RANGE rule: NULLs are peers of each other); an UNBOUNDED
+            // side spans to the partition edge, exactly as for non-NULL
+            // rows — RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            // on a NULLS FIRST key must include the partition head
+            val lo = if (fr.lo.isEmpty) 0 else rangeKeys.indexWhere(_.isNaN)
+            val hi = if (fr.hi.isEmpty) n - 1 else rangeKeys.lastIndexWhere(_.isNaN)
+            res(j) = (lo, hi)
           } else {
             val k = rangeKeys(j)
             val lo = fr.lo match {
-              case None    => firstNum
+              case None    => 0 // UNBOUNDED PRECEDING includes leading NULL rows
               case Some(d) =>
                 while (loPtr <= lastNum && rangeKeys(loPtr) < k + d) loPtr += 1
                 loPtr
             }
             val hi = fr.hi match {
-              case None    => lastNum
+              case None    => n - 1 // UNBOUNDED FOLLOWING includes trailing NULL rows
               case Some(d) =>
                 while (endPtr <= lastNum && rangeKeys(endPtr) <= k + d) endPtr += 1
                 endPtr - 1 // may fall below lo: an empty frame

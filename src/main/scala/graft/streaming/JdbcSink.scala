@@ -157,7 +157,14 @@ object JdbcSink {
 
   def applyPartition(url: String, table: String, batchId: Long, partitionId: Int,
       rows: Iterator[org.apache.spark.sql.Row], beforeCommit: () => Unit = () => ()): Unit = {
-    val head = rows.take(RetryBufferRows).toVector
+    // explicit drain, NOT rows.take(n): Iterator.take's contract says the
+    // original iterator must be discarded afterwards, so reusing `rows`
+    // for hasNext/concatenation would be undefined behavior on iterator
+    // implementations that override take
+    val buf = Vector.newBuilder[org.apache.spark.sql.Row]
+    var n = 0
+    while (n < RetryBufferRows && rows.hasNext) { buf += rows.next(); n += 1 }
+    val head = buf.result()
     if (rows.hasNext) {
       // large partition: stream it (no buffering); transient rollbacks
       // surface to Spark's task retry, idempotent via the markers

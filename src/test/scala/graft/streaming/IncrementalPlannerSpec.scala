@@ -3199,6 +3199,26 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(gotN("n1") == "96.0" && gotN("n2") == "96.0" && gotN("a") == "1.0" && gotN("b") == "3.0",
       s"NULL-key rows must frame together and never leak into numeric frames: $gotN")
 
+    // UNBOUNDED sides span the NULL order-key rows, exactly as Spark's
+    // own rangeBetween: NULLS FIRST rows sit at the partition head, so
+    // UNBOUNDED PRECEDING includes them in every numeric row's frame
+    // (the NULL-peer rule applies only to value-bounded sides)
+    val sqlU = "SELECT name, sum(v) OVER (ORDER BY ets " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM t"
+    runView(sqlU, "pv_vrange_u", Seq(Map("t" -> b3)))
+    val gotU = rankedState("pv_vrange_u", Seq("name", "rs")).map { case ((k, _), v) => v(0) -> v(1) }
+    val dfU = finalState(b3).toSeq
+      .map { case (k, p) => (k, p("name"), p.get("ets").map(_.toDouble), p("v").toDouble) }
+      .toDF("key", "name", "ets", "v")
+    val wU = org.apache.spark.sql.expressions.Window.orderBy(col("ets")).rangeBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val wantU = dfU.withColumn("rs", sum("v").over(wU)).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Double]("rs").toString).toMap
+    assert(gotU == wantU, s"UNBOUNDED-lo RANGE with NULL head\n  $gotU\n  != Spark\n  $wantU")
+    assert(gotU("a") == "97.0" && gotU("b") == "99.0",
+      s"numeric rows' unbounded frames must include the NULL head (64+32): $gotU")
+
     // rejection: value-RANGE with a composite ORDER BY
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -165,9 +165,29 @@ class PlannerBootstrapSpec extends SparkSpec {
       s"bootstrapped+restarted view: $got")
   }
 
-  test("#221c snapshotChanges drops NULL columns and casts positions; payload carries every non-key column") {
+  test("#221c snapshotChanges drops NULL columns and casts positions; payload carries every non-LSN column incl. the PK") {
     val snap = Seq((7L, ts(2), 3L, "ber", null: String)).toDF("key", "ts", "seq", "city", "note")
     val c = ChangeFeed.snapshotChanges(snap, "key", "ts", Some("seq")).as[Change].head()
-    assert(c == Change("insert", 7L, ts(2), Map("city" -> "ber"), 3L), s"rendered: $c")
+    // Debezium-image parity: the key and ts columns ride the payload
+    // under their own names (so GROUP BY key works on bootstrapped rows),
+    // the NULL note is omitted, the LSN column stays out
+    assert(c.op == "insert" && c.key == 7L && c.ts == ts(2) && c.seq == 3L, s"rendered: $c")
+    assert(c.payload("city") == "ber" && c.payload("key") == "7", s"payload: ${c.payload}")
+    assert(c.payload.contains("ts") && !c.payload.contains("note") && !c.payload.contains("seq"),
+      s"payload: ${c.payload}")
+  }
+
+  test("#221e string-PK snapshot keys via xxhash64, identically to the Debezium adapters") {
+    // a uuid/natural-key snapshot must fold with a live string-PK CDC
+    // tail: same xxhash64(seed 42) rule as ChangeFeed.fromDebezium
+    val snap = Seq(("u-42", ts(2), 3L, "ber")).toDF("uid", "ts", "seq", "city")
+    val c = ChangeFeed.snapshotChanges(snap, "uid", "ts", Some("seq")).as[Change].head()
+    val expectHash = spark.range(1).select(xxhash64(lit("u-42"))).head().getLong(0)
+    assert(c.key == expectHash, s"snapshot key ${c.key} != xxhash64 $expectHash")
+    assert(c.payload("uid") == "u-42", "the natural key survives in the payload")
+    // numeric-STRING keys keep their value (no hashing), matching dbzParsed
+    val snapNum = Seq(("12345", ts(2), 1L, "par")).toDF("uid", "ts", "seq", "city")
+    val cn = ChangeFeed.snapshotChanges(snapNum, "uid", "ts", Some("seq")).as[Change].head()
+    assert(cn.key == 12345L, s"numeric-string key: ${cn.key}")
   }
 }
