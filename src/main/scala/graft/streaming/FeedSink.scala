@@ -58,6 +58,65 @@ object FeedSink {
     commitMarker(feedDir, batchId)
   }
 
+  /** [[writeBatch]] for a [[Change]]-typed micro-batch (the
+    * [[IncrementalPlanner.namedChanges]] wire): same batch-partitioned
+    * idempotent layout + commit marker, columns mapped from the Change
+    * contract (`ts` → epoch-micros `ts_us`). This is the sink behind
+    * every [[ViewCatalog]] named view.
+    */
+  def writeChangeBatch(changes: DataFrame, batchId: Long, feedDir: String): Unit = {
+    changes
+      .select(
+        lit(batchId).as("batch_id"),
+        col("op"),
+        col("key"),
+        expr("unix_micros(ts)").as("ts_us"),
+        col("seq"),
+        col("payload"),
+      )
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(feedDir)
+    commitMarker(feedDir, batchId)
+  }
+
+  /** The feed directory's on-disk schema (data columns; `batch_id` rides
+    * the partition path).
+    */
+  val feedSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("op", StringType),
+      StructField("key", LongType),
+      StructField("ts_us", LongType),
+      StructField("seq", LongType),
+      StructField("payload", MapType(StringType, StringType)),
+      StructField("batch_id", LongType),
+    ))
+  }
+
+  /** STREAM the feed directory back as a live [[Change]] feed — the read
+    * side of [[writeChangeBatch]], and how a downstream named view
+    * consumes an upstream one WITHOUT re-running its dataflow: the
+    * upstream view maintains its state once, persists its deltas here,
+    * and any number of dependents tail the directory. A crash-replayed
+    * upstream batch rewrites its partition with fresh file names, so a
+    * tailing reader may see those changes twice — harmless by the same
+    * argument that makes the sink idempotent: re-applying a change at an
+    * already-applied `(ts, seq)` position leaves every LWW fold's state
+    * unchanged, and diff-only emission forwards nothing.
+    */
+  def readChangeFeed(spark: org.apache.spark.sql.SparkSession,
+      feedDir: String): org.apache.spark.sql.Dataset[Change] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Change]
+    spark.readStream.schema(feedSchema).parquet(feedDir)
+      .select(col("op"), col("key"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("payload"), col("seq"))
+      .as[Change]
+  }
+
   /** The atomic commit point of batch `batchId` (see [[writeBatch]]). */
   def commitMarker(feedDir: String, batchId: Long): Unit = {
     val dir = java.nio.file.Paths.get(feedDir, "_graft_commits")

@@ -4207,6 +4207,37 @@ object IncrementalPlanner {
       feeds: Map[String, Dataset[Change]]): Dataset[Change] =
     aggChangesOf(spark, spark.sessionState.sqlParser.parsePlan(sql), feeds)._1
 
+  /** ANY planner-compilable view as its keyed changefeed, plus its
+    * output column names — the one entry point [[ViewCatalog]] uses so a
+    * named view's shape (row, aggregate, HAVING, DISTINCT, union, set
+    * op) is an implementation detail of its SQL, not of its name.
+    * Row-class views keep their change key; aggregate-class views key by
+    * the stable group hash ([[materializeAggChanges]] semantics). Ranked
+    * / top-k views are rejected: their change identity is `(key,
+    * partition)` — two columns — which the single-key Change wire cannot
+    * carry without inventing an encoding consumers would have to know.
+    */
+  def namedChanges(spark: SparkSession, sql: String,
+      feeds: Map[String, Dataset[Change]]): (Dataset[Change], Seq[String]) =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case p: Project if hasWindowItem(p) || p.exists {
+            case Filter(_, SubqueryAlias(_, inner: Project)) => hasWindowItem(inner)
+            case _ => false
+          } =>
+        throw unsupported("a ranked (window-function) view as a NAMED feed: its change " +
+          "identity is (key, partition); materialize it directly and consume its own sink")
+      case p: Project if globalAgg(p).isEmpty => rowChangesOf(spark, p, feeds)
+      case u: Union                           => unionChanges(spark, u, feeds)
+      case Distinct(p: Project) =>
+        aggChangesOf(spark, Aggregate(p.projectList, p.projectList, p.child), feeds)
+      case Distinct(u: Union) =>
+        val (changes, names) = unionChanges(spark, u, feeds)
+        val attrs: Seq[NamedExpression] = names.map(n => UnresolvedAttribute(Seq(n)))
+        aggChangesOf(spark, Aggregate(attrs, attrs, UnresolvedRelation(Seq("__union"))),
+          Map("__union" -> changes))
+      case plan => aggChangesOf(spark, plan, feeds)
+    }
+
   private def aggChangesOf(spark: SparkSession, plan: LogicalPlan,
       feeds: Map[String, Dataset[Change]]): (Dataset[Change], Seq[String]) = {
     val view = plan match {

@@ -1,0 +1,251 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The NAMED materialized-view catalog (SURVEY.md §2.3 #234) — the
+  * engine's front door: `CREATE MATERIALIZED VIEW v AS SELECT …`,
+  * querying and LAYERING views by name, `DROP`, and restart of the whole
+  * named graph from checkpoints. This is the step from "a library of
+  * dataflows" to "a changefeed engine": the r6–r9 planner investment
+  * ([[IncrementalPlanner.materialize]] and friends) becomes a managed
+  * view graph instead of hand-wired compositions.
+  *
+  * Architecture — physical sharing, not dataflow inlining. Each named
+  * view runs ONE streaming query: its SQL compiles to its keyed
+  * changefeed ([[IncrementalPlanner.namedChanges]]) and lands in a
+  * managed sink directory via [[FeedSink.writeChangeBatch]] (the
+  * batch-partitioned, commit-markered, compactable feed). A downstream
+  * view that names `v` in FROM does NOT re-run v's dataflow — it TAILS
+  * v's sink directory as a live feed ([[FeedSink.readChangeFeed]]). At
+  * 100 TB this is the difference that matters: an upstream view's state
+  * and compute are paid once however many dependents it has, dependents
+  * restart independently, and a view's sink doubles as its query-able
+  * snapshot ([[FeedSink.stateAsOf]]) and its time-travel log. The cost
+  * is one disk hop of latency per layer — the standard materialized-view
+  * engine trade (Materialize makes the same one between dataflows).
+  *
+  * Durability: each view persists `<root>/meta/<name>.properties`
+  * (SQL text, dependency names, output columns) next to its checkpoint
+  * (`<root>/views/<name>/checkpoint`) and sink
+  * (`<root>/views/<name>/feed`). [[resume]] reloads the metadata,
+  * re-compiles each view, and restarts its query on the SAME checkpoint
+  * — state restores per the planner restart contract (#220) — in
+  * dependency order. Source feeds are runtime objects (a Kafka topic, a
+  * Debezium adapter over it, a file dir), so they re-register as THUNKS
+  * each session; the catalog stores their names only.
+  *
+  * Not thread-safe: catalog mutation (create/drop/resume) is a driver
+  * control-plane operation, serialized by the caller like DDL anywhere.
+  */
+/** A managed view: its definition, its dependencies (names of sources
+  * or other views), its output column names, and the running query.
+  */
+final case class NamedView(name: String, sql: String, deps: Seq[String],
+    cols: Seq[String], query: StreamingQuery)
+
+class ViewCatalog(val spark: SparkSession, val root: String) {
+
+  private val sources = mutable.LinkedHashMap.empty[String, () => Dataset[Change]]
+  private val views   = mutable.LinkedHashMap.empty[String, NamedView]
+
+  private val NameRe = "^[A-Za-z_][A-Za-z0-9_]{0,63}$".r
+
+  private def viewDir(name: String) = Paths.get(root, "views", name)
+  private def feedDir(name: String) = viewDir(name).resolve("feed").toString
+  private def ckDir(name: String)   = viewDir(name).resolve("checkpoint").toString
+  private def metaPath(name: String) = Paths.get(root, "meta", s"$name.properties")
+
+  /** Register a base changefeed under `name`. The thunk re-resolves the
+    * feed on each use (and on [[resume]] in a fresh session) — a
+    * `Dataset` is a plan bound to a session, not a durable object.
+    * Idempotent re-registration of the same name is allowed (a restart
+    * re-wires its transports); colliding with a VIEW name is not.
+    */
+  def registerSource(name: String, feed: () => Dataset[Change]): Unit = {
+    requireValidName(name)
+    require(!views.contains(name), s"name $name is a materialized view; drop it first")
+    sources(name) = feed
+  }
+
+  /** `CREATE MATERIALIZED VIEW name AS sql`: compiles the SQL against
+    * the named sources/views it references, starts its maintenance
+    * query, and persists its definition for [[resume]]. Rejects
+    * duplicate names and unknown references.
+    */
+  def createView(name: String, sql: String): NamedView = {
+    requireValidName(name)
+    require(!views.contains(name) && !sources.contains(name),
+      s"name $name already exists (DROP the view or pick another name)")
+    val refs = referencedTables(spark.sessionState.sqlParser.parsePlan(sql))
+    refs.foreach(r => require(sources.contains(r) || views.contains(r),
+      s"view $name references unknown table $r (register the source or create the view first)"))
+    val v = startView(name, sql, refs.toSeq.sorted)
+    persistMeta(v)
+    views(name) = v
+    v
+  }
+
+  /** `DROP MATERIALIZED VIEW name`: stops the maintenance query and
+    * deletes checkpoint, sink, and metadata. Refuses while dependents
+    * exist — a dangling reader would tail a deleted directory.
+    */
+  def dropView(name: String): Unit = {
+    val v = views.getOrElse(name, throw new IllegalArgumentException(s"no view named $name"))
+    val dependents = views.values.filter(_.deps.contains(name)).map(_.name).toSeq
+    require(dependents.isEmpty,
+      s"view $name has dependents ${dependents.mkString(", ")}; drop them first")
+    v.query.stop()
+    views -= name
+    deleteRecursively(viewDir(name))
+    Files.deleteIfExists(metaPath(name)): Unit
+  }
+
+  /** The view's LIVE changefeed — the layering primitive, also usable by
+    * any external consumer ([[CdcMaterializer]], [[JoinView]], a
+    * `writeStream` of the caller's own).
+    */
+  def changes(name: String): Dataset[Change] = {
+    require(views.contains(name), s"no view named $name")
+    FeedSink.readChangeFeed(spark, feedDir(name))
+  }
+
+  /** Query the view BY NAME, batch: its current state folded from the
+    * committed sink partitions ([[FeedSink.stateAsOf]]), projected to
+    * the view's output columns. Values are strings — the Change wire
+    * contract; cast at the query site where a numeric is needed.
+    */
+  def snapshot(name: String): DataFrame = {
+    val v = views.getOrElse(name, throw new IllegalArgumentException(s"no view named $name"))
+    if (FeedSink.committedBatches(feedDir(name)).isEmpty) {
+      // nothing committed yet: the empty view, with its schema
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(v.cols.map(StructField(_, StringType))))
+    } else
+      FeedSink.stateAsOf(spark, feedDir(name), Long.MaxValue)
+        .select(v.cols.map(n => element_at(col("payload"), n).as(n)): _*)
+  }
+
+  /** Restart every persisted view from its checkpoint — the whole named
+    * graph, in dependency order. Call after re-registering the sources
+    * in a fresh session. Returns the resumed names.
+    */
+  def resume(): Seq[String] = {
+    val metaDir = Paths.get(root, "meta")
+    if (!Files.isDirectory(metaDir)) return Nil
+    val metas = Files.list(metaDir).iterator().asScala
+      .filter(_.toString.endsWith(".properties"))
+      .map(loadMeta).toSeq
+    topoOrder(metas.map(m => m._1 -> m._3).toMap).map { name =>
+      val (_, sql, deps) = metas.find(_._1 == name).get
+      val v = startView(name, sql, deps)
+      views(name) = v
+      name
+    }
+  }
+
+  /** Drain the whole graph deterministically (specs, batch-ish runs):
+    * `processAllAvailable` on every view in dependency order, so a
+    * layer's emissions land before its dependents drain. One pass
+    * suffices for any depth — upstream always drains first.
+    */
+  def awaitAll(): Unit =
+    topoOrder(views.map { case (n, v) => n -> v.deps }.toMap)
+      .foreach(n => views(n).query.processAllAvailable())
+
+  /** Stop every query without deleting anything (session shutdown; the
+    * graph resumes via [[resume]]).
+    */
+  def stopAll(): Unit = views.values.foreach(_.query.stop())
+
+  def viewNames: Seq[String]   = views.keys.toSeq
+  def sourceNames: Seq[String] = sources.keys.toSeq
+  def view(name: String): Option[NamedView] = views.get(name)
+
+  // ------------------------------------------------------------------
+
+  private def startView(name: String, sql: String, deps: Seq[String]): NamedView = {
+    val out = feedDir(name)
+    Files.createDirectories(Paths.get(out))
+    val feeds = deps.map { d =>
+      d -> (if (sources.contains(d)) sources(d)()
+            else FeedSink.readChangeFeed(spark, feedDir(d)))
+    }.toMap
+    val (changes, cols) = IncrementalPlanner.namedChanges(spark, sql, feeds)
+    val q = changes.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckDir(name))
+      .foreachBatch { (batch: DataFrame, id: Long) => FeedSink.writeChangeBatch(batch, id, out) }
+      .queryName(s"graft_view_$name")
+      .start()
+    NamedView(name, sql, deps, cols, q)
+  }
+
+  /** Every base-relation name the statement references, subqueries
+    * included (derived tables alias inline plans, not relations, so they
+    * never surface here).
+    */
+  private def referencedTables(plan: LogicalPlan): Set[String] = {
+    val direct = plan.collect { case r: UnresolvedRelation => r.multipartIdentifier.last }
+    val inSubq = plan.flatMap(_.expressions.flatMap(_.collect {
+      case s: SubqueryExpression => referencedTables(s.plan)
+    })).flatten
+    (direct ++ inSubq).toSet
+  }
+
+  private def topoOrder(deps: Map[String, Seq[String]]): Seq[String] = {
+    val order  = mutable.ArrayBuffer.empty[String]
+    val placed = mutable.Set.empty[String]
+    var remaining = deps
+    while (remaining.nonEmpty) {
+      val ready = remaining.collect {
+        case (n, ds) if ds.forall(d => placed.contains(d) || !deps.contains(d)) => n
+      }.toSeq.sorted
+      require(ready.nonEmpty,
+        s"dependency cycle among views ${remaining.keys.mkString(", ")}")
+      order ++= ready
+      placed ++= ready
+      remaining = remaining.removedAll(ready)
+    }
+    order.toSeq
+  }
+
+  private def persistMeta(v: NamedView): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("sql", v.sql)
+    p.setProperty("deps", v.deps.mkString(","))
+    p.setProperty("cols", v.cols.mkString(","))
+    Files.createDirectories(metaPath(v.name).getParent)
+    val w = Files.newBufferedWriter(metaPath(v.name))
+    try p.store(w, null) finally w.close()
+  }
+
+  private def loadMeta(path: java.nio.file.Path): (String, String, Seq[String]) = {
+    val p = new java.util.Properties()
+    val r = Files.newBufferedReader(path)
+    try p.load(r) finally r.close()
+    val name = path.getFileName.toString.stripSuffix(".properties")
+    val deps = Option(p.getProperty("deps")).map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    (name, p.getProperty("sql"), deps)
+  }
+
+  private def requireValidName(name: String): Unit =
+    require(NameRe.matches(name),
+      s"invalid name $name (identifiers: [A-Za-z_][A-Za-z0-9_]{0,63})")
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p): Unit
+  }
+}
