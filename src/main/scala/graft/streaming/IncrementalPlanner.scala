@@ -66,6 +66,28 @@ case class PlannedTopKRow(_emit: Long, rank: Long, row: Map[String, String])
 case class ApproxGroupState(n: Long, sums: Seq[Double], hlls: Seq[Array[Byte]],
     posTs: Long = 0L, posSeq: Long = 0L)
 
+/** One live contribution in a HOLISTIC aggregate view's group state:
+  * the key's numeric slot values plus its string values (listagg
+  * operands and order keys).
+  */
+case class HContrib(slots: Seq[Double], svals: Seq[String])
+
+/** Per-group state of a planned HOLISTIC aggregate view (exact
+  * percentile/median/listagg under retraction): every live key's raw
+  * contribution — order statistics and ordered concatenation are not
+  * invertible, so the group's full value multiset is the honest state
+  * (the session/exact-top-k class), guarded by
+  * `spark.graft.holistic.maxRowsPerGroup`.
+  */
+case class HolisticContribs(contribs: Map[Long, HContrib])
+
+/** One emitted change of a planned holistic aggregate view: numeric
+  * results ride `sums` (value slots first, percentile results after),
+  * string results (listagg) ride `strs`.
+  */
+case class HolisticGroupRow(group: String, live_rows: Long, sums: Seq[Double],
+    strs: Seq[String], tsUs: Long, seq: Long)
+
 /** A key's current projected row in a PLANNED select-where view. */
 case class PlannedRow(proj: Map[String, String], tsUs: Long, seq: Long, live: Boolean)
 
@@ -1706,6 +1728,31 @@ object IncrementalPlanner {
     */
   private final case class DistinctOut(op: String, sIdx: Int, name: String) extends OutCol
 
+  /** Exact percentile select item (holistic path only): `slot` holds the
+    * operand (NaN = SQL NULL, excluded), `frac` the requested fraction,
+    * `disc` picks percentile_disc's nearest-element rule over
+    * percentile_cont's interpolation, `desc` the WITHIN GROUP direction.
+    * The result rides the sums vector AFTER the value slots.
+    */
+  private final case class PercOut(slot: Int, frac: Double, disc: Boolean,
+      desc: Boolean, name: String) extends OutCol
+
+  /** `listagg/string_agg` select item (holistic path only): `valIdx` /
+    * `ordIdx` index the per-key string-value vector (the operand and the
+    * WITHIN GROUP order key — the operand itself when no ORDER BY is
+    * given, so output is deterministic either way; ties break by change
+    * key). The result rides the `strs` vector.
+    */
+  private final case class ListAggOut(valIdx: Int, ordIdx: Int, desc: Boolean,
+      sep: String, name: String) extends OutCol
+
+  /** The aggregate functions that need the group's full value multiset
+    * (order statistics, ordered concatenation) — routed to
+    * [[compileHolisticAgg]].
+    */
+  private val HolisticFns =
+    Set("percentile_cont", "percentile_disc", "median", "percentile", "listagg", "string_agg")
+
   /** Compile one aggregate-function select item to its [[OutCol]],
     * registering value slots via `addSlot` — shared by the flat
     * (signed-delta / keyed) and session-window paths, which differ only
@@ -1841,7 +1888,7 @@ object IncrementalPlanner {
     // it — the hidden columns are dropped from the view after the
     // HAVING filter applies
     val havingAggFns = Set("count", "sum", "avg", "min", "max",
-      "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop")
+      "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop") ++ HolisticFns
     val (norm, having1, hidden) = having match {
       case Some(cond) if cond.exists {
           case f: UnresolvedFunction => havingAggFns(f.nameParts.last.toLowerCase)
@@ -1866,9 +1913,16 @@ object IncrementalPlanner {
       case f: UnresolvedFunction => f.nameParts.last.equalsIgnoreCase("approx_count_distinct")
       case _                     => false
     })
+    val hasHolistic = norm.aggregateExpressions.exists(_.exists {
+      case f: UnresolvedFunction => HolisticFns(f.nameParts.last.toLowerCase)
+      case _                     => false
+    })
     if (hasApprox) {
       require(!hasDistinct, "approx_count_distinct does not mix with exact DISTINCT " +
         "aggregates in one view — split into two views over the same feed")
+      require(!hasHolistic, "approx_count_distinct does not mix with exact percentile/" +
+        "listagg in one view — sketches cannot retract, the holistic path must; split " +
+        "into two views over the same feed")
       require(ttl.isEmpty, "approx_count_distinct views are append-only; they do not " +
         "compose with materializeExpiring (there is no dead state to expire)")
       require(!keepMeta, "approx views do not compose with materializeAggChanges/" +
@@ -1888,7 +1942,15 @@ object IncrementalPlanner {
       require(!keepMeta, "session-window views do not compose with " +
         "materializeAggChanges/materializeTopK — consume the view's own changefeed " +
         "(its key is the group keys + <name>_start_us)")
+      require(!hasHolistic, "exact percentile/listagg does not combine with " +
+        "session_window groupings yet — aggregate the session view's changefeed in a " +
+        "second layered view instead")
       dropHidden(compileSessionAggregate(spark, norm, feeds, ttl, having1), hidden)
+    }
+    else if (hasHolistic) {
+      require(!hasDistinct, "exact percentile/listagg does not mix with DISTINCT " +
+        "aggregates in one view — split into two views over the same feed")
+      dropHidden(compileHolisticAgg(spark, norm, feeds, ttl, having1, keepMeta), hidden)
     }
     else if (!hasDistinct)
       dropHidden(compileAggregateFlat(spark, norm, feeds, ttl, having1, keepMeta), hidden)
@@ -2279,6 +2341,312 @@ object IncrementalPlanner {
       case None => selected
     }
     PlannedView(withHaving, OutputMode.Append())
+  }
+
+  /** HOLISTIC aggregate views: exact `percentile_cont/percentile_disc
+    * (f) WITHIN GROUP (ORDER BY x [DESC])`, `median(x)`, `percentile(x,
+    * f)`, and `listagg/string_agg(x[, sep]) [WITHIN GROUP (ORDER BY o
+    * [DESC])]` per group under FULL retraction — the live-p95 dashboard
+    * shape no signed-delta fold can maintain (order statistics are not
+    * invertible: deleting the current median must re-derive it from the
+    * remaining multiset). Compiled as:
+    *
+    *  - stage 1: the shared per-change-key LWW fold ([[keyFold]] — the
+    *    min/max path's key-level diff), numeric operands riding the
+    *    slot vector (NaN = SQL NULL, excluded) and string operands /
+    *    order keys riding `svals`;
+    *  - stage 2: per group, maintain every live key's raw contribution
+    *    and RE-DERIVE each result on touch: percentiles sort the slot's
+    *    non-NULL values (disc picks the ceil(f·n)-th element, cont
+    *    interpolates at (n−1)·f; DESC folds as the mirrored position),
+    *    listagg sorts (order key, change key) — deterministic even
+    *    without WITHIN GROUP (the operand itself orders, ties by key) —
+    *    and concatenates. Plain count/sum/avg/min/max/stddev ride along,
+    *    re-aggregated exactly from the same contributions.
+    *
+    * State is O(live rows per group) — the honest cost of exact order
+    * statistics under retraction (the session/exact-top-k class, NOT the
+    * O(1)-per-group signed-delta class), sharded one group per state
+    * shard. `spark.graft.holistic.maxRowsPerGroup` (default 1e6) bounds
+    * it: the fold RAISES past the bound naming the mitigations instead
+    * of silently OOMing one shard at 100 TB. HAVING, ROLLUP/CUBE/
+    * GROUPING SETS, window(...) groupings, materializeExpiring (stage-1
+    * tombstone TTL), and keepMeta (named/layered views) all compose —
+    * each level holds its own contribution copy, the grouping-sets cost
+    * already documented on the session path.
+    */
+  private def compileHolisticAgg(spark: SparkSession, agg: Aggregate,
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)],
+      having: Option[Expression],
+      keepMeta: Boolean): PlannedView = {
+    val src       = compileSource(spark, agg.child, feeds)
+    val preds     = src.filters.map(compileExpr)
+    val (baseExprs, levels) = expandGroupingSets(agg.groupingExpressions)
+    val groupSlots = baseExprs.map(compileGroupSlot)
+    require(groupSlots.count(_.isInstanceOf[WindowSlot]) <= 1,
+      "at most one window(...) grouping per view (Spark's own windowed-aggregation rule)")
+    require(levels.length == 1 || groupSlots.forall(_.isInstanceOf[ScalarSlot]),
+      "window(...) groupings do not combine with ROLLUP/CUBE/GROUPING SETS")
+    val groupSql  = baseExprs.map(_.sql)
+
+    val slotFns = scala.collection.mutable.ArrayBuffer.empty[Eval]
+    def addSlot(f: Eval): Int = { slotFns += f; slotFns.size - 1 }
+    val sFns = scala.collection.mutable.ArrayBuffer.empty[Eval]
+    def addSval(f: Eval): Int = { sFns += f; sFns.size - 1 }
+
+    val outCols: Seq[OutCol] = agg.aggregateExpressions.zipWithIndex.map { case (ne, i) =>
+      val core = coreOf(ne)
+      val name = outName(ne, s"col$i")
+      core match {
+        case e if groupSql.indexOf(e.sql) >= 0 => GroupOut(groupSql.indexOf(e.sql), name)
+        case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("grouping") =>
+          f.arguments match {
+            case Seq(e) if groupSql.indexOf(e.sql) >= 0 => GroupingOut(Seq(groupSql.indexOf(e.sql)), name)
+            case other => throw unsupported(
+              s"grouping(${other.map(_.sql).mkString(",")}) (argument must be a grouping column)")
+          }
+        case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("grouping_id") =>
+          val idxs =
+            if (f.arguments.isEmpty) groupSql.indices
+            else f.arguments.map { e =>
+              val i = groupSql.indexOf(e.sql)
+              if (i < 0) throw unsupported(s"grouping_id argument ${e.sql} is not a grouping column")
+              i
+            }
+          GroupingOut(idxs, name)
+        case f: UnresolvedFunction if HolisticFns(f.nameParts.last.toLowerCase) =>
+          compileHolisticFnOut(f, name, addSlot, addSval)
+        case f: UnresolvedFunction =>
+          compileAggFnOut(f.nameParts.last.toLowerCase, f.arguments, name, addSlot,
+            nullSumAsNaN = true)
+        case other => throw unsupported(
+          s"select item ${other.sql} (neither grouping expr nor a supported aggregate)")
+      }
+    }
+
+    val slots  = slotFns.toIndexedSeq
+    val sSlots = sFns.toIndexedSeq
+    val extract: Change => Option[(Seq[String], Seq[Double], Seq[String])] = { c =>
+      val env  = envOf(c)
+      val pass = preds.forall(p => p(env).contains(true))
+      if (!pass) None
+      else {
+        val parts: Seq[Seq[String]] = groupSlots.map {
+          case ScalarSlot(f) => Seq(f(env).map(String.valueOf(_)).getOrElse(NullMark))
+          case WindowSlot(w) => windowStartsOf(w, env)
+        }
+        val keys = levels.flatMap { active =>
+          parts.zipWithIndex
+            .map { case (ps, i) => if (active.contains(i)) ps else Seq(RollMark) }
+            .foldLeft(Seq(Vector.empty[String])) { (acc, p) =>
+              for (a <- acc; x <- p) yield a :+ x
+            }
+            .map(_.mkString(Sep))
+        }
+        Some((keys,
+          slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 }),
+          sSlots.map(s => s(env).map(String.valueOf(_)).getOrElse(NullMark))))
+      }
+    }
+
+    val slotOps: Seq[String] = {
+      val ops = Array.fill(slots.length)("sum")
+      outCols.foreach {
+        case MinOut(s, _) => ops(s) = "min"
+        case MaxOut(s, _) => ops(s) = "max"
+        case _            => ()
+      }
+      ops.toIndexedSeq
+    }
+    val pSpecs: Seq[(Int, Double, Boolean, Boolean)] =
+      outCols.collect { case PercOut(s, f, d, de, _) => (s, f, d, de) }
+    val lSpecs: Seq[(Int, Int, Boolean, String)] =
+      outCols.collect { case ListAggOut(v, o, d, sep, _) => (v, o, d, sep) }
+    val maxRows = spark.conf.get("spark.graft.holistic.maxRowsPerGroup", "1000000").toInt
+
+    implicit val contribEnc = Encoders.product[PlannedContrib]
+    implicit val keyChEnc   = Encoders.product[PlannedKeyChange]
+    implicit val stateEnc   = Encoders.product[HolisticContribs]
+    implicit val rowEnc     = Encoders.product[HolisticGroupRow]
+    implicit val longEnc    = Encoders.scalaLong
+    implicit val stringEnc  = Encoders.STRING
+    val inChanges = ttl match {
+      case Some((delay, _)) => src.changes.withWatermark("ts", delay)
+      case None             => src.changes
+    }
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    val groupRows = inChanges
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(expiring(ttl, keyFold(extract)))
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        holisticFold(slotOps, pSpecs, lSpecs, maxRows))
+      .toDF()
+
+    val parts = split(col("group"), Sep)
+    def slotCol(i: Int) = element_at(col("sums"), i + 1)
+    var pSeen = -1
+    var lSeen = -1
+    val outExprs = outCols.map {
+      case PercOut(_, _, _, _, name) =>
+        pSeen += 1
+        val c = element_at(col("sums"), slots.length + pSeen + 1)
+        when(isnan(c), lit(null)).otherwise(c).as(name)
+      case ListAggOut(_, _, _, _, name) =>
+        lSeen += 1
+        val c = element_at(col("strs"), lSeen + 1)
+        when(c === NullMark, lit(null)).otherwise(c).as(name)
+      // NaN marks an all-NULL-operand group's sum (nullSumAsNaN) → SQL NULL
+      case SumOut(slot, name) =>
+        when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
+      case oc => outColExpr(oc, slotCol, parts)
+    }
+    val metaCols =
+      if (keepMeta) Seq(col("group").as("_group"), col("tsUs").as("_ts_us"), col("seq").as("_seq"))
+      else Nil
+    val selected = groupRows.select(outExprs ++ (col("live_rows").as("_live_rows") +: metaCols): _*)
+    val withHaving = having match {
+      case Some(cond) =>
+        selected.withColumn("_live_rows",
+          when(coalesce(expr(cond.sql), lit(false)), col("_live_rows")).otherwise(lit(0L)))
+      case None => selected
+    }
+    PlannedView(withHaving, OutputMode.Append())
+  }
+
+  /** Parse one holistic select item. Fractions must be literals in
+    * [0, 1]; `median(x)` ≡ `percentile_cont(0.5) WITHIN GROUP (ORDER BY
+    * x)`; Spark's `percentile(x, f)` is the same interpolating form.
+    */
+  private def compileHolisticFnOut(f: UnresolvedFunction, name: String,
+      addSlot: Eval => Int, addSval: Eval => Int): OutCol = {
+    val fn = f.nameParts.last.toLowerCase
+    require(!f.isDistinct, s"$fn(DISTINCT ...) is unsupported in planner views")
+    def numSlot(e: Expression): Int = {
+      val ca = compileExpr(e)
+      addSlot(env => Some(ca(env).flatMap(asNum).getOrElse(Double.NaN)))
+    }
+    def fracOf(e: Expression): Double = e match {
+      case l: Literal =>
+        val d = litValue(l.value).map(String.valueOf).flatMap(_.toDoubleOption)
+          .getOrElse(throw unsupported(s"percentile fraction ${e.sql} (numeric literal)"))
+        require(d >= 0.0 && d <= 1.0, s"percentile fraction $d out of [0, 1]")
+        d
+      case other => throw unsupported(s"percentile fraction ${other.sql} (literal only)")
+    }
+    (fn, f.arguments, f.orderingWithinGroup) match {
+      case ("median", Seq(e), Seq()) =>
+        PercOut(numSlot(e), 0.5, disc = false, desc = false, name)
+      case ("percentile", Seq(e, fr), Seq()) =>
+        PercOut(numSlot(e), fracOf(fr), disc = false, desc = false, name)
+      case ("percentile_cont" | "percentile_disc", Seq(fr), Seq(so)) =>
+        PercOut(numSlot(so.child), fracOf(fr), disc = fn.endsWith("disc"),
+          desc = so.direction == Descending, name)
+      case ("listagg" | "string_agg", args, owg) =>
+        val (vE, sep) = args match {
+          case Seq(e)             => (e, "")
+          case Seq(e, l: Literal) => (e, litValue(l.value).map(String.valueOf).getOrElse(""))
+          case other => throw unsupported(
+            s"$fn(${other.map(_.sql).mkString(",")}) (need $fn(<expr>[, '<sep>']))")
+        }
+        val vIdx = addSval(compileExpr(vE))
+        owg match {
+          case Seq()   => ListAggOut(vIdx, vIdx, desc = false, sep, name)
+          case Seq(so) => ListAggOut(vIdx, addSval(compileExpr(so.child)),
+            desc = so.direction == Descending, sep, name)
+          case _ => throw unsupported(
+            s"$fn WITHIN GROUP with multiple sort keys (order by one expression)")
+        }
+      case _ => throw unsupported(s"holistic aggregate ${f.sql}")
+    }
+  }
+
+  /** Stage-2 fold of the holistic path: maintain the group's per-key
+    * raw contributions and RE-DERIVE every result on touch — order
+    * statistics from the sorted non-NULL slot values, listagg from the
+    * (order key, change key)-sorted string values, plain slots exactly
+    * as [[sessionFold]]'s per-session aggregation. Cost O(live rows in
+    * the touched group · log) per batch, paid only by touched groups.
+    */
+  private def holisticFold(slotOps: Seq[String], pSpecs: Seq[(Int, Double, Boolean, Boolean)],
+      lSpecs: Seq[(Int, Int, Boolean, String)], maxRows: Int)(
+      group: String,
+      changes: Iterator[PlannedKeyChange],
+      state: GroupState[HolisticContribs]): Iterator[HolisticGroupRow] = {
+    val before = state.getOption.map(_.contribs).getOrElse(Map.empty[Long, HContrib])
+    var posTs  = 0L
+    var posSeq = 0L
+    val after = changes.foldLeft(before) { (m, c) =>
+      if (c.tsUs > posTs || (c.tsUs == posTs && c.seq > posSeq)) { posTs = c.tsUs; posSeq = c.seq }
+      if (c.live) m + (c.key -> HContrib(c.slots, c.svals)) else m - c.key
+    }
+    if (after == before) Iterator.empty // batch net-cancelled
+    else if (after.isEmpty) {
+      state.remove()
+      Iterator.single(HolisticGroupRow(group, 0L,
+        Seq.fill(slotOps.length + pSpecs.length)(0.0), Seq.fill(lSpecs.length)(NullMark),
+        posTs, posSeq))
+    } else {
+      require(after.size <= maxRows,
+        s"holistic view group has ${after.size} live rows, over " +
+          s"spark.graft.holistic.maxRowsPerGroup=$maxRows — exact percentile/listagg under " +
+          "retraction holds the group's full value multiset; prefilter with WHERE, raise " +
+          "the bound deliberately, or accept approximation (approx_count_distinct-class " +
+          "sketches) if exactness is not required")
+      state.update(HolisticContribs(after))
+      val sums = slotOps.zipWithIndex.map { case (op, i) =>
+        val vs = after.values.iterator.map(h => if (i < h.slots.length) h.slots(i) else Double.NaN)
+        val xs = vs.filterNot(_.isNaN).toSeq
+        op match {
+          case "sum" => if (xs.isEmpty) Double.NaN else xs.sum
+          case "min" => if (xs.isEmpty) Double.NaN else xs.min
+          case "max" => if (xs.isEmpty) Double.NaN else xs.max
+        }
+      }
+      val psums = pSpecs.map { case (slot, frac, disc, desc) =>
+        val xs = after.values.iterator
+          .map(h => if (slot < h.slots.length) h.slots(slot) else Double.NaN)
+          .filterNot(_.isNaN).toArray
+        if (xs.isEmpty) Double.NaN
+        else {
+          java.util.Arrays.sort(xs)
+          val n = xs.length
+          if (disc) {
+            // the first value (walking the requested direction) whose
+            // cumulative share reaches frac: ceil(frac·n)-th element
+            val k = math.max(0, math.min(n - 1, math.ceil(frac * n).toInt - 1))
+            if (desc) xs(n - 1 - k) else xs(k)
+          } else {
+            // linear interpolation at (n−1)·f over the ascending sort;
+            // DESC mirrors the position (cont over the reversed order ≡
+            // cont at 1−f over the ascending one)
+            val fAsc = if (desc) 1.0 - frac else frac
+            val h    = (n - 1).toDouble * fAsc
+            val lo   = math.floor(h).toInt
+            val hi   = math.min(lo + 1, n - 1)
+            xs(lo) + (h - lo) * (xs(hi) - xs(lo))
+          }
+        }
+      }
+      val strs = lSpecs.map { case (vIdx, oIdx, desc, sep) =>
+        val items = after.iterator.map { case (k, h) =>
+          val v = if (vIdx < h.svals.length) h.svals(vIdx) else NullMark
+          val o = if (oIdx < h.svals.length) h.svals(oIdx) else NullMark
+          (v, o, k)
+        }.filter(_._1 != NullMark).toSeq // SQL listagg skips NULL operands
+        if (items.isEmpty) NullMark
+        else items.sortWith { case ((_, o1, k1), (_, o2, k2)) =>
+          // ASC defaults NULLS FIRST, DESC defaults NULLS LAST (Spark's
+          // own rule); ties (and the no-ORDER-BY case's equal operands)
+          // break by change key for batch-invariant determinism
+          val c = cmpSort(o1, o2, asc = !desc, nullsFirst = !desc)
+          if (c != 0) c < 0 else k1 < k2
+        }.map(_._1).mkString(sep)
+      }
+      Iterator.single(HolisticGroupRow(group, after.size.toLong, sums ++ psums, strs, posTs, posSeq))
+    }
   }
 
   /** SESSION-window views: `GROUP BY session_window(<ts>, '<gap>')`

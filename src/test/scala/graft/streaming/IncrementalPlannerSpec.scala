@@ -3257,4 +3257,122 @@ class IncrementalPlannerSpec extends SparkSpec {
       4L -> Seq[Any]("d", "120.0", "130.0")),
       s"mixed framed sums after neighbor death: $got")
   }
+
+  test("#171cd exact percentile/median under retraction == Spark's own batch percentiles through churn incl. last-row delete") {
+    val sql = "SELECT city, " +
+      "percentile_cont(0.5) WITHIN GROUP (ORDER BY amount) AS p50, " +
+      "percentile_disc(0.75) WITHIN GROUP (ORDER BY amount) AS p75, " +
+      "percentile_cont(0.25) WITHIN GROUP (ORDER BY amount DESC) AS p25d, " +
+      "median(amount) AS med, count(*) AS n, max(amount) AS hi FROM t GROUP BY city"
+    def ins(k: Long, city: String, amount: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> city, "amount" -> amount), seq)
+    val b1 = Seq(
+      ins(1L, "ber", "10", 1L), ins(2L, "ber", "20", 2L), ins(3L, "ber", "30", 3L),
+      ins(4L, "ber", "80", 4L), ins(5L, "par", "5", 5L), ins(6L, "par", "7", 6L),
+      ins(7L, "rom", "99", 7L))
+    // churn: delete ber's current median neighbor, MOVE a key par→ber
+    // (retract one side, add the other), change an amount in place, and
+    // delete rom's LAST row (the group must tombstone)
+    val b2 = Seq(
+      Change("delete", 2L, ts(10), Map.empty, 8L),
+      Change("update", 5L, ts(11), Map("city" -> "ber", "amount" -> "40"), 9L),
+      Change("update", 6L, ts(12), Map("city" -> "par", "amount" -> "11"), 10L),
+      Change("delete", 7L, ts(13), Map.empty, 11L))
+    runView(sql, "pv_holistic", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val got = aggState("pv_holistic", Seq("city"))
+    // batch truth: Spark's OWN inverse-distribution functions over the
+    // final LWW state
+    import spark.implicits._
+    finalState(b1 ++ b2).toSeq
+      .map { case (k, p) => (k, p("city"), p("amount").toDouble) }
+      .toDF("key", "city", "amount").createOrReplaceTempView("hol_batch")
+    val want = spark.sql(
+      "SELECT city, percentile_cont(0.5) WITHIN GROUP (ORDER BY amount) AS p50, " +
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY amount) AS p75, " +
+        "percentile_cont(0.25) WITHIN GROUP (ORDER BY amount DESC) AS p25d, " +
+        "median(amount) AS med, count(*) AS n, max(amount) AS hi FROM hol_batch GROUP BY city")
+      .collect().map(r => Seq[Any](r.getAs[String]("city")) ->
+        Seq[Any](r.getAs[Double]("p50"), r.getAs[Double]("p75"), r.getAs[Double]("p25d"),
+          r.getAs[Double]("med"), r.getAs[Long]("n"), r.getAs[Double]("hi"))).toMap
+    assert(got == want, s"holistic view\n  $got\n  != Spark batch\n  $want")
+    assert(!got.contains(Seq[Any]("rom")), "rom's last-row delete must tombstone the group")
+    // spot-check the interpolation: ber = {10,30,40,80} → p50 = 35.0
+    assert(got(Seq[Any]("ber")).head == 35.0, s"ber p50: ${got(Seq[Any]("ber"))}")
+
+    // HAVING over an UNPROJECTED percentile composes via the hoist
+    runView("SELECT city, count(*) AS n FROM t GROUP BY city " +
+      "HAVING percentile_cont(0.5) WITHIN GROUP (ORDER BY amount) > 12",
+      "pv_hol_having", Seq(Map("t" -> b1)))
+    val gotH = aggState("pv_hol_having", Seq("city")).keySet
+    // b1 medians: ber {10,20,30,80} = 25 > 12 in; par {5,7} = 6 out; rom 99 in
+    assert(gotH == Set(Seq[Any]("ber"), Seq[Any]("rom")), s"HAVING median gate: $gotH")
+  }
+
+  test("#171ce listagg/string_agg under retraction: WITHIN GROUP order, reorders, deletes, NULL skipping") {
+    val sql = "SELECT city, listagg(status, ',') WITHIN GROUP (ORDER BY ets) AS sl, " +
+      "string_agg(status, '|') AS sa FROM t GROUP BY city"
+    def ins(k: Long, city: String, status: String, ets: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt),
+        Map("city" -> city, "status" -> status, "ets" -> ets), seq)
+    val b1 = Seq(
+      ins(1L, "ber", "open", "3", 1L), ins(2L, "ber", "ack", "1", 2L),
+      ins(3L, "ber", "done", "2", 3L), ins(4L, "par", "open", "1", 4L),
+      // a NULL operand: listagg must skip it (SQL NULL exclusion), the
+      // row still counts toward the group's liveness
+      Change("insert", 5L, ts(5), Map("city" -> "par", "ets" -> "2"), 5L))
+    runView(sql, "pv_listagg", Seq(Map("t" -> b1)))
+    val got1 = aggState("pv_listagg", Seq("city"))
+    assert(got1(Seq[Any]("ber")) == Seq[Any]("ack,done,open", "ack|done|open"), s"ber: $got1")
+    assert(got1(Seq[Any]("par")) == Seq[Any]("open", "open"), s"par skips the NULL operand: $got1")
+    // REORDER (key 2 moves to the end of the ORDER BY), then a delete
+    val b2 = Seq(Change("update", 2L, ts(10), Map("city" -> "ber", "status" -> "ack", "ets" -> "9"), 6L))
+    val b3 = Seq(Change("delete", 3L, ts(11), Map.empty, 7L))
+    runView(sql, "pv_listagg2", Seq(Map("t" -> b1), Map("t" -> b2), Map("t" -> b3)))
+    val got2 = aggState("pv_listagg2", Seq("city"))
+    assert(got2(Seq[Any]("ber")) == Seq[Any]("open,ack", "ack|open"),
+      s"reorder + delete must re-derive the concatenation: $got2")
+    // batch cross-check of the WITHIN GROUP form against Spark's own listagg
+    import spark.implicits._
+    finalState(b1 ++ b2 ++ b3).toSeq
+      .map { case (k, p) => (k, p("city"), p.get("status").orNull, p("ets").toInt) }
+      .toDF("key", "city", "status", "ets").createOrReplaceTempView("la_batch")
+    val want = spark.sql("SELECT city, listagg(status, ',') WITHIN GROUP (ORDER BY ets) AS sl " +
+      "FROM la_batch GROUP BY city").collect()
+      .map(r => r.getAs[String]("city") -> r.getAs[String]("sl")).toMap
+    assert(got2.map { case (g, v) => g.head -> v.head } == want,
+      s"listagg view ${got2} != Spark batch $want")
+  }
+
+  test("#171cf holistic guard + rejects: maxRowsPerGroup raises; DISTINCT/session/approx/non-literal-fraction combos reject") {
+    def ins(k: Long, city: String, amount: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> city, "amount" -> amount), seq)
+    val b1 = (1L to 4L).map(k => ins(k, "ber", (k * 10).toString, k))
+    spark.conf.set("spark.graft.holistic.maxRowsPerGroup", "3")
+    try {
+      val e = intercept[Exception] {
+        runView("SELECT city, median(amount) AS m FROM t GROUP BY city",
+          "pv_hol_guard", Seq(Map("t" -> b1)))
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("maxRowsPerGroup"), s"expected the guard's raise, got: $msgs")
+    } finally spark.conf.unset("spark.graft.holistic.maxRowsPerGroup")
+
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def rejects(sql: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        IncrementalPlanner.materialize(spark, sql, Map("t" -> MemoryStream[Change].toDS()))
+      }
+      assert(e.getMessage.contains(needle), s"for $sql got: ${e.getMessage}")
+    }
+    rejects("SELECT city, median(amount) AS m, count(DISTINCT amount) AS d FROM t GROUP BY city",
+      "does not mix with DISTINCT")
+    rejects("SELECT session_window(ev, '1 minute') AS sw, median(amount) AS m FROM t " +
+      "GROUP BY session_window(ev, '1 minute')", "session_window")
+    rejects("SELECT city, median(amount) AS m, approx_count_distinct(amount) AS d FROM t GROUP BY city",
+      "does not mix with exact percentile")
+    rejects("SELECT city, percentile_cont(amount) WITHIN GROUP (ORDER BY amount) AS p FROM t GROUP BY city",
+      "literal")
+  }
 }
