@@ -493,24 +493,52 @@ object Dedup {
     val isNew   = col("source").isin(newSources: _*)
     val newDocs = docs.filter(isNew)
     val corpus  = docs.filter(!isNew)
-    // exact tier: at scale this hash index is the standing artifact of the
-    // corpus's own d01 pass — one row per distinct content hash
-    val corpusHashes = corpus
+    verdictsAgainstIndex(newDocs, corpusHashIndex(corpus), corpusPostings(corpus), threshold)
+  }
+
+  /** The standing corpus's exact-tier index — one row per distinct
+    * content hash (at scale, the persisted artifact of the corpus's own
+    * d01 pass, republished as the corpus grows).
+    */
+  def corpusHashIndex(corpus: DataFrame): DataFrame =
+    corpus
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("exact_match"))
+
+  /** The standing corpus's near-tier postings index: distinct (doc_id,
+    * 5-shingle hash) rows — the other persisted artifact d07-class
+    * checks probe.
+    */
+  def corpusPostings(corpus: DataFrame): DataFrame =
+    Shingles.shingleRows(corpus, 5)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      .distinct()
+
+  /** The d07 verdict ladder against a PRECOMPUTED corpus index — the
+    * shared core of [[incrementalDedup]] (which derives the index from
+    * the corpus split) and [[graft.streaming.CurationStream]]'s live
+    * tier (which re-resolves a PUBLISHED index per micro-batch): both
+    * paths produce identical verdicts by construction, the parity the
+    * streaming spec pins. Cost ∝ the new batch: the corpus side is
+    * semi-joined down to grams the batch actually mentions before any
+    * wide join.
+    */
+  def verdictsAgainstIndex(
+      newDocs: DataFrame,
+      corpusHashes: DataFrame,
+      corpusPost: DataFrame,
+      threshold: Double = 0.5,
+  ): DataFrame = {
     val exactHits = newDocs
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
       .join(corpusHashes, Seq("content_hash"))
       .select(col("doc_id"), col("exact_match"))
     // near tier: batch postings vs corpus postings restricted to the
     // batch's grams (left_semi BEFORE the join — the incremental bound)
-    def postingsOf(d: DataFrame) = Shingles
-      .shingleRows(d, 5)
+    val newPost = Shingles.shingleRows(newDocs, 5)
       .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
       .distinct()
-    val newPost    = postingsOf(newDocs)
-    val corpusPost = postingsOf(corpus)
-    val touched    = corpusPost.join(newPost.select("g").distinct(), Seq("g"), "left_semi")
+    val touched = corpusPost.join(newPost.select("g").distinct(), Seq("g"), "left_semi")
     val overlap = newPost
       .as("x")
       .join(touched.as("y"), Seq("g"))

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Streaming training-data curation (SURVEY.md §2.3 #82): the batch
   * cleaning pipeline (normalize → quality-gate → exact-dedup) applied to a
@@ -54,4 +55,75 @@ object CurationStream {
       minTokens: Int = 5): DataFrame =
     cleanDocs(docs, watermarkDelay, minTokens)
       .join(corpusHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
+
+  // ------------------------------------------------------------------
+  // #237: the STREAMING NEAR-DUP tier — d07's full verdict ladder
+  // (exact_dup > near_dup > novel) judged live per micro-batch against
+  // the standing corpus index, not just the exact-hash guard above.
+  // ------------------------------------------------------------------
+
+  /** Publish the standing corpus's dedup index under `indexDir`:
+    * `hashes/` (d01's content-hash index) and `postings/` (the 5-shingle
+    * postings) — the two artifacts [[dedupVerdicts]] probes. Overwrite-
+    * republish as the corpus grows; running verdict streams pick the new
+    * index up at their NEXT micro-batch without restart (the #124
+    * resolve-inside-foreachBatch pattern).
+    */
+  def publishDedupIndex(corpus: DataFrame, indexDir: String): Unit = {
+    graft.operators.Dedup.corpusHashIndex(corpus)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/hashes")
+    graft.operators.Dedup.corpusPostings(corpus)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings")
+  }
+
+  /** One micro-batch's verdicts + dead letters. Poison documents (NULL
+    * doc_id or NULL/empty text — rows the shingler and hasher would
+    * judge garbage on) are split out, never judged: one bad crawl record
+    * must not kill the query (the #31c discipline). Returns
+    * `(verdicts, poison)`.
+    */
+  def verdictBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val poisonCond = col("doc_id").isNull || col("text").isNull || trim(col("text")) === ""
+    val poison  = batch.filter(poisonCond)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id").isNull, "null_doc_id").otherwise("empty_text").as("reason"))
+    val good    = batch.filter(!coalesce(poisonCond, lit(true)))
+    val hashes  = spark.read.parquet(s"$indexDir/hashes")
+    val posts   = spark.read.parquet(s"$indexDir/postings")
+    (graft.operators.Dedup.verdictsAgainstIndex(good, hashes, posts, threshold), poison)
+  }
+
+  /** The live d07: judge every arriving document against the standing
+    * corpus index, batch-parity by construction — each micro-batch runs
+    * the SAME [[graft.operators.Dedup.verdictsAgainstIndex]] core the
+    * batch operator runs, against the index as published at that
+    * moment. Verdicts land in `outDir` partitioned by batch id (the
+    * [[FeedSink.writeBatch]] idempotent-replay discipline), dead letters
+    * append to `dlqDir`.
+    *
+    * Scale shape: per batch, cost ∝ batch size — the corpus postings
+    * prune to the batch's grams via semi-join before any wide join (an
+    * index LOOKUP at 100 TB, provided the postings are bucketed/sorted
+    * by gram on publish), and the index re-resolve per batch is a
+    * metadata read, not a scan.
+    */
+  def dedupVerdictsStream(spark: SparkSession, docs: DataFrame, indexDir: String,
+      outDir: String, dlqDir: String,
+      threshold: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (verdicts, poison) = verdictBatch(spark, batch, indexDir, threshold)
+        verdicts
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        val dead = poison.count()
+        if (dead > 0)
+          poison.withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Append).parquet(dlqDir)
+      }
 }

@@ -1676,4 +1676,76 @@ class StreamingSpec extends SparkSpec {
         "rows after the expiry horizon still join")
     } finally q.stop()
   }
+
+  test("#237 streaming near-dup tier: stream verdicts == Dedup.incrementalDedup batch verdicts on the same boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the EXACT d07 setup on the real documents table: corpus = the
+    // standing sources, new batch = src18/src19 — the batch operator and
+    // the stream judge the same boundary, against the same published index
+    val docs  = graft.sources.Tables.documents(spark, sf)
+    val isNew = col("source").isin("src18", "src19")
+    val (indexDir, outDir, dlqDir) = (tmp("ndidx"), tmp("ndout"), tmp("nddlq"))
+    CurationStream.publishDedupIndex(docs.filter(!isNew), indexDir)
+    val newDocs = docs.filter(isNew).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), ts(0), r.getAs[String]("text"))).toSeq
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = CurationStream.dedupVerdictsStream(spark,
+        input.toDF().toDF("doc_id", "ts", "text"), indexDir, outDir, dlqDir)
+      .option("checkpointLocation", tmp("ndck")).start()
+    try {
+      input.addData(newDocs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def tup(r: org.apache.spark.sql.Row) = (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"),
+      Option(r.getAs[Any]("match_doc")), Option(r.getAs[Any]("jaccard")))
+    val got  = spark.read.parquet(outDir)
+      .select("doc_id", "verdict", "match_doc", "jaccard").collect().map(tup).toSet
+    val want = graft.operators.Dedup.incrementalDedup(spark, sf).collect().map(tup).toSet
+    assert(got == want, s"stream verdicts must equal the batch operator's:\n got ${got.size} rows\n want ${want.size} rows")
+    assert(want.exists(_._2 != "novel"), "the fixture must exercise dup verdicts, not only novel")
+    val dlqFiles = Option(new java.io.File(dlqDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dlqFiles.isEmpty, "clean feed must produce no dead letters")
+  }
+
+  test("#237b republished index applies at the NEXT micro-batch; poison docs dead-letter, never judged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (indexDir, outDir, dlqDir) = (tmp("nd2idx"), tmp("nd2out"), tmp("nd2dlq"))
+    val corpusText = "the quick brown fox jumps over the lazy dog again and again"
+    CurationStream.publishDedupIndex(
+      Seq((100L, corpusText)).toDF("doc_id", "text"), indexDir)
+    val input = MemoryStream[(Option[Long], Timestamp, String)]
+    val q = CurationStream.dedupVerdictsStream(spark,
+        input.toDF().toDF("doc_id", "ts", "text"), indexDir, outDir, dlqDir)
+      .option("checkpointLocation", tmp("nd2ck")).start()
+    try {
+      // batch 1: an exact dup, a near dup (drops one word: jaccard 7/8),
+      // a novel doc, and two POISON rows (null id / empty text)
+      input.addData(
+        (Some(1L), ts(0), corpusText),
+        (Some(2L), ts(0), "the quick brown fox jumps over the lazy dog again and"),
+        (Some(3L), ts(0), "completely unrelated words about databases and scala and spark streams"),
+        (None, ts(0), "poison row without a doc id"),
+        (Some(4L), ts(0), "  "))
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+      assert(v1 == Map(1L -> "exact_dup", 2L -> "near_dup", 3L -> "novel"), s"batch-1 verdicts: $v1")
+      val dead = spark.read.parquet(dlqDir).collect().map(_.getAs[String]("reason")).sorted.toSeq
+      assert(dead == Seq("empty_text", "null_doc_id"), s"dead letters: $dead")
+      // REPUBLISH the index with doc 3's text admitted to the corpus —
+      // the running query must see it at its next batch, no restart
+      CurationStream.publishDedupIndex(Seq(
+        (100L, corpusText),
+        (101L, "completely unrelated words about databases and scala and spark streams"))
+        .toDF("doc_id", "text"), indexDir)
+      input.addData((Some(5L), ts(1), "completely unrelated words about databases and scala and spark streams"))
+      q.processAllAvailable()
+      val v2 = spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+      assert(v2(5L) == "exact_dup", s"republished index must apply to the next batch: $v2")
+    } finally q.stop()
+  }
 }
