@@ -673,6 +673,33 @@ object IncrementalPlanner {
   private val AsofRe = "(?i)\\bASOF\\s+(LEFT\\s+)?JOIN\\b".r
   private val asofStatement = new scala.util.DynamicVariable[Boolean](false)
 
+  /** Statement-scoped PROJECTION PUSHDOWN into join dataflows: every
+    * attribute name the statement references anywhere (select list,
+    * WHERE, ON, HAVING, OVER, subqueries — both its qualified spelling
+    * and its bare last part, so either resolution form survives). Join
+    * leaves prune their feed payloads to this set before stage 1, so
+    * unreferenced source fields never enter the arrangement: stage-1
+    * state, the bucket shuffle, bucket state, and every pair emission
+    * shrink to the referenced width, and payload churn in unreferenced
+    * fields stops re-emitting pairs at all (a view cannot observe fields
+    * it never reads). None (direct JoinView users, internal rewrites) =
+    * no pruning.
+    */
+  private val neededAttrs = new scala.util.DynamicVariable[Option[Set[String]]](None)
+
+  private def attrNamesOf(plan: LogicalPlan): Set[String] = {
+    val buf = scala.collection.mutable.Set.empty[String]
+    def fromExpr(e: Expression): Unit = e.foreach {
+      case a: UnresolvedAttribute =>
+        buf += a.nameParts.mkString(".")
+        buf += a.nameParts.last
+      case s: SubqueryExpression => buf ++= attrNamesOf(s.plan)
+      case _                     => ()
+    }
+    plan.foreach(p => p.expressions.foreach(fromExpr))
+    buf.toSet
+  }
+
   private def compileSource(spark: SparkSession, plan: LogicalPlan,
       feeds: Map[String, Dataset[Change]]): Source = plan match {
     case f: Filter =>
@@ -719,14 +746,41 @@ object IncrementalPlanner {
         case org.apache.spark.sql.catalyst.plans.Cross      => (false, false)
         case other => throw unsupported(s"join type $other")
       }
-      val (lsrc, rsrc) = (leaf(spark, j.left, feeds), leaf(spark, j.right, feeds))
       implicit val changeEnc = Encoders.product[Change]
+      // projection pushdown (see [[neededAttrs]]): prune each side's
+      // payload to the statement's referenced names BEFORE stage 1
+      val neededSet: Option[Set[String]] = neededAttrs.value
+      def pruneFeed(t: (Dataset[Change], String)): (Dataset[Change], String) = neededSet match {
+        case None    => t
+        case Some(s) => (t._1.map(c =>
+          if (c.payload.isEmpty) c
+          else c.copy(payload = c.payload.filter(kv => s(kv._1)))), t._2)
+      }
+      val (lsrc, rsrc) = (pruneFeed(leaf(spark, j.left, feeds)), pruneFeed(leaf(spark, j.right, feeds)))
       // a nested-join side has no alias of its own (its fields are
       // already qualified by the inner sides) — don't re-qualify with ""
       def qual(alias: String, p: Map[String, String]): Map[String, String] =
         if (alias.isEmpty) Map.empty else p.map { case (k, v) => s"$alias.$k" -> v }
-      def merged(lp: Map[String, String], rp: Map[String, String]): Map[String, String] =
-        lp ++ rp ++ qual(lsrc._2, lp) ++ qual(rsrc._2, rp)
+      // one builder pass, not four map concats — this runs once per pair
+      // EMISSION on the join hot path (the 140k/s-knee profile), where
+      // the intermediate maps were real allocation pressure; qualified
+      // spellings land only when the statement references them
+      val (lAlias, rAlias) = (lsrc._2, rsrc._2)
+      def merged(lp: Map[String, String], rp: Map[String, String]): Map[String, String] = {
+        val b = Map.newBuilder[String, String]
+        b.sizeHint((lp.size + rp.size) * 2)
+        b ++= lp
+        b ++= rp
+        if (lAlias.nonEmpty) lp.foreach { case (k, v) =>
+          val q = lAlias + "." + k
+          if (neededSet.forall(_.contains(q))) b += q -> v
+        }
+        if (rAlias.nonEmpty) rp.foreach { case (k, v) =>
+          val q = rAlias + "." + k
+          if (neededSet.forall(_.contains(q))) b += q -> v
+        }
+        b.result()
+      }
       def rejectAggSide(shape: String): Unit =
         if (isAggPlan(j.left) || isAggPlan(j.right)) throw unsupported(
           s"$shape join of an aggregate subquery (its keys are group-identity hashes); " +
@@ -4376,7 +4430,7 @@ object IncrementalPlanner {
     val plan = spark.sessionState.sqlParser.parsePlan(cleaned)
     if (isAsof) require(plan.collect { case j: Join => j }.length == 1,
       "one ASOF JOIN per statement (layer further joins as a second view over this one)")
-    asofStatement.withValue(isAsof) { plan match {
+    asofStatement.withValue(isAsof) { neededAttrs.withValue(Some(attrNamesOf(plan))) { plan match {
       case a: Aggregate => compileAggregate(spark, a, feeds)
       case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => h.child match {
         case a: Aggregate => compileAggregate(spark, a, feeds, having = Some(h.havingCondition))
@@ -4429,7 +4483,7 @@ object IncrementalPlanner {
           case None    => compileProject(spark, p, feeds)
         }
       case other        => throw unsupported(s"top-level ${other.getClass.getSimpleName}")
-    } }
+    } } }
   }
 
   /** [[materialize]] with BOUNDED state on an unbounded feed: the input
@@ -4448,8 +4502,9 @@ object IncrementalPlanner {
   def materializeExpiring(spark: SparkSession, sql: String,
       feeds: Map[String, Dataset[Change]],
       watermarkDelay: String = "10 minutes",
-      tombstoneTtlMs: Long = 10L * 60 * 1000): PlannedView =
-    spark.sessionState.sqlParser.parsePlan(sql) match {
+      tombstoneTtlMs: Long = 10L * 60 * 1000): PlannedView = {
+    val plan0 = spark.sessionState.sqlParser.parsePlan(sql)
+    neededAttrs.withValue(Some(attrNamesOf(plan0))) { plan0 match {
       case a: Aggregate => compileAggregate(spark, a, feeds, Some((watermarkDelay, tombstoneTtlMs)))
       case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => h.child match {
         case a: Aggregate =>
@@ -4471,7 +4526,8 @@ object IncrementalPlanner {
         compileProject(spark, p, feeds, Some((watermarkDelay, tombstoneTtlMs)))
       case other => throw unsupported(
         s"materializeExpiring covers aggregate and row views (got ${other.getClass.getSimpleName})")
-    }
+    } }
+  }
 
   /** `SELECT … GROUP BY … ORDER BY <col> [ASC|DESC] LIMIT k` as a LIVE
     * top-k view (the Materialize TOP K shape): the aggregate compiles
@@ -4572,8 +4628,10 @@ object IncrementalPlanner {
     * view, retractions crossing both layers.
     */
   def materializeAggChanges(spark: SparkSession, sql: String,
-      feeds: Map[String, Dataset[Change]]): Dataset[Change] =
-    aggChangesOf(spark, spark.sessionState.sqlParser.parsePlan(sql), feeds)._1
+      feeds: Map[String, Dataset[Change]]): Dataset[Change] = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    neededAttrs.withValue(Some(attrNamesOf(plan))) { aggChangesOf(spark, plan, feeds)._1 }
+  }
 
   /** ANY planner-compilable view as its keyed changefeed, plus its
     * output column names — the one entry point [[ViewCatalog]] uses so a
@@ -4586,8 +4644,9 @@ object IncrementalPlanner {
     * carry without inventing an encoding consumers would have to know.
     */
   def namedChanges(spark: SparkSession, sql: String,
-      feeds: Map[String, Dataset[Change]]): (Dataset[Change], Seq[String]) =
-    spark.sessionState.sqlParser.parsePlan(sql) match {
+      feeds: Map[String, Dataset[Change]]): (Dataset[Change], Seq[String]) = {
+    val plan0 = spark.sessionState.sqlParser.parsePlan(sql)
+    neededAttrs.withValue(Some(attrNamesOf(plan0))) { plan0 match {
       case p: Project if hasWindowItem(p) || p.exists {
             case Filter(_, SubqueryAlias(_, inner: Project)) => hasWindowItem(inner)
             case _ => false
@@ -4604,7 +4663,8 @@ object IncrementalPlanner {
         aggChangesOf(spark, Aggregate(attrs, attrs, UnresolvedRelation(Seq("__union"))),
           Map("__union" -> changes))
       case plan => aggChangesOf(spark, plan, feeds)
-    }
+    } }
+  }
 
   private def aggChangesOf(spark: SparkSession, plan: LogicalPlan,
       feeds: Map[String, Dataset[Change]]): (Dataset[Change], Seq[String]) = {
@@ -4728,13 +4788,14 @@ object IncrementalPlanner {
     */
   def materializeChanges(spark: SparkSession, sql: String,
       feeds: Map[String, Dataset[Change]]): Dataset[Change] = {
-    spark.sessionState.sqlParser.parsePlan(sql) match {
+    val plan0 = spark.sessionState.sqlParser.parsePlan(sql)
+    neededAttrs.withValue(Some(attrNamesOf(plan0))) { plan0 match {
       case p: Project => rowChangesOf(spark, p, feeds)._1
       case u: Union   => unionChanges(spark, u, feeds)._1
       case other => throw unsupported(
         s"materializeChanges needs a non-aggregate SELECT (got ${other.getClass.getSimpleName}); " +
           "aggregate views emit group rows, not keyed changes")
-    }
+    } }
   }
 
   /** A projected row view as a keyed changefeed, plan-level: the shared

@@ -441,17 +441,33 @@ object JoinView {
     var rrows  = s0.rrows
     var posTs  = s0.posTs
     var posSeq = s0.posSeq
-    val out    = scala.collection.mutable.ArrayBuffer.empty[JoinedChange]
+    // PER-IDENTITY COALESCING (the 140k/s-knee fix): within one
+    // micro-batch only an identity's LAST emission ships — intermediate
+    // pair states are unobservable downstream (consumers fold
+    // per-identity LWW, and every emission of this call carries this
+    // batch's monotone positions), so upsert-then-delete nets to the
+    // delete, delete-then-upsert to the upsert, and an N-times-touched
+    // pair ships once. This is what breaks the backlog spiral: under
+    // pressure batches grow, each bucket sees MORE events per batch,
+    // and uncoalesced emission cost grew as events x partners — now it
+    // is capped by the touched visible-set size however far behind the
+    // feed gets.
+    val out = scala.collection.mutable.LinkedHashMap.empty[Long, JoinedChange]
     val S = "\u0001" // identity separator (cannot appear in a Long's decimal form)
     def pairKey(lk: Long, rk: Long) = fnv64("P" + S + lk + S + rk + S + bucket)
     def soloKey(left: Boolean, k: Long) = fnv64((if (left) "L" else "R") + S + k + S + bucket)
-    def solo(op: String, left: Boolean, k: Long, p: Map[String, String]): JoinedChange =
-      JoinedChange(op, soloKey(left, k),
+    def solo(op: String, left: Boolean, k: Long, p: Map[String, String]): Unit = {
+      val id = soloKey(left, k)
+      out(id) = JoinedChange(op, id,
         if (left) p else Map.empty, if (left) Map.empty else p, posTs, posSeq)
+    }
     def pair(op: String, meLeft: Boolean, myK: Long, myP: Map[String, String],
-        otherK: Long, otherP: Map[String, String]): JoinedChange =
-      if (meLeft) JoinedChange(op, pairKey(myK, otherK), myP, otherP, posTs, posSeq)
-      else JoinedChange(op, pairKey(otherK, myK), otherP, myP, posTs, posSeq)
+        otherK: Long, otherP: Map[String, String]): Unit = {
+      val id = if (meLeft) pairKey(myK, otherK) else pairKey(otherK, myK)
+      out(id) =
+        if (meLeft) JoinedChange(op, id, myP, otherP, posTs, posSeq)
+        else JoinedChange(op, id, otherP, myP, posTs, posSeq)
+    }
 
     changes.toSeq.sortBy(c => (c.tsUs, c.seq)).foreach { c =>
       if (c.tsUs > posTs || (c.tsUs == posTs && c.seq > posSeq)) { posTs = c.tsUs; posSeq = c.seq }
@@ -467,13 +483,13 @@ object JoinView {
           val updated     = mine + (c.key -> c.payload)
           if (meLeft) lrows = updated else rrows = updated
           if (isNull || other.isEmpty) {
-            if (preserveMine) out += solo("upsert", meLeft, c.key, c.payload)
+            if (preserveMine) solo("upsert", meLeft, c.key, c.payload)
           } else {
             // my side's first arrival unmatches nobody of mine, but it
             // MATCHES the other side: their solos (if preserved) die now
             if (firstOfMine && preserveOther)
-              other.foreach { case (ok, op) => out += solo("delete", !meLeft, ok, op) }
-            other.foreach { case (ok, op) => out += pair("upsert", meLeft, c.key, c.payload, ok, op) }
+              other.foreach { case (ok, op) => solo("delete", !meLeft, ok, op) }
+            other.foreach { case (ok, op) => pair("upsert", meLeft, c.key, c.payload, ok, op) }
           }
         }
       } else {
@@ -481,12 +497,12 @@ object JoinView {
           val updated = mine - c.key
           if (meLeft) lrows = updated else rrows = updated
           if (isNull || other.isEmpty) {
-            if (preserveMine) out += solo("delete", meLeft, c.key, Map.empty)
+            if (preserveMine) solo("delete", meLeft, c.key, Map.empty)
           } else {
-            other.foreach { case (ok, _) => out += pair("delete", meLeft, c.key, Map.empty, ok, Map.empty) }
+            other.foreach { case (ok, _) => pair("delete", meLeft, c.key, Map.empty, ok, Map.empty) }
             // last of my side gone: the other side is unmatched again
             if (updated.isEmpty && preserveOther)
-              other.foreach { case (ok, op) => out += solo("upsert", !meLeft, ok, op) }
+              other.foreach { case (ok, op) => solo("upsert", !meLeft, ok, op) }
           }
         }
       }
@@ -500,7 +516,7 @@ object JoinView {
     // so a repopulated bucket cannot emit positions older than its own
     // past deletes
     state.update(ValBucketState(lrows, rrows, posTs, posSeq))
-    out.iterator
+    out.valuesIterator
   }
 
   /** Residual-aware variant of [[valBucket]] for OUTER joins whose ON

@@ -1678,10 +1678,12 @@ class IncrementalPlannerSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val feeds = Map("activity" -> MemoryStream[Change].toDS())
+    // (median moved INTO the subset in r10 — the holistic path; corr
+    // remains outside it)
     val e1 = intercept[IllegalArgumentException] {
-      IncrementalPlanner.materialize(spark, "SELECT city, median(amount) AS s FROM activity GROUP BY city", feeds)
+      IncrementalPlanner.materialize(spark, "SELECT city, corr(amount, amount) AS s FROM activity GROUP BY city", feeds)
     }
-    assert(e1.getMessage.contains("median"))
+    assert(e1.getMessage.contains("corr"))
     // unsupported expression vocabulary inside an ON still fails fast
     // (pure non-equi COMPARISONS compile to the guarded cross
     // arrangement since r7 — see #171be)
