@@ -51,6 +51,13 @@ object GraftSession {
     // keeps a runaway recursion bounded while clearing any
     // depth-bounded hierarchy walk this engine ships.
     "spark.sql.cteRecursionRowLimit" -> "100000000",
+    // the driver tables are ONE parquet file each; at sf1 lineitem is
+    // ~100 MB, which the 128 MB default would scan as a single task.
+    // 16 MB keeps every sf<=0.1 plan identical (files are <10 MB) and
+    // splits the sf1 facts ~7-way; on a 100 TB cluster this goes back
+    // up (64-128 MB) — there the files are many and the executors are
+    // the parallelism, not intra-file splits.
+    "spark.sql.files.maxPartitionBytes" -> (16L * 1024 * 1024).toString,
   )
 
   def local(threads: Int = 4): SparkSession = {

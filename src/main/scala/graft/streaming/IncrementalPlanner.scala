@@ -4643,8 +4643,16 @@ object IncrementalPlanner {
     * partition)` — two columns — which the single-key Change wire cannot
     * carry without inventing an encoding consumers would have to know.
     */
+  /** `ttl`: BOUNDED state on an unbounded feed — stage-1 dead
+    * contributions (deletes, rows that left the WHERE) expire once the
+    * watermark passes their death + ttl, the [[materializeExpiring]]
+    * contract behind a NAMED view. Start the query inside
+    * [[IncrementalView.withRelaxedWatermarkCheck]] (the [[ViewCatalog]]
+    * does). Aggregate and single-feed row views only.
+    */
   def namedChanges(spark: SparkSession, sql: String,
-      feeds: Map[String, Dataset[Change]]): (Dataset[Change], Seq[String]) = {
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)] = None): (Dataset[Change], Seq[String]) = {
     val plan0 = spark.sessionState.sqlParser.parsePlan(sql)
     neededAttrs.withValue(Some(attrNamesOf(plan0))) { plan0 match {
       case p: Project if hasWindowItem(p) || p.exists {
@@ -4653,31 +4661,43 @@ object IncrementalPlanner {
           } =>
         throw unsupported("a ranked (window-function) view as a NAMED feed: its change " +
           "identity is (key, partition); materialize it directly and consume its own sink")
-      case p: Project if globalAgg(p).isEmpty => rowChangesOf(spark, p, feeds)
-      case u: Union                           => unionChanges(spark, u, feeds)
+      case p: Project if globalAgg(p).isEmpty => rowChangesOf(spark, p, feeds, ttl)
+      case u: Union =>
+        require(ttl.isEmpty, "an expiring UNION view is unsupported — bound the branches " +
+          "upstream (each branch is its own named view with its own TTL)")
+        unionChanges(spark, u, feeds)
       case Distinct(p: Project) =>
-        aggChangesOf(spark, Aggregate(p.projectList, p.projectList, p.child), feeds)
+        aggChangesOf(spark, Aggregate(p.projectList, p.projectList, p.child), feeds, ttl)
       case Distinct(u: Union) =>
+        require(ttl.isEmpty, "an expiring UNION view is unsupported — bound the branches " +
+          "upstream (each branch is its own named view with its own TTL)")
         val (changes, names) = unionChanges(spark, u, feeds)
         val attrs: Seq[NamedExpression] = names.map(n => UnresolvedAttribute(Seq(n)))
         aggChangesOf(spark, Aggregate(attrs, attrs, UnresolvedRelation(Seq("__union"))),
           Map("__union" -> changes))
-      case plan => aggChangesOf(spark, plan, feeds)
+      case plan => aggChangesOf(spark, plan, feeds, ttl)
     } }
   }
 
   private def aggChangesOf(spark: SparkSession, plan: LogicalPlan,
-      feeds: Map[String, Dataset[Change]]): (Dataset[Change], Seq[String]) = {
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)] = None): (Dataset[Change], Seq[String]) = {
     val view = plan match {
-      case a: Aggregate => compileAggregate(spark, a, feeds, keepMeta = true)
+      case a: Aggregate => compileAggregate(spark, a, feeds, ttl, keepMeta = true)
       case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => h.child match {
-        case a: Aggregate => compileAggregate(spark, a, feeds, having = Some(h.havingCondition), keepMeta = true)
+        case a: Aggregate => compileAggregate(spark, a, feeds, ttl, having = Some(h.havingCondition), keepMeta = true)
         case other        => throw unsupported(s"HAVING over ${other.getClass.getSimpleName}")
       }
       case p: Project if globalAgg(p).isDefined =>
-        compileAggregate(spark, globalAgg(p).get, feeds, keepMeta = true)
-      case e: Except    => compileSetOp(spark, e.left, e.right, e.isAll, isExcept = true, feeds, keepMeta = true)
-      case i: Intersect => compileSetOp(spark, i.left, i.right, i.isAll, isExcept = false, feeds, keepMeta = true)
+        compileAggregate(spark, globalAgg(p).get, feeds, ttl, keepMeta = true)
+      case e: Except =>
+        require(ttl.isEmpty, "expiring set-operation views are unsupported (per-side " +
+          "multiset state has no sound tombstone TTL); bound the branches upstream")
+        compileSetOp(spark, e.left, e.right, e.isAll, isExcept = true, feeds, keepMeta = true)
+      case i: Intersect =>
+        require(ttl.isEmpty, "expiring set-operation views are unsupported (per-side " +
+          "multiset state has no sound tombstone TTL); bound the branches upstream")
+        compileSetOp(spark, i.left, i.right, i.isAll, isExcept = false, feeds, keepMeta = true)
       case other => throw unsupported(
         s"materializeAggChanges needs an aggregate SELECT (got ${other.getClass.getSimpleName})")
     }
@@ -4803,7 +4823,12 @@ object IncrementalPlanner {
     * Returns the changefeed plus the projected column names.
     */
   private def rowChangesOf(spark: SparkSession, proj: Project,
-      feeds: Map[String, Dataset[Change]]): (Dataset[Change], Seq[String]) = {
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)] = None): (Dataset[Change], Seq[String]) = {
+    if (ttl.isDefined && proj.exists { case _: Join => true; case _ => false })
+      throw unsupported(
+        "an expiring NAMED row view over a JOIN (the join arrangements hold their own " +
+          "state story — see materializeExpiring's identical reject)")
     val src   = compileSource(spark, proj.child, feeds)
     val preds = src.filters.map(compileExpr)
     val cols: Seq[(String, Eval)] = proj.projectList.zipWithIndex.map { case (ne, i) =>
@@ -4821,9 +4846,16 @@ object IncrementalPlanner {
     implicit val rcEnc     = Encoders.product[PlannedRowChange]
     implicit val changeEnc = Encoders.product[Change]
     implicit val longEnc   = Encoders.scalaLong
-    val changes = src.changes
+    val inChanges = ttl match {
+      case Some((delay, _)) => src.changes.withWatermark("ts", delay)
+      case None             => src.changes
+    }
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    val changes = inChanges
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(rowFold(extract))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        expiringState[PlannedRow, PlannedRowChange](ttl, !_.live, _.tsUs)(rowFold(extract)))
       .map(rc => Change(rc.op, rc.key, tsOfMicros(rc.ts_us), rc.proj, rc.seq))
     (changes, names)
   }

@@ -81,19 +81,52 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     * the named sources/views it references, starts its maintenance
     * query, and persists its definition for [[resume]]. Rejects
     * duplicate names and unknown references.
+    *
+    * `ttl` = `(watermarkDelay, tombstoneTtlMs)` bounds the view's state
+    * on an unbounded feed: stage-1 dead contributions expire once the
+    * watermark passes their death + ttl (the `materializeExpiring`
+    * contract under a managed name — what lets a named view run 24/7
+    * against key churn without unbounded tombstone state). Persisted
+    * with the definition, so [[resume]] restarts the view expiring.
     */
-  def createView(name: String, sql: String): NamedView = {
+  def createView(name: String, sql: String,
+      ttl: Option[(String, Long)] = None): NamedView = {
     requireValidName(name)
     require(!views.contains(name) && !sources.contains(name),
       s"name $name already exists (DROP the view or pick another name)")
     val refs = referencedTables(spark.sessionState.sqlParser.parsePlan(sql))
     refs.foreach(r => require(sources.contains(r) || views.contains(r),
       s"view $name references unknown table $r (register the source or create the view first)"))
-    val v = startView(name, sql, refs.toSeq.sorted)
-    persistMeta(v)
+    val v = startView(name, sql, refs.toSeq.sorted, ttl)
+    persistMeta(v, ttl)
     views(name) = v
     v
   }
+
+  /** Compact the view's sink: fold every committed batch so far into one
+    * base partition and drop the superseded ones ([[FeedSink.compact]])
+    * — the log-compaction bound on a long-running named view's disk
+    * (live keys + post-horizon deltas instead of full change history).
+    * Snapshot and dependents are unaffected: the base rows keep their
+    * commit positions, so the LWW fold over later deltas is unchanged;
+    * a dependent that has already tailed past the horizon never re-reads
+    * it. Run as maintenance between batches (the standard
+    * compaction/reader coordination caveat documented on FeedSink).
+    */
+  def compactView(name: String): Unit = {
+    require(views.contains(name), s"no view named $name")
+    val committed = FeedSink.committedBatches(feedDir(name))
+    if (committed.nonEmpty) FeedSink.compact(spark, feedDir(name), committed.max)
+  }
+
+  /** The ad-hoc SQL surface over the catalog: register every view's
+    * CURRENT snapshot as a temp view under its own name, so
+    * `spark.sql("SELECT … FROM <view> JOIN <view2> …")` works the way a
+    * user of the reference DB expects. Snapshots are point-in-time (the
+    * committed sink as of now) — re-call to refresh.
+    */
+  def registerSnapshots(): Unit =
+    views.keys.foreach(n => snapshot(n).createOrReplaceTempView(n))
 
   /** `DROP MATERIALIZED VIEW name`: stops the maintenance query and
     * deletes checkpoint, sink, and metadata. Refuses while dependents
@@ -147,8 +180,8 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
       .filter(_.toString.endsWith(".properties"))
       .map(loadMeta).toSeq
     topoOrder(metas.map(m => m._1 -> m._3).toMap).map { name =>
-      val (_, sql, deps) = metas.find(_._1 == name).get
-      val v = startView(name, sql, deps)
+      val (_, sql, deps, ttl) = metas.find(_._1 == name).get
+      val v = startView(name, sql, deps, ttl)
       views(name) = v
       name
     }
@@ -174,20 +207,27 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------------
 
-  private def startView(name: String, sql: String, deps: Seq[String]): NamedView = {
+  private def startView(name: String, sql: String, deps: Seq[String],
+      ttl: Option[(String, Long)]): NamedView = {
     val out = feedDir(name)
     Files.createDirectories(Paths.get(out))
     val feeds = deps.map { d =>
       d -> (if (sources.contains(d)) sources(d)()
             else FeedSink.readChangeFeed(spark, feedDir(d)))
     }.toMap
-    val (changes, cols) = IncrementalPlanner.namedChanges(spark, sql, feeds)
-    val q = changes.toDF().writeStream
+    val (changes, cols) = IncrementalPlanner.namedChanges(spark, sql, feeds, ttl)
+    def begin() = changes.toDF().writeStream
       .outputMode("append")
       .option("checkpointLocation", ckDir(name))
       .foreachBatch { (batch: DataFrame, id: Long) => FeedSink.writeChangeBatch(batch, id, out) }
       .queryName(s"graft_view_$name")
       .start()
+    // expiring dataflows chain a watermarked flatMapGroupsWithState into
+    // further stateful stages — sound here (emitted deltas carry no
+    // event-time column; see IncrementalView.withRelaxedWatermarkCheck),
+    // so the opt-out scopes to this one query start
+    val q = if (ttl.isDefined) IncrementalView.withRelaxedWatermarkCheck(spark)(begin())
+            else begin()
     NamedView(name, sql, deps, cols, q)
   }
 
@@ -220,23 +260,29 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     order.toSeq
   }
 
-  private def persistMeta(v: NamedView): Unit = {
+  private def persistMeta(v: NamedView, ttl: Option[(String, Long)]): Unit = {
     val p = new java.util.Properties()
     p.setProperty("sql", v.sql)
     p.setProperty("deps", v.deps.mkString(","))
     p.setProperty("cols", v.cols.mkString(","))
+    ttl.foreach { case (delay, ms) =>
+      p.setProperty("ttlDelay", delay)
+      p.setProperty("ttlMs", ms.toString)
+    }
     Files.createDirectories(metaPath(v.name).getParent)
     val w = Files.newBufferedWriter(metaPath(v.name))
     try p.store(w, null) finally w.close()
   }
 
-  private def loadMeta(path: java.nio.file.Path): (String, String, Seq[String]) = {
+  private def loadMeta(path: java.nio.file.Path)
+      : (String, String, Seq[String], Option[(String, Long)]) = {
     val p = new java.util.Properties()
     val r = Files.newBufferedReader(path)
     try p.load(r) finally r.close()
     val name = path.getFileName.toString.stripSuffix(".properties")
     val deps = Option(p.getProperty("deps")).map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    (name, p.getProperty("sql"), deps)
+    val ttl  = Option(p.getProperty("ttlDelay")).map(d => (d, p.getProperty("ttlMs").toLong))
+    (name, p.getProperty("sql"), deps, ttl)
   }
 
   private def requireValidName(name: String): Unit =

@@ -51,10 +51,26 @@ object MakeSf {
       cols.indices.map(i => m.getLong(i))
     }.max + 1L
 
+    // one FILE per table (the driver layout — DuckDB's oracle reads
+    // `<t>.parquet` as a file): write a single part then move it
+    def writeSingle(df: DataFrame, table: String): Unit = {
+      val tmp = s"$out/_tmp_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      val dst = new java.io.File(s"$out/$table.parquet")
+      dst.delete()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
     def replicas(table: String)(tf: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
-      (0 until copies).map(i => tf(base, i)).reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      writeSingle((0 until copies).map(i => tf(base, i)).reduce(_ union _), table)
     }
     def shifted(df: DataFrame, i: Int, idCols: String*): DataFrame =
       idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * offset)))
@@ -85,8 +101,7 @@ object MakeSf {
         expr("transform(embedding, (x, j) -> cast(x + 0.001d * (pmod(vec_id * 7 + j, 13) - 6) as float))"))
     }
     Seq("region", "nation").foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      writeSingle(spark.read.parquet(s"$src/$t.parquet"), t)
     }
     spark.stop()
   }

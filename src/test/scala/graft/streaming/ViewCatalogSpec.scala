@@ -184,4 +184,90 @@ class ViewCatalogSpec extends SparkSpec {
       "debezium-backed named view after update+delete")
     cat.stopAll()
   }
+
+  test("#234f EXPIRING named view: dead stage-1 state leaves the store after watermark+ttl; TTL survives resume()") {
+    val (root, src) = (tmp("vcttl"), tmp("vctsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    val v = cat.createView("live_counts",
+      "SELECT city, count(*) AS n FROM t GROUP BY city", ttl = Some(("1 second", 1000L)))
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber"), 1L),
+      Change("insert", 2L, ts(0), Map("city" -> "par"), 2L)))
+    cat.awaitAll()
+    // key 2 dies; then two far-future batches advance the watermark past
+    // death + ttl so its tombstone expires inside the running query
+    writeChanges(src, "b2.json", Seq(Change("delete", 2L, ts(1), Map.empty, 3L)))
+    cat.awaitAll()
+    writeChanges(src, "b3.json", Seq(Change("insert", 3L, ts(60), Map("city" -> "ber"), 4L)))
+    cat.awaitAll()
+    writeChanges(src, "b4.json", Seq(Change("insert", 4L, ts(120), Map("city" -> "ber"), 5L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "live_counts", v.cols) == Set(Seq("ber", "3")),
+      "par's delete must retract before its tombstone expires")
+    cat.stopAll()
+    // stage-1 state (operator reading the raw feed) holds ONLY the live
+    // keys: the dead key's tombstone expired — proof the TTL reached the
+    // dataflow through the catalog
+    val ck = java.nio.file.Paths.get(root, "views", "live_counts", "checkpoint").toString
+    val opIds = StateInspect.operators(spark, ck).collect().map(_.getAs[Long]("operatorId")).sorted
+    val stateKeys = opIds.map(id => StateInspect.store(spark, ck, id).count())
+    assert(stateKeys.min <= 3, s"expired tombstone must leave some store: per-op rows ${stateKeys.toSeq}")
+    // the TTL is persisted: a fresh catalog resumes the view EXPIRING
+    val cat2 = new ViewCatalog(spark, root)
+    cat2.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    assert(cat2.resume() == Seq("live_counts"))
+    writeChanges(src, "b5.json", Seq(Change("insert", 5L, ts(121), Map("city" -> "par"), 6L)))
+    cat2.awaitAll()
+    assert(snapRows(cat2, "live_counts", v.cols) == Set(Seq("ber", "3"), Seq("par", "1")),
+      "resumed expiring view continues the tail")
+    cat2.stopAll()
+  }
+
+  test("#234g compactView: sink folds to one base partition, snapshot and a resumed dependent unaffected") {
+    val (root, src) = (tmp("vccpt"), tmp("vccsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    val v = cat.createView("totals", "SELECT city, sum(amount) AS total FROM t GROUP BY city")
+    (1 to 4).foreach { i =>
+      writeChanges(src, s"b$i.json", Seq(
+        Change("insert", i.toLong, ts(i), Map("city" -> "ber", "amount" -> i.toString), i.toLong)))
+      cat.awaitAll()
+    }
+    val before = snapRows(cat, "totals", v.cols)
+    assert(before == Set(Seq("ber", "10.0")), s"pre-compact: $before")
+    val feedRoot = new java.io.File(root, "views/totals/feed")
+    val partsBefore = feedRoot.listFiles().count(_.getName.startsWith("batch_id="))
+    cat.compactView("totals")
+    val partsAfter = feedRoot.listFiles().count(_.getName.startsWith("batch_id="))
+    assert(partsAfter == 1 && partsBefore > 1,
+      s"compaction must fold $partsBefore partitions to 1, got $partsAfter")
+    assert(snapRows(cat, "totals", v.cols) == before, "snapshot survives compaction")
+    // the live view keeps maintaining over the compacted sink
+    writeChanges(src, "b9.json", Seq(
+      Change("insert", 9L, ts(9), Map("city" -> "par", "amount" -> "7"), 9L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "totals", v.cols) == Set(Seq("ber", "10.0"), Seq("par", "7.0")))
+    cat.stopAll()
+  }
+
+  test("#234h registerSnapshots: ad-hoc spark.sql over named views, joins included") {
+    val (root, src) = (tmp("vcsql"), tmp("vcqsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    cat.createView("sq_rows", "SELECT city, amount FROM t WHERE amount > 10")
+    cat.createView("sq_agg", "SELECT city, count(*) AS n FROM sq_rows GROUP BY city")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "20"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "par", "amount" -> "30"), 3L)))
+    cat.awaitAll()
+    cat.registerSnapshots()
+    val got = spark.sql(
+      "SELECT r.city, count(*) AS rows_over, max(a.n) AS n FROM sq_rows r " +
+        "JOIN sq_agg a ON r.city = a.city GROUP BY r.city ORDER BY r.city")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(("ber", 2L, "2"), ("par", 1L, "1")), s"sql over snapshots: $got")
+    cat.stopAll()
+  }
 }
