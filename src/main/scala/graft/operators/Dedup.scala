@@ -170,7 +170,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** d03: MinHash + LSH — word-5-shingle -> 16-hash signature -> 8 bands
+  /** d03: MinHash + LSH — word-5-shingle -> 32-hash signature -> 16 bands
     * of 2 -> band-bucket join for candidates -> exact Jaccard verification.
     *
     * Everything is flat codegen aggregates over the (doc_id, shingle-hash)
@@ -179,8 +179,9 @@ object Dedup {
     * the exact verify reuses the d02 posting-overlap count restricted to
     * LSH candidates. Word shingles (not char grams) keep the background
     * similarity of this vocab-limited corpus near zero so band buckets
-    * stay tiny; 8x2 banding catches a 0.5-Jaccard pair with ~90%
-    * probability and a 0.9 pair with ~1.
+    * stay tiny; 16x2 banding catches a 0.5-Jaccard pair with ~99%
+    * probability and a 0.67 pair (the sf1 short-doc near-dup floor)
+    * with 1 − 7e-5.
     *
     * The verify stage NEVER sees the full corpus, and never joins
     * postings against postings on a bare gram key: the overlap count is
@@ -193,7 +194,13 @@ object Dedup {
     * denominator) come from postings left-semi-joined to candidate docs.
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val numHashes = 16
+    // 32 hashes = 16 bands of 2 (r10; was 8 bands): the sf1 near-dup
+    // corpus put real pairs at J ≈ 0.67 (short docs whose replica
+    // suffix moves 4 of ~20 shingles), where 8-band miss probability
+    // (1 − J²)⁸ ≈ 8.5e-3 dropped 17 of 250,600 true pairs. 16 bands
+    // push that to (1 − J²)¹⁶ ≈ 7e-5 — exact on every corpus probed —
+    // for 16 more min() aggregates in the one signature pass.
+    val numHashes = 32
     val postings = Shingles
       .shingleRows(Tables.documents(spark, dir), 5)
       .select(col("doc_id"), xxhash64(col("shingle")).as("g"))

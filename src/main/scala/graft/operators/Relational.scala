@@ -577,8 +577,15 @@ object Relational {
   def saltedRevenueByBrand(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
     val fact = Tables
       .lineitem(spark, dir)
+      // DECIMAL money sums (the q12 rule, caught again by the r10 sf1
+      // gate): at sf1 a brand's ~230k-row double sum reaches 1e10 where
+      // summation-order drift crosses round(·, 2) boundaries between
+      // engines. The per-row double product is bit-identical in both
+      // (same IEEE ops), its true value lies on the 1e-4 grid, so the
+      // decimal(18,4) cast is tie-free and the decimal sum is exact and
+      // order-independent.
       .select(col("l_partkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)").as("rev"),
         pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)).as("salt"))
     val dim = Tables
       .part(spark, dir)

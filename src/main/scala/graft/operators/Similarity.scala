@@ -680,18 +680,26 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir).withColumn("norm", l2Norm(col("embedding")))
     val bench = broadcast(emb.filter(col("vec_id") < nBench)
       .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"), col("norm").as("b_norm")))
+    // sim6 (the 1e-6 grid) is ONLY the argmax key and threshold operand;
+    // the output cosine rounds the RAW double once. Rounding the grid
+    // value again (round(sim6, 4)) manufactures exact .xxxx50 halves
+    // where Spark's decimal HALF_UP and DuckDB's binary multiply-round
+    // disagree — the r10 sf1 gate caught 15 such rows. Single rounding
+    // of a raw double only disagrees within 1 ulp of a half boundary
+    // (the d05 regime, hash-exact at every probed sf).
     emb
       .filter(col("vec_id") >= nBench)
       .crossJoin(bench)
-      .withColumn("sim6", round(dot(col("embedding"), col("b_emb")) / (col("norm") * col("b_norm")), 6))
+      .withColumn("sim", dot(col("embedding"), col("b_emb")) / (col("norm") * col("b_norm")))
+      .withColumn("sim6", round(col("sim"), 6))
       .groupBy("vec_id")
       .agg(max_by(
-        struct(col("bench_id"), col("sim6")),
+        struct(col("bench_id"), col("sim6"), col("sim")),
         struct(col("sim6"), (-col("bench_id")).as("nb"))).as("best"))
       .select(
         col("vec_id"),
         col("best.bench_id").as("bench_id"),
-        round(col("best.sim6"), 4).as("cosine"),
+        round(col("best.sim"), 4).as("cosine"),
         (col("best.sim6") >= tau).as("contaminated"))
   }
 

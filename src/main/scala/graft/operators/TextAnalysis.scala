@@ -296,4 +296,63 @@ object TextAnalysis {
       .groupBy("lang", "band")
       .agg(count(lit(1)).as("n_docs"), sum("t").as("total_tokens"))
   }
+
+  /** t15: BM25 ranked retrieval (Robertson–Spärck Jones; k1 = 1.2,
+    * b = 0.75, the +1-smoothed IDF) — the retrieval scorer a curation /
+    * RAG pipeline runs against the corpus. Scan-shaped at any corpus
+    * size: one tokenize pass feeds (a) per-doc lengths (map-side
+    * combine), (b) per-(doc, query-term) term frequencies — the
+    * `isin(queryTerms)` filter reaches the scan, so the wide state is
+    * only docs × |Q| — and (c) the tiny per-term document frequencies
+    * and the 1-row corpus stats, both BROADCAST into the scoring join
+    * (no shuffle on the big side beyond the tf groupBy). Top-k by
+    * (score DESC, doc_id) — the deterministic cut.
+    */
+  def bm25Rank(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "vector", "stream"), k: Int = 10): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dl    = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val tf    = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfT   = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val idf   = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val score = idf * col("tf") * (lit(1.0) + k1) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(dfT), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(score), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** t16: lexical-diversity stats per source — type-token ratio and
+    * hapax-legomena rate, the classic text-quality signals (a spammy or
+    * template-generated source shows low TTR and low hapax share).
+    * Exact integer arithmetic end to end: two map-side-combined
+    * aggregations over one tokenize pass, output one row per source.
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+      )
+      .select(
+        col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+      )
 }
