@@ -169,6 +169,8 @@ object SparkEntry {
     "t14_length_histogram"      -> ((s, d) => TextAnalysis.lengthHistogram(GraftSession.tune(s), d)),
     "t15_bm25"                  -> ((s, d) => TextAnalysis.bm25Rank(GraftSession.tune(s), d)),
     "t16_lexical_diversity"     -> ((s, d) => TextAnalysis.lexicalDiversity(GraftSession.tune(s), d)),
+    "t17_source_divergence"     -> ((s, d) => TextAnalysis.sourceDivergence(GraftSession.tune(s), d)),
+    "q91_dsir_sample"           -> ((s, d) => TrainingData.dsirSample(GraftSession.tune(s), d)),
   )
 
   // ---- fixed-point Lloyd oracle scaffolding (s04/s05/s06) ----------
@@ -720,6 +722,48 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
         |  round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS ttr
         |FROM c GROUP BY source""".stripMargin,
+    // t17: KL(source ‖ corpus) in the same exact-integer micro-nat
+    // discipline as q91 — the per-term log-ratio rounds ONCE to BIGINT,
+    // the reported figure is the integer Σ n_st·k, so the compare never
+    // races a float sum
+    "t17_source_divergence" ->
+      """WITH tb AS (
+        |  SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, count(*) AS n_st FROM tb WHERE tok <> '' GROUP BY source, tok),
+        |stot AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY source),
+        |ttot AS (SELECT tok, sum(n_st) AS n_t FROM st GROUP BY tok),
+        |ctot AS (SELECT sum(n_t) AS n FROM ttot)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_st * CAST(round(1000000.0 *
+        |    ln(CAST(n_st * n AS DOUBLE) / CAST(n_s * n_t AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |    AS kl_unats_scaled
+        |FROM st JOIN ttot USING (tok) JOIN stot USING (source) CROSS JOIN ctot
+        |GROUP BY source""".stripMargin,
+    // q91: DSIR importance weights replayed bucket for bucket — md5-hex
+    // 256-bucket hashed unigrams, +0.5-smoothed LMs, per-bucket log-ratio
+    // rounded ONCE to integer micro-nats so the per-doc score is an
+    // order-independent integer sum; cut is (score DESC, doc_id)
+    "q91_dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |tb AS (SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(tok), 1, 2))::UBIGINT AS INTEGER) AS b
+        |  FROM toks WHERE tok <> ''),
+        |braw AS (SELECT b, count(*) AS n_raw FROM tb GROUP BY b),
+        |btgt AS (SELECT b, count(*) AS n_tgt FROM tb WHERE source = 'src0' GROUP BY b),
+        |tot AS (SELECT count(*) AS raw_total,
+        |  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tgt_total FROM tb),
+        |kt AS (SELECT braw.b,
+        |  CAST(round(1000000.0 * (ln((coalesce(n_tgt, 0) + 0.5) / (tgt_total + 128.0))
+        |                        - ln((n_raw + 0.5) / (raw_total + 128.0)))) AS BIGINT) AS k_unats
+        |  FROM braw LEFT JOIN btgt USING (b) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(k_unats) AS BIGINT) AS score_unats
+        |FROM tb JOIN kt USING (b) WHERE source <> 'src0'
+        |GROUP BY doc_id
+        |ORDER BY score_unats DESC, doc_id LIMIT 100""".stripMargin,
     // d04's oracle recomputes the md5-digit simhash fingerprint and cross-
     // checks the EXACT hamming<=3 pair set — valid as a full equality
     // check because 16-bit chunk bucketing finds every hamming<=3 pair by
@@ -1348,12 +1392,16 @@ object SparkEntry {
     // expansion, exact-cosine top-k. Valid as a full equality check for
     // the same reason as s02/d05: every stage is a pure deterministic
     // function of the data (same in-index-order double sums, same
-    // round(·,6)+id tiebreaks).
+    // round(·,6)+id tiebreaks). The multiply-referenced CTEs (b ×10,
+    // seed/g1/graph ×2–3) are AS MATERIALIZED: inlining duplicates the
+    // whole NN-Descent chain per reference, which the r10 sf1 gate
+    // showed going super-linear in DuckDB while the staged execution of
+    // the identical stages finishes in seconds.
     "s07_ann_graph" -> {
       def dotOf(x: String, y: String) =
         s"list_aggregate(list_transform(range(1, len($x.embedding) + 1), " +
           s"i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]), 'sum')"
-      ("""WITH b AS (SELECT vec_id, embedding,
+      ("""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
         |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
         |""".stripMargin
         + (0 until 8).map { j =>
@@ -1373,7 +1421,7 @@ object SparkEntry {
         |seed0 AS (SELECT c.src, c.dst,
         |   round(${dotOf("s", "d")} / (s.norm * d.norm), 6) AS sim6
         |  FROM cand0 c JOIN b s ON s.vec_id = c.src JOIN b d ON d.vec_id = c.dst),
-        |seed AS (SELECT src, dst, sim6 FROM (SELECT *, row_number() OVER (
+        |seed AS MATERIALIZED (SELECT src, dst, sim6 FROM (SELECT *, row_number() OVER (
         |  PARTITION BY src ORDER BY sim6 DESC, dst) AS rn FROM seed0) WHERE rn <= 8),
         |cand1 AS (SELECT DISTINCT src, dst FROM (
         |  SELECT e1.src AS src, e2.dst AS dst FROM seed e1
@@ -1382,7 +1430,7 @@ object SparkEntry {
         |sc1 AS (SELECT c.src, c.dst,
         |   round(${dotOf("s", "d")} / (s.norm * d.norm), 6) AS sim6
         |  FROM cand1 c JOIN b s ON s.vec_id = c.src JOIN b d ON d.vec_id = c.dst),
-        |g1 AS (SELECT src, dst, sim6 FROM (SELECT *, row_number() OVER (
+        |g1 AS MATERIALIZED (SELECT src, dst, sim6 FROM (SELECT *, row_number() OVER (
         |  PARTITION BY src ORDER BY sim6 DESC, dst) AS rn FROM sc1) WHERE rn <= 8),
         |cand2 AS (SELECT DISTINCT src, dst FROM (
         |  SELECT e1.src AS src, e2.dst AS dst FROM g1 e1
@@ -1391,7 +1439,7 @@ object SparkEntry {
         |sc2 AS (SELECT c.src, c.dst,
         |   round(${dotOf("s", "d")} / (s.norm * d.norm), 6) AS sim6
         |  FROM cand2 c JOIN b s ON s.vec_id = c.src JOIN b d ON d.vec_id = c.dst),
-        |graph AS (SELECT src, dst, sim6 FROM (SELECT *, row_number() OVER (
+        |graph AS MATERIALIZED (SELECT src, dst, sim6 FROM (SELECT *, row_number() OVER (
         |  PARTITION BY src ORDER BY sim6 DESC, dst) AS rn FROM sc2) WHERE rn <= 8),
         |entry AS (SELECT src AS query_id, dst AS cand FROM graph WHERE src < 10),
         |hop2 AS (SELECT e.query_id, g.dst AS cand FROM entry e JOIN graph g ON g.src = e.cand),

@@ -355,4 +355,48 @@ object TextAnalysis {
         col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
         round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
       )
+
+  /** t17: per-source distribution drift — KL(source ‖ corpus) over the
+    * unigram distribution, the diagnostic a mixture-weighting pass reads
+    * before trusting per-source token counts (a source whose unigram LM
+    * sits far from the corpus either carries novel content worth
+    * upweighting or template spam worth capping; t16's TTR disambiguates).
+    *
+    * Same exact-integer discipline as q91: the per-term log-ratio
+    * ln((n_st·N)/(N_s·n_t)) is rounded ONCE to integer micro-nats, and
+    * the reported figure is the integer Σ_t n_st·k_unats(t) — i.e.
+    * KL·N_s·1e6 — so the cross-engine compare is an integer equality,
+    * never a float-sum race. All products stay < 2^53 (exact in
+    * doubles) at any corpus this vocab shape reaches; true KL in nats =
+    * kl_unats_scaled / (1e6 · n_tokens).
+    *
+    * Shape: one token scan → (source, tok) counts (map-side combine);
+    * term totals re-aggregate FROM those counts (vocab-sized, not
+    * corpus-sized) and join back on the tok key UNHINTED — a real web
+    * corpus's unigram vocab is too big to force-broadcast, and both
+    * sides are already tok-keyed aggregates (AQE broadcasts when small).
+    * Only the sources-sized and 1-row tables carry broadcast hints.
+    * Output is one row per source at any scale.
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("n_st"))
+    val srcTot  = st.groupBy("source").agg(sum("n_st").as("n_s"))
+    val termTot = st.groupBy("tok").agg(sum("n_st").as("n_t"))
+    val corpTot = termTot.agg(sum("n_t").as("n"))
+    st
+      .join(termTot, Seq("tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(corpTot))
+      .select(col("source"), col("n_s"),
+        (col("n_st") *
+          round(lit(1e6) * log((col("n_st") * col("n")).cast("double") /
+            (col("n_s") * col("n_t")).cast("double"))).cast("long")).as("c"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), sum("c").as("kl_unats_scaled"))
+  }
 }

@@ -474,4 +474,58 @@ object TrainingData {
         array_join(col("ctoks"), " ").as("chunk_text"),
       )
   }
+
+  /** q91: DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — rank raw-pool docs by
+    * how much their hashed-n-gram profile looks like a target domain.
+    * Bag-of-hashed-unigrams with B = 256 md5-derived buckets; both the
+    * target and raw bucket histograms are +0.5-smoothed unigram LMs, and
+    * a doc's importance weight is Σ_tok [ln p_tgt(b) − ln p_raw(b)].
+    *
+    * Scored in EXACT INTEGER MICRO-NATS: each bucket's per-occurrence
+    * log-ratio is rounded once to an integer (k_unats), and the per-doc
+    * score is an integer sum — order-independent and engine-exact, where
+    * a double sum over shuffled token order is not (the q62 lesson; a
+    * 1-ulp libm ln() difference only matters if a bucket constant sits
+    * within ~1e-15 relative of a .5 micro-nat boundary).
+    *
+    * The 100 TB shape: ONE token scan feeds both histograms (groupBys on
+    * a 256-key space — map-side combine makes the shuffle 256 rows per
+    * partition); the k_unats table (≤ B rows) broadcasts into the
+    * scoring scan; per-doc scores are a map-side-combinable sum keyed by
+    * doc_id; the final cut is orderBy+limit = TakeOrderedAndProject
+    * (per-partition top-k + k-row merge, never a global sort).
+    */
+  def dsirSample(spark: SparkSession, dir: String,
+      targetSource: String = "src0", k: Int = 100): DataFrame = {
+    val B = 256
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("b", conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"))
+    val nRaw = toks.groupBy("b").agg(count(lit(1)).as("n_raw"))
+    val nTgt = toks.filter(col("source") === targetSource)
+      .groupBy("b").agg(count(lit(1)).as("n_tgt"))
+    val tot = toks.agg(
+      count(lit(1)).as("raw_total"),
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("tgt_total"))
+    val kTable = nRaw
+      .join(nTgt, Seq("b"), "left")
+      .na.fill(0L, Seq("n_tgt"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(lit(1e6) *
+          (log((col("n_tgt") + lit(0.5)) / (col("tgt_total") + lit(B / 2.0))) -
+           log((col("n_raw") + lit(0.5)) / (col("raw_total") + lit(B / 2.0)))))
+          .cast("long").as("k_unats"))
+    toks
+      .filter(col("source") =!= targetSource)
+      .join(broadcast(kTable), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("k_unats").as("score_unats"))
+      .orderBy(col("score_unats").desc, col("doc_id"))
+      .limit(k)
+  }
 }

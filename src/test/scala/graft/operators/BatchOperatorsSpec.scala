@@ -814,6 +814,117 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sum
     assert(rows.map(_.getAs[Long]("total_tokens")).sum == totalTokens)
   }
+
+  // shared tokenizer for the local BM25/DSIR/KL re-computations: same
+  // regex class as the operators' split(lower(text), "[^a-z0-9]+")
+  private def toksOf(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def halfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def corpusTexts: Map[Long, (String, String)] =
+    graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+
+  test("t15 BM25 matches a from-scratch local scorer on the returned docs") {
+    val rows = TextAnalysis.bm25Rank(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // output order is the deterministic cut
+    val pairs = rows.map(r => (r.getAs[Double]("bm25"), r.getAs[Long]("doc_id")))
+    assert(pairs.sliding(2).forall(p => p.length < 2 ||
+      p(0)._1 > p(1)._1 || (p(0)._1 == p(1)._1 && p(0)._2 < p(1)._2)))
+    // local replay of the whole formula
+    val q = Seq("spark", "vector", "stream")
+    val docs = corpusTexts.map { case (id, (_, t)) => id -> toksOf(t) }
+    val dl = docs.map { case (id, ts) => id -> ts.size.toDouble }
+    val avgdl = dl.values.sum / dl.size
+    val dfT = q.map(t => t -> docs.count(_._2.contains(t))).toMap
+    val (k1, b) = (1.2, 0.75)
+    def score(id: Long): Double = q.map { t =>
+      val tf = docs(id).count(_ == t).toDouble
+      if (tf == 0 || dfT(t) == 0) 0.0
+      else {
+        val idf = math.log(1.0 + (docs.size - dfT(t) + 0.5) / (dfT(t) + 0.5))
+        idf * tf * (1.0 + k1) / (tf + k1 * (1.0 - b + b * dl(id) / avgdl))
+      }
+    }.sum
+    rows.foreach { r =>
+      val want = BigDecimal(score(r.getAs[Long]("doc_id")))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("bm25") == want, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("t16 lexical diversity: exact per-source counts vs a local recount") {
+    val rows = TextAnalysis.lexicalDiversity(spark, sf).collect()
+    val bySrc = corpusTexts.values.groupBy(_._1)
+    assert(rows.length == bySrc.size, "one row per source")
+    rows.foreach { r =>
+      val hist = bySrc(r.getAs[String]("source")).toSeq
+        .flatMap(p => toksOf(p._2)).groupBy(identity).map(_._2.size)
+      assert(r.getAs[Long]("n_tokens") == hist.sum)
+      assert(r.getAs[Long]("n_types") == hist.size)
+      assert(r.getAs[Long]("n_hapax") == hist.count(_ == 1))
+      val ttr = BigDecimal(hist.size.toDouble / hist.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("ttr") == ttr)
+    }
+  }
+
+  test("t17 source KL: integer micro-nat scores replay locally and behave like a divergence") {
+    val rows = TextAnalysis.sourceDivergence(spark, sf).collect()
+    val st = corpusTexts.values.toSeq
+      .flatMap(p => toksOf(p._2).map(p._1 -> _))
+      .groupBy(identity).map { case ((s, t), xs) => (s, t) -> xs.size.toLong }
+    val srcTot  = st.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val termTot = st.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val n = termTot.values.sum
+    assert(rows.length == srcTot.size)
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_tokens") == srcTot(s))
+      val want = st.collect { case ((`s`, t), nst) =>
+        nst * halfUp(1e6 * math.log((nst * n).toDouble / (srcTot(s) * termTot(t)).toDouble))
+      }.sum
+      assert(r.getAs[Long]("kl_unats_scaled") == want)
+      // a real divergence: nonnegative up to the 0.5-unat-per-token
+      // rounding slack
+      assert(r.getAs[Long]("kl_unats_scaled") >= -srcTot(s))
+    }
+  }
+
+  test("q91 DSIR: target source excluded; integer scores replay the smoothed log-ratio exactly") {
+    val rows = TrainingData.dsirSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = corpusTexts
+    val tokB = docs.toSeq.flatMap { case (id, (src, t)) =>
+      toksOf(t).map(tok => (id, src, Integer.parseInt(md5hex(tok).take(2), 16)))
+    }
+    val nRaw = tokB.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val nTgt = tokB.filter(_._2 == "src0").groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val (rawTotal, tgtTotal) = (tokB.size.toLong, tokB.count(_._2 == "src0").toLong)
+    val kU = nRaw.map { case (b, nr) =>
+      b -> halfUp(1e6 * (math.log((nTgt.getOrElse(b, 0L) + 0.5) / (tgtTotal + 128.0)) -
+        math.log((nr + 0.5) / (rawTotal + 128.0))))
+    }
+    val scores = tokB.filter(_._2 != "src0").groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.size.toLong, xs.map(x => kU(x._3)).sum)
+    }
+    val want = scores.toSeq.sortBy { case (id, (_, sc)) => (-sc, id) }.take(100)
+    assert(rows.length == math.min(100, scores.size))
+    rows.zip(want).foreach { case (r, (id, (nt, sc))) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(r.getAs[Long]("n_tokens") == nt)
+      assert(r.getAs[Long]("score_unats") == sc)
+      assert(docs(id)._1 != "src0", "target-domain docs are never candidates")
+    }
+  }
 }
 
 class IncrementalDedupSpec extends SparkSpec {
