@@ -27,6 +27,21 @@ case class PlannedDelta(group: String, d_keys: Long, d_slots: Seq[Double], tsUs:
 /** Running totals of one group of a planned aggregate view. */
 case class PlannedGroupState(n: Long, sums: Seq[Double])
 
+/** Signed per-group delta of an approx-percentile (DDSketch) view:
+  * [[PlannedDelta]] plus, per sketch slot, the net bucket-count deltas of
+  * the batch, flattened as `[key1, d1, key2, d2, …]` pairs.
+  */
+case class DdqDelta(group: String, d_keys: Long, d_slots: Seq[Double],
+    d_buckets: Seq[Seq[Long]], tsUs: Long = 0L, seq: Long = 0L)
+
+/** Per-group state of an approx-percentile view: running plain totals +
+  * one sparse DDSketch bucket→count map per percentile operand. Bounded
+  * by the sketch's bucket space (≤ a few thousand keys at α = 0.01 over
+  * the full double range), NOT by live rows — the scale trade vs the
+  * holistic path's exact multiset.
+  */
+case class DdqGroupState(n: Long, sums: Seq[Double], buckets: Seq[Map[Long, Long]])
+
 /** One key-level contribution change of a planned MIN/MAX view (the
   * non-invertible path): which group, which key, the key's slot values,
   * live=false when the key leaves the group.
@@ -1807,6 +1822,20 @@ object IncrementalPlanner {
   private val HolisticFns =
     Set("percentile_cont", "percentile_disc", "median", "percentile", "listagg", "string_agg")
 
+  /** Approx-percentile select item (DDSketch path): `qIdx` indexes the
+    * per-view sketch array (one sketch per distinct operand expression —
+    * several fractions over one operand share a sketch), `frac` the
+    * requested quantile. The estimate rides the `sums` vector after the
+    * plain slots, one entry per select item.
+    */
+  private final case class DdqPercOut(qIdx: Int, frac: Double, name: String) extends OutCol
+
+  /** The bounded-state approximate quantile functions — routed to
+    * [[compileDdqAgg]] (DDSketch), the O(sketch)-per-group alternative
+    * to the holistic path's exact O(live rows).
+    */
+  private val DdqFns = Set("approx_percentile", "percentile_approx")
+
   /** Compile one aggregate-function select item to its [[OutCol]],
     * registering value slots via `addSlot` — shared by the flat
     * (signed-delta / keyed) and session-window paths, which differ only
@@ -1942,7 +1971,8 @@ object IncrementalPlanner {
     // it — the hidden columns are dropped from the view after the
     // HAVING filter applies
     val havingAggFns = Set("count", "sum", "avg", "min", "max",
-      "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop") ++ HolisticFns
+      "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop") ++
+      HolisticFns ++ DdqFns
     val (norm, having1, hidden) = having match {
       case Some(cond) if cond.exists {
           case f: UnresolvedFunction => havingAggFns(f.nameParts.last.toLowerCase)
@@ -1971,12 +2001,19 @@ object IncrementalPlanner {
       case f: UnresolvedFunction => HolisticFns(f.nameParts.last.toLowerCase)
       case _                     => false
     })
+    val hasDdq = norm.aggregateExpressions.exists(_.exists {
+      case f: UnresolvedFunction => DdqFns(f.nameParts.last.toLowerCase)
+      case _                     => false
+    })
     if (hasApprox) {
       require(!hasDistinct, "approx_count_distinct does not mix with exact DISTINCT " +
         "aggregates in one view — split into two views over the same feed")
       require(!hasHolistic, "approx_count_distinct does not mix with exact percentile/" +
         "listagg in one view — sketches cannot retract, the holistic path must; split " +
         "into two views over the same feed")
+      require(!hasDdq, "approx_count_distinct (append-only HLL) does not mix with " +
+        "approx_percentile (retractable DDSketch) in one view — split into two views " +
+        "over the same feed")
       require(ttl.isEmpty, "approx_count_distinct views are append-only; they do not " +
         "compose with materializeExpiring (there is no dead state to expire)")
       require(!keepMeta, "approx views do not compose with materializeAggChanges/" +
@@ -1987,6 +2024,16 @@ object IncrementalPlanner {
       case f: UnresolvedFunction => f.nameParts.last.equalsIgnoreCase("session_window")
       case _                     => false
     })
+    if (hasDdq) {
+      require(!hasDistinct, "approx_percentile does not mix with DISTINCT aggregates " +
+        "in one view — split into two views over the same feed")
+      require(!hasHolistic, "approx_percentile does not mix with exact percentile/" +
+        "listagg in one view — use the exact holistic forms alone, or split into two " +
+        "views over the same feed")
+      require(!hasSession, "approx_percentile does not combine with session_window " +
+        "groupings — aggregate the session view's changefeed in a second layered view")
+      return dropHidden(compileDdqAgg(spark, norm, feeds, ttl, having1, keepMeta), hidden)
+    }
     if (hasSession) {
       // DISTINCT aggregates compose here WITHOUT the two-level rewrite:
       // the session stage-2 already holds every member's raw values, so
@@ -3123,6 +3170,336 @@ object IncrementalPlanner {
       // output layer's isnan→NULL handles them, the keyed convention
       val out = sums.toSeq ++ hlls.map(r => math.rint(hllEstimate(r)))
       Iterator.single(PlannedGroupRow(group, n, out, posTs, posSeq))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // approx_percentile: the DDSketch path (Masson, Lee & Rim, VLDB 2019)
+  // ------------------------------------------------------------------
+  // Relative-error sketch on a fixed log-γ bucket grid. Integer bucket
+  // counts make it everything HLL is not: order-insensitive AND fully
+  // RETRACTABLE (a delete decrements the value's bucket), so the path
+  // rides the same signed-delta folds as plain count/sum/avg — O(sketch
+  // buckets) state per group at ANY row count, the live-p95 shape that
+  // survives 100 TB where the holistic path's exact multiset is the
+  // bounded-cardinality tool.
+  private[streaming] val DdqAlpha = 0.01
+  private[streaming] val DdqGamma = (1.0 + DdqAlpha) / (1.0 - DdqAlpha)
+  private val DdqLnGamma = math.log(DdqGamma)
+  // |x| below this collapses into the zero bucket (estimate 0); the
+  // relative-error contract holds outside it
+  private val DdqZeroEps = 1e-9
+  // key-space offset separating the positive / zero / negative regions
+  // while keeping ascending Long key ⇔ ascending value
+  private val DdqKeyOff = 1L << 21
+
+  private[streaming] def ddqKey(x: Double): Long =
+    if (x > DdqZeroEps) DdqKeyOff + math.ceil(math.log(x) / DdqLnGamma).toLong
+    else if (x < -DdqZeroEps) -DdqKeyOff - math.ceil(math.log(-x) / DdqLnGamma).toLong
+    else 0L
+
+  /** Midpoint estimate of a bucket: relative error ≤ α for every value
+    * the bucket covers (the paper's 2γ^i/(γ+1) form).
+    */
+  private[streaming] def ddqValue(key: Long): Double =
+    if (key == 0L) 0.0
+    else if (key > 0L)
+      2.0 * math.pow(DdqGamma, (key - DdqKeyOff).toDouble) / (DdqGamma + 1.0)
+    else
+      -2.0 * math.pow(DdqGamma, (-key - DdqKeyOff).toDouble) / (DdqGamma + 1.0)
+
+  /** Quantile readout: rank ⌊f·(n−1)⌋+1 over ascending buckets — the
+    * value whose rank-neighborhood the fraction addresses, within α
+    * relative error. NaN (→ SQL NULL downstream) on an empty sketch.
+    */
+  private[streaming] def ddqQuantile(buckets: Map[Long, Long], frac: Double): Double = {
+    var n = 0L
+    buckets.valuesIterator.foreach(n += _)
+    if (n <= 0L) Double.NaN
+    else {
+      val rank = math.min(n, math.floor(frac * (n - 1)).toLong + 1L)
+      val keys = buckets.keysIterator.toArray
+      java.util.Arrays.sort(keys)
+      var cum = 0L
+      var i   = 0
+      var res = Double.NaN
+      while (cum < rank && i < keys.length) {
+        cum += buckets(keys(i)); res = ddqValue(keys(i)); i += 1
+      }
+      res
+    }
+  }
+
+  /** `approx_percentile(x, f)` / `percentile_approx(x, f)` views:
+    * bounded-state live quantiles under FULL retraction. Compiled as the
+    * flat signed-delta path with one extra payload: each contribution's
+    * percentile operands bucketize at STAGE 1 (a pure function of the
+    * value), so stage 2 only ever folds integer bucket-count deltas —
+    * retraction subtracts the identical integer the insert added, zero
+    * residue, order-insensitive, replay-deterministic. Plain
+    * count/sum/avg/stddev/var ride along on the same delta stream;
+    * min/max are rejected by name (not invertible — use a separate
+    * view, or exact percentile_cont in a holistic view). HAVING,
+    * ROLLUP/CUBE/GROUPING SETS, window(...) groupings, tombstone-TTL
+    * (materializeExpiring) and keepMeta (named/layered views) compose
+    * exactly as on the flat path. Accuracy is the DDSketch contract:
+    * every estimate within α = 1% RELATIVE error of an exact quantile's
+    * neighborhood, at O(buckets ≤ ~4k) state per group.
+    */
+  private def compileDdqAgg(spark: SparkSession, agg: Aggregate,
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)],
+      having: Option[Expression],
+      keepMeta: Boolean): PlannedView = {
+    val src       = compileSource(spark, agg.child, feeds)
+    val preds     = src.filters.map(compileExpr)
+    val (baseExprs, levels) = expandGroupingSets(agg.groupingExpressions)
+    val groupSlots = baseExprs.map(compileGroupSlot)
+    require(groupSlots.count(_.isInstanceOf[WindowSlot]) <= 1,
+      "at most one window(...) grouping per view (Spark's own windowed-aggregation rule)")
+    require(levels.length == 1 || groupSlots.forall(_.isInstanceOf[ScalarSlot]),
+      "window(...) groupings do not combine with ROLLUP/CUBE/GROUPING SETS")
+    val groupSql  = baseExprs.map(_.sql)
+
+    val slotFns = scala.collection.mutable.ArrayBuffer.empty[Eval]
+    def addSlot(f: Eval): Int = { slotFns += f; slotFns.size - 1 }
+    // one sketch per DISTINCT operand sql — approx_percentile(x, 0.5)
+    // and approx_percentile(x, 0.95) share x's sketch
+    val qFns  = scala.collection.mutable.ArrayBuffer.empty[Eval]
+    val qSqls = scala.collection.mutable.ArrayBuffer.empty[String]
+    def addQ(e: Expression): Int = qSqls.indexOf(e.sql) match {
+      case -1 =>
+        val ca = compileExpr(e)
+        qFns  += (env => Some(ca(env).flatMap(asNum).getOrElse(Double.NaN)))
+        qSqls += e.sql
+        qFns.size - 1
+      case i => i
+    }
+    def fracOf(e: Expression): Double = e match {
+      case l: Literal =>
+        val d = litValue(l.value).map(String.valueOf).flatMap(_.toDoubleOption)
+          .getOrElse(throw unsupported(s"percentile fraction ${e.sql} (numeric literal)"))
+        require(d >= 0.0 && d <= 1.0, s"percentile fraction $d out of [0, 1]")
+        d
+      case other => throw unsupported(s"percentile fraction ${other.sql} (literal only)")
+    }
+    val outCols: Seq[OutCol] = agg.aggregateExpressions.zipWithIndex.map { case (ne, i) =>
+      val core = coreOf(ne)
+      val name = outName(ne, s"col$i")
+      core match {
+        case e if groupSql.indexOf(e.sql) >= 0 => GroupOut(groupSql.indexOf(e.sql), name)
+        case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("grouping") =>
+          f.arguments match {
+            case Seq(e) if groupSql.indexOf(e.sql) >= 0 => GroupingOut(Seq(groupSql.indexOf(e.sql)), name)
+            case other => throw unsupported(
+              s"grouping(${other.map(_.sql).mkString(",")}) (argument must be a grouping column)")
+          }
+        case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("grouping_id") =>
+          val idxs =
+            if (f.arguments.isEmpty) groupSql.indices
+            else f.arguments.map { e =>
+              val i = groupSql.indexOf(e.sql)
+              if (i < 0) throw unsupported(s"grouping_id argument ${e.sql} is not a grouping column")
+              i
+            }
+          GroupingOut(idxs, name)
+        case f: UnresolvedFunction if DdqFns(f.nameParts.last.toLowerCase) =>
+          require(!f.isDistinct,
+            s"${f.nameParts.last}(DISTINCT ...) is unsupported in planner views")
+          f.arguments match {
+            case Seq(e, fr) => DdqPercOut(addQ(e), fracOf(fr), name)
+            case Seq(_, _, acc) => throw unsupported(
+              s"approx_percentile accuracy argument ${acc.sql} — the planner's DDSketch " +
+                "is fixed at α = 1% relative error; drop the third argument")
+            case other => throw unsupported(
+              s"approx_percentile(${other.map(_.sql).mkString(",")}) (need (expr, fraction))")
+          }
+        case f: UnresolvedFunction =>
+          compileAggFnOut(f.nameParts.last.toLowerCase, f.arguments, name, addSlot) match {
+            case _: MinOut | _: MaxOut => throw unsupported(
+              "min/max alongside approx_percentile (extrema are not invertible; put " +
+                "them in a second view over the same feed, or use a holistic view)")
+            case oc => oc
+          }
+        case other => throw unsupported(
+          s"select item ${other.sql} (neither grouping expr nor a supported aggregate)")
+      }
+    }
+
+    val slots  = slotFns.toIndexedSeq
+    val qSlots = qFns.toIndexedSeq
+    val nPlain = slots.length
+    val qOuts: Seq[(Int, Double)] = outCols.collect { case DdqPercOut(q, f, _) => (q, f) }
+    // the shared extractor contract: percentile operands ride AFTER the
+    // plain slots in the contribution vector (NaN = SQL NULL, excluded
+    // from the sketch), so [[applyLww]]'s stored PlannedContrib carries
+    // what a later retraction must un-bucket
+    val extract: Change => Option[(Seq[String], Seq[Double], Seq[String])] = { c =>
+      val env  = envOf(c)
+      val pass = preds.forall(p => p(env).contains(true))
+      if (!pass) None
+      else {
+        val parts: Seq[Seq[String]] = groupSlots.map {
+          case ScalarSlot(f) => Seq(f(env).map(String.valueOf(_)).getOrElse(NullMark))
+          case WindowSlot(w) => windowStartsOf(w, env)
+        }
+        val keys = levels.flatMap { active =>
+          parts.zipWithIndex
+            .map { case (ps, i) => if (active.contains(i)) ps else Seq(RollMark) }
+            .foldLeft(Seq(Vector.empty[String])) { (acc, p) => for (a <- acc; x <- p) yield a :+ x }
+            .map(_.mkString(Sep))
+        }
+        val plain = slots.map(s => s(env) match { case Some(d: Double) => d; case _ => 0.0 })
+        val qv    = qSlots.map(s => s(env) match { case Some(d: Double) => d; case _ => Double.NaN })
+        Some((keys, plain ++ qv, Nil))
+      }
+    }
+
+    implicit val contribEnc = Encoders.product[PlannedContrib]
+    implicit val deltaEnc   = Encoders.product[DdqDelta]
+    implicit val stateEnc   = Encoders.product[DdqGroupState]
+    implicit val rowEnc     = Encoders.product[PlannedGroupRow]
+    implicit val longEnc    = Encoders.scalaLong
+    implicit val stringEnc  = Encoders.STRING
+    val inChanges = ttl match {
+      case Some((delay, _)) => src.changes.withWatermark("ts", delay)
+      case None             => src.changes
+    }
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    val groupRows = inChanges
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        expiring(ttl, ddqFold(extract, nPlain, qSlots.length)))
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        ddqGroupFold(nPlain, qSlots.length, qOuts))
+      .toDF()
+
+    val parts = split(col("group"), Sep)
+    // plain slots folded as micro-unit integers (the aggFold discipline)
+    // — descale on emission; estimate entries are raw values
+    def slotCol(slot: Int) = element_at(col("sums"), slot + 1) / lit(SlotScale)
+    var qSeen = -1
+    val outExprs = outCols.map {
+      case DdqPercOut(_, _, name) =>
+        qSeen += 1
+        val c = element_at(col("sums"), nPlain + qSeen + 1)
+        when(isnan(c), lit(null)).otherwise(c).as(name)
+      case oc => outColExpr(oc, slotCol, parts)
+    }
+    val metaCols =
+      if (keepMeta) Seq(col("group").as("_group"), col("tsUs").as("_ts_us"), col("seq").as("_seq"))
+      else Nil
+    val selected = groupRows.select(outExprs ++ (col("live_rows").as("_live_rows") +: metaCols): _*)
+    val withHaving = having match {
+      case Some(cond) =>
+        selected.withColumn("_live_rows",
+          when(coalesce(expr(cond.sql), lit(false)), col("_live_rows")).otherwise(lit(0L)))
+      case None => selected
+    }
+    PlannedView(withHaving, OutputMode.Append())
+  }
+
+  /** Stage-1 fold of the DDSketch path: [[aggFold]]'s LWW + signed
+    * netting, plus per-sketch bucket deltas — the OLD contribution's
+    * operand (held in the stored [[PlannedContrib]]) un-buckets with
+    * −1, the new one buckets with +1, netting within the batch. NaN
+    * operands (SQL NULL) never touch a sketch.
+    */
+  private def ddqFold(extract: Change => Option[(Seq[String], Seq[Double], Seq[String])],
+      nPlain: Int, nQ: Int)(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[PlannedContrib]): Iterator[DdqDelta] = {
+    val (before, cur) = applyLww(extract)(changes, state)
+    val net = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Array[Double], Array[scala.collection.mutable.Map[Long, Long]])]
+    def add(g: String, dk: Long, vs: Seq[Double], sign: Double): Unit = {
+      val (k0, a0, b0) = net.getOrElse(g,
+        (0L, Array.fill(nPlain)(0.0),
+          Array.fill(nQ)(scala.collection.mutable.Map.empty[Long, Long])))
+      var i = 0
+      while (i < nPlain) {
+        val v = if (i < vs.length) vs(i) else 0.0
+        a0(i) += sign * math.rint(v * SlotScale)
+        i += 1
+      }
+      var j = 0
+      while (j < nQ) {
+        val x = if (nPlain + j < vs.length) vs(nPlain + j) else Double.NaN
+        if (!x.isNaN) {
+          val k = ddqKey(x)
+          val d = b0(j).getOrElse(k, 0L) + (if (sign > 0) 1L else -1L)
+          if (d == 0L) b0(j) -= k else b0(j)(k) = d
+        }
+        j += 1
+      }
+      net(g) = (k0 + dk.toLong, a0, b0)
+    }
+    before.filter(_.live).foreach(b => b.groups.foreach(g => add(g, -1L, b.slots, -1.0)))
+    cur.filter(_.live).foreach(a => a.groups.foreach(g => add(g, 1L, a.slots, 1.0)))
+    val (posTs, posSeq) = cur.map(c => (c.tsUs, c.seq)).getOrElse((0L, 0L))
+    net.iterator.collect {
+      case (g, (dk, ds, bs)) if dk != 0L || ds.exists(_ != 0.0) || bs.exists(_.nonEmpty) =>
+        DdqDelta(g, dk, ds.toIndexedSeq,
+          bs.toIndexedSeq.map(m => m.iterator.flatMap { case (k, d) => Iterator(k, d) }.toSeq),
+          posTs, posSeq)
+    }
+  }
+
+  /** Stage-2 fold of the DDSketch path: apply integer bucket deltas to
+    * the group's sparse sketches + [[groupFold]]'s running plain totals,
+    * re-read each requested quantile, emit the group's current row.
+    * State O(plain slots + sketch buckets) per group — never O(rows).
+    */
+  private def ddqGroupFold(nPlain: Int, nQ: Int, qOuts: Seq[(Int, Double)])(
+      group: String,
+      deltas: Iterator[DdqDelta],
+      state: GroupState[DdqGroupState]): Iterator[PlannedGroupRow] = {
+    val s0 = state.getOption.getOrElse(
+      DdqGroupState(0L, Seq.fill(nPlain)(0.0), Seq.fill(nQ)(Map.empty[Long, Long])))
+    var n    = s0.n
+    val sums = s0.sums.toArray
+    val bks  = s0.buckets.map(m => scala.collection.mutable.Map.empty[Long, Long] ++= m).toArray
+    var touched = false
+    var posTs   = 0L
+    var posSeq  = 0L
+    deltas.foreach { d =>
+      touched = true
+      n += d.d_keys
+      d.d_slots.zipWithIndex.foreach { case (v, i) => if (i < nPlain) sums(i) += v }
+      var j = 0
+      while (j < nQ) {
+        if (j < d.d_buckets.length) {
+          val pairs = d.d_buckets(j)
+          var p = 0
+          while (p + 1 < pairs.length) {
+            val k = pairs(p); val dd = pairs(p + 1)
+            val c = bks(j).getOrElse(k, 0L) + dd
+            if (c < 0L) throw new IllegalStateException(
+              s"approx_percentile sketch undercount (bucket $k of sketch $j) — a " +
+                "retraction arrived for a value the sketch never saw; state is corrupt")
+            if (c == 0L) bks(j) -= k else bks(j)(k) = c
+            p += 2
+          }
+        }
+        j += 1
+      }
+      if (d.tsUs > posTs || (d.tsUs == posTs && d.seq > posSeq)) { posTs = d.tsUs; posSeq = d.seq }
+    }
+    if (!touched) Iterator.empty
+    else if (n <= 0L) {
+      state.remove()
+      // plain slots zero explicitly (no float residue in the tombstone);
+      // estimates NaN → SQL NULL downstream
+      Iterator.single(PlannedGroupRow(group,
+        0L, Seq.fill(nPlain)(0.0) ++ Seq.fill(qOuts.length)(Double.NaN), posTs, posSeq))
+    } else {
+      val frozen = bks.map(_.toMap)
+      state.update(DdqGroupState(n, sums.toSeq, frozen.toSeq))
+      val ests = qOuts.map { case (q, f) => ddqQuantile(frozen(q), f) }
+      Iterator.single(PlannedGroupRow(group, n, sums.toSeq ++ ests, posTs, posSeq))
     }
   }
 
