@@ -736,7 +736,8 @@ object SparkEntry {
         |ctot AS (SELECT sum(n_t) AS n FROM ttot)
         |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
         |  CAST(sum(n_st * CAST(round(1000000.0 *
-        |    ln(CAST(n_st * n AS DOUBLE) / CAST(n_s * n_t AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |    ln((CAST(n_st AS DOUBLE) * CAST(n AS DOUBLE))
+        |       / (CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)))) AS BIGINT)) AS BIGINT)
         |    AS kl_unats_scaled
         |FROM st JOIN ttot USING (tok) JOIN stot USING (source) CROSS JOIN ctot
         |GROUP BY source""".stripMargin,
@@ -1175,7 +1176,7 @@ object SparkEntry {
     // exact cents — double sums drift past round-boundaries at sf1)
     "q62_salted_join" ->
       """SELECT p_brand,
-        | round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS revenue,
+        | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,

@@ -595,7 +595,13 @@ object Relational {
       .join(dim.hint("merge"),
         fact("l_partkey") === dim("p_partkey") && fact("salt") === dim("salt"))
       .groupBy("p_brand")
-      .agg(round(sum("rev"), 2).as("revenue"), count(lit(1)).as("n_items"))
+      // cast the EXACT decimal sum to double before rounding (the q12
+      // emission rule): the driver hashes values by representation, so a
+      // decimal(·,2) on one side vs a double on the other hash-mismatches
+      // even when numerically equal. Nearest-double of the same exact
+      // decimal is bit-identical in both engines.
+      .agg(round(sum("rev").cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
   }
 
   /** q71: correlated EXISTS with a NON-EQUI outer-referencing predicate —

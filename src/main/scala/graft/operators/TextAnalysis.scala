@@ -393,9 +393,15 @@ object TextAnalysis {
       .join(broadcast(srcTot), Seq("source"))
       .crossJoin(broadcast(corpTot))
       .select(col("source"), col("n_s"),
+        // each factor casts to double BEFORE the multiply: n_st·n as a
+        // Long product wraps silently past 2^63 (Spark) while DuckDB's
+        // HUGEINT arithmetic doesn't — the same expression would then
+        // diverge quietly at corpus scale. Double mul/div is the same
+        // IEEE op in both engines, so parity survives any scale.
         (col("n_st") *
-          round(lit(1e6) * log((col("n_st") * col("n")).cast("double") /
-            (col("n_s") * col("n_t")).cast("double"))).cast("long")).as("c"))
+          round(lit(1e6) * log(
+            (col("n_st").cast("double") * col("n").cast("double")) /
+            (col("n_s").cast("double") * col("n_t").cast("double")))).cast("long")).as("c"))
       .groupBy("source")
       .agg(max("n_s").as("n_tokens"), sum("c").as("kl_unats_scaled"))
   }

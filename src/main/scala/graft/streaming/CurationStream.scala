@@ -64,17 +64,95 @@ object CurationStream {
 
   /** Publish the standing corpus's dedup index under `indexDir`:
     * `hashes/` (d01's content-hash index) and `postings/` (the 5-shingle
-    * postings) — the two artifacts [[dedupVerdicts]] probes. Overwrite-
-    * republish as the corpus grows; running verdict streams pick the new
-    * index up at their NEXT micro-batch without restart (the #124
+    * postings) — the two artifacts [[dedupVerdicts]] probes. Republish as
+    * the corpus grows; running verdict streams pick the new index up at
+    * their NEXT micro-batch without restart (the #124
     * resolve-inside-foreachBatch pattern).
+    *
+    * Publication is VERSIONED, never in-place: each publish lands a
+    * complete index under `indexDir/v=<n>/` and only then flips the
+    * `CURRENT` pointer file. An in-place overwrite would delete parquet
+    * files out from under a verdict stream's in-flight batch scan
+    * (FileNotFoundException mid-task); with versioning an in-flight batch
+    * finishes against the version it resolved, and the next batch
+    * resolves the new one. Superseded versions are retained until
+    * [[pruneDedupIndex]] — GC is an explicit maintenance step so no
+    * reader horizon has to be guessed here. Returns the published
+    * version's directory.
     */
-  def publishDedupIndex(corpus: DataFrame, indexDir: String): Unit = {
+  def publishDedupIndex(corpus: DataFrame, indexDir: String): String = {
+    val fs = fsOf(corpus.sparkSession, indexDir)
+    val base = new HPath(indexDir)
+    val next = listVersions(fs, base).sorted.lastOption.getOrElse(0L) + 1L
+    val vdir = new HPath(base, s"v=$next")
     graft.operators.Dedup.corpusHashIndex(corpus)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/hashes")
+      .write.mode(SaveMode.Overwrite).parquet(new HPath(vdir, "hashes").toString)
     graft.operators.Dedup.corpusPostings(corpus)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings")
+      .write.mode(SaveMode.Overwrite).parquet(new HPath(vdir, "postings").toString)
+    // pointer flip: write the manifest to a temp name, then rename over
+    // CURRENT. Rename is atomic on HDFS/posix; readers that race the
+    // (object-store) non-atomic window fall back to the highest v= dir —
+    // which is exactly the version being published, already complete.
+    val tmp = new HPath(base, "_CURRENT.tmp")
+    val cur = new HPath(base, "CURRENT")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(cur)) fs.delete(cur, false)
+    fs.rename(tmp, cur): Unit
+    vdir.toString
   }
+
+  /** Drop superseded index versions, keeping the newest `keep` (≥1 —
+    * CURRENT is never deleted). Run as maintenance once every verdict
+    * stream has taken a batch past the publish that superseded them.
+    */
+  def pruneDedupIndex(spark: SparkSession, indexDir: String, keep: Int = 2): Unit = {
+    require(keep >= 1, "keep must be >= 1")
+    val fs = fsOf(spark, indexDir)
+    val base = new HPath(indexDir)
+    listVersions(fs, base).sorted.dropRight(keep)
+      .foreach(v => fs.delete(new HPath(base, s"v=$v"), true): Unit)
+  }
+
+  /** Resolve the index directory a batch should read: `CURRENT` if the
+    * pointer exists, else the highest published `v=` dir (the pointer-
+    * flip race window), else `indexDir` itself (pre-versioning flat
+    * layout — keeps old published indexes readable).
+    */
+  def resolveIndexDir(spark: SparkSession, indexDir: String): String = {
+    val fs = fsOf(spark, indexDir)
+    val base = new HPath(indexDir)
+    val cur = new HPath(base, "CURRENT")
+    val fromPointer =
+      if (!fs.exists(cur)) None
+      else {
+        val in = fs.open(cur)
+        val n = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](256)
+          Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+            .foreach(k => buf.write(chunk, 0, k))
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        } finally in.close()
+        Some(n)
+      }
+    fromPointer.orElse(listVersions(fs, base).sorted.lastOption)
+      .map(n => new HPath(base, s"v=$n").toString)
+      .getOrElse(indexDir)
+  }
+
+  private type HPath = org.apache.hadoop.fs.Path
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
 
   /** One micro-batch's verdicts + dead letters. Poison documents (NULL
     * doc_id or NULL/empty text — rows the shingler and hasher would
@@ -89,8 +167,9 @@ object CurationStream {
       .select(col("doc_id"), col("text"),
         when(col("doc_id").isNull, "null_doc_id").otherwise("empty_text").as("reason"))
     val good    = batch.filter(!coalesce(poisonCond, lit(true)))
-    val hashes  = spark.read.parquet(s"$indexDir/hashes")
-    val posts   = spark.read.parquet(s"$indexDir/postings")
+    val vdir    = resolveIndexDir(spark, indexDir)
+    val hashes  = spark.read.parquet(s"$vdir/hashes")
+    val posts   = spark.read.parquet(s"$vdir/postings")
     (graft.operators.Dedup.verdictsAgainstIndex(good, hashes, posts, threshold), poison)
   }
 
@@ -114,16 +193,31 @@ object CurationStream {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (verdicts, poison) = verdictBatch(spark, batch, indexDir, threshold)
-        verdicts
-          .withColumn("batch_id", lit(batchId))
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outDir)
-        val dead = poison.count()
-        if (dead > 0)
-          poison.withColumn("batch_id", lit(batchId))
-            .write.mode(SaveMode.Append).parquet(dlqDir)
+        processVerdictBatch(spark, batch, batchId, indexDir, outDir, dlqDir, threshold)
       }
+
+  /** The foreachBatch body, factored so replay idempotency is directly
+    * spec-testable: verdicts AND dead letters both land batch-partitioned
+    * under dynamic partition overwrite — a crash-replayed micro-batch
+    * (foreachBatch re-invoked with the same batchId) overwrites its own
+    * batch_id partition in BOTH sinks instead of appending duplicates.
+    * An empty poison set touches no partitions, so clean batches cost one
+    * no-op job on the DLQ side.
+    */
+  def processVerdictBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      indexDir: String, outDir: String, dlqDir: String,
+      threshold: Double = 0.5): Unit = {
+    val (verdicts, poison) = verdictBatch(spark, batch, indexDir, threshold)
+    verdicts
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+    poison.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dlqDir)
+  }
 }

@@ -98,7 +98,16 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     refs.foreach(r => require(sources.contains(r) || views.contains(r),
       s"view $name references unknown table $r (register the source or create the view first)"))
     val v = startView(name, sql, refs.toSeq.sorted, ttl)
-    persistMeta(v, ttl)
+    // If the definition can't be persisted (unwritable meta dir, disk
+    // full), the just-started maintenance query must not keep running
+    // untracked — not in `views`, not resumable, not stoppable via the
+    // catalog. Tear it down and surface the original failure.
+    try persistMeta(v, ttl)
+    catch {
+      case e: Throwable =>
+        try v.query.stop() finally deleteRecursively(viewDir(name))
+        throw e
+    }
     views(name) = v
     v
   }

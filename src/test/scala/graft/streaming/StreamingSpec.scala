@@ -1748,4 +1748,45 @@ class StreamingSpec extends SparkSpec {
       assert(v2(5L) == "exact_dup", s"republished index must apply to the next batch: $v2")
     } finally q.stop()
   }
+
+  test("#237c versioned index publish: republish never deletes the live version; prune GCs superseded ones") {
+    import spark.implicits._
+    val indexDir = tmp("ndver")
+    val v1 = CurationStream.publishDedupIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"), indexDir)
+    assert(v1.endsWith("v=1"), s"first publish under v=1: $v1")
+    assert(CurationStream.resolveIndexDir(spark, indexDir) == v1)
+    // an in-flight batch holds a reader on v=1; a republish must not
+    // touch its files (the in-place overwrite would FileNotFound it)
+    val v1Hashes = spark.read.parquet(s"$v1/hashes")
+    val v2 = CurationStream.publishDedupIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta"),
+          (2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text"), indexDir)
+    assert(v2.endsWith("v=2") && CurationStream.resolveIndexDir(spark, indexDir) == v2)
+    assert(v1Hashes.count() == 1L, "v=1 files must survive the republish for in-flight readers")
+    assert(spark.read.parquet(s"$v2/hashes").count() == 2L)
+    CurationStream.pruneDedupIndex(spark, indexDir, keep = 1)
+    assert(!new java.io.File(v1.stripPrefix("file:")).exists(), "prune GCs the superseded version")
+    assert(CurationStream.resolveIndexDir(spark, indexDir) == v2, "prune never drops CURRENT")
+  }
+
+  test("#237d crash-replayed micro-batch overwrites its own partition in BOTH sinks (verdicts and DLQ)") {
+    import spark.implicits._
+    val (indexDir, outDir, dlqDir) = (tmp("ndr_idx"), tmp("ndr_out"), tmp("ndr_dlq"))
+    CurationStream.publishDedupIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"), indexDir)
+    val batch = Seq(
+      (Some(10L), ts(0), "alpha beta gamma delta epsilon zeta"),
+      (Some(11L), ts(0), "totally novel words never seen in the corpus before"),
+      (None: Option[Long], ts(0), "poison without an id"))
+      .toDF("doc_id", "ts", "text")
+    // foreachBatch re-invoked with the SAME batchId = the crash-replay shape
+    CurationStream.processVerdictBatch(spark, batch, 7L, indexDir, outDir, dlqDir)
+    CurationStream.processVerdictBatch(spark, batch, 7L, indexDir, outDir, dlqDir)
+    val verdicts = spark.read.parquet(outDir).collect()
+    assert(verdicts.length == 2, s"replay must not duplicate verdicts: ${verdicts.length}")
+    val dead = spark.read.parquet(dlqDir).collect()
+    assert(dead.length == 1, s"replay must not duplicate dead letters: ${dead.length}")
+    assert(dead.head.getAs[String]("reason") == "null_doc_id")
+  }
 }

@@ -270,4 +270,30 @@ class ViewCatalogSpec extends SparkSpec {
     assert(got == Seq(("ber", 2L, "2"), ("par", 1L, "1")), s"sql over snapshots: $got")
     cat.stopAll()
   }
+
+  test("#234i createView rolls back the maintenance query when the definition can't be persisted") {
+    val (root, src) = (tmp("vcrb"), tmp("vcrbsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    // make the meta dir unwritable: a FILE squats on root/meta, so
+    // persistMeta's createDirectories throws AFTER the query started
+    Files.write(Paths.get(root, "meta"), Array.empty[Byte])
+    val before = spark.streams.active.map(_.name).toSet
+    intercept[Exception] {
+      cat.createView("orphan", "SELECT city, count(*) AS n FROM t GROUP BY city")
+    }
+    val leaked = spark.streams.active.map(_.name).toSet -- before
+    assert(!leaked.contains("graft_view_orphan"),
+      s"a failed createView must not leave its maintenance query running: $leaked")
+    assert(!Files.exists(Paths.get(root, "views", "orphan")),
+      "a failed createView must not leave its view directory behind")
+    // the catalog stays usable: clear the squatter and the same name creates
+    Files.delete(Paths.get(root, "meta"))
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "1"), 1L)))
+    val v = cat.createView("orphan", "SELECT city, count(*) AS n FROM t GROUP BY city")
+    cat.awaitAll()
+    assert(snapRows(cat, "orphan", v.cols) == Set(Seq("ber", "1")), "name reusable after rollback")
+    cat.stopAll()
+  }
 }
