@@ -147,6 +147,7 @@ object SparkEntry {
     "d12_semdedup"              -> ((s, d) => Similarity.semDedup(GraftSession.tune(s), d)),
     "d13_canonical_selection"   -> ((s, d) => Dedup.canonicalSelection(GraftSession.tune(s), d)),
     "d14_cross_source_leakage"  -> ((s, d) => Dedup.crossSourceLeakage(GraftSession.tune(s), d)),
+    "d15_substring_dedup"       -> ((s, d) => Dedup.substringDedup(GraftSession.tune(s), d)),
     // all-pairs top-k: deterministic bucketed self-join + bounded TopK
     // aggregate (no Window over candidate pairs) -> hash-exact
     "s08_knn_join"              -> ((s, d) => Similarity.knnJoin(GraftSession.tune(s), d)),
@@ -170,6 +171,7 @@ object SparkEntry {
     "t15_bm25"                  -> ((s, d) => TextAnalysis.bm25Rank(GraftSession.tune(s), d)),
     "t16_lexical_diversity"     -> ((s, d) => TextAnalysis.lexicalDiversity(GraftSession.tune(s), d)),
     "t17_source_divergence"     -> ((s, d) => TextAnalysis.sourceDivergence(GraftSession.tune(s), d)),
+    "t18_vocab_growth"          -> ((s, d) => TextAnalysis.vocabularyGrowth(GraftSession.tune(s), d)),
     "q91_dsir_sample"           -> ((s, d) => TrainingData.dsirSample(GraftSession.tune(s), d)),
   )
 
@@ -687,6 +689,26 @@ object SparkEntry {
         |JOIN w wa ON wa.doc_id = pairs.doc_a
         |JOIN w wb ON wb.doc_id = pairs.doc_b
         |GROUP BY 1, 2""".stripMargin,
+    // d15: coverage verified by an INDEPENDENT formulation — the oracle
+    // counts DISTINCT covered token positions (window start + offset)
+    // where the Spark side folds sorted intervals; same exact integer.
+    "d15_substring_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |win AS (SELECT doc_id, i - 1 AS pos, array_to_string(words[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS i FROM w) t),
+        |dg AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM win GROUP BY g) x
+        |  WHERE nd >= 2),
+        |dw AS (SELECT win.doc_id, win.pos FROM win JOIN dg USING (g)),
+        |cov AS (SELECT doc_id, count(*) AS dup_tokens FROM (
+        |  SELECT DISTINCT dw.doc_id, dw.pos + k.k AS p
+        |  FROM dw CROSS JOIN (SELECT unnest(range(0, 8)) AS k) k) u GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows FROM dw GROUP BY doc_id),
+        |sz AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w)
+        |SELECT agg.doc_id, sz.n_tokens, agg.n_dup_windows,
+        |  CAST(cov.dup_tokens AS BIGINT) AS dup_tokens,
+        |  CAST(cov.dup_tokens AS DOUBLE) / CAST(sz.n_tokens AS DOUBLE) AS dup_frac
+        |FROM agg JOIN cov USING (doc_id) JOIN sz USING (doc_id)""".stripMargin,
     "t14_length_histogram" ->
       """WITH t AS (SELECT lang,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
@@ -741,6 +763,25 @@ object SparkEntry {
         |    AS kl_unats_scaled
         |FROM st JOIN ttot USING (tok) JOIN stot USING (source) CROSS JOIN ctot
         |GROUP BY source""".stripMargin,
+    // t18: vocabulary growth — exact integers; the band formula is pure
+    // integer arithmetic in both engines (DIV vs //)
+    "t18_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |db AS (SELECT least(doc_id * 10 // (mx + 1), 9) AS band, count(*) AS n_docs
+        |  FROM documents CROSS JOIN mx GROUP BY 1),
+        |tb AS (SELECT least(doc_id * 10 // (mx + 1), 9) AS band, count(*) AS n_tokens
+        |  FROM tk CROSS JOIN mx GROUP BY 1),
+        |ty AS (SELECT least(fd * 10 // (mx + 1), 9) AS band, count(*) AS new_types
+        |  FROM (SELECT tok, min(doc_id) AS fd FROM tk GROUP BY tok) f CROSS JOIN mx GROUP BY 1)
+        |SELECT CAST(band AS BIGINT) AS band,
+        |  CAST(sum(coalesce(n_docs, 0)) OVER (ORDER BY band) AS BIGINT) AS docs_cum,
+        |  CAST(sum(coalesce(n_tokens, 0)) OVER (ORDER BY band) AS BIGINT) AS tokens_cum,
+        |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY band) AS BIGINT) AS types_cum
+        |FROM db FULL OUTER JOIN tb USING (band) FULL OUTER JOIN ty USING (band)""".stripMargin,
     // q91: DSIR importance weights replayed bucket for bucket — md5-hex
     // 256-bucket hashed unigrams, +0.5-smoothed LMs, per-bucket log-ratio
     // rounded ONCE to integer micro-nats so the per-doc score is an
@@ -1176,7 +1217,7 @@ object SparkEntry {
     // exact cents — double sums drift past round-boundaries at sf1)
     "q62_salted_join" ->
       """SELECT p_brand,
-        | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,

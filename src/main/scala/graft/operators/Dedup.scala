@@ -659,4 +659,66 @@ object Dedup {
         countDistinct(col("raw_hash")).as("n_spellings"),
         min("doc_id").as("keeper"))
   }
+
+  /** d15: EXACT SUBSTRING dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" operator) — flag every
+    * verbatim `w`-token span a document shares with ANOTHER document, and
+    * report how much of each document is covered by such spans. This is
+    * the span-level complement of d02's whole-document Jaccard: a doc
+    * that quotes one paragraph from the corpus scores near-zero Jaccard
+    * but a high dup-token fraction here, and it's the spans (not the doc
+    * pair) a training pipeline cuts.
+    *
+    * Spark-first shape — the suffix-array of the paper is a single-node
+    * construction; the distributed equivalent is the windowed posting
+    * list, and it's all narrow scans + two keyed aggregates:
+    *   1. `posexplode(graft_shingles(text, w))` — every w-token window
+    *      with its position, one O(L) codegen pass per doc, no shuffle.
+    *   2. duplicated grams = groupBy(gram).count(DISTINCT doc) >= 2 —
+    *      map-side-combined partial distinct, the d02 posting shuffle.
+    *   3. LEFT SEMI join windows -> duplicated grams: each window keeps
+    *      or drops independently, so a boilerplate gram with df=10^6
+    *      cannot fan out (nothing here is postings x postings).
+    *   4. per-doc coverage = interval union of [pos, pos+w-1] via an
+    *      `aggregate()` fold over the doc's SORTED dup positions — state
+    *      is O(dup windows of that doc), bounded by doc length, the same
+    *      bound as holding the document row itself.
+    * Exact integers end to end; `dup_frac` is one int/int double division
+    * (bit-identical cross-engine, no rounding). The DuckDB oracle
+    * recomputes coverage by the OTHER formulation — COUNT(DISTINCT
+    * covered position) — so the interval fold is verified against an
+    * independent algorithm, not replayed.
+    */
+  def substringDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    substringDedupDocs(Tables.documents(spark, dir).select(col("doc_id"), col("text")), w)
+
+  /** [[substringDedup]]'s core over any `(doc_id, text)` frame. */
+  def substringDedupDocs(docsIn: DataFrame, w: Int): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("text"))
+    val wins = docs.select(col("doc_id"),
+      posexplode(expr(s"graft_shingles(text, $w)")).as(Seq("pos", "g")))
+    val dupGrams = wins.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val dupWins = wins.join(dupGrams, Seq("g"), "left_semi")
+    val perDoc = dupWins.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        expr(s"""aggregate(ps,
+            named_struct('last', CAST(-1 AS BIGINT), 'cov', CAST(0 AS BIGINT)),
+            (acc, s) -> named_struct(
+              'last', greatest(acc.last, s + ${w - 1}),
+              'cov',  acc.cov + greatest(CAST(0 AS BIGINT),
+                        s + $w - greatest(s, acc.last + 1))),
+            acc -> acc.cov)""").as("dup_tokens"))
+    val sizes = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    perDoc
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_windows"),
+        col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double")).as("dup_frac"))
+  }
 }

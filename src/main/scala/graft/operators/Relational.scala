@@ -595,12 +595,14 @@ object Relational {
       .join(dim.hint("merge"),
         fact("l_partkey") === dim("p_partkey") && fact("salt") === dim("salt"))
       .groupBy("p_brand")
-      // cast the EXACT decimal sum to double before rounding (the q12
-      // emission rule): the driver hashes values by representation, so a
-      // decimal(·,2) on one side vs a double on the other hash-mismatches
-      // even when numerically equal. Nearest-double of the same exact
-      // decimal is bit-identical in both engines.
-      .agg(round(sum("rev").cast("double"), 2).as("revenue"),
+      // round the EXACT decimal, THEN cast to double (sf1 caught the
+      // other order): the 4-decimal sum rounded at 2 hits .xx5 ties,
+      // where Spark's decimal HALF_UP and DuckDB's decimal half-away
+      // agree exactly (positive money) but double-space rounding does
+      // not — and the final double cast keeps the driver's
+      // representation hash aligned (a decimal(·,2) output vs the
+      // oracle's double hash-mismatches even when numerically equal).
+      .agg(round(sum("rev"), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 

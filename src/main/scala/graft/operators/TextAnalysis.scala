@@ -405,4 +405,55 @@ object TextAnalysis {
       .groupBy("source")
       .agg(max("n_s").as("n_tokens"), sum("c").as("kl_unats_scaled"))
   }
+
+  /** t18: VOCABULARY-GROWTH curve (the Heaps'-law table) — cumulative
+    * distinct types vs cumulative tokens at `buckets` corpus checkpoints,
+    * the saturation plot that sizes a tokenizer vocabulary and tells a
+    * crawl whether new data still brings new language. "Order" is the
+    * deterministic doc_id order, bucketed so the output is `buckets`
+    * rows at ANY corpus size.
+    *
+    * Scale shape — no sort, no per-token window: a type's contribution
+    * to the curve is fully determined by its FIRST-occurrence doc
+    * (min(doc_id) per term, one map-side-combined aggregate over the
+    * token scan); banding those first occurrences and the per-band
+    * token/doc counts are two more combine-friendly aggregates, and the
+    * running sums run over the `buckets`-row result (a single-partition
+    * window over ~10 rows, not over the corpus). Exact integers end to
+    * end.
+    */
+  def vocabularyGrowth(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx   = docs.agg(max("doc_id").as("mx"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    def bandOf(c: org.apache.spark.sql.Column) =
+      least(expr(s"CAST(${c.toString} * $buckets DIV (mx + 1) AS BIGINT)"), lit(buckets - 1L))
+    // tokens and docs per band
+    val docBands = docs.crossJoin(broadcast(mx))
+      .select(bandOf(col("doc_id")).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_docs"))
+    val tokBands = toks.crossJoin(broadcast(mx))
+      .select(bandOf(col("doc_id")).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_tokens"))
+    // a type is NEW in the band of its first occurrence
+    val typeBands = toks.groupBy("tok").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(mx))
+      .select(bandOf(col("fd")).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("new_types"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("band").rowsBetween(W.unboundedPreceding, W.currentRow)
+    docBands
+      .join(tokBands, Seq("band"), "full_outer")
+      .join(typeBands, Seq("band"), "full_outer")
+      .select(col("band"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("band"),
+        sum("n_docs").over(w).as("docs_cum"),
+        sum("n_tokens").over(w).as("tokens_cum"),
+        sum("new_types").over(w).as("types_cum"))
+  }
 }

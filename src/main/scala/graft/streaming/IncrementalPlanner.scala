@@ -5030,14 +5030,38 @@ object IncrementalPlanner {
   def namedChanges(spark: SparkSession, sql: String,
       feeds: Map[String, Dataset[Change]],
       ttl: Option[(String, Long)] = None): (Dataset[Change], Seq[String]) = {
-    val plan0 = spark.sessionState.sqlParser.parsePlan(sql)
+    val isAsof  = AsofRe.findFirstIn(sql).nonEmpty
+    val cleaned = stripAsofSyntax(sql)
+    val plan0 = spark.sessionState.sqlParser.parsePlan(cleaned)
+    if (isAsof) {
+      require(plan0.collect { case j: Join => j }.length == 1,
+        "one ASOF JOIN per statement (layer further joins as a second view over this one)")
+      require(ttl.isEmpty, "an expiring NAMED ASOF view is unsupported (the asof arrangement " +
+        "holds versioned right-side state; bound it upstream)")
+    }
+    asofStatement.withValue(isAsof) {
     neededAttrs.withValue(Some(attrNamesOf(plan0))) { plan0 match {
-      case p: Project if hasWindowItem(p) || p.exists {
-            case Filter(_, SubqueryAlias(_, inner: Project)) => hasWindowItem(inner)
-            case _ => false
-          } =>
-        throw unsupported("a ranked (window-function) view as a NAMED feed: its change " +
-          "identity is (key, partition); materialize it directly and consume its own sink")
+      // ranked views as NAMED feeds: the (key, partition) change identity
+      // folds into ONE stable change key (xxhash64 of both), so partition
+      // moves land as delete(old identity) + upsert(new identity) and the
+      // sink's LWW fold is exact. Rank-shift re-emissions supersede by
+      // commit position like any other upsert.
+      case p: Project if hasWindowItem(p) =>
+        require(ttl.isEmpty, "an expiring NAMED ranked view is unsupported (rank state is " +
+          "whole-partition; bound the partition upstream)")
+        rankedChangesOf(compileRankedView(spark, p, feeds, outerCond = None, outerNames = None))
+      case Project(outer, Filter(cond, SubqueryAlias(_, inner: Project))) if hasWindowItem(inner) =>
+        require(ttl.isEmpty, "an expiring NAMED ranked view is unsupported (rank state is " +
+          "whole-partition; bound the partition upstream)")
+        val names = outer match {
+          case Seq(_: UnresolvedStar) => None
+          case items => Some(items.map {
+            case a: UnresolvedAttribute => a.nameParts.last
+            case other => throw unsupported(
+              s"outer select item ${other.sql} over a ranked subquery (plain column names or *)")
+          })
+        }
+        rankedChangesOf(compileRankedView(spark, inner, feeds, Some(cond), names))
       case p: Project if globalAgg(p).isEmpty => rowChangesOf(spark, p, feeds, ttl)
       case u: Union =>
         require(ttl.isEmpty, "an expiring UNION view is unsupported — bound the branches " +
@@ -5053,7 +5077,39 @@ object IncrementalPlanner {
         aggChangesOf(spark, Aggregate(attrs, attrs, UnresolvedRelation(Seq("__union"))),
           Map("__union" -> changes))
       case plan => aggChangesOf(spark, plan, feeds, ttl)
-    } }
+    } } }
+  }
+
+  /** Rewrite `ASOF [LEFT] JOIN` into parser-legal `[LEFT] JOIN` syntax —
+    * exposed so callers that need the referenced-table list (the
+    * [[ViewCatalog]]) can parse an ASOF statement before compiling it.
+    */
+  def stripAsofSyntax(sql: String): String =
+    if (AsofRe.findFirstIn(sql).isEmpty) sql
+    else AsofRe.replaceAllIn(sql, m => if (m.group(1) != null) "LEFT JOIN" else "JOIN")
+
+  /** A ranked [[PlannedView]] (op, key, _partition, cols…, ts_us, seq) as
+    * a NAMED changefeed: identity = xxhash64(_partition, key) — stable
+    * across rank shifts, distinct across partition moves, 64-bit
+    * collision odds. Delete rows keep only their identity (their payload
+    * values are already gone from the rank state).
+    */
+  private def rankedChangesOf(view: PlannedView): (Dataset[Change], Seq[String]) = {
+    val meta  = Set("op", "key", "_partition", "ts_us", "seq")
+    val names = view.df.columns.filterNot(meta).toSeq
+    val payload = map_filter(
+      map_from_arrays(
+        array(names.map(lit): _*),
+        array(names.map(n => col(n).cast("string")): _*)),
+      (_, v) => v.isNotNull)
+    implicit val changeEnc = Encoders.product[Change]
+    val changes = view.df.select(
+      col("op"),
+      xxhash64(col("_partition"), col("key")).as("key"),
+      expr("timestamp_micros(ts_us)").as("ts"),
+      payload.as("payload"),
+      col("seq")).as[Change]
+    (changes, names)
   }
 
   private def aggChangesOf(spark: SparkSession, plan: LogicalPlan,

@@ -94,7 +94,8 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     requireValidName(name)
     require(!views.contains(name) && !sources.contains(name),
       s"name $name already exists (DROP the view or pick another name)")
-    val refs = referencedTables(spark.sessionState.sqlParser.parsePlan(sql))
+    val refs = referencedTables(spark.sessionState.sqlParser.parsePlan(
+      IncrementalPlanner.stripAsofSyntax(sql)))
     refs.foreach(r => require(sources.contains(r) || views.contains(r),
       s"view $name references unknown table $r (register the source or create the view first)"))
     val v = startView(name, sql, refs.toSeq.sorted, ttl)

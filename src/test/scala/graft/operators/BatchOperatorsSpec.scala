@@ -528,6 +528,30 @@ class DedupSpec extends SparkSpec {
     val nPairs = Dedup.minhashLsh(spark, sf).count()
     assert(total == nPairs, s"leakage matrix must account for every verified pair: $total vs $nPairs")
   }
+
+  test("d15 substring dedup: interval union over overlapping spans, hand-computed; within-doc repeats don't count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // shares a..f-ish spans with doc 4, a..d with doc 2
+      (2L, "x x a b c d y z z z"),      // one 4-token shared span → two 3-gram windows
+      (3L, "q r s t u v"),              // fully novel: must be ABSENT from the output
+      (4L, "b c d e f q q a b c"),      // two DISJOINT shared spans (tests the union reset)
+      (5L, "m n m n m n m n")           // repeats its own grams only: count(DISTINCT doc)=1
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedupDocs(docs, w = 3).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac")))
+    }.toMap
+    // doc 1: dup windows at 0,1,2,3 (a b c / b c d / c d e / d e f) →
+    //        union covers tokens 0..5 = 6 of 8
+    // doc 2: dup windows at 2,3 → tokens 2..5 = 4 of 10
+    // doc 4: windows 0,1,2 cover 0..4 (5), window 7 covers 7..9 (3) → 8 of 10
+    assert(got == Map(
+      1L -> ((8L, 4L, 6L, 6.0 / 8)),
+      2L -> ((10L, 2L, 4L, 4.0 / 10)),
+      4L -> ((10L, 4L, 8L, 8.0 / 10))), s"got $got")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -897,6 +921,25 @@ class TextAnalysisSpec extends SparkSpec {
       // rounding slack
       assert(r.getAs[Long]("kl_unats_scaled") >= -srcTot(s))
     }
+  }
+
+  test("t18 vocabulary growth: cumulative counts equal a local recount; curves monotone") {
+    val rows = TextAnalysis.vocabularyGrowth(spark, sf).collect()
+      .sortBy(_.getAs[Long]("band"))
+    assert(rows.map(_.getAs[Long]("band")).toSeq == (0L until 10L), "10 contiguous bands")
+    val docs = corpusTexts.map { case (id, (_, text)) => id -> toksOf(text) }
+    val mx = docs.keys.max
+    def bandOf(id: Long): Long = math.min(id * 10 / (mx + 1), 9L)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      val upTo = docs.filter { case (id, _) => bandOf(id) <= b }
+      assert(r.getAs[Long]("docs_cum") == upTo.size, s"band $b docs")
+      assert(r.getAs[Long]("tokens_cum") == upTo.values.map(_.size.toLong).sum, s"band $b tokens")
+      assert(r.getAs[Long]("types_cum") == upTo.values.flatten.toSet.size, s"band $b types")
+    }
+    // Heaps: both curves monotone nondecreasing
+    assert(rows.map(_.getAs[Long]("tokens_cum")).toSeq.sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.map(_.getAs[Long]("types_cum")).toSeq.sliding(2).forall(p => p(0) <= p(1)))
   }
 
   test("q91 DSIR: target source excluded; integer scores replay the smoothed log-ratio exactly") {

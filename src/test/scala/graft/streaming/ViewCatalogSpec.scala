@@ -271,6 +271,129 @@ class ViewCatalogSpec extends SparkSpec {
     cat.stopAll()
   }
 
+  test("#234j named JOIN view: the join materializes once; dependents layer over it by name") {
+    val (root, fsrc, dsrc) = (tmp("vcjroot"), tmp("vcjf"), tmp("vcjd"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("facts", () => ChangeFeed.readJsonDir(spark, fsrc).as[Change])
+    cat.registerSource("dims",  () => ChangeFeed.readJsonDir(spark, dsrc).as[Change])
+    val j = cat.createView("enriched",
+      "SELECT f.item, f.amount, d.tier FROM facts f JOIN dims d ON f.cust = d.key")
+    val a = cat.createView("tier_totals",
+      "SELECT tier, count(*) AS n, sum(amount) AS total FROM enriched GROUP BY tier")
+    writeChanges(dsrc, "d1.json", Seq(
+      Change("insert", 1L, ts(0), Map("tier" -> "gold"), 1L),
+      Change("insert", 2L, ts(0), Map("tier" -> "silver"), 2L)))
+    writeChanges(fsrc, "f1.json", Seq(
+      Change("insert", 10L, ts(1), Map("item" -> "a", "amount" -> "5",  "cust" -> "1"), 3L),
+      Change("insert", 11L, ts(2), Map("item" -> "b", "amount" -> "7",  "cust" -> "1"), 4L),
+      Change("insert", 12L, ts(3), Map("item" -> "c", "amount" -> "11", "cust" -> "2"), 5L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "enriched", j.cols) == Set(
+      Seq("a", "5", "gold"), Seq("b", "7", "gold"), Seq("c", "11", "silver")),
+      s"join view after inserts: ${snapRows(cat, "enriched", j.cols)}")
+    assert(snapRows(cat, "tier_totals", a.cols) == Set(
+      Seq("gold", "2", "12.0"), Seq("silver", "1", "11.0")),
+      s"layered agg after inserts: ${snapRows(cat, "tier_totals", a.cols)}")
+    // a dim update rewrites EVERY joined pair; a fact delete retracts one
+    // pair — and both ripple through the DEPENDENT view via its sink tail
+    writeChanges(dsrc, "d2.json", Seq(
+      Change("update", 1L, ts(10), Map("tier" -> "plat"), 6L)))
+    writeChanges(fsrc, "f2.json", Seq(
+      Change("delete", 12L, ts(11), Map.empty, 7L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "enriched", j.cols) == Set(
+      Seq("a", "5", "plat"), Seq("b", "7", "plat")),
+      s"join view after churn: ${snapRows(cat, "enriched", j.cols)}")
+    assert(snapRows(cat, "tier_totals", a.cols) == Set(Seq("plat", "2", "12.0")),
+      s"layered agg after churn: ${snapRows(cat, "tier_totals", a.cols)}")
+    cat.stopAll()
+  }
+
+  test("#234k named WINDOWED view: hourly rollup by name; a late move leaves its old hour") {
+    val (root, src) = (tmp("vcwroot"), tmp("vcwsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    val v = cat.createView("hourly",
+      "SELECT window(ts_us, '1 hour') AS w, city, count(*) AS n " +
+        "FROM t GROUP BY window(ts_us, '1 hour'), city")
+    def wOf(minutes: Int): String = {
+      val us = (1700000000000L + minutes * 60000L) * 1000L
+      (Math.floorDiv(us, 3600000000L) * 3600000000L).toString
+    }
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0),  Map("city" -> "ber"), 1L),
+      Change("insert", 2L, ts(1),  Map("city" -> "ber"), 2L),
+      Change("insert", 3L, ts(50), Map("city" -> "ber"), 3L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "hourly", v.cols) == Set(
+      Seq(wOf(0), "ber", "2"), Seq(wOf(50), "ber", "1")),
+      s"hourly after b1: ${snapRows(cat, "hourly", v.cols)}")
+    // the late MOVE: key 2 shifts two hours forward — it must leave its
+    // old hour (retraction) and land in the new one
+    writeChanges(src, "b2.json", Seq(
+      Change("update", 2L, ts(120), Map("city" -> "ber"), 4L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "hourly", v.cols) == Set(
+      Seq(wOf(0), "ber", "1"), Seq(wOf(50), "ber", "1"), Seq(wOf(120), "ber", "1")),
+      s"hourly after the move: ${snapRows(cat, "hourly", v.cols)}")
+    cat.stopAll()
+  }
+
+  test("#234l named RANKED view: top-k per city by name; rank shifts, promotion past the cut, partition move") {
+    val (root, src) = (tmp("vcrk"), tmp("vcrksrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    val v = cat.createView("top2",
+      "SELECT city, name, rn FROM (SELECT city, name, " +
+        "row_number() OVER (PARTITION BY city ORDER BY amount DESC) AS rn FROM t) x WHERE rn <= 2")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "name" -> "a", "amount" -> "10"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "name" -> "b", "amount" -> "5"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "ber", "name" -> "c", "amount" -> "20"), 3L),
+      Change("insert", 4L, ts(3), Map("city" -> "par", "name" -> "d", "amount" -> "7"), 4L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "top2", v.cols) == Set(
+      Seq("ber", "c", "1"), Seq("ber", "a", "2"), Seq("par", "d", "1")),
+      s"top2 after b1: ${snapRows(cat, "top2", v.cols)}")
+    // delete the ber leader (a promotes), and MOVE d from par to ber:
+    // its old (par) identity must retract, its new one ranks below a
+    writeChanges(src, "b2.json", Seq(
+      Change("delete", 3L, ts(10), Map.empty, 5L),
+      Change("update", 4L, ts(11), Map("city" -> "ber", "name" -> "d", "amount" -> "7"), 6L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "top2", v.cols) == Set(
+      Seq("ber", "a", "1"), Seq("ber", "d", "2")),
+      s"top2 after churn: ${snapRows(cat, "top2", v.cols)}")
+    cat.stopAll()
+  }
+
+  test("#234m named ASOF view: live enrichment by name; a late version re-enriches through the snapshot") {
+    val (root, esrc, vsrc) = (tmp("vcas"), tmp("vcase"), tmp("vcasv"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("e", () => ChangeFeed.readJsonDir(spark, esrc).as[Change])
+    cat.registerSource("v", () => ChangeFeed.readJsonDir(spark, vsrc).as[Change])
+    val av = cat.createView("enriched_asof",
+      "SELECT e.val AS val, v.price AS price FROM e ASOF JOIN v ON e.sym = v.sym AND e.ets >= v.vts")
+    writeChanges(vsrc, "v1.json", Seq(
+      Change("insert", 1L, ts(0), Map("sym" -> "A", "vts" -> "10", "price" -> "100"), 1L),
+      Change("insert", 2L, ts(1), Map("sym" -> "A", "vts" -> "20", "price" -> "200"), 2L)))
+    writeChanges(esrc, "e1.json", Seq(
+      Change("insert", 1L, ts(2), Map("sym" -> "A", "ets" -> "15", "val" -> "x1"), 3L),
+      Change("insert", 2L, ts(3), Map("sym" -> "A", "ets" -> "25", "val" -> "x2"), 4L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "enriched_asof", av.cols) == Set(
+      Seq("x1", "100"), Seq("x2", "200")),
+      s"asof view: ${snapRows(cat, "enriched_asof", av.cols)}")
+    // a LATE version lands between v1 and e1: x1 re-enriches, BY NAME
+    writeChanges(vsrc, "v2.json", Seq(
+      Change("insert", 3L, ts(10), Map("sym" -> "A", "vts" -> "12", "price" -> "120"), 5L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "enriched_asof", av.cols) == Set(
+      Seq("x1", "120"), Seq("x2", "200")),
+      s"asof view after the late version: ${snapRows(cat, "enriched_asof", av.cols)}")
+    cat.stopAll()
+  }
+
   test("#234i createView rolls back the maintenance query when the definition can't be persisted") {
     val (root, src) = (tmp("vcrb"), tmp("vcrbsrc"))
     val cat = new ViewCatalog(spark, root)
