@@ -2040,13 +2040,14 @@ object IncrementalPlanner {
       // count/sum/avg(DISTINCT x) is a distinct-multiset aggregation
       // over the session's members — recomputed exactly on every merge/
       // split (lifted r9; the value rides stage 1 as `svals`)
-      require(!keepMeta, "session-window views do not compose with " +
-        "materializeAggChanges/materializeTopK — consume the view's own changefeed " +
-        "(its key is the group keys + <name>_start_us)")
       require(!hasHolistic, "exact percentile/listagg does not combine with " +
         "session_window groupings yet — aggregate the session view's changefeed in a " +
         "second layered view instead")
-      dropHidden(compileSessionAggregate(spark, norm, feeds, ttl, having1), hidden)
+      // keepMeta composes (r11): the session's change identity is
+      // (level-key, session start), emitted as one combined `_group`
+      // string — superseded session starts tombstone with _live_rows=0,
+      // exactly the contract viewChanges folds
+      dropHidden(compileSessionAggregate(spark, norm, feeds, ttl, having1, keepMeta), hidden)
     }
     else if (hasHolistic) {
       require(!hasDistinct, "exact percentile/listagg does not mix with DISTINCT " +
@@ -2782,7 +2783,8 @@ object IncrementalPlanner {
   private def compileSessionAggregate(spark: SparkSession, agg: Aggregate,
       feeds: Map[String, Dataset[Change]],
       ttl: Option[(String, Long)],
-      having: Option[Expression]): PlannedView = {
+      having: Option[Expression],
+      keepMeta: Boolean = false): PlannedView = {
     val src   = compileSource(spark, agg.child, feeds)
     val preds = src.filters.map(compileExpr)
     val (sessionExprs, restExprs) = agg.groupingExpressions.partition {
@@ -2940,7 +2942,16 @@ object IncrementalPlanner {
         })
       case oc => Seq(outColExpr(oc, slotCol, parts))
     }
-    val selected = sessionRows.select(outExprs :+ col("live_rows").as("_live_rows"): _*)
+    // keepMeta: the session's change identity is (level-key, start) —
+    // one combined `_group` string, so the generic viewChanges fold and
+    // everything downstream of it (named views, materializeAggChanges,
+    // materializeTopK) treats each session as a keyed row
+    val metaCols: Seq[org.apache.spark.sql.Column] =
+      if (!keepMeta) Seq(col("live_rows").as("_live_rows"))
+      else Seq(col("live_rows").as("_live_rows"),
+        concat_ws(Sep, col("group"), col("startUs")).as("_group"),
+        col("tsUs").as("_ts_us"), col("seq").as("_seq"))
+    val selected = sessionRows.select(outExprs ++ metaCols: _*)
     val withHaving = having match {
       case Some(cond) =>
         selected.withColumn("_live_rows",

@@ -104,11 +104,16 @@ class ViewCatalogSpec extends SparkSpec {
       cat.createView("v2", "SELECT city, count(*) AS n FROM nope GROUP BY city")
     }
     assert(eRef.getMessage.contains("unknown table nope"), eRef.getMessage)
-    // ranked views reject as NAMED feeds (change identity is (key, partition))
+    // ranked views are creatable as NAMED feeds since r11 (#234l pins the
+    // semantics); the DDL path accepts and tears one down like any view
+    cat.createView("vr", "SELECT city, row_number() OVER (ORDER BY amount) AS rn FROM t")
+    cat.dropView("vr")
+    // an EXPIRING ranked view still rejects (whole-partition rank state)
     val eRank = intercept[Exception] {
-      cat.createView("vr", "SELECT city, row_number() OVER (ORDER BY amount) AS rn FROM t")
+      cat.createView("vr2", "SELECT city, row_number() OVER (ORDER BY amount) AS rn FROM t",
+        ttl = Some(("10 minutes", 60000L)))
     }
-    assert(eRank.getMessage.contains("(key, partition)"), eRank.getMessage)
+    assert(eRank.getMessage.contains("expiring NAMED ranked view"), eRank.getMessage)
     // dependent blocks the drop; dropping in order frees the name + disk
     cat.createView("v2", "SELECT city, count(*) AS n FROM v1 GROUP BY city")
     val eDep = intercept[IllegalArgumentException] { cat.dropView("v1") }
@@ -391,6 +396,68 @@ class ViewCatalogSpec extends SparkSpec {
     assert(snapRows(cat, "enriched_asof", av.cols) == Set(
       Seq("x1", "120"), Seq("x2", "200")),
       s"asof view after the late version: ${snapRows(cat, "enriched_asof", av.cols)}")
+    cat.stopAll()
+  }
+
+  test("#234n named SESSION view: sessions by name; a bridging event merges two sessions and the old start tombstones") {
+    val (root, src) = (tmp("vcsw"), tmp("vcswsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    val v = cat.createView("user_sessions",
+      "SELECT session_window(ts_us, '10 minutes') AS s, user, count(*) AS n " +
+        "FROM t GROUP BY session_window(ts_us, '10 minutes'), user")
+    def us(m: Int): String = ((1700000000000L + m * 60000L) * 1000L).toString
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0),  Map("user" -> "u1"), 1L),
+      Change("insert", 2L, ts(5),  Map("user" -> "u1"), 2L),
+      Change("insert", 3L, ts(12), Map("user" -> "u1"), 3L),
+      Change("insert", 4L, ts(30), Map("user" -> "u1"), 4L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "user_sessions", v.cols) == Set(
+      Seq(us(0), us(22), "u1", "3"), Seq(us(30), us(40), "u1", "1")),
+      s"sessions after b1: ${snapRows(cat, "user_sessions", v.cols)}")
+    // the BRIDGE: an event at 25 chains to 30's session (5 < gap) but not
+    // to 12's (13 > gap) — session (u1, start=30) must tombstone, its
+    // events re-homed under start=25
+    writeChanges(src, "b2.json", Seq(
+      Change("insert", 5L, ts(25), Map("user" -> "u1"), 5L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "user_sessions", v.cols) == Set(
+      Seq(us(0), us(22), "u1", "3"), Seq(us(25), us(40), "u1", "2")),
+      s"sessions after the bridge: ${snapRows(cat, "user_sessions", v.cols)}")
+    cat.stopAll()
+  }
+
+  test("#234o session -> holistic LAYERING by name: live median session length per user (the documented composition)") {
+    val (root, src) = (tmp("vcsh"), tmp("vcshsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    cat.createView("sess",
+      "SELECT session_window(ts_us, '10 minutes') AS s, user, count(*) AS n " +
+        "FROM t GROUP BY session_window(ts_us, '10 minutes'), user")
+    // holistic aggregate OVER the named session view — the second layer
+    // the session×percentile reject message points at
+    val m = cat.createView("sess_median",
+      "SELECT user, median(n) AS med, count(*) AS n_sessions FROM sess GROUP BY user")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0),  Map("user" -> "u1"), 1L),
+      Change("insert", 2L, ts(5),  Map("user" -> "u1"), 2L),   // session A: 2 events
+      Change("insert", 3L, ts(30), Map("user" -> "u1"), 3L),   // session B: 1 event
+      Change("insert", 4L, ts(60), Map("user" -> "u1"), 4L),
+      Change("insert", 5L, ts(61), Map("user" -> "u1"), 5L),
+      Change("insert", 6L, ts(62), Map("user" -> "u1"), 6L)))  // session C: 3 events
+    cat.awaitAll()
+    assert(snapRows(cat, "sess_median", m.cols) == Set(Seq("u1", "2.0", "3")),
+      s"median over sessions (1,2,3): ${snapRows(cat, "sess_median", m.cols)}")
+    // a bridge merges B into A's horizon? no — it merges A and B only if
+    // within gap; instead EXTEND session B with two more events: session
+    // sizes become (2, 3, 3) -> median 3
+    writeChanges(src, "b2.json", Seq(
+      Change("insert", 7L, ts(35), Map("user" -> "u1"), 7L),
+      Change("insert", 8L, ts(40), Map("user" -> "u1"), 8L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "sess_median", m.cols) == Set(Seq("u1", "3.0", "3")),
+      s"median after extending session B: ${snapRows(cat, "sess_median", m.cols)}")
     cat.stopAll()
   }
 
