@@ -53,6 +53,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
 final case class NamedView(name: String, sql: String, deps: Seq[String],
     cols: Seq[String], query: StreamingQuery)
 
+/** One row of [[ViewCatalog.status]] — the SHOW MATERIALIZED VIEWS
+  * surface. Sink-derived fields (batchesCommitted, lastBatchId) are
+  * durable truth; query-derived fields reflect the live session.
+  */
+final case class ViewStatus(name: String, sql: String, deps: Seq[String],
+    cols: Seq[String], live: Boolean, batchesCommitted: Long,
+    lastBatchId: Long, lastInputRows: Long, lastBatchMs: Long)
+
 class ViewCatalog(val spark: SparkSession, val root: String) {
 
   private val sources = mutable.LinkedHashMap.empty[String, () => Dataset[Change]]
@@ -214,6 +222,36 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
   def viewNames: Seq[String]   = views.keys.toSeq
   def sourceNames: Seq[String] = sources.keys.toSeq
   def view(name: String): Option[NamedView] = views.get(name)
+
+  /** `SHOW MATERIALIZED VIEWS` — one row per managed view with its
+    * definition, dependencies, liveness, and maintenance progress: the
+    * committed batch count and horizon from the SINK (durable truth,
+    * meaningful even for a stopped view) and the last micro-batch's
+    * input rate / duration from the running query's progress (0/absent
+    * when idle). Driver-side metadata only — nothing here scans data.
+    */
+  def status(): Seq[ViewStatus] =
+    views.values.toSeq.map { v =>
+      val committed = FeedSink.committedBatches(feedDir(v.name))
+      val p = Option(v.query.lastProgress)
+      ViewStatus(
+        name = v.name,
+        sql = v.sql,
+        deps = v.deps,
+        cols = v.cols,
+        live = v.query.isActive,
+        batchesCommitted = committed.size.toLong,
+        lastBatchId = if (committed.isEmpty) -1L else committed.max,
+        lastInputRows = p.map(_.numInputRows).getOrElse(0L),
+        lastBatchMs = p.map(_.batchDuration).getOrElse(0L))
+    }
+
+  /** [[status]] as a DataFrame, for the SQL-surface habit:
+    * `cat.statusDF().show()` is the engine's SHOW VIEWS. */
+  def statusDF(): DataFrame = {
+    import spark.implicits._
+    status().toDF()
+  }
 
   // ------------------------------------------------------------------
 

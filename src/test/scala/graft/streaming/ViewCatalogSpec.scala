@@ -461,6 +461,32 @@ class ViewCatalogSpec extends SparkSpec {
     cat.stopAll()
   }
 
+  test("#234p status(): SHOW MATERIALIZED VIEWS with durable sink progress; survives stop and resume") {
+    val (root, src) = (tmp("vcst"), tmp("vcstsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    cat.createView("sv_rows", "SELECT city, amount FROM t WHERE amount > 10")
+    cat.createView("sv_agg", "SELECT city, count(*) AS n FROM sv_rows GROUP BY city")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "par", "amount" -> "20"), 2L)))
+    cat.awaitAll()
+    val st = cat.status().map(s => s.name -> s).toMap
+    assert(st.keySet == Set("sv_rows", "sv_agg"))
+    assert(st("sv_agg").deps == Seq("sv_rows"), "dependency names surface")
+    assert(st.values.forall(_.live), "both queries live")
+    assert(st.values.forall(_.batchesCommitted > 0), s"sink progress surfaces: $st")
+    assert(st.values.forall(s => s.lastBatchId >= 0), "durable horizon")
+    val df = cat.statusDF()
+    assert(df.columns.contains("batchesCommitted") && df.count() == 2)
+    // stopped views report live=false but keep their DURABLE sink truth
+    cat.stopAll()
+    val stopped = cat.status().map(s => s.name -> s).toMap
+    assert(stopped.values.forall(!_.live))
+    assert(stopped("sv_rows").batchesCommitted == st("sv_rows").batchesCommitted,
+      "sink-derived fields survive the stop")
+  }
+
   test("#234i createView rolls back the maintenance query when the definition can't be persisted") {
     val (root, src) = (tmp("vcrb"), tmp("vcrbsrc"))
     val cat = new ViewCatalog(spark, root)
