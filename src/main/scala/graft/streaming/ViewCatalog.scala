@@ -253,6 +253,50 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     status().toDF()
   }
 
+  private val CreateRe =
+    ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\s+WITH\\s*\\(\\s*ttl_delay\\s*=\\s*'([^']+)'\\s*,\\s*ttl_ms\\s*=\\s*(\\d+)\\s*\\))?" +
+      "\\s+AS\\s+(.+)$").r
+  private val DropRe = "(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+  private val ShowRe = "(?is)^SHOW\\s+MATERIALIZED\\s+VIEWS\\s*$".r
+
+  /** The catalog as ONE SQL entry point — the literal front-door syntax
+    * of a changefeed engine:
+    *
+    *  - `CREATE MATERIALIZED VIEW v [WITH (ttl_delay='10 minutes',
+    *    ttl_ms=60000)] AS SELECT …` → [[createView]]; returns a 1-row
+    *    (view, columns) confirmation frame.
+    *  - `DROP MATERIALIZED VIEW v` → [[dropView]]; empty frame.
+    *  - `SHOW MATERIALIZED VIEWS` → [[statusDF]].
+    *  - anything else → ad-hoc query: every named view the statement
+    *    references is registered as its CURRENT snapshot, then the
+    *    statement runs through `spark.sql` (so views, sources-as-temp
+    *    -views, and plain tables mix freely).
+    *
+    * DDL recognition is deliberately first-match-regex, not a parser
+    * fork: the three managed forms are fixed shapes, and every other
+    * statement belongs to Spark's own SQL surface unmodified.
+    */
+  def sql(stmt: String): DataFrame = {
+    import spark.implicits._
+    val s = stmt.trim.stripSuffix(";").trim
+    s match {
+      case CreateRe(name, ttlDelay, ttlMs, select) =>
+        val ttl = Option(ttlDelay).map(d => (d, ttlMs.toLong))
+        val v = createView(name, select.trim, ttl)
+        Seq((v.name, v.cols.mkString(","))).toDF("view", "columns")
+      case DropRe(name) =>
+        dropView(name)
+        spark.emptyDataFrame
+      case ShowRe() => statusDF()
+      case _ =>
+        val refs = referencedTables(spark.sessionState.sqlParser.parsePlan(
+          IncrementalPlanner.stripAsofSyntax(s)))
+        refs.filter(views.contains).foreach(n => snapshot(n).createOrReplaceTempView(n))
+        spark.sql(s)
+    }
+  }
+
   // ------------------------------------------------------------------
 
   private def startView(name: String, sql: String, deps: Seq[String],

@@ -487,6 +487,38 @@ class ViewCatalogSpec extends SparkSpec {
       "sink-derived fields survive the stop")
   }
 
+  test("#234q cat.sql(): CREATE/DROP/SHOW MATERIALIZED VIEW + ad-hoc SELECT, one SQL entry point") {
+    val (root, src) = (tmp("vcddl"), tmp("vcddlsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    val created = cat.sql("CREATE MATERIALIZED VIEW ddl_rows AS SELECT city, amount FROM t WHERE amount > 10")
+    assert(created.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("ddl_rows", "city,amount")))
+    cat.sql("CREATE MATERIALIZED VIEW ddl_agg AS SELECT city, count(*) AS n FROM ddl_rows GROUP BY city;")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "20"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "par", "amount" -> "30"), 3L)))
+    cat.awaitAll()
+    val show = cat.sql("SHOW MATERIALIZED VIEWS").collect()
+    assert(show.map(_.getAs[String]("name")).toSet == Set("ddl_rows", "ddl_agg"))
+    // ad-hoc SELECT resolves the named views to their current snapshots
+    val q = cat.sql(
+      "SELECT r.city, count(*) AS rows_over, max(a.n) AS n FROM ddl_rows r " +
+        "JOIN ddl_agg a ON r.city = a.city GROUP BY r.city ORDER BY r.city")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(q == Seq(("ber", 2L, "2"), ("par", 1L, "1")), s"ad-hoc sql: $q")
+    // the TTL clause routes through (an expiring aggregate view starts)
+    cat.sql("CREATE MATERIALIZED VIEW ddl_ttl WITH (ttl_delay='10 minutes', ttl_ms=60000) " +
+      "AS SELECT city, sum(amount) AS total FROM t GROUP BY city")
+    assert(cat.viewNames.contains("ddl_ttl"))
+    cat.sql("DROP MATERIALIZED VIEW ddl_ttl")
+    cat.sql("DROP MATERIALIZED VIEW ddl_agg")
+    cat.sql("DROP MATERIALIZED VIEW ddl_rows;")
+    assert(cat.viewNames.isEmpty)
+    cat.stopAll()
+  }
+
   test("#234i createView rolls back the maintenance query when the definition can't be persisted") {
     val (root, src) = (tmp("vcrb"), tmp("vcrbsrc"))
     val cat = new ViewCatalog(spark, root)
