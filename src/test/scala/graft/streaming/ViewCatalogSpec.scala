@@ -519,6 +519,39 @@ class ViewCatalogSpec extends SparkSpec {
     cat.stopAll()
   }
 
+  test("#234r named graph on the RocksDB provider: create, churn, stop, resume — the 100TB-state config") {
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (root, src) = (tmp("vcrdb"), tmp("vcrdbsrc"))
+      val cat1 = new ViewCatalog(spark, root)
+      cat1.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+      cat1.createView("r_rows", "SELECT city, amount FROM t WHERE amount > 10")
+      cat1.createView("r_agg", "SELECT city, count(*) AS n, max(amount) AS hi FROM r_rows GROUP BY city")
+      writeChanges(src, "b1.json", Seq(
+        Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L),
+        Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "30"), 2L)))
+      cat1.awaitAll()
+      cat1.stopAll()
+      // fresh catalog, same root: RocksDB checkpoints restore; the delete
+      // must fall back to the CHECKPOINTED next-best (30), not recount
+      val cat2 = new ViewCatalog(spark, root)
+      cat2.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+      assert(cat2.resume() == Seq("r_rows", "r_agg"))
+      writeChanges(src, "b2.json", Seq(
+        Change("delete", 1L, ts(10), Map.empty, 3L)))
+      cat2.awaitAll()
+      val cols = cat2.view("r_agg").get.cols
+      assert(snapRows(cat2, "r_agg", cols) == Set(Seq("ber", "1", "30.0")),
+        s"RocksDB named-graph resume: ${snapRows(cat2, "r_agg", cols)}")
+      cat2.stopAll()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("#234i createView rolls back the maintenance query when the definition can't be persisted") {
     val (root, src) = (tmp("vcrb"), tmp("vcrbsrc"))
     val cat = new ViewCatalog(spark, root)
