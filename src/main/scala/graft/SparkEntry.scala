@@ -173,6 +173,9 @@ object SparkEntry {
     "t17_source_divergence"     -> ((s, d) => TextAnalysis.sourceDivergence(GraftSession.tune(s), d)),
     "t18_vocab_growth"          -> ((s, d) => TextAnalysis.vocabularyGrowth(GraftSession.tune(s), d)),
     "q91_dsir_sample"           -> ((s, d) => TrainingData.dsirSample(GraftSession.tune(s), d)),
+    "q92_groups_frame"          -> ((s, d) => Relational.groupsFrame(GraftSession.tune(s), d)),
+    "q93_regr_linefit"          -> ((s, d) => Relational.regrLinefit(GraftSession.tune(s), d)),
+    "t19_pii_scan"              -> ((s, d) => TextAnalysis.piiScan(GraftSession.tune(s), d)),
   )
 
   // ---- fixed-point Lloyd oracle scaffolding (s04/s05/s06) ----------
@@ -806,6 +809,58 @@ object SparkEntry {
         |FROM tb JOIN kt USING (b) WHERE source <> 'src0'
         |GROUP BY doc_id
         |ORDER BY score_unats DESC, doc_id LIMIT 100""".stripMargin,
+    // q92: this DuckDB build has no GROUPS frames ("not implemented
+    // yet"), so the oracle replays the STANDARD's GROUPS definition —
+    // dense_rank assigns peer-group ordinals, RANGE over the ordinal is
+    // the GROUPS frame, 2 PRECEDING..1 PRECEDING is EXCLUDE GROUP —
+    // i.e. the same identity the Spark side is built on, evaluated by
+    // an independent engine.
+    "q92_groups_frame" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    dense_rank() OVER (PARTITION BY o_custkey
+        |      ORDER BY (year(o_orderdate)*12 + month(o_orderdate))) AS grp
+        |  FROM orders)
+        |SELECT o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY grp
+        |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_3grp,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY grp
+        |   RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING), 2) AS rev_prior2
+        |FROM r""".stripMargin,
+    "q93_regr_linefit" ->
+      """SELECT l_returnflag,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // t19: the injected contact strings are keyed on doc_id with moduli
+    // coprime to the corpus's 20-way source striping; patterns stay in
+    // the lookaround-free Java-regex ∩ RE2 subset so both engines match
+    // identical spans.
+    "t19_pii_scan" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    text
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        |      || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS txt
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(txt, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS em,
+        |    len(regexp_extract_all(txt, '\+1-[0-9]{3}-[0-9]{4}')) AS ph,
+        |    len(regexp_extract_all(txt, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS ipc,
+        |    length(regexp_replace(regexp_replace(regexp_replace(txt,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |      '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redlen
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs, CAST(sum(em) AS BIGINT) AS n_emails,
+        |  CAST(sum(ph) AS BIGINT) AS n_phones, CAST(sum(ipc) AS BIGINT) AS n_ips,
+        |  CAST(sum(CASE WHEN em+ph+ipc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+        |  CAST(sum(redlen) AS BIGINT) AS redacted_chars
+        |FROM c GROUP BY source""".stripMargin,
     // d04's oracle recomputes the md5-digit simhash fingerprint and cross-
     // checks the EXACT hamming<=3 pair set — valid as a full equality
     // check because 16-bit chunk bucketing finds every hamming<=3 pair by

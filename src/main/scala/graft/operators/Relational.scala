@@ -849,4 +849,52 @@ object Relational {
         |  CAST(round(sum(rev), 2) AS DOUBLE) AS subtree_rev
         |FROM up GROUP BY node""".stripMargin)
   }
+
+  /** q92: GROUPS-frame window — SQL:2011 `GROUPS BETWEEN 2 PRECEDING AND
+    * CURRENT ROW` (+ its EXCLUDE GROUP variant), a frame type Spark's
+    * Window API does not offer. Composed Spark-first instead of a custom
+    * physical operator: `dense_rank()` assigns every peer group (rows
+    * tied on the order key) its ordinal, and a RANGE frame over that
+    * ordinal is exactly the GROUPS frame — peers share an ordinal, so
+    * the whole current peer group is always in-frame (the GROUPS rule),
+    * and `k PRECEDING` counts distinct ordinals, not rows. EXCLUDE
+    * GROUP = the same frame minus the current ordinal = range(-2, -1).
+    * Two windows over ONE partitioning/ordering → a single sort+shuffle
+    * (both Window nodes share the exchange); scales like any windowed
+    * scan: state is the running frame, never the partition.
+    * Oracle: DuckDB's native GROUPS frames replay both columns.
+    */
+  def groupsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val mkey   = year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+    val ranked = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), mkey.as("mkey"))
+      .select(col("*"),
+        dense_rank().over(Window.partitionBy("o_custkey").orderBy("mkey")).as("grp"))
+    val frame = Window.partitionBy("o_custkey").orderBy("grp")
+    ranked.select(
+      col("o_orderkey"),
+      round(sum("o_totalprice").over(frame.rangeBetween(-2, Window.currentRow)), 2)
+        .as("rev_3grp"),
+      round(sum("o_totalprice").over(frame.rangeBetween(-2, -1)), 2)
+        .as("rev_prior2"),
+    )
+  }
+
+  /** q93: linear-regression aggregates — `regr_slope/intercept/r2/count`
+    * of extended price on quantity per return flag. Single-pass
+    * map-side-combined sufficient statistics inside whole-stage codegen
+    * (Spark's regr_* family), no second scan; rounded on both sides so
+    * summation order can't leak into the hash (the q37 precedent).
+    */
+  def regrLinefit(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"),
+      )
 }

@@ -456,4 +456,56 @@ object TextAnalysis {
         sum("n_tokens").over(w).as("tokens_cum"),
         sum("new_types").over(w).as("types_cum"))
   }
+  /** t19: PII detection + redaction — the scrubbing pass every training
+    * corpus runs before release. The synthetic corpus carries no real
+    * PII, so deterministic contact strings are INJECTED first (keyed on
+    * doc_id so both engines derive the identical document), then the
+    * three standard pattern classes are counted and redacted: emails,
+    * NANP-style phone numbers, dotted-quad IPs. Patterns use the
+    * lookaround-free common subset of Java regex and RE2 so Spark and
+    * the DuckDB oracle match the same spans. Pure scan projection
+    * (regexp_count/regexp_replace are codegen'd) + one map-side-combined
+    * aggregate per source; at 100 TB this is the cheapest possible
+    * shape — one pass, no shuffle beyond the per-source combine.
+    */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+    val ip    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+      // moduli 3/11/7 — all coprime with the corpus's 20-way source
+      // striping (source = doc_id % 20), so every source sees a mix;
+      // 5 would give whole sources all-or-none phones
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+        .otherwise(lit("")),
+    )
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(injected, email, "<EMAIL>"), phone, "<PHONE>"),
+      ip, "<IP>")
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        regexp_count(injected, lit(email)).as("em"),
+        regexp_count(injected, lit(phone)).as("ph"),
+        regexp_count(injected, lit(ip)).as("ipc"),
+        length(redacted).as("redlen"),
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("em").as("n_emails"),
+        sum("ph").as("n_phones"),
+        sum("ipc").as("n_ips"),
+        sum(when(col("em") + col("ph") + col("ipc") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum("redlen").as("redacted_chars"),
+      )
+  }
 }

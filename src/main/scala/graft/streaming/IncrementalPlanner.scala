@@ -1784,6 +1784,15 @@ object IncrementalPlanner {
   private final case class VarOut(sumSlot: Int, sqSlot: Int, cntSlot: Int,
       name: String, sample: Boolean, root: Boolean) extends OutCol
 
+  /** Covariance-family output: `corr/covar_samp/covar_pop/regr_slope/
+    * regr_intercept/regr_r2/regr_count(y, x)` from six sufficient-
+    * statistic slots (n, Σx, Σy, Σxy, Σx², Σy²) — all plain sums, so
+    * the whole family is INVERTIBLE and rides the same signed-delta
+    * fold as sum/stddev; `kind` picks the emitted statistic.
+    */
+  private final case class CorrOut(cntSlot: Int, sxSlot: Int, sySlot: Int,
+      sxySlot: Int, sx2Slot: Int, sy2Slot: Int, name: String, kind: String) extends OutCol
+
   /** Session-window select item: expands to TWO output columns,
     * `<name>_start_us` / `<name>_end_us` (epoch micros — the planner's
     * stringly-feed convention, mirroring how `window(...)` groupings
@@ -1815,12 +1824,26 @@ object IncrementalPlanner {
   private final case class ListAggOut(valIdx: Int, ordIdx: Int, desc: Boolean,
       sep: String, name: String) extends OutCol
 
+  /** `min_by/max_by(x, y)` select item (holistic path only): the x of
+    * the live row with extreme y — an argmax is not invertible (deleting
+    * the winner must re-derive from the remaining multiset), so it rides
+    * the holistic full-value stage-2. `valIdx` indexes the per-key
+    * string-value vector (the returned expression — the planner's
+    * stringly-feed convention, numeric callers cast downstream),
+    * `ordSlot` the numeric ordering operand. Ties break by change key
+    * (batch-invariant determinism). Result rides `strs` after the
+    * listagg entries.
+    */
+  private final case class ArgExtOut(valIdx: Int, ordSlot: Int, max: Boolean,
+      name: String) extends OutCol
+
   /** The aggregate functions that need the group's full value multiset
-    * (order statistics, ordered concatenation) — routed to
+    * (order statistics, ordered concatenation, argmax) — routed to
     * [[compileHolisticAgg]].
     */
   private val HolisticFns =
-    Set("percentile_cont", "percentile_disc", "median", "percentile", "listagg", "string_agg")
+    Set("percentile_cont", "percentile_disc", "median", "percentile", "listagg", "string_agg",
+      "min_by", "max_by")
 
   /** Approx-percentile select item (DDSketch path): `qIdx` indexes the
     * per-view sketch array (one sketch per distinct operand expression —
@@ -1879,6 +1902,24 @@ object IncrementalPlanner {
         VarOut(s, sq, c, name,
           sample = fn != "stddev_pop" && fn != "var_pop",
           root = fn.startsWith("stddev"))
+      // two-argument covariance family — pairwise-complete rows only: a
+      // row where EITHER operand is NULL contributes to NO slot,
+      // including the pair count (SQL's pairwise-deletion rule). SQL
+      // argument order is (y, x) with y the dependent variable;
+      // corr/covar are symmetric, so order matters only for regr_*.
+      case ("corr" | "covar_samp" | "covar_pop" | "regr_slope" | "regr_intercept"
+          | "regr_r2" | "regr_count" | "regr_avgx" | "regr_avgy", Seq(argY, argX)) =>
+        val (cy, cx) = (compileExpr(argY), compileExpr(argX))
+        val both: Env => Option[(Double, Double)] =
+          env => for { y <- cy(env).flatMap(asNum); x <- cx(env).flatMap(asNum) } yield (y, x)
+        CorrOut(
+          addSlot(env => Some(if (both(env).isDefined) 1.0 else 0.0)),
+          addSlot(env => Some(both(env).map(_._2).getOrElse(0.0))),
+          addSlot(env => Some(both(env).map(_._1).getOrElse(0.0))),
+          addSlot(env => Some(both(env).map(t => t._1 * t._2).getOrElse(0.0))),
+          addSlot(env => Some(both(env).map(t => t._2 * t._2).getOrElse(0.0))),
+          addSlot(env => Some(both(env).map(t => t._1 * t._1).getOrElse(0.0))),
+          name, fn)
       // internal (DISTINCT rewrite only): reaggregation of inner
       // partials — sum of per-value counts emitted as LONG, and
       // sum(a)/sum(b) for plain avg decomposed through the levels
@@ -1925,6 +1966,30 @@ object IncrementalPlanner {
       val raw   = (slotCol(sq) - slotCol(s) * slotCol(s) / when(n > 0.0, n)) / denom
       val v     = when(raw < 0.0, lit(0.0)).otherwise(raw)
       (if (root) sqrt(v) else v).as(name)
+    case CorrOut(cnt, sx, sy, sxy, sx2, sy2, name, kind) =>
+      val n = slotCol(cnt)
+      // centered sums from the raw moments; tiny negative residue from
+      // micro-unit quantization clamps to 0 (the VarOut discipline)
+      def pos(c: org.apache.spark.sql.Column) = when(c < 0.0, lit(0.0)).otherwise(c)
+      val sxyC = slotCol(sxy) - slotCol(sx) * slotCol(sy) / when(n > 0.0, n)
+      val sxxC = pos(slotCol(sx2) - slotCol(sx) * slotCol(sx) / when(n > 0.0, n))
+      val syyC = pos(slotCol(sy2) - slotCol(sy) * slotCol(sy) / when(n > 0.0, n))
+      (kind match {
+        case "regr_count" => n.cast("long")
+        case "covar_pop"  => sxyC / when(n > 0.0, n)
+        case "covar_samp" => sxyC / when(n > 1.0, n - 1.0)
+        case "regr_avgx"  => slotCol(sx) / when(n > 0.0, n)
+        case "regr_avgy"  => slotCol(sy) / when(n > 0.0, n)
+        // corr: NULL when either variance is 0 (Spark/standard SQL)
+        case "corr"       => sxyC / when(sxxC * syyC > 0.0, sqrt(sxxC * syyC))
+        case "regr_slope" => sxyC / when(sxxC > 0.0, sxxC)
+        case "regr_intercept" =>
+          (slotCol(sy) - sxyC / when(sxxC > 0.0, sxxC) * slotCol(sx)) / when(n > 0.0, n)
+        // regr_r2: NULL if var(x)=0; 1 if var(y)=0; else r²
+        case "regr_r2" =>
+          when(sxxC > 0.0,
+            when(syyC > 0.0, sxyC * sxyC / (sxxC * syyC)).otherwise(lit(1.0)))
+      }).as(name)
     case SessionOut(_) =>
       throw new IllegalStateException("SessionOut expands to start/end columns in the session path")
   }
@@ -1971,7 +2036,9 @@ object IncrementalPlanner {
     // it — the hidden columns are dropped from the view after the
     // HAVING filter applies
     val havingAggFns = Set("count", "sum", "avg", "min", "max",
-      "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop") ++
+      "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+      "corr", "covar_samp", "covar_pop", "regr_slope", "regr_intercept",
+      "regr_r2", "regr_count", "regr_avgx", "regr_avgy") ++
       HolisticFns ++ DdqFns
     val (norm, having1, hidden) = having match {
       case Some(cond) if cond.exists {
@@ -2565,6 +2632,8 @@ object IncrementalPlanner {
       outCols.collect { case PercOut(s, f, d, de, _) => (s, f, d, de) }
     val lSpecs: Seq[(Int, Int, Boolean, String)] =
       outCols.collect { case ListAggOut(v, o, d, sep, _) => (v, o, d, sep) }
+    val aSpecs: Seq[(Int, Int, Boolean)] =
+      outCols.collect { case ArgExtOut(v, o, mx, _) => (v, o, mx) }
     val maxRows = spark.conf.get("spark.graft.holistic.maxRowsPerGroup", "1000000").toInt
 
     implicit val contribEnc = Encoders.product[PlannedContrib]
@@ -2584,13 +2653,14 @@ object IncrementalPlanner {
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(expiring(ttl, keyFold(extract)))
       .groupByKey(_.group)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        holisticFold(slotOps, pSpecs, lSpecs, maxRows))
+        holisticFold(slotOps, pSpecs, lSpecs, aSpecs, maxRows))
       .toDF()
 
     val parts = split(col("group"), Sep)
     def slotCol(i: Int) = element_at(col("sums"), i + 1)
     var pSeen = -1
     var lSeen = -1
+    var aSeen = -1
     val outExprs = outCols.map {
       case PercOut(_, _, _, _, name) =>
         pSeen += 1
@@ -2599,6 +2669,10 @@ object IncrementalPlanner {
       case ListAggOut(_, _, _, _, name) =>
         lSeen += 1
         val c = element_at(col("strs"), lSeen + 1)
+        when(c === NullMark, lit(null)).otherwise(c).as(name)
+      case ArgExtOut(_, _, _, name) =>
+        aSeen += 1
+        val c = element_at(col("strs"), lSpecs.length + aSeen + 1)
         when(c === NullMark, lit(null)).otherwise(c).as(name)
       // NaN marks an all-NULL-operand group's sum (nullSumAsNaN) → SQL NULL
       case SumOut(slot, name) =>
@@ -2661,6 +2735,10 @@ object IncrementalPlanner {
           case _ => throw unsupported(
             s"$fn WITHIN GROUP with multiple sort keys (order by one expression)")
         }
+      // min_by/max_by(x, y): x of the live row with extreme NON-NULL y
+      // (rows with NULL y are ignored — Spark's own rule)
+      case ("min_by" | "max_by", Seq(vE, oE), Seq()) =>
+        ArgExtOut(addSval(compileExpr(vE)), numSlot(oE), max = fn == "max_by", name)
       case _ => throw unsupported(s"holistic aggregate ${f.sql}")
     }
   }
@@ -2673,7 +2751,8 @@ object IncrementalPlanner {
     * the touched group · log) per batch, paid only by touched groups.
     */
   private def holisticFold(slotOps: Seq[String], pSpecs: Seq[(Int, Double, Boolean, Boolean)],
-      lSpecs: Seq[(Int, Int, Boolean, String)], maxRows: Int)(
+      lSpecs: Seq[(Int, Int, Boolean, String)], aSpecs: Seq[(Int, Int, Boolean)],
+      maxRows: Int)(
       group: String,
       changes: Iterator[PlannedKeyChange],
       state: GroupState[HolisticContribs]): Iterator[HolisticGroupRow] = {
@@ -2688,7 +2767,8 @@ object IncrementalPlanner {
     else if (after.isEmpty) {
       state.remove()
       Iterator.single(HolisticGroupRow(group, 0L,
-        Seq.fill(slotOps.length + pSpecs.length)(0.0), Seq.fill(lSpecs.length)(NullMark),
+        Seq.fill(slotOps.length + pSpecs.length)(0.0),
+        Seq.fill(lSpecs.length + aSpecs.length)(NullMark),
         posTs, posSeq))
     } else {
       require(after.size <= maxRows,
@@ -2747,7 +2827,20 @@ object IncrementalPlanner {
           if (c != 0) c < 0 else k1 < k2
         }.map(_._1).mkString(sep)
       }
-      Iterator.single(HolisticGroupRow(group, after.size.toLong, sums ++ psums, strs, posTs, posSeq))
+      val astrs = aSpecs.map { case (vIdx, oSlot, mx) =>
+        // rows with NULL (NaN) ordering operand are ignored; among the
+        // rest pick the extreme, ties by SMALLEST change key either way
+        // (deterministic however batches sliced the history)
+        val items = after.iterator.map { case (k, h) =>
+          val o = if (oSlot < h.slots.length) h.slots(oSlot) else Double.NaN
+          val v = if (vIdx < h.svals.length) h.svals(vIdx) else NullMark
+          (v, o, k)
+        }.filterNot(_._2.isNaN).toSeq
+        if (items.isEmpty) NullMark
+        else items.minBy { case (_, o, k) => (if (mx) -o else o, k) }._1
+      }
+      Iterator.single(HolisticGroupRow(group, after.size.toLong, sums ++ psums,
+        strs ++ astrs, posTs, posSeq))
     }
   }
 

@@ -123,6 +123,62 @@ class RelationalSpec extends SparkSpec {
       assert((rs.length >= 2) == !rs.head.isNullAt(rs.head.fieldIndex("second_price")))
     }
   }
+
+  test("q92 GROUPS frame: dense_rank+RANGE composition equals a direct per-customer replay; peers exist") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // independent replay of the STANDARD's GROUPS semantics: frame = all
+    // rows whose distinct-mkey ordinal is within 2 of the current row's
+    val expected = orders.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      val ordinal = rows.map(_._4).distinct.sorted.zipWithIndex.toMap
+      rows.iterator.map { case (ok, _, _, mk) =>
+        val g = ordinal(mk)
+        val inFrame  = rows.filter(r => ordinal(r._4) >= g - 2 && ordinal(r._4) <= g)
+        val priorTwo = rows.filter(r => ordinal(r._4) >= g - 2 && ordinal(r._4) < g)
+        ok -> (
+          BigDecimal(inFrame.map(_._3).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          if (priorTwo.isEmpty) None
+          else Some(BigDecimal(priorTwo.map(_._3).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toMap
+    val got = Relational.groupsFrame(spark, sf).collect()
+    assert(got.length == orders.length)
+    got.foreach { r =>
+      val (e3, ep) = expected(r.getAs[Long]("o_orderkey"))
+      assert(math.abs(r.getAs[Double]("rev_3grp") - e3) < 1e-6)
+      if (ep.isEmpty) assert(r.isNullAt(r.fieldIndex("rev_prior2")))
+      else assert(math.abs(r.getAs[Double]("rev_prior2") - ep.get) < 1e-6)
+    }
+    // the frame is GROUPS, not ROWS: some customer has two orders in one
+    // month (peers), so the whole-peer-group rule actually fires
+    val peers = orders.groupBy(r => (r._2, r._4)).values.exists(_.size >= 2)
+    assert(peers, "corpus has no month peers - the GROUPS rule is untested")
+  }
+
+  test("q93 regr aggregates: slope/intercept/r2 match the closed-form fit; n_pairs counts rows") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = Relational.regrLinefit(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val xs   = li.filter(_._1 == flag)
+      val n    = xs.length.toDouble
+      val (mx, my) = (xs.map(_._2).sum / n, xs.map(_._3).sum / n)
+      val sxy  = xs.map(t => (t._2 - mx) * (t._3 - my)).sum
+      val sxx  = xs.map(t => (t._2 - mx) * (t._2 - mx)).sum
+      val syy  = xs.map(t => (t._3 - my) * (t._3 - my)).sum
+      val slope = sxy / sxx
+      assert(r.getAs[Long]("n_pairs") == xs.length)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-3)
+      assert(math.abs(r.getAs[Double]("intercept") - (my - slope * mx)) < 1e-1)
+      assert(math.abs(r.getAs[Double]("r2") - sxy * sxy / (sxx * syy)) < 1e-5)
+    }
+  }
 }
 
 class PageRankSpec extends SparkSpec {
@@ -967,6 +1023,42 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("score_unats") == sc)
       assert(docs(id)._1 != "src0", "target-domain docs are never candidates")
     }
+  }
+
+  test("t19 PII scan: counts and redacted lengths match an independent java.util.regex replay") {
+    import java.util.regex.Pattern
+    val email = Pattern.compile("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}")
+    val phone = Pattern.compile("\\+1-[0-9]{3}-[0-9]{4}")
+    val ip    = Pattern.compile("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+    def countOf(p: Pattern, s: String) = { val m = p.matcher(s); var c = 0; while (m.find()) c += 1; c }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.map { case (id, src, text) =>
+      val txt = text +
+        (if (id % 3 == 0) s" contact user$id@example.com" else "") +
+        (if (id % 11 == 0) f" call +1-555-${id % 10000}%04d" else "") +
+        (if (id % 7 == 0) s" from 10.${id % 256}.0.1" else "")
+      val (em, ph, ipc) = (countOf(email, txt), countOf(phone, txt), countOf(ip, txt))
+      val red = ip.matcher(phone.matcher(email.matcher(txt).replaceAll("<EMAIL>"))
+        .replaceAll("<PHONE>")).replaceAll("<IP>")
+      (src, em, ph, ipc, red.length)
+    }.groupBy(_._1).map { case (src, rs) =>
+      src -> (rs.length.toLong, rs.map(_._2).sum.toLong, rs.map(_._3).sum.toLong,
+        rs.map(_._4).sum.toLong, rs.count(t => t._2 + t._3 + t._4 > 0).toLong,
+        rs.map(_._5).sum.toLong)
+    }
+    val got = TextAnalysis.piiScan(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getAs[String]("source"))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+        r.getAs[Long]("n_ips"), r.getAs[Long]("n_docs_with_pii"), r.getAs[Long]("redacted_chars")) == e)
+    }
+    // injection fired for every class somewhere in the corpus
+    assert(got.map(_.getAs[Long]("n_emails")).sum > 0)
+    assert(got.map(_.getAs[Long]("n_phones")).sum > 0)
+    assert(got.map(_.getAs[Long]("n_ips")).sum > 0)
   }
 }
 

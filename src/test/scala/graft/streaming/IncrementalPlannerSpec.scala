@@ -3377,4 +3377,116 @@ class IncrementalPlannerSpec extends SparkSpec {
     rejects("SELECT city, percentile_cont(amount) WITHIN GROUP (ORDER BY amount) AS p FROM t GROUP BY city",
       "literal")
   }
+
+  test("#171cg corr/covar/regr family under retraction == Spark's own batch fit through churn") {
+    val sql = "SELECT city, corr(amount, qty) AS c, covar_samp(amount, qty) AS cs, " +
+      "covar_pop(amount, qty) AS cp, regr_slope(amount, qty) AS sl, " +
+      "regr_intercept(amount, qty) AS ic, regr_r2(amount, qty) AS r2, " +
+      "regr_count(amount, qty) AS n FROM t GROUP BY city"
+    def ins(k: Long, city: String, amount: String, qty: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt),
+        Map("city" -> city, "amount" -> amount, "qty" -> qty), seq)
+    val b1 = Seq(
+      ins(1L, "ber", "10", "1", 1L), ins(2L, "ber", "22", "2", 2L),
+      ins(3L, "ber", "29", "3", 3L), ins(4L, "ber", "44", "4", 4L),
+      // par: a pairwise-NULL row (no qty field) — must not count
+      Change("insert", 5L, ts(5), Map("city" -> "par", "amount" -> "7"), 5L),
+      ins(6L, "par", "5", "2", 6L), ins(7L, "par", "9", "4", 7L),
+      // rom: single pair — covar_samp/corr NULL, covar_pop 0
+      ins(8L, "rom", "3", "1", 8L))
+    // churn: delete a ber row, move a par row to ber, update an amount
+    // in place — the fold must retract the OLD pair's six moments
+    val b2 = Seq(
+      Change("delete", 2L, ts(10), Map.empty, 9L),
+      Change("update", 6L, ts(11), Map("city" -> "ber", "amount" -> "50", "qty" -> "5"), 10L),
+      Change("update", 7L, ts(12), Map("city" -> "par", "amount" -> "11", "qty" -> "4"), 11L))
+    runView(sql, "pv_corr", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val got = aggState("pv_corr", Seq("city"))
+    import spark.implicits._
+    finalState(b1 ++ b2).toSeq
+      .map { case (k, p) => (k, p("city"), p("amount").toDouble,
+        p.get("qty").map(_.toDouble)) }
+      .toDF("key", "city", "amount", "qty").createOrReplaceTempView("corr_batch")
+    val want = spark.sql(
+      "SELECT city, corr(amount, qty) AS c, covar_samp(amount, qty) AS cs, " +
+        "covar_pop(amount, qty) AS cp, regr_slope(amount, qty) AS sl, " +
+        "regr_intercept(amount, qty) AS ic, regr_r2(amount, qty) AS r2, " +
+        "regr_count(amount, qty) AS n FROM corr_batch GROUP BY city")
+      .collect().map(r => r.getAs[String]("city") -> r.toSeq.drop(1)).toMap
+    assert(got.keySet.map(_.head) == want.keySet, s"groups: $got vs $want")
+    got.foreach { case (g, vs) =>
+      val ws = want(g.head.asInstanceOf[String])
+      vs.zip(ws).zipWithIndex.foreach { case ((v, w), i) =>
+        (v, w) match {
+          case (null, null) => ()
+          case (a: Double, b: Double) =>
+            assert(math.abs(a - b) < 1e-6, s"$g col $i: $a != $b\n$got\n$want")
+          case (a: Long, b: Long) => assert(a == b, s"$g col $i: $a != $b")
+          case (a, b) => assert(false, s"$g col $i: $a (${a.getClass}) vs $b")
+        }
+      }
+    }
+    // par after churn = {key5 (no qty: pairwise-NULL), key7}: the NULL
+    // pair never counts and key6's move retracted its pair -> n = 1
+    assert(got(Seq[Any]("par")).last == 1L, s"par pairwise count: $got")
+    // rom: single pair — corr/covar_samp NULL, covar_pop 0, slope NULL
+    val rom = got(Seq[Any]("rom"))
+    assert(rom(0) == null && rom(1) == null && rom(3) == null, s"rom degenerate: $rom")
+
+    // HAVING over an unprojected corr composes via the hoist
+    runView("SELECT city, count(*) AS cnt FROM t GROUP BY city " +
+      "HAVING regr_count(amount, qty) >= 2",
+      "pv_corr_having", Seq(Map("t" -> b1)))
+    val gotH = aggState("pv_corr_having", Seq("city")).keySet
+    assert(gotH == Set(Seq[Any]("ber"), Seq[Any]("par")), s"HAVING regr_count gate: $gotH")
+  }
+
+  test("#171ch min_by/max_by under retraction: winner deletion re-derives; NULL order rows ignored; ties break by change key") {
+    val sql = "SELECT city, min_by(status, amount) AS cheap, max_by(status, amount) AS dear, " +
+      "count(*) AS n FROM t GROUP BY city"
+    def ins(k: Long, city: String, status: String, amount: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt),
+        Map("city" -> city, "status" -> status, "amount" -> amount), seq)
+    val b1 = Seq(
+      ins(1L, "ber", "bronze", "10", 1L), ins(2L, "ber", "silver", "20", 2L),
+      ins(3L, "ber", "gold", "90", 3L),
+      // par: a NULL ordering operand (no amount) — ignored by both
+      Change("insert", 4L, ts(4), Map("city" -> "par", "status" -> "ghost"), 4L),
+      ins(5L, "par", "only", "7", 5L))
+    runView(sql, "pv_argext", Seq(Map("t" -> b1)))
+    val got1 = aggState("pv_argext", Seq("city"))
+    assert(got1(Seq[Any]("ber")) == Seq[Any]("bronze", "gold", 3L), s"b1 ber: $got1")
+    assert(got1(Seq[Any]("par")) == Seq[Any]("only", "only", 2L),
+      s"NULL-amount row must not win yet still counts toward n: $got1")
+    // churn: delete BOTH current ber winners — the fold must re-derive
+    // from the survivors; then a tie on the new extreme breaks by key
+    val b2 = Seq(
+      Change("delete", 1L, ts(10), Map.empty, 6L),
+      Change("delete", 3L, ts(11), Map.empty, 7L),
+      ins(6L, "ber", "tie-late", "20", 8L))
+    runView(sql, "pv_argext2", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val got2 = aggState("pv_argext2", Seq("city"))
+    // ber = {silver@20 (key 2), tie-late@20 (key 6)}: both extremes tie
+    // at 20 -> smallest change key (silver) wins both, deterministically
+    assert(got2(Seq[Any]("ber")) == Seq[Any]("silver", "silver", 2L), s"tie rule: $got2")
+    // batch cross-check vs Spark's own min_by/max_by over the final state
+    import spark.implicits._
+    finalState(b1 ++ b2).toSeq
+      .map { case (k, p) => (k, p("city"), p("status"), p.get("amount").map(_.toDouble)) }
+      .toDF("key", "city", "status", "amount").createOrReplaceTempView("ae_batch")
+    val want = spark.sql(
+      "SELECT city, min_by(status, amount) AS cheap, max_by(status, amount) AS dear, " +
+        "count(*) AS n FROM ae_batch GROUP BY city")
+      .collect().map(r => r.getAs[String]("city") ->
+        Seq[Any](r.getAs[String]("cheap"), r.getAs[String]("dear"), r.getAs[Long]("n"))).toMap
+    // Spark's batch tie-break is arbitrary; compare where unambiguous
+    assert(got2(Seq[Any]("par")) == want("par"), s"par: $got2 vs $want")
+    assert(want("ber")(2) == 2L)
+    // last-row delete tombstones the group
+    val b3 = Seq(Change("delete", 4L, ts(20), Map.empty, 9L),
+      Change("delete", 5L, ts(21), Map.empty, 10L))
+    runView(sql, "pv_argext3", Seq(Map("t" -> b1), Map("t" -> b2), Map("t" -> b3)))
+    assert(!aggState("pv_argext3", Seq("city")).contains(Seq[Any]("par")),
+      "par's last-row delete must tombstone the group")
+  }
 }
