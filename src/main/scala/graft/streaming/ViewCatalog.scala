@@ -121,6 +121,42 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     v
   }
 
+  /** `CREATE OR REPLACE MATERIALIZED VIEW`: redefine `name` in place.
+    * A replacement is a NEW view — a changed definition invalidates both
+    * the checkpoint (different dataflow state shape) and the sink
+    * history (rows of the OLD definition), so both are torn down and the
+    * view rebuilds from its feeds' current contents. Refused while
+    * dependents exist: their tailed sink offsets would dangle (same rule
+    * as [[dropView]]). The new definition is COMPILED before the running
+    * view is touched — a bad redefinition (syntax error, unknown
+    * reference, planner reject) throws and leaves the old view live.
+    */
+  def createOrReplaceView(name: String, sql: String,
+      ttl: Option[(String, Long)] = None): NamedView = {
+    if (!views.contains(name)) return createView(name, sql, ttl)
+    val dependents = views.values.filter(_.deps.contains(name)).map(_.name).toSeq
+    require(dependents.isEmpty,
+      s"view $name has dependents ${dependents.mkString(", ")}; drop them first")
+    val refs = referencedTables(spark.sessionState.sqlParser.parsePlan(
+      IncrementalPlanner.stripAsofSyntax(sql)))
+    require(!refs.contains(name), s"view $name cannot reference itself")
+    refs.foreach(r => require(sources.contains(r) || views.contains(r),
+      s"view $name references unknown table $r (register the source or create the view first)"))
+    // pre-flight compile: builds the full dataflow plan against the same
+    // feeds startView would wire, starting nothing and touching no dirs
+    val feeds = refs.toSeq.sorted.map { d =>
+      d -> (if (sources.contains(d)) sources(d)()
+            else FeedSink.readChangeFeed(spark, feedDir(d)))
+    }.toMap
+    IncrementalPlanner.namedChanges(spark, sql, feeds, ttl): Unit
+    val old = views(name)
+    old.query.stop()
+    views -= name
+    deleteRecursively(viewDir(name))
+    Files.deleteIfExists(metaPath(name)): Unit
+    createView(name, sql, ttl)
+  }
+
   /** Compact the view's sink: fold every committed batch so far into one
     * base partition and drop the superseded ones ([[FeedSink.compact]])
     * — the log-compaction bound on a long-running named view's disk
@@ -253,21 +289,57 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     status().toDF()
   }
 
+  /** `EXPLAIN MATERIALIZED VIEW` — the lineage surface: the view's
+    * upstream tree rendered transitively (each layer notes that it is
+    * read via its dependency's SINK TAIL — the physical-sharing
+    * boundary, so shared upstreams appear under every reader but run
+    * once), plus the downstream dependents that tail THIS view.
+    * Driver-side metadata only; nothing here scans data.
+    */
+  def explain(name: String): String = {
+    require(views.contains(name), s"no view named $name")
+    val sb = new StringBuilder
+    def oneLine(sql: String) = sql.replaceAll("\\s+", " ").trim
+    def walk(n: String, depth: Int): Unit = {
+      val pad = "  " * depth
+      if (sources.contains(n)) sb ++= s"$pad- source $n (runtime feed)\n"
+      else {
+        val v = views(n)
+        val committed = FeedSink.committedBatches(feedDir(n))
+        val liveness  = if (v.query.isActive) "live" else "stopped"
+        val via = if (depth == 0) "" else " [read via sink tail]"
+        sb ++= s"$pad- view $n ($liveness, ${committed.size} batches committed)$via\n"
+        sb ++= s"$pad    ${oneLine(v.sql)}\n"
+        v.deps.foreach(walk(_, depth + 1))
+      }
+    }
+    walk(name, 0)
+    val dependents = views.values.filter(_.deps.contains(name)).map(_.name).toSeq.sorted
+    sb ++= (if (dependents.isEmpty) "dependents: none\n"
+            else s"dependents (tail this view's sink): ${dependents.mkString(", ")}\n")
+    sb.result()
+  }
+
   private val CreateRe =
-    ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)" +
       "(?:\\s+WITH\\s*\\(\\s*ttl_delay\\s*=\\s*'([^']+)'\\s*,\\s*ttl_ms\\s*=\\s*(\\d+)\\s*\\))?" +
       "\\s+AS\\s+(.+)$").r
   private val DropRe = "(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
   private val ShowRe = "(?is)^SHOW\\s+MATERIALIZED\\s+VIEWS\\s*$".r
+  private val ExplainRe =
+    "(?is)^EXPLAIN\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
 
   /** The catalog as ONE SQL entry point — the literal front-door syntax
     * of a changefeed engine:
     *
-    *  - `CREATE MATERIALIZED VIEW v [WITH (ttl_delay='10 minutes',
-    *    ttl_ms=60000)] AS SELECT …` → [[createView]]; returns a 1-row
+    *  - `CREATE [OR REPLACE] MATERIALIZED VIEW v [WITH
+    *    (ttl_delay='10 minutes', ttl_ms=60000)] AS SELECT …` →
+    *    [[createView]] / [[createOrReplaceView]]; returns a 1-row
     *    (view, columns) confirmation frame.
     *  - `DROP MATERIALIZED VIEW v` → [[dropView]]; empty frame.
     *  - `SHOW MATERIALIZED VIEWS` → [[statusDF]].
+    *  - `EXPLAIN MATERIALIZED VIEW v` → [[explain]] as a 1-column
+    *    (plan) frame, one row per lineage line.
     *  - anything else → ad-hoc query: every named view the statement
     *    references is registered as its CURRENT snapshot, then the
     *    statement runs through `spark.sql` (so views, sources-as-temp
@@ -281,14 +353,17 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     import spark.implicits._
     val s = stmt.trim.stripSuffix(";").trim
     s match {
-      case CreateRe(name, ttlDelay, ttlMs, select) =>
+      case CreateRe(orReplace, name, ttlDelay, ttlMs, select) =>
         val ttl = Option(ttlDelay).map(d => (d, ttlMs.toLong))
-        val v = createView(name, select.trim, ttl)
+        val v = if (orReplace != null) createOrReplaceView(name, select.trim, ttl)
+                else createView(name, select.trim, ttl)
         Seq((v.name, v.cols.mkString(","))).toDF("view", "columns")
       case DropRe(name) =>
         dropView(name)
         spark.emptyDataFrame
       case ShowRe() => statusDF()
+      case ExplainRe(name) =>
+        explain(name).linesIterator.toSeq.toDF("plan")
       case _ =>
         val refs = referencedTables(spark.sessionState.sqlParser.parsePlan(
           IncrementalPlanner.stripAsofSyntax(s)))

@@ -577,4 +577,83 @@ class ViewCatalogSpec extends SparkSpec {
     assert(snapRows(cat, "orphan", v.cols) == Set(Seq("ber", "1")), "name reusable after rollback")
     cat.stopAll()
   }
+
+  test("#234s createOrReplaceView: redefinition rebuilds from the feed; bad redefinition leaves the old view live; dependents block") {
+    val (root, src) = (tmp("vcrep"), tmp("vcrepsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "20"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "par", "amount" -> "30"), 3L)))
+    val v1 = cat.createOrReplaceView("rep", // no existing view: plain create
+      "SELECT city, count(*) AS n FROM t GROUP BY city")
+    cat.awaitAll()
+    assert(snapRows(cat, "rep", v1.cols) == Set(Seq("ber", "2"), Seq("par", "1")))
+    // a BAD redefinition (unknown table) throws and leaves v1 untouched
+    intercept[IllegalArgumentException] {
+      cat.createOrReplaceView("rep", "SELECT city, count(*) AS n FROM nope GROUP BY city")
+    }
+    // self-reference is rejected up front too
+    intercept[IllegalArgumentException] {
+      cat.createOrReplaceView("rep", "SELECT city, n FROM rep WHERE n > 1")
+    }
+    assert(cat.view("rep").get.sql == v1.sql && cat.view("rep").get.query.isActive,
+      "failed replace must leave the old view live and unchanged")
+    writeChanges(src, "b2.json", Seq(
+      Change("insert", 4L, ts(3), Map("city" -> "par", "amount" -> "5"), 4L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "rep", v1.cols) == Set(Seq("ber", "2"), Seq("par", "2")),
+      "old view still maintaining after a failed replace")
+    // the real replacement: new SQL, rebuilt from the feed's full contents
+    val v2 = cat.createOrReplaceView("rep",
+      "SELECT city, sum(amount) AS total FROM t GROUP BY city")
+    cat.awaitAll()
+    assert(v2.cols == Seq("city", "total"))
+    assert(snapRows(cat, "rep", v2.cols) == Set(Seq("ber", "70.0"), Seq("par", "35.0")),
+      s"replaced view state: ${snapRows(cat, "rep", v2.cols)}")
+    // the persisted definition is the NEW one: resume restarts it
+    cat.stopAll()
+    val cat2 = new ViewCatalog(spark, root)
+    cat2.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    assert(cat2.resume() == Seq("rep"))
+    writeChanges(src, "b3.json", Seq(
+      Change("delete", 1L, ts(10), Map.empty, 5L)))
+    cat2.awaitAll()
+    assert(snapRows(cat2, "rep", v2.cols) == Set(Seq("ber", "20.0"), Seq("par", "35.0")),
+      "resumed replacement continues the tail")
+    // a dependent blocks replacement (its tailed sink offsets would dangle)
+    cat2.createView("dep", "SELECT city, n_city FROM (SELECT city, total AS n_city FROM rep)")
+    intercept[IllegalArgumentException] {
+      cat2.createOrReplaceView("rep", "SELECT city, count(*) AS n FROM t GROUP BY city")
+    }
+    cat2.stopAll()
+  }
+
+  test("#234t explain(): transitive upstream lineage + dependents; EXPLAIN MATERIALIZED VIEW via sql()") {
+    val (root, src) = (tmp("vcexp"), tmp("vcexpsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    cat.createView("base_rows", "SELECT city, amount FROM t WHERE amount > 10")
+    cat.createView("city_agg", "SELECT city, count(*) AS n FROM base_rows GROUP BY city")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L)))
+    cat.awaitAll()
+    val plan = cat.explain("city_agg")
+    // the tree: city_agg at depth 0, base_rows indented under it (read
+    // via sink tail), the source at the leaf; no dependents downstream
+    assert(plan.linesIterator.toSeq.head.startsWith("- view city_agg (live, "),
+      s"root line: $plan")
+    assert(plan.contains("  - view base_rows (live, 1 batches committed) [read via sink tail]"), plan)
+    assert(plan.contains("    - source t (runtime feed)"), plan)
+    assert(plan.contains("dependents: none"), plan)
+    // the mid-layer view reports its dependent
+    assert(cat.explain("base_rows").contains("dependents (tail this view's sink): city_agg"))
+    // the SQL form returns the same text, one row per line
+    val viaSql = cat.sql("EXPLAIN MATERIALIZED VIEW city_agg")
+      .collect().map(_.getString(0)).mkString("\n") + "\n"
+    assert(viaSql == plan, s"sql form diverges:\n$viaSql\nvs\n$plan")
+    intercept[IllegalArgumentException] { cat.explain("nope") }
+    cat.stopAll()
+  }
 }
