@@ -176,6 +176,7 @@ object SparkEntry {
     "q92_groups_frame"          -> ((s, d) => Relational.groupsFrame(GraftSession.tune(s), d)),
     "q93_regr_linefit"          -> ((s, d) => Relational.regrLinefit(GraftSession.tune(s), d)),
     "t19_pii_scan"              -> ((s, d) => TextAnalysis.piiScan(GraftSession.tune(s), d)),
+    "q94_mixture_weights"       -> ((s, d) => TrainingData.mixtureWeights(GraftSession.tune(s), d)),
   )
 
   // ---- fixed-point Lloyd oracle scaffolding (s04/s05/s06) ----------
@@ -861,6 +862,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN em+ph+ipc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
         |  CAST(sum(redlen) AS BIGINT) AS redacted_chars
         |FROM c GROUP BY source""".stripMargin,
+    // q94: r = floor(sqrt(tok)*1e6) is identical on both engines (IEEE
+    // sqrt is correctly rounded; same double in, same double out); all
+    // arithmetic after it is exact integer DIV — no float crosses rows.
+    "q94_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tok
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, tok, CAST(floor(sqrt(tok) * 1000000) AS BIGINT) AS r FROM per),
+        |tot AS (SELECT CAST(sum(tok) AS HUGEINT) AS total_tok,
+        |               CAST(sum(r) AS HUGEINT) AS total_r FROM r)
+        |SELECT source, tok AS tokens,
+        |  CAST(tok::HUGEINT * 1000000 // total_tok AS BIGINT) AS share_ppm,
+        |  CAST(r::HUGEINT * 1000000 // total_r AS BIGINT) AS weight_ppm,
+        |  CAST((r::HUGEINT * 1000000 // total_r) * total_tok // tok AS BIGINT) AS epochs_ppm
+        |FROM r, tot""".stripMargin,
     // d04's oracle recomputes the md5-digit simhash fingerprint and cross-
     // checks the EXACT hamming<=3 pair set — valid as a full equality
     // check because 16-bit chunk bucketing finds every hamming<=3 pair by

@@ -255,6 +255,36 @@ object TrainingData {
       .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
   }
 
+  /** q94: temperature-scaled mixture weights — the α-sampling rule
+    * (α = 0.5) a multilingual/multi-source training run uses to set
+    * per-source sampling rates: weight ∝ (source token count)^α,
+    * upweighting small sources against the head without letting them
+    * dominate. Computed entirely in INTEGER micro-units so the table is
+    * engine- and order-independent: r_s = floor(sqrt(tok_s)·10⁶) (IEEE
+    * sqrt is correctly rounded, so identical doubles on any engine;
+    * everything after is exact DECIMAL/BIGINT `DIV` — no float ever
+    * sums across rows). Emits each source's uniform share, temperature
+    * weight, and expected epoch factor at a one-total-token budget
+    * (weight·total/tok — >10⁶ means the source repeats). Shape: one
+    * map-side-combined per-source aggregate, a broadcast 1-row totals
+    * join; nothing scales past the scan.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("tok"))
+      .withColumn("r", floor(sqrt(col("tok").cast("double")) * 1e6))
+    val totals = perSource.agg(
+      sum("tok").as("total_tok"), sum("r").as("total_r"))
+    perSource
+      .crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("CAST(tok AS DECIMAL(38,0)) * 1000000 DIV total_tok"))
+      .withColumn("weight_ppm", expr("CAST(r AS DECIMAL(38,0)) * 1000000 DIV total_r"))
+      .withColumn("epochs_ppm", expr("CAST(weight_ppm AS DECIMAL(38,0)) * total_tok DIV tok"))
+      .select(col("source"), col("tok").as("tokens"),
+        col("share_ppm"), col("weight_ppm"), col("epochs_ppm"))
+  }
+
   /** q79: the END-TO-END curation pipeline — the single query a user
     * runs to turn the raw crawl into the training corpus, composing the
     * fleet's stages in their production order:

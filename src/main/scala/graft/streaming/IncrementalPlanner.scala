@@ -1784,6 +1784,16 @@ object IncrementalPlanner {
   private final case class VarOut(sumSlot: Int, sqSlot: Int, cntSlot: Int,
       name: String, sample: Boolean, root: Boolean) extends OutCol
 
+  /** Boolean-aggregate output: `bool_and/every/bool_or/any/some(pred)`
+    * from TWO indicator-count slots (n_true, n_false) — plain sums, so
+    * both are INVERTIBLE under retraction; NULL predicates contribute to
+    * neither (SQL ignores them), and n_true + n_false = 0 emits NULL.
+    * `count_if` needs no case of its own: it compiles to a [[CountOut]]
+    * over the true-indicator.
+    */
+  private final case class BoolOut(tSlot: Int, fSlot: Int, name: String,
+      isAnd: Boolean) extends OutCol
+
   /** Covariance-family output: `corr/covar_samp/covar_pop/regr_slope/
     * regr_intercept/regr_r2/regr_count(y, x)` from six sufficient-
     * statistic slots (n, Σx, Σy, Σxy, Σx², Σy²) — all plain sums, so
@@ -1902,6 +1912,18 @@ object IncrementalPlanner {
         VarOut(s, sq, c, name,
           sample = fn != "stddev_pop" && fn != "var_pop",
           root = fn.startsWith("stddev"))
+      // boolean aggregates: NULL predicates join neither count (SQL's
+      // ignore-NULLs rule); count_if counts Some(true) only
+      case ("bool_and" | "every" | "bool_or" | "any" | "some", Seq(a)) =>
+        val ca = compileExpr(a)
+        BoolOut(
+          addSlot(env => Some(if (ca(env).flatMap(asBool).contains(true)) 1.0 else 0.0)),
+          addSlot(env => Some(if (ca(env).flatMap(asBool).contains(false)) 1.0 else 0.0)),
+          name, isAnd = fn == "bool_and" || fn == "every")
+      case ("count_if", Seq(a)) =>
+        val ca = compileExpr(a)
+        CountOut(addSlot(env =>
+          Some(if (ca(env).flatMap(asBool).contains(true)) 1.0 else 0.0)), name)
       // two-argument covariance family — pairwise-complete rows only: a
       // row where EITHER operand is NULL contributes to NO slot,
       // including the pair count (SQL's pairwise-deletion rule). SQL
@@ -1957,6 +1979,12 @@ object IncrementalPlanner {
     // NaN marks "no non-null value in the group" → SQL NULL
     case MinOut(slot, name) => when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
     case MaxOut(slot, name) => when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
+    // all rows NULL-predicate (both counts 0) → SQL NULL; the counts
+    // themselves survive micro-unit descaling exactly (integers)
+    case BoolOut(t, f, name, isAnd) =>
+      val n = slotCol(t) + slotCol(f)
+      (if (isAnd) when(n > 0.0, slotCol(f) === 0.0)
+       else when(n > 0.0, slotCol(t) > 0.0)).as(name)
     case VarOut(s, sq, c, name, sample, root) =>
       val n = slotCol(c)
       // var = (Σx² − (Σx)²/n) / denom; SQL NULLs: n=0 → NULL, sample
@@ -2038,7 +2066,8 @@ object IncrementalPlanner {
     val havingAggFns = Set("count", "sum", "avg", "min", "max",
       "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
       "corr", "covar_samp", "covar_pop", "regr_slope", "regr_intercept",
-      "regr_r2", "regr_count", "regr_avgx", "regr_avgy") ++
+      "regr_r2", "regr_count", "regr_avgx", "regr_avgy",
+      "bool_and", "every", "bool_or", "count_if") ++
       HolisticFns ++ DdqFns
     val (norm, having1, hidden) = having match {
       case Some(cond) if cond.exists {

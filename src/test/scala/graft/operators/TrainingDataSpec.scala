@@ -225,4 +225,34 @@ class TrainingDataSpec extends SparkSpec {
       assert(kept.getOrElse(l, 0) < langs(l), s"over-represented stratum $l must thin")
     }
   }
+
+  test("q94 mixture weights: integer micro-unit replay; temperature flattens the distribution; invariants hold") {
+    val got = TrainingData.mixtureWeights(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("tokens"),
+        r.getAs[Long]("share_ppm"), r.getAs[Long]("weight_ppm"), r.getAs[Long]("epochs_ppm"))).toMap
+    // independent replay: whitespace token counts per source, then the
+    // exact integer pipeline with BigInt arithmetic
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val rs = toks.view.mapValues(t => math.floor(math.sqrt(t.toDouble) * 1e6).toLong).toMap
+    val (totalTok, totalR) = (BigInt(toks.values.sum), BigInt(rs.values.sum))
+    assert(got.keySet == toks.keySet)
+    got.foreach { case (s, (tok, share, w, ep)) =>
+      assert(tok == toks(s), s"$s tokens")
+      assert(share == (BigInt(tok) * 1000000 / totalTok).toLong, s"$s share")
+      assert(w == (BigInt(rs(s)) * 1000000 / totalR).toLong, s"$s weight")
+      assert(ep == (BigInt(w) * totalTok / BigInt(tok)).toLong, s"$s epochs")
+    }
+    // α = 0.5 flattens: every below-uniform source is upweighted, every
+    // above-uniform source downweighted (sqrt crosses the mean once)
+    got.values.foreach { case (_, share, w, _) =>
+      if (share * got.size < 1000000L) assert(w >= share, s"small source must upweight: $got")
+      else assert(w <= share, s"large source must downweight: $got")
+    }
+    // weights are a (floor-truncated) distribution
+    val wSum = got.values.map(_._3).sum
+    assert(wSum <= 1000000L && wSum > 1000000L - got.size, s"weight_ppm sum: $wSum")
+  }
 }

@@ -3489,4 +3489,55 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(!aggState("pv_argext3", Seq("city")).contains(Seq[Any]("par")),
       "par's last-row delete must tombstone the group")
   }
+
+  test("#171ci bool_and/bool_or/every/count_if under retraction: invertible indicator counts; NULL predicates ignored") {
+    val sql = "SELECT city, bool_and(amount > 10) AS all_big, bool_or(amount > 10) AS some_big, " +
+      "every(amount < 100) AS all_small, count_if(amount > 10) AS n_big, count(*) AS n " +
+      "FROM t GROUP BY city"
+    def ins(k: Long, city: String, amount: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> city, "amount" -> amount), seq)
+    val b1 = Seq(
+      ins(1L, "ber", "50", 1L), ins(2L, "ber", "5", 2L), ins(3L, "ber", "20", 3L),
+      ins(4L, "par", "200", 4L),
+      // rom: a NULL predicate operand (no amount) — joins neither count
+      Change("insert", 5L, ts(5), Map("city" -> "rom"), 5L),
+      ins(6L, "rom", "15", 6L))
+    runView(sql, "pv_bool", Seq(Map("t" -> b1)))
+    val g1 = aggState("pv_bool", Seq("city"))
+    assert(g1(Seq[Any]("ber")) == Seq[Any](false, true, true, 2L, 3L), s"b1 ber: $g1")
+    assert(g1(Seq[Any]("par")) == Seq[Any](true, true, false, 1L, 1L), s"b1 par: $g1")
+    assert(g1(Seq[Any]("rom")) == Seq[Any](true, true, true, 1L, 2L),
+      s"NULL-predicate row must not join either count yet still count toward n: $g1")
+    // churn: delete ber's one small row — bool_and FLIPS true, the
+    // retraction that proves the counts are signed, not monotone
+    val b2 = Seq(
+      Change("delete", 2L, ts(10), Map.empty, 7L),
+      // rom's only valued row turns NULL-operand (amount removed)
+      Change("update", 6L, ts(11), Map("city" -> "rom"), 8L))
+    runView(sql, "pv_bool2", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val g2 = aggState("pv_bool2", Seq("city"))
+    assert(g2(Seq[Any]("ber")) == Seq[Any](true, true, true, 2L, 2L),
+      s"deleting the one small row must flip bool_and true: $g2")
+    assert(g2(Seq[Any]("rom")) == Seq[Any](null, null, null, 0L, 2L),
+      s"all predicates NULL -> bool aggs NULL, count_if 0: $g2")
+    // batch cross-check vs Spark's own aggregates over the final state
+    import spark.implicits._
+    finalState(b1 ++ b2).toSeq
+      .map { case (k, p) => (k, p("city"), p.get("amount").map(_.toDouble)) }
+      .toDF("key", "city", "amount").createOrReplaceTempView("bool_batch")
+    val want = spark.sql(
+      "SELECT city, bool_and(amount > 10) AS all_big, bool_or(amount > 10) AS some_big, " +
+        "every(amount < 100) AS all_small, count_if(amount > 10) AS n_big, count(*) AS n " +
+        "FROM bool_batch GROUP BY city")
+      .collect().map(r => r.getAs[String]("city") -> r.toSeq.drop(1)).toMap
+    g2.foreach { case (g, vs) =>
+      assert(vs == want(g.head.asInstanceOf[String]), s"$g: $vs vs ${want(g.head.asInstanceOf[String])}")
+    }
+    // HAVING over an unprojected bool_and composes via the hoist
+    runView("SELECT city, count(*) AS cnt FROM t GROUP BY city HAVING bool_and(amount > 10)",
+      "pv_bool_having", Seq(Map("t" -> b1)))
+    // par (200) and rom (NULL ignored, 15) pass; ber's 5 gates it out
+    assert(aggState("pv_bool_having", Seq("city")).keySet ==
+      Set(Seq[Any]("par"), Seq[Any]("rom")), "HAVING bool_and gate")
+  }
 }
