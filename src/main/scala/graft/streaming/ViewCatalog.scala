@@ -211,16 +211,34 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     * the view's output columns. Values are strings — the Change wire
     * contract; cast at the query site where a numeric is needed.
     */
-  def snapshot(name: String): DataFrame = {
+  def snapshot(name: String): DataFrame = snapshotAsOf(name, Long.MaxValue)
+
+  /** TIME TRAVEL: the view's state AS OF a committed batch id — the
+    * commit-markered sink doubles as the view's history log, so any
+    * retained horizon reconstructs exactly (the LWW fold simply stops
+    * at the bound). Retention is trimmed by [[compactView]]: asking
+    * below the compaction base folds just the base (the oldest
+    * reconstructable state), the standard compacted-log answer. An
+    * as-of before the first commit is the empty view with its schema.
+    */
+  def snapshotAsOf(name: String, asOfBatch: Long): DataFrame = {
     val v = views.getOrElse(name, throw new IllegalArgumentException(s"no view named $name"))
-    if (FeedSink.committedBatches(feedDir(name)).isEmpty) {
-      // nothing committed yet: the empty view, with its schema
+    if (!FeedSink.committedBatches(feedDir(name)).exists(_ <= asOfBatch)) {
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(v.cols.map(StructField(_, StringType))))
     } else
-      FeedSink.stateAsOf(spark, feedDir(name), Long.MaxValue)
+      FeedSink.stateAsOf(spark, feedDir(name), asOfBatch)
         .select(v.cols.map(n => element_at(col("payload"), n).as(n)): _*)
+  }
+
+  /** The view's reconstructable history horizons: every committed batch
+    * id still retained in the sink (compaction folds older ids into its
+    * base). Each is a valid [[snapshotAsOf]] bound.
+    */
+  def versions(name: String): Seq[Long] = {
+    require(views.contains(name), s"no view named $name")
+    FeedSink.committedBatches(feedDir(name)).toSeq.sorted
   }
 
   /** Restart every persisted view from its checkpoint — the whole named
@@ -343,7 +361,9 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     *  - anything else → ad-hoc query: every named view the statement
     *    references is registered as its CURRENT snapshot, then the
     *    statement runs through `spark.sql` (so views, sources-as-temp
-    *    -views, and plain tables mix freely).
+    *    -views, and plain tables mix freely). `FROM v VERSION AS OF n`
+    *    time-travels a named view to committed batch n
+    *    ([[snapshotAsOf]]).
     *
     * DDL recognition is deliberately first-match-regex, not a parser
     * fork: the three managed forms are fixed shapes, and every other
@@ -365,10 +385,20 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
       case ExplainRe(name) =>
         explain(name).linesIterator.toSeq.toDF("plan")
       case _ =>
+        // time-travel sugar: `FROM v VERSION AS OF 3` reads the named
+        // view's snapshotAsOf(3) (Delta's syntax, scoped to catalog
+        // views) — each occurrence registers under a mangled alias
+        val VerRe = "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+        val rewritten = VerRe.replaceAllIn(s, m =>
+          if (views.contains(m.group(1))) {
+            val alias = s"${m.group(1)}__asof_${m.group(2)}"
+            snapshotAsOf(m.group(1), m.group(2).toLong).createOrReplaceTempView(alias)
+            alias
+          } else m.matched)
         val refs = referencedTables(spark.sessionState.sqlParser.parsePlan(
-          IncrementalPlanner.stripAsofSyntax(s)))
+          IncrementalPlanner.stripAsofSyntax(rewritten)))
         refs.filter(views.contains).foreach(n => snapshot(n).createOrReplaceTempView(n))
-        spark.sql(s)
+        spark.sql(rewritten)
     }
   }
 

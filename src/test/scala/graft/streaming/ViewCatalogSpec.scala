@@ -656,4 +656,42 @@ class ViewCatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException] { cat.explain("nope") }
     cat.stopAll()
   }
+
+  test("#234u time travel: snapshotAsOf folds the sink only to the bound; VERSION AS OF sugar; compaction trims the horizon") {
+    val (root, src) = (tmp("vctt"), tmp("vcttsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    val v = cat.createView("tt", "SELECT city, count(*) AS n FROM t GROUP BY city")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "1"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "par", "amount" -> "2"), 2L)))
+    cat.awaitAll()
+    writeChanges(src, "b2.json", Seq(
+      Change("insert", 3L, ts(2), Map("city" -> "ber", "amount" -> "3"), 3L),
+      Change("delete", 2L, ts(3), Map.empty, 4L)))
+    cat.awaitAll()
+    val vers = cat.versions("tt")
+    assert(vers.size == 2, s"two committed batches expected: $vers")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSet.map((r: org.apache.spark.sql.Row) => v.cols.map(c => r.getAs[String](c)))
+    // as of the FIRST batch: par still live, ber at 1
+    assert(rows(cat.snapshotAsOf("tt", vers.head)) == Set(Seq("ber", "1"), Seq("par", "1")),
+      "as-of batch 0")
+    // as of now == snapshot: par deleted, ber at 2
+    assert(rows(cat.snapshotAsOf("tt", vers.last)) == rows(cat.snapshot("tt")))
+    assert(rows(cat.snapshot("tt")) == Set(Seq("ber", "2")))
+    // before the first commit: empty, schema intact
+    val empty = cat.snapshotAsOf("tt", vers.head - 1)
+    assert(empty.columns.toSeq == v.cols && empty.count() == 0L)
+    // the SQL sugar reads the historical state inline
+    val sugar = cat.sql(s"SELECT city, n FROM tt VERSION AS OF ${vers.head} ORDER BY city")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(sugar == Seq(("ber", "1"), ("par", "1")), s"VERSION AS OF sugar: $sugar")
+    // compaction folds history into the new base: the horizon shrinks
+    // but the CURRENT state still reconstructs
+    cat.compactView("tt")
+    assert(cat.versions("tt").size == 1, s"post-compaction horizon: ${cat.versions("tt")}")
+    assert(rows(cat.snapshot("tt")) == Set(Seq("ber", "2")), "state survives compaction")
+    cat.stopAll()
+  }
 }
