@@ -1803,6 +1803,29 @@ object IncrementalPlanner {
   private final case class CorrOut(cntSlot: Int, sxSlot: Int, sySlot: Int,
       sxySlot: Int, sx2Slot: Int, sy2Slot: Int, name: String, kind: String) extends OutCol
 
+  /** Third/fourth-moment output: `skewness/kurtosis(x)` from five
+    * invertible raw power sums (n, Σx, Σx², Σx³, Σx⁴) on the
+    * signed-delta fold — central moments derive on emission (Spark's
+    * population forms: skew = √n·m₃/m₂^1.5, kurt = n·m₄/m₂² − 3; n=0 or
+    * m₂=0 → NULL, Spark's own degenerate convention). Higher
+    * powers spend the micro-unit fixed-point range faster than VarOut's
+    * squares — the same documented quantization trade, raised to the
+    * fourth power: keep operands small (normalize upstream) when exact
+    * retraction cancellation matters at 2^53.
+    */
+  private final case class MomOut(cntSlot: Int, sSlot: Int, s2Slot: Int,
+      s3Slot: Int, s4Slot: Int, name: String, kurt: Boolean) extends OutCol
+
+  /** `product(x)` from four invertible slots: non-NULL count, zero
+    * count, negative count, Σln|x| over the nonzero operands —
+    * product = 0 when any live zero, else (−1)^negCount · exp(Σln|x|).
+    * The counts retract exactly; the log-sum reconstruction is floating
+    * (~1e-6 relative after micro-unit quantization) — product is not
+    * decimal-exact, by construction.
+    */
+  private final case class ProdOut(cntSlot: Int, zeroSlot: Int, negSlot: Int,
+      logSlot: Int, name: String) extends OutCol
+
   /** Session-window select item: expands to TWO output columns,
     * `<name>_start_us` / `<name>_end_us` (epoch micros — the planner's
     * stringly-feed convention, mirroring how `window(...)` groupings
@@ -1847,13 +1870,31 @@ object IncrementalPlanner {
   private final case class ArgExtOut(valIdx: Int, ordSlot: Int, max: Boolean,
       name: String) extends OutCol
 
+  /** `mode(x)` select item (holistic path only): the most frequent live
+    * non-NULL value — a frequency argmax is not invertible (deleting a
+    * winner's row must re-count the survivors), so it rides the full
+    * multiset. Ties break by SMALLEST value under the listagg sort
+    * order (numeric when both parse, else lexical) — deterministic
+    * however batches sliced the history, matching the batch engine's
+    * deterministic-mode convention (q56). Result rides `strs`.
+    */
+  private final case class ModeOut(valIdx: Int, name: String) extends OutCol
+
+  /** `bit_and/bit_or/bit_xor(x)` select item (holistic path): AND/OR
+    * are not invertible per bit (a retracted row's cleared bit needs
+    * the survivors' count), so the family re-derives from the live
+    * multiset; operands fold as longs, result rides `strs` as the
+    * decimal string (cast to LONG on emission).
+    */
+  private final case class BitOut(valIdx: Int, op: String, name: String) extends OutCol
+
   /** The aggregate functions that need the group's full value multiset
-    * (order statistics, ordered concatenation, argmax) — routed to
-    * [[compileHolisticAgg]].
+    * (order statistics, ordered concatenation, argmax, frequency argmax,
+    * bitwise folds) — routed to [[compileHolisticAgg]].
     */
   private val HolisticFns =
     Set("percentile_cont", "percentile_disc", "median", "percentile", "listagg", "string_agg",
-      "min_by", "max_by")
+      "min_by", "max_by", "mode", "bit_and", "bit_or", "bit_xor")
 
   /** Approx-percentile select item (DDSketch path): `qIdx` indexes the
     * per-view sketch array (one sketch per distinct operand expression —
@@ -1942,6 +1983,28 @@ object IncrementalPlanner {
           addSlot(env => Some(both(env).map(t => t._2 * t._2).getOrElse(0.0))),
           addSlot(env => Some(both(env).map(t => t._1 * t._1).getOrElse(0.0))),
           name, fn)
+      // third/fourth standardized moments: five raw power sums, all
+      // plain (invertible) adds — NULL operands join no slot
+      case ("skewness" | "kurtosis", Seq(a)) =>
+        val ca = compileExpr(a)
+        def powSlot(p: Int) = addSlot(env =>
+          Some(ca(env).flatMap(asNum).map(x => math.pow(x, p)).getOrElse(0.0)))
+        MomOut(
+          addSlot(env => Some(if (ca(env).flatMap(asNum).isDefined) 1.0 else 0.0)),
+          powSlot(1), powSlot(2), powSlot(3), powSlot(4), name,
+          kurt = fn == "kurtosis")
+      // product: zero/negative counts + Σln|x| — zeros and signs ride
+      // exact counters, magnitude rides the log sum
+      case ("product", Seq(a)) =>
+        val ca  = compileExpr(a)
+        val num = (env: Env) => ca(env).flatMap(asNum)
+        ProdOut(
+          addSlot(env => Some(if (num(env).isDefined) 1.0 else 0.0)),
+          addSlot(env => Some(if (num(env).contains(0.0)) 1.0 else 0.0)),
+          addSlot(env => Some(if (num(env).exists(_ < 0.0)) 1.0 else 0.0)),
+          addSlot(env => Some(num(env).filter(_ != 0.0)
+            .map(x => math.log(math.abs(x))).getOrElse(0.0))),
+          name)
       // internal (DISTINCT rewrite only): reaggregation of inner
       // partials — sum of per-value counts emitted as LONG, and
       // sum(a)/sum(b) for plain avg decomposed through the levels
@@ -2018,6 +2081,26 @@ object IncrementalPlanner {
           when(sxxC > 0.0,
             when(syyC > 0.0, sxyC * sxyC / (sxxC * syyC)).otherwise(lit(1.0)))
       }).as(name)
+    case MomOut(cnt, s, s2, s3, s4, name, kurt) =>
+      val n  = slotCol(cnt)
+      val mu = slotCol(s) / when(n > 0.0, n)
+      def pos(c: org.apache.spark.sql.Column) = when(c < 0.0, lit(0.0)).otherwise(c)
+      // central moments from the raw power sums (S1 = nμ):
+      // m2 = S2 − nμ²; m3 = S3 − 3μS2 + 2nμ³; m4 = S4 − 4μS3 + 6μ²S2 − 3nμ⁴
+      val m2 = pos(slotCol(s2) - n * mu * mu)
+      val m3 = slotCol(s3) - lit(3.0) * mu * slotCol(s2) + lit(2.0) * n * mu * mu * mu
+      val m4 = pos(slotCol(s4) - lit(4.0) * mu * slotCol(s3) +
+        lit(6.0) * mu * mu * slotCol(s2) - lit(3.0) * n * mu * mu * mu * mu)
+      // Spark's population conventions: n=0 or m2=0 → NULL (its batch
+      // divide-by-zero rule under default non-ANSI semantics)
+      val res =
+        if (kurt) when(m2 > 0.0, n * m4 / (m2 * m2) - lit(3.0))
+        else when(m2 > 0.0, sqrt(n) * m3 / pow(m2, 1.5))
+      when(n > 0.0, res).as(name)
+    case ProdOut(cnt, zero, neg, lg, name) =>
+      val sign = lit(1.0) - lit(2.0) * pmod(slotCol(neg), lit(2.0))
+      when(slotCol(cnt) > 0.0,
+        when(slotCol(zero) > 0.0, lit(0.0)).otherwise(sign * exp(slotCol(lg)))).as(name)
     case SessionOut(_) =>
       throw new IllegalStateException("SessionOut expands to start/end columns in the session path")
   }
@@ -2067,7 +2150,8 @@ object IncrementalPlanner {
       "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
       "corr", "covar_samp", "covar_pop", "regr_slope", "regr_intercept",
       "regr_r2", "regr_count", "regr_avgx", "regr_avgy",
-      "bool_and", "every", "bool_or", "count_if") ++
+      "bool_and", "every", "bool_or", "count_if",
+      "skewness", "kurtosis", "product") ++
       HolisticFns ++ DdqFns
     val (norm, having1, hidden) = having match {
       case Some(cond) if cond.exists {
@@ -2663,6 +2747,10 @@ object IncrementalPlanner {
       outCols.collect { case ListAggOut(v, o, d, sep, _) => (v, o, d, sep) }
     val aSpecs: Seq[(Int, Int, Boolean)] =
       outCols.collect { case ArgExtOut(v, o, mx, _) => (v, o, mx) }
+    val mSpecs: Seq[Int] =
+      outCols.collect { case ModeOut(v, _) => v }
+    val bSpecs: Seq[(Int, String)] =
+      outCols.collect { case BitOut(v, op, _) => (v, op) }
     val maxRows = spark.conf.get("spark.graft.holistic.maxRowsPerGroup", "1000000").toInt
 
     implicit val contribEnc = Encoders.product[PlannedContrib]
@@ -2682,7 +2770,7 @@ object IncrementalPlanner {
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(expiring(ttl, keyFold(extract)))
       .groupByKey(_.group)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        holisticFold(slotOps, pSpecs, lSpecs, aSpecs, maxRows))
+        holisticFold(slotOps, pSpecs, lSpecs, aSpecs, mSpecs, bSpecs, maxRows))
       .toDF()
 
     val parts = split(col("group"), Sep)
@@ -2690,6 +2778,8 @@ object IncrementalPlanner {
     var pSeen = -1
     var lSeen = -1
     var aSeen = -1
+    var mSeen = -1
+    var bSeen = -1
     val outExprs = outCols.map {
       case PercOut(_, _, _, _, name) =>
         pSeen += 1
@@ -2703,6 +2793,15 @@ object IncrementalPlanner {
         aSeen += 1
         val c = element_at(col("strs"), lSpecs.length + aSeen + 1)
         when(c === NullMark, lit(null)).otherwise(c).as(name)
+      case ModeOut(_, name) =>
+        mSeen += 1
+        val c = element_at(col("strs"), lSpecs.length + aSpecs.length + mSeen + 1)
+        when(c === NullMark, lit(null)).otherwise(c).as(name)
+      case BitOut(_, _, name) =>
+        bSeen += 1
+        val c = element_at(col("strs"),
+          lSpecs.length + aSpecs.length + mSpecs.length + bSeen + 1)
+        when(c === NullMark, lit(null)).otherwise(c.cast("long")).as(name)
       // NaN marks an all-NULL-operand group's sum (nullSumAsNaN) → SQL NULL
       case SumOut(slot, name) =>
         when(isnan(slotCol(slot)), lit(null)).otherwise(slotCol(slot)).as(name)
@@ -2768,6 +2867,10 @@ object IncrementalPlanner {
       // (rows with NULL y are ignored — Spark's own rule)
       case ("min_by" | "max_by", Seq(vE, oE), Seq()) =>
         ArgExtOut(addSval(compileExpr(vE)), numSlot(oE), max = fn == "max_by", name)
+      case ("mode", Seq(e), Seq()) =>
+        ModeOut(addSval(compileExpr(e)), name)
+      case ("bit_and" | "bit_or" | "bit_xor", Seq(e), Seq()) =>
+        BitOut(addSval(compileExpr(e)), fn, name)
       case _ => throw unsupported(s"holistic aggregate ${f.sql}")
     }
   }
@@ -2781,6 +2884,7 @@ object IncrementalPlanner {
     */
   private def holisticFold(slotOps: Seq[String], pSpecs: Seq[(Int, Double, Boolean, Boolean)],
       lSpecs: Seq[(Int, Int, Boolean, String)], aSpecs: Seq[(Int, Int, Boolean)],
+      mSpecs: Seq[Int], bSpecs: Seq[(Int, String)],
       maxRows: Int)(
       group: String,
       changes: Iterator[PlannedKeyChange],
@@ -2797,7 +2901,7 @@ object IncrementalPlanner {
       state.remove()
       Iterator.single(HolisticGroupRow(group, 0L,
         Seq.fill(slotOps.length + pSpecs.length)(0.0),
-        Seq.fill(lSpecs.length + aSpecs.length)(NullMark),
+        Seq.fill(lSpecs.length + aSpecs.length + mSpecs.length + bSpecs.length)(NullMark),
         posTs, posSeq))
     } else {
       require(after.size <= maxRows,
@@ -2868,8 +2972,36 @@ object IncrementalPlanner {
         if (items.isEmpty) NullMark
         else items.minBy { case (_, o, k) => (if (mx) -o else o, k) }._1
       }
+      val mstrs = mSpecs.map { vIdx =>
+        // frequency argmax over the live non-NULL values; ties break by
+        // smallest value under the listagg comparator (numeric when
+        // both sides parse, else lexical) — the q56 deterministic-mode
+        // convention, batch-invariant
+        val vs = after.values.iterator
+          .map(h => if (vIdx < h.svals.length) h.svals(vIdx) else NullMark)
+          .filter(_ != NullMark).toSeq
+        if (vs.isEmpty) NullMark
+        else vs.groupBy(identity).view.mapValues(_.size).toSeq.sortWith {
+          case ((v1, c1), (v2, c2)) =>
+            if (c1 != c2) c1 > c2
+            else cmpSort(v1, v2, asc = true, nullsFirst = false) < 0
+        }.head._1
+      }
+      val bstrs = bSpecs.map { case (vIdx, op) =>
+        val xs = after.values.iterator
+          .map(h => if (vIdx < h.svals.length) h.svals(vIdx) else NullMark)
+          .filter(_ != NullMark)
+          .flatMap(s => s.toLongOption.orElse(s.toDoubleOption.map(_.toLong)))
+          .toSeq
+        if (xs.isEmpty) NullMark
+        else String.valueOf(op match {
+          case "bit_and" => xs.reduce(_ & _)
+          case "bit_or"  => xs.reduce(_ | _)
+          case "bit_xor" => xs.reduce(_ ^ _)
+        })
+      }
       Iterator.single(HolisticGroupRow(group, after.size.toLong, sums ++ psums,
-        strs ++ astrs, posTs, posSeq))
+        strs ++ astrs ++ mstrs ++ bstrs, posTs, posSeq))
     }
   }
 

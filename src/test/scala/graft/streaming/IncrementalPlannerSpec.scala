@@ -1678,12 +1678,13 @@ class IncrementalPlannerSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val feeds = Map("activity" -> MemoryStream[Change].toDS())
-    // (median moved INTO the subset in r10 — the holistic path; corr
-    // remains outside it)
+    // (median moved INTO the subset in r10, corr in r11 —
+    // histogram_numeric remains outside it)
     val e1 = intercept[IllegalArgumentException] {
-      IncrementalPlanner.materialize(spark, "SELECT city, corr(amount, amount) AS s FROM activity GROUP BY city", feeds)
+      IncrementalPlanner.materialize(spark,
+        "SELECT city, histogram_numeric(amount, 5) AS s FROM activity GROUP BY city", feeds)
     }
-    assert(e1.getMessage.contains("corr"))
+    assert(e1.getMessage.contains("histogram_numeric"))
     // unsupported expression vocabulary inside an ON still fails fast
     // (pure non-equi COMPARISONS compile to the guarded cross
     // arrangement since r7 — see #171be)
@@ -3539,5 +3540,122 @@ class IncrementalPlannerSpec extends SparkSpec {
     // par (200) and rom (NULL ignored, 15) pass; ber's 5 gates it out
     assert(aggState("pv_bool_having", Seq("city")).keySet ==
       Set(Seq[Any]("par"), Seq[Any]("rom")), "HAVING bool_and gate")
+  }
+
+  test("#171cj skewness/kurtosis/product under retraction: invertible power sums; zero/sign churn") {
+    val sql = "SELECT city, skewness(amount) AS sk, kurtosis(amount) AS ku, " +
+      "product(amount) AS pr, count(*) AS n FROM t GROUP BY city"
+    def ins(k: Long, city: String, amount: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> city, "amount" -> amount), seq)
+    val b1 = Seq(
+      ins(1L, "ber", "2", 1L), ins(2L, "ber", "3", 2L), ins(3L, "ber", "7", 3L),
+      ins(4L, "ber", "40", 4L),
+      // par: a NULL operand (ignored), a negative and a ZERO (product 0)
+      Change("insert", 5L, ts(5), Map("city" -> "par"), 5L),
+      ins(6L, "par", "-4", 6L), ins(7L, "par", "0", 7L), ins(8L, "par", "5", 8L),
+      // rom: constant values — zero variance, the degenerate moment case
+      ins(9L, "rom", "6", 9L), ins(10L, "rom", "6", 10L))
+    // churn: delete the skew-defining outlier, retract par's ZERO (the
+    // product must recover the nonzero magnitude from the log sum), and
+    // move a ber row into par — all three must retract old moments
+    val b2 = Seq(
+      Change("delete", 4L, ts(10), Map.empty, 11L),
+      Change("update", 7L, ts(11), Map("city" -> "par", "amount" -> "2"), 12L),
+      Change("update", 3L, ts(12), Map("city" -> "par", "amount" -> "7"), 13L))
+    runView(sql, "pv_mom", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val got = aggState("pv_mom", Seq("city"))
+    import spark.implicits._
+    finalState(b1 ++ b2).toSeq
+      .map { case (k, p) => (k, p("city"), p.get("amount").map(_.toDouble)) }
+      .toDF("key", "city", "amount").createOrReplaceTempView("mom_batch")
+    // skew/kurt vs Spark's own batch aggregates (incl. the degenerate
+    // zero-variance convention); product vs the hand-derivable truth
+    val want = spark.sql(
+      "SELECT city, skewness(amount) AS sk, kurtosis(amount) AS ku, count(*) AS n " +
+        "FROM mom_batch GROUP BY city")
+      .collect().map(r => r.getAs[String]("city") ->
+        (r.getAs[Any]("sk"), r.getAs[Any]("ku"), r.getAs[Long]("n"))).toMap
+    def close(a: Any, b: Any, tag: String): Unit = (a, b) match {
+      case (null, null) => ()
+      case (x: Double, y: Double) if x.isNaN && y.isNaN => ()
+      case (x: Double, y: Double) =>
+        assert(math.abs(x - y) < 1e-6, s"$tag: $x != $y")
+      case _ => assert(false, s"$tag: $a (${if (a == null) "null" else a.getClass}) vs $b")
+    }
+    assert(got.keySet.map(_.head) == want.keySet, s"groups: $got vs $want")
+    got.foreach { case (g, vs) =>
+      val (sk, ku, n) = want(g.head.asInstanceOf[String])
+      close(vs(0), sk, s"$g skew"); close(vs(1), ku, s"$g kurt")
+      assert(vs(3) == n, s"$g count: ${vs(3)} != $n")
+    }
+    // products: ber = {2,3} -> 6; par = {-4,2,5,7} -> -280 (the zero's
+    // retraction recovered the sign and magnitude); rom = {6,6} -> 36.
+    // The log-sum reconstruction is ~1e-6 RELATIVE (micro-unit ln
+    // quantization, the documented trade) — compare relatively
+    def closeRel(a: Any, w: Double, tag: String): Unit = a match {
+      case x: Double => assert(math.abs(x - w) <= 1e-5 * math.max(1.0, math.abs(w)), s"$tag: $x != $w")
+      case other     => assert(false, s"$tag: $other")
+    }
+    closeRel(got(Seq[Any]("ber"))(2), 6.0, "ber product")
+    closeRel(got(Seq[Any]("par"))(2), -280.0, "par product")
+    closeRel(got(Seq[Any]("rom"))(2), 36.0, "rom product")
+    // before the churn the zero dominates: one-batch run pins product=0
+    runView(sql, "pv_mom1", Seq(Map("t" -> b1)))
+    closeRel(aggState("pv_mom1", Seq("city"))(Seq[Any]("par"))(2), 0.0, "par zero product")
+    // HAVING over an unprojected skewness composes via the hoist
+    runView("SELECT city, count(*) AS cnt FROM t GROUP BY city HAVING skewness(amount) > 1",
+      "pv_mom_having", Seq(Map("t" -> b1)))
+    // only ber's 40-outlier gives strong positive skew
+    assert(aggState("pv_mom_having", Seq("city")).keySet == Set(Seq[Any]("ber")),
+      "HAVING skewness gate")
+  }
+
+  test("#171ck mode and bit_and/or/xor on the holistic path: frequency/bit folds re-derive under retraction") {
+    val sql = "SELECT city, mode(status) AS md, bit_and(flags) AS ba, " +
+      "bit_or(flags) AS bo, bit_xor(flags) AS bx, count(*) AS n FROM t GROUP BY city"
+    def ins(k: Long, city: String, status: String, flags: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt),
+        Map("city" -> city, "status" -> status, "flags" -> flags), seq)
+    val b1 = Seq(
+      ins(1L, "ber", "open", "6", 1L), ins(2L, "ber", "open", "3", 2L),
+      ins(3L, "ber", "done", "7", 3L),
+      // par: NULL status and NULL flags rows join neither fold
+      Change("insert", 4L, ts(4), Map("city" -> "par", "flags" -> "12"), 4L),
+      Change("insert", 5L, ts(5), Map("city" -> "par", "status" -> "solo"), 5L))
+    runView(sql, "pv_hbit", Seq(Map("t" -> b1)))
+    val g1 = aggState("pv_hbit", Seq("city"))
+    // ber: mode open(2) ; 6&3&7 = 2 ; 6|3|7 = 7 ; 6^3^7 = 2
+    assert(g1(Seq[Any]("ber")) == Seq[Any]("open", 2L, 7L, 2L, 3L), s"b1 ber: $g1")
+    assert(g1(Seq[Any]("par")) == Seq[Any]("solo", 12L, 12L, 12L, 2L),
+      s"NULL operands join neither fold yet count toward n: $g1")
+    // churn: delete one 'open' -> tie open/done breaks by SMALLEST value
+    // (deterministic-mode rule: 'done' < 'open'); flags re-derive
+    val b2 = Seq(Change("delete", 2L, ts(10), Map.empty, 6L))
+    runView(sql, "pv_hbit2", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val g2 = aggState("pv_hbit2", Seq("city"))
+    // ber = {open@6, done@7}: 6&7=6, 6|7=7, 6^7=1
+    assert(g2(Seq[Any]("ber")) == Seq[Any]("done", 6L, 7L, 1L, 2L), s"tie + re-derive: $g2")
+    // batch cross-check vs Spark's own bit aggregates (mode's batch
+    // tie-break is arbitrary — compare it only where unambiguous)
+    import spark.implicits._
+    finalState(b1 ++ b2).toSeq
+      .map { case (k, p) => (k, p("city"), p.get("status"), p.get("flags").map(_.toLong)) }
+      .toDF("key", "city", "status", "flags").createOrReplaceTempView("hbit_batch")
+    val want = spark.sql(
+      "SELECT city, bit_and(flags) AS ba, bit_or(flags) AS bo, bit_xor(flags) AS bx, " +
+        "count(*) AS n FROM hbit_batch GROUP BY city")
+      .collect().map(r => r.getAs[String]("city") -> r.toSeq.drop(1)).toMap
+    g2.foreach { case (g, vs) =>
+      assert(vs.drop(1) == want(g.head.asInstanceOf[String]),
+        s"$g bit folds vs batch: ${vs.drop(1)} vs ${want(g.head.asInstanceOf[String])}")
+    }
+    // last-row delete tombstones; an all-NULL-operand group answers NULL
+    val b3 = Seq(
+      Change("delete", 4L, ts(20), Map.empty, 7L),
+      Change("update", 5L, ts(21), Map("city" -> "par"), 8L))
+    runView(sql, "pv_hbit3", Seq(Map("t" -> b1), Map("t" -> b2), Map("t" -> b3)))
+    val g3 = aggState("pv_hbit3", Seq("city"))
+    assert(g3(Seq[Any]("par")) == Seq[Any](null, null, null, null, 1L),
+      s"all-NULL operands -> NULL aggregates, count survives: $g3")
   }
 }
