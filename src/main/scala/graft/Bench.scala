@@ -31,8 +31,16 @@ object Bench {
     // A query that throws is reported as -1 (and counted in "failures"),
     // never as its near-zero failure-path elapsed time — a broken query
     // must make the benchmark look broken, not fast.
+    // SPARK_GRAFT_QUERIES (comma-separated names): restrict the timed
+    // set — the A/B diagnostic lever for isolating whether a drift is
+    // per-query or an artifact of the growing suite itself (JIT/code
+    // -cache pressure scales with how many codegen'd queries one JVM
+    // executes; 138 queries × 3 runs is ~414 compiled plans)
+    val onlySet = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def timeAll(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(q => onlySet.forall(_.contains(q._1)))
+        .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).queryExecution.toRdd.count(); true }

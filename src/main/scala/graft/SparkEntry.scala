@@ -1759,30 +1759,44 @@ object SparkEntry {
         |   '%Y-%m-%d %H:%M:%S') AS window_start,
         | count(DISTINCT user_id) AS distinct_users
         |FROM events, (SELECT unnest(range(0, 6)) AS h) t GROUP BY 1""".stripMargin,
-    // q80: the three iterations unrolled as CTE levels; fixed-point
-    // integer arithmetic makes every level engine-exact (// == div on
-    // the all-positive scores)
+    // q80: each PageRank round MATERIALIZED as a temp table (previous
+    // round dropped) instead of one 4-level nested CTE — the nested form
+    // kept every round's hash joins live at once and exhausted DuckDB's
+    // temp disk at sf1; round-at-a-time bounds the oracle's working set
+    // to one |edges| join. Fixed-point integer arithmetic makes every
+    // level engine-exact (// == div on the all-positive scores).
+    // Multi-statement: the driver's con.execute(sql).fetchdf() runs all
+    // statements and fetches the final SELECT (verified on duckdb 1.0).
     "q80_part_pagerank" ->
-      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
-        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |edges AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs),
-        |deg AS (SELECT s AS node, count(*) AS deg FROM edges GROUP BY s),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
-        |r1 AS (SELECT dd.node, CAST(150000 + coalesce(i.c, 0) * 85 // 100 AS BIGINT) AS r
-        |  FROM deg dd LEFT JOIN (SELECT e.d AS node, sum(r0.r // g.deg) AS c
-        |    FROM edges e JOIN r0 ON r0.node = e.s JOIN deg g ON g.node = e.s
-        |    GROUP BY e.d) i USING (node)),
-        |r2 AS (SELECT dd.node, CAST(150000 + coalesce(i.c, 0) * 85 // 100 AS BIGINT) AS r
-        |  FROM deg dd LEFT JOIN (SELECT e.d AS node, sum(r1.r // g.deg) AS c
-        |    FROM edges e JOIN r1 ON r1.node = e.s JOIN deg g ON g.node = e.s
-        |    GROUP BY e.d) i USING (node)),
-        |r3 AS (SELECT dd.node, CAST(150000 + coalesce(i.c, 0) * 85 // 100 AS BIGINT) AS r
-        |  FROM deg dd LEFT JOIN (SELECT e.d AS node, sum(r2.r // g.deg) AS c
-        |    FROM edges e JOIN r2 ON r2.node = e.s JOIN deg g ON g.node = e.s
-        |    GROUP BY e.d) i USING (node))
-        |SELECT node AS part, r AS rank_micro FROM r3""".stripMargin,
+      """CREATE OR REPLACE TEMP TABLE g80_edges AS
+        |  WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |  pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |    FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |    GROUP BY 1, 2 HAVING count(*) >= 2)
+        |  SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs;
+        |CREATE OR REPLACE TEMP TABLE g80_deg AS
+        |  SELECT s AS node, count(*) AS deg FROM g80_edges GROUP BY s;
+        |CREATE OR REPLACE TEMP TABLE g80_r0 AS
+        |  SELECT node, CAST(1000000 AS BIGINT) AS r FROM g80_deg;
+        |CREATE OR REPLACE TEMP TABLE g80_r1 AS
+        |  SELECT dd.node, CAST(150000 + coalesce(i.c, 0) * 85 // 100 AS BIGINT) AS r
+        |  FROM g80_deg dd LEFT JOIN (SELECT e.d AS node, sum(r.r // g.deg) AS c
+        |    FROM g80_edges e JOIN g80_r0 r ON r.node = e.s JOIN g80_deg g ON g.node = e.s
+        |    GROUP BY e.d) i USING (node);
+        |DROP TABLE g80_r0;
+        |CREATE OR REPLACE TEMP TABLE g80_r2 AS
+        |  SELECT dd.node, CAST(150000 + coalesce(i.c, 0) * 85 // 100 AS BIGINT) AS r
+        |  FROM g80_deg dd LEFT JOIN (SELECT e.d AS node, sum(r.r // g.deg) AS c
+        |    FROM g80_edges e JOIN g80_r1 r ON r.node = e.s JOIN g80_deg g ON g.node = e.s
+        |    GROUP BY e.d) i USING (node);
+        |DROP TABLE g80_r1;
+        |CREATE OR REPLACE TEMP TABLE g80_r3 AS
+        |  SELECT dd.node, CAST(150000 + coalesce(i.c, 0) * 85 // 100 AS BIGINT) AS r
+        |  FROM g80_deg dd LEFT JOIN (SELECT e.d AS node, sum(r.r // g.deg) AS c
+        |    FROM g80_edges e JOIN g80_r2 r ON r.node = e.s JOIN g80_deg g ON g.node = e.s
+        |    GROUP BY e.d) i USING (node);
+        |DROP TABLE g80_r2; DROP TABLE g80_edges; DROP TABLE g80_deg;
+        |SELECT node AS part, r AS rank_micro FROM g80_r3""".stripMargin,
     // q84: forward-edge (a<b) triangle enumeration — every triangle
     // produced once; wedge counts exact (deg·(deg−1) is even)
     "q84_triangle_stats" ->

@@ -237,6 +237,39 @@ object ChangeFeed {
       .option("timestampFormat", wireOptions("timestampFormat"))
       .json(dir)
 
+  /** JDBC snapshot SOURCE — the changefeed deployment's DAY-1 story:
+    * bootstrap a view from the source DATABASE table itself, then hand
+    * off to the CDC topic. `spark.read.jdbc` pulls the table (Spark's
+    * own partitioned JDBC scan: pass `partitionColumn/lowerBound/
+    * upperBound/numPartitions` through `props` to parallelize a big
+    * snapshot across executors — one executor connection per partition,
+    * the standard Spark JDBC ingest shape at scale), and the rows render
+    * as the table's COMPACTED changefeed via [[snapshotChanges]]: one
+    * upsert per current row, keyed/positioned identically to the
+    * Debezium adapters, so the #221 convergence + stale-drop contract
+    * holds with a database, not parquet, as the snapshot. `tsCol`/
+    * `seqCol` should be the table's own commit-position columns (the
+    * shape a CDC-maintained table already has); a table without them can
+    * snapshot at an explicit position via a SQL projection in `table`
+    * (the `(SELECT …) AS t` dialect form JDBC sources accept).
+    */
+  def snapshotChangesJdbc(spark: SparkSession, url: String, table: String,
+      keyCol: String, tsCol: String, seqCol: Option[String] = None,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    snapshotChanges(spark.read.jdbc(url, table, props), keyCol, tsCol, seqCol)
+
+  /** [[writeBootstrap]] with the snapshot read over JDBC
+    * ([[snapshotChangesJdbc]]): lays the database table down as the feed
+    * directory's bootstrap prefix; the live CDC tail appends after it.
+    */
+  def writeBootstrapJdbc(spark: SparkSession, url: String, table: String,
+      keyCol: String, tsCol: String, seqCol: Option[String], dir: String,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    snapshotChangesJdbc(spark, url, table, keyCol, tsCol, seqCol, props)
+      .write.mode(SaveMode.Append)
+      .option("timestampFormat", wireOptions("timestampFormat"))
+      .json(dir)
+
   /** Interpret the `events` snapshot table as a replayable changefeed
     * (signup -> insert, purchase/view/click -> update, error -> delete),
     * keyed by user. Used to exercise the streaming operators against the

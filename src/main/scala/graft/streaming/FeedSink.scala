@@ -117,17 +117,41 @@ object FeedSink {
       .as[Change]
   }
 
-  /** The atomic commit point of batch `batchId` (see [[writeBatch]]). */
+  /** The atomic commit point of batch `batchId` (see [[writeBatch]]).
+    * The marker's CONTENT is the commit wall-clock (epoch millis,
+    * decimal) — the natural place to persist "when did this batch become
+    * visible", which is what `TIMESTAMP AS OF` time travel resolves
+    * against ([[committedBatchTimes]]). A replayed batch re-commits over
+    * itself with a fresh time: last-committer-wins applies to the clock
+    * exactly as it does to the data.
+    */
   def commitMarker(feedDir: String, batchId: Long): Unit = {
     val dir = java.nio.file.Paths.get(feedDir, "_graft_commits")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(dir.resolve(batchId.toString), Array.empty[Byte]): Unit
+    java.nio.file.Files.write(dir.resolve(batchId.toString),
+      System.currentTimeMillis.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** Batch ids whose commit marker exists — the reader's visibility set. */
   def committedBatches(feedDir: String): Set[Long] = {
     val dir = new java.io.File(feedDir, "_graft_commits")
     Option(dir.listFiles()).map(_.map(_.getName.toLong).toSet).getOrElse(Set.empty)
+  }
+
+  /** Commit wall-clock (epoch millis) per committed batch id — the
+    * timestamp→batch resolution table behind `TIMESTAMP AS OF`. Markers
+    * written before the clock was persisted (r11 and earlier: empty
+    * files) fall back to the marker file's mtime, which IS the commit
+    * instant of the original atomic create — so pre-existing feeds time
+    * travel without a migration.
+    */
+  def committedBatchTimes(feedDir: String): Map[Long, Long] = {
+    val dir = new java.io.File(feedDir, "_graft_commits")
+    Option(dir.listFiles()).map(_.map { f =>
+      val content = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      f.getName.toLong -> content.toLongOption.getOrElse(f.lastModified)
+    }.toMap).getOrElse(Map.empty)
   }
 
   def writeChangefeed(states: DataFrame, feedDir: String, checkpointDir: String): DataStreamWriter[Row] =

@@ -268,6 +268,13 @@ object IncrementalPlanner {
     */
   private val SlotScale = 1e6
 
+  /** One-time (per JVM — driver or executor) guard for the
+    * skewness/kurtosis power-sum overflow warn: the Σx⁴ slot loses
+    * exact add/retract cancellation once a contribution exceeds 2^53
+    * in scaled space, and that trade must be loud, not silent.
+    */
+  private val powSumOverflowWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** A compiled streaming view: the DataFrame to start, and the output
     * mode it needs ([[OutputMode.Update]] for aggregate views,
     * [[OutputMode.Append]] for changefeed views).
@@ -686,6 +693,79 @@ object IncrementalPlanner {
     * dataflow. One ASOF JOIN per statement.
     */
   private val AsofRe = "(?i)\\bASOF\\s+(LEFT\\s+)?JOIN\\b".r
+
+  /** GROUPS-frame surface (SURVEY §2.3 #250 live form): Spark's SQL
+    * grammar has no GROUPS token, so the frame is textually rewritten
+    * before parsing — each occurrence becomes a SENTINEL ROWS frame
+    * (`ROWS BETWEEN <sent+i> PRECEDING AND <sent+i> PRECEDING`, a shape
+    * no real query writes: a 2-billion-row offset) and its decoded
+    * [[GroupsF]] rides the [[groupsFrames]] side channel keyed by `i`,
+    * scoped to the one compile via DynamicVariable exactly like
+    * [[asofStatement]]. [[parseWinFns]] maps the sentinel back.
+    */
+  private val GroupsSentinel = 2000000000
+  private val groupsFrames =
+    new scala.util.DynamicVariable[Map[Int, GroupsF]](Map.empty)
+
+  private val GroupsRe =
+    ("(?i)\\bGROUPS\\s+(?:BETWEEN\\s+(UNBOUNDED\\s+PRECEDING|CURRENT\\s+ROW|\\d+\\s+PRECEDING|" +
+      "\\d+\\s+FOLLOWING)\\s+AND\\s+(UNBOUNDED\\s+FOLLOWING|CURRENT\\s+ROW|\\d+\\s+PRECEDING|" +
+      "\\d+\\s+FOLLOWING)|(UNBOUNDED\\s+PRECEDING|\\d+\\s+PRECEDING))" +
+      "(?:\\s+EXCLUDE\\s+(GROUP|TIES|CURRENT\\s+ROW|NO\\s+OTHERS))?").r
+
+  /** Rewrite every GROUPS frame to its sentinel ROWS form, returning the
+    * parser-legal SQL and the side-channel map ([[GroupsRe]] shapes:
+    * `GROUPS BETWEEN a AND b` or the single-bound
+    * `GROUPS [UNBOUNDED|n] PRECEDING` = `BETWEEN … AND CURRENT ROW`,
+    * optionally `EXCLUDE GROUP|TIES|CURRENT ROW|NO OTHERS`).
+    */
+  private[streaming] def stripGroupsSyntax(sql: String): (String, Map[Int, GroupsF]) = {
+    if (GroupsRe.findFirstIn(sql).isEmpty) return (sql, Map.empty)
+    val frames = scala.collection.mutable.Map.empty[Int, GroupsF]
+    def bound(text: String): Option[Int] = {
+      val t = text.trim.replaceAll("\\s+", " ").toUpperCase
+      if (t == "UNBOUNDED PRECEDING" || t == "UNBOUNDED FOLLOWING") None
+      else if (t == "CURRENT ROW") Some(0)
+      else {
+        val parts = t.split(" ")
+        Some(if (parts(1) == "PRECEDING") -parts(0).toInt else parts(0).toInt)
+      }
+    }
+    // EQUAL frames share one sentinel: select items that shared their
+    // OVER clause textually must still compare as the SAME
+    // WindowSpecDefinition after the rewrite, or the single-spec ranked
+    // view would falsely split into a mixed-spec compilation
+    val byContent = scala.collection.mutable.Map.empty[GroupsF, Int]
+    val out = GroupsRe.replaceAllIn(sql, m => {
+      val (lo, hi) =
+        if (m.group(3) != null) (bound(m.group(3)), Some(0))
+        else (bound(m.group(1)), bound(m.group(2)))
+      (lo, hi) match {
+        case (Some(a), Some(b)) =>
+          require(a <= b, s"empty-by-construction frame GROUPS BETWEEN $a AND $b")
+        case _ => ()
+      }
+      val excl = Option(m.group(4)).map(_.replaceAll("\\s+", " ").toUpperCase) match {
+        case None | Some("NO OTHERS") => "none"
+        case Some("CURRENT ROW")      => "current"
+        case Some("TIES")             => "ties"
+        case Some("GROUP")            => "group"
+        case Some(other)              => throw unsupported(s"EXCLUDE $other")
+      }
+      val gf = GroupsF(lo, hi, excl)
+      val id = byContent.getOrElseUpdate(gf, byContent.size)
+      frames(id) = gf
+      val s = GroupsSentinel + id
+      s"ROWS BETWEEN $s PRECEDING AND $s PRECEDING"
+    })
+    (out, frames.toMap)
+  }
+
+  /** [[stripAsofSyntax]] + GROUPS-frame stripping, for callers that only
+    * need a PARSEABLE statement (table-reference walks, catalogs) — the
+    * side-channel map is dropped.
+    */
+  def stripPlannerSyntax(sql: String): String = stripGroupsSyntax(stripAsofSyntax(sql))._1
   private val asofStatement = new scala.util.DynamicVariable[Boolean](false)
 
   /** Statement-scoped PROJECTION PUSHDOWN into join dataflows: every
@@ -1884,7 +1964,11 @@ object IncrementalPlanner {
     * are not invertible per bit (a retracted row's cleared bit needs
     * the survivors' count), so the family re-derives from the live
     * multiset; operands fold as longs, result rides `strs` as the
-    * decimal string (cast to LONG on emission).
+    * decimal string (cast to LONG on emission). Operand coercion is
+    * integral-only, fail-fast: "6" and "6.0" coerce to 6L, but a
+    * fractional ("2.7") or unparseable non-NULL operand THROWS —
+    * Spark restricts bit aggregates to integral types at analysis,
+    * and a dynamically-typed feed can only enforce that at fold time.
     */
   private final case class BitOut(valIdx: Int, op: String, name: String) extends OutCol
 
@@ -1984,11 +2068,26 @@ object IncrementalPlanner {
           addSlot(env => Some(both(env).map(t => t._1 * t._1).getOrElse(0.0))),
           name, fn)
       // third/fourth standardized moments: five raw power sums, all
-      // plain (invertible) adds — NULL operands join no slot
+      // plain (invertible) adds — NULL operands join no slot. A single
+      // power contribution past 2^53 in scaled space (|x|^p·1e6 — for
+      // p=4 that is |x| ≳ 310) loses the fold's exact add/retract
+      // cancellation; the doc trade is made LOUD with a one-time
+      // per-JVM stderr warn so retraction drift on large-valued feeds
+      // is no longer silent.
       case ("skewness" | "kurtosis", Seq(a)) =>
         val ca = compileExpr(a)
         def powSlot(p: Int) = addSlot(env =>
-          Some(ca(env).flatMap(asNum).map(x => math.pow(x, p)).getOrElse(0.0)))
+          Some(ca(env).flatMap(asNum).map { x =>
+            val v = math.pow(x, p)
+            if (math.abs(v) * SlotScale > 9.007199254740992e15 &&
+                powSumOverflowWarned.compareAndSet(false, true))
+              System.err.println(
+                s"[graft] WARN skewness/kurtosis power-sum contribution |$x|^$p " +
+                  "exceeds the 2^53 micro-unit exactness bound: add/retract " +
+                  "cancellation is no longer exact for this feed (normalize " +
+                  "operands upstream if exact retraction matters)")
+            v
+          }.getOrElse(0.0)))
         MomOut(
           addSlot(env => Some(if (ca(env).flatMap(asNum).isDefined) 1.0 else 0.0)),
           powSlot(1), powSlot(2), powSlot(3), powSlot(4), name,
@@ -2092,10 +2191,19 @@ object IncrementalPlanner {
       val m4 = pos(slotCol(s4) - lit(4.0) * mu * slotCol(s3) +
         lit(6.0) * mu * mu * slotCol(s2) - lit(3.0) * n * mu * mu * mu * mu)
       // Spark's population conventions: n=0 or m2=0 → NULL (its batch
-      // divide-by-zero rule under default non-ANSI semantics)
+      // divide-by-zero rule under default non-ANSI semantics). The
+      // zero-variance test gates on a QUANTIZATION epsilon, not 0: a
+      // constant NON-micro-exact group (every x = 1.4142…) leaves a
+      // POSITIVE residue in m2 — S2's per-row half-unit rounding plus
+      // the nμ² subtraction's 2nμ·δμ term, both bounded by
+      // n·1e-6·(1+μ²) — and m2 sits in the denominator raised to
+      // 1.5/2, so that residue would emit huge garbage where batch
+      // yields NULL. Variance below the micro-unit resolution is
+      // outside the fold's documented precision contract anyway.
+      val m2eps = n * lit(1e-6) * (lit(1.0) + mu * mu)
       val res =
-        if (kurt) when(m2 > 0.0, n * m4 / (m2 * m2) - lit(3.0))
-        else when(m2 > 0.0, sqrt(n) * m3 / pow(m2, 1.5))
+        if (kurt) when(m2 > m2eps, n * m4 / (m2 * m2) - lit(3.0))
+        else when(m2 > m2eps, sqrt(n) * m3 / pow(m2, 1.5))
       when(n > 0.0, res).as(name)
     case ProdOut(cnt, zero, neg, lg, name) =>
       val sign = lit(1.0) - lit(2.0) * pmod(slotCol(neg), lit(2.0))
@@ -2976,22 +3084,42 @@ object IncrementalPlanner {
         // frequency argmax over the live non-NULL values; ties break by
         // smallest value under the listagg comparator (numeric when
         // both sides parse, else lexical) — the q56 deterministic-mode
-        // convention, batch-invariant
+        // convention, batch-invariant. Buckets key on the NUMERIC value
+        // when the rendering parses (so "6" and "6.0" count as one
+        // value, mirroring cmpSort's numeric-first comparator — not
+        // string identity, which would split them and diverge from
+        // batch mode over numeric columns); the emitted representative
+        // is the lexically smallest live rendering of the bucket
+        // (deterministic however batches sliced the history).
         val vs = after.values.iterator
           .map(h => if (vIdx < h.svals.length) h.svals(vIdx) else NullMark)
           .filter(_ != NullMark).toSeq
         if (vs.isEmpty) NullMark
-        else vs.groupBy(identity).view.mapValues(_.size).toSeq.sortWith {
+        else vs.groupBy(s => s.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite)
+            .map(_.toString).getOrElse(s))
+          .view.mapValues(g => (g.min, g.size)).values.toSeq.sortWith {
           case ((v1, c1), (v2, c2)) =>
             if (c1 != c2) c1 > c2
             else cmpSort(v1, v2, asc = true, nullsFirst = false) < 0
         }.head._1
       }
       val bstrs = bSpecs.map { case (vIdx, op) =>
+        // integral operands only, fail-fast (Spark rejects non-integral
+        // bit-aggregate operands at analysis; a stringly feed can only
+        // enforce that at fold time): integral-VALUED renderings
+        // ("6", "6.0") coerce, fractional or unparseable non-NULL
+        // operands throw instead of silently truncating/dropping
         val xs = after.values.iterator
           .map(h => if (vIdx < h.svals.length) h.svals(vIdx) else NullMark)
           .filter(_ != NullMark)
-          .flatMap(s => s.toLongOption.orElse(s.toDoubleOption.map(_.toLong)))
+          .map(s => s.toLongOption.getOrElse {
+            s.toDoubleOption match {
+              case Some(d) if d == math.rint(d) && math.abs(d) <= 9.007199254740992e15 =>
+                d.toLong
+              case _ => throw new IllegalArgumentException(
+                s"$op operand '$s' is not integral: bit aggregates accept integral values only")
+            }
+          })
           .toSeq
         if (xs.isEmpty) NullMark
         else String.valueOf(op match {
@@ -4189,9 +4317,23 @@ object IncrementalPlanner {
     * the (single, numeric) ORDER BY key — the time-based moving-window
     * idiom. `None` on a side is UNBOUNDED.
     */
-  private sealed trait WFrame extends Serializable
+  private[streaming] sealed trait WFrame extends Serializable
   private final case class RowsF(lo: Option[Int], hi: Option[Int]) extends WFrame
   private final case class RangeF(lo: Option[Double], hi: Option[Double]) extends WFrame
+
+  /** `GROUPS BETWEEN a AND b [EXCLUDE …]` as PEER-GROUP offsets relative
+    * to the current row's peer group (`None` = UNBOUNDED) — the
+    * standard-SQL frame class Spark's own grammar lacks (batch q92
+    * composes it from dense_rank + RANGE over the ordinal; the live
+    * dataflow carries the same ordinal identity natively: peer-group
+    * boundaries already exist in the rank fold). Enters through
+    * [[stripGroupsSyntax]]'s textual rewrite + the [[groupsFrames]]
+    * side channel, since the Spark parser has no GROUPS token.
+    * `exclude`: `none | current | ties | group` (EXCLUDE NO OTHERS /
+    * CURRENT ROW / TIES / GROUP).
+    */
+  private[streaming] final case class GroupsF(lo: Option[Int], hi: Option[Int],
+      exclude: String = "none") extends WFrame
 
   /** `frame` absent = the default frame (whole partition, or
     * RANGE-peers running when the clause has ORDER BY).
@@ -4394,15 +4536,23 @@ object IncrementalPlanner {
       case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => None
       case SpecifiedWindowFrame(RowFrame, lo, hi) =>
         val f = RowsF(rowBound(lo, lower = true), rowBound(hi, lower = false))
-        (f.lo, f.hi) match {
-          case (Some(a), Some(b)) => require(a <= b, s"empty-by-construction frame ROWS BETWEEN $a AND $b")
-          case _                  => ()
+        f match {
+          // a [[stripGroupsSyntax]] sentinel: decode the side-channel
+          // GROUPS frame it stands for (see [[GroupsSentinel]])
+          case RowsF(Some(a), Some(b)) if a == b && a <= -GroupsSentinel &&
+              groupsFrames.value.contains(-a - GroupsSentinel) =>
+            Some(groupsFrames.value(-a - GroupsSentinel))
+          case _ =>
+            (f.lo, f.hi) match {
+              case (Some(a), Some(b)) => require(a <= b, s"empty-by-construction frame ROWS BETWEEN $a AND $b")
+              case _                  => ()
+            }
+            // ROWS UNBOUNDED..UNBOUNDED only equals the DEFAULT frame when
+            // the clause has no ORDER BY (the default then is the whole
+            // partition); under ORDER BY the default is running/peer-group,
+            // so the explicit whole-partition frame must stay explicit
+            if (f == RowsF(None, None) && spec.orderSpec.isEmpty) None else Some(f)
         }
-        // ROWS UNBOUNDED..UNBOUNDED only equals the DEFAULT frame when
-        // the clause has no ORDER BY (the default then is the whole
-        // partition); under ORDER BY the default is running/peer-group,
-        // so the explicit whole-partition frame must stay explicit
-        if (f == RowsF(None, None) && spec.orderSpec.isEmpty) None else Some(f)
       case SpecifiedWindowFrame(RangeFrame, lo, hi) =>
         val f = RangeF(numBound(lo, lower = true), numBound(hi, lower = false))
         (f.lo, f.hi) match {
@@ -4455,13 +4605,13 @@ object IncrementalPlanner {
         case ("percent_rank" | "cume_dist", Seq()) => WRel(fn, name)
         case ("first_value" | "last_value", Seq(e)) =>
           require(frame.isEmpty || rowsFrame.isDefined,
-            s"$fn with a value-distance RANGE frame (use a ROWS frame, or the default)")
+            s"$fn with a value-distance RANGE or GROUPS frame (use a ROWS frame, or the default)")
           WPos(fn.stripSuffix("_value"), addVal(compileExpr(e)), 1, name, rowsFrame, f.ignoreNulls)
         case ("nth_value", Seq(e, k: Literal)) =>
           val nth = intLit(k.value, "nth_value position")
           require(nth >= 1, "nth_value position must be >= 1")
           require(frame.isEmpty || rowsFrame.isDefined,
-            s"nth_value with a value-distance RANGE frame (use a ROWS frame, or the default)")
+            s"nth_value with a value-distance RANGE or GROUPS frame (use a ROWS frame, or the default)")
           WPos("nth", addVal(compileExpr(e)), nth, name, rowsFrame, f.ignoreNulls)
         case _ => throw unsupported(
           s"window function $fn (row_number/rank/dense_rank/ntile/percent_rank/cume_dist/" +
@@ -4789,14 +4939,49 @@ object IncrementalPlanner {
         }
         res
       }
+      // peer-group geometry (GROUPS frames): grpOf(row) = its peer-group
+      // ordinal — the dense_rank identity batch q92 composes by hand —
+      // with grpStart/grpEndEx (exclusive) indexed by ordinal
+      lazy val (grpOf: Array[Int], grpStart: Array[Int], grpEndEx: Array[Int]) = {
+        val of     = new Array[Int](n)
+        val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var j = 0
+        while (j < n) {
+          if (j == 0 || !tiedWithPrev(j)) starts += j
+          of(j) = starts.length - 1
+          j += 1
+        }
+        val st = starts.toArray
+        (of, st, Array.tabulate(st.length)(g => if (g + 1 < st.length) st(g + 1) else n))
+      }
       // explicit framed aggregate: count/sum/avg in O(1) per row off
       // prefix arrays; min/max scan the frame. Diff-only emission
       // upstream means a neighbor's arrival/death re-emits exactly the
-      // rows whose frame value changed.
+      // rows whose frame value changed. GROUPS frames map peer-group
+      // offsets to row ranges through the group geometry; EXCLUDE
+      // (GROUPS only) carves the current row's contiguous exclusion
+      // span back out of the prefix difference (adding the row itself
+      // back for EXCLUDE TIES).
       def framedAggArray(w: WAgg, fr: WFrame): Array[String] = {
         val ranges: Int => (Int, Int) = fr match {
           case r: RowsF  => frameRange(r)
           case r: RangeF => val a = rangeRanges(r); a(_)
+          case g: GroupsF => idx => {
+            val gi  = grpOf(idx)
+            val nG  = grpStart.length
+            val loG = g.lo.map(gi + _).getOrElse(0)
+            val hiG = g.hi.map(gi + _).getOrElse(nG - 1)
+            if (loG >= nG || hiG < 0 || loG > hiG) (1, 0) // empty frame
+            else (grpStart(math.max(0, loG)), grpEndEx(math.min(nG - 1, hiG)) - 1)
+          }
+        }
+        val excl: Int => (Int, Int, Boolean) = fr match {
+          case g: GroupsF if g.exclude != "none" => idx => g.exclude match {
+            case "current" => (idx, idx, false)
+            case "group"   => (grpStart(grpOf(idx)), grpEndEx(grpOf(idx)) - 1, false)
+            case _         => (grpStart(grpOf(idx)), grpEndEx(grpOf(idx)) - 1, true) // ties
+          }
+          case _ => _ => (1, 0, false) // no exclusion
         }
         val pCnt  = new Array[Long](n + 1)   // non-null operands
         val pSum  = new Array[Double](n + 1) // numeric operands
@@ -4814,24 +4999,41 @@ object IncrementalPlanner {
         Array.tabulate(n) { idx =>
           val (lo, hi) = ranges(idx)
           if (lo > hi) { if (w.op == "count") "0" else null }
-          else w.op match {
-            case "count" => (pCnt(hi + 1) - pCnt(lo)).toString
-            case "sum"   =>
-              val k = pSumN(hi + 1) - pSumN(lo)
-              if (k == 0) null else (pSum(hi + 1) - pSum(lo)).toString
-            case "avg"   =>
-              val k = pSumN(hi + 1) - pSumN(lo)
-              if (k == 0) null else ((pSum(hi + 1) - pSum(lo)) / k).toString
-            case _ => // min | max
-              var best: String = null
-              var m = lo
-              while (m <= hi) {
-                val v = opRaw(w.valIdx)(m)
-                if (v != NullMark && (best == null ||
-                    (if (w.op == "min") cmpVals(v, best) < 0 else cmpVals(v, best) > 0))) best = v
-                m += 1
-              }
-              best
+          else {
+            val (e0, e1, keep) = excl(idx)
+            val eLo    = math.max(e0, lo)
+            val eHi    = math.min(e1, hi)
+            val hasEx  = eLo <= eHi
+            val selfIn = hasEx && keep && idx >= lo && idx <= hi
+            lazy val selfV = opRaw(w.valIdx)(idx)
+            lazy val selfNum = if (selfV == NullMark) None
+              else selfV.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite)
+            w.op match {
+              case "count" =>
+                (pCnt(hi + 1) - pCnt(lo) -
+                  (if (hasEx) pCnt(eHi + 1) - pCnt(eLo) else 0L) +
+                  (if (selfIn && selfV != NullMark) 1L else 0L)).toString
+              case "sum" | "avg" =>
+                val k = pSumN(hi + 1) - pSumN(lo) -
+                  (if (hasEx) pSumN(eHi + 1) - pSumN(eLo) else 0L) +
+                  (if (selfIn && selfNum.isDefined) 1L else 0L)
+                val s = pSum(hi + 1) - pSum(lo) -
+                  (if (hasEx) pSum(eHi + 1) - pSum(eLo) else 0.0) +
+                  (if (selfIn) selfNum.getOrElse(0.0) else 0.0)
+                if (k == 0) null else if (w.op == "sum") s.toString else (s / k).toString
+              case _ => // min | max — scan the frame, skipping excluded rows
+                var best: String = null
+                var m = lo
+                while (m <= hi) {
+                  if (!(hasEx && m >= eLo && m <= eHi && !(keep && m == idx))) {
+                    val v = opRaw(w.valIdx)(m)
+                    if (v != NullMark && (best == null ||
+                        (if (w.op == "min") cmpVals(v, best) < 0 else cmpVals(v, best) > 0))) best = v
+                  }
+                  m += 1
+                }
+                best
+            }
           }
         }
       }
@@ -5066,12 +5268,13 @@ object IncrementalPlanner {
   def materialize(spark: SparkSession, sql: String,
       feeds: Map[String, Dataset[Change]]): PlannedView = {
     val isAsof  = AsofRe.findFirstIn(sql).nonEmpty
-    val cleaned =
+    val (cleaned, gframes) = stripGroupsSyntax(
       if (!isAsof) sql
-      else AsofRe.replaceAllIn(sql, m => if (m.group(1) != null) "LEFT JOIN" else "JOIN")
+      else AsofRe.replaceAllIn(sql, m => if (m.group(1) != null) "LEFT JOIN" else "JOIN"))
     val plan = spark.sessionState.sqlParser.parsePlan(cleaned)
     if (isAsof) require(plan.collect { case j: Join => j }.length == 1,
       "one ASOF JOIN per statement (layer further joins as a second view over this one)")
+    groupsFrames.withValue(gframes) {
     asofStatement.withValue(isAsof) { neededAttrs.withValue(Some(attrNamesOf(plan))) { plan match {
       case a: Aggregate => compileAggregate(spark, a, feeds)
       case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => h.child match {
@@ -5125,7 +5328,7 @@ object IncrementalPlanner {
           case None    => compileProject(spark, p, feeds)
         }
       case other        => throw unsupported(s"top-level ${other.getClass.getSimpleName}")
-    } } }
+    } } } }
   }
 
   /** [[materialize]] with BOUNDED state on an unbounded feed: the input
@@ -5296,7 +5499,7 @@ object IncrementalPlanner {
       feeds: Map[String, Dataset[Change]],
       ttl: Option[(String, Long)] = None): (Dataset[Change], Seq[String]) = {
     val isAsof  = AsofRe.findFirstIn(sql).nonEmpty
-    val cleaned = stripAsofSyntax(sql)
+    val (cleaned, gframes) = stripGroupsSyntax(stripAsofSyntax(sql))
     val plan0 = spark.sessionState.sqlParser.parsePlan(cleaned)
     if (isAsof) {
       require(plan0.collect { case j: Join => j }.length == 1,
@@ -5304,6 +5507,7 @@ object IncrementalPlanner {
       require(ttl.isEmpty, "an expiring NAMED ASOF view is unsupported (the asof arrangement " +
         "holds versioned right-side state; bound it upstream)")
     }
+    groupsFrames.withValue(gframes) {
     asofStatement.withValue(isAsof) {
     neededAttrs.withValue(Some(attrNamesOf(plan0))) { plan0 match {
       // ranked views as NAMED feeds: the (key, partition) change identity
@@ -5342,7 +5546,7 @@ object IncrementalPlanner {
         aggChangesOf(spark, Aggregate(attrs, attrs, UnresolvedRelation(Seq("__union"))),
           Map("__union" -> changes))
       case plan => aggChangesOf(spark, plan, feeds, ttl)
-    } } }
+    } } } }
   }
 
   /** Rewrite `ASOF [LEFT] JOIN` into parser-legal `[LEFT] JOIN` syntax —

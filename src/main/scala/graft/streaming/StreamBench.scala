@@ -35,7 +35,54 @@ import graft.GraftSession
   * one trigger interval on top).
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("suite")) suite(args.drop(1))
+    else single(args)
+
+  /** `suite [outPath]` — the per-round MACHINE-READABLE streaming bench
+    * artifact (the cross-round comparable the SURVEY's prose numbers
+    * were not): the three planner dataflow classes (filtered grouped
+    * aggregate, value-equi join, as-of join) at 1M live keys, each
+    * reporting offered/achieved rate, emitted rows, latency and
+    * micro-batch percentiles, and state rows+bytes — PLUS the q01
+    * batch normalizer (min-of-3 on `SPARK_GRAFT_SF_DIR`, default
+    * sf0.1) so a round-over-round reader can factor out host speed.
+    * One JSON object to `outPath` (default bench/streambench.json);
+    * commit a copy as STREAMBENCH_r{N}.json per round.
+    */
+  def suite(args: Array[String]): Unit = {
+    val outPath  = args.headOption.getOrElse("bench/streambench.json")
+    val seconds  = args.drop(1).headOption.map(_.toInt).getOrElse(25)
+    val liveKeys = args.drop(2).headOption.map(_.toInt).getOrElse(1000000)
+    val offered  = args.drop(3).headOption.map(_.toInt).getOrElse(1000000)
+    val cpus     = Runtime.getRuntime.availableProcessors()
+    val spark    = GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    // q01 normalizer first (deterministic batch work before the
+    // streaming queries touch the session): min-of-3 full evaluation
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val normSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries("q01_filter_project")(spark, sfDir)
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val lines = Seq("planner-agg", "planner-join", "planner-asof").map { engine =>
+      runOne(spark, engine, offered, seconds, liveKeys)
+    }
+    val json =
+      s"""{"metric":"stream_bench_suite","cpus":$cpus,"live_keys":$liveKeys,""" +
+        s""""offered_rows_per_sec":$offered,"seconds_per_engine":$seconds,""" +
+        f""""normalizer":"q01_filter_project","normalizer_sec":$normSec%.4f,""" +
+        s""""dataflows":[${lines.mkString(",")}]}"""
+    println(json)
+    val p = java.nio.file.Paths.get(outPath)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  private def single(args: Array[String]): Unit = {
     val rowsPerSec = args.headOption.map(_.toInt).getOrElse(200000)
     val seconds    = args.drop(1).headOption.map(_.toInt).getOrElse(15)
     val liveKeys   = args.drop(2).headOption.map(_.toInt).getOrElse(100000)
@@ -47,6 +94,15 @@ object StreamBench {
     if (engine == "v2" || provider == "rocksdb")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    println(runOne(spark, engine, rowsPerSec, seconds, liveKeys))
+    spark.stop()
+  }
+
+  /** One dataflow run → its metrics as a JSON object string (shared by
+    * [[single]] and [[suite]]; the caller owns the session).
+    */
+  private def runOne(spark: org.apache.spark.sql.SparkSession, engine: String,
+      rowsPerSec: Int, seconds: Int, liveKeys: Int): String = {
     import spark.implicits._
 
     /** A rate-derived changefeed: 10% deletes, keys recycled over
@@ -156,7 +212,6 @@ object StreamBench {
     val lastState  = progress.lastOption.map(_.stateOperators.toSeq).getOrElse(Nil)
     val stateRows  = lastState.map(_.numRowsTotal).sum
     val stateBytes = lastState.map(_.memoryUsedBytes).sum
-    println(f"""{"metric":"stream_bench","engine":"$engine","input_rows_per_sec":$rowsPerSec,"achieved_rows_per_sec":${(inputRows / math.max(elapsed, 0.001)).toLong},"elapsed_sec":$elapsed%.1f,"rows_emitted":${counter.value},"lat_p50_ms":${pct(lat, 0.5)},"lat_p99_ms":${pct(lat, 0.99)},"batch_p50_ms":${bPct(0.5)},"batch_p99_ms":${bPct(0.99)},"state_rows":$stateRows,"state_bytes":$stateBytes}""")
-    spark.stop()
+    f"""{"metric":"stream_bench","engine":"$engine","input_rows_per_sec":$rowsPerSec,"achieved_rows_per_sec":${(inputRows / math.max(elapsed, 0.001)).toLong},"elapsed_sec":$elapsed%.1f,"rows_emitted":${counter.value},"lat_p50_ms":${pct(lat, 0.5)},"lat_p99_ms":${pct(lat, 0.99)},"batch_p50_ms":${bPct(0.5)},"batch_p99_ms":${bPct(0.99)},"state_rows":$stateRows,"state_bytes":$stateBytes}"""
   }
 }

@@ -103,7 +103,7 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     require(!views.contains(name) && !sources.contains(name),
       s"name $name already exists (DROP the view or pick another name)")
     val refs = referencedTables(spark.sessionState.sqlParser.parsePlan(
-      IncrementalPlanner.stripAsofSyntax(sql)))
+      IncrementalPlanner.stripPlannerSyntax(sql)))
     refs.foreach(r => require(sources.contains(r) || views.contains(r),
       s"view $name references unknown table $r (register the source or create the view first)"))
     val v = startView(name, sql, refs.toSeq.sorted, ttl)
@@ -125,20 +125,34 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     * A replacement is a NEW view — a changed definition invalidates both
     * the checkpoint (different dataflow state shape) and the sink
     * history (rows of the OLD definition), so both are torn down and the
-    * view rebuilds from its feeds' current contents. Refused while
-    * dependents exist: their tailed sink offsets would dangle (same rule
-    * as [[dropView]]). The new definition is COMPILED before the running
-    * view is touched — a bad redefinition (syntax error, unknown
-    * reference, planner reject) throws and leaves the old view live.
+    * view rebuilds from its feeds' current contents. The new definition
+    * is COMPILED before the running view is touched — a bad redefinition
+    * (syntax error, unknown reference, planner reject) throws and leaves
+    * the old view live.
+    *
+    * Dependents: refused by default — their tailed sink offsets would
+    * dangle (same rule as [[dropView]]). With `cascade = true` the whole
+    * downstream subgraph rebuilds instead: every transitive dependent is
+    * PRE-FLIGHTED against the new definition's output schema (each
+    * column a dependent references from the replaced view must survive
+    * the redefinition — checked BEFORE anything stops, so an
+    * incompatible replace raises naming the offender while the old
+    * graph keeps maintaining), then the subgraph is stopped, torn down
+    * (checkpoints + sinks + meta — a dependent's state reflects rows of
+    * the OLD definition, so it must rebuild, exactly like the root),
+    * and restarted in topological order with each dependent's own
+    * original definition and TTL. Dependents converge from the new
+    * root's sink contents.
     */
   def createOrReplaceView(name: String, sql: String,
-      ttl: Option[(String, Long)] = None): NamedView = {
+      ttl: Option[(String, Long)] = None, cascade: Boolean = false): NamedView = {
     if (!views.contains(name)) return createView(name, sql, ttl)
-    val dependents = views.values.filter(_.deps.contains(name)).map(_.name).toSeq
-    require(dependents.isEmpty,
-      s"view $name has dependents ${dependents.mkString(", ")}; drop them first")
+    val downstream = transitiveDependents(name)
+    require(cascade || downstream.isEmpty,
+      s"view $name has dependents ${downstream.mkString(", ")}; " +
+        "drop them first or replace with CASCADE")
     val refs = referencedTables(spark.sessionState.sqlParser.parsePlan(
-      IncrementalPlanner.stripAsofSyntax(sql)))
+      IncrementalPlanner.stripPlannerSyntax(sql)))
     require(!refs.contains(name), s"view $name cannot reference itself")
     refs.foreach(r => require(sources.contains(r) || views.contains(r),
       s"view $name references unknown table $r (register the source or create the view first)"))
@@ -148,13 +162,100 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
       d -> (if (sources.contains(d)) sources(d)()
             else FeedSink.readChangeFeed(spark, feedDir(d)))
     }.toMap
-    IncrementalPlanner.namedChanges(spark, sql, feeds, ttl): Unit
-    val old = views(name)
-    old.query.stop()
+    val (_, newCols) = IncrementalPlanner.namedChanges(spark, sql, feeds, ttl)
+    // pre-flight the dependents against the NEW output schema: any
+    // column a dependent takes from the replaced view that the new
+    // definition no longer emits is an incompatibility — raised here,
+    // with nothing stopped and the whole old graph still live
+    downstream.foreach { d =>
+      val lost = lostColumns(views(d), name, newCols.toSet)
+      require(lost.isEmpty,
+        s"CASCADE replace of $name is incompatible with dependent $d: " +
+          s"it references column(s) ${lost.mkString(", ")} the new definition does not emit")
+    }
+    // capture each dependent's definition before teardown (ttl lives in
+    // the persisted meta, not the runtime NamedView)
+    val depDefs = downstream.map { d =>
+      val (_, dSql, dDeps, dTtl) = loadMeta(metaPath(d))
+      (d, dSql, dDeps, dTtl)
+    }
+    // teardown leaves-first (a dependent never tails a deleted sink),
+    // then the root
+    downstream.reverse.foreach { d =>
+      views(d).query.stop()
+      views -= d
+      deleteRecursively(viewDir(d))
+      Files.deleteIfExists(metaPath(d)): Unit
+    }
+    views(name).query.stop()
     views -= name
     deleteRecursively(viewDir(name))
     Files.deleteIfExists(metaPath(name)): Unit
-    createView(name, sql, ttl)
+    val replaced = createView(name, sql, ttl)
+    // rebuild the subgraph in topo order (depDefs is already topo-sorted
+    // by construction); each dependent re-tails its parents from scratch
+    depDefs.foreach { case (d, dSql, _, dTtl) => createView(d, dSql, dTtl): Unit }
+    replaced
+  }
+
+  /** Every view transitively downstream of `name`, in topological order
+    * (parents before their dependents) — the CASCADE rebuild order.
+    */
+  private def transitiveDependents(name: String): Seq[String] = {
+    val all = topoOrder(views.map { case (n, v) => n -> v.deps }.toMap)
+    val reached = mutable.Set(name)
+    val out = mutable.ArrayBuffer.empty[String]
+    all.foreach { n =>
+      if (n != name && views(n).deps.exists(reached.contains)) {
+        reached += n
+        out += n
+      }
+    }
+    out.toSeq
+  }
+
+  /** Columns `dep` references FROM `replaced` that `newCols` no longer
+    * provides. Attribution in the stringly plan: an attribute QUALIFIED
+    * with the replaced view's name (or an alias bound to it in FROM) is
+    * definitively its; an unqualified attribute is attributed to the
+    * replaced view only when no OTHER dependency can provide it —
+    * another view's declared columns, or a source (whose payload schema
+    * is open, so it can provide anything). Conservative by design: only
+    * provable losses block the cascade.
+    */
+  private def lostColumns(dep: NamedView, replaced: String, newCols: Set[String]): Seq[String] = {
+    val stripped = IncrementalPlanner.stripPlannerSyntax(dep.sql)
+    val plan = spark.sessionState.sqlParser.parsePlan(stripped)
+    // alias → relation bindings from FROM clauses (SubqueryAlias over
+    // UnresolvedRelation); the bare relation name binds itself
+    val aliases = mutable.Map.empty[String, String]
+    plan.foreach {
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        a.child match {
+          case r: UnresolvedRelation => aliases(a.alias) = r.multipartIdentifier.last
+          case _                     => ()
+        }
+      case r: UnresolvedRelation =>
+        aliases.getOrElseUpdate(r.multipartIdentifier.last, r.multipartIdentifier.last): Unit
+      case _ => ()
+    }
+    val attrs = plan.flatMap(_.expressions.flatMap(_.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.nameParts
+    }))
+    val otherViewCols = dep.deps.filterNot(_ == replaced).filter(views.contains)
+      .flatMap(d => views(d).cols).toSet
+    val hasSourceDep = dep.deps.filterNot(_ == replaced).exists(sources.contains)
+    val oldCols = views(replaced).cols.toSet
+    attrs.collect {
+      case parts if parts.length >= 2 &&
+          aliases.getOrElse(parts(parts.length - 2), "") == replaced &&
+          !newCols.contains(parts.last) =>
+        parts.last
+      case parts if parts.length == 1 && oldCols.contains(parts.head) &&
+          !newCols.contains(parts.head) &&
+          !otherViewCols.contains(parts.head) && !hasSourceDep =>
+        parts.head
+    }.distinct
   }
 
   /** Compact the view's sink: fold every committed batch so far into one
@@ -239,6 +340,51 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
   def versions(name: String): Seq[Long] = {
     require(views.contains(name), s"no view named $name")
     FeedSink.committedBatches(feedDir(name)).toSeq.sorted
+  }
+
+  /** [[versions]] with each batch's commit WALL-CLOCK (epoch millis) —
+    * users think in timestamps, and the commit marker records when each
+    * batch became visible ([[FeedSink.committedBatchTimes]]). Sorted by
+    * batch id; this is the resolution table behind
+    * [[snapshotAsOfTimestamp]].
+    */
+  def versionsWithTimestamps(name: String): Seq[(Long, Long)] = {
+    require(views.contains(name), s"no view named $name")
+    FeedSink.committedBatchTimes(feedDir(name)).toSeq.sortBy(_._1)
+  }
+
+  /** TIME TRAVEL by timestamp: the view's state as of wall-clock
+    * `tsMillis` — resolved to the LATEST batch whose commit time is
+    * `<= tsMillis` (between two commits the earlier one was the visible
+    * state, which is what "as of then" means), then answered by
+    * [[snapshotAsOf]]. Before the first commit (or first RETAINED commit
+    * after compaction — older clocks fold into the base like older
+    * batch ids do) the answer is the empty pre-history frame with the
+    * view's schema.
+    */
+  def snapshotAsOfTimestamp(name: String, tsMillis: Long): DataFrame = {
+    require(views.contains(name), s"no view named $name")
+    val batch = FeedSink.committedBatchTimes(feedDir(name))
+      .collect { case (b, t) if t <= tsMillis => b }
+      .maxOption.getOrElse(-1L)
+    snapshotAsOf(name, batch)
+  }
+
+  /** Timestamp literal → epoch millis for the `TIMESTAMP AS OF` surface:
+    * bare digits read as epoch millis; otherwise
+    * `yyyy-MM-dd HH:mm:ss[.fff]` (and the date-only prefix) parse via
+    * `java.sql.Timestamp.valueOf` in the JVM default zone — the same
+    * clock [[FeedSink.commitMarker]] stamped.
+    */
+  private[streaming] def parseTsMillis(lit: String): Long = {
+    val s = lit.trim
+    if (s.matches("\\d+")) s.toLong
+    else scala.util.Try(java.sql.Timestamp.valueOf(
+        if (s.matches("\\d{4}-\\d{2}-\\d{2}")) s + " 00:00:00" else s))
+      .map(_.getTime)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse TIMESTAMP AS OF literal '$lit' " +
+          "(epoch millis or yyyy-MM-dd[ HH:mm:ss[.fff]])"))
   }
 
   /** Restart every persisted view from its checkpoint — the whole named
@@ -341,6 +487,7 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
   private val CreateRe =
     ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)" +
       "(?:\\s+WITH\\s*\\(\\s*ttl_delay\\s*=\\s*'([^']+)'\\s*,\\s*ttl_ms\\s*=\\s*(\\d+)\\s*\\))?" +
+      "(?:\\s+(CASCADE))?" +
       "\\s+AS\\s+(.+)$").r
   private val DropRe = "(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
   private val ShowRe = "(?is)^SHOW\\s+MATERIALIZED\\s+VIEWS\\s*$".r
@@ -351,9 +498,10 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     * of a changefeed engine:
     *
     *  - `CREATE [OR REPLACE] MATERIALIZED VIEW v [WITH
-    *    (ttl_delay='10 minutes', ttl_ms=60000)] AS SELECT …` →
-    *    [[createView]] / [[createOrReplaceView]]; returns a 1-row
-    *    (view, columns) confirmation frame.
+    *    (ttl_delay='10 minutes', ttl_ms=60000)] [CASCADE] AS SELECT …` →
+    *    [[createView]] / [[createOrReplaceView]]; CASCADE rebuilds the
+    *    dependent subgraph (pre-flighted against the new schema) instead
+    *    of refusing. Returns a 1-row (view, columns) confirmation frame.
     *  - `DROP MATERIALIZED VIEW v` → [[dropView]]; empty frame.
     *  - `SHOW MATERIALIZED VIEWS` → [[statusDF]].
     *  - `EXPLAIN MATERIALIZED VIEW v` → [[explain]] as a 1-column
@@ -363,7 +511,9 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     *    statement runs through `spark.sql` (so views, sources-as-temp
     *    -views, and plain tables mix freely). `FROM v VERSION AS OF n`
     *    time-travels a named view to committed batch n
-    *    ([[snapshotAsOf]]).
+    *    ([[snapshotAsOf]]); `FROM v TIMESTAMP AS OF '<ts>'` resolves a
+    *    wall-clock (string timestamp or epoch millis) to its floor
+    *    commit ([[snapshotAsOfTimestamp]]).
     *
     * DDL recognition is deliberately first-match-regex, not a parser
     * fork: the three managed forms are fixed shapes, and every other
@@ -373,9 +523,10 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     import spark.implicits._
     val s = stmt.trim.stripSuffix(";").trim
     s match {
-      case CreateRe(orReplace, name, ttlDelay, ttlMs, select) =>
+      case CreateRe(orReplace, name, ttlDelay, ttlMs, cascadeKw, select) =>
         val ttl = Option(ttlDelay).map(d => (d, ttlMs.toLong))
-        val v = if (orReplace != null) createOrReplaceView(name, select.trim, ttl)
+        val v = if (orReplace != null)
+                  createOrReplaceView(name, select.trim, ttl, cascade = cascadeKw != null)
                 else createView(name, select.trim, ttl)
         Seq((v.name, v.cols.mkString(","))).toDF("view", "columns")
       case DropRe(name) =>
@@ -386,17 +537,27 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
         explain(name).linesIterator.toSeq.toDF("plan")
       case _ =>
         // time-travel sugar: `FROM v VERSION AS OF 3` reads the named
-        // view's snapshotAsOf(3) (Delta's syntax, scoped to catalog
-        // views) — each occurrence registers under a mangled alias
+        // view's snapshotAsOf(3), `FROM v TIMESTAMP AS OF '2026-08-14
+        // 12:00:00'` (or epoch millis) resolves the commit clock to its
+        // floor batch (Delta's syntax pair, scoped to catalog views) —
+        // each occurrence registers under a mangled alias
         val VerRe = "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
-        val rewritten = VerRe.replaceAllIn(s, m =>
+        val TsRe  = "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
+        val verDone = VerRe.replaceAllIn(s, m =>
           if (views.contains(m.group(1))) {
             val alias = s"${m.group(1)}__asof_${m.group(2)}"
             snapshotAsOf(m.group(1), m.group(2).toLong).createOrReplaceTempView(alias)
             alias
           } else m.matched)
+        val rewritten = TsRe.replaceAllIn(verDone, m =>
+          if (views.contains(m.group(1))) {
+            val ms    = parseTsMillis(m.group(2))
+            val alias = s"${m.group(1)}__tsof_$ms"
+            snapshotAsOfTimestamp(m.group(1), ms).createOrReplaceTempView(alias)
+            alias
+          } else m.matched)
         val refs = referencedTables(spark.sessionState.sqlParser.parsePlan(
-          IncrementalPlanner.stripAsofSyntax(rewritten)))
+          IncrementalPlanner.stripPlannerSyntax(rewritten)))
         refs.filter(views.contains).foreach(n => snapshot(n).createOrReplaceTempView(n))
         spark.sql(rewritten)
     }

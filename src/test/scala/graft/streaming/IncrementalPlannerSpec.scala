@@ -3658,4 +3658,170 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(g3(Seq[Any]("par")) == Seq[Any](null, null, null, null, 1L),
       s"all-NULL operands -> NULL aggregates, count survives: $g3")
   }
+
+  test("#171cl degenerate-moment epsilon, mode rendering canonicalization, bit fail-fast") {
+    // 1. A constant NON-micro-exact group (every amount = 1.4142…): the
+    //    micro-unit fold leaves a POSITIVE residue in m2 that a bare
+    //    m2 > 0 gate passes, and skew/kurt would emit huge garbage where
+    //    Spark batch answers NULL. The quantization-epsilon gate must
+    //    classify it as zero-variance -> NULL; a genuine-variance group
+    //    in the same view must stay numerically exact vs batch.
+    val mSql = "SELECT city, skewness(amount) AS sk, kurtosis(amount) AS ku FROM t GROUP BY city"
+    def insA(k: Long, city: String, amount: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> city, "amount" -> amount), seq)
+    val mb = Seq(
+      insA(1L, "con", "1.4142135", 1L), insA(2L, "con", "1.4142135", 2L),
+      insA(3L, "con", "1.4142135", 3L),
+      insA(4L, "var", "2.5", 4L), insA(5L, "var", "3.25", 5L),
+      insA(6L, "var", "7.125", 6L), insA(7L, "var", "40.5", 7L))
+    runView(mSql, "pv_degmom", Seq(Map("t" -> mb)))
+    val dg = aggState("pv_degmom", Seq("city"))
+    assert(dg(Seq[Any]("con")) == Seq[Any](null, null),
+      s"constant non-integer group must answer NULL (batch's zero-variance rule), got: $dg")
+    import spark.implicits._
+    val wantVar = spark.sql(
+      "SELECT skewness(a) AS sk, kurtosis(a) AS ku FROM " +
+        "(SELECT explode(array(2.5D, 3.25D, 7.125D, 40.5D)) AS a)").collect().head
+    val gotVar = dg(Seq[Any]("var"))
+    assert(math.abs(gotVar(0).asInstanceOf[Double] - wantVar.getDouble(0)) < 1e-6 &&
+      math.abs(gotVar(1).asInstanceOf[Double] - wantVar.getDouble(1)) < 1e-6,
+      s"genuine variance must survive the epsilon gate: $gotVar vs $wantVar")
+
+    // 2. mode buckets on the NUMERIC value: "6" and "6.0" are ONE value
+    //    (count 2) beating "7", and the representative is the lexically
+    //    smallest live rendering — string identity would have split them
+    //    and answered "7".
+    val dSql = "SELECT city, mode(status) AS md, count(*) AS n FROM t GROUP BY city"
+    def insS(k: Long, status: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> "ber", "status" -> status), seq)
+    val db = Seq(insS(1L, "6", 1L), insS(2L, "6.0", 2L), insS(3L, "7", 3L))
+    runView(dSql, "pv_modecanon", Seq(Map("t" -> db)))
+    assert(aggState("pv_modecanon", Seq("city"))(Seq[Any]("ber")) == Seq[Any]("6", 3L),
+      "numerically equal renderings must share one mode bucket")
+
+    // 3. bit aggregates: integral-VALUED renderings coerce ("6.0" -> 6),
+    //    a fractional operand FAILS the query (Spark rejects non-integral
+    //    bit aggregates at analysis; the stringly feed enforces at fold)
+    val bSql = "SELECT city, bit_or(flags) AS bo FROM t GROUP BY city"
+    def insF(k: Long, flags: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> "ber", "flags" -> flags), seq)
+    runView(bSql, "pv_bitcoerce", Seq(Map("t" -> Seq(insF(1L, "6.0", 1L), insF(2L, "1", 2L)))))
+    assert(aggState("pv_bitcoerce", Seq("city"))(Seq[Any]("ber")) == Seq[Any](7L),
+      "integral-valued double rendering must coerce")
+    val boom = intercept[Exception] {
+      runView(bSql, "pv_bitfrac", Seq(Map("t" -> Seq(insF(1L, "2.7", 1L)))))
+    }
+    def rootChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(rootChain(boom).exists(c => Option(c.getMessage).exists(_.contains("not integral"))),
+      s"fractional bit operand must fail fast, got: $boom")
+  }
+
+  test("#171cm GROUPS frames in live OVER clauses == batch dense_rank-ordinal replay; peer-group churn re-emits only affected rows") {
+    // GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW: frame = my peer group
+    // plus the one before it — the standard-SQL frame class Spark's own
+    // grammar lacks (batch q92 composes it from dense_rank + RANGE over
+    // the ordinal; the live planner carries the ordinal natively)
+    val sql = "SELECT city, name, sum(amount) OVER (PARTITION BY city ORDER BY score " +
+      "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS gs, " +
+      "count(*) OVER (PARTITION BY city ORDER BY score " +
+      "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS gc FROM t"
+    def ins(k: Long, city: String, name: String, score: String, amount: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt), Map("city" -> city, "name" -> name,
+        "score" -> score, "amount" -> amount), seq)
+    val b1 = Seq(
+      ins(1L, "ber", "a", "1", "10", 1L),
+      ins(2L, "ber", "b", "2", "20", 2L),
+      ins(3L, "ber", "c", "2", "30", 3L), // ties with b: one peer group
+      ins(4L, "ber", "d", "3", "40", 4L),
+      ins(5L, "par", "e", "1", "7", 5L))
+    runView(sql, "pv_groups", Seq(Map("t" -> b1)))
+    val g1 = rankedState("pv_groups", Seq("city", "name", "gs", "gc")).map { case ((k, _), v) => k -> v }
+    // ber groups: [a][b,c][d] → a:10, b/c:10+50=60, d:50+40=90
+    assert(g1 == Map(
+      1L -> Seq[Any]("ber", "a", "10.0", "1"),
+      2L -> Seq[Any]("ber", "b", "60.0", "3"),
+      3L -> Seq[Any]("ber", "c", "60.0", "3"),
+      4L -> Seq[Any]("ber", "d", "90.0", "3"),
+      5L -> Seq[Any]("par", "e", "7.0", "1")), s"GROUPS 1 PRECEDING..CURRENT: $g1")
+    // peer-group MOVE: a's score joins the [b,c] tie group — every ber
+    // row re-frames; par is untouched and must not re-emit
+    val b2 = Seq(Change("update", 1L, ts(10),
+      Map("city" -> "ber", "name" -> "a", "score" -> "2", "amount" -> "10"), 6L))
+    runView(sql, "pv_groups2", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val g2 = rankedState("pv_groups2", Seq("city", "name", "gs", "gc")).map { case ((k, _), v) => k -> v }
+    // batch truth via the dense_rank-ordinal identity (q92's composition)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fs = finalState(b1 ++ b2).toSeq.map { case (k, p) =>
+      (k, p("city"), p("name"), p("score").toDouble, p("amount").toDouble) }
+      .toDF("key", "city", "name", "score", "amount")
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy("city").orderBy("score")
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy("city")
+      .orderBy("ord").rangeBetween(-1, 0)
+    val want = fs.withColumn("ord", dense_rank().over(wOrd))
+      .withColumn("gs", sum("amount").over(wG))
+      .withColumn("gc", count(lit(1)).over(wG))
+      .collect().map(r => r.getAs[Long]("key") -> Seq[Any](r.getAs[String]("city"),
+        r.getAs[String]("name"), r.getAs[Double]("gs").toString, r.getAs[Long]("gc").toString)).toMap
+    assert(g2 == want, s"live GROUPS view\n  $g2\n  != batch dense_rank replay\n  $want")
+    // a joined the [b,c] tie group: its frame is now the whole merged
+    // group (no preceding group), d's trails all four rows
+    assert(g2(1L) == Seq[Any]("ber", "a", "60.0", "3") &&
+      g2(4L) == Seq[Any]("ber", "d", "100.0", "4"), s"merged tie group: $g2")
+    // par emitted exactly once across both batches (its frames never moved)
+    val parRows = spark.table("pv_groups2").collect().toSeq
+      .filter(r => r.getAs[String]("_partition") == "par")
+    assert(parRows.size == 1, s"par must not re-emit under ber churn: ${parRows.size}")
+
+    // EXCLUDE GROUP / TIES / CURRENT ROW over the whole partition, plus
+    // the single-bound `GROUPS 1 PRECEDING` shorthand
+    val sqlX = "SELECT name, sum(amount) OVER (ORDER BY score " +
+      "GROUPS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS xg FROM t"
+    runView(sqlX, "pv_groupsx", Seq(Map("t" -> b1)))
+    val gx = rankedState("pv_groupsx", Seq("name", "xg")).map { case ((k, _), v) => k -> v }
+    // single partition (no PARTITION BY), total 107; peer groups by
+    // score: {a,e} {b,c} {d}. EXCLUDE GROUP = total − my peer group
+    assert(gx == Map(
+      1L -> Seq[Any]("a", "90.0"),
+      2L -> Seq[Any]("b", "57.0"),
+      3L -> Seq[Any]("c", "57.0"),
+      4L -> Seq[Any]("d", "67.0"),
+      5L -> Seq[Any]("e", "90.0")), s"EXCLUDE GROUP: $gx")
+    val sqlT = "SELECT name, sum(amount) OVER (ORDER BY score " +
+      "GROUPS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS xt, " +
+      "min(amount) OVER (ORDER BY score " +
+      "GROUPS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS mt FROM t"
+    runView(sqlT, "pv_groupst", Seq(Map("t" -> b1)))
+    val gt = rankedState("pv_groupst", Seq("name", "xt", "mt")).map { case ((k, _), v) => k -> v }
+    // EXCLUDE TIES keeps the row itself, drops its peers: a drops e
+    // (sum 107−7=100, min over {10,20,30,40} = 10), e drops a (97),
+    // b drops c (77), c drops b (87), d has no peers (107)
+    assert(gt == Map(
+      1L -> Seq[Any]("a", "100.0", "10"),
+      2L -> Seq[Any]("b", "77.0", "7"),
+      3L -> Seq[Any]("c", "87.0", "7"),
+      4L -> Seq[Any]("d", "107.0", "7"),
+      5L -> Seq[Any]("e", "97.0", "7")), s"EXCLUDE TIES: $gt")
+    val sqlS = "SELECT name, count(*) OVER (ORDER BY score " +
+      "GROUPS 1 PRECEDING EXCLUDE CURRENT ROW) AS cs FROM t"
+    runView(sqlS, "pv_groupss", Seq(Map("t" -> b1)))
+    val gs = rankedState("pv_groupss", Seq("name", "cs")).map { case ((k, _), v) => k -> v }
+    // shorthand = BETWEEN 1 PRECEDING AND CURRENT ROW; groups (single
+    // partition, scores 1,1,2,2,3): [a,e][b,c][d] → a/e frame {a,e}−self=1,
+    // b/c frame {a,e,b,c}−self=3, d frame {b,c,d}−self=2
+    assert(gs == Map(
+      1L -> Seq[Any]("a", "1"), 5L -> Seq[Any]("e", "1"),
+      2L -> Seq[Any]("b", "3"), 3L -> Seq[Any]("c", "3"),
+      4L -> Seq[Any]("d", "2")), s"GROUPS shorthand + EXCLUDE CURRENT ROW: $gs")
+    // rejection: GROUPS without ORDER BY
+    implicit val sqlCtx = spark.sqlContext
+    def feeds = Map("t" -> MemoryStream[Change].toDS())
+    val e = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name, sum(amount) OVER (GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM t",
+        feeds)
+    }
+    assert(e.getMessage.contains("requires ORDER BY"), e.getMessage)
+  }
 }

@@ -190,4 +190,40 @@ class PlannerBootstrapSpec extends SparkSpec {
     val cn = ChangeFeed.snapshotChanges(snapNum, "uid", "ts", Some("seq")).as[Change].head()
     assert(cn.key == 12345L, s"numeric-string key: ${cn.key}")
   }
+
+  test("#221f JDBC snapshot source: DB-table bootstrap + CDC tail == full-history replay (the day-1 deployment story)") {
+    val sql = "SELECT city, count(*) AS n, sum(amount) AS total, max(amount) AS hi FROM t GROUP BY city"
+    // deployment A: the full change history then the tail
+    val (srcA, outA) = (tmp("bootjdbcA"), tmp("bootjdbcAout"))
+    writeChanges(srcA, "f1.json", history)
+    writeChanges(srcA, "f2.json", tail)
+    deploy(sql, Map("t" -> srcA), outA)
+    // the SOURCE DATABASE: history's final LWW state living in a real
+    // JDBC table (embedded Derby — the in-spec stand-in for the
+    // production OLTP database), commit positions as table columns
+    val dbDir = tmp("bootjdbcdb")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    snapshotDf.withColumnRenamed("key", "pk")
+      .write.mode("overwrite").jdbc(url, "snap", new java.util.Properties)
+    // deployment B: snapshot the DB table as the feed's bootstrap
+    // prefix, then hand off to the CDC topic mid-stream — B never sees
+    // the history, only the database's current rows + the live tail
+    val (srcB, outB) = (tmp("bootjdbcB"), tmp("bootjdbcBout"))
+    ChangeFeed.writeBootstrapJdbc(spark, url, "snap", "pk", "ts", Some("seq"), srcB)
+    writeChanges(srcB, "f2.json", tail)
+    deploy(sql, Map("t" -> srcB), outB)
+    val (a, b) = (aggFinal(outA, Seq("city"), Seq("n", "total", "hi")),
+      aggFinal(outB, Seq("city"), Seq("n", "total", "hi")))
+    assert(b == a, s"DB-bootstrapped view\n  $b\n  != full-replay view\n  $a")
+    // stale-drop holds against the DATABASE's commit positions: the
+    // tail change at (ts 3, seq 1) lost to key 2's snapshot (ts 5, seq 4)
+    assert(!b.contains(Seq[Any]("xxx")), s"stale change beat the DB position: $b")
+    assert(b(Seq[Any]("ber")) == Seq[Any](1L, 50.0, 50.0), s"ber: $b")
+    assert(b(Seq[Any]("par")) == Seq[Any](2L, 39.0, 35.0), s"par: $b")
+    // the rendered bootstrap keys are the table's numeric PKs verbatim
+    // (same rule as the Debezium adapters — the tail's keys MATCH)
+    val keys = ChangeFeed.snapshotChangesJdbc(spark, url, "snap", "pk", "ts", Some("seq"))
+      .select("key").as[Long].collect().toSet
+    assert(keys == Set(1L, 2L, 3L), s"bootstrap keys: $keys")
+  }
 }

@@ -630,6 +630,70 @@ class ViewCatalogSpec extends SparkSpec {
     cat2.stopAll()
   }
 
+  test("#234w CREATE OR REPLACE … CASCADE: compatible replace rebuilds the dependent subgraph; incompatible replace names the offender and leaves the graph live") {
+    val (root, src) = (tmp("vccas"), tmp("vccassrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "20"), 2L),
+      Change("insert", 3L, ts(2), Map("city" -> "par", "amount" -> "30"), 3L),
+      Change("insert", 4L, ts(3), Map("city" -> "par", "amount" -> "5"), 4L)))
+    cat.createView("r", "SELECT city, sum(amount) AS total FROM t GROUP BY city")
+    val d1 = cat.createView("d1", "SELECT city, total FROM r WHERE total > 10")
+    val d2 = cat.createView("d2", "SELECT city, total AS big FROM d1 WHERE total > 32")
+    cat.awaitAll()
+    assert(snapRows(cat, "d2", d2.cols) == Set(Seq("ber", "70.0"), Seq("par", "35.0")))
+    // INCOMPATIBLE: the new definition drops `total`, which d1 reads —
+    // raised naming the dependent and the column, with NOTHING stopped
+    val boom = intercept[IllegalArgumentException] {
+      cat.createOrReplaceView("r", "SELECT city, count(*) AS n FROM t GROUP BY city",
+        cascade = true)
+    }
+    assert(boom.getMessage.contains("d1") && boom.getMessage.contains("total"),
+      s"must name the incompatible dependent and column: ${boom.getMessage}")
+    assert(Seq("r", "d1", "d2").forall(n => cat.view(n).get.query.isActive),
+      "incompatible CASCADE must leave the whole old graph live")
+    // …and still MAINTAINING: a new change flows through all layers
+    writeChanges(src, "b2.json", Seq(
+      Change("insert", 5L, ts(4), Map("city" -> "par", "amount" -> "40"), 5L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "d2", d2.cols) == Set(Seq("ber", "70.0"), Seq("par", "75.0")),
+      "old graph still maintaining after a rejected cascade")
+    // COMPATIBLE: `total` survives (new filter changes its value); the
+    // subgraph rebuilds topologically and converges on the new contents
+    cat.createOrReplaceView("r",
+      "SELECT city, sum(amount) AS total FROM t WHERE amount > 10 GROUP BY city",
+      cascade = true)
+    cat.awaitAll()
+    // ber: 50+20 = 70; par: 30+40 = 70 (the 5 filtered out by the new
+    // WHERE — the value that proves the rebuild recomputed from scratch)
+    assert(snapRows(cat, "d1", d1.cols) == Set(Seq("ber", "70.0"), Seq("par", "70.0")))
+    assert(Seq("r", "d1", "d2").forall(n => cat.view(n).get.query.isActive))
+    // the rebuilt graph keeps maintaining: delete flows through to d2
+    writeChanges(src, "b3.json", Seq(
+      Change("delete", 5L, ts(10), Map.empty, 6L),
+      Change("delete", 3L, ts(11), Map.empty, 7L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "d2", d2.cols) == Set(Seq("ber", "70.0")),
+      s"par drops below d2's threshold: ${snapRows(cat, "d2", d2.cols)}")
+    // the SQL front door: CASCADE keyword on CREATE OR REPLACE — the
+    // doubled operand changes every layer's values, proving the rebuild
+    // (ber (50+20)*2 = 140 passes d1/d2; par 5*2 = 10 fails d1's > 10)
+    cat.sql("CREATE OR REPLACE MATERIALIZED VIEW r CASCADE AS " +
+      "SELECT city, sum(amount * 2) AS total FROM t GROUP BY city")
+    cat.awaitAll()
+    assert(snapRows(cat, "d2", d2.cols) == Set(Seq("ber", "140.0")),
+      s"SQL CASCADE replace rebuilt the subgraph: ${snapRows(cat, "d2", d2.cols)}")
+    // the persisted definitions are the new root + original dependents:
+    // the whole rebuilt graph resumes
+    cat.stopAll()
+    val cat2 = new ViewCatalog(spark, root)
+    cat2.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    assert(cat2.resume().toSet == Set("r", "d1", "d2"))
+    cat2.stopAll()
+  }
+
   test("#234t explain(): transitive upstream lineage + dependents; EXPLAIN MATERIALIZED VIEW via sql()") {
     val (root, src) = (tmp("vcexp"), tmp("vcexpsrc"))
     val cat = new ViewCatalog(spark, root)
@@ -692,6 +756,59 @@ class ViewCatalogSpec extends SparkSpec {
     cat.compactView("tt")
     assert(cat.versions("tt").size == 1, s"post-compaction horizon: ${cat.versions("tt")}")
     assert(rows(cat.snapshot("tt")) == Set(Seq("ber", "2")), "state survives compaction")
+    cat.stopAll()
+  }
+
+  test("#234v TIMESTAMP AS OF: commit wall-clock resolves to the floor batch; between-commits and pre-history edges; sugar; legacy fallback") {
+    val (root, src) = (tmp("vcts"), tmp("vctssrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    val v = cat.createView("tv", "SELECT city, count(*) AS n FROM t GROUP BY city")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "1"), 1L)))
+    cat.awaitAll()
+    // force DISTINCT commit millis for the two batches (same-milli
+    // commits would make "between commits" unobservable)
+    Thread.sleep(60)
+    writeChanges(src, "b2.json", Seq(
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "2"), 2L)))
+    cat.awaitAll()
+    val vts = cat.versionsWithTimestamps("tv")
+    assert(vts.size == 2 && vts(0)._2 < vts(1)._2,
+      s"two commits with increasing wall-clock expected: $vts")
+    val (b1, t1) = vts(0); val (b2, t2) = vts(1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSet.map((r: org.apache.spark.sql.Row) => v.cols.map(c => r.getAs[String](c)))
+    // exactly at each commit instant: that batch's state
+    assert(rows(cat.snapshotAsOfTimestamp("tv", t1)) == rows(cat.snapshotAsOf("tv", b1)))
+    assert(rows(cat.snapshotAsOfTimestamp("tv", t2)) == rows(cat.snapshotAsOf("tv", b2)))
+    // BETWEEN commits: the earlier batch was the visible state then
+    assert(rows(cat.snapshotAsOfTimestamp("tv", t2 - 1)) == Set(Seq("ber", "1")),
+      "between-commits must resolve to the floor batch")
+    // pre-history: empty frame with the view's schema
+    val empty = cat.snapshotAsOfTimestamp("tv", t1 - 1)
+    assert(empty.columns.toSeq == v.cols && empty.count() == 0L, "pre-history")
+    // sugar: epoch-millis literal and formatted-timestamp literal (the
+    // formatter round-trips the same JVM-default-zone clock the marker
+    // stamped, millisecond precision)
+    val viaMs = cat.sql(s"SELECT city, n FROM tv TIMESTAMP AS OF '${t2 - 1}'")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(viaMs == Seq(("ber", "1")), s"epoch-millis sugar: $viaMs")
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    val lit = fmt.format(new java.util.Date(t1))
+    val viaStr = cat.sql(s"SELECT city, n FROM tv TIMESTAMP AS OF '$lit'")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(viaStr == Seq(("ber", "1")), s"string-literal sugar at t1 ($lit): $viaStr")
+    intercept[IllegalArgumentException] { cat.snapshotAsOfTimestamp("nope", t1) }
+    intercept[IllegalArgumentException] { cat.parseTsMillis("not a time") }
+    // legacy empty marker (r11 and earlier): commit time falls back to
+    // the marker file's mtime — pre-existing feeds travel unmigrated
+    val marker = java.nio.file.Paths.get(root, "views", "tv", "feed", "_graft_commits", b1.toString)
+    java.nio.file.Files.write(marker, Array.empty[Byte])
+    val legacy = FeedSink.committedBatchTimes(
+      java.nio.file.Paths.get(root, "views", "tv", "feed").toString)
+    assert(legacy(b1) == marker.toFile.lastModified && legacy(b1) > 0L,
+      s"legacy marker must fall back to mtime: $legacy")
     cat.stopAll()
   }
 }
