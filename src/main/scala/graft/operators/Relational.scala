@@ -577,15 +577,21 @@ object Relational {
   def saltedRevenueByBrand(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
     val fact = Tables
       .lineitem(spark, dir)
-      // DECIMAL money sums (the q12 rule, caught again by the r10 sf1
-      // gate): at sf1 a brand's ~230k-row double sum reaches 1e10 where
+      // EXACT money sums in LONG micro-units (1e-4), not decimal: at
+      // sf1 a brand's ~230k-row double sum reaches 1e10 where
       // summation-order drift crosses round(·, 2) boundaries between
-      // engines. The per-row double product is bit-identical in both
-      // (same IEEE ops), its true value lies on the 1e-4 grid, so the
-      // decimal(18,4) cast is tie-free and the decimal sum is exact and
-      // order-independent.
+      // engines (the q12 rule, caught by the r10 sf1 gate). The per-row
+      // double product is bit-identical in both engines (same IEEE
+      // ops) and its true value lies on the 1e-4 grid, so
+      // nearest-integer at ×1e4 is tie-free (row values ≤ 1e5 keep the
+      // scaled error ~1e-6 ≪ 0.5) and equals the oracle's
+      // DECIMAL(18,4) cast — while the long sum stays whole-stage
+      // codegen'd where r11's decimal(28,4) aggregation paid BigDecimal
+      // arithmetic per row (~1.5× q62 wall-clock, the one >1.25×
+      // regression in the r12 interleaved A/B). Range: micro-units sum
+      // to ~1e14 per brand at sf1, 2^63 headroom past sf10000.
       .select(col("l_partkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)").as("rev"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 10000) as long)").as("rev_u"),
         pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)).as("salt"))
     val dim = Tables
       .part(spark, dir)
@@ -595,15 +601,15 @@ object Relational {
       .join(dim.hint("merge"),
         fact("l_partkey") === dim("p_partkey") && fact("salt") === dim("salt"))
       .groupBy("p_brand")
-      // round the EXACT decimal, THEN cast to double (sf1 caught the
-      // other order): the 4-decimal sum rounded at 2 hits .xx5 ties,
-      // where Spark's decimal HALF_UP and DuckDB's decimal half-away
-      // agree exactly (positive money) but double-space rounding does
-      // not — and the final double cast keeps the driver's
-      // representation hash aligned (a decimal(·,2) output vs the
-      // oracle's double hash-mismatches even when numerically equal).
-      .agg(round(sum("rev"), 2).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum("rev_u").as("rev_u"), count(lit(1)).as("n_items"))
+      // HALF_UP at 2 decimals in INTEGER space ((x+50) div 100 on the
+      // all-positive micro-unit sums — DuckDB's decimal round is
+      // half-away, identical for positive money), then one exact double
+      // division; the double output keeps the driver's representation
+      // hash aligned with the oracle's DOUBLE cast.
+      .select(col("p_brand"),
+        (expr("(rev_u + 50) div 100") / 100.0).as("revenue"),
+        col("n_items"))
   }
 
   /** q71: correlated EXISTS with a NON-EQUI outer-referencing predicate —
