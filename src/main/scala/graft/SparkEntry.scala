@@ -177,6 +177,7 @@ object SparkEntry {
     "q93_regr_linefit"          -> ((s, d) => Relational.regrLinefit(GraftSession.tune(s), d)),
     "t19_pii_scan"              -> ((s, d) => TextAnalysis.piiScan(GraftSession.tune(s), d)),
     "q94_mixture_weights"       -> ((s, d) => TrainingData.mixtureWeights(GraftSession.tune(s), d)),
+    "q95_exclude_frame"         -> ((s, d) => Relational.excludeFrame(GraftSession.tune(s), d)),
   )
 
   // ---- fixed-point Lloyd oracle scaffolding (s04/s05/s06) ----------
@@ -878,6 +879,26 @@ object SparkEntry {
         |  CAST(r::HUGEINT * 1000000 // total_r AS BIGINT) AS weight_ppm,
         |  CAST((r::HUGEINT * 1000000 // total_r) * total_tok // tok AS BIGINT) AS epochs_ppm
         |FROM r, tot""".stripMargin,
+    // q95: DuckDB evaluates the EXCLUDE clauses NATIVELY (its window
+    // grammar has them; Spark's lacks them), so the oracle checks the
+    // composed-from-plain-windows Spark build against an independent
+    // first-class implementation. Money rides exact integer cents, the
+    // RANGE+EXCLUDE GROUP column is tie-insensitive, and the ROWS frame
+    // is ordered by (day, o_orderkey) — fully deterministic.
+    "q95_exclude_frame" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT)
+        |    AS cents_30d_other_days,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+        |    AS n_neighbors
+        |FROM o""".stripMargin,
     // d04's oracle recomputes the md5-digit simhash fingerprint and cross-
     // checks the EXACT hamming<=3 pair set — valid as a full equality
     // check because 16-bit chunk bucketing finds every hamming<=3 pair by

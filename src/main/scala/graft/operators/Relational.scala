@@ -887,6 +887,39 @@ object Relational {
     )
   }
 
+  /** q95: frame EXCLUSION (SQL:2011 `EXCLUDE GROUP` / `EXCLUDE CURRENT
+    * ROW`) — the frame modifier Spark's window grammar lacks, COMPOSED
+    * from plain windows over one shared sort (the q92 discipline, so
+    * Catalyst plans ONE exchange): a trailing-30-day spend that
+    * excludes the current day's own orders is `RANGE-frame sum − same-
+    * day peer sum` (NULL when the frame minus the peer group is empty —
+    * the count pair decides), and a ±2-neighbor count excluding self is
+    * `ROWS-frame count − 1`. The RANGE + EXCLUDE GROUP combination is
+    * tie-INSENSITIVE by construction (peers leave together), which is
+    * what makes it hashable cross-engine; money rides exact integer
+    * cents (micro-unit rule) so no float sum can drift. Oracle: DuckDB's
+    * NATIVE `EXCLUDE` clauses over the same windows.
+    */
+  def excludeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("day"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val wRange = Window.partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-30, Window.currentRow)
+    val wPeers = Window.partitionBy("o_custkey", "day")
+    val wRows = Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))
+      .rowsBetween(-2, 2)
+    val exCnt = count(lit(1)).over(wRange) - count(lit(1)).over(wPeers)
+    o.select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      when(exCnt > 0, sum("cents").over(wRange) - sum("cents").over(wPeers))
+        .as("cents_30d_other_days"),
+      (count(lit(1)).over(wRows) - 1).as("n_neighbors"))
+  }
+
   /** q93: linear-regression aggregates — `regr_slope/intercept/r2/count`
     * of extended price on quantity per return flag. Single-pass
     * map-side-combined sufficient statistics inside whole-stage codegen

@@ -705,7 +705,7 @@ object IncrementalPlanner {
     */
   private val GroupsSentinel = 2000000000
   private val groupsFrames =
-    new scala.util.DynamicVariable[Map[Int, GroupsF]](Map.empty)
+    new scala.util.DynamicVariable[Map[Int, WFrame]](Map.empty)
 
   private val GroupsRe =
     ("(?i)\\bGROUPS\\s+(?:BETWEEN\\s+(UNBOUNDED\\s+PRECEDING|CURRENT\\s+ROW|\\d+\\s+PRECEDING|" +
@@ -713,30 +713,60 @@ object IncrementalPlanner {
       "\\d+\\s+FOLLOWING)|(UNBOUNDED\\s+PRECEDING|\\d+\\s+PRECEDING))" +
       "(?:\\s+EXCLUDE\\s+(GROUP|TIES|CURRENT\\s+ROW|NO\\s+OTHERS))?").r
 
-  /** Rewrite every GROUPS frame to its sentinel ROWS form, returning the
-    * parser-legal SQL and the side-channel map ([[GroupsRe]] shapes:
-    * `GROUPS BETWEEN a AND b` or the single-bound
-    * `GROUPS [UNBOUNDED|n] PRECEDING` = `BETWEEN … AND CURRENT ROW`,
-    * optionally `EXCLUDE GROUP|TIES|CURRENT ROW|NO OTHERS`).
+  /** `ROWS/RANGE … EXCLUDE …` — exclusion on the OTHER frame types,
+    * which Spark's grammar also lacks (only matched when EXCLUDE is
+    * present; a plain ROWS/RANGE frame parses natively).
     */
-  private[streaming] def stripGroupsSyntax(sql: String): (String, Map[Int, GroupsF]) = {
-    if (GroupsRe.findFirstIn(sql).isEmpty) return (sql, Map.empty)
-    val frames = scala.collection.mutable.Map.empty[Int, GroupsF]
-    def bound(text: String): Option[Int] = {
+  private val ExclRe =
+    ("(?i)\\b(ROWS|RANGE)\\s+(BETWEEN\\s+(?:UNBOUNDED\\s+PRECEDING|CURRENT\\s+ROW|" +
+      "[0-9.]+\\s+PRECEDING|[0-9.]+\\s+FOLLOWING)\\s+AND\\s+(?:UNBOUNDED\\s+FOLLOWING|" +
+      "CURRENT\\s+ROW|[0-9.]+\\s+PRECEDING|[0-9.]+\\s+FOLLOWING)|" +
+      "(?:UNBOUNDED|[0-9.]+)\\s+PRECEDING)" +
+      "\\s+EXCLUDE\\s+(GROUP|TIES|CURRENT\\s+ROW|NO\\s+OTHERS)").r
+
+  /** Rewrite every GROUPS frame — and every ROWS/RANGE frame carrying
+    * an EXCLUDE clause — to its sentinel ROWS form, returning the
+    * parser-legal SQL and the side-channel map. Shapes:
+    * `GROUPS BETWEEN a AND b`, the single-bound
+    * `GROUPS [UNBOUNDED|n] PRECEDING` (= `BETWEEN … AND CURRENT ROW`),
+    * each optionally `EXCLUDE GROUP|TIES|CURRENT ROW|NO OTHERS`; and
+    * `ROWS/RANGE … EXCLUDE …` (exclusion is the current row's peer
+    * group regardless of frame type, per the standard).
+    */
+  private[streaming] def stripGroupsSyntax(sql: String): (String, Map[Int, WFrame]) = {
+    if (GroupsRe.findFirstIn(sql).isEmpty && ExclRe.findFirstIn(sql).isEmpty)
+      return (sql, Map.empty)
+    val frames = scala.collection.mutable.Map.empty[Int, WFrame]
+    def boundNum(text: String): Option[Double] = {
       val t = text.trim.replaceAll("\\s+", " ").toUpperCase
       if (t == "UNBOUNDED PRECEDING" || t == "UNBOUNDED FOLLOWING") None
-      else if (t == "CURRENT ROW") Some(0)
+      else if (t == "CURRENT ROW") Some(0.0)
       else {
         val parts = t.split(" ")
-        Some(if (parts(1) == "PRECEDING") -parts(0).toInt else parts(0).toInt)
+        Some(if (parts(1) == "PRECEDING") -parts(0).toDouble else parts(0).toDouble)
       }
     }
+    def bound(text: String): Option[Int] = boundNum(text).map(_.toInt)
+    def exclOf(kw: String): String =
+      Option(kw).map(_.replaceAll("\\s+", " ").toUpperCase) match {
+        case None | Some("NO OTHERS") => "none"
+        case Some("CURRENT ROW")      => "current"
+        case Some("TIES")             => "ties"
+        case Some("GROUP")            => "group"
+        case Some(other)              => throw unsupported(s"EXCLUDE $other")
+      }
     // EQUAL frames share one sentinel: select items that shared their
     // OVER clause textually must still compare as the SAME
     // WindowSpecDefinition after the rewrite, or the single-spec ranked
     // view would falsely split into a mixed-spec compilation
-    val byContent = scala.collection.mutable.Map.empty[GroupsF, Int]
-    val out = GroupsRe.replaceAllIn(sql, m => {
+    val byContent = scala.collection.mutable.Map.empty[WFrame, Int]
+    def sentinel(f: WFrame): String = {
+      val id = byContent.getOrElseUpdate(f, byContent.size)
+      frames(id) = f
+      val s = GroupsSentinel + id
+      s"ROWS BETWEEN $s PRECEDING AND $s PRECEDING"
+    }
+    val pass1 = GroupsRe.replaceAllIn(sql, m => {
       val (lo, hi) =
         if (m.group(3) != null) (bound(m.group(3)), Some(0))
         else (bound(m.group(1)), bound(m.group(2)))
@@ -745,18 +775,25 @@ object IncrementalPlanner {
           require(a <= b, s"empty-by-construction frame GROUPS BETWEEN $a AND $b")
         case _ => ()
       }
-      val excl = Option(m.group(4)).map(_.replaceAll("\\s+", " ").toUpperCase) match {
-        case None | Some("NO OTHERS") => "none"
-        case Some("CURRENT ROW")      => "current"
-        case Some("TIES")             => "ties"
-        case Some("GROUP")            => "group"
-        case Some(other)              => throw unsupported(s"EXCLUDE $other")
+      sentinel(GroupsF(lo, hi, exclOf(m.group(4))))
+    })
+    val out = ExclRe.replaceAllIn(pass1, m => {
+      val boundsText = m.group(2).trim
+      val (lo, hi) =
+        if (boundsText.toUpperCase.startsWith("BETWEEN")) {
+          val parts = "(?i)^BETWEEN\\s+(.+?)\\s+AND\\s+(.+)$".r
+            .findFirstMatchIn(boundsText).get
+          (boundNum(parts.group(1)), boundNum(parts.group(2)))
+        } else (boundNum(boundsText), Some(0.0))
+      (lo, hi) match {
+        case (Some(a), Some(b)) =>
+          require(a <= b, s"empty-by-construction frame ${m.group(1)} BETWEEN $a AND $b")
+        case _ => ()
       }
-      val gf = GroupsF(lo, hi, excl)
-      val id = byContent.getOrElseUpdate(gf, byContent.size)
-      frames(id) = gf
-      val s = GroupsSentinel + id
-      s"ROWS BETWEEN $s PRECEDING AND $s PRECEDING"
+      val inner: WFrame =
+        if (m.group(1).equalsIgnoreCase("ROWS")) RowsF(lo.map(_.toInt), hi.map(_.toInt))
+        else RangeF(lo, hi)
+      sentinel(ExclF(inner, exclOf(m.group(3))))
     })
     (out, frames.toMap)
   }
@@ -4335,6 +4372,14 @@ object IncrementalPlanner {
   private[streaming] final case class GroupsF(lo: Option[Int], hi: Option[Int],
       exclude: String = "none") extends WFrame
 
+  /** `ROWS/RANGE BETWEEN … AND … EXCLUDE …` — the standard's frame
+    * exclusion on the OTHER frame types (the exclusion span is the
+    * current row's PEER GROUP regardless of how the frame bounds were
+    * drawn, per SQL:2011). Same parser gap and side channel as
+    * [[GroupsF]]; `inner` is the plain ROWS/RANGE frame.
+    */
+  private[streaming] final case class ExclF(inner: WFrame, exclude: String) extends WFrame
+
   /** `frame` absent = the default frame (whole partition, or
     * RANGE-peers running when the clause has ORDER BY).
     */
@@ -4538,10 +4583,17 @@ object IncrementalPlanner {
         val f = RowsF(rowBound(lo, lower = true), rowBound(hi, lower = false))
         f match {
           // a [[stripGroupsSyntax]] sentinel: decode the side-channel
-          // GROUPS frame it stands for (see [[GroupsSentinel]])
+          // GROUPS / EXCLUDE frame it stands for (see [[GroupsSentinel]])
           case RowsF(Some(a), Some(b)) if a == b && a <= -GroupsSentinel &&
               groupsFrames.value.contains(-a - GroupsSentinel) =>
-            Some(groupsFrames.value(-a - GroupsSentinel))
+            val decoded = groupsFrames.value(-a - GroupsSentinel)
+            decoded match {
+              case ExclF(RangeF(lo, hi), _) if lo.isDefined || hi.isDefined =>
+                require(spec.orderSpec.length == 1,
+                  "a value-distance RANGE frame needs exactly ONE ORDER BY key (its numeric axis)")
+              case _ => ()
+            }
+            Some(decoded)
           case _ =>
             (f.lo, f.hi) match {
               case (Some(a), Some(b)) => require(a <= b, s"empty-by-construction frame ROWS BETWEEN $a AND $b")
@@ -4597,6 +4649,23 @@ object IncrementalPlanner {
           WAgg("count", addVal(_ => Some(1)), running = spec.orderSpec.nonEmpty, name, frame)
         case ("count" | "sum" | "avg" | "min" | "max", Seq(e)) =>
           WAgg(fn, addVal(compileExpr(e)), running = spec.orderSpec.nonEmpty, name, frame)
+        // exact order statistics over the WHOLE partition — the rank
+        // fold already holds every live member, so the partition's
+        // sorted operand multiset is one O(n log n) pass per emission
+        // (the same cost class as the re-rank itself). Running/framed
+        // forms are rejected: a per-row framed percentile is O(n·f log f)
+        // and the useful shape is the partition statistic.
+        case ("median", Seq(e)) =>
+          require(spec.orderSpec.isEmpty && frame.isEmpty,
+            "median OVER supports whole-partition windows only (no ORDER BY / frame)")
+          WAgg("percentile:0.5", addVal(compileExpr(e)), running = false, name, None)
+        case ("percentile", Seq(e, p: Literal)) =>
+          val frac = litValue(p.value).flatMap(asNum).getOrElse(
+            throw unsupported("percentile fraction"))
+          require(frac >= 0.0 && frac <= 1.0, "percentile fraction must be in [0, 1]")
+          require(spec.orderSpec.isEmpty && frame.isEmpty,
+            "percentile OVER supports whole-partition windows only (no ORDER BY / frame)")
+          WAgg(s"percentile:$frac", addVal(compileExpr(e)), running = false, name, None)
         case ("ntile", Seq(b: Literal)) =>
           val n = intLit(b.value, "ntile buckets")
           require(n >= 1, "ntile buckets must be >= 1")
@@ -4615,7 +4684,7 @@ object IncrementalPlanner {
           WPos("nth", addVal(compileExpr(e)), nth, name, rowsFrame, f.ignoreNulls)
         case _ => throw unsupported(
           s"window function $fn (row_number/rank/dense_rank/ntile/percent_rank/cume_dist/" +
-            "lag/lead/first_value/last_value/nth_value/count/sum/avg/min/max)")
+            "lag/lead/first_value/last_value/nth_value/count/sum/avg/min/max/median/percentile)")
       }
     }
     if (wins.exists(w => w.isInstanceOf[WRank] || w.isInstanceOf[WNav] ||
@@ -4963,7 +5032,16 @@ object IncrementalPlanner {
       // span back out of the prefix difference (adding the row itself
       // back for EXCLUDE TIES).
       def framedAggArray(w: WAgg, fr: WFrame): Array[String] = {
-        val ranges: Int => (Int, Int) = fr match {
+        // ExclF wraps a plain ROWS/RANGE frame with an exclusion mode;
+        // GroupsF carries its own — the exclusion SPAN is the current
+        // row's peer group either way (SQL:2011's rule for every frame
+        // type)
+        val (baseFr, exclMode) = fr match {
+          case ExclF(inner, ex) => (inner, ex)
+          case g: GroupsF       => (g: WFrame, g.exclude)
+          case other            => (other, "none")
+        }
+        val ranges: Int => (Int, Int) = baseFr match {
           case r: RowsF  => frameRange(r)
           case r: RangeF => val a = rangeRanges(r); a(_)
           case g: GroupsF => idx => {
@@ -4974,14 +5052,13 @@ object IncrementalPlanner {
             if (loG >= nG || hiG < 0 || loG > hiG) (1, 0) // empty frame
             else (grpStart(math.max(0, loG)), grpEndEx(math.min(nG - 1, hiG)) - 1)
           }
+          case e: ExclF => throw new IllegalStateException(s"nested $e")
         }
-        val excl: Int => (Int, Int, Boolean) = fr match {
-          case g: GroupsF if g.exclude != "none" => idx => g.exclude match {
-            case "current" => (idx, idx, false)
-            case "group"   => (grpStart(grpOf(idx)), grpEndEx(grpOf(idx)) - 1, false)
-            case _         => (grpStart(grpOf(idx)), grpEndEx(grpOf(idx)) - 1, true) // ties
-          }
-          case _ => _ => (1, 0, false) // no exclusion
+        val excl: Int => (Int, Int, Boolean) = exclMode match {
+          case "none"    => _ => (1, 0, false) // no exclusion
+          case "current" => idx => (idx, idx, false)
+          case "group"   => idx => (grpStart(grpOf(idx)), grpEndEx(grpOf(idx)) - 1, false)
+          case _         => idx => (grpStart(grpOf(idx)), grpEndEx(grpOf(idx)) - 1, true) // ties
         }
         val pCnt  = new Array[Long](n + 1)   // non-null operands
         val pSum  = new Array[Double](n + 1) // numeric operands
@@ -5040,6 +5117,28 @@ object IncrementalPlanner {
       // aggregate window values: whole-partition = one value for every
       // row; running = SQL's default RANGE frame (tie groups share)
       def aggArray(w: WAgg): Array[String] = {
+        // exact interpolated percentile over the whole partition
+        // (median = percentile:0.5): one sort of the live operand
+        // multiset per emission — the same O(n log n) class as the
+        // re-rank that already ran. Spark's own `percentile`
+        // interpolation (h = (n−1)·f between adjacent order stats).
+        if (w.op.startsWith("percentile:")) {
+          val f  = w.op.stripPrefix("percentile:").toDouble
+          val xs = (0 until n).iterator.map(opRaw(w.valIdx)).filter(_ != NullMark)
+            .flatMap(_.toDoubleOption).filter(d => !d.isNaN && !d.isInfinite).toArray
+          java.util.Arrays.sort(xs)
+          val out = new Array[String](n)
+          val v =
+            if (xs.isEmpty) null
+            else {
+              val h  = (xs.length - 1) * f
+              val lo = math.floor(h).toInt
+              val hi = math.min(lo + 1, xs.length - 1)
+              (xs(lo) + (h - lo) * (xs(hi) - xs(lo))).toString
+            }
+          java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], v)
+          return out
+        }
         val res  = new Array[String](n)
         var cnt  = 0L
         var sum  = 0.0

@@ -283,15 +283,25 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
   def registerSnapshots(): Unit =
     views.keys.foreach(n => snapshot(n).createOrReplaceTempView(n))
 
-  /** `DROP MATERIALIZED VIEW name`: stops the maintenance query and
-    * deletes checkpoint, sink, and metadata. Refuses while dependents
-    * exist — a dangling reader would tail a deleted directory.
+  /** `DROP MATERIALIZED VIEW name [CASCADE]`: stops the maintenance
+    * query and deletes checkpoint, sink, and metadata. Refuses while
+    * dependents exist (a dangling reader would tail a deleted
+    * directory) — unless `cascade`, which drops the whole downstream
+    * subgraph LEAVES-FIRST (a dependent is always gone before the sink
+    * it tails), the teardown mirror of the CASCADE replace.
     */
-  def dropView(name: String): Unit = {
+  def dropView(name: String, cascade: Boolean = false): Unit = {
     val v = views.getOrElse(name, throw new IllegalArgumentException(s"no view named $name"))
-    val dependents = views.values.filter(_.deps.contains(name)).map(_.name).toSeq
-    require(dependents.isEmpty,
-      s"view $name has dependents ${dependents.mkString(", ")}; drop them first")
+    val downstream = transitiveDependents(name)
+    require(cascade || downstream.isEmpty,
+      s"view $name has dependents ${downstream.mkString(", ")}; " +
+        "drop them first or DROP ... CASCADE")
+    downstream.reverse.foreach { d =>
+      views(d).query.stop()
+      views -= d
+      deleteRecursively(viewDir(d))
+      Files.deleteIfExists(metaPath(d)): Unit
+    }
     v.query.stop()
     views -= name
     deleteRecursively(viewDir(name))
@@ -489,7 +499,8 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
       "(?:\\s+WITH\\s*\\(\\s*ttl_delay\\s*=\\s*'([^']+)'\\s*,\\s*ttl_ms\\s*=\\s*(\\d+)\\s*\\))?" +
       "(?:\\s+(CASCADE))?" +
       "\\s+AS\\s+(.+)$").r
-  private val DropRe = "(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+  private val DropRe =
+    "(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)(\\s+CASCADE)?\\s*$".r
   private val ShowRe = "(?is)^SHOW\\s+MATERIALIZED\\s+VIEWS\\s*$".r
   private val ExplainRe =
     "(?is)^EXPLAIN\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
@@ -502,7 +513,8 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     *    [[createView]] / [[createOrReplaceView]]; CASCADE rebuilds the
     *    dependent subgraph (pre-flighted against the new schema) instead
     *    of refusing. Returns a 1-row (view, columns) confirmation frame.
-    *  - `DROP MATERIALIZED VIEW v` → [[dropView]]; empty frame.
+    *  - `DROP MATERIALIZED VIEW v [CASCADE]` → [[dropView]] (CASCADE
+    *    drops the dependent subgraph leaves-first); empty frame.
     *  - `SHOW MATERIALIZED VIEWS` → [[statusDF]].
     *  - `EXPLAIN MATERIALIZED VIEW v` → [[explain]] as a 1-column
     *    (plan) frame, one row per lineage line.
@@ -529,8 +541,8 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
                   createOrReplaceView(name, select.trim, ttl, cascade = cascadeKw != null)
                 else createView(name, select.trim, ttl)
         Seq((v.name, v.cols.mkString(","))).toDF("view", "columns")
-      case DropRe(name) =>
-        dropView(name)
+      case DropRe(name, cascadeKw) =>
+        dropView(name, cascade = cascadeKw != null)
         spark.emptyDataFrame
       case ShowRe() => statusDF()
       case ExplainRe(name) =>

@@ -3814,6 +3814,30 @@ class IncrementalPlannerSpec extends SparkSpec {
       1L -> Seq[Any]("a", "1"), 5L -> Seq[Any]("e", "1"),
       2L -> Seq[Any]("b", "3"), 3L -> Seq[Any]("c", "3"),
       4L -> Seq[Any]("d", "2")), s"GROUPS shorthand + EXCLUDE CURRENT ROW: $gs")
+    // EXCLUDE on the OTHER frame types (SQL:2011: the exclusion span is
+    // the current row's peer group whatever the frame): ROWS both-sided
+    // + EXCLUDE CURRENT ROW, and RANGE value-distance + EXCLUDE GROUP
+    val sqlR = "SELECT name, sum(amount) OVER (ORDER BY score " +
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS xr, " +
+      "sum(amount) OVER (ORDER BY score " +
+      "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS xv FROM t"
+    // two DISTINCT OVER specs → the mixed-spec merge dataflow (keyed
+    // by change key, no _partition column) — read with rowState
+    runView(sqlR, "pv_exclrr", Seq(Map("t" -> b1)))
+    val gr = rowState("pv_exclrr", Seq("name", "xr", "xv"))
+    // sort (score asc, change-key tiebreak): a(1,10) e(1,7) b(2,20)
+    // c(2,30) d(3,40).
+    // xr (ROWS ±1 minus self): a:{e}=7, e:{a,b}=30, b:{e,c}=37,
+    //   c:{b,d}=60, d:{c}=30
+    // xv (RANGE [score−1,score] minus my peer group): a/e: frame {a,e}
+    //   minus group {a,e} → empty → NULL; b/c: frame {a,e,b,c} minus
+    //   {b,c} = 17; d: frame {b,c,d} minus {d} = 50
+    assert(gr == Map(
+      1L -> Seq[Any]("a", "7.0", null),
+      5L -> Seq[Any]("e", "30.0", null),
+      2L -> Seq[Any]("b", "37.0", "17.0"),
+      3L -> Seq[Any]("c", "60.0", "17.0"),
+      4L -> Seq[Any]("d", "30.0", "50.0")), s"ROWS/RANGE EXCLUDE: $gr")
     // rejection: GROUPS without ORDER BY
     implicit val sqlCtx = spark.sqlContext
     def feeds = Map("t" -> MemoryStream[Change].toDS())
@@ -3823,5 +3847,47 @@ class IncrementalPlannerSpec extends SparkSpec {
         feeds)
     }
     assert(e.getMessage.contains("requires ORDER BY"), e.getMessage)
+  }
+
+  test("#171cn median/percentile OVER whole partitions == batch recompute through churn; framed/ordered forms reject") {
+    val sql = "SELECT city, name, median(amount) OVER (PARTITION BY city) AS md, " +
+      "percentile(amount, 0.9) OVER (PARTITION BY city) AS p90 FROM t"
+    def ins(k: Long, city: String, name: String, amount: String, seq: Long) =
+      Change("insert", k, ts(seq.toInt),
+        Map("city" -> city, "name" -> name, "amount" -> amount), seq)
+    val b1 = Seq(
+      ins(1L, "ber", "a", "10", 1L), ins(2L, "ber", "b", "20", 2L),
+      ins(3L, "ber", "c", "30", 3L), ins(4L, "ber", "d", "40", 4L),
+      ins(5L, "par", "e", "7", 5L))
+    // churn: delete the top row (median shifts down), move a row across
+    // partitions (both medians re-derive)
+    val b2 = Seq(
+      Change("delete", 4L, ts(10), Map.empty, 6L),
+      Change("update", 3L, ts(11), Map("city" -> "par", "name" -> "c", "amount" -> "30"), 7L))
+    runView(sql, "pv_wmed", Seq(Map("t" -> b1), Map("t" -> b2)))
+    val got = rankedState("pv_wmed", Seq("city", "name", "md", "p90")).map { case ((k, _), v) => k -> v }
+    // batch truth: Spark's own percentile window aggregates over the
+    // final LWW state
+    import spark.implicits._
+    finalState(b1 ++ b2).toSeq
+      .map { case (k, p) => (k, p("city"), p("name"), p("amount").toDouble) }
+      .toDF("key", "city", "name", "amount").createOrReplaceTempView("wmed_batch")
+    val want = spark.sql(
+      "SELECT key, city, name, percentile(amount, 0.5) OVER (PARTITION BY city) AS md, " +
+        "percentile(amount, 0.9) OVER (PARTITION BY city) AS p90 FROM wmed_batch")
+      .collect().map(r => r.getAs[Long]("key") -> Seq[Any](r.getAs[String]("city"),
+        r.getAs[String]("name"), r.getAs[Double]("md").toString,
+        r.getAs[Double]("p90").toString)).toMap
+    assert(got == want, s"live window percentiles\n  $got\n  != batch\n  $want")
+    // ber = {10, 20}: median 15, p90 19; par = {7, 30}: median 18.5, p90 27.7
+    assert(got(1L) == Seq[Any]("ber", "a", "15.0", "19.0"), s"ber stats: $got")
+    // rejection: framed/ordered forms
+    implicit val sqlCtx = spark.sqlContext
+    def feeds = Map("t" -> MemoryStream[Change].toDS())
+    val e = intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT name, median(amount) OVER (PARTITION BY city ORDER BY amount) AS m FROM t", feeds)
+    }
+    assert(e.getMessage.contains("whole-partition"), e.getMessage)
   }
 }

@@ -694,6 +694,29 @@ class ViewCatalogSpec extends SparkSpec {
     cat2.stopAll()
   }
 
+  test("#234x DROP MATERIALIZED VIEW … CASCADE: the whole dependent subgraph tears down leaves-first") {
+    val (root, src) = (tmp("vcdrop"), tmp("vcdropsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    cat.createView("r", "SELECT city, count(*) AS n FROM t GROUP BY city")
+    cat.createView("d1", "SELECT city, n FROM r WHERE n > 0")
+    cat.createView("d2", "SELECT city, n AS m FROM d1")
+    // plain drop still refuses with dependents
+    intercept[IllegalArgumentException] { cat.dropView("r") }
+    assert(cat.viewNames.toSet == Set("r", "d1", "d2"))
+    // CASCADE via the SQL front door: everything downstream goes too,
+    // dirs and meta removed — nothing left for resume
+    cat.sql("DROP MATERIALIZED VIEW r CASCADE")
+    assert(cat.viewNames.isEmpty, s"left: ${cat.viewNames}")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "views", "d2")),
+      "dependent dirs must be deleted")
+    val cat2 = new ViewCatalog(spark, root)
+    cat2.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    assert(cat2.resume().isEmpty, "no meta must survive a cascade drop")
+    cat2.stopAll()
+    cat.stopAll()
+  }
+
   test("#234t explain(): transitive upstream lineage + dependents; EXPLAIN MATERIALIZED VIEW via sql()") {
     val (root, src) = (tmp("vcexp"), tmp("vcexpsrc"))
     val cat = new ViewCatalog(spark, root)
