@@ -154,6 +154,24 @@ object FeedSink {
     }.toMap).getOrElse(Map.empty)
   }
 
+  /** History floor: the feed's FIRST-EVER committed (batch id, commit
+    * millis), preserved by [[compact]] before it retires old markers —
+    * so time travel can distinguish "before this feed existed" (the
+    * empty answer) from "inside compacted-away history" (the base
+    * answers, the compacted-log rule). Absent until the first
+    * compaction; readers fall back to the oldest RETAINED marker,
+    * which is the same floor while no history has been folded.
+    */
+  def historyFloor(feedDir: String): Option[(Long, Long)] = {
+    val f = new java.io.File(feedDir, "_graft_floor")
+    if (!f.exists()) None
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split(",") match {
+      case Array(b, t) => Some((b.toLong, t.toLong))
+      case _           => None
+    }
+  }
+
   def writeChangefeed(states: DataFrame, feedDir: String, checkpointDir: String): DataStreamWriter[Row] =
     states.writeStream
       .outputMode(CdcMaterializer.outputMode)
@@ -229,6 +247,17 @@ object FeedSink {
         f.delete(): Unit
       }
       rm(dir)
+    }
+    // preserve the history floor BEFORE retiring markers: first-ever
+    // (batch, clock) — idempotent (an existing floor is already the
+    // earliest; re-compaction can only see later markers)
+    val floorFile = new java.io.File(feedDir, "_graft_floor")
+    if (!floorFile.exists()) {
+      val times = committedBatchTimes(feedDir)
+      times.minByOption(_._1).foreach { case (b, t) =>
+        java.nio.file.Files.write(floorFile.toPath,
+          s"$b,$t".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
     }
     // retire the compacted-away markers; the base partition keeps upTo's.
     // NB compaction rewrites the upTo partition IN PLACE while its marker

@@ -268,10 +268,24 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     * it. Run as maintenance between batches (the standard
     * compaction/reader coordination caveat documented on FeedSink).
     */
-  def compactView(name: String): Unit = {
+  def compactView(name: String): Unit = compactView(name, keepLast = 0)
+
+  /** Retention-bounded compaction — the time-travel retention policy
+    * (`VACUUM … KEEP n`): fold history into the base but KEEP the
+    * newest `keepLast` committed batches individually reconstructable,
+    * so `snapshotAsOf`/`TIMESTAMP AS OF` still answer exactly inside
+    * the retained window while disk stays bounded (base + n deltas).
+    * `keepLast = 0` folds everything into the newest commit (the
+    * maximal compaction above); `keepLast >=` the retained count is a
+    * no-op. Asking below the base afterwards answers the base — the
+    * standard compacted-log semantics ([[snapshotAsOf]]).
+    */
+  def compactView(name: String, keepLast: Int): Unit = {
     require(views.contains(name), s"no view named $name")
-    val committed = FeedSink.committedBatches(feedDir(name))
-    if (committed.nonEmpty) FeedSink.compact(spark, feedDir(name), committed.max)
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    val committed = FeedSink.committedBatches(feedDir(name)).toSeq.sorted
+    if (committed.length > keepLast + 1)
+      FeedSink.compact(spark, feedDir(name), committed(committed.length - 1 - keepLast))
   }
 
   /** The ad-hoc SQL surface over the catalog: register every view's
@@ -334,13 +348,21 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     */
   def snapshotAsOf(name: String, asOfBatch: Long): DataFrame = {
     val v = views.getOrElse(name, throw new IllegalArgumentException(s"no view named $name"))
-    if (!FeedSink.committedBatches(feedDir(name)).exists(_ <= asOfBatch)) {
+    val committed = FeedSink.committedBatches(feedDir(name))
+    // pre-history = before the view's FIRST-EVER commit (the floor
+    // survives compaction); inside compacted-away history the BASE
+    // answers — the oldest reconstructable state, the compacted-log rule
+    val floorBatch = FeedSink.historyFloor(feedDir(name)).map(_._1)
+      .orElse(committed.minOption).getOrElse(0L)
+    if (committed.isEmpty || asOfBatch < floorBatch) {
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(v.cols.map(StructField(_, StringType))))
-    } else
-      FeedSink.stateAsOf(spark, feedDir(name), asOfBatch)
+    } else {
+      val bound = if (committed.exists(_ <= asOfBatch)) asOfBatch else committed.min
+      FeedSink.stateAsOf(spark, feedDir(name), bound)
         .select(v.cols.map(n => element_at(col("payload"), n).as(n)): _*)
+    }
   }
 
   /** The view's reconstructable history horizons: every committed batch
@@ -374,9 +396,16 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     */
   def snapshotAsOfTimestamp(name: String, tsMillis: Long): DataFrame = {
     require(views.contains(name), s"no view named $name")
-    val batch = FeedSink.committedBatchTimes(feedDir(name))
-      .collect { case (b, t) if t <= tsMillis => b }
-      .maxOption.getOrElse(-1L)
+    val times = FeedSink.committedBatchTimes(feedDir(name))
+    // clocks before the FIRST-EVER commit (floor survives compaction)
+    // are pre-history → empty; clocks inside compacted-away history
+    // fold the base, mirroring [[snapshotAsOf]]'s batch rule
+    val floorClock = FeedSink.historyFloor(feedDir(name)).map(_._2)
+      .orElse(times.values.minOption)
+    val batch =
+      if (times.isEmpty || floorClock.exists(tsMillis < _)) -1L
+      else times.collect { case (b, t) if t <= tsMillis => b }
+        .maxOption.getOrElse(times.keys.min)
     snapshotAsOf(name, batch)
   }
 
@@ -494,6 +523,21 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     sb.result()
   }
 
+  /** `SHOW CREATE MATERIALIZED VIEW` — the view's definition as the
+    * exact DDL that recreates it (including the WITH ttl clause when
+    * one was set), read from the persisted metadata so it round-trips
+    * across sessions. Feeding the returned statement back through
+    * [[sql]] on a catalog with the same sources yields an equivalent
+    * view.
+    */
+  def showCreate(name: String): String = {
+    require(views.contains(name), s"no view named $name")
+    val (_, viewSql, _, ttl) = loadMeta(metaPath(name))
+    val ttlClause = ttl.map { case (delay, ms) =>
+      s" WITH (ttl_delay='$delay', ttl_ms=$ms)" }.getOrElse("")
+    s"CREATE MATERIALIZED VIEW $name$ttlClause AS ${viewSql.replaceAll("\\s+", " ").trim}"
+  }
+
   private val CreateRe =
     ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)" +
       "(?:\\s+WITH\\s*\\(\\s*ttl_delay\\s*=\\s*'([^']+)'\\s*,\\s*ttl_ms\\s*=\\s*(\\d+)\\s*\\))?" +
@@ -504,6 +548,10 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
   private val ShowRe = "(?is)^SHOW\\s+MATERIALIZED\\s+VIEWS\\s*$".r
   private val ExplainRe =
     "(?is)^EXPLAIN\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+  private val ShowCreateRe =
+    "(?is)^SHOW\\s+CREATE\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+  private val VacuumRe =
+    "(?is)^VACUUM\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+KEEP\\s+(\\d+))?\\s*$".r
 
   /** The catalog as ONE SQL entry point — the literal front-door syntax
     * of a changefeed engine:
@@ -518,6 +566,12 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     *  - `SHOW MATERIALIZED VIEWS` → [[statusDF]].
     *  - `EXPLAIN MATERIALIZED VIEW v` → [[explain]] as a 1-column
     *    (plan) frame, one row per lineage line.
+    *  - `SHOW CREATE MATERIALIZED VIEW v` → [[showCreate]]: the
+    *    recreating DDL (ttl clause included) as a 1-row frame.
+    *  - `VACUUM MATERIALIZED VIEW v [KEEP n]` → [[compactView]] with
+    *    retention: fold history into the base keeping the newest n
+    *    commits time-travelable; returns (view, base_batch,
+    *    versions_retained).
     *  - anything else → ad-hoc query: every named view the statement
     *    references is registered as its CURRENT snapshot, then the
     *    statement runs through `spark.sql` (so views, sources-as-temp
@@ -547,6 +601,13 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
       case ShowRe() => statusDF()
       case ExplainRe(name) =>
         explain(name).linesIterator.toSeq.toDF("plan")
+      case ShowCreateRe(name) =>
+        Seq(showCreate(name)).toDF("create_statement")
+      case VacuumRe(name, keep) =>
+        compactView(name, Option(keep).map(_.toInt).getOrElse(0))
+        val vs = versions(name)
+        Seq((name, vs.headOption.getOrElse(-1L), vs.length))
+          .toDF("view", "base_batch", "versions_retained")
       case _ =>
         // time-travel sugar: `FROM v VERSION AS OF 3` reads the named
         // view's snapshotAsOf(3), `FROM v TIMESTAMP AS OF '2026-08-14

@@ -717,6 +717,81 @@ class ViewCatalogSpec extends SparkSpec {
     cat.stopAll()
   }
 
+  test("#234y VACUUM … KEEP n: retention-bounded compaction keeps the newest n commits time-travelable; below-base answers the base") {
+    val (root, src) = (tmp("vcvac"), tmp("vcvacsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    val v = cat.createView("vv", "SELECT city, count(*) AS n FROM t GROUP BY city")
+    // three commits: {ber:1} → {ber:2} → {ber:2, par:1}
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "1"), 1L)))
+    cat.awaitAll()
+    writeChanges(src, "b2.json", Seq(
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "2"), 2L)))
+    cat.awaitAll()
+    writeChanges(src, "b3.json", Seq(
+      Change("insert", 3L, ts(2), Map("city" -> "par", "amount" -> "3"), 3L)))
+    cat.awaitAll()
+    val vers = cat.versions("vv")
+    assert(vers.size == 3, s"three commits expected: $vers")
+    val firstClock = cat.versionsWithTimestamps("vv").head._2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSet.map((r: org.apache.spark.sql.Row) => v.cols.map(c => r.getAs[String](c)))
+    // vacuum keeping the newest ONE above the base: {vers(1), vers(2)} retained
+    val out = cat.sql("VACUUM MATERIALIZED VIEW vv KEEP 1").collect().head
+    assert(out.getAs[String]("view") == "vv" && out.getAs[Long]("base_batch") == vers(1) &&
+      out.getAs[Int]("versions_retained") == 2, s"vacuum report: $out")
+    assert(cat.versions("vv") == Seq(vers(1), vers(2)), s"retained: ${cat.versions("vv")}")
+    // inside the retained window: exact history
+    assert(rows(cat.snapshotAsOf("vv", vers(1))) == Set(Seq("ber", "2")), "as-of the new base")
+    assert(rows(cat.snapshot("vv")) == Set(Seq("ber", "2"), Seq("par", "1")), "current state intact")
+    // below the base: the compacted-log answer is the base, not the lost history
+    assert(rows(cat.snapshotAsOf("vv", vers.head)) == Set(Seq("ber", "2")),
+      "below-base as-of folds the base")
+    // the history FLOOR survives compaction: a clock inside the
+    // compacted-away window folds the base; pre-history stays empty
+    assert(rows(cat.snapshotAsOfTimestamp("vv", firstClock)) == Set(Seq("ber", "2")),
+      "compacted-away clock folds the base")
+    assert(cat.snapshotAsOfTimestamp("vv", firstClock - 1).count() == 0L,
+      "pre-history clock stays empty after compaction")
+    assert(cat.snapshotAsOf("vv", vers.head - 1).count() == 0L,
+      "pre-history batch stays empty after compaction")
+    // KEEP >= retained is a no-op; KEEP 0 folds everything into one base
+    cat.compactView("vv", keepLast = 5)
+    assert(cat.versions("vv") == Seq(vers(1), vers(2)), "over-keep must not compact")
+    cat.sql("VACUUM MATERIALIZED VIEW vv")
+    assert(cat.versions("vv") == Seq(vers(2)), s"full vacuum: ${cat.versions("vv")}")
+    assert(rows(cat.snapshot("vv")) == Set(Seq("ber", "2"), Seq("par", "1")),
+      "state survives full vacuum")
+    cat.stopAll()
+  }
+
+  test("#234z SHOW CREATE MATERIALIZED VIEW: the emitted DDL recreates an equivalent view, ttl clause included") {
+    val (root, src) = (tmp("vcsc"), tmp("vcscsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    cat.sql("CREATE MATERIALIZED VIEW sc_plain AS SELECT city, count(*) AS n FROM t GROUP BY city")
+    cat.sql("CREATE MATERIALIZED VIEW sc_ttl WITH (ttl_delay='10 minutes', ttl_ms=60000) " +
+      "AS SELECT city, sum(amount) AS total FROM t GROUP BY city")
+    val plainDdl = cat.sql("SHOW CREATE MATERIALIZED VIEW sc_plain")
+      .collect().head.getAs[String]("create_statement")
+    assert(plainDdl == "CREATE MATERIALIZED VIEW sc_plain AS " +
+      "SELECT city, count(*) AS n FROM t GROUP BY city", plainDdl)
+    val ttlDdl = cat.showCreate("sc_ttl")
+    assert(ttlDdl.contains("WITH (ttl_delay='10 minutes', ttl_ms=60000)"), ttlDdl)
+    // round-trip: drop, re-execute the emitted DDL, same definition back
+    val colsBefore = cat.view("sc_plain").get.cols
+    cat.sql("DROP MATERIALIZED VIEW sc_plain")
+    cat.sql(plainDdl)
+    assert(cat.view("sc_plain").get.cols == colsBefore, "recreated view must keep its columns")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "5"), 1L)))
+    cat.awaitAll()
+    assert(cat.snapshot("sc_plain").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("ber", "1")), "recreated view maintains")
+    cat.stopAll()
+  }
+
   test("#234t explain(): transitive upstream lineage + dependents; EXPLAIN MATERIALIZED VIEW via sql()") {
     val (root, src) = (tmp("vcexp"), tmp("vcexpsrc"))
     val cat = new ViewCatalog(spark, root)
