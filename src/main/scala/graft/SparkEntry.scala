@@ -178,6 +178,9 @@ object SparkEntry {
     "t19_pii_scan"              -> ((s, d) => TextAnalysis.piiScan(GraftSession.tune(s), d)),
     "q94_mixture_weights"       -> ((s, d) => TrainingData.mixtureWeights(GraftSession.tune(s), d)),
     "q95_exclude_frame"         -> ((s, d) => Relational.excludeFrame(GraftSession.tune(s), d)),
+    "q96_peak_concurrency"      -> ((s, d) => Temporal.peakConcurrency(GraftSession.tune(s), d)),
+    "q97_asof_tolerance"        -> ((s, d) => Temporal.asofTolerance(GraftSession.tune(s), d)),
+    "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
   )
 
   // ---- fixed-point Lloyd oracle scaffolding (s04/s05/s06) ----------
@@ -899,6 +902,71 @@ object SparkEntry {
         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
         |    AS n_neighbors
         |FROM o""".stripMargin,
+    // q96: the oracle IS the textbook single-sort sweep (running sum
+    // over one global ORDER BY t) — the Spark side decomposes the same
+    // prefix sum into hour bands + broadcast band-total carry, so the
+    // compare proves the banded decomposition equals the global sort.
+    "q96_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+        |m AS (SELECT user_id, tsu, event_id,
+        |  CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+        |         OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new FROM e),
+        |s AS (SELECT user_id, tsu,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m),
+        |sess AS (SELECT user_id, session_id, min(tsu) AS st, max(tsu) AS en
+        |         FROM s GROUP BY 1, 2),
+        |d AS (SELECT st AS t, 1 AS dd FROM sess
+        |      UNION ALL SELECT en + 1 AS t, -1 AS dd FROM sess),
+        |net AS (SELECT t, CAST(sum(dd) AS BIGINT) AS net FROM d GROUP BY t),
+        |run AS (SELECT t, net,
+        |  CAST(sum(net) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc FROM net)
+        |SELECT (t // 3600000000) * 3600000000 AS hour_us,
+        |  greatest(min_by(conc - net, t), max(conc)) AS peak_concurrent,
+        |  count(*) AS n_deltas
+        |FROM run GROUP BY 1""".stripMargin,
+    // q97: DuckDB's correlated-scalar form of q26's as-of match, with
+    // the 90-day tolerance as the same post-predicate the Spark side
+    // applies to the carried (key, time) pair; lag_days is exact
+    // integer microsecond division on both engines.
+    "q97_asof_tolerance" ->
+      """WITH m AS (
+        |  SELECT e.event_id, epoch_us(e.ts) AS t,
+        |    (SELECT max(epoch_us(o2.o_orderdate)) FROM orders o2
+        |      WHERE o2.o_custkey = e.user_id
+        |        AND epoch_us(o2.o_orderdate) <= epoch_us(e.ts)) AS a_t,
+        |    (SELECT max(o.o_orderkey) FROM orders o
+        |      WHERE o.o_custkey = e.user_id
+        |        AND epoch_us(o.o_orderdate) = (SELECT max(epoch_us(o2.o_orderdate))
+        |          FROM orders o2 WHERE o2.o_custkey = e.user_id
+        |            AND epoch_us(o2.o_orderdate) <= epoch_us(e.ts))) AS a_key
+        |  FROM events e WHERE e.event_type = 'purchase')
+        |SELECT event_id,
+        |  CASE WHEN a_t IS NOT NULL AND t - a_t <= 7776000000000 THEN a_key END
+        |    AS asof_orderkey,
+        |  CASE WHEN a_t IS NOT NULL AND t - a_t <= 7776000000000
+        |       THEN (t - a_t) // 86400000000 END AS lag_days
+        |FROM m""".stripMargin,
+    // t20: words/sentences/syllables all count via the same regex
+    // primitives on both engines; the Flesch figure is integer
+    // micro-unit arithmetic on the aggregate sums (two integer DIVs),
+    // so no float crosses the hash boundary.
+    "t20_readability" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS words,
+        |  CAST(sum(s) AS BIGINT) AS sentences,
+        |  CAST(sum(y) AS BIGINT) AS syllables,
+        |  CAST(206835000 - (1015 * (sum(w) * 1000000 // sum(s))) // 1000
+        |    - (84600 * (sum(y) * 1000000 // sum(w))) // 1000 AS BIGINT) AS flesch_micro
+        |FROM per GROUP BY source""".stripMargin,
     // d04's oracle recomputes the md5-digit simhash fingerprint and cross-
     // checks the EXACT hamming<=3 pair set — valid as a full equality
     // check because 16-bit chunk bucketing finds every hamming<=3 pair by

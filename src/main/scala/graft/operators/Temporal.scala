@@ -157,6 +157,56 @@ object Temporal {
       .agg(count(lit(1)).as("n_events"), min("tsu").as("session_start"), max("tsu").as("session_end"))
   }
 
+  /** q96: GLOBAL peak concurrency per hour — how many q25 sessions were
+    * simultaneously open, the capacity-planning sweep every ops team
+    * runs on a session table. The textbook form is a single global sort
+    * of ±1 endpoint deltas with a running sum — which is a
+    * SinglePartition plan. This one is the scalable decomposition (the
+    * q86 banded-prefix-sum discipline, zero SinglePartition): net delta
+    * per distinct timestamp (one combine), hour bands carry a
+    * within-band running sum, and the cross-band carry is the broadcast
+    * prefix of band TOTALS (bounded: one row per hour of history, ~90k
+    * rows for a decade — broadcastable at any corpus size). Peak within
+    * an hour considers the carry-in too (an all-departures hour peaks
+    * at its opening concurrency, BEFORE its first delta). Sessions are
+    * active on [start, end] inclusive, so the −1 lands at end+1 and a
+    * zero-length session still counts at its instant.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val sess = sessionize(spark, dir)
+      .select(col("session_start").as("st"), col("session_end").as("en"))
+    val deltas = sess.select(col("st").as("t"), lit(1L).as("d"))
+      .unionByName(sess.select((col("en") + 1L).as("t"), lit(-1L).as("d")))
+    // derived ONCE (lazy localCheckpoint, the q80/q84 idiom): both the
+    // band-total carry and the final join read this — without the cut,
+    // Catalyst re-derives the whole sessionize pipeline for each
+    val net = deltas
+      .groupBy("t")
+      .agg(sum("d").as("net"))
+      .withColumn("band", expr(s"t div $hourUs"))
+      .localCheckpoint(false)
+    val totals = net.groupBy("band").agg(sum("net").as("tot"))
+    // carry-in = Σ net of STRICTLY earlier bands (concurrency standing
+    // when the hour opens)
+    val offsets = totals
+      .as("a")
+      .join(broadcast(totals.as("b")), col("b.band") < col("a.band"), "left")
+      .groupBy(col("a.band").as("band"))
+      .agg(sum(col("b.tot")).as("offset"))
+    val w = Window.partitionBy("band").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    net
+      .join(broadcast(offsets), Seq("band"))
+      .withColumn("off", coalesce(col("offset"), lit(0L)))
+      .withColumn("conc", col("off") + sum("net").over(w))
+      .groupBy("band")
+      .agg(
+        greatest(first("off"), max("conc")).as("peak_concurrent"),
+        count(lit(1)).as("n_deltas"))
+      .select((col("band") * hourUs).as("hour_us"), col("peak_concurrent"), col("n_deltas"))
+  }
+
   /** q26: as-of join — each purchase event matched to the customer's latest
     * order at-or-before the event time (ties on date -> max orderkey).
     *
@@ -190,6 +240,46 @@ object Temporal {
       .withColumn("asof_orderkey", last("ord_key", ignoreNulls = true).over(w))
       .filter(col("kind") === 1)
       .select(col("event_id"), col("asof_orderkey"))
+  }
+
+  /** q97: as-of join with TOLERANCE (pandas `merge_asof(tolerance=…)` /
+    * kdb `wj` semantics) — each purchase event matched LEFT to the
+    * customer's latest order at-or-before its time, but only when that
+    * order is within 90 days; staler matches (and no-match) surface as
+    * NULL, because an enrichment older than the business window is
+    * worse than none. Same one-shuffle tagged-union sort-merge pass as
+    * q26 — the tolerance is a pure post-predicate on the carried
+    * (key, time) pair, so the 100 TB shape is unchanged; `lag_days`
+    * rides exact integer microsecond division (no float crosses rows).
+    */
+  def asofTolerance(spark: SparkSession, dir: String, tolDays: Int = 90): DataFrame = {
+    val tolUs = tolDays.toLong * 86400L * 1000000L
+    val ord = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(0).as("kind"),
+        col("o_orderkey").as("ord_key"),
+        lit(null).cast("long").as("event_id"))
+    val ev = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("tsu").as("t"), lit(1).as("kind"),
+        lit(null).cast("long").as("ord_key"), col("event_id"))
+    val w = Window
+      .partitionBy("k")
+      .orderBy(col("t"), col("kind"), col("ord_key").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inTol = col("a_t").isNotNull && col("t") - col("a_t") <= tolUs
+    ord
+      .unionByName(ev)
+      .withColumn("a_key", last("ord_key", ignoreNulls = true).over(w))
+      .withColumn("a_t", last(when(col("kind") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("event_id"),
+        when(inTol, col("a_key")).as("asof_orderkey"),
+        when(inTol, expr("(t - a_t) div 86400000000")).as("lag_days"))
   }
 
   /** q89: versioned as-of ENRICHMENT — each event carries the payload of

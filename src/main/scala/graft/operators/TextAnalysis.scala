@@ -508,4 +508,41 @@ object TextAnalysis {
         sum("redlen").as("redacted_chars"),
       )
   }
+
+  /** t20: readability scoring — Flesch reading ease per source, the
+    * classic corpus-quality signal alongside t02/t13 (machine-generated
+    * and OCR-damaged text score far outside the human band). The three
+    * counting primitives are the cheap public approximations: words =
+    * whitespace tokens (the t03/q94 convention), sentences = runs of
+    * terminal punctuation `[.!?]+` (floored at 1 so fragments divide
+    * safely), syllables = vowel-group runs `[aeiouy]+` of the
+    * lowercased text (group counting commutes with word splitting —
+    * whitespace breaks any run — so one document-level regexp_count
+    * replaces a per-word pass). One scan, map-side-combined integer
+    * sums; the Flesch value itself is computed on the AGGREGATE ratios
+    * in exact integer micro-units (two integer DIVs both engines
+    * evaluate identically — no float crosses rows, so the hash compare
+    * is exact): flesch_micro = 1e6·(206.835 − 1.015·words/sentences −
+    * 84.6·syllables/words), within 1e-3 of the real-valued figure.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("w"),
+        greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("s"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("y"),
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("w").as("words"),
+        sum("s").as("sentences"),
+        sum("y").as("syllables"),
+      )
+      .select(
+        col("source"), col("n_docs"), col("words"), col("sentences"), col("syllables"),
+        expr("206835000 - (1015 * (words * 1000000 div sentences)) div 1000" +
+          " - (84600 * (syllables * 1000000 div words)) div 1000").as("flesch_micro"),
+      )
 }
