@@ -180,6 +180,7 @@ object SparkEntry {
     "q95_exclude_frame"         -> ((s, d) => Relational.excludeFrame(GraftSession.tune(s), d)),
     "q96_peak_concurrency"      -> ((s, d) => Temporal.peakConcurrency(GraftSession.tune(s), d)),
     "q97_asof_tolerance"        -> ((s, d) => Temporal.asofTolerance(GraftSession.tune(s), d)),
+    "q98_session_attribution"   -> ((s, d) => Temporal.sessionAttribution(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
   )
 
@@ -949,6 +950,30 @@ object SparkEntry {
         |  CASE WHEN a_t IS NOT NULL AND t - a_t <= 7776000000000
         |       THEN (t - a_t) // 86400000000 END AS lag_days
         |FROM m""".stripMargin,
+    // q98: the oracle replays q25's session derivation then takes the
+    // same two in-session windows (full-partition first_value, strict-
+    // prefix last non-purchase); the (first, last) aggregate is a tiny
+    // exact count on both engines.
+    "q98_session_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events),
+        |m AS (SELECT user_id, tsu, event_id, event_type,
+        |  CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+        |         OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new FROM e),
+        |s AS (SELECT user_id, tsu, event_id, event_type,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m),
+        |t AS (SELECT event_type,
+        |  first_value(event_type) OVER (PARTITION BY user_id, session_id
+        |    ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id, session_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM s)
+        |SELECT first_touch, last_touch, count(*) AS n_purchases
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY first_touch, last_touch""".stripMargin,
     // t20: words/sentences/syllables all count via the same regex
     // primitives on both engines; the Flesch figure is integer
     // micro-unit arithmetic on the aggregate sums (two integer DIVs),

@@ -157,6 +157,37 @@ object Temporal {
       .agg(count(lit(1)).as("n_events"), min("tsu").as("session_start"), max("tsu").as("session_end"))
   }
 
+  /** q98: session ATTRIBUTION (first-touch × last-touch) — the
+    * marketing-analytics fold over q25's sessions: every purchase
+    * credits (a) the event type that OPENED its session (first-touch)
+    * and (b) the nearest preceding non-purchase event in-session
+    * (last-touch; NULL when the purchase opened the session cold).
+    * One q25-shaped shuffle: the session ids derive per user exactly as
+    * q25 (gap > 30 min), both touches are window functions over the
+    * SAME (user, session) partition — first_value over the full
+    * partition, last(non-purchase, ignoreNulls) over the strict
+    * prefix — then one tiny (first, last) count aggregate. Scan-shaped
+    * at 100 TB: no state beyond the per-user sort q25 already pays.
+    */
+  def sessionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sessioned = events(spark, dir)
+      .withColumn("prev", lag("tsu", 1).over(order))
+      .withColumn("is_new", when(col("prev").isNull || col("tsu") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val inSess = Window.partitionBy("user_id", "session_id").orderBy(col("tsu"), col("event_id"))
+    sessioned
+      .withColumn("first_touch",
+        first("event_type").over(inSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("last_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(inSess.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("event_type") === "purchase")
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
   /** q96: GLOBAL peak concurrency per hour — how many q25 sessions were
     * simultaneously open, the capacity-planning sweep every ops team
     * runs on a session table. The textbook form is a single global sort
