@@ -147,6 +147,10 @@ class PlanSpec extends SparkSpec {
       // same again on the length key: triangular offset join over the
       // band table bounded by max-doc-length/64, not corpus size
       "q86_global_shard_ids",
+      // same again on the hour key: triangular offset join over the
+      // band-TOTALS table — one row per hour of history (~90k rows for
+      // a decade), not corpus size
+      "q96_peak_concurrency",
     )
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
