@@ -55,8 +55,15 @@ object StreamBench {
     val seconds  = args.drop(1).headOption.map(_.toInt).getOrElse(25)
     val liveKeys = args.drop(2).headOption.map(_.toInt).getOrElse(1000000)
     val offered  = args.drop(3).headOption.map(_.toInt).getOrElse(1000000)
+    // 5th arg `rocksdb` pins the RocksDB provider (the 100 TB-state
+    // configuration) for the whole suite — committed beside the
+    // default-provider artifact as STREAMBENCH_r{N}_rocksdb.json
+    val provider = args.drop(4).headOption.getOrElse("hdfs")
     val cpus     = Runtime.getRuntime.availableProcessors()
     val spark    = GraftSession.local(cpus)
+    if (provider == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.sparkContext.setLogLevel("WARN")
     // q01 normalizer first (deterministic batch work before the
     // streaming queries touch the session): min-of-3 full evaluation
@@ -73,6 +80,7 @@ object StreamBench {
     val json =
       s"""{"metric":"stream_bench_suite","cpus":$cpus,"live_keys":$liveKeys,""" +
         s""""offered_rows_per_sec":$offered,"seconds_per_engine":$seconds,""" +
+        s""""state_provider":"$provider",""" +
         f""""normalizer":"q01_filter_project","normalizer_sec":$normSec%.4f,""" +
         s""""dataflows":[${lines.mkString(",")}]}"""
     println(json)
