@@ -151,6 +151,7 @@ object SparkEntry {
     // all-pairs top-k: deterministic bucketed self-join + bounded TopK
     // aggregate (no Window over candidate pairs) -> hash-exact
     "s08_knn_join"              -> ((s, d) => Similarity.knnJoin(GraftSession.tune(s), d)),
+    "s09_ann_filtered"          -> ((s, d) => Similarity.annFiltered(GraftSession.tune(s), d)),
     "q74_quality_deciles"       -> ((s, d) => TrainingData.qualityDeciles(GraftSession.tune(s), d)),
     "q75_chunk_overlap"         -> ((s, d) => TrainingData.chunkOverlap(GraftSession.tune(s), d)),
     "q86_global_shard_ids"      -> ((s, d) => TrainingData.globalShardIds(GraftSession.tune(s), d)),
@@ -1092,6 +1093,35 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, sim6, row_number() OVER (
         |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
         |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin),
+    // s09: s02's oracle with the label folded into the bucket join —
+    // the filter-key-partitions-the-index identity evaluated
+    // independently.
+    "s09_ann_filtered" ->
+      ("""WITH b AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+        |""".stripMargin
+        + (0 until 8).map { j =>
+          s"""  CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1),
+             |    k -> CAST(embedding[k] AS DOUBLE) * sin(${j * 131}.0 + (k - 1) * 0.7)), 'sum') > 0
+             |  THEN ${1 << j} ELSE 0 END""".stripMargin
+        }.mkString("", " +\n", " AS bucket\n")
+        + """  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label, embedding AS q_emb, norm AS q_norm, bucket AS qb
+        |  FROM b WHERE vec_id < 10),
+        |probes AS (SELECT query_id, label, q_emb, q_norm,
+        |  unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8),
+        |          xor(qb, 16), xor(qb, 32), xor(qb, 64), xor(qb, 128)]) AS bucket FROM q),
+        |p AS (SELECT pr.query_id, pr.label, e.vec_id AS neighbor_id,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(pr.q_emb[i] AS DOUBLE) * e.embedding[i]), 'sum')
+        |    / (pr.q_norm * e.norm), 6) AS sim6
+        | FROM b e JOIN probes pr ON e.label = pr.label AND e.bucket = pr.bucket
+        |   AND e.vec_id <> pr.query_id),
+        |r AS (SELECT query_id, label, neighbor_id, sim6, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
+        |SELECT query_id, label, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 3""".stripMargin),
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb

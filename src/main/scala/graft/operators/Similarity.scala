@@ -111,6 +111,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("cosine"), col("rn"))
   }
 
+  /** s09: FILTERED ANN — top-k cosine neighbors restricted by a
+    * metadata predicate (here: the query's own label — "nearest within
+    * my class", the per-language/per-source retrieval every curation
+    * pipeline runs). The 100 TB lesson is WHERE the filter goes: not a
+    * post-filter over an unfiltered candidate stream (which silently
+    * returns < k when the filter is selective — the classic filtered-
+    * ANN failure), but INTO the index partitioning: the bucket key
+    * becomes (label, hyperplane-bucket), so the equality predicate
+    * rides the join key, candidates are filter-correct by
+    * construction, and the per-query candidate cost is unchanged.
+    * Same multi-probe discipline as s02 (flip-1-bit, planes+1 probes
+    * on the tiny broadcast query side).
+    */
+  def annFiltered(spark: SparkSession, dir: String, k: Int = 3, numPlanes0: Int = 8): DataFrame = {
+    val numPlanes =
+      if (numPlanes0 > 0) numPlanes0 else autoPlanes(Tables.embeddings(spark, dir).count())
+    val bucketed = withHyperplaneBucket(Tables.embeddings(spark, dir), numPlanes)
+      .withColumn("norm", l2Norm(col("embedding")))
+    val probes =
+      array(col("bucket") +: (0 until numPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)
+    val q = broadcast(queriesOf(bucketed)
+      .select(col("vec_id").as("query_id"), col("label"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), explode(probes).as("bucket")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
+    bucketed
+      .select(col("vec_id").as("neighbor_id"), col("label"), col("embedding").as("n_emb"),
+        col("norm").as("n_norm"), col("bucket"))
+      .join(q, Seq("label", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim6", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        round(col("sim6"), 4).as("cosine"), col("rn"))
+  }
+
   /** IVF coarse quantizer: deterministic seeds (the first k vec_ids), a
     * fixed number of Lloyd iterations entirely in DataFrame ops (assign =
     * broadcast-centroid integer argmin-L2; update = per-dimension
