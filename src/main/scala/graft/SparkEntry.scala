@@ -182,6 +182,7 @@ object SparkEntry {
     "q96_peak_concurrency"      -> ((s, d) => Temporal.peakConcurrency(GraftSession.tune(s), d)),
     "q97_asof_tolerance"        -> ((s, d) => Temporal.asofTolerance(GraftSession.tune(s), d)),
     "q98_session_attribution"   -> ((s, d) => Temporal.sessionAttribution(GraftSession.tune(s), d)),
+    "q99_lateness_profile"      -> ((s, d) => Temporal.latenessProfile(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
   )
 
@@ -975,6 +976,23 @@ object SparkEntry {
         |SELECT first_touch, last_touch, count(*) AS n_purchases
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY first_touch, last_touch""".stripMargin,
+    // q99: the oracle is the textbook global window (running max over
+    // one ORDER BY event_id) — the compare proves the capped-band
+    // decomposition equals it; percentiles via the q20 pairing
+    // (percentile ↔ quantile_cont, rounded at 4 on integer operands).
+    "q99_lateness_profile" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tsu,
+        |  (event_id // 10) * 10 + (9 - event_id % 10) AS arr FROM events),
+        |l AS (SELECT event_type,
+        |  greatest(0, coalesce(max(tsu) OVER (ORDER BY arr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tsu) - tsu) AS late_us
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  round(quantile_cont(late_us, 0.5), 4) AS p50_late_us,
+        |  round(quantile_cont(late_us, 0.95), 4) AS p95_late_us,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us
+        |FROM l GROUP BY event_type""".stripMargin,
     // t20: words/sentences/syllables all count via the same regex
     // primitives on both engines; the Flesch figure is integer
     // micro-unit arithmetic on the aggregate sums (two integer DIVs),

@@ -157,6 +157,58 @@ object Temporal {
       .agg(count(lit(1)).as("n_events"), min("tsu").as("session_start"), max("tsu").as("session_end"))
   }
 
+  /** q99: event-time LATENESS profile — the number that sizes a
+    * watermark. Per event, lateness = how far its event time sits
+    * behind the maximum event time already ARRIVED (arrival order =
+    * event_id, the feed's LSN); the per-type percentiles and max of
+    * that lateness are exactly what `withWatermark(delay)` must cover,
+    * measured instead of guessed. The global running max is the same
+    * SinglePartition trap as q96's running sum, broken the same way
+    * (banded prefix + broadcast carry) with one extra wrinkle: band
+    * width derives from max(arrival)/4096 so the band COUNT is capped
+    * at 4096 at any corpus size (an id-range band list, unlike q96's
+    * calendar hours, would otherwise grow linearly with the feed).
+    * Carry-in = max over strictly-earlier bands' maxima (the
+    * triangular broadcast join, q86 discipline).
+    *
+    * The synthetic feed arrives PERFECTLY ordered (event_id order is
+    * ts order at every SF — measured, lateness identically 0), which
+    * would make the profile vacuous; arrival therefore simulates
+    * bounded network jitter by REVERSING each 10-LSN block
+    * (deterministic arithmetic both engines share). On a real feed,
+    * arrival order is the raw ingest LSN and this transform drops out.
+    */
+  def latenessProfile(spark: SparkSession, dir: String, maxBands: Int = 4096): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("tsu"))
+      .withColumn("arr", expr("(event_id div 10) * 10 + (9 - pmod(event_id, 10))"))
+    val width = ev.agg(max("arr")).head.getLong(0) / maxBands + 1
+    val banded = ev.withColumn("band", expr(s"arr div $width")).localCheckpoint(false)
+    val bandMax = banded.groupBy("band").agg(max("tsu").as("bmax"))
+    val offsets = bandMax
+      .as("a")
+      .join(broadcast(bandMax.as("b")), col("b.band") < col("a.band"), "left")
+      .groupBy(col("a.band").as("band"))
+      .agg(max(col("b.bmax")).as("prior_max"))
+    val w = Window.partitionBy("band").orderBy("arr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    banded
+      .join(broadcast(offsets), Seq("band"))
+      .withColumn("seen_max",
+        greatest(coalesce(max("tsu").over(w), lit(Long.MinValue)),
+          coalesce(col("prior_max"), lit(Long.MinValue))))
+      .withColumn("late_us",
+        when(col("seen_max") === Long.MinValue, 0L)
+          .otherwise(greatest(lit(0L), col("seen_max") - col("tsu"))))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        round(expr("percentile(late_us, 0.5)"), 4).as("p50_late_us"),
+        round(expr("percentile(late_us, 0.95)"), 4).as("p95_late_us"),
+        max("late_us").as("max_late_us"))
+  }
+
   /** q98: session ATTRIBUTION (first-touch × last-touch) — the
     * marketing-analytics fold over q25's sessions: every purchase
     * credits (a) the event type that OPENED its session (first-touch)

@@ -151,6 +151,9 @@ class PlanSpec extends SparkSpec {
       // band-TOTALS table — one row per hour of history (~90k rows for
       // a decade), not corpus size
       "q96_peak_concurrency",
+      // same again for the global running MAX: triangular join over a
+      // band-maxima table CAPPED at 4096 rows (width = max_id/4096)
+      "q99_lateness_profile",
     )
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
