@@ -183,6 +183,7 @@ object SparkEntry {
     "q97_asof_tolerance"        -> ((s, d) => Temporal.asofTolerance(GraftSession.tune(s), d)),
     "q98_session_attribution"   -> ((s, d) => Temporal.sessionAttribution(GraftSession.tune(s), d)),
     "q99_lateness_profile"      -> ((s, d) => Temporal.latenessProfile(GraftSession.tune(s), d)),
+    "q100_market_share"         -> ((s, d) => Relational.marketShare(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
   )
 
@@ -976,6 +977,29 @@ object SparkEntry {
         |SELECT first_touch, last_touch, count(*) AS n_purchases
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY first_touch, last_touch""".stripMargin,
+    // q100: the Q8-shape join expressed flat; volume in exact integer
+    // 1e-4 money units (the q62 rule), share in integer ppm via
+    // HUGEINT // (the q94 pairing for Spark's DECIMAL(38) DIV).
+    "q100_market_share" ->
+      """SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_6' THEN v.vol_e4 ELSE 0 END) AS BIGINT)
+        |    AS nation_vol_e4,
+        |  CAST(sum(v.vol_e4) AS BIGINT) AS total_vol_e4,
+        |  CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_6' THEN v.vol_e4 ELSE 0 END) AS HUGEINT)
+        |    * 1000000 // CAST(sum(v.vol_e4) AS HUGEINT) AS BIGINT) AS mkt_share_ppm
+        |FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT)
+        |          * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol_e4
+        |      FROM lineitem) v
+        |JOIN part p ON v.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        |JOIN orders o ON v.l_orderkey = o.o_orderkey
+        |  AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        |JOIN supplier s ON v.l_suppkey = s.s_suppkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |GROUP BY 1""".stripMargin,
     // q99: the oracle is the textbook global window (running max over
     // one ORDER BY event_id) — the compare proves the capped-band
     // decomposition equals it; percentiles via the q20 pairing

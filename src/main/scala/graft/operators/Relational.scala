@@ -936,4 +936,61 @@ object Relational {
         round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
         regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"),
       )
+
+  /** q100: national market share (the TPC-H Q8 shape on this schema) —
+    * the flagship 8-table join: NATION_6 suppliers' share of ECONOMY-
+    * part revenue sold to AMERICA-region customers, by order year. The
+    * declarative plan is the whole point at 100 TB: facts
+    * (lineitem⋈orders) shuffle on their join keys with filters pushed
+    * to every scan (date range, p_type, r_name prune BEFORE the
+    * joins); the four dimension legs (nation ×2, region, supplier,
+    * customer) are broadcast-sized or AQE-broadcast; no join order is
+    * hand-scheduled. Money discipline: volume = extendedprice·(1 −
+    * discount) has exactly 4 decimals, so it rides EXACT integer 1e-4
+    * units (the q62 rule: cents × (100 − disc100)), and the share is
+    * integer ppm via DECIMAL(38) DIV (the q94 rule) — no float crosses
+    * a row boundary, the hash compare is exact at any SF.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val vol = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+          (lit(100L) - expr("cast(round(l_discount * 100) as bigint)"))).as("vol_e4"))
+    val econParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    // range filter on the raw TIMESTAMP_NTZ column (no cast on the
+    // column side) so it reaches the parquet scan as PushedFilters;
+    // order dates are midnight-aligned, so [1995-01-01, 1997-01-01) ==
+    // BETWEEN the two dates
+    val ord = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate").cast("date")).as("o_year"))
+    val amerCust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+            .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    vol
+      .join(econParts, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(amerCust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_6", col("vol_e4")).otherwise(0L)).as("nation_vol_e4"),
+        sum("vol_e4").as("total_vol_e4"))
+      .select(col("o_year"), col("nation_vol_e4"), col("total_vol_e4"),
+        expr("CAST(nation_vol_e4 AS DECIMAL(38,0)) * 1000000 DIV total_vol_e4").as("mkt_share_ppm"))
+  }
 }
