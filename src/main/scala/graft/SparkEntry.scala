@@ -184,7 +184,11 @@ object SparkEntry {
     "q98_session_attribution"   -> ((s, d) => Temporal.sessionAttribution(GraftSession.tune(s), d)),
     "q99_lateness_profile"      -> ((s, d) => Temporal.latenessProfile(GraftSession.tune(s), d)),
     "q100_market_share"         -> ((s, d) => Relational.marketShare(GraftSession.tune(s), d)),
+    "q101_integrity_audit"      -> ((s, d) => Relational.integrityAudit(GraftSession.tune(s), d)),
+    "q102_order_overlap"        -> ((s, d) => Temporal.orderOverlapPairs(GraftSession.tune(s), d)),
+    "q103_shard_entropy"        -> ((s, d) => TrainingData.shardMixEntropy(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
+    "t22_zipf_slope"            -> ((s, d) => TextAnalysis.zipfSlope(GraftSession.tune(s), d)),
   )
 
   // ---- fixed-point Lloyd oracle scaffolding (s04/s05/s06) ----------
@@ -1000,6 +1004,54 @@ object SparkEntry {
         |JOIN supplier s ON v.l_suppkey = s.s_suppkey
         |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
         |GROUP BY 1""".stripMargin,
+    // q101: four independent violation counts assembled into one row;
+    // each count is an anti-join/aggregate both engines express
+    // directly.
+    "q101_integrity_audit" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS orphan_lineitems,
+        |  (SELECT count(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        |    AS childless_orders,
+        |  (SELECT count(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS orders_bad_custkey,
+        |  (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) FROM
+        |    (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+        |    AS dup_orderkey_rows""".stripMargin,
+    // q102: the oracle states overlap as the direct inequality join —
+    // the compare proves the within-key enumeration equals it.
+    "q102_order_overlap" ->
+      """WITH spans AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_us(o_orderdate) AS open_us,
+        |    (SELECT max(epoch_us(l_shipdate)) FROM lineitem l
+        |      WHERE l.l_orderkey = o.o_orderkey) AS close_us
+        |  FROM orders o
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        |SELECT a.o_custkey,
+        |  count(*) AS n_overlap_pairs,
+        |  max(least(a.close_us, b.close_us) - greatest(a.open_us, b.open_us))
+        |    AS max_overlap_us
+        |FROM spans a JOIN spans b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND a.open_us <= b.close_us AND b.open_us <= a.close_us
+        |GROUP BY 1""".stripMargin,
+    // q103: q86's shard rule restated as one window, then the t17-class
+    // per-row-rounded micro-nat fold — n_s·H needs no float division.
+    "q103_shard_entropy" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT shard, source, count(*) AS n_ss FROM s GROUP BY 1, 2),
+        |t AS (SELECT shard, sum(n_ss) AS n_s FROM c GROUP BY 1)
+        |SELECT c.shard, max(t.n_s) AS n_docs,
+        |  sum(n_ss * CAST(round(1e6 * ln(CAST(t.n_s AS DOUBLE) / n_ss)) AS BIGINT))
+        |    AS entropy_unats_scaled
+        |FROM c JOIN t ON c.shard = t.shard
+        |GROUP BY 1""".stripMargin,
     // q99: the oracle is the textbook global window (running max over
     // one ORDER BY event_id) — the compare proves the capped-band
     // decomposition equals it; percentiles via the q20 pairing
@@ -1035,6 +1087,28 @@ object SparkEntry {
         |  CAST(206835000 - (1015 * (sum(w) * 1000000 // sum(s))) // 1000
         |    - (84600 * (sum(y) * 1000000 // sum(w))) // 1000 AS BIGINT) AS flesch_micro
         |FROM per GROUP BY source""".stripMargin,
+    // t22: per-row-rounded micro-unit logs, normal equations in HUGEINT
+    // (DuckDB) / DECIMAL(38) (Spark) — exact integers end-to-end; the
+    // positive-operand DIV avoids truncate-vs-floor on negatives.
+    "t22_zipf_slope" ->
+      """WITH tb AS (
+        |  SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, count(*) AS n FROM tb WHERE term <> '' GROUP BY 1, 2),
+        |r AS (SELECT source, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rank
+        |  FROM tc),
+        |xy AS (SELECT source,
+        |    CAST(CAST(round(1e6 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS HUGEINT) AS x,
+        |    CAST(CAST(round(1e6 * ln(CAST(n AS DOUBLE))) AS BIGINT) AS HUGEINT) AS y
+        |  FROM r WHERE rank <= 1000),
+        |s AS (SELECT source, CAST(count(*) AS HUGEINT) AS m,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT source, CAST(m AS BIGINT) AS n_terms,
+        |  CAST((sx * sy - m * sxy) * 1000000 // (m * sxx - sx * sx) AS BIGINT)
+        |    AS zipf_neg_slope_micro
+        |FROM s""".stripMargin,
     // d04's oracle recomputes the md5-digit simhash fingerprint and cross-
     // checks the EXACT hamming<=3 pair set — valid as a full equality
     // check because 16-bit chunk bucketing finds every hamming<=3 pair by

@@ -993,4 +993,37 @@ object Relational {
       .select(col("o_year"), col("nation_vol_e4"), col("total_vol_e4"),
         expr("CAST(nation_vol_e4 AS DECIMAL(38,0)) * 1000000 DIV total_vol_e4").as("mkt_share_ppm"))
   }
+
+  /** q101: referential-integrity audit — the data-quality gate every
+    * ingest pipeline runs before trusting joins (an orphan fact row
+    * silently VANISHES from inner-join analytics; a duplicate PK
+    * silently DOUBLES revenue). One row of exact violation counts:
+    * orphan lineitems (fact→orders FK broken), childless orders
+    * (no fact rows — legal but watched), orders with a broken
+    * customer FK, and duplicate o_orderkey count. All four are
+    * keyed anti-join / combine shapes — each audit is one shuffle on
+    * the key it checks, the same cost class as the joins it protects;
+    * the four 1-row results assemble by broadcast cross join.
+    */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li   = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val ord  = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    val orphanLineitems = li.join(ord.select("o_orderkey"),
+      li("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    val childlessOrders = ord.select("o_orderkey").join(li.distinct(),
+      col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("childless_orders"))
+    val orphanOrders = ord.select("o_custkey").join(cust,
+      col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orders_bad_custkey"))
+    val dupOrderkeys = ord.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum("n"), lit(0L)).as("dup_orderkey_rows"))
+    orphanLineitems
+      .crossJoin(broadcast(childlessOrders))
+      .crossJoin(broadcast(orphanOrders))
+      .crossJoin(broadcast(dupOrderkeys))
+  }
 }

@@ -777,4 +777,40 @@ object Temporal {
         date_format(col("gh"), "yyyy-MM-dd HH:mm:ss").as("grid_hour"),
         col("value").as("value_locf"))
   }
+
+  /** q102: interval-OVERLAP pairs per key — which of a customer's orders
+    * were open simultaneously (open period = [o_orderdate, last
+    * l_shipdate]; closed-interval overlap, half of Allen's algebra in
+    * one predicate). Completes the engine's interval family: q65 merges
+    * intervals, q46 joins point→range, q96 sweeps global concurrency —
+    * this one enumerates overlapping interval PAIRS.
+    *
+    * Scale shape: intervals derive from one keyed aggregate over the
+    * fact scan (max shipdate per order), then the pair enumeration is a
+    * WITHIN-KEY self-join — candidates bounded by orders-per-customer
+    * (TPC-H ~10, any retail reality ≤ hundreds), partitioned across the
+    * cluster by custkey, never a global O(n²). The `<` on orderkey
+    * halves the pairs and dedupes. A keyless variant would need the
+    * q46 time-grid bucketing; with a key, the key IS the bucket.
+    */
+  def orderOverlapPairs(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.orders(spark, dir)
+      .join(
+        Tables.lineitem(spark, dir).groupBy("l_orderkey")
+          .agg(max(unix_micros(col("l_shipdate").cast("timestamp"))).as("close_us")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("open_us"), col("close_us"))
+    val a = spans.select(col("o_custkey"), col("o_orderkey").as("k1"),
+      col("open_us").as("o1"), col("close_us").as("c1"))
+    val b = spans.select(col("o_custkey"), col("o_orderkey").as("k2"),
+      col("open_us").as("o2"), col("close_us").as("c2"))
+    a.join(b, Seq("o_custkey"))
+      .filter(col("k1") < col("k2") && col("o1") <= col("c2") && col("o2") <= col("c1"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_overlap_pairs"),
+        // longest shared-open stretch: min(close)-max(open), microseconds
+        max(least(col("c1"), col("c2")) - greatest(col("o1"), col("o2")))
+          .as("max_overlap_us"))
+  }
 }

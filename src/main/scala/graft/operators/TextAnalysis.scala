@@ -545,4 +545,45 @@ object TextAnalysis {
         expr("206835000 - (1015 * (words * 1000000 div sentences)) div 1000" +
           " - (84600 * (syllables * 1000000 div words)) div 1000").as("flesch_micro"),
       )
+
+  /** t22: per-source ZIPF rank-frequency slope — the corpus-health law
+    * check (natural text runs slope ≈ −1 on log freq vs log rank;
+    * boilerplate-heavy or template-generated sources flatten or steepen
+    * it). Least-squares slope over the top-`k` terms per source, with
+    * every float rounded PER ROW into integer micro-units (x = ⌊1e6·ln
+    * rank⌉, y = ⌊1e6·ln freq⌉ — the t17 discipline) and the normal
+    * equations folded in DECIMAL(38,0): sums, the n·Σxy−ΣxΣy cross
+    * terms, and the final micro-slope DIV are all exact integer
+    * arithmetic, so no accumulation order can leak into the hash.
+    * Emitted as the POSITIVE `zipf_neg_slope_micro` (the slope is
+    * negative; keeping the DIV operands positive sidesteps the
+    * truncate-vs-floor divergence between engines on negatives).
+    *
+    * Scale shape: one token scan → map-side-combined (source, term)
+    * counts; ranking is a per-source window over the vocabulary
+    * (bounded by the largest source's vocab, sharded by source); the
+    * regression folds over k rows per source.
+    */
+  def zipfSlope(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n").desc, col("term"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"),
+        round(lit(1e6) * log(col("rank").cast("double"))).cast("decimal(38,0)").as("x"),
+        round(lit(1e6) * log(col("n").cast("double"))).cast("decimal(38,0)").as("y"))
+    ranked
+      .groupBy("source")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("m").cast("long").as("n_terms"),
+        expr("CAST((sx * sy - m * sxy) * 1000000 DIV (m * sxx - sx * sx) AS BIGINT)")
+          .as("zipf_neg_slope_micro"))
+  }
 }

@@ -558,4 +558,35 @@ object TrainingData {
       .orderBy(col("score_unats").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** q103: per-shard SOURCE-MIX entropy — the shard-homogeneity audit
+    * run after q86's sharding: a shard whose source distribution
+    * collapsed (entropy → 0) trains on one crawl's biases for its whole
+    * slice of the epoch; healthy shards sit near the corpus-wide mix.
+    * Reported as scaled integer micro-nats (n_docs · H in the same
+    * per-row-rounded fixed point as t17's KL) so the result is
+    * hash-exact across engines: H = Σ (n_ss/n_s)·ln(n_s/n_ss), and
+    * n_s·H = Σ n_ss·ln(n_s/n_ss) needs no final float division.
+    *
+    * Scale shape: the shard assignment is q86's banded prefix-sum (no
+    * global sort, no SinglePartition), then two map-side-combined
+    * aggregates over (shard, source) — a 8×#sources table — and the
+    * entropy fold runs over THAT, not the corpus.
+    */
+  def shardMixEntropy(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val byShardSource = globalShardIds(spark, dir, nShards)
+      .join(src, Seq("doc_id"))
+      .groupBy("shard", "source")
+      .agg(count(lit(1)).as("n_ss"))
+    val shardTot = byShardSource.groupBy("shard").agg(sum("n_ss").as("n_s"))
+    byShardSource
+      .join(broadcast(shardTot), Seq("shard"))
+      .select(col("shard"), col("n_s"),
+        (col("n_ss") *
+          round(lit(1e6) * log(col("n_s").cast("double") / col("n_ss").cast("double")))
+            .cast("long")).as("c"))
+      .groupBy("shard")
+      .agg(max("n_s").as("n_docs"), sum("c").as("entropy_unats_scaled"))
+  }
 }

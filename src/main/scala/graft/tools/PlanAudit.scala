@@ -27,7 +27,8 @@ object PlanAudit {
     // keep in sync with PlanSpec's allowlist (same bounded triangular
     // offset-join idiom: months / score bands / length bands)
     val thetaBnljAllowed = Set("q12_running_revenue", "q74_quality_deciles",
-      "q86_global_shard_ids", "q96_peak_concurrency", "q99_lateness_profile")
+      "q86_global_shard_ids", "q96_peak_concurrency", "q99_lateness_profile",
+      "q103_shard_entropy")
     var bad = 0; var ok = 0; var skipped = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -154,6 +154,9 @@ class PlanSpec extends SparkSpec {
       // same again for the global running MAX: triangular join over a
       // band-maxima table CAPPED at 4096 rows (width = max_id/4096)
       "q99_lateness_profile",
+      // q86's banded prefix-sum reused for the shard assignment the
+      // entropy audit runs over — the same bounded band-count table
+      "q103_shard_entropy",
     )
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString

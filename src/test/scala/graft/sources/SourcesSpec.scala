@@ -153,4 +153,45 @@ class SourcesSpec extends SparkSpec {
       .filter(col("seq") % 8 === 3).select("seq").collect().map(_.getLong(0)).sorted
     assert(got.sameElements(exp), "shard content must be the seq mod 8 residue class")
   }
+
+  test("#281 z-order clustered layout: file envelopes tight on BOTH dimensions; single-sort layout prunes only its own") {
+    import graft.sources.ZOrderLayout
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"))
+    val nFiles = 16
+    val zDir = tmp("zorder")
+    ZOrderLayout.cluster(ev, "user_id", "tsu", nFiles)
+      .write.mode("overwrite").parquet(zDir)
+    val tDir = tmp("tsorted")
+    ev.repartitionByRange(nFiles, col("tsu")).sortWithinPartitions("tsu")
+      .write.mode("overwrite").parquet(tDir)
+
+    // the same min/max envelopes a reader's row-group pruning consults
+    def env(dir: String) = ZOrderLayout
+      .envelopes(spark.read.parquet(dir), Seq("user_id", "tsu")).collect()
+    val (zEnv, tEnv) = (env(zDir), env(tDir))
+    assert(zEnv.length == nFiles && tEnv.length == nFiles)
+
+    // how many files COULD contain the predicate value (must be read)
+    def matching(envs: Array[org.apache.spark.sql.Row], c: String, v: Long) =
+      envs.count(r => r.getAs[Long](s"${c}_min") <= v && v <= r.getAs[Long](s"${c}_max"))
+    val (uMid, tMid) = {
+      val r = ev.agg(expr("percentile(user_id, 0.5D)"), expr("percentile(tsu, 0.5D)")).collect()(0)
+      (r.getDouble(0).toLong, r.getDouble(1).toLong)
+    }
+    val zU = matching(zEnv, "user_id", uMid); val zT = matching(zEnv, "tsu", tMid)
+    val tU = matching(tEnv, "user_id", uMid); val tT = matching(tEnv, "tsu", tMid)
+    // time-sorted: perfect on time, useless on user (every file spans all users)
+    assert(tT <= 2, s"time-sorted layout must prune on time, matched $tT/$nFiles")
+    assert(tU >= nFiles - 1, s"time-sorted layout can't prune on user ($tU/$nFiles) — precondition")
+    // z-order: strictly better than no-pruning on BOTH dimensions at once
+    // (√files-wide envelopes: expect ≲ half the files on a point predicate)
+    assert(zU <= nFiles / 2, s"z-order user envelope too wide: $zU/$nFiles files match")
+    assert(zT <= nFiles / 2, s"z-order time envelope too wide: $zT/$nFiles files match")
+
+    // layout is an ORDER discipline only: content round-trips exactly
+    val got = spark.read.parquet(zDir).select("event_id").collect().map(_.getLong(0)).sorted
+    val exp = ev.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(exp), "z-order write must not drop or duplicate rows")
+  }
 }

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -763,6 +764,51 @@ class ViewCatalogSpec extends SparkSpec {
     assert(cat.versions("vv") == Seq(vers(2)), s"full vacuum: ${cat.versions("vv")}")
     assert(rows(cat.snapshot("vv")) == Set(Seq("ber", "2"), Seq("par", "1")),
       "state survives full vacuum")
+    cat.stopAll()
+  }
+
+  test("#234aa BITEMPORAL composition: transaction-time travel × valid-time as-of, no new engine code") {
+    // bitemporal = "as of system time T, what did we BELIEVE the state
+    // at valid time V was". Transaction time is the catalog's commit
+    // history (snapshotAsOf); valid time is a payload dimension the
+    // view maintains per (entity, valid_day) with LWW corrections.
+    // Composing the two existing primitives answers every (T, V) cell.
+    val (root, src) = (tmp("vcbt"), tmp("vcbtsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    // one row per (entity, valid_day): the latest correction wins
+    cat.createView("obs",
+      "SELECT entity, valid_day, max_by(value, seq) AS value FROM t GROUP BY entity, valid_day")
+    // commit 1: e1's day-1 observation = 10
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0),
+        Map("entity" -> "e1", "valid_day" -> "1", "value" -> "10", "seq" -> "1"), 1L)))
+    cat.awaitAll()
+    // commit 2: day-1 CORRECTED to 12, and a new day-5 observation = 20
+    writeChanges(src, "b2.json", Seq(
+      Change("insert", 2L, ts(1),
+        Map("entity" -> "e1", "valid_day" -> "1", "value" -> "12", "seq" -> "2"), 2L),
+      Change("insert", 3L, ts(2),
+        Map("entity" -> "e1", "valid_day" -> "5", "value" -> "20", "seq" -> "3"), 3L)))
+    cat.awaitAll()
+    val vers = cat.versions("obs")
+    assert(vers.size == 2, s"two commits expected: $vers")
+    // valid-time as-of over a transaction-time snapshot: latest
+    // valid_day <= V per entity (the q26 shape, batch, over the frame)
+    def believedAt(txBatch: Long, validDay: Int): Option[String] = {
+      val snap = cat.snapshotAsOf("obs", txBatch)
+      snap.filter(col("entity") === "e1" &&
+          col("valid_day").cast("long") <= validDay)
+        .orderBy(col("valid_day").cast("long").desc)
+        .limit(1).collect().headOption.map(_.getAs[String]("value"))
+    }
+    // as known at commit 1: day 3 reads the day-1 original
+    assert(believedAt(vers.head, 3).contains("10"), "T=commit1, V=day3 → original 10")
+    // as known now: day 3 reads the CORRECTION, day 7 the new observation
+    assert(believedAt(vers.last, 3).contains("12"), "T=now, V=day3 → corrected 12")
+    assert(believedAt(vers.last, 7).contains("20"), "T=now, V=day7 → 20")
+    // before any valid observation: empty
+    assert(believedAt(vers.last, 0).isEmpty, "V before first valid_day → none")
     cat.stopAll()
   }
 
