@@ -187,8 +187,12 @@ object SparkEntry {
     "q101_integrity_audit"      -> ((s, d) => Relational.integrityAudit(GraftSession.tune(s), d)),
     "q102_order_overlap"        -> ((s, d) => Temporal.orderOverlapPairs(GraftSession.tune(s), d)),
     "q103_shard_entropy"        -> ((s, d) => TrainingData.shardMixEntropy(GraftSession.tune(s), d)),
+    "q104_leakage_safe_split"   -> ((s, d) => TrainingData.leakageSafeSplit(GraftSession.tune(s), d)),
+    "q105_sole_failing_supplier" -> ((s, d) => Relational.soleFailingSupplier(GraftSession.tune(s), d)),
+    "q106_rfm_segments"         -> ((s, d) => Relational.rfmSegments(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
     "t22_zipf_slope"            -> ((s, d) => TextAnalysis.zipfSlope(GraftSession.tune(s), d)),
+    "t23_perplexity_buckets"    -> ((s, d) => TextAnalysis.perplexityBuckets(GraftSession.tune(s), d)),
   )
 
   // ---- fixed-point Lloyd oracle scaffolding (s04/s05/s06) ----------
@@ -1109,6 +1113,107 @@ object SparkEntry {
         |  CAST((sx * sy - m * sxy) * 1000000 // (m * sxx - sx * sx) AS BIGINT)
         |    AS zipf_neg_slope_micro
         |FROM s""".stripMargin,
+    // q105: the oracle is the TEXTBOOK doubly-correlated Q21 form
+    // (EXISTS + NOT EXISTS against the same fact table) — the compare
+    // proves the two-aggregate decorrelation equals it, line counts and
+    // all. numwait DESC, s_name is a total order (names unique), so the
+    // LIMIT 20 cut is deterministic on both engines.
+    "q105_sole_failing_supplier" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin,
+    // q106: the oracle states the scores with plain global row_number
+    // windows (it is allowed a single-node sort; the engine is not) and
+    // the SAME floor((rank-1)*5/n)+1 cut + CASE ladder — the compare
+    // proves the banded decomposition equals the global-sort statement.
+    "q106_rfm_segments" ->
+      """WITH r AS (SELECT o_custkey AS c_custkey,
+        |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS r_us,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT c_custkey,
+        |    row_number() OVER (ORDER BY r_us, c_custkey) AS rr,
+        |    row_number() OVER (ORDER BY f, c_custkey) AS rf,
+        |    row_number() OVER (ORDER BY m_cents, c_custkey) AS rm,
+        |    count(*) OVER () AS n
+        |  FROM r),
+        |s AS (SELECT c_custkey,
+        |    ((rr - 1) * 5) // n + 1 AS r_score,
+        |    ((rf - 1) * 5) // n + 1 AS f_score,
+        |    ((rm - 1) * 5) // n + 1 AS m_score
+        |  FROM t)
+        |SELECT c_custkey, r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |       WHEN r_score >= 4 AND f_score >= 4 THEN 'loyal'
+        |       WHEN r_score >= 4 THEN 'recent'
+        |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |       WHEN r_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM s""".stripMargin,
+    // t23: the oracle replays t05's unigram model with per-row-rounded
+    // micro-unit log-probs (exact integer doc scores), then the SAME
+    // total order (score/words DESC, doc_id) feeds the SQL-standard
+    // ntile(3) on both engines — identical buckets by construction.
+    "t23_perplexity_buckets" ->
+      """WITH dw AS (SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, count(*) AS wc FROM dw GROUP BY w),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM dw),
+        |pd AS (SELECT dw.doc_id, dw.lang,
+        |    CAST(sum(CAST(round(1000000.0 * log10(f.wc / t.total)) AS BIGINT)) AS BIGINT)
+        |      AS lp_micro,
+        |    count(*) AS nw
+        |  FROM dw JOIN f ON dw.w = f.w CROSS JOIN t
+        |  GROUP BY dw.doc_id, dw.lang),
+        |nb AS (SELECT lang, lp_micro, nw,
+        |    ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY CAST(lp_micro AS DOUBLE) / nw DESC, doc_id) AS b
+        |  FROM pd)
+        |SELECT lang,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(lp_micro) AS BIGINT) AS lp_micro_sum,
+        |  CAST(sum(nw) AS BIGINT) AS n_words
+        |FROM nb GROUP BY 1, 2""".stripMargin,
+    // q104: the oracle re-derives d06's exact clusters (recursive-CTE
+    // connected components over the verified near-dup pairs), defaults
+    // pairless docs to singleton clusters, and applies q42's md5 rule to
+    // the CLUSTER id — the compare proves the distributed CC + keyed
+    // join equals the declarative statement of "split by family".
+    "q104_leakage_safe_split" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |    i -> array_to_string(words[i:i+4], ' '))) AS g FROM w) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT ov.doc_a, ov.doc_b
+        |  FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b
+        |  WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5),
+        |e AS (SELECT doc_a, doc_b FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, label) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM e
+        |  UNION
+        |  SELECT e.doc_a, r.label FROM e JOIN reach r ON r.doc_id = e.doc_b),
+        |cl AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, coalesce(cl.cluster, d.doc_id) AS cluster,
+        |  CASE WHEN substr(md5(CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 1, 4) < 'e666'
+        |       THEN 'train' ELSE 'eval' END AS split
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin,
     // d04's oracle recomputes the md5-digit simhash fingerprint and cross-
     // checks the EXACT hamming<=3 pair set — valid as a full equality
     // check because 16-bit chunk bucketing finds every hamming<=3 pair by

@@ -1026,4 +1026,113 @@ object Relational {
       .crossJoin(broadcast(orphanOrders))
       .crossJoin(broadcast(dupOrderkeys))
   }
+
+  /** q105: sole-failing-supplier attribution — the TPC-H Q21 shape
+    * (suppliers-who-kept-orders-waiting), the classic DOUBLE-correlated
+    * quantified query: count a supplier's returned lines on orders where
+    * ANOTHER supplier participated (EXISTS) but NO other supplier had a
+    * return (NOT EXISTS) — "the one who failed a multi-supplier order
+    * alone". (This corpus has no receipt/commit dates, so "failed" =
+    * returnflag 'R'; the correlation structure is Q21's exactly.)
+    *
+    * Spark-first DECORRELATION — no correlated self-joins: one
+    * (order, supplier) aggregate (did he return? how many lines?), one
+    * order-level rollup of it (suppliers, returning suppliers), one
+    * keyed join back, then the supplier-level count. Both EXISTS and
+    * NOT EXISTS become comparisons against the rollup's counts, each
+    * lineitem row is touched once, and every shuffle is keyed by
+    * orderkey/suppkey — the cost class of ONE pass over the fact table
+    * at 100 TB, where the textbook doubly-nested form re-scans it twice
+    * per outer row. The oracle IS the textbook form: the compare proves
+    * the decorrelation.
+    */
+  def soleFailingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), (col("l_returnflag") === "R").cast("long").as("ret"))
+    val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(max("ret").as("sup_ret"), sum("ret").as("ret_lines"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("sup_ret").as("n_ret_supp"))
+    perSupp
+      .filter(col("sup_ret") === 1)
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
+      .groupBy("l_suppkey")
+      .agg(sum("ret_lines").as("kw"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      // names are NOT unique per suppkey (the dim dedupes keys, not
+      // names) — the report aggregates by name, like the textbook query
+      .groupBy("s_name")
+      .agg(sum("kw").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** Global quintile (or any k-tile) score for `value` without a
+    * SinglePartition sort — q74's band decomposition generalized to an
+    * arbitrary numeric range: rows band by `width_bucket` against the
+    * broadcast global min/max, per-band counts (tiny) self-cross into
+    * exclusive offsets, and the global rank is offset + the row's rank
+    * WITHIN its band — every sort is per-band, cluster-wide. Tile rule
+    * is the equal-width quantile cut floor((rank−1)·k/n)+1 (NOT SQL
+    * ntile's first-buckets-get-extras rule — this one is a pure formula
+    * both engines state identically). Ties break by `id`, so the order
+    * is total and the scores engine-exact on integer values.
+    */
+  private def globalTile(df: DataFrame, value: String, id: String, tiles: Int,
+      out: String, bands: Int = 1000): DataFrame = {
+    val stats = df.agg(
+      min(col(value).cast("double")).as("lo"), max(col(value).cast("double")).as("hi"))
+    val banded = df
+      .crossJoin(broadcast(stats))
+      .withColumn("band",
+        least(greatest(
+          coalesce(width_bucket(col(value).cast("double"), col("lo"), col("hi"), lit(bands)),
+            lit(1L)) - 1L, lit(0L)), lit(bands - 1L)))
+      .drop("lo", "hi")
+    val counts = banded.groupBy("band").agg(count(lit(1)).as("cnt"))
+    val meta = counts.as("a")
+      .crossJoin(broadcast(counts.as("b")))
+      .groupBy(col("a.band").as("band"))
+      .agg(sum(when(col("b.band") < col("a.band"), col("b.cnt"))).as("offset"),
+        sum(col("b.cnt")).as("n"))
+    val w = Window.partitionBy("band").orderBy(col(value).asc, col(id).asc)
+    banded
+      .join(broadcast(meta), Seq("band"))
+      .withColumn("rn", coalesce(col("offset"), lit(0L)) + row_number().over(w))
+      .withColumn(out, (floor((col("rn") - 1) * tiles / col("n")) + 1).cast("long"))
+      .drop("band", "offset", "n", "rn")
+  }
+
+  /** q106: RFM customer segmentation — the classic lifecycle-marketing
+    * cut (Recency / Frequency / Monetary, each scored 1–5 by global
+    * quintile) plus a deterministic segment ladder (champion / loyal /
+    * recent / at_risk / hibernating / regular). Scope = customers who
+    * ordered (RFM is undefined without a purchase).
+    *
+    * Scale shape: one keyed aggregate over orders (recency as exact
+    * epoch micros, monetary as exact integer cents — round(×100) is
+    * tie-free on 2-decimal money), then THREE [[globalTile]] passes —
+    * each a banded decomposition, so no global sort ever materializes
+    * on one partition; the segment CASE is a scan projection.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val rfm = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("r_us"),
+        count(lit(1)).as("f"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+    val scored = Seq(("r_us", "r_score"), ("f", "f_score"), ("m_cents", "m_score"))
+      .foldLeft(rfm) { case (df, (v, out)) => globalTile(df, v, "c_custkey", 5, out) }
+    scored.select(
+      col("c_custkey"), col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+        .when(col("r_score") >= 4 && col("f_score") >= 4, "loyal")
+        .when(col("r_score") >= 4, "recent")
+        .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+        .when(col("r_score") <= 2, "hibernating")
+        .otherwise("regular").as("segment"))
+  }
 }

@@ -586,4 +586,52 @@ object TextAnalysis {
         expr("CAST((sx * sy - m * sxy) * 1000000 DIV (m * sxx - sx * sx) AS BIGINT)")
           .as("zipf_neg_slope_micro"))
   }
+
+  /** t23: CCNet-style per-language fluency buckets (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): rank every document by its LM score WITHIN its language and
+    * cut the distribution into head / middle / tail terciles — the
+    * bucketing CCNet uses so a quality threshold never compares scores
+    * across languages (an unconditionally-applied global cutoff throws
+    * away whole low-resource languages). The LM here is the t05 unigram
+    * corpus model; per-word log10-probs are rounded to integer
+    * micro-units PER ROW (the t17 fixed point) so each document's score
+    * is an exact integer on both engines, and the tercile order key is
+    * that integer sum divided by the word count (one IEEE division of
+    * exact integers — deterministic), ties broken by doc_id.
+    *
+    * Scale shape: two passes over the exploded words (corpus freqs,
+    * then a broadcast join back — t05's shape), a per-doc combine, and
+    * ONE per-language sort for ntile. The per-language sort is inherent
+    * to exact terciles; at 100 TB you would swap ntile for thresholds
+    * from approx quantiles (q19's sketch) and keep everything else.
+    * Output is bucket-level (lang × tercile counts + exact integer
+    * score/token sums), the shape a mixture-planning step consumes.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docWords = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(words(lower(col("text")))).as("w"))
+    val freqs  = docWords.groupBy("w").agg(count(lit(1)).as("wc"))
+    val totals = freqs.agg(sum("wc").cast("double").as("total"))
+    val perDoc = docWords
+      .join(broadcast(freqs), Seq("w"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        sum(round(lit(1e6) * log10(col("wc") / col("total"))).cast("long")).as("lp_micro"),
+        count(lit(1)).as("nw"))
+    val byFluency = Window
+      .partitionBy("lang")
+      .orderBy((col("lp_micro").cast("double") / col("nw")).desc, col("doc_id"))
+    perDoc
+      .withColumn("b", ntile(3).over(byFluency))
+      .groupBy(
+        col("lang"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle").otherwise("tail").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("lp_micro").as("lp_micro_sum"),
+        sum("nw").as("n_words"))
+  }
 }

@@ -589,4 +589,33 @@ object TrainingData {
       .groupBy("shard")
       .agg(max("n_s").as("n_docs"), sum("c").as("entropy_unats_scaled"))
   }
+
+  /** q104: LEAKAGE-SAFE train/eval split — the correction q42 alone
+    * cannot give: a per-document hash split puts two near-duplicates on
+    * opposite sides often (for a duplicate pair, P ≈ 2·p·(1−p)), and an
+    * eval doc whose near-twin was trained on is effectively train data —
+    * the classic silent eval inflation. The fix is to split by NEAR-DUP
+    * CLUSTER: d06's connected-component label is the split unit (a doc
+    * in no near-dup pair is its own singleton cluster = its id), and
+    * q42's deterministic md5 rule is applied to the CLUSTER id, so a
+    * whole duplicate family always moves together. Output carries the
+    * per-doc assignment plus the cluster id so downstream dedup can
+    * still pick one representative per side.
+    *
+    * Scale shape: dominated by d06 (bucketed LSH candidates + min-label
+    * CC, already linear-ish and lineage-cut); the split itself is one
+    * keyed left join of the label table onto the corpus and a
+    * scan-shaped projection — no new shuffle class beyond d06's.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.dedupClusters(spark, dir).select(col("doc_id"), col("cluster"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("cluster"),
+        when(substring(md5(col("cluster").cast("string")), 1, 4) < "e666", "train")
+          .otherwise("eval").as("split"))
+  }
 }

@@ -198,6 +198,52 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     replaced
   }
 
+  /** `ALTER MATERIALIZED VIEW name SET (ttl_delay=…, ttl_ms=…)`: retune
+    * a LIVE expiring view's retention — the operational knob turned when
+    * a feed's lateness profile shifts (t21's measurement is the input) —
+    * WITHOUT discarding its state: same definition, same checkpoint,
+    * same sink history; the maintenance query restarts with the new
+    * watermark delay / tombstone TTL and picks up exactly where it was.
+    *
+    * Scoped to Some→Some on purpose: None↔Some changes the compiled
+    * dataflow's stateful-operator shape (timeout conf, watermark
+    * chain), which a checkpoint cannot survive — that transition is a
+    * REDEFINITION and belongs to `CREATE OR REPLACE` (full rebuild).
+    * Crash discipline: new meta persists BEFORE the restart (a crash in
+    * between resumes with the new ttl — the intended end state); if the
+    * restart itself throws, the old meta is restored and the old
+    * dataflow restarted, so the catalog never holds a half-altered view.
+    */
+  def alterViewTtl(name: String, ttl: (String, Long)): NamedView = {
+    val v = views.getOrElse(name, throw new IllegalArgumentException(s"no view named $name"))
+    val (_, viewSql, deps, oldTtl) = loadMeta(metaPath(name))
+    require(oldTtl.isDefined,
+      s"view $name is not an expiring view — ALTER ... SET ttl retunes an existing ttl; " +
+        "adding or removing one changes the dataflow's state shape (use CREATE OR REPLACE)")
+    v.query.stop()
+    val p = new java.util.Properties()
+    def persist(t: (String, Long)): Unit = {
+      p.setProperty("sql", viewSql)
+      p.setProperty("deps", deps.mkString(","))
+      p.setProperty("cols", v.cols.mkString(","))
+      p.setProperty("ttlDelay", t._1)
+      p.setProperty("ttlMs", t._2.toString)
+      val w = Files.newBufferedWriter(metaPath(name))
+      try p.store(w, null) finally w.close()
+    }
+    persist(ttl)
+    val nv =
+      try startView(name, viewSql, deps, Some(ttl))
+      catch {
+        case e: Throwable =>
+          persist(oldTtl.get)
+          views(name) = startView(name, viewSql, deps, oldTtl)
+          throw e
+      }
+    views(name) = nv
+    nv
+  }
+
   /** Every view transitively downstream of `name`, in topological order
     * (parents before their dependents) — the CASCADE rebuild order.
     */
@@ -444,6 +490,33 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** SUSPEND one view's maintenance without forgetting it: the query
+    * stops, the definition/meta/checkpoint/history all stay, `status`
+    * shows it not-live, and its feed simply stops growing — dependents
+    * keep running against the last committed state (they tail the feed
+    * directory, not the query). The single-view half of the operational
+    * pair the whole-catalog stopAll/resume already gives: pause ONE
+    * expensive view during an incident without touching the graph.
+    */
+  def suspendView(name: String): Unit = {
+    val v = views.getOrElse(name, throw new IllegalArgumentException(s"no view named $name"))
+    v.query.stop()
+  }
+
+  /** Resume ONE suspended view from its checkpoint (exactly where
+    * [[suspendView]] left it — the single-view [[resume]]). No-op call
+    * order is the caller's concern: resuming a live view is rejected so
+    * two maintenance queries can never race one checkpoint.
+    */
+  def resumeView(name: String): NamedView = {
+    val v = views.getOrElse(name, throw new IllegalArgumentException(s"no view named $name"))
+    require(!v.query.isActive, s"view $name is live — suspend it first")
+    val (_, sql, deps, ttl) = loadMeta(metaPath(name))
+    val nv = startView(name, sql, deps, ttl)
+    views(name) = nv
+    nv
+  }
+
   /** Drain the whole graph deterministically (specs, batch-ish runs):
     * `processAllAvailable` on every view in dependency order, so a
     * layer's emissions land before its dependents drain. One pass
@@ -552,6 +625,9 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     "(?is)^SHOW\\s+CREATE\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
   private val VacuumRe =
     "(?is)^VACUUM\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+KEEP\\s+(\\d+))?\\s*$".r
+  private val AlterTtlRe =
+    ("(?is)^ALTER\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s+SET\\s*\\(\\s*ttl_delay\\s*=\\s*'([^']+)'\\s*,\\s*ttl_ms\\s*=\\s*(\\d+)\\s*\\)\\s*$").r
 
   /** The catalog as ONE SQL entry point — the literal front-door syntax
     * of a changefeed engine:
@@ -572,6 +648,9 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     *    retention: fold history into the base keeping the newest n
     *    commits time-travelable; returns (view, base_batch,
     *    versions_retained).
+    *  - `ALTER MATERIALIZED VIEW v SET (ttl_delay='…', ttl_ms=…)` →
+    *    [[alterViewTtl]]: retune a live expiring view's retention in
+    *    place (state, checkpoint, history kept).
     *  - anything else → ad-hoc query: every named view the statement
     *    references is registered as its CURRENT snapshot, then the
     *    statement runs through `spark.sql` (so views, sources-as-temp
@@ -608,6 +687,9 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
         val vs = versions(name)
         Seq((name, vs.headOption.getOrElse(-1L), vs.length))
           .toDF("view", "base_batch", "versions_retained")
+      case AlterTtlRe(name, ttlDelay, ttlMs) =>
+        alterViewTtl(name, (ttlDelay, ttlMs.toLong))
+        Seq((name, ttlDelay, ttlMs.toLong)).toDF("view", "ttl_delay", "ttl_ms")
       case _ =>
         // time-travel sugar: `FROM v VERSION AS OF 3` reads the named
         // view's snapshotAsOf(3), `FROM v TIMESTAMP AS OF '2026-08-14

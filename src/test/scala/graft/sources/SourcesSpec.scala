@@ -194,4 +194,71 @@ class SourcesSpec extends SparkSpec {
     val exp = ev.select("event_id").collect().map(_.getLong(0)).sorted
     assert(got.sameElements(exp), "z-order write must not drop or duplicate rows")
   }
+
+  test("#285 small-file compaction: per-leaf rewrite to target size, big files untouched, content exact, idempotent") {
+    val dir = tmp("compact")
+    val ev  = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    // the small-file disease: 12 files per partition leaf
+    ev.repartition(12).write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    // plus one file per leaf that is already big enough to leave alone
+    val statsBefore = Compaction.fileStats(spark, dir).collect()
+    assert(statsBefore.forall(_.getAs[Long]("n_files") >= 12), "precondition: many small files")
+    val bigBytes = statsBefore.map(_.getAs[Long]("total_bytes")).max * 3
+
+    val reports = Compaction.compact(spark, dir, targetBytes = bigBytes, smallBytes = bigBytes)
+    assert(reports.nonEmpty, "compaction must touch every fragmented leaf")
+    // every leaf collapses to ceil(bytes/target) = 1 file
+    val statsAfter = Compaction.fileStats(spark, dir).collect()
+    assert(statsAfter.forall(_.getAs[Long]("n_files") == 1),
+      s"expected 1 file per leaf, got ${statsAfter.map(_.getAs[Long]("n_files")).toSeq}")
+    // content round-trips exactly (partition column restored on read)
+    val got = spark.read.parquet(dir).select("event_id").collect().map(_.getLong(0)).sorted
+    val exp = ev.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(exp), "compaction must not drop or duplicate rows")
+    // files at/over smallBytes stay byte-identical in place: re-running
+    // finds nothing under the threshold (single merged file per leaf is
+    // counted alone → skipped) — idempotence
+    assert(Compaction.compact(spark, dir, bigBytes, bigBytes).isEmpty,
+      "second pass must be a no-op")
+    // and a pass whose size threshold classifies every file as big
+    // touches nothing either (the big-files-stay-in-place contract)
+    assert(Compaction.compact(spark, dir, bigBytes, smallBytes = 2).isEmpty,
+      "files at/over smallBytes must be left alone")
+    // scratch dir cleaned up
+    assert(!new java.io.File(s"$dir/_graft_compact_tmp").exists())
+  }
+
+  test("#286 file-skipping index: range read opens only envelope-matching files; stale index fails closed") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"))
+    val dir = tmp("skipidx")
+    // time-clustered layout: tsu envelopes are tight, so a narrow time
+    // range should touch a small fraction of the 16 files
+    ev.repartitionByRange(16, col("tsu")).sortWithinPartitions("tsu")
+      .write.mode("overwrite").parquet(dir)
+    SkippingIndex.build(spark, dir, Seq("tsu", "user_id"))
+
+    val (lo, hi) = {
+      val r = ev.agg(expr("percentile(tsu, 0.50D)"), expr("percentile(tsu, 0.55D)")).collect()(0)
+      (r.getDouble(0).toLong, r.getDouble(1).toLong)
+    }
+    val pruned = SkippingIndex.readRange(spark, dir, "tsu", lit(lo), lit(hi))
+    val expect = spark.read.parquet(dir).filter(col("tsu") >= lo && col("tsu") <= hi)
+    // correctness: identical rows to the full-scan filter
+    assert(pruned.select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(expect.select("event_id").collect().map(_.getLong(0)).sorted))
+    // pruning: the scan's file list shrank (driver-side, before planning)
+    val opened = pruned.select("event_id").inputFiles.length
+    assert(opened <= 4, s"a ~5%-range read should open few of 16 files, opened $opened")
+
+    // stale index fails CLOSED: append files AFTER the build — their rows
+    // must still appear (unindexed files union into every read)
+    ev.filter(col("tsu") >= lo && col("tsu") <= hi).limit(7)
+      .withColumn("event_id", col("event_id") + 1000000000L)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val after = SkippingIndex.readRange(spark, dir, "tsu", lit(lo), lit(hi))
+    assert(after.filter(col("event_id") >= 1000000000L).count() == 7,
+      "rows in unindexed files must not be skipped")
+  }
 }

@@ -955,4 +955,90 @@ class ViewCatalogSpec extends SparkSpec {
       s"legacy marker must fall back to mtime: $legacy")
     cat.stopAll()
   }
+
+  test("#234ab ALTER … SET ttl: retunes a live expiring view in place (state kept); non-expiring rejects; survives resume") {
+    val (root, src) = (tmp("vcalter"), tmp("vcaltersrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    cat.createView("a_tot", "SELECT city, sum(amount) AS total FROM t GROUP BY city",
+      ttl = Some(("10 minutes", 60000L)))
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "par", "amount" -> "30"), 2L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "a_tot", Seq("city", "total")) ==
+      Set(Seq("ber", "50.0"), Seq("par", "30.0")))
+
+    // retune: the view keeps its checkpoint + sink — post-alter changes
+    // FOLD INTO pre-alter state instead of recounting from zero
+    cat.alterViewTtl("a_tot", ("30 minutes", 120000L))
+    writeChanges(src, "b2.json", Seq(
+      Change("insert", 3L, ts(2), Map("city" -> "ber", "amount" -> "25"), 3L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "a_tot", Seq("city", "total")) ==
+      Set(Seq("ber", "75.0"), Seq("par", "30.0")),
+      "pre-alter state must survive the retune")
+    assert(cat.showCreate("a_tot").contains("ttl_delay='30 minutes', ttl_ms=120000"),
+      cat.showCreate("a_tot"))
+
+    // the SQL front door spells it the same way
+    val frame = cat.sql(
+      "ALTER MATERIALIZED VIEW a_tot SET (ttl_delay='45 minutes', ttl_ms=180000)")
+      .collect()(0)
+    assert(frame.getAs[String]("ttl_delay") == "45 minutes" && frame.getAs[Long]("ttl_ms") == 180000L)
+    assert(cat.showCreate("a_tot").contains("ttl_delay='45 minutes'"))
+
+    // None→Some is a redefinition, not a retune: the state shape changes
+    cat.createView("a_plain", "SELECT city, amount FROM t WHERE amount > 10")
+    intercept[IllegalArgumentException] {
+      cat.alterViewTtl("a_plain", ("10 minutes", 60000L))
+    }
+
+    // the altered ttl is the durable truth: a fresh catalog resumes with
+    // it and keeps folding into the same state
+    cat.stopAll()
+    val cat2 = new ViewCatalog(spark, root)
+    cat2.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    assert(cat2.resume().contains("a_tot"))
+    assert(cat2.showCreate("a_tot").contains("ttl_delay='45 minutes'"))
+    writeChanges(src, "b3.json", Seq(
+      Change("insert", 4L, ts(3), Map("city" -> "par", "amount" -> "10"), 4L)))
+    cat2.awaitAll()
+    assert(snapRows(cat2, "a_tot", Seq("city", "total")) ==
+      Set(Seq("ber", "75.0"), Seq("par", "40.0")),
+      "resumed view must fold onto the altered-ttl state")
+    cat2.stopAll()
+  }
+
+  test("#234ac suspendView/resumeView: one view pauses (catalog intact), resumes from its checkpoint; double-resume rejects") {
+    val (root, src) = (tmp("vcsusp"), tmp("vcsuspsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    cat.createView("s_tot", "SELECT city, sum(amount) AS total FROM t GROUP BY city")
+    cat.createView("s_hi", "SELECT city, total FROM s_tot WHERE total >= 40")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "s_hi", Seq("city", "total")) == Set(Seq("ber", "50.0")))
+
+    cat.suspendView("s_tot")
+    assert(!cat.status().find(_.name == "s_tot").get.live)
+    assert(cat.status().find(_.name == "s_hi").get.live, "dependents stay live")
+    // changes arriving while suspended are NOT processed…
+    writeChanges(src, "b2.json", Seq(
+      Change("insert", 2L, ts(1), Map("city" -> "ber", "amount" -> "25"), 2L)))
+    Thread.sleep(300)
+    assert(snapRows(cat, "s_tot", Seq("city", "total")) == Set(Seq("ber", "50.0")),
+      "suspended view must not advance")
+    intercept[IllegalArgumentException] { cat.resumeView("nope") }
+
+    // …and fold in exactly once on resume, from the checkpoint
+    cat.resumeView("s_tot")
+    cat.awaitAll()
+    assert(snapRows(cat, "s_tot", Seq("city", "total")) == Set(Seq("ber", "75.0")))
+    assert(snapRows(cat, "s_hi", Seq("city", "total")) == Set(Seq("ber", "75.0")),
+      "the dependent sees the resumed view's new commits")
+    intercept[IllegalArgumentException] { cat.resumeView("s_tot") } // live → reject
+    cat.stopAll()
+  }
 }
