@@ -190,6 +190,10 @@ object SparkEntry {
     "q104_leakage_safe_split"   -> ((s, d) => TrainingData.leakageSafeSplit(GraftSession.tune(s), d)),
     "q105_sole_failing_supplier" -> ((s, d) => Relational.soleFailingSupplier(GraftSession.tune(s), d)),
     "q106_rfm_segments"         -> ((s, d) => Relational.rfmSegments(GraftSession.tune(s), d)),
+    "q107_important_parts"      -> ((s, d) => Relational.importantParts(GraftSession.tune(s), d)),
+    "q108_dormant_balance"      -> ((s, d) => Relational.dormantHighBalance(GraftSession.tune(s), d)),
+    "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
+    "s10_ann_recall"            -> ((s, d) => Similarity.annRecallAudit(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
     "t22_zipf_slope"            -> ((s, d) => TextAnalysis.zipfSlope(GraftSession.tune(s), d)),
     "t23_perplexity_buckets"    -> ((s, d) => TextAnalysis.perplexityBuckets(GraftSession.tune(s), d)),
@@ -1344,6 +1348,94 @@ object SparkEntry {
         |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
         |SELECT query_id, label, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 3""".stripMargin),
+    // q107: the Q11-shape value-concentration cut — exact 1e-4-dollar
+    // integers, 1.5×-average threshold by integer cross-multiply on
+    // both engines.
+    "q107_important_parts" ->
+      """WITH v AS (SELECT l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+        |    AS value_e4
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4, count(*) AS n_parts FROM v)
+        |SELECT l_partkey, value_e4 FROM v, t
+        |WHERE value_e4 * n_parts * 10 > total_e4 * 15""".stripMargin,
+    // q108: the Q22 shape — the oracle states it with NOT EXISTS over the
+    // date-filtered orders and the same exact-cents cross-multiplied
+    // threshold; the compare proves the broadcast-scalar + anti-join
+    // decorrelation.
+    "q108_dormant_balance" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+        |s AS (SELECT count(*) AS n_pos, CAST(sum(bal_cents) AS BIGINT) AS sum_pos_cents
+        |  FROM c WHERE bal_cents > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM c, s
+        |WHERE bal_cents * n_pos > sum_pos_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
+    // t24: in-doc trigram duplication — the oracle rebuilds the grams
+    // with the d15 slice pattern (words[i:i+2] = 3 tokens) and the same
+    // integer 20% cross-multiply; docs under 3 words survive the LEFT
+    // join with zero totals on both engines.
+    "t24_dup_ngrams" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS g FROM w),
+        |pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, sum(c) AS total_grams,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_grams FROM pg GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(pd.total_grams, 0)) AS BIGINT) AS total_grams,
+        |  CAST(sum(coalesce(pd.dup_grams, 0)) AS BIGINT) AS dup_grams,
+        |  CAST(sum(CASE WHEN coalesce(pd.dup_grams, 0) * 5 > coalesce(pd.total_grams, 0)
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |GROUP BY 1""".stripMargin,
+    // s10: recall@3 of the 8-plane multi-probe LSH index vs the exact
+    // baseline — the oracle replays BOTH pipelines (s02's bucketed CTEs,
+    // s01's brute force) and intersects the top-3 sets per query.
+    "s10_ann_recall" ->
+      ("""WITH b AS (SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+        |""".stripMargin
+        + (0 until 8).map { j =>
+          s"""  CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1),
+             |    k -> CAST(embedding[k] AS DOUBLE) * sin(${j * 131}.0 + (k - 1) * 0.7)), 'sum') > 0
+             |  THEN ${1 << j} ELSE 0 END""".stripMargin
+        }.mkString("", " +\n", " AS bucket\n")
+        + """  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket AS qb
+        |  FROM b WHERE vec_id < 10),
+        |probes AS (SELECT query_id, q_emb, q_norm,
+        |  unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8),
+        |          xor(qb, 16), xor(qb, 32), xor(qb, 64), xor(qb, 128)]) AS bucket FROM q),
+        |lp AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(pr.q_emb[i] AS DOUBLE) * e.embedding[i]), 'sum')
+        |    / (pr.q_norm * e.norm), 6) AS sim6
+        | FROM b e JOIN probes pr ON e.bucket = pr.bucket AND e.vec_id <> pr.query_id),
+        |lr AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM lp),
+        |lshk AS (SELECT query_id, neighbor_id FROM lr WHERE rn <= 3),
+        |ep AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * e.embedding[i]), 'sum')
+        |    / (q.q_norm * e.norm), 6) AS sim6
+        | FROM b e, q WHERE e.vec_id <> q.query_id),
+        |er AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM ep),
+        |ex AS (SELECT query_id, neighbor_id FROM er WHERE rn <= 3),
+        |h AS (SELECT x.query_id, count(*) AS c FROM ex x JOIN lshk l
+        |  ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id GROUP BY 1)
+        |SELECT e.query_id, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(coalesce(any_value(h.c), 0) AS BIGINT) AS n_hit
+        |FROM ex e LEFT JOIN h ON e.query_id = h.query_id
+        |GROUP BY e.query_id""".stripMargin),
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
         |  FROM embeddings WHERE vec_id < 10),

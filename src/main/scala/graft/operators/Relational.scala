@@ -1135,4 +1135,71 @@ object Relational {
         .when(col("r_score") <= 2, "hibernating")
         .otherwise("regular").as("segment"))
   }
+
+  /** q107: value-concentration cut — the TPC-H Q11 shape ("important
+    * stock"): keep the parts whose revenue exceeds a multiple of the
+    * AVERAGE part's share (1.5×, a scale-free concentration rule — a
+    * fixed fraction of total goes empty as the part universe grows).
+    * The classic aggregate-vs-global-scalar query: the naive form
+    * re-evaluates a scalar subquery over the whole fact table;
+    * decorrelated Spark-first it is ONE keyed aggregate over lineitem, a
+    * 1-row global rollup OF THAT AGGREGATE (not a second fact scan),
+    * broadcast back as the threshold — the fact table is touched exactly
+    * once at any scale.
+    *
+    * Exactness: revenue in 1e-4-dollar integer units (extprice has 2
+    * decimals, discount 2 → the product has ≤4; round(×10000) of the
+    * identical IEEE product is tie-free), and the HAVING compares
+    * integers cross-multiplied (`value_e4 · n_parts · 10 > total_e4 ·
+    * 15`) so no division ever crosses the hash.
+    */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")).as("value_e4"))
+    val total = vals.agg(sum("value_e4").as("total_e4"), count(lit(1)).as("n_parts"))
+    vals
+      .crossJoin(broadcast(total))
+      .filter(col("value_e4") * col("n_parts") * 10 > col("total_e4") * 15)
+      .select(col("l_partkey"), col("value_e4"))
+  }
+
+  /** q108: lapsed high-balance customers — the TPC-H Q22 shape ("global
+    * sales opportunity"): customers whose balance beats the average
+    * POSITIVE balance yet placed no order since the recency cutoff,
+    * rolled up per nation. (This corpus's order history covers every
+    * customer, so Q22's literal "never ordered" is empty; the lapsed
+    * form keeps the exact query structure — threshold + anti join +
+    * rollup — on the predicate a retention team actually runs.) Three
+    * classic pieces in one query: an aggregate-derived scalar threshold
+    * (broadcast 1-row), an anti join against the DATE-FILTERED fact
+    * table (the filter pushes to the scan; never a NOT IN over it), and
+    * a final keyed rollup.
+    *
+    * Exactness: balances in integer cents, and the above-average test is
+    * the integer cross-multiply `bal_cents · n_pos > sum_pos_cents` — the
+    * exact rational comparison, no float average to disagree over
+    * summation order at the boundary.
+    */
+  def dormantHighBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val stats = cust
+      .filter(col("bal_cents") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum("bal_cents").as("sum_pos_cents"))
+    val recentBuyers = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust
+      .crossJoin(broadcast(stats))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos_cents"))
+      .join(recentBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))
+  }
 }

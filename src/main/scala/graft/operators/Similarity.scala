@@ -780,4 +780,32 @@ object Similarity {
     a.join(dup, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cid").cast("int").as("cid"))
   }
+
+  /** s10: ANN recall audit — recall@k of the LSH index (s02, pinned at 8
+    * planes for oracle parity) against the exact baseline (s01), the
+    * measurement every approximate index ships with: per query, how many
+    * of the true top-3 neighbors the probed buckets actually surfaced.
+    * Without this number an ANN rollout is faith, not engineering; with
+    * it, the planes/probes knobs become a measured recall↔cost dial.
+    *
+    * Emitted as exact integer (k, n_hit) pairs per query — the ratio is
+    * the consumer's division. Scale shape: both sides are the already-
+    * audited top-k pipelines (bounded O(k) per query); the audit itself
+    * is one keyed join + fold over 2·k·|queries| rows — vanishing next
+    * to either index pass.
+    */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteForce(spark, dir, k = 3).select(col("query_id"), col("neighbor_id"))
+    val approx = annLsh(spark, dir, k = 3, multiProbe = true, numPlanes0 = 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact
+      .join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hit"))
+    exact
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
 }

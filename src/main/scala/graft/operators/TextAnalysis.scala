@@ -634,4 +634,44 @@ object TextAnalysis {
         sum("lp_micro").as("lp_micro_sum"),
         sum("nw").as("n_words"))
   }
+
+  /** t24: duplicate n-gram fraction (Rae et al. 2021, Gopher A1.1's
+    * repetition family) — the WITHIN-document redundancy signal t06's
+    * word histogram can't see: a doc that repeats whole phrases has a
+    * high fraction of 3-gram INSTANCES whose trigram occurs more than
+    * once in that document, even when its word-level distinct ratio
+    * looks healthy. Per source: docs, exact gram-instance totals, and
+    * how many docs cross the Gopher-style 20% line (integer
+    * cross-multiply `dup·5 > total` — no ratio crosses the hash).
+    *
+    * Scale shape: trigrams come from the native `graft_shingles` kernel
+    * (one O(L) map-side pass on the scan — no per-position regex
+    * re-split, no word shuffle), the in-doc frequency count and the
+    * per-doc fold are both keyed by doc_id (the natural partition), and
+    * the source rollup is over one row per doc. Docs under 3 words emit
+    * no grams and are kept by the left join with zero totals.
+    */
+  def dupNgramStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perGram = Shingles
+      .shingleRows(docs.select(col("doc_id"), col("text")), 3)
+      .groupBy("doc_id", "shingle")
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perGram
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("total_grams"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_grams"))
+    docs
+      .select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("total_grams", coalesce(col("total_grams"), lit(0L)))
+      .withColumn("dup_grams", coalesce(col("dup_grams"), lit(0L)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("total_grams").as("total_grams"),
+        sum("dup_grams").as("dup_grams"),
+        sum(when(col("dup_grams") * 5 > col("total_grams"), 1L).otherwise(0L)).as("n_flagged"))
+  }
 }
