@@ -192,7 +192,9 @@ object SparkEntry {
     "q106_rfm_segments"         -> ((s, d) => Relational.rfmSegments(GraftSession.tune(s), d)),
     "q107_important_parts"      -> ((s, d) => Relational.importantParts(GraftSession.tune(s), d)),
     "q108_dormant_balance"      -> ((s, d) => Relational.dormantHighBalance(GraftSession.tune(s), d)),
+    "q109_top_supplier"         -> ((s, d) => Relational.topQuarterSupplier(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
+    "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
     "s10_ann_recall"            -> ((s, d) => Similarity.annRecallAudit(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
     "t22_zipf_slope"            -> ((s, d) => TextAnalysis.zipfSlope(GraftSession.tune(s), d)),
@@ -1393,6 +1395,35 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN coalesce(pd.dup_grams, 0) * 5 > coalesce(pd.total_grams, 0)
         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |GROUP BY 1""".stripMargin,
+    // q109: the Q15 shape — quarter revenue per supplier, keep the tied
+    // maximum; exact 1e-4-dollar integers make the tie test identical.
+    "q109_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+        |    AS total_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1),
+        |m AS (SELECT max(total_e4) AS max_e4 FROM r)
+        |SELECT s.s_suppkey, s.s_name, r.total_e4
+        |FROM r CROSS JOIN m JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_e4 = m.max_e4""".stripMargin,
+    // t25: char-bigram entropy — the oracle enumerates bigrams by string
+    // slice (s[i:i+1] = 2 chars, i < len) and folds the same per-row
+    // integer micro-nat fixed point; ln operands are ≥ 1 so the rounded
+    // log never goes negative.
+    "t25_char_entropy" ->
+      """WITH ch AS (SELECT source, unnest(list_transform(range(1, len(s)),
+        |    i -> s[i:i+1])) AS bg
+        |  FROM (SELECT source, lower(text) AS s FROM documents)),
+        |c AS (SELECT source, bg, count(*) AS c FROM ch GROUP BY 1, 2),
+        |t AS (SELECT source, sum(c) AS n_s FROM c GROUP BY 1)
+        |SELECT c.source, CAST(max(t.n_s) AS BIGINT) AS n_bigrams,
+        |  CAST(count(*) AS BIGINT) AS distinct_bigrams,
+        |  CAST(sum(c.c * CAST(round(1000000.0 * ln(CAST(t.n_s AS DOUBLE) / c.c)) AS BIGINT))
+        |    AS BIGINT) AS entropy_unats_scaled
+        |FROM c JOIN t ON c.source = t.source
         |GROUP BY 1""".stripMargin,
     // s10: recall@3 of the 8-plane multi-probe LSH index vs the exact
     // baseline — the oracle replays BOTH pipelines (s02's bucketed CTEs,

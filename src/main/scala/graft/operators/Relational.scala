@@ -1202,4 +1202,32 @@ object Relational {
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))
   }
+
+  /** q109: top supplier(s) by windowed revenue — the TPC-H Q15 shape
+    * (the "create view revenue0 … where total = (select max …)" query):
+    * revenue per supplier over one quarter, keep every supplier tied at
+    * the maximum. The aggregate-equals-its-own-max class: one keyed
+    * aggregate over the date-sliced fact scan (filter pushed down), a
+    * 1-row max OF THAT AGGREGATE broadcast back, an exact integer
+    * equality — the fact table is touched once; Q15's view is just the
+    * first aggregate named. Ties are REQUIRED semantics here (Q15's
+    * spec says "in case of a tie, output all"), and exact 1e-4-dollar
+    * integers make the tie test engine-identical.
+    */
+  def topQuarterSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")).as("total_e4"))
+    val top = revenue.agg(max("total_e4").as("max_e4"))
+    revenue
+      .crossJoin(broadcast(top))
+      .filter(col("total_e4") === col("max_e4"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_e4"))
+  }
 }

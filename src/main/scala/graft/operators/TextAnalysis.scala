@@ -674,4 +674,49 @@ object TextAnalysis {
         sum("dup_grams").as("dup_grams"),
         sum(when(col("dup_grams") * 5 > col("total_grams"), 1L).otherwise(0L)).as("n_flagged"))
   }
+
+  /** t25: character-bigram entropy per source — the classic gibberish /
+    * template detector below the word level (used by the public web-
+    * crawl curation pipelines alongside the word-level signals):
+    * natural text holds a characteristic char-bigram entropy band;
+    * base64 blobs and random noise run high, boilerplate and repeated
+    * templates run low — and none of t06/t16/t22's word-level stats see
+    * it, because tokenization already threw the character structure
+    * away.
+    *
+    * Bigrams are built with ONE O(L) `zip_with` over the split char
+    * array (never `transform(sequence …, i -> substring(s, i, 2))`,
+    * whose per-position substring makes the projection O(L²) per doc —
+    * the Shingles lesson at char granularity). Entropy follows the
+    * q103/t17 exact fixed point: per (source, bigram) the contribution
+    * is `c · round(1e6·ln(n_s/c))` — every log rounded PER ROW to
+    * integer micro-nats, so the per-source sum is an exact integer and
+    * `n_s·H` never floats across the hash. One scan, two keyed
+    * aggregates (bigram counts are the map-side-combined heavy fold;
+    * the per-source entropy fold runs over the distinct-bigram table).
+    */
+  def charBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cs = split(lower(col("text")), "")
+    val bigrams = zip_with(
+      slice(cs, lit(1), greatest(size(cs) - 1, lit(0))),
+      slice(cs, lit(2), greatest(size(cs) - 1, lit(0))),
+      (a, b) => concat(a, b))
+    val counts = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(bigrams).as("bg"))
+      // regex-split may append a trailing "" element; its zip partner is
+      // a 1-char fragment, not a bigram — the length gate is the guard
+      .filter(length(col("bg")) === 2)
+      .groupBy("source", "bg")
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum("c").as("n_s"))
+    counts
+      .join(totals, Seq("source"))
+      .groupBy("source")
+      .agg(
+        max("n_s").as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        sum(col("c") * round(lit(1e6) * log(col("n_s").cast("double") / col("c"))).cast("long"))
+          .as("entropy_unats_scaled"))
+  }
 }

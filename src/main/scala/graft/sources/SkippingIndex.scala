@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * `c_min <= hi AND c_max >= lo`; NULL-only stats never prune). The
   * index is advisory metadata: a stale index (files added after build)
   * fails CLOSED by unioning unindexed files into every read, so results
-  * are correct — just less pruned — until the next build.
+  * are correct — just less pruned — until the next build or [[update]].
   *
   * The underscore-prefixed index dir is invisible to plain
   * `spark.read.parquet(dir)` readers — adopting or dropping the index
@@ -31,16 +31,53 @@ object SkippingIndex {
 
   private def indexPath(root: String) = new Path(root, "_graft_index/envelopes")
 
-  /** Build (or rebuild) the envelope manifest for `cols`: one scan of
-    * the directory, one tiny parquet table of per-file stats.
-    */
-  def build(spark: SparkSession, root: String, cols: Seq[String]): Unit = {
-    val stats = spark.read.parquet(root)
-      .groupBy(input_file_name().as("file"))
+  // scheme renderings differ between input_file_name (file:///x) and
+  // FileSystem listings (file:/x) — compare by scheme-less path
+  private def norm(s: String) = new Path(s).toUri.getPath
+
+  private def envelopes(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(input_file_name().as("file"))
       .agg(
         cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))).head,
         cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))).tail: _*)
-    stats.coalesce(1).write.mode("overwrite").parquet(indexPath(root).toString)
+
+  /** Build (or rebuild) the envelope manifest for `cols`: one scan of
+    * the directory, one tiny parquet table of per-file stats.
+    */
+  def build(spark: SparkSession, root: String, cols: Seq[String]): Unit =
+    envelopes(spark.read.parquet(root), cols)
+      .coalesce(1).write.mode("overwrite").parquet(indexPath(root).toString)
+
+  /** Incremental maintenance (#293 — the streaming-append story): scan
+    * ONLY the files that arrived since the last build/update and append
+    * their envelopes to the manifest — cost ∝ the new batch, never the
+    * table, which is what keeps a continuously-ingesting 100 TB
+    * directory's manifest fresh (a full [[build]] re-scan per batch
+    * would dominate the ingest itself). Indexed columns come from the
+    * existing manifest's schema, so an update can never fork the column
+    * set. Crash discipline matches the fail-closed read: the manifest
+    * append lands atomically per file, and any file whose envelope
+    * never landed simply stays in the unioned-unindexed set — correct,
+    * just unpruned. Returns the number of newly indexed files (0 = the
+    * manifest was already current). No manifest yet → full [[build]].
+    */
+  def update(spark: SparkSession, root: String, cols: Seq[String]): Long = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(indexPath(root))) {
+      build(spark, root, cols)
+      return dataFiles(fs, new Path(root)).size.toLong
+    }
+    val idx = spark.read.parquet(indexPath(root).toString)
+    val expected = cols.flatMap(c => Seq(s"${c}_min", s"${c}_max")).toSet + "file"
+    require(idx.columns.toSet == expected,
+      s"index at $root covers ${idx.columns.mkString(",")}, not ${cols.mkString(",")} — " +
+        "rebuild with build() to change the indexed column set")
+    val indexed = idx.select("file").collect().map(r => norm(r.getString(0))).toSet
+    val fresh   = dataFiles(fs, new Path(root)).filterNot(p => indexed(norm(p)))
+    if (fresh.nonEmpty)
+      envelopes(spark.read.parquet(fresh: _*), cols)
+        .coalesce(1).write.mode("append").parquet(indexPath(root).toString)
+    fresh.size.toLong
   }
 
   /** Read `root` with `c BETWEEN lo AND hi` (inclusive), consulting the
@@ -52,9 +89,6 @@ object SkippingIndex {
     */
   def readRange(spark: SparkSession, root: String, c: String, lo: Column, hi: Column): DataFrame = {
     val idx = spark.read.parquet(indexPath(root).toString)
-    // scheme renderings differ between input_file_name (file:///x) and
-    // FileSystem listings (file:/x) — compare by scheme-less path
-    def norm(s: String) = new Path(s).toUri.getPath
     val keep = idx
       .filter(col(s"${c}_min").isNull || (col(s"${c}_min") <= hi && col(s"${c}_max") >= lo))
       .select("file").collect().map(_.getString(0))

@@ -261,4 +261,41 @@ class SourcesSpec extends SparkSpec {
     assert(after.filter(col("event_id") >= 1000000000L).count() == 7,
       "rows in unindexed files must not be skipped")
   }
+
+  test("#293 incremental index maintenance: update scans only new files, restores pruning, is idempotent") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"))
+    val dir = tmp("skipidx_upd")
+    ev.repartitionByRange(16, col("tsu")).sortWithinPartitions("tsu")
+      .write.mode("overwrite").parquet(dir)
+    SkippingIndex.build(spark, dir, Seq("tsu"))
+
+    val (lo, hi) = {
+      val r = ev.agg(expr("percentile(tsu, 0.50D)"), expr("percentile(tsu, 0.55D)")).collect()(0)
+      (r.getDouble(0).toLong, r.getDouble(1).toLong)
+    }
+    // append OUT-OF-RANGE batches (a streaming sink's new files): before
+    // update they fail closed into every read; after, they prune away
+    val outOfRange = ev.filter(col("tsu") < lo).limit(50)
+      .withColumn("event_id", col("event_id") + 2000000000L)
+    outOfRange.repartition(2).write.mode("append").parquet(dir)
+    val before = SkippingIndex.readRange(spark, dir, "tsu", lit(lo), lit(hi))
+      .select("event_id").inputFiles.length
+
+    val indexedNew = SkippingIndex.update(spark, dir, Seq("tsu"))
+    assert(indexedNew == 2, s"update must index exactly the 2 appended files, got $indexedNew")
+    val afterUpd = SkippingIndex.readRange(spark, dir, "tsu", lit(lo), lit(hi))
+    assert(afterUpd.select("event_id").inputFiles.length < before,
+      "freshly indexed out-of-range files must prune away after update")
+    // correctness unchanged vs the full-scan filter
+    assert(afterUpd.select("event_id").collect().map(_.getLong(0)).sorted.sameElements(
+      spark.read.parquet(dir).filter(col("tsu") >= lo && col("tsu") <= hi)
+        .select("event_id").collect().map(_.getLong(0)).sorted))
+    // idempotent: a second update finds nothing new
+    assert(SkippingIndex.update(spark, dir, Seq("tsu")) == 0)
+    // column-set drift is refused, not silently forked
+    intercept[IllegalArgumentException] {
+      SkippingIndex.update(spark, dir, Seq("tsu", "user_id"))
+    }
+  }
 }
