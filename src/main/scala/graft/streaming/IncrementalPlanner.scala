@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.analysis.{MultiAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions._
@@ -108,6 +108,14 @@ case class PlannedRow(proj: Map[String, String], tsUs: Long, seq: Long, live: Bo
 
 /** One change of a planned non-aggregate view's changefeed. */
 case class PlannedRowChange(op: String, key: Long, proj: Map[String, String], ts_us: Long, seq: Long)
+
+/** A key's current exploded FAMILY in a planned generator view
+  * (`explode`/`posexplode` select item): the shared scalar projection
+  * plus the ordered element renderings — what the per-ordinal diff
+  * compares against when the family changes shape.
+  */
+case class PlannedGenRow(scalars: Map[String, String], elems: Seq[String],
+    tsUs: Long, seq: Long, live: Boolean)
 
 /** One live contribution inside a planned SESSION-window view's group
   * state: the row's event time and its aggregate slot values.
@@ -4324,6 +4332,178 @@ object IncrementalPlanner {
   }
 
   // ------------------------------------------------------------------
+  // Generator (explode / posexplode) view compilation
+  // ------------------------------------------------------------------
+
+  private val GeneratorFns = Set("explode", "posexplode")
+
+  /** Is there a generator function anywhere in the select list? Used
+    * only for dispatch — [[compileGenerateProject]] then enforces the
+    * supported top-level shape and rejects the rest loudly.
+    */
+  private def hasGeneratorItem(p: Project): Boolean =
+    p.projectList.exists(_.exists {
+      case f: UnresolvedFunction => GeneratorFns(f.nameParts.last.toLowerCase)
+      case _                     => false
+    })
+
+  /** The one supported array constructor under a generator:
+    * `split(<string expr>, '<regex>')` — feeds carry string payloads, so
+    * the delimited-list field is THE array shape a changefeed actually
+    * has. Returns the ordered element renderings; a NULL string (or a
+    * row the WHERE rejected) explodes to nothing, exactly like batch
+    * `explode` of a NULL array. Spark `split` keeps trailing empties
+    * (java limit -1) — matched here so the live view and a batch replay
+    * agree element-for-element.
+    */
+  private def compileArrayExpr(e: Expression): Env => Option[Seq[String]] = e match {
+    case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("split") =>
+      require(f.arguments.length == 2, "split takes (str, delimiter-regex)")
+      val strF = compileExpr(f.arguments.head)
+      val delim = f.arguments(1) match {
+        case Literal(v: UTF8String, _) => v.toString
+        case other => throw unsupported(s"split delimiter ${other.sql} (literal regex only)")
+      }
+      env => strF(env).map(s => String.valueOf(s).split(delim, -1).toSeq)
+    case other => throw unsupported(
+      s"generator argument ${other.sql} (supported: explode(split(<expr>, '<regex>')))")
+  }
+
+  /** A generator (#296) SELECT-list item — `explode(split(…)) AS item`
+    * or `posexplode(split(…)) AS (pos, item)` — turns a ROW view into a
+    * FAMILY view: each source key materializes N output rows, one per
+    * array element, re-keyed into disjoint spaces per ordinal
+    * (`fnv64("g" + pos + key)`, the UNION-branch discipline) so an
+    * element is a first-class changefeed row a downstream view can
+    * aggregate or join. The stage-1 fold diffs the family BY ORDINAL:
+    * an element whose rendering (and shared scalars) didn't move emits
+    * nothing, a changed/new ordinal upserts, a shrunken tail deletes —
+    * the minimal-changefeed contract at element granularity, which is
+    * what keeps a 10k-element family's one-element edit from re-emitting
+    * 10k rows. One generator per statement (Spark's own batch rule);
+    * scalars ride every element's row, `pos` is emitted for posexplode.
+    */
+  private def compileGenerateProject(spark: SparkSession, proj: Project,
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)] = None): PlannedView = {
+    val src   = compileSource(spark, proj.child, feeds)
+    val preds = src.filters.map(compileExpr)
+
+    // split the select list: exactly one generator item; everything else
+    // compiles as a plain scalar column riding each element row
+    final case class GenItem(fn: String, arg: Expression, names: Seq[String])
+    var gen: Option[(GenItem, Int)] = None
+    val scalarCols = scala.collection.mutable.ArrayBuffer.empty[(String, Eval)]
+    val outNames   = scala.collection.mutable.ArrayBuffer.empty[String]
+    proj.projectList.zipWithIndex.foreach {
+      case (ne, i) if ne.exists {
+            case f: UnresolvedFunction => GeneratorFns(f.nameParts.last.toLowerCase)
+            case _                     => false
+          } =>
+        val item = ne match {
+          case Alias(f: UnresolvedFunction, name)
+              if GeneratorFns(f.nameParts.last.toLowerCase) =>
+            GenItem(f.nameParts.last.toLowerCase, f.arguments.head, Seq(name))
+          case MultiAlias(f: UnresolvedFunction, names)
+              if GeneratorFns(f.nameParts.last.toLowerCase) =>
+            require(names.length == 2, "posexplode aliases as (pos, item)")
+            GenItem(f.nameParts.last.toLowerCase, f.arguments.head, names)
+          case other => throw unsupported(
+            s"generator shape ${other.sql} (write explode(split(…)) AS item " +
+              "or posexplode(split(…)) AS (pos, item), at the top of the select item)")
+        }
+        require(item.fn != "explode" || item.names.length == 1, "explode aliases one column")
+        require(item.fn != "posexplode" || item.names.length == 2, "posexplode aliases as (pos, item)")
+        require(gen.isEmpty, "one generator per statement (Spark's own batch rule)")
+        gen = Some((item, i))
+        outNames ++= item.names
+      case (ne, i) =>
+        val n = outName(ne, s"col$i")
+        scalarCols += ((n, compileExpr(coreOf(ne))))
+        outNames += n
+    }
+    val (genItem, _) = gen.getOrElse(throw unsupported("no generator item (use a plain row view)"))
+    val arrF   = compileArrayExpr(genItem.arg)
+    val sNames = scalarCols.map(_._1).toSeq
+    val sFns   = scalarCols.map(_._2).toSeq
+
+    val extract: Change => Option[(Map[String, String], Seq[String])] = { c =>
+      val env = envOf(c)
+      if (!preds.forall(p => p(env).contains(true))) None
+      else {
+        val scalars = sNames.zip(sFns).flatMap { case (n, f) => f(env).map(v => n -> String.valueOf(v)) }.toMap
+        Some((scalars, arrF(env).getOrElse(Nil)))
+      }
+    }
+
+    implicit val rowEnc    = Encoders.product[PlannedGenRow]
+    implicit val changeEnc = Encoders.product[PlannedRowChange]
+    implicit val longEnc   = Encoders.scalaLong
+    val inChanges = ttl match {
+      case Some((delay, _)) => src.changes.withWatermark("ts", delay)
+      case None             => src.changes
+    }
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    val posName  = if (genItem.fn == "posexplode") Some(genItem.names.head) else None
+    val itemName = genItem.names.last
+    val feedChanges = inChanges
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        expiringState[PlannedGenRow, PlannedRowChange](ttl, !_.live, _.tsUs)(
+          genFold(extract, itemName, posName)))
+      .toDF()
+
+    val outExprs =
+      col("op") +: col("key") +:
+        outNames.toSeq.map(n => element_at(col("proj"), n).as(n)) :+ col("ts_us") :+ col("seq")
+    PlannedView(feedChanges.select(outExprs: _*), OutputMode.Append())
+  }
+
+  /** Stage-1 fold of a generator view: LWW apply (identical discipline
+    * to [[rowFold]]), then per-ordinal family diff. Ordinal i's output
+    * key is `fnv64("g" + i + Sep + key)` — stable across batches, so an
+    * unchanged element never re-emits and a delete routes to exactly
+    * the ordinals that died.
+    */
+  private def genFold(extract: Change => Option[(Map[String, String], Seq[String])],
+      itemName: String, posName: Option[String])(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[PlannedGenRow]): Iterator[PlannedRowChange] = {
+    val before = state.getOption
+    var cur    = before
+    changes.toSeq.sortBy(c => (CdcMaterializer.micros(c.ts), c.seq)).foreach { c =>
+      val tsUs  = CdcMaterializer.micros(c.ts)
+      val stale = cur.exists(s => CdcMaterializer.isStale(s.tsUs, s.seq, tsUs, c.seq))
+      if (!stale) {
+        cur =
+          if (c.op == "delete") Some(PlannedGenRow(Map.empty, Nil, tsUs, c.seq, live = false))
+          else extract(c) match {
+            case Some((m, es)) => Some(PlannedGenRow(m, es, tsUs, c.seq, live = true))
+            case None          => Some(PlannedGenRow(Map.empty, Nil, tsUs, c.seq, live = false))
+          }
+      }
+    }
+    cur.foreach(state.update)
+    val (posTs, posSeq) = cur.map(r => (r.tsUs, r.seq)).getOrElse((0L, 0L))
+    def okey(i: Int): Long = JoinView.fnv64("g" + i + Sep + key)
+    def rowOf(r: PlannedGenRow, i: Int): Map[String, String] =
+      r.scalars + (itemName -> r.elems(i)) ++ posName.map(_ -> i.toString)
+    val bElems = before.filter(_.live).map(_.elems).getOrElse(Nil)
+    val aElems = cur.filter(_.live).map(_.elems).getOrElse(Nil)
+    val bScal  = before.filter(_.live).map(_.scalars)
+    val aScal  = cur.filter(_.live).map(_.scalars)
+    val ups = (0 until aElems.length).iterator.collect {
+      case i if i >= bElems.length || bElems(i) != aElems(i) || bScal != aScal =>
+        PlannedRowChange("upsert", okey(i), rowOf(cur.get, i), posTs, posSeq)
+    }
+    val dels = (aElems.length until bElems.length).iterator.map(i =>
+      PlannedRowChange("delete", okey(i), Map.empty, posTs, posSeq))
+    ups ++ dels
+  }
+
+  // ------------------------------------------------------------------
   // Ranked (window-function) view compilation
   // ------------------------------------------------------------------
 
@@ -5406,6 +5586,10 @@ object IncrementalPlanner {
             names.map(n => element_at(col("payload"), n).as(n)) :+
             expr("unix_micros(ts)").as("ts_us") :+ col("seq"): _*)
         PlannedView(df, OutputMode.Append())
+      // generator views: explode/posexplode in the select list — the
+      // family changefeed (#296)
+      case p: Project if hasGeneratorItem(p) =>
+        compileGenerateProject(spark, p, feeds)
       // ranked views: a window function in the select list, optionally
       // bounded by an outer WHERE rn <= k around the subquery (top-k
       // per partition)

@@ -3890,4 +3890,64 @@ class IncrementalPlannerSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("whole-partition"), e.getMessage)
   }
+
+  test("#296 generator views: explode family changefeed — per-ordinal diffs, shrink deletes, WHERE gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def e(op: String, k: Long, m: Int, tags: String, city: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String] else Map("tags" -> tags, "city" -> city), seq)
+    val batches = Seq(
+      Map("t" -> Seq(
+        e("insert", 1L, 0, "a,b,c", "ber", 1L),
+        e("insert", 2L, 1, "x", "par", 2L),
+        e("insert", 3L, 2, "", "ber", 3L))),   // split("") → [""]: one empty-string element, like batch
+      Map("t" -> Seq(e("update", 1L, 3, "a,B,c", "ber", 4L))), // ordinal 1 changes — ONLY it may re-emit
+      Map("t" -> Seq(e("update", 1L, 4, "a,B", "ber", 5L))),   // family shrinks — ordinal 2 must delete
+      Map("t" -> Seq(e("delete", 2L, 5, "", "", 6L))),         // whole family of key 2 dies
+    )
+    def family(table: String, cols: Seq[String]): Seq[Seq[String]] =
+      rowState(table, cols).values.map(_.map(String.valueOf(_))).toSeq.sortBy(_.mkString("|"))
+
+    val sql = "SELECT city, explode(split(tags, ',')) AS tag FROM t"
+    runView(sql, "pv_gen_a", batches.take(1))
+    assert(family("pv_gen_a", Seq("city", "tag")) == Seq(
+      Seq("ber", ""), Seq("ber", "a"), Seq("ber", "b"), Seq("ber", "c"), Seq("par", "x")))
+
+    runView(sql, "pv_gen_b", batches.take(2))
+    assert(family("pv_gen_b", Seq("city", "tag")) == Seq(
+      Seq("ber", ""), Seq("ber", "B"), Seq("ber", "a"), Seq("ber", "c"), Seq("par", "x")))
+    // minimal-change contract: the one-element edit emitted exactly one row
+    assert(spark.table("pv_gen_b").where("seq = 4").count() == 1L,
+      "editing one ordinal of a 3-element family must re-emit only that ordinal")
+
+    runView(sql, "pv_gen_c", batches.take(3))
+    assert(family("pv_gen_c", Seq("city", "tag")) == Seq(
+      Seq("ber", ""), Seq("ber", "B"), Seq("ber", "a"), Seq("par", "x")))
+    val shrink = spark.table("pv_gen_c").where("seq = 5").collect()
+    assert(shrink.length == 1 && shrink.head.getAs[String]("op") == "delete",
+      "a shrink with unchanged surviving elements must emit ONLY the dead ordinal's delete")
+
+    runView(sql, "pv_gen", batches)
+    assert(family("pv_gen", Seq("city", "tag")) == Seq(
+      Seq("ber", ""), Seq("ber", "B"), Seq("ber", "a")),
+      "deleting the source key must tombstone its whole family")
+
+    // posexplode + WHERE: ordinals surface as a column, the gate drops
+    // whole families, and batch parity holds on the final state
+    val psql = "SELECT city, posexplode(split(tags, ',')) AS (pos, tag) FROM t WHERE city = 'ber'"
+    runView(psql, "pv_gen_pos", batches)
+    assert(family("pv_gen_pos", Seq("pos", "tag", "city")) == Seq(
+      Seq("0", "a", "ber"), Seq("0", "", "ber"), Seq("1", "B", "ber")))
+
+    // guardrails: unaliased generators and non-split arguments reject loudly
+    def feeds = Map("t" -> MemoryStream[Change].toDS())
+    assert(intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark, "SELECT explode(tags) AS x FROM t", feeds)
+    }.getMessage.contains("explode(split"))
+    assert(intercept[IllegalArgumentException] {
+      IncrementalPlanner.materialize(spark,
+        "SELECT explode(split(tags, ',')) AS a, explode(split(city, ',')) AS b FROM t", feeds)
+    }.getMessage.contains("one generator"))
+  }
 }
