@@ -4386,6 +4386,22 @@ object IncrementalPlanner {
   private def compileGenerateProject(spark: SparkSession, proj: Project,
       feeds: Map[String, Dataset[Change]],
       ttl: Option[(String, Long)] = None): PlannedView = {
+    val (changes, names) = genChangesOf(spark, proj, feeds, ttl)
+    val df = changes.toDF().select(
+      col("op") +: col("key") +:
+        names.map(n => element_at(col("payload"), n).as(n)) :+
+        expr("unix_micros(ts)").as("ts_us") :+ col("seq"): _*)
+    PlannedView(df, OutputMode.Append())
+  }
+
+  /** The generator view as a keyed [[Change]] stream — the composition
+    * primitive behind [[compileGenerateProject]], and what lets a NAMED
+    * generator view feed downstream planner views (the
+    * [[materializeChanges]] layering contract).
+    */
+  private def genChangesOf(spark: SparkSession, proj: Project,
+      feeds: Map[String, Dataset[Change]],
+      ttl: Option[(String, Long)] = None): (Dataset[Change], Seq[String]) = {
     val src   = compileSource(spark, proj.child, feeds)
     val preds = src.filters.map(compileExpr)
 
@@ -4437,7 +4453,8 @@ object IncrementalPlanner {
     }
 
     implicit val rowEnc    = Encoders.product[PlannedGenRow]
-    implicit val changeEnc = Encoders.product[PlannedRowChange]
+    implicit val rcEnc     = Encoders.product[PlannedRowChange]
+    implicit val changeEnc = Encoders.product[Change]
     implicit val longEnc   = Encoders.scalaLong
     val inChanges = ttl match {
       case Some((delay, _)) => src.changes.withWatermark("ts", delay)
@@ -4447,17 +4464,13 @@ object IncrementalPlanner {
       if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     val posName  = if (genItem.fn == "posexplode") Some(genItem.names.head) else None
     val itemName = genItem.names.last
-    val feedChanges = inChanges
+    val changes = inChanges
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         expiringState[PlannedGenRow, PlannedRowChange](ttl, !_.live, _.tsUs)(
           genFold(extract, itemName, posName)))
-      .toDF()
-
-    val outExprs =
-      col("op") +: col("key") +:
-        outNames.toSeq.map(n => element_at(col("proj"), n).as(n)) :+ col("ts_us") :+ col("seq")
-    PlannedView(feedChanges.select(outExprs: _*), OutputMode.Append())
+      .map(rc => Change(rc.op, rc.key, tsOfMicros(rc.ts_us), rc.proj, rc.seq))
+    (changes, outNames.toSeq)
   }
 
   /** Stage-1 fold of a generator view: LWW apply (identical discipline
@@ -5814,6 +5827,9 @@ object IncrementalPlanner {
           })
         }
         rankedChangesOf(compileRankedView(spark, inner, feeds, Some(cond), names))
+      // generator views as NAMED feeds: per-ordinal keys are already
+      // stable change identities, so the sink's LWW fold applies as-is
+      case p: Project if hasGeneratorItem(p) => genChangesOf(spark, p, feeds, ttl)
       case p: Project if globalAgg(p).isEmpty => rowChangesOf(spark, p, feeds, ttl)
       case u: Union =>
         require(ttl.isEmpty, "an expiring UNION view is unsupported — bound the branches " +
@@ -5995,6 +6011,7 @@ object IncrementalPlanner {
       feeds: Map[String, Dataset[Change]]): Dataset[Change] = {
     val plan0 = spark.sessionState.sqlParser.parsePlan(sql)
     neededAttrs.withValue(Some(attrNamesOf(plan0))) { plan0 match {
+      case p: Project if hasGeneratorItem(p) => genChangesOf(spark, p, feeds)._1
       case p: Project => rowChangesOf(spark, p, feeds)._1
       case u: Union   => unionChanges(spark, u, feeds)._1
       case other => throw unsupported(

@@ -1041,4 +1041,34 @@ class ViewCatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException] { cat.resumeView("s_tot") } // live → reject
     cat.stopAll()
   }
+
+  test("#234ad named GENERATOR view: explode family by name; aggregate layers over elements; shrink crosses layers") {
+    val (root, src) = (tmp("vcgen"), tmp("vcgsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    // the list-payload normalization a changefeed consumer actually
+    // wants behind a name: one row per tag, then counts per tag value
+    val v  = cat.createView("doc_tags", "SELECT city, explode(split(tags, ',')) AS tag FROM t")
+    assert(v.cols == Seq("city", "tag"), s"view columns: ${v.cols}")
+    val v2 = cat.createView("tag_counts", "SELECT tag, count(*) AS n FROM doc_tags GROUP BY tag")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "tags" -> "a,b"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "par", "tags" -> "b,c"), 2L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "doc_tags", v.cols) == Set(
+      Seq("ber", "a"), Seq("ber", "b"), Seq("par", "b"), Seq("par", "c")), "family after b1")
+    assert(snapRows(cat, "tag_counts", v2.cols) == Set(
+      Seq("a", "1"), Seq("b", "2"), Seq("c", "1")), "element counts after b1")
+    // key 1's family rewrites a,b → z: ordinal 0 changes value, ordinal 1
+    // dies — the delete must cross the named layer and decrement b
+    writeChanges(src, "b2.json", Seq(
+      Change("update", 1L, ts(10), Map("city" -> "ber", "tags" -> "z"), 3L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "doc_tags", v.cols) == Set(
+      Seq("ber", "z"), Seq("par", "b"), Seq("par", "c")), "family after the rewrite")
+    assert(snapRows(cat, "tag_counts", v2.cols) == Set(
+      Seq("z", "1"), Seq("b", "1"), Seq("c", "1")),
+      "a dead ordinal's delete must retract its element count through the named layer")
+    cat.stopAll()
+  }
 }
