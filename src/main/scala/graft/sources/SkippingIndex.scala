@@ -73,11 +73,35 @@ object SkippingIndex {
       s"index at $root covers ${idx.columns.mkString(",")}, not ${cols.mkString(",")} — " +
         "rebuild with build() to change the indexed column set")
     val indexed = idx.select("file").collect().map(r => norm(r.getString(0))).toSet
-    val fresh   = dataFiles(fs, new Path(root)).filterNot(p => indexed(norm(p)))
+    val all     = dataFiles(fs, new Path(root))
+    val live    = all.map(norm).toSet
+    val fresh   = all.filterNot(p => indexed(norm(p)))
+    val dead    = indexed.diff(live)
+    if (dead.nonEmpty) {
+      // compaction/retention removed indexed files: rewrite the manifest
+      // without their entries (then append the fresh ones below). The
+      // read path already ignores dead entries, so this is hygiene, not
+      // correctness — it keeps the manifest from growing monotonically.
+      val keptRows = idx.filter(!udfFree(col("file"), dead)).collect()
+      val kept = spark.createDataFrame(
+        spark.sparkContext.parallelize(keptRows.toIndexedSeq, 1), idx.schema)
+      kept.coalesce(1).write.mode("overwrite").parquet(indexPath(root).toString)
+    }
     if (fresh.nonEmpty)
       envelopes(spark.read.parquet(fresh: _*), cols)
         .coalesce(1).write.mode("append").parquet(indexPath(root).toString)
     fresh.size.toLong
+  }
+
+  /** Membership test as a Column without a UDF: the dead set is tiny
+    * (files a maintenance pass just deleted), so an isin over the
+    * normalized rendering is the plan-friendly form.
+    */
+  private def udfFree(fileCol: Column, dead: Set[String]): Column = {
+    // manifest entries render as input_file_name did (file:///…); match
+    // on either rendering of each dead path
+    val variants = dead.flatMap(p => Seq(p, s"file://$p", s"file:$p"))
+    fileCol.isin(variants.toSeq: _*)
   }
 
   /** Read `root` with `c BETWEEN lo AND hi` (inclusive), consulting the
@@ -95,8 +119,14 @@ object SkippingIndex {
     val indexed = idx.select("file").collect().map(r => norm(r.getString(0))).toSet
     val fs  = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = dataFiles(fs, new Path(root))
+    // BOTH staleness directions against the live listing: files added
+    // after the build fail CLOSED into the read, and manifest entries
+    // whose file is GONE (compaction/retention deleted it — its rows now
+    // live in files the manifest calls unindexed) drop out, instead of
+    // handing the scan a dead path
+    val live      = all.map(norm).toSet
     val unindexed = all.filterNot(p => indexed(norm(p)))
-    val paths = (keep ++ unindexed).toSeq
+    val paths = (keep.filter(p => live(norm(p))) ++ unindexed).toSeq
     val df =
       if (paths.isEmpty) spark.read.parquet(root).limit(0) // nothing can match; keep the schema
       else spark.read.parquet(paths: _*)

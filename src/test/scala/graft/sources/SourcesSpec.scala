@@ -298,4 +298,39 @@ class SourcesSpec extends SparkSpec {
       SkippingIndex.update(spark, dir, Seq("tsu", "user_id"))
     }
   }
+
+  test("#293b maintenance interplay: compaction deletes indexed files — reads survive, update prunes dead entries") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"))
+    val dir = tmp("skipidx_compact")
+    ev.repartitionByRange(8, col("tsu")).sortWithinPartitions("tsu")
+      .write.mode("overwrite").parquet(dir)
+    SkippingIndex.build(spark, dir, Seq("tsu"))
+    val (lo, hi) = {
+      val r = ev.agg(expr("percentile(tsu, 0.50D)"), expr("percentile(tsu, 0.55D)")).collect()(0)
+      (r.getDouble(0).toLong, r.getDouble(1).toLong)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val expect = ids(spark.read.parquet(dir).filter(col("tsu") >= lo && col("tsu") <= hi))
+
+    // compact EVERYTHING (all 8 files under the threshold): the rewrite
+    // deletes every file the manifest knows about
+    val reports = Compaction.compact(spark, dir, targetBytes = 1L << 30, smallBytes = 1L << 30)
+    assert(reports.nonEmpty && reports.head.smallFiles == 8)
+
+    // every manifest entry is now dead — the read must drop them (not
+    // hand the scan dead paths) and fail CLOSED into the live files
+    assert(ids(SkippingIndex.readRange(spark, dir, "tsu", lit(lo), lit(hi))) == expect,
+      "a fully stale manifest must degrade to the full-scan answer, not crash")
+
+    // update prunes the dead entries and indexes the compacted files:
+    // manifest rows == live data files, and pruning works again
+    val indexedNew = SkippingIndex.update(spark, dir, Seq("tsu"))
+    assert(indexedNew >= 1, "the compacted file(s) must be newly indexed")
+    val manifest = spark.read.parquet(s"$dir/_graft_index/envelopes")
+    assert(manifest.count() == spark.read.parquet(dir).inputFiles.length,
+      "after update the manifest must hold exactly the live files")
+    assert(ids(SkippingIndex.readRange(spark, dir, "tsu", lit(lo), lit(hi))) == expect)
+  }
 }
