@@ -863,6 +863,11 @@ object IncrementalPlanner {
     // columns as the payload and tombstones exiting groups, so an outer
     // `WHERE n > 5` behaves exactly like HAVING (threshold exits emit
     // deletes downstream).
+    case p: Project if hasGeneratorItem(p) =>
+      // a generator subquery — `FROM (SELECT explode(split(…)) AS x …) d`:
+      // the family changefeed is the source, so the outer statement
+      // aggregates/filters ELEMENTS in one SQL string
+      Source(genChangesOf(spark, p, feeds)._1, Nil)
     case p: Project =>
       globalAgg(p) match {
         case Some(_) => Source(aggChangesOf(spark, p, feeds)._1, Nil)
@@ -5664,7 +5669,9 @@ object IncrementalPlanner {
           "materializeExpiring over a JOIN (the join arrangements hold their own state; " +
             "use JoinView.materializeValueJoinExpiring for the value-join form, or bound " +
             "the feeds upstream)")
-        compileProject(spark, p, feeds, Some((watermarkDelay, tombstoneTtlMs)))
+        if (hasGeneratorItem(p))
+          compileGenerateProject(spark, p, feeds, Some((watermarkDelay, tombstoneTtlMs)))
+        else compileProject(spark, p, feeds, Some((watermarkDelay, tombstoneTtlMs)))
       case other => throw unsupported(
         s"materializeExpiring covers aggregate and row views (got ${other.getClass.getSimpleName})")
     } }

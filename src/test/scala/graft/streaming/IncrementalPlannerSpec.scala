@@ -3950,4 +3950,65 @@ class IncrementalPlannerSpec extends SparkSpec {
         "SELECT explode(split(tags, ',')) AS a, explode(split(city, ',')) AS b FROM t", feeds)
     }.getMessage.contains("one generator"))
   }
+
+  test("#296b generator composition + TTL: element aggregate in ONE statement; expiring family retracts then expires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def e(op: String, k: Long, m: Int, tags: String, city: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String] else Map("tags" -> tags, "city" -> city), seq)
+    val batches = Seq(
+      Map("t" -> Seq(
+        e("insert", 1L, 0, "a,b,c", "ber", 1L),
+        e("insert", 2L, 1, "x", "par", 2L),
+        e("insert", 3L, 2, "", "ber", 3L))),
+      Map("t" -> Seq(e("update", 1L, 3, "a,B,c", "ber", 4L))),
+      Map("t" -> Seq(e("update", 1L, 4, "a,B", "ber", 5L))),
+      Map("t" -> Seq(e("delete", 2L, 5, "", "", 6L))),
+    )
+    // element aggregation in ONE statement: the generator subquery is
+    // the derived-table source, the outer GROUP BY counts elements —
+    // a shrink's ordinal delete must decrement its element's count
+    val dsql = "SELECT tag, count(*) AS n FROM " +
+      "(SELECT city, explode(split(tags, ',')) AS tag FROM t) x GROUP BY tag"
+    runView(dsql, "pv_gen_agg_a", batches.take(1))
+    assert(aggState("pv_gen_agg_a", Seq("tag")) == Map(
+      Seq[Any]("a") -> Seq[Any](1L), Seq[Any]("b") -> Seq[Any](1L), Seq[Any]("c") -> Seq[Any](1L),
+      Seq[Any]("x") -> Seq[Any](1L), Seq[Any]("") -> Seq[Any](1L)))
+    runView(dsql, "pv_gen_agg", batches)
+    assert(aggState("pv_gen_agg", Seq("tag")) == Map(
+      Seq[Any]("a") -> Seq[Any](1L), Seq[Any]("B") -> Seq[Any](1L), Seq[Any]("") -> Seq[Any](1L)),
+      "family shrink + source delete must retract their elements' counts through the composition")
+
+    // expiring generator view: a family that leaves the WHERE predicate
+    // retracts every ordinal; its dead state expires past watermark+ttl
+    // while the emitted deletes survive in the feed
+    val input   = MemoryStream[Change]
+    val planned = IncrementalPlanner.materializeExpiring(spark,
+      "SELECT explode(split(tags, ',')) AS tag FROM t WHERE city = 'ber'",
+      Map("t" -> input.toDS()), watermarkDelay = "1 second", tombstoneTtlMs = 1000L)
+    val q = IncrementalView.withRelaxedWatermarkCheck(spark) {
+      planned.df.writeStream.format("memory").queryName("pv_gen_ttl")
+        .outputMode(planned.outputMode)
+        .option("checkpointLocation", tmp("pvgenttl")).start()
+    }
+    try {
+      input.addData(e("insert", 1L, 0, "a,b", "ber", 1L))
+      q.processAllAvailable()
+      input.addData(e("update", 1L, 2, "a,b", "par", 2L)) // leaves the predicate: 2 ordinal deletes
+      q.processAllAvailable()
+      input.addData(e("insert", 3L, 60, "z", "ber", 3L))  // advances the watermark past death+ttl
+      q.processAllAvailable()
+      input.addData(e("insert", 4L, 120, "w", "ber", 4L))
+      q.processAllAvailable()
+      val st = rowState("pv_gen_ttl", Seq("tag")).values
+        .map(_.map(String.valueOf(_)).mkString("|")).toSeq.sorted
+      assert(st == Seq("w", "z"), s"only the live families remain: $st")
+      val k1ops = spark.table("pv_gen_ttl").collect().toSeq
+        .groupBy(_.getAs[Long]("key")).values.map(_.map(_.getAs[String]("op")))
+        .filter(_.contains("delete")).toSeq
+      assert(k1ops.count(_ == Seq("upsert", "delete")) == 2,
+        s"both ordinals of the exiting family appeared then retracted: $k1ops")
+    } finally q.stop()
+  }
 }
