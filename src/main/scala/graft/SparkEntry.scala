@@ -193,6 +193,7 @@ object SparkEntry {
     "q107_important_parts"      -> ((s, d) => Relational.importantParts(GraftSession.tune(s), d)),
     "q108_dormant_balance"      -> ((s, d) => Relational.dormantHighBalance(GraftSession.tune(s), d)),
     "q109_top_supplier"         -> ((s, d) => Relational.topQuarterSupplier(GraftSession.tune(s), d)),
+    "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
     "s10_ann_recall"            -> ((s, d) => Similarity.annRecallAudit(GraftSession.tune(s), d)),
@@ -735,6 +736,32 @@ object SparkEntry {
         |  CAST(cov.dup_tokens AS BIGINT) AS dup_tokens,
         |  CAST(cov.dup_tokens AS DOUBLE) / CAST(sz.n_tokens AS DOUBLE) AS dup_frac
         |FROM agg JOIN cov USING (doc_id) JOIN sz USING (doc_id)""".stripMargin,
+    // d16: the rewrite is cross-checked, not replayed — the oracle
+    // rebuilds each cleaned text with string_agg(… ORDER BY p), an
+    // independent ordered-concat, against Spark's sort+transform
+    "d16_dedup_rewrite" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |win AS (SELECT doc_id, i - 1 AS pos, array_to_string(words[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS i FROM w) t),
+        |own AS (SELECT g, min(doc_id) AS owner FROM win GROUP BY g
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |rem AS (SELECT win.doc_id, win.pos FROM win JOIN own USING (g)
+        |  WHERE win.doc_id <> own.owner),
+        |cov AS (SELECT DISTINCT rem.doc_id, rem.pos + k.k AS p
+        |  FROM rem CROSS JOIN (SELECT unnest(range(0, 8)) AS k) k),
+        |tok AS (SELECT doc_id, i - 1 AS p, words[i] AS tk
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM w) t),
+        |kept AS (SELECT t.doc_id, t.p, t.tk FROM tok t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p WHERE c.p IS NULL),
+        |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+        |  string_agg(tk, ' ' ORDER BY p) AS clean_text FROM kept GROUP BY doc_id),
+        |sz AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w)
+        |SELECT sz.doc_id, sz.n_tokens,
+        |  CAST(coalesce(rb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  CAST(sz.n_tokens - coalesce(rb.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+        |  coalesce(rb.clean_text, '') AS clean_text
+        |FROM sz LEFT JOIN rb USING (doc_id)""".stripMargin,
     "t14_length_histogram" ->
       """WITH t AS (SELECT lang,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n

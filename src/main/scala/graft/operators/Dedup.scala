@@ -721,4 +721,55 @@ object Dedup {
         col("dup_tokens"),
         (col("dup_tokens").cast("double") / col("n_tokens").cast("double")).as("dup_frac"))
   }
+
+  /** d16: substring-dedup REWRITE — the "apply" half of d15 (Lee et al.
+    * 2022 actually SHIP the cleaned corpus, not the coverage report):
+    * every duplicated `w`-token span keeps its occurrence in the OWNER
+    * document (min doc_id over the gram's holders — deterministic,
+    * order-free) and is cut from every other document; each survivor's
+    * text is reassembled from its kept tokens in order. Output per doc:
+    * exact token accounting + the cleaned text itself, the thing the
+    * next pipeline stage trains on.
+    *
+    * Scale shape: d15's windowed posting list end to end (posexplode of
+    * the native shingle kernel, gram-keyed owner aggregate, LEFT ANTI of
+    * the token stream against the exploded coverage — nothing is
+    * postings×postings); the one new piece is reassembly, a doc-keyed
+    * `collect_list(struct(pos, token))` + `array_sort` fold whose state
+    * is the document's own tokens — the same bound as holding the row.
+    * The oracle rebuilds the text with `string_agg(… ORDER BY p)` — an
+    * independent ordered-concat implementation, so the sort+transform
+    * reassembly is cross-checked, not replayed.
+    */
+  def substringRewrite(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val wins = docs.select(col("doc_id"),
+      posexplode(expr(s"graft_shingles(text, $w)")).as(Seq("pos", "g")))
+    val owners = wins.groupBy("g")
+      .agg(min("doc_id").as("owner"), countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g", "owner")
+    val covered = wins
+      .join(owners, Seq("g"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "tk")))
+    val rebuilt = toks
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("kept_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tk")))), x => x.getField("tk")),
+          " ").as("clean_text"))
+    docs
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }
