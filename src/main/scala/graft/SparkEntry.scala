@@ -193,6 +193,7 @@ object SparkEntry {
     "q107_important_parts"      -> ((s, d) => Relational.importantParts(GraftSession.tune(s), d)),
     "q108_dormant_balance"      -> ((s, d) => Relational.dormantHighBalance(GraftSession.tune(s), d)),
     "q109_top_supplier"         -> ((s, d) => Relational.topQuarterSupplier(GraftSession.tune(s), d)),
+    "q110_region_coverage"      -> ((s, d) => Relational.regionCoverageDivision(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
@@ -1436,6 +1437,21 @@ object SparkEntry {
         |SELECT s.s_suppkey, s.s_name, r.total_e4
         |FROM r CROSS JOIN m JOIN supplier s ON s.s_suppkey = r.l_suppkey
         |WHERE r.total_e4 = m.max_e4""".stripMargin,
+    // q110: the oracle IS the textbook double negation (no region
+    // without a qualifying shipment) — the compare proves the counting
+    // decorrelation equals FOR ALL.
+    "q110_region_coverage" ->
+      """SELECT s.s_suppkey, s.s_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM region) AS n_regions
+        |FROM supplier s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM region r WHERE NOT EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    JOIN customer c ON o.o_custkey = c.c_custkey
+        |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |    WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+        |      AND l.l_quantity >= 49 AND n.n_regionkey = r.r_regionkey))""".stripMargin,
     // t25: char-bigram entropy — the oracle enumerates bigrams by string
     // slice (s[i:i+1] = 2 chars, i < len) and folds the same per-row
     // integer micro-nat fixed point; ln operands are ≥ 1 so the rounded

@@ -1230,4 +1230,38 @@ object Relational {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_e4"))
   }
+
+  /** q110: RELATIONAL DIVISION (the "FOR ALL" class — the one classic
+    * relational operator the inventory lacked): suppliers whose
+    * heavy returned shipments (returnflag R, quantity ≥ 49) reached
+    * customers in EVERY region. The textbook statement is the double
+    * negation (no region without a shipment — the oracle says it that
+    * way); the scalable statement is the COUNTING decorrelation: one
+    * pass over the filtered fact chain, `count(DISTINCT region)` per
+    * supplier, compared to the 1-row region total broadcast back. Each
+    * fact row is touched once; the double-NOT-EXISTS form re-probes the
+    * fact table per (supplier, region) pair — |S|·|R| correlated scans
+    * at 100 TB. Dims broadcast (nation/region/supplier are genuinely
+    * tiny; customer rides a keyed join, it scales with the fact side).
+    */
+  def regionCoverageDivision(spark: SparkSession, dir: String): DataFrame = {
+    val nRegions = Tables.region(spark, dir).agg(count(lit(1)).as("n_regions"))
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 49)
+      .select(col("l_suppkey"), col("l_orderkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("l_suppkey")
+      .agg(countDistinct(col("n_regionkey")).as("n_regions_covered"))
+      .crossJoin(broadcast(nRegions))
+      .filter(col("n_regions_covered") === col("n_regions"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_regions"))
+  }
 }
