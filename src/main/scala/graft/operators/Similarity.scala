@@ -794,10 +794,24 @@ object Similarity {
     * is one keyed join + fold over 2·k·|queries| rows — vanishing next
     * to either index pass.
     */
-  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val exact = annBruteForce(spark, dir, k = 3).select(col("query_id"), col("neighbor_id"))
-    val approx = annLsh(spark, dir, k = 3, multiProbe = true, numPlanes0 = 8)
-      .select(col("query_id"), col("neighbor_id"))
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+      annBruteForce(spark, dir, k = 3),
+      annLsh(spark, dir, k = 3, multiProbe = true, numPlanes0 = 8))
+
+  /** s11: the same recall@3 audit for the PQ index (s05's ADC pipeline)
+    * — the compressed-index counterpart of s10: PQ answers from 4-bit
+    * codes + a rerank set, so its recall story is the whole reason the
+    * rerank knob exists; this measures it against the exact baseline
+    * with the identical intersect-and-count contract.
+    */
+  def annPqRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annBruteForce(spark, dir, k = 3), annPq(spark, dir, k = 3))
+
+  /** |exact top-k ∩ approx top-k| per query as exact integer pairs. */
+  private def recallOf(exactTopK: DataFrame, approxTopK: DataFrame): DataFrame = {
+    val exact  = exactTopK.select(col("query_id"), col("neighbor_id"))
+    val approx = approxTopK.select(col("query_id"), col("neighbor_id"))
     val hits = exact
       .join(approx, Seq("query_id", "neighbor_id"))
       .groupBy("query_id")
