@@ -194,6 +194,7 @@ object SparkEntry {
     "q108_dormant_balance"      -> ((s, d) => Relational.dormantHighBalance(GraftSession.tune(s), d)),
     "q109_top_supplier"         -> ((s, d) => Relational.topQuarterSupplier(GraftSession.tune(s), d)),
     "q110_region_coverage"      -> ((s, d) => Relational.regionCoverageDivision(GraftSession.tune(s), d)),
+    "q111_pareto_parts"         -> ((s, d) => Relational.paretoParts(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
@@ -1477,6 +1478,17 @@ object SparkEntry {
         |    JOIN nation n ON c.c_nationkey = n.n_nationkey
         |    WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
         |      AND l.l_quantity >= 49 AND n.n_regionkey = r.r_regionkey))""".stripMargin,
+    // q111: the oracle IS the textbook correlated NOT-EXISTS dominance
+    // self-join — the compare proves the bounded-price-grid window
+    // decorrelation computes the same frontier.
+    "q111_pareto_parts" ->
+      """SELECT p.p_partkey, p.p_name,
+        |  CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin,
     // t25: char-bigram entropy — the oracle enumerates bigrams by string
     // slice (s[i:i+1] = 2 chars, i < len) and folds the same per-row
     // integer micro-nat fixed point; ln operands are ≥ 1 so the rounded

@@ -1264,4 +1264,39 @@ object Relational {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_regions"))
   }
+
+  /** q111: SKYLINE / Pareto frontier (the multi-criteria "best trade-off"
+    * operator — no part is both cheaper AND larger): keep every part not
+    * DOMINATED (another part ≤ price, ≥ size, strictly better in one).
+    * The textbook statement is a correlated NOT EXISTS self-join — the
+    * oracle says it that way; at 100 TB that is all-pairs. The scalable
+    * decorrelation: dominance only flows through the per-price maximum
+    * size, so (1) fold the fact table to one row per DISTINCT price
+    * (map-side combine; the price grid is BOUNDED — 2-decimal money, a
+    * fixed value range — so this table is small at any corpus size),
+    * (2) two running-max windows over that bounded table give
+    * `m_lt` (max size at strictly lower price) and `m_le` (≤ price),
+    * (3) one keyed join back: dominated ⇔ `m_lt ≥ size ∨ m_le > size`.
+    * The only sort is over the bounded price grid, never the parts.
+    * Prices in exact integer cents so the grid and the hash agree.
+    */
+  def paretoParts(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables
+      .part(spark, dir)
+      .select(col("p_partkey"), col("p_name"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("p_size"))
+    val w = Window.orderBy("price_cents") // over the DISTINCT-price fold only
+    val grid = parts
+      .groupBy("price_cents")
+      .agg(max("p_size").as("msz"))
+      .withColumn("m_le", max("msz").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m_lt",
+        coalesce(max("msz").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(-1L)))
+      .select("price_cents", "m_lt", "m_le")
+    parts
+      .join(grid, Seq("price_cents"))
+      .filter(!(col("m_lt") >= col("p_size") || col("m_le") > col("p_size")))
+      .select(col("p_partkey"), col("p_name"), col("price_cents"), col("p_size"))
+  }
 }
