@@ -628,6 +628,8 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
   private val AlterTtlRe =
     ("(?is)^ALTER\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)" +
       "\\s+SET\\s*\\(\\s*ttl_delay\\s*=\\s*'([^']+)'\\s*,\\s*ttl_ms\\s*=\\s*(\\d+)\\s*\\)\\s*$").r
+  private val SuspendRe =
+    "(?is)^ALTER\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(SUSPEND|RESUME)\\s*$".r
 
   /** The catalog as ONE SQL entry point — the literal front-door syntax
     * of a changefeed engine:
@@ -651,6 +653,10 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     *  - `ALTER MATERIALIZED VIEW v SET (ttl_delay='…', ttl_ms=…)` →
     *    [[alterViewTtl]]: retune a live expiring view's retention in
     *    place (state, checkpoint, history kept).
+    *  - `ALTER MATERIALIZED VIEW v SUSPEND|RESUME` → [[suspendView]] /
+    *    [[resumeView]]: pause one view's maintenance (definition,
+    *    checkpoint, history kept; dependents keep tailing the last
+    *    committed state) and pick it back up from its checkpoint.
     *  - anything else → ad-hoc query: every named view the statement
     *    references is registered as its CURRENT snapshot, then the
     *    statement runs through `spark.sql` (so views, sources-as-temp
@@ -690,6 +696,9 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
       case AlterTtlRe(name, ttlDelay, ttlMs) =>
         alterViewTtl(name, (ttlDelay, ttlMs.toLong))
         Seq((name, ttlDelay, ttlMs.toLong)).toDF("view", "ttl_delay", "ttl_ms")
+      case SuspendRe(name, verb) =>
+        if (verb.equalsIgnoreCase("SUSPEND")) suspendView(name) else resumeView(name)
+        Seq((name, verb.toUpperCase)).toDF("view", "action")
       case _ =>
         // time-travel sugar: `FROM v VERSION AS OF 3` reads the named
         // view's snapshotAsOf(3), `FROM v TIMESTAMP AS OF '2026-08-14

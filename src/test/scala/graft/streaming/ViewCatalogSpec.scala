@@ -1039,6 +1039,18 @@ class ViewCatalogSpec extends SparkSpec {
     assert(snapRows(cat, "s_hi", Seq("city", "total")) == Set(Seq("ber", "75.0")),
       "the dependent sees the resumed view's new commits")
     intercept[IllegalArgumentException] { cat.resumeView("s_tot") } // live → reject
+
+    // the SQL front-door verbs drive the same pair
+    assert(cat.sql("ALTER MATERIALIZED VIEW s_tot SUSPEND").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("s_tot", "SUSPEND")))
+    assert(!cat.status().find(_.name == "s_tot").get.live)
+    writeChanges(src, "b3.json", Seq(
+      Change("insert", 3L, ts(2), Map("city" -> "par", "amount" -> "40"), 3L)))
+    cat.sql("ALTER MATERIALIZED VIEW s_tot RESUME")
+    cat.awaitAll()
+    assert(snapRows(cat, "s_tot", Seq("city", "total")) ==
+      Set(Seq("ber", "75.0"), Seq("par", "40.0")),
+      "SQL RESUME picks up from the checkpoint and drains the backlog")
     cat.stopAll()
   }
 
