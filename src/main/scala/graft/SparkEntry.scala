@@ -195,6 +195,7 @@ object SparkEntry {
     "q109_top_supplier"         -> ((s, d) => Relational.topQuarterSupplier(GraftSession.tune(s), d)),
     "q110_region_coverage"      -> ((s, d) => Relational.regionCoverageDivision(GraftSession.tune(s), d)),
     "q111_pareto_parts"         -> ((s, d) => Relational.paretoParts(GraftSession.tune(s), d)),
+    "q112_clean_corpus"         -> ((s, d) => TrainingData.cleanCorpus(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
@@ -763,6 +764,67 @@ object SparkEntry {
         |  CAST(cov.dup_tokens AS BIGINT) AS dup_tokens,
         |  CAST(cov.dup_tokens AS DOUBLE) / CAST(sz.n_tokens AS DOUBLE) AS dup_frac
         |FROM agg JOIN cov USING (doc_id) JOIN sz USING (doc_id)""".stripMargin,
+    // q112: the oracle replays the WHOLE composition — d16's rewrite
+    // chain, t13's gate, q104's recursive-CTE clusters — and applies
+    // the same md5 split/shard rules; one statement, every stage
+    // independently stated.
+    "q112_clean_corpus" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |win AS (SELECT doc_id, i - 1 AS pos, array_to_string(words[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS i FROM w) t),
+        |own AS (SELECT g, min(doc_id) AS owner FROM win GROUP BY g
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |rem AS (SELECT win.doc_id, win.pos FROM win JOIN own USING (g)
+        |  WHERE win.doc_id <> own.owner),
+        |cov AS (SELECT DISTINCT rem.doc_id, rem.pos + k.k AS p
+        |  FROM rem CROSS JOIN (SELECT unnest(range(0, 8)) AS k) k),
+        |tok AS (SELECT doc_id, i - 1 AS p, words[i] AS tk
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM w) t),
+        |kept AS (SELECT t.doc_id, t.p, t.tk FROM tok t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p WHERE c.p IS NULL),
+        |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+        |  string_agg(tk, ' ' ORDER BY p) AS clean_text FROM kept GROUP BY doc_id),
+        |rw AS (SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(rb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  coalesce(rb.clean_text, '') AS clean_text
+        |  FROM w LEFT JOIN rb ON w.doc_id = rb.doc_id),
+        |gm AS (SELECT doc_id,
+        |  len(words) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(words) AS mean_len,
+        |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(words) AS sym_r,
+        |  CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |    / len(words) AS alpha_f,
+        |  len(list_filter(words, x ->
+        |    regexp_matches(x, '^(the|be|to|of|and|that|have|with)$'))) AS n_stop
+        |  FROM w),
+        |gate AS (SELECT doc_id FROM gm WHERE n_words >= 50 AND n_words <= 100000
+        |  AND mean_len >= 3.0 AND mean_len <= 10.0 AND sym_r <= 0.1
+        |  AND alpha_f >= 0.8 AND n_stop >= 2),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |    i -> array_to_string(words[i:i+4], ' '))) AS g FROM w) t),
+        |nsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT ov.doc_a, ov.doc_b
+        |  FROM ov JOIN nsz a ON a.doc_id = ov.doc_a JOIN nsz b ON b.doc_id = ov.doc_b
+        |  WHERE CAST(common AS DOUBLE) / (a.n + b.n - common) >= 0.5),
+        |e AS (SELECT doc_a, doc_b FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, label) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM e
+        |  UNION
+        |  SELECT e.doc_a, r.label FROM e JOIN reach r ON r.doc_id = e.doc_b),
+        |cl AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id)
+        |SELECT rw.doc_id,
+        |  CASE WHEN substr(md5(CAST(coalesce(cl.cluster, rw.doc_id) AS VARCHAR)), 1, 4) < 'e666'
+        |       THEN 'train' ELSE 'eval' END AS split,
+        |  CAST((strpos('0123456789abcdef', substr(md5(CAST(rw.doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+        |    AS BIGINT) AS shard,
+        |  rw.kept_tokens, rw.clean_text
+        |FROM rw JOIN gate USING (doc_id) LEFT JOIN cl ON rw.doc_id = cl.doc_id
+        |WHERE (rw.n_tokens - rw.kept_tokens) * 2 < rw.n_tokens""".stripMargin,
     // d16: the rewrite is cross-checked, not replayed — the oracle
     // rebuilds each cleaned text with string_agg(… ORDER BY p), an
     // independent ordered-concat, against Spark's sort+transform

@@ -607,6 +607,44 @@ object TrainingData {
     * keyed left join of the label table onto the corpus and a
     * scan-shaped projection — no new shuffle class beyond d06's.
     */
+  /** q112: the r12 curation composition — the CLEANED corpus a training
+    * run actually ingests, chaining this round's operators end to end:
+    * Gopher quality gate (t13) → corpus-wide substring-dedup REWRITE
+    * (d16: duplicated spans cut, owner keeps) → majority-original gate
+    * (docs more than half removed are boilerplate shells, dropped) →
+    * LEAKAGE-SAFE split (q104: the md5 rule on the d06 near-dup CLUSTER
+    * id, so a duplicate family never straddles train/eval) →
+    * deterministic shard (first md5 hex digit mod 8). Output is the
+    * loader contract: (doc_id, split, shard, kept_tokens, clean_text).
+    *
+    * Scale shape: strictly the union of its parts' shapes — every stage
+    * is the already-audited operator (d16's windowed postings, d06's
+    * lineage-cut CC, scan-shaped gates); the composition adds only
+    * doc-keyed joins. Spans are computed CORPUS-WIDE before the gates
+    * select (the rewrite must see every copy of a span to pick its
+    * owner — gating first would resurrect duplicates whose owner was
+    * gated away).
+    */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val gate = TextAnalysis.gopherQuality(spark, dir)
+      .filter(col("passes_gopher") === 1)
+      .select(col("doc_id"))
+    val rewritten = Dedup.substringRewrite(spark, dir)
+    val labels    = Dedup.dedupClusters(spark, dir).select(col("doc_id"), col("cluster"))
+    rewritten
+      .join(gate, Seq("doc_id"), "left_semi")
+      .filter((col("n_tokens") - col("kept_tokens")) * 2 < col("n_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .select(
+        col("doc_id"),
+        when(substring(md5(col("cluster").cast("string")), 1, 4) < "e666", "train")
+          .otherwise("eval").as("split"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("long") % 8)
+          .as("shard"),
+        col("kept_tokens"), col("clean_text"))
+  }
+
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val labels = Dedup.dedupClusters(spark, dir).select(col("doc_id"), col("cluster"))
     Tables
