@@ -93,4 +93,28 @@ class StateInspectSpec extends SparkSpec {
     }
     assert(readable.forall(_ > 0), s"every planner store must be readable: $readable")
   }
+
+  test("#187c generator-view state is inspectable: the family fold's store holds one row per source key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt  = tmp("inspectgen")
+    val input = MemoryStream[Change]
+    val planned = IncrementalPlanner.materialize(
+      spark, "SELECT city, explode(split(tags, ',')) AS tag FROM t", Map("t" -> input.toDS()))
+    val q = planned.df.writeStream.format("memory").queryName("si_gen")
+      .outputMode(planned.outputMode)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(
+        Change("insert", 1L, new java.sql.Timestamp(0), Map("city" -> "ber", "tags" -> "a,b,c"), 1L),
+        Change("insert", 2L, new java.sql.Timestamp(1), Map("city" -> "par", "tags" -> "x"), 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // state is keyed by SOURCE key (the family), not by emitted ordinal:
+    // 2 source keys → 2 state rows, though 4 family rows were emitted
+    val ops = StateInspect.operators(spark, ckpt).collect()
+    assert(ops.length == 1, "one family fold")
+    assert(StateInspect.store(spark, ckpt).count() == 2L,
+      "the on-call surface reads the family state: one row per source key")
+  }
 }
