@@ -196,6 +196,7 @@ object SparkEntry {
     "q110_region_coverage"      -> ((s, d) => Relational.regionCoverageDivision(GraftSession.tune(s), d)),
     "q111_pareto_parts"         -> ((s, d) => Relational.paretoParts(GraftSession.tune(s), d)),
     "q112_clean_corpus"         -> ((s, d) => TrainingData.cleanCorpus(GraftSession.tune(s), d)),
+    "q113_custdist"             -> ((s, d) => Relational.customerOrderDistribution(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
@@ -1540,6 +1541,15 @@ object SparkEntry {
         |    JOIN nation n ON c.c_nationkey = n.n_nationkey
         |    WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
         |      AND l.l_quantity >= 49 AND n.n_regionkey = r.r_regionkey))""".stripMargin,
+    // q113: Q13's count-of-counts — the ON-clause filter (not WHERE)
+    // keeps the zero-order customers in the zero bucket on both engines.
+    "q113_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1) t
+        |GROUP BY c_count""".stripMargin,
     // q111: the oracle IS the textbook correlated NOT-EXISTS dominance
     // self-join — the compare proves the bounded-price-grid window
     // decorrelation computes the same frontier.

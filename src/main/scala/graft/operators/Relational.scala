@@ -1299,4 +1299,29 @@ object Relational {
       .filter(!(col("m_lt") >= col("p_size") || col("m_le") > col("p_size")))
       .select(col("p_partkey"), col("p_name"), col("price_cents"), col("p_size"))
   }
+
+  /** q113: customer order-count distribution — the TPC-H Q13 shape
+    * ("count of counts"): per customer, how many non-urgent orders;
+    * then a histogram of THAT — including the zero bucket, which is why
+    * the join must be LEFT OUTER with the filter in the ON clause (a
+    * WHERE would silently drop the zero-order customers, the classic
+    * Q13 trap). Two keyed aggregates back to back: the first shuffles
+    * on custkey (the join's own key — no extra exchange), the second on
+    * the tiny count domain. `count(o_orderkey)` counts matches only
+    * (NULL from the outer side doesn't count) — exactly the semantics
+    * the zero bucket needs.
+    */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select(col("c_custkey"))
+      .join(
+        Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
 }

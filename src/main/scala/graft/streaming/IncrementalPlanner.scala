@@ -2291,10 +2291,26 @@ object IncrementalPlanner {
       ttl: Option[(String, Long)] = None,
       having: Option[Expression] = None,
       keepMeta: Boolean = false): PlannedView = {
+    // `agg(x) FILTER (WHERE p)` ≡ agg(CASE WHEN p THEN x END): every
+    // supported aggregate skips NULL operands, so routing the predicate
+    // through a CASE is the exact standard semantics (count(*) FILTER
+    // becomes count(CASE WHEN p THEN 1 END); DISTINCT composes — NULLs
+    // never join the distinct multiset). Without this rewrite the
+    // parser-accepted filter clause would be silently DROPPED — a
+    // wrong-answer class, like the pre-r7 count(DISTINCT) hole.
+    def stripAggFilter(e: Expression): Expression = e.transform {
+      case f: UnresolvedFunction if f.filter.isDefined =>
+        val p = f.filter.get
+        val args2 = f.arguments.map {
+          case _: UnresolvedStar => CaseWhen(Seq((p, Literal(1))), None)
+          case a                 => CaseWhen(Seq((p, a)), None)
+        }
+        f.copy(arguments = args2, filter = None)
+    }
     // min/max(DISTINCT x) ≡ min/max(x): normalize before dispatch so the
     // extremum forms never force the two-level rewrite on their own
     val norm0 = agg.copy(aggregateExpressions = agg.aggregateExpressions.map(ne =>
-      ne.transform {
+      stripAggFilter(ne).transform {
         case f: UnresolvedFunction
             if f.isDistinct && Set("min", "max")(f.nameParts.last.toLowerCase) =>
           f.copy(isDistinct = false)
@@ -2320,7 +2336,7 @@ object IncrementalPlanner {
         val rewritten = cond.transform {
           case f: UnresolvedFunction if havingAggFns(f.nameParts.last.toLowerCase) =>
             val nm = s"__h${buf.size}"
-            buf += Alias(f, nm)()
+            buf += Alias(stripAggFilter(f), nm)()
             UnresolvedAttribute(Seq(nm))
         }
         (norm0.copy(aggregateExpressions = norm0.aggregateExpressions ++ buf),

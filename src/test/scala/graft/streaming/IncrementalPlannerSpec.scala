@@ -3951,6 +3951,46 @@ class IncrementalPlannerSpec extends SparkSpec {
     }.getMessage.contains("one generator"))
   }
 
+  test("#171cp aggregate FILTER clause: agg(x) FILTER (WHERE p) under churn; HAVING-hoisted filters too") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def e(op: String, k: Long, m: Int, city: String, amount: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String] else Map("city" -> city, "amount" -> amount), seq)
+    val batches = Seq(
+      Map("t" -> Seq(
+        e("insert", 1L, 0, "ber", "10", 1L),
+        e("insert", 2L, 1, "ber", "3", 2L),
+        e("insert", 3L, 2, "par", "8", 3L))),
+      // key 2 crosses INTO the filter predicate; key 3 crosses OUT
+      Map("t" -> Seq(
+        e("update", 2L, 10, "ber", "7", 4L),
+        e("update", 3L, 11, "par", "2", 5L))),
+      Map("t" -> Seq(e("delete", 1L, 12, "", "", 6L))),
+    )
+    val sql = "SELECT city, count(*) FILTER (WHERE amount > 5) AS n_big, " +
+      "sum(amount) FILTER (WHERE amount > 5) AS s_big, count(*) AS n FROM t GROUP BY city"
+    runView(sql, "pv_filter_a", batches.take(1))
+    assert(aggState("pv_filter_a", Seq("city")) == Map(
+      Seq[Any]("ber") -> Seq[Any](1L, 10.0, 2L),
+      Seq[Any]("par") -> Seq[Any](1L, 8.0, 1L)),
+      "the filter clause must gate the aggregate, not the row")
+    runView(sql, "pv_filter", batches)
+    assert(aggState("pv_filter", Seq("city")) == Map(
+      Seq[Any]("ber") -> Seq[Any](1L, 7.0, 1L),
+      // all rows filtered out → sum emits 0 (the flat path's documented
+      // all-NULL-sum trade; batch would say NULL)
+      Seq[Any]("par") -> Seq[Any](0L, 0.0, 1L)),
+      "predicate crossings must retract/add only the filtered slots; count(*) unaffected")
+
+    // HAVING-hoisted aggregates keep their filter too
+    val hsql = "SELECT city, count(*) AS n FROM t GROUP BY city " +
+      "HAVING sum(amount) FILTER (WHERE amount > 5) >= 10"
+    runView(hsql, "pv_filter_h", batches.take(1))
+    assert(aggState("pv_filter_h", Seq("city")).keySet == Set(Seq[Any]("ber")),
+      "HAVING's filtered sum must see only the gated rows")
+  }
+
   test("#296b generator composition + TTL: element aggregate in ONE statement; expiring family retracts then expires") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
