@@ -198,6 +198,7 @@ object SparkEntry {
     "q112_clean_corpus"         -> ((s, d) => TrainingData.cleanCorpus(GraftSession.tune(s), d)),
     "q113_custdist"             -> ((s, d) => Relational.customerOrderDistribution(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
+    "d17_threshold_sweep"       -> ((s, d) => Dedup.thresholdSweep(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
     "s10_ann_recall"            -> ((s, d) => Similarity.annRecallAudit(GraftSession.tune(s), d)),
@@ -826,6 +827,35 @@ object SparkEntry {
         |  rw.kept_tokens, rw.clean_text
         |FROM rw JOIN gate USING (doc_id) LEFT JOIN cl ON rw.doc_id = cl.doc_id
         |WHERE (rw.n_tokens - rw.kept_tokens) * 2 < rw.n_tokens""".stripMargin,
+    // d17: the sweep replays d02's overlap (rare-gram common counts,
+    // full-set denominators) and fans each pair over the same literal
+    // threshold list; empty thresholds report 0 through the left joins.
+    "d17_threshold_sweep" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS g FROM w) t),
+        |gdf AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+        |shr AS (SELECT sh.doc_id, sh.g FROM sh JOIN gdf USING (g) WHERE gdf.df <= 100),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM shr x JOIN shr y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pj AS (SELECT ov.doc_a, ov.doc_b,
+        |  CAST(common AS DOUBLE) / (a.n + b.n - common) AS j
+        |  FROM ov JOIN sz a ON a.doc_id = ov.doc_a JOIN sz b ON b.doc_id = ov.doc_b),
+        |th AS (SELECT unnest([30, 40, 50, 60, 70, 80, 90]) AS threshold_pct),
+        |sw AS (SELECT th.threshold_pct, pj.doc_a, pj.doc_b
+        |  FROM pj JOIN th ON pj.j * 100 >= th.threshold_pct),
+        |np AS (SELECT threshold_pct, count(*) AS n_pairs FROM sw GROUP BY 1),
+        |nd AS (SELECT threshold_pct, count(DISTINCT d) AS n_docs FROM (
+        |  SELECT threshold_pct, doc_a AS d FROM sw
+        |  UNION ALL SELECT threshold_pct, doc_b FROM sw) u GROUP BY 1)
+        |SELECT CAST(th.threshold_pct AS BIGINT) AS threshold_pct,
+        |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+        |FROM th LEFT JOIN np USING (threshold_pct) LEFT JOIN nd USING (threshold_pct)""".stripMargin,
     // d16: the rewrite is cross-checked, not replayed — the oracle
     // rebuilds each cleaned text with string_agg(… ORDER BY p), an
     // independent ordered-concat, against Spark's sort+transform

@@ -660,6 +660,54 @@ object Dedup {
         min("doc_id").as("keeper"))
   }
 
+  /** d17: near-dup THRESHOLD sensitivity sweep — the tuning table every
+    * dedup deployment reads before committing to a Jaccard cutoff: from
+    * ONE pair-overlap computation (d02's rare-gram postings — the
+    * expensive part is paid once), how many pairs and how many touched
+    * docs survive at each candidate threshold (30%…90%). The cliff in
+    * this table IS the threshold decision: below it boilerplate-ish
+    * pairs flood in, above it true near-dups start escaping. The
+    * per-pair Jaccard fans out over the 7-row threshold literal (a
+    * ×7 map on the PAIR table, which is candidate-bounded — never a
+    * recompute of the overlap); thresholds that catch nothing still
+    * report 0 via the left joins.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String, maxDf: Int = 100): DataFrame = {
+    import spark.implicits._
+    val docs  = Shingles.hashedShingleSets(Tables.documents(spark, dir), 3)
+    val sizes = docs.select(col("doc_id"), size(col("grams")).as("n"))
+    val exploded = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+    val rare = exploded.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val pairs = {
+      val postings = exploded.join(rare.select("g"), Seq("g"), "left_semi")
+      postings.as("x")
+        .join(postings.as("y"), Seq("g"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+    }
+    val ths = Seq(30L, 40L, 50L, 60L, 70L, 80L, 90L)
+    val swept = pairs
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(ths.map(lit(_)): _*)).as("threshold_pct"))
+      .filter(col("jaccard") * 100 >= col("threshold_pct"))
+    val nPairs = swept.groupBy("threshold_pct").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = swept
+      .select(col("threshold_pct"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold_pct")
+      .agg(countDistinct(col("d")).as("n_docs"))
+    ths.toDF("threshold_pct")
+      .join(nPairs, Seq("threshold_pct"), "left")
+      .join(nDocs, Seq("threshold_pct"), "left")
+      .select(col("threshold_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** d15: EXACT SUBSTRING dedup (the Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better" operator) — flag every
     * verbatim `w`-token span a document shares with ANOTHER document, and
