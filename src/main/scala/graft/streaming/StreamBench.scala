@@ -74,7 +74,7 @@ object StreamBench {
         .queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val lines = Seq("planner-agg", "planner-join", "planner-asof").map { engine =>
+    val lines = Seq("planner-agg", "planner-join", "planner-asof", "planner-gen").map { engine =>
       runOne(spark, engine, offered, seconds, liveKeys)
     }
     val json =
@@ -168,6 +168,34 @@ object StreamBench {
           "SELECT e.name AS name, v.tag AS tag FROM a e ASOF JOIN b v " +
             "ON e.grp = v.grp AND e.amount >= v.amount",
           Map("a" -> rateChanges("name"), "b" -> rateChanges("tag")))
+        (planned.df, planned.outputMode)
+      case "planner-gen" =>
+        // the generator dataflow: every update rewrites a 4-element
+        // family (each element derived from the LSN with a distinct
+        // coprime modulus, so all ordinals change every update — the
+        // worst case for the per-ordinal diff: 4 emissions per input
+        // row, plus family deletes on the 10% tombstones)
+        val feed = spark.readStream
+          .format("rate")
+          .option("rowsPerSecond", rowsPerSec)
+          .load()
+          .select(
+            when(pmod(col("value"), lit(10)) === 0, "delete").otherwise("update").as("op"),
+            pmod(col("value"), lit(liveKeys)).as("key"),
+            col("timestamp").as("ts"),
+            map(
+              lit("city"), concat(lit("c"), pmod(col("value"), lit(500))),
+              lit("tags"), concat(
+                lit("a"), pmod(col("value"), lit(97)), lit(","),
+                lit("b"), pmod(col("value"), lit(89)), lit(","),
+                lit("c"), pmod(col("value"), lit(83)), lit(","),
+                lit("d"), pmod(col("value"), lit(79)))).as("payload"),
+            col("value").as("seq"),
+          )
+          .as[Change]
+        val planned = IncrementalPlanner.materialize(spark,
+          "SELECT city, explode(split(tags, ',')) AS tag FROM t",
+          Map("t" -> feed))
         (planned.df, planned.outputMode)
       case "v2" => (StateMaterializer.materialize(rateChanges("name")).toDF(), CdcMaterializer.outputMode)
       case _    => (CdcMaterializer.materialize(rateChanges("name")).toDF(), CdcMaterializer.outputMode)
