@@ -203,6 +203,7 @@ object SparkEntry {
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
     "s10_ann_recall"            -> ((s, d) => Similarity.annRecallAudit(GraftSession.tune(s), d)),
     "s11_ann_pq_recall"         -> ((s, d) => Similarity.annPqRecallAudit(GraftSession.tune(s), d)),
+    "s12_ann_ivf_recall"        -> ((s, d) => Similarity.annIvfRecallAudit(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
     "t22_zipf_slope"            -> ((s, d) => TextAnalysis.zipfSlope(GraftSession.tune(s), d)),
     "t23_perplexity_buckets"    -> ((s, d) => TextAnalysis.perplexityBuckets(GraftSession.tune(s), d)),
@@ -362,12 +363,35 @@ object SparkEntry {
        |FROM ex e LEFT JOIN h ON e.query_id = h.query_id
        |GROUP BY e.query_id""".stripMargin
 
+  // s12: same recall composition with the s04 IVF oracle as the approx
+  // side — the third index family audited by the same contract.
+  private lazy val s12OracleSql: String =
+    s"""WITH iv AS (SELECT query_id, neighbor_id FROM ($s04OracleSql) z),
+       |exq AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < 10),
+       |exp AS (SELECT exq.query_id, e.vec_id AS neighbor_id,
+       |  round(${sqlDotF("exq.q_emb", "e.embedding")}
+       |    / (sqrt(list_aggregate(list_transform(exq.q_emb, x -> CAST(x AS DOUBLE) * x), 'sum'))
+       |     * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+       |  6) AS sim6
+       | FROM embeddings e, exq WHERE e.vec_id <> exq.query_id),
+       |exr AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM exp),
+       |ex AS (SELECT query_id, neighbor_id FROM exr WHERE rn <= 3),
+       |h AS (SELECT x.query_id, count(*) AS c FROM ex x JOIN iv
+       |  ON x.query_id = iv.query_id AND x.neighbor_id = iv.neighbor_id GROUP BY 1)
+       |SELECT e.query_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(coalesce(any_value(h.c), 0) AS BIGINT) AS n_hit
+       |FROM ex e LEFT JOIN h ON e.query_id = h.query_id
+       |GROUP BY e.query_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s04_ann_ivf" -> s04OracleSql,
     "d12_semdedup" -> d12OracleSql,
     "s05_ann_pq" -> s05OracleSql,
     "s06_ann_pq_served" -> s05OracleSql,
     "s11_ann_pq_recall" -> s11OracleSql,
+    "s12_ann_ivf_recall" -> s12OracleSql,
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_extendedprice * (1 - l_discount), 4) AS revenue

@@ -808,6 +808,14 @@ object Similarity {
   def annPqRecallAudit(spark: SparkSession, dir: String): DataFrame =
     recallOf(annBruteForce(spark, dir, k = 3), annPq(spark, dir, k = 3))
 
+  /** s12: recall@3 for the IVF index (s04, nprobe=2) — completes the
+    * audit triad over all three index families (LSH / PQ / IVF): the
+    * nprobe knob's recall cost measured against the exact baseline,
+    * same intersect-and-count contract.
+    */
+  def annIvfRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    recallOf(annBruteForce(spark, dir, k = 3), annIvf(spark, dir, k = 3))
+
   /** |exact top-k ∩ approx top-k| per query as exact integer pairs. */
   private def recallOf(exactTopK: DataFrame, approxTopK: DataFrame): DataFrame = {
     val exact  = exactTopK.select(col("query_id"), col("neighbor_id"))
