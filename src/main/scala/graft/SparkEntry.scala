@@ -197,6 +197,7 @@ object SparkEntry {
     "q111_pareto_parts"         -> ((s, d) => Relational.paretoParts(GraftSession.tune(s), d)),
     "q112_clean_corpus"         -> ((s, d) => TrainingData.cleanCorpus(GraftSession.tune(s), d)),
     "q113_custdist"             -> ((s, d) => Relational.customerOrderDistribution(GraftSession.tune(s), d)),
+    "q114_stickiness"           -> ((s, d) => Temporal.stickiness(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "d17_threshold_sweep"       -> ((s, d) => Dedup.thresholdSweep(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
@@ -1595,6 +1596,17 @@ object SparkEntry {
         |    JOIN nation n ON c.c_nationkey = n.n_nationkey
         |    WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
         |      AND l.l_quantity >= 49 AND n.n_regionkey = r.r_regionkey))""".stripMargin,
+    // q114: the oracle votes each (user, day) into its 7 window-end
+    // days the same way — exact integer pair, no ratio crosses the hash.
+    "q114_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |wau AS (SELECT day + CAST(o AS INTEGER) AS wday,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) t GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau7
+        |FROM dau JOIN wau ON dau.day = wau.wday""".stripMargin,
     // q113: Q13's count-of-counts — the ON-clause filter (not WHERE)
     // keeps the zero-order customers in the zero bucket on both engines.
     "q113_custdist" ->

@@ -19,6 +19,35 @@ object Temporal {
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).withColumn("tsu", unix_micros(col("ts")))
 
+  /** q114: DAU / trailing-WAU stickiness — the canonical product-health
+    * ratio (what fraction of the week's actives showed up today): per
+    * active day, exact distinct daily actives and exact distinct
+    * actives over the trailing 7 days, emitted as the integer pair
+    * (the ratio is the consumer's division — no float crosses the
+    * hash). The trailing window decomposes as a BOUNDED fan-out, never
+    * a 7-day self-join: each (user, day) distinct row casts one vote
+    * into each of the 7 window-end days it belongs to (explode of a
+    * 7-element literal sequence — ×7 map on the per-day-deduped rows,
+    * which are already tiny next to the event scan), then one
+    * count-distinct per window end. Window ends are reported only for
+    * days that themselves had activity.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables
+      .events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"), col("day"), explode(sequence(lit(0), lit(6))).as("o"))
+      .select(col("user_id"), date_add(col("day"), col("o")).as("wday"))
+      .groupBy("wday")
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    dau
+      .join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau7"))
+  }
+
   /** q21: CDC materialization — last-writer-wins latest state per key.
     * Batch analogue of the streaming upsert fold in
     * [[graft.streaming.CdcMaterializer]].
