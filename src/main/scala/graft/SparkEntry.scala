@@ -1605,7 +1605,7 @@ object SparkEntry {
         |wau AS (SELECT day + CAST(o AS INTEGER) AS wday,
         |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
         |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) t GROUP BY 1)
-        |SELECT dau.day, dau.dau, wau.wau7
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau7
         |FROM dau JOIN wau ON dau.day = wau.wday""".stripMargin,
     // q113: Q13's count-of-counts — the ON-clause filter (not WHERE)
     // keeps the zero-order customers in the zero bucket on both engines.

@@ -45,7 +45,9 @@ object Temporal {
       .agg(countDistinct(col("user_id")).as("wau7"))
     dau
       .join(wau, col("day") === col("wday"))
-      .select(col("day"), col("dau"), col("wau7"))
+      // dates leave as strings (the repo-wide gate convention: a DATE
+      // column's pandas dtype differs between the two engines' readers)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau7"))
   }
 
   /** q21: CDC materialization — last-writer-wins latest state per key.
