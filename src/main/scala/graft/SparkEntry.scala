@@ -1229,9 +1229,9 @@ object SparkEntry {
         |  FROM documents),
         |c AS (SELECT shard, source, count(*) AS n_ss FROM s GROUP BY 1, 2),
         |t AS (SELECT shard, sum(n_ss) AS n_s FROM c GROUP BY 1)
-        |SELECT c.shard, max(t.n_s) AS n_docs,
-        |  sum(n_ss * CAST(round(1e6 * ln(CAST(t.n_s AS DOUBLE) / n_ss)) AS BIGINT))
-        |    AS entropy_unats_scaled
+        |SELECT c.shard, CAST(max(t.n_s) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_ss * CAST(round(1e6 * ln(CAST(t.n_s AS DOUBLE) / n_ss)) AS BIGINT))
+        |    AS BIGINT) AS entropy_unats_scaled
         |FROM c JOIN t ON c.shard = t.shard
         |GROUP BY 1""".stripMargin,
     // q99: the oracle is the textbook global window (running max over

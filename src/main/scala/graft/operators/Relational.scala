@@ -968,7 +968,9 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
       .select(col("o_orderkey"), col("o_custkey"),
-        year(col("o_orderdate").cast("date")).as("o_year"))
+        // long, not int: DuckDB's year() is BIGINT, and the driver's
+        // hash gate is dtype-sensitive (the q103/q114 trap class)
+        year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
     val amerCust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
       .join(broadcast(Tables.nation(spark, dir)
           .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
@@ -1162,7 +1164,11 @@ object Relational {
     val total = vals.agg(sum("value_e4").as("total_e4"), count(lit(1)).as("n_parts"))
     vals
       .crossJoin(broadcast(total))
-      .filter(col("value_e4") * col("n_parts") * 10 > col("total_e4") * 15)
+      // DECIMAL(38,0) cross-multiply (the q100/q94 DIV discipline):
+      // value_e4 (~1e12 at sf1e3) × n_parts (~1e8) × 10 exceeds 2^63,
+      // and Spark's default non-ANSI long multiply would wrap SILENTLY
+      .filter(col("value_e4").cast("decimal(38,0)") * col("n_parts") * 10 >
+        col("total_e4").cast("decimal(38,0)") * 15)
       .select(col("l_partkey"), col("value_e4"))
   }
 
@@ -1197,7 +1203,9 @@ object Relational {
       .select(col("o_custkey"))
     cust
       .crossJoin(broadcast(stats))
-      .filter(col("bal_cents") * col("n_pos") > col("sum_pos_cents"))
+      // DECIMAL(38,0): bal_cents (~1e7) × n_pos (~1e10 at sf1e3) is safe
+      // today but the wrap would be silent — same discipline as q107
+      .filter(col("bal_cents").cast("decimal(38,0)") * col("n_pos") > col("sum_pos_cents"))
       .join(recentBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))

@@ -2298,14 +2298,33 @@ object IncrementalPlanner {
     // never join the distinct multiset). Without this rewrite the
     // parser-accepted filter clause would be silently DROPPED — a
     // wrong-answer class, like the pre-r7 count(DISTINCT) hole.
+    // Only DATA operands get the CASE wrap. Trailing literal arguments
+    // are CONFIGURATION (percentile's fraction, listagg's separator) —
+    // wrapping them in CaseWhen breaks the downstream literal-only
+    // checks with a misleadingly attributed error. The first argument
+    // is always data even when literal (`count(1) FILTER` must still
+    // honor the predicate); later arguments are data iff non-literal
+    // (corr/covar's second column wraps; the NULL-skipping semantics
+    // stay exact because both operands carry the SAME predicate).
     def stripAggFilter(e: Expression): Expression = e.transform {
       case f: UnresolvedFunction if f.filter.isDefined =>
         val p = f.filter.get
-        val args2 = f.arguments.map {
-          case _: UnresolvedStar => CaseWhen(Seq((p, Literal(1))), None)
-          case a                 => CaseWhen(Seq((p, a)), None)
+        def wrap(a: Expression): Expression = CaseWhen(Seq((p, a)), None)
+        if (f.orderingWithinGroup.nonEmpty && f.arguments.forall(_.isInstanceOf[Literal])) {
+          // inverted form — percentile_cont(0.5) WITHIN GROUP (ORDER BY
+          // x): the DATA operand rides the ordering, the arguments are
+          // config literals (the fraction). Wrap the sort expression;
+          // filtered rows evaluate NULL → excluded from the multiset.
+          f.copy(orderingWithinGroup =
+            f.orderingWithinGroup.map(so => so.copy(child = wrap(so.child))), filter = None)
+        } else {
+          val args2 = f.arguments.zipWithIndex.map {
+            case (_: UnresolvedStar, _)   => CaseWhen(Seq((p, Literal(1))), None)
+            case (a: Literal, i) if i > 0 => a
+            case (a, _)                   => wrap(a)
+          }
+          f.copy(arguments = args2, filter = None)
         }
-        f.copy(arguments = args2, filter = None)
     }
     // min/max(DISTINCT x) ≡ min/max(x): normalize before dispatch so the
     // extremum forms never force the two-level rewrite on their own

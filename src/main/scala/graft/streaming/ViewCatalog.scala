@@ -61,7 +61,8 @@ final case class ViewStatus(name: String, sql: String, deps: Seq[String],
     cols: Seq[String], live: Boolean, batchesCommitted: Long,
     lastBatchId: Long, lastInputRows: Long, lastBatchMs: Long)
 
-class ViewCatalog(val spark: SparkSession, val root: String) {
+class ViewCatalog(val spark: SparkSession, val root: String)
+    extends org.apache.spark.internal.Logging {
 
   private val sources = mutable.LinkedHashMap.empty[String, () => Dataset[Change]]
   private val views   = mutable.LinkedHashMap.empty[String, NamedView]
@@ -168,10 +169,22 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     // definition no longer emits is an incompatibility — raised here,
     // with nothing stopped and the whole old graph still live
     downstream.foreach { d =>
-      val lost = lostColumns(views(d), name, newCols.toSet)
+      val (lost, ambiguous) = lostColumns(views(d), name, newCols.toSet)
       require(lost.isEmpty,
         s"CASCADE replace of $name is incompatible with dependent $d: " +
           s"it references column(s) ${lost.mkString(", ")} the new definition does not emit")
+      // Unqualified references the replaced view USED to satisfy but a
+      // co-dependency (open-payload source / other view) could also
+      // provide: not provably lost, so the cascade proceeds — but if
+      // the source does NOT in fact carry the column, the rebuilt
+      // dependent compiles fine and silently emits NULLs. Warn loudly;
+      // qualifying the reference in the dependent's SQL removes the
+      // ambiguity.
+      if (ambiguous.nonEmpty)
+        logWarning(s"CASCADE replace of $name: dependent $d references " +
+          s"column(s) ${ambiguous.mkString(", ")} unqualified; the new definition of " +
+          s"$name no longer emits them, and only a co-dependency may. If none does, " +
+          s"$d will emit NULLs — qualify the reference to make the loss a hard error")
     }
     // capture each dependent's definition before teardown (ttl lives in
     // the persisted meta, not the runtime NamedView)
@@ -237,7 +250,15 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
       catch {
         case e: Throwable =>
           persist(oldTtl.get)
-          views(name) = startView(name, viewSql, deps, oldTtl)
+          // The rollback restart can itself fail (the feed may be gone,
+          // the checkpoint corrupt). That failure must not REPLACE the
+          // original error, and the catalog must not keep advertising a
+          // stopped query as live: attach it as suppressed and drop the
+          // entry so the view reads as down, meta intact for recovery.
+          scala.util.Try(startView(name, viewSql, deps, oldTtl)) match {
+            case scala.util.Success(old) => views(name) = old
+            case scala.util.Failure(e2)  => views.remove(name); e.addSuppressed(e2)
+          }
           throw e
       }
     views(name) = nv
@@ -267,9 +288,11 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
     * replaced view only when no OTHER dependency can provide it —
     * another view's declared columns, or a source (whose payload schema
     * is open, so it can provide anything). Conservative by design: only
-    * provable losses block the cascade.
+    * provable losses block the cascade; the maybe-provided ones are
+    * returned separately (second element) so the caller can warn.
     */
-  private def lostColumns(dep: NamedView, replaced: String, newCols: Set[String]): Seq[String] = {
+  private def lostColumns(dep: NamedView, replaced: String,
+      newCols: Set[String]): (Seq[String], Seq[String]) = {
     val stripped = IncrementalPlanner.stripPlannerSyntax(dep.sql)
     val plan = spark.sessionState.sqlParser.parsePlan(stripped)
     // alias → relation bindings from FROM clauses (SubqueryAlias over
@@ -292,7 +315,7 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
       .flatMap(d => views(d).cols).toSet
     val hasSourceDep = dep.deps.filterNot(_ == replaced).exists(sources.contains)
     val oldCols = views(replaced).cols.toSet
-    attrs.collect {
+    val lost = attrs.collect {
       case parts if parts.length >= 2 &&
           aliases.getOrElse(parts(parts.length - 2), "") == replaced &&
           !newCols.contains(parts.last) =>
@@ -302,6 +325,16 @@ class ViewCatalog(val spark: SparkSession, val root: String) {
           !otherViewCols.contains(parts.head) && !hasSourceDep =>
         parts.head
     }.distinct
+    // unqualified, previously satisfied by the replaced view, no longer
+    // emitted — but a co-dependency (other view's declared column or an
+    // open-payload source) might provide it, so not PROVABLY lost
+    val ambiguous = attrs.collect {
+      case parts if parts.length == 1 && oldCols.contains(parts.head) &&
+          !newCols.contains(parts.head) &&
+          (otherViewCols.contains(parts.head) || hasSourceDep) =>
+        parts.head
+    }.distinct
+    (lost, ambiguous)
   }
 
   /** Compact the view's sink: fold every committed batch so far into one

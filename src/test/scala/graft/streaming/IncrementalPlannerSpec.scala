@@ -3991,6 +3991,46 @@ class IncrementalPlannerSpec extends SparkSpec {
       "HAVING's filtered sum must see only the gated rows")
   }
 
+  test("#171cq FILTER on multi-arg aggregates: config literals stay literal, data operands gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def e(op: String, k: Long, m: Int, city: String, amount: String, seq: Long) =
+      Change(op, k, ts(m),
+        if (op == "delete") Map.empty[String, String] else Map("city" -> city, "amount" -> amount), seq)
+    val batches = Seq(
+      Map("t" -> Seq(
+        e("insert", 1L, 0, "ber", "10", 1L),
+        e("insert", 2L, 1, "ber", "4", 2L),
+        e("insert", 3L, 2, "ber", "8", 3L),
+        e("insert", 4L, 3, "par", "2", 4L))),
+      // key 2 crosses INTO the predicate — the filtered percentile and
+      // listagg must pick it up; key 3 crosses OUT
+      Map("t" -> Seq(
+        e("update", 2L, 10, "ber", "6", 5L),
+        e("update", 3L, 11, "ber", "3", 6L))),
+    )
+    // percentile's fraction and listagg's separator are CONFIG literals:
+    // before the r13 fix the FILTER rewrite CASE-wrapped them too and the
+    // compile died with a misattributed "fraction (literal only)" error
+    val sql = "SELECT city, " +
+      "percentile(amount, 0.5) FILTER (WHERE amount > 5) AS p50_big, " +
+      "percentile_cont(0.5) WITHIN GROUP (ORDER BY amount) FILTER (WHERE amount > 5) AS p50_wg, " +
+      "listagg(amount, ',') WITHIN GROUP (ORDER BY amount) FILTER (WHERE amount > 5) AS la_big, " +
+      "count(1) FILTER (WHERE amount > 5) AS n_lit FROM t GROUP BY city"
+    runView(sql, "pv_mfilter_a", batches.take(1))
+    assert(aggState("pv_mfilter_a", Seq("city")) == Map(
+      // ber gated multiset {10, 8}: p50 = 9; par gated multiset {} → NULLs
+      Seq[Any]("ber") -> Seq[Any](9.0, 9.0, "8,10", 2L),
+      Seq[Any]("par") -> Seq[Any](null, null, null, 0L)),
+      "fraction/separator must stay literal; count(1)'s literal IS the data operand and must gate")
+    runView(sql, "pv_mfilter", batches)
+    assert(aggState("pv_mfilter", Seq("city")) == Map(
+      // ber gated multiset now {10, 6}: p50 = 8, listagg order-key sorted
+      Seq[Any]("ber") -> Seq[Any](8.0, 8.0, "6,10", 2L),
+      Seq[Any]("par") -> Seq[Any](null, null, null, 0L)),
+      "predicate crossings must move keys in and out of the holistic multiset")
+  }
+
   test("#296b generator composition + TTL: element aggregate in ONE statement; expiring family retracts then expires") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

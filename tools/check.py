@@ -21,6 +21,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
+def dtype_lint(got_raw: pd.DataFrame, exp_raw: pd.DataFrame) -> list:
+    """The driver's hasher stringifies AFTER pandas dtype coercion, so a
+    value-exact query still fails the gate when the two sides render
+    differently: DuckDB HUGEINT fetches as float64 (q103, r12) and DATE
+    fetches as datetime64 while Spark parquet DATE stays object (q114,
+    r12). Lint the RAW frames (pre-canon) and fail loudly on the class,
+    not the instance:
+      - either side datetime64-typed        -> emit date_format strings
+      - integer on one side, float on other -> CAST the oracle to BIGINT
+    """
+    issues = []
+    gk = {c: got_raw[c].dtype.kind for c in got_raw.columns}
+    ek = {c: exp_raw[c].dtype.kind for c in exp_raw.columns}
+    for c in sorted(set(gk) | set(ek)):
+        g, e = gk.get(c), ek.get(c)
+        if g == "M" or e == "M":
+            issues.append(f"{c}: datetime-typed output (spark={g} oracle={e}) — emit yyyy-MM-dd strings")
+        elif g is not None and e is not None and {g, e} == {"i", "f"}:
+            issues.append(f"{c}: int/float skew (spark={g} oracle={e}) — CAST the wider side AS BIGINT")
+    return issues
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -40,10 +61,15 @@ def main():
         if not files:
             print(f"MISS  {name}: no spark output"); n_bad += 1; continue
         try:
-            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
-            exp = canon(con.execute(sql).fetchdf())
+            got_raw = pd.read_parquet(f"{out_dir}/{name}")
+            exp_raw = con.execute(sql).fetchdf()
+            got = canon(got_raw.copy())
+            exp = canon(exp_raw.copy())
         except Exception as e:
             print(f"ERR   {name}: {e}"); n_bad += 1; continue
+        lint = dtype_lint(got_raw, exp_raw)
+        if lint:
+            print(f"DTYPE {name}: " + "; ".join(lint)); n_bad += 1; continue
         if list(got.columns) != list(exp.columns):
             print(f"COLS  {name}: spark={list(got.columns)} oracle={list(exp.columns)}"); n_bad += 1; continue
         if len(got) != len(exp):
