@@ -198,6 +198,9 @@ object SparkEntry {
     "q112_clean_corpus"         -> ((s, d) => TrainingData.cleanCorpus(GraftSession.tune(s), d)),
     "q113_custdist"             -> ((s, d) => Relational.customerOrderDistribution(GraftSession.tune(s), d)),
     "q114_stickiness"           -> ((s, d) => Temporal.stickiness(GraftSession.tune(s), d)),
+    "q115_min_cost_supplier"    -> ((s, d) => Relational.minCostSupplier(GraftSession.tune(s), d)),
+    "q116_large_qty_orders"     -> ((s, d) => Relational.largeQuantityOrders(GraftSession.tune(s), d)),
+    "q117_excess_stock"         -> ((s, d) => Relational.excessStockSuppliers(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "d17_threshold_sweep"       -> ((s, d) => Dedup.thresholdSweep(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
@@ -1616,6 +1619,64 @@ object SparkEntry {
         |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
         |  GROUP BY 1) t
         |GROUP BY c_count""".stripMargin,
+    // q115: the oracle IS the textbook Q2 correlated scalar MIN whose
+    // inner is the full multi-join, re-executed per outer row — the
+    // compare proves the keyed-aggregate + join-back decorrelation
+    // computes the same (ties kept) set. Money in integer cents.
+    "q115_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p.p_partkey, s.s_name, n.n_name, o.cost_c,
+        |  CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM part p
+        |JOIN offers o ON o.partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = o.suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+        |WHERE p.p_type = 'STANDARD' AND p.p_size <= 25
+        |  AND o.cost_c = (
+        |    SELECT min(o2.cost_c) FROM offers o2
+        |    JOIN supplier s2 ON s2.s_suppkey = o2.suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey AND r2.r_name = 'EUROPE'
+        |    WHERE o2.partkey = p.p_partkey)""".stripMargin,
+    // q116: the oracle IS the textbook Q18 form — the IN re-aggregates
+    // lineitem inside the subquery and the outer query aggregates it
+    // AGAIN; the compare proves the single-aggregate plan equals it.
+    "q116_large_qty_orders" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    // q117: the oracle IS the textbook Q20 doubly nested IN with the
+    // correlated scalar sum threshold — including its NULL rule (a pair
+    // with no 1997 shipments yields NULL, the > is NULL, excluded);
+    // the Spark side's conditional sum is NULL for exactly those pairs.
+    "q117_excess_stock" ->
+      """SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        | AND n.n_name IN ('NATION_2', 'NATION_6')
+        |WHERE s.s_suppkey IN (
+        |  SELECT pr.l_suppkey FROM (
+        |    SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty_all
+        |    FROM lineitem GROUP BY 1, 2) pr
+        |  WHERE pr.l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND pr.qty_all > (
+        |      SELECT 2 * CAST(sum(l2.l_quantity) AS BIGINT) FROM lineitem l2
+        |      WHERE l2.l_partkey = pr.l_partkey AND l2.l_suppkey = pr.l_suppkey
+        |        AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+        |        AND l2.l_shipdate < TIMESTAMP '1998-01-01'))""".stripMargin,
     // q111: the oracle IS the textbook correlated NOT-EXISTS dominance
     // self-join — the compare proves the bounded-price-grid window
     // decorrelation computes the same frontier.

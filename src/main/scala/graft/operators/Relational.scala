@@ -1332,4 +1332,126 @@ object Relational {
       .agg(count(col("o_orderkey")).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
+
+  /** q115: min-cost supplier — the TPC-H Q2 shape: for each qualifying
+    * part, every EUROPE supplier offering the MINIMUM price, where the
+    * textbook form is a correlated scalar MIN whose inner is itself a
+    * multi-join (offers⋈supplier⋈nation⋈region) correlated through two
+    * hops (partkey into the offer catalog). The per-(part, supplier)
+    * offer catalog is derived from the fact table (this schema carries
+    * no partsupp); "cost" is the pair's cheapest observed line.
+    *
+    * Decorrelation — the class this query exists to prove: the
+    * correlated MIN compiles to ONE keyed aggregate over the joined
+    * inner (min cost per part among Europe offers) plus a join-back on
+    * (partkey, cost = min) that keeps ties, exactly the textbook
+    * result. No per-outer-row re-execution anywhere.
+    *
+    * Scale: one shuffle of the fact table keyed (partkey, suppkey) for
+    * the offer fold — restricted FIRST to the filtered parts (semi join
+    * before the aggregate, so non-qualifying parts never enter state);
+    * the supplier⋈nation⋈region leg is a broadcast dim (the q100
+    * discipline); min-per-part and the join-back both key on partkey,
+    * so AQE reuses the offer aggregate's partitioning. Money in exact
+    * integer cents end to end.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val partsF = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 25)
+      .select(col("p_partkey"))
+    val euroSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        round(col("s_acctbal") * 100).cast("long").as("bal_cents"))
+    val euroOffers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(partsF, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("cents").as("cost_c"),
+        first("s_name").as("s_name"), first("n_name").as("n_name"),
+        first("bal_cents").as("bal_cents"))
+    val minPerPart = euroOffers
+      .groupBy(col("l_partkey").as("mp_partkey"))
+      .agg(min("cost_c").as("min_c"))
+    euroOffers
+      .join(minPerPart,
+        col("l_partkey") === col("mp_partkey") && col("cost_c") === col("min_c"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"), col("n_name"),
+        col("cost_c"), col("bal_cents"))
+  }
+
+  /** q116: large-quantity orders — the TPC-H Q18 shape: customers whose
+    * order appears IN a HAVING-aggregated subquery (orders whose total
+    * line quantity exceeds the threshold). The IN-of-aggregate class:
+    * the textbook form re-aggregates lineitem inside the IN; here the
+    * HAVING aggregate IS the outer sum, so the decorrelated plan
+    * aggregates lineitem ONCE (keyed on orderkey — the join's own key),
+    * filters, and joins orders + customer. One fact shuffle total; the
+    * IN never re-executes.
+    *
+    * Quantities are integral in this corpus (long cast is exact);
+    * totalprice in integer cents; the date crosses the hash as a
+    * yyyy-MM-dd string (the dtype-gate convention).
+    */
+  def largeQuantityOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_orderkey")
+      .agg(sum("qty").as("total_qty"))
+      .filter(col("total_qty") > 250L)
+    bigOrders
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        col("total_qty"))
+  }
+
+  /** q117: excess-stock suppliers — the TPC-H Q20 shape: the DOUBLY
+    * nested IN (suppliers IN pairs whose part is IN a name-pattern
+    * scan) with a CORRELATED AGGREGATE threshold (the pair qualifies
+    * only when its all-time quantity exceeds twice its 1997 quantity —
+    * Q20's `availqty > 0.5 · sum(recent)` restated on the derived pair
+    * catalog). The textbook NULL rule carries over exactly: a pair with
+    * NO 1997 shipments has a NULL correlated sum, the comparison is
+    * NULL, the pair is excluded — on the Spark side the conditional
+    * `sum(when(...))` is NULL for the same pairs and `>` filters them,
+    * no coalesce.
+    *
+    * One pass: both the all-time and the 1997 sums fold in a single
+    * keyed aggregate over the name-restricted fact slice (semi join
+    * BEFORE the aggregate); both INs compile to semi joins (never
+    * DISTINCT-then-join); nation is a broadcast dim.
+    */
+  def excessStockSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+    val excessPairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"), col("l_shipdate"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("qty").as("qty_all"),
+        sum(when(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"), col("qty")))
+          .as("qty_97"))
+      .filter(col("qty_all") > lit(2L) * col("qty_97"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin("NATION_2", "NATION_6"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(excessPairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
 }

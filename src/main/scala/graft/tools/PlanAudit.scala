@@ -14,6 +14,22 @@ import graft.{GraftSession, SparkEntry}
   * permitted only for the two bounded triangular offset joins.
   */
 object PlanAudit {
+  /** Queries allowed a mid-pipeline SinglePartition exchange — each one
+    * a global window/sort over a DERIVED fold whose row count is capped
+    * independent of fact-table size (the same bounded-grid reasoning as
+    * the triangular-BNLJ allowlist; most of those queries later replaced
+    * the global window with the banded prefix-sum, these kept it because
+    * the fold is small enough that the band machinery would cost more).
+    * Shared by PlanAudit (driver gate) and PlanSpec (sbt test).
+    */
+  val singlePartAllowed: Set[String] = Set(
+    // global window over the DISTINCT retail-price grid (bounded by the
+    // price domain, ~2k values at any SF), not the part table
+    "q111_pareto_parts",
+    // cumulative sums over the BAND fold — exactly `buckets` (=10) rows
+    // reach the exchange whatever the corpus size
+    "t18_vocab_growth")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -29,18 +45,29 @@ object PlanAudit {
     val thetaBnljAllowed = Set("q12_running_revenue", "q74_quality_deciles",
       "q86_global_shard_ids", "q96_peak_concurrency", "q99_lateness_profile",
       "q103_shard_entropy")
+    // Mid-pipeline SinglePartition allowlist (PlanChecks already exempts
+    // keyless one-row rollups and global limits structurally): the
+    // BOUNDED-fold global windows/sorts, where the single partition
+    // holds a DERIVED grid capped independent of fact rows — never the
+    // fact table. Keep in sync with PlanSpec's copy.
+    val singlePartAllowed = PlanAudit.singlePartAllowed
     var bad = 0; var ok = 0; var skipped = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val exec = fn(spark, sfDir).queryExecution.executedPlan
+        val p = exec.toString
         val cart = p.contains("CartesianProduct")
         val theta = p.linesIterator
           .filter(_.contains("BroadcastNestedLoopJoin"))
           .filterNot(_.contains(", Cross"))
           .toList
-        if (cart || (theta.nonEmpty && !thetaBnljAllowed(name))) {
+        val single =
+          if (singlePartAllowed(name)) Nil
+          else PlanChecks.singlePartitionOffenders(exec)
+        if (cart || (theta.nonEmpty && !thetaBnljAllowed(name)) || single.nonEmpty) {
           bad += 1
-          println(s"[planaudit] BAD  $name cartesian=$cart thetaBNLJ=${theta.size}")
+          println(s"[planaudit] BAD  $name cartesian=$cart thetaBNLJ=${theta.size}" +
+            (if (single.nonEmpty) s" singlePartition=${single.mkString(" | ")}" else ""))
         } else ok += 1
       } catch {
         case e: Exception =>

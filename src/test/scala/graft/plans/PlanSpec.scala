@@ -171,6 +171,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no driver query funnels mid-pipeline through a SinglePartition exchange") {
+    // the scale check beyond join shape: ONE task swallowing the whole
+    // upstream (a global Sort before a keyless Window, a repartition(1))
+    // is an outage at 100 TB. PlanChecks structurally exempts keyless
+    // one-row rollups and global limits; the per-query allowlist
+    // (shared with the driver-side PlanAudit so the gates cannot drift)
+    // holds only the bounded-fold windows, where the single partition
+    // carries a derived grid capped independent of fact rows.
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      if (!graft.tools.PlanAudit.singlePartAllowed(name)) {
+        val off = graft.tools.PlanChecks.singlePartitionOffenders(
+          fn(spark, sf).queryExecution.executedPlan)
+        assert(off.isEmpty,
+          s"$name plans a mid-pipeline SinglePartition exchange: ${off.mkString(" | ")}")
+      }
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB a selective dimension filter should reach the fact scan as
     // a runtime bloom filter; locally the size thresholds gate it off, so
