@@ -203,6 +203,7 @@ object SparkEntry {
     "q117_excess_stock"         -> ((s, d) => Relational.excessStockSuppliers(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "d17_threshold_sweep"       -> ((s, d) => Dedup.thresholdSweep(GraftSession.tune(s), d)),
+    "d18_image_dedup"           -> ((s, d) => Multimodal.imageDedupDhash(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
     "s10_ann_recall"            -> ((s, d) => Similarity.annRecallAudit(GraftSession.tune(s), d)),
@@ -855,6 +856,52 @@ object SparkEntry {
         |  rw.kept_tokens, rw.clean_text
         |FROM rw JOIN gate USING (doc_id) LEFT JOIN cl ON rw.doc_id = cl.doc_id
         |WHERE (rw.n_tokens - rw.kept_tokens) * 2 < rw.n_tokens""".stripMargin,
+    // d18: the oracle never sees the PNG bytes — it replays the
+    // closed-form cell-gray layout (the m01 discipline), derives the
+    // same four 16-bit dHash chunks, and does the BRUTE-FORCE all-pairs
+    // hamming scan: the compare proves both the encode→decode→hash path
+    // (one corrupted pixel flips a chunk) and that the banded bucketing
+    // is COMPLETE (finds every pair brute force finds).
+    "d18_image_dedup" ->
+      """WITH par AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+        |    CASE WHEN doc_id % 50 = 1 THEN 1 ELSE 0 END AS pert,
+        |    doc_id % 9 AS c0, doc_id % 8 AS r0
+        |  FROM documents),
+        |cells AS (
+        |  SELECT p.id, cc.c, rr.r,
+        |    (((((p.base * 1103515245 + 12345) % 2147483647) + cc.c * 8 + rr.r + 17)
+        |        * (((p.base * 1103515245 + 12345) % 2147483647) + cc.c * 8 + rr.r + 17)
+        |        % 2147483647 % 251)
+        |      + CASE WHEN p.pert = 1 AND cc.c = p.c0 AND rr.r = p.r0
+        |             THEN 100 ELSE 0 END) % 251 AS g
+        |  FROM par p,
+        |    (SELECT unnest(range(9)) AS c) cc,
+        |    (SELECT unnest(range(8)) AS r) rr),
+        |bits AS (
+        |  SELECT a.id, a.r, a.c,
+        |    CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |chunks AS (
+        |  SELECT id, r // 2 AS k,
+        |    CAST(sum(bit * (1 << ((r % 2) * 8 + c))) AS BIGINT) AS cv
+        |  FROM bits GROUP BY 1, 2),
+        |hashes AS (
+        |  SELECT id,
+        |    max(CASE WHEN k = 0 THEN cv END) AS h0,
+        |    max(CASE WHEN k = 1 THEN cv END) AS h1,
+        |    max(CASE WHEN k = 2 THEN cv END) AS h2,
+        |    max(CASE WHEN k = 3 THEN cv END) AS h3
+        |  FROM chunks GROUP BY id)
+        |SELECT a.id AS doc_a, b.id AS doc_b,
+        |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |     + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS BIGINT)
+        |    AS hamming
+        |FROM hashes a JOIN hashes b ON a.id < b.id
+        |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3""".stripMargin,
     // d17: the sweep replays d02's overlap (rare-gram common counts,
     // full-set denominators) and fans each pair over the same literal
     // threshold list; empty thresholds report 0 through the left joins.

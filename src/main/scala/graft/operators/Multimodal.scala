@@ -374,4 +374,128 @@ object Multimodal {
     import spark.implicits._
     audioTable(spark, dir).mapPartitions(_.map(decodeAudio)).toDF()
   }
+
+  /** d18 image layout — a 9×8 grid of 2×2 gray blocks (an 18×16 PNG).
+    * Cell grays mix doc identity nonlinearly enough that unrelated docs
+    * get ~independent dHash bits, while staying CLOSED-FORM so the
+    * oracle predicts every hash arithmetically (the m01 discipline):
+    * h = (base·1103515245 + 12345) mod (2³¹−1), injective on this id
+    * range; g(c,r) = (h+k)² mod (2³¹−1) mod 251 with k = c·8+r+17. The
+    * QUADRATIC is the point: a linear h·k form stays linear mod 251
+    * whenever h·k doesn't wrap the prime, so whole families of docs
+    * shared hashes (measured: 42 accidental pairs at sf0.01, one exact);
+    * with the square, two docs differ cellwise by (h₁−h₂)(h₁+h₂+2k) —
+    * k-dependent, so cross-doc bits decorrelate and unrelated docs sit
+    * near hamming 32. Every 50th doc (id ≡ 1 mod 50) is a PLANTED
+    * near-dup of id−1: same h, ONE cell perturbed +100 mod 251 — only
+    * the ≤2 dHash comparisons touching that cell can flip, so the pair
+    * sits at hamming ≤ 2 (typically 1, not 0: the +100 usually crosses
+    * one neighbor), inside any sane threshold. All arithmetic < 2⁶³
+    * ((h+k)² < 2⁶² — safe at every SF).
+    */
+  private def d18Grays(id: Long): Array[Int] = {
+    val pert = id % 50 == 1
+    val base = if (pert) id - 1 else id
+    val h    = (base * 1103515245L + 12345L) % 2147483647L
+    val c0   = (id % 9).toInt
+    val r0   = (id % 8).toInt
+    val g    = new Array[Int](72)
+    var c = 0
+    while (c < 9) {
+      var r = 0
+      while (r < 8) {
+        val k = c * 8 + r + 17
+        var v = ((h + k) * (h + k) % 2147483647L % 251L).toInt
+        if (pert && c == c0 && r == r0) v = (v + 100) % 251
+        g(c * 8 + r) = v
+        r += 1
+      }
+      c += 1
+    }
+    g
+  }
+
+  /** d18: perceptual image dedup — dHash over REALLY decoded PNGs. The
+    * classic pipeline end to end: encode a genuine PNG per doc
+    * (java.awt + ImageIO, the m01 codec), DECODE it back, downsample
+    * the decoded pixels to the 9×8 dHash grid (deterministic stride-2
+    * nearest neighbor — the m01 thumbnail discipline; library scalers
+    * are not pinned across JDKs), take the 64 horizontal luma-gradient
+    * bits (bit set iff left < right), and carry the fingerprint as four
+    * 16-bit chunks (the d04 representation — bucket keys and the
+    * hamming verify stay in small positive ints, no int64 sign-bit
+    * gymnastics on either engine).
+    *
+    * Candidate generation is d04's pigeonhole: hamming ≤ 3 over 64 bits
+    * in 4 chunks forces ≥ 1 chunk EQUAL, so a self-join on
+    * (chunk_idx, chunk_key) finds every qualifying pair; the exact
+    * bit_count verify runs only inside buckets. At 100 TB: encode +
+    * decode + hash is one mapPartitions pass (a codec context per
+    * partition, cost linear in media bytes); the join shuffles the
+    * 4×|docs| chunk table on its bucket key — never pixels, never
+    * all-pairs. The oracle replays the arithmetic layout AND does the
+    * brute-force all-pairs hamming scan, so the compare also proves the
+    * banded bucketing is COMPLETE (finds everything brute force finds).
+    */
+  def imageDedupDhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = graft.sources.Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          // encode a real PNG: 18×16, pixel (x, y) = cell (x/2, y/2)
+          val g   = d18Grays(id)
+          val img = new BufferedImage(18, 16, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 18) {
+              val v = g((x / 2) * 8 + (y / 2))
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          // decode it back and dHash the DECODED pixels
+          val dec = ImageIO.read(new ByteArrayInputStream(out.toByteArray))
+          def luma(c: Int, r: Int): Int = {
+            val rgb = dec.getRGB(2 * c, 2 * r) // stride-2 nearest neighbor
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
+          val chunks = new Array[Long](4)
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (luma(c, r) < luma(c + 1, r))
+                chunks(r / 2) |= 1L << ((r % 2) * 8 + c)
+              c += 1
+            }
+            r += 1
+          }
+          (id, chunks(0), chunks(1), chunks(2), chunks(3))
+        }
+      }
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+    val buckets = sigs.select(
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("chunk_idx", "chunk_key")))
+    val hamming = (0 until 4)
+      .map(k => bit_count(col(s"x.c$k").bitwiseXOR(col(s"y.c$k"))))
+      .reduce(_ + _)
+    buckets
+      .as("x")
+      .join(buckets.as("y"), Seq("chunk_idx", "chunk_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

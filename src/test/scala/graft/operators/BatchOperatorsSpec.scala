@@ -1116,6 +1116,21 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("d18 image dedup: every planted near-dup pair found at hamming ≤ 2, unrelated pairs absent") {
+    val pairs = Multimodal.imageDedupDhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    // every 50th doc is a planted near-dup of its predecessor (one cell
+    // perturbed +100 gray) — all 10 must surface, at hamming ≤ 2 (the
+    // perturbation touches at most two gradient comparisons)
+    val planted = (1L until 500L by 50L).map(id => (id - 1, id)).toSet
+    val found   = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found), s"missing planted pairs: ${planted -- found}")
+    assert(pairs.filter(p => planted((p._1, p._2))).forall(_._3 <= 2))
+    // unrelated docs sit near hamming 32 — at this corpus size none
+    // should slip under the threshold
+    assert((found -- planted).isEmpty, s"unexpected non-planted pairs: ${found -- planted}")
+  }
+
   test("m02 audio payloads are genuine RIFF/WAVE files; fresh parser agrees with metadata") {
     val recs = Multimodal.audioTable(spark, sf).limit(5).collect()
     assert(recs.nonEmpty)
