@@ -201,6 +201,13 @@ object SparkEntry {
     "q115_min_cost_supplier"    -> ((s, d) => Relational.minCostSupplier(GraftSession.tune(s), d)),
     "q116_large_qty_orders"     -> ((s, d) => Relational.largeQuantityOrders(GraftSession.tune(s), d)),
     "q117_excess_stock"         -> ((s, d) => Relational.excessStockSuppliers(GraftSession.tune(s), d)),
+    "q118_nation_pair_volume"   -> ((s, d) => Relational.nationPairVolume(GraftSession.tune(s), d)),
+    "q119_nation_profit"        -> ((s, d) => Relational.nationProfit(GraftSession.tune(s), d)),
+    "q120_returned_items"       -> ((s, d) => Relational.returnedItemReport(GraftSession.tune(s), d)),
+    "q121_lateness_priority"    -> ((s, d) => Relational.latenessPriorityProfile(GraftSession.tune(s), d)),
+    "q122_promo_share"          -> ((s, d) => Relational.promoShare(GraftSession.tune(s), d)),
+    "q123_supplier_breadth"     -> ((s, d) => Relational.partSupplierBreadth(GraftSession.tune(s), d)),
+    "q124_disjunctive_revenue"  -> ((s, d) => Relational.disjunctiveRevenue(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "d17_threshold_sweep"       -> ((s, d) => Dedup.thresholdSweep(GraftSession.tune(s), d)),
     "d18_image_dedup"           -> ((s, d) => Multimodal.imageDedupDhash(GraftSession.tune(s), d)),
@@ -1666,6 +1673,108 @@ object SparkEntry {
         |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
         |  GROUP BY 1) t
         |GROUP BY c_count""".stripMargin,
+    // q118: Q7's flat form — the disjunctive nation-pair predicate
+    // states both directions; year from the ship date; exact e4 money.
+    "q118_nation_pair_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // q119: Q9's profit expression across three tables inside one
+    // aggregate; cost basis = retail × qty (no partsupp in this schema).
+    "q119_nation_profit" ->
+      """SELECT n.n_name, CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+        |    - CAST(round(p.p_retailprice * 100) AS BIGINT) * 100
+        |      * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_e4
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    // q120: Q10's returned-item ranking; both fact filters in the
+    // textbook WHERE; deterministic top-20 (revenue DESC, custkey).
+    "q120_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS lost_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY lost_e4 DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+    // q121: Q12's conditional priority counts per shipping class (the
+    // class here: capped 180-day lateness bands, exact integer days off
+    // midnight-aligned epochs — ship before order clamps to band 0).
+    "q121_lateness_priority" ->
+      """SELECT least(greatest(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate), 0)
+        |    // 86400000000 // 180, 4) AS late_band,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    // q122: Q14's indicator join — every line must find its part to
+    // classify promo; share in ppm via HUGEINT // (the q100 pairing).
+    "q122_promo_share" ->
+      """SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+        |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) ELSE 0 END) AS BIGINT)
+        |    AS promo_e4,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS total_e4,
+        |  CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |      THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) ELSE 0 END) AS HUGEINT)
+        |    * 1000000 // CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS HUGEINT) AS BIGINT)
+        |    AS promo_ppm
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1""".stripMargin,
+    // q123: Q16's NOT IN blacklist in the textbook form; supplier pairs
+    // from the fact table, distinct inside the per-class count.
+    "q123_supplier_breadth" ->
+      """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_size <= 30
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // q124: Q19's OR-of-ANDs spanning both join sides, stated verbatim.
+    "q124_disjunctive_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+        |        AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 25
+        |        AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 20 AND 35
+        |        AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin,
     // q115: the oracle IS the textbook Q2 correlated scalar MIN whose
     // inner is the full multi-join, re-executed per outer row — the
     // compare proves the keyed-aggregate + join-back decorrelation

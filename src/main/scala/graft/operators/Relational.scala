@@ -1333,6 +1333,209 @@ object Relational {
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
 
+  /** q118: nation-pair trade volume — the TPC-H Q7 shape ("volume
+    * shipping"): revenue flowing between two SPECIFIC nations in both
+    * directions, split by supplier nation × customer nation × ship
+    * year. The interesting part is the DISJUNCTIVE pair predicate
+    * ((s=A ∧ c=B) ∨ (s=B ∧ c=A)): both dimension legs pre-filter to the
+    * two nations BEFORE joining (each leg's filter pushes to its scan
+    * and shrinks the fact rows entering the orders join), and only the
+    * cross-direction residual evaluates post-join. Dim legs broadcast;
+    * one fact⋈fact shuffle on orderkey. Money in exact 1e-4 units, the
+    * year as a long (the dtype-gate convention).
+    */
+  def nationPairVolume(spark: SparkSession, dir: String): DataFrame = {
+    val pairNations = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val custLeg = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(pairNations.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .select("c_custkey", "cust_nation")
+    val suppLeg = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(pairNations.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate").cast("date")).cast("long").as("l_year"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol_e4"))
+      .join(broadcast(suppLeg), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custLeg, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("vol_e4").as("revenue_e4"))
+  }
+
+  /** q119: product-line profit by nation and year — the TPC-H Q9 shape:
+    * a name-pattern part slice, profit = discounted revenue − cost
+    * (this schema's cost basis is the part's retail price × quantity —
+    * no partsupp table), rolled up per supplier nation per order year.
+    * The shape's point is expression evaluation ACROSS tables inside
+    * one aggregate: parts pre-filtered (the pattern pushes to the part
+    * scan) then keyed-joined to the fact on partkey, orders joined for
+    * the year, nation leg broadcast. Profit in exact 1e-4 integer
+    * units (qty is integral in this corpus; retail has 2 decimals) —
+    * negatives legitimate.
+    */
+  def nationProfit(spark: SparkSession, dir: String): DataFrame = {
+    val gearParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"), round(col("p_retailprice") * 100).cast("long").as("retail_c"))
+    val suppNation = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol_e4"))
+      .join(gearParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate").cast("date")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name", "o_year")
+      .agg(sum(col("vol_e4") - col("retail_c") * 100L * col("qty")).as("profit_e4"))
+  }
+
+  /** q120: returned-item report — the TPC-H Q10 shape: customers who
+    * returned goods in a quarter, ranked by lost revenue. Fact slice
+    * filtered on BOTH fact tables before the join (returnflag on the
+    * lineitem scan, the quarter window on the orders scan — both
+    * pushed), customer+nation dims joined after the aggregate-relevant
+    * rows are known; deterministic top-20 (revenue DESC, custkey).
+    */
+  def returnedItemReport(spark: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol_e4"))
+    val q1Orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    returned
+      .join(q1Orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("vol_e4").as("lost_e4"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"), col("lost_e4"))
+      .orderBy(col("lost_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** q121: shipment-lateness priority profile — the TPC-H Q12 shape
+    * (conditional priority counts per shipping class; this schema has
+    * no shipmode, so the class is the lateness band ship−order in
+    * 180-day buckets, capped): one fact⋈fact join on its own key, the
+    * lateness in EXACT integer days off midnight-aligned epoch micros,
+    * two conditional counts per band. Scan-shaped beyond the one join.
+    */
+  def latenessPriorityProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("ship_us"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("ord_us")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        least(greatest((col("ship_us") - col("ord_us")) / lit(86400000000L), lit(0L))
+          .cast("long") / lit(180L), lit(4L)).cast("long").as("late_band"),
+        col("o_orderpriority"))
+      .groupBy("late_band")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("n_high"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("n_low"))
+
+  /** q122: promotion revenue share by month — the TPC-H Q14 shape: the
+    * part dimension joined NOT as a filter but as an INDICATOR (every
+    * fact row must find its part to classify promo/non-promo), share in
+    * integer ppm (the q100 DECIMAL DIV rule). One keyed fact⋈dim join +
+    * a 24-row month rollup; the date window pushes to the fact scan.
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz"))
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol_e4"))
+      .join(Tables.part(spark, dir)
+          .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("month")
+      .agg(
+        sum(when(col("is_promo"), col("vol_e4")).otherwise(0L)).as("promo_e4"),
+        sum("vol_e4").as("total_e4"))
+      .select(col("month"), col("promo_e4"), col("total_e4"),
+        expr("CAST(promo_e4 AS DECIMAL(38,0)) * 1000000 DIV total_e4").as("promo_ppm"))
+
+  /** q123: supplier breadth per part class — the TPC-H Q16 shape: how
+    * many DISTINCT suppliers serve each (brand, type, size) class,
+    * excluding blacklisted suppliers via the textbook NOT IN subquery
+    * (the analog predicate here: negative account balance). The NOT IN
+    * compiles to an anti join against the tiny blacklist (broadcast);
+    * the supplier×part pairs come from the fact table (no partsupp),
+    * deduplicated INSIDE the per-class count-distinct — one keyed
+    * aggregate after one keyed dim join.
+    */
+  def partSupplierBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_key"))
+    val classes = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 30)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(badSupp), col("l_suppkey") === col("bad_key"), "left_anti")
+      .join(classes, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .select(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"),
+        col("supplier_cnt"))
+  }
+
+  /** q124: disjunctive discounted revenue — the TPC-H Q19 shape: the
+    * OR-of-ANDs predicate spanning BOTH join sides (three (brand, size
+    * range, quantity range) conjunctions). The point is plan shape
+    * under disjunction: the join stays a keyed equi-join on partkey
+    * with the disjunction as a residual, the part-only disjunction
+    * (brand ∨ brand ∨ brand) pre-filters the dim scan, the
+    * quantity-only bound pre-filters the fact scan — Catalyst derives
+    * both from the OR, and the plan audit would catch a degradation to
+    * a nested-loop. One row out: line count + exact revenue.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol_e4"))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          col("qty").between(1, 20)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(10, 25) &&
+          col("qty").between(10, 30)) ||
+        (col("p_brand") === "Brand#21" && col("p_size").between(20, 35) &&
+          col("qty").between(20, 40)))
+      .agg(count(lit(1)).as("n_lines"), sum("vol_e4").as("revenue_e4"))
+
   /** q115: min-cost supplier — the TPC-H Q2 shape: for each qualifying
     * part, every EUROPE supplier offering the MINIMUM price, where the
     * textbook form is a correlated scalar MIN whose inner is itself a

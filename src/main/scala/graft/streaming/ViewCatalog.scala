@@ -61,6 +61,17 @@ final case class ViewStatus(name: String, sql: String, deps: Seq[String],
     cols: Seq[String], live: Boolean, batchesCommitted: Long,
     lastBatchId: Long, lastInputRows: Long, lastBatchMs: Long)
 
+/** One row of [[ViewCatalog.statusHistory]] — the per-batch maintenance
+  * record persisted beside the sink (`history.tsv`): what the operator
+  * reads to answer "what has this view been DOING" after the fact —
+  * input-rate trends, duration regressions, watermark stalls, state
+  * growth. `eventTs` is the progress event's own ISO timestamp (engine
+  * clock, not ours).
+  */
+final case class ViewBatchStatus(name: String, batchId: Long,
+    inputRows: Long, durationMs: Long, stateRows: Long,
+    watermark: String, eventTs: String)
+
 class ViewCatalog(val spark: SparkSession, val root: String)
     extends org.apache.spark.internal.Logging {
 
@@ -73,6 +84,47 @@ class ViewCatalog(val spark: SparkSession, val root: String)
   private def feedDir(name: String) = viewDir(name).resolve("feed").toString
   private def ckDir(name: String)   = viewDir(name).resolve("checkpoint").toString
   private def metaPath(name: String) = Paths.get(root, "meta", s"$name.properties")
+  private def historyPath(name: String) = viewDir(name).resolve("history.tsv")
+
+  // query id → view name, for attributing progress events to THIS
+  // catalog's views (query NAMES could collide across two catalogs in
+  // one session; run ids cannot)
+  private val queryIds = mutable.Map.empty[java.util.UUID, String]
+
+  /** Per-batch maintenance history (#312): one listener per catalog
+    * appends each completed micro-batch's progress — batch id, input
+    * rows, duration, state rows, watermark — as a TSV line beside the
+    * view's sink. The engine's own progress plumbing is the source
+    * (nothing re-counts data); the file rides the view directory, so
+    * history survives restart/resume with the checkpoint and dies with
+    * DROP. A crash-replayed batch appends a second line for the same
+    * id — [[statusHistory]] resolves last-wins, mirroring the sink's
+    * overwrite semantics.
+    */
+  private val progressListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      queryIds.get(p.id).foreach { name =>
+        val wm    = Option(p.eventTime.get("watermark")).getOrElse("")
+        val state = p.stateOperators.map(_.numRowsTotal).sum
+        val line =
+          s"${p.batchId}\t${p.numInputRows}\t${p.batchDuration}\t$state\t$wm\t${p.timestamp}\n"
+        try ViewCatalog.this.synchronized {
+          if (Files.isDirectory(viewDir(name)))
+            Files.write(historyPath(name), line.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND): Unit
+        } catch {
+          case e: java.io.IOException => // a dropped view's late event; never fail the bus
+            logWarning(s"history append for view $name failed: ${e.getMessage}")
+        }
+      }
+    }
+  }
+  spark.streams.addListener(progressListener)
 
   /** Register a base changefeed under `name`. The thunk re-resolves the
     * feed on each use (and on [[resume]] in a fresh session) — a
@@ -598,6 +650,34 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     status().toDF()
   }
 
+  /** `SHOW MATERIALIZED VIEW HISTORY name` — the per-batch maintenance
+    * record the progress listener persisted beside the sink, one row
+    * per completed micro-batch in batch order. Survives restart/resume
+    * (the file rides the view directory); a crash-replayed batch id
+    * resolves LAST-wins — the same rule the sink's dynamic partition
+    * overwrite applies to the data. Driver-side file read; nothing
+    * scans data.
+    */
+  def statusHistory(name: String): Seq[ViewBatchStatus] = {
+    require(views.contains(name), s"no view named $name")
+    if (!Files.exists(historyPath(name))) Seq.empty
+    else {
+      val parsed = Files.readAllLines(historyPath(name)).asScala.toSeq.flatMap { l =>
+        val f = l.split("\t", -1)
+        if (f.length >= 6)
+          Some(ViewBatchStatus(name, f(0).toLong, f(1).toLong, f(2).toLong,
+            f(3).toLong, f(4), f(5)))
+        else None
+      }
+      parsed.groupBy(_.batchId).map(_._2.last).toSeq.sortBy(_.batchId)
+    }
+  }
+
+  def statusHistoryDF(name: String): DataFrame = {
+    import spark.implicits._
+    statusHistory(name).toDF()
+  }
+
   /** `EXPLAIN MATERIALIZED VIEW` — the lineage surface: the view's
     * upstream tree rendered transitively (each layer notes that it is
     * read via its dependency's SINK TAIL — the physical-sharing
@@ -656,6 +736,8 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     "(?is)^EXPLAIN\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
   private val ShowCreateRe =
     "(?is)^SHOW\\s+CREATE\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+  private val ShowHistoryRe =
+    "(?is)^SHOW\\s+MATERIALIZED\\s+VIEW\\s+HISTORY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
   private val VacuumRe =
     "(?is)^VACUUM\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+KEEP\\s+(\\d+))?\\s*$".r
   private val AlterTtlRe =
@@ -679,6 +761,9 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     *    (plan) frame, one row per lineage line.
     *  - `SHOW CREATE MATERIALIZED VIEW v` → [[showCreate]]: the
     *    recreating DDL (ttl clause included) as a 1-row frame.
+    *  - `SHOW MATERIALIZED VIEW HISTORY v` → [[statusHistoryDF]]: the
+    *    persisted per-batch maintenance record (batch id, input rows,
+    *    duration, state rows, watermark), one row per micro-batch.
     *  - `VACUUM MATERIALIZED VIEW v [KEEP n]` → [[compactView]] with
     *    retention: fold history into the base keeping the newest n
     *    commits time-travelable; returns (view, base_batch,
@@ -721,6 +806,8 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         explain(name).linesIterator.toSeq.toDF("plan")
       case ShowCreateRe(name) =>
         Seq(showCreate(name)).toDF("create_statement")
+      case ShowHistoryRe(name) =>
+        statusHistoryDF(name)
       case VacuumRe(name, keep) =>
         compactView(name, Option(keep).map(_.toInt).getOrElse(0))
         val vs = versions(name)
@@ -783,6 +870,11 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     // so the opt-out scopes to this one query start
     val q = if (ttl.isDefined) IncrementalView.withRelaxedWatermarkCheck(spark)(begin())
             else begin()
+    // attribute this query's progress events to the view (the listener
+    // keys on run id, so another catalog's same-named view can't bleed
+    // into this history). Progress fires only after a batch COMPLETES,
+    // so registering right after start never loses batch 0.
+    queryIds(q.id) = name
     NamedView(name, sql, deps, cols, q)
   }
 

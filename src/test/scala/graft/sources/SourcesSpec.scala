@@ -333,4 +333,56 @@ class SourcesSpec extends SparkSpec {
       "after update the manifest must hold exactly the live files")
     assert(ids(SkippingIndex.readRange(spark, dir, "tsu", lit(lo), lit(hi))) == expect)
   }
+
+  test("#321 partition-pruned MERGE: only touched buckets rewrite; LWW content exact; deletes clear; idempotent") {
+    import spark.implicits._
+    val dir = tmp("upsert")
+    val B   = 8
+    // 64 keys across 8 buckets, one data column
+    val base = (0L until 64L).map(k => (k, new java.sql.Timestamp(1700000000000L + k), k, s"v$k"))
+      .toDF("key", "ts", "seq", "payload")
+    PartitionedUpsert.createTable(base, dir, B)
+    val before = PartitionedUpsert.partitionFiles(dir)
+    assert(before.keySet == (0L until B.toLong).toSet, "one partition per bucket")
+    // a batch touching ONLY buckets 1 and 3: an update (newer ts), a
+    // stale update (older ts — must LOSE), an insert, and a delete
+    val batch = Seq(
+      ("update", 1L,  new java.sql.Timestamp(1700000100000L), 100L, "v1new"),
+      ("update", 9L,  new java.sql.Timestamp(1600000000000L), 99L,  "stale"),
+      ("insert", 65L, new java.sql.Timestamp(1700000100000L), 101L, "fresh"), // 65 % 8 = 1
+      ("delete", 3L,  new java.sql.Timestamp(1700000100000L), 102L, ""),
+    ).toDF("op", "key", "ts", "seq", "payload")
+    val touched = PartitionedUpsert.merge(spark, batch, dir, B)
+    assert(touched == Seq(1L, 3L), s"touched buckets: $touched")
+    // untouched partitions keep their EXACT files — never rewritten
+    val after = PartitionedUpsert.partitionFiles(dir)
+    (0L until B.toLong).filterNot(Set(1L, 3L)).foreach { b =>
+      assert(after(b) == before(b), s"bucket $b must not rewrite: ${after(b)} vs ${before(b)}")
+    }
+    assert(after(1L) != before(1L) && after(3L) != before(3L), "touched buckets rewrote")
+    // content: LWW winners, stale loser ignored, insert present, delete gone
+    val rows = PartitionedUpsert.read(spark, dir)
+      .select("key", "payload").as[(Long, String)].collect().toMap
+    assert(rows(1L) == "v1new" && rows(9L) == "v9" && rows(65L) == "fresh" &&
+      !rows.contains(3L) && rows.size == 64, s"merged content: ${rows.toSeq.sorted.take(8)}")
+    // idempotent: replaying the SAME batch converges to the same state
+    // (batch beats table at equal (ts, seq))
+    PartitionedUpsert.merge(spark, batch, dir, B)
+    val rows2 = PartitionedUpsert.read(spark, dir)
+      .select("key", "payload").as[(Long, String)].collect().toMap
+    assert(rows2 == rows, "replay must converge")
+    // a delete-ALL batch for bucket 2 clears its directory (the dynamic
+    // -overwrite blind spot handled explicitly)
+    val wipe = (0L until 64L).filter(_ % 8 == 2)
+      .map(k => ("delete", k, new java.sql.Timestamp(1700000200000L), 200L + k, ""))
+      .toDF("op", "key", "ts", "seq", "payload")
+    PartitionedUpsert.merge(spark, wipe, dir, B)
+    assert(PartitionedUpsert.read(spark, dir).filter(col("key") % 8 === 2).count() == 0,
+      "bucket 2 fully deleted")
+    // the pruned read: only the touched partitions enter the merge scan
+    val pruned = spark.read.parquet(dir).filter(col("kb").isin(1L, 3L))
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters") || !pruned.contains("kb=2"),
+      "bucket filter must prune at the scan")
+  }
 }

@@ -1083,4 +1083,54 @@ class ViewCatalogSpec extends SparkSpec {
       "a dead ordinal's delete must retract its element count through the named layer")
     cat.stopAll()
   }
+
+  test("#234ae statusHistory: per-batch maintenance record persists beside the sink; survives restart; SQL verb") {
+    val (root, src) = (tmp("vchist"), tmp("vchsrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    cat.createView("hv", "SELECT city, count(*) AS n FROM t GROUP BY city")
+    writeChanges(src, "b1.json", Seq(
+      Change("insert", 1L, ts(0), Map("city" -> "ber", "amount" -> "50"), 1L),
+      Change("insert", 2L, ts(1), Map("city" -> "par", "amount" -> "20"), 2L)))
+    cat.awaitAll()
+    writeChanges(src, "b2.json", Seq(
+      Change("insert", 3L, ts(2), Map("city" -> "ber", "amount" -> "30"), 3L)))
+    cat.awaitAll()
+    // the listener bus is async — progress events can land shortly after
+    // processAllAvailable returns; poll to the committed horizon
+    def committed = cat.status().find(_.name == "hv").get.batchesCommitted
+    def history   = cat.statusHistory("hv")
+    val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    while (history.size < committed && System.nanoTime < deadline) Thread.sleep(50)
+    val h1 = history
+    assert(h1.map(_.batchId).toSet == (0L until committed).toSet,
+      s"history rows must match the sink's committed batches: ${h1.map(_.batchId)} vs $committed")
+    assert(h1.map(_.inputRows).sum == 3L, s"input rows accounted: $h1")
+    assert(h1.forall(_.durationMs >= 0) && h1.forall(_.eventTs.nonEmpty))
+    assert(h1.exists(_.stateRows > 0), s"the aggregate's state rows surface: $h1")
+    // the SQL verb returns the same record
+    val viaSql = cat.sql("SHOW MATERIALIZED VIEW HISTORY hv").collect()
+    assert(viaSql.length == h1.size &&
+      viaSql.map(_.getAs[Long]("batchId")).toSet == h1.map(_.batchId).toSet)
+    cat.stopAll()
+    // a FRESH catalog over the same root: history is durable, and new
+    // batches append to the SAME record
+    val cat2 = new ViewCatalog(spark, root)
+    cat2.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    cat2.resume()
+    assert(cat2.statusHistory("hv").map(_.batchId) == h1.map(_.batchId),
+      "history survives the restart")
+    writeChanges(src, "b3.json", Seq(
+      Change("insert", 4L, ts(3), Map("city" -> "par", "amount" -> "10"), 4L)))
+    cat2.awaitAll()
+    def committed2 = cat2.status().find(_.name == "hv").get.batchesCommitted
+    val deadline2 = System.nanoTime + 30L * 1000 * 1000 * 1000
+    while (cat2.statusHistory("hv").size < committed2 && System.nanoTime < deadline2)
+      Thread.sleep(50)
+    val h2 = cat2.statusHistory("hv")
+    assert(h2.map(_.batchId).toSet == (0L until committed2).toSet && h2.size > h1.size,
+      s"post-restart batches append to the same record: ${h2.map(_.batchId)}")
+    assert(h2.map(_.inputRows).sum == 4L)
+    cat2.stopAll()
+  }
 }
