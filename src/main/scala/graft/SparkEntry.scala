@@ -208,6 +208,10 @@ object SparkEntry {
     "q122_promo_share"          -> ((s, d) => Relational.promoShare(GraftSession.tune(s), d)),
     "q123_supplier_breadth"     -> ((s, d) => Relational.partSupplierBreadth(GraftSession.tune(s), d)),
     "q124_disjunctive_revenue"  -> ((s, d) => Relational.disjunctiveRevenue(GraftSession.tune(s), d)),
+    "q125_column_profile"       -> ((s, d) => Profiling.columnProfile(GraftSession.tune(s), d)),
+    "q126_source_mix_chisq"     -> ((s, d) => Profiling.contingencyChiSq(GraftSession.tune(s), d)),
+    "q127_snapshot_diff"        -> ((s, d) => Profiling.snapshotDiffChangefeed(GraftSession.tune(s), d)),
+    "q128_cusum_drift"          -> ((s, d) => Profiling.cusumChangepoint(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "d17_threshold_sweep"       -> ((s, d) => Dedup.thresholdSweep(GraftSession.tune(s), d)),
     "d18_image_dedup"           -> ((s, d) => Multimodal.imageDedupDhash(GraftSession.tune(s), d)),
@@ -1775,6 +1779,108 @@ object SparkEntry {
         |        AND l.l_quantity BETWEEN 10 AND 30)
         |   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 20 AND 35
         |        AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    // q125: per-column profile — the oracle computes the same stats
+    // column-by-column and UNION ALLs one row per column; numeric
+    // min/max in exact integer units (raw / e4 / epoch-µs), lexical
+    // bounds for strings. Every count CAST to BIGINT (HUGEINT trap).
+    "q125_column_profile" ->
+      """WITH b AS (SELECT count(*) AS n,
+        |  count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+        |    min(o_orderkey) AS mn1, max(o_orderkey) AS mx1,
+        |  count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+        |    min(o_custkey) AS mn2, max(o_custkey) AS mx2,
+        |  count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS nd3,
+        |    min(o_orderstatus) AS ms3, max(o_orderstatus) AS mxs3,
+        |  count(o_totalprice) AS nn4, count(DISTINCT o_totalprice) AS nd4,
+        |    CAST(round(min(o_totalprice) * 10000) AS BIGINT) AS mn4,
+        |    CAST(round(max(o_totalprice) * 10000) AS BIGINT) AS mx4,
+        |  count(o_orderdate) AS nn5, count(DISTINCT o_orderdate) AS nd5,
+        |    epoch_us(min(o_orderdate)) AS mn5, epoch_us(max(o_orderdate)) AS mx5,
+        |  count(o_orderpriority) AS nn6, count(DISTINCT o_orderpriority) AS nd6,
+        |    min(o_orderpriority) AS ms6, max(o_orderpriority) AS mxs6
+        |FROM orders)
+        |SELECT 'o_orderkey' AS col_name, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(n - nn1 AS BIGINT) AS n_nulls, CAST(nd1 AS BIGINT) AS n_distinct,
+        |  CAST(mn1 AS BIGINT) AS min_num, CAST(mx1 AS BIGINT) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM b
+        |UNION ALL SELECT 'o_custkey', CAST(n AS BIGINT), CAST(n - nn2 AS BIGINT),
+        |  CAST(nd2 AS BIGINT), CAST(mn2 AS BIGINT), CAST(mx2 AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM b
+        |UNION ALL SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(n - nn3 AS BIGINT),
+        |  CAST(nd3 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), ms3, mxs3 FROM b
+        |UNION ALL SELECT 'o_totalprice', CAST(n AS BIGINT), CAST(n - nn4 AS BIGINT),
+        |  CAST(nd4 AS BIGINT), mn4, mx4, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM b
+        |UNION ALL SELECT 'o_orderdate', CAST(n AS BIGINT), CAST(n - nn5 AS BIGINT),
+        |  CAST(nd5 AS BIGINT), CAST(mn5 AS BIGINT), CAST(mx5 AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM b
+        |UNION ALL SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(n - nn6 AS BIGINT),
+        |  CAST(nd6 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), ms6, mxs6 FROM b""".stripMargin,
+    // q126: chi-square contingency — the oracle folds the same exact
+    // integer cross-multiplies in HUGEINT and truncating //; outputs
+    // CAST to BIGINT.
+    "q126_source_mix_chisq" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, sum(o) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT source, sum(o) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT sum(o) AS n FROM cells)
+        |SELECT cells.lang, cells.source, CAST(cells.o AS BIGINT) AS n_obs,
+        |  CAST(CAST(r.r AS HUGEINT) * c.c * 1000000 // t.n AS BIGINT) AS expected_e6,
+        |  CAST((CAST(cells.o AS HUGEINT) * t.n - CAST(r.r AS HUGEINT) * c.c)
+        |    * (CAST(cells.o AS HUGEINT) * t.n - CAST(r.r AS HUGEINT) * c.c)
+        |    * 1000000 // (CAST(r.r AS HUGEINT) * c.c * t.n) AS BIGINT) AS chi2_ppm
+        |FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t""".stripMargin,
+    // q127: snapshot diff — the oracle materializes the two trailing-
+    // window LWW states with row_number() and classifies the full
+    // outer join; payload from the surviving side (t2 for I/U, the
+    // retired t1 state for D).
+    "q127_snapshot_diff" ->
+      """WITH s1 AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value * 10000) AS BIGINT) AS value_e4 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts > TIMESTAMP '2024-01-15' - INTERVAL 1 DAY
+        |    AND ts <= TIMESTAMP '2024-01-15') WHERE rn = 1),
+        |s2 AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value * 10000) AS BIGINT) AS value_e4 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts > TIMESTAMP '2024-01-30' - INTERVAL 1 DAY
+        |    AND ts <= TIMESTAMP '2024-01-30') WHERE rn = 1)
+        |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'I'
+        |       WHEN s2.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+        |  coalesce(s2.event_type, s1.event_type) AS event_type,
+        |  coalesce(s2.value_e4, s1.value_e4) AS value_e4,
+        |  coalesce(s2.ts_us, s1.ts_us) AS ts_us
+        |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+        |   OR s1.event_id <> s2.event_id""".stripMargin,
+    // q128: CUSUM — the oracle runs the SEQUENTIAL closed form in one
+    // window pass (prefix sum + prefix min per type); agreement with
+    // the banded Spark decomposition is exactly the associativity
+    // property the integer fixed point guarantees. µ via truncating //
+    // on positive sums (matches Spark DIV).
+    "q128_cusum_drift" ->
+      """WITH v AS (SELECT event_type, ts, event_id,
+        |    CAST(round(value * 10000) AS BIGINT) AS v4 FROM events),
+        |m AS (SELECT event_type, sum(v4) // count(*) AS mean4 FROM v GROUP BY 1),
+        |p AS (SELECT v.event_type, ts, event_id,
+        |    sum(v4 - mean4 - 100000) OVER (PARTITION BY v.event_type
+        |      ORDER BY epoch_us(ts), event_id) AS pf
+        |  FROM v JOIN m USING (event_type)),
+        |s AS (SELECT event_type, ts,
+        |    pf - least(0, min(pf) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id)) AS cus
+        |  FROM p)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(cus) AS BIGINT) AS max_cusum_e4,
+        |  CAST(sum(CASE WHEN cus > 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  CAST(min(CASE WHEN cus > 2000000 THEN epoch_us(ts) END) AS BIGINT)
+        |    AS first_alarm_us
+        |FROM s GROUP BY 1""".stripMargin,
     // q115: the oracle IS the textbook Q2 correlated scalar MIN whose
     // inner is the full multi-join, re-executed per outer row — the
     // compare proves the keyed-aggregate + join-back decorrelation

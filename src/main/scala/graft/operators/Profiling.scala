@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Data profiling + drift/monitoring analytics (SURVEY.md §2, r13 tier).
+  *
+  * The operability layer around a changefeed deployment: before trusting a
+  * table you PROFILE it, before trusting a mix you test INDEPENDENCE, and a
+  * live feed is watched with SNAPSHOT DIFFS and CUSUM drift alarms. All four
+  * stay in exact integer fixed point across the oracle boundary (the q94/q100
+  * DECIMAL-DIV discipline) so the hash compare is bit-stable.
+  */
+object Profiling {
+
+  /** q125: single-pass column profiler over `orders` — the `SUMMARIZE` /
+    * `DESCRIBE PROFILE` verb every engine grows. One aggregate row computes,
+    * per column: non-null count, exact distinct count, min/max; a `stack`
+    * unpivots it to one row per column. Numeric min/max are emitted in exact
+    * integer units (raw longs for keys, e4 micro-units for money, epoch-µs
+    * for timestamps), lexical min/max for strings — no float crosses rows.
+    *
+    * Scale: the six `count(DISTINCT …)` compile to ONE Expand(×7) scan with
+    * map-side partial aggregation — data is read once; the expand factor is
+    * the documented price of exact distincts in a single pass (the sketch
+    * alternative is q19's HLL profile). The final stack runs on a 1-row
+    * aggregate — no SinglePartition touches table-sized data.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.agg(
+      count(lit(1)).as("n"),
+      // o_orderkey / o_custkey: raw integer units
+      count("o_orderkey").as("nn1"), countDistinct("o_orderkey").as("nd1"),
+      min("o_orderkey").as("mn1"), max("o_orderkey").as("mx1"),
+      count("o_custkey").as("nn2"), countDistinct("o_custkey").as("nd2"),
+      min("o_custkey").as("mn2"), max("o_custkey").as("mx2"),
+      // o_orderstatus / o_orderpriority: lexical bounds
+      count("o_orderstatus").as("nn3"), countDistinct("o_orderstatus").as("nd3"),
+      min("o_orderstatus").as("ms3"), max("o_orderstatus").as("mxs3"),
+      count("o_orderpriority").as("nn6"), countDistinct("o_orderpriority").as("nd6"),
+      min("o_orderpriority").as("ms6"), max("o_orderpriority").as("mxs6"),
+      // o_totalprice: e4 micro-units (min/max commute with the monotone e4 map)
+      count("o_totalprice").as("nn4"), countDistinct("o_totalprice").as("nd4"),
+      round(min("o_totalprice") * 10000).cast("long").as("mn4"),
+      round(max("o_totalprice") * 10000).cast("long").as("mx4"),
+      // o_orderdate: epoch microseconds
+      count("o_orderdate").as("nn5"), countDistinct("o_orderdate").as("nd5"),
+      min(unix_micros(col("o_orderdate").cast("timestamp"))).as("mn5"),
+      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("mx5"),
+    )
+    a.selectExpr(
+      """stack(6,
+        |  'o_orderkey',      n, n - nn1, nd1, mn1, mx1, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_custkey',       n, n - nn2, nd2, mn2, mx2, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderstatus',   n, n - nn3, nd3, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), ms3, mxs3,
+        |  'o_totalprice',    n, n - nn4, nd4, mn4, mx4, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderdate',     n, n - nn5, nd5, mn5, mx5, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderpriority', n, n - nn6, nd6, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), ms6, mxs6
+        |) AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+  }
+
+  /** q126: lang × source contingency table with exact chi-square-of-
+    * independence contributions over `documents` — the statistical mix
+    * audit behind q103's entropy view ("is language independent of source,
+    * or does one source own a language?"). Each cell carries its observed
+    * count, expected count under independence (e6 fixed point), and
+    * chi-square contribution in ppm: (o·N − r·c)² · 10⁶ DIV (r·c·N), all in
+    * DECIMAL(38,0) cross-multiplies (exact to ~sf100: (N²)²·10⁶ < 10³⁸).
+    *
+    * Scale: one groupBy over the scan builds the cell table; marginals are
+    * re-aggregates of the TINY cell table (|langs|×|sources|), broadcast
+    * back — the fact table is touched once, everything downstream is
+    * dimension-sized.
+    */
+  def contingencyChiSq(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir).groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val langM = cells.groupBy("lang").agg(sum("o").as("r"))
+    val srcM  = cells.groupBy("source").agg(sum("o").as("c"))
+    val tot   = cells.agg(sum("o").as("n"))
+    cells
+      .join(broadcast(langM), "lang")
+      .join(broadcast(srcM), "source")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang"), col("source"), col("o").as("n_obs"),
+        expr("CAST(CAST(r AS DECIMAL(38,0)) * c * 1000000 DIV n AS BIGINT)").as("expected_e6"),
+        expr("""CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+               |  * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+               |  * 1000000 DIV (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)""".stripMargin)
+          .as("chi2_ppm"))
+  }
+
+  /** q127: snapshot DIFF as a changefeed — materialize the keyed state "each
+    * user's latest event inside a trailing 1-day window" at two instants
+    * (2024-01-15, 2024-01-30) and emit the I/U/D delta feed that replays one
+    * into the other. This is the reconciliation primitive behind every CDC
+    * deployment: diff two snapshots, get the feed you missed.
+    *
+    * Per-key latest = max over a (ts_us, event_id, payload…) struct —
+    * lexicographic struct ordering with the unique event_id as tiebreak, so
+    * the winner is deterministic and the payload rides along in the same
+    * aggregate (no join-back). Deletes carry the t1 payload being retired;
+    * inserts/updates carry the t2 payload.
+    *
+    * Scale: two filtered scans (partition-prunable on a date-partitioned
+    * feed), each collapsing to per-user state via one hash aggregate; the
+    * diff is a key-partitioned full-outer join of two user-sized tables.
+    */
+  def snapshotDiffChangefeed(spark: SparkSession, dir: String): DataFrame = {
+    def snap(tEnd: String): DataFrame =
+      Tables.events(spark, dir)
+        .filter(col("ts") > lit(tEnd).cast("timestamp") - expr("INTERVAL 1 DAY")
+          && col("ts") <= lit(tEnd).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(max(struct(
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          col("event_type"),
+          round(col("value") * 10000).cast("long").as("value_e4"))).as("p"))
+    val s1 = snap("2024-01-15").withColumnRenamed("p", "p1")
+    val s2 = snap("2024-01-30").withColumnRenamed("p", "p2")
+    s1.join(s2, Seq("user_id"), "full_outer")
+      .filter(col("p1").isNull || col("p2").isNull || col("p1") =!= col("p2"))
+      .select(
+        col("user_id"),
+        when(col("p1").isNull, "I").when(col("p2").isNull, "D").otherwise("U").as("op"),
+        coalesce(col("p2.event_type"), col("p1.event_type")).as("event_type"),
+        coalesce(col("p2.value_e4"), col("p1.value_e4")).as("value_e4"),
+        coalesce(col("p2.ts_us"), col("p1.ts_us")).as("ts_us"))
+  }
+
+  /** q128: CUSUM changepoint/drift detection per event_type — the classic
+    * sequential monitoring statistic (Page 1954) a realtime feed is watched
+    * with. One-sided CUSUM S_i = max(0, S_{i−1} + x_i − μ − k) has the exact
+    * closed form S_i = P_i − min(0, min_{j≤i} P_j) over the prefix sums P of
+    * the slack-adjusted deviations — which turns the sequential fold into
+    * prefix sums + prefix mins, both decomposable with the q12 banded
+    * discipline (no SinglePartition window anywhere):
+    *
+    *  1. per-(type, day-band) in-band prefix sum AND in-band prefix min
+    *     under one partitioned window;
+    *  2. band totals/mins → exclusive band offsets and exclusive prior-band
+    *     mins via two triangular broadcast self-joins over the tiny band
+    *     table (bands grow with the calendar, not the data);
+    *  3. global P = offset + in-band prefix; global running min =
+    *     least(prior-band min, offset + in-band prefix min); alarm when
+    *     S = P − min(0, runmin) exceeds h.
+    *
+    * Everything is exact e4 integer arithmetic (μ via truncating DIV on
+    * positive sums — same in both engines), so regrouping the additions is
+    * associativity-safe and the oracle's single sequential window agrees
+    * bit-for-bit. k = 10 units, h = 200 units (~0.2σ slack, ~4σ threshold on
+    * this feed) — alarm counts are non-trivial at every test SF.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(spark, dir).select(
+      col("event_type"), col("ts"), col("event_id"),
+      round(col("value") * 10000).cast("long").as("v4"),
+      date_format(col("ts"), "yyyy-MM-dd").as("band"))
+    val mean = v.groupBy("event_type").agg(expr("sum(v4) DIV count(1)").as("mean4"))
+    val wIn = Window.partitionBy("event_type", "band").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = v.join(broadcast(mean), "event_type")
+      .withColumn("d", col("v4") - col("mean4") - lit(100000L))
+      .withColumn("pfIn", sum("d").over(wIn))
+      .withColumn("minIn", min(col("pfIn")).over(wIn))
+    // tiny per-(type, band) table: total + full-band min of the in-band prefix
+    val bands = dev.groupBy("event_type", "band")
+      .agg(sum("d").as("btot"), min("pfIn").as("bmin"))
+    val offsets = bands.as("a")
+      .join(broadcast(bands.as("b")),
+        col("b.event_type") === col("a.event_type") && col("b.band") < col("a.band"), "left")
+      .groupBy(col("a.event_type").as("event_type"), col("a.band").as("band"),
+        col("a.bmin").as("bmin"))
+      .agg(coalesce(sum(col("b.btot")), lit(0L)).as("off"))
+    val bandPfMin = offsets.select(col("event_type"), col("band"),
+      col("off"), (col("off") + col("bmin")).as("globalBandMin"))
+    val prior = bandPfMin.as("a")
+      .join(broadcast(bandPfMin.as("b")),
+        col("b.event_type") === col("a.event_type") && col("b.band") < col("a.band"), "left")
+      .groupBy(col("a.event_type").as("event_type"), col("a.band").as("band"),
+        col("a.off").as("off"))
+      .agg(min(col("b.globalBandMin")).as("priorMin"))
+    dev
+      .join(broadcast(prior), Seq("event_type", "band"))
+      .withColumn("p", col("off") + col("pfIn"))
+      .withColumn("runmin",
+        least(coalesce(col("priorMin"), lit(Long.MaxValue)), col("off") + col("minIn")))
+      .withColumn("s", col("p") - least(lit(0L), col("runmin")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max("s").as("max_cusum_e4"),
+        sum(when(col("s") > 2000000L, 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("s") > 2000000L, unix_micros(col("ts")))).as("first_alarm_us"))
+  }
+}

@@ -1194,3 +1194,71 @@ class MultimodalSpec extends SparkSpec {
   }
 
 }
+
+class ProfilingSpec extends SparkSpec {
+  test("q125 column profile: one row per orders column, unique key fully distinct, no nulls") {
+    val rows = Profiling.columnProfile(spark, sf).collect()
+    assert(rows.length == 6)
+    val byCol = rows.map(r => r.getAs[String]("col_name") -> r).toMap
+    val n = rows.head.getAs[Long]("n_rows")
+    assert(rows.forall(_.getAs[Long]("n_rows") == n))
+    assert(rows.forall(_.getAs[Long]("n_nulls") == 0L))
+    assert(byCol("o_orderkey").getAs[Long]("n_distinct") == n) // primary key
+    assert(byCol("o_orderstatus").getAs[String]("min_str") <= byCol("o_orderstatus").getAs[String]("max_str"))
+    assert(byCol("o_totalprice").getAs[Long]("min_num") <= byCol("o_totalprice").getAs[Long]("max_num"))
+  }
+
+  test("q126 chi-square: cells cover the corpus, contributions non-negative, expected sums to N per lang") {
+    val rows = Profiling.contingencyChiSq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("chi2_ppm") >= 0L))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == nDocs)
+    // expected counts (e6) sum to ~N per language (truncating DIV loses < #sources units)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val obs = rs.map(_.getAs[Long]("n_obs")).sum * 1000000L
+      val exp = rs.map(_.getAs[Long]("expected_e6")).sum
+      assert(math.abs(obs - exp) < 1000000L * rs.length)
+    }
+  }
+
+  test("q127 snapshot diff: ops well-formed, updates change the event, replay reconciles user sets") {
+    val rows = Profiling.snapshotDiffChangefeed(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("op")).toSet.subsetOf(Set("I", "D", "U")))
+    assert(rows.map(_.getAs[Long]("user_id")).distinct.length == rows.length)
+    // every op row carries a payload (I/U from t2, D the retired t1 state)
+    rows.foreach { r =>
+      assert(r.getAs[String]("event_type") != null)
+      assert(r.getAs[Long]("ts_us") > 0L)
+    }
+  }
+
+  test("q128 CUSUM: banded decomposition equals the sequential fold, alarms consistent") {
+    import org.apache.spark.sql.functions._
+    val got = Profiling.cusumChangepoint(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 10000).cast("long").as("v4"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    ev.foreach { case (t, rows) =>
+      val sorted = rows.sortBy(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+      val mean4 = sorted.map(_.getAs[Long]("v4")).sum / sorted.length
+      var s = 0L; var mx = 0L; var alarms = 0L; var firstUs = Option.empty[Long]
+      sorted.foreach { r =>
+        s = math.max(0L, s + r.getAs[Long]("v4") - mean4 - 100000L)
+        mx = math.max(mx, s)
+        if (s > 2000000L) { alarms += 1; if (firstUs.isEmpty) firstUs = Some(r.getAs[Long]("us")) }
+      }
+      val g = got(t)
+      assert(g.getAs[Long]("n_events") == sorted.length, s"$t n_events")
+      assert(g.getAs[Long]("max_cusum_e4") == mx, s"$t max")
+      assert(g.getAs[Long]("n_alarms") == alarms, s"$t alarms")
+      assert(Option(g.getAs[java.lang.Long]("first_alarm_us")).map(_.toLong) == firstUs, s"$t first alarm")
+    }
+    assert(got.values.map(_.getAs[Long]("n_alarms")).sum > 0L)
+  }
+}
