@@ -212,6 +212,9 @@ object SparkEntry {
     "q126_source_mix_chisq"     -> ((s, d) => Profiling.contingencyChiSq(GraftSession.tune(s), d)),
     "q127_snapshot_diff"        -> ((s, d) => Profiling.snapshotDiffChangefeed(GraftSession.tune(s), d)),
     "q128_cusum_drift"          -> ((s, d) => Profiling.cusumChangepoint(GraftSession.tune(s), d)),
+    "q129_kmv_overlap"          -> ((s, d) => Sketches.kmvOverlap(GraftSession.tune(s), d)),
+    "q130_bloom_semijoin"       -> ((s, d) => Relational.bloomSemiJoin(GraftSession.tune(s), d)),
+    "t26_hash_classifier"       -> ((s, d) => TextAnalysis.hashClassifier(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "d17_threshold_sweep"       -> ((s, d) => Dedup.thresholdSweep(GraftSession.tune(s), d)),
     "d18_image_dedup"           -> ((s, d) => Multimodal.imageDedupDhash(GraftSession.tune(s), d)),
@@ -231,6 +234,16 @@ object SparkEntry {
   // floored-mean update), so the oracle replays training ROUND FOR
   // ROUND: these templates unroll the two Lloyd iterations as CTE
   // levels, exactly like the q80 fixed-point PageRank oracle.
+  /** DuckDB-side hex→int fold for `ndigits` md5 hex digits starting at
+    * 1-based `start` — the q129/q130/t26 pairing for Spark's
+    * `conv(substring(md5(x), start, n), 16, 10)`.
+    */
+  private def hexValSql(h: String, start: Int, ndigits: Int): String =
+    (0 until ndigits).map { i =>
+      val shift = 1L << (4 * (ndigits - 1 - i))
+      s"(strpos('0123456789abcdef', substr($h, ${start + i}, 1)) - 1) * $shift"
+    }.mkString("(", " + ", ")")
+
   private def sqlDotF(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]), 'sum')"
   private def sqlDotI(a: String, b: String): String =
@@ -1881,6 +1894,93 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cus > 2000000 THEN epoch_us(ts) END) AS BIGINT)
         |    AS first_alarm_us
         |FROM s GROUP BY 1""".stripMargin,
+    // q129: KMV bottom-k overlap — the oracle replays the whole sketch
+    // pipeline (per-type k-min signatures, pair-union k-min, matched
+    // count) plus the exact audit; deterministic because bottom-k of a
+    // fixed hash has no RNG.
+    "q129_kmv_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |uh AS (SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM ut),
+        |sig AS (SELECT event_type, h FROM (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM uh) WHERE rn <= 128),
+        |types AS (SELECT DISTINCT event_type FROM sig),
+        |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM types a JOIN types b ON a.event_type < b.event_type),
+        |un AS (SELECT DISTINCT ta, tb, h FROM (
+        |  SELECT p.ta, p.tb, s.h FROM pairs p JOIN sig s ON s.event_type = p.ta
+        |  UNION ALL
+        |  SELECT p.ta, p.tb, s.h FROM pairs p JOIN sig s ON s.event_type = p.tb)),
+        |unk AS (SELECT ta, tb, h FROM (
+        |  SELECT ta, tb, h, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        |  FROM un) WHERE rn <= 128),
+        |est AS (SELECT unk.ta, unk.tb,
+        |    sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END) AS matched,
+        |    count(*) AS kk
+        |  FROM unk
+        |  LEFT JOIN sig sa ON sa.event_type = unk.ta AND sa.h = unk.h
+        |  LEFT JOIN sig sb ON sb.event_type = unk.tb AND sb.h = unk.h
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |inter AS (SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n_inter
+        |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type GROUP BY 1, 2)
+        |SELECT est.ta, est.tb, CAST(est.matched AS BIGINT) AS matched,
+        |  CAST(est.matched * 1000000 // est.kk AS BIGINT) AS jaccard_est_ppm,
+        |  CAST(coalesce(inter.n_inter, 0) AS BIGINT) AS n_inter,
+        |  CAST(coalesce(inter.n_inter, 0) * 1000000
+        |    // (na.n + nb.n - coalesce(inter.n_inter, 0)) AS BIGINT) AS jaccard_exact_ppm
+        |FROM est
+        |LEFT JOIN inter ON inter.ta = est.ta AND inter.tb = est.tb
+        |JOIN pt na ON na.event_type = est.ta
+        |JOIN pt nb ON nb.event_type = est.tb""".stripMargin,
+    // q130: bloom semi-join — the oracle rebuilds the identical bitmap
+    // (md5 hex digits 1-5 / 6-10 as bit positions) and re-derives the
+    // candidate and true-match counts.
+    "q130_bloom_semijoin" ->
+      s"""WITH cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |ch AS (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS h FROM cust),
+        |cpos AS (SELECT ${hexValSql("h", 1, 5)} AS pos FROM ch
+        |  UNION ALL SELECT ${hexValSql("h", 6, 5)} FROM ch),
+        |bm AS (SELECT pos // 63 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+        |  FROM cpos GROUP BY 1),
+        |oh AS (SELECT o_orderkey, o_custkey, md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+        |op AS (SELECT o_orderkey, o_custkey,
+        |  ${hexValSql("h", 1, 5)} AS pos1, ${hexValSql("h", 6, 5)} AS pos2 FROM oh),
+        |cand AS (SELECT o_orderkey, o_custkey FROM op
+        |  LEFT JOIN bm b1 ON op.pos1 // 63 = b1.word
+        |  LEFT JOIN bm b2 ON op.pos2 // 63 = b2.word
+        |  WHERE (coalesce(b1.bits, 0) & (CAST(1 AS BIGINT) << CAST(op.pos1 % 63 AS INTEGER))) <> 0
+        |    AND (coalesce(b2.bits, 0) & (CAST(1 AS BIGINT) << CAST(op.pos2 % 63 AS INTEGER))) <> 0),
+        |agg AS (SELECT
+        |  (SELECT count(*) FROM orders) AS n_probe,
+        |  (SELECT count(*) FROM cand) AS n_bloom_pass,
+        |  (SELECT count(*) FROM cand WHERE o_custkey IN (SELECT c_custkey FROM cust)) AS n_true_match)
+        |SELECT CAST(n_probe AS BIGINT) AS n_probe,
+        |  CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass,
+        |  CAST(n_true_match AS BIGINT) AS n_true_match,
+        |  CAST((n_bloom_pass - n_true_match) * 1000000 // n_bloom_pass AS BIGINT) AS fp_ppm
+        |FROM agg""".stripMargin,
+    // t26: hashed linear classifier — the oracle regenerates the same
+    // md5-derived weight table over range(4096) and refolds the scores.
+    "t26_hash_classifier" ->
+      s"""WITH w AS (SELECT r.b AS bucket,
+        |    ${hexValSql("md5(CAST(r.b AS VARCHAR))", 1, 4)} % 2001 - 1000 AS w_e3
+        |  FROM range(0, 4096) r(b)),
+        |toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |f AS (SELECT doc_id, ${hexValSql("md5(tok)", 1, 3)} AS bucket, count(*) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(c) AS n_tokens, sum(c * w_e3) AS score_e3
+        |  FROM f JOIN w USING (bucket) GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(score_e3 AS BIGINT) AS score_e3,
+        |  CASE WHEN score_e3 > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM s""".stripMargin,
     // q115: the oracle IS the textbook Q2 correlated scalar MIN whose
     // inner is the full multi-join, re-executed per outer row — the
     // compare proves the keyed-aggregate + join-back decorrelation

@@ -1657,4 +1657,62 @@ object Relational {
       .join(excessPairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
   }
+
+  /** q130: EXPLICIT Bloom-filter runtime-filtered semi-join — the
+    * "sideways information passing" pattern that makes selective joins
+    * scale (Spark's own InjectRuntimeFilter does this opportunistically;
+    * here it is a first-class, measurable operator with its false-positive
+    * accounting in the output). Build side: customers of one market
+    * segment; probe side: orders. The filter is m = 2^20 bits (a 130 KB
+    * broadcast — sized so the build side stays ≲10% fill through sf1;
+    * at larger build sides m grows with n, the standard m ≈ 10n rule),
+    * j = 2 hash functions — bit positions are hex digits 1–5 and 6–10 of
+    * md5(key), so both engines derive identical bits.
+    *
+    * Shape: build-side positions fold into a ≤1024-row (word, bits)
+    * bitmap via bit_or — broadcast TWICE against the probe's two
+    * (word, bit) lookups; rows passing both bit tests are BLOOM
+    * CANDIDATES, then the exact semi join removes false positives. The
+    * output row audits the filter: probe rows / bloom passes / true
+    * matches / FP ppm. At 100 TB the candidate cut happens before the
+    * fact shuffle — the filter is KB-sized state traded against the
+    * probe-side rows that never travel.
+    */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def posCols(key: Column): (Column, Column) = {
+      val h = md5(key.cast("string"))
+      (conv(substring(h, 1, 5), 16, 10).cast("long"),
+        conv(substring(h, 6, 5), 16, 10).cast("long"))
+    }
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val (b1, b2) = posCols(col("c_custkey"))
+    // one bitmap over BOTH hash positions: word = pos div 63, bit = pos mod 63 (63 bits per word: bit 63 is the sign bit and ANSI engines refuse 1<<63)
+    val bitmap = cust.select(explode(array(b1, b2)).as("pos"))
+      .select(expr("pos DIV 63").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("m"))
+      .groupBy("word").agg(bit_or(col("m")).as("bits"))
+    val (p1, p2) = posCols(col("o_custkey"))
+    val probe = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), p1.as("pos1"), p2.as("pos2"))
+    val candidates = probe
+      .join(broadcast(bitmap.withColumnRenamed("word", "w1").withColumnRenamed("bits", "bits1")),
+        expr("pos1 DIV 63") === col("w1"), "left")
+      .join(broadcast(bitmap.withColumnRenamed("word", "w2").withColumnRenamed("bits", "bits2")),
+        expr("pos2 DIV 63") === col("w2"), "left")
+      .filter(
+        expr("coalesce(bits1, CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), CAST(pos1 % 63 AS INT))") =!= 0L &&
+        expr("coalesce(bits2, CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), CAST(pos2 % 63 AS INT))") =!= 0L)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val trueMatch = candidates.join(broadcast(cust),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val nProbe = Tables.orders(spark, dir).agg(count(lit(1)).as("n_probe"))
+    val nPass  = candidates.agg(count(lit(1)).as("n_bloom_pass"))
+    val nTrue  = trueMatch.agg(count(lit(1)).as("n_true_match"))
+    nProbe.crossJoin(broadcast(nPass)).crossJoin(broadcast(nTrue))
+      .select(col("n_probe"), col("n_bloom_pass"), col("n_true_match"),
+        expr("CAST((n_bloom_pass - n_true_match) * 1000000 DIV n_bloom_pass AS BIGINT)")
+          .as("fp_ppm"))
+  }
 }

@@ -70,4 +70,84 @@ object Sketches {
         kll_sketch_get_quantile_double(kll_sketch_agg_double(col("value")), lit(0.5)).as("p50_sketch"),
         kll_sketch_get_quantile_double(kll_sketch_agg_double(col("value")), lit(0.9)).as("p90_sketch"),
       )
+
+  /** q129: audience OVERLAP estimation via KMV / bottom-k (theta-sketch
+    * class) signatures — the set-INTERSECTION question HLL cannot answer
+    * (HLL unions; intersection needs inclusion–exclusion with compounding
+    * error, the reason theta sketches exist). For every unordered pair of
+    * event types: estimated Jaccard of their user audiences from k=128
+    * minimum md5 values per set, against the exact Jaccard as the audit
+    * (the s10 recall-audit discipline applied to sketches).
+    *
+    * Bottom-k is DETERMINISTIC (k smallest values of a fixed hash — no
+    * RNG), hence the rare sketch with an EXACT oracle: DuckDB replays the
+    * same k-min selection bit-for-bit. Estimator: merge both sketches,
+    * keep the k smallest distinct hashes of the union (θ implicit at the
+    * k-th), count how many of those live in BOTH sets → jaccard ≈
+    * matched/k (Broder 1997 bottom-k minwise estimate, exact-integer ppm).
+    *
+    * Scale: per-type signatures are k-row aggregates of ONE distinct
+    * (type,user) fold — the pair stage touches 5k·types rows, never the
+    * fact table; the exact audit is the expensive leg (type-pair
+    * self-join over per-user type sets) and is output-bounded by
+    * users × (types-per-user choose 2), types ≤ 5 here. At 100 TB you
+    * ship only the signatures.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one distinct (event_type, user) fold; h = md5 of the user id
+    val ut = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", md5(col("user_id").cast("string")))
+    // per-type KMV signature: the k lexicographically-smallest hashes
+    val sig = ut
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("h"))
+    // pairwise: tag each signature with every unordered pair it belongs
+    // to (pair list = tiny type×type cross), merge, keep the union's k
+    // smallest distinct hashes, count members present in both — the
+    // whole stage touches pairs × 2k rows, never the fact table
+    val types = sig.select(col("event_type")).distinct()
+    val pairs = types.as("a").join(broadcast(types.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+    val sigA = sig.select(col("event_type").as("ta"), col("h"))
+    val sigB = sig.select(col("event_type").as("tb"), col("h"))
+    val unioned = broadcast(pairs).join(sigA, Seq("ta")).select(col("ta"), col("tb"), col("h"))
+      .union(broadcast(pairs).join(sigB, Seq("tb")).select(col("ta"), col("tb"), col("h")))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ta", "tb").orderBy("h")))
+      .filter(col("rn") <= k)
+    val est = unioned
+      .join(sigA.withColumn("ina", lit(1L)), Seq("ta", "h"), "left")
+      .join(sigB.withColumn("inb", lit(1L)), Seq("tb", "h"), "left")
+      .groupBy("ta", "tb")
+      .agg(
+        sum(coalesce(col("ina"), lit(0L)) * coalesce(col("inb"), lit(0L))).as("matched"),
+        count(lit(1)).as("kk"))
+      .select(col("ta"), col("tb"), col("matched"),
+        expr("CAST(matched * 1000000 DIV kk AS BIGINT)").as("jaccard_est_ppm"))
+    // exact audit: per-user type pairs → intersection sizes; unions by
+    // inclusion–exclusion from per-type distinct counts (broadcast)
+    val perType = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = ut.as("x").join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("ta", "tb"), "left")
+      .join(broadcast(perType.withColumnRenamed("event_type", "ta")
+        .withColumnRenamed("n", "na")), Seq("ta"))
+      .join(broadcast(perType.withColumnRenamed("event_type", "tb")
+        .withColumnRenamed("n", "nb")), Seq("tb"))
+      .select(col("ta"), col("tb"),
+        col("matched"), col("jaccard_est_ppm"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        expr("CAST(coalesce(n_inter, 0) * 1000000 DIV (na + nb - coalesce(n_inter, 0)) AS BIGINT)")
+          .as("jaccard_exact_ppm"))
+  }
 }

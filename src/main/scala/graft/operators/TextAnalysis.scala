@@ -719,4 +719,45 @@ object TextAnalysis {
         sum(col("c") * round(lit(1e6) * log(col("n_s").cast("double") / col("c"))).cast("long"))
           .as("entropy_unats_scaled"))
   }
+
+  /** t26: hashed linear-classifier INFERENCE at corpus scale — the
+    * fastText-style quality/domain classifier every curation stack runs
+    * over each document (CCNet's LM filter, LLaMA's quality classifiers
+    * are this shape: hash n-grams into D buckets, dot the bucket counts
+    * with a learned weight vector, threshold). The MODEL here is a
+    * deterministic stand-in (weight[b] derived from md5(b) — the
+    * environment has no trained artifact), but the inference dataflow is
+    * the real one end to end:
+    *
+    *   tokens → feature bucket (md5 hex digits 1–3, D = 4096) →
+    *   per-(doc, bucket) counts (map-side combined — the fact fold) →
+    *   broadcast join against the D-row weight table (the model is
+    *   dimension-sized state, exactly how a served model ships) →
+    *   per-doc score = Σ count·w, threshold at 0.
+    *
+    * Integer e3 weights end to end, so scores are exact longs and the
+    * oracle replays the same arithmetic. At 100 TB: one scan, one doc-key
+    * fold, a KB-scale broadcast — no shuffle carries tokens.
+    */
+  def hashClassifier(spark: SparkSession, dir: String, dim: Int = 4096): DataFrame = {
+    // the "model": weight_e3(b) = (hexval4(md5(b)) mod 2001) − 1000 ∈ [−1, 1] e3
+    val weights = spark.range(dim.toLong).toDF("bucket")
+      .select(col("bucket"),
+        (conv(substring(md5(col("bucket").cast("string")), 1, 4), 16, 10).cast("long") % 2001 - 1000)
+          .as("w_e3"))
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long").as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    feats
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        sum(col("c") * col("w_e3")).as("score_e3"))
+      .select(col("doc_id"), col("n_tokens"), col("score_e3"),
+        when(col("score_e3") > 0, "keep").otherwise("drop").as("label"))
+  }
 }

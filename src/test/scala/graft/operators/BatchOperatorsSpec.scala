@@ -1262,3 +1262,75 @@ class ProfilingSpec extends SparkSpec {
     assert(got.values.map(_.getAs[Long]("n_alarms")).sum > 0L)
   }
 }
+
+class SketchOverlapSpec extends SparkSpec {
+  test("q129 KMV overlap: when the union fits in k the estimate IS the exact Jaccard") {
+    val rows = Sketches.kmvOverlap(spark, sf).collect()
+    assert(rows.length == 10) // 5 choose 2 type pairs
+    // sf0.001 has 15 users; every audience union fits inside k=128, so
+    // the bottom-k sketch degenerates to the exact set and the estimate
+    // must equal the exact Jaccard ppm.
+    rows.foreach { r =>
+      assert(r.getAs[Long]("jaccard_est_ppm") == r.getAs[Long]("jaccard_exact_ppm"),
+        s"${r.getAs[String]("ta")}x${r.getAs[String]("tb")}")
+      assert(r.getAs[Long]("matched") <= 128L)
+      assert(r.getAs[Long]("n_inter") >= 0L)
+    }
+  }
+
+  test("q129 KMV overlap: estimate stays within sampling error of exact at sf0.01") {
+    val rows = Sketches.kmvOverlap(spark, "/root/testdata/sf0.01").collect()
+    rows.foreach { r =>
+      val est = r.getAs[Long]("jaccard_est_ppm")
+      val ex  = r.getAs[Long]("jaccard_exact_ppm")
+      // k=128 -> s.e. ~ sqrt(J(1-J)/k) <= ~45k ppm; allow 4 sigma
+      assert(math.abs(est - ex) < 180000L, s"est=$est exact=$ex")
+    }
+  }
+}
+
+class BloomJoinSpec extends SparkSpec {
+  test("q130 bloom semi-join: candidates superset of true matches, counts reconcile with exact join") {
+    import org.apache.spark.sql.functions._
+    val r = Relational.bloomSemiJoin(spark, sf).collect()(0)
+    val nProbe = r.getAs[Long]("n_probe")
+    val nPass = r.getAs[Long]("n_bloom_pass")
+    val nTrue = r.getAs[Long]("n_true_match")
+    assert(nPass >= nTrue)           // no false negatives, ever
+    assert(nProbe >= nPass)
+    val exact = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(nTrue == exact)
+    assert(r.getAs[Long]("fp_ppm") == (nPass - nTrue) * 1000000L / nPass)
+  }
+}
+
+class HashClassifierSpec extends SparkSpec {
+  test("t26 hashed classifier: one doc's score refolds by hand, labels follow the sign") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.hashClassifier(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val lbl = if (r.getAs[Long]("score_e3") > 0) "keep" else "drop"
+      assert(r.getAs[String]("label") == lbl)
+    }
+    // refold one document driver-side with the same md5 arithmetic
+    val doc = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().minBy(_.getAs[Long]("doc_id"))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def hexVal(h: String, n: Int): Long =
+      h.take(n).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+    val toks = doc.getAs[String]("text").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val expected = toks.map { t =>
+      val b = hexVal(md5hex(t), 3)
+      hexVal(md5hex(b.toString), 4) % 2001 - 1000
+    }.sum
+    val got = out.find(_.getAs[Long]("doc_id") == doc.getAs[Long]("doc_id")).get
+    assert(got.getAs[Long]("score_e3") == expected)
+    assert(got.getAs[Long]("n_tokens") == toks.length.toLong)
+  }
+}

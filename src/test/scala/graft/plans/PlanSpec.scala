@@ -157,6 +157,11 @@ class PlanSpec extends SparkSpec {
       // q86's banded prefix-sum reused for the shard assignment the
       // entropy audit runs over — the same bounded band-count table
       "q103_shard_entropy",
+      // unordered type-pair generation: triangular (a.type < b.type)
+      // join over the EVENT-TYPE table — bounded by the type universe
+      // (≤5² here), never user- or event-sized; appears twice (once per
+      // signature leg of the pair union)
+      "q129_kmv_overlap",
     )
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
