@@ -213,6 +213,7 @@ object SparkEntry {
     "q127_snapshot_diff"        -> ((s, d) => Profiling.snapshotDiffChangefeed(GraftSession.tune(s), d)),
     "q128_cusum_drift"          -> ((s, d) => Profiling.cusumChangepoint(GraftSession.tune(s), d)),
     "q129_kmv_overlap"          -> ((s, d) => Sketches.kmvOverlap(GraftSession.tune(s), d)),
+    "q131_asof_nearest"         -> ((s, d) => Temporal.asofNearest(GraftSession.tune(s), d)),
     "q130_bloom_semijoin"       -> ((s, d) => Relational.bloomSemiJoin(GraftSession.tune(s), d)),
     "t26_hash_classifier"       -> ((s, d) => TextAnalysis.hashClassifier(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
@@ -1935,6 +1936,21 @@ object SparkEntry {
         |LEFT JOIN inter ON inter.ta = est.ta AND inter.tb = est.tb
         |JOIN pt na ON na.event_type = est.ta
         |JOIN pt nb ON nb.event_type = est.tb""".stripMargin,
+    // q131: nearest-direction as-of — the oracle is the textbook LATERAL
+    // nearest-neighbor lookup (order by distance, backward on ties);
+    // agreement proves the two-direction carry decomposition.
+    "q131_asof_nearest" ->
+      """WITH r AS (SELECT user_id AS k, epoch_us(ts) AS t, min(event_id) AS ref_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id AS k, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, c.ref_id AS nearest_error_id, c.dir AS direction,
+        |  CAST(c.dd AS BIGINT) AS dist_min
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT r.ref_id, CASE WHEN r.t <= p.t THEN 'B' ELSE 'F' END AS dir,
+        |    abs(r.t - p.t) // 60000000 AS dd
+        |  FROM r WHERE r.k = p.k AND abs(r.t - p.t) <= 86400000000
+        |  ORDER BY abs(r.t - p.t), (r.t > p.t), r.ref_id LIMIT 1) c ON TRUE""".stripMargin,
     // q130: bloom semi-join — the oracle rebuilds the identical bitmap
     // (md5 hex digits 1-5 / 6-10 as bit positions) and re-derives the
     // candidate and true-match counts.

@@ -844,4 +844,58 @@ object Temporal {
         max(least(col("c1"), col("c2")) - greatest(col("o1"), col("o2")))
           .as("max_overlap_us"))
   }
+
+  /** q131: NEAREST-direction as-of join (pandas `merge_asof(direction=
+    * 'nearest')` / kdb `aj` both ways) — q26/q97 are BACKWARD-only; the
+    * ops question "was there an error NEAR this purchase?" needs the
+    * closest reference event on EITHER side, ties broken backward. Probe
+    * = purchase events, reference = the same user's error events,
+    * tolerance 24 h.
+    *
+    * Shape: the q26 union + carry idiom run in BOTH directions over ONE
+    * key shuffle — references and probes interleave per user in time
+    * order; `last(ignoreNulls)` over the ascending window carries the
+    * latest reference ≤ t (backward), the same carry over the DESCENDING
+    * window carries the earliest reference ≥ t (forward; references sort
+    * before probes at equal t in both traversals, so a distance-0 match
+    * is visible both ways and the backward tiebreak takes it). No per-row
+    * probe, no range join — two sort passes per key partition, which is
+    * what survives 100 TB. References are deduped to one per (user, µs)
+    * with the min event_id so both engines pick identical winners.
+    */
+  def asofNearest(spark: SparkSession, dir: String, tolHours: Int = 24): DataFrame = {
+    val tolUs = tolHours.toLong * 3600L * 1000000L
+    val ref = events(spark, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("k"), col("tsu").as("t"))
+      .agg(min(col("event_id")).as("ref_id"))
+      .withColumn("kind", lit(0))
+      .withColumn("event_id", lit(null).cast("long"))
+    val probe = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("tsu").as("t"),
+        lit(null).cast("long").as("ref_id"), lit(1).as("kind"), col("event_id"))
+    val wB = Window.partitionBy("k").orderBy(col("t").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("k").orderBy(col("t").desc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = ref.unionByName(probe)
+      .withColumn("b_id", last("ref_id", ignoreNulls = true).over(wB))
+      .withColumn("b_t", last(when(col("kind") === 0, col("t")), ignoreNulls = true).over(wB))
+      .withColumn("f_id", last("ref_id", ignoreNulls = true).over(wF))
+      .withColumn("f_t", last(when(col("kind") === 0, col("t")), ignoreNulls = true).over(wF))
+      .filter(col("kind") === 1)
+    val bd = col("t") - col("b_t")
+    val fd = col("f_t") - col("t")
+    val bOk = col("b_t").isNotNull && bd <= tolUs
+    val fOk = col("f_t").isNotNull && fd <= tolUs
+    both.select(
+      col("event_id"),
+      when(bOk && (!fOk || bd <= fd), col("b_id"))
+        .when(fOk, col("f_id")).as("nearest_error_id"),
+      when(bOk && (!fOk || bd <= fd), "B")
+        .when(fOk, "F").as("direction"),
+      when(bOk && (!fOk || bd <= fd), expr(s"(t - b_t) DIV 60000000"))
+        .when(fOk, expr(s"(f_t - t) DIV 60000000")).as("dist_min"))
+  }
 }

@@ -1334,3 +1334,30 @@ class HashClassifierSpec extends SparkSpec {
     assert(got.getAs[Long]("n_tokens") == toks.length.toLong)
   }
 }
+
+class AsofNearestSpec extends SparkSpec {
+  test("q131 nearest as-of: brute-force per-user nearest agrees, ties go backward") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"), col("event_id"))
+      .collect()
+    val errs = ev.filter(_.getAs[String]("event_type") == "error")
+      .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[Long]("t")))
+      .map { case ((u, t), rs) => (u, t, rs.map(_.getAs[Long]("event_id")).min) }
+      .toSeq.groupBy(_._1)
+    val tol = 24L * 3600 * 1000000
+    val got = Temporal.asofNearest(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("nearest_error_id")), r.getAs[String]("direction"))).toMap
+    val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
+    assert(purchases.nonEmpty && got.size == purchases.length)
+    purchases.foreach { p =>
+      val (u, t, id) = (p.getAs[Long]("user_id"), p.getAs[Long]("t"), p.getAs[Long]("event_id"))
+      val cands = errs.getOrElse(u, Nil).filter(e => math.abs(e._2 - t) <= tol)
+      val best = cands.sortBy(e => (math.abs(e._2 - t), e._2 > t, e._3)).headOption
+      val (gotId, gotDir) = got(id)
+      assert(gotId == best.map(_._3), s"event $id")
+      assert(gotDir == best.map(e => if (e._2 <= t) "B" else "F").orNull, s"event $id dir")
+    }
+  }
+}
