@@ -1790,3 +1790,37 @@ class StreamingSpec extends SparkSpec {
     assert(dead.head.getAs[String]("reason") == "null_doc_id")
   }
 }
+
+class SampleViewSpec extends SparkSpec {
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target/streaming-tmp").toAbsolutePath, prefix).toString
+
+  test("#330 streaming reservoir: store equals the batch bottom-k over any micro-batch split; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long, String)]
+    val df = input.toDF().toDF("stratum", "id", "payload")
+    val storeDir = tmp("samplestore")
+    val q = SampleView.sample(df, storeDir, tmp("sampleck"), k = 4).start()
+    try {
+      val all = (1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i, s"p$i"))
+      // three uneven micro-batches
+      input.addData(all.take(3): _*); q.processAllAvailable()
+      input.addData(all.slice(3, 25): _*); q.processAllAvailable()
+      input.addData(all.drop(25): _*); q.processAllAvailable()
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expect = all.groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (md5hex(r._2.toString), r._2)).take(4)
+      }.toSet
+      def store() = spark.read.parquet(storeDir).collect()
+        .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
+      assert(store() == expect, s"store must equal the batch bottom-k: ${store()}")
+      // at-least-once: redeliver a batch spanning both strata — unchanged
+      SampleView.updateBatch(
+        all.slice(10, 30).toDF("stratum", "id", "payload"), storeDir, k = 4)
+      assert(store() == expect, "replay changed the reservoir")
+    } finally q.stop()
+  }
+}
