@@ -214,6 +214,8 @@ object SparkEntry {
     "q128_cusum_drift"          -> ((s, d) => Profiling.cusumChangepoint(GraftSession.tune(s), d)),
     "q129_kmv_overlap"          -> ((s, d) => Sketches.kmvOverlap(GraftSession.tune(s), d)),
     "q131_asof_nearest"         -> ((s, d) => Temporal.asofNearest(GraftSession.tune(s), d)),
+    "q132_walkforward_splits"   -> ((s, d) => TrainingData.walkForwardSplits(GraftSession.tune(s), d)),
+    "q133_table_digest"         -> ((s, d) => Profiling.tableDigest(GraftSession.tune(s), d)),
     "q130_bloom_semijoin"       -> ((s, d) => Relational.bloomSemiJoin(GraftSession.tune(s), d)),
     "t26_hash_classifier"       -> ((s, d) => TextAnalysis.hashClassifier(GraftSession.tune(s), d)),
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
@@ -1936,6 +1938,40 @@ object SparkEntry {
         |LEFT JOIN inter ON inter.ta = est.ta AND inter.tb = est.tb
         |JOIN pt na ON na.event_type = est.ta
         |JOIN pt nb ON nb.event_type = est.tb""".stripMargin,
+    // q132: walk-forward splits — day-granular boundaries (midnight
+    // aligned), the oracle refolds the same per-(user, day) cells.
+    "q132_walkforward_splits" ->
+      """WITH cells AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |fs AS (SELECT user_id, min(day) AS first_day FROM cells GROUP BY 1),
+        |folds AS (SELECT r.f AS fold, 19730 + r.f * 5 AS ted FROM range(0, 4) r(f))
+        |SELECT fo.fold,
+        |  strftime(DATE '1970-01-01' + fo.ted * INTERVAL 1 DAY, '%Y-%m-%d') AS train_end,
+        |  CAST(sum(CASE WHEN c.day < fo.ted THEN c.n ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN c.day >= fo.ted AND c.day < fo.ted + 5 THEN c.n ELSE 0 END)
+        |    AS BIGINT) AS n_test,
+        |  CAST(count(DISTINCT CASE WHEN c.day >= fo.ted AND c.day < fo.ted + 5
+        |    THEN c.user_id END) AS BIGINT) AS n_test_users,
+        |  CAST(count(DISTINCT CASE WHEN c.day >= fo.ted AND c.day < fo.ted + 5
+        |    AND fs.first_day >= fo.ted THEN c.user_id END) AS BIGINT) AS n_cold_users
+        |FROM folds fo CROSS JOIN (cells c JOIN fs USING (user_id))
+        |GROUP BY 1, 2""".stripMargin,
+    // q133: table digest — the oracle re-renders each row canonically
+    // (integer units only), folds the same XOR and mod-2^61 sums.
+    "q133_table_digest" ->
+      s"""WITH c AS (SELECT strftime(l_shipdate, '%Y-%m') AS part,
+        |  md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CAST(round(l_quantity) AS BIGINT),
+        |    CAST(round(l_extendedprice * 100) AS BIGINT),
+        |    CAST(round(l_discount * 100) AS BIGINT),
+        |    l_returnflag, l_linestatus,
+        |    strftime(l_shipdate, '%Y-%m-%d'))) AS h
+        |  FROM lineitem),
+        |r AS (SELECT part, ${hexValSql("h", 1, 15)} AS rh FROM c)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(rh) AS BIGINT) AS xor_digest,
+        |  CAST(sum(CAST(rh AS HUGEINT)) % 2305843009213693952 AS BIGINT) AS sum_digest
+        |FROM r GROUP BY 1""".stripMargin,
     // q131: nearest-direction as-of — the oracle is the textbook LATERAL
     // nearest-neighbor lookup (order by distance, backward on ties);
     // agreement proves the two-direction carry decomposition.

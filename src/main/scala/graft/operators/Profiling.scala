@@ -198,4 +198,41 @@ object Profiling {
         sum(when(col("s") > 2000000L, 1L).otherwise(0L)).as("n_alarms"),
         min(when(col("s") > 2000000L, unix_micros(col("ts")))).as("first_alarm_us"))
   }
+
+  /** q133: per-partition TABLE DIGEST — the anti-entropy primitive a
+    * replicated changefeed deployment runs to answer "do these two copies
+    * of the table hold the same rows?" without shipping rows: an
+    * ORDER-INDEPENDENT checksum per partition (month of l_shipdate),
+    * comparable replica-to-replica at partition granularity so divergence
+    * localizes to the partitions whose digests differ.
+    *
+    * Two complementary folds per partition, both commutative/associative
+    * (hence shuffle- and file-order-free, and map-side combinable):
+    * XOR of per-row 60-bit hashes (cheap; blind to duplicate PAIRS of an
+    * identical row) and the SUM of the same hashes mod 2⁶¹ (catches what
+    * XOR cancels), plus the row count. The row hash is hex digits 1–15
+    * of md5 over a '|'-joined canonical rendering — every numeric is cast
+    * to an exact integer unit BEFORE rendering (doubles never render).
+    *
+    * Scale: one scan, one tiny aggregate; digests are mergeable upward
+    * (partition → table) by the same folds over the digest table.
+    */
+  def tableDigest(spark: SparkSession, dir: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      round(col("l_quantity")).cast("long"),
+      round(col("l_extendedprice") * 100).cast("long"),
+      round(col("l_discount") * 100).cast("long"),
+      col("l_returnflag"), col("l_linestatus"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd"))
+    Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+        conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("rh"))
+      .groupBy("part")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(rh)").as("xor_digest"),
+        expr("CAST(sum(CAST(rh AS DECIMAL(38,0))) % 2305843009213693952 AS BIGINT)")
+          .as("sum_digest"))
+  }
 }

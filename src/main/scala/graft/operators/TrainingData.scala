@@ -656,4 +656,52 @@ object TrainingData {
         when(substring(md5(col("cluster").cast("string")), 1, 4) < "e666", "train")
           .otherwise("eval").as("split"))
   }
+
+  /** q132: WALK-FORWARD (rolling-origin) evaluation splits — the
+    * time-series discipline q42 (hash) and q104 (cluster) cannot give:
+    * when examples carry timestamps, a random split leaks the FUTURE into
+    * training; the honest protocol trains on everything ≤ tᵢ and tests on
+    * (tᵢ, tᵢ+h], sliding the origin forward. Four expanding folds over
+    * the events feed (origin 2024-01-08, horizon 5 days), each fold
+    * audited with its COLD-START rate — test-window users the train side
+    * has never seen (the population a deployed model actually fails on).
+    *
+    * Shape: ONE scan folds to per-(user, day) activity (bounded: users ×
+    * calendar days); fold membership is a broadcast join against the
+    * 4-row fold spec; train/test counts come from the same tiny fold —
+    * the fact table is never touched per fold. Cold-start = the user's
+    * first-ever event day (min over the same fold) falls after the
+    * fold's train end.
+    */
+  def walkForwardSplits(spark: SparkSession, dir: String): DataFrame = {
+    val h = 5L                            // horizon, days
+    val d0 = 19730L                       // 2024-01-08 as epoch days (midnight UTC)
+    val folds = spark.range(4).toDF("fold")
+      .select(col("fold"), (lit(d0) + col("fold") * h).as("train_end_day"))
+    // ONE scan → bounded per-(user, day) cells (users × calendar days)
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    val firstSeen = cells.groupBy("user_id").agg(min("day").as("first_day"))
+    // fold membership fans cells out ≤4× (the CELL table, never the facts)
+    val byFold = cells
+      .join(broadcast(firstSeen), Seq("user_id"))
+      .crossJoin(broadcast(folds)) // 4-row fold spec: a bounded ×4 fan-out
+      .filter(col("day") < col("train_end_day") + h) // train days OR this fold's test days
+      .withColumn("in_train", col("day") < col("train_end_day"))
+      .withColumn("in_test",
+        col("day") >= col("train_end_day") && col("day") < col("train_end_day") + h)
+    byFold
+      .groupBy("fold", "train_end_day")
+      .agg(
+        sum(when(col("in_train"), col("n")).otherwise(0L)).as("n_train"),
+        sum(when(col("in_test"), col("n")).otherwise(0L)).as("n_test"),
+        countDistinct(when(col("in_test"), col("user_id"))).as("n_test_users"),
+        countDistinct(when(col("in_test") && col("first_day") >= col("train_end_day"),
+          col("user_id"))).as("n_cold_users"))
+      .select(col("fold"),
+        date_format(timestamp_micros(col("train_end_day") * 86400000000L), "yyyy-MM-dd")
+          .as("train_end"),
+        col("n_train"), col("n_test"), col("n_test_users"), col("n_cold_users"))
+  }
 }

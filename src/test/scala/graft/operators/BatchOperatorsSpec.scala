@@ -1361,3 +1361,60 @@ class AsofNearestSpec extends SparkSpec {
     }
   }
 }
+
+class WalkForwardSpec extends SparkSpec {
+  test("q132 walk-forward: expanding train, bounded test, cold subset of test users") {
+    val rows = TrainingData.walkForwardSplits(spark, sf).collect().sortBy(_.getAs[Long]("fold"))
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[String]("train_end")).sameElements(
+      Seq("2024-01-08", "2024-01-13", "2024-01-18", "2024-01-23")))
+    val nTrain = rows.map(_.getAs[Long]("n_train"))
+    assert(nTrain.zip(nTrain.tail).forall { case (a, b) => a < b }, "train must expand")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_test") > 0)
+      assert(r.getAs[Long]("n_cold_users") <= r.getAs[Long]("n_test_users"))
+    }
+    // fold 3's train count must equal a direct filter of the feed
+    import org.apache.spark.sql.functions._
+    val direct = graft.sources.Tables.events(spark, sf)
+      .filter(expr("unix_micros(ts) DIV 86400000000") < lit(19730L + 3 * 5)).count()
+    assert(rows(3).getAs[Long]("n_train") == direct)
+  }
+}
+
+class TableDigestSpec extends SparkSpec {
+  test("q133 digest: order-independent, and a single mutated row moves exactly its partition's digests") {
+    import org.apache.spark.sql.functions._
+    val base = Profiling.tableDigest(spark, sf).collect()
+      .map(r => r.getAs[String]("part") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_digest"), r.getAs[Long]("sum_digest"))).toMap
+    assert(base.nonEmpty)
+    // replica with ONE row's quantity changed — written through a temp
+    // dir so the operator runs its own scan
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val victim = li.orderBy("l_orderkey", "l_linenumber")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .limit(1).collect()(0)
+    val vKey = victim.getAs[Long]("l_orderkey")
+    val vLn  = victim.getAs[Int]("l_linenumber")
+    val vMonth = victim.getAs[String]("m")
+    val mutated = li.withColumn("l_quantity",
+      when(col("l_orderkey") === vKey && col("l_linenumber") === vLn,
+        col("l_quantity") + 1).otherwise(col("l_quantity")))
+    val dir2 = java.nio.file.Files.createTempDirectory("digesttest").toString
+    // the digest operator reads <dir>/lineitem.parquet
+    mutated.write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    val changed = Profiling.tableDigest(spark, dir2).collect()
+      .map(r => r.getAs[String]("part") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_digest"), r.getAs[Long]("sum_digest"))).toMap
+    assert(changed.keySet == base.keySet)
+    base.keySet.foreach { p =>
+      if (p == vMonth) {
+        assert(base(p)._1 == changed(p)._1, "row count unchanged")
+        assert(base(p)._2 != changed(p)._2 || base(p)._3 != changed(p)._3,
+          s"mutation in $p must move its digest")
+      } else assert(base(p) == changed(p), s"untouched partition $p drifted")
+    }
+  }
+}
