@@ -215,6 +215,7 @@ object SparkEntry {
     "q129_kmv_overlap"          -> ((s, d) => Sketches.kmvOverlap(GraftSession.tune(s), d)),
     "q131_asof_nearest"         -> ((s, d) => Temporal.asofNearest(GraftSession.tune(s), d)),
     "q132_walkforward_splits"   -> ((s, d) => TrainingData.walkForwardSplits(GraftSession.tune(s), d)),
+    "q134_cms_counts"           -> ((s, d) => Sketches.cmsCounts(GraftSession.tune(s), d)),
     "q133_table_digest"         -> ((s, d) => Profiling.tableDigest(GraftSession.tune(s), d)),
     "q130_bloom_semijoin"       -> ((s, d) => Relational.bloomSemiJoin(GraftSession.tune(s), d)),
     "t26_hash_classifier"       -> ((s, d) => TextAnalysis.hashClassifier(GraftSession.tune(s), d)),
@@ -1938,6 +1939,24 @@ object SparkEntry {
         |LEFT JOIN inter ON inter.ta = est.ta AND inter.tb = est.tb
         |JOIN pt na ON na.event_type = est.ta
         |JOIN pt nb ON nb.event_type = est.tb""".stripMargin,
+    // q134: count-min sketch — deterministic md5 cells, so the oracle
+    // replays build + probe exactly; top-10 ties broken by user_id.
+    "q134_cms_counts" ->
+      (s"""WITH ev AS (SELECT user_id FROM events),
+        |pos AS (SELECT user_id, r.r,
+        |    ${hexValSql("md5(CAST(r.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))", 1, 3)} AS cell
+        |  FROM ev CROSS JOIN range(0, 4) r(r)),
+        |cells AS (SELECT r, cell, count(*) AS c FROM pos GROUP BY 1, 2),
+        |exact AS (SELECT user_id, count(*) AS true_count FROM ev GROUP BY 1
+        |  ORDER BY true_count DESC, user_id LIMIT 10),
+        |probe AS (SELECT e.user_id, e.true_count, r.r,
+        |    ${hexValSql("md5(CAST(r.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR))", 1, 3)} AS cell
+        |  FROM exact e CROSS JOIN range(0, 4) r(r))
+        |SELECT p.user_id, CAST(p.true_count AS BIGINT) AS true_count,
+        |  CAST(min(c.c) AS BIGINT) AS cms_est,
+        |  CAST(min(c.c) - p.true_count AS BIGINT) AS overshoot
+        |FROM probe p JOIN cells c ON c.r = p.r AND c.cell = p.cell
+        |GROUP BY p.user_id, p.true_count""".stripMargin),
     // q132: walk-forward splits — day-granular boundaries (midnight
     // aligned), the oracle refolds the same per-(user, day) cells.
     "q132_walkforward_splits" ->

@@ -150,4 +150,52 @@ object Sketches {
         expr("CAST(coalesce(n_inter, 0) * 1000000 DIV (na + nb - coalesce(n_inter, 0)) AS BIGINT)")
           .as("jaccard_exact_ppm"))
   }
+
+  /** q134: COUNT-MIN sketch point queries with their exact audit — the
+    * frequency-estimation completion of the sketch family (HLL distinct /
+    * KLL quantiles / Misra–Gries heavy hitters / KMV overlap / Bloom
+    * membership → CMS counts). Depth d = 4 rows × width w = 4096 cells;
+    * row r's position for a user is three md5 hex digits of "r:user", so
+    * both engines derive identical cells and the sketch is DETERMINISTIC
+    * — exact-oracle-checkable like q129, unlike the RNG-seeded library
+    * sketches (q19/q59, rows-only).
+    *
+    * Build: one scan fans each event to its d cells (×4 on the fact fold,
+    * map-side combined) → a 16k-cell table. Query: the exact top-10
+    * users (the audit side, computed anyway) probe their d cells against
+    * the broadcast sketch; estimate = min over rows; CMS guarantees
+    * est ≥ true always (spec-asserted) and bounds the overshoot by the
+    * collision mass e·N/w with high probability. The OVERSHOOT column is
+    * the sketch's own diagnostic: on a near-uniform feed (this one) no key
+    * is ≫ N/w, so the estimate is collision-dominated and the overshoot
+    * says "use Misra–Gries (q68) for this distribution" — CMS earns its
+    * keep when heavy keys tower over the εN noise floor, and then the
+    * same 16k cells serve any key without storing keys at all.
+    *
+    * 100 TB: the sketch is the mergeable KB-sized artifact (cells add
+    * across shards/days — the q59 algebra with exact replay); the exact
+    * side here is the audit, not the product.
+    */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    def pos(r: Int): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(s"$r:"), col("user_id").cast("string"))), 1, 3), 16, 10)
+        .cast("long")
+    // build: (row, cell) counts — 4× fan-out, partial-aggregated
+    val cells = ev
+      .select(posexplode(array((0 until 4).map(pos): _*)).as(Seq("r", "cell")))
+      .groupBy("r", "cell").agg(count(lit(1)).as("c"))
+    // audit: exact per-user counts, deterministic top-10
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("user_id")).limit(10)
+    // probe: each top user's d cells against the broadcast sketch
+    val probes = exact.select(col("user_id"), col("true_count"),
+      posexplode(array((0 until 4).map(pos): _*)).as(Seq("r", "cell")))
+    probes
+      .join(broadcast(cells), Seq("r", "cell"))
+      .groupBy("user_id", "true_count")
+      .agg(min("c").as("cms_est"))
+      .select(col("user_id"), col("true_count"), col("cms_est"),
+        (col("cms_est") - col("true_count")).as("overshoot"))
+  }
 }

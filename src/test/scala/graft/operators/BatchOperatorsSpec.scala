@@ -1418,3 +1418,18 @@ class TableDigestSpec extends SparkSpec {
     }
   }
 }
+
+class CmsSpec extends SparkSpec {
+  test("q134 CMS: estimate never undercounts; estimate equals true when no cell collides") {
+    val rows = Sketches.cmsCounts(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overshoot") >= 0L, "CMS must never undercount")
+      assert(r.getAs[Long]("cms_est") == r.getAs[Long]("true_count") + r.getAs[Long]("overshoot"))
+    }
+    // sf0.001: 15 users over 4 rows x 4096 cells -> collisions are rare;
+    // at least one probe should be collision-free (est == true), which
+    // pins the build/probe arithmetic end to end
+    assert(rows.exists(_.getAs[Long]("overshoot") == 0L))
+  }
+}
