@@ -510,6 +510,13 @@ object IncrementalPlanner {
       case "upper"  => one(_.toUpperCase)
       case "lower"  => one(_.toLowerCase)
       case "trim"   => one(_.trim)
+      // the engine-portable stable hash (the q42 "never rand()" membership
+      // discipline, live): md5 in the planner makes hash splits, bucket
+      // routing, and bottom-k reservoirs expressible as ordinary views
+      case "md5" =>
+        one(s => java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString)
       case "length" => one(_.length.toDouble)
       case "concat" =>
         env => {

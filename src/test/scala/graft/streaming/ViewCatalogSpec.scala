@@ -1133,4 +1133,35 @@ class ViewCatalogSpec extends SparkSpec {
     assert(h2.map(_.inputRows).sum == 4L)
     cat2.stopAll()
   }
+  test("#334 named LIVE RESERVOIR view: ranked over md5 = uniform sample that PROMOTES on delete") {
+    val (root, src) = (tmp("vcres"), tmp("vcressrc"))
+    val cat = new ViewCatalog(spark, root)
+    cat.registerSource("t", () => ChangeFeed.readJsonDir(spark, src).as[Change])
+    // md5 ascending over sids 1..6: 6 < 4 < 1 < 2 < 5 < 3 — a reservoir
+    // is just a ranked view whose sort key is the stable hash
+    val v = cat.createView("reservoir",
+      "SELECT stratum, sid, rn FROM (SELECT stratum, sid, " +
+        "row_number() OVER (PARTITION BY stratum ORDER BY md5(sid), sid) AS rn FROM t) x WHERE rn <= 2")
+    writeChanges(src, "b1.json", (1 to 5).map(i =>
+      Change("insert", i.toLong, ts(i), Map("stratum" -> "s", "sid" -> i.toString), i.toLong)))
+    cat.awaitAll()
+    assert(snapRows(cat, "reservoir", v.cols) == Set(
+      Seq("s", "4", "1"), Seq("s", "1", "2")),
+      s"bottom-2 by md5 of 1..5 is {4,1}: ${snapRows(cat, "reservoir", v.cols)}")
+    // delete a member below the cut boundary: the sample must PROMOTE
+    // (the property the insert-only batch reservoir cannot give)
+    writeChanges(src, "b2.json", Seq(Change("delete", 4L, ts(10), Map.empty, 10L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "reservoir", v.cols) == Set(
+      Seq("s", "1", "1"), Seq("s", "2", "2")),
+      s"after deleting 4, {1,2} remain: ${snapRows(cat, "reservoir", v.cols)}")
+    // a new row hashing below everything enters at rank 1
+    writeChanges(src, "b3.json", Seq(
+      Change("insert", 6L, ts(11), Map("stratum" -> "s", "sid" -> "6"), 11L)))
+    cat.awaitAll()
+    assert(snapRows(cat, "reservoir", v.cols) == Set(
+      Seq("s", "6", "1"), Seq("s", "1", "2")),
+      s"6 hashes lowest and enters: ${snapRows(cat, "reservoir", v.cols)}")
+    cat.stopAll()
+  }
 }
