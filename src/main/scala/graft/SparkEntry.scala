@@ -216,6 +216,7 @@ object SparkEntry {
     "q131_asof_nearest"         -> ((s, d) => Temporal.asofNearest(GraftSession.tune(s), d)),
     "q132_walkforward_splits"   -> ((s, d) => TrainingData.walkForwardSplits(GraftSession.tune(s), d)),
     "q134_cms_counts"           -> ((s, d) => Sketches.cmsCounts(GraftSession.tune(s), d)),
+    "q135_hybrid_rrf"           -> ((s, d) => Similarity.hybridRrf(GraftSession.tune(s), d)),
     "q133_table_digest"         -> ((s, d) => Profiling.tableDigest(GraftSession.tune(s), d)),
     "q130_bloom_semijoin"       -> ((s, d) => Relational.bloomSemiJoin(GraftSession.tune(s), d)),
     "t26_hash_classifier"       -> ((s, d) => TextAnalysis.hashClassifier(GraftSession.tune(s), d)),
@@ -1939,6 +1940,45 @@ object SparkEntry {
         |LEFT JOIN inter ON inter.ta = est.ta AND inter.tb = est.tb
         |JOIN pt na ON na.event_type = est.ta
         |JOIN pt nb ON nb.event_type = est.tb""".stripMargin,
+    // q135: hybrid RRF — the oracle replays the t15 BM25 leg and the s01
+    // cosine leg verbatim, then the same integer fusion; rank ties break
+    // by doc_id in both engines.
+    "q135_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok2
+        |  WHERE tok IN ('spark', 'vector', 'stream') GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |lexs AS (SELECT tf.doc_id,
+        |  round(sum(ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+        |    * tf.tf * 2.2
+        |    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(stats.tot_dl AS DOUBLE) / stats.n_docs)))), 4) AS bm25
+        |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok) CROSS JOIN stats
+        |  GROUP BY tf.doc_id
+        |  ORDER BY bm25 DESC, tf.doc_id LIMIT 20),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM lexs),
+        |vq AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |vs AS (SELECT e.vec_id AS doc_id,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(vq.q_emb[i] AS DOUBLE) * e.embedding[i]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(vq.q_emb, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |  6) AS sim6
+        |  FROM embeddings e, vq WHERE e.vec_id <> 0
+        |  ORDER BY sim6 DESC, doc_id LIMIT 20),
+        |vec AS (SELECT doc_id, row_number() OVER (ORDER BY sim6 DESC, doc_id) AS vec_rank FROM vs)
+        |SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+        |  CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+        |  CAST(vec.vec_rank AS BIGINT) AS vec_rank,
+        |  CAST(coalesce(1000000 // (60 + lex.lex_rank), 0)
+        |     + coalesce(1000000 // (60 + vec.vec_rank), 0) AS BIGINT) AS rrf_e6
+        |FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
+        |ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin,
     // q134: count-min sketch — deterministic md5 cells, so the oracle
     // replays build + probe exactly; top-10 ties broken by user_id.
     "q134_cms_counts" ->

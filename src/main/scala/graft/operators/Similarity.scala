@@ -830,4 +830,46 @@ object Similarity {
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"), col("k"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
   }
+
+  /** q135: HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al.
+    * 2009, the fusion every RAG stack runs): the lexical leg (t15's BM25
+    * top-20 for the query terms) and the vector leg (exact cosine top-20
+    * against doc 0's embedding — vec_id ≡ doc_id in this corpus) fuse by
+    * rrf = Σ 1/(60 + rank), kept exact as integer ppm (1e6 DIV (60+rank)),
+    * missing legs contribute 0. Output: top-10 fused docs with both leg
+    * ranks visible (NULL = not retrieved by that leg).
+    *
+    * Ranks are derived WITHOUT a global window: each leg's top-20 comes
+    * from a TakeOrdered cut (structurally scale-free), and rank-within-20
+    * is a broadcast triangular count over the 20-row list — the bounded
+    * idiom, so no SinglePartition touches table-sized data. At 100 TB the
+    * vector leg swaps brute-force scoring for the s02/s04 index probes;
+    * the fusion stage never changes (it only ever sees two k-row lists).
+    */
+  def hybridRrf(spark: SparkSession, dir: String, kList: Int = 20, kOut: Int = 10): DataFrame = {
+    def rankOf(top: DataFrame, idCol: String, scoreCol: String, rankName: String): DataFrame =
+      top.as("a").join(broadcast(top.as("b")),
+          col(s"b.$scoreCol") > col(s"a.$scoreCol") ||
+            (col(s"b.$scoreCol") === col(s"a.$scoreCol") && col(s"b.$idCol") < col(s"a.$idCol")),
+          "left")
+        .groupBy(col(s"a.$idCol").as("doc_id"))
+        .agg((count(col(s"b.$idCol")) + 1L).as(rankName))
+    val lex = rankOf(TextAnalysis.bm25Rank(spark, dir, k = kList), "doc_id", "bm25", "lex_rank")
+    val emb = Tables.embeddings(spark, dir).withColumn("norm", l2Norm(col("embedding")))
+    val q = broadcast(emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_emb"), col("norm").as("q_norm")))
+    val vecTop = emb.filter(col("vec_id") =!= 0L)
+      .crossJoin(q)
+      .select(col("vec_id").as("doc_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6).as("sim6"))
+      .orderBy(col("sim6").desc, col("doc_id"))
+      .limit(kList)
+    val vec = rankOf(vecTop, "doc_id", "sim6", "vec_rank")
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + vec_rank)"), lit(0L))).as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+      .limit(kOut)
+  }
 }

@@ -44,7 +44,7 @@ object PlanAudit {
     // offset-join idiom: months / score bands / length bands)
     val thetaBnljAllowed = Set("q12_running_revenue", "q74_quality_deciles",
       "q86_global_shard_ids", "q96_peak_concurrency", "q99_lateness_profile",
-      "q103_shard_entropy", "q129_kmv_overlap")
+      "q103_shard_entropy", "q129_kmv_overlap", "q135_hybrid_rrf")
     // Mid-pipeline SinglePartition allowlist (PlanChecks already exempts
     // keyless one-row rollups and global limits structurally): the
     // BOUNDED-fold global windows/sorts, where the single partition

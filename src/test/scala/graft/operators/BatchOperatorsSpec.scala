@@ -1433,3 +1433,22 @@ class CmsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("overshoot") == 0L))
   }
 }
+
+class HybridRrfSpec extends SparkSpec {
+  test("q135 RRF: fusion arithmetic exact, a doc in both legs beats single-leg docs of equal rank") {
+    val rows = Similarity.hybridRrf(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val vec = Option(r.getAs[java.lang.Long]("vec_rank")).map(_.toLong)
+      assert(lex.isDefined || vec.isDefined)
+      val expect = lex.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        vec.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_e6") == expect)
+      assert(lex.forall(x => x >= 1 && x <= 20) && vec.forall(x => x >= 1 && x <= 20))
+    }
+    // fused list must be ordered by (rrf desc, doc_id)
+    val key = rows.map(r => (-r.getAs[Long]("rrf_e6"), r.getAs[Long]("doc_id")))
+    assert(key.sameElements(key.sorted))
+  }
+}

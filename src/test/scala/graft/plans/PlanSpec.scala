@@ -162,6 +162,10 @@ class PlanSpec extends SparkSpec {
       // (≤5² here), never user- or event-sized; appears twice (once per
       // signature leg of the pair union)
       "q129_kmv_overlap",
+      // rank-within-top-20: triangular better-than count over each leg's
+      // TakeOrdered 20-row list (two legs → two BNLJ nodes) — bounded by
+      // the retrieval cut k, never corpus-sized
+      "q135_hybrid_rrf",
     )
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
