@@ -1824,3 +1824,53 @@ class SampleViewSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class DriftStreamSpec extends SparkSpec {
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target/streaming-tmp").toAbsolutePath, prefix).toString
+
+  test("#336 live CUSUM equals the q128 batch closed form over any in-order micro-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the real sf0.001 feed, in (ts, event_id) order per key
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type").as("key"), col("event_id").as("eventId"),
+        col("ts"), round(col("value") * 10000).cast("long").as("v4"))
+      .as[CusumEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.eventId))
+    // reference means exactly as q128 trains them (sum DIV n per key)
+    val mu4 = ev.groupBy(_.key).map { case (k, es) => k -> es.map(_.v4).sum / es.length }
+    // expected: the sequential fold (q128's recursion) per key
+    val expect = ev.groupBy(_.key).map { case (k, es) =>
+      var s = 0L; var mx = 0L; var al = 0L; var first = -1L
+      es.sortBy(e => (e.ts.getTime * 1000, e.eventId)).foreach { e =>
+        s = math.max(0L, s + e.v4 - mu4(k) - 100000L)
+        mx = math.max(mx, s)
+        if (s > 2000000L) { al += 1; if (first < 0) first = CdcMaterializer.micros(e.ts) }
+      }
+      k -> (es.length.toLong, mx, al, first)
+    }
+    val input = MemoryStream[CusumEvent]
+    val q = DriftStream.monitor(input.toDS(), mu4).writeStream
+      .outputMode("update").format("memory").queryName("cusum_live")
+      .option("checkpointLocation", tmp("cusumck")).start()
+    try {
+      // three uneven in-order batches
+      input.addData(ev.take(100): _*); q.processAllAvailable()
+      input.addData(ev.slice(100, 617): _*); q.processAllAvailable()
+      input.addData(ev.drop(617): _*); q.processAllAvailable()
+      val got = spark.sql("select * from cusum_live").as[CusumReport].collect()
+        .groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.nTotal) }
+      expect.foreach { case (k, (n, mx, al, first)) =>
+        val g = got(k)
+        assert(g.nTotal == n, s"$k n")
+        assert(g.maxS == mx, s"$k maxS: got ${g.maxS} want $mx")
+        assert(g.alarms == al, s"$k alarms: got ${g.alarms} want $al")
+        assert(g.firstAlarmUs == first, s"$k firstAlarm")
+      }
+      assert(expect.values.map(_._3).sum > 0, "the feed must produce alarms")
+    } finally q.stop()
+  }
+}
