@@ -217,6 +217,7 @@ object SparkEntry {
     "q132_walkforward_splits"   -> ((s, d) => TrainingData.walkForwardSplits(GraftSession.tune(s), d)),
     "q134_cms_counts"           -> ((s, d) => Sketches.cmsCounts(GraftSession.tune(s), d)),
     "q135_hybrid_rrf"           -> ((s, d) => Similarity.hybridRrf(GraftSession.tune(s), d)),
+    "q136_psi_drift"            -> ((s, d) => Profiling.psiDrift(GraftSession.tune(s), d)),
     "q133_table_digest"         -> ((s, d) => Profiling.tableDigest(GraftSession.tune(s), d)),
     "q130_bloom_semijoin"       -> ((s, d) => Relational.bloomSemiJoin(GraftSession.tune(s), d)),
     "t26_hash_classifier"       -> ((s, d) => TextAnalysis.hashClassifier(GraftSession.tune(s), d)),
@@ -1940,6 +1941,24 @@ object SparkEntry {
         |LEFT JOIN inter ON inter.ta = est.ta AND inter.tb = est.tb
         |JOIN pt na ON na.event_type = est.ta
         |JOIN pt nb ON nb.event_type = est.tb""".stripMargin,
+    // q136: PSI drift — integers inside the ln (the t17 discipline);
+    // zero buckets smooth to 1 on both sides.
+    "q136_psi_drift" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'ref' ELSE 'cur' END AS win,
+        |    least(CAST(round(value * 10000) AS BIGINT) // 100000, 15) AS bucket
+        |  FROM events),
+        |cells AS (SELECT bucket,
+        |    sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+        |    sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT sum(n_ref) AS nr, sum(n_cur) AS nc FROM cells)
+        |SELECT cells.bucket, CAST(cells.n_ref AS BIGINT) AS n_ref,
+        |  CAST(cells.n_cur AS BIGINT) AS n_cur,
+        |  CAST(round(1000000.0 * ln(
+        |    CAST(greatest(cells.n_ref, 1) * t.nc AS DOUBLE)
+        |      / CAST(greatest(cells.n_cur, 1) * t.nr AS DOUBLE))) AS BIGINT) AS logratio_e6
+        |FROM cells CROSS JOIN t""".stripMargin,
     // q135: hybrid RRF — the oracle replays the t15 BM25 leg and the s01
     // cosine leg verbatim, then the same integer fusion; rank ties break
     // by doc_id in both engines.

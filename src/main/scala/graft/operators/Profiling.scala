@@ -199,6 +199,44 @@ object Profiling {
         min(when(col("s") > 2000000L, unix_micros(col("ts")))).as("first_alarm_us"))
   }
 
+  /** q136: PSI (population stability index) feature-drift profile — the
+    * standard ML-monitoring answer to "did this feature's DISTRIBUTION
+    * move between the reference window and now?" (q128 watches the level;
+    * PSI watches the shape; t17 is the text analogue). Reference = events
+    * before 2024-01-15, current = after; `value` banded into equal-width
+    * 10-unit buckets (tail lumped at 15+ — the q69 equi-width discipline;
+    * equal-width keeps the edges engine-free where reference deciles
+    * would drag in a rank pass).
+    *
+    * Exactness: per-bucket counts are integers; the log-ratio
+    * ln(p_i/q_i) = ln((nr_i·nc)/(nc_i·nr)) has INTEGERS inside the ln, so
+    * one round(1e6·ln(·)) per bucket is the entire float surface (the
+    * t17/q103 micro-nat discipline); zero-count buckets smooth to 1
+    * (documented, deterministic — the standard PSI ε-clip made integer).
+    * The PSI number itself is Σ (p−q)·lr — the spec folds it from these
+    * exact per-bucket rows; the hashed artifact stays integer.
+    *
+    * Scale: one scan, one bounded-key aggregate (≤16 buckets), a 1-row
+    * totals broadcast. Nothing here grows with data volume but the scan.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Tables.events(spark, dir).select(
+      when(col("ts") < lit("2024-01-15").cast("timestamp"), "ref").otherwise("cur").as("win"),
+      least(expr("CAST(round(value * 10000) AS BIGINT) DIV 100000"), lit(15L)).as("bucket"))
+    val cells = banded.groupBy("bucket").pivot("win", Seq("ref", "cur"))
+      .agg(count(lit(1)))
+      .select(col("bucket"),
+        coalesce(col("ref"), lit(0L)).as("n_ref"),
+        coalesce(col("cur"), lit(0L)).as("n_cur"))
+    val tot = cells.agg(sum("n_ref").as("nr"), sum("n_cur").as("nc"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(lit(1e6) * log(
+          (greatest(col("n_ref"), lit(1L)) * col("nc")).cast("double") /
+            (greatest(col("n_cur"), lit(1L)) * col("nr")).cast("double")))
+          .cast("long").as("logratio_e6"))
+  }
+
   /** q133: per-partition TABLE DIGEST — the anti-entropy primitive a
     * replicated changefeed deployment runs to answer "do these two copies
     * of the table hold the same rows?" without shipping rows: an

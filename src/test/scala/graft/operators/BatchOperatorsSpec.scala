@@ -1452,3 +1452,27 @@ class HybridRrfSpec extends SparkSpec {
     assert(key.sameElements(key.sorted))
   }
 }
+
+class PsiDriftSpec extends SparkSpec {
+  test("q136 PSI: buckets partition the feed, log-ratios refold, PSI near zero on a stationary feed") {
+    import org.apache.spark.sql.functions._
+    val rows = Profiling.psiDrift(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum == total)
+    val nr = rows.map(_.getAs[Long]("n_ref")).sum.toDouble
+    val nc = rows.map(_.getAs[Long]("n_cur")).sum.toDouble
+    rows.foreach { r =>
+      val lr = math.round(1e6 * math.log(
+        (math.max(r.getAs[Long]("n_ref"), 1L) * nc) / (math.max(r.getAs[Long]("n_cur"), 1L) * nr)))
+      assert(r.getAs[Long]("logratio_e6") == lr, s"bucket ${r.getAs[Long]("bucket")}")
+    }
+    // the synthetic feed is stationary across the split: PSI must be small
+    val psi = rows.map { r =>
+      val p = math.max(r.getAs[Long]("n_ref"), 1L) / nr
+      val q = math.max(r.getAs[Long]("n_cur"), 1L) / nc
+      (p - q) * (r.getAs[Long]("logratio_e6") / 1e6)
+    }.sum
+    assert(psi >= 0 && psi < 0.25, s"stationary feed must sit below the 0.25 alarm line, got $psi")
+  }
+}
