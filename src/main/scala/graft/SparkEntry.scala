@@ -218,6 +218,7 @@ object SparkEntry {
     "q134_cms_counts"           -> ((s, d) => Sketches.cmsCounts(GraftSession.tune(s), d)),
     "q135_hybrid_rrf"           -> ((s, d) => Similarity.hybridRrf(GraftSession.tune(s), d)),
     "q136_psi_drift"            -> ((s, d) => Profiling.psiDrift(GraftSession.tune(s), d)),
+    "q137_timed_funnel"         -> ((s, d) => Temporal.timedFunnel(GraftSession.tune(s), d)),
     "q133_table_digest"         -> ((s, d) => Profiling.tableDigest(GraftSession.tune(s), d)),
     "q130_bloom_semijoin"       -> ((s, d) => Relational.bloomSemiJoin(GraftSession.tune(s), d)),
     "t26_hash_classifier"       -> ((s, d) => TextAnalysis.hashClassifier(GraftSession.tune(s), d)),
@@ -1941,6 +1942,23 @@ object SparkEntry {
         |LEFT JOIN inter ON inter.ta = est.ta AND inter.tb = est.tb
         |JOIN pt na ON na.event_type = est.ta
         |JOIN pt nb ON nb.event_type = est.tb""".stripMargin,
+    // q137: timed funnel — the oracle is the textbook correlated
+    // min-after-within chain.
+    "q137_timed_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')),
+        |t1 AS (SELECT user_id, min(tsu) AS t1_us FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT ev.user_id, min(tsu) AS t2_us FROM ev JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND tsu > t1_us
+        |    AND tsu <= t1_us + 172800000000 GROUP BY 1),
+        |t3 AS (SELECT ev.user_id, min(tsu) AS t3_us FROM ev JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND tsu > t2_us
+        |    AND tsu <= t2_us + 172800000000 GROUP BY 1)
+        |SELECT t1.user_id, t1.t1_us, t2.t2_us, t3.t3_us,
+        |  CAST(1 + (CASE WHEN t2.t2_us IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN t3.t3_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
     // q136: PSI drift — integers inside the ln (the t17 discipline);
     // zero buckets smooth to 1 on both sides.
     "q136_psi_drift" ->

@@ -863,6 +863,39 @@ object Temporal {
     * what survives 100 TB. References are deduped to one per (user, µs)
     * with the min event_id so both engines pick identical winners.
     */
+  /** q137: TIMED funnel — q28's ordered sequence with the constraint every
+    * product funnel actually carries (GA/Amplitude "within N hours"
+    * semantics, MATCH_RECOGNIZE's WITHIN clause): signup → click →
+    * purchase where each step lands within 48 h of the PREVIOUS step's
+    * completion, earliest-completion greedy (each stage takes its MIN
+    * eligible timestamp — the canonical deterministic resolution).
+    *
+    * Shape: the correlated "min after t, within t+Δ" chain decorrelates to
+    * three keyed aggregates stitched by user-keyed joins — one shuffle
+    * class (everything is user-partitioned; on a cluster the three stages
+    * reuse the partitioning). No window over history, no per-row probe.
+    * Output keeps the nullable stage timestamps so the conversion AND the
+    * drop-off stage are both visible per user.
+    */
+  def timedFunnel(spark: SparkSession, dir: String, maxGapHours: Int = 48): DataFrame = {
+    val gapUs = maxGapHours.toLong * 3600L * 1000000L
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("tsu"))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tsu").as("t1_us"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, Seq("user_id"))
+      .filter(col("tsu") > col("t1_us") && col("tsu") <= col("t1_us") + gapUs)
+      .groupBy("user_id").agg(min("tsu").as("t2_us"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, Seq("user_id"))
+      .filter(col("tsu") > col("t2_us") && col("tsu") <= col("t2_us") + gapUs)
+      .groupBy("user_id").agg(min("tsu").as("t3_us"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        (lit(1L) + when(col("t2_us").isNotNull, 1L).otherwise(0L)
+          + when(col("t3_us").isNotNull, 1L).otherwise(0L)).as("stage"))
+  }
+
   def asofNearest(spark: SparkSession, dir: String, tolHours: Int = 24): DataFrame = {
     val tolUs = tolHours.toLong * 3600L * 1000000L
     val ref = events(spark, dir)

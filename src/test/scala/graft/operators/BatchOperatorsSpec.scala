@@ -1476,3 +1476,34 @@ class PsiDriftSpec extends SparkSpec {
     assert(psi >= 0 && psi < 0.25, s"stationary feed must sit below the 0.25 alarm line, got $psi")
   }
 }
+
+class TimedFunnelSpec extends SparkSpec {
+  test("q137 timed funnel: brute-force greedy chain agrees per user; gaps respected") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    val gap = 48L * 3600 * 1000000
+    val got = Temporal.timedFunnel(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val expected = ev.flatMap { case (u, rows) =>
+      def minOf(tpe: String, after: Option[Long]): Option[Long] = after.flatMap { a =>
+        val c = rows.filter(r => r.getAs[String]("event_type") == tpe)
+          .map(_.getAs[Long]("tsu")).filter(t => t > a && t <= a + gap)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      val t1 = { val s = rows.filter(_.getAs[String]("event_type") == "signup").map(_.getAs[Long]("tsu"))
+        if (s.isEmpty) None else Some(s.min) }
+      t1.map { x => u -> (x, minOf("click", Some(x)), minOf("purchase", minOf("click", Some(x)))) }
+    }
+    assert(expected.nonEmpty && got.size == expected.size)
+    expected.foreach { case (u, (x1, x2, x3)) =>
+      val g = got(u)
+      assert(g.getAs[Long]("t1_us") == x1, s"user $u t1")
+      assert(Option(g.getAs[java.lang.Long]("t2_us")).map(_.toLong) == x2, s"user $u t2")
+      assert(Option(g.getAs[java.lang.Long]("t3_us")).map(_.toLong) == x3, s"user $u t3")
+      assert(g.getAs[Long]("stage") == 1 + x2.size + x3.size, s"user $u stage")
+    }
+  }
+}
