@@ -219,6 +219,8 @@ object SparkEntry {
     "q135_hybrid_rrf"           -> ((s, d) => Similarity.hybridRrf(GraftSession.tune(s), d)),
     "q136_psi_drift"            -> ((s, d) => Profiling.psiDrift(GraftSession.tune(s), d)),
     "q137_timed_funnel"         -> ((s, d) => Temporal.timedFunnel(GraftSession.tune(s), d)),
+    "q138_association_rules"    -> ((s, d) => Relational.associationRules(GraftSession.tune(s), d)),
+    "q139_seasonal_backtest"    -> ((s, d) => Temporal.seasonalNaiveBacktest(GraftSession.tune(s), d)),
     "q133_table_digest"         -> ((s, d) => Profiling.tableDigest(GraftSession.tune(s), d)),
     "q130_bloom_semijoin"       -> ((s, d) => Relational.bloomSemiJoin(GraftSession.tune(s), d)),
     "t26_hash_classifier"       -> ((s, d) => TextAnalysis.hashClassifier(GraftSession.tune(s), d)),
@@ -1942,6 +1944,42 @@ object SparkEntry {
         |LEFT JOIN inter ON inter.ta = est.ta AND inter.tb = est.tb
         |JOIN pt na ON na.event_type = est.ta
         |JOIN pt nb ON nb.event_type = est.tb""".stripMargin,
+    // q138: association rules — the oracle rebuilds the in-basket pair
+    // counts, supports, and the same integer ppm rules (HUGEINT //).
+    "q138_association_rules" ->
+      """WITH b AS (SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS ps
+        |  FROM lineitem GROUP BY 1),
+        |pr AS (SELECT unnest(flatten(list_transform(ps, (x, i) ->
+        |    list_transform(ps[i+1:], y -> struct_pack(a := x, b := y))))) AS p
+        |  FROM b),
+        |pairs AS (SELECT p.a AS part_a, p.b AS part_b, count(*) AS n_orders
+        |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 3),
+        |items AS (SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS n_item
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+        |d AS (SELECT part_a AS antecedent, part_b AS consequent, n_orders FROM pairs
+        |  UNION ALL SELECT part_b, part_a, n_orders FROM pairs)
+        |SELECT d.antecedent, d.consequent, CAST(d.n_orders AS BIGINT) AS n_both,
+        |  CAST(CAST(d.n_orders AS HUGEINT) * 1000000 // na.n_item AS BIGINT) AS confidence_ppm,
+        |  CAST(CAST(d.n_orders AS HUGEINT) * tot.n_baskets * 1000000
+        |    // (CAST(na.n_item AS HUGEINT) * nc.n_item) AS BIGINT) AS lift_ppm
+        |FROM d JOIN items na ON na.item = d.antecedent
+        |JOIN items nc ON nc.item = d.consequent CROSS JOIN tot""".stripMargin,
+    // q139: seasonal-naive backtest — the oracle lags the same daily
+    // series by 7 days and folds identical integer error sums.
+    "q139_seasonal_backtest" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(round(value * 10000) AS BIGINT)) AS tot4
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT a.event_type, a.tot4 AS actual4, b.tot4 AS fc4
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.day = a.day - 7)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval_days,
+        |  CAST(sum(abs(actual4 - fc4)) AS BIGINT) AS sum_abs_err_e4,
+        |  CAST(sum(abs(actual4 - fc4)) // count(*) AS BIGINT) AS mae_e4,
+        |  CAST(CAST(sum(abs(actual4 - fc4)) AS HUGEINT) * 1000000
+        |    // sum(actual4) AS BIGINT) AS wape_ppm
+        |FROM s GROUP BY 1""".stripMargin,
     // q137: timed funnel — the oracle is the textbook correlated
     // min-after-within chain.
     "q137_timed_funnel" ->

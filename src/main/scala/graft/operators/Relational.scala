@@ -412,6 +412,44 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minSupport)
 
+  /** q138: ASSOCIATION RULES (support / confidence / lift — the classic
+    * market-basket operator on top of q54's co-occurrence counts): for
+    * every part pair passing min-support, BOTH directed rules a→b with
+    * confidence = n_ab/n_a and lift = n_ab·N/(n_a·n_b), all in exact
+    * integer ppm via the DECIMAL(38) DIV discipline. Lift > 1e6 means
+    * the pair co-occurs more than independence predicts — the signal a
+    * recommender or substitution analysis reads.
+    *
+    * Shape: q54's bounded in-basket pair generation (collect_set per
+    * order, triangular expand inside the array — never a fact self-join),
+    * item supports from one distinct fold, the 1-row basket total
+    * broadcast. Pair table is support-filtered BEFORE the rule expansion.
+    */
+  def associationRules(spark: SparkSession, dir: String, minSupport: Long = 3L): DataFrame = {
+    val pairs = partCooccurrence(spark, dir, minSupport)
+    val itemN = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("n_item"))
+    val total = Tables.lineitem(spark, dir)
+      .agg(countDistinct("l_orderkey").as("n_baskets"))
+    val directed = pairs
+      .select(col("part_a").as("antecedent"), col("part_b").as("consequent"), col("n_orders"))
+      .unionByName(pairs
+        .select(col("part_b").as("antecedent"), col("part_a").as("consequent"), col("n_orders")))
+    directed
+      .join(itemN.withColumnRenamed("item", "antecedent").withColumnRenamed("n_item", "n_ante"),
+        Seq("antecedent"))
+      .join(itemN.withColumnRenamed("item", "consequent").withColumnRenamed("n_item", "n_cons"),
+        Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_orders").as("n_both"),
+        expr("CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000 DIV n_ante AS BIGINT)")
+          .as("confidence_ppm"),
+        expr("""CAST(CAST(n_orders AS DECIMAL(38,0)) * n_baskets * 1000000
+               |  DIV (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT)""".stripMargin)
+          .as("lift_ppm"))
+  }
+
   /** q55: unpivot (wide -> long melt) — per-priority order metrics turned
     * into (priority, metric, metric_value) rows via the native `unpivot`
     * operator (a zero-shuffle generate over the aggregate, not a UNION of

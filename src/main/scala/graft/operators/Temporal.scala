@@ -863,6 +863,41 @@ object Temporal {
     * what survives 100 TB. References are deduped to one per (user, µs)
     * with the min event_id so both engines pick identical winners.
     */
+  /** q139: SEASONAL-NAIVE forecast backtest — the baseline every capacity
+    * plan / anomaly budget is graded against (M-competition rule: beat
+    * seasonal-naive or ship seasonal-naive): forecast(day d) = actual(d−7)
+    * per event_type, scored over every day where the lag exists. Errors
+    * stay exact e4 integers; the headline is WAPE in ppm (Σ|err| ·10⁶ DIV
+    * Σactual — the scale-free aggregate form that never divides by a
+    * zero day) plus MAE in e4.
+    *
+    * Shape: one scan folds to the tiny (type, day) series; the lag join
+    * is the series joined to itself on day = day−7 per type (dimension-
+    * sized); metrics are one aggregate over it. Pairs with q132 (the
+    * split discipline) and q128/q136 (the drift monitors) as the
+    * model-ops tier.
+    */
+  def seasonalNaiveBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), expr("tsu DIV 86400000000").as("day"))
+      .agg(sum(round(col("value") * 10000).cast("long")).as("tot4"))
+    val scored = daily.as("a")
+      .join(daily.as("b"),
+        col("b.event_type") === col("a.event_type") && col("b.day") === col("a.day") - 7)
+      .select(col("a.event_type").as("event_type"),
+        col("a.tot4").as("actual4"), col("b.tot4").as("fc4"))
+    scored.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_eval_days"),
+        sum(abs(col("actual4") - col("fc4"))).as("sum_abs_err_e4"),
+        sum("actual4").as("sum_actual_e4"))
+      .select(col("event_type"), col("n_eval_days"),
+        col("sum_abs_err_e4"),
+        expr("sum_abs_err_e4 DIV n_eval_days").as("mae_e4"),
+        expr("CAST(CAST(sum_abs_err_e4 AS DECIMAL(38,0)) * 1000000 DIV sum_actual_e4 AS BIGINT)")
+          .as("wape_ppm"))
+  }
+
   /** q137: TIMED funnel — q28's ordered sequence with the constraint every
     * product funnel actually carries (GA/Amplitude "within N hours"
     * semantics, MATCH_RECOGNIZE's WITHIN clause): signup → click →

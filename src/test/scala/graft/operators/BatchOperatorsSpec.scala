@@ -1507,3 +1507,49 @@ class TimedFunnelSpec extends SparkSpec {
     }
   }
 }
+
+class AssociationRulesSpec extends SparkSpec {
+  test("q138 rules: confidence/lift refold from exact counts; both directions present") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.associationRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+    val itemN = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val nBaskets = li.map(_._1).distinct.length.toLong
+    val pairKey = rows.map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"))).toSet
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"))
+      assert(pairKey.contains((c, a)), s"reverse rule $c->$a missing")
+      val nb = r.getAs[Long]("n_both")
+      assert(r.getAs[Long]("confidence_ppm") == nb * 1000000L / itemN(a))
+      assert(r.getAs[Long]("lift_ppm") ==
+        (BigInt(nb) * nBaskets * 1000000 / (BigInt(itemN(a)) * itemN(c))).toLong)
+      // symmetric lift: a->b and b->a have the same lift
+    }
+  }
+}
+
+class SeasonalBacktestSpec extends SparkSpec {
+  test("q139 seasonal-naive: errors refold from the daily series; WAPE exact") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(sum(round(col("value") * 10000).cast("long")).as("tot4")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val got = Temporal.seasonalNaiveBacktest(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    daily.foreach { case (t, rows) =>
+      val byDay = rows.map(r => r.getAs[Long]("day") -> r.getAs[Long]("tot4")).toMap
+      val scored = byDay.toSeq.flatMap { case (d, v) => byDay.get(d - 7).map(f => (v, f)) }
+      val sumErr = scored.map { case (v, f) => math.abs(v - f) }.sum
+      val sumAct = scored.map(_._1).sum
+      val g = got(t)
+      assert(g.getAs[Long]("n_eval_days") == scored.length)
+      assert(g.getAs[Long]("sum_abs_err_e4") == sumErr)
+      assert(g.getAs[Long]("mae_e4") == sumErr / scored.length)
+      assert(g.getAs[Long]("wape_ppm") == (BigInt(sumErr) * 1000000 / sumAct).toLong)
+    }
+  }
+}
