@@ -221,6 +221,7 @@ object SparkEntry {
     "q137_timed_funnel"         -> ((s, d) => Temporal.timedFunnel(GraftSession.tune(s), d)),
     "q138_association_rules"    -> ((s, d) => Relational.associationRules(GraftSession.tune(s), d)),
     "q139_seasonal_backtest"    -> ((s, d) => Temporal.seasonalNaiveBacktest(GraftSession.tune(s), d)),
+    "q140_bfs_distance"         -> ((s, d) => Relational.bfsDistance(GraftSession.tune(s), d)),
     "q133_table_digest"         -> ((s, d) => Profiling.tableDigest(GraftSession.tune(s), d)),
     "q130_bloom_semijoin"       -> ((s, d) => Relational.bloomSemiJoin(GraftSession.tune(s), d)),
     "t26_hash_classifier"       -> ((s, d) => TextAnalysis.hashClassifier(GraftSession.tune(s), d)),
@@ -1965,6 +1966,31 @@ object SparkEntry {
         |    // (CAST(na.n_item AS HUGEINT) * nc.n_item) AS BIGINT) AS lift_ppm
         |FROM d JOIN items na ON na.item = d.antecedent
         |JOIN items nc ON nc.item = d.consequent CROSS JOIN tot""".stripMargin,
+    // q140: BFS distance — the oracle unrolls the same 3 frontier rounds
+    // as CTE levels (the q80 fixed-point oracle discipline).
+    "q140_bfs_distance" ->
+      """WITH b AS (SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS ps
+        |  FROM lineitem GROUP BY 1),
+        |pr AS (SELECT unnest(flatten(list_transform(ps, (x, i) ->
+        |    list_transform(ps[i+1:], y -> struct_pack(a := x, b := y))))) AS p
+        |  FROM b),
+        |pairs AS (SELECT p.a AS part_a, p.b AS part_b FROM pr
+        |  GROUP BY 1, 2),
+        |e AS (SELECT part_a AS src, part_b AS dst FROM pairs
+        |  UNION ALL SELECT part_b, part_a FROM pairs),
+        |d0 AS (SELECT min(src) AS part, 0 AS dist FROM e),
+        |r1 AS (SELECT part, dist FROM d0
+        |  UNION ALL SELECT DISTINCT e.dst, 1 FROM d0 JOIN e ON e.src = d0.part),
+        |m1 AS (SELECT part, min(dist) AS dist FROM r1 GROUP BY 1),
+        |r2 AS (SELECT part, dist FROM m1
+        |  UNION ALL SELECT DISTINCT e.dst, 2 FROM m1 JOIN e ON e.src = m1.part
+        |    WHERE m1.dist = 1),
+        |m2 AS (SELECT part, min(dist) AS dist FROM r2 GROUP BY 1),
+        |r3 AS (SELECT part, dist FROM m2
+        |  UNION ALL SELECT DISTINCT e.dst, 3 FROM m2 JOIN e ON e.src = m2.part
+        |    WHERE m2.dist = 2),
+        |m3 AS (SELECT part, min(dist) AS dist FROM r3 GROUP BY 1)
+        |SELECT part, CAST(dist AS BIGINT) AS dist FROM m3""".stripMargin,
     // q139: seasonal-naive backtest — the oracle lags the same daily
     // series by 7 days and folds identical integer error sums.
     "q139_seasonal_backtest" ->

@@ -450,6 +450,36 @@ object Relational {
           .as("lift_ppm"))
   }
 
+  /** q140: BFS / k-hop shortest DISTANCE over the part co-occurrence
+    * graph — the shortest-path classic completing the graph tier (q80
+    * PageRank, q84 triangles, d06 connected components). Source = the
+    * smallest part key in the edge set (deterministic); 3 unrolled
+    * frontier rounds exactly like q80's fixed-point discipline: each
+    * round is ONE keyed join (frontier ⋈ edges) + a min-fold, merged
+    * into the reached set with min-distance wins. Unrolling (vs a loop)
+    * keeps the plan static and oracle-replayable; at 100 TB each round
+    * is a co-partitioned join on the edge key and the frontier only
+    * carries NEWLY reached nodes' expansions.
+    */
+  def bfsDistance(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
+    // support 1: BFS wants the CONNECTIVITY graph (all co-purchases),
+    // not q54's frequent-pair slice — at support 2 the frontier dead-ends
+    val pairs = partCooccurrence(spark, dir, minSupport = 1L)
+    val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionByName(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+    val seed = broadcast(edges.agg(min("src").as("part")).withColumn("dist", lit(0L)))
+    var reached = seed.select(col("part"), col("dist"))
+    for (k <- 1 to hops) {
+      val next = reached.filter(col("dist") === (k - 1))
+        .join(edges, col("part") === col("src"))
+        .select(col("dst").as("part"), lit(k.toLong).as("dist"))
+        .distinct()
+      reached = reached.unionByName(next)
+        .groupBy("part").agg(min("dist").as("dist"))
+    }
+    reached
+  }
+
   /** q55: unpivot (wide -> long melt) — per-priority order metrics turned
     * into (priority, metric, metric_value) rows via the native `unpivot`
     * operator (a zero-shuffle generate over the aggregate, not a UNION of

@@ -1553,3 +1553,27 @@ class SeasonalBacktestSpec extends SparkSpec {
     }
   }
 }
+
+class BfsSpec extends SparkSpec {
+  test("q140 BFS: distances match a driver-side BFS over the same edge set") {
+    import org.apache.spark.sql.functions._
+    val edges = Relational.partCooccurrence(spark, sf, minSupport = 1L)
+      .select("part_a", "part_b").collect()
+      .flatMap(r => Seq(
+        r.getAs[Long]("part_a") -> r.getAs[Long]("part_b"),
+        r.getAs[Long]("part_b") -> r.getAs[Long]("part_a")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seed = edges.keys.min
+    var dist = Map(seed -> 0L)
+    var frontier = Set(seed)
+    (1 to 3).foreach { k =>
+      frontier = frontier.flatMap(edges.getOrElse(_, Set.empty)).filterNot(dist.contains)
+      dist = dist ++ frontier.map(_ -> k.toLong)
+    }
+    val got = Relational.bfsDistance(spark, sf).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("dist")).toMap
+    assert(got == dist, s"got ${got.size} reached, want ${dist.size}")
+    // sf0.001's graph has diameter 2 from this seed; 2 hops must expand
+    assert(dist.values.count(_ == 2L) > 0, "2 hops must reach new nodes on this graph")
+  }
+}
