@@ -222,6 +222,7 @@ object SparkEntry {
     "q138_association_rules"    -> ((s, d) => Relational.associationRules(GraftSession.tune(s), d)),
     "q139_seasonal_backtest"    -> ((s, d) => Temporal.seasonalNaiveBacktest(GraftSession.tune(s), d)),
     "q140_bfs_distance"         -> ((s, d) => Relational.bfsDistance(GraftSession.tune(s), d)),
+    "q141_gapfill_linear"       -> ((s, d) => Temporal.gapFillLinear(GraftSession.tune(s), d)),
     "q133_table_digest"         -> ((s, d) => Profiling.tableDigest(GraftSession.tune(s), d)),
     "q130_bloom_semijoin"       -> ((s, d) => Relational.bloomSemiJoin(GraftSession.tune(s), d)),
     "t26_hash_classifier"       -> ((s, d) => TextAnalysis.hashClassifier(GraftSession.tune(s), d)),
@@ -1966,6 +1967,29 @@ object SparkEntry {
         |    // (CAST(na.n_item AS HUGEINT) * nc.n_item) AS BIGINT) AS lift_ppm
         |FROM d JOIN items na ON na.item = d.antecedent
         |JOIN items nc ON nc.item = d.consequent CROSS JOIN tot""".stripMargin,
+    // q141: linear-interpolation gap fill — the oracle expands the same
+    // spans and folds the identical offset-shifted integer division.
+    "q141_gapfill_linear" ->
+      """WITH last_tick AS (SELECT user_id, h, v4 FROM (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    CAST(round(value * 10000) AS BIGINT) AS v4,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1),
+        |spans AS (SELECT user_id, h, v4,
+        |    lead(h) OVER (PARTITION BY user_id ORDER BY h) AS nh,
+        |    lead(v4) OVER (PARTITION BY user_id ORDER BY h) AS nv4
+        |  FROM last_tick),
+        |g AS (SELECT user_id, h, v4, nv4,
+        |    coalesce((epoch_us(nh) - epoch_us(h)) // 3600000000, 1) AS n,
+        |    unnest(generate_series(h, coalesce(nh - INTERVAL 1 HOUR, h),
+        |      INTERVAL 1 HOUR)) AS gh
+        |  FROM spans)
+        |SELECT user_id, strftime(gh, '%Y-%m-%d %H:%M:%S') AS grid_hour,
+        |  CAST(CASE WHEN nv4 IS NULL THEN v4
+        |    ELSE v4 + ((nv4 - v4) * ((epoch_us(gh) - epoch_us(h)) // 3600000000)
+        |      + 1000000000 * n) // n - 1000000000 END AS BIGINT) AS value_interp_e4
+        |FROM g""".stripMargin,
     // q140: BFS distance — the oracle unrolls the same 3 frontier rounds
     // as CTE levels (the q80 fixed-point oracle discipline).
     "q140_bfs_distance" ->

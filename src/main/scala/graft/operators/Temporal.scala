@@ -809,6 +809,48 @@ object Temporal {
         col("value").as("value_locf"))
   }
 
+  /** q141: time-grid LINEAR-interpolation resampling — q88's LOCF sibling
+    * (timeseries stores ship both modes: LOCF for state-like series,
+    * linear for measurements): each key's irregular feed resampled onto
+    * the hourly grid with values interpolated between consecutive
+    * observations. Same scale shape as q88 — windows ride the SPARSE
+    * observed-hour rows, the dense grid exists only as generator output,
+    * nothing grid-sized shuffles.
+    *
+    * Exactness across engines: the interpolation v + Δ·k/n is integer e4
+    * arithmetic, and because Δ can be negative while Spark's DIV
+    * truncates toward zero and DuckDB's // floors, the division is
+    * offset-shifted positive ((Δ·k + B·n) DIV n − B, B = 10⁹ ≫ |Δ|) so
+    * both engines compute the same floor. The last observation emits
+    * only itself.
+    */
+  def gapFillLinear(spark: SparkSession, dir: String): DataFrame = {
+    val wDesc = Window.partitionBy("user_id", "h")
+      .orderBy(col("tsu").desc, col("event_id").desc)
+    val lastPerHour = events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("tsu"), col("event_id"),
+        round(col("value") * 10000).cast("long").as("v4"))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+    val wUser = Window.partitionBy("user_id").orderBy(col("h"))
+    lastPerHour
+      .withColumn("nh", lead("h", 1).over(wUser))
+      .withColumn("nv4", lead("v4", 1).over(wUser))
+      .select(col("user_id"), col("h"), col("v4"), col("nv4"),
+        expr("CAST(coalesce((unix_micros(nh) - unix_micros(h)) DIV 3600000000, 1) AS BIGINT)")
+          .as("n"),
+        posexplode(expr(
+          "sequence(h, coalesce(nh - interval 1 hour, h), interval 1 hour)"))
+          .as(Seq("k", "gh")))
+      .select(col("user_id"),
+        date_format(col("gh"), "yyyy-MM-dd HH:mm:ss").as("grid_hour"),
+        when(col("nv4").isNull, col("v4")).otherwise(
+          col("v4") + expr(
+            "((nv4 - v4) * k + 1000000000 * n) DIV n - 1000000000"))
+          .as("value_interp_e4"))
+  }
+
   /** q102: interval-OVERLAP pairs per key — which of a customer's orders
     * were open simultaneously (open period = [o_orderdate, last
     * l_shipdate]; closed-interval overlap, half of Allen's algebra in

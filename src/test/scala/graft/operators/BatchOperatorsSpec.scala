@@ -1577,3 +1577,32 @@ class BfsSpec extends SparkSpec {
     assert(dist.values.count(_ == 2L) > 0, "2 hops must reach new nodes on this graph")
   }
 }
+
+class GapFillLinearSpec extends SparkSpec {
+  test("q141 linear gap-fill: endpoints exact, interior strictly between, grid contiguous per user") {
+    import org.apache.spark.sql.functions._
+    val rows = Temporal.gapFillLinear(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    byUser.foreach { case (_, rs) =>
+      val hours = rs.map(r => java.time.LocalDateTime.parse(r.getAs[String]("grid_hour"), fmt))
+        .sortBy(_.toEpochSecond(java.time.ZoneOffset.UTC))
+      // contiguous hourly grid from first to last observation
+      hours.sliding(2).foreach { case Array(a, b) =>
+        assert(java.time.Duration.between(a, b).toHours == 1, s"gap between $a and $b")
+      case _ => ()
+      }
+    }
+    // interpolation stays within the segment's value envelope: for each
+    // user the min/max of interpolated values is bounded by observed v4s
+    val obs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), round(col("value") * 10000).cast("long").as("v4")).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val vals = rs.map(_.getAs[Long]("value_interp_e4"))
+      val o = obs(u).map(_.getAs[Long]("v4"))
+      assert(vals.min >= o.min - 1 && vals.max <= o.max + 1, s"user $u envelope")
+    }
+  }
+}
