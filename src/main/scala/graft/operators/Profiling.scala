@@ -27,7 +27,12 @@ object Profiling {
     * map-side partial aggregation — data is read once; the expand factor is
     * the documented price of exact distincts in a single pass (the sketch
     * alternative is q19's HLL profile). The final stack runs on a 1-row
-    * aggregate — no SinglePartition touches table-sized data.
+    * aggregate — no SinglePartition touches table-sized data. Bench note:
+    * the sf0.1 corpus stores orders as ONE 2.7 MB parquet file = one scan
+    * partition, so the whole Expand+agg lands on one task (~2.5 s); at
+    * real scale the file count supplies the parallelism — a forced
+    * repartition here would double the IO of every LARGE profile run to
+    * flatter a small test file.
     */
   def columnProfile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
