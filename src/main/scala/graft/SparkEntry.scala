@@ -223,6 +223,7 @@ object SparkEntry {
     "q139_seasonal_backtest"    -> ((s, d) => Temporal.seasonalNaiveBacktest(GraftSession.tune(s), d)),
     "q140_bfs_distance"         -> ((s, d) => Relational.bfsDistance(GraftSession.tune(s), d)),
     "q141_gapfill_linear"       -> ((s, d) => Temporal.gapFillLinear(GraftSession.tune(s), d)),
+    "q142_data_card"            -> ((s, d) => TrainingData.dataCard(GraftSession.tune(s), d)),
     "q133_table_digest"         -> ((s, d) => Profiling.tableDigest(GraftSession.tune(s), d)),
     "q130_bloom_semijoin"       -> ((s, d) => Relational.bloomSemiJoin(GraftSession.tune(s), d)),
     "t26_hash_classifier"       -> ((s, d) => TextAnalysis.hashClassifier(GraftSession.tune(s), d)),
@@ -1967,6 +1968,27 @@ object SparkEntry {
         |    // (CAST(na.n_item AS HUGEINT) * nc.n_item) AS BIGINT) AS lift_ppm
         |FROM d JOIN items na ON na.item = d.antecedent
         |JOIN items nc ON nc.item = d.consequent CROSS JOIN tot""".stripMargin,
+    // q142: data card — every stat refolded in the same exact-integer
+    // vocabulary; whitespace token counts match the q43 convention.
+    "q142_data_card" ->
+      """WITH b AS (SELECT doc_id, lang, source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+        |    md5(text) AS h
+        |  FROM documents),
+        |core AS (SELECT count(*) AS n_docs, sum(toks) AS n_tokens,
+        |    count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources
+        |  FROM b),
+        |dup AS (SELECT sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_docs
+        |  FROM (SELECT h, count(*) AS c FROM b GROUP BY 1)),
+        |tl AS (SELECT max(n) AS top_lang_docs
+        |  FROM (SELECT lang, count(*) AS n FROM b GROUP BY 1))
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_langs AS BIGINT) AS n_langs, CAST(n_sources AS BIGINT) AS n_sources,
+        |  CAST(dup_docs AS BIGINT) AS dup_docs,
+        |  CAST(dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+        |  CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens,
+        |  CAST(top_lang_docs * 1000000 // n_docs AS BIGINT) AS top_lang_ppm
+        |FROM core CROSS JOIN dup CROSS JOIN tl""".stripMargin,
     // q141: linear-interpolation gap fill — the oracle expands the same
     // spans and folds the identical offset-shifted integer division.
     "q141_gapfill_linear" ->

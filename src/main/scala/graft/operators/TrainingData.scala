@@ -673,6 +673,44 @@ object TrainingData {
     * first-ever event day (min over the same fold) falls after the
     * fold's train end.
     */
+  /** q142: DATA CARD — the one-row corpus datasheet ("nutrition label",
+    * Gebru et al. 2021's Datasheets idea operationalized) every shipped
+    * training set carries: sizes, composition, duplication, and
+    * concentration folded in ONE pass plus the d01-discipline hash fold.
+    * All exact integers: counts, token totals, exact-duplicate ratio in
+    * ppm (docs whose full-text md5 collides with another doc), mean doc
+    * tokens (DIV), and the largest language's share in ppm (the
+    * monolingual-skew headline).
+    *
+    * Scale: one tokenize scan (map-side combined), one md5 groupBy for
+    * the dup fold, two tiny re-aggregates; the card is a constant-size
+    * row whatever the corpus — the cheapest artifact with the highest
+    * read-to-cost ratio in the whole pipeline.
+    */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+      md5(col("text")).as("h"))
+    val core = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum("toks").as("n_tokens"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"))
+    val dup = base.groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_docs"))
+    val topLang = base.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(max("n").as("top_lang_docs"))
+    core.crossJoin(broadcast(dup)).crossJoin(broadcast(topLang))
+      .select(
+        col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+        col("dup_docs"),
+        expr("CAST(dup_docs * 1000000 DIV n_docs AS BIGINT)").as("dup_ppm"),
+        expr("n_tokens DIV n_docs").as("mean_doc_tokens"),
+        expr("CAST(top_lang_docs * 1000000 DIV n_docs AS BIGINT)").as("top_lang_ppm"))
+  }
+
   def walkForwardSplits(spark: SparkSession, dir: String): DataFrame = {
     val h = 5L                            // horizon, days
     val d0 = 19730L                       // 2024-01-08 as epoch days (midnight UTC)

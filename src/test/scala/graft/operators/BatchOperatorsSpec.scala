@@ -1606,3 +1606,20 @@ class GapFillLinearSpec extends SparkSpec {
     }
   }
 }
+
+class DataCardSpec extends SparkSpec {
+  test("q142 data card: one row, stats refold from independent folds") {
+    import org.apache.spark.sql.functions._
+    val r = TrainingData.dataCard(spark, sf).collect()(0)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("n_langs") == docs.select("lang").distinct().count())
+    assert(r.getAs[Long]("n_sources") == docs.select("source").distinct().count())
+    val dupDocs = docs.groupBy(md5(col("text"))).count()
+      .filter(col("count") > 1).agg(coalesce(sum("count"), lit(0L))).collect()(0).getLong(0)
+    assert(r.getAs[Long]("dup_docs") == dupDocs)
+    assert(r.getAs[Long]("dup_ppm") == dupDocs * 1000000L / r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("mean_doc_tokens") > 0)
+    assert(r.getAs[Long]("top_lang_ppm") >= 1000000L / r.getAs[Long]("n_langs"))
+  }
+}
