@@ -1886,12 +1886,15 @@ object SparkEntry {
     // q128: CUSUM — the oracle runs the SEQUENTIAL closed form in one
     // window pass (prefix sum + prefix min per type); agreement with
     // the banded Spark decomposition is exactly the associativity
-    // property the integer fixed point guarantees. µ via truncating //
-    // on positive sums (matches Spark DIV).
+    // property the integer fixed point guarantees. µ via the same
+    // offset-shifted division as the Spark side (positive numerator →
+    // floor ≡ trunc, engine-free even for negative means).
     "q128_cusum_drift" ->
       """WITH v AS (SELECT event_type, ts, event_id,
         |    CAST(round(value * 10000) AS BIGINT) AS v4 FROM events),
-        |m AS (SELECT event_type, sum(v4) // count(*) AS mean4 FROM v GROUP BY 1),
+        |m AS (SELECT event_type,
+        |    (sum(v4) + 1000000000 * count(*)) // count(*) - 1000000000 AS mean4
+        |  FROM v GROUP BY 1),
         |p AS (SELECT v.event_type, ts, event_id,
         |    sum(v4 - mean4 - 100000) OVER (PARTITION BY v.event_type
         |      ORDER BY epoch_us(ts), event_id) AS pf
@@ -2074,7 +2077,7 @@ object SparkEntry {
     "q136_psi_drift" ->
       """WITH b AS (SELECT
         |    CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'ref' ELSE 'cur' END AS win,
-        |    least(CAST(round(value * 10000) AS BIGINT) // 100000, 15) AS bucket
+        |    least(greatest(CAST(round(value * 10000) AS BIGINT) // 100000, 0), 15) AS bucket
         |  FROM events),
         |cells AS (SELECT bucket,
         |    sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS n_ref,

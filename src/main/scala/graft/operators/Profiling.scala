@@ -155,8 +155,11 @@ object Profiling {
     *     least(prior-band min, offset + in-band prefix min); alarm when
     *     S = P − min(0, runmin) exceeds h.
     *
-    * Everything is exact e4 integer arithmetic (μ via truncating DIV on
-    * positive sums — same in both engines), so regrouping the additions is
+    * Everything is exact e4 integer arithmetic (μ via an offset-shifted DIV —
+    * `(sum + B·n) DIV n − B` with B = 1e9 e4-units keeps the numerator
+    * positive for any mean ≥ −1e5, where Spark's truncating DIV and DuckDB's
+    * flooring // agree; the q141 pattern, so user-supplied events tables with
+    * negative values stay engine-free), so regrouping the additions is
     * associativity-safe and the oracle's single sequential window agrees
     * bit-for-bit. k = 10 units, h = 200 units (~0.2σ slack, ~4σ threshold on
     * this feed) — alarm counts are non-trivial at every test SF.
@@ -166,7 +169,8 @@ object Profiling {
       col("event_type"), col("ts"), col("event_id"),
       round(col("value") * 10000).cast("long").as("v4"),
       date_format(col("ts"), "yyyy-MM-dd").as("band"))
-    val mean = v.groupBy("event_type").agg(expr("sum(v4) DIV count(1)").as("mean4"))
+    val mean = v.groupBy("event_type").agg(
+      expr("(sum(v4) + 1000000000 * count(1)) DIV count(1) - 1000000000").as("mean4"))
     val wIn = Window.partitionBy("event_type", "band").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dev = v.join(broadcast(mean), "event_type")
@@ -227,7 +231,12 @@ object Profiling {
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     val banded = Tables.events(spark, dir).select(
       when(col("ts") < lit("2024-01-15").cast("timestamp"), "ref").otherwise("cur").as("win"),
-      least(expr("CAST(round(value * 10000) AS BIGINT) DIV 100000"), lit(15L)).as("bucket"))
+      // greatest(…,0) both clamps the tail AND makes the bucketing engine-free
+      // for negative values: Spark DIV truncates toward zero while DuckDB //
+      // floors, but every negative v4 lands ≤0 in both, so the clamp erases
+      // the discrepancy (r13 advice — Tables.scala admits user-supplied events).
+      least(greatest(expr("CAST(round(value * 10000) AS BIGINT) DIV 100000"), lit(0L)),
+        lit(15L)).as("bucket"))
     val cells = banded.groupBy("bucket").pivot("win", Seq("ref", "cur"))
       .agg(count(lit(1)))
       .select(col("bucket"),

@@ -1737,7 +1737,9 @@ object Relational {
     * j = 2 hash functions — bit positions are hex digits 1–5 and 6–10 of
     * md5(key), so both engines derive identical bits.
     *
-    * Shape: build-side positions fold into a ≤1024-row (word, bits)
+    * Shape: build-side positions fold into a (word, bits) bitmap table of
+    * at most min(⌈2²⁰/63⌉ ≈ 16.6k, 2 × build-side distinct keys) rows
+    * (~130 KB dense — still broadcast-trivial)
     * bitmap via bit_or — broadcast TWICE against the probe's two
     * (word, bit) lookups; rows passing both bit tests are BLOOM
     * CANDIDATES, then the exact semi join removes false positives. The

@@ -34,8 +34,12 @@ object SampleView {
   /** Fold one micro-batch into the per-stratum reservoir store. */
   def updateBatch(batch: DataFrame, storeDir: String, k: Int): Unit = {
     val spark = batch.sparkSession
+    // Dedup WITHIN the batch first (r13 advice): a row redelivered inside one
+    // micro-batch must not occupy two reservoir slots, and the survivor must
+    // be deterministic even if payloads differ — max-by(payload) per (stratum,id).
     val cand = batch
       .select(col("stratum"), col("id"), col("payload"))
+      .groupBy("stratum", "id").agg(max("payload").as("payload"))
       .withColumn("h", md5(col("id").cast("string")))
     val existing =
       try

@@ -1845,7 +1845,7 @@ class DriftStreamSpec extends SparkSpec {
     // expected: the sequential fold (q128's recursion) per key
     val expect = ev.groupBy(_.key).map { case (k, es) =>
       var s = 0L; var mx = 0L; var al = 0L; var first = -1L
-      es.sortBy(e => (e.ts.getTime * 1000, e.eventId)).foreach { e =>
+      es.sortBy(e => (CdcMaterializer.micros(e.ts), e.eventId)).foreach { e =>
         s = math.max(0L, s + e.v4 - mu4(k) - 100000L)
         mx = math.max(mx, s)
         if (s > 2000000L) { al += 1; if (first < 0) first = CdcMaterializer.micros(e.ts) }
