@@ -235,6 +235,7 @@ object SparkEntry {
     "s10_ann_recall"            -> ((s, d) => Similarity.annRecallAudit(GraftSession.tune(s), d)),
     "s11_ann_pq_recall"         -> ((s, d) => Similarity.annPqRecallAudit(GraftSession.tune(s), d)),
     "s12_ann_ivf_recall"        -> ((s, d) => Similarity.annIvfRecallAudit(GraftSession.tune(s), d)),
+    "s13_ann_live_index"        -> ((s, d) => graft.streaming.AnnIndexView.annLiveIndex(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
     "t22_zipf_slope"            -> ((s, d) => TextAnalysis.zipfSlope(GraftSession.tune(s), d)),
     "t23_perplexity_buckets"    -> ((s, d) => TextAnalysis.perplexityBuckets(GraftSession.tune(s), d)),
@@ -1564,6 +1565,40 @@ object SparkEntry {
              |  THEN ${1 << j} ELSE 0 END""".stripMargin
         }.mkString("", " +\n", " AS bucket\n")
         + """  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket AS qb
+        |  FROM b WHERE vec_id < 10),
+        |probes AS (SELECT query_id, q_emb, q_norm,
+        |  unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8),
+        |          xor(qb, 16), xor(qb, 32), xor(qb, 64), xor(qb, 128)]) AS bucket FROM q),
+        |p AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(pr.q_emb[i] AS DOUBLE) * e.embedding[i]), 'sum')
+        |    / (pr.q_norm * e.norm), 6) AS sim6
+        | FROM b e JOIN probes pr ON e.bucket = pr.bucket AND e.vec_id <> pr.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim6, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
+        |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin),
+    // s13: the s02 pipeline over the LIVE index's final corpus in closed
+    // form — deletes filtered out, the mod-11 updates' negation applied.
+    // The Spark side reaches this state ONLY through incremental
+    // updateBatch folds (inserts in chunks, replays, bucket-moving
+    // updates, deletes); hash equality proves live ≡ batch rebuild.
+    "s13_ann_live_index" ->
+      ("""WITH e0 AS (SELECT vec_id,
+        |  CASE WHEN vec_id % 11 = 5 THEN list_transform(embedding, x -> -x)
+        |       ELSE embedding END AS embedding
+        |  FROM embeddings WHERE vec_id % 7 <> 3),
+        |b AS (SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+        |""".stripMargin
+        + (0 until 8).map { j =>
+          s"""  CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1),
+             |    k -> CAST(embedding[k] AS DOUBLE) * sin(${j * 131}.0 + (k - 1) * 0.7)), 'sum') > 0
+             |  THEN ${1 << j} ELSE 0 END""".stripMargin
+        }.mkString("", " +\n", " AS bucket\n")
+        + """  FROM e0),
         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket AS qb
         |  FROM b WHERE vec_id < 10),
         |probes AS (SELECT query_id, q_emb, q_norm,

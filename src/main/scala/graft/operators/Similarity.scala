@@ -611,7 +611,7 @@ object Similarity {
     * new partitions) gets fresh plane sizing rather than a silently
     * stale bucket count. One namenode listing, no data read.
     */
-  private def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+  private[graft] def corpusFingerprint(spark: SparkSession, dir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(path, true)
