@@ -419,6 +419,138 @@ class ViewCatalog(val spark: SparkSession, val root: String)
       FeedSink.compact(spark, feedDir(name), committed(committed.length - 1 - keepLast))
   }
 
+  /** #338 `FORGET KEY k` — the right-to-be-forgotten verb across the
+    * DERIVED graph: erase every at-rest trace of `key` from every
+    * view's sink history (all committed batch partitions, not just the
+    * head) and from the caller's SCD2 history dirs, in one operation.
+    *
+    * Division of labor with the LIVE path — the purge REFUSES while any
+    * view's sink still serves the key live (latest change an upsert):
+    * the catalog cannot rewrite an external source feed, so the source
+    * must first deliver a DELETE for the key. That delete retracts the
+    * key through the running graph (aggregates give back its
+    * contributions, row views tombstone); the in-STATE tombstone then
+    * expires via the view's ttl (watermark-timed, the CdcStateProcessor
+    * timers), and retained older state-store snapshots age out with the
+    * checkpoint's `minBatchesToRetain` horizon. What never ages out by
+    * itself is the SINK history — `snapshotAsOf` would resurrect the
+    * key at any pre-delete batch forever — and that is what this verb
+    * rewrites. [[keyTraces]] is the companion auditor proving absence.
+    *
+    * Mechanics per view: one pruned scan finds the batch partitions
+    * mentioning the key (partition-pruned `IN` read), ONLY those are
+    * rewritten via dynamic partition overwrite minus the key's rows
+    * (commit markers untouched — the batch stays committed, possibly
+    * empty; an emptied partition directory is cleared explicitly, the
+    * PartitionedUpsert rule). Dependents tailing a rewritten partition
+    * re-deliver its surviving changes with fresh file names — harmless
+    * by the sink's own idempotent-replay contract
+    * ([[FeedSink.readChangeFeed]]). Cost ∝ partitions mentioning the
+    * key, never the feed.
+    *
+    * Returns the audit: one row per artifact touched
+    * `(artifact, kind, partitions_rewritten, rows_dropped)`.
+    */
+  def forgetKey(key: Long, historyDirs: Seq[String] = Nil): DataFrame = {
+    val audit = mutable.Buffer[(String, String, Long, Long)]()
+    views.keys.toSeq.sorted.foreach { n =>
+      val fd = feedDir(n)
+      val feed =
+        try spark.read.parquet(fd)
+        catch { case _: org.apache.spark.sql.AnalysisException => null }
+      if (feed != null) {
+        // refuse while the key is still live in this view's sink: the
+        // running dataflow would simply re-emit it (and the rewritten
+        // history would disagree with the state the graph still holds)
+        val last = feed.filter(col("key") === key)
+          .orderBy(col("ts_us").desc, col("seq").desc).limit(1)
+          .select("op").collect()
+        require(!last.exists(_.getString(0) != "delete"),
+          s"key $key is still live in view $n — deliver a source delete " +
+            "(retract it through the graph) before FORGET KEY")
+        val touched = feed.filter(col("key") === key)
+          .select(col("batch_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+        if (touched.nonEmpty) {
+          val before = feed.filter(col("batch_id").isin(touched: _*))
+          val kept = before.filter(col("key") =!= key).localCheckpoint(true)
+          val dropped = before.count() - kept.count()
+          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(fd)
+          val survivors = kept.select(col("batch_id").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          touched.filterNot(survivors).foreach { b =>
+            deleteRecursively(Paths.get(fd, s"batch_id=$b"))
+          }
+          audit += ((n, "sink", touched.size.toLong, dropped))
+        }
+      }
+    }
+    historyDirs.foreach { hd =>
+      val h =
+        try spark.read.parquet(hd)
+        catch { case _: org.apache.spark.sql.AnalysisException => null }
+      if (h != null) {
+        val n = h.filter(col("key") === key).count()
+        if (n > 0) {
+          val kept = h.filter(col("key") =!= key).localCheckpoint(true)
+          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(hd)
+        }
+        audit += ((hd, "history", 1L, n))
+      }
+    }
+    import spark.implicits._
+    audit.toSeq.toDF("artifact", "kind", "partitions_rewritten", "rows_dropped")
+  }
+
+  /** The [[forgetKey]] auditor: every place `key` still appears across
+    * the derived graph — each view's sink rows, each view's CURRENT
+    * state-store entries (every stateful operator in its checkpoint,
+    * matched on any integral field of the state key via the
+    * [[StateInspect]] reader), and the given SCD2 history dirs. All
+    * zeros = the key is forgotten. Older retained state snapshots age
+    * out with the checkpoint's `minBatchesToRetain` horizon — sweep
+    * again after that many batches for a fully cold audit.
+    */
+  def keyTraces(key: Long, historyDirs: Seq[String] = Nil): DataFrame = {
+    val rows = mutable.Buffer[(String, String, Long)]()
+    views.keys.toSeq.sorted.foreach { n =>
+      val sinkRows =
+        try spark.read.parquet(feedDir(n)).filter(col("key") === key).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      rows += ((n, "sink", sinkRows))
+      val stateRows =
+        try {
+          StateInspect.operators(spark, ckDir(n))
+            .select("operatorId", "stateStoreName").distinct().collect().map { r =>
+              val (opId, store) = (r.getLong(0), r.getString(1))
+              try {
+                val st = StateInspect.store(spark, ckDir(n), opId, store)
+                val keyType = st.schema("key").dataType
+                  .asInstanceOf[org.apache.spark.sql.types.StructType]
+                keyType.fields.collect {
+                  case f if f.dataType == org.apache.spark.sql.types.LongType ||
+                    f.dataType == org.apache.spark.sql.types.IntegerType =>
+                    col(s"key.${f.name}").cast("long") === key
+                }.reduceOption(_ || _)
+                  .map(p => st.filter(p).count()).getOrElse(0L)
+              } catch { case _: Throwable => 0L }
+            }.sum
+        } catch { case _: Throwable => 0L }
+      rows += ((n, "state", stateRows))
+    }
+    historyDirs.foreach { hd =>
+      val h =
+        try spark.read.parquet(hd).filter(col("key") === key).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      rows += ((hd, "history", h))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("artifact", "kind", "trace_rows")
+  }
+
   /** The ad-hoc SQL surface over the catalog: register every view's
     * CURRENT snapshot as a temp view under its own name, so
     * `spark.sql("SELECT … FROM <view> JOIN <view2> …")` works the way a
