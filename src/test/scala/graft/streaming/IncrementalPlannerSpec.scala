@@ -2120,6 +2120,62 @@ class IncrementalPlannerSpec extends SparkSpec {
     assert(parHist.headOption.contains(7L) && parHist.lastOption.contains(0L), s"par history: $parHist")
   }
 
+  test("#171ba live lag + running-sum view ≡ the batch q11/q12 window over the materialized snapshot (mixed I/U/D)") {
+    // the r13-verdict equivalence pin: the live navigation/running view,
+    // fed a mixed insert/update/delete history (reorders, a partition
+    // move, mid-partition retraction, late arrival), must equal the
+    // BATCH window (q11's lag, q12's unbounded-preceding sum) computed
+    // over the final materialized snapshot.
+    def chg(op: String, k: Long, g: String, ev: Int, v: Int, seq: Long) =
+      Change(op, k, ts(seq.toInt),
+        Map("g" -> g, "name" -> s"n$k", "ev" -> ev.toString, "v" -> v.toString), seq)
+    val b1 = Seq(
+      chg("insert", 1L, "a", 10, 100, 1L), chg("insert", 2L, "a", 20, 200, 2L),
+      chg("insert", 3L, "a", 30, 300, 3L), chg("insert", 4L, "a", 40, 400, 4L),
+      chg("insert", 5L, "b", 10, 50, 5L), chg("insert", 6L, "b", 20, 60, 6L),
+      chg("insert", 7L, "b", 30, 70, 7L), chg("insert", 8L, "c", 10, 5, 8L))
+    val b2 = Seq(
+      chg("update", 2L, "a", 35, 250, 9L),  // reorder within a + value change
+      chg("update", 7L, "c", 20, 70, 10L),  // partition move b→c
+      Change("delete", 5L, ts(11), Map.empty, 11L)) // mid-partition retraction in b
+    val b3 = Seq(
+      chg("insert", 9L, "a", 25, 900, 12L), // late arrival lands mid-partition
+      chg("update", 6L, "b", 20, 65, 13L))  // in-place value change
+    val sql = "SELECT name, v, lag(v) OVER (PARTITION BY g ORDER BY ev) AS prev, " +
+      "sum(v) OVER (PARTITION BY g ORDER BY ev " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum FROM t"
+    runView(sql, "pv_q11", Seq(Map("t" -> b1), Map("t" -> b2), Map("t" -> b3)))
+
+    // materialized snapshot, folded driver-side (LWW per key, deletes drop)
+    val snap = (b1 ++ b2 ++ b3)
+      .groupBy(_.key).map { case (_, cs) => cs.maxBy(_.seq) }
+      .filter(_.op != "delete")
+      .map(c => (c.key, c.payload("g"), c.payload("name"),
+        c.payload("ev").toInt, c.payload("v").toInt)).toSeq
+    // the batch q11/q12 window over that snapshot
+    val expect = snap.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(_._4)
+      ordered.zipWithIndex.map { case ((k, _, name, _, v), i) =>
+        k -> Seq[Any](name, v.toString,
+          if (i == 0) null else ordered(i - 1)._5.toString,
+          (ordered.take(i + 1).map(_._5).sum.toDouble).toString)
+      }
+    }
+    // fold per (key [, _partition]) — the framed-agg dataflow emits
+    // without the _partition identity column
+    val cols = Seq("name", "v", "prev", "rsum")
+    val hasPart = spark.table("pv_q11").columns.contains("_partition")
+    val live = spark.table("pv_q11").collect().toSeq
+      .sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("seq")))
+      .foldLeft(Map.empty[(Long, String), Seq[Any]]) { (m, r) =>
+        val id = (r.getAs[Long]("key"), if (hasPart) r.getAs[String]("_partition") else "")
+        if (r.getAs[String]("op") == "delete") m - id
+        else m + (id -> cols.map(c => r.getAs[Any](c)))
+      }
+      .map { case ((k, _), vs) => k -> vs }
+    assert(live == expect, s"live=$live\nexpect=$expect")
+  }
+
   test("#171bb ROLLUP/CUBE views: every level maintained live, grouping() disambiguates real NULLs") {
     val sql = "SELECT region, city, count(*) AS n, sum(amount) AS total, " +
       "grouping(city) AS gc, grouping_id() AS gid FROM t GROUP BY ROLLUP(region, city)"
