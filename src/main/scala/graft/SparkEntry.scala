@@ -230,6 +230,7 @@ object SparkEntry {
     "d16_dedup_rewrite"         -> ((s, d) => Dedup.substringRewrite(GraftSession.tune(s), d)),
     "d17_threshold_sweep"       -> ((s, d) => Dedup.thresholdSweep(GraftSession.tune(s), d)),
     "d18_image_dedup"           -> ((s, d) => Multimodal.imageDedupDhash(GraftSession.tune(s), d)),
+    "d19_audio_dedup"           -> ((s, d) => Multimodal.audioDedupFingerprint(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
     "s10_ann_recall"            -> ((s, d) => Similarity.annRecallAudit(GraftSession.tune(s), d)),
@@ -937,6 +938,45 @@ object SparkEntry {
         |     + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS BIGINT)
         |    AS hamming
         |FROM hashes a JOIN hashes b ON a.id < b.id
+        |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3""".stripMargin,
+    // d19: the oracle never sees the WAV bytes — it replays the tone
+    // program arithmetically (energy = 64·amp, crossings = 63 // hp per
+    // frame), derives the same 64 gradient bits / four 16-bit chunks,
+    // and brute-forces all pairs: proves the encode→decode→frame path
+    // AND the completeness of the chunk-bucket join.
+    "d19_audio_dedup" ->
+      """WITH par AS (
+        |  SELECT doc_id AS id,
+        |    (CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END
+        |      * 1103515245 + 12345) % 2147483647 AS h,
+        |    CASE WHEN doc_id % 50 = 1 THEN 1 ELSE 0 END AS pert,
+        |    doc_id % 33 AS p0
+        |  FROM documents),
+        |fr AS (
+        |  SELECT p.id, f.f,
+        |    (1000 + (p.h + f.f * 31) * (p.h + f.f * 31) % 2147483647 % 17000
+        |      + CASE WHEN p.pert = 1 AND f.f = p.p0 THEN 500 ELSE 0 END) * 64 AS energy,
+        |    63 // (1 + (p.h + f.f * 7) % 8) AS zc
+        |  FROM par p, (SELECT unnest(range(33)) AS f) f),
+        |bits AS (
+        |  SELECT a.id, a.f,
+        |    CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END AS ebit,
+        |    CASE WHEN a.zc < b.zc THEN 1 ELSE 0 END AS zbit
+        |  FROM fr a JOIN fr b ON a.id = b.id AND b.f = a.f + 1
+        |  WHERE a.f < 32),
+        |chunks AS (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN f < 16 THEN ebit * (1 << (f % 16)) ELSE 0 END) AS BIGINT) AS h0,
+        |    CAST(sum(CASE WHEN f >= 16 THEN ebit * (1 << (f % 16)) ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN f < 16 THEN zbit * (1 << (f % 16)) ELSE 0 END) AS BIGINT) AS h2,
+        |    CAST(sum(CASE WHEN f >= 16 THEN zbit * (1 << (f % 16)) ELSE 0 END) AS BIGINT) AS h3
+        |  FROM bits GROUP BY id)
+        |SELECT a.id AS doc_a, b.id AS doc_b,
+        |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |     + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS BIGINT)
+        |    AS hamming
+        |FROM chunks a JOIN chunks b ON a.id < b.id
         |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
         |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3""".stripMargin,
     // d17: the sweep replays d02's overlap (rare-gram common counts,

@@ -498,4 +498,121 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** d19's per-doc tone program: 33 frames × 64 samples of square wave;
+    * frame `f` has closed-form amplitude and half-period derived from
+    * the doc hash (the d18Grays discipline), with phase restarting at
+    * each frame boundary so every per-frame statistic is frame-local.
+    * Docs with `id % 50 == 1` replay doc `id−1`'s program with ONE
+    * frame's amplitude nudged (+500 of ≤18 000) — the planted
+    * audio near-dup, flipping at most the two energy-gradient bits
+    * adjacent to that frame.
+    */
+  private def d19Hash(id: Long): (Long, Boolean, Int) = {
+    val pert = id % 50 == 1
+    val base = if (pert) id - 1 else id
+    ((base * 1103515245L + 12345L) % 2147483647L, pert, (id % 33L).toInt)
+  }
+  private def d19Amp(h: Long, f: Int): Int =
+    (1000L + (h + f * 31L) * (h + f * 31L) % 2147483647L % 17000L).toInt
+  private def d19Hp(h: Long, f: Int): Int = (1L + (h + f * 7L) % 8L).toInt
+
+  /** d19: perceptual AUDIO dedup — the chromaprint idea end to end on
+    * real WAV bytes: encode a genuine RIFF/PCM16 file per doc
+    * (`javax.sound.sampled`, the m02 codec), DECODE it back through the
+    * actual parser, frame the decoded samples (33 × 64), and fingerprint
+    * with 64 frame-gradient bits — 32 ENERGY gradients (sum |sample| per
+    * frame, the loudness contour) + 32 ZERO-CROSSING gradients (sign
+    * flips per frame, the pitch contour; PCM is lossless so both are
+    * exact integers). The fingerprint rides as four 16-bit chunks: the
+    * d04/d18 banded-hamming discipline — any pair within hamming ≤ 3
+    * shares ≥ 1 untouched chunk (pigeonhole), so the chunk-bucket join
+    * is COMPLETE, and the exact in-bucket hamming verify removes
+    * collisions. The oracle never sees the WAV bytes: it predicts both
+    * contours arithmetically from the tone program (energy = 64·amp;
+    * crossings = ⌊63/hp⌋) — a corrupted encode→decode round trip or a
+    * lossy frame split fails the hash compare.
+    *
+    * Scale: fingerprinting is a scan-shaped mapPartitions (codec work,
+    * no shuffle); the pair space is cut to chunk buckets exactly as d03
+    * cuts shingle space — candidates ∝ bucket occupancy, never n².
+    */
+  def audioDedupFingerprint(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val nFrames = 33; val nf = 64
+    val sigs = graft.sources.Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (h, pert, p0) = d19Hash(id)
+          val n    = nFrames * nf
+          val data = new Array[Byte](n * 2)
+          var f = 0
+          while (f < nFrames) {
+            val amp = d19Amp(h, f) + (if (pert && f == p0) 500 else 0)
+            val hp  = d19Hp(h, f)
+            var i = 0
+            while (i < nf) {
+              val v   = if ((i / hp) % 2 == 0) amp else -amp
+              val idx = f * nf + i
+              data(2 * idx) = (v & 0xff).toByte
+              data(2 * idx + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            f += 1
+          }
+          val fmt = new AudioFormat(8000f, 16, 1, true, false)
+          val out = new ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong),
+            AudioFileFormat.Type.WAVE, out)
+          // decode through the real parser and measure the DECODED samples
+          val ain   = AudioSystem.getAudioInputStream(new ByteArrayInputStream(out.toByteArray))
+          val bytes = ain.readAllBytes()
+          val energy = new Array[Long](nFrames)
+          val zc     = new Array[Long](nFrames)
+          f = 0
+          while (f < nFrames) {
+            var i = 0; var e = 0L; var flips = 0L; var prev = 0
+            while (i < nf) {
+              val idx = f * nf + i
+              val v = (((bytes(2 * idx + 1): Int) << 8) | (bytes(2 * idx) & 0xff)).toShort.toInt
+              e += math.abs(v)
+              if (i > 0 && ((v > 0) != (prev > 0))) flips += 1
+              prev = v
+              i += 1
+            }
+            energy(f) = e; zc(f) = flips
+            f += 1
+          }
+          val chunks = new Array[Long](4)
+          var b = 0
+          while (b < 32) {
+            if (energy(b) < energy(b + 1)) chunks(b / 16) |= 1L << (b % 16)
+            if (zc(b) < zc(b + 1)) chunks(2 + b / 16) |= 1L << (b % 16)
+            b += 1
+          }
+          (id, chunks(0), chunks(1), chunks(2), chunks(3))
+        }
+      }
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+    val buckets = sigs.select(
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("chunk_idx", "chunk_key")))
+    val hamming = (0 until 4)
+      .map(k => bit_count(col(s"x.c$k").bitwiseXOR(col(s"y.c$k"))))
+      .reduce(_ + _)
+    buckets
+      .as("x")
+      .join(buckets.as("y"), Seq("chunk_idx", "chunk_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

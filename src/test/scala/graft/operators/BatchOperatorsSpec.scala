@@ -1131,6 +1131,40 @@ class MultimodalSpec extends SparkSpec {
     assert((found -- planted).isEmpty, s"unexpected non-planted pairs: ${found -- planted}")
   }
 
+  test("d19 audio dedup: planted near-dup pairs found at hamming ≤ 2; fingerprint refolds from the tone program") {
+    val pairs = Multimodal.audioDedupFingerprint(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    // every 50th doc replays its predecessor's tone program with one
+    // frame's amplitude nudged — at most the two adjacent energy
+    // gradients flip, so all 10 planted pairs surface at hamming ≤ 2
+    val planted = (1L until 500L by 50L).map(id => (id - 1, id)).toSet
+    val found   = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found), s"missing planted pairs: ${planted -- found}")
+    assert(pairs.filter(p => planted((p._1, p._2))).forall(_._3 <= 2))
+    // any non-planted survivor must have passed the EXACT verify
+    assert(pairs.forall(_._3 <= 3))
+    // hand refold for one pair: the energy/zc contours predicted from
+    // the tone program must reproduce doc 300↔301's reported hamming
+    def contours(id: Long): (Seq[Long], Seq[Long]) = {
+      val pert = id % 50 == 1
+      val base = if (pert) id - 1 else id
+      val h    = (base * 1103515245L + 12345L) % 2147483647L
+      val amps = (0 until 33).map(f => 1000L + (h + f * 31L) * (h + f * 31L) % 2147483647L % 17000L +
+        (if (pert && f == (id % 33L).toInt) 500L else 0L))
+      val zcs = (0 until 33).map(f => 63L / (1L + (h + f * 7L) % 8L))
+      (amps.map(_ * 64L), zcs)
+    }
+    def bits(id: Long): Seq[Int] = {
+      val (e, z) = contours(id)
+      (0 until 32).map(f => if (e(f) < e(f + 1)) 1 else 0) ++
+        (0 until 32).map(f => if (z(f) < z(f + 1)) 1 else 0)
+    }
+    val handHamming = bits(300L).zip(bits(301L)).count { case (a, b) => a != b }
+    val reported = pairs.find(p => p._1 == 300L && p._2 == 301L).map(_._3)
+    assert(reported.contains(handHamming.toLong),
+      s"hand refold hamming $handHamming vs reported $reported")
+  }
+
   test("m02 audio payloads are genuine RIFF/WAVE files; fresh parser agrees with metadata") {
     val recs = Multimodal.audioTable(spark, sf).limit(5).collect()
     assert(recs.nonEmpty)
