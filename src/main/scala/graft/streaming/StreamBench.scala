@@ -44,9 +44,10 @@ object StreamBench {
 
   /** `suite [outPath]` — the per-round MACHINE-READABLE streaming bench
     * artifact (the cross-round comparable the SURVEY's prose numbers
-    * were not): the five planner dataflow classes (filtered grouped
-    * aggregate, value-equi join, as-of join, generator, ranked — the
-    * last at a doubled window, see below) at 1M live keys, each
+    * were not): the six planner dataflow classes (filtered grouped
+    * aggregate, value-equi join, as-of join, generator, sessionized
+    * aggregate, ranked — the last at a doubled window, see below) at 1M
+    * live keys, each
     * reporting offered/achieved rate, emitted rows, latency and
     * micro-batch percentiles, and state rows+bytes — PLUS the q01
     * batch normalizer (min-of-3 on `SPARK_GRAFT_SF_DIR`, default
@@ -79,7 +80,7 @@ object StreamBench {
       (System.nanoTime() - t0) / 1e9
     }.min
     val lines = Seq("planner-agg", "planner-join", "planner-asof", "planner-gen",
-        "planner-ranked").map { engine =>
+        "planner-session", "planner-ranked").map { engine =>
       // the ranked class legitimately runs ~10s micro-batches at 1M
       // keys (full-partition rank maintenance); double its window so
       // the steady-state measurement sees enough completed batches
@@ -191,6 +192,33 @@ object StreamBench {
             "row_number() OVER (PARTITION BY city ORDER BY amount DESC, name) AS rn FROM t) x " +
             "WHERE rn <= 10",
           Map("t" -> rateChanges("name")))
+        (planned.df, planned.outputMode)
+      case "planner-session" =>
+        // SESSIONIZATION — the heaviest aggregate state shape (per-group
+        // event-time SETS with session merge/split under retraction):
+        // 10k users × (liveKeys/10k) event slots spaced 7 s apart under
+        // a 10 s gap, so arrivals MERGE a user's sessions as slots fill
+        // and the 10% deletes SPLIT them back; the coprime amount churn
+        // keeps every update a real delta (no stage-1 suppression).
+        val feed = spark.readStream
+          .format("rate")
+          .option("rowsPerSecond", rowsPerSec)
+          .load()
+          .select(
+            when(pmod(col("value"), lit(10)) === 0, "delete").otherwise("update").as("op"),
+            pmod(col("value"), lit(liveKeys)).as("key"),
+            col("timestamp").as("ts"),
+            map(
+              lit("user"), concat(lit("u"), pmod(col("value"), lit(10000))),
+              lit("ev"), expr(s"CAST((pmod(value, $liveKeys) div 10000) * 7000000 AS STRING)"),
+              lit("amount"), pmod(col("value"), lit(997)).cast("string")).as("payload"),
+            col("value").as("seq"),
+          )
+          .as[Change]
+        val planned = IncrementalPlanner.materialize(spark,
+          "SELECT user, session_window(ev, '10 seconds') AS sw, count(*) AS n, " +
+            "sum(amount) AS total FROM t GROUP BY user, session_window(ev, '10 seconds')",
+          Map("t" -> feed))
         (planned.df, planned.outputMode)
       case "planner-gen" =>
         // the generator dataflow: every update rewrites a 4-element
