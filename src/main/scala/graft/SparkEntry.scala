@@ -231,6 +231,10 @@ object SparkEntry {
     "d17_threshold_sweep"       -> ((s, d) => Dedup.thresholdSweep(GraftSession.tune(s), d)),
     "d18_image_dedup"           -> ((s, d) => Multimodal.imageDedupDhash(GraftSession.tune(s), d)),
     "d19_audio_dedup"           -> ((s, d) => Multimodal.audioDedupFingerprint(GraftSession.tune(s), d)),
+    "d20_video_dedup"           -> ((s, d) => Multimodal.videoDedupFingerprint(GraftSession.tune(s), d)),
+    "q143_phrase_match"         -> ((s, d) => TextAnalysis.phraseMatch(GraftSession.tune(s), d)),
+    "q144_zorder_layout"        -> ((s, d) => Relational.zorderLayout(GraftSession.tune(s), d)),
+    "s14_mutual_nn"             -> ((s, d) => Similarity.mutualNn(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
     "s10_ann_recall"            -> ((s, d) => Similarity.annRecallAudit(GraftSession.tune(s), d)),
@@ -932,6 +936,75 @@ object SparkEntry {
         |    max(CASE WHEN k = 1 THEN cv END) AS h1,
         |    max(CASE WHEN k = 2 THEN cv END) AS h2,
         |    max(CASE WHEN k = 3 THEN cv END) AS h3
+        |  FROM chunks GROUP BY id)
+        |SELECT a.id AS doc_a, b.id AS doc_b,
+        |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |     + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS BIGINT)
+        |    AS hamming
+        |FROM hashes a JOIN hashes b ON a.id < b.id
+        |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3""".stripMargin,
+    // q143: positional phrase adjacency replayed on the oracle side via
+    // positional bigram/trigram list_filter — same whitespace split.
+    "q143_phrase_match" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |h2 AS (SELECT doc_id, len(list_filter(range(1, len(words)),
+        |    i -> words[i] = 'spark' AND words[i+1] = 'stream')) AS n_hits FROM w),
+        |h3 AS (SELECT doc_id, len(list_filter(range(1, len(words) - 1),
+        |    i -> words[i] = 'the' AND words[i+1] = 'fast' AND words[i+2] = 'key')) AS n_hits FROM w)
+        |SELECT 'spark stream' AS phrase, doc_id, CAST(n_hits AS BIGINT) AS n_hits
+        |FROM h2 WHERE n_hits > 0
+        |UNION ALL
+        |SELECT 'the fast key' AS phrase, doc_id, CAST(n_hits AS BIGINT) AS n_hits
+        |FROM h3 WHERE n_hits > 0""".stripMargin,
+    // q144: the Morton interleave is replayed bit-by-bit (positive
+    // operands, so % ≡ pmod and // ≡ DIV throughout).
+    "q144_zorder_layout" ->
+      """WITH e AS (SELECT user_id % 256 AS a,
+        |    least(CAST(round(value * 10000) AS BIGINT) // 400, 255) AS b
+        |  FROM events),
+        |z AS (SELECT a, b,
+        |  list_aggregate(list_transform(range(8), i ->
+        |    ((a >> i) & 1) * (1 << (2 * i)) + ((b >> i) & 1) * (1 << (2 * i + 1))),
+        |    'sum') AS zc
+        |  FROM e)
+        |SELECT CAST(zc // 64 AS BIGINT) AS zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(a) AS BIGINT) AS a_min, CAST(max(a) AS BIGINT) AS a_max,
+        |  CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max,
+        |  CAST((max(a) - min(a) + 1) * (max(b) - min(b) + 1) AS BIGINT) AS span_area
+        |FROM z GROUP BY 1""".stripMargin,
+    // d20: the oracle replays the per-frame cell arithmetic (never the
+    // PNG bytes) and brute-forces all pairs — proves every frame's
+    // encode→decode→hash round trip and the frame-chunk bucketing.
+    "d20_video_dedup" ->
+      """WITH par AS (
+        |  SELECT doc_id AS id,
+        |    (CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END
+        |      * 1103515245 + 12345) % 2147483647 AS h,
+        |    CASE WHEN doc_id % 50 = 1 THEN 1 ELSE 0 END AS pert,
+        |    doc_id % 9 AS c0, doc_id % 8 AS r0, doc_id % 4 AS p0
+        |  FROM documents),
+        |cells AS (
+        |  SELECT p.id, ff.f, cc.c, rr.r,
+        |    ((((p.h + cc.c * 8 + rr.r + 17) * (p.h + cc.c * 8 + rr.r + 17)
+        |        % 2147483647 % 251 + 13 * ff.f) % 251)
+        |      + CASE WHEN p.pert = 1 AND ff.f = p.p0 AND cc.c = p.c0 AND rr.r = p.r0
+        |             THEN 100 ELSE 0 END) % 251 AS g
+        |  FROM par p, (SELECT unnest(range(4)) AS f) ff,
+        |    (SELECT unnest(range(9)) AS c) cc, (SELECT unnest(range(8)) AS r) rr),
+        |bits AS (
+        |  SELECT a.id, a.f, a.r, a.c, CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b ON a.id = b.id AND a.f = b.f AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8 AND a.r % 2 = 0),
+        |chunks AS (
+        |  SELECT id, f, CAST(sum(bit * (1 << ((r // 2) * 8 + c))) AS BIGINT) AS cv
+        |  FROM bits GROUP BY 1, 2),
+        |hashes AS (SELECT id,
+        |    max(CASE WHEN f = 0 THEN cv END) AS h0,
+        |    max(CASE WHEN f = 1 THEN cv END) AS h1,
+        |    max(CASE WHEN f = 2 THEN cv END) AS h2,
+        |    max(CASE WHEN f = 3 THEN cv END) AS h3
         |  FROM chunks GROUP BY id)
         |SELECT a.id AS doc_a, b.id AS doc_b,
         |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
@@ -3084,6 +3157,31 @@ object SparkEntry {
         |  PARTITION BY vec_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
         |SELECT vec_id, neighbor_id, sim6 AS cosine, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 3""".stripMargin),
+    // s14: s08's in-bucket knn replayed to rank 1, then the reciprocal
+    // self-join — mutuality is deterministic because knn ties break by
+    // neighbor_id in both engines.
+    "s14_mutual_nn" ->
+      ("""WITH b AS (SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+        |""".stripMargin
+        + (0 until 8).map { j =>
+          s"""  CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1),
+             |    k -> CAST(embedding[k] AS DOUBLE) * sin(${j * 131}.0 + (k - 1) * 0.7)), 'sum') > 0
+             |  THEN ${1 << j} ELSE 0 END""".stripMargin
+        }.mkString("", " +\n", " AS bucket\n")
+        + """  FROM embeddings),
+        |p AS (SELECT a.vec_id, e.vec_id AS neighbor_id,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * e.embedding[i]), 'sum')
+        |    / (a.norm * e.norm), 6) AS sim6
+        | FROM b a JOIN b e ON a.bucket = e.bucket AND e.vec_id <> a.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, sim6, row_number() OVER (
+        |  PARTITION BY vec_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p),
+        |m AS (SELECT vec_id, neighbor_id, sim6 FROM r WHERE rn = 1)
+        |SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b, a.sim6 AS cosine
+        |FROM m a JOIN m b ON a.neighbor_id = b.vec_id AND b.neighbor_id = a.vec_id
+        |  AND a.vec_id < b.vec_id""".stripMargin),
     // q74: the oracle states the SPEC (one global rank) directly; the
     // Spark side decomposes it band-wise — the decile formula is spelled
     // arithmetically (integer //) so both engines compute the same split

@@ -499,6 +499,102 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** d20: perceptual VIDEO dedup — the d18/d19 discipline completing
+    * the image/audio/video triple: each doc renders a 4-frame animation
+    * (the d18 9×8 cell grid with per-frame gray drift `+13·f mod 251`),
+    * every frame is REALLY encoded as a PNG and decoded back (ImageIO,
+    * the m01/m03 codec), and each decoded frame contributes a 32-bit
+    * dHash chunk (8 gradient comparisons × 4 sampled rows). The
+    * temporal fingerprint is the 4 per-frame chunks — banded hamming
+    * buckets on `(frame_idx, chunk)` with the exact in-bucket verify:
+    * a pair within hamming ≤ 3 has ≥ 1 untouched frame chunk
+    * (pigeonhole), so the bucket join is complete. Planted near-dups:
+    * `id % 50 == 1` replays doc `id−1`'s animation with ONE cell of ONE
+    * frame perturbed (+100 gray) — at most two gradient bits of that
+    * frame flip; unrelated docs differ in ~half of all 128 bits. The
+    * oracle replays the cell arithmetic (never the PNG bytes): a
+    * corrupted encode→decode round trip on ANY frame fails the hash.
+    *
+    * Scale: fingerprinting is scan-shaped codec work (mapPartitions, no
+    * pixel shuffle); candidate pairs ∝ chunk-bucket occupancy.
+    */
+  def videoDedupFingerprint(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = graft.sources.Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          val pert = id % 50 == 1
+          val base = if (pert) id - 1 else id
+          val h    = (base * 1103515245L + 12345L) % 2147483647L
+          val (c0, r0, p0) = ((id % 9).toInt, (id % 8).toInt, (id % 4).toInt)
+          val chunks = new Array[Long](4)
+          var f = 0
+          while (f < 4) {
+            val img = new BufferedImage(18, 16, BufferedImage.TYPE_INT_RGB)
+            var c = 0
+            while (c < 9) {
+              var r = 0
+              while (r < 8) {
+                val k = c * 8 + r + 17
+                var v = (((h + k) * (h + k) % 2147483647L % 251L + 13L * f) % 251L).toInt
+                if (pert && f == p0 && c == c0 && r == r0) v = (v + 100) % 251
+                var y = 2 * r
+                while (y < 2 * r + 2) {
+                  var x = 2 * c
+                  while (x < 2 * c + 2) {
+                    img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                    x += 1
+                  }
+                  y += 1
+                }
+                r += 1
+              }
+              c += 1
+            }
+            val out = new ByteArrayOutputStream()
+            ImageIO.write(img, "png", out)
+            val dec = ImageIO.read(new ByteArrayInputStream(out.toByteArray))
+            def luma(cc: Int, rr: Int): Int = {
+              val rgb = dec.getRGB(2 * cc, 2 * rr)
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            }
+            var r2 = 0
+            while (r2 < 8) { // sampled rows 0,2,4,6 → 4 × 8 gradient bits
+              var cc = 0
+              while (cc < 8) {
+                if (luma(cc, r2) < luma(cc + 1, r2))
+                  chunks(f) |= 1L << ((r2 / 2) * 8 + cc)
+                cc += 1
+              }
+              r2 += 2
+            }
+            f += 1
+          }
+          (id, chunks(0), chunks(1), chunks(2), chunks(3))
+        }
+      }
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+    val buckets = sigs.select(
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("chunk_idx", "chunk_key")))
+    val hamming = (0 until 4)
+      .map(k => bit_count(col(s"x.c$k").bitwiseXOR(col(s"y.c$k"))))
+      .reduce(_ + _)
+    buckets
+      .as("x")
+      .join(buckets.as("y"), Seq("chunk_idx", "chunk_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** d19's per-doc tone program: 33 frames × 64 samples of square wave;
     * frame `f` has closed-form amplitude and half-period derived from
     * the doc hash (the d18Grays discipline), with phase restarting at

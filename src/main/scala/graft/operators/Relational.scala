@@ -1785,4 +1785,42 @@ object Relational {
         expr("CAST((n_bloom_pass - n_true_match) * 1000000 DIV n_bloom_pass AS BIGINT)")
           .as("fp_ppm"))
   }
+
+  /** q144: Z-ORDER (Morton) layout audit — the multi-dimensional
+    * clustering that makes min/max zone-map pruning work on MORE THAN
+    * ONE column at once (the Delta/Iceberg `OPTIMIZE ZORDER BY` idea as
+    * a first-class operator): interleave the bits of two query
+    * dimensions (user bucket 0–255, value bucket 0–255 in the exact-e4
+    * integer path) into a 16-bit Morton code, group rows into Z-RANGE
+    * partitions (code DIV 64 → ≤1024 buckets), and emit each bucket's
+    * row count plus its min/max span over BOTH dimensions — the zone
+    * map a scan planner would prune against. Because the Z-curve
+    * alternates bits, every bucket's span is narrow in BOTH dims
+    * (≲1/32 of either domain for a full bucket), where any single-key
+    * sort gives perfect pruning on one dim and none on the other — the
+    * scaladoc-visible audit IS that bound. One scan, one bounded-key
+    * aggregate; at 100 TB the same code is the repartitionByRange key
+    * that lays files out for two-dimensional pruning.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      pmod(col("user_id"), lit(256L)).as("a"),
+      least(expr("CAST(round(value * 10000) AS BIGINT) DIV 400"), lit(255L)).as("b"))
+    val morton = (0 until 8).map { i =>
+      shiftleft(shiftright(col("a"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("b"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    ev.withColumn("z", morton)
+      .withColumn("zbucket", expr("z DIV 64"))
+      .groupBy("zbucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("a").as("a_min"), max("a").as("a_max"),
+        min("b").as("b_min"), max("b").as("b_max"))
+      .select(col("zbucket"), col("n_rows"),
+        col("a_min"), col("a_max"), col("b_min"), col("b_max"),
+        // the pruning audit: the bucket's covered area in (a, b) space —
+        // small for a Z-clustered layout, domain-wide for a 1-D sort
+        ((col("a_max") - col("a_min") + 1) * (col("b_max") - col("b_min") + 1)).as("span_area"))
+  }
 }

@@ -662,6 +662,28 @@ object Similarity {
       )
   }
 
+  /** s14: MUTUAL nearest neighbors — pairs where each vector is the
+    * OTHER's top-1 in-bucket neighbor (reciprocal best match). The
+    * classic high-precision pairing primitive: one-directional top-1
+    * links form hubs (a popular vector is "nearest" to many), mutual
+    * links are the symmetric core used for canonical-pair selection and
+    * bitext mining (the margin/reciprocal criterion). Pure composition
+    * over [[knnJoin]]'s rank-1 rows: one self-join on the reversed edge
+    * — rank-1-row-sized input, so cost beyond s08 is negligible at any
+    * scale. Ties inside knnJoin break by neighbor_id, so mutuality is
+    * deterministic cross-engine.
+    */
+  def mutualNn(spark: SparkSession, dir: String): DataFrame = {
+    val m = knnJoin(spark, dir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+    m.as("a")
+      .join(m.as("b"),
+        col("a.neighbor_id") === col("b.vec_id") && col("b.neighbor_id") === col("a.vec_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("a.neighbor_id").as("vec_b"),
+        col("a.cosine").as("cosine"))
+  }
+
   /** q58: embedding-diversity sample — pick `perBucket` vectors from each
     * hyperplane-LSH region, so the sample spans the embedding space
     * instead of oversampling its dense cores (the diversity step of data

@@ -760,4 +760,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("score_e3"),
         when(col("score_e3") > 0, "keep").otherwise("drop").as("label"))
   }
+
+  /** q143: positional inverted-index PHRASE search — exact multi-word
+    * adjacency ("spark stream", "the fast key") via positional postings,
+    * the capability BM25/tf-idf bag-of-words scoring (t08/q135) cannot
+    * express. Postings are `(doc_id, pos, tok)` from one scan
+    * (posexplode — no shuffle to build); a phrase of length L resolves
+    * as L−1 equi-joins on `(doc_id, pos + i)`, and each join side is
+    * FILTERED TO THE PHRASE'S OWN TERMS FIRST — the predicate reaches
+    * the scan, so only the queried terms' postings ever shuffle. At
+    * 100 TB with postings bucketed by token, each phrase term is a
+    * pruned index lookup and the position join moves postings-of-two-
+    * terms, never the corpus — the standard positional-index cost
+    * model (Lucene's phrase query) as a dataflow.
+    */
+  def phraseMatch(spark: SparkSession, dir: String,
+      phrases: Seq[Seq[String]] = Seq(Seq("spark", "stream"), Seq("the", "fast", "key"))): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "tok")))
+    def occurrences(phrase: Seq[String]): DataFrame = {
+      val base = toks.filter(col("tok") === phrase.head).select(col("doc_id"), col("pos"))
+      phrase.zipWithIndex.drop(1).foldLeft(base) { case (acc, (w, i)) =>
+        acc.join(
+          toks.filter(col("tok") === w).select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .select(lit(phrase.mkString(" ")).as("phrase"), col("doc_id"), col("n_hits"))
+    }
+    phrases.map(occurrences).reduce(_.unionByName(_))
+  }
 }

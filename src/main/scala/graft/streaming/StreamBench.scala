@@ -82,9 +82,12 @@ object StreamBench {
     val lines = Seq("planner-agg", "planner-join", "planner-asof", "planner-gen",
         "planner-session", "planner-ranked").map { engine =>
       // the ranked class legitimately runs ~10s micro-batches at 1M
-      // keys (full-partition rank maintenance); double its window so
-      // the steady-state measurement sees enough completed batches
-      val window = if (engine == "planner-ranked") seconds * 2 else seconds
+      // keys (full-partition rank maintenance), and the join class the
+      // heaviest state writes (5.8M arrangement rows → ~25s batches on
+      // RocksDB); double their windows so the steady-state measurement
+      // sees enough completed batches past the 2-batch warmup
+      val window =
+        if (engine == "planner-ranked" || engine == "planner-join") seconds * 2 else seconds
       runOne(spark, engine, offered, window, liveKeys)
     }
     val json =

@@ -179,6 +179,23 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("r2") - sxy * sxy / (sxx * syy)) < 1e-5)
     }
   }
+
+  test("q144 z-order layout: morton codes refold bit-by-bit; every bucket spans ≤ 8×8 in (a,b) space") {
+    val rows = Relational.zorderLayout(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // a 64-code z-bucket is an ALIGNED 8×8 tile of (a,b) space — the
+      // two-dimensional pruning bound the layout exists for
+      assert(r.getAs[Long]("a_max") - r.getAs[Long]("a_min") <= 7, s"a span: $r")
+      assert(r.getAs[Long]("b_max") - r.getAs[Long]("b_min") <= 7, s"b span: $r")
+      assert(r.getAs[Long]("span_area") <= 64)
+    }
+    // hand anchors for the interleave (z_{2i} = a_i, z_{2i+1} = b_i)
+    def morton(a: Int, b: Int): Int =
+      (0 until 8).map(i => (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))).sum
+    assert(morton(1, 0) == 1 && morton(0, 1) == 2 && morton(3, 3) == 15)
+    assert(morton(255, 0) == 0x5555 && morton(0, 255) == 0xaaaa)
+  }
 }
 
 class PageRankSpec extends SparkSpec {
@@ -808,6 +825,19 @@ class SimilaritySpec extends SparkSpec {
     // (3) the smallest vec_id of each cluster always survives
     cid.keys.toSeq.groupBy(cid).values.foreach(vs => assert(survivors.contains(vs.min)))
   }
+
+  test("s14 mutual NN: exactly the reciprocal rank-1 pairs of the knn join, symmetric and deduplicated") {
+    val knn1 = Similarity.knnJoin(spark, sf).filter(org.apache.spark.sql.functions.col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val expect = knn1.collect {
+      case (a, b) if knn1.get(b).contains(a) && a < b => (a, b)
+    }.toSet
+    val got = Similarity.mutualNn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(got.toSet == expect, s"mutual pairs diff: ${(got.toSet diff expect) ++ (expect diff got.toSet)}")
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    assert(expect.nonEmpty, "corpus yields no mutual pair; test is vacuous")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
@@ -1060,6 +1090,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("n_phones")).sum > 0)
     assert(got.map(_.getAs[Long]("n_ips")).sum > 0)
   }
+
+  test("q143 phrase match: hit counts refold from a driver-side adjacency scan; bag-of-words misses excluded") {
+    val got = TextAnalysis.phraseMatch(spark, sf).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("n_hits")).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+").toSeq)
+    val expect = (for {
+      (id, ws) <- docs
+      (phrase, terms) <- Seq("spark stream" -> Seq("spark", "stream"),
+        "the fast key" -> Seq("the", "fast", "key"))
+      n = ws.indices.count(i => i + terms.length <= ws.length &&
+        terms.indices.forall(j => ws(i + j) == terms(j)))
+      if n > 0
+    } yield (phrase, id) -> n.toLong).toMap
+    assert(got == expect, s"diff: ${(got.toSet diff expect.toSet) ++ (expect.toSet diff got.toSet)}")
+    // a doc containing both words NON-adjacently must not match — prove
+    // at least one such doc exists so the adjacency join is load-bearing
+    val bagOnly = docs.exists { case (id, ws) =>
+      ws.contains("spark") && ws.contains("stream") && !got.contains(("spark stream", id))
+    }
+    assert(bagOnly, "corpus has no non-adjacent spark+stream doc; weaken of the test")
+  }
 }
 
 class IncrementalDedupSpec extends SparkSpec {
@@ -1163,6 +1216,19 @@ class MultimodalSpec extends SparkSpec {
     val reported = pairs.find(p => p._1 == 300L && p._2 == 301L).map(_._3)
     assert(reported.contains(handHamming.toLong),
       s"hand refold hamming $handHamming vs reported $reported")
+  }
+
+  test("d20 video dedup: planted near-dup pairs found at hamming ≤ 2, confined to the perturbed frame") {
+    val pairs = Multimodal.videoDedupFingerprint(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    val planted = (1L until 500L by 50L).map(id => (id - 1, id)).toSet
+    val found   = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found), s"missing planted pairs: ${planted -- found}")
+    // one perturbed cell in one frame flips at most the two adjacent
+    // gradient comparisons of that frame — and only when the cell sits
+    // on a SAMPLED row (r even), so hamming ∈ {0, 1, 2}
+    assert(pairs.filter(p => planted((p._1, p._2))).forall(_._3 <= 2))
+    assert(pairs.forall(_._3 <= 3), "exact verify must bound every survivor")
   }
 
   test("m02 audio payloads are genuine RIFF/WAVE files; fresh parser agrees with metadata") {
