@@ -234,6 +234,8 @@ object SparkEntry {
     "d20_video_dedup"           -> ((s, d) => Multimodal.videoDedupFingerprint(GraftSession.tune(s), d)),
     "q143_phrase_match"         -> ((s, d) => TextAnalysis.phraseMatch(GraftSession.tune(s), d)),
     "q144_zorder_layout"        -> ((s, d) => Relational.zorderLayout(GraftSession.tune(s), d)),
+    "q145_gini_concentration"   -> ((s, d) => Relational.giniConcentration(GraftSession.tune(s), d)),
+    "q146_bitmap_intersect"     -> ((s, d) => Relational.bitmapIntersect(GraftSession.tune(s), d)),
     "s14_mutual_nn"             -> ((s, d) => Similarity.mutualNn(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
@@ -974,6 +976,38 @@ object SparkEntry {
         |  CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max,
         |  CAST((max(a) - min(a) + 1) * (max(b) - min(b) + 1) AS BIGINT) AS span_area
         |FROM z GROUP BY 1""".stripMargin,
+    // q145: the closed rank form in HUGEINT (Spark DECIMAL(38,0)); the
+    // numerator is nonnegative by Chebyshev, so // ≡ DIV.
+    "q145_gini_concentration" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x2
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT c.c_nationkey AS nationkey, s.x2,
+        |    row_number() OVER (PARTITION BY c.c_nationkey ORDER BY s.x2, s.o_custkey) AS rk
+        |  FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey),
+        |agg AS (SELECT nationkey, count(*) AS n_customers,
+        |    CAST(sum(x2) AS BIGINT) AS total_spend_e2,
+        |    sum(CAST(rk AS HUGEINT) * x2) AS rx
+        |  FROM rk GROUP BY 1)
+        |SELECT nationkey, CAST(n_customers AS BIGINT) AS n_customers, total_spend_e2,
+        |  CAST((2 * rx - (n_customers + 1) * CAST(total_spend_e2 AS HUGEINT)) * 1000000
+        |    // (CAST(n_customers AS HUGEINT) * total_spend_e2) AS BIGINT) AS gini_e6
+        |FROM agg""".stripMargin,
+    // q146: word-fold replay — 63-bit words (1 << 63 is the ANSI sign
+    // trap), bit_or per value, AND+popcount in word space.
+    "q146_bitmap_intersect" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pr, o_orderstatus AS st,
+        |    o_orderkey // 63 AS w, (CAST(1 AS BIGINT) << CAST(o_orderkey % 63 AS INTEGER)) AS bit
+        |  FROM orders),
+        |p AS (SELECT pr, w, bit_or(bit) AS pbits FROM o GROUP BY 1, 2),
+        |s AS (SELECT st, w, bit_or(bit) AS sbits FROM o GROUP BY 1, 2),
+        |bc AS (SELECT pr, st, CAST(sum(bit_count(pbits & sbits)) AS BIGINT) AS n_bitmap
+        |  FROM p JOIN s USING (w) GROUP BY 1, 2),
+        |ex AS (SELECT pr, st, count(*) AS n_exact FROM o GROUP BY 1, 2)
+        |SELECT coalesce(bc.pr, ex.pr) AS priority, coalesce(bc.st, ex.st) AS status,
+        |  CAST(coalesce(n_bitmap, 0) AS BIGINT) AS n_bitmap,
+        |  CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact
+        |FROM bc FULL JOIN ex ON bc.pr = ex.pr AND bc.st = ex.st""".stripMargin,
     // d20: the oracle replays the per-frame cell arithmetic (never the
     // PNG bytes) and brute-forces all pairs — proves every frame's
     // encode→decode→hash round trip and the frame-chunk bucketing.

@@ -1786,6 +1786,73 @@ object Relational {
           .as("fp_ppm"))
   }
 
+  /** q145: GINI concentration of customer spend per nation — the
+    * inequality coefficient (how concentrated is revenue across a
+    * nation's customers), the standard-economics sibling of q103's
+    * entropy and q111's Pareto cut. Closed rank form on ASCENDING spend:
+    * `G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)`, computed entirely in exact
+    * integers — spend in e2 cents, ranks by row_number (ties broken by
+    * custkey, so both engines rank identically), the numerator in
+    * DECIMAL(38,0) (rank·spend products overflow int64 at warehouse
+    * scale), and one final truncating DIV onto e6 — nonnegative by
+    * Chebyshev's sum inequality, so trunc ≡ floor cross-engine.
+    * Shuffle shape: one keyed aggregate (customer spend), one per-nation
+    * rank window over customer-count-sized rows, one keyed rollup.
+    */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x2"))
+    val ranked = spend
+      .join(Tables.customer(spark, dir).select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("c_nationkey").orderBy(col("x2"), col("o_custkey"))).cast("long"))
+    ranked
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum("x2").as("total_spend_e2"),
+        expr("CAST(sum(CAST(rk AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0))").as("rx"))
+      .select(col("nationkey"), col("n_customers"), col("total_spend_e2"),
+        expr("""CAST((2 * rx - (n_customers + 1) * CAST(total_spend_e2 AS DECIMAL(38,0)))
+               |  * 1000000 DIV (CAST(n_customers AS DECIMAL(38,0)) * total_spend_e2)
+               |  AS BIGINT)""".stripMargin).as("gini_e6"))
+  }
+
+  /** q146: BITMAP-INDEX intersection — the categorical-predicate
+    * counting primitive (Oracle/Druid bitmap indexes, roaring bitmaps):
+    * one bitmap per predicate value over the order-key universe, rows
+    * folded into 63-bit words (`1 << 63` is the cross-engine sign trap —
+    * the q130 rule), and a conjunctive predicate answered ENTIRELY in
+    * word space: join the two values' word tables, AND, popcount — the
+    * fact table is never re-touched. Emits every (priority, status)
+    * cell's bitmap count next to its exact recount: equality IS the
+    * self-audit (these bitmaps are exact, not sketches). At 100 TB the
+    * word tables are |universe|/63-sized per value, partition by word
+    * range, and every boolean combination of predicates stays a keyed
+    * word join + popcount.
+    */
+  def bitmapIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+      expr("o_orderkey DIV 63").as("w"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % 63 AS INT))").as("bit"))
+    val pBm = o.groupBy(col("o_orderpriority").as("pr"), col("w"))
+      .agg(expr("bit_or(bit)").as("pbits"))
+    val sBm = o.groupBy(col("o_orderstatus").as("st"), col("w"))
+      .agg(expr("bit_or(bit)").as("sbits"))
+    val bitmapCounts = pBm.join(sBm, Seq("w"))
+      .groupBy("pr", "st")
+      .agg(sum(bit_count(col("pbits").bitwiseAND(col("sbits")))).as("n_bitmap"))
+    val exact = o.groupBy(col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n_exact"))
+    bitmapCounts.join(exact, Seq("pr", "st"), "full_outer")
+      .select(col("pr").as("priority"), col("st").as("status"),
+        coalesce(col("n_bitmap"), lit(0L)).as("n_bitmap"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+
   /** q144: Z-ORDER (Morton) layout audit — the multi-dimensional
     * clustering that makes min/max zone-map pruning work on MORE THAN
     * ONE column at once (the Delta/Iceberg `OPTIMIZE ZORDER BY` idea as

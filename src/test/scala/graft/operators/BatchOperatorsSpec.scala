@@ -196,6 +196,39 @@ class RelationalSpec extends SparkSpec {
     assert(morton(1, 0) == 1 && morton(0, 1) == 2 && morton(3, 3) == 15)
     assert(morton(255, 0) == 0x5555 && morton(0, 255) == 0xaaaa)
   }
+
+  test("q145 gini: one nation refolds from the closed rank form; bounds and perfect-equality anchor hold") {
+    val rows = Relational.giniConcentration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("gini_e6") >= 0L && r.getAs[Long]("gini_e6") < 1000000L))
+    // refold the largest nation by hand
+    val spend = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(org.apache.spark.sql.functions.expr(
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("x2"))
+      .join(graft.sources.Tables.customer(spark, sf)
+        .selectExpr("c_custkey AS o_custkey", "c_nationkey"), Seq("o_custkey"))
+      .collect().map(r => (r.getAs[Number]("c_nationkey").longValue(),
+        r.getAs[Long]("o_custkey"), r.getAs[Long]("x2")))
+    val byNation = spend.groupBy(_._1)
+    val (nk, xs) = byNation.maxBy(_._2.length)
+    val sorted = xs.sortBy(t => (t._3, t._2)).map(_._3)
+    val n = sorted.length.toLong
+    val tot = sorted.sum
+    val rx = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = (2 * rx - BigInt(n + 1) * tot) * 1000000 / (BigInt(n) * tot)
+    val got = rows.find(_.getAs[Number]("nationkey").longValue() == nk).get
+    assert(got.getAs[Long]("n_customers") == n && got.getAs[Long]("gini_e6") == gini.toLong,
+      s"nation $nk: got $got want n=$n gini=$gini")
+  }
+
+  test("q146 bitmap intersect: word-space AND counts equal exact recounts on every cell") {
+    val rows = Relational.bitmapIntersect(spark, sf).collect()
+    assert(rows.length >= 10, s"expected a dense priority×status grid, got ${rows.length}")
+    rows.foreach(r => assert(r.getAs[Long]("n_bitmap") == r.getAs[Long]("n_exact"),
+      s"bitmap/exact disagree: $r"))
+    assert(rows.map(_.getAs[Long]("n_exact")).sum ==
+      graft.sources.Tables.orders(spark, sf).count(), "cells must partition the table")
+  }
 }
 
 class PageRankSpec extends SparkSpec {
