@@ -233,6 +233,8 @@ object SparkEntry {
     "d19_audio_dedup"           -> ((s, d) => Multimodal.audioDedupFingerprint(GraftSession.tune(s), d)),
     "d20_video_dedup"           -> ((s, d) => Multimodal.videoDedupFingerprint(GraftSession.tune(s), d)),
     "q143_phrase_match"         -> ((s, d) => TextAnalysis.phraseMatch(GraftSession.tune(s), d)),
+    "t27_gram_novelty"          -> ((s, d) => TextAnalysis.gramNovelty(GraftSession.tune(s), d)),
+    "t28_token_fertility"       -> ((s, d) => TextAnalysis.tokenFertility(GraftSession.tune(s), d)),
     "q144_zorder_layout"        -> ((s, d) => Relational.zorderLayout(GraftSession.tune(s), d)),
     "q145_gini_concentration"   -> ((s, d) => Relational.giniConcentration(GraftSession.tune(s), d)),
     "q146_bitmap_intersect"     -> ((s, d) => Relational.bitmapIntersect(GraftSession.tune(s), d)),
@@ -946,6 +948,32 @@ object SparkEntry {
         |FROM hashes a JOIN hashes b ON a.id < b.id
         |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
         |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3""".stripMargin,
+    // t27: the d02 3-gram construction, scored per DOC against the
+    // corpus gram-df table (novelty = df-1 share, integer permille).
+    "t27_gram_novelty" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS g FROM w) t),
+        |gdf AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+        |    AS novelty_permille
+        |FROM sh JOIN gdf USING (g) GROUP BY doc_id""".stripMargin,
+    // t28: the t03/t12 regex token classes, folded per language;
+    // chars_per_token in exact e4 (nonneg DIV).
+    "t28_token_fertility" ->
+      """WITH d AS (SELECT lang,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS chars
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(chars) * 10000 // sum(toks) AS BIGINT) AS chars_per_token_e4
+        |FROM d GROUP BY lang""".stripMargin,
     // q143: positional phrase adjacency replayed on the oracle side via
     // positional bigram/trigram list_filter — same whitespace split.
     "q143_phrase_match" ->

@@ -761,6 +761,58 @@ object TextAnalysis {
         when(col("score_e3") > 0, "keep").otherwise("drop").as("label"))
   }
 
+  /** t27: n-gram NOVELTY per document — the memorization-risk signal a
+    * training-data pipeline reads before upsampling a source: what
+    * fraction of a doc's distinct word-3-grams appear NOWHERE else in
+    * the corpus? Low novelty = the doc is assembled from corpus
+    * boilerplate (its grams are shared); high novelty = unique content.
+    * The per-doc complement of the d02 pair view: d-family operators ask
+    * "which PAIRS overlap", this scores EVERY doc against the whole
+    * corpus in aggregate — one gram-df table instead of a pair join.
+    * Integer discipline: `novelty_permille = n_novel·1000 DIV n_grams`
+    * (nonneg, trunc ≡ floor). Shuffle shape: distinct per-doc grams
+    * (one shuffle), gram document-frequency (map-side combined), one
+    * broadcast-join back — at web scale the df table swaps to a shuffle
+    * join, same note as t05.
+    */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = graft.operators.Shingles
+      .shingleRows(Tables.documents(spark, dir), 3)
+      .select(col("doc_id"), col("shingle").as("g"))
+      .distinct()
+    val df = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    grams
+      .join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000 DIV n_grams").as("novelty_permille"))
+  }
+
+  /** t28: TOKENIZER FERTILITY per language — chars-per-token under the
+    * BPE-ish regex tokenizer (t03's `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`
+    * classes), the number a pipeline reads to budget context windows
+    * and compare tokenizer efficiency across languages. Exact-integer
+    * output: per lang, docs / tokens / non-space chars and
+    * `chars_per_token_e4 = chars·10000 DIV tokens`. One scan, two
+    * per-row regexes, one bounded-key aggregate.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("toks"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        sum("chars").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("n_chars * 10000 DIV n_tokens").as("chars_per_token_e4"))
+
   /** q143: positional inverted-index PHRASE search — exact multi-word
     * adjacency ("spark stream", "the fast key") via positional postings,
     * the capability BM25/tf-idf bag-of-words scoring (t08/q135) cannot

@@ -1124,6 +1124,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("n_ips")).sum > 0)
   }
 
+  test("t27 gram novelty: one doc refolds by hand; permille bounds; corpus-unique docs score high") {
+    val rows = TextAnalysis.gramNovelty(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"), r.getAs[Long]("novelty_permille"))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (n, nov, pm) =>
+      assert(nov <= n && pm == nov * 1000 / n && pm <= 1000)
+    }
+    // hand refold doc 7 against the whole corpus
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
+    val target = docs.find(_._1 == 7L).get._2
+    val others = docs.filter(_._1 != 7L).flatMap(_._2).toSet
+    val novel  = target.count(!others.contains(_)).toLong
+    assert(rows(7L) == ((target.size.toLong, novel, novel * 1000 / target.size)),
+      s"doc 7: got ${rows(7L)} want (${target.size}, $novel)")
+  }
+
+  test("t28 token fertility: every language's ratio refolds from token/char sums") {
+    val rows = TextAnalysis.tokenFertility(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("chars_per_token_e4") ==
+        r.getAs[Long]("n_chars") * 10000 / r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("chars_per_token_e4") >= 10000, "a token is at least one char")
+    }
+  }
+
   test("q143 phrase match: hit counts refold from a driver-side adjacency scan; bag-of-words misses excluded") {
     val got = TextAnalysis.phraseMatch(spark, sf).collect()
       .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("n_hits")).toMap
