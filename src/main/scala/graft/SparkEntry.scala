@@ -238,6 +238,7 @@ object SparkEntry {
     "q144_zorder_layout"        -> ((s, d) => Relational.zorderLayout(GraftSession.tune(s), d)),
     "q145_gini_concentration"   -> ((s, d) => Relational.giniConcentration(GraftSession.tune(s), d)),
     "q146_bitmap_intersect"     -> ((s, d) => Relational.bitmapIntersect(GraftSession.tune(s), d)),
+    "q147_bitmap_live"          -> ((s, d) => graft.streaming.BitmapIndexView.bitmapLiveCells(GraftSession.tune(s), d)),
     "s14_mutual_nn"             -> ((s, d) => Similarity.mutualNn(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
@@ -1036,6 +1037,23 @@ object SparkEntry {
         |  CAST(coalesce(n_bitmap, 0) AS BIGINT) AS n_bitmap,
         |  CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact
         |FROM bc FULL JOIN ex ON bc.pr = ex.pr AND bc.st = ex.st""".stripMargin,
+    // q147: the q146 word-fold over the LIVE feed's final corpus in
+    // closed form (deletes filtered, the mod-13 priority moves applied)
+    // — the Spark side reaches this state only through incremental
+    // bitmap updateBatch folds; hash equality proves live ≡ rebuild.
+    "q147_bitmap_live" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 13 = 5 THEN '5-LOW' ELSE o_orderpriority END AS pr,
+        |    o_orderstatus AS st,
+        |    o_orderkey // 63 AS w,
+        |    (CAST(1 AS BIGINT) << CAST(o_orderkey % 63 AS INTEGER)) AS bit
+        |  FROM orders WHERE o_orderkey % 17 <> 3),
+        |p AS (SELECT pr, w, bit_or(bit) AS pbits FROM o GROUP BY 1, 2),
+        |s AS (SELECT st, w, bit_or(bit) AS sbits FROM o GROUP BY 1, 2)
+        |SELECT pr AS priority, st AS status,
+        |  CAST(sum(bit_count(pbits & sbits)) AS BIGINT) AS n_bitmap
+        |FROM p JOIN s USING (w) GROUP BY 1, 2
+        |HAVING sum(bit_count(pbits & sbits)) > 0""".stripMargin,
     // d20: the oracle replays the per-frame cell arithmetic (never the
     // PNG bytes) and brute-forces all pairs — proves every frame's
     // encode→decode→hash round trip and the frame-chunk bucketing.
