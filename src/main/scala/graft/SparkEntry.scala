@@ -239,6 +239,7 @@ object SparkEntry {
     "q145_gini_concentration"   -> ((s, d) => Relational.giniConcentration(GraftSession.tune(s), d)),
     "q146_bitmap_intersect"     -> ((s, d) => Relational.bitmapIntersect(GraftSession.tune(s), d)),
     "q147_bitmap_live"          -> ((s, d) => graft.streaming.BitmapIndexView.bitmapLiveCells(GraftSession.tune(s), d)),
+    "q148_phrase_live"          -> ((s, d) => graft.streaming.PostingIndexView.phraseLive(GraftSession.tune(s), d)),
     "s14_mutual_nn"             -> ((s, d) => Similarity.mutualNn(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
@@ -1054,6 +1055,24 @@ object SparkEntry {
         |  CAST(sum(bit_count(pbits & sbits)) AS BIGINT) AS n_bitmap
         |FROM p JOIN s USING (w) GROUP BY 1, 2
         |HAVING sum(bit_count(pbits & sbits)) > 0""".stripMargin,
+    // q148: q143's phrase SQL over the live feed's closed-form final
+    // corpus (deletes filtered, the mod-11 " spark stream" appends
+    // applied) — the Spark side reaches this state only through
+    // incremental posting updateBatch folds.
+    "q148_phrase_live" ->
+      """WITH d2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' spark stream' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM d2),
+        |h2 AS (SELECT doc_id, len(list_filter(range(1, len(words)),
+        |    i -> words[i] = 'spark' AND words[i+1] = 'stream')) AS n_hits FROM w),
+        |h3 AS (SELECT doc_id, len(list_filter(range(1, len(words) - 1),
+        |    i -> words[i] = 'the' AND words[i+1] = 'fast' AND words[i+2] = 'key')) AS n_hits FROM w)
+        |SELECT 'spark stream' AS phrase, doc_id, CAST(n_hits AS BIGINT) AS n_hits
+        |FROM h2 WHERE n_hits > 0
+        |UNION ALL
+        |SELECT 'the fast key' AS phrase, doc_id, CAST(n_hits AS BIGINT) AS n_hits
+        |FROM h3 WHERE n_hits > 0""".stripMargin,
     // d20: the oracle replays the per-frame cell arithmetic (never the
     // PNG bytes) and brute-forces all pairs — proves every frame's
     // encode→decode→hash round trip and the frame-chunk bucketing.

@@ -1,0 +1,237 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
+
+/** Incrementally maintained POSITIONAL INVERTED INDEX over the document
+  * changefeed (SURVEY.md §2.3 #340) — the third live index family
+  * (#337 ANN postings, #339 bitmaps, here text postings): q143's phrase
+  * search served from a store kept current under document insert /
+  * update / delete, the Lucene delete-by-doc + re-add lifecycle as a
+  * partitioned-parquet dataflow.
+  *
+  * Store layout:
+  *
+  *   - `root/post/tb=<b>/` — postings `(tok, doc_id, pos)` partitioned
+  *     by TOKEN BUCKET `tb = xxhash64(tok) mod buckets`: a phrase probe
+  *     opens only its terms' bucket directories (partition pruning),
+  *     and within them filters to the terms — the positional-index
+  *     probe cost model.
+  *   - `root/keys/kb=<kb>/` — the locator `(doc_id, tsUs, seq, live,
+  *     tbs)` with CdcMaterializer commit positions, delete TOMBSTONES,
+  *     and the doc's TOKEN-BUCKET SET `tbs` — retraction of a changed/
+  *     deleted doc prunes to exactly the bucket partitions its old
+  *     postings inhabit, without re-deriving (or storing) the old text.
+  *
+  * Maintenance cost per micro-batch ∝ batch docs' postings + touched
+  * bucket partitions: LWW winners fold first, the locator resolves
+  * stale changes exactly as the materializer does, new docs tokenize in
+  * one scan-shaped posexplode, and only touched `tb` partitions are
+  * read back, anti-joined on the effective doc ids, and
+  * dynamic-partition-overwritten (emptied partitions cleared — the
+  * PartitionedUpsert rule). At 100 TB the bucket count scales with the
+  * token space and each partition is one shard of the posting table;
+  * an update re-tokenizes only itself.
+  */
+object PostingIndexView {
+
+  private def postDir(root: String) = s"$root/post"
+  private def keysDir(root: String) = s"$root/keys"
+
+  private val postSchema = StructType(Seq(
+    StructField("tb", IntegerType), StructField("tok", StringType),
+    StructField("doc_id", LongType), StructField("pos", IntegerType)))
+  private val keysSchema = StructType(Seq(
+    StructField("kb", IntegerType), StructField("doc_id", LongType),
+    StructField("tsUs", LongType), StructField("seq", LongType),
+    StructField("live", BooleanType), StructField("tbs", ArrayType(IntegerType))))
+
+  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    try spark.read.parquet(path).select(schema.fieldNames.map(col).toSeq: _*)
+    catch { case _: AnalysisException =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema) }
+
+  private def clearEmptied(root: String, colName: String, touched: Seq[Long], survivors: Set[Long]): Unit =
+    touched.filterNot(survivors).foreach { b =>
+      val dir = Paths.get(root, s"$colName=$b")
+      if (Files.isDirectory(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
+
+  private def tbOf(tok: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(xxhash64(tok), lit(buckets.toLong)).cast("int")
+
+  /** Fold one micro-batch of document changes (`op` ∈ I/U/D, `doc_id`,
+    * `text`, `tsUs`, `seq`) into the live index at `root`.
+    */
+  def updateBatch(batch: DataFrame, root: String, buckets: Int = 64, keyBuckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val wLww = Window.partitionBy("doc_id")
+      .orderBy(col("tsUs").desc, col("seq").desc, col("op").desc)
+    val winners = batch
+      .select(col("op"), col("doc_id"), col("text"), col("tsUs"), col("seq"))
+      .withColumn("__rn", row_number().over(wLww)).filter(col("__rn") === 1).drop("__rn")
+      .withColumn("kb", pmod(col("doc_id"), lit(keyBuckets.toLong)).cast("int"))
+      .persist()
+    try {
+      val kbs = winners.select("kb").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
+      val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
+      val loc = keysOld.join(winners.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("tsUs").as("s_ts"), col("seq").as("s_seq"),
+          col("live"), col("tbs").as("old_tbs"))
+      val eff = winners.join(loc, Seq("doc_id"), "left")
+        .filter(col("s_ts").isNull || col("tsUs") > col("s_ts") ||
+          (col("tsUs") === col("s_ts") && col("seq") >= col("s_seq")))
+        .persist()
+      // new postings, tokenized exactly as q143 (whitespace positions)
+      val newPost = eff.filter(col("op") =!= "D")
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.words(col("text"))).as(Seq("pos", "tok")))
+        .select(tbOf(col("tok"), buckets).as("tb"), col("tok"), col("doc_id"),
+          col("pos").cast("int").as("pos"))
+        .persist()
+      val newTbs = newPost.groupBy("doc_id").agg(collect_set("tb").as("tbs"))
+
+      val touched = eff.filter(col("live") === true)
+        .select(explode(col("old_tbs")).as("tb")).select(col("tb").cast("long"))
+        .union(newPost.select(col("tb").cast("long")))
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      val effKeys = eff.select("doc_id")
+      if (touched.nonEmpty) {
+        val postOld = readOr(spark, postDir(root), postSchema).filter(col("tb").isin(touched: _*))
+        val merged = postOld
+          .join(effKeys, Seq("doc_id"), "left_anti")
+          .unionByName(newPost.select(postSchema.fieldNames.map(col).toSeq: _*))
+          .localCheckpoint(true) // store is both source and sink of this job
+        merged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("tb")
+          .parquet(postDir(root))
+        clearEmptied(postDir(root), "tb", touched,
+          merged.select(col("tb").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
+      }
+      if (kbs.nonEmpty) {
+        val keysNew = eff.select(col("kb"), col("doc_id"), col("tsUs"), col("seq"),
+            (col("op") =!= "D").as("live"))
+          .join(newTbs, Seq("doc_id"), "left")
+          .select(col("kb"), col("doc_id"), col("tsUs"), col("seq"), col("live"),
+            coalesce(col("tbs"), array().cast("array<int>")).as("tbs"))
+        val keysMerged = keysOld
+          .join(effKeys, Seq("doc_id"), "left_anti")
+          .unionByName(keysNew)
+          .select(keysSchema.fieldNames.map(col).toSeq: _*)
+          .localCheckpoint(true)
+        keysMerged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("kb")
+          .parquet(keysDir(root))
+      }
+      newPost.unpersist(); eff.unpersist()
+    } finally winners.unpersist()
+  }
+
+  /** #340 wired end-to-end: document changefeed → live posting index. */
+  def maintain(feed: DataFrame, root: String, checkpointDir: String,
+      buckets: Int = 64, keyBuckets: Int = 64): DataStreamWriter[Row] =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        updateBatch(batch, root, buckets, keyBuckets) }
+
+  /** The live postings `(tb, tok, doc_id, pos)`. */
+  def readIndex(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(postDir(root))
+      .select(col("tb").cast("int").as("tb"), col("tok"), col("doc_id"),
+        col("pos").cast("int").as("pos"))
+
+  /** Phrase probe against the LIVE index — q143's adjacency dataflow
+    * served from the store: only the phrase terms' bucket partitions
+    * are opened (IN-pruned on `tb`), then L−1 position joins.
+    */
+  def phraseSearch(spark: SparkSession, root: String, phrases: Seq[Seq[String]],
+      buckets: Int = 64): DataFrame = {
+    val terms = phrases.flatten.distinct
+    val tbs = terms.map(t =>
+      spark.range(1).select(tbOf(lit(t), buckets)).collect().head.getInt(0).toLong).distinct
+    val post = readIndex(spark, root).filter(col("tb").isin(tbs: _*))
+      .select(col("tok"), col("doc_id"), col("pos"))
+    def occurrences(phrase: Seq[String]): DataFrame = {
+      val base = post.filter(col("tok") === phrase.head).select(col("doc_id"), col("pos"))
+      phrase.zipWithIndex.drop(1).foldLeft(base) { case (acc, (w, i)) =>
+        acc.join(
+          post.filter(col("tok") === w).select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .select(lit(phrase.mkString(" ")).as("phrase"), col("doc_id"), col("n_hits"))
+    }
+    phrases.map(occurrences).reduce(_.unionByName(_))
+  }
+
+  // ---- q148: the batch-verifiable driver entry ------------------------
+
+  private val liveDirs =
+    new scala.collection.concurrent.TrieMap[(String, String, Long), String]
+
+  /** q148: phrase search against the LIVE posting index after a mixed
+    * I/U/D document feed — inserts in three chunks with replays,
+    * `doc_id mod 11 = 5` UPDATED by appending " spark stream" (those
+    * docs gain a phrase hit — the re-tokenize path), `doc_id mod 17 = 3`
+    * DELETED, then a full stale replay of every original insert. The
+    * oracle runs q143's SQL over the closed-form final corpus; hash
+    * equality proves the maintained postings equal the batch rebuild.
+    */
+  def phraseLive(spark: SparkSession, dir: String): DataFrame = {
+    val root = liveDirs.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, IndexFingerprint.docsFingerprint(spark, dir)), {
+        val d = Files.createTempDirectory("graft_post_live").toString
+        val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        def ins(pred: org.apache.spark.sql.Column) = docs.filter(pred).select(
+          lit("I").as("op"), col("doc_id"), col("text"),
+          lit(1000L).as("tsUs"), col("doc_id").as("seq"))
+        val upd = docs.filter(col("doc_id") % 11 === 5).select(
+          lit("U").as("op"), col("doc_id"),
+          concat(col("text"), lit(" spark stream")).as("text"),
+          lit(2000L).as("tsUs"), col("doc_id").as("seq"))
+        val del = docs.filter(col("doc_id") % 17 === 3).select(
+          lit("D").as("op"), col("doc_id"), col("text"),
+          lit(3000L).as("tsUs"), col("doc_id").as("seq"))
+        Seq(
+          ins(col("doc_id") % 3 === 0),
+          ins(col("doc_id") % 3 === 1).unionByName(ins(col("doc_id") % 6 === 0)),
+          ins(col("doc_id") % 3 === 2),
+          upd,
+          del,
+          ins(lit(true)),
+        ).foreach(b => updateBatch(b, d))
+        d
+      })
+    phraseSearch(spark, root, Seq(Seq("spark", "stream"), Seq("the", "fast", "key")))
+  }
+}
+
+/** File-fingerprint helper shared by the live-index driver entries. */
+private[streaming] object IndexFingerprint {
+  def docsFingerprint(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it   = fs.listFiles(path, true)
+    var h = 1125899906842597L
+    while (it.hasNext) {
+      val st = it.next()
+      val s  = s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      h = s.foldLeft(h * 31 + 7)((a, c) => a * 131 + c)
+    }
+    h
+  }
+}
