@@ -240,6 +240,8 @@ object SparkEntry {
     "q146_bitmap_intersect"     -> ((s, d) => Relational.bitmapIntersect(GraftSession.tune(s), d)),
     "q147_bitmap_live"          -> ((s, d) => graft.streaming.BitmapIndexView.bitmapLiveCells(GraftSession.tune(s), d)),
     "q148_phrase_live"          -> ((s, d) => graft.streaming.PostingIndexView.phraseLive(GraftSession.tune(s), d)),
+    "q149_skyline_parts"        -> ((s, d) => Relational.skylineParts(GraftSession.tune(s), d)),
+    "q150_weighted_median"      -> ((s, d) => Relational.weightedMedian(GraftSession.tune(s), d)),
     "s14_mutual_nn"             -> ((s, d) => Similarity.mutualNn(GraftSession.tune(s), d)),
     "t24_dup_ngrams"            -> ((s, d) => TextAnalysis.dupNgramStats(GraftSession.tune(s), d)),
     "t25_char_entropy"          -> ((s, d) => TextAnalysis.charBigramEntropy(GraftSession.tune(s), d)),
@@ -1006,6 +1008,36 @@ object SparkEntry {
         |  CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max,
         |  CAST((max(a) - min(a) + 1) * (max(b) - min(b) + 1) AS BIGINT) AS span_area
         |FROM z GROUP BY 1""".stripMargin,
+    // q149: the oracle states the 2-D skyline as the textbook single
+    // sorted sweep (two RANGE windows) — the compare proves the banded
+    // decomposition equals the global sort.
+    "q149_skyline_parts" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS size FROM part),
+        |m AS (SELECT p_partkey, price_c, size,
+        |    max(size) OVER (ORDER BY price_c
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |    max(size) OVER (ORDER BY price_c
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m2
+        |  FROM p)
+        |SELECT p_partkey AS partkey, price_c, size FROM m
+        |WHERE NOT (coalesce(m1, -1) >= size OR m2 > size)""".stripMargin,
+    // q150: lower weighted median as the textbook per-group cumulative
+    // window — the compare proves the banded carry equals it.
+    "q150_weighted_median" ->
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT flag, CAST(sum(w) AS BIGINT) AS tw,
+        |    CAST(count(*) AS BIGINT) AS n_values FROM v GROUP BY 1),
+        |c AS (SELECT flag, price_c,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY price_c) AS cum FROM v)
+        |SELECT t.flag, CAST(min(c.price_c) AS BIGINT) AS wmedian_price_c,
+        |  t.tw AS total_weight, t.n_values
+        |FROM c JOIN t USING (flag) WHERE c.cum * 2 >= t.tw
+        |GROUP BY t.flag, t.tw, t.n_values""".stripMargin,
     // q145: the closed rank form in HUGEINT (Spark DECIMAL(38,0)); the
     // numerator is nonnegative by Chebyshev, so // ≡ DIV.
     "q145_gini_concentration" ->

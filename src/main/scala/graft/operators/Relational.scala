@@ -1853,6 +1853,83 @@ object Relational {
         coalesce(col("n_exact"), lit(0L)).as("n_exact"))
   }
 
+  /** q149: SKYLINE (Pareto frontier) over parts — minimize price,
+    * maximize size: the multi-objective dominance operator (Börzsönyi
+    * et al. 2001). A part is dominated iff another is strictly cheaper
+    * with size ≥ its own, OR no pricier with size > its own. The 2-D
+    * skyline is a SORTED SWEEP (running max of size over the
+    * cheaper-prefix), which textbook-form is one global sort —
+    * decomposed here with the q96 banded discipline so no table-sized
+    * SinglePartition exists: price bands carry in-band RANGE windows
+    * (strictly-cheaper prefix and ≤-price prefix), the cross-band carry
+    * is a max over strictly-lower bands via the bounded triangular
+    * band-table join (≈ price-domain/100 rows at ANY corpus size).
+    * Equal (price, size) duplicates are mutually non-dominating and
+    * both survive — the strict-in-one-dim definition, exact in integer
+    * cents/sizes on both engines.
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(
+      col("p_partkey"),
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_c"),
+      col("p_size").cast("long").as("size"))
+      .withColumn("band", expr("price_c DIV 10000"))
+      .localCheckpoint(false) // read twice: band totals + the sweep
+    val totals = p.groupBy("band").agg(max("size").as("bmax"))
+    val carry = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.band") < col("a.band"), "left")
+      .groupBy(col("a.band").as("band"))
+      .agg(max(col("b.bmax")).as("carry"))
+    val w1 = Window.partitionBy("band").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val w2 = Window.partitionBy("band").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    p.join(broadcast(carry), Seq("band"))
+      .withColumn("m1", greatest(
+        coalesce(max("size").over(w1), lit(-1L)), coalesce(col("carry"), lit(-1L))))
+      .withColumn("m2", greatest(
+        max("size").over(w2), coalesce(col("carry"), lit(-1L))))
+      .filter(!(col("m1") >= col("size") || col("m2") > col("size")))
+      .select(col("p_partkey").as("partkey"), col("price_c"), col("size"))
+  }
+
+  /** q150: WEIGHTED MEDIAN per group — the robust center q56's discrete
+    * median cannot give when rows carry unequal mass (here: lineitem
+    * price weighted by quantity, per return flag). Lower weighted
+    * median: the smallest value v with 2·cumweight(≤ v) ≥ totalweight —
+    * exact integers end to end (e2 cents, integral quantities), so both
+    * engines pick the identical value. Values pre-folded to one row per
+    * (group, value) (the weight fold map-side combines), then the q96
+    * banded prefix: in-band cumulative weights under a per-(group,band)
+    * window, cross-band carry from the bounded triangular band-table
+    * join — no table-sized global sort anywhere.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("wt"))
+      .groupBy("flag", "price_c").agg(sum("wt").as("w"))
+      .withColumn("band", expr("price_c DIV 100000"))
+      .localCheckpoint(false) // read three times: totals, carry, sweep
+    val tot = v.groupBy("flag").agg(sum("w").as("tw"), count(lit(1)).as("n_values"))
+    val totals = v.groupBy("flag", "band").agg(sum("w").as("btot"))
+    val carry = totals.as("a")
+      .join(broadcast(totals.as("b")),
+        col("a.flag") === col("b.flag") && col("b.band") < col("a.band"), "left")
+      .groupBy(col("a.flag").as("flag"), col("a.band").as("band"))
+      .agg(sum(col("b.btot")).as("carry"))
+    val wIn = Window.partitionBy("flag", "band").orderBy("price_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.join(broadcast(carry), Seq("flag", "band"))
+      .withColumn("cum", coalesce(col("carry"), lit(0L)) + sum("w").over(wIn))
+      .join(broadcast(tot), Seq("flag"))
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy("flag")
+      .agg(min("price_c").as("wmedian_price_c"),
+        max("tw").as("total_weight"), max("n_values").as("n_values"))
+  }
+
   /** q144: Z-ORDER (Morton) layout audit — the multi-dimensional
     * clustering that makes min/max zone-map pruning work on MORE THAN
     * ONE column at once (the Delta/Iceberg `OPTIMIZE ZORDER BY` idea as

@@ -44,7 +44,11 @@ object PlanAudit {
     // offset-join idiom: months / score bands / length bands)
     val thetaBnljAllowed = Set("q12_running_revenue", "q74_quality_deciles",
       "q86_global_shard_ids", "q96_peak_concurrency", "q99_lateness_profile",
-      "q103_shard_entropy", "q129_kmv_overlap", "q135_hybrid_rrf")
+      "q103_shard_entropy", "q129_kmv_overlap", "q135_hybrid_rrf",
+      // q149/q150: the same bounded band-table triangles (price-domain
+      // DIV 10000 / DIV 100000 bands — grid size fixed by the price
+      // domain, not the corpus)
+      "q149_skyline_parts", "q150_weighted_median")
     // Mid-pipeline SinglePartition allowlist (PlanChecks already exempts
     // keyless one-row rollups and global limits structurally): the
     // BOUNDED-fold global windows/sorts, where the single partition

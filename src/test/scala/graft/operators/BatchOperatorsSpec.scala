@@ -197,6 +197,40 @@ class RelationalSpec extends SparkSpec {
     assert(morton(255, 0) == 0x5555 && morton(0, 255) == 0xaaaa)
   }
 
+  test("q149 skyline: equals the brute-force dominance scan; every excluded part is dominated by a member") {
+    val got = Relational.skylineParts(spark, sf).collect()
+      .map(r => (r.getAs[Long]("partkey"), r.getAs[Long]("price_c"), r.getAs[Long]("size"))).toSet
+    val parts = graft.sources.Tables.part(spark, sf)
+      .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c",
+        "CAST(p_size AS BIGINT) AS size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      (a._2 < b._2 && a._3 >= b._3) || (a._2 <= b._2 && a._3 > b._3)
+    val want = parts.filter(p => !parts.exists(q => dominates(q, p))).toSet
+    assert(got == want, s"skyline diff: ${(got diff want) ++ (want diff got)}")
+    // completeness of the exclusion: every non-member is dominated by a MEMBER
+    parts.filterNot(want).foreach(p =>
+      assert(want.exists(m => dominates(m, p)), s"excluded $p dominated by no skyline member"))
+  }
+
+  test("q150 weighted median: every flag refolds from the cumulative-weight definition") {
+    val got = Relational.weightedMedian(spark, sf).collect()
+      .map(r => r.getAs[String]("flag") ->
+        (r.getAs[Long]("wmedian_price_c"), r.getAs[Long]("total_weight"), r.getAs[Long]("n_values"))).toMap
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag AS flag", "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
+        "CAST(round(l_quantity) AS BIGINT) AS wt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (f, rs) =>
+      val byPrice = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tw = byPrice.map(_._2).sum
+      var cum = 0L
+      val med = byPrice.collectFirst { case (p, w) if { cum += w; cum * 2 >= tw } => p }.get
+      f -> ((med, tw, byPrice.length.toLong))
+    }
+    assert(got == want, s"wmedian: $got != $want")
+  }
+
   test("q145 gini: one nation refolds from the closed rank form; bounds and perfect-equality anchor hold") {
     val rows = Relational.giniConcentration(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -166,6 +166,12 @@ class PlanSpec extends SparkSpec {
       // TakeOrdered 20-row list (two legs → two BNLJ nodes) — bounded by
       // the retrieval cut k, never corpus-sized
       "q135_hybrid_rrf",
+      // skyline carry: triangular max over the price-BAND maxima table —
+      // bounded by price-domain/100 rows at any corpus size
+      "q149_skyline_parts",
+      // weighted-median carry: triangular sum over the (flag × price
+      // band) totals table — bounded by the price domain, not lineitem
+      "q150_weighted_median",
     )
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
