@@ -94,7 +94,10 @@ object Bench {
     val roundN = 1 + java.nio.file.Files.list(java.nio.file.Paths.get("."))
       .iterator().asScala.map(_.getFileName.toString)
       .flatMap { n =>
-        "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt)
+        // driver files (BENCH_rN.json) are untracked; the self-written
+        // BENCH_rN_full.json IS committed — match both so a fresh
+        // checkout still infers the right round
+        "^BENCH_r(\\d+)(_full)?\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt)
       }.foldLeft(0)((a, b) => math.max(a, b))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(f"BENCH_r$roundN%02d_full.json"),

@@ -992,11 +992,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'the fast key' AS phrase, doc_id, CAST(n_hits AS BIGINT) AS n_hits
         |FROM h3 WHERE n_hits > 0""".stripMargin,
-    // q144: the Morton interleave is replayed bit-by-bit (positive
-    // operands, so % ≡ pmod and // ≡ DIV throughout).
+    // q144: the Morton interleave is replayed bit-by-bit. Both dims are
+    // clamped nonnegative on BOTH sides (pmod-equivalent for a, floor
+    // clamp for b) so negative user values can't diverge Spark's
+    // truncating DIV from DuckDB's flooring // before the bit packing.
     "q144_zorder_layout" ->
-      """WITH e AS (SELECT user_id % 256 AS a,
-        |    least(CAST(round(value * 10000) AS BIGINT) // 400, 255) AS b
+      """WITH e AS (SELECT ((user_id % 256) + 256) % 256 AS a,
+        |    least(greatest(CAST(round(value * 10000) AS BIGINT) // 400, 0), 255) AS b
         |  FROM events),
         |z AS (SELECT a, b,
         |  list_aggregate(list_transform(range(8), i ->

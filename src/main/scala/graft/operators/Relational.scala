@@ -1947,9 +1947,15 @@ object Relational {
     * that lays files out for two-dimensional pruning.
     */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    // Both dims clamped into [0, 255] BEFORE the bit interleave: events
+    // are user-supplied, and a negative value would otherwise corrupt
+    // the Morton bits differently per engine (Spark DIV truncates toward
+    // zero, DuckDB // floors — the q141 offset rule's sibling); pmod
+    // already lands `a` nonnegative, greatest∘least does it for `b`.
     val ev = Tables.events(spark, dir).select(
       pmod(col("user_id"), lit(256L)).as("a"),
-      least(expr("CAST(round(value * 10000) AS BIGINT) DIV 400"), lit(255L)).as("b"))
+      least(greatest(expr("CAST(round(value * 10000) AS BIGINT) DIV 400"), lit(0L)),
+        lit(255L)).as("b"))
     val morton = (0 until 8).map { i =>
       shiftleft(shiftright(col("a"), i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(col("b"), i).bitwiseAND(lit(1L)), 2 * i + 1)

@@ -114,6 +114,9 @@ object AnnIndexView {
       .withColumn("__rn", row_number().over(wLww)).filter(col("__rn") === 1).drop("__rn")
       .withColumn("kb", pmod(col("vec_id"), lit(keyBuckets.toLong)).cast("int"))
       .persist()
+    // every cached frame unpersists in the finally — a failed store
+    // write must not leak blocks in a long-lived foreachBatch session
+    val cached = scala.collection.mutable.Buffer[DataFrame](winners)
     try {
       // locator partitions the batch touches — driver-side (≤ keyBuckets)
       val kbs = winners.select("kb").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
@@ -131,11 +134,13 @@ object AnnIndexView {
         .filter(col("s_ts").isNull || col("tsUs") > col("s_ts") ||
           (col("tsUs") === col("s_ts") && col("seq") >= col("s_seq")))
         .persist()
+      cached += eff
       val ups = Similarity.withHyperplaneBucket(eff.filter(col("op") =!= "D"), numPlanes)
         .withColumn("norm", l2Norm(col("embedding")))
         .select(col("bucket").cast("int").as("bucket"), col("vec_id"), col("embedding"),
           col("norm"), col("kb"), col("tsUs"), col("seq"))
         .persist()
+      cached += ups
       val effKeys = eff.select("vec_id")
 
       // touched DATA partitions = current buckets of effective LIVE keys
@@ -175,8 +180,7 @@ object AnnIndexView {
         clearEmptied(keysDir(root), "kb", kbs,
           keysMerged.select("kb").distinct().collect().map(_.getInt(0).toLong).toSet)
       }
-      ups.unpersist(); eff.unpersist()
-    } finally winners.unpersist()
+    } finally cached.foreach(_.unpersist())
   }
 
   /** Compaction sweep: drop delete tombstones older than the feed's
@@ -190,6 +194,61 @@ object AnnIndexView {
       .localCheckpoint(true)
     kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
   }
+
+  /** `FORGET KEY` over THIS store (#338 extended to the live-index tier,
+    * r15): erase every at-rest trace of `key` — its posting row (if
+    * live) AND its locator row INCLUDING a delete tombstone (the
+    * tombstone itself names the key, so GDPR erasure must take it too).
+    * The locator answers WHERE the posting lives, so the data-store
+    * rewrite is partition-pruned to exactly the key's bucket; only the
+    * key's kb locator partition is rewritten. Erasing the tombstone
+    * forfeits its late-replay protection for this key — the same trade
+    * [[pruneTombstones]] makes, acceptable because the purge contract
+    * (as in [[ViewCatalog.forgetKey]]) is that the SOURCE has stopped
+    * feeding the key. Returns (partitions_rewritten, rows_dropped).
+    */
+  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) = {
+    val locRows = readOr(spark, keysDir(root), keysSchema)
+      .filter(col("vec_id") === key).collect()
+    if (locRows.isEmpty) return (0L, 0L)
+    var parts = 0L
+    var dropped = 0L
+    val liveBuckets = locRows.filter(_.getAs[Boolean]("live"))
+      .map(_.getAs[Int]("bucket").toLong).distinct.toSeq
+    if (liveBuckets.nonEmpty) {
+      val dataOld = readOr(spark, dataDir(root), dataSchema)
+        .filter(col("bucket").isin(liveBuckets: _*))
+      val kept = dataOld.filter(col("vec_id") =!= key).localCheckpoint(true)
+      dropped += dataOld.count() - kept.count()
+      kept.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(dataDir(root))
+      clearEmptied(dataDir(root), "bucket", liveBuckets,
+        kept.select("bucket").distinct().collect().map(_.getInt(0).toLong).toSet)
+      parts += liveBuckets.size
+    }
+    val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
+    val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
+    val keysKept = keysOld.filter(col("vec_id") =!= key).localCheckpoint(true)
+    dropped += locRows.length
+    keysKept.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb")
+      .parquet(keysDir(root))
+    clearEmptied(keysDir(root), "kb", kbs,
+      keysKept.select("kb").distinct().collect().map(_.getInt(0).toLong).toSet)
+    parts += kbs.size
+    (parts, dropped)
+  }
+
+  /** The [[forgetKey]] auditor for this store: at-rest rows still
+    * naming `key` — posting rows plus locator rows (tombstones count:
+    * they carry the key id). Zero = forgotten.
+    */
+  def keyTraces(spark: SparkSession, root: String, key: Long): Long =
+    readOr(spark, dataDir(root), dataSchema).filter(col("vec_id") === key).count() +
+      readOr(spark, keysDir(root), keysSchema).filter(col("vec_id") === key).count()
 
   /** #337 wired end-to-end: changefeed → live LSH index. */
   def maintain(feed: DataFrame, root: String, checkpointDir: String,

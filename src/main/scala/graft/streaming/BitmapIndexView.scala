@@ -80,6 +80,9 @@ object BitmapIndexView {
       .withColumn("__rn", row_number().over(wLww)).filter(col("__rn") === 1).drop("__rn")
       .withColumn("kb", pmod(col("key"), lit(keyBuckets.toLong)).cast("int"))
       .persist()
+    // every cached frame unpersists in the finally — a failed store
+    // write must not leak blocks in a long-lived foreachBatch session
+    val cached = scala.collection.mutable.Buffer[DataFrame](winners)
     try {
       val kbs = winners.select("kb").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
       val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
@@ -90,6 +93,7 @@ object BitmapIndexView {
         .filter(col("s_ts").isNull || col("tsUs") > col("s_ts") ||
           (col("tsUs") === col("s_ts") && col("seq") >= col("s_seq")))
         .persist()
+      cached += eff
       val ups = eff.filter(col("op") =!= "D")
       val wCol   = expr("key DIV 63")
       val bitCol = expr("shiftleft(CAST(1 AS BIGINT), CAST(key % 63 AS INT))")
@@ -103,6 +107,7 @@ object BitmapIndexView {
         .select(col("value").as("val"), wCol.as("w"), bitCol.as("bit"))
         .groupBy("val", "w").agg(expr("bit_or(bit)").as("st"))
       val deltas = clears.join(sets, Seq("val", "w"), "full_outer").persist()
+      cached += deltas
 
       val touched = deltas.select("val").distinct().collect().map(_.getString(0)).sorted.toSeq
       if (touched.nonEmpty) {
@@ -119,7 +124,6 @@ object BitmapIndexView {
         clearEmptied(bmDir(root), "val", touched,
           merged.select("val").distinct().collect().map(_.getString(0)).toSet)
       }
-      deltas.unpersist()
 
       if (kbs.nonEmpty) {
         val keysNew = eff.select(col("kb"), col("key"), col("tsUs"), col("seq"),
@@ -135,8 +139,94 @@ object BitmapIndexView {
           .partitionBy("kb")
           .parquet(keysDir(root))
       }
-      eff.unpersist()
-    } finally winners.unpersist()
+    } finally cached.foreach(_.unpersist())
+  }
+
+  /** Tombstone GC (r15, the [[AnnIndexView.pruneTombstones]] contract
+    * ported): drop delete tombstones older than the feed's maximum
+    * admissible lateness. Sidecar-only rewrite; bitmaps untouched (a
+    * deleted key's bit was already cleared by its delete batch).
+    */
+  def pruneTombstones(spark: SparkSession, root: String, olderThanUs: Long): Unit = {
+    val kept = readOr(spark, keysDir(root), keysSchema)
+      .filter(col("live") || col("tsUs") >= olderThanUs)
+      .localCheckpoint(true)
+    kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
+  }
+
+  /** `FORGET KEY` over THIS store (#338 extended to the live-index
+    * tier, r15): clear the key's bit from its live value's bitmap (the
+    * locator says WHICH value — one partition opened) and drop its
+    * locator row INCLUDING a delete tombstone (the tombstone names the
+    * key). Word-level surgery: only the key's word in the key's value
+    * partition changes; a zeroed word drops, an emptied partition
+    * clears. Returns (partitions_rewritten, rows_dropped) where a
+    * cleared bit counts as one dropped row.
+    */
+  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) = {
+    val locRows = readOr(spark, keysDir(root), keysSchema)
+      .filter(col("key") === key).collect()
+    if (locRows.isEmpty) return (0L, 0L)
+    var parts = 0L
+    var dropped = 0L
+    val w = key / 63L
+    val bit = 1L << (key % 63L).toInt
+    val liveVals = locRows.filter(_.getAs[Boolean]("live"))
+      .map(_.getAs[String]("val")).distinct.toSeq
+    if (liveVals.nonEmpty) {
+      val bmOld = readOr(spark, bmDir(root), bmSchema).filter(col("val").isin(liveVals: _*))
+      val hadBit = bmOld.filter(col("w") === w &&
+        (col("bits").bitwiseAND(lit(bit))) =!= 0L).count()
+      val kept = bmOld
+        .withColumn("bits",
+          when(col("w") === w, col("bits").bitwiseAND(lit(~bit))).otherwise(col("bits")))
+        .filter(col("bits") =!= 0L)
+        .localCheckpoint(true)
+      dropped += hadBit
+      kept.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("val")
+        .parquet(bmDir(root))
+      clearEmptied(bmDir(root), "val", liveVals,
+        kept.select("val").distinct().collect().map(_.getString(0)).toSet)
+      parts += liveVals.size
+    }
+    val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
+    val keysOld = readOr(spark, keysDir(root), keysSchema)
+      .filter(col("kb").isin(kbs: _*))
+    val keysKept = keysOld.filter(col("key") =!= key).localCheckpoint(true)
+    dropped += locRows.length
+    keysKept.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb")
+      .parquet(keysDir(root))
+    // keys partition column is int; normalize through long for the set
+    val survivors = keysKept.select(col("kb").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    touchedClear(keysDir(root), kbs, survivors)
+    parts += kbs.size
+    (parts, dropped)
+  }
+
+  private def touchedClear(root: String, touched: Seq[Long], survivors: Set[Long]): Unit =
+    touched.filterNot(survivors).foreach { b =>
+      val dir = Paths.get(root, s"kb=$b")
+      if (Files.isDirectory(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
+
+  /** The [[forgetKey]] auditor for this store: locator rows naming the
+    * key (tombstones count) plus bitmaps where its bit is still set —
+    * the word-position predicate pushes to the parquet scan.
+    */
+  def keyTraces(spark: SparkSession, root: String, key: Long): Long = {
+    val w = key / 63L
+    val bit = 1L << (key % 63L).toInt
+    readOr(spark, bmDir(root), bmSchema)
+      .filter(col("w") === w && (col("bits").bitwiseAND(lit(bit))) =!= 0L).count() +
+      readOr(spark, keysDir(root), keysSchema).filter(col("key") === key).count()
   }
 
   /** #339 wired end-to-end: changefeed → live bitmap index. */

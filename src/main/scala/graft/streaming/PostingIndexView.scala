@@ -82,6 +82,9 @@ object PostingIndexView {
       .withColumn("__rn", row_number().over(wLww)).filter(col("__rn") === 1).drop("__rn")
       .withColumn("kb", pmod(col("doc_id"), lit(keyBuckets.toLong)).cast("int"))
       .persist()
+    // every cached frame unpersists in the finally — a failed store
+    // write must not leak blocks in a long-lived foreachBatch session
+    val cached = scala.collection.mutable.Buffer[DataFrame](winners)
     try {
       val kbs = winners.select("kb").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
       val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
@@ -92,6 +95,7 @@ object PostingIndexView {
         .filter(col("s_ts").isNull || col("tsUs") > col("s_ts") ||
           (col("tsUs") === col("s_ts") && col("seq") >= col("s_seq")))
         .persist()
+      cached += eff
       // new postings, tokenized exactly as q143 (whitespace positions)
       val newPost = eff.filter(col("op") =!= "D")
         .select(col("doc_id"),
@@ -99,6 +103,7 @@ object PostingIndexView {
         .select(tbOf(col("tok"), buckets).as("tb"), col("tok"), col("doc_id"),
           col("pos").cast("int").as("pos"))
         .persist()
+      cached += newPost
       val newTbs = newPost.groupBy("doc_id").agg(collect_set("tb").as("tbs"))
 
       val touched = eff.filter(col("live") === true)
@@ -135,9 +140,68 @@ object PostingIndexView {
           .partitionBy("kb")
           .parquet(keysDir(root))
       }
-      newPost.unpersist(); eff.unpersist()
-    } finally winners.unpersist()
+    } finally cached.foreach(_.unpersist())
   }
+
+  /** Tombstone GC (r15, the [[AnnIndexView.pruneTombstones]] contract
+    * ported): drop delete tombstones older than the feed's maximum
+    * admissible lateness. Sidecar-only rewrite; postings untouched (a
+    * deleted doc's postings were already retracted by its delete batch).
+    */
+  def pruneTombstones(spark: SparkSession, root: String, olderThanUs: Long): Unit = {
+    val kept = readOr(spark, keysDir(root), keysSchema)
+      .filter(col("live") || col("tsUs") >= olderThanUs)
+      .localCheckpoint(true)
+    kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
+  }
+
+  /** `FORGET KEY` over THIS store (#338 extended to the live-index
+    * tier, r15): drop the doc's postings (the locator's token-bucket
+    * set prunes the rewrite to exactly the partitions its postings
+    * inhabit) and its locator row INCLUDING a delete tombstone (the
+    * tombstone names the doc). Returns
+    * (partitions_rewritten, rows_dropped).
+    */
+  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) = {
+    val locRows = readOr(spark, keysDir(root), keysSchema)
+      .filter(col("doc_id") === key).collect()
+    if (locRows.isEmpty) return (0L, 0L)
+    var parts = 0L
+    var dropped = 0L
+    val liveTbs = locRows.filter(_.getAs[Boolean]("live"))
+      .flatMap(_.getAs[scala.collection.Seq[Int]]("tbs")).map(_.toLong).distinct.toSeq
+    if (liveTbs.nonEmpty) {
+      val postOld = readOr(spark, postDir(root), postSchema).filter(col("tb").isin(liveTbs: _*))
+      val kept = postOld.filter(col("doc_id") =!= key).localCheckpoint(true)
+      dropped += postOld.count() - kept.count()
+      kept.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tb")
+        .parquet(postDir(root))
+      clearEmptied(postDir(root), "tb", liveTbs,
+        kept.select(col("tb").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
+      parts += liveTbs.size
+    }
+    val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
+    val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
+    val keysKept = keysOld.filter(col("doc_id") =!= key).localCheckpoint(true)
+    dropped += locRows.length
+    keysKept.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb")
+      .parquet(keysDir(root))
+    clearEmptied(keysDir(root), "kb", kbs,
+      keysKept.select(col("kb").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
+    parts += kbs.size
+    (parts, dropped)
+  }
+
+  /** The [[forgetKey]] auditor for this store: posting rows plus
+    * locator rows (tombstones count) still naming the doc.
+    */
+  def keyTraces(spark: SparkSession, root: String, key: Long): Long =
+    readOr(spark, postDir(root), postSchema).filter(col("doc_id") === key).count() +
+      readOr(spark, keysDir(root), keysSchema).filter(col("doc_id") === key).count()
 
   /** #340 wired end-to-end: document changefeed → live posting index. */
   def maintain(feed: DataFrame, root: String, checkpointDir: String,

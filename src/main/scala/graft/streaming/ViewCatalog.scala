@@ -77,6 +77,10 @@ class ViewCatalog(val spark: SparkSession, val root: String)
 
   private val sources = mutable.LinkedHashMap.empty[String, () => Dataset[Change]]
   private val views   = mutable.LinkedHashMap.empty[String, NamedView]
+  // name → (kind, root) of a registered live-index store (r15):
+  // kind ∈ ann | bitmap | posting, dispatching to that family's own
+  // forgetKey/keyTraces (each partition-pruned via its locator sidecar)
+  private val indexStores = mutable.LinkedHashMap.empty[String, (String, String)]
 
   private val NameRe = "^[A-Za-z_][A-Za-z0-9_]{0,63}$".r
 
@@ -137,6 +141,27 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     require(!views.contains(name), s"name $name is a materialized view; drop it first")
     sources(name) = feed
   }
+
+  /** Register a LIVE-INDEX store (an [[AnnIndexView]] / [[BitmapIndexView]]
+    * / [[PostingIndexView]] root) under `name`, so the catalog's
+    * erasure verbs cover the index tier: [[forgetKey]] rewrites the
+    * store's partitions through the family's own locator-pruned purge,
+    * and [[keyTraces]] audits it. The stores run their own maintenance
+    * streams (they are not views); registration is the bookkeeping that
+    * makes the GDPR verb complete across everything derived from the
+    * feed. Idempotent re-registration re-points the root (a restart
+    * re-wires its directories).
+    */
+  def registerIndexStore(name: String, kind: String, root: String): Unit = {
+    requireValidName(name)
+    require(Set("ann", "bitmap", "posting").contains(kind),
+      s"unknown index-store kind $kind (ann | bitmap | posting)")
+    require(!views.contains(name) && !sources.contains(name),
+      s"name $name already exists (drop the view / pick another name)")
+    indexStores(name) = (kind, root)
+  }
+
+  def indexStoreNames: Seq[String] = indexStores.keys.toSeq
 
   /** `CREATE MATERIALIZED VIEW name AS sql`: compiles the SQL against
     * the named sources/views it references, starts its maintenance
@@ -422,7 +447,10 @@ class ViewCatalog(val spark: SparkSession, val root: String)
   /** #338 `FORGET KEY k` — the right-to-be-forgotten verb across the
     * DERIVED graph: erase every at-rest trace of `key` from every
     * view's sink history (all committed batch partitions, not just the
-    * head) and from the caller's SCD2 history dirs, in one operation.
+    * head), from the caller's SCD2 history dirs, and from every
+    * registered LIVE-INDEX store ([[registerIndexStore]] — ANN postings,
+    * bitmap bits, positional postings, each family's locator sidecar
+    * tombstones included), in one operation.
     *
     * Division of labor with the LIVE path — the purge REFUSES while any
     * view's sink still serves the key live (latest change an upsert):
@@ -498,8 +526,21 @@ class ViewCatalog(val spark: SparkSession, val root: String)
           val kept = h.filter(col("key") =!= key).localCheckpoint(true)
           kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(hd)
         }
-        audit += ((hd, "history", 1L, n))
+        // partitions_rewritten reports what was actually touched: 0 when
+        // the key matched nothing and no rewrite happened
+        audit += ((hd, "history", if (n > 0) 1L else 0L, n))
       }
+    }
+    // the live-index tier (r15): each registered store purges through
+    // its own locator-pruned discipline — posting/bit/locator rows AND
+    // the delete tombstone all go (the tombstone names the key)
+    indexStores.foreach { case (n, (kind, root)) =>
+      val (parts, dropped) = kind match {
+        case "ann"     => AnnIndexView.forgetKey(spark, root, key)
+        case "bitmap"  => BitmapIndexView.forgetKey(spark, root, key)
+        case "posting" => PostingIndexView.forgetKey(spark, root, key)
+      }
+      audit += ((n, s"index:$kind", parts, dropped))
     }
     import spark.implicits._
     audit.toSeq.toDF("artifact", "kind", "partitions_rewritten", "rows_dropped")
@@ -546,6 +587,14 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         try spark.read.parquet(hd).filter(col("key") === key).count()
         catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       rows += ((hd, "history", h))
+    }
+    indexStores.foreach { case (n, (kind, root)) =>
+      val t = kind match {
+        case "ann"     => AnnIndexView.keyTraces(spark, root, key)
+        case "bitmap"  => BitmapIndexView.keyTraces(spark, root, key)
+        case "posting" => PostingIndexView.keyTraces(spark, root, key)
+      }
+      rows += ((n, s"index:$kind", t))
     }
     import spark.implicits._
     rows.toSeq.toDF("artifact", "kind", "trace_rows")

@@ -11,6 +11,9 @@ import graft.SparkSpec
   * live state tombstone expires via ttl, and the auditor proves zero
   * traces — including after a full restart-from-checkpoint.
   */
+// BmChg / DocChg / VecChg case classes are shared with the per-store
+// index-view specs (same package)
+
 class KeyPurgeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -119,5 +122,97 @@ class KeyPurgeSpec extends SparkSpec {
       .exists(_._1 == "rom"), "resumed graph keeps maintaining")
     assert(v3.cols == Seq("city", "n", "total"))
     cat2.stopAll()
+  }
+
+  test("#338b FORGET KEY sweeps the live-index stores: postings, words, locators (tombstones incl.), probes dead, restart holds") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+
+    // deterministic 4-dim vectors; key 7 is the purge target, key 9 is
+    // deleted through the feed first (its locator trace is a TOMBSTONE)
+    def vec(id: Long): Array[Float] =
+      Array((id + 1).toFloat, ((id * 7) % 5 - 2).toFloat, ((id * 3) % 4).toFloat, 1.0f)
+    val ids = (0L until 12L).toSeq
+
+    val (annRoot, bmRoot, postRoot) = (tmp("fkann"), tmp("fkbm"), tmp("fkpost"))
+    val (annCk, bmCk, postCk) = (tmp("fkannck"), tmp("fkbmck"), tmp("fkpostck"))
+
+    val annIn = MemoryStream[VecChg]
+    val bmIn = MemoryStream[BmChg]
+    val postIn = MemoryStream[DocChg]
+    val annQ = AnnIndexView.maintain(annIn.toDF(), annRoot, annCk, numPlanes = 4, keyBuckets = 4).start()
+    val bmQ = BitmapIndexView.maintain(bmIn.toDF(), bmRoot, bmCk, keyBuckets = 4).start()
+    val postQ = PostingIndexView.maintain(postIn.toDF(), postRoot, postCk, buckets = 8, keyBuckets = 4).start()
+    def drainAll(): Unit = { annQ.processAllAvailable(); bmQ.processAllAvailable(); postQ.processAllAvailable() }
+    try {
+      annIn.addData(ids.map(i => VecChg("I", i, vec(i), 1000L, i)): _*)
+      bmIn.addData(ids.map(i => BmChg("I", i, if (i % 2 == 0) "red" else "blue", 1000L, i)): _*)
+      postIn.addData(ids.map(i => DocChg("I", i, s"spark stream doc $i spark stream", 1000L, i)): _*)
+      drainAll()
+      // key 9 deleted through the feed: leaves a locator tombstone in each store
+      annIn.addData(VecChg("D", 9L, vec(9L), 2000L, 100L))
+      bmIn.addData(BmChg("D", 9L, "blue", 2000L, 100L))
+      postIn.addData(DocChg("D", 9L, "", 2000L, 100L))
+      drainAll()
+    } finally { annQ.stop(); bmQ.stop(); postQ.stop() }
+
+    val cat = new ViewCatalog(spark, tmp("fkcat"))
+    cat.registerIndexStore("ann_idx", "ann", annRoot)
+    cat.registerIndexStore("bm_idx", "bitmap", bmRoot)
+    cat.registerIndexStore("post_idx", "posting", postRoot)
+    assert(cat.indexStoreNames.toSet == Set("ann_idx", "bm_idx", "post_idx"))
+
+    def traces(key: Long): Map[String, Long] =
+      cat.keyTraces(key).collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // pre-purge sanity: key 7 (live) traces in all three; key 9 traces
+    // are tombstone-only but NONZERO (the tombstone names the key)
+    assert(traces(7L).values.forall(_ > 0L), s"key 7 must trace in all stores: ${traces(7L)}")
+    assert(traces(9L).values.forall(_ > 0L), s"key 9's tombstones must trace: ${traces(9L)}")
+    val cellsBefore = BitmapIndexView.cellCounts(spark, bmRoot, bmRoot)
+      .filter(col("a_val") === "blue" && col("b_val") === "blue").collect().head.getLong(2)
+
+    // purge the LIVE key and the TOMBSTONED key
+    val audit = cat.forgetKey(7L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+    assert(audit.exists { case (a, k, n) => a == "ann_idx" && k == "index:ann" && n > 0 },
+      s"ann purge must drop rows: $audit")
+    assert(audit.exists { case (a, k, n) => a == "bm_idx" && k == "index:bitmap" && n >= 2 },
+      s"bitmap purge must clear the bit and the locator row: $audit")
+    assert(audit.exists { case (a, k, n) => a == "post_idx" && k == "index:posting" && n > 0 },
+      s"posting purge must drop rows: $audit")
+    cat.forgetKey(9L)
+
+    assert(traces(7L).values.forall(_ == 0L), s"key 7 must be traceless: ${traces(7L)}")
+    assert(traces(9L).values.forall(_ == 0L), s"key 9's tombstone must be gone: ${traces(9L)}")
+
+    // probes no longer return the purged keys
+    val queries = Seq((7L, vec(7L)), (6L, vec(6L))).toDF("query_id", "embedding")
+    val nbrs = AnnIndexView.similarTo(spark, annRoot, queries, k = 11, numPlanes = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(!nbrs.contains(7L) && !nbrs.contains(9L) && nbrs.nonEmpty,
+      s"purged keys must never surface as neighbors: $nbrs")
+    val cellsAfter = BitmapIndexView.cellCounts(spark, bmRoot, bmRoot)
+      .filter(col("a_val") === "blue" && col("b_val") === "blue").collect().head.getLong(2)
+    assert(cellsAfter == cellsBefore - 1, s"blue cell must shrink by key 7's bit: $cellsBefore -> $cellsAfter")
+    val hits = PostingIndexView.phraseSearch(spark, postRoot, Seq(Seq("spark", "stream")), buckets = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(!hits.contains(7L) && !hits.contains(9L) && hits.nonEmpty,
+      s"purged docs must not match phrases: $hits")
+
+    // restart each maintenance stream from its checkpoint, feed OTHER
+    // keys: the purge holds and maintenance keeps working
+    val annQ2 = AnnIndexView.maintain(annIn.toDF(), annRoot, annCk, numPlanes = 4, keyBuckets = 4).start()
+    val bmQ2 = BitmapIndexView.maintain(bmIn.toDF(), bmRoot, bmCk, keyBuckets = 4).start()
+    val postQ2 = PostingIndexView.maintain(postIn.toDF(), postRoot, postCk, buckets = 8, keyBuckets = 4).start()
+    try {
+      annIn.addData(VecChg("U", 3L, vec(20L), 3000L, 200L))
+      bmIn.addData(BmChg("U", 3L, "red", 3000L, 200L))
+      postIn.addData(DocChg("U", 3L, "updated doc three", 3000L, 200L))
+      annQ2.processAllAvailable(); bmQ2.processAllAvailable(); postQ2.processAllAvailable()
+    } finally { annQ2.stop(); bmQ2.stop(); postQ2.stop() }
+    assert(traces(7L).values.forall(_ == 0L), "purge must survive restart-from-checkpoint")
+    assert(traces(9L).values.forall(_ == 0L), "tombstone purge must survive restart")
+    assert(traces(3L).values.forall(_ > 0L), "maintenance must keep working after restart")
   }
 }
