@@ -195,6 +195,15 @@ object AnnIndexView {
     kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
   }
 
+  /** Small-file compaction over the churned store (r15) — see
+    * [[PostingIndexView.compactStore]]; same OPTIMIZE pass, same
+    * rows-unchanged contract.
+    */
+  def compactStore(spark: SparkSession, root: String,
+      targetBytes: Long = 64L << 20, smallBytes: Long = 16L << 20): Seq[graft.sources.Compaction.LeafReport] =
+    graft.sources.Compaction.compact(spark, dataDir(root), targetBytes, smallBytes) ++
+      graft.sources.Compaction.compact(spark, keysDir(root), targetBytes, smallBytes)
+
   /** `FORGET KEY` over THIS store (#338 extended to the live-index tier,
     * r15): erase every at-rest trace of `key` — its posting row (if
     * live) AND its locator row INCLUDING a delete tombstone (the

@@ -154,6 +154,15 @@ object BitmapIndexView {
     kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
   }
 
+  /** Small-file compaction over the churned store (r15) — see
+    * [[PostingIndexView.compactStore]]; same OPTIMIZE pass, same
+    * rows-unchanged contract.
+    */
+  def compactStore(spark: SparkSession, root: String,
+      targetBytes: Long = 64L << 20, smallBytes: Long = 16L << 20): Seq[graft.sources.Compaction.LeafReport] =
+    graft.sources.Compaction.compact(spark, bmDir(root), targetBytes, smallBytes) ++
+      graft.sources.Compaction.compact(spark, keysDir(root), targetBytes, smallBytes)
+
   /** `FORGET KEY` over THIS store (#338 extended to the live-index
     * tier, r15): clear the key's bit from its live value's bitmap (the
     * locator says WHICH value — one partition opened) and drop its

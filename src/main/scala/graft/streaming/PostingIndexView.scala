@@ -155,6 +155,19 @@ object PostingIndexView {
     kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
   }
 
+  /** Small-file compaction over the CHURNED store (r15): every dynamic
+    * partition overwrite leaves up to shuffle-partitions files per
+    * touched `tb`/`kb` leaf, so a churn-heavy feed accretes small files
+    * even though row counts stay bounded — the classic small-file
+    * disease, fixed by the same OPTIMIZE pass plain tables get
+    * ([[graft.sources.Compaction]]). Probe results are unchanged (same
+    * rows, fewer files); run between batches like any maintenance.
+    */
+  def compactStore(spark: SparkSession, root: String,
+      targetBytes: Long = 64L << 20, smallBytes: Long = 16L << 20): Seq[graft.sources.Compaction.LeafReport] =
+    graft.sources.Compaction.compact(spark, postDir(root), targetBytes, smallBytes) ++
+      graft.sources.Compaction.compact(spark, keysDir(root), targetBytes, smallBytes)
+
   /** `FORGET KEY` over THIS store (#338 extended to the live-index
     * tier, r15): drop the doc's postings (the locator's token-bucket
     * set prunes the rewrite to exactly the partitions its postings
