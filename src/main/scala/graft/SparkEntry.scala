@@ -249,6 +249,7 @@ object SparkEntry {
     "s11_ann_pq_recall"         -> ((s, d) => Similarity.annPqRecallAudit(GraftSession.tune(s), d)),
     "s12_ann_ivf_recall"        -> ((s, d) => Similarity.annIvfRecallAudit(GraftSession.tune(s), d)),
     "s13_ann_live_index"        -> ((s, d) => graft.streaming.AnnIndexView.annLiveIndex(GraftSession.tune(s), d)),
+    "s15_ann_ivf_live"          -> ((s, d) => graft.streaming.IvfIndexView.annIvfLive(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
     "t22_zipf_slope"            -> ((s, d) => TextAnalysis.zipfSlope(GraftSession.tune(s), d)),
     "t23_perplexity_buckets"    -> ((s, d) => TextAnalysis.perplexityBuckets(GraftSession.tune(s), d)),
@@ -277,11 +278,11 @@ object SparkEntry {
   private def sqlMicro(a: String): String =
     s"list_transform($a, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
 
-  private def ivfAssignSql(cents: String, out: String): String =
+  private def ivfAssignSql(cents: String, out: String, src: String = "e"): String =
     s"""${out}_s AS (SELECT e.vec_id, e.embedding, e.norm, e.xi, c.cid,
        |  row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY 2 * ${sqlDotI("e.xi", "c.ci")} - c.c2 DESC, c.cid) AS arn
-       |  FROM e, $cents c),
+       |  FROM $src e, $cents c),
        |$out AS (SELECT vec_id, embedding, norm, xi, cid FROM ${out}_s WHERE arn = 1)""".stripMargin
   private def ivfRecomputeSql(assigned: String, out: String): String =
     s"""${out}_x AS (SELECT cid, generate_subscripts(xi, 1) AS pos, unnest(xi) AS x FROM $assigned),
@@ -1860,6 +1861,46 @@ object SparkEntry {
         |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
         |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 3""".stripMargin),
+    // s15: the live IVF index — pinned centroids replayed round-for-
+    // round over the ORIGINAL corpus (the s04 fixed-point Lloyd
+    // scaffolding), then the closed-form FINAL corpus (mod-11 negation,
+    // mod-7 deletes) assigned at those centroids and probed nprobe=2.
+    // Hash equality proves the maintained store ≡ the batch rebuild at
+    // the same pinned quantizer.
+    "s15_ann_ivf_live" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+         |  ${sqlMicro("embedding")} AS xi
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, xi AS ci, ${sqlDotI("xi", "xi")} AS c2
+         |  FROM e WHERE vec_id < 16),
+         |${ivfAssignSql("c0", "a1")},
+         |${ivfRecomputeSql("a1", "c1")},
+         |${ivfAssignSql("c1", "a2")},
+         |${ivfRecomputeSql("a2", "c2t")},
+         |ef0 AS (SELECT vec_id,
+         |  CASE WHEN vec_id % 11 = 5 THEN list_transform(embedding, x -> -x)
+         |       ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 7 <> 3),
+         |ef AS (SELECT vec_id, embedding,
+         |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+         |  ${sqlMicro("embedding")} AS xi
+         |  FROM ef0),
+         |${ivfAssignSql("c2t", "cells", "ef")},
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, xi AS q_xi
+         |  FROM cells WHERE vec_id < 10),
+         |pr_s AS (SELECT q.query_id, q.q_emb, q.q_norm, c.cid,
+         |  row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY 2 * ${sqlDotI("q.q_xi", "c.ci")} - c.c2 DESC, c.cid) AS prn
+         |  FROM q, c2t c),
+         |pr AS (SELECT query_id, q_emb, q_norm, cid FROM pr_s WHERE prn <= 2),
+         |p AS (SELECT pr.query_id, e2.vec_id AS neighbor_id,
+         |  round(${sqlDotF("pr.q_emb", "e2.embedding")} / (pr.q_norm * e2.norm), 6) AS sim6
+         |  FROM cells e2 JOIN pr ON e2.cid = pr.cid AND e2.vec_id <> pr.query_id),
+         |r AS (SELECT query_id, neighbor_id, sim6, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
+         |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3""".stripMargin,
     // s09: s02's oracle with the label folded into the bucket join —
     // the filter-key-partitions-the-index identity evaluated
     // independently.

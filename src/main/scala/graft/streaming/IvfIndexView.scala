@@ -1,0 +1,425 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions.{dot, dotLong, l2Norm, toMicro}
+import graft.operators.Similarity
+
+/** Incrementally maintained IVF index over the changefeed (SURVEY.md
+  * §2.3 #356, r15) — the fourth live index family (#337 LSH postings,
+  * #339 bitmaps, #340 text postings, here IVF cells): s04's
+  * coarse-quantizer index kept current under insert / update / delete
+  * at PINNED centroids, with the staleness measurement that tells an
+  * operator WHEN the pinned quantizer has drifted enough to retrain —
+  * the policy knob Milvus/Vespa-class engines treat as core.
+  *
+  * Store layout (the [[AnnIndexView]] discipline, cell-partitioned):
+  *
+  *   - `root/centroids/` — the PINNED coarse quantizer `(cid, ci, c2)`
+  *     in micro-unit integers (the [[Similarity.ivfIndex]] fixed-point
+  *     Lloyd output — bit-deterministic, so a SQL oracle can replay
+  *     training AND assignment);
+  *   - `root/data/cid=<c>/` — cell postings `(vec_id, embedding,
+  *     norm)`: a probe opens `nprobe` directories (partition pruning);
+  *   - `root/keys/kb=<kb>/` — locator `(vec_id, tsUs, seq, live, cid)`
+  *     with CdcMaterializer commit positions + delete tombstones, so
+  *     out-of-order changes resolve exactly as the materializer does;
+  *   - `root/drift/` — the STALENESS LOG: one row per batch
+  *     `(batch_id, kind, n_vecs, mean_err, moved, had_old)` — the mean
+  *     integer quantization error |x − c|² = |x|² − (2·x·c − |c|²) of
+  *     the batch's upserts at the pinned centroids (vs the `baseline`
+  *     row recorded at [[create]]/[[retrain]] time), AND the
+  *     assignment-CHURN count: how many updates landed in a different
+  *     cell than the row they replaced. The measured curve
+  *     (bench/ivf_drift.json) shows churn is the signal that matters:
+  *     under symmetric drift (sign flips, rotations) vectors relocate
+  *     to OTHER pinned cells at similar quantization error — the error
+  *     ratio stays ≈1.0 while nprobe recall collapses (0.97 → 0.23 at
+  *     full drift) — but `moved/had_old` reads ≈ the drifted fraction
+  *     directly. Retrain when churn sustains above the threshold the
+  *     curve calibrates; the error ratio additionally catches
+  *     EXPANSIVE drift (new mass outside every cell).
+  *
+  * Centroids are an index-CREATION parameter exactly like
+  * [[AnnIndexView]]'s plane count: maintenance NEVER moves them (that
+  * is what keeps update cost ∝ batch — re-centering re-buckets the
+  * world), [[retrain]] is the explicit rebuild verb (full store
+  * rewrite, cost documented in the drift artifact), and
+  * [[stalenessReport]] is the measurement that schedules it.
+  */
+object IvfIndexView {
+
+  private def dataDir(root: String)  = s"$root/data"
+  private def keysDir(root: String)  = s"$root/keys"
+  private def centDir(root: String)  = s"$root/centroids"
+  private def driftDir(root: String) = s"$root/drift"
+
+  private val dataSchema = StructType(Seq(
+    StructField("cid", IntegerType), StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)), StructField("norm", DoubleType)))
+  private val keysSchema = StructType(Seq(
+    StructField("kb", IntegerType), StructField("vec_id", LongType),
+    StructField("tsUs", LongType), StructField("seq", LongType),
+    StructField("live", BooleanType), StructField("cid", IntegerType)))
+
+  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    try spark.read.parquet(path).select(schema.fieldNames.map(col).toSeq: _*)
+    catch { case _: AnalysisException =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema) }
+
+  private def clearEmptied(root: String, colName: String, touched: Seq[Long], survivors: Set[Long]): Unit =
+    touched.filterNot(survivors).foreach { b =>
+      val dir = Paths.get(root, s"$colName=$b")
+      if (Files.isDirectory(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
+
+  /** Pinned centroids `(cid, ci, c2)`. */
+  def readCentroids(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(centDir(root))
+      .select(col("cid").cast("int").as("cid"), col("ci"), col("c2"))
+
+  /** Assign each row's nearest pinned centroid by the fixed-point
+    * integer argmin-L2 (argmax 2·x·c − |c|², ties → smallest cid — the
+    * exact [[Similarity.ivfIndex]] assignment, so live ≡ rebuild is
+    * provable). Adds `cid` and the integer quantization error `qerr`.
+    */
+  private def assignAt(centroids: DataFrame, rows: DataFrame): DataFrame =
+    rows
+      .withColumn("x2", dotLong(col("xi"), col("xi")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("score", lit(2L) * dotLong(col("xi"), col("ci")) - col("c2"))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct((rows.columns.filterNot(_ == "vec_id").map(col) ++
+          Seq((col("x2") - col("score")).as("qerr"), col("cid"))): _*),
+        struct(col("score"), (-col("cid")).as("ncid"))).as("best"))
+      .select((Seq(col("vec_id")) ++
+        rows.columns.filterNot(c => c == "vec_id" || c == "xi").map(c => col(s"best.$c").as(c)) ++
+        Seq(col("best.qerr").as("qerr"), col("best.cid").cast("int").as("cid"))): _*)
+
+  private def appendDrift(spark: SparkSession, root: String, batchId: Long,
+      kind: String, nVecs: Long, meanErr: Double,
+      moved: Long = 0L, hadOld: Long = 0L): Unit = {
+    import spark.implicits._
+    Seq((batchId, kind, nVecs, meanErr, moved, hadOld))
+      .toDF("batch_id", "kind", "n_vecs", "mean_err", "moved", "had_old")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(driftDir(root))
+  }
+
+  /** CREATE the index: train the pinned quantizer on `bootstrap`
+    * (`vec_id`, `embedding`) with the fixed-point Lloyd, persist the
+    * centroids, and record the baseline quantization error. The data
+    * store starts EMPTY — the corpus arrives through [[updateBatch]]
+    * like any other change (the bootstrap is a training sample, which
+    * at 100 TB is exactly how IVF quantizers are built: train on a
+    * sample, index the stream).
+    */
+  def create(spark: SparkSession, root: String, bootstrap: DataFrame,
+      k: Int = 16, iters: Int = 2): Unit = {
+    val (cells, centroids) = Similarity.ivfIndex(bootstrap, k, iters)
+    centroids.write.mode(SaveMode.Overwrite).parquet(centDir(root))
+    // baseline mean |x−c|² over the training sample, exact integers
+    val base = cells
+      .withColumn("x2", dotLong(col("xi"), col("xi")))
+      .join(broadcast(readCentroids(spark, root)), Seq("cid"))
+      .withColumn("qerr", col("x2") - (lit(2L) * dotLong(col("xi"), col("ci")) - col("c2")))
+      .agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"))
+      .collect().head
+    appendDrift(spark, root, -1L, "baseline", base.getLong(0), base.getDouble(1))
+  }
+
+  /** Fold one micro-batch of changes (`op` ∈ I/U/D, `vec_id`,
+    * `embedding`, `tsUs`, `seq`) into the live index — the
+    * [[AnnIndexView.updateBatch]] dataflow with the hyperplane bucket
+    * swapped for pinned-centroid assignment, plus the drift row.
+    */
+  def updateBatch(batch: DataFrame, root: String, keyBuckets: Int = 64,
+      batchId: Long = -1L): Unit = {
+    val spark = batch.sparkSession
+    val wLww = Window.partitionBy("vec_id")
+      .orderBy(col("tsUs").desc, col("seq").desc, col("op").desc)
+    val winners = batch
+      .select(col("op"), col("vec_id"), col("embedding"), col("tsUs"), col("seq"))
+      .withColumn("__rn", row_number().over(wLww)).filter(col("__rn") === 1).drop("__rn")
+      .withColumn("kb", pmod(col("vec_id"), lit(keyBuckets.toLong)).cast("int"))
+      .persist()
+    val cached = scala.collection.mutable.Buffer[DataFrame](winners)
+    try {
+      val kbs = winners.select("kb").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
+      val keysOld = readOr(spark, keysDir(root), keysSchema)
+        .filter(col("kb").isin(kbs: _*))
+      val loc = keysOld.join(winners.select("vec_id"), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("tsUs").as("s_ts"), col("seq").as("s_seq"),
+          col("live"), col("cid").as("old_cid"))
+      val eff = winners.join(loc, Seq("vec_id"), "left")
+        .filter(col("s_ts").isNull || col("tsUs") > col("s_ts") ||
+          (col("tsUs") === col("s_ts") && col("seq") >= col("s_seq")))
+        .persist()
+      cached += eff
+      val ups = assignAt(readCentroids(spark, root),
+          eff.filter(col("op") =!= "D")
+            .select(col("vec_id"), col("embedding"), col("kb"), col("tsUs"), col("seq"),
+              col("live"), col("old_cid"))
+            .withColumn("norm", l2Norm(col("embedding")))
+            .withColumn("xi", toMicro(col("embedding"))))
+        .persist()
+      cached += ups
+      val effKeys = eff.select("vec_id")
+
+      // drift row: the batch's mean quantization error at the PINNED
+      // centroids + the assignment-churn count (updates that changed
+      // cell) — the staleness signals, measured where the work already
+      // is (assignAt computed qerr and cid per upsert)
+      val d = ups.agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"),
+          count(when(col("live") === true && col("old_cid") =!= col("cid"), 1)).as("moved"),
+          count(when(col("live") === true, 1)).as("had_old"))
+        .collect().head
+      if (d.getLong(0) > 0L)
+        appendDrift(spark, root, batchId, "batch", d.getLong(0), d.getDouble(1),
+          d.getLong(2), d.getLong(3))
+
+      val touched = eff.filter(col("live") === true).select(col("old_cid").cast("long").as("cid"))
+        .union(ups.select(col("cid").cast("long")))
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      if (touched.nonEmpty) {
+        val dataOld = readOr(spark, dataDir(root), dataSchema)
+          .filter(col("cid").isin(touched: _*))
+        val merged = dataOld
+          .join(effKeys, Seq("vec_id"), "left_anti")
+          .unionByName(ups.select(col("cid"), col("vec_id"), col("embedding"), col("norm")))
+          .localCheckpoint(true)
+        merged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cid")
+          .parquet(dataDir(root))
+        clearEmptied(dataDir(root), "cid", touched,
+          merged.select(col("cid").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
+      }
+
+      if (kbs.nonEmpty) {
+        val keysNew = eff.select(col("kb"), col("vec_id"), col("tsUs"), col("seq"), col("op"))
+          .join(ups.select(col("vec_id"), col("cid")), Seq("vec_id"), "left")
+          .select(col("kb"), col("vec_id"), col("tsUs"), col("seq"),
+            (col("op") =!= "D").as("live"), col("cid"))
+        val keysMerged = keysOld
+          .join(effKeys, Seq("vec_id"), "left_anti")
+          .unionByName(keysNew)
+          .localCheckpoint(true)
+        keysMerged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("kb")
+          .parquet(keysDir(root))
+        clearEmptied(keysDir(root), "kb", kbs,
+          keysMerged.select("kb").distinct().collect().map(_.getInt(0).toLong).toSet)
+      }
+    } finally cached.foreach(_.unpersist())
+  }
+
+  /** #356 wired end-to-end: changefeed → live IVF index. */
+  def maintain(feed: DataFrame, root: String, checkpointDir: String,
+      keyBuckets: Int = 64): DataStreamWriter[Row] =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        updateBatch(batch, root, keyBuckets, id) }
+
+  /** The live cell postings `(cid, vec_id, embedding, norm)`. */
+  def readIndex(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(dataDir(root))
+      .select(col("cid").cast("int").as("cid"), col("vec_id"), col("embedding"), col("norm"))
+
+  /** The staleness surface: every drift row with its ratio over the
+    * CURRENT baseline (the newest `baseline` row — [[retrain]] resets
+    * it). `ratio > threshold` is the retrain trigger; the measured
+    * recall-vs-drift curve (bench/ivf_drift.json) is what calibrates
+    * the threshold.
+    */
+  def stalenessReport(spark: SparkSession, root: String): DataFrame = {
+    val d = spark.read.parquet(driftDir(root))
+    val baseline = d.filter(col("kind") === "baseline")
+      .orderBy(col("batch_id").desc).limit(1)
+      .select(col("mean_err").as("baseline_err"))
+    d.crossJoin(broadcast(baseline))
+      .withColumn("drift_ratio", col("mean_err") / col("baseline_err"))
+      .withColumn("churn_frac",
+        when(col("had_old") > 0, col("moved").cast("double") / col("had_old")))
+      .select("batch_id", "kind", "n_vecs", "mean_err", "drift_ratio",
+        "moved", "had_old", "churn_frac")
+  }
+
+  /** RETRAIN: the explicit re-centering verb — fixed-point Lloyd over
+    * the LIVE corpus, then one full re-partition of the data store and
+    * a locator cid refresh (positions untouched: retraining moves no
+    * keys in time). This is the cost [[stalenessReport]] schedules:
+    * ∝ store size, vs updateBatch's ∝ batch — which is exactly why
+    * centroids are pinned between retrains. Resets the drift baseline.
+    */
+  def retrain(spark: SparkSession, root: String, k: Int = 16, iters: Int = 2): Unit = {
+    val live = readIndex(spark, root).select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // source and sink of the rewrite below
+    create(spark, root, live, k, iters)
+    val assigned = assignAt(readCentroids(spark, root),
+      live.withColumn("norm", l2Norm(col("embedding")))
+        .withColumn("xi", toMicro(col("embedding"))))
+      .select(col("cid"), col("vec_id"), col("embedding"), col("norm"))
+      .localCheckpoint(true)
+    assigned.write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(dataDir(root))
+    val keys = readOr(spark, keysDir(root), keysSchema)
+      .drop("cid")
+      .join(assigned.select(col("vec_id"), col("cid")), Seq("vec_id"), "left")
+      .select(keysSchema.fieldNames.map(col).toSeq: _*)
+      .localCheckpoint(true)
+    keys.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
+  }
+
+  /** Tombstone GC — the [[AnnIndexView.pruneTombstones]] contract. */
+  def pruneTombstones(spark: SparkSession, root: String, olderThanUs: Long): Unit = {
+    val kept = readOr(spark, keysDir(root), keysSchema)
+      .filter(col("live") || col("tsUs") >= olderThanUs)
+      .localCheckpoint(true)
+    kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
+  }
+
+  /** `FORGET KEY` over this store — the #338 live-index contract
+    * ([[AnnIndexView.forgetKey]] with the cell locator).
+    */
+  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) = {
+    val locRows = readOr(spark, keysDir(root), keysSchema)
+      .filter(col("vec_id") === key).collect()
+    if (locRows.isEmpty) return (0L, 0L)
+    var parts = 0L
+    var dropped = 0L
+    val liveCells = locRows.filter(_.getAs[Boolean]("live"))
+      .map(_.getAs[Int]("cid").toLong).distinct.toSeq
+    if (liveCells.nonEmpty) {
+      val dataOld = readOr(spark, dataDir(root), dataSchema)
+        .filter(col("cid").isin(liveCells: _*))
+      val kept = dataOld.filter(col("vec_id") =!= key).localCheckpoint(true)
+      dropped += dataOld.count() - kept.count()
+      kept.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid")
+        .parquet(dataDir(root))
+      clearEmptied(dataDir(root), "cid", liveCells,
+        kept.select(col("cid").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
+      parts += liveCells.size
+    }
+    val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
+    val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
+    val keysKept = keysOld.filter(col("vec_id") =!= key).localCheckpoint(true)
+    dropped += locRows.length
+    keysKept.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb")
+      .parquet(keysDir(root))
+    clearEmptied(keysDir(root), "kb", kbs,
+      keysKept.select("kb").distinct().collect().map(_.getInt(0).toLong).toSet)
+    parts += kbs.size
+    (parts, dropped)
+  }
+
+  /** The [[forgetKey]] auditor for this store. */
+  def keyTraces(spark: SparkSession, root: String, key: Long): Long =
+    readOr(spark, dataDir(root), dataSchema).filter(col("vec_id") === key).count() +
+      readOr(spark, keysDir(root), keysSchema).filter(col("vec_id") === key).count()
+
+  /** Probe the LIVE index: top-k cosine neighbors per query row
+    * `(query_id, embedding)` at the pinned centroids — s04's nprobe
+    * dataflow served from the maintained store, the probed cell ids
+    * collected driver-side so the postings scan is partition-pruned to
+    * `queries × nprobe` directories.
+    */
+  def similarTo(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val centroids = readCentroids(spark, root)
+    val pw = Window.partitionBy("query_id").orderBy(col("pscore").desc, col("cid"))
+    val q = queries
+      .select(col("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q_norm", l2Norm(col("q_emb")))
+      .withColumn("q_xi", toMicro(col("q_emb")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("pscore", lit(2L) * dotLong(col("q_xi"), col("ci")) - col("c2"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cid"))
+      .persist()
+    try {
+      val probeCells = q.select("cid").distinct().collect().map(_.getInt(0).toLong).toSeq
+      val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
+      readIndex(spark, root)
+        .filter(col("cid").isin(probeCells: _*))
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+          col("norm").as("n_norm"), col("cid"))
+        .join(broadcast(q), Seq("cid"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim6", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim6"), 4).as("cosine"), col("rn"))
+        .localCheckpoint(true) // snapshot: results must survive q.unpersist
+    } finally q.unpersist()
+  }
+
+  // ---- s15: the batch-verifiable driver entry ------------------------
+
+  private val liveIndexDirs =
+    new scala.collection.concurrent.TrieMap[(String, String, Long), String]
+
+  /** s15: ANN probe against the LIVE IVF index after a mixed I/U/D feed
+    * — the s13 feed shape (three insert chunks with a mod-6 redelivery,
+    * mod-11 NEGATED updates, mod-7 deletes, then a fully stale replay
+    * of every original insert) folded into a store whose centroids were
+    * PINNED by fixed-point Lloyd over the ORIGINAL corpus. The DuckDB
+    * oracle replays the training round-for-round over `embeddings`
+    * (the s04 scaffolding), assigns the closed-form FINAL corpus at
+    * those pinned centroids, and runs the nprobe=2 probe — hash
+    * equality proves the maintained store ≡ the batch rebuild at the
+    * same quantizer.
+    */
+  def annIvfLive(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val root = liveIndexDirs.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, Similarity.corpusFingerprint(spark, dir)), {
+        val d = Files.createTempDirectory("graft_ivf_live").toString
+        val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        create(spark, d, e, k = 16, iters = 2)
+        def ins(pred: org.apache.spark.sql.Column) = e.filter(pred).select(
+          lit("I").as("op"), col("vec_id"), col("embedding"),
+          lit(1000L).as("tsUs"), col("vec_id").as("seq"))
+        val upd = e.filter(col("vec_id") % 11 === 5).select(
+          lit("U").as("op"), col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"),
+          lit(2000L).as("tsUs"), col("vec_id").as("seq"))
+        val del = e.filter(col("vec_id") % 7 === 3).select(
+          lit("D").as("op"), col("vec_id"), col("embedding"),
+          lit(3000L).as("tsUs"), col("vec_id").as("seq"))
+        Seq(
+          ins(col("vec_id") % 3 === 0),
+          ins(col("vec_id") % 3 === 1).unionByName(ins(col("vec_id") % 6 === 0)),
+          ins(col("vec_id") % 3 === 2),
+          upd,
+          del,
+          ins(lit(true)), // late replay of every original insert: all stale
+        ).zipWithIndex.foreach { case (b, i) => updateBatch(b, d, keyBuckets = 16, batchId = i.toLong) }
+        d
+      })
+    val queries = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3)
+      .select(col("vec_id").as("query_id"),
+        when(col("vec_id") % 11 === 5, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+    similarTo(spark, root, queries, k, nprobe = 2)
+  }
+}

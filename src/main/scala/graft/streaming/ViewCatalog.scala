@@ -154,8 +154,8 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     */
   def registerIndexStore(name: String, kind: String, root: String): Unit = {
     requireValidName(name)
-    require(Set("ann", "bitmap", "posting").contains(kind),
-      s"unknown index-store kind $kind (ann | bitmap | posting)")
+    require(Set("ann", "bitmap", "posting", "ivf").contains(kind),
+      s"unknown index-store kind $kind (ann | bitmap | posting | ivf)")
     require(!views.contains(name) && !sources.contains(name),
       s"name $name already exists (drop the view / pick another name)")
     indexStores(name) = (kind, root)
@@ -539,6 +539,7 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         case "ann"     => AnnIndexView.forgetKey(spark, root, key)
         case "bitmap"  => BitmapIndexView.forgetKey(spark, root, key)
         case "posting" => PostingIndexView.forgetKey(spark, root, key)
+        case "ivf"     => IvfIndexView.forgetKey(spark, root, key)
       }
       audit += ((n, s"index:$kind", parts, dropped))
     }
@@ -593,6 +594,7 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         case "ann"     => AnnIndexView.keyTraces(spark, root, key)
         case "bitmap"  => BitmapIndexView.keyTraces(spark, root, key)
         case "posting" => PostingIndexView.keyTraces(spark, root, key)
+        case "ivf"     => IvfIndexView.keyTraces(spark, root, key)
       }
       rows += ((n, s"index:$kind", t))
     }

@@ -157,11 +157,18 @@ class KeyPurgeSpec extends SparkSpec {
       drainAll()
     } finally { annQ.stop(); bmQ.stop(); postQ.stop() }
 
+    // the IVF store (no stream needed — the purge contract is at-rest)
+    val ivfRoot = tmp("fkivf")
+    IvfIndexView.create(spark, ivfRoot, ids.map(i => (i, vec(i))).toDF("vec_id", "embedding"), k = 4, iters = 1)
+    IvfIndexView.updateBatch(ids.map(i => VecChg("I", i, vec(i), 1000L, i)).toDF(), ivfRoot, 4)
+    IvfIndexView.updateBatch(Seq(VecChg("D", 9L, vec(9L), 2000L, 100L)).toDF(), ivfRoot, 4)
+
     val cat = new ViewCatalog(spark, tmp("fkcat"))
     cat.registerIndexStore("ann_idx", "ann", annRoot)
     cat.registerIndexStore("bm_idx", "bitmap", bmRoot)
     cat.registerIndexStore("post_idx", "posting", postRoot)
-    assert(cat.indexStoreNames.toSet == Set("ann_idx", "bm_idx", "post_idx"))
+    cat.registerIndexStore("ivf_idx", "ivf", ivfRoot)
+    assert(cat.indexStoreNames.toSet == Set("ann_idx", "bm_idx", "post_idx", "ivf_idx"))
 
     def traces(key: Long): Map[String, Long] =
       cat.keyTraces(key).collect().map(r => r.getString(0) -> r.getLong(2)).toMap
@@ -181,6 +188,8 @@ class KeyPurgeSpec extends SparkSpec {
       s"bitmap purge must clear the bit and the locator row: $audit")
     assert(audit.exists { case (a, k, n) => a == "post_idx" && k == "index:posting" && n > 0 },
       s"posting purge must drop rows: $audit")
+    assert(audit.exists { case (a, k, n) => a == "ivf_idx" && k == "index:ivf" && n > 0 },
+      s"ivf purge must drop rows: $audit")
     cat.forgetKey(9L)
 
     assert(traces(7L).values.forall(_ == 0L), s"key 7 must be traceless: ${traces(7L)}")
