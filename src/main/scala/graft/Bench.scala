@@ -55,6 +55,19 @@ object Bench {
     }
     def fmtQs(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The live-index queries memoize their store FOLD on the first call
+    // per corpus (the served-index discipline), so their min-of-3 is
+    // probe cost only and run 1 carries the one-time I/U/D history
+    // replay. Record that fold separately so `min` can't be misread as
+    // the full cost: store_build_sec ≈ run1 − min(run2, run3).
+    val liveQueries = Seq("s13_ann_live_index", "s15_ann_ivf_live",
+      "q147_bitmap_live", "q148_phrase_live")
+    val storeBuild = liveQueries.flatMap { q =>
+      runs.head.get(q).flatMap { r1 =>
+        val steady = Seq(runs(1).get(q), runs(2).get(q)).flatten.filter(_ >= 0)
+        if (r1 >= 0 && steady.nonEmpty) Some(q -> math.max(0.0, r1 - steady.min)) else None
+      }
+    }.toMap
     val failures = results.values.count(_ < 0)
     val total    = results.values.filter(_ >= 0).sum
     // q01 (scan+filter+project, code pinned since r1) is the DRIFT
@@ -78,6 +91,7 @@ object Bench {
     val fullJson =
       s"""{"sf":"$sfName","cpus":$cpus,"failures":$failures,"total_sec":$total,""" +
         s""""normalizer":"q01_filter_project","normalizer_sec":$normT,""" +
+        s""""store_build_sec":${fmtQs(storeBuild)},""" +
         s""""runs":[${runs.map(fmtQs).mkString(",")}],""" +
         s""""min":${fmtQs(results)},"normalized":${fmtQs(normed)}}"""
     val outDir = java.nio.file.Paths.get("bench")

@@ -77,10 +77,13 @@ class ViewCatalog(val spark: SparkSession, val root: String)
 
   private val sources = mutable.LinkedHashMap.empty[String, () => Dataset[Change]]
   private val views   = mutable.LinkedHashMap.empty[String, NamedView]
-  // name → (kind, root) of a registered live-index store (r15):
-  // kind ∈ ann | bitmap | posting, dispatching to that family's own
-  // forgetKey/keyTraces (each partition-pruned via its locator sidecar)
-  private val indexStores = mutable.LinkedHashMap.empty[String, (String, String)]
+  // name → (kind, root, params) of a registered live-index store (r15):
+  // kind ∈ ann | bitmap | posting | ivf, dispatching to that family's
+  // own probe/forgetKey/keyTraces (each partition-pruned via its
+  // locator sidecar). params carries the store's CREATION constants the
+  // probe must match (ann: planes; posting: buckets; ivf: nprobe).
+  private val indexStores =
+    mutable.LinkedHashMap.empty[String, (String, String, Map[String, Int])]
 
   private val NameRe = "^[A-Za-z_][A-Za-z0-9_]{0,63}$".r
 
@@ -152,13 +155,14 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     * feed. Idempotent re-registration re-points the root (a restart
     * re-wires its directories).
     */
-  def registerIndexStore(name: String, kind: String, root: String): Unit = {
+  def registerIndexStore(name: String, kind: String, root: String,
+      params: Map[String, Int] = Map.empty): Unit = {
     requireValidName(name)
     require(Set("ann", "bitmap", "posting", "ivf").contains(kind),
       s"unknown index-store kind $kind (ann | bitmap | posting | ivf)")
     require(!views.contains(name) && !sources.contains(name),
       s"name $name already exists (drop the view / pick another name)")
-    indexStores(name) = (kind, root)
+    indexStores(name) = (kind, root, params)
   }
 
   def indexStoreNames: Seq[String] = indexStores.keys.toSeq
@@ -534,7 +538,7 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     // the live-index tier (r15): each registered store purges through
     // its own locator-pruned discipline — posting/bit/locator rows AND
     // the delete tombstone all go (the tombstone names the key)
-    indexStores.foreach { case (n, (kind, root)) =>
+    indexStores.foreach { case (n, (kind, root, _)) =>
       val (parts, dropped) = kind match {
         case "ann"     => AnnIndexView.forgetKey(spark, root, key)
         case "bitmap"  => BitmapIndexView.forgetKey(spark, root, key)
@@ -589,7 +593,7 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       rows += ((hd, "history", h))
     }
-    indexStores.foreach { case (n, (kind, root)) =>
+    indexStores.foreach { case (n, (kind, root, _)) =>
       val t = kind match {
         case "ann"     => AnnIndexView.keyTraces(spark, root, key)
         case "bitmap"  => BitmapIndexView.keyTraces(spark, root, key)
@@ -965,7 +969,11 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     *    time-travels a named view to committed batch n
     *    ([[snapshotAsOf]]); `FROM v TIMESTAMP AS OF '<ts>'` resolves a
     *    wall-clock (string timestamp or epoch millis) to its floor
-    *    commit ([[snapshotAsOfTimestamp]]).
+    *    commit ([[snapshotAsOfTimestamp]]). The LIVE-INDEX probes are
+    *    table functions (r15): `PHRASE_SEARCH('store', 'phrase')`,
+    *    `SIMILAR_TO('store', vec_id, k)`, `CELL_COUNTS('a', 'b')`,
+    *    `INDEX_STALENESS('store')` — each served from the registered
+    *    maintained store, partition-pruned, composable as a relation.
     *
     * DDL recognition is deliberately first-match-regex, not a parser
     * fork: the three managed forms are fixed shapes, and every other
@@ -1010,7 +1018,68 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         // each occurrence registers under a mangled alias
         val VerRe = "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
         val TsRe  = "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
-        val verDone = VerRe.replaceAllIn(s, m =>
+        // live-index TABLE FUNCTIONS (r15): the maintained stores'
+        // probes reachable from SQL — each occurrence materializes the
+        // (partition-pruned) probe under a mangled alias, so it
+        // composes with joins/filters like any relation:
+        //   PHRASE_SEARCH('store', 'spark stream')   (posting)
+        //   SIMILAR_TO('store', <vec_id>, <k>)       (ann | ivf; the
+        //     query embedding is the store's OWN row for vec_id)
+        //   CELL_COUNTS('storeA', 'storeB')           (bitmap pair)
+        //   INDEX_STALENESS('store')                  (ivf drift log)
+        val PhraseRe = "(?i)PHRASE_SEARCH\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*,\\s*'([^']+)'\\s*\\)".r
+        val SimilarRe = "(?i)SIMILAR_TO\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+        val CellsRe = "(?i)CELL_COUNTS\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*,\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*\\)".r
+        val StaleRe = "(?i)INDEX_STALENESS\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*\\)".r
+        def store(n: String, wantKinds: Set[String]): (String, String, Map[String, Int]) = {
+          val st = indexStores.getOrElse(n,
+            throw new IllegalArgumentException(s"no index store named $n (registerIndexStore first)"))
+          require(wantKinds.contains(st._1),
+            s"index store $n has kind ${st._1}; expected one of ${wantKinds.mkString("/")}")
+          st
+        }
+        var fnIdx = 0
+        def fresh(prefix: String): String = { fnIdx += 1; s"__graft_${prefix}_$fnIdx" }
+        val phraseDone = PhraseRe.replaceAllIn(s, m => {
+          val (_, root, params) = store(m.group(1), Set("posting"))
+          val alias = fresh("phrase")
+          PostingIndexView.phraseSearch(spark, root,
+              Seq(m.group(2).trim.split("\\s+").toSeq),
+              buckets = params.getOrElse("buckets", 64))
+            .createOrReplaceTempView(alias)
+          alias
+        })
+        val simDone = SimilarRe.replaceAllIn(phraseDone, m => {
+          val (kind, root, params) = store(m.group(1), Set("ann", "ivf"))
+          val (id, k) = (m.group(2).toLong, m.group(3).toInt)
+          val alias = fresh("similar")
+          val idx = if (kind == "ann") AnnIndexView.readIndex(spark, root)
+                    else IvfIndexView.readIndex(spark, root)
+          val queries = idx.filter(col("vec_id") === id)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          val probe = if (kind == "ann")
+            AnnIndexView.similarTo(spark, root, queries, k,
+              numPlanes = params.getOrElse("planes", 8))
+          else
+            IvfIndexView.similarTo(spark, root, queries, k,
+              nprobe = params.getOrElse("nprobe", 2))
+          probe.createOrReplaceTempView(alias)
+          alias
+        })
+        val cellsDone = CellsRe.replaceAllIn(simDone, m => {
+          val (_, rootA, _) = store(m.group(1), Set("bitmap"))
+          val (_, rootB, _) = store(m.group(2), Set("bitmap"))
+          val alias = fresh("cells")
+          BitmapIndexView.cellCounts(spark, rootA, rootB).createOrReplaceTempView(alias)
+          alias
+        })
+        val staleDone = StaleRe.replaceAllIn(cellsDone, m => {
+          val (_, root, _) = store(m.group(1), Set("ivf"))
+          val alias = fresh("stale")
+          IvfIndexView.stalenessReport(spark, root).createOrReplaceTempView(alias)
+          alias
+        })
+        val verDone = VerRe.replaceAllIn(staleDone, m =>
           if (views.contains(m.group(1))) {
             val alias = s"${m.group(1)}__asof_${m.group(2)}"
             snapshotAsOf(m.group(1), m.group(2).toLong).createOrReplaceTempView(alias)
