@@ -82,12 +82,16 @@ object StreamBench {
     val lines = Seq("planner-agg", "planner-join", "planner-asof", "planner-gen",
         "planner-session", "planner-ranked").map { engine =>
       // the ranked class legitimately runs ~10s micro-batches at 1M
-      // keys (full-partition rank maintenance), and the join class the
-      // heaviest state writes (5.8M arrangement rows → ~25s batches on
-      // RocksDB); double their windows so the steady-state measurement
-      // sees enough completed batches past the 2-batch warmup
+      // keys (full-partition rank maintenance), and the join/asof
+      // classes the heaviest state writes (arrangement rows ≈ 2× live
+      // keys → ~40s batches at 10M keys on RocksDB); double their
+      // windows so the steady-state measurement sees enough completed
+      // batches past the 2-batch warmup (the r14 under-sampling lesson,
+      // re-learned at 10M where asof joined the heavy set)
       val window =
-        if (engine == "planner-ranked" || engine == "planner-join") seconds * 2 else seconds
+        if (engine == "planner-ranked" || engine == "planner-join" ||
+          engine == "planner-asof") seconds * 2
+        else seconds
       runOne(spark, engine, offered, window, liveKeys)
     }
     val json =
@@ -255,10 +259,14 @@ object StreamBench {
       case _    => (CdcMaterializer.materialize(rateChanges("name")).toDF(), CdcMaterializer.outputMode)
     }
     val latHist = scala.collection.mutable.Map.empty[Long, Long] // lat_ms/10 -> rows
+    // per-leg scratch checkpoint, DELETED after the leg: at 10M keys a
+    // six-leg suite otherwise accretes ~40 GB of dead state snapshots
+    // (measured — it filled the disk mid-run in r15)
+    val ckDir = s"target/streambench-ck-${System.nanoTime()}"
     val q = materialized
       .writeStream
       .outputMode(outMode)
-      .option("checkpointLocation", s"target/streambench-ck-${System.nanoTime()}")
+      .option("checkpointLocation", ckDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val tsCol = Seq("tsUs", "ts_us").find(batch.columns.contains)
         tsCol match {
@@ -280,6 +288,12 @@ object StreamBench {
     val progress = q.recentProgress.toSeq // snapshot before stop
     q.stop()
     val elapsed = (System.nanoTime() - t0) / 1e9
+    scala.util.Try {
+      val root = java.nio.file.Paths.get(ckDir)
+      if (java.nio.file.Files.isDirectory(root))
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    }: Unit
     def pct(hist: Map[Long, Long], q: Double): Long = {
       val total = hist.values.sum
       var acc   = 0L
