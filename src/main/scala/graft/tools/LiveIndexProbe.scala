@@ -73,6 +73,30 @@ object LiveIndexProbe {
       (n, build, inc)
     }
 
+    def ivfLeg(dir: String): (Long, Double, Double) = {
+      val root = java.nio.file.Files.createTempDirectory("probe_ivf").toString
+      val emb = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val n = emb.count()
+      val t0 = System.nanoTime()
+      graft.streaming.IvfIndexView.create(spark, root, emb, k = 16, iters = 2)
+      graft.streaming.IvfIndexView.updateBatch(
+        emb.select(lit("I").as("op"), col("vec_id"), col("embedding"),
+          lit(1000L).as("tsUs"), col("vec_id").as("seq")),
+        root, keyBuckets = 64)
+      val build = (System.nanoTime() - t0) / 1e9
+      var ts = 2000L
+      val inc = timeMin3 { () =>
+        ts += 1000L
+        val tsNow = ts
+        graft.streaming.IvfIndexView.updateBatch(
+          emb.filter(col("vec_id") < 500).select(lit("U").as("op"), col("vec_id"),
+            transform(col("embedding"), x => -x * lit((tsNow % 3 + 1).toFloat)).as("embedding"),
+            lit(tsNow).as("tsUs"), col("vec_id").as("seq")),
+          root, keyBuckets = 64)
+      }
+      (n, build, inc)
+    }
+
     def bmLeg(dir: String): (Long, Double, Double) = {
       val root = java.nio.file.Files.createTempDirectory("probe_bm").toString
       val o = graft.sources.Tables.orders(spark, dir)
@@ -103,7 +127,8 @@ object LiveIndexProbe {
     val lines = Seq(
       legJson("ann_lsh", annLeg(dirA), annLeg(dirB)),
       legJson("postings", postLeg(dirA), postLeg(dirB)),
-      legJson("bitmap", bmLeg(dirA), bmLeg(dirB)))
+      legJson("bitmap", bmLeg(dirA), bmLeg(dirB)),
+      legJson("ivf", ivfLeg(dirA), ivfLeg(dirB)))
     val json = s"""{"metric":"liveindex_scale","a":"$dirA","b":"$dirB","legs":[${lines.mkString(",")}]}"""
     println(json)
     val p = java.nio.file.Paths.get(out)
