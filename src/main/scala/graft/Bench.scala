@@ -105,14 +105,18 @@ object Bench {
     // as max existing BENCH_r* + 1, since the driver writes its own file
     // only after this run); (b) print a COMPACT summary as the FINAL
     // stdout line, so the tail always ends with parseable JSON.
-    val roundN = 1 + java.nio.file.Files.list(java.nio.file.Paths.get("."))
-      .iterator().asScala.map(_.getFileName.toString)
-      .flatMap { n =>
-        // driver files (BENCH_rN.json) are untracked; the self-written
-        // BENCH_rN_full.json IS committed — match both so a fresh
-        // checkout still infers the right round
-        "^BENCH_r(\\d+)(_full)?\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt)
-      }.foldLeft(0)((a, b) => math.max(a, b))
+    // round = max(driverMax + 1, fullMax): the driver's BENCH_rN.json
+    // lands AFTER the round (so +1), while a BENCH_rN_full.json we
+    // ourselves wrote is THIS round (repeated Bench runs in one round —
+    // sf1/sf3 headline passes before the full fleet — must relabel the
+    // same round, not escalate it; r15 lesson). Driver files are
+    // untracked, so on a fresh checkout fullMax alone carries the round.
+    val names = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    def maxOf(re: scala.util.matching.Regex): Int =
+      names.flatMap(n => re.findFirstMatchIn(n).map(_.group(1).toInt)).foldLeft(0)(math.max)
+    val roundN = math.max(maxOf("^BENCH_r(\\d+)\\.json$".r) + 1,
+      maxOf("^BENCH_r(\\d+)_full\\.json$".r))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(f"BENCH_r$roundN%02d_full.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
