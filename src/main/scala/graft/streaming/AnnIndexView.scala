@@ -216,9 +216,20 @@ object AnnIndexView {
     * (as in [[ViewCatalog.forgetKey]]) is that the SOURCE has stopped
     * feeding the key. Returns (partitions_rewritten, rows_dropped).
     */
-  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) = {
+  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) =
+    forgetKeys(spark, root, Seq(key))
+
+  /** Batch `FORGET KEYS` (#367, r16 — the compliance-pipeline shape):
+    * ONE IN-pruned rewrite per touched store partition for the WHOLE
+    * purge list. A daily list of 10k keys through per-key [[forgetKey]]
+    * re-reads and rewrites hot partitions up to 10k times; here cost is
+    * ∝ distinct touched partitions, never ∝ keys × partitions.
+    */
+  def forgetKeys(spark: SparkSession, root: String, keys: Seq[Long]): (Long, Long) = {
+    val keySet = keys.distinct
+    if (keySet.isEmpty) return (0L, 0L)
     val locRows = readOr(spark, keysDir(root), keysSchema)
-      .filter(col("vec_id") === key).collect()
+      .filter(col("vec_id").isin(keySet: _*)).collect()
     if (locRows.isEmpty) return (0L, 0L)
     var parts = 0L
     var dropped = 0L
@@ -227,7 +238,7 @@ object AnnIndexView {
     if (liveBuckets.nonEmpty) {
       val dataOld = readOr(spark, dataDir(root), dataSchema)
         .filter(col("bucket").isin(liveBuckets: _*))
-      val kept = dataOld.filter(col("vec_id") =!= key).localCheckpoint(true)
+      val kept = dataOld.filter(!col("vec_id").isin(keySet: _*)).localCheckpoint(true)
       dropped += dataOld.count() - kept.count()
       kept.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -239,7 +250,7 @@ object AnnIndexView {
     }
     val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
     val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
-    val keysKept = keysOld.filter(col("vec_id") =!= key).localCheckpoint(true)
+    val keysKept = keysOld.filter(!col("vec_id").isin(keySet: _*)).localCheckpoint(true)
     dropped += locRows.length
     keysKept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

@@ -172,26 +172,49 @@ object BitmapIndexView {
     * clears. Returns (partitions_rewritten, rows_dropped) where a
     * cleared bit counts as one dropped row.
     */
-  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) = {
+  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) =
+    forgetKeys(spark, root, Seq(key))
+
+  /** Batch `FORGET KEYS` (#367, r16 — see [[AnnIndexView.forgetKeys]]):
+    * the whole purge list's bits fold into ONE clear-mask per touched
+    * `(val, w)` word driver-side (∝ list size), then a single IN-pruned
+    * rewrite per touched value partition ANDs them out — never one
+    * rewrite per key.
+    */
+  def forgetKeys(spark: SparkSession, root: String, keys: Seq[Long]): (Long, Long) = {
+    import spark.implicits._
+    val keySet = keys.distinct
+    if (keySet.isEmpty) return (0L, 0L)
     val locRows = readOr(spark, keysDir(root), keysSchema)
-      .filter(col("key") === key).collect()
+      .filter(col("key").isin(keySet: _*)).collect()
     if (locRows.isEmpty) return (0L, 0L)
     var parts = 0L
     var dropped = 0L
-    val w = key / 63L
-    val bit = 1L << (key % 63L).toInt
-    val liveVals = locRows.filter(_.getAs[Boolean]("live"))
-      .map(_.getAs[String]("val")).distinct.toSeq
+    // one clear mask per (val, w) across ALL live purge keys
+    val clears = locRows.filter(_.getAs[Boolean]("live"))
+      .map { r =>
+        val k = r.getAs[Long]("key")
+        (r.getAs[String]("val"), k / 63L, 1L << (k % 63L).toInt)
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((v, w), ts) => (v, w, ts.map(_._3).reduce(_ | _)) }
+      .toSeq
+    val liveVals = clears.map(_._1).distinct
     if (liveVals.nonEmpty) {
+      val clrDf = clears.toDF("val", "w", "clr")
       val bmOld = readOr(spark, bmDir(root), bmSchema).filter(col("val").isin(liveVals: _*))
-      val hadBit = bmOld.filter(col("w") === w &&
-        (col("bits").bitwiseAND(lit(bit))) =!= 0L).count()
-      val kept = bmOld
-        .withColumn("bits",
-          when(col("w") === w, col("bits").bitwiseAND(lit(~bit))).otherwise(col("bits")))
+      val joined = bmOld.join(broadcast(clrDf), Seq("val", "w"), "left")
+      // bits actually cleared, counted BEFORE the rewrite (the store
+      // write refreshes the path and would recompute against new data)
+      val hadBits = joined
+        .agg(coalesce(sum(bit_count(col("bits").bitwiseAND(coalesce(col("clr"), lit(0L))))), lit(0L)))
+        .collect().head.getLong(0)
+      val kept = joined
+        .select(col("val"), col("w"),
+          col("bits").bitwiseAND(expr("~coalesce(clr, 0)")).as("bits"))
         .filter(col("bits") =!= 0L)
         .localCheckpoint(true)
-      dropped += hadBit
+      dropped += hadBits
       kept.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("val")
@@ -203,28 +226,21 @@ object BitmapIndexView {
     val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
     val keysOld = readOr(spark, keysDir(root), keysSchema)
       .filter(col("kb").isin(kbs: _*))
-    val keysKept = keysOld.filter(col("key") =!= key).localCheckpoint(true)
+    val keysKept = keysOld.filter(!col("key").isin(keySet: _*)).localCheckpoint(true)
     dropped += locRows.length
     keysKept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")
       .parquet(keysDir(root))
-    // keys partition column is int; normalize through long for the set
+    // keys partition column is int; normalize through string to reuse
+    // the one directory-removal helper (its touched values are the
+    // partition-dir suffixes, stringly for the val= bitmap partitions)
     val survivors = keysKept.select(col("kb").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    touchedClear(keysDir(root), kbs, survivors)
+      .collect().map(_.getLong(0).toString).toSet
+    clearEmptied(keysDir(root), "kb", kbs.map(_.toString), survivors)
     parts += kbs.size
     (parts, dropped)
   }
-
-  private def touchedClear(root: String, touched: Seq[Long], survivors: Set[Long]): Unit =
-    touched.filterNot(survivors).foreach { b =>
-      val dir = Paths.get(root, s"kb=$b")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-    }
 
   /** The [[forgetKey]] auditor for this store: locator rows naming the
     * key (tombstones count) plus bitmaps where its bit is still set —

@@ -33,20 +33,24 @@ import graft.operators.Similarity
   *     with CdcMaterializer commit positions + delete tombstones, so
   *     out-of-order changes resolve exactly as the materializer does;
   *   - `root/drift/` — the STALENESS LOG: one row per batch
-  *     `(batch_id, kind, n_vecs, mean_err, moved, had_old)` — the mean
-  *     integer quantization error |x − c|² = |x|² − (2·x·c − |c|²) of
-  *     the batch's upserts at the pinned centroids (vs the `baseline`
-  *     row recorded at [[create]]/[[retrain]] time), AND the
+  *     `(batch_id, kind, n_vecs, mean_err, moved, had_old, base_seq)` —
+  *     the mean integer quantization error |x − c|² = |x|² − (2·x·c −
+  *     |c|²) of the batch's upserts at the pinned centroids (vs the
+  *     `baseline` row recorded at [[create]]/[[retrain]] time), AND the
   *     assignment-CHURN count: how many updates landed in a different
   *     cell than the row they replaced. The measured curve
   *     (bench/ivf_drift.json) shows churn is the signal that matters:
   *     under symmetric drift (sign flips, rotations) vectors relocate
   *     to OTHER pinned cells at similar quantization error — the error
   *     ratio stays ≈1.0 while nprobe recall collapses (0.97 → 0.23 at
-  *     full drift) — but `moved/had_old` reads ≈ the drifted fraction
-  *     directly. Retrain when churn sustains above the threshold the
-  *     curve calibrates; the error ratio additionally catches
-  *     EXPANSIVE drift (new mass outside every cell).
+  *     full drift) — while `moved/had_old` reads the fraction of THAT
+  *     BATCH's updates that changed cell (1.0 when the batch IS the
+  *     drifted slice, however small the batch). The retrain TRIGGER is
+  *     therefore the batch-size-weighted CUMULATIVE form
+  *     (`cum_churn_frac` = moved-total since the baseline ÷ store
+  *     size, see [[stalenessReport]]/[[RetrainPolicy]]); the error
+  *     ratio additionally catches EXPANSIVE drift (new mass outside
+  *     every cell).
   *
   * Centroids are an index-CREATION parameter exactly like
   * [[AnnIndexView]]'s plane count: maintenance NEVER moves them (that
@@ -61,6 +65,14 @@ object IvfIndexView {
   private def keysDir(root: String)  = s"$root/keys"
   private def centDir(root: String)  = s"$root/centroids"
   private def driftDir(root: String) = s"$root/drift"
+  // present while a retrain is mid-flight: centroids/data/keys may
+  // disagree, so probes and reports refuse instead of answering wrong
+  private def retrainMarker(root: String) = Paths.get(root, "_retrain_inprogress")
+
+  private def requireNoHalfRetrain(root: String): Unit =
+    require(!Files.exists(retrainMarker(root)),
+      s"index store at $root has a half-finished retrain (marker present) — " +
+        "re-run retrain to restore the live ≡ rebuild invariant")
 
   private val dataSchema = StructType(Seq(
     StructField("cid", IntegerType), StructField("vec_id", LongType),
@@ -108,12 +120,23 @@ object IvfIndexView {
         rows.columns.filterNot(c => c == "vec_id" || c == "xi").map(c => col(s"best.$c").as(c)) ++
         Seq(col("best.qerr").as("qerr"), col("best.cid").cast("int").as("cid"))): _*)
 
+  /** Count of baselines already recorded — the ordinal of the CURRENT
+    * baseline (r16): every drift row carries `base_seq`, so the report
+    * picks the newest baseline deterministically (the r15 rows were all
+    * stamped `batch_id = -1` and the pick among retrains was arbitrary)
+    * and cumulative-churn accounting scopes to rows measured AT that
+    * baseline without coupling to the stream's epoch-id space.
+    */
+  private def baselineCount(spark: SparkSession, root: String): Long =
+    if (!Files.isDirectory(Paths.get(driftDir(root)))) 0L
+    else spark.read.parquet(driftDir(root)).filter(col("kind") === "baseline").count()
+
   private def appendDrift(spark: SparkSession, root: String, batchId: Long,
-      kind: String, nVecs: Long, meanErr: Double,
+      kind: String, nVecs: Long, meanErr: Double, baseSeq: Long,
       moved: Long = 0L, hadOld: Long = 0L): Unit = {
     import spark.implicits._
-    Seq((batchId, kind, nVecs, meanErr, moved, hadOld))
-      .toDF("batch_id", "kind", "n_vecs", "mean_err", "moved", "had_old")
+    Seq((batchId, kind, nVecs, meanErr, moved, hadOld, baseSeq))
+      .toDF("batch_id", "kind", "n_vecs", "mean_err", "moved", "had_old", "base_seq")
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(driftDir(root))
   }
@@ -137,7 +160,8 @@ object IvfIndexView {
       .withColumn("qerr", col("x2") - (lit(2L) * dotLong(col("xi"), col("ci")) - col("c2")))
       .agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"))
       .collect().head
-    appendDrift(spark, root, -1L, "baseline", base.getLong(0), base.getDouble(1))
+    appendDrift(spark, root, -1L, "baseline", base.getLong(0), base.getDouble(1),
+      baseSeq = baselineCount(spark, root))
   }
 
   /** Fold one micro-batch of changes (`op` ∈ I/U/D, `vec_id`,
@@ -147,6 +171,7 @@ object IvfIndexView {
     */
   def updateBatch(batch: DataFrame, root: String, keyBuckets: Int = 64,
       batchId: Long = -1L): Unit = {
+    requireNoHalfRetrain(root)
     val spark = batch.sparkSession
     val wLww = Window.partitionBy("vec_id")
       .orderBy(col("tsUs").desc, col("seq").desc, col("op").desc)
@@ -178,17 +203,19 @@ object IvfIndexView {
       cached += ups
       val effKeys = eff.select("vec_id")
 
-      // drift row: the batch's mean quantization error at the PINNED
-      // centroids + the assignment-churn count (updates that changed
-      // cell) — the staleness signals, measured where the work already
-      // is (assignAt computed qerr and cid per upsert)
+      // drift measurement: the batch's mean quantization error at the
+      // PINNED centroids + the assignment-churn count (updates that
+      // changed cell), taken where the work already is (assignAt
+      // computed qerr and cid per upsert). COLLECTED here — before the
+      // store writes — because the dynamic partition overwrite below
+      // refreshes the store path and would invalidate the cached plan,
+      // silently recomputing old_cid against the already-updated store
+      // (churn would read 0). The LOG WRITE waits until after the store
+      // writes commit, so a failed micro-batch never skews the signal.
       val d = ups.agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"),
           count(when(col("live") === true && col("old_cid") =!= col("cid"), 1)).as("moved"),
           count(when(col("live") === true, 1)).as("had_old"))
         .collect().head
-      if (d.getLong(0) > 0L)
-        appendDrift(spark, root, batchId, "batch", d.getLong(0), d.getDouble(1),
-          d.getLong(2), d.getLong(3))
 
       val touched = eff.filter(col("live") === true).select(col("old_cid").cast("long").as("cid"))
         .union(ups.select(col("cid").cast("long")))
@@ -224,17 +251,81 @@ object IvfIndexView {
         clearEmptied(keysDir(root), "kb", kbs,
           keysMerged.select("kb").distinct().collect().map(_.getInt(0).toLong).toSet)
       }
+
+      // drift row, measured above: a restart-replayed batch appends a
+      // second row for the same batch_id with its effects already
+      // applied (moved reads 0) — [[stalenessReport]] dedupes per
+      // (kind, batch_id, base_seq) keeping the first application's
+      // churn evidence.
+      if (d.getLong(0) > 0L)
+        appendDrift(spark, root, batchId, "batch", d.getLong(0), d.getDouble(1),
+          baseSeq = baselineCount(spark, root) - 1L, moved = d.getLong(2), hadOld = d.getLong(3))
     } finally cached.foreach(_.unpersist())
   }
 
-  /** #356 wired end-to-end: changefeed → live IVF index. */
+  /** The self-running retrain policy (#366, r16 — closes the loop the
+    * r15 measurement opened): thresholds on the CUMULATIVE staleness
+    * signals since the current baseline, checked after every folded
+    * micro-batch when passed to [[maintain]].
+    *
+    *   - `churnFrac`: cumulative moved-cell count since the baseline ÷
+    *     current store size — the batch-size-WEIGHTED form of the
+    *     per-batch `moved/had_old` (which reads 1.0 for any small
+    *     all-moved batch and so cannot be a trigger by itself). The
+    *     measured recall curve (bench/ivf_drift.json: pinned recall
+    *     0.97 → 0.23 as the drifted fraction grows) is what calibrates
+    *     it — 0.3 is a reasonable default for nprobe=2.
+    *   - `errRatio`: batch-weighted mean quantization error since the
+    *     baseline ÷ baseline error — catches EXPANSIVE drift (new mass
+    *     far from every pinned cell) that churn alone can miss.
+    *
+    * Either bound breached → [[retrain]] at `(k, iters)`. Retraining
+    * records a new baseline, so both cumulative signals reset and a
+    * restart-replayed trigger batch cannot double-retrain (its re-logged
+    * row carries the NEW base_seq with zero churn).
+    */
+  final case class RetrainPolicy(
+      churnFrac: Double = Double.PositiveInfinity,
+      errRatio: Double = Double.PositiveInfinity,
+      k: Int = 16, iters: Int = 2)
+
+  /** Evaluate the policy against the CURRENT baseline's cumulative
+    * staleness and retrain once if breached. Returns whether a retrain
+    * ran. Idempotent at a fixed store state: a second call right after
+    * a retrain sees the fresh baseline (cumulative signals ≈ 0).
+    */
+  def maybeRetrain(spark: SparkSession, root: String, policy: RetrainPolicy): Boolean = {
+    val last = stalenessReport(spark, root)
+      .filter(col("kind") === "batch" && col("cum_moved").isNotNull)
+      .orderBy(col("base_seq").desc, col("batch_id").desc).limit(1)
+      .collect()
+    val breached = last.exists { r =>
+      val churn = if (r.isNullAt(r.fieldIndex("cum_churn_frac"))) 0.0
+                  else r.getDouble(r.fieldIndex("cum_churn_frac"))
+      val err = if (r.isNullAt(r.fieldIndex("cum_err_ratio"))) 0.0
+                else r.getDouble(r.fieldIndex("cum_err_ratio"))
+      churn > policy.churnFrac || err > policy.errRatio
+    }
+    if (breached) retrain(spark, root, policy.k, policy.iters)
+    breached
+  }
+
+  /** #356 wired end-to-end: changefeed → live IVF index. With
+    * `retrainWhen` set, the maintenance loop ALSO runs the staleness
+    * policy after each batch — the measured retrain trigger running
+    * itself (#366) instead of waiting for an operator to poll
+    * INDEX_STALENESS.
+    */
   def maintain(feed: DataFrame, root: String, checkpointDir: String,
-      keyBuckets: Int = 64): DataStreamWriter[Row] =
+      keyBuckets: Int = 64,
+      retrainWhen: Option[RetrainPolicy] = None): DataStreamWriter[Row] =
     feed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        updateBatch(batch, root, keyBuckets, id) }
+        updateBatch(batch, root, keyBuckets, id)
+        retrainWhen.foreach(p => maybeRetrain(batch.sparkSession, root, p): Unit)
+      }
 
   /** The live cell postings `(cid, vec_id, embedding, norm)`. */
   def readIndex(spark: SparkSession, root: String): DataFrame =
@@ -242,22 +333,58 @@ object IvfIndexView {
       .select(col("cid").cast("int").as("cid"), col("vec_id"), col("embedding"), col("norm"))
 
   /** The staleness surface: every drift row with its ratio over the
-    * CURRENT baseline (the newest `baseline` row — [[retrain]] resets
-    * it). `ratio > threshold` is the retrain trigger; the measured
-    * recall-vs-drift curve (bench/ivf_drift.json) is what calibrates
-    * the threshold.
+    * CURRENT baseline (the highest `base_seq` baseline — [[retrain]]
+    * records the next one, so the pick is deterministic across any
+    * number of retrains), plus the CUMULATIVE signals the retrain
+    * policy actually triggers on (r16, the batch-size-weighted form):
+    *
+    *   - `cum_moved` / `cum_churn_frac`: running moved-cell total over
+    *     the batches measured at the current baseline, ÷ live store
+    *     size — a small all-moved batch reads `churn_frac = 1.0` but
+    *     barely moves `cum_churn_frac`, which is why the per-batch
+    *     column is a diagnostic and the cumulative one is the trigger;
+    *   - `cum_err_ratio`: batch-weighted mean error since the baseline
+    *     ÷ baseline error (the expansive-drift trigger).
+    *
+    * Replay-safe: rows dedupe per (kind, batch_id, base_seq) keeping
+    * the first application's churn evidence (a restart-replayed batch
+    * re-logs with its effects already applied, so its `moved` reads 0 —
+    * the max_by keeps the original). The drift log is one row per
+    * batch, so the window over it is driver-scale by construction.
     */
   def stalenessReport(spark: SparkSession, root: String): DataFrame = {
-    val d = spark.read.parquet(driftDir(root))
+    requireNoHalfRetrain(root)
+    val raw = spark.read.parquet(driftDir(root))
+    val cols = raw.columns.toSeq
+    val d = raw.groupBy("kind", "batch_id", "base_seq")
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col("moved"), col("had_old"), col("n_vecs"))).as("r"))
+      .select(cols.map(c => col(s"r.$c").as(c)): _*)
     val baseline = d.filter(col("kind") === "baseline")
-      .orderBy(col("batch_id").desc).limit(1)
-      .select(col("mean_err").as("baseline_err"))
+      .orderBy(col("base_seq").desc).limit(1)
+      .select(col("mean_err").as("baseline_err"), col("base_seq").as("cur_base"))
+    val storeSize = readOr(spark, dataDir(root), dataSchema).count()
+    val w = Window.partitionBy("base_seq").orderBy("batch_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.crossJoin(broadcast(baseline))
       .withColumn("drift_ratio", col("mean_err") / col("baseline_err"))
       .withColumn("churn_frac",
         when(col("had_old") > 0, col("moved").cast("double") / col("had_old")))
+      .withColumn("__cur", col("kind") === "batch" && col("base_seq") === col("cur_base"))
+      .withColumn("cum_moved",
+        when(col("__cur"), sum(when(col("kind") === "batch", col("moved")).otherwise(0L)).over(w)))
+      .withColumn("store_size", lit(storeSize))
+      .withColumn("cum_churn_frac",
+        when(col("__cur") && lit(storeSize > 0L),
+          col("cum_moved").cast("double") / lit(storeSize.toDouble)))
+      .withColumn("cum_err_ratio",
+        when(col("__cur"),
+          sum(when(col("kind") === "batch", col("mean_err") * col("n_vecs")).otherwise(lit(0.0))).over(w) /
+            sum(when(col("kind") === "batch", col("n_vecs")).otherwise(0L)).over(w) /
+            col("baseline_err")))
       .select("batch_id", "kind", "n_vecs", "mean_err", "drift_ratio",
-        "moved", "had_old", "churn_frac")
+        "moved", "had_old", "churn_frac", "base_seq", "cum_moved",
+        "store_size", "cum_churn_frac", "cum_err_ratio")
   }
 
   /** RETRAIN: the explicit re-centering verb — fixed-point Lloyd over
@@ -268,22 +395,78 @@ object IvfIndexView {
     * centroids are pinned between retrains. Resets the drift baseline.
     */
   def retrain(spark: SparkSession, root: String, k: Int = 16, iters: Int = 2): Unit = {
+    // crash-detectable (r16, the ADVICE ask): every rewrite lands in
+    // staging dirs first, the swap is three directory renames guarded
+    // by a marker, and the new baseline is recorded only after the
+    // swap — a failure at ANY point leaves either the old store intact
+    // (pre-swap) or the marker present (mid/post-swap), never a silent
+    // half-retrained store that probes would answer from wrongly.
+    Files.write(retrainMarker(root), Array.emptyByteArray): Unit
+    def staged(dir: String) = s"$dir.staged"
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.isDirectory(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    val ready = Paths.get(root, "_staged_ready")
+    val dirs = Seq(dataDir(root), keysDir(root), centDir(root))
+    // recovery from a prior crashed retrain: a complete staging set
+    // (ready flag present) finishes its swap so the corpus is readable;
+    // a partial one is discarded (the pre-swap store is still intact)
+    if (Files.exists(ready)) {
+      dirs.foreach { d =>
+        if (Files.isDirectory(Paths.get(staged(d)))) {
+          rmTree(Paths.get(d))
+          Files.move(Paths.get(staged(d)), Paths.get(d)): Unit
+        }
+      }
+      Files.delete(ready)
+    } else dirs.foreach(d => rmTree(Paths.get(staged(d))))
     val live = readIndex(spark, root).select(col("vec_id"), col("embedding"))
       .localCheckpoint(true) // source and sink of the rewrite below
-    create(spark, root, live, k, iters)
-    val assigned = assignAt(readCentroids(spark, root),
+    val (cells, centroidsRaw) = Similarity.ivfIndex(live, k, iters)
+    val centroids = centroidsRaw
+      .select(col("cid").cast("int").as("cid"), col("ci"), col("c2"))
+      .localCheckpoint(true)
+    val assigned = assignAt(centroids,
       live.withColumn("norm", l2Norm(col("embedding")))
         .withColumn("xi", toMicro(col("embedding"))))
-      .select(col("cid"), col("vec_id"), col("embedding"), col("norm"))
+      .select(col("cid"), col("vec_id"), col("embedding"), col("norm"), col("qerr"))
       .localCheckpoint(true)
-    assigned.write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(dataDir(root))
+    val base = cells
+      .withColumn("x2", dotLong(col("xi"), col("xi")))
+      .join(broadcast(centroids), Seq("cid"))
+      .withColumn("qerr", col("x2") - (lit(2L) * dotLong(col("xi"), col("ci")) - col("c2")))
+      .agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"))
+      .collect().head
     val keys = readOr(spark, keysDir(root), keysSchema)
       .drop("cid")
       .join(assigned.select(col("vec_id"), col("cid")), Seq("vec_id"), "left")
       .select(keysSchema.fieldNames.map(col).toSeq: _*)
       .localCheckpoint(true)
-    keys.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
+    assigned.drop("qerr").write.mode(SaveMode.Overwrite).partitionBy("cid")
+      .parquet(staged(dataDir(root)))
+    keys.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(staged(keysDir(root)))
+    centroids.write.mode(SaveMode.Overwrite).parquet(staged(centDir(root)))
+    Files.write(ready, Array.emptyByteArray): Unit // staging complete — swap may begin
+    dirs.foreach { d =>
+      rmTree(Paths.get(d))
+      Files.move(Paths.get(staged(d)), Paths.get(d)): Unit
+    }
+    Files.delete(ready)
+    appendDrift(spark, root, -1L, "baseline", base.getLong(0), base.getDouble(1),
+      baseSeq = baselineCount(spark, root))
+    Files.delete(retrainMarker(root))
   }
+
+  /** Small-file compaction over the churned store (r16 — the family
+    * was the one of the four without it; see
+    * [[PostingIndexView.compactStore]] for the contract).
+    */
+  def compactStore(spark: SparkSession, root: String,
+      targetBytes: Long = 64L << 20, smallBytes: Long = 16L << 20): Seq[graft.sources.Compaction.LeafReport] =
+    graft.sources.Compaction.compact(spark, dataDir(root), targetBytes, smallBytes) ++
+      graft.sources.Compaction.compact(spark, keysDir(root), targetBytes, smallBytes)
 
   /** Tombstone GC — the [[AnnIndexView.pruneTombstones]] contract. */
   def pruneTombstones(spark: SparkSession, root: String, olderThanUs: Long): Unit = {
@@ -296,9 +479,18 @@ object IvfIndexView {
   /** `FORGET KEY` over this store — the #338 live-index contract
     * ([[AnnIndexView.forgetKey]] with the cell locator).
     */
-  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) = {
+  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) =
+    forgetKeys(spark, root, Seq(key))
+
+  /** Batch `FORGET KEYS` (#367, r16 — see [[AnnIndexView.forgetKeys]]):
+    * one IN-pruned rewrite per touched cell/locator partition for the
+    * whole purge list.
+    */
+  def forgetKeys(spark: SparkSession, root: String, keys: Seq[Long]): (Long, Long) = {
+    val keySet = keys.distinct
+    if (keySet.isEmpty) return (0L, 0L)
     val locRows = readOr(spark, keysDir(root), keysSchema)
-      .filter(col("vec_id") === key).collect()
+      .filter(col("vec_id").isin(keySet: _*)).collect()
     if (locRows.isEmpty) return (0L, 0L)
     var parts = 0L
     var dropped = 0L
@@ -307,7 +499,7 @@ object IvfIndexView {
     if (liveCells.nonEmpty) {
       val dataOld = readOr(spark, dataDir(root), dataSchema)
         .filter(col("cid").isin(liveCells: _*))
-      val kept = dataOld.filter(col("vec_id") =!= key).localCheckpoint(true)
+      val kept = dataOld.filter(!col("vec_id").isin(keySet: _*)).localCheckpoint(true)
       dropped += dataOld.count() - kept.count()
       kept.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -319,7 +511,7 @@ object IvfIndexView {
     }
     val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
     val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
-    val keysKept = keysOld.filter(col("vec_id") =!= key).localCheckpoint(true)
+    val keysKept = keysOld.filter(!col("vec_id").isin(keySet: _*)).localCheckpoint(true)
     dropped += locRows.length
     keysKept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -344,6 +536,7 @@ object IvfIndexView {
     */
   def similarTo(spark: SparkSession, root: String, queries: DataFrame,
       k: Int = 3, nprobe: Int = 2): DataFrame = {
+    requireNoHalfRetrain(root)
     val centroids = readCentroids(spark, root)
     val pw = Window.partitionBy("query_id").orderBy(col("pscore").desc, col("cid"))
     val q = queries

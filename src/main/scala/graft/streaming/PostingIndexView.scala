@@ -175,9 +175,18 @@ object PostingIndexView {
     * tombstone names the doc). Returns
     * (partitions_rewritten, rows_dropped).
     */
-  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) = {
+  def forgetKey(spark: SparkSession, root: String, key: Long): (Long, Long) =
+    forgetKeys(spark, root, Seq(key))
+
+  /** Batch `FORGET KEYS` (#367, r16 — see [[AnnIndexView.forgetKeys]]):
+    * one IN-pruned rewrite per touched posting/locator partition for
+    * the whole purge list (the union of the docs' token-bucket sets).
+    */
+  def forgetKeys(spark: SparkSession, root: String, keys: Seq[Long]): (Long, Long) = {
+    val keySet = keys.distinct
+    if (keySet.isEmpty) return (0L, 0L)
     val locRows = readOr(spark, keysDir(root), keysSchema)
-      .filter(col("doc_id") === key).collect()
+      .filter(col("doc_id").isin(keySet: _*)).collect()
     if (locRows.isEmpty) return (0L, 0L)
     var parts = 0L
     var dropped = 0L
@@ -185,7 +194,7 @@ object PostingIndexView {
       .flatMap(_.getAs[scala.collection.Seq[Int]]("tbs")).map(_.toLong).distinct.toSeq
     if (liveTbs.nonEmpty) {
       val postOld = readOr(spark, postDir(root), postSchema).filter(col("tb").isin(liveTbs: _*))
-      val kept = postOld.filter(col("doc_id") =!= key).localCheckpoint(true)
+      val kept = postOld.filter(!col("doc_id").isin(keySet: _*)).localCheckpoint(true)
       dropped += postOld.count() - kept.count()
       kept.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -197,7 +206,7 @@ object PostingIndexView {
     }
     val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
     val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
-    val keysKept = keysOld.filter(col("doc_id") =!= key).localCheckpoint(true)
+    val keysKept = keysOld.filter(!col("doc_id").isin(keySet: _*)).localCheckpoint(true)
     dropped += locRows.length
     keysKept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

@@ -483,41 +483,62 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     * Returns the audit: one row per artifact touched
     * `(artifact, kind, partitions_rewritten, rows_dropped)`.
     */
-  def forgetKey(key: Long, historyDirs: Seq[String] = Nil): DataFrame = {
+  def forgetKey(key: Long, historyDirs: Seq[String] = Nil): DataFrame =
+    forgetKeys(Seq(key), historyDirs)
+
+  /** Batch `FORGET KEYS (k1, k2, …)` (#367, r16): the whole purge list
+    * in ONE sweep — GDPR arrives as a daily list, and a per-key loop
+    * re-reads and rewrites hot sink/store partitions up to |list|
+    * times where one IN-pruned rewrite per touched partition does.
+    * Each view's sink is rewritten once over the union of batch
+    * partitions mentioning ANY listed key; each live-index store
+    * purges the list through its family's own batched verb. Cost ∝
+    * distinct touched partitions, never ∝ keys × partitions. Same
+    * refusal contract as the single-key form, checked for EVERY key
+    * up front (all-or-nothing: no partial purge on a half-live list).
+    */
+  def forgetKeys(keys: Seq[Long], historyDirs: Seq[String] = Nil): DataFrame = {
+    val keySet = keys.distinct
+    require(keySet.nonEmpty, "FORGET KEYS requires at least one key")
     val audit = mutable.Buffer[(String, String, Long, Long)]()
-    views.keys.toSeq.sorted.foreach { n =>
+    val feeds = views.keys.toSeq.sorted.flatMap { n =>
       val fd = feedDir(n)
-      val feed =
-        try spark.read.parquet(fd)
-        catch { case _: org.apache.spark.sql.AnalysisException => null }
-      if (feed != null) {
-        // refuse while the key is still live in this view's sink: the
-        // running dataflow would simply re-emit it (and the rewritten
-        // history would disagree with the state the graph still holds)
-        val last = feed.filter(col("key") === key)
-          .orderBy(col("ts_us").desc, col("seq").desc).limit(1)
-          .select("op").collect()
-        require(!last.exists(_.getString(0) != "delete"),
-          s"key $key is still live in view $n — deliver a source delete " +
-            "(retract it through the graph) before FORGET KEY")
-        val touched = feed.filter(col("key") === key)
-          .select(col("batch_id").cast("long")).distinct()
-          .collect().map(_.getLong(0)).sorted.toSeq
-        if (touched.nonEmpty) {
-          val before = feed.filter(col("batch_id").isin(touched: _*))
-          val kept = before.filter(col("key") =!= key).localCheckpoint(true)
-          val dropped = before.count() - kept.count()
-          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(fd)
-          val survivors = kept.select(col("batch_id").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
-          touched.filterNot(survivors).foreach { b =>
-            deleteRecursively(Paths.get(fd, s"batch_id=$b"))
-          }
-          audit += ((n, "sink", touched.size.toLong, dropped))
+      try Some((n, fd, spark.read.parquet(fd)))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    // refuse while ANY listed key is still live in ANY view's sink: the
+    // running dataflow would simply re-emit it (and the rewritten
+    // history would disagree with the state the graph still holds)
+    feeds.foreach { case (n, _, feed) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("ts_us").desc, col("seq").desc)
+      val live = feed.filter(col("key").isin(keySet: _*))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .filter(col("op") =!= "delete")
+        .select("key").collect().map(_.getLong(0)).sorted
+      require(live.isEmpty,
+        s"key${if (live.length > 1) "s" else ""} ${live.mkString(", ")} " +
+          s"still live in view $n — deliver a source delete " +
+          "(retract it through the graph) before FORGET KEY")
+    }
+    feeds.foreach { case (n, fd, feed) =>
+      val touched = feed.filter(col("key").isin(keySet: _*))
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      if (touched.nonEmpty) {
+        val before = feed.filter(col("batch_id").isin(touched: _*))
+        val kept = before.filter(!col("key").isin(keySet: _*)).localCheckpoint(true)
+        val dropped = before.count() - kept.count()
+        kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(fd)
+        val survivors = kept.select(col("batch_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        touched.filterNot(survivors).foreach { b =>
+          deleteRecursively(Paths.get(fd, s"batch_id=$b"))
         }
+        audit += ((n, "sink", touched.size.toLong, dropped))
       }
     }
     historyDirs.foreach { hd =>
@@ -525,25 +546,26 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         try spark.read.parquet(hd)
         catch { case _: org.apache.spark.sql.AnalysisException => null }
       if (h != null) {
-        val n = h.filter(col("key") === key).count()
+        val n = h.filter(col("key").isin(keySet: _*)).count()
         if (n > 0) {
-          val kept = h.filter(col("key") =!= key).localCheckpoint(true)
+          val kept = h.filter(!col("key").isin(keySet: _*)).localCheckpoint(true)
           kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(hd)
         }
         // partitions_rewritten reports what was actually touched: 0 when
-        // the key matched nothing and no rewrite happened
+        // no listed key matched anything and no rewrite happened
         audit += ((hd, "history", if (n > 0) 1L else 0L, n))
       }
     }
-    // the live-index tier (r15): each registered store purges through
-    // its own locator-pruned discipline — posting/bit/locator rows AND
-    // the delete tombstone all go (the tombstone names the key)
+    // the live-index tier: each registered store purges the WHOLE list
+    // through its own locator-pruned batched discipline — posting/bit/
+    // locator rows AND the delete tombstones all go in one rewrite per
+    // touched partition
     indexStores.foreach { case (n, (kind, root, _)) =>
       val (parts, dropped) = kind match {
-        case "ann"     => AnnIndexView.forgetKey(spark, root, key)
-        case "bitmap"  => BitmapIndexView.forgetKey(spark, root, key)
-        case "posting" => PostingIndexView.forgetKey(spark, root, key)
-        case "ivf"     => IvfIndexView.forgetKey(spark, root, key)
+        case "ann"     => AnnIndexView.forgetKeys(spark, root, keySet)
+        case "bitmap"  => BitmapIndexView.forgetKeys(spark, root, keySet)
+        case "posting" => PostingIndexView.forgetKeys(spark, root, keySet)
+        case "ivf"     => IvfIndexView.forgetKeys(spark, root, keySet)
       }
       audit += ((n, s"index:$kind", parts, dropped))
     }
@@ -932,6 +954,8 @@ class ViewCatalog(val spark: SparkSession, val root: String)
       "\\s+SET\\s*\\(\\s*ttl_delay\\s*=\\s*'([^']+)'\\s*,\\s*ttl_ms\\s*=\\s*(\\d+)\\s*\\)\\s*$").r
   private val SuspendRe =
     "(?is)^ALTER\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(SUSPEND|RESUME)\\s*$".r
+  private val ForgetRe =
+    "(?is)^FORGET\\s+KEYS?\\s*\\(?\\s*(\\d+(?:\\s*,\\s*\\d+)*)\\s*\\)?\\s*$".r
 
   /** The catalog as ONE SQL entry point — the literal front-door syntax
     * of a changefeed engine:
@@ -1010,6 +1034,10 @@ class ViewCatalog(val spark: SparkSession, val root: String)
       case SuspendRe(name, verb) =>
         if (verb.equalsIgnoreCase("SUSPEND")) suspendView(name) else resumeView(name)
         Seq((name, verb.toUpperCase)).toDF("view", "action")
+      case ForgetRe(keysCsv) =>
+        // `FORGET KEY 5` / `FORGET KEYS (1, 2, 3)` — the batched purge
+        // verb (#367) from SQL; returns the audit frame
+        forgetKeys(keysCsv.split(",").map(_.trim.toLong).toSeq)
       case _ =>
         // time-travel sugar: `FROM v VERSION AS OF 3` reads the named
         // view's snapshotAsOf(3), `FROM v TIMESTAMP AS OF '2026-08-14
@@ -1023,12 +1051,21 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         // (partition-pruned) probe under a mangled alias, so it
         // composes with joins/filters like any relation:
         //   PHRASE_SEARCH('store', 'spark stream')   (posting)
+        //   PHRASE_SEARCH('store', TABLE phrases)    (posting, BATCH:
+        //     one probe per row of <phrases>.phrase — the r15 SQL door
+        //     took only a literal; the Scala probe always took a list)
         //   SIMILAR_TO('store', <vec_id>, <k>)       (ann | ivf; the
         //     query embedding is the store's OWN row for vec_id)
+        //   SIMILAR_TO('store', TABLE ids, <k>)      (ann | ivf, BATCH:
+        //     one probe per row of <ids>.vec_id, still partition-pruned
+        //     to queries × probe cells — the relation-valued form a
+        //     retrieval join actually needs)
         //   CELL_COUNTS('storeA', 'storeB')           (bitmap pair)
         //   INDEX_STALENESS('store')                  (ivf drift log)
         val PhraseRe = "(?i)PHRASE_SEARCH\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*,\\s*'([^']+)'\\s*\\)".r
+        val PhraseTblRe = "(?i)PHRASE_SEARCH\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*,\\s*TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*\\)".r
         val SimilarRe = "(?i)SIMILAR_TO\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+        val SimilarTblRe = "(?i)SIMILAR_TO\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*,\\s*TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*,\\s*(\\d+)\\s*\\)".r
         val CellsRe = "(?i)CELL_COUNTS\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*,\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*\\)".r
         val StaleRe = "(?i)INDEX_STALENESS\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*\\)".r
         def store(n: String, wantKinds: Set[String]): (String, String, Map[String, Int]) = {
@@ -1038,9 +1075,32 @@ class ViewCatalog(val spark: SparkSession, val root: String)
             s"index store $n has kind ${st._1}; expected one of ${wantKinds.mkString("/")}")
           st
         }
-        var fnIdx = 0
-        def fresh(prefix: String): String = { fnIdx += 1; s"__graft_${prefix}_$fnIdx" }
-        val phraseDone = PhraseRe.replaceAllIn(s, m => {
+        // alias uniqueness is session-global (AtomicLong), not per-call:
+        // two concurrent sql() calls must never clobber each other's
+        // temp view between registration and plan resolution
+        def fresh(prefix: String): String =
+          s"__graft_${prefix}_${ViewCatalog.fnAliasSeq.incrementAndGet()}"
+        // a TABLE argument resolves to a catalog view's current
+        // snapshot when the name is a managed view, else to whatever
+        // spark.table sees (temp view / registered table)
+        def probeRelation(name: String): DataFrame =
+          if (views.contains(name)) snapshot(name) else spark.table(name)
+        val phraseTblDone = PhraseTblRe.replaceAllIn(s, m => {
+          val (_, root, params) = store(m.group(1), Set("posting"))
+          val alias = fresh("phrase")
+          // phrase probes are driver-enumerated by construction (the
+          // Scala probe takes Seq[Seq[String]] — a probe list is small
+          // by nature; the postings scan stays IN-pruned to the union
+          // of the phrases' term buckets)
+          val phrases = probeRelation(m.group(2)).select(col("phrase").cast("string"))
+            .collect().map(_.getString(0).trim.split("\\s+").toSeq).toSeq.distinct
+          require(phrases.nonEmpty, s"TABLE ${m.group(2)} holds no phrases")
+          PostingIndexView.phraseSearch(spark, root, phrases,
+              buckets = params.getOrElse("buckets", 64))
+            .createOrReplaceTempView(alias)
+          alias
+        })
+        val phraseDone = PhraseRe.replaceAllIn(phraseTblDone, m => {
           val (_, root, params) = store(m.group(1), Set("posting"))
           val alias = fresh("phrase")
           PostingIndexView.phraseSearch(spark, root,
@@ -1049,7 +1109,29 @@ class ViewCatalog(val spark: SparkSession, val root: String)
             .createOrReplaceTempView(alias)
           alias
         })
-        val simDone = SimilarRe.replaceAllIn(phraseDone, m => {
+        val simTblDone = SimilarTblRe.replaceAllIn(phraseDone, m => {
+          val (kind, root, params) = store(m.group(1), Set("ann", "ivf"))
+          val k = m.group(3).toInt
+          val alias = fresh("similar")
+          val idx = if (kind == "ann") AnnIndexView.readIndex(spark, root)
+                    else IvfIndexView.readIndex(spark, root)
+          // the whole id relation probes in ONE batch: ids join the
+          // store's own embeddings, then the family's multi-query probe
+          // runs partition-pruned to queries × probe cells
+          val queries = idx.join(
+              probeRelation(m.group(2)).select(col("vec_id").cast("long").as("vec_id")).distinct(),
+              Seq("vec_id"))
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          val probe = if (kind == "ann")
+            AnnIndexView.similarTo(spark, root, queries, k,
+              numPlanes = params.getOrElse("planes", 8))
+          else
+            IvfIndexView.similarTo(spark, root, queries, k,
+              nprobe = params.getOrElse("nprobe", 2))
+          probe.createOrReplaceTempView(alias)
+          alias
+        })
+        val simDone = SimilarRe.replaceAllIn(simTblDone, m => {
           val (kind, root, params) = store(m.group(1), Set("ann", "ivf"))
           val (id, k) = (m.group(2).toLong, m.group(3).toInt)
           val alias = fresh("similar")
@@ -1193,4 +1275,12 @@ class ViewCatalog(val spark: SparkSession, val root: String)
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
     Files.deleteIfExists(p): Unit
   }
+}
+
+object ViewCatalog {
+  /** Session-global sequence behind the live-index table-function temp
+    * view aliases — per-call counters reset to 0 let two concurrent
+    * `sql()` calls clobber each other's `__graft_similar_1`.
+    */
+  private val fnAliasSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 }

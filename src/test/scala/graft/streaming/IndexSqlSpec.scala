@@ -104,5 +104,45 @@ class IndexSqlSpec extends SparkSpec {
     val eName = intercept[IllegalArgumentException] {
       cat.sql("SELECT * FROM SIMILAR_TO('nope', 1, 3)") }
     assert(eName.getMessage.contains("no index store"), eName.getMessage)
+
+    // ---- #368 (r16): RELATION-valued probes — TABLE <ids> / <phrases>
+    // instead of the single literal the r15 front door allowed
+    Seq(2L, 6L, 10L).toDF("vec_id").createOrReplaceTempView("probe_ids")
+    val sqlBatch = cat.sql(
+      "SELECT query_id, neighbor_id, rn FROM SIMILAR_TO('ann_idx', TABLE probe_ids, 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val qBatch = AnnIndexView.readIndex(spark, annRoot)
+      .filter(col("vec_id").isin(2L, 6L, 10L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val directBatch = AnnIndexView.similarTo(spark, annRoot, qBatch, 3, numPlanes = 4)
+      .select("query_id", "neighbor_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sqlBatch == directBatch && sqlBatch.map(_._1) == Set(2L, 6L, 10L),
+      s"batch SQL probe must equal the Scala batch probe: $sqlBatch vs $directBatch")
+
+    // ivf flavor, composed with a join back to the probe relation
+    val ivfBatch = cat.sql(
+      """SELECT p.vec_id AS query_id, s.neighbor_id
+        |FROM probe_ids p JOIN SIMILAR_TO('ivf_idx', TABLE probe_ids, 2) s
+        |  ON p.vec_id = s.query_id WHERE s.rn = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfQ = IvfIndexView.readIndex(spark, ivfRoot)
+      .filter(col("vec_id").isin(2L, 6L, 10L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ivfDirect = IvfIndexView.similarTo(spark, ivfRoot, ivfQ, 2, nprobe = 2)
+      .filter(col("rn") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfBatch == ivfDirect && ivfBatch.nonEmpty)
+
+    // phrase relation: one probe per row of <phrases>.phrase
+    Seq("spark stream", "doc 7").toDF("phrase").createOrReplaceTempView("probe_phrases")
+    val sqlPhrases = cat.sql(
+      "SELECT phrase, doc_id, n_hits FROM PHRASE_SEARCH('post_idx', TABLE probe_phrases)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val directPhrases = PostingIndexView.phraseSearch(spark, postRoot,
+        Seq(Seq("spark", "stream"), Seq("doc", "7")), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sqlPhrases == directPhrases && sqlPhrases.map(_._1).size == 2,
+      s"phrase-relation probe must equal the Scala list probe: $sqlPhrases")
   }
 }

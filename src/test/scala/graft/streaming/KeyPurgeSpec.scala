@@ -224,4 +224,114 @@ class KeyPurgeSpec extends SparkSpec {
     assert(traces(9L).values.forall(_ == 0L), "tombstone purge must survive restart")
     assert(traces(3L).values.forall(_ > 0L), "maintenance must keep working after restart")
   }
+
+  test("#367 FORGET KEYS batch: one IN-pruned sweep per store for the whole purge list; untouched partitions untouched; SQL verb") {
+    import org.apache.spark.sql.functions.col
+
+    def vec(id: Long): Array[Float] =
+      Array((id + 1).toFloat, ((id * 7) % 5 - 2).toFloat, ((id * 3) % 4).toFloat, 1.0f)
+    val ids = (0L until 120L).toSeq
+
+    val (annRoot, bmRoot, postRoot, ivfRoot) =
+      (tmp("bkann"), tmp("bkbm"), tmp("bkpost"), tmp("bkivf"))
+    AnnIndexView.updateBatch(
+      ids.map(i => VecChg("I", i, vec(i), 1000L, i)).toDF(), annRoot, numPlanes = 4, keyBuckets = 8)
+    BitmapIndexView.updateBatch(
+      ids.map(i => BmChg("I", i, if (i % 2 == 0) "red" else "blue", 1000L, i)).toDF(), bmRoot, 8)
+    PostingIndexView.updateBatch(
+      ids.map(i => DocChg("I", i, s"spark stream doc $i spark stream", 1000L, i)).toDF(),
+      postRoot, buckets = 8, keyBuckets = 8)
+    IvfIndexView.create(spark, ivfRoot, ids.map(i => (i, vec(i))).toDF("vec_id", "embedding"), k = 4, iters = 1)
+    IvfIndexView.updateBatch(ids.map(i => VecChg("I", i, vec(i), 1000L, i)).toDF(), ivfRoot, 8)
+    // two of the purge keys arrive as deletes first — their locator
+    // traces are TOMBSTONES and the batch purge must take those too
+    AnnIndexView.updateBatch(Seq(VecChg("D", 8L, vec(8L), 2000L, 200L)).toDF(), annRoot, 4, 8)
+    BitmapIndexView.updateBatch(Seq(BmChg("D", 8L, "red", 2000L, 200L)).toDF(), bmRoot, 8)
+    PostingIndexView.updateBatch(Seq(DocChg("D", 8L, "", 2000L, 200L)).toDF(), postRoot, 8, 8)
+    IvfIndexView.updateBatch(Seq(VecChg("D", 8L, vec(8L), 2000L, 200L)).toDF(), ivfRoot, 8)
+
+    val cat = new ViewCatalog(spark, tmp("bkcat"))
+    cat.registerIndexStore("ann_idx", "ann", annRoot)
+    cat.registerIndexStore("bm_idx", "bitmap", bmRoot)
+    cat.registerIndexStore("post_idx", "posting", postRoot)
+    cat.registerIndexStore("ivf_idx", "ivf", ivfRoot)
+
+    // purge list: every key < 100 with kb ∈ {0,1,2,3} (kb = key mod 8)
+    // → locator partitions kb=4..7 must come through byte-identical
+    val purge = ids.filter(i => i < 100L && i % 8 < 4)
+    assert(purge.length == 52)
+    def kbFiles(root: String): Map[String, Set[String]] = {
+      val dir = Paths.get(s"$root/keys")
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("kb="))
+        .map { p =>
+          p.getFileName.toString -> Files.list(p).iterator().asScala
+            .map(f => s"${f.getFileName}:${Files.getLastModifiedTime(f)}").toSet
+        }.toMap
+    }
+    val beforeKb = Seq(annRoot, bmRoot, postRoot, ivfRoot).map(r => r -> kbFiles(r)).toMap
+
+    val audit = cat.forgetKeys(purge).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // ONE sweep: partitions_rewritten ∝ touched partitions, never ∝
+    // keys × partitions — every store's count must sit far below the
+    // 50-key list (ann: ≤16 buckets + 4 kbs; bitmap: 2 vals + 4 kbs;
+    // posting: ≤8 tbs + 4 kbs; ivf: ≤4 cells + 4 kbs)
+    audit.foreach { case (store, (parts, dropped)) =>
+      assert(parts > 0L && parts < purge.length.toLong,
+        s"$store: partitions_rewritten=$parts must be ≪ ${purge.length} keys")
+      assert(dropped >= purge.length.toLong - 2L, s"$store: dropped=$dropped too low")
+    }
+
+    // untouched locator partitions byte-identical (kb=4..7)
+    Seq(annRoot, bmRoot, postRoot, ivfRoot).foreach { r =>
+      val after = kbFiles(r)
+      (4 to 7).map(b => s"kb=$b").foreach { d =>
+        assert(beforeKb(r).get(d) == after.get(d), s"$r/$d was rewritten by the batch purge")
+      }
+    }
+
+    // zero traces for the WHOLE list, one scan per store side
+    assert(AnnIndexView.readIndex(spark, annRoot)
+      .filter(col("vec_id").isin(purge: _*)).count() == 0L)
+    assert(spark.read.parquet(s"$annRoot/keys").filter(col("vec_id").isin(purge: _*)).count() == 0L)
+    assert(spark.read.parquet(s"$bmRoot/keys").filter(col("key").isin(purge: _*)).count() == 0L)
+    assert(PostingIndexView.readIndex(spark, postRoot)
+      .filter(col("doc_id").isin(purge: _*)).count() == 0L)
+    assert(spark.read.parquet(s"$postRoot/keys").filter(col("doc_id").isin(purge: _*)).count() == 0L)
+    assert(IvfIndexView.readIndex(spark, ivfRoot)
+      .filter(col("vec_id").isin(purge: _*)).count() == 0L)
+    assert(spark.read.parquet(s"$ivfRoot/keys").filter(col("vec_id").isin(purge: _*)).count() == 0L)
+    // the tombstoned key's locator trace went with the batch
+    assert(cat.keyTraces(8L).collect().map(_.getLong(2)).sum == 0L)
+    // bitmap bits really cleared: no purged key's bit anywhere
+    val purgedBits = purge.map(k => (k / 63L, 1L << (k % 63L).toInt))
+      .groupBy(_._1).map { case (w, bs) => (w, bs.map(_._2).reduce(_ | _)) }
+    val bmLeft = BitmapIndexView.readIndex(spark, bmRoot).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    purgedBits.foreach { case (w, mask) =>
+      bmLeft.filter(_._1 == w).foreach { case (_, bits) =>
+        assert((bits & mask) == 0L, s"word $w still carries purged bits")
+      }
+    }
+    // survivors intact across all stores
+    val survivors = ids.filterNot(purge.contains)
+    assert(AnnIndexView.readIndex(spark, annRoot).count() == survivors.count(_ != 8L).toLong)
+    assert(IvfIndexView.readIndex(spark, ivfRoot).count() == survivors.count(_ != 8L).toLong)
+
+    // SQL front door: FORGET KEYS (…) returns the audit frame
+    val sqlAudit = cat.sql("FORGET KEYS (100, 101)").collect()
+    assert(sqlAudit.map(_.getString(0)).toSet ==
+      Set("ann_idx", "bm_idx", "post_idx", "ivf_idx"))
+    assert(spark.read.parquet(s"$annRoot/keys")
+      .filter(col("vec_id").isin(100L, 101L)).count() == 0L)
+
+    // maintenance after the purge: the sweep holds, new keys index fine
+    PostingIndexView.updateBatch(
+      Seq(DocChg("U", 110L, "fresh doc after purge", 3000L, 300L)).toDF(), postRoot, 8, 8)
+    assert(PostingIndexView.readIndex(spark, postRoot)
+      .filter(col("doc_id").isin(purge: _*)).count() == 0L)
+    assert(PostingIndexView.keyTraces(spark, postRoot, 110L) > 0L)
+  }
 }
