@@ -61,7 +61,7 @@ object Bench {
     // replay. Record that fold separately so `min` can't be misread as
     // the full cost: store_build_sec ≈ run1 − min(run2, run3).
     val liveQueries = Seq("s13_ann_live_index", "s15_ann_ivf_live",
-      "q147_bitmap_live", "q148_phrase_live")
+      "s16_ann_pq_live", "q147_bitmap_live", "q148_phrase_live")
     val storeBuild = liveQueries.flatMap { q =>
       runs.head.get(q).flatMap { r1 =>
         val steady = Seq(runs(1).get(q), runs(2).get(q)).flatten.filter(_ >= 0)

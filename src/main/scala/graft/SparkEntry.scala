@@ -250,6 +250,7 @@ object SparkEntry {
     "s12_ann_ivf_recall"        -> ((s, d) => Similarity.annIvfRecallAudit(GraftSession.tune(s), d)),
     "s13_ann_live_index"        -> ((s, d) => graft.streaming.AnnIndexView.annLiveIndex(GraftSession.tune(s), d)),
     "s15_ann_ivf_live"          -> ((s, d) => graft.streaming.IvfIndexView.annIvfLive(GraftSession.tune(s), d)),
+    "s16_ann_pq_live"           -> ((s, d) => graft.streaming.PqIndexView.annPqLive(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
     "t22_zipf_slope"            -> ((s, d) => TextAnalysis.zipfSlope(GraftSession.tune(s), d)),
     "t23_perplexity_buckets"    -> ((s, d) => TextAnalysis.perplexityBuckets(GraftSession.tune(s), d)),
@@ -342,11 +343,11 @@ object SparkEntry {
        |SELECT vec_id, CAST(cid AS INT) AS cid FROM a
        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin
 
-  private def pqAssignSql(cb: String, out: String): String =
+  private def pqAssignSql(cb: String, out: String, src: String = "subs"): String =
     s"""${out}_s AS (SELECT s.vec_id, s.j, s.svi, c.code,
        |  row_number() OVER (PARTITION BY s.vec_id, s.j
        |    ORDER BY 2 * ${sqlDotI("s.svi", "c.cvi")} - c.c2 DESC, c.code) AS arn
-       |  FROM subs s JOIN $cb c ON s.j = c.j),
+       |  FROM $src s JOIN $cb c ON s.j = c.j),
        |$out AS (SELECT vec_id, j, svi, code FROM ${out}_s WHERE arn = 1)""".stripMargin
   private def pqRecomputeSql(assigned: String, out: String): String =
     s"""${out}_x AS (SELECT j, code, generate_subscripts(svi, 1) AS pos, unnest(svi) AS x FROM $assigned),
@@ -1900,6 +1901,54 @@ object SparkEntry {
          |r AS (SELECT query_id, neighbor_id, sim6, row_number() OVER (
          |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
          |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3""".stripMargin,
+    // s16: the live PQ index — pinned codebooks replayed round-for-
+    // round over the ORIGINAL corpus (the s05 fixed-point Lloyd
+    // scaffolding), then the closed-form FINAL corpus (mod-11 negation,
+    // mod-7 deletes) ENCODED at those codebooks and probed via ADC +
+    // exact rerank. Hash equality proves the maintained code table ≡
+    // the batch re-encode at the same pinned quantizer.
+    "s16_ann_pq_live" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+         |  len(embedding) // 4 AS d FROM embeddings),
+         |subs AS (SELECT vec_id, j,
+         |  ${sqlMicro("embedding[j * d + 1 : (j + 1) * d]")} AS svi
+         |  FROM e, (SELECT unnest(range(0, 4)) AS j) t),
+         |cb0 AS (SELECT j, CAST(vec_id AS INT) AS code, svi AS cvi, ${sqlDotI("svi", "svi")} AS c2
+         |  FROM subs WHERE vec_id < 16),
+         |${pqAssignSql("cb0", "a1")},
+         |${pqRecomputeSql("a1", "cb1")},
+         |${pqAssignSql("cb1", "a2")},
+         |${pqRecomputeSql("a2", "cb2")},
+         |ef AS (SELECT vec_id,
+         |  CASE WHEN vec_id % 11 = 5 THEN list_transform(embedding, x -> -x)
+         |       ELSE embedding END AS embedding,
+         |  norm, d
+         |  FROM e WHERE vec_id % 7 <> 3),
+         |subsf AS (SELECT vec_id, j,
+         |  ${sqlMicro("embedding[j * d + 1 : (j + 1) * d]")} AS svi
+         |  FROM ef, (SELECT unnest(range(0, 4)) AS j) t),
+         |${pqAssignSql("cb2", "codes", "subsf")},
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, d
+         |  FROM ef WHERE vec_id < 10),
+         |lut AS (SELECT q.query_id, q.q_norm, c.j, c.code,
+         |  ${sqlDotI(sqlMicro("q.q_emb[c.j * q.d + 1 : (c.j + 1) * q.d]"), "c.cvi")} AS pdot
+         |  FROM q, cb2 c),
+         |cand_s AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+         |  sum(l.pdot) AS adot, any_value(l.q_norm) AS q_norm
+         |  FROM codes co JOIN lut l ON co.j = l.j AND co.code = l.code
+         |  WHERE co.vec_id <> l.query_id
+         |  GROUP BY l.query_id, co.vec_id),
+         |cand AS (SELECT c.*, e2.norm AS n_norm, e2.embedding AS n_emb,
+         |  row_number() OVER (PARTITION BY c.query_id ORDER BY c.adot DESC, c.neighbor_id) AS arn
+         |  FROM cand_s c JOIN ef e2 ON c.neighbor_id = e2.vec_id),
+         |rr AS (SELECT c.query_id, c.neighbor_id,
+         |  round(${sqlDotF("q.q_emb", "c.n_emb")} / (c.q_norm * c.n_norm), 6) AS sim6
+         |  FROM cand c JOIN q ON c.query_id = q.query_id WHERE c.arn <= 60),
+         |r AS (SELECT query_id, neighbor_id, sim6, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM rr)
+         |SELECT query_id, neighbor_id, round(sim6, 4) AS approx_cosine, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3""".stripMargin,
     // s09: s02's oracle with the label folded into the bucket join —
     // the filter-key-partitions-the-index identity evaluated

@@ -158,8 +158,8 @@ class ViewCatalog(val spark: SparkSession, val root: String)
   def registerIndexStore(name: String, kind: String, root: String,
       params: Map[String, Int] = Map.empty): Unit = {
     requireValidName(name)
-    require(Set("ann", "bitmap", "posting", "ivf").contains(kind),
-      s"unknown index-store kind $kind (ann | bitmap | posting | ivf)")
+    require(Set("ann", "bitmap", "posting", "ivf", "pq").contains(kind),
+      s"unknown index-store kind $kind (ann | bitmap | posting | ivf | pq)")
     require(!views.contains(name) && !sources.contains(name),
       s"name $name already exists (drop the view / pick another name)")
     indexStores(name) = (kind, root, params)
@@ -566,6 +566,7 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         case "bitmap"  => BitmapIndexView.forgetKeys(spark, root, keySet)
         case "posting" => PostingIndexView.forgetKeys(spark, root, keySet)
         case "ivf"     => IvfIndexView.forgetKeys(spark, root, keySet)
+        case "pq"      => PqIndexView.forgetKeys(spark, root, keySet)
       }
       audit += ((n, s"index:$kind", parts, dropped))
     }
@@ -621,11 +622,45 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         case "bitmap"  => BitmapIndexView.keyTraces(spark, root, key)
         case "posting" => PostingIndexView.keyTraces(spark, root, key)
         case "ivf"     => IvfIndexView.keyTraces(spark, root, key)
+        case "pq"      => PqIndexView.keyTraces(spark, root, key)
       }
       rows += ((n, s"index:$kind", t))
     }
     import spark.implicits._
     rows.toSeq.toDF("artifact", "kind", "trace_rows")
+  }
+
+  /** Per-leaf file census of a registered live-index store (#370):
+    * `(store, dir, files, bytes, needs_compact)` — the measurement
+    * that schedules compaction.
+    */
+  def storeFiles(name: String, maxFilesPerPart: Int = 8): DataFrame = {
+    val (kind, root, _) = indexStores.getOrElse(name,
+      throw new IllegalArgumentException(s"no index store named $name (registerIndexStore first)"))
+    import spark.implicits._
+    IndexStoreOps.fileCensus(spark, kind, root, maxFilesPerPart)
+      .map(c => (name, c.dir, c.files, c.bytes, c.flagged))
+      .toDF("store", "dir", "files", "bytes", "needs_compact")
+  }
+
+  /** The self-scheduling OPTIMIZE sweep (#370): every registered store
+    * whose census flags a leaf compacts; the rest are untouched. One
+    * audit row per store `(store, kind, flagged_leaves, compacted,
+    * files_before, files_after)` — an operator crons this exactly like
+    * the IVF retrain policy runs itself inside [[IvfIndexView.maintain]].
+    */
+  def optimizeStores(maxFilesPerPart: Int = 8,
+      targetBytes: Long = 64L << 20, smallBytes: Long = 16L << 20): DataFrame = {
+    import spark.implicits._
+    val rows = indexStores.toSeq.map { case (n, (kind, root, _)) =>
+      val before = IndexStoreOps.fileCensus(spark, kind, root, maxFilesPerPart)
+      val (ran, _) = IndexStoreOps.compactIfNeeded(spark, kind, root,
+        maxFilesPerPart, targetBytes, smallBytes)
+      val after = IndexStoreOps.fileCensus(spark, kind, root, maxFilesPerPart)
+      (n, kind, before.count(_.flagged).toLong, ran,
+        before.map(_.files).sum, after.map(_.files).sum)
+    }
+    rows.toDF("store", "kind", "flagged_leaves", "compacted", "files_before", "files_after")
   }
 
   /** The ad-hoc SQL surface over the catalog: register every view's
@@ -956,6 +991,8 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     "(?is)^ALTER\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(SUSPEND|RESUME)\\s*$".r
   private val ForgetRe =
     "(?is)^FORGET\\s+KEYS?\\s*\\(?\\s*(\\d+(?:\\s*,\\s*\\d+)*)\\s*\\)?\\s*$".r
+  private val OptimizeRe =
+    "(?is)^OPTIMIZE\\s+INDEX\\s+STORES(?:\\s+MAX_FILES\\s+(\\d+))?\\s*$".r
 
   /** The catalog as ONE SQL entry point — the literal front-door syntax
     * of a changefeed engine:
@@ -1038,6 +1075,10 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         // `FORGET KEY 5` / `FORGET KEYS (1, 2, 3)` — the batched purge
         // verb (#367) from SQL; returns the audit frame
         forgetKeys(keysCsv.split(",").map(_.trim.toLong).toSeq)
+      case OptimizeRe(maxFiles) =>
+        // `OPTIMIZE INDEX STORES [MAX_FILES n]` — the self-scheduling
+        // compaction sweep (#370); returns the per-store audit
+        optimizeStores(Option(maxFiles).map(_.toInt).getOrElse(8))
       case _ =>
         // time-travel sugar: `FROM v VERSION AS OF 3` reads the named
         // view's snapshotAsOf(3), `FROM v TIMESTAMP AS OF '2026-08-14
@@ -1156,12 +1197,22 @@ class ViewCatalog(val spark: SparkSession, val root: String)
           alias
         })
         val staleDone = StaleRe.replaceAllIn(cellsDone, m => {
-          val (_, root, _) = store(m.group(1), Set("ivf"))
+          val (kind, root, _) = store(m.group(1), Set("ivf", "pq"))
           val alias = fresh("stale")
-          IvfIndexView.stalenessReport(spark, root).createOrReplaceTempView(alias)
+          val rep = if (kind == "ivf") IvfIndexView.stalenessReport(spark, root)
+                    else PqIndexView.stalenessReport(spark, root)
+          rep.createOrReplaceTempView(alias)
           alias
         })
-        val verDone = VerRe.replaceAllIn(staleDone, m =>
+        // INDEX_FILES('store') — the #370 census as a relation
+        val FilesRe = "(?i)INDEX_FILES\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*\\)".r
+        val filesDone = FilesRe.replaceAllIn(staleDone, m => {
+          store(m.group(1), Set("ann", "bitmap", "posting", "ivf", "pq"))
+          val alias = fresh("files")
+          storeFiles(m.group(1)).createOrReplaceTempView(alias)
+          alias
+        })
+        val verDone = VerRe.replaceAllIn(filesDone, m =>
           if (views.contains(m.group(1))) {
             val alias = s"${m.group(1)}__asof_${m.group(2)}"
             snapshotAsOf(m.group(1), m.group(2).toLong).createOrReplaceTempView(alias)

@@ -119,6 +119,30 @@ object LiveIndexProbe {
       (n, build, inc)
     }
 
+    def pqLeg(dir: String): (Long, Double, Double) = {
+      val root = java.nio.file.Files.createTempDirectory("probe_pq").toString
+      val emb = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val n = emb.count()
+      val t0 = System.nanoTime()
+      graft.streaming.PqIndexView.create(spark, root, emb, m = 4, k = 16, iters = 2)
+      graft.streaming.PqIndexView.updateBatch(
+        emb.select(lit("I").as("op"), col("vec_id"), col("embedding"),
+          lit(1000L).as("tsUs"), col("vec_id").as("seq")),
+        root, m = 4, keyBuckets = 64)
+      val build = (System.nanoTime() - t0) / 1e9
+      var ts = 2000L
+      val inc = timeMin3 { () =>
+        ts += 1000L
+        val tsNow = ts
+        graft.streaming.PqIndexView.updateBatch(
+          emb.filter(col("vec_id") < 500).select(lit("U").as("op"), col("vec_id"),
+            transform(col("embedding"), x => -x * lit((tsNow % 3 + 1).toFloat)).as("embedding"),
+            lit(tsNow).as("tsUs"), col("vec_id").as("seq")),
+          root, m = 4, keyBuckets = 64)
+      }
+      (n, build, inc)
+    }
+
     def legJson(name: String, a: (Long, Double, Double), b: (Long, Double, Double)): String =
       f"""{"index":"$name","a_rows":${a._1},"a_build_sec":${a._2}%.2f,"a_inc_sec":${a._3}%.2f,""" +
         f""""b_rows":${b._1},"b_build_sec":${b._2}%.2f,"b_inc_sec":${b._3}%.2f,""" +
@@ -128,7 +152,8 @@ object LiveIndexProbe {
       legJson("ann_lsh", annLeg(dirA), annLeg(dirB)),
       legJson("postings", postLeg(dirA), postLeg(dirB)),
       legJson("bitmap", bmLeg(dirA), bmLeg(dirB)),
-      legJson("ivf", ivfLeg(dirA), ivfLeg(dirB)))
+      legJson("ivf", ivfLeg(dirA), ivfLeg(dirB)),
+      legJson("pq", pqLeg(dirA), pqLeg(dirB)))
     val json = s"""{"metric":"liveindex_scale","a":"$dirA","b":"$dirB","legs":[${lines.mkString(",")}]}"""
     println(json)
     val p = java.nio.file.Paths.get(out)

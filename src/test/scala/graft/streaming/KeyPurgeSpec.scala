@@ -243,18 +243,23 @@ class KeyPurgeSpec extends SparkSpec {
       postRoot, buckets = 8, keyBuckets = 8)
     IvfIndexView.create(spark, ivfRoot, ids.map(i => (i, vec(i))).toDF("vec_id", "embedding"), k = 4, iters = 1)
     IvfIndexView.updateBatch(ids.map(i => VecChg("I", i, vec(i), 1000L, i)).toDF(), ivfRoot, 8)
+    val pqRoot = tmp("bkpq")
+    PqIndexView.create(spark, pqRoot, ids.map(i => (i, vec(i))).toDF("vec_id", "embedding"), m = 4, k = 8, iters = 1)
+    PqIndexView.updateBatch(ids.map(i => VecChg("I", i, vec(i), 1000L, i)).toDF(), pqRoot, 4, 8)
     // two of the purge keys arrive as deletes first — their locator
     // traces are TOMBSTONES and the batch purge must take those too
     AnnIndexView.updateBatch(Seq(VecChg("D", 8L, vec(8L), 2000L, 200L)).toDF(), annRoot, 4, 8)
     BitmapIndexView.updateBatch(Seq(BmChg("D", 8L, "red", 2000L, 200L)).toDF(), bmRoot, 8)
     PostingIndexView.updateBatch(Seq(DocChg("D", 8L, "", 2000L, 200L)).toDF(), postRoot, 8, 8)
     IvfIndexView.updateBatch(Seq(VecChg("D", 8L, vec(8L), 2000L, 200L)).toDF(), ivfRoot, 8)
+    PqIndexView.updateBatch(Seq(VecChg("D", 8L, vec(8L), 2000L, 200L)).toDF(), pqRoot, 4, 8)
 
     val cat = new ViewCatalog(spark, tmp("bkcat"))
     cat.registerIndexStore("ann_idx", "ann", annRoot)
     cat.registerIndexStore("bm_idx", "bitmap", bmRoot)
     cat.registerIndexStore("post_idx", "posting", postRoot)
     cat.registerIndexStore("ivf_idx", "ivf", ivfRoot)
+    cat.registerIndexStore("pq_idx", "pq", pqRoot)
 
     // purge list: every key < 100 with kb ∈ {0,1,2,3} (kb = key mod 8)
     // → locator partitions kb=4..7 must come through byte-identical
@@ -270,7 +275,7 @@ class KeyPurgeSpec extends SparkSpec {
             .map(f => s"${f.getFileName}:${Files.getLastModifiedTime(f)}").toSet
         }.toMap
     }
-    val beforeKb = Seq(annRoot, bmRoot, postRoot, ivfRoot).map(r => r -> kbFiles(r)).toMap
+    val beforeKb = Seq(annRoot, bmRoot, postRoot, ivfRoot, pqRoot).map(r => r -> kbFiles(r)).toMap
 
     val audit = cat.forgetKeys(purge).collect()
       .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
@@ -285,7 +290,7 @@ class KeyPurgeSpec extends SparkSpec {
     }
 
     // untouched locator partitions byte-identical (kb=4..7)
-    Seq(annRoot, bmRoot, postRoot, ivfRoot).foreach { r =>
+    Seq(annRoot, bmRoot, postRoot, ivfRoot, pqRoot).foreach { r =>
       val after = kbFiles(r)
       (4 to 7).map(b => s"kb=$b").foreach { d =>
         assert(beforeKb(r).get(d) == after.get(d), s"$r/$d was rewritten by the batch purge")
@@ -303,6 +308,9 @@ class KeyPurgeSpec extends SparkSpec {
     assert(IvfIndexView.readIndex(spark, ivfRoot)
       .filter(col("vec_id").isin(purge: _*)).count() == 0L)
     assert(spark.read.parquet(s"$ivfRoot/keys").filter(col("vec_id").isin(purge: _*)).count() == 0L)
+    assert(PqIndexView.readIndex(spark, pqRoot)
+      .filter(col("vec_id").isin(purge: _*)).count() == 0L)
+    assert(spark.read.parquet(s"$pqRoot/keys").filter(col("vec_id").isin(purge: _*)).count() == 0L)
     // the tombstoned key's locator trace went with the batch
     assert(cat.keyTraces(8L).collect().map(_.getLong(2)).sum == 0L)
     // bitmap bits really cleared: no purged key's bit anywhere
@@ -323,7 +331,7 @@ class KeyPurgeSpec extends SparkSpec {
     // SQL front door: FORGET KEYS (…) returns the audit frame
     val sqlAudit = cat.sql("FORGET KEYS (100, 101)").collect()
     assert(sqlAudit.map(_.getString(0)).toSet ==
-      Set("ann_idx", "bm_idx", "post_idx", "ivf_idx"))
+      Set("ann_idx", "bm_idx", "post_idx", "ivf_idx", "pq_idx"))
     assert(spark.read.parquet(s"$annRoot/keys")
       .filter(col("vec_id").isin(100L, 101L)).count() == 0L)
 
