@@ -267,8 +267,14 @@ object AnnIndexView {
     * they carry the key id). Zero = forgotten.
     */
   def keyTraces(spark: SparkSession, root: String, key: Long): Long =
-    readOr(spark, dataDir(root), dataSchema).filter(col("vec_id") === key).count() +
-      readOr(spark, keysDir(root), keysSchema).filter(col("vec_id") === key).count()
+    keyTraces(spark, root, Seq(key))
+
+  /** Batch auditor (#367's companion): traces for the WHOLE list in one
+    * scan per store side, not |list| scans.
+    */
+  def keyTraces(spark: SparkSession, root: String, keys: Seq[Long]): Long =
+    readOr(spark, dataDir(root), dataSchema).filter(col("vec_id").isin(keys: _*)).count() +
+      readOr(spark, keysDir(root), keysSchema).filter(col("vec_id").isin(keys: _*)).count()
 
   /** #337 wired end-to-end: changefeed → live LSH index. */
   def maintain(feed: DataFrame, root: String, checkpointDir: String,

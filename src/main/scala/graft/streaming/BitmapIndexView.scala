@@ -246,12 +246,21 @@ object BitmapIndexView {
     * key (tombstones count) plus bitmaps where its bit is still set —
     * the word-position predicate pushes to the parquet scan.
     */
-  def keyTraces(spark: SparkSession, root: String, key: Long): Long = {
-    val w = key / 63L
-    val bit = 1L << (key % 63L).toInt
-    readOr(spark, bmDir(root), bmSchema)
-      .filter(col("w") === w && (col("bits").bitwiseAND(lit(bit))) =!= 0L).count() +
-      readOr(spark, keysDir(root), keysSchema).filter(col("key") === key).count()
+  def keyTraces(spark: SparkSession, root: String, key: Long): Long =
+    keyTraces(spark, root, Seq(key))
+
+  /** Batch auditor: the whole list's bit-masks fold per word
+    * driver-side, then one scan counts surviving words carrying any
+    * listed bit + one locator scan.
+    */
+  def keyTraces(spark: SparkSession, root: String, keys: Seq[Long]): Long = {
+    import spark.implicits._
+    val masks = keys.distinct.map(k => (k / 63L, 1L << (k % 63L).toInt))
+      .groupBy(_._1).map { case (w, bs) => (w, bs.map(_._2).reduce(_ | _)) }.toSeq
+    val bm = readOr(spark, bmDir(root), bmSchema)
+      .join(broadcast(masks.toDF("w", "mask")), Seq("w"))
+      .filter((col("bits").bitwiseAND(col("mask"))) =!= 0L).count()
+    bm + readOr(spark, keysDir(root), keysSchema).filter(col("key").isin(keys: _*)).count()
   }
 
   /** #339 wired end-to-end: changefeed → live bitmap index. */

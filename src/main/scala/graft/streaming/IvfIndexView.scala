@@ -525,8 +525,12 @@ object IvfIndexView {
 
   /** The [[forgetKey]] auditor for this store. */
   def keyTraces(spark: SparkSession, root: String, key: Long): Long =
-    readOr(spark, dataDir(root), dataSchema).filter(col("vec_id") === key).count() +
-      readOr(spark, keysDir(root), keysSchema).filter(col("vec_id") === key).count()
+    keyTraces(spark, root, Seq(key))
+
+  /** Batch auditor: the whole list in one scan per store side. */
+  def keyTraces(spark: SparkSession, root: String, keys: Seq[Long]): Long =
+    readOr(spark, dataDir(root), dataSchema).filter(col("vec_id").isin(keys: _*)).count() +
+      readOr(spark, keysDir(root), keysSchema).filter(col("vec_id").isin(keys: _*)).count()
 
   /** Probe the LIVE index: top-k cosine neighbors per query row
     * `(query_id, embedding)` at the pinned centroids — s04's nprobe

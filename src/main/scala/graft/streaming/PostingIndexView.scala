@@ -222,8 +222,12 @@ object PostingIndexView {
     * locator rows (tombstones count) still naming the doc.
     */
   def keyTraces(spark: SparkSession, root: String, key: Long): Long =
-    readOr(spark, postDir(root), postSchema).filter(col("doc_id") === key).count() +
-      readOr(spark, keysDir(root), keysSchema).filter(col("doc_id") === key).count()
+    keyTraces(spark, root, Seq(key))
+
+  /** Batch auditor: the whole list in one scan per store side. */
+  def keyTraces(spark: SparkSession, root: String, keys: Seq[Long]): Long =
+    readOr(spark, postDir(root), postSchema).filter(col("doc_id").isin(keys: _*)).count() +
+      readOr(spark, keysDir(root), keysSchema).filter(col("doc_id").isin(keys: _*)).count()
 
   /** #340 wired end-to-end: document changefeed → live posting index. */
   def maintain(feed: DataFrame, root: String, checkpointDir: String,

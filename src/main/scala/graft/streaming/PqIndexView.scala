@@ -233,14 +233,59 @@ object PqIndexView {
     } finally cached.foreach(_.unpersist())
   }
 
-  /** #369 wired end-to-end: changefeed → live PQ code table. */
+  /** The PQ retrain policy (#366's discipline on this family):
+    * thresholds on the cumulative reconstruction-error ratio and code
+    * churn since the current baseline. Unlike IVF, a code store cannot
+    * reconstruct its vectors, so the policy carries the caller's
+    * full-precision source (`vectors` — the same relation the rerank
+    * stage joins).
+    */
+  final case class RetrainPolicy(
+      churnFrac: Double = Double.PositiveInfinity,
+      errRatio: Double = Double.PositiveInfinity,
+      m: Int = 4, k: Int = 16, iters: Int = 2)
+
+  /** Evaluate the policy against the current baseline's cumulative
+    * staleness and retrain once (from `vectors`) if breached. Returns
+    * whether a retrain ran; idempotent at a fixed store state.
+    */
+  def maybeRetrain(spark: SparkSession, root: String, policy: RetrainPolicy,
+      vectors: DataFrame, keyBuckets: Int = 64): Boolean = {
+    val last = stalenessReport(spark, root)
+      .filter(col("kind") === "batch" && col("cum_moved").isNotNull)
+      .orderBy(col("base_seq").desc, col("batch_id").desc).limit(1)
+      .collect()
+    val breached = last.exists { r =>
+      val churn = if (r.isNullAt(r.fieldIndex("cum_churn_frac"))) 0.0
+                  else r.getDouble(r.fieldIndex("cum_churn_frac"))
+      val err = if (r.isNullAt(r.fieldIndex("cum_err_ratio"))) 0.0
+                else r.getDouble(r.fieldIndex("cum_err_ratio"))
+      churn > policy.churnFrac || err > policy.errRatio
+    }
+    if (breached) retrain(spark, root, vectors, policy.m, policy.k, policy.iters, keyBuckets)
+    breached
+  }
+
+  /** #369 wired end-to-end: changefeed → live PQ code table. With
+    * `retrainWhen` set the staleness policy runs after every batch,
+    * re-learning from `retrainVectors` (resolved at trigger time) —
+    * the #366 self-running loop on the PQ family.
+    */
   def maintain(feed: DataFrame, root: String, checkpointDir: String,
-      m: Int = 4, keyBuckets: Int = 64): DataStreamWriter[Row] =
+      m: Int = 4, keyBuckets: Int = 64,
+      retrainWhen: Option[RetrainPolicy] = None,
+      retrainVectors: Option[() => DataFrame] = None): DataStreamWriter[Row] =
     feed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        updateBatch(batch, root, m, keyBuckets, id) }
+        updateBatch(batch, root, m, keyBuckets, id)
+        retrainWhen.foreach { p =>
+          val vecs = retrainVectors.getOrElse(throw new IllegalArgumentException(
+            "retrainWhen needs retrainVectors — a PQ code store cannot reconstruct its vectors"))
+          maybeRetrain(batch.sparkSession, root, p, vecs(), keyBuckets): Unit
+        }
+      }
 
   /** The live code table `(kb, vec_id, codes, norm)`. */
   def readIndex(spark: SparkSession, root: String): DataFrame =
@@ -374,8 +419,12 @@ object PqIndexView {
 
   /** The [[forgetKey]] auditor for this store. */
   def keyTraces(spark: SparkSession, root: String, key: Long): Long =
-    readOr(spark, dataDir(root), dataSchema).filter(col("vec_id") === key).count() +
-      readOr(spark, keysDir(root), keysSchema).filter(col("vec_id") === key).count()
+    keyTraces(spark, root, Seq(key))
+
+  /** Batch auditor: the whole list in one scan per store side. */
+  def keyTraces(spark: SparkSession, root: String, keys: Seq[Long]): Long =
+    readOr(spark, dataDir(root), dataSchema).filter(col("vec_id").isin(keys: _*)).count() +
+      readOr(spark, keysDir(root), keysSchema).filter(col("vec_id").isin(keys: _*)).count()
 
   /** Probe the LIVE index: s05's asymmetric-distance dataflow served
     * from the maintained code table. The broadcast lookup table (query

@@ -630,6 +630,43 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     rows.toSeq.toDF("artifact", "kind", "trace_rows")
   }
 
+  /** Batch auditor (#367's companion verb): at-rest traces of the WHOLE
+    * purge list — one IN-pruned scan per artifact, not |list| sweeps.
+    * Sinks, SCD2 histories, and every registered index store; all
+    * zeros = the list is forgotten. (Per-key state-store introspection
+    * stays on the single-key [[keyTraces]] — state audits are a drill-
+    * down, not a compliance sweep.)
+    */
+  def keyTracesAll(keys: Seq[Long], historyDirs: Seq[String] = Nil): DataFrame = {
+    val keySet = keys.distinct
+    require(keySet.nonEmpty, "keyTracesAll requires at least one key")
+    val rows = mutable.Buffer[(String, String, Long)]()
+    views.keys.toSeq.sorted.foreach { n =>
+      val sinkRows =
+        try spark.read.parquet(feedDir(n)).filter(col("key").isin(keySet: _*)).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      rows += ((n, "sink", sinkRows))
+    }
+    historyDirs.foreach { hd =>
+      val h =
+        try spark.read.parquet(hd).filter(col("key").isin(keySet: _*)).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      rows += ((hd, "history", h))
+    }
+    indexStores.foreach { case (n, (kind, root, _)) =>
+      val t = kind match {
+        case "ann"     => AnnIndexView.keyTraces(spark, root, keySet)
+        case "bitmap"  => BitmapIndexView.keyTraces(spark, root, keySet)
+        case "posting" => PostingIndexView.keyTraces(spark, root, keySet)
+        case "ivf"     => IvfIndexView.keyTraces(spark, root, keySet)
+        case "pq"      => PqIndexView.keyTraces(spark, root, keySet)
+      }
+      rows += ((n, s"index:$kind", t))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("artifact", "kind", "trace_rows")
+  }
+
   /** Per-leaf file census of a registered live-index store (#370):
     * `(store, dir, files, bytes, needs_compact)` — the measurement
     * that schedules compaction.

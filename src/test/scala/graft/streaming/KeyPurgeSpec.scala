@@ -313,6 +313,11 @@ class KeyPurgeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$pqRoot/keys").filter(col("vec_id").isin(purge: _*)).count() == 0L)
     // the tombstoned key's locator trace went with the batch
     assert(cat.keyTraces(8L).collect().map(_.getLong(2)).sum == 0L)
+    // the batch auditor sweeps the whole list in one scan per artifact
+    assert(cat.keyTracesAll(purge).collect().map(_.getLong(2)).sum == 0L,
+      "keyTracesAll must read zero for the purged list")
+    assert(cat.keyTracesAll(Seq(104L, 105L)).collect().map(_.getLong(2)).sum > 0L,
+      "keyTracesAll must still see surviving keys")
     // bitmap bits really cleared: no purged key's bit anywhere
     val purgedBits = purge.map(k => (k / 63L, 1L << (k % 63L).toInt))
       .groupBy(_._1).map { case (w, bs) => (w, bs.map(_._2).reduce(_ | _)) }

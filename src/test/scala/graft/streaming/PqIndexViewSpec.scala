@@ -153,6 +153,27 @@ class PqIndexViewSpec extends SparkSpec {
     assert(liveCodes(root) == rebuildCodes(root, liveNow + (11L -> neg(byId(11L)))),
       "maintenance at the new codebooks must stay exact")
 
+    // RETRAIN POLICY (#366 on this family, the errRatio path —
+    // reconstruction error is THE PQ staleness signal): a far-out-of-
+    // distribution batch blows the cumulative error ratio past the
+    // threshold → exactly one retrain (baseline 3), and a second check
+    // at the fresh baseline is a no-op
+    PqIndexView.updateBatch(
+      vecs.slice(24, 34).toSeq.map { case (id, e) => chg("U", id, e.map(x => x * 80.0f), 22000L) }.toDF(),
+      root, 4, 8, batchId = 79L)
+    val pol = PqIndexView.RetrainPolicy(errRatio = 2.0, m = 4, k = 8, iters = 2)
+    val liveAfter = liveNow + (11L -> neg(byId(11L))) ++
+      vecs.slice(24, 34).map { case (id, e) => id -> e.map(x => x * 80.0f) }.toMap
+    assert(PqIndexView.maybeRetrain(spark, root, pol,
+      liveAfter.toSeq.toDF("vec_id", "embedding"), keyBuckets = 8),
+      "cumulative reconstruction-error past the threshold must trigger a retrain")
+    assert(spark.read.parquet(s"$root/drift").filter(col("kind") === "baseline").count() == 3L)
+    assert(!PqIndexView.maybeRetrain(spark, root, pol,
+      liveAfter.toSeq.toDF("vec_id", "embedding"), keyBuckets = 8),
+      "the fresh baseline must not re-fire")
+    assert(liveCodes(root) == rebuildCodes(root, liveAfter),
+      "the policy-triggered retrain must keep live ≡ re-encode")
+
     // FORGET KEYS sweeps codes + locators (tombstones incl.)
     PqIndexView.updateBatch(Seq(chg("D", 12L, byId(12L), 31000L)).toDF(), root, 4, 8)
     val (parts, dropped) = PqIndexView.forgetKeys(spark, root, Seq(11L, 12L))
