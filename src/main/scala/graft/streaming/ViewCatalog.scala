@@ -156,14 +156,22 @@ class ViewCatalog(val spark: SparkSession, val root: String)
     * re-wires its directories).
     */
   def registerIndexStore(name: String, kind: String, root: String,
-      params: Map[String, Int] = Map.empty): Unit = {
+      params: Map[String, Int] = Map.empty,
+      vectors: Option[() => DataFrame] = None): Unit = {
     requireValidName(name)
     require(Set("ann", "bitmap", "posting", "ivf", "pq").contains(kind),
       s"unknown index-store kind $kind (ann | bitmap | posting | ivf | pq)")
     require(!views.contains(name) && !sources.contains(name),
       s"name $name already exists (drop the view / pick another name)")
     indexStores(name) = (kind, root, params)
+    // a PQ store holds CODES; its SQL probes need the full-precision
+    // relation back (query embedding + exact rerank), so the store may
+    // register its vectors source — the same relation the Scala probe's
+    // rerankWith takes and retrain trains from
+    vectors.foreach(v => indexVectors(name) = v)
   }
+
+  private val indexVectors = mutable.LinkedHashMap.empty[String, () => DataFrame]
 
   def indexStoreNames: Seq[String] = indexStores.keys.toSeq
 
@@ -1132,9 +1140,11 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         //   PHRASE_SEARCH('store', TABLE phrases)    (posting, BATCH:
         //     one probe per row of <phrases>.phrase — the r15 SQL door
         //     took only a literal; the Scala probe always took a list)
-        //   SIMILAR_TO('store', <vec_id>, <k>)       (ann | ivf; the
-        //     query embedding is the store's OWN row for vec_id)
-        //   SIMILAR_TO('store', TABLE ids, <k>)      (ann | ivf, BATCH:
+        //   SIMILAR_TO('store', <vec_id>, <k>)       (ann | ivf | pq;
+        //     the query embedding is the store's OWN row for vec_id —
+        //     for pq, the registered vectors source's row, which also
+        //     serves the exact rerank)
+        //   SIMILAR_TO('store', TABLE ids, <k>)      (ann | ivf | pq, BATCH:
         //     one probe per row of <ids>.vec_id, still partition-pruned
         //     to queries × probe cells — the relation-valued form a
         //     retrieval join actually needs)
@@ -1187,43 +1197,58 @@ class ViewCatalog(val spark: SparkSession, val root: String)
             .createOrReplaceTempView(alias)
           alias
         })
+        // PQ stores hold codes: their query embeddings + exact rerank
+        // come from the registered vectors source (#369's rerankWith)
+        def pqVectors(n: String): DataFrame =
+          indexVectors.getOrElse(n, throw new IllegalArgumentException(
+            s"pq store $n has no registered vectors source — " +
+              "registerIndexStore(…, vectors = Some(…)); a code store " +
+              "cannot reconstruct query embeddings")).apply()
+        // the relation of (vec_id, embedding) a SIMILAR_TO query draws
+        // its query vectors from, per family
+        def embSource(name: String, kind: String, root: String): DataFrame = kind match {
+          case "ann" => AnnIndexView.readIndex(spark, root)
+          case "ivf" => IvfIndexView.readIndex(spark, root)
+          case "pq"  => pqVectors(name)
+        }
+        def similarProbe(name: String, kind: String, root: String,
+            params: Map[String, Int], queries: DataFrame, k: Int): DataFrame = kind match {
+          case "ann" =>
+            AnnIndexView.similarTo(spark, root, queries, k,
+              numPlanes = params.getOrElse("planes", 8))
+          case "ivf" =>
+            IvfIndexView.similarTo(spark, root, queries, k,
+              nprobe = params.getOrElse("nprobe", 2))
+          case "pq" =>
+            PqIndexView.similarTo(spark, root, queries, k,
+              m = params.getOrElse("m", 4),
+              rerank = params.getOrElse("rerank", 60),
+              rerankWith = Some(pqVectors(name)))
+        }
         val simTblDone = SimilarTblRe.replaceAllIn(phraseDone, m => {
-          val (kind, root, params) = store(m.group(1), Set("ann", "ivf"))
+          val (kind, root, params) = store(m.group(1), Set("ann", "ivf", "pq"))
           val k = m.group(3).toInt
           val alias = fresh("similar")
-          val idx = if (kind == "ann") AnnIndexView.readIndex(spark, root)
-                    else IvfIndexView.readIndex(spark, root)
           // the whole id relation probes in ONE batch: ids join the
-          // store's own embeddings, then the family's multi-query probe
-          // runs partition-pruned to queries × probe cells
-          val queries = idx.join(
+          // store's own embeddings (or the pq vectors source), then the
+          // family's multi-query probe runs partition-pruned
+          val queries = embSource(m.group(1), kind, root).join(
               probeRelation(m.group(2)).select(col("vec_id").cast("long").as("vec_id")).distinct(),
               Seq("vec_id"))
             .select(col("vec_id").as("query_id"), col("embedding"))
-          val probe = if (kind == "ann")
-            AnnIndexView.similarTo(spark, root, queries, k,
-              numPlanes = params.getOrElse("planes", 8))
-          else
-            IvfIndexView.similarTo(spark, root, queries, k,
-              nprobe = params.getOrElse("nprobe", 2))
-          probe.createOrReplaceTempView(alias)
+          similarProbe(m.group(1), kind, root, params, queries, k)
+            .createOrReplaceTempView(alias)
           alias
         })
         val simDone = SimilarRe.replaceAllIn(simTblDone, m => {
-          val (kind, root, params) = store(m.group(1), Set("ann", "ivf"))
+          val (kind, root, params) = store(m.group(1), Set("ann", "ivf", "pq"))
           val (id, k) = (m.group(2).toLong, m.group(3).toInt)
           val alias = fresh("similar")
-          val idx = if (kind == "ann") AnnIndexView.readIndex(spark, root)
-                    else IvfIndexView.readIndex(spark, root)
-          val queries = idx.filter(col("vec_id") === id)
+          val queries = embSource(m.group(1), kind, root)
+            .filter(col("vec_id") === id)
             .select(col("vec_id").as("query_id"), col("embedding"))
-          val probe = if (kind == "ann")
-            AnnIndexView.similarTo(spark, root, queries, k,
-              numPlanes = params.getOrElse("planes", 8))
-          else
-            IvfIndexView.similarTo(spark, root, queries, k,
-              nprobe = params.getOrElse("nprobe", 2))
-          probe.createOrReplaceTempView(alias)
+          similarProbe(m.group(1), kind, root, params, queries, k)
+            .createOrReplaceTempView(alias)
           alias
         })
         val cellsDone = CellsRe.replaceAllIn(simDone, m => {

@@ -109,6 +109,32 @@ class IndexSqlSpec extends SparkSpec {
       .collect()
     assert(pqStale.nonEmpty && !pqStale.head.isNullAt(1),
       "pq staleness must surface the cumulative error ratio")
+
+    // SIMILAR_TO over a pq store needs the registered vectors source
+    // (a code store cannot reconstruct query embeddings)…
+    val ePqNoVec = intercept[IllegalArgumentException] {
+      cat.sql("SELECT * FROM SIMILAR_TO('pq_idx', 6, 3)") }
+    assert(ePqNoVec.getMessage.contains("vectors source"), ePqNoVec.getMessage)
+    // …and with one registered, SQL ≡ the Scala ADC+rerank probe
+    val pqVecs = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    cat.registerIndexStore("pq_idx", "pq", pqRoot,
+      Map("m" -> 4, "rerank" -> 8), vectors = Some(() => pqVecs))
+    val pqSql = cat.sql("SELECT neighbor_id, rn FROM SIMILAR_TO('pq_idx', 6, 3) ORDER BY rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val pqQ = pqVecs.filter(col("vec_id") === 6L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val pqDirect = PqIndexView.similarTo(spark, pqRoot, pqQ, 3, m = 4,
+        rerank = 8, rerankWith = Some(pqVecs))
+      .select("neighbor_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._2).toList
+    assert(pqSql == pqDirect && pqSql.nonEmpty, s"$pqSql vs $pqDirect")
+    // batch form over the same probe relation
+    Seq(2L, 6L).toDF("vec_id").createOrReplaceTempView("probe_ids2")
+    val pqBatchRows = cat.sql(
+      "SELECT query_id, neighbor_id FROM SIMILAR_TO('pq_idx', TABLE probe_ids2, 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pqBatchRows.map(_._1) == Set(2L, 6L), s"pq batch probe: $pqBatchRows")
+
     cat.forgetKeys(Seq(1L, 2L))
     assert(PqIndexView.keyTraces(spark, pqRoot, 1L) == 0L &&
       PqIndexView.keyTraces(spark, pqRoot, 2L) == 0L,
