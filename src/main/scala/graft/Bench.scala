@@ -60,8 +60,12 @@ object Bench {
     // probe cost only and run 1 carries the one-time I/U/D history
     // replay. Record that fold separately so `min` can't be misread as
     // the full cost: store_build_sec ≈ run1 − min(run2, run3).
+    // q151 probes the q148 + s13 stores; alphabetical order means its
+    // run 1 builds the ANN store (s13 then memo-hits), so it belongs in
+    // the split too
     val liveQueries = Seq("s13_ann_live_index", "s15_ann_ivf_live",
-      "s16_ann_pq_live", "q147_bitmap_live", "q148_phrase_live")
+      "s16_ann_pq_live", "q147_bitmap_live", "q148_phrase_live",
+      "q151_hybrid_live")
     val storeBuild = liveQueries.flatMap { q =>
       runs.head.get(q).flatMap { r1 =>
         val steady = Seq(runs(1).get(q), runs(2).get(q)).flatten.filter(_ >= 0)

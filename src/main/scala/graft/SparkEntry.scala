@@ -251,6 +251,7 @@ object SparkEntry {
     "s13_ann_live_index"        -> ((s, d) => graft.streaming.AnnIndexView.annLiveIndex(GraftSession.tune(s), d)),
     "s15_ann_ivf_live"          -> ((s, d) => graft.streaming.IvfIndexView.annIvfLive(GraftSession.tune(s), d)),
     "s16_ann_pq_live"           -> ((s, d) => graft.streaming.PqIndexView.annPqLive(GraftSession.tune(s), d)),
+    "q151_hybrid_live"          -> ((s, d) => graft.streaming.HybridLive.hybridRrfLive(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
     "t22_zipf_slope"            -> ((s, d) => TextAnalysis.zipfSlope(GraftSession.tune(s), d)),
     "t23_perplexity_buckets"    -> ((s, d) => TextAnalysis.perplexityBuckets(GraftSession.tune(s), d)),
@@ -1862,6 +1863,57 @@ object SparkEntry {
         |  PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rn FROM p)
         |SELECT query_id, neighbor_id, round(sim6, 4) AS cosine, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 3""".stripMargin),
+    // q151: LIVE hybrid retrieval — the q148 phrase leg (closed-form
+    // final docs corpus) fused with the s13 LSH leg (closed-form final
+    // embeddings corpus, query = doc 0) by exact-integer RRF; hash
+    // equality proves both maintained stores AND the fusion.
+    "q151_hybrid_live" ->
+      ("""WITH d2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' spark stream' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM d2),
+        |h2 AS (SELECT doc_id, len(list_filter(range(1, len(words)),
+        |    i -> words[i] = 'spark' AND words[i+1] = 'stream')) AS n_hits FROM w),
+        |lex_top AS (SELECT doc_id, n_hits FROM h2 WHERE n_hits > 0 AND doc_id <> 0
+        |  ORDER BY n_hits DESC, doc_id LIMIT 20),
+        |lex AS (SELECT a.doc_id, CAST(count(b.doc_id) + 1 AS BIGINT) AS lex_rank
+        |  FROM lex_top a LEFT JOIN lex_top b
+        |    ON b.n_hits > a.n_hits OR (b.n_hits = a.n_hits AND b.doc_id < a.doc_id)
+        |  GROUP BY a.doc_id),
+        |e0 AS (SELECT vec_id,
+        |  CASE WHEN vec_id % 11 = 5 THEN list_transform(embedding, x -> -x)
+        |       ELSE embedding END AS embedding
+        |  FROM embeddings WHERE vec_id % 7 <> 3),
+        |b AS (SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS norm,
+        |""".stripMargin
+        + (0 until 8).map { j =>
+          s"""  CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1),
+             |    k -> CAST(embedding[k] AS DOUBLE) * sin(${j * 131}.0 + (k - 1) * 0.7)), 'sum') > 0
+             |  THEN ${1 << j} ELSE 0 END""".stripMargin
+        }.mkString("", " +\n", " AS bucket\n")
+        + """  FROM e0),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket AS qb
+        |  FROM b WHERE vec_id = 0),
+        |probes AS (SELECT query_id, q_emb, q_norm,
+        |  unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8),
+        |          xor(qb, 16), xor(qb, 32), xor(qb, 64), xor(qb, 128)]) AS bucket FROM q),
+        |p AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(pr.q_emb[i] AS DOUBLE) * e.embedding[i]), 'sum')
+        |    / (pr.q_norm * e.norm), 6) AS sim6
+        | FROM b e JOIN probes pr ON e.bucket = pr.bucket AND e.vec_id <> pr.query_id),
+        |r AS (SELECT neighbor_id, row_number() OVER (
+        |  ORDER BY sim6 DESC, neighbor_id) AS rn FROM p),
+        |vec AS (SELECT neighbor_id AS doc_id, CAST(rn AS BIGINT) AS vec_rank
+        |  FROM r WHERE rn <= 20),
+        |f AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank
+        |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        |SELECT doc_id, lex_rank, vec_rank,
+        |  CAST(coalesce(1000000 // (60 + lex_rank), 0)
+        |     + coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_e6
+        |FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin),
     // s15: the live IVF index — pinned centroids replayed round-for-
     // round over the ORIGINAL corpus (the s04 fixed-point Lloyd
     // scaffolding), then the closed-form FINAL corpus (mod-11 negation,

@@ -357,7 +357,22 @@ object AnnIndexView {
     * through incremental updateBatch folds) equals the batch rebuild.
     */
   def annLiveIndex(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val root = liveIndexDirs.getOrElseUpdate(
+    val root = liveStoreFor(spark, dir)
+    val queries = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3)
+      .select(col("vec_id").as("query_id"),
+        when(col("vec_id") % 11 === 5, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+    similarTo(spark, root, queries, k, numPlanes = 8)
+  }
+
+  /** The s13 maintained store for `dir`'s embeddings corpus, built once
+    * per (app, corpus snapshot) — exposed (r16) so composed queries
+    * (q151 live hybrid retrieval) probe the SAME store instead of
+    * folding their own copy of the feed.
+    */
+  def liveStoreFor(spark: SparkSession, dir: String): String =
+    liveIndexDirs.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, Similarity.corpusFingerprint(spark, dir)), {
         val d = Files.createTempDirectory("graft_ann_live").toString
         val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
@@ -381,11 +396,4 @@ object AnnIndexView {
         ).foreach(b => updateBatch(b, d, numPlanes = 8, keyBuckets = 16))
         d
       })
-    val queries = graft.sources.Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3)
-      .select(col("vec_id").as("query_id"),
-        when(col("vec_id") % 11 === 5, transform(col("embedding"), x => -x))
-          .otherwise(col("embedding")).as("embedding"))
-    similarTo(spark, root, queries, k, numPlanes = 8)
-  }
 }

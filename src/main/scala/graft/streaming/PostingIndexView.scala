@@ -281,8 +281,17 @@ object PostingIndexView {
     * oracle runs q143's SQL over the closed-form final corpus; hash
     * equality proves the maintained postings equal the batch rebuild.
     */
-  def phraseLive(spark: SparkSession, dir: String): DataFrame = {
-    val root = liveDirs.getOrElseUpdate(
+  def phraseLive(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(spark, liveStoreFor(spark, dir),
+      Seq(Seq("spark", "stream"), Seq("the", "fast", "key")))
+
+  /** The q148 maintained store for `dir`'s documents corpus, built once
+    * per (app, corpus snapshot) — exposed (r16) so composed queries
+    * (q151 live hybrid retrieval) probe the SAME store instead of
+    * folding their own copy of the feed.
+    */
+  def liveStoreFor(spark: SparkSession, dir: String): String =
+    liveDirs.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, IndexFingerprint.docsFingerprint(spark, dir)), {
         val d = Files.createTempDirectory("graft_post_live").toString
         val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -306,8 +315,6 @@ object PostingIndexView {
         ).foreach(b => updateBatch(b, d))
         d
       })
-    phraseSearch(spark, root, Seq(Seq("spark", "stream"), Seq("the", "fast", "key")))
-  }
 }
 
 /** File-fingerprint helper shared by the live-index driver entries. */

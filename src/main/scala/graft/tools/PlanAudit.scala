@@ -48,7 +48,10 @@ object PlanAudit {
       // q149/q150: the same bounded band-table triangles (price-domain
       // DIV 10000 / DIV 100000 bands — grid size fixed by the price
       // domain, not the corpus)
-      "q149_skyline_parts", "q150_weighted_median")
+      "q149_skyline_parts", "q150_weighted_median",
+      // q151: q135's rank-within-top-20 triangle over the LIVE lexical
+      // leg's TakeOrdered 20-row cut — bounded by the retrieval k
+      "q151_hybrid_live")
     // Mid-pipeline SinglePartition allowlist (PlanChecks already exempts
     // keyless one-row rollups and global limits structurally): the
     // BOUNDED-fold global windows/sorts, where the single partition

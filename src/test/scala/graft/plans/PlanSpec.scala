@@ -166,6 +166,8 @@ class PlanSpec extends SparkSpec {
       // TakeOrdered 20-row list (two legs → two BNLJ nodes) — bounded by
       // the retrieval cut k, never corpus-sized
       "q135_hybrid_rrf",
+      // q151: the same idiom over the LIVE lexical leg's 20-row cut
+      "q151_hybrid_live",
       // skyline carry: triangular max over the price-BAND maxima table —
       // bounded by price-domain/100 rows at any corpus size
       "q149_skyline_parts",
