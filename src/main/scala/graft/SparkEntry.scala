@@ -252,6 +252,7 @@ object SparkEntry {
     "s15_ann_ivf_live"          -> ((s, d) => graft.streaming.IvfIndexView.annIvfLive(GraftSession.tune(s), d)),
     "s16_ann_pq_live"           -> ((s, d) => graft.streaming.PqIndexView.annPqLive(GraftSession.tune(s), d)),
     "q151_hybrid_live"          -> ((s, d) => graft.streaming.HybridLive.hybridRrfLive(GraftSession.tune(s), d)),
+    "q152_bm25_live"            -> ((s, d) => graft.streaming.PostingIndexView.bm25FromLive(GraftSession.tune(s), d)),
     "t20_readability"           -> ((s, d) => TextAnalysis.readability(GraftSession.tune(s), d)),
     "t22_zipf_slope"            -> ((s, d) => TextAnalysis.zipfSlope(GraftSession.tune(s), d)),
     "t23_perplexity_buckets"    -> ((s, d) => TextAnalysis.perplexityBuckets(GraftSession.tune(s), d)),
@@ -1914,6 +1915,27 @@ object SparkEntry {
         |  CAST(coalesce(1000000 // (60 + lex_rank), 0)
         |     + coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_e6
         |FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin),
+    // q152: BM25 from the LIVE posting store — the oracle recomputes
+    // tf/df/dl/stats over the closed-form final docs corpus at the
+    // STORE's tokenization (whitespace, q148's form) and replays the
+    // t15 scoring formula.
+    "q152_bm25_live" ->
+      """WITH d2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' spark stream' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM d2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'stream', 'key') GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+        |    * tf.tf * 2.2
+        |    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(stats.tot_dl AS DOUBLE) / stats.n_docs)))), 4) AS bm25
+        |FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok) CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, tf.doc_id LIMIT 10""".stripMargin,
     // s15: the live IVF index — pinned centroids replayed round-for-
     // round over the ORIGINAL corpus (the s04 fixed-point Lloyd
     // scaffolding), then the closed-form FINAL corpus (mod-11 negation,

@@ -268,6 +268,54 @@ object PostingIndexView {
     phrases.map(occurrences).reduce(_.unionByName(_))
   }
 
+  /** BM25 ranked retrieval FROM the live posting store (#372, r16) —
+    * t15's scorer (k1 = 1.2, b = 0.75, +1-smoothed IDF) with every
+    * statistic derived from the MAINTAINED postings instead of a
+    * corpus scan: tf per (term, doc) comes from the terms' bucket
+    * partitions (IN-pruned — the probe-cost model), df per term from
+    * the same pruned read, and doc lengths / corpus stats from one
+    * map-side-combined pass over the store. A production deployment
+    * materializes the dl sidecar incrementally (one more maintained
+    * aggregate, the #39 discipline); here it is recomputed per call,
+    * which is the same single-pass shape the batch t15 pays. Top-k by
+    * (score DESC, doc_id), the deterministic cut.
+    */
+  def bm25Live(spark: SparkSession, root: String, queryTerms: Seq[String],
+      buckets: Int = 64, k: Int = 10): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val post = readIndex(spark, root)
+    val dl    = post.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val tbs = queryTerms.map(t =>
+      spark.range(1).select(tbOf(lit(t), buckets)).collect().head.getInt(0).toLong).distinct
+    val tf = post.filter(col("tb").isin(tbs: _*))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfT   = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val idf   = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val score = idf * col("tf") * (lit(1.0) + k1) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(dfT), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(score), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** q152: BM25 from the LIVE index after the q148 I/U/D feed — the
+    * oracle recomputes tf/df/dl/stats over the closed-form final
+    * corpus at the STORE's tokenization (whitespace positions) and
+    * replays the t15 scoring formula; hash equality proves the
+    * maintained postings carry exact retrieval statistics, not just
+    * phrase adjacency.
+    */
+  def bm25FromLive(spark: SparkSession, dir: String): DataFrame =
+    bm25Live(spark, liveStoreFor(spark, dir), Seq("spark", "stream", "key"))
+
   // ---- q148: the batch-verifiable driver entry ------------------------
 
   private val liveDirs =
