@@ -689,6 +689,10 @@ object Dedup {
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
         .withColumn("jaccard",
           col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+        // lazy cut (r16): the sweep below reads the verified pair table
+        // twice (pair counts + distinct-doc counts) — without the cut the
+        // whole shingle/self-join pipeline is inlined, and computed, twice
+        .localCheckpoint(false)
     }
     val ths = Seq(30L, 40L, 50L, 60L, 70L, 80L, 90L)
     val swept = pairs

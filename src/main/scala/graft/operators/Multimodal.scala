@@ -103,22 +103,30 @@ object Multimodal {
       .documents(spark, dir)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
+      // r16: the documents scan is ONE task (single row group), so
+      // without this the whole codec stage — the pipeline's actual
+      // work — runs serially. Round-robin the tiny (id, nChars) rows
+      // across the cluster's cores before the expensive per-row encode
+      // (guide §1.2: fix the distributed algorithm first). Explicit
+      // count, sized from the runtime: AQE would coalesce a keyless
+      // exchange of KB-scale rows back to one partition.
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { case (id, nChars) =>
           val (w, h, g1, g2) = layout(id, nChars)
           val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
           val wl  = w / 2
-          var y   = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val g = if (x < wl) g1 else g2
-              img.setRGB(x, y, (g << 16) | (g << 8) | g)
-              x += 1
-            }
-            y += 1
+          // bulk raster write: one setRGB(int[]) call per image, not one
+          // per pixel (identical stored pixels, ~3x less call overhead)
+          val px = new Array[Int](w * h)
+          var i = 0
+          while (i < px.length) {
+            val g = if (i % w < wl) g1 else g2
+            px(i) = (g << 16) | (g << 8) | g
+            i += 1
           }
+          img.setRGB(0, 0, w, h, px, 0, w)
           val out = new ByteArrayOutputStream()
           ImageIO.write(img, "png", out)
           MediaRecord(id, out.toByteArray, w, h, "image/png")
@@ -139,6 +147,9 @@ object Multimodal {
     val img = ImageIO.read(new ByteArrayInputStream(r.payload))
     val w   = img.getWidth
     val h   = img.getHeight
+    // bulk raster read (r16): one getRGB(int[]) per image instead of a
+    // per-pixel call — same values, the conversion runs once
+    val px   = img.getRGB(0, 0, w, h, null, 0, w)
     var sum  = 0L
     var tsum = 0L
     var tn   = 0L
@@ -146,7 +157,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val rgb  = img.getRGB(x, y)
+        val rgb  = px(y * w + x)
         val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
         sum += luma
         if (x % 2 == 0 && y % 2 == 0) { tsum += luma; tn += 1 }
@@ -200,6 +211,7 @@ object Multimodal {
       .documents(spark, dir)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
+      .repartition(spark.sparkContext.defaultParallelism) // r16: parallelize the codec (see mediaTable)
       .mapPartitions { it =>
         it.map { case (id, nChars) =>
           val (n, rate, hp, a1, a2) = audioLayout(id, nChars)
@@ -278,6 +290,7 @@ object Multimodal {
       .documents(spark, dir)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
+      .repartition(spark.sparkContext.defaultParallelism) // r16: parallelize the codec (see mediaTable)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { case (id, nChars) =>
@@ -291,16 +304,15 @@ object Multimodal {
             val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
             val wl  = w / 2
             val fg1 = ((g1 + 5 * f) % 256); val fg2 = ((g2 + 11 * f) % 256)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val g = if (x < wl) fg1 else fg2
-                img.setRGB(x, y, (g << 16) | (g << 8) | g)
-                x += 1
-              }
-              y += 1
+            // bulk raster write per frame (r16; see mediaTable)
+            val px = new Array[Int](w * h)
+            var i = 0
+            while (i < px.length) {
+              val g = if (i % w < wl) fg1 else fg2
+              px(i) = (g << 16) | (g << 8) | g
+              i += 1
             }
+            img.setRGB(0, 0, w, h, px, 0, w)
             val frame = new ByteArrayOutputStream()
             ImageIO.write(img, "png", frame)
             val bytes = frame.toByteArray
@@ -333,15 +345,13 @@ object Multimodal {
       if (f % 2 == 0) { // frame-sample: decode every 2nd frame only
         val img = ImageIO.read(new ByteArrayInputStream(bytes))
         w = img.getWidth; h = img.getHeight
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-            x += 1
-          }
-          y += 1
+        // bulk raster read per sampled frame (r16; see mediaTable)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          i += 1
         }
         pixels += w.toLong * h
         sampled += 1
@@ -443,28 +453,30 @@ object Multimodal {
       .documents(spark, dir)
       .select(col("doc_id"))
       .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // r16: parallelize the codec (see mediaTable)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { id =>
           // encode a real PNG: 18×16, pixel (x, y) = cell (x/2, y/2)
           val g   = d18Grays(id)
           val img = new BufferedImage(18, 16, BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < 16) {
-            var x = 0
-            while (x < 18) {
-              val v = g((x / 2) * 8 + (y / 2))
-              img.setRGB(x, y, (v << 16) | (v << 8) | v)
-              x += 1
-            }
-            y += 1
+          // bulk raster write (r16; see mediaTable)
+          val px = new Array[Int](18 * 16)
+          var i = 0
+          while (i < px.length) {
+            val v = ((i % 18) / 2) * 8 + ((i / 18) / 2)
+            val gv = g(v)
+            px(i) = (gv << 16) | (gv << 8) | gv
+            i += 1
           }
+          img.setRGB(0, 0, 18, 16, px, 0, 18)
           val out = new ByteArrayOutputStream()
           ImageIO.write(img, "png", out)
           // decode it back and dHash the DECODED pixels
-          val dec = ImageIO.read(new ByteArrayInputStream(out.toByteArray))
+          val dec  = ImageIO.read(new ByteArrayInputStream(out.toByteArray))
+          val dpx  = dec.getRGB(0, 0, 18, 16, null, 0, 18)
           def luma(c: Int, r: Int): Int = {
-            val rgb = dec.getRGB(2 * c, 2 * r) // stride-2 nearest neighbor
+            val rgb = dpx((2 * r) * 18 + 2 * c) // stride-2 nearest neighbor
             (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
           }
           val chunks = new Array[Long](4)
@@ -524,6 +536,7 @@ object Multimodal {
       .documents(spark, dir)
       .select(col("doc_id"))
       .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // r16: parallelize the codec (see mediaTable)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { id =>
@@ -535,6 +548,8 @@ object Multimodal {
           var f = 0
           while (f < 4) {
             val img = new BufferedImage(18, 16, BufferedImage.TYPE_INT_RGB)
+            // bulk raster write per frame (r16; see mediaTable)
+            val px = new Array[Int](18 * 16)
             var c = 0
             while (c < 9) {
               var r = 0
@@ -542,24 +557,24 @@ object Multimodal {
                 val k = c * 8 + r + 17
                 var v = (((h + k) * (h + k) % 2147483647L % 251L + 13L * f) % 251L).toInt
                 if (pert && f == p0 && c == c0 && r == r0) v = (v + 100) % 251
+                val rgb = (v << 16) | (v << 8) | v
                 var y = 2 * r
                 while (y < 2 * r + 2) {
-                  var x = 2 * c
-                  while (x < 2 * c + 2) {
-                    img.setRGB(x, y, (v << 16) | (v << 8) | v)
-                    x += 1
-                  }
+                  px(y * 18 + 2 * c) = rgb
+                  px(y * 18 + 2 * c + 1) = rgb
                   y += 1
                 }
                 r += 1
               }
               c += 1
             }
+            img.setRGB(0, 0, 18, 16, px, 0, 18)
             val out = new ByteArrayOutputStream()
             ImageIO.write(img, "png", out)
             val dec = ImageIO.read(new ByteArrayInputStream(out.toByteArray))
+            val dpx = dec.getRGB(0, 0, 18, 16, null, 0, 18)
             def luma(cc: Int, rr: Int): Int = {
-              val rgb = dec.getRGB(2 * cc, 2 * rr)
+              val rgb = dpx((2 * rr) * 18 + 2 * cc)
               (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
             }
             var r2 = 0
@@ -641,6 +656,7 @@ object Multimodal {
       .documents(spark, dir)
       .select(col("doc_id"))
       .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // r16: parallelize the codec (see mediaTable)
       .mapPartitions { it =>
         it.map { id =>
           val (h, pert, p0) = d19Hash(id)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,56 +16,63 @@ import graft.sources.Tables
   */
 object Profiling {
 
-  /** q125: single-pass column profiler over `orders` — the `SUMMARIZE` /
-    * `DESCRIBE PROFILE` verb every engine grows. One aggregate row computes,
-    * per column: non-null count, exact distinct count, min/max; a `stack`
-    * unpivots it to one row per column. Numeric min/max are emitted in exact
-    * integer units (raw longs for keys, e4 micro-units for money, epoch-µs
-    * for timestamps), lexical min/max for strings — no float crosses rows.
+  /** q125: column profiler over `orders` — the `SUMMARIZE` /
+    * `DESCRIBE PROFILE` verb every engine grows. Per column: non-null
+    * count, exact distinct count, min/max. Numeric min/max are emitted
+    * in exact integer units (raw longs for keys, e4 micro-units for
+    * money, epoch-µs for timestamps), lexical min/max for strings — no
+    * float crosses rows.
     *
-    * Scale: the six `count(DISTINCT …)` compile to ONE Expand(×7) scan with
-    * map-side partial aggregation — data is read once; the expand factor is
-    * the documented price of exact distincts in a single pass (the sketch
-    * alternative is q19's HLL profile). The final stack runs on a 1-row
-    * aggregate — no SinglePartition touches table-sized data. Bench note:
-    * the sf0.1 corpus stores orders as ONE 2.7 MB parquet file = one scan
-    * partition, so the whole Expand+agg lands on one task (~2.5 s); at
-    * real scale the file count supplies the parallelism — a forced
-    * repartition here would double the IO of every LARGE profile run to
-    * flatter a small test file.
+    * Scale (r16 shape): one TWO-LEVEL fold per column — groupBy(value)
+    * count (map-side combined; the shuffle carries one row per distinct
+    * value), then a one-row fold of that value table — six independent
+    * column-pruned subplans unioned. Total bytes read equal the old
+    * single wide pass (each subplan scans exactly its column), but
+    * there is no Expand(×7) row blowup and no partial aggregate keyed
+    * on (gid × every column) — the shape that made exact multi-distinct
+    * the fleet's most expensive aggregate (the sketch alternative
+    * remains q19's HLL profile). No SinglePartition touches table-sized
+    * data; the global folds run over value tables.
     */
   def columnProfile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val a = o.agg(
-      count(lit(1)).as("n"),
-      // o_orderkey / o_custkey: raw integer units
-      count("o_orderkey").as("nn1"), countDistinct("o_orderkey").as("nd1"),
-      min("o_orderkey").as("mn1"), max("o_orderkey").as("mx1"),
-      count("o_custkey").as("nn2"), countDistinct("o_custkey").as("nd2"),
-      min("o_custkey").as("mn2"), max("o_custkey").as("mx2"),
-      // o_orderstatus / o_orderpriority: lexical bounds
-      count("o_orderstatus").as("nn3"), countDistinct("o_orderstatus").as("nd3"),
-      min("o_orderstatus").as("ms3"), max("o_orderstatus").as("mxs3"),
-      count("o_orderpriority").as("nn6"), countDistinct("o_orderpriority").as("nd6"),
-      min("o_orderpriority").as("ms6"), max("o_orderpriority").as("mxs6"),
-      // o_totalprice: e4 micro-units (min/max commute with the monotone e4 map)
-      count("o_totalprice").as("nn4"), countDistinct("o_totalprice").as("nd4"),
-      round(min("o_totalprice") * 10000).cast("long").as("mn4"),
-      round(max("o_totalprice") * 10000).cast("long").as("mx4"),
-      // o_orderdate: epoch microseconds
-      count("o_orderdate").as("nn5"), countDistinct("o_orderdate").as("nd5"),
-      min(unix_micros(col("o_orderdate").cast("timestamp"))).as("mn5"),
-      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("mx5"),
-    )
-    a.selectExpr(
-      """stack(6,
-        |  'o_orderkey',      n, n - nn1, nd1, mn1, mx1, CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_custkey',       n, n - nn2, nd2, mn2, mx2, CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_orderstatus',   n, n - nn3, nd3, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), ms3, mxs3,
-        |  'o_totalprice',    n, n - nn4, nd4, mn4, mx4, CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_orderdate',     n, n - nn5, nd5, mn5, mx5, CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_orderpriority', n, n - nn6, nd6, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), ms6, mxs6
-        |) AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+    // r16 restructure (same rows, oracle-verified): the six exact
+    // distincts used to ride ONE Expand(×7) pass whose partial hash
+    // aggregate keyed on (gid, every column) — a half-million-group
+    // serial fold on the single-file test corpus and a ×7 row blowup at
+    // any scale. Now each column is its own TWO-LEVEL fold: groupBy
+    // value (map-side combined; the shuffle carries one row per
+    // distinct value) then a one-row global fold of that value table.
+    // Column pruning makes the six passes read the SAME total bytes as
+    // the one wide pass, there is no Expand, each per-column fold's
+    // state is one column narrow, and the six subplans are independent
+    // stages the scheduler overlaps. Min/max transforms commute with
+    // the fold exactly as before (monotone e4 / epoch-µs maps).
+    def vals(c: String) =
+      o.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+    def base(c: String) = Seq(
+      coalesce(sum("cnt"), lit(0L)).as("n_rows"),
+      coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+      count(when(col("v").isNotNull, lit(1))).as("n_distinct"))
+    def numProf(c: String, lo: Column, hi: Column) =
+      vals(c).agg(base(c).head, (base(c).tail :+ lo.as("min_num") :+ hi.as("max_num")): _*)
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("min_num").cast("long"), col("max_num").cast("long"),
+          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    def strProf(c: String) =
+      vals(c).agg(base(c).head, (base(c).tail :+ min("v").as("ms") :+ max("v").as("mxs")): _*)
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          lit(null).cast("bigint").as("min_num"), lit(null).cast("bigint").as("max_num"),
+          col("ms").as("min_str"), col("mxs").as("max_str"))
+    numProf("o_orderkey", min("v"), max("v"))
+      .unionByName(numProf("o_custkey", min("v"), max("v")))
+      .unionByName(strProf("o_orderstatus"))
+      .unionByName(numProf("o_totalprice",
+        round(min("v") * 10000), round(max("v") * 10000)))
+      .unionByName(numProf("o_orderdate",
+        min(unix_micros(col("v").cast("timestamp"))),
+        max(unix_micros(col("v").cast("timestamp")))))
+      .unionByName(strProf("o_orderpriority"))
   }
 
   /** q126: lang × source contingency table with exact chi-square-of-

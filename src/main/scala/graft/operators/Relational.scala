@@ -465,8 +465,13 @@ object Relational {
     // support 1: BFS wants the CONNECTIVITY graph (all co-purchases),
     // not q54's frequent-pair slice — at support 2 the frontier dead-ends
     val pairs = partCooccurrence(spark, dir, minSupport = 1L)
+    // materialize the derived graph ONCE (q80's pattern, r16): without
+    // the lazy cut the q54 self-join sits in every hop's lineage — the
+    // 3-hop plan inlined the co-occurrence subtree 30 times (30 lineitem
+    // FileScans / 60 collect_set aggregates, measured via ExplainOne)
     val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionByName(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      .localCheckpoint(false)
     val seed = broadcast(edges.agg(min("src").as("part")).withColumn("dist", lit(0L)))
     var reached = seed.select(col("part"), col("dist"))
     for (k <- 1 to hops) {
@@ -474,8 +479,11 @@ object Relational {
         .join(edges, col("part") === col("src"))
         .select(col("dst").as("part"), lit(k.toLong).as("dist"))
         .distinct()
+      // cut per hop: `reached` is referenced twice per round (frontier
+      // filter + union), so the uncut loop doubles the prefix plan 2^k
       reached = reached.unionByName(next)
         .groupBy("part").agg(min("dist").as("dist"))
+        .localCheckpoint(false)
     }
     reached
   }
@@ -1194,8 +1202,13 @@ object Relational {
         max(unix_micros(col("o_orderdate").cast("timestamp"))).as("r_us"),
         count(lit(1)).as("f"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+    // lazy cuts between the three tile passes (r16): each globalTile
+    // references its input 2x (stats agg + banding) and its banded form
+    // 2x more, so the uncut 3-pass chain re-inlined the orders aggregate
+    // ~2^3 times; one cut per pass keeps every subtree computed once
     val scored = Seq(("r_us", "r_score"), ("f", "f_score"), ("m_cents", "m_score"))
-      .foldLeft(rfm) { case (df, (v, out)) => globalTile(df, v, "c_custkey", 5, out) }
+      .foldLeft(rfm.localCheckpoint(false)) { case (df, (v, out)) =>
+        globalTile(df, v, "c_custkey", 5, out).localCheckpoint(false) }
     scored.select(
       col("c_custkey"), col("r_score"), col("f_score"), col("m_score"),
       when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")

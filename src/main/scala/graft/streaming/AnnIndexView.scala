@@ -152,16 +152,11 @@ object AnnIndexView {
       if (touched.nonEmpty) {
         val dataOld = readOr(spark, dataDir(root), dataSchema)
           .filter(col("bucket").isin(touched: _*))
-        val merged = dataOld
+        IndexStoreOps.overwriteLeaves(// staged: store is both source and sink of this job
+          dataOld
           .join(effKeys, Seq("vec_id"), "left_anti") // retract old copies of effective keys
-          .unionByName(ups.select(col("bucket"), col("vec_id"), col("embedding"), col("norm")))
-          .localCheckpoint(true) // store is both source and sink of this job
-        merged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket")
-          .parquet(dataDir(root))
-        clearEmptied(dataDir(root), "bucket", touched,
-          merged.select("bucket").distinct().collect().map(_.getInt(0).toLong).toSet)
+          .unionByName(ups.select(col("bucket"), col("vec_id"), col("embedding"), col("norm"))),
+          "bucket", dataDir(root), touched.map(_.toString))
       }
 
       if (kbs.nonEmpty) {
@@ -169,16 +164,9 @@ object AnnIndexView {
           .join(ups.select(col("vec_id"), col("bucket")), Seq("vec_id"), "left")
           .select(col("kb"), col("vec_id"), col("tsUs"), col("seq"),
             (col("op") =!= "D").as("live"), col("bucket"))
-        val keysMerged = keysOld
+        IndexStoreOps.overwriteLeaves(keysOld
           .join(effKeys, Seq("vec_id"), "left_anti")
-          .unionByName(keysNew)
-          .localCheckpoint(true)
-        keysMerged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("kb")
-          .parquet(keysDir(root))
-        clearEmptied(keysDir(root), "kb", kbs,
-          keysMerged.select("kb").distinct().collect().map(_.getInt(0).toLong).toSet)
+          .unionByName(keysNew), "kb", keysDir(root), kbs.map(_.toString)): Unit
       }
     } finally cached.foreach(_.unpersist())
   }
@@ -189,9 +177,8 @@ object AnnIndexView {
     * contract). Sidecar-only rewrite; the posting store is untouched.
     */
   def pruneTombstones(spark: SparkSession, root: String, olderThanUs: Long): Unit = {
-    val kept = readOr(spark, keysDir(root), keysSchema)
-      .filter(col("live") || col("tsUs") >= olderThanUs)
-      .localCheckpoint(true)
+    val kept = IndexStoreOps.clusterByLeaf(readOr(spark, keysDir(root), keysSchema)
+      .filter(col("live") || col("tsUs") >= olderThanUs), "kb")
     kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
   }
 
@@ -238,7 +225,8 @@ object AnnIndexView {
     if (liveBuckets.nonEmpty) {
       val dataOld = readOr(spark, dataDir(root), dataSchema)
         .filter(col("bucket").isin(liveBuckets: _*))
-      val kept = dataOld.filter(!col("vec_id").isin(keySet: _*)).localCheckpoint(true)
+      val kept = IndexStoreOps.clusterByLeaf(
+        dataOld.filter(!col("vec_id").isin(keySet: _*)), "bucket")
       dropped += dataOld.count() - kept.count()
       kept.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -250,7 +238,8 @@ object AnnIndexView {
     }
     val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
     val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
-    val keysKept = keysOld.filter(!col("vec_id").isin(keySet: _*)).localCheckpoint(true)
+    val keysKept = IndexStoreOps.clusterByLeaf(
+      keysOld.filter(!col("vec_id").isin(keySet: _*)), "kb")
     dropped += locRows.length
     keysKept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

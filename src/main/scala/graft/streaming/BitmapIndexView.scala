@@ -112,32 +112,22 @@ object BitmapIndexView {
       val touched = deltas.select("val").distinct().collect().map(_.getString(0)).sorted.toSeq
       if (touched.nonEmpty) {
         val bmOld = readOr(spark, bmDir(root), bmSchema).filter(col("val").isin(touched: _*))
-        val merged = bmOld.join(deltas, Seq("val", "w"), "full_outer")
+        IndexStoreOps.overwriteLeaves(// staged: store is both source and sink of this job
+          bmOld.join(deltas, Seq("val", "w"), "full_outer")
           .select(col("val"), col("w"),
             expr("(coalesce(bits, 0) & ~coalesce(clr, 0)) | coalesce(st, 0)").as("bits"))
-          .filter(col("bits") =!= 0L)
-          .localCheckpoint(true) // store is both source and sink of this job
-        merged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("val")
-          .parquet(bmDir(root))
-        clearEmptied(bmDir(root), "val", touched,
-          merged.select("val").distinct().collect().map(_.getString(0)).toSet)
+          .filter(col("bits") =!= 0L), "val", bmDir(root), touched)
       }
 
       if (kbs.nonEmpty) {
         val keysNew = eff.select(col("kb"), col("key"), col("tsUs"), col("seq"),
           (col("op") =!= "D").as("live"),
           when(col("op") =!= "D", col("value")).as("val"))
-        val keysMerged = keysOld
+        IndexStoreOps.overwriteLeaves(keysOld
           .join(eff.select("key"), Seq("key"), "left_anti")
           .unionByName(keysNew)
-          .select(keysSchema.fieldNames.map(col).toSeq: _*)
-          .localCheckpoint(true)
-        keysMerged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("kb")
-          .parquet(keysDir(root))
+          .select(keysSchema.fieldNames.map(col).toSeq: _*),
+          "kb", keysDir(root), kbs.map(_.toString)): Unit
       }
     } finally cached.foreach(_.unpersist())
   }
@@ -148,9 +138,8 @@ object BitmapIndexView {
     * deleted key's bit was already cleared by its delete batch).
     */
   def pruneTombstones(spark: SparkSession, root: String, olderThanUs: Long): Unit = {
-    val kept = readOr(spark, keysDir(root), keysSchema)
-      .filter(col("live") || col("tsUs") >= olderThanUs)
-      .localCheckpoint(true)
+    val kept = IndexStoreOps.clusterByLeaf(readOr(spark, keysDir(root), keysSchema)
+      .filter(col("live") || col("tsUs") >= olderThanUs), "kb")
     kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
   }
 
@@ -209,11 +198,10 @@ object BitmapIndexView {
       val hadBits = joined
         .agg(coalesce(sum(bit_count(col("bits").bitwiseAND(coalesce(col("clr"), lit(0L))))), lit(0L)))
         .collect().head.getLong(0)
-      val kept = joined
+      val kept = IndexStoreOps.clusterByLeaf(joined
         .select(col("val"), col("w"),
           col("bits").bitwiseAND(expr("~coalesce(clr, 0)")).as("bits"))
-        .filter(col("bits") =!= 0L)
-        .localCheckpoint(true)
+        .filter(col("bits") =!= 0L), "val")
       dropped += hadBits
       kept.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -226,7 +214,8 @@ object BitmapIndexView {
     val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
     val keysOld = readOr(spark, keysDir(root), keysSchema)
       .filter(col("kb").isin(kbs: _*))
-    val keysKept = keysOld.filter(!col("key").isin(keySet: _*)).localCheckpoint(true)
+    val keysKept = IndexStoreOps.clusterByLeaf(
+      keysOld.filter(!col("key").isin(keySet: _*)), "kb")
     dropped += locRows.length
     keysKept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

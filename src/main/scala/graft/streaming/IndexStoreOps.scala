@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.sources.Compaction
 
@@ -21,6 +22,78 @@ import graft.sources.Compaction
   * files — and the compaction it schedules moves each byte once.
   */
 object IndexStoreOps {
+
+  /** Cluster store output on its partition column before the eager
+    * checkpoint that precedes every store write (r16 optimization,
+    * guide §6 "small files hurt twice"): without this each dynamic
+    * partition overwrite lands up to shuffle-partitions files in EVERY
+    * touched leaf (measured: 2,412 files across a 6-batch sf0.1 IVF
+    * store — and probe/merge cost scales with footer opens, not bytes),
+    * with it each leaf gets the files its BYTES justify (here: one).
+    * The extra exchange moves exactly the rows the write was about to
+    * move anyway, and hash-clustering keeps each leaf's rows in one
+    * task so the fold stays shuffle-light at any store size. A single
+    * monster leaf becoming one write task is the known trade — that is
+    * what [[fileCensus]]/compaction watch, and at 100 TB the leaf
+    * granularity (cells/buckets/key-buckets) is sized well below task
+    * scale by construction.
+    */
+  private[streaming] def clusterByLeaf(df: DataFrame, partCol: String): DataFrame =
+    df.repartition(col(partCol)).localCheckpoint(true)
+
+  /** Dynamic-partition overwrite for a store that is BOTH source and
+    * sink of the merge, without the pre-write materialization (r16):
+    * the families used to eagerly `localCheckpoint` the merged frame
+    * (one full job) purely so the overwrite would not clobber its own
+    * input, then write (second job), then collect surviving partition
+    * values (third job). Writing the still-lazy merge to `<dir>.staged`
+    * keeps the input untouched while the job runs — the read side sees
+    * the pre-swap store by construction — and the swap + emptied-leaf
+    * cleanup + survivor set are driver-side METADATA work on the staged
+    * directory listing. One Spark job where there were three.
+    *
+    * Same crash surface as the dynamic overwrite it replaces (a crash
+    * mid-swap leaves some leaves new, some old; the changefeed replay
+    * re-folds the batch and the locator's LWW positions make that
+    * idempotent — the existing restart contract). Returns the surviving
+    * partition-dir values (staged leaf names, decoded), the same set the
+    * old survivors collect produced.
+    */
+  private[streaming] def overwriteLeaves(df: DataFrame, partCol: String, dir: String,
+      touched: Seq[String]): Set[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    val staged = Paths.get(dir + ".staged")
+    rmTree(staged)
+    df.repartition(col(partCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .parquet(staged.toString)
+    val stagedLeaves =
+      if (!Files.isDirectory(staged)) Seq.empty[String]
+      else Files.list(staged).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
+        .map(_.getFileName.toString).toSeq
+    Files.createDirectories(Paths.get(dir))
+    stagedLeaves.foreach { name =>
+      val live = Paths.get(dir, name)
+      rmTree(live)
+      Files.move(staged.resolve(name), live): Unit
+    }
+    val survivorSet = stagedLeaves.toSet
+    touched.map(v => s"$partCol=$v").filterNot(survivorSet).foreach { name =>
+      rmTree(Paths.get(dir, name))
+    }
+    rmTree(staged)
+    // partition-dir names escape special characters; the stores' leaf
+    // values (ints, TPC-H priority/status strings) round-trip verbatim
+    survivorSet.map(_.stripPrefix(s"$partCol="))
+  }
 
   /** One leaf directory's census row. */
   final case class LeafCensus(dir: String, files: Long, bytes: Long, flagged: Boolean)

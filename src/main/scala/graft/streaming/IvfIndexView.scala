@@ -182,7 +182,8 @@ object IvfIndexView {
       .persist()
     val cached = scala.collection.mutable.Buffer[DataFrame](winners)
     try {
-      val kbs = winners.select("kb").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
+      val kbs = Prof.timed("kbs collect") {
+        winners.select("kb").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq }
       val keysOld = readOr(spark, keysDir(root), keysSchema)
         .filter(col("kb").isin(kbs: _*))
       val loc = keysOld.join(winners.select("vec_id"), Seq("vec_id"), "left_semi")
@@ -212,27 +213,24 @@ object IvfIndexView {
       // silently recomputing old_cid against the already-updated store
       // (churn would read 0). The LOG WRITE waits until after the store
       // writes commit, so a failed micro-batch never skews the signal.
-      val d = ups.agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"),
+      val d = Prof.timed("drift agg collect") {
+        ups.agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"),
           count(when(col("live") === true && col("old_cid") =!= col("cid"), 1)).as("moved"),
           count(when(col("live") === true, 1)).as("had_old"))
-        .collect().head
+        .collect().head }
 
-      val touched = eff.filter(col("live") === true).select(col("old_cid").cast("long").as("cid"))
+      val touched = Prof.timed("touched collect") {
+        eff.filter(col("live") === true).select(col("old_cid").cast("long").as("cid"))
         .union(ups.select(col("cid").cast("long")))
-        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq }
       if (touched.nonEmpty) {
         val dataOld = readOr(spark, dataDir(root), dataSchema)
           .filter(col("cid").isin(touched: _*))
-        val merged = dataOld
-          .join(effKeys, Seq("vec_id"), "left_anti")
-          .unionByName(ups.select(col("cid"), col("vec_id"), col("embedding"), col("norm")))
-          .localCheckpoint(true)
-        merged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cid")
-          .parquet(dataDir(root))
-        clearEmptied(dataDir(root), "cid", touched,
-          merged.select(col("cid").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
+        Prof.timed("data write+swap") {
+          IndexStoreOps.overwriteLeaves(dataOld
+            .join(effKeys, Seq("vec_id"), "left_anti")
+            .unionByName(ups.select(col("cid"), col("vec_id"), col("embedding"), col("norm"))),
+            "cid", dataDir(root), touched.map(_.toString)) }
       }
 
       if (kbs.nonEmpty) {
@@ -240,16 +238,10 @@ object IvfIndexView {
           .join(ups.select(col("vec_id"), col("cid")), Seq("vec_id"), "left")
           .select(col("kb"), col("vec_id"), col("tsUs"), col("seq"),
             (col("op") =!= "D").as("live"), col("cid"))
-        val keysMerged = keysOld
-          .join(effKeys, Seq("vec_id"), "left_anti")
-          .unionByName(keysNew)
-          .localCheckpoint(true)
-        keysMerged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("kb")
-          .parquet(keysDir(root))
-        clearEmptied(keysDir(root), "kb", kbs,
-          keysMerged.select("kb").distinct().collect().map(_.getInt(0).toLong).toSet)
+        Prof.timed("keys write+swap") {
+          IndexStoreOps.overwriteLeaves(keysOld
+            .join(effKeys, Seq("vec_id"), "left_anti")
+            .unionByName(keysNew), "kb", keysDir(root), kbs.map(_.toString)) }
       }
 
       // drift row, measured above: a restart-replayed batch appends a
@@ -428,22 +420,20 @@ object IvfIndexView {
     val centroids = centroidsRaw
       .select(col("cid").cast("int").as("cid"), col("ci"), col("c2"))
       .localCheckpoint(true)
-    val assigned = assignAt(centroids,
+    val assigned = IndexStoreOps.clusterByLeaf(assignAt(centroids,
       live.withColumn("norm", l2Norm(col("embedding")))
         .withColumn("xi", toMicro(col("embedding"))))
-      .select(col("cid"), col("vec_id"), col("embedding"), col("norm"), col("qerr"))
-      .localCheckpoint(true)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("norm"), col("qerr")), "cid")
     val base = cells
       .withColumn("x2", dotLong(col("xi"), col("xi")))
       .join(broadcast(centroids), Seq("cid"))
       .withColumn("qerr", col("x2") - (lit(2L) * dotLong(col("xi"), col("ci")) - col("c2")))
       .agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"))
       .collect().head
-    val keys = readOr(spark, keysDir(root), keysSchema)
+    val keys = IndexStoreOps.clusterByLeaf(readOr(spark, keysDir(root), keysSchema)
       .drop("cid")
       .join(assigned.select(col("vec_id"), col("cid")), Seq("vec_id"), "left")
-      .select(keysSchema.fieldNames.map(col).toSeq: _*)
-      .localCheckpoint(true)
+      .select(keysSchema.fieldNames.map(col).toSeq: _*), "kb")
     assigned.drop("qerr").write.mode(SaveMode.Overwrite).partitionBy("cid")
       .parquet(staged(dataDir(root)))
     keys.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(staged(keysDir(root)))
@@ -470,9 +460,8 @@ object IvfIndexView {
 
   /** Tombstone GC — the [[AnnIndexView.pruneTombstones]] contract. */
   def pruneTombstones(spark: SparkSession, root: String, olderThanUs: Long): Unit = {
-    val kept = readOr(spark, keysDir(root), keysSchema)
-      .filter(col("live") || col("tsUs") >= olderThanUs)
-      .localCheckpoint(true)
+    val kept = IndexStoreOps.clusterByLeaf(readOr(spark, keysDir(root), keysSchema)
+      .filter(col("live") || col("tsUs") >= olderThanUs), "kb")
     kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
   }
 
@@ -499,7 +488,8 @@ object IvfIndexView {
     if (liveCells.nonEmpty) {
       val dataOld = readOr(spark, dataDir(root), dataSchema)
         .filter(col("cid").isin(liveCells: _*))
-      val kept = dataOld.filter(!col("vec_id").isin(keySet: _*)).localCheckpoint(true)
+      val kept = IndexStoreOps.clusterByLeaf(
+        dataOld.filter(!col("vec_id").isin(keySet: _*)), "cid")
       dropped += dataOld.count() - kept.count()
       kept.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -511,7 +501,8 @@ object IvfIndexView {
     }
     val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
     val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
-    val keysKept = keysOld.filter(!col("vec_id").isin(keySet: _*)).localCheckpoint(true)
+    val keysKept = IndexStoreOps.clusterByLeaf(
+      keysOld.filter(!col("vec_id").isin(keySet: _*)), "kb")
     dropped += locRows.length
     keysKept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

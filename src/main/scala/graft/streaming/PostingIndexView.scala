@@ -113,16 +113,11 @@ object PostingIndexView {
       val effKeys = eff.select("doc_id")
       if (touched.nonEmpty) {
         val postOld = readOr(spark, postDir(root), postSchema).filter(col("tb").isin(touched: _*))
-        val merged = postOld
+        IndexStoreOps.overwriteLeaves(// staged: store is both source and sink of this job
+          postOld
           .join(effKeys, Seq("doc_id"), "left_anti")
-          .unionByName(newPost.select(postSchema.fieldNames.map(col).toSeq: _*))
-          .localCheckpoint(true) // store is both source and sink of this job
-        merged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("tb")
-          .parquet(postDir(root))
-        clearEmptied(postDir(root), "tb", touched,
-          merged.select(col("tb").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
+          .unionByName(newPost.select(postSchema.fieldNames.map(col).toSeq: _*)),
+          "tb", postDir(root), touched.map(_.toString))
       }
       if (kbs.nonEmpty) {
         val keysNew = eff.select(col("kb"), col("doc_id"), col("tsUs"), col("seq"),
@@ -130,15 +125,11 @@ object PostingIndexView {
           .join(newTbs, Seq("doc_id"), "left")
           .select(col("kb"), col("doc_id"), col("tsUs"), col("seq"), col("live"),
             coalesce(col("tbs"), array().cast("array<int>")).as("tbs"))
-        val keysMerged = keysOld
+        IndexStoreOps.overwriteLeaves(keysOld
           .join(effKeys, Seq("doc_id"), "left_anti")
           .unionByName(keysNew)
-          .select(keysSchema.fieldNames.map(col).toSeq: _*)
-          .localCheckpoint(true)
-        keysMerged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("kb")
-          .parquet(keysDir(root))
+          .select(keysSchema.fieldNames.map(col).toSeq: _*),
+          "kb", keysDir(root), kbs.map(_.toString)): Unit
       }
     } finally cached.foreach(_.unpersist())
   }
@@ -149,9 +140,8 @@ object PostingIndexView {
     * deleted doc's postings were already retracted by its delete batch).
     */
   def pruneTombstones(spark: SparkSession, root: String, olderThanUs: Long): Unit = {
-    val kept = readOr(spark, keysDir(root), keysSchema)
-      .filter(col("live") || col("tsUs") >= olderThanUs)
-      .localCheckpoint(true)
+    val kept = IndexStoreOps.clusterByLeaf(readOr(spark, keysDir(root), keysSchema)
+      .filter(col("live") || col("tsUs") >= olderThanUs), "kb")
     kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
   }
 
@@ -194,7 +184,8 @@ object PostingIndexView {
       .flatMap(_.getAs[scala.collection.Seq[Int]]("tbs")).map(_.toLong).distinct.toSeq
     if (liveTbs.nonEmpty) {
       val postOld = readOr(spark, postDir(root), postSchema).filter(col("tb").isin(liveTbs: _*))
-      val kept = postOld.filter(!col("doc_id").isin(keySet: _*)).localCheckpoint(true)
+      val kept = IndexStoreOps.clusterByLeaf(
+        postOld.filter(!col("doc_id").isin(keySet: _*)), "tb")
       dropped += postOld.count() - kept.count()
       kept.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -206,7 +197,8 @@ object PostingIndexView {
     }
     val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
     val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
-    val keysKept = keysOld.filter(!col("doc_id").isin(keySet: _*)).localCheckpoint(true)
+    val keysKept = IndexStoreOps.clusterByLeaf(
+      keysOld.filter(!col("doc_id").isin(keySet: _*)), "kb")
     dropped += locRows.length
     keysKept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

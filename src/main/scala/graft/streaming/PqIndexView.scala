@@ -202,29 +202,16 @@ object PqIndexView {
         .collect().head
 
       if (kbs.nonEmpty) {
-        val merged = dataOld
+        IndexStoreOps.overwriteLeaves(dataOld
           .join(effKeys, Seq("vec_id"), "left_anti")
-          .unionByName(ups.select(col("kb"), col("vec_id"), col("codes"), col("norm")))
-          .localCheckpoint(true)
-        merged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("kb")
-          .parquet(dataDir(root))
-        clearEmptied(dataDir(root), "kb", kbs,
-          merged.select(col("kb").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
+          .unionByName(ups.select(col("kb"), col("vec_id"), col("codes"), col("norm"))),
+          "kb", dataDir(root), kbs.map(_.toString))
 
         val keysNew = eff.select(col("kb"), col("vec_id"), col("tsUs"), col("seq"),
           (col("op") =!= "D").as("live"))
-        val keysMerged = keysOld
+        IndexStoreOps.overwriteLeaves(keysOld
           .join(effKeys, Seq("vec_id"), "left_anti")
-          .unionByName(keysNew)
-          .localCheckpoint(true)
-        keysMerged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("kb")
-          .parquet(keysDir(root))
-        clearEmptied(keysDir(root), "kb", kbs,
-          keysMerged.select(col("kb").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
+          .unionByName(keysNew), "kb", keysDir(root), kbs.map(_.toString)): Unit
       }
 
       if (d.getLong(0) > 0L)
@@ -352,9 +339,9 @@ object PqIndexView {
       .select(col("j").cast("int").as("j"), col("code").cast("int").as("code"),
         col("cvi"), col("c2"))
       .localCheckpoint(true)
-    val encoded = encodeAt(codebook,
-        live.withColumn("kb", pmod(col("vec_id"), lit(keyBuckets.toLong)).cast("int")), m)
-      .localCheckpoint(true)
+    val encoded = IndexStoreOps.clusterByLeaf(encodeAt(codebook,
+        live.withColumn("kb", pmod(col("vec_id"), lit(keyBuckets.toLong)).cast("int")), m),
+      "kb")
     val base = encoded
       .agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"))
       .collect().head
@@ -367,9 +354,8 @@ object PqIndexView {
 
   /** Tombstone GC — the [[AnnIndexView.pruneTombstones]] contract. */
   def pruneTombstones(spark: SparkSession, root: String, olderThanUs: Long): Unit = {
-    val kept = readOr(spark, keysDir(root), keysSchema)
-      .filter(col("live") || col("tsUs") >= olderThanUs)
-      .localCheckpoint(true)
+    val kept = IndexStoreOps.clusterByLeaf(readOr(spark, keysDir(root), keysSchema)
+      .filter(col("live") || col("tsUs") >= olderThanUs), "kb")
     kept.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(keysDir(root))
   }
 
@@ -396,7 +382,8 @@ object PqIndexView {
     var dropped = 0L
     val kbs = locRows.map(_.getAs[Int]("kb").toLong).distinct.toSeq
     val dataOld = readOr(spark, dataDir(root), dataSchema).filter(col("kb").isin(kbs: _*))
-    val kept = dataOld.filter(!col("vec_id").isin(keySet: _*)).localCheckpoint(true)
+    val kept = IndexStoreOps.clusterByLeaf(
+      dataOld.filter(!col("vec_id").isin(keySet: _*)), "kb")
     dropped += dataOld.count() - kept.count()
     kept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -405,7 +392,8 @@ object PqIndexView {
     clearEmptied(dataDir(root), "kb", kbs,
       kept.select(col("kb").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
     val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
-    val keysKept = keysOld.filter(!col("vec_id").isin(keySet: _*)).localCheckpoint(true)
+    val keysKept = IndexStoreOps.clusterByLeaf(
+      keysOld.filter(!col("vec_id").isin(keySet: _*)), "kb")
     dropped += locRows.length
     keysKept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

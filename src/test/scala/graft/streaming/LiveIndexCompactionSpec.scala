@@ -21,13 +21,30 @@ class LiveIndexCompactionSpec extends SparkSpec {
       Array((id + 1).toFloat, ((id * 7) % 5 - 2).toFloat, ((id * 3) % 4).toFloat, 1.0f)
     val ids = (0L until 200L).toSeq
 
-    // numPlanes=2 → 4 bucket leaves, ~50 rows each: the insert fold's
-    // shuffle spreads every leaf's rows over several write tasks, so
-    // leaves hold several small files — the accretion the census reads
+    // numPlanes=2 → 4 bucket leaves, ~50 rows each. The r16 fold writes
+    // ONE file per leaf, so the bloat the census exists to catch is
+    // synthesized: one leaf's rows re-laid as three small files (same
+    // rows — the layout an external bulk ingest, or a pre-r16 engine,
+    // leaves behind).
     val annRoot = tmp("cpann")
     AnnIndexView.updateBatch(
       ids.map(i => VecChg("I", i, vec(i), 1000L, i)).toDF(),
       annRoot, numPlanes = 2, keyBuckets = 4)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val leaf = Files.list(Paths.get(annRoot, "data")).iterator().asScala
+        .filter(Files.isDirectory(_)).toSeq.minBy(_.getFileName.toString)
+      val rows = spark.read.parquet(leaf.toString)
+      val splitDir = tmp("cpsplit")
+      rows.repartition(3).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(splitDir)
+      Files.list(leaf).iterator().asScala.foreach(Files.delete)
+      Files.list(Paths.get(splitDir)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          Files.move(p, leaf.resolve(f"part-split-$i%05d.parquet")): Unit
+        }
+    }
 
     val cat = new ViewCatalog(spark, tmp("cpcat"))
     cat.registerIndexStore("ann_idx", "ann", annRoot, Map("planes" -> 2))

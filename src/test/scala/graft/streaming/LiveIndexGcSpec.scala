@@ -77,22 +77,27 @@ class LiveIndexGcSpec extends SparkSpec {
     assert(PostingIndexView.readIndex(spark, root).filter(col("doc_id") === 5L).count() > 0L,
       "a genuinely new insert after the horizon must land")
 
-    // compaction: the churned store's files converge to ~rebuild count;
-    // probe results are row-identical before/after
+    // file layout: the r16 write discipline (one file per touched leaf,
+    // staged swap) keeps the CHURNED store at ~rebuild file count
+    // WITHOUT compaction — the convergence compaction used to restore
+    // is now maintained continuously; compaction stays probe-exact and
+    // never grows the store
     val probeBefore = PostingIndexView.phraseSearch(spark, root, Seq(Seq("spark", "stream")), buckets = 8)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val filesBefore = parquetFiles(root)
-    PostingIndexView.compactStore(spark, root, targetBytes = 64L << 20, smallBytes = 16L << 20)
-    val filesAfter = parquetFiles(root)
-    assert(filesAfter < filesBefore,
-      s"compaction must shrink the churned store: $filesBefore -> $filesAfter")
     val rebuild = tmp("gcpost_rb")
     val finalCorpus = (40L until 60L).map(i => ("I", i, doc(i) + " upd2", 1L)) :+ (("I", 5L, "fresh doc five", 1L))
     PostingIndexView.updateBatch(batch(finalCorpus), rebuild, buckets = 8, keyBuckets = 4)
-    // ~rebuild size: within 2x of a one-shot rebuild's file count (the
-    // locator legitimately retains 20 tombstones the rebuild lacks)
-    assert(filesAfter <= 2 * parquetFiles(rebuild),
-      s"compacted store must converge to ~rebuild file count: $filesAfter vs ${parquetFiles(rebuild)}")
+    // ~rebuild size BEFORE any compaction: within 2x of a one-shot
+    // rebuild's file count (the locator legitimately retains 20
+    // tombstones the rebuild lacks)
+    assert(filesBefore <= 2 * parquetFiles(rebuild),
+      s"churned store must hold ~rebuild file count without compaction: " +
+        s"$filesBefore vs ${parquetFiles(rebuild)}")
+    PostingIndexView.compactStore(spark, root, targetBytes = 64L << 20, smallBytes = 16L << 20)
+    val filesAfter = parquetFiles(root)
+    assert(filesAfter <= filesBefore,
+      s"compaction must never grow the store: $filesBefore -> $filesAfter")
     val probeAfter = PostingIndexView.phraseSearch(spark, root, Seq(Seq("spark", "stream")), buckets = 8)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(probeAfter == probeBefore, "compaction must not change probe results")
