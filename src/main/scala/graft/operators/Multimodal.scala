@@ -211,7 +211,10 @@ object Multimodal {
       .documents(spark, dir)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
-      .repartition(spark.sparkContext.defaultParallelism) // r16: parallelize the codec (see mediaTable)
+      // r16 note: deliberately NOT repartitioned like mediaTable —
+      // javax.sound's AudioSystem serializes on a global provider
+      // registry, so 32 concurrent codec tasks contend the lock and run
+      // SLOWER than one (measured: m02 0.54 s serial → 1.41 s parallel)
       .mapPartitions { it =>
         it.map { case (id, nChars) =>
           val (n, rate, hp, a1, a2) = audioLayout(id, nChars)
@@ -656,7 +659,8 @@ object Multimodal {
       .documents(spark, dir)
       .select(col("doc_id"))
       .as[Long]
-      .repartition(spark.sparkContext.defaultParallelism) // r16: parallelize the codec (see mediaTable)
+      // r16 note: not repartitioned — AudioSystem's global provider
+      // lock makes parallel WAV codec tasks slower (see audioTable)
       .mapPartitions { it =>
         it.map { id =>
           val (h, pert, p0) = d19Hash(id)

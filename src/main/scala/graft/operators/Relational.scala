@@ -480,10 +480,11 @@ object Relational {
         .select(col("dst").as("part"), lit(k.toLong).as("dist"))
         .distinct()
       // cut per hop: `reached` is referenced twice per round (frontier
-      // filter + union), so the uncut loop doubles the prefix plan 2^k
+      // filter + union), so the uncut loop doubles the prefix plan 2^k;
+      // the final round stays uncut so the returned plan is inspectable
       reached = reached.unionByName(next)
         .groupBy("part").agg(min("dist").as("dist"))
-        .localCheckpoint(false)
+      if (k < hops) reached = reached.localCheckpoint(false)
     }
     reached
   }

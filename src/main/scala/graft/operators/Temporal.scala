@@ -790,13 +790,19 @@ object Temporal {
     * only observed hours. Span expansion is embarrassingly parallel.
     */
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
-    val wDesc = Window.partitionBy("user_id", "h")
-      .orderBy(col("tsu").desc, col("event_id").desc)
+    // r16: last-per-hour via the group-boundary flag of ONE
+    // user-partitioned window (order h asc, tsu/event_id desc — the
+    // first row of each h-run is that hour's last observation), so the
+    // LOCF window below reuses the same exchange instead of paying a
+    // second (user_id, h) shuffle of every event row
+    val wScan = Window.partitionBy("user_id")
+      .orderBy(col("h"), col("tsu").desc, col("event_id").desc)
     val lastPerHour = events(spark, dir)
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
         col("tsu"), col("event_id"), col("value"))
-      .withColumn("rn", row_number().over(wDesc))
-      .filter(col("rn") === 1)
+      .withColumn("ph", lag("h", 1).over(wScan))
+      .filter(col("ph").isNull || col("ph") =!= col("h"))
+      .drop("ph")
     val wUser = Window.partitionBy("user_id").orderBy(col("h"))
     lastPerHour
       .withColumn("nh", lead("h", 1).over(wUser))
@@ -825,14 +831,16 @@ object Temporal {
     * only itself.
     */
   def gapFillLinear(spark: SparkSession, dir: String): DataFrame = {
-    val wDesc = Window.partitionBy("user_id", "h")
-      .orderBy(col("tsu").desc, col("event_id").desc)
+    // r16: same one-exchange form as q88 (see gapFill)
+    val wScan = Window.partitionBy("user_id")
+      .orderBy(col("h"), col("tsu").desc, col("event_id").desc)
     val lastPerHour = events(spark, dir)
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
         col("tsu"), col("event_id"),
         round(col("value") * 10000).cast("long").as("v4"))
-      .withColumn("rn", row_number().over(wDesc))
-      .filter(col("rn") === 1)
+      .withColumn("ph", lag("h", 1).over(wScan))
+      .filter(col("ph").isNull || col("ph") =!= col("h"))
+      .drop("ph")
     val wUser = Window.partitionBy("user_id").orderBy(col("h"))
     lastPerHour
       .withColumn("nh", lead("h", 1).over(wUser))
