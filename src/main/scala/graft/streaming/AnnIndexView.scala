@@ -149,25 +149,25 @@ object AnnIndexView {
       val touched = eff.filter(col("live") === true).select(col("old_bucket").as("bucket"))
         .union(ups.select("bucket"))
         .distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
-      if (touched.nonEmpty) {
-        val dataOld = readOr(spark, dataDir(root), dataSchema)
-          .filter(col("bucket").isin(touched: _*))
-        IndexStoreOps.overwriteLeaves(// staged: store is both source and sink of this job
-          dataOld
-          .join(effKeys, Seq("vec_id"), "left_anti") // retract old copies of effective keys
-          .unionByName(ups.select(col("bucket"), col("vec_id"), col("embedding"), col("norm"))),
-          "bucket", dataDir(root), touched.map(_.toString))
-      }
-
-      if (kbs.nonEmpty) {
-        val keysNew = eff.select(col("kb"), col("vec_id"), col("tsUs"), col("seq"), col("op"))
-          .join(ups.select(col("vec_id"), col("bucket")), Seq("vec_id"), "left")
-          .select(col("kb"), col("vec_id"), col("tsUs"), col("seq"),
-            (col("op") =!= "D").as("live"), col("bucket"))
-        IndexStoreOps.overwriteLeaves(keysOld
-          .join(effKeys, Seq("vec_id"), "left_anti")
-          .unionByName(keysNew), "kb", keysDir(root), kbs.map(_.toString)): Unit
-      }
+      IndexStoreOps.inParallel(
+        if (touched.nonEmpty) {
+          val dataOld = readOr(spark, dataDir(root), dataSchema)
+            .filter(col("bucket").isin(touched: _*))
+          IndexStoreOps.overwriteLeaves(// staged: store is both source and sink of this job
+            dataOld
+            .join(effKeys, Seq("vec_id"), "left_anti") // retract old copies of effective keys
+            .unionByName(ups.select(col("bucket"), col("vec_id"), col("embedding"), col("norm"))),
+            "bucket", dataDir(root), touched.map(_.toString)): Unit
+        },
+        if (kbs.nonEmpty) {
+          val keysNew = eff.select(col("kb"), col("vec_id"), col("tsUs"), col("seq"), col("op"))
+            .join(ups.select(col("vec_id"), col("bucket")), Seq("vec_id"), "left")
+            .select(col("kb"), col("vec_id"), col("tsUs"), col("seq"),
+              (col("op") =!= "D").as("live"), col("bucket"))
+          IndexStoreOps.overwriteLeaves(keysOld
+            .join(effKeys, Seq("vec_id"), "left_anti")
+            .unionByName(keysNew), "kb", keysDir(root), kbs.map(_.toString)): Unit
+        })
     } finally cached.foreach(_.unpersist())
   }
 

@@ -110,25 +110,25 @@ object BitmapIndexView {
       cached += deltas
 
       val touched = deltas.select("val").distinct().collect().map(_.getString(0)).sorted.toSeq
-      if (touched.nonEmpty) {
-        val bmOld = readOr(spark, bmDir(root), bmSchema).filter(col("val").isin(touched: _*))
-        IndexStoreOps.overwriteLeaves(// staged: store is both source and sink of this job
-          bmOld.join(deltas, Seq("val", "w"), "full_outer")
-          .select(col("val"), col("w"),
-            expr("(coalesce(bits, 0) & ~coalesce(clr, 0)) | coalesce(st, 0)").as("bits"))
-          .filter(col("bits") =!= 0L), "val", bmDir(root), touched)
-      }
-
-      if (kbs.nonEmpty) {
-        val keysNew = eff.select(col("kb"), col("key"), col("tsUs"), col("seq"),
-          (col("op") =!= "D").as("live"),
-          when(col("op") =!= "D", col("value")).as("val"))
-        IndexStoreOps.overwriteLeaves(keysOld
-          .join(eff.select("key"), Seq("key"), "left_anti")
-          .unionByName(keysNew)
-          .select(keysSchema.fieldNames.map(col).toSeq: _*),
-          "kb", keysDir(root), kbs.map(_.toString)): Unit
-      }
+      IndexStoreOps.inParallel(
+        if (touched.nonEmpty) {
+          val bmOld = readOr(spark, bmDir(root), bmSchema).filter(col("val").isin(touched: _*))
+          IndexStoreOps.overwriteLeaves(// staged: store is both source and sink of this job
+            bmOld.join(deltas, Seq("val", "w"), "full_outer")
+            .select(col("val"), col("w"),
+              expr("(coalesce(bits, 0) & ~coalesce(clr, 0)) | coalesce(st, 0)").as("bits"))
+            .filter(col("bits") =!= 0L), "val", bmDir(root), touched): Unit
+        },
+        if (kbs.nonEmpty) {
+          val keysNew = eff.select(col("kb"), col("key"), col("tsUs"), col("seq"),
+            (col("op") =!= "D").as("live"),
+            when(col("op") =!= "D", col("value")).as("val"))
+          IndexStoreOps.overwriteLeaves(keysOld
+            .join(eff.select("key"), Seq("key"), "left_anti")
+            .unionByName(keysNew)
+            .select(keysSchema.fieldNames.map(col).toSeq: _*),
+            "kb", keysDir(root), kbs.map(_.toString)): Unit
+        })
     } finally cached.foreach(_.unpersist())
   }
 
@@ -323,9 +323,21 @@ object BitmapIndexView {
           del,
           ins(lit(true)), // stale replay of every insert: no state motion
         ).foreach { b =>
-          updateBatch(b.withColumnRenamed("pri", "value").drop("sta"), p, 32)
-          updateBatch(b.select(col("op"), col("key"), col("sta").as("value"),
-            col("tsUs"), col("seq")), s, 32)
+          // r16: the two attribute stores are INDEPENDENT (separate
+          // roots) — fold each batch into both CONCURRENTLY so the
+          // second store's jobs back-fill the first's stragglers
+          // (optimization guide §2.6); batches stay sequential (each
+          // fold reads its store's prior state)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val fp = Future {
+            updateBatch(b.withColumnRenamed("pri", "value").drop("sta"), p, 32) }
+          val fs = Future {
+            updateBatch(b.select(col("op"), col("key"), col("sta").as("value"),
+              col("tsUs"), col("seq")), s, 32) }
+          Await.result(fp, Duration.Inf)
+          Await.result(fs, Duration.Inf)
         }
         (p, s)
       })

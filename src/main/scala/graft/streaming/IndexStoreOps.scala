@@ -95,6 +95,22 @@ object IndexStoreOps {
     survivorSet.map(_.stripPrefix(s"$partCol="))
   }
 
+  /** Run the two independent per-batch store folds (data side +
+    * locator side — disjoint directories, both reading only pre-swap
+    * state and the batch's cached frames) CONCURRENTLY, so one side's
+    * stages back-fill the other's stragglers (guide §2.6). Failures
+    * propagate exactly as in the sequential form.
+    */
+  private[streaming] def inParallel(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)
+    val fb = Future(b)
+    Await.result(fa, Duration.Inf)
+    Await.result(fb, Duration.Inf)
+  }
+
   /** One leaf directory's census row. */
   final case class LeafCensus(dir: String, files: Long, bytes: Long, flagged: Boolean)
 

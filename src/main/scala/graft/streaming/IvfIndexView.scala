@@ -223,26 +223,26 @@ object IvfIndexView {
         eff.filter(col("live") === true).select(col("old_cid").cast("long").as("cid"))
         .union(ups.select(col("cid").cast("long")))
         .distinct().collect().map(_.getLong(0)).sorted.toSeq }
-      if (touched.nonEmpty) {
-        val dataOld = readOr(spark, dataDir(root), dataSchema)
-          .filter(col("cid").isin(touched: _*))
-        Prof.timed("data write+swap") {
-          IndexStoreOps.overwriteLeaves(dataOld
-            .join(effKeys, Seq("vec_id"), "left_anti")
-            .unionByName(ups.select(col("cid"), col("vec_id"), col("embedding"), col("norm"))),
-            "cid", dataDir(root), touched.map(_.toString)) }
-      }
-
-      if (kbs.nonEmpty) {
-        val keysNew = eff.select(col("kb"), col("vec_id"), col("tsUs"), col("seq"), col("op"))
-          .join(ups.select(col("vec_id"), col("cid")), Seq("vec_id"), "left")
-          .select(col("kb"), col("vec_id"), col("tsUs"), col("seq"),
-            (col("op") =!= "D").as("live"), col("cid"))
-        Prof.timed("keys write+swap") {
-          IndexStoreOps.overwriteLeaves(keysOld
-            .join(effKeys, Seq("vec_id"), "left_anti")
-            .unionByName(keysNew), "kb", keysDir(root), kbs.map(_.toString)) }
-      }
+      IndexStoreOps.inParallel(
+        if (touched.nonEmpty) {
+          val dataOld = readOr(spark, dataDir(root), dataSchema)
+            .filter(col("cid").isin(touched: _*))
+          Prof.timed("data write+swap") {
+            IndexStoreOps.overwriteLeaves(dataOld
+              .join(effKeys, Seq("vec_id"), "left_anti")
+              .unionByName(ups.select(col("cid"), col("vec_id"), col("embedding"), col("norm"))),
+              "cid", dataDir(root), touched.map(_.toString)) }: Unit
+        },
+        if (kbs.nonEmpty) {
+          val keysNew = eff.select(col("kb"), col("vec_id"), col("tsUs"), col("seq"), col("op"))
+            .join(ups.select(col("vec_id"), col("cid")), Seq("vec_id"), "left")
+            .select(col("kb"), col("vec_id"), col("tsUs"), col("seq"),
+              (col("op") =!= "D").as("live"), col("cid"))
+          Prof.timed("keys write+swap") {
+            IndexStoreOps.overwriteLeaves(keysOld
+              .join(effKeys, Seq("vec_id"), "left_anti")
+              .unionByName(keysNew), "kb", keysDir(root), kbs.map(_.toString)) }: Unit
+        })
 
       // drift row, measured above: a restart-replayed batch appends a
       // second row for the same batch_id with its effects already

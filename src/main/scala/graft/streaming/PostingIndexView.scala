@@ -111,26 +111,27 @@ object PostingIndexView {
         .union(newPost.select(col("tb").cast("long")))
         .distinct().collect().map(_.getLong(0)).sorted.toSeq
       val effKeys = eff.select("doc_id")
-      if (touched.nonEmpty) {
-        val postOld = readOr(spark, postDir(root), postSchema).filter(col("tb").isin(touched: _*))
-        IndexStoreOps.overwriteLeaves(// staged: store is both source and sink of this job
-          postOld
-          .join(effKeys, Seq("doc_id"), "left_anti")
-          .unionByName(newPost.select(postSchema.fieldNames.map(col).toSeq: _*)),
-          "tb", postDir(root), touched.map(_.toString))
-      }
-      if (kbs.nonEmpty) {
-        val keysNew = eff.select(col("kb"), col("doc_id"), col("tsUs"), col("seq"),
-            (col("op") =!= "D").as("live"))
-          .join(newTbs, Seq("doc_id"), "left")
-          .select(col("kb"), col("doc_id"), col("tsUs"), col("seq"), col("live"),
-            coalesce(col("tbs"), array().cast("array<int>")).as("tbs"))
-        IndexStoreOps.overwriteLeaves(keysOld
-          .join(effKeys, Seq("doc_id"), "left_anti")
-          .unionByName(keysNew)
-          .select(keysSchema.fieldNames.map(col).toSeq: _*),
-          "kb", keysDir(root), kbs.map(_.toString)): Unit
-      }
+      IndexStoreOps.inParallel(
+        if (touched.nonEmpty) {
+          val postOld = readOr(spark, postDir(root), postSchema).filter(col("tb").isin(touched: _*))
+          IndexStoreOps.overwriteLeaves(// staged: store is both source and sink of this job
+            postOld
+            .join(effKeys, Seq("doc_id"), "left_anti")
+            .unionByName(newPost.select(postSchema.fieldNames.map(col).toSeq: _*)),
+            "tb", postDir(root), touched.map(_.toString)): Unit
+        },
+        if (kbs.nonEmpty) {
+          val keysNew = eff.select(col("kb"), col("doc_id"), col("tsUs"), col("seq"),
+              (col("op") =!= "D").as("live"))
+            .join(newTbs, Seq("doc_id"), "left")
+            .select(col("kb"), col("doc_id"), col("tsUs"), col("seq"), col("live"),
+              coalesce(col("tbs"), array().cast("array<int>")).as("tbs"))
+          IndexStoreOps.overwriteLeaves(keysOld
+            .join(effKeys, Seq("doc_id"), "left_anti")
+            .unionByName(keysNew)
+            .select(keysSchema.fieldNames.map(col).toSeq: _*),
+            "kb", keysDir(root), kbs.map(_.toString)): Unit
+        })
     } finally cached.foreach(_.unpersist())
   }
 

@@ -201,18 +201,18 @@ object PqIndexView {
           count(when(col("live") === true, 1)).as("had_old"))
         .collect().head
 
-      if (kbs.nonEmpty) {
+      if (kbs.nonEmpty) IndexStoreOps.inParallel(
         IndexStoreOps.overwriteLeaves(dataOld
           .join(effKeys, Seq("vec_id"), "left_anti")
           .unionByName(ups.select(col("kb"), col("vec_id"), col("codes"), col("norm"))),
-          "kb", dataDir(root), kbs.map(_.toString))
-
-        val keysNew = eff.select(col("kb"), col("vec_id"), col("tsUs"), col("seq"),
-          (col("op") =!= "D").as("live"))
-        IndexStoreOps.overwriteLeaves(keysOld
-          .join(effKeys, Seq("vec_id"), "left_anti")
-          .unionByName(keysNew), "kb", keysDir(root), kbs.map(_.toString)): Unit
-      }
+          "kb", dataDir(root), kbs.map(_.toString)): Unit,
+        {
+          val keysNew = eff.select(col("kb"), col("vec_id"), col("tsUs"), col("seq"),
+            (col("op") =!= "D").as("live"))
+          IndexStoreOps.overwriteLeaves(keysOld
+            .join(effKeys, Seq("vec_id"), "left_anti")
+            .unionByName(keysNew), "kb", keysDir(root), kbs.map(_.toString)): Unit
+        })
 
       if (d.getLong(0) > 0L)
         appendDrift(spark, root, batchId, "batch", d.getLong(0), d.getDouble(1),
