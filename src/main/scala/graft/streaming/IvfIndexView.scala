@@ -213,16 +213,22 @@ object IvfIndexView {
       // silently recomputing old_cid against the already-updated store
       // (churn would read 0). The LOG WRITE waits until after the store
       // writes commit, so a failed micro-batch never skews the signal.
-      val d = Prof.timed("drift agg collect") {
-        ups.agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"),
-          count(when(col("live") === true && col("old_cid") =!= col("cid"), 1)).as("moved"),
-          count(when(col("live") === true, 1)).as("had_old"))
-        .collect().head }
-
+      // the drift and touched collects are independent reads of the
+      // batch's cached frames — overlap them (r16, guide §2.6); the
+      // drift result is still awaited BEFORE the store writes below
+      val dF = {
+        import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.Future(Prof.timed("drift agg collect") {
+          ups.agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"),
+            count(when(col("live") === true && col("old_cid") =!= col("cid"), 1)).as("moved"),
+            count(when(col("live") === true, 1)).as("had_old"))
+          .collect().head })
+      }
       val touched = Prof.timed("touched collect") {
         eff.filter(col("live") === true).select(col("old_cid").cast("long").as("cid"))
         .union(ups.select(col("cid").cast("long")))
         .distinct().collect().map(_.getLong(0)).sorted.toSeq }
+      val d = scala.concurrent.Await.result(dF, scala.concurrent.duration.Duration.Inf)
       IndexStoreOps.inParallel(
         if (touched.nonEmpty) {
           val dataOld = readOr(spark, dataDir(root), dataSchema)
