@@ -399,18 +399,32 @@ object Relational {
     * projection of each tiny array — order-quadratic only in the
     * bounded per-order line count, like the join it replaces.
     */
-  def partCooccurrence(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame =
-    Tables
+  def partCooccurrence(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+    // r16 shape: one explicit order-key exchange feeds BOTH the
+    // in-basket dedupe (groupBy(l_orderkey, l_partkey) — clustered-by-
+    // subset, no second exchange) and the within-key pair self-join
+    // (both sides carry the same partitioning — shuffle-free, the
+    // exchange subtree is reused). The previous collect_set form built
+    // every basket's set in the scan task's map-side ObjectHashAggregate
+    // — interpreted per-row object work on the serial side of the first
+    // exchange; here the scan side only projects, and the dedupe + the
+    // (still basket-bounded) pair expansion run post-exchange with full
+    // codegen. Same pair multiset: a<b ordering via the join condition.
+    val op = Tables
       .lineitem(spark, dir)
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), " +
-          "y -> struct(x AS part_a, y AS part_b))))")).as("p"))
-      .select(col("p.part_a"), col("p.part_b"))
-      .groupBy("part_a", "part_b")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(lit(1))
+      .select(col("l_orderkey"), col("l_partkey"))
+    op.as("a")
+      .join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minSupport)
+  }
 
   /** q138: ASSOCIATION RULES (support / confidence / lift — the classic
     * market-basket operator on top of q54's co-occurrence counts): for
@@ -420,10 +434,11 @@ object Relational {
     * the pair co-occurs more than independence predicts — the signal a
     * recommender or substitution analysis reads.
     *
-    * Shape: q54's bounded in-basket pair generation (collect_set per
-    * order, triangular expand inside the array — never a fact self-join),
-    * item supports from one distinct fold, the 1-row basket total
-    * broadcast. Pair table is support-filtered BEFORE the rule expansion.
+    * Shape: q54's bounded in-basket pair generation (within-ORDER-key
+    * self-join of the deduped basket table — blowup bounded per order,
+    * never an item-keyed fact join), item supports from one distinct
+    * fold, the 1-row basket total broadcast. Pair table is
+    * support-filtered BEFORE the rule expansion.
     */
   def associationRules(spark: SparkSession, dir: String, minSupport: Long = 3L): DataFrame = {
     val pairs = partCooccurrence(spark, dir, minSupport)
