@@ -253,13 +253,22 @@ class PlanSpec extends SparkSpec {
       s"incremental dedup must never go all-pairs:\n$p")
   }
 
-  test("q54: set-form co-occurrence pays exactly two keyed exchanges, no join at all") {
+  test("q54: co-occurrence pairs generate post-exchange with codegen, keyed join, no object agg") {
     val p = plan(Relational.partCooccurrence(spark, sf))
-    // r5 rewrite: per-order collect_set + scan-side pair expansion —
-    // the r1-r4 self-join form spent a third exchange on DISTINCT
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 2, s"expected 2 exchanges (order set, pair count), got $exchanges:\n$p")
-    assert(!p.contains("Join"), s"the set form needs no join:\n$p")
+    // r16 rewrite: ONE explicit order-key repartition feeds the
+    // in-basket dedupe (clustered-by-subset: no extra exchange) and the
+    // within-order-key pair self-join; the r5-r15 collect_set form paid
+    // a map-side ObjectHashAggregate (interpreted per-row object work
+    // on the serial side of the first exchange). The initial plan may
+    // print the identical order-key exchange once per join side —
+    // ReusedExchange collapses them at execution.
+    assert(!p.contains("ObjectHashAggregate"),
+      s"basket dedupe/pairing must stay in codegen hash aggregates:\n$p")
+    val exchangeKeys = "Exchange hashpartitioning\\((l_orderkey|l_partkey)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq.distinct
+    assert(exchangeKeys.length <= 2,
+      s"expected at most 2 exchange KEYS (order key, pair key), got $exchangeKeys:\n$p")
+    assert(p.contains("Join"), s"pairing is a within-order-key join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"part pairing fell back to all-pairs:\n$p")
   }
