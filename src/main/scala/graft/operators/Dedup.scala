@@ -689,10 +689,11 @@ object Dedup {
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
         .withColumn("jaccard",
           col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
-        // lazy cut (r16): the sweep below reads the verified pair table
-        // twice (pair counts + distinct-doc counts) — without the cut the
-        // whole shingle/self-join pipeline is inlined, and computed, twice
-        .localCheckpoint(false)
+        // r16 note: a lazy cut here was tried and REVERTED — the two
+        // sweep legs share every exchange of the pair pipeline
+        // (ReusedExchange), so the duplication they pay is only the
+        // pair-table-sized tail, and the cut's materialization cost
+        // measured as a consistent ~10% loss
     }
     val ths = Seq(30L, 40L, 50L, 60L, 70L, 80L, 90L)
     val swept = pairs
