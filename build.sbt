@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver scrapes runMain stdout for a bare JSON contract line;
+// sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] ", so no stdout line ever started with '{' and the driver's
+// bench parse failed in every round (BENCH_r01..r16 all "parsed": null).
+// StdoutOutput passes the child's stdout through verbatim. Scoped to
+// run (runMain shares it) so `sbt test` reporting is untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -83,15 +83,27 @@ object Bench {
     val normed =
       if (normT > 0) results.map { case (k, v) => k -> (if (v < 0) -1.0 else v / normT) }
       else Map.empty[String, Double]
-    val line =
+    // The driver's contract line: total + the per-query map in ONE JSON
+    // line (r17 fix — see build.sbt outputStrategy note: until this round
+    // every stdout line carried an "[info] " prefix and could not parse).
+    // Seconds are rounded to 0.1 ms in the stdout map to keep the line
+    // lean; the committed artifacts below keep full precision. Printed
+    // twice — before the artifact writes AND as the final stdout line —
+    // so both first-match and last-match scrapers find the same line.
+    def fmtQs4(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"\"" + k + "\":" + BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
+    val sfName = new java.io.File(sfDir).getName
+    val contractLine =
       s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":3,""" +
-        s""""normalizer":"q01_filter_project","normalizer_sec":$normT,""" +
-        s""""queries":${fmtQs(results)},"sf":"$sfDir"}"""
-    println(line)
+        s""""n_queries":${results.size},"normalizer":"q01_filter_project","normalizer_sec":$normT,""" +
+        s""""store_build_sec":${fmtQs4(storeBuild)},"queries":${fmtQs4(results)},""" +
+        s""""artifact":"bench/full_$sfName.json","sf":"$sfDir"}"""
+    println(contractLine)
     // the driver records only a stdout tail, so the COMPLETE per-query
     // artifact (all runs + min + normalized) goes to a committed file —
     // every timing diffable round-over-round
-    val sfName = new java.io.File(sfDir).getName
     val fullJson =
       s"""{"sf":"$sfName","cpus":$cpus,"failures":$failures,"total_sec":$total,""" +
         s""""normalizer":"q01_filter_project","normalizer_sec":$normT,""" +
@@ -102,13 +114,10 @@ object Bench {
     java.nio.file.Files.createDirectories(outDir)
     java.nio.file.Files.write(outDir.resolve(s"full_$sfName.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // The driver's BENCH_r{N}.json keeps only a 2000-char stdout TAIL —
-    // the full per-query line above overflows it, so r13's artifact
-    // shipped "parsed": null. Two fixes here: (a) also write the
-    // complete artifact to a ROOT-level round-named file (round inferred
-    // as max existing BENCH_r* + 1, since the driver writes its own file
-    // only after this run); (b) print a COMPACT summary as the FINAL
-    // stdout line, so the tail always ends with parseable JSON.
+    // Belt-and-braces vs the driver's 2000-char stdout tail: the
+    // complete artifact also lands in a ROOT-level round-named file
+    // (round inferred as max existing BENCH_r* + 1, since the driver
+    // writes its own file only after this run).
     // round = max(driverMax + 1, fullMax): the driver's BENCH_rN.json
     // lands AFTER the round (so +1), while a BENCH_rN_full.json we
     // ourselves wrote is THIS round (repeated Bench runs in one round —
@@ -124,10 +133,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(f"BENCH_r$roundN%02d_full.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":3,""" +
-        s""""n_queries":${results.size},"normalizer":"q01_filter_project","normalizer_sec":$normT,""" +
-        s""""artifact":"bench/full_$sfName.json","sf":"$sfDir"}""")
+    println(contractLine)
     spark.stop()
   }
 }

@@ -375,24 +375,30 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
       cut: LineageCut = localCut): DataFrame = {
-    val nodes = pairs
-      .select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id")))
-      .distinct()
     // symmetric edges PLUS self-loops: each round is then a single
     // join + min-agg (labels referenced once per round, so plan size
     // grows linearly in rounds and the repeated edge subtree collapses
-    // to one computation via exchange reuse)
+    // to one computation via exchange reuse). Self-loops come straight
+    // off the pair endpoints — duplicates are free under min — so no
+    // node-distinct shuffle exists anywhere (r17; it was a full
+    // endpoint dedup that only fed this union).
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .union(nodes.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")))
+      .union(pairs.select(col("doc_a"), col("doc_a").as("doc_b")))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_b").as("doc_b")))
     def hop(labels: DataFrame): DataFrame = edges
       .join(labels.select(col("doc_id").as("doc_b"), col("label")), Seq("doc_b"))
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min("label").as("label"))
-    var labels  = cut(nodes.withColumn("label", col("doc_id")))
+    // Initial labels = one hop from the identity labeling, computed as a
+    // direct aggregation (r17): hop(identity) is edges.groupBy(doc_a).
+    // min(doc_b) — the identity join was a no-op lookup, and cutting at
+    // the post-hop table drops one materialization + one distinct from
+    // every call. Monotonicity is unchanged (labels only decrease), so
+    // the double-hop fixpoint argument below still holds from this start.
+    var labels  = cut(edges.groupBy(col("doc_a").as("doc_id")).agg(min("doc_b").as("label")))
     var changed = 1L
-    var rounds  = 0
+    var rounds  = 1
     while (changed > 0) {
       if (rounds >= maxRounds)
         throw new IllegalStateException(

@@ -199,26 +199,77 @@ object Multimodal {
     (1000 + (nChars * 17) % 20000).toInt, // second-band amplitude
   )
 
-  /** m02's media side: one genuine RIFF/PCM16 WAV per doc —
-    * `javax.sound.sampled` (in-JDK, headless-safe for file I/O) writes
-    * the container; payload bytes are a real parseable audio file, not
-    * a naked sample buffer.
+  /** Canonical RIFF/PCM16-mono-LE WAV container around raw sample bytes
+    * (r17): the fixed 44-byte header + payload, BYTE-IDENTICAL to what
+    * `javax.sound`'s WaveFileWriter emits for this format
+    * (WavCodecSpec asserts equality against the JDK writer across the
+    * fleet's layouts). Hand-rolled because AudioSystem serializes every
+    * open/write on a global provider-registry lock — the r16 measurement
+    * showed 32 concurrent codec tasks running 2.2× SLOWER than one; this
+    * codec is lock-free, so the audio tier parallelizes like the image
+    * tier.
+    */
+  private[operators] def wavEncode(data: Array[Byte], rate: Int): Array[Byte] = {
+    val n   = data.length
+    val out = new Array[Byte](44 + n)
+    val bb  = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n).put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                   // PCM, mono
+      .putInt(rate).putInt(rate * 2)             // sample rate, byte rate
+      .putShort(2).putShort(16)                  // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(n).put(data)
+    out
+  }
+
+  /** The matching parser: a real RIFF chunk walk (fmt read, unknown
+    * chunks skipped with even padding, data located by id — the header
+    * is parsed, not assumed at fixed offsets), returning (sampleRate,
+    * PCM bytes). Accepts exactly the canonical PCM16 mono files this
+    * engine writes; anything else fails loudly.
+    */
+  private[operators] def wavDecode(payload: Array[Byte]): (Int, Array[Byte]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int) = new String(payload, off, 4, "US-ASCII")
+    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a RIFF/WAVE payload")
+    var pos = 12
+    var rate = -1
+    var data: Array[Byte] = null
+    while (data == null || rate < 0) {
+      require(pos + 8 <= payload.length, "truncated WAV: chunk walk ran off the payload")
+      val id  = fourcc(pos)
+      val len = bb.getInt(pos + 4)
+      if (id == "fmt ") {
+        require(bb.getShort(pos + 8) == 1 && bb.getShort(pos + 10) == 1 &&
+          bb.getShort(pos + 22) == 16, "wavDecode expects PCM16 mono")
+        rate = bb.getInt(pos + 12)
+      } else if (id == "data") {
+        data = java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + len)
+      }
+      pos += 8 + len + (len & 1) // RIFF chunks pad to even length
+    }
+    (rate, data)
+  }
+
+  /** m02's media side: one genuine RIFF/PCM16 WAV per doc — the
+    * canonical container via [[wavEncode]] (spec-pinned byte-equal to
+    * the JDK writer); payload bytes are a real parseable audio file,
+    * not a naked sample buffer.
     */
   def audioTable(spark: SparkSession, dir: String): Dataset[AudioRecord] = {
     import spark.implicits._
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     graft.sources.Tables
       .documents(spark, dir)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
-      // r16 note: deliberately NOT repartitioned like mediaTable —
-      // javax.sound's AudioSystem serializes on a global provider
-      // registry, so 32 concurrent codec tasks contend the lock and run
-      // SLOWER than one (measured: m02 0.54 s serial → 1.41 s parallel)
+      // r17: the lock-free codec parallelizes — the shuffled rows are
+      // KB-scale (doc_id, n_chars) metadata, never payloads (guide §8);
+      // r16 had to keep this serial because javax.sound's global
+      // provider lock made 32 concurrent tasks 2.2× slower than one
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { case (id, nChars) =>
           val (n, rate, hp, a1, a2) = audioLayout(id, nChars)
-          val fmt  = new AudioFormat(rate.toFloat, 16, 1, true, false) // PCM16 mono LE
           val data = new Array[Byte](n * 2)
           var i = 0
           while (i < n) {
@@ -228,29 +279,23 @@ object Multimodal {
             data(2 * i + 1) = ((v >> 8) & 0xff).toByte
             i += 1
           }
-          val out = new ByteArrayOutputStream()
-          AudioSystem.write(
-            new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong),
-            AudioFileFormat.Type.WAVE, out)
-          AudioRecord(id, out.toByteArray, rate, n, "audio/wav")
+          AudioRecord(id, wavEncode(data, rate), rate, n, "audio/wav")
         }
       }
   }
 
-  /** The real audio decoder: WAV bytes in through the actual
-    * `AudioSystem` parser (header + format negotiated by the codec, not
-    * assumed), sample statistics out — all integer-derived so the
-    * oracle can predict them arithmetically:
+  /** The real audio decoder: WAV bytes in through the [[wavDecode]]
+    * RIFF parser (header parsed from the container, not assumed),
+    * sample statistics out — all integer-derived so the oracle can
+    * predict them arithmetically:
     *  - duration_ms: integral n·1000/rate
     *  - peak / mean_abs over the decoded samples
     *  - n_zero_cross: strict sign flips between consecutive samples
     *  - n_windows: "frame-sample" analogue — ceil(n/256) fixed windows
     */
   private def decodeAudio(r: AudioRecord): AudioFeatures = {
-    import javax.sound.sampled.AudioSystem
-    val ain   = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
-    val rate  = ain.getFormat.getSampleRate.toLong
-    val bytes = ain.readAllBytes()
+    val (rateInt, bytes) = wavDecode(r.payload)
+    val rate  = rateInt.toLong
     val n     = bytes.length / 2
     var i = 0; var sumAbs = 0L; var peak = 0L; var zc = 0L; var prev = 0
     while (i < n) {
@@ -379,7 +424,7 @@ object Multimodal {
   }
 
   /** m02: the audio pipeline — same contract as m01 with a REAL audio
-    * codec: encode genuine WAVs, decode them with `AudioSystem`, emit
+    * codec: encode genuine WAVs, decode them through the RIFF parser, emit
     * typed features; corrupting one sample in the container round trip
     * fails the hash compare.
     */
@@ -633,7 +678,7 @@ object Multimodal {
 
   /** d19: perceptual AUDIO dedup — the chromaprint idea end to end on
     * real WAV bytes: encode a genuine RIFF/PCM16 file per doc
-    * (`javax.sound.sampled`, the m02 codec), DECODE it back through the
+    * (the canonical m02 WAV codec), DECODE it back through the
     * actual parser, frame the decoded samples (33 × 64), and fingerprint
     * with 64 frame-gradient bits — 32 ENERGY gradients (sum |sample| per
     * frame, the loudness contour) + 32 ZERO-CROSSING gradients (sign
@@ -653,14 +698,15 @@ object Multimodal {
     */
   def audioDedupFingerprint(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val nFrames = 33; val nf = 64
     val sigs = graft.sources.Tables
       .documents(spark, dir)
       .select(col("doc_id"))
       .as[Long]
-      // r16 note: not repartitioned — AudioSystem's global provider
-      // lock makes parallel WAV codec tasks slower (see audioTable)
+      // r17: lock-free [[wavEncode]]/[[wavDecode]] — the codec stage
+      // parallelizes over every core (the r16 AudioSystem lock is gone);
+      // the shuffle moves 8-byte ids, never payloads
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val (h, pert, p0) = d19Hash(id)
@@ -680,14 +726,8 @@ object Multimodal {
             }
             f += 1
           }
-          val fmt = new AudioFormat(8000f, 16, 1, true, false)
-          val out = new ByteArrayOutputStream()
-          AudioSystem.write(
-            new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong),
-            AudioFileFormat.Type.WAVE, out)
           // decode through the real parser and measure the DECODED samples
-          val ain   = AudioSystem.getAudioInputStream(new ByteArrayInputStream(out.toByteArray))
-          val bytes = ain.readAllBytes()
+          val bytes = wavDecode(wavEncode(data, 8000))._2
           val energy = new Array[Long](nFrames)
           val zc     = new Array[Long](nFrames)
           f = 0

@@ -89,14 +89,10 @@ object AnnIndexView {
     * partitions PRESENT in the output, so an emptied partition would
     * otherwise resurrect its retracted rows on the next read.
     */
-  private def clearEmptied(root: String, colName: String, touched: Seq[Long], survivors: Set[Long]): Unit =
-    touched.filterNot(survivors).foreach { b =>
-      val dir = Paths.get(root, s"$colName=$b")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-    }
+  private def clearEmptied(spark: SparkSession, root: String, colName: String,
+      touched: Seq[Long], survivors: Set[Long]): Unit =
+    IndexStoreOps.clearEmptiedLeaves(spark, root, colName,
+      touched.map(_.toString), survivors.map(_.toString))
 
   /** Fold one micro-batch of changes (`op` ∈ I/U/D, `vec_id`,
     * `embedding`, `tsUs`, `seq`) into the live index at `root`.
@@ -232,7 +228,7 @@ object AnnIndexView {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(dataDir(root))
-      clearEmptied(dataDir(root), "bucket", liveBuckets,
+      clearEmptied(spark, dataDir(root), "bucket", liveBuckets,
         kept.select("bucket").distinct().collect().map(_.getInt(0).toLong).toSet)
       parts += liveBuckets.size
     }
@@ -245,7 +241,7 @@ object AnnIndexView {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")
       .parquet(keysDir(root))
-    clearEmptied(keysDir(root), "kb", kbs,
+    clearEmptied(spark, keysDir(root), "kb", kbs,
       keysKept.select("kb").distinct().collect().map(_.getInt(0).toLong).toSet)
     parts += kbs.size
     (parts, dropped)

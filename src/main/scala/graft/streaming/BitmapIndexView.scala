@@ -59,14 +59,9 @@ object BitmapIndexView {
     catch { case _: AnalysisException =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema) }
 
-  private def clearEmptied(root: String, colName: String, touched: Seq[String], survivors: Set[String]): Unit =
-    touched.filterNot(survivors).foreach { v =>
-      val dir = Paths.get(root, s"$colName=$v")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-    }
+  private def clearEmptied(spark: SparkSession, root: String, colName: String,
+      touched: Seq[String], survivors: Set[String]): Unit =
+    IndexStoreOps.clearEmptiedLeaves(spark, root, colName, touched, survivors)
 
   /** Fold one micro-batch of changes (`op` ∈ I/U/D, `key`, `value`,
     * `tsUs`, `seq`) into the live index at `root`.
@@ -80,11 +75,50 @@ object BitmapIndexView {
       .withColumn("__rn", row_number().over(wLww)).filter(col("__rn") === 1).drop("__rn")
       .withColumn("kb", pmod(col("key"), lit(keyBuckets.toLong)).cast("int"))
       .persist()
-    // every cached frame unpersists in the finally — a failed store
-    // write must not leak blocks in a long-lived foreachBatch session
-    val cached = scala.collection.mutable.Buffer[DataFrame](winners)
     try {
       val kbs = winners.select("kb").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
+      foldWinners(spark, winners, kbs, root)
+    } finally winners.unpersist(): Unit
+  }
+
+  /** Fold ONE micro-batch into TWO attribute stores over the same key
+    * universe (r17, the q147 path): the LWW winners window and the `kbs`
+    * collect run ONCE — the winner row per key is value-independent (the
+    * ordering is (tsUs, seq, op)) — and both per-store folds then run
+    * concurrently off the shared persisted frame. Halves the CPU the
+    * two-window replay paid at any scale; results are byte-identical to
+    * two [[updateBatch]] calls by construction.
+    */
+  private[streaming] def updateBatchBoth(batch: DataFrame,
+      aCol: String, aRoot: String, bCol: String, bRoot: String,
+      keyBuckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val wLww = Window.partitionBy("key")
+      .orderBy(col("tsUs").desc, col("seq").desc, col("op").desc)
+    val winners = batch
+      .select(col("op"), col("key"), col(aCol), col(bCol), col("tsUs"), col("seq"))
+      .withColumn("__rn", row_number().over(wLww)).filter(col("__rn") === 1).drop("__rn")
+      .withColumn("kb", pmod(col("key"), lit(keyBuckets.toLong)).cast("int"))
+      .persist()
+    try {
+      val kbs = winners.select("kb").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
+      val base = Seq(col("op"), col("key"), col("tsUs"), col("seq"), col("kb"))
+      IndexStoreOps.inParallel(
+        foldWinners(spark, winners.select(base :+ col(aCol).as("value"): _*), kbs, aRoot),
+        foldWinners(spark, winners.select(base :+ col(bCol).as("value"): _*), kbs, bRoot))
+    } finally winners.unpersist(): Unit
+  }
+
+  /** The store-side fold from an already-persisted winners frame
+    * (`op`, `key`, `value`, `tsUs`, `seq`, `kb`) and its collected key
+    * buckets — the [[updateBatch]] body below the winners window.
+    */
+  private def foldWinners(spark: SparkSession, winners: DataFrame, kbs: Seq[Long],
+      root: String): Unit = {
+    // every cached frame unpersists in the finally — a failed store
+    // write must not leak blocks in a long-lived foreachBatch session
+    val cached = scala.collection.mutable.Buffer[DataFrame]()
+    try {
       val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
       val loc = keysOld.join(winners.select("key"), Seq("key"), "left_semi")
         .select(col("key"), col("tsUs").as("s_ts"), col("seq").as("s_seq"),
@@ -207,7 +241,7 @@ object BitmapIndexView {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("val")
         .parquet(bmDir(root))
-      clearEmptied(bmDir(root), "val", liveVals,
+      clearEmptied(spark, bmDir(root), "val", liveVals,
         kept.select("val").distinct().collect().map(_.getString(0)).toSet)
       parts += liveVals.size
     }
@@ -226,7 +260,7 @@ object BitmapIndexView {
     // partition-dir suffixes, stringly for the val= bitmap partitions)
     val survivors = keysKept.select(col("kb").cast("long")).distinct()
       .collect().map(_.getLong(0).toString).toSet
-    clearEmptied(keysDir(root), "kb", kbs.map(_.toString), survivors)
+    clearEmptied(spark, keysDir(root), "kb", kbs.map(_.toString), survivors)
     parts += kbs.size
     (parts, dropped)
   }
@@ -323,21 +357,11 @@ object BitmapIndexView {
           del,
           ins(lit(true)), // stale replay of every insert: no state motion
         ).foreach { b =>
-          // r16: the two attribute stores are INDEPENDENT (separate
-          // roots) — fold each batch into both CONCURRENTLY so the
-          // second store's jobs back-fill the first's stragglers
-          // (optimization guide §2.6); batches stay sequential (each
-          // fold reads its store's prior state)
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.ExecutionContext.Implicits.global
-          import scala.concurrent.duration.Duration
-          val fp = Future {
-            updateBatch(b.withColumnRenamed("pri", "value").drop("sta"), p, 32) }
-          val fs = Future {
-            updateBatch(b.select(col("op"), col("key"), col("sta").as("value"),
-              col("tsUs"), col("seq")), s, 32) }
-          Await.result(fp, Duration.Inf)
-          Await.result(fs, Duration.Inf)
+          // r16 folded the two independent stores concurrently (guide
+          // §2.6); r17 additionally SHARES the LWW winners window and
+          // the kbs collect between them ([[updateBatchBoth]]) — one
+          // winners pass per batch where the replay used to pay two
+          updateBatchBoth(b, "pri", p, "sta", s, 32)
         }
         (p, s)
       })

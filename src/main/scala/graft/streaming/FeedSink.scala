@@ -50,6 +50,13 @@ object FeedSink {
         col("seq"),
         col("payload"),
       )
+      // r17 (guide §6 small files): cluster on the partition column so the
+      // batch dir gets the files its bytes justify (one), not
+      // shuffle-partitions-many — the same write discipline the index
+      // stores got in r16. The shuffled rows are the micro-batch itself
+      // (KB–MB scale); a monster batch becoming one write task is the
+      // documented store trade (compaction/census watch it).
+      .repartition(col("batch_id"))
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -74,6 +81,7 @@ object FeedSink {
         col("seq"),
         col("payload"),
       )
+      .repartition(col("batch_id")) // r17: one file per batch dir (see writeBatch)
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

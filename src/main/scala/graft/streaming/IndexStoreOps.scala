@@ -61,54 +61,133 @@ object IndexStoreOps {
     */
   private[streaming] def overwriteLeaves(df: DataFrame, partCol: String, dir: String,
       touched: Seq[String]): Set[String] = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    def rmTree(p: java.nio.file.Path): Unit =
-      if (Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-    val staged = Paths.get(dir + ".staged")
-    rmTree(staged)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.{escapePathName, unescapePathName}
+    // All listing/moves/deletes go through the store's OWN filesystem
+    // (r17, verdict item 1): the r16 version used java.nio.file, which on
+    // an HDFS/S3-rooted store silently saw an empty staged dir and
+    // dropped the batch. Hadoop's Path/FileSystem resolve the scheme the
+    // same way the Spark write below does, so staged state is visible by
+    // construction; local-mode behavior (and the crash surface — replay
+    // is LWW-idempotent) is unchanged.
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val live = new Path(dir)
+    val fs = live.getFileSystem(conf)
+    val staged = new Path(dir + ".staged")
+    fs.delete(staged, true)
     df.repartition(col(partCol))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy(partCol)
       .parquet(staged.toString)
-    val stagedLeaves =
-      if (!Files.isDirectory(staged)) Seq.empty[String]
-      else Files.list(staged).iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
-        .map(_.getFileName.toString).toSeq
-    Files.createDirectories(Paths.get(dir))
+    // The parquet commit above always creates the directory (even for an
+    // empty frame); not seeing it here means this FileSystem view is not
+    // the one Spark wrote through — fail fast rather than no-op the fold.
+    require(fs.getFileStatus(staged).isDirectory,
+      s"staged store write is not visible at $staged via ${fs.getUri}")
+    val prefix = s"$partCol="
+    val stagedLeaves = fs.listStatus(staged).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName)
+    fs.mkdirs(live)
     stagedLeaves.foreach { name =>
-      val live = Paths.get(dir, name)
-      rmTree(live)
-      Files.move(staged.resolve(name), live): Unit
+      val dst = new Path(live, name)
+      fs.delete(dst, true)
+      if (!fs.rename(new Path(staged, name), dst))
+        throw new java.io.IOException(s"leaf swap failed: $staged/$name -> $dst")
     }
     val survivorSet = stagedLeaves.toSet
-    touched.map(v => s"$partCol=$v").filterNot(survivorSet).foreach { name =>
-      rmTree(Paths.get(dir, name))
+    // Hive-escape the touched values before comparing against directory
+    // names (ADVICE r16): values containing '=', '/', '%', ... otherwise
+    // desync emptied-leaf cleanup from the survivor set.
+    touched.map(v => prefix + escapePathName(v)).filterNot(survivorSet).foreach { name =>
+      fs.delete(new Path(live, name), true)
     }
-    rmTree(staged)
-    // partition-dir names escape special characters; the stores' leaf
-    // values (ints, TPC-H priority/status strings) round-trip verbatim
-    survivorSet.map(_.stripPrefix(s"$partCol="))
+    fs.delete(staged, true)
+    survivorSet.map(n => unescapePathName(n.stripPrefix(prefix)))
   }
 
   /** Run the two independent per-batch store folds (data side +
     * locator side — disjoint directories, both reading only pre-swap
     * state and the batch's cached frames) CONCURRENTLY, so one side's
-    * stages back-fill the other's stragglers (guide §2.6). Failures
-    * propagate exactly as in the sequential form.
+    * stages back-fill the other's stragglers (guide §2.6). BOTH sides
+    * are awaited even when one fails (ADVICE r16): neither fold is ever
+    * abandoned mid-flight, so the store/locator pair is never left with
+    * an unobserved write still racing a thrown exception; a double
+    * failure surfaces the first with the second suppressed. (Unlike the
+    * sequential form, side B may still COMPLETE when A fails — the
+    * changefeed replay contract covers that partial-batch window.)
     */
   private[streaming] def inParallel(a: => Unit, b: => Unit): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Try}
     val fa = Future(a)
     val fb = Future(b)
-    Await.result(fa, Duration.Inf)
-    Await.result(fb, Duration.Inf)
+    val ra = Try(Await.result(fa, Duration.Inf))
+    val rb = Try(Await.result(fb, Duration.Inf))
+    (ra, rb) match {
+      case (Failure(ea), Failure(eb)) => ea.addSuppressed(eb); throw ea
+      case (Failure(ea), _)           => throw ea
+      case (_, Failure(eb))           => throw eb
+      case _                          => ()
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Store-filesystem primitives (r17): every path operation a store family
+  // performs — marker files, staged-dir swaps, emptied-leaf cleanup —
+  // resolves the filesystem FROM THE STORE URI, exactly as the Spark
+  // reads/writes beside it do. java.nio equivalents only ever saw the
+  // driver's local disk.
+  private[streaming] def storeFs(spark: SparkSession, dir: String): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private[streaming] def isDir(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = storeFs(spark, dir)
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  private[streaming] def pathExists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = storeFs(spark, path)
+    fs.exists(p)
+  }
+
+  private[streaming] def deleteTree(spark: SparkSession, dir: String): Unit = {
+    val (fs, p) = storeFs(spark, dir)
+    fs.delete(p, true): Unit
+  }
+
+  private[streaming] def touchFile(spark: SparkSession, file: String): Unit = {
+    val (fs, p) = storeFs(spark, file)
+    fs.create(p, true).close()
+  }
+
+  private[streaming] def deleteFile(spark: SparkSession, file: String): Unit = {
+    val (fs, p) = storeFs(spark, file)
+    fs.delete(p, false): Unit
+  }
+
+  private[streaming] def renameDir(spark: SparkSession, src: String, dst: String): Unit = {
+    val (fs, s) = storeFs(spark, src)
+    if (!fs.rename(s, new Path(dst)))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+  }
+
+  /** Drop the leaf dirs of `touched` partition values that did not
+    * survive a dynamic-overwrite rewrite (GC / FORGET KEYS paths).
+    * Values are Hive-escaped the same way the write that created the
+    * leaves escaped them.
+    */
+  private[streaming] def clearEmptiedLeaves(spark: SparkSession, root: String,
+      colName: String, touched: Seq[String], survivors: Set[String]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val (fs, p) = storeFs(spark, root)
+    touched.filterNot(survivors).foreach { v =>
+      fs.delete(new Path(p, s"$colName=${escapePathName(v)}"), true): Unit
+    }
   }
 
   /** One leaf directory's census row. */

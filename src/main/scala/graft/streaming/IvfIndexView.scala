@@ -67,10 +67,10 @@ object IvfIndexView {
   private def driftDir(root: String) = s"$root/drift"
   // present while a retrain is mid-flight: centroids/data/keys may
   // disagree, so probes and reports refuse instead of answering wrong
-  private def retrainMarker(root: String) = Paths.get(root, "_retrain_inprogress")
+  private def retrainMarker(root: String) = s"$root/_retrain_inprogress"
 
-  private def requireNoHalfRetrain(root: String): Unit =
-    require(!Files.exists(retrainMarker(root)),
+  private def requireNoHalfRetrain(spark: SparkSession, root: String): Unit =
+    require(!IndexStoreOps.pathExists(spark, retrainMarker(root)),
       s"index store at $root has a half-finished retrain (marker present) — " +
         "re-run retrain to restore the live ≡ rebuild invariant")
 
@@ -87,14 +87,10 @@ object IvfIndexView {
     catch { case _: AnalysisException =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema) }
 
-  private def clearEmptied(root: String, colName: String, touched: Seq[Long], survivors: Set[Long]): Unit =
-    touched.filterNot(survivors).foreach { b =>
-      val dir = Paths.get(root, s"$colName=$b")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-    }
+  private def clearEmptied(spark: SparkSession, root: String, colName: String,
+      touched: Seq[Long], survivors: Set[Long]): Unit =
+    IndexStoreOps.clearEmptiedLeaves(spark, root, colName,
+      touched.map(_.toString), survivors.map(_.toString))
 
   /** Pinned centroids `(cid, ci, c2)`. */
   def readCentroids(spark: SparkSession, root: String): DataFrame =
@@ -128,7 +124,7 @@ object IvfIndexView {
     * baseline without coupling to the stream's epoch-id space.
     */
   private def baselineCount(spark: SparkSession, root: String): Long =
-    if (!Files.isDirectory(Paths.get(driftDir(root)))) 0L
+    if (!IndexStoreOps.isDir(spark, driftDir(root))) 0L
     else spark.read.parquet(driftDir(root)).filter(col("kind") === "baseline").count()
 
   private def appendDrift(spark: SparkSession, root: String, batchId: Long,
@@ -171,7 +167,7 @@ object IvfIndexView {
     */
   def updateBatch(batch: DataFrame, root: String, keyBuckets: Int = 64,
       batchId: Long = -1L): Unit = {
-    requireNoHalfRetrain(root)
+    requireNoHalfRetrain(batch.sparkSession, root)
     val spark = batch.sparkSession
     val wLww = Window.partitionBy("vec_id")
       .orderBy(col("tsUs").desc, col("seq").desc, col("op").desc)
@@ -213,22 +209,31 @@ object IvfIndexView {
       // silently recomputing old_cid against the already-updated store
       // (churn would read 0). The LOG WRITE waits until after the store
       // writes commit, so a failed micro-batch never skews the signal.
-      // the drift and touched collects are independent reads of the
-      // batch's cached frames — overlap them (r16, guide §2.6); the
-      // drift result is still awaited BEFORE the store writes below
-      val dF = {
-        import scala.concurrent.ExecutionContext.Implicits.global
-        scala.concurrent.Future(Prof.timed("drift agg collect") {
-          ups.agg(count(lit(1)).as("n"), avg(col("qerr").cast("double")).as("m"),
-            count(when(col("live") === true && col("old_cid") =!= col("cid"), 1)).as("moved"),
-            count(when(col("live") === true, 1)).as("had_old"))
-          .collect().head })
-      }
-      val touched = Prof.timed("touched collect") {
+      // the drift agg and the touched-cell set are independent reads of
+      // the batch's cached frames; r16 overlapped them as two futures —
+      // r17 folds them into ONE tagged-union collect (verdict item 5):
+      // one driver action instead of two on a fold that is round-trip
+      // bound, and no drift job can ever be orphaned by a failure in
+      // the other collect (the r16 ADVICE hazard disappears outright).
+      // Still collected BEFORE the store writes: the overwrite below
+      // refreshes the store path and would silently recompute old_cid
+      // against post-swap state.
+      val taggedRows = Prof.timed("touched+drift collect") {
         eff.filter(col("live") === true).select(col("old_cid").cast("long").as("cid"))
-        .union(ups.select(col("cid").cast("long")))
-        .distinct().collect().map(_.getLong(0)).sorted.toSeq }
-      val d = scala.concurrent.Await.result(dF, scala.concurrent.duration.Duration.Inf)
+          .union(ups.select(col("cid").cast("long")))
+          .distinct()
+          .select(lit("t").as("tag"), col("cid").as("l"),
+            lit(0.0).as("m"), lit(0L).as("moved"), lit(0L).as("had_old"))
+          .unionByName(
+            ups.agg(count(lit(1)).as("l"), avg(col("qerr").cast("double")).as("m"),
+              count(when(col("live") === true && col("old_cid") =!= col("cid"), 1)).as("moved"),
+              count(when(col("live") === true, 1)).as("had_old"))
+            .select(lit("d").as("tag"), col("l"),
+              coalesce(col("m"), lit(0.0)).as("m"), col("moved"), col("had_old")))
+          .collect()
+      }
+      val touched = taggedRows.filter(_.getString(0) == "t").map(_.getLong(1)).sorted.toSeq
+      val d = taggedRows.find(_.getString(0) == "d").get
       IndexStoreOps.inParallel(
         if (touched.nonEmpty) {
           val dataOld = readOr(spark, dataDir(root), dataSchema)
@@ -255,9 +260,9 @@ object IvfIndexView {
       // applied (moved reads 0) — [[stalenessReport]] dedupes per
       // (kind, batch_id, base_seq) keeping the first application's
       // churn evidence.
-      if (d.getLong(0) > 0L)
-        appendDrift(spark, root, batchId, "batch", d.getLong(0), d.getDouble(1),
-          baseSeq = baselineCount(spark, root) - 1L, moved = d.getLong(2), hadOld = d.getLong(3))
+      if (d.getLong(1) > 0L)
+        appendDrift(spark, root, batchId, "batch", d.getLong(1), d.getDouble(2),
+          baseSeq = baselineCount(spark, root) - 1L, moved = d.getLong(3), hadOld = d.getLong(4))
     } finally cached.foreach(_.unpersist())
   }
 
@@ -351,7 +356,7 @@ object IvfIndexView {
     * batch, so the window over it is driver-scale by construction.
     */
   def stalenessReport(spark: SparkSession, root: String): DataFrame = {
-    requireNoHalfRetrain(root)
+    requireNoHalfRetrain(spark, root)
     val raw = spark.read.parquet(driftDir(root))
     val cols = raw.columns.toSeq
     val d = raw.groupBy("kind", "batch_id", "base_seq")
@@ -399,27 +404,22 @@ object IvfIndexView {
     // swap — a failure at ANY point leaves either the old store intact
     // (pre-swap) or the marker present (mid/post-swap), never a silent
     // half-retrained store that probes would answer from wrongly.
-    Files.write(retrainMarker(root), Array.emptyByteArray): Unit
+    IndexStoreOps.touchFile(spark, retrainMarker(root))
     def staged(dir: String) = s"$dir.staged"
-    def rmTree(p: java.nio.file.Path): Unit =
-      if (Files.isDirectory(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-    val ready = Paths.get(root, "_staged_ready")
+    val ready = s"$root/_staged_ready"
     val dirs = Seq(dataDir(root), keysDir(root), centDir(root))
     // recovery from a prior crashed retrain: a complete staging set
     // (ready flag present) finishes its swap so the corpus is readable;
     // a partial one is discarded (the pre-swap store is still intact)
-    if (Files.exists(ready)) {
+    if (IndexStoreOps.pathExists(spark, ready)) {
       dirs.foreach { d =>
-        if (Files.isDirectory(Paths.get(staged(d)))) {
-          rmTree(Paths.get(d))
-          Files.move(Paths.get(staged(d)), Paths.get(d)): Unit
+        if (IndexStoreOps.isDir(spark, staged(d))) {
+          IndexStoreOps.deleteTree(spark, d)
+          IndexStoreOps.renameDir(spark, staged(d), d)
         }
       }
-      Files.delete(ready)
-    } else dirs.foreach(d => rmTree(Paths.get(staged(d))))
+      IndexStoreOps.deleteFile(spark, ready)
+    } else dirs.foreach(d => IndexStoreOps.deleteTree(spark, staged(d)))
     val live = readIndex(spark, root).select(col("vec_id"), col("embedding"))
       .localCheckpoint(true) // source and sink of the rewrite below
     val (cells, centroidsRaw) = Similarity.ivfIndex(live, k, iters)
@@ -444,15 +444,15 @@ object IvfIndexView {
       .parquet(staged(dataDir(root)))
     keys.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(staged(keysDir(root)))
     centroids.write.mode(SaveMode.Overwrite).parquet(staged(centDir(root)))
-    Files.write(ready, Array.emptyByteArray): Unit // staging complete — swap may begin
+    IndexStoreOps.touchFile(spark, ready) // staging complete — swap may begin
     dirs.foreach { d =>
-      rmTree(Paths.get(d))
-      Files.move(Paths.get(staged(d)), Paths.get(d)): Unit
+      IndexStoreOps.deleteTree(spark, d)
+      IndexStoreOps.renameDir(spark, staged(d), d)
     }
-    Files.delete(ready)
+    IndexStoreOps.deleteFile(spark, ready)
     appendDrift(spark, root, -1L, "baseline", base.getLong(0), base.getDouble(1),
       baseSeq = baselineCount(spark, root))
-    Files.delete(retrainMarker(root))
+    IndexStoreOps.deleteFile(spark, retrainMarker(root))
   }
 
   /** Small-file compaction over the churned store (r16 — the family
@@ -501,7 +501,7 @@ object IvfIndexView {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cid")
         .parquet(dataDir(root))
-      clearEmptied(dataDir(root), "cid", liveCells,
+      clearEmptied(spark, dataDir(root), "cid", liveCells,
         kept.select(col("cid").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
       parts += liveCells.size
     }
@@ -514,7 +514,7 @@ object IvfIndexView {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")
       .parquet(keysDir(root))
-    clearEmptied(keysDir(root), "kb", kbs,
+    clearEmptied(spark, keysDir(root), "kb", kbs,
       keysKept.select("kb").distinct().collect().map(_.getInt(0).toLong).toSet)
     parts += kbs.size
     (parts, dropped)
@@ -537,7 +537,7 @@ object IvfIndexView {
     */
   def similarTo(spark: SparkSession, root: String, queries: DataFrame,
       k: Int = 3, nprobe: Int = 2): DataFrame = {
-    requireNoHalfRetrain(root)
+    requireNoHalfRetrain(spark, root)
     val centroids = readCentroids(spark, root)
     val pw = Window.partitionBy("query_id").orderBy(col("pscore").desc, col("cid"))
     val q = queries

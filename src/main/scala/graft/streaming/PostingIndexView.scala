@@ -58,14 +58,10 @@ object PostingIndexView {
     catch { case _: AnalysisException =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema) }
 
-  private def clearEmptied(root: String, colName: String, touched: Seq[Long], survivors: Set[Long]): Unit =
-    touched.filterNot(survivors).foreach { b =>
-      val dir = Paths.get(root, s"$colName=$b")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-    }
+  private def clearEmptied(spark: SparkSession, root: String, colName: String,
+      touched: Seq[Long], survivors: Set[Long]): Unit =
+    IndexStoreOps.clearEmptiedLeaves(spark, root, colName,
+      touched.map(_.toString), survivors.map(_.toString))
 
   private def tbOf(tok: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(tok), lit(buckets.toLong)).cast("int")
@@ -192,7 +188,7 @@ object PostingIndexView {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("tb")
         .parquet(postDir(root))
-      clearEmptied(postDir(root), "tb", liveTbs,
+      clearEmptied(spark, postDir(root), "tb", liveTbs,
         kept.select(col("tb").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
       parts += liveTbs.size
     }
@@ -205,7 +201,7 @@ object PostingIndexView {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")
       .parquet(keysDir(root))
-    clearEmptied(keysDir(root), "kb", kbs,
+    clearEmptied(spark, keysDir(root), "kb", kbs,
       keysKept.select(col("kb").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
     parts += kbs.size
     (parts, dropped)

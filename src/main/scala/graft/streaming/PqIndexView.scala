@@ -71,14 +71,10 @@ object PqIndexView {
     catch { case _: AnalysisException =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema) }
 
-  private def clearEmptied(root: String, colName: String, touched: Seq[Long], survivors: Set[Long]): Unit =
-    touched.filterNot(survivors).foreach { b =>
-      val dir = Paths.get(root, s"$colName=$b")
-      if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-    }
+  private def clearEmptied(spark: SparkSession, root: String, colName: String,
+      touched: Seq[Long], survivors: Set[Long]): Unit =
+    IndexStoreOps.clearEmptiedLeaves(spark, root, colName,
+      touched.map(_.toString), survivors.map(_.toString))
 
   /** The pinned per-subspace codebooks `(j, code, cvi, c2)`. */
   def readCodebook(spark: SparkSession, root: String): DataFrame =
@@ -124,7 +120,7 @@ object PqIndexView {
   }
 
   private def baselineCount(spark: SparkSession, root: String): Long =
-    if (!Files.isDirectory(Paths.get(driftDir(root)))) 0L
+    if (!IndexStoreOps.isDir(spark, driftDir(root))) 0L
     else spark.read.parquet(driftDir(root)).filter(col("kind") === "baseline").count()
 
   private def appendDrift(spark: SparkSession, root: String, batchId: Long,
@@ -389,7 +385,7 @@ object PqIndexView {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")
       .parquet(dataDir(root))
-    clearEmptied(dataDir(root), "kb", kbs,
+    clearEmptied(spark, dataDir(root), "kb", kbs,
       kept.select(col("kb").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
     val keysOld = readOr(spark, keysDir(root), keysSchema).filter(col("kb").isin(kbs: _*))
     val keysKept = IndexStoreOps.clusterByLeaf(
@@ -399,7 +395,7 @@ object PqIndexView {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")
       .parquet(keysDir(root))
-    clearEmptied(keysDir(root), "kb", kbs,
+    clearEmptied(spark, keysDir(root), "kb", kbs,
       keysKept.select(col("kb").cast("long")).distinct().collect().map(_.getLong(0)).toSet)
     parts += kbs.size * 2L
     (parts, dropped)

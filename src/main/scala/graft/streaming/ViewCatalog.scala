@@ -535,7 +535,12 @@ class ViewCatalog(val spark: SparkSession, val root: String)
         .collect().map(_.getLong(0)).sorted.toSeq
       if (touched.nonEmpty) {
         val before = feed.filter(col("batch_id").isin(touched: _*))
-        val kept = before.filter(!col("key").isin(keySet: _*)).localCheckpoint(true)
+        // r17: cluster the rewrite on its partition column (one file per
+        // surviving batch dir, not shuffle-partitions-many — the r16
+        // index-store write discipline); the eager checkpoint it carries
+        // was already paid here (feed is both source and sink)
+        val kept = IndexStoreOps.clusterByLeaf(
+          before.filter(!col("key").isin(keySet: _*)), "batch_id")
         val dropped = before.count() - kept.count()
         kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
@@ -543,9 +548,8 @@ class ViewCatalog(val spark: SparkSession, val root: String)
           .parquet(fd)
         val survivors = kept.select(col("batch_id").cast("long")).distinct()
           .collect().map(_.getLong(0)).toSet
-        touched.filterNot(survivors).foreach { b =>
-          deleteRecursively(Paths.get(fd, s"batch_id=$b"))
-        }
+        IndexStoreOps.clearEmptiedLeaves(spark, fd, "batch_id",
+          touched.map(_.toString), survivors.map(_.toString))
         audit += ((n, "sink", touched.size.toLong, dropped))
       }
     }
