@@ -110,9 +110,16 @@ object Bench {
         s""""store_build_sec":${fmtQs(storeBuild)},""" +
         s""""runs":[${runs.map(fmtQs).mkString(",")}],""" +
         s""""min":${fmtQs(results)},"normalized":${fmtQs(normed)}}"""
+    // A SPARK_GRAFT_QUERIES subset is a PROBE: it must never clobber the
+    // full-fleet artifacts of record (r16 lost bench/full_sf0.1.json to an
+    // 8-core probe and r17 lost bench/full_sf1.json to a 1-query probe
+    // exactly this way). Probes land in probe-scoped files; the
+    // round-named BENCH_r*_full.json is written only by full runs.
+    val isProbe = onlySet.isDefined
     val outDir = java.nio.file.Paths.get("bench")
     java.nio.file.Files.createDirectories(outDir)
-    java.nio.file.Files.write(outDir.resolve(s"full_$sfName.json"),
+    val artifactName = if (isProbe) s"probe_$sfName.json" else s"full_$sfName.json"
+    java.nio.file.Files.write(outDir.resolve(artifactName),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Belt-and-braces vs the driver's 2000-char stdout tail: the
     // complete artifact also lands in a ROOT-level round-named file
@@ -130,7 +137,7 @@ object Bench {
       names.flatMap(n => re.findFirstMatchIn(n).map(_.group(1).toInt)).foldLeft(0)(math.max)
     val roundN = math.max(maxOf("^BENCH_r(\\d+)\\.json$".r) + 1,
       maxOf("^BENCH_r(\\d+)_full\\.json$".r))
-    java.nio.file.Files.write(
+    if (!isProbe) java.nio.file.Files.write(
       java.nio.file.Paths.get(f"BENCH_r$roundN%02d_full.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(contractLine)

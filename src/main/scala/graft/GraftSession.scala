@@ -56,8 +56,12 @@ object GraftSession {
     // 16 MB keeps every sf<=0.1 plan identical (files are <10 MB) and
     // splits the sf1 facts ~7-way; on a 100 TB cluster this goes back
     // up (64-128 MB) — there the files are many and the executors are
-    // the parallelism, not intra-file splits.
-    "spark.sql.files.maxPartitionBytes" -> (16L * 1024 * 1024).toString,
+    // the parallelism, not intra-file splits. Parameterised (r17) so the
+    // scaling probes can split the single-file probe corpora finer; the
+    // default is unchanged, so every driver bench/verify run is
+    // identical to prior rounds.
+    "spark.sql.files.maxPartitionBytes" ->
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (16L * 1024 * 1024).toString),
   )
 
   def local(threads: Int = 4): SparkSession = {

@@ -74,8 +74,16 @@ object Dedup {
     // verify on the DISTINCT-name table: entity names repeat heavily, so
     // the O(len²) edit-distance DP runs once per name pair (vocab²-bounded
     // within a block), not once per key pair; |len diff| > maxEdit pairs
-    // are pruned before the DP ever runs (lossless: lev >= len diff)
+    // are pruned before the DP ever runs (lossless: lev >= len diff).
+    // r17: the self-join's output stage carries the DP — quadratic CPU on
+    // KB-scale inputs — and AQE sizes its partitions by input BYTES, so it
+    // coalesced the whole DP onto 1-2 tasks (sf1 probe: 48 s flat at any
+    // core count). Pin the block-keyed exchange at defaultParallelism
+    // (user repartitions are exempt from AQE coalescing; both self-join
+    // sides reuse the one exchange) — guide §8's small-rows/huge-CPU rule,
+    // scale-adaptive via the core count, never a fact-table shuffle.
     val names = p.select("p_type", "blk", "p_name").distinct()
+      .repartition(spark.sparkContext.defaultParallelism, col("p_type"), col("blk"))
     val nearNames = names
       .select(col("p_type"), col("blk"), col("p_name").as("name_a"))
       .join(names.select(col("p_type"), col("blk"), col("p_name").as("name_b")), Seq("p_type", "blk"))

@@ -55,7 +55,14 @@ object MakeSf {
     // `<t>.parquet` as a file): write a single part then move it
     def writeSingle(df: DataFrame, table: String): Unit = {
       val tmp = s"$out/_tmp_$table"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // r17: ~8 MB row groups (default 128 MB left every table ONE row
+      // group, so any scan — and the per-row expression work that runs
+      // inside it — was a single task at any core count; the r17 scaling
+      // probe read flat 8v32 purely from this). A 100 TB table is many
+      // files/row groups; the probe corpus should parallelize like one.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (2L * 1024 * 1024).toString)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
