@@ -95,11 +95,18 @@ object Bench {
         s"\"" + k + "\":" + BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
       }.mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
+    // A SPARK_GRAFT_QUERIES subset is a PROBE: it must never clobber the
+    // full-fleet artifacts of record (r16 lost bench/full_sf0.1.json to an
+    // 8-core probe and r17 nearly lost bench/full_sf1.json to a 1-query
+    // probe exactly this way). Probes land in probe-scoped files; the
+    // round-named BENCH_r*_full.json is written only by full runs.
+    val isProbe = onlySet.isDefined
+    val artifactName = if (isProbe) s"probe_$sfName.json" else s"full_$sfName.json"
     val contractLine =
       s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":3,""" +
         s""""n_queries":${results.size},"normalizer":"q01_filter_project","normalizer_sec":$normT,""" +
         s""""store_build_sec":${fmtQs4(storeBuild)},"queries":${fmtQs4(results)},""" +
-        s""""artifact":"bench/full_$sfName.json","sf":"$sfDir"}"""
+        s""""artifact":"bench/$artifactName","sf":"$sfDir"}"""
     println(contractLine)
     // the driver records only a stdout tail, so the COMPLETE per-query
     // artifact (all runs + min + normalized) goes to a committed file —
@@ -110,15 +117,8 @@ object Bench {
         s""""store_build_sec":${fmtQs(storeBuild)},""" +
         s""""runs":[${runs.map(fmtQs).mkString(",")}],""" +
         s""""min":${fmtQs(results)},"normalized":${fmtQs(normed)}}"""
-    // A SPARK_GRAFT_QUERIES subset is a PROBE: it must never clobber the
-    // full-fleet artifacts of record (r16 lost bench/full_sf0.1.json to an
-    // 8-core probe and r17 lost bench/full_sf1.json to a 1-query probe
-    // exactly this way). Probes land in probe-scoped files; the
-    // round-named BENCH_r*_full.json is written only by full runs.
-    val isProbe = onlySet.isDefined
     val outDir = java.nio.file.Paths.get("bench")
     java.nio.file.Files.createDirectories(outDir)
-    val artifactName = if (isProbe) s"probe_$sfName.json" else s"full_$sfName.json"
     java.nio.file.Files.write(outDir.resolve(artifactName),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Belt-and-braces vs the driver's 2000-char stdout tail: the

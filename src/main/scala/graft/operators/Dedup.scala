@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -764,11 +765,19 @@ object Dedup {
     val docs = docsIn.select(col("doc_id"), col("text"))
     val wins = docs.select(col("doc_id"),
       posexplode(expr(s"graft_shingles(text, $w)")).as(Seq("pos", "g")))
-    val dupGrams = wins.groupBy("g")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("g")
-    val dupWins = wins.join(dupGrams, Seq("g"), "left_semi")
+    // r17 (d16's rewrite, same shape): dup-gram detection as ONE
+    // gram-partitioned window instead of groupBy(g) + left-semi re-join —
+    // the join recomputed the shingle explode (the dominant CPU) and
+    // shuffled the postings on g twice. "held by >= 2 distinct docs" ⟺
+    // min(doc_id) ≠ max(doc_id) over the gram's postings (countDistinct
+    // needs only the extremes); every occurrence of a dup gram survives,
+    // exactly the semi-join's row set (guide §2.4).
+    val wg = Window.partitionBy("g")
+    val dupWins = wins
+      .withColumn("mn", min("doc_id").over(wg))
+      .withColumn("mx", max("doc_id").over(wg))
+      .filter(col("mx") =!= col("mn"))
+      .select(col("doc_id"), col("pos"))
     val perDoc = dupWins.groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_windows"),
         sort_array(collect_list(col("pos").cast("long"))).as("ps"))
@@ -812,31 +821,42 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val wins = docs.select(col("doc_id"),
       posexplode(expr(s"graft_shingles(text, $w)")).as(Seq("pos", "g")))
-    val owners = wins.groupBy("g")
-      .agg(min("doc_id").as("owner"), countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("g", "owner")
+    // r17: owner/dup detection is ONE gram-partitioned window over the
+    // posting list instead of groupBy(g) + re-join(g) — the join shape
+    // recomputed the shingle explode (the operator's dominant CPU) and
+    // shuffled the postings on g TWICE. owner = min(doc_id) over g, and
+    // "held by >= 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) over g
+    // (countDistinct >= 2 needs only the extremes). Same shuffle key,
+    // half the explodes, no gram-keyed join at all (guide §2.4).
+    val wg = Window.partitionBy("g")
     val covered = wins
-      .join(owners, Seq("g"))
-      .filter(col("doc_id") =!= col("owner"))
+      .withColumn("owner", min("doc_id").over(wg))
+      .withColumn("mx", max("doc_id").over(wg))
+      .filter(col("mx") =!= col("owner") && col("doc_id") =!= col("owner"))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
       .distinct()
     val toks = docs.select(col("doc_id"),
       posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "tk")))
-    val rebuilt = toks
-      .join(covered, Seq("doc_id", "p"), "left_anti")
+    // r17: one row-preserving LEFT join replaces the anti-join + a
+    // separate docs-side n_tokens scan + the final doc-keyed join:
+    // `covered` is distinct on (doc_id, p) so the left join fans out
+    // nothing, n_tokens = the group's row count, kept = the uncovered
+    // rows, and collect_list skips the nulls the `when` leaves on
+    // covered tokens. documents is scanned twice total (was 4×), the
+    // doc-keyed joins are gone (guide §2 shuffle volume, §3).
+    toks
+      .join(covered.withColumn("cut", lit(1)), Seq("doc_id", "p"), "left")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("kept_tokens"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("cut").isNull, 1)).as("kept_tokens"),
         array_join(
-          transform(array_sort(collect_list(struct(col("p"), col("tk")))), x => x.getField("tk")),
+          transform(
+            array_sort(collect_list(when(col("cut").isNull, struct(col("p"), col("tk"))))),
+            x => x.getField("tk")),
           " ").as("clean_text"))
-    docs
-      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+        (col("n_tokens") - col("kept_tokens")).as("removed_tokens"),
+        col("clean_text"))
   }
 }

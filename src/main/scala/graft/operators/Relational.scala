@@ -811,19 +811,23 @@ object Relational {
       .select(col("part_a").as("src"), col("part_b").as("dst"))
       .localCheckpoint(false)
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).localCheckpoint(false)
-    var rank = deg.select(col("node"), lit(1000000L).as("r"))
+    // r17: the rank frame CARRIES the node's out-degree, so each
+    // iteration is ONE keyed join (edges × rank) instead of two — the
+    // per-iteration re-join against deg was a second probe pass over
+    // every edge for a value that never changes (guide §3: join count
+    // is per-iteration cost in a loop). Arithmetic unchanged and exact.
+    var rank = deg.select(col("node"), lit(1000000L).as("r"), col("deg"))
     (1 to iters).foreach { _ =>
       val contribs = edges
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node")
         .agg(sum("c").as("in_sum"))
       rank = deg
-        .select(col("node"))
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(150000L) + expr("coalesce(in_sum, 0L) * 85 div 100")).as("r"))
+          (lit(150000L) + expr("coalesce(in_sum, 0L) * 85 div 100")).as("r"),
+          col("deg"))
     }
     rank.select(col("node").as("part"), col("r").as("rank_micro"))
   }

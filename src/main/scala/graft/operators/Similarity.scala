@@ -639,6 +639,15 @@ object Similarity {
     val emb = withHyperplaneBucket(raw, planes)
       .withColumn("norm", l2Norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
+      // r17: pin the bucket exchange at defaultParallelism (d09's fix,
+      // guide §8): the rescoring dot-products run in the self-join's
+      // output stage, whose parallelism AQE sizes by input BYTES — the
+      // MB-scale vector table coalesced the quadratic in-bucket CPU
+      // onto a couple of tasks at sf1 (s08/s14 flat 8v32). A user
+      // repartition is exempt from AQE coalescing and BOTH join sides
+      // reuse this one exchange; scale-adaptive via the core count,
+      // never a fact-table shuffle (vectors are the small table).
+      .repartition(spark.sparkContext.defaultParallelism, col("bucket"))
     val cands = emb
       .join(
         emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
@@ -674,8 +683,15 @@ object Similarity {
     * deterministic cross-engine.
     */
   def mutualNn(spark: SparkSession, dir: String): DataFrame = {
+    // r17: LAZY localCheckpoint (the d06/q80 loop-cut pattern) — without
+    // it the self-join's two sides each recompute the ENTIRE knnJoin
+    // (plan: 4 parquet scans, two full bucket joins + rescoring; no
+    // exchange reuse fires across the alias rename). The cut table is
+    // rank-1 rows only — one row per vector, the smallest table in the
+    // operator — so the materialization is negligible at any scale.
     val m = knnJoin(spark, dir).filter(col("rn") === 1)
       .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint(false)
     m.as("a")
       .join(m.as("b"),
         col("a.neighbor_id") === col("b.vec_id") && col("b.neighbor_id") === col("a.vec_id") &&

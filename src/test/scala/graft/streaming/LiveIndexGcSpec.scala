@@ -104,6 +104,36 @@ class LiveIndexGcSpec extends SparkSpec {
     val probeRebuild = PostingIndexView.phraseSearch(spark, rebuild, Seq(Seq("spark", "stream")), buckets = 8)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(probeAfter == probeRebuild, "GC'd+compacted store must probe exactly like the rebuild")
+
+    // r17 (ADVICE): the r16 write discipline keeps this store compact,
+    // so the no-grow assertion above never exercises compaction actually
+    // CONSOLIDATING a bloated posting store. Synthesize the bloat the
+    // way LiveIndexCompactionSpec does for the ann store — one leaf's
+    // rows re-laid as three small files (same rows, the layout an
+    // external bulk ingest or pre-r16 engine leaves behind) — and
+    // assert compactStore shrinks it back with probes unchanged.
+    locally {
+      val leaf = Files.list(Paths.get(root, "post")).iterator().asScala
+        .filter(Files.isDirectory(_)).toSeq.minBy(_.getFileName.toString)
+      val rows = spark.read.parquet(leaf.toString)
+      val splitDir = tmp("gcpost_split")
+      rows.repartition(3).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(splitDir)
+      Files.list(leaf).iterator().asScala.foreach(Files.delete)
+      Files.list(Paths.get(splitDir)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          Files.move(p, leaf.resolve(f"part-split-$i%05d.parquet")): Unit
+        }
+    }
+    val filesSplit = parquetFiles(root)
+    assert(filesSplit > filesAfter, s"synthesized split must bloat the store: $filesAfter -> $filesSplit")
+    PostingIndexView.compactStore(spark, root, targetBytes = 64L << 20, smallBytes = 16L << 20)
+    assert(parquetFiles(root) < filesSplit,
+      s"compaction must consolidate the split leaf: $filesSplit -> ${parquetFiles(root)}")
+    val probeSplit = PostingIndexView.phraseSearch(spark, root, Seq(Seq("spark", "stream")), buckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probeSplit == probeAfter, "compacting the synthesized split must not change probe results")
   }
 
   test("bitmap + ann stores: tombstone GC is sidecar-only, probes stay exact, retained positions still reject") {
